@@ -1,0 +1,65 @@
+"""Query registry: every operator the engine claims is registered here
+as a (name, spark_fn, oracle_sql) triple.
+
+``spark_fn(spark, sf_dir) -> DataFrame`` is the engine's DataFrame
+implementation; ``oracle_sql`` is the ANSI-SQL equivalent the DuckDB
+oracle runs on the same parquet tables. Column names are aliased
+identically on both sides (the driver sorts columns by name and hashes
+values).
+
+Cross-engine determinism conventions (used by every spec):
+
+- SUM/AVG over doubles is order-dependent → aggregate over
+  ``DECIMAL(p,s)`` casts (exact, associative) and cast the final result
+  back to DOUBLE. Identical bits on both engines.
+- ratios = CAST(exact_sum AS DOUBLE) / count — never AVG().
+- hash-based sketches use functions/hashes.py (md5-derived, portable).
+- every ORDER BY carries a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False  # include in bench.py headline set
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable[[SparkSession, str], DataFrame]]:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query spec {name!r}")
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, bench=bench)
+        return fn
+
+    return deco
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    # import side-effect modules once, lazily, to populate the registry
+    import dolphinbeat_spark.plans.relational  # noqa: F401
+    import dolphinbeat_spark.plans.windows_events  # noqa: F401
+    import dolphinbeat_spark.plans.cdc_queries  # noqa: F401
+    import dolphinbeat_spark.plans.text_queries  # noqa: F401
+    import dolphinbeat_spark.plans.dedup_queries  # noqa: F401
+    import dolphinbeat_spark.plans.similarity_queries  # noqa: F401
+    import dolphinbeat_spark.plans.multimodal_queries  # noqa: F401
+
+    return dict(_REGISTRY)
