@@ -1,0 +1,98 @@
+"""Text-analysis building blocks for the training-data pipeline layer.
+
+All expressions are JVM-side Catalyst built-ins (split / higher-order
+array functions / md5) — no Python in the hot path — and each has an
+exactly-equivalent ANSI-SQL formulation used by the DuckDB oracle
+(see plans/text_queries.py). Conventions for engine parity:
+
+- tokenization: ``split(trim(text), '\\s+')`` (same in both engines)
+- occurrence counts via the length-difference trick
+  ``(len(s) - len(replace(s, m, ''))) / len(m)`` — integer-exact
+- word shingles built with 1-based ``element_at`` to mirror SQL's
+  1-based array indexing
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small English-ish stopword set present in the synthetic corpus
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+# deterministic marker vocabularies for the n-gram language heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": (" the ", " and ", " of "),
+    "es": (" el ", " la ", " de "),
+    "de": (" der ", " und ", " die "),
+    "fr": (" le ", " et ", " les "),
+    "zh": (" zh ", " shi ", " de "),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def occurrences(text: Column | str, needle: str) -> Column:
+    """Non-overlapping occurrence count of a literal substring."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        (F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("bigint")
+
+
+def stopword_count(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    toks = tokens(text)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("bigint")
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles, 1-based indexing to mirror SQL arrays."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    shingle = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])  # noqa: E731
+    return F.array_distinct(F.transform(idx, shingle))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic 64-bit document fingerprint (hex string)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.substring(F.md5(F.lower(F.trim(c))), 1, 16)
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Marker-occurrence score per language (space-padded text)."""
+    c = F.col(text) if isinstance(text, str) else text
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    return {
+        lang: sum((occurrences(padded, m) for m in markers), F.lit(0).cast("bigint")).alias(
+            f"score_{lang}"
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_predict(text: Column | str) -> Column:
+    """argmax language with lexicographic tie-break (deterministic)."""
+    scores = lang_scores(text)
+    # fold: keep (best_lang, best_score); strictly-greater replaces, so
+    # earlier (lexicographically sorted) languages win ties
+    best_lang, best_score = None, None
+    for lang in sorted(scores):
+        s = scores[lang]
+        if best_lang is None:
+            best_lang, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return best_lang

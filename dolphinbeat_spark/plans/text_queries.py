@@ -1,1 +1,197 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis query plans over the ``documents`` table.
+
+Training-data-pipeline operators (north star; absent in the
+reference): token statistics, quality scoring, language-ID heuristic,
+document fingerprinting, shingle profiles. All pure Catalyst
+expressions — per-row map work, no shuffle except final aggregations,
+so they scale linearly to 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dolphinbeat_spark.catalog import load
+from dolphinbeat_spark.operators import text as T
+from dolphinbeat_spark.plans.registry import register
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+_TOKENS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       len({_TOKENS_SQL}) AS n_tokens,
+       len(list_distinct({_TOKENS_SQL})) AS n_unique,
+       length(text) AS n_chars_obs,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_TOKENS_SQL}) AS avg_token_len
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("text", "tokens"),
+    bench=True,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + uniqueness + average token length."""
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique"),
+        F.length("text").cast("bigint").alias("n_chars_obs"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks)
+        ).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text,
+         len({_TOKENS_SQL}) AS n_tokens,
+         len(list_filter({_TOKENS_SQL}, x -> x IN ({_STOP_SQL}))) AS n_stop,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_stop,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token,
+       CASE WHEN n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.6
+            THEN 1 ELSE 0 END AS passes_quality
+FROM t
+ORDER BY doc_id
+""",
+    tags=("text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gate: length + stopword-ratio band (the
+    C4/Gopher-style rule family, deterministic integer arithmetic)."""
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        T.stopword_count("text").alias("n_stop"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_stop",
+        ratio.alias("stopword_ratio"),
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias("chars_per_token"),
+        F.when((F.col("n_tokens") >= 20) & (ratio >= 0.01) & (ratio <= 0.6), 1)
+        .otherwise(0)
+        .alias("passes_quality"),
+    ).orderBy("doc_id")
+
+
+def _occ_sql(needle: str) -> str:
+    pad = "concat(' ', lower(text), ' ')"
+    return (
+        f"CAST((length({pad}) - length(replace({pad}, '{needle}', ''))) / {len(needle)} AS BIGINT)"
+    )
+
+
+_LANG_SCORE_SQL = {
+    lang: " + ".join(_occ_sql(m) for m in markers)
+    for lang, markers in T.LANG_MARKERS.items()
+}
+
+
+def _lang_case_sql() -> str:
+    """argmax with tie-break to the lexicographically-first language:
+    lang L wins iff score_L > every earlier score and >= every later.
+    Mirrors the fold in operators/text.py::lang_predict exactly."""
+    langs = sorted(_LANG_SCORE_SQL)
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"score_{lang} > score_{e}" for e in langs[:i]]
+        conds += [f"score_{lang} >= score_{l}" for l in langs[i + 1 :]]
+        branches.append(f"WHEN {' AND '.join(conds) or 'TRUE'} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " END"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {", ".join(f'{expr} AS score_{lang}' for lang, expr in sorted(_LANG_SCORE_SQL.items()))}
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+       {_lang_case_sql()} AS pred_lang,
+       {", ".join(f"score_{lang}" for lang in sorted(_LANG_SCORE_SQL))}
+FROM scored
+ORDER BY doc_id
+""",
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/marker language heuristic: per-language marker-occurrence
+    scores, argmax with lexicographic tie-break."""
+    d = load(spark, sf_dir, "documents")
+    scores = T.lang_scores("text")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.lang_predict("text").alias("pred_lang"),
+        *[scores[lang] for lang in sorted(scores)],
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint_dups",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, substr(md5(lower(trim(text))), 1, 16) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM fp
+GROUP BY fingerprint
+ORDER BY fingerprint
+""",
+    tags=("text", "fingerprint", "dedup"),
+)
+def text_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint + duplicate grouping; the
+    canonical keeper is min(doc_id) — stable across engines."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", T.fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .orderBy("fingerprint")
+    )
+
+
+@register(
+    "text_shingle_profile",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+)
+SELECT doc_id,
+       len(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))) AS n_shingles
+FROM t
+ORDER BY doc_id
+""",
+    tags=("text", "shingle"),
+)
+def text_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-word shingles per document (the MinHash input set)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.size(T.word_shingles("text", 3)).cast("bigint").alias("n_shingles")
+    ).orderBy("doc_id")

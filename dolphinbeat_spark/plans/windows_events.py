@@ -1,1 +1,348 @@
-"""Placeholder — populated in this round."""
+"""Window-function, sessionization, as-of/range-join and event-time
+query plans over the ``events``/``orders`` tables.
+
+The reference has NO window functions, sessionization, or temporal
+joins (SURVEY.md §2.8); these are the streaming-analytics surface the
+north star requires. Batch forms here (oracle-checkable); streaming
+forms live in dolphinbeat_spark/streaming/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dolphinbeat_spark.catalog import load
+from dolphinbeat_spark.operators.asof import asof_join
+from dolphinbeat_spark.operators.sessions import sessionize
+from dolphinbeat_spark.plans.registry import register
+
+_DEC = "decimal(14,4)"
+
+
+@register(
+    "win_running_revenue",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       ROW_NUMBER() OVER w AS order_seq,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, order_seq
+""",
+    tags=("window", "events"),
+    bench=True,
+)
+def win_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order total: one shuffle on o_custkey,
+    per-partition sort — the canonical cumulative window."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("order_seq"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast(_DEC)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("running_total"),
+    ).orderBy("o_custkey", "order_seq")
+
+
+@register(
+    "win_top3_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+ORDER BY o_custkey, rnk, o_orderkey
+""",
+    tags=("window", "topn"),
+)
+def win_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group via rank: Spark pushes a per-partition limit
+    (WindowGroupLimit) before the shuffle — no full materialization."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.rank().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    )
+
+
+@register(
+    "win_rank_showcase",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       ROW_NUMBER() OVER w AS rn,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       NTILE(4) OVER w AS quartile,
+       CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pct_rank,
+       CAST(CUME_DIST() OVER w AS DOUBLE) AS cdist,
+       LAG(c_custkey) OVER w AS prev_cust,
+       LEAD(c_custkey) OVER w AS next_cust,
+       FIRST_VALUE(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_cust
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_mktsegment, rn
+""",
+    tags=("window",),
+)
+def win_rank_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ranking/analytic function surface in one plan."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+        F.cume_dist().over(w).cast("double").alias("cdist"),
+        F.lag("c_custkey").over(w).alias("prev_cust"),
+        F.lead("c_custkey").over(w).alias("next_cust"),
+        F.first("c_custkey").over(wf).alias("first_cust"),
+    ).orderBy("c_mktsegment", "rn")
+
+
+@register(
+    "win_moving_sum_daily",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(14,6))) AS day_value
+  FROM events GROUP BY event_type, day
+)
+SELECT event_type, day, n_events,
+       CAST(ROUND(SUM(day_value) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS value_7d
+FROM daily
+ORDER BY event_type, day
+""",
+    tags=("window", "events"),
+    bench=True,
+)
+def win_moving_sum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level: daily pre-aggregation (map-side combine shrinks the
+    stream to |types|x|days| rows), then a 7-row moving frame."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,6)")).alias("day_value"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, Window.currentRow)
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "n_events",
+            F.round(F.sum("day_value").over(w), 2).cast("double").alias("value_7d"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "win_tumbling_hourly_events",
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(14,6))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY hour_start, event_type
+ORDER BY hour_start, event_type
+""",
+    tags=("window", "events", "eventtime"),
+)
+def win_tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window via F.window (same operator the
+    streaming pipeline uses with a watermark)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(14,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+@register(
+    "sessionize_users",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, event_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+    tags=("window", "events", "session"),
+    bench=True,
+)
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via operators/sessions.py."""
+    e = load(spark, sf_dir, "events")
+    s = sessionize(e, key="user_id", time_col="ts", gap_seconds=1800, tie_break="event_id")
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "asof_purchase_last_view",
+    oracle="""
+WITH views AS (
+  SELECT user_id, ts AS vts, MAX(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+), purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), matched AS (
+  SELECT p.event_id, v.vts, v.view_event_id,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY v.vts DESC) AS rn
+  FROM purchases p JOIN views v ON v.user_id = p.user_id AND v.vts <= p.ts
+)
+SELECT p.event_id, p.user_id, p.ts,
+       m.vts AS last_view_ts, m.view_event_id AS last_view_event_id
+FROM purchases p LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m USING (event_id)
+ORDER BY p.event_id
+""",
+    tags=("join", "asof", "events"),
+    bench=True,
+)
+def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase → latest preceding view of
+    the same user. Uses the union-scan asof_join operator (one shuffle,
+    no candidate-pair blowup — the oracle's row_number formulation is
+    exactly the blowup we avoid at scale)."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("vts"))
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    joined = asof_join(
+        purchases, views, on="user_id", left_time="ts", right_time="vts", right_prefix=""
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("vts").alias("last_view_ts"),
+        "view_event_id",
+    ).withColumnRenamed("view_event_id", "last_view_event_id").orderBy("event_id")
+
+
+@register(
+    "range_join_click_error",
+    oracle="""
+SELECT c.event_id AS click_event_id, x.event_id AS error_event_id, c.user_id
+FROM events c JOIN events x
+  ON x.user_id = c.user_id
+ AND x.ts > c.ts AND x.ts <= c.ts + INTERVAL 5 MINUTE
+WHERE c.event_type = 'click' AND x.event_type = 'error'
+ORDER BY click_event_id, error_event_id
+""",
+    tags=("join", "range", "events"),
+)
+def range_join_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: errors within 5 min after a click, same
+    user. Equi key (user_id) carries the shuffle; the range predicate
+    is evaluated post-join — bounded blowup since windows are short."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"), "user_id", F.col("ts").alias("cts")
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"),
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("ets"),
+    )
+    return (
+        clicks.join(
+            errors,
+            (F.col("e_user_id") == F.col("user_id"))
+            & (F.col("ets") > F.col("cts"))
+            & (F.col("ets") <= F.col("cts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .select("click_event_id", "error_event_id", "user_id")
+        .orderBy("click_event_id", "error_event_id")
+    )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("events", "json", "scalar"),
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column extraction (reference treats JSON
+    as opaque strings — SURVEY §1.2 TypeJSON)."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+            F.min(k).alias("min_k"),
+        )
+        .orderBy("event_type")
+    )

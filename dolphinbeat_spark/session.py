@@ -37,6 +37,9 @@ def get_spark(app_name: str = "dolphinbeat_spark", master: str | None = None) ->
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark rejects;
+        # read as long, catalog.load converts to micros TimestampType
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
