@@ -1,0 +1,148 @@
+"""Deduplication operators for the large-scale training-data layer.
+
+Five families, all engine-portable and shuffle-conscious:
+
+- **exact**: hash-groupBy on a normalization key; keeper = min(id).
+- **MinHash + LSH**: word-shingle sets → ``num_perm`` min-hashes via
+  portable affine permutations (functions/hashes.py) → band buckets →
+  candidate pairs via self-join on (band, bucket-hash). The self-join
+  shuffles only (band_key, doc_id) pairs — never the documents.
+- **SimHash**: sign-aggregated bit fingerprint from token hashes;
+  near-dup = identical fingerprint (or small Hamming distance).
+- **n-gram Jaccard**: exact Jaccard over shingle sets for candidate
+  pairs (used to verify LSH candidates).
+- **embedding cosine**: near-duplicate vectors by cosine >= threshold
+  (see operators/similarity.py for the top-k variant).
+
+Scale notes: MinHash signature computation is a per-row map (explode →
+groupBy doc) — at 100 TB use ``num_perm`` 64-128 and band rows 4-8;
+the band-bucket join is the only shuffle and its fan-in per bucket is
+bounded by collision rate, with AQE skew-split as the backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dolphinbeat_spark.functions.hashes import (
+    MERSENNE_61,
+    affine_hash,
+    hash64,
+    minhash_params,
+)
+from dolphinbeat_spark.operators.text import tokens, word_shingles
+
+
+def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
+    """Group rows by a normalization key; emit one keeper per group."""
+    return (
+        df.select(F.col(id_col), key.alias("dup_key"))
+        .groupBy("dup_key")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 32, shingle_k: int = 3
+) -> DataFrame:
+    """(id, perm_index, minhash) — long form, one row per permutation.
+
+    Long form keeps the downstream banding a pure groupBy instead of a
+    wide-column pivot; the explode is map-side only.
+    """
+    params = minhash_params(num_perm)
+    shingled = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("shingle")
+    )
+    hashed = shingled.select(id_col, hash64(F.col("shingle")).alias("h"))
+    perms = F.array(
+        *[
+            F.struct(F.lit(i).alias("perm"), affine_hash(F.col("h"), a, b).alias("ph"))
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    exploded = hashed.select(id_col, F.explode(perms).alias("p")).select(
+        id_col, F.col("p.perm").alias("perm"), F.col("p.ph").alias("ph")
+    )
+    return exploded.groupBy(id_col, "perm").agg(F.min("ph").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, num_perm: int = 32, bands: int = 8
+) -> DataFrame:
+    """Band the signature and self-join on (band, band_hash).
+
+    Returns distinct candidate (id_a < id_b) pairs.
+    """
+    rows_per_band = num_perm // bands
+    # band key = md5 of the perm-ordered minhash concatenation. Built
+    # from portable pieces (sort, cast-to-string, join, md5) so the SQL
+    # oracle (string_agg ... ORDER BY perm) produces identical bytes.
+    ordered = F.array_sort(F.collect_list(F.struct("perm", "minhash")))
+    key = F.md5(F.concat_ws(",", F.transform(ordered, lambda s: s["minhash"].cast("string"))))
+    banded = (
+        signatures.withColumn("band", F.floor(F.col("perm") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(key.alias("band_key"))
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Sign-aggregated token-hash fingerprint (bits LSBs of hash64).
+
+    fingerprint bit j = 1 iff sum over tokens of (+1 if token-hash bit
+    j else -1) > 0. Weighted by token multiplicity (classic SimHash).
+    """
+    toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    hashed = toked.select(id_col, hash64(F.col("tok")).alias("h"))
+    contribs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    sums = hashed.groupBy(id_col).agg(*contribs)
+    fp = sum(
+        (F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(bits)),
+        F.lit(0),
+    ).cast("bigint")
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pairs: DataFrame,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given (id_a, id_b) candidate pairs.
+
+    Joins the (small) pair list against per-doc shingle arrays and
+    computes |A∩B| / |A∪B| with array built-ins — exact integer
+    cardinalities, one double division at the end.
+    """
+    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_k).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    # shingle arrays are already distinct → |A∩B| by membership filter,
+    # |A∪B| = |A|+|B|-|A∩B| (formulation shared with the SQL oracle)
+    inter = F.size(F.filter("sh_a", lambda x: F.array_contains("sh_b", x)))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return joined.select(
+        "id_a",
+        "id_b",
+        inter.cast("bigint").alias("n_common"),
+        union.cast("bigint").alias("n_union"),
+        (inter.cast("double") / union).alias("jaccard"),
+    )

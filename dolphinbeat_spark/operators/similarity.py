@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- **brute-force top-k**: exact cosine against the full corpus. The
+  query set is broadcast; the corpus is scanned once — per-row map +
+  a windowed top-k, no pair materialization beyond (q, c, sim).
+- **cosine near-dup pairs**: all a<b pairs above a threshold (the
+  embedding variant of dedup).
+- **LSH-bucketed ANN**: deterministic random-hyperplane signatures
+  (coefficients derived from the portable md5 hash, so the DuckDB
+  oracle regenerates the identical planes); candidates only within a
+  bucket → the scale path: bucket-join instead of cross-join.
+
+All vector math is Catalyst higher-order functions folded strictly
+left-to-right in DOUBLE — bit-identical to the oracle's list_reduce.
+
+At 100 TB: brute-force is O(|Q|·|C|) and only sane with a broadcast
+query set; the LSH path shuffles each vector once to its bucket and
+joins within buckets (collision-bounded fan-in, AQE skew backstop).
+IVF (k-means coarse quantizer) would slot in the same pipeline shape:
+assign → per-centroid bucket join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dolphinbeat_spark.functions.hashes import hash64
+from dolphinbeat_spark.functions.vector import cosine_similarity
+
+HYPERPLANE_SALT = "rh"
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact top-k cosine neighbors (self excluded).
+
+    Output: (query_id, neighbor_id, rank, cosine).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("__qv", "__cv").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """All id_a < id_b pairs with cosine >= threshold (exact)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_similarity("__va", "__vb").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def hyperplane_coeff(p: Column, d: Column) -> Column:
+    """Deterministic pseudo-random coefficient in [-1, 1] for plane p,
+    dim d — portable across engines via the md5 hash."""
+    key = F.concat_ws("-", F.lit(HYPERPLANE_SALT), p.cast("string"), d.cast("string"))
+    return (hash64(key) % 2001 - 1000) / F.lit(1000.0)
+
+
+def lsh_bucket(vec_col: Column | str, num_planes: int, dim: int) -> Column:
+    """Random-hyperplane signature: bit p = 1 iff dot(vec, plane_p) >= 0."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    planes = F.sequence(F.lit(0), F.lit(num_planes - 1))
+
+    def plane_dot(p: Column) -> Column:
+        dims = F.sequence(F.lit(1), F.lit(dim))
+        prods = F.transform(
+            dims, lambda d: F.element_at(v, d).cast("double") * hyperplane_coeff(p, d)
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    # 2^p via pow(): exact for p < 53; shiftleft() needs a literal
+    # shift amount so it can't be used inside the lambda
+    bits = F.transform(
+        planes,
+        lambda p: F.when(
+            plane_dot(p) >= 0, F.pow(F.lit(2.0), p.cast("double")).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    num_planes: int,
+    dim: int,
+) -> DataFrame:
+    """Approximate top-k: exact cosine but only within the query's
+    hyperplane bucket. Equi-join on bucket replaces the cross join."""
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        lsh_bucket(vec_col, num_planes, dim).alias("bucket"),
+    )
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        lsh_bucket(vec_col, num_planes, dim).alias("bucket"),
+    )
+    scored = (
+        F.broadcast(qb)
+        .join(cb, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine_similarity("__qv", "__cv").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

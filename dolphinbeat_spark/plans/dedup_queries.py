@@ -1,1 +1,168 @@
-"""Placeholder — populated in this round."""
+"""Deduplication query plans over the ``documents`` table.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard families from
+operators/dedup.py, each with a fully-equivalent DuckDB oracle built
+from the same portable hash arithmetic (functions/hashes.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dolphinbeat_spark.catalog import load
+from dolphinbeat_spark.functions.hashes import MERSENNE_61, hash64_sql, minhash_params
+from dolphinbeat_spark.operators import dedup as D
+from dolphinbeat_spark.plans.registry import register
+
+NUM_PERM = 32
+BANDS = 8
+SHINGLE_K = 3
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_SHINGLES = (
+    f"list_distinct(list_transform(range(1, greatest(len({_TOKS}) - 2, 0) + 1), "
+    f"i -> concat({_TOKS}[i], ' ', {_TOKS}[i+1], ' ', {_TOKS}[i+2])))"
+)
+_PERM_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_params(NUM_PERM)))
+
+# shared CTE prefix: documents → shingles → portable hashes → minhash
+_MINHASH_CTE = f"""
+WITH shingled AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), hashed AS (
+  SELECT doc_id, {hash64_sql('shingle')} AS h FROM shingled
+), perms(perm, a, b) AS (
+  VALUES {_PERM_VALUES}
+), minhash AS (
+  SELECT doc_id, perm, MIN((h * a + b) % {MERSENNE_61}) AS minhash
+  FROM hashed CROSS JOIN perms
+  GROUP BY doc_id, perm
+)
+"""
+
+_BANDS_CTE = f"""
+, bands AS (
+  SELECT doc_id, CAST(floor(perm / {NUM_PERM // BANDS}) AS INTEGER) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_key
+  FROM minhash
+  GROUP BY doc_id, band
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)
+"""
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+SELECT md5(text) AS dup_key, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+FROM documents
+GROUP BY dup_key
+ORDER BY dup_key
+""",
+    tags=("dedup", "exact"),
+    bench=True,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), keeper = min(doc_id)."""
+    d = load(spark, sf_dir, "documents")
+    return D.exact_dedup(d, "doc_id", F.md5("text")).orderBy("dup_key")
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=_MINHASH_CTE + """
+SELECT doc_id, perm, minhash FROM minhash
+ORDER BY doc_id, perm
+""",
+    tags=("dedup", "minhash"),
+    bench=True,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature matrix (long form), portable hashing."""
+    d = load(spark, sf_dir, "documents")
+    return D.minhash_signatures(d, "doc_id", "text", NUM_PERM, SHINGLE_K).orderBy(
+        "doc_id", "perm"
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=_MINHASH_CTE + _BANDS_CTE + """
+SELECT id_a, id_b FROM cand
+ORDER BY id_a, id_b
+""",
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: candidate near-dup pairs from band-bucket joins."""
+    d = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(d, "doc_id", "text", NUM_PERM, SHINGLE_K)
+    return D.lsh_candidate_pairs(sigs, "doc_id", NUM_PERM, BANDS).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH toked AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, {hash64_sql('tok')} AS h FROM toked
+), bitsums AS (
+  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
+FROM bitsums
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (multiplicity-weighted)."""
+    d = load(spark, sf_dir, "documents")
+    return D.simhash(d, "doc_id", "text", bits=32).orderBy("doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, source, {_SHINGLES} AS s FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sh_a, b.s AS sh_b
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT id_a, id_b,
+         len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS n_common,
+         len(sh_a) + len(sh_b) - len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS n_union
+  FROM pairs
+)
+SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common, CAST(n_union AS BIGINT) AS n_union,
+       CAST(n_common AS DOUBLE) / n_union AS jaccard
+FROM scored
+WHERE CAST(n_common AS DOUBLE) / n_union >= 0.2
+ORDER BY id_a, id_b
+""",
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over same-source candidate pairs; emits
+    pairs with similarity >= 0.2. (Blocking key = source keeps the
+    pair count bounded; at scale the blocking key would be an LSH
+    bucket — see dedup_minhash_lsh_pairs.)"""
+    d = load(spark, sf_dir, "documents")
+    ids = d.select("doc_id", "source")
+    pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    scored = D.jaccard_pairs(d, "doc_id", "text", pairs, SHINGLE_K)
+    return scored.filter(F.col("jaccard") >= 0.2).orderBy("id_a", "id_b")

@@ -1,1 +1,123 @@
-"""Placeholder — populated in this round."""
+"""Similarity-search query plans over the ``embeddings`` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dolphinbeat_spark.catalog import load
+from dolphinbeat_spark.functions.hashes import hash64_sql
+from dolphinbeat_spark.operators import similarity as S
+from dolphinbeat_spark.plans.registry import register
+
+K = 5
+NUM_PLANES = 12
+DIM = 64
+NEAR_DUP_THRESHOLD = 0.4
+
+# ordered-fold cosine in DuckDB (bit-identical to Spark's aggregate)
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "(acc, x) -> acc + x))"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)} / "
+        f"({_NORM.format(a=a)} * {_NORM.format(a=b)}))"
+    )
+
+
+_COEFF = (
+    f"(({hash64_sql(chr(39) + 'rh-' + chr(39) + ' || CAST(p AS VARCHAR) || ' + chr(39) + '-' + chr(39) + ' || CAST(d AS VARCHAR)')}) % 2001 - 1000) / 1000.0"
+)
+
+_BUCKET = f"""
+list_reduce(
+  list_transform(range(0, {NUM_PLANES}), p -> CASE WHEN
+    list_reduce(list_transform(range(1, {DIM} + 1),
+      d -> CAST(embedding[d] AS DOUBLE) * {_COEFF}),
+      (acc, x) -> acc + x) >= 0
+    THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END),
+  (acc, x) -> acc + x)
+"""
+
+
+@register(
+    "sim_bruteforce_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_cos('q.qv', 'c.embedding')} AS cosine
+  FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+""",
+    tags=("similarity", "ann"),
+    bench=True,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the query subset (vec_id % 50 == 0)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.brute_force_topk(q, emb, "vec_id", "embedding", K).orderBy("query_id", "rank")
+
+
+@register(
+    "sim_cosine_near_dup",
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_cos('a.embedding', 'b.embedding')} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_cos('a.embedding', 'b.embedding')} >= {NEAR_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+""",
+    tags=("similarity", "dedup"),
+)
+def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= 0.4)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_pairs(emb, "vec_id", "embedding", NEAR_DUP_THRESHOLD).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "sim_lsh_ann_topk",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings
+), q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM bucketed WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {_cos('q.qv', 'c.embedding')} AS cosine
+  FROM q JOIN bucketed c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+""",
+    tags=("similarity", "ann", "lsh"),
+)
+def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-3: candidates share a 12-bit
+    random-hyperplane signature — the scale path (equi-join on bucket,
+    no cross join)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.lsh_ann_topk(q, emb, "vec_id", "embedding", 3, NUM_PLANES, DIM).orderBy(
+        "query_id", "rank"
+    )
