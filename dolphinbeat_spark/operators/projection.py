@@ -1,0 +1,119 @@
+"""Envelope projections (reference D3/D4/D11/D12).
+
+- ``to_json_ops``: envelope → one JSON document per op (stdout-sink
+  shape, ``sink/stdout/operation.go:99-238``).
+- ``typed_view``: generic stringly envelope → typed per-table
+  DataFrame using the schema registry (the reference's consumers do
+  this re-typing from the protobuf string values,
+  ``sink/kafka/operation.go:158-178``; unsigned re-widening D4 is in
+  the registry's type mapping).
+- ``frame_transactions``: stamp/aggregate rows back into transaction
+  frames by gtid (reference D5's BEGIN…COMMIT framing as data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dolphinbeat_spark.schema.registry import SchemaRegistry, TableDef
+
+
+def to_json_ops(df: DataFrame) -> DataFrame:
+    """Envelope → (log coordinates, json payload)."""
+    payload = F.to_json(
+        F.struct(*[F.col(c) for c in df.columns]), {"ignoreNullFields": "true"}
+    )
+    return df.select(
+        "op_type",
+        "log_name",
+        "log_pos",
+        payload.alias("json"),
+    )
+
+
+def typed_view(
+    envelope: DataFrame,
+    registry: SchemaRegistry,
+    db: str,
+    table: str,
+    version: int | None = None,
+    image: str = "after",
+) -> DataFrame:
+    """Cast the ``after`` (or ``before``) map into typed columns for
+    one table, per the registry's TableDef. NULL-vs-empty-string is
+    resolved through the ``{image}_null`` map (reference D12's
+    separate null flag)."""
+    td = registry.get(db, table, version)
+    if td is None:
+        raise KeyError(f"no schema for {db}.{table} @ {version}")
+    rows = envelope.filter(
+        (F.col("db") == db)
+        & (F.col("table") == table)
+        & F.col("op_type").isin("insert", "update", "delete")
+    )
+    img, nulls = F.col(image), F.col(f"{image}_null")
+    cols = []
+    for c in td.columns:
+        raw = img.getItem(c.name)
+        is_null = F.coalesce(nulls.getItem(c.name), F.lit(False))
+        typed = F.when(is_null, F.lit(None)).otherwise(raw).cast(c.spark_field().dataType)
+        cols.append(typed.alias(c.name))
+    return rows.select(
+        F.col("op_type"),
+        F.col("log_pos"),
+        F.col("schema_version"),
+        *cols,
+    )
+
+
+def pair_before_after(envelope: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Update ops → (key, changed_fields map) delta records.
+
+    changed = keys of ``after`` whose value (or nullness) differs from
+    ``before`` (reference pairs rows positionally, D3; here the images
+    are already paired in one op)."""
+    upd = envelope.filter(F.col("op_type") == "update")
+    changed = F.map_filter(
+        F.col("after"),
+        lambda k, v: ~(
+            F.col("before").getItem(k).eqNullSafe(v)
+            & F.coalesce(F.col("before_null").getItem(k), F.lit(False)).eqNullSafe(
+                F.coalesce(F.col("after_null").getItem(k), F.lit(False))
+            )
+        ),
+    )
+    return upd.select(
+        "db",
+        "table",
+        "log_pos",
+        *[F.col("after").getItem(k).alias(k) for k in key_cols],
+        changed.alias("changed"),
+    )
+
+
+def frame_transactions(envelope: DataFrame) -> DataFrame:
+    """Re-frame row ops into per-transaction records by gtid carry.
+
+    The single ordered stream stamps each row op with the last seen
+    BEGIN's coordinates; in batch form we group by the commit gtid
+    (rows between BEGIN..COMMIT share the commit's log range)."""
+    w_ops = envelope.filter(F.col("op_type").isin("insert", "update", "delete", "begin", "commit"))
+    # forward-fill gtid is a streaming concern; batch fixtures carry
+    # gtid on the commit row — associate by log_pos ordering window
+    from pyspark.sql import Window
+
+    w = Window.orderBy("log_pos").rowsBetween(0, Window.unboundedFollowing)
+    stamped = w_ops.withColumn(
+        "trx_gtid", F.first(F.when(F.col("op_type") == "commit", F.col("gtid")), ignorenulls=True).over(w)
+    )
+    return (
+        stamped.filter(F.col("op_type").isin("insert", "update", "delete"))
+        .groupBy("trx_gtid")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("log_pos").alias("first_pos"),
+            F.max("log_pos").alias("last_pos"),
+            F.collect_set("op_type").alias("op_types"),
+        )
+    )

@@ -1,0 +1,189 @@
+"""MySQL binlog streaming source (reference S4/D1/D2/D5/D6).
+
+Design (SURVEY.md §7.2 step 5): a Spark 4 Python Data Source wrapping
+``pymysqlreplication`` (public library speaking the replication
+protocol, the Python analog of the reference's go-mysql syncer,
+``canal/sync.go:46-67``). Offsets are ``{file, pos, gtid_set,
+server_id}`` — both coordinates are kept because GTID sets are only
+partially ordered across server ids (reference C2 caveat,
+``ckp/manager.go:161-165``).
+
+The replication client is NOT bundled in this environment, so the
+reader constructor import-gates it; everything that doesn't need a
+live server — offset algebra, event→envelope decoding, transaction
+framing, DDL classification — is pure and unit-tested against fake
+event objects (tests/test_binlog_decode.py).
+
+Scale note: one binlog is inherently a single ordered stream; the
+source is single-reader (like the reference's one-goroutine loop,
+``canal/sync.go:79``) with rate limiting via ``max_ops_per_batch``.
+Horizontal scale comes after decode: the envelope DataFrame fans out
+to per-table/per-sink parallelism.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+
+from dolphinbeat_spark.envelope import ENVELOPE_SCHEMA
+from dolphinbeat_spark.schema.registry import SchemaRegistry, is_ddl, normalize_statement
+
+
+@dataclass(frozen=True)
+class BinlogOffset:
+    """(file, pos) + gtid_set; comparable within one server_id."""
+
+    file: str = ""
+    pos: int = 0
+    gtid_set: str = ""
+    server_id: int = 0
+
+    def to_json(self) -> dict:
+        return {"file": self.file, "pos": self.pos, "gtid_set": self.gtid_set,
+                "server_id": self.server_id}
+
+    @classmethod
+    def from_json(cls, d: dict) -> "BinlogOffset":
+        return cls(d.get("file", ""), d.get("pos", 0), d.get("gtid_set", ""),
+                   d.get("server_id", 0))
+
+    def compare(self, other: "BinlogOffset") -> int:
+        """Reference prog.Progress.Compare (canal/prog/progress.go:70-86):
+        (file, pos) ordering; cross-server comparisons are undefined and
+        raise — callers fall back to gtid/aligned progress."""
+        if self.server_id and other.server_id and self.server_id != other.server_id:
+            raise ValueError("offsets from different server_ids are not comparable")
+        if (self.file, self.pos) < (other.file, other.pos):
+            return -1
+        if (self.file, self.pos) > (other.file, other.pos):
+            return 1
+        return 0
+
+    def is_zero(self) -> bool:
+        # "non-nil GTID set with empty string is zero" (progress_test.go)
+        return not self.file and self.pos == 0 and not self.gtid_set
+
+
+@dataclass
+class DecodeContext:
+    """Mutable per-stream decode state (the reference's master/gtid
+    tracking, canal/sync.go:89-171): current file, pending gtid,
+    transaction open flag, registry for schema versions."""
+
+    registry: SchemaRegistry
+    log_name: str = ""
+    pending_gtid: str = ""
+    server_id: int = 0
+    in_trx: bool = False
+
+
+def decode_event(ev: object, ctx: DecodeContext) -> list[dict]:
+    """Pure event→envelope decoder (reference D1's dispatch switch).
+
+    ``ev`` is duck-typed with the attribute names pymysqlreplication
+    uses (event_type, packet.log_pos, rows, schema, table, query, ...)
+    so tests can drive it with plain objects.
+    """
+    kind = getattr(ev, "kind", None)
+    ts = int(getattr(ev, "timestamp", 0))
+    log_pos = int(getattr(ev, "log_pos", 0))
+    base = dict(
+        server_id=ctx.server_id,
+        timestamp=ts,
+        log_name=ctx.log_name,
+        log_pos=log_pos,
+    )
+    if kind == "rotate":
+        ctx.log_name = ev.next_binlog
+        return [dict(op_type="rotate", next_log_name=ev.next_binlog,
+                     next_log_pos=int(ev.position), **base)]
+    if kind == "gtid":
+        ctx.pending_gtid = ev.gtid
+        return [dict(op_type="gtid", gtid=ev.gtid, **base)]
+    if kind == "query":
+        stmt = normalize_statement(ev.query)
+        if stmt.upper() == "BEGIN":
+            ctx.in_trx = True
+            return [dict(op_type="begin", **base)]
+        if stmt.upper() == "COMMIT":
+            ctx.in_trx = False
+            return [dict(op_type="commit", gtid=ctx.pending_gtid, **base)]
+        if is_ddl(stmt):
+            version = ctx.registry.apply_ddl(
+                stmt, default_db=getattr(ev, "schema", ""), position=(ctx.log_name, log_pos)
+            )
+            return [dict(op_type="ddl", db=getattr(ev, "schema", ""), statement=stmt,
+                         schema_version=version, **base)]
+        # statement-based DML — surfaced as 'query' (the reference
+        # silently drops these, F4; we keep them observable)
+        return [dict(op_type="query", statement=stmt, **base)]
+    if kind == "xid":
+        ctx.in_trx = False
+        return [dict(op_type="commit", gtid=ctx.pending_gtid, **base)]
+    if kind in ("insert", "delete"):
+        img = "after" if kind == "insert" else "before"
+        out = []
+        td = ctx.registry.get(ev.schema, ev.table)
+        names = td.column_names() if td else None
+        for row in ev.rows:
+            vals, nulls = _stringify(row, names)
+            out.append(dict(op_type=kind, db=ev.schema, table=ev.table,
+                            schema_version=ctx.registry.version,
+                            **{img: vals, f"{img}_null": nulls}, **base))
+        return out
+    if kind == "update":
+        out = []
+        td = ctx.registry.get(ev.schema, ev.table)
+        names = td.column_names() if td else None
+        for before_row, after_row in ev.rows:
+            b, bn = _stringify(before_row, names)
+            a, an = _stringify(after_row, names)
+            out.append(dict(op_type="update", db=ev.schema, table=ev.table,
+                            schema_version=ctx.registry.version,
+                            before=b, before_null=bn, after=a, after_null=an, **base))
+        return out
+    return []
+
+
+def _stringify(row, names: list[str] | None) -> tuple[dict, dict]:
+    """Positional row → named stringly map + null map (reference D12
+    stringifies every value and flags NULL separately,
+    sink/kafka/operation.go:158-178)."""
+    if isinstance(row, dict):
+        items = list(row.items())
+    else:
+        names = names or [f"col_{i}" for i in range(len(row))]
+        items = list(zip(names, row))
+    vals = {k: ("" if v is None else str(v)) for k, v in items}
+    nulls = {k: v is None for k, v in items}
+    return vals, nulls
+
+
+class BinlogDataSource(DataSource):  # pragma: no cover - needs live MySQL
+    """Live source; requires ``pymysqlreplication`` + a MySQL with
+    ROW-format binlog (the reference asserts the same precondition,
+    ``canal/canal.go:368-377``)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dolphinbeat_binlog"
+
+    def schema(self):
+        return ENVELOPE_SCHEMA
+
+    def streamReader(self, schema):
+        try:
+            import pymysqlreplication  # noqa: F401
+        except ImportError as ex:
+            raise ImportError(
+                "BinlogDataSource needs the public 'mysql-replication' "
+                "package (pymysqlreplication); in this environment use "
+                "the fixture source (sources/fixture_source.py) instead"
+            ) from ex
+        raise NotImplementedError(
+            "live reader wiring requires a MySQL endpoint; decode logic "
+            "is in decode_event() and fully unit-tested"
+        )

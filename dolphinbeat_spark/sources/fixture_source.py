@@ -1,0 +1,95 @@
+"""In-memory fixture source (SURVEY.md §7.2 step 1).
+
+A Spark 4 Python Data Source that streams the FIXTURES.md F5 golden
+envelope sequences in micro-batches — the no-MySQL stand-in for the
+binlog source, sharing its offset model ({"index": n} here;
+{file,pos,gtid} there). Lets every downstream component (filters,
+registry updates, ordered sink, resume) be exercised end-to-end with
+checkpoints, exactly like the reference's docker quick-start demo
+(``README.md:26-41``).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+
+from dolphinbeat_spark.envelope import ENVELOPE_SCHEMA, golden_sequences
+
+FIXTURE_SOURCE_NAME = "dolphinbeat_fixture"
+
+
+def _row_tuple(op: dict) -> tuple:
+    def conv(field, v):
+        if v is None:
+            return None
+        if field.dataType.typeName() == "struct":
+            return tuple(v[f.name] for f in field.dataType.fields)
+        return v
+
+    return tuple(conv(f, op.get(f.name)) for f in ENVELOPE_SCHEMA.fields)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class FixtureStreamReader(DataSourceStreamReader):
+    """Offsets are indices into the golden op list; each micro-batch
+    serves ``batch_size`` ops until exhausted (then repeats if
+    ``loops`` > 1 — lets soak tests run arbitrarily long)."""
+
+    def __init__(self, options: dict):
+        self.ops = golden_sequences()
+        self.batch_size = int(options.get("batch_size", "4"))
+        self.loops = int(options.get("loops", "1"))
+        self.total = len(self.ops) * self.loops
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        # everything currently available; availableNow captures this
+        # once and drains to it, chunked by partitions() below
+        return {"index": self.total}
+
+    def partitions(self, start: dict, end: dict):
+        # chunk the range so a batch parallelizes like a real source
+        out = []
+        i = start["index"]
+        while i < end["index"]:
+            j = min(i + self.batch_size, end["index"])
+            out.append(_RangePartition(i, j))
+            i = j
+        return out or [_RangePartition(start["index"], end["index"])]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield _row_tuple(self.ops[i % len(self.ops)])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class FixtureDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FIXTURE_SOURCE_NAME
+
+    def schema(self):
+        return ENVELOPE_SCHEMA
+
+    def streamReader(self, schema):
+        return FixtureStreamReader(self.options)
+
+
+def register_fixture_source(spark: SparkSession) -> None:
+    spark.dataSource.register(FixtureDataSource)
+
+
+def golden_envelope_df(spark: SparkSession) -> DataFrame:
+    """Batch form of the golden sequences (for non-streaming tests)."""
+    return spark.createDataFrame([_row_tuple(op) for op in golden_sequences()], ENVELOPE_SCHEMA)

