@@ -1,1 +1,223 @@
-"""Placeholder — populated in this round."""
+"""CDC-semantics query plans, batch-checkable against the oracle.
+
+The streaming CDC path is covered by tests (no SQL oracle for a
+stream); these specs express the same operator *semantics* —
+envelope projection, regex table routing (F1/F2), sequence stamping
+(K2), transaction framing (D5), resume dedup (F3), unsigned
+re-widening (D4) — as deterministic batch queries over the ``events``
+table, so the driver's DuckDB gate covers the CDC operator family too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dolphinbeat_spark.catalog import load
+from dolphinbeat_spark.operators.filters import table_matches
+from dolphinbeat_spark.plans.registry import register
+
+# event_type → op_type mapping used by the synthetic change stream
+_OP_CASE_SQL = """CASE event_type
+  WHEN 'signup' THEN 'insert' WHEN 'view' THEN 'insert'
+  WHEN 'purchase' THEN 'insert' WHEN 'click' THEN 'update'
+  WHEN 'error' THEN 'delete' ELSE 'query' END"""
+
+
+def _op_col():
+    return (
+        F.when(F.col("event_type").isin("signup", "view", "purchase"), "insert")
+        .when(F.col("event_type") == "click", "update")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("query")
+    )
+
+
+def _db_table_cols():
+    db = F.concat(F.lit("db"), (F.col("user_id") % 3).cast("string"))
+    tbl = F.concat(F.lit("tbl_"), F.col("event_type"))
+    return db, tbl
+
+
+@register(
+    "cdc_envelope_from_events",
+    oracle=f"""
+SELECT event_id,
+       {_OP_CASE_SQL} AS op_type,
+       concat('db', CAST(user_id % 3 AS VARCHAR)) AS db,
+       concat('tbl_', event_type) AS "table",
+       concat('{{"event_id":', CAST(event_id AS VARCHAR),
+              ',"user_id":', CAST(user_id AS VARCHAR),
+              ',"k":', json_extract_string(props, '$.k'), '}}') AS after_json
+FROM events
+ORDER BY event_id
+""",
+    tags=("cdc", "envelope"),
+    bench=True,
+)
+def cdc_envelope_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope projection (D11/D12): events reinterpreted as a change
+    stream; the after-image serialized as a JSON document built from
+    integer fields (engine-portable formatting)."""
+    e = load(spark, sf_dir, "events")
+    db, tbl = _db_table_cols()
+    after_json = F.concat(
+        F.lit('{"event_id":'),
+        F.col("event_id").cast("string"),
+        F.lit(',"user_id":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"k":'),
+        F.get_json_object("props", "$.k"),
+        F.lit("}"),
+    )
+    return e.select(
+        "event_id",
+        _op_col().alias("op_type"),
+        db.alias("db"),
+        tbl.alias("table"),
+        after_json.alias("after_json"),
+    ).orderBy("event_id")
+
+
+@register(
+    "cdc_route_tables",
+    oracle="""
+WITH named AS (
+  SELECT concat('db', CAST(user_id % 3 AS VARCHAR), '.tbl_', event_type) AS db_table
+  FROM events
+)
+SELECT db_table,
+       COUNT(*) AS n_ops,
+       CASE WHEN regexp_matches(db_table, '.*\\.tbl_(view|click|purchase)')
+                 AND NOT regexp_matches(db_table, 'db2\\..*')
+            THEN 1 ELSE 0 END AS routed
+FROM named
+GROUP BY db_table
+ORDER BY db_table
+""",
+    tags=("cdc", "filter"),
+)
+def cdc_route_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Include/exclude regex routing (reference F1/F2 semantics:
+    search-anywhere matching, include ∧ ¬exclude)."""
+    e = load(spark, sf_dir, "events")
+    db, tbl = _db_table_cols()
+    db_table = F.concat(db, F.lit("."), tbl)
+    routed = table_matches(
+        db_table, include=[r".*\.tbl_(view|click|purchase)"], exclude=[r"db2\..*"]
+    )
+    return (
+        e.select(db_table.alias("db_table"), routed.alias("r"))
+        .groupBy("db_table")
+        .agg(F.count(F.lit(1)).alias("n_ops"), F.max(F.when(F.col("r"), 1).otherwise(0)).alias("routed"))
+        .orderBy("db_table")
+    )
+
+
+@register(
+    "cdc_seq_stamp",
+    oracle="""
+SELECT event_id,
+       ROW_NUMBER() OVER (ORDER BY ts, event_id) AS seq
+FROM events
+ORDER BY seq
+""",
+    tags=("cdc", "ordering"),
+)
+def cdc_seq_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 sequence discipline as a query: deterministic global seq in
+    (ts, event_id) order. Single-partition window — the same
+    order-only-at-the-boundary tradeoff the ordered sink makes
+    (SURVEY.md §7.4); upstream stays parallel."""
+    e = load(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    return e.select("event_id", F.row_number().over(w).cast("bigint").alias("seq")).orderBy("seq")
+
+
+@register(
+    "cdc_trx_framing",
+    oracle="""
+SELECT user_id, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS trx_minute,
+       COUNT(*) AS n_ops,
+       MIN(event_id) AS first_op, MAX(event_id) AS last_op,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS op_types
+FROM events
+GROUP BY user_id, trx_minute
+HAVING COUNT(*) > 1
+ORDER BY user_id, trx_minute
+""",
+    tags=("cdc", "transaction"),
+)
+def cdc_trx_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction framing (D5): ops grouped into per-(user, minute)
+    frames with begin/commit coordinates and the op-type set."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.date_trunc("minute", "ts").alias("trx_minute"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ops"),
+            F.min("event_id").alias("first_op"),
+            F.max("event_id").alias("last_op"),
+            F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("op_types"),
+        )
+        .filter(F.col("n_ops") > 1)
+        .orderBy("user_id", "trx_minute")
+    )
+
+
+@register(
+    "cdc_resume_dedup",
+    oracle="""
+WITH sinks(sink_name, cutoff) AS (
+  VALUES ('kafka1', TIMESTAMP '2024-01-20'), ('stdout1', TIMESTAMP '2024-01-10')
+)
+SELECT s.sink_name, COUNT(*) AS delivered, MIN(e.event_id) AS first_delivered
+FROM sinks s JOIN events e ON e.ts > s.cutoff
+GROUP BY s.sink_name
+ORDER BY s.sink_name
+""",
+    tags=("cdc", "checkpoint"),
+)
+def cdc_resume_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume dedup (F3): each sink resumes from its own checkpoint and
+    skips events at-or-before it — expressed as a per-sink cutoff join
+    (in streaming this is free via per-query checkpoints)."""
+    e = load(spark, sf_dir, "events")
+    sinks = spark.createDataFrame(
+        [("kafka1", "2024-01-20"), ("stdout1", "2024-01-10")], ["sink_name", "cutoff_s"]
+    ).select("sink_name", F.col("cutoff_s").cast("timestamp").alias("cutoff"))
+    return (
+        e.join(F.broadcast(sinks), e.ts > sinks.cutoff)
+        .groupBy("sink_name")
+        .agg(F.count(F.lit(1)).alias("delivered"), F.min("event_id").alias("first_delivered"))
+        .orderBy("sink_name")
+    )
+
+
+@register(
+    "cdc_unsigned_rewiden",
+    oracle="""
+WITH decoded AS (
+  SELECT event_id,
+         CAST(((CAST(json_extract_string(props, '$.k') AS BIGINT) + 128) % 256) - 128 AS BIGINT) AS signed_byte
+  FROM events
+)
+SELECT event_id, signed_byte,
+       CASE WHEN signed_byte < 0 THEN signed_byte + 256 ELSE signed_byte END AS unsigned_byte
+FROM decoded
+ORDER BY event_id
+""",
+    tags=("cdc", "types"),
+)
+def cdc_unsigned_rewiden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsigned re-widening (D4, reference canal/rows.go:58-91): a
+    value decoded as signed TINYINT is re-widened to its unsigned
+    range by adding 2^8 when negative."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    signed = (((k + 128) % 256) - 128).cast("bigint")
+    return e.select(
+        "event_id",
+        signed.alias("signed_byte"),
+        F.when(signed < 0, signed + 256).otherwise(signed).alias("unsigned_byte"),
+    ).orderBy("event_id")

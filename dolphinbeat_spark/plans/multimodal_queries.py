@@ -1,1 +1,85 @@
-"""Placeholder — populated in this round."""
+"""Multimodal-column query plans (binary payload plumbing).
+
+The decode step is stubbed (no codec libs here — see
+operators/multimodal.py); everything around it — binary columns,
+metadata structs, Arrow-batched feature extraction, frame sampling —
+is real and oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dolphinbeat_spark.catalog import load
+from dolphinbeat_spark.operators import multimodal as M
+from dolphinbeat_spark.plans.registry import register
+
+
+@register(
+    "mm_binary_metadata",
+    oracle="""
+SELECT doc_id AS media_id,
+       'image' AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS payload_md5,
+       length(text) AS meta_width
+FROM documents
+ORDER BY media_id
+""",
+    tags=("multimodal", "binary"),
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload + typed metadata columns (JVM-side only:
+    encode/length/md5 are codegen'd built-ins)."""
+    d = load(spark, sf_dir, "documents")
+    media = M.attach_binary_payload(d, "doc_id", "text")
+    return media.select(
+        "media_id",
+        "media_type",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        "meta_width",
+    ).orderBy("media_id")
+
+
+@register(
+    "mm_feature_extract_pandas",
+    oracle="""
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       substr(sha256(text), 1, 16) AS sha256_16
+FROM documents
+ORDER BY media_id
+""",
+    tags=("multimodal", "pandas_udf"),
+    bench=True,
+)
+def mm_feature_extract_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Arrow slow-path: mapInPandas over binary payloads; the
+    oracle reproduces the features, proving the batch plumbing is
+    byte-faithful end to end."""
+    d = load(spark, sf_dir, "documents")
+    media = M.attach_binary_payload(d, "doc_id", "text")
+    return M.extract_binary_features(media).orderBy("media_id")
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, length(text) AS meta_width FROM documents
+)
+SELECT media_id, CAST(f AS BIGINT) AS frame_idx, CAST(f * 32 AS BIGINT) AS byte_offset
+FROM media, unnest(range(0, greatest(CAST(floor(meta_width / 32) AS INTEGER), 1))) AS t(f)
+WHERE f % 4 = 0
+ORDER BY media_id, frame_idx
+""",
+    tags=("multimodal", "frames"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: every 4th 32-byte frame per payload — the video
+    frame-extraction pipeline shape with the codec stubbed out."""
+    d = load(spark, sf_dir, "documents")
+    media = M.attach_binary_payload(d, "doc_id", "text")
+    return M.frame_sample_plan(media, frame_bytes=32, every=4).orderBy("media_id", "frame_idx")
