@@ -1,0 +1,60 @@
+"""Headline benchmark: runs the bench-flagged specs from the plan
+registry at $SPARK_GRAFT_SF_DIR (default sf0.1) and prints ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
+"sf": ...}.
+
+Execution is forced with the noop sink (full materialization, no
+driver-side collect cost), matching how a cluster job would consume
+the result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from dolphinbeat_spark.plans.registry import all_specs  # noqa: E402
+from dolphinbeat_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    specs = {n: s for n, s in all_specs().items() if s.bench}
+
+    # untimed warm-up: JVM/codegen spin-up and file-index caching,
+    # so per-query numbers reflect steady-state execution
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(specs):
+        t0 = time.time()
+        df = specs[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,7 @@ from dolphinbeat_spark.functions.hashes import (
     hash64,
     minhash_params,
 )
-from dolphinbeat_spark.operators.text import tokens, word_shingles
+from dolphinbeat_spark.operators.text import tokens, word_shingles_from_tokens
 
 
 def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
@@ -52,20 +52,27 @@ def minhash_signatures(
     wide-column pivot; the explode is map-side only.
     """
     params = minhash_params(num_perm)
-    shingled = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("shingle")
+    # two-step projection: tokens materialized once per row, THEN
+    # shingled (the shingle lambda reads the array k+1 times)
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    shingled = toked.select(
+        F.col(id_col),
+        F.explode(word_shingles_from_tokens(F.col("__toks"), shingle_k)).alias("shingle"),
     )
     hashed = shingled.select(id_col, hash64(F.col("shingle")).alias("h"))
-    perms = F.array(
+    # one groupBy with num_perm MIN aggregates instead of exploding a
+    # num_perm-wide array into rows: shuffles |shingles| rows once
+    # (map-side combined) rather than |shingles| * num_perm
+    wide = hashed.groupBy(id_col).agg(
         *[
-            F.struct(F.lit(i).alias("perm"), affine_hash(F.col("h"), a, b).alias("ph"))
+            F.min(affine_hash(F.col("h"), a, b)).alias(f"mh_{i}")
             for i, (a, b) in enumerate(params)
         ]
     )
-    exploded = hashed.select(id_col, F.explode(perms).alias("p")).select(
-        id_col, F.col("p.perm").alias("perm"), F.col("p.ph").alias("ph")
-    )
-    return exploded.groupBy(id_col, "perm").agg(F.min("ph").alias("minhash"))
+    stack_args = ", ".join(f"{i}L, mh_{i}" for i in range(num_perm))
+    return wide.selectExpr(
+        id_col, f"stack({num_perm}, {stack_args}) AS (perm, minhash)"
+    ).select(id_col, F.col("perm").cast("int").alias("perm"), "minhash")
 
 
 def lsh_candidate_pairs(
@@ -131,13 +138,17 @@ def jaccard_pairs(
     computes |A∩B| / |A∪B| with array built-ins — exact integer
     cardinalities, one double division at the end.
     """
-    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_k).alias("sh"))
+    sh = df.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
+        F.col(id_col), word_shingles_from_tokens(F.col("__toks"), shingle_k).alias("sh")
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
-    # shingle arrays are already distinct → |A∩B| by membership filter,
-    # |A∪B| = |A|+|B|-|A∩B| (formulation shared with the SQL oracle)
-    inter = F.size(F.filter("sh_a", lambda x: F.array_contains("sh_b", x)))
+    # arrays are distinct → |A∩B| via hash-based array_intersect
+    # (O(n+m); a membership-filter scan would be O(n·m) per pair),
+    # |A∪B| = |A|+|B|-|A∩B|. The SQL oracle uses list_filter — same
+    # result on distinct inputs.
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return joined.select(
         "id_a",
@@ -146,3 +157,58 @@ def jaccard_pairs(
         union.cast("bigint").alias("n_union"),
         (inter.cast("double") / union).alias("jaccard"),
     )
+
+
+def jaccard_blocked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Scalable blocked Jaccard: explode (id, shingle), self-join on
+    (block, shingle), count matches per pair, derive union from per-doc
+    set sizes.
+
+    Shuffles only (block, shingle, id) triples — never the shingle
+    arrays — and only pairs sharing >= 1 shingle materialize, so the
+    output is bounded by real overlap, not |block|^2. This is the
+    100 TB formulation; jaccard_pairs() is for verifying a small
+    explicit candidate list.
+    """
+    toked = df.select(
+        F.col(id_col), F.col(block_col).alias("__blk"), tokens(text_col).alias("__toks")
+    )
+    sh = toked.select(
+        F.col(id_col),
+        "__blk",
+        word_shingles_from_tokens(F.col("__toks"), shingle_k).alias("sh"),
+    )
+    sizes = sh.select(F.col(id_col), F.size("sh").cast("bigint").alias("n"))
+    ex = sh.select(F.col(id_col), "__blk", F.explode("sh").alias("s"))
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("__blk").alias("blk_a"), F.col("s"))
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("__blk").alias("blk_b"), F.col("s"))
+    common = (
+        a.join(b, ["s"])
+        .filter((F.col("blk_a") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    out = (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_common"),
+            (F.col("n_a") + F.col("n_b") - F.col("n_common")).alias("n_union"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)

@@ -54,13 +54,25 @@ def stopword_count(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -
     return F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("bigint")
 
 
-def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct k-word shingles, 1-based indexing to mirror SQL arrays."""
-    toks = tokens(text)
+def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles from a token-array column, 1-based
+    indexing to mirror SQL arrays.
+
+    Pass a MATERIALIZED tokens column (a real projected column, not
+    ``tokens(text)`` inline): the lambda references the array k+1
+    times, and an inline split() would be re-evaluated on every
+    reference — a quadratic blowup on long documents.
+    """
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
     shingle = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])  # noqa: E731
     return F.array_distinct(F.transform(idx, shingle))
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Inline form (convenient, but see word_shingles_from_tokens for
+    the hot path)."""
+    return word_shingles_from_tokens(tokens(text), k)
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -153,16 +153,12 @@ ORDER BY id_a, id_b
     tags=("dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard over same-source candidate pairs; emits
-    pairs with similarity >= 0.2. (Blocking key = source keeps the
-    pair count bounded; at scale the blocking key would be an LSH
-    bucket — see dedup_minhash_lsh_pairs.)"""
+    """Exact 3-gram Jaccard >= 0.2 over same-source blocks, via the
+    scalable explode-join formulation (only pairs sharing a shingle
+    materialize; the oracle's nested-loop form is the semantic spec).
+    At scale the blocking key would be an LSH bucket — see
+    dedup_minhash_lsh_pairs."""
     d = load(spark, sf_dir, "documents")
-    ids = d.select("doc_id", "source")
-    pairs = (
-        ids.alias("a")
-        .join(ids.alias("b"), (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    return D.jaccard_blocked(d, "doc_id", "text", "source", 0.2, SHINGLE_K).orderBy(
+        "id_a", "id_b"
     )
-    scored = D.jaccard_pairs(d, "doc_id", "text", pairs, SHINGLE_K)
-    return scored.filter(F.col("jaccard") >= 0.2).orderBy("id_a", "id_b")

@@ -190,8 +190,16 @@ ORDER BY doc_id
     tags=("text", "shingle"),
 )
 def text_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct 3-word shingles per document (the MinHash input set)."""
+    """Distinct 3-word shingles per document (the MinHash input set).
+    Tokens are materialized in their own projection first — the
+    shingle lambda reads the array k+1 times (see
+    word_shingles_from_tokens)."""
     d = load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.size(T.word_shingles("text", 3)).cast("bigint").alias("n_shingles")
-    ).orderBy("doc_id")
+    return (
+        d.select("doc_id", T.tokens("text").alias("__toks"))
+        .select(
+            "doc_id",
+            F.size(T.word_shingles_from_tokens(F.col("__toks"), 3)).cast("bigint").alias("n_shingles"),
+        )
+        .orderBy("doc_id")
+    )
