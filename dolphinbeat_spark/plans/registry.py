@@ -55,6 +55,7 @@ def register(
 def all_specs() -> dict[str, QuerySpec]:
     # import side-effect modules once, lazily, to populate the registry
     import dolphinbeat_spark.plans.relational  # noqa: F401
+    import dolphinbeat_spark.plans.relational2  # noqa: F401
     import dolphinbeat_spark.plans.windows_events  # noqa: F401
     import dolphinbeat_spark.plans.cdc_queries  # noqa: F401
     import dolphinbeat_spark.plans.text_queries  # noqa: F401

@@ -1,0 +1,213 @@
+"""Second relational batch: subqueries, pivot, percentiles, salted
+skew aggregation, approximate distinct.
+
+The salted-aggregation spec doubles as the skew-handling playbook: its
+oracle is the PLAIN group-by (same answer), proving the two-phase
+salt/unsalt rewrite is semantics-preserving.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dolphinbeat_spark.catalog import load
+from dolphinbeat_spark.plans.registry import register
+
+_DEC = "decimal(12,4)"
+
+
+def _d(c) -> F.Column:
+    return (F.col(c) if isinstance(c, str) else c).cast(_DEC)
+
+
+@register(
+    "q4_order_priority_exists",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("relational", "subquery", "semi"),
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: correlated EXISTS → Catalyst plans a LEFT SEMI join
+    (expressed via the SQL API to exercise the subquery rewriter)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM v_orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o.o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (
+            SELECT 1 FROM v_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH avg_qty AS (
+  SELECT l_partkey,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE) / COUNT(*) AS aq
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN avg_qty a ON l.l_partkey = a.l_partkey
+WHERE l.l_quantity < 0.5 * a.aq
+""",
+    tags=("relational", "subquery", "scalar"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 flavor: per-group scalar aggregate joined back to the
+    fact table (the decorrelated form — one shuffle on l_partkey reused
+    by both sides)."""
+    li = load(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.round(F.sum(_d("l_quantity")), 2).cast("double") / F.count(F.lit(1))).alias("aq")
+    )
+    return (
+        li.join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(
+            F.round(F.sum(_d("l_extendedprice")), 2).cast("double").alias("total_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PIV_COLS = {p: "p" + p.split("-")[0] for p in _PRIORITIES}
+
+
+@register(
+    "pivot_orders_priority_by_year",
+    oracle=f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+       {", ".join(f"COUNT(*) FILTER (o_orderpriority = '{p}') AS {c}" for p, c in _PIV_COLS.items())}
+FROM orders
+GROUP BY order_year
+ORDER BY order_year
+""",
+    tags=("relational", "pivot"),
+)
+def pivot_orders_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (explicit value list → no extra distinct-discovery job;
+    at scale always pass the values)."""
+    o = load(spark, sf_dir, "orders")
+    piv = (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .groupBy("order_year")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = piv.select(
+        "order_year", *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(c) for p, c in _PIV_COLS.items()]
+    )
+    return renamed.orderBy("order_year")
+
+
+@register(
+    "percentiles_by_returnflag",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90,
+       quantile_cont(l_extendedprice, 0.99) AS p99,
+       MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("relational", "aggregate", "percentile"),
+)
+def percentiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (verified bit-identical to
+    quantile_cont: both use lo + (hi-lo)*frac on the sorted values)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+SELECT l_suppkey,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_qty,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+""",
+    tags=("relational", "aggregate", "skew"),
+    bench=True,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: phase 1 groups on (key, salt)
+    spreading a hot key over 16 reducers; phase 2 merges partials.
+    The oracle is the PLAIN group-by — proving the rewrite preserves
+    semantics. This is the manual fallback when AQE's skew handling
+    can't apply (e.g. custom partitioners); partial decimal sums and
+    counts re-aggregate losslessly."""
+    li = load(spark, sf_dir, "lineitem")
+    salted = (
+        li.withColumn("__salt", (F.crc32(F.col("l_orderkey").cast("string")) % 16).cast("int"))
+        .groupBy("l_suppkey", "__salt")
+        .agg(
+            F.sum(_d("l_quantity")).alias("pq"),
+            F.count(F.lit(1)).alias("pn"),
+        )
+    )
+    return (
+        salted.groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum("pq"), 2).cast("double").alias("total_qty"),
+            F.sum("pn").alias("n_items"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+@register(
+    "approx_distinct_parts",
+    oracle=None,  # HLL sketches are engine-specific → rows-only check
+    tags=("relational", "aggregate", "approx"),
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the at-scale substitute
+    for exact COUNT(DISTINCT) — no exact-mode expand, fixed-size
+    sketch, mergeable map-side. No oracle: sketch estimates are
+    engine-specific (the exact twin is agg_distinct_counts)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
