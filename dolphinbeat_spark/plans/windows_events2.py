@@ -1,0 +1,167 @@
+"""Third analytics batch: sliding windows, vector centroids, corpus
+token top-k, CUBE grouping, exact event dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dolphinbeat_spark.catalog import load
+from dolphinbeat_spark.operators.dedup import exact_dedup
+from dolphinbeat_spark.plans.registry import register
+
+
+@register(
+    "win_sliding_10m_5m",
+    oracle="""
+WITH g AS (
+  SELECT event_type, epoch_us(ts) // 1000000 AS s FROM events
+), w AS (
+  SELECT event_type, CAST(to_timestamp(CAST(start AS BIGINT)) AS TIMESTAMP) AS window_start
+  FROM g, unnest([s - (s % 300), s - (s % 300) - 300]) AS t(start)
+)
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM w
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""",
+    tags=("window", "events", "sliding"),
+)
+def win_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (10 min window, 5 min slide): every
+    event lands in exactly two windows. F.window's expand is the same
+    two-bucket union the oracle spells out."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "sim_label_centroids",
+    oracle="""
+SELECT label, CAST(i AS INTEGER) AS dim,
+       ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS centroid,
+       COUNT(*) AS n_vectors
+FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+GROUP BY label, dim
+ORDER BY label, dim
+""",
+    tags=("similarity", "vector", "aggregate"),
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, element-wise: posexplode dims → double sums
+    rounded to 6 places (absorbs summation-order noise portably; Spark
+    and DuckDB disagree on float→decimal cast rounding, so decimal
+    accumulation is NOT portable). The explode form shuffles
+    (label, dim) partials — linear in |vectors|·dim, map-side combined;
+    no array shuffling."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return (
+        ex.groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.round(F.sum(F.col("val").cast("double")) / F.count(F.lit(1)), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+@register(
+    "text_token_topk",
+    oracle=r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents
+)
+SELECT token, COUNT(*) AS n
+FROM toks
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+""",
+    tags=("text", "topn"),
+)
+def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequencies, top 20 (explode → count → top-k;
+    the partial-agg + TakeOrdered plan keeps it O(k) memory)."""
+    from dolphinbeat_spark.operators.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "agg_cube_sales",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+""",
+    tags=("relational", "aggregate", "cube"),
+)
+def agg_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(12,4)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@register(
+    "events_dedup_exact",
+    oracle="""
+SELECT concat(CAST(user_id AS VARCHAR), '|', event_type, '|',
+              CAST(CAST(date_trunc('minute', ts) AS TIMESTAMP) AS VARCHAR)) AS dup_key,
+       COUNT(*) AS n_dups, MIN(event_id) AS keep_id
+FROM events
+GROUP BY dup_key
+HAVING COUNT(*) > 1
+ORDER BY dup_key
+""",
+    tags=("dedup", "exact", "events"),
+)
+def events_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a composite key with a deterministic keeper —
+    the scalable alternative to dropDuplicates (whose survivor is
+    partition-order-dependent)."""
+    e = load(spark, sf_dir, "events")
+    key = F.concat_ws(
+        "|",
+        F.col("user_id").cast("string"),
+        "event_type",
+        F.date_trunc("minute", "ts").cast("string"),
+    )
+    return (
+        exact_dedup(e, "event_id", key)
+        .filter(F.col("n_dups") > 1)
+        .select("dup_key", "n_dups", F.col("keep_id").alias("keep_id"))
+        .orderBy("dup_key")
+    )
