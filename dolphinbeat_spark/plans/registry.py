@@ -56,6 +56,7 @@ def all_specs() -> dict[str, QuerySpec]:
     # import side-effect modules once, lazily, to populate the registry
     import dolphinbeat_spark.plans.relational  # noqa: F401
     import dolphinbeat_spark.plans.relational2  # noqa: F401
+    import dolphinbeat_spark.plans.relational3  # noqa: F401
     import dolphinbeat_spark.plans.windows_events  # noqa: F401
     import dolphinbeat_spark.plans.windows_events2  # noqa: F401
     import dolphinbeat_spark.plans.cdc_queries  # noqa: F401
