@@ -1,0 +1,325 @@
+"""Fourth relational batch: the remaining TPC-H query shapes —
+argmax-with-ties (Q15), distinct-count rollup (Q16), HAVING join-back
+(Q18), disjunctive multi-range predicates (Q19), nested semi join
+(Q20), exists/not-exists lateness (Q21, decorrelated), anti join with
+global scalar (Q22).
+
+Scale notes (100 TB): every shape decorrelates to hash joins on keys
+Catalyst can shuffle-partition; the correlated forms (Q21's double
+EXISTS, Q22's NOT EXISTS) are rewritten to single-pass aggregates +
+semi/anti joins — the per-row subquery form would be O(n·m) probes at
+scale. Thresholds are chosen to stay selective at every SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dolphinbeat_spark.catalog import load
+from dolphinbeat_spark.plans.registry import register
+
+_DEC = "decimal(12,4)"
+
+
+def _d(c) -> F.Column:
+    return (F.col(c) if isinstance(c, str) else c).cast(_DEC)
+
+
+_REV = "CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))"
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH srev AS (
+  SELECT l_suppkey, SUM({_REV}) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(ROUND(t.total_rev, 2) AS DOUBLE) AS total_revenue
+FROM srev t JOIN supplier s ON t.l_suppkey = s.s_suppkey
+WHERE t.total_rev = (SELECT MAX(total_rev) FROM srev)
+ORDER BY s.s_suppkey
+""",
+    tags=("relational", "subquery", "argmax"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum quarterly revenue —
+    argmax with ties via a global-MAX scalar subquery. The scalar MAX
+    is a 1-row broadcast over the already-aggregated srev (computed
+    once, consumed twice); equality compares exact decimals, so ties
+    resolve identically on both engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    srev = li.groupBy("l_suppkey").agg(
+        F.sum(_d("l_extendedprice") * (1 - _d("l_discount"))).alias("total_rev")
+    )
+    mx = srev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        srev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.round("total_rev", 2).cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 7, 14, 23, 36, 45)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+""",
+    tags=("relational", "distinct", "aggregate"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: distinct suppliers per (brand, type, size). The
+    filtered part dim is broadcast; COUNT(DISTINCT) expands to a
+    two-phase partial-dedup aggregate (dedup happens map-side before
+    the shuffle, so the exchange carries distinct pairs only)."""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 7, 14, 23, 36, 45)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+                li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,4))) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,4))) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(ROUND(b.sum_qty, 2) AS DOUBLE) AS sum_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+""",
+    tags=("relational", "having", "join"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds 300, joined back
+    to orders+customer. The HAVING prunes to a tiny key set BEFORE the
+    joins, so the surviving `big` side is broadcast into orders — the
+    orders and customer scans never shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_d("l_quantity")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c.select("c_custkey", "c_name"), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("sum_qty_dec", 2).cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+SELECT CAST(ROUND(SUM({_REV}), 2) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    tags=("relational", "join", "disjunction"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs predicate spanning both join sides.
+    Catalyst extracts the common per-side conjuncts from the
+    disjunction (brand/size reach the broadcast part scan, quantity
+    1-30 reaches the lineitem scan as a derived filter) and evaluates
+    the residual disjunction post-join — the classic pushdown-through-
+    OR test."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+                li.l_partkey == p.p_partkey)
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(_d("l_extendedprice") * (1 - _d("l_discount"))), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+WITH pq AS (
+  SELECT l.l_suppkey, l.l_partkey, SUM(CAST(l.l_quantity AS DECIMAL(12,4))) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE 'red%'
+  GROUP BY l.l_suppkey, l.l_partkey
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM pq WHERE qty > 50)
+ORDER BY s.s_suppkey
+""",
+    tags=("relational", "semi", "subquery"),
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved >50 units of any 'red'
+    part — nested aggregate feeding a LEFT SEMI join (IN-subquery).
+    The inner agg groups on (suppkey, partkey); the semi join then
+    needs only the distinct suppkeys, which Spark derives without
+    materializing duplicates (semi joins short-circuit per key)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = load(spark, sf_dir, "supplier")
+    pq = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_d("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 50)
+    )
+    return (
+        s.join(pq, s.s_suppkey == pq.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F' AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  GROUP BY l.l_orderkey, l.l_suppkey
+), allsupp AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp FROM lineitem GROUP BY l_orderkey
+), lateagg AS (
+  SELECT l_orderkey, COUNT(*) AS n_late FROM late GROUP BY l_orderkey
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM late t
+JOIN lateagg la ON t.l_orderkey = la.l_orderkey
+JOIN allsupp a ON t.l_orderkey = a.l_orderkey
+JOIN supplier s ON t.l_suppkey = s.s_suppkey
+WHERE la.n_late = 1 AND a.n_supp > 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+""",
+    tags=("relational", "semi", "anti", "decorrelated"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier finished order (no commit/receipt dates in this
+    schema, so "late" = shipped >60 days after order date). The
+    EXISTS / NOT-EXISTS pair is decorrelated into per-order counts
+    (n_supp > 1 replaces EXISTS other-supplier; n_late = 1 replaces
+    NOT EXISTS other-late-supplier) — all three aggregates share the
+    l_orderkey partitioning, one scan of lineitem each, no per-row
+    correlated probes."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+    late = (
+        li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    allsupp = li.groupBy("l_orderkey").agg(F.count_distinct("l_suppkey").alias("n_supp"))
+    lateagg = late.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_late"))
+    return (
+        late.join(lateagg, "l_orderkey")
+        .join(allsupp, "l_orderkey")
+        .filter((F.col("n_late") == 1) & (F.col("n_supp") > 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+@register(
+    "q22_churned_balance",
+    oracle="""
+WITH ab AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey AS nationkey, COUNT(*) AS numcust,
+       CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(12,4))), 2) AS DOUBLE) AS totacctbal
+FROM customer c, ab
+WHERE c.c_acctbal > ab.avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+""",
+    tags=("relational", "anti", "subquery"),
+)
+def q22_churned_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no recent orders
+    (every synthetic customer has SOME order, so the anti join is on
+    orders after 2000-01-01 — "churned" rather than "never ordered").
+    Global average balance is a 1-row broadcast; the NOT EXISTS is a
+    LEFT ANTI hash join on o_custkey with the date filter pushed below
+    the join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    ab = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(_d("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    return (
+        c.join(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(_d("c_acctbal")), 2).cast("double").alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )
