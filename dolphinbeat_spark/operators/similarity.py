@@ -13,11 +13,17 @@
 All vector math is Catalyst higher-order functions folded strictly
 left-to-right in DOUBLE — bit-identical to the oracle's list_reduce.
 
+- **IVF ANN**: inverted-file index — a deterministic coarse quantizer
+  (sampled centroids; production would swap in MLlib k-means, same
+  plan shape) assigns every vector to its nearest cell once, queries
+  probe their nprobe nearest cells only.
+
 At 100 TB: brute-force is O(|Q|·|C|) and only sane with a broadcast
 query set; the LSH path shuffles each vector once to its bucket and
 joins within buckets (collision-bounded fan-in, AQE skew backstop).
-IVF (k-means coarse quantizer) would slot in the same pipeline shape:
-assign → per-centroid bucket join.
+IVF has the same shape with a data-adaptive partitioner: assignment is
+a map-only pass (centroids broadcast), the cell join is an equi-join,
+and recall/cost tunes with (|cells|, nprobe) instead of bit width.
 """
 
 from __future__ import annotations
@@ -106,6 +112,65 @@ def lsh_bucket(vec_col: Column | str, num_planes: int, dim: int) -> Column:
         ).otherwise(F.lit(0).cast("bigint")),
     )
     return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    n_cells: int = 1,
+) -> DataFrame:
+    """Nearest-centroid assignment (cells 1..n_cells per vector, by
+    descending cosine, centroid id as tie-break). Map-only: centroids
+    are broadcast; no shuffle of the corpus until the caller groups or
+    joins on ``cell``. Output: (out_id, vec, cell, cell_rank)."""
+    v = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
+    c = centroids.select(F.col("cid").alias("cell"), F.col("cv").alias("__c"))
+    w = Window.partitionBy(out_id).orderBy(
+        F.col("__sim").desc(), F.col("cell")
+    )
+    return (
+        v.crossJoin(F.broadcast(c))
+        .select(out_id, "__v", "cell", cosine_similarity("__v", "__c").alias("__sim"))
+        .withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= n_cells)
+        .select(out_id, F.col("__v").alias("vec"), "cell", "cell_rank")
+    )
+
+
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their single
+    nearest cell; each query probes its ``nprobe`` nearest cells and
+    scores exact cosine within them. ``centroids`` must have columns
+    (cid, cv)."""
+    inv = ivf_assign(corpus, centroids, id_col, vec_col, "neighbor_id", 1).select(
+        "neighbor_id", F.col("vec").alias("__cv"), "cell"
+    )
+    probes = ivf_assign(queries, centroids, id_col, vec_col, "query_id", nprobe).select(
+        "query_id", F.col("vec").alias("__qv"), "cell"
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(inv, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine_similarity("__qv", "__cv").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
 
 
 def lsh_ann_topk(

@@ -94,6 +94,55 @@ def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivf_ann_topk",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 7
+), inv AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv2, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cos('q.embedding', 'c.cv')} DESC, c.cid) AS rn
+    FROM embeddings q CROSS JOIN cent c
+    WHERE q.vec_id % 50 = 0
+  ) WHERE rn <= 2
+), scored AS (
+  SELECT p.query_id, i.neighbor_id, {_cos('p.qv', 'i.cv2')} AS cosine
+  FROM probes p JOIN inv i ON i.cell = p.cell AND i.neighbor_id <> p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+""",
+    tags=("similarity", "ann", "ivf"),
+)
+def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: sampled-centroid coarse quantizer
+    (vec_id % 40 == 7 — deterministic stand-in for a k-means codebook;
+    the Spark plan is identical once MLlib centroids are swapped in),
+    single-cell inverted lists, nprobe=2. Assignment is a broadcast
+    map-only pass; candidate scoring is an equi-join on cell."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") % 40 == 7).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.ivf_ann_topk(q, emb, cent, "vec_id", "embedding", K, nprobe=2).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
     "sim_lsh_ann_topk",
     oracle=f"""
 WITH bucketed AS (

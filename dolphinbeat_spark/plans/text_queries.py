@@ -203,3 +203,66 @@ def text_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle=rf"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df_docs FROM tok GROUP BY token
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT t.doc_id, t.token, t.tf, d.df_docs,
+         CAST(t.tf AS DOUBLE) * (CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df_docs + 1 AS DOUBLE)) AS score
+  FROM tf t JOIN df d USING (token) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, token, tf, df_docs, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, df_docs, score, rank FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+""",
+    tags=("text", "tfidf", "topn"),
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF. The IDF
+    damping is rational ((N+1)/(df+1)) rather than logarithmic: ln()
+    is not correctly-rounded identically across engines, while this
+    form is exact integer arithmetic in doubles — same ranking
+    behavior, portable bits. Two shuffles: (doc_id, token) for TF,
+    token for DF (TF re-shuffles onto token for the join); the corpus
+    size is a 1-row broadcast and the final top-k is a per-doc window."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df_docs"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df_docs",
+            (
+                F.col("tf").cast("double")
+                * ((F.col("n_docs") + 1).cast("double") / (F.col("df_docs") + 1).cast("double"))
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tf", "df_docs", "score", "rank")
+        .orderBy("doc_id", "rank")
+    )
