@@ -71,6 +71,62 @@ def asof_join(
     return out
 
 
+def asof_self_join(
+    df: DataFrame,
+    on: str | list[str],
+    time_col: str,
+    left_pred: Column,
+    right_pred: Column,
+    right_payload: list[str],
+    *,
+    right_order: list[str] | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Backward as-of join between two row subsets of ONE DataFrame,
+    fused into a single scan.
+
+    When both sides of an as-of join come from the same table (e.g.
+    purchase → latest preceding view of the same events stream), the
+    generic ``asof_join`` would scan the table twice and union — this
+    variant tags sides with predicates instead: one scan, one shuffle
+    (the window partitioning), no union, no pre-aggregation pass.
+
+    ``right_order`` breaks ties among right rows sharing (key, time):
+    the LAST row in that ordering wins (e.g. ``["event_id"]`` keeps the
+    max event_id, replacing a groupBy-max pre-pass with sort order).
+
+    Same 100 TB properties as asof_join: no candidate-pair blowup;
+    per-key locality required by the window (no salting).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    order_cols = right_order or []
+    side = F.when(left_pred, F.lit(1)).when(right_pred, F.lit(0))
+    tagged = (
+        df.withColumn("__side", side)
+        .filter(F.col("__side").isNotNull())
+        .withColumn("__t", F.col(time_col).cast("timestamp"))
+        .withColumn(
+            "__payload",
+            F.when(
+                F.col("__side") == 0, F.struct(*[F.col(c) for c in right_payload])
+            ),
+        )
+    )
+    # right rows (side=0) sort first at equal time → "<=" tie semantics;
+    # right_order makes the carried right row deterministic within a tie
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t"), F.col("__side"), *[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    out_cols = [c for c in df.columns]
+    return carried.filter(F.col("__side") == 1).select(
+        *out_cols,
+        *[F.col("__match")[c].alias(f"{right_prefix}{c}") for c in right_payload],
+    )
+
+
 def _struct_type_expr(df: DataFrame, cols: list[str]):
     from pyspark.sql.types import StructField, StructType
 

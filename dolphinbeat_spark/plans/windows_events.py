@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dolphinbeat_spark.catalog import load
-from dolphinbeat_spark.operators.asof import asof_join
+from dolphinbeat_spark.operators.asof import asof_join, asof_self_join
 from dolphinbeat_spark.operators.sessions import sessionize
 from dolphinbeat_spark.plans.registry import register
 
@@ -258,26 +258,72 @@ ORDER BY p.event_id
 )
 def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each purchase → latest preceding view of
-    the same user. Uses the union-scan asof_join operator (one shuffle,
-    no candidate-pair blowup — the oracle's row_number formulation is
-    exactly the blowup we avoid at scale)."""
+    the same user. Both sides come from the events table, so this uses
+    the fused single-scan asof_self_join (one scan, one shuffle; the
+    right_order tie-break subsumes the oracle's groupBy-MAX pre-pass —
+    no candidate-pair blowup, which is exactly what the oracle's
+    row_number formulation would cost at scale)."""
     e = load(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
-    views = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id", F.col("ts").alias("vts"))
-        .agg(F.max("event_id").alias("view_event_id"))
-    )
-    joined = asof_join(
-        purchases, views, on="user_id", left_time="ts", right_time="vts", right_prefix=""
+    joined = asof_self_join(
+        e.select("event_id", "user_id", "event_type", "ts"),
+        on="user_id",
+        time_col="ts",
+        left_pred=F.col("event_type") == "purchase",
+        right_pred=F.col("event_type") == "view",
+        right_payload=["ts", "event_id"],
+        right_order=["event_id"],
+        right_prefix="v_",
     )
     return joined.select(
         "event_id",
         "user_id",
         "ts",
-        F.col("vts").alias("last_view_ts"),
-        "view_event_id",
-    ).withColumnRenamed("view_event_id", "last_view_event_id").orderBy("event_id")
+        F.col("v_ts").alias("last_view_ts"),
+        F.col("v_event_id").alias("last_view_event_id"),
+    ).orderBy("event_id")
+
+
+@register(
+    "asof_error_last_click",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, ts AS cts, MAX(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+), matched AS (
+  SELECT e.event_id, c.cts, c.click_event_id,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY c.cts DESC) AS rn
+  FROM errors e JOIN clicks c ON c.user_id = e.user_id AND c.cts <= e.ts
+)
+SELECT e.event_id, e.user_id, e.ts,
+       m.cts AS last_click_ts, m.click_event_id AS last_click_event_id
+FROM errors e LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m USING (event_id)
+ORDER BY e.event_id
+""",
+    tags=("join", "asof", "events"),
+)
+def asof_error_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join via the GENERIC union-scan asof_join
+    operator (two inputs, pre-aggregated right side) — the cross-table
+    form; asof_purchase_last_view covers the fused same-table form."""
+    e = load(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("cts"))
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    joined = asof_join(
+        errors, clicks, on="user_id", left_time="ts", right_time="cts", right_prefix=""
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("cts").alias("last_click_ts"),
+        F.col("click_event_id").alias("last_click_event_id"),
+    ).orderBy("event_id")
 
 
 @register(
