@@ -28,7 +28,23 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, table: str, *, widen: bool = False
+) -> DataFrame:
+    """Load a catalog table.
+
+    ``widen=True`` requests scan-side parallelism for compute-heavy
+    consumers (per-row hashing / vector math / Pandas UDFs): the
+    driver's test parquet has a single row group per file, so the scan
+    stage is one task no matter what ``maxPartitionBytes`` says, and
+    everything fused into it (projections, partial aggregates, UDFs)
+    runs single-threaded. A round-robin repartition to the session
+    default parallelism moves that work onto every core for the cost
+    of shuffling the (small) source bytes. On a real cluster with
+    properly row-grouped files the scan already splits, the repartition
+    collapses into a cheap no-op-sized exchange, and plans that are
+    scan-bound rather than compute-bound should NOT set it.
+    """
     if table not in TABLES:
         raise KeyError(f"unknown table {table!r}; expected one of {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
@@ -39,6 +55,8 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
     if table == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if widen:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 

@@ -69,7 +69,7 @@ ORDER BY query_id, rank
 )
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for the query subset (vec_id % 50 == 0)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", widen=True)
     q = emb.filter(F.col("vec_id") % 50 == 0)
     return S.brute_force_topk(q, emb, "vec_id", "embedding", K).orderBy("query_id", "rank")
 
@@ -87,7 +87,7 @@ ORDER BY id_a, id_b
 )
 def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= 0.4)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", widen=True)
     return S.cosine_near_dup_pairs(emb, "vec_id", "embedding", NEAR_DUP_THRESHOLD).orderBy(
         "id_a", "id_b"
     )
@@ -132,7 +132,7 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Spark plan is identical once MLlib centroids are swapped in),
     single-cell inverted lists, nprobe=2. Assignment is a broadcast
     map-only pass; candidate scoring is an equi-join on cell."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", widen=True)
     cent = emb.filter(F.col("vec_id") % 40 == 7).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
@@ -165,7 +165,7 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-3: candidates share a 12-bit
     random-hyperplane signature — the scale path (equi-join on bucket,
     no cross join)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", widen=True)
     q = emb.filter(F.col("vec_id") % 50 == 0)
     return S.lsh_ann_topk(q, emb, "vec_id", "embedding", 3, NUM_PLANES, DIM).orderBy(
         "query_id", "rank"
