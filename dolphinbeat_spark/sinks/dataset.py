@@ -1,0 +1,90 @@
+"""Dataset layout writers — the storage-side half of 100 TB design.
+
+The reference only ever writes ordered Kafka messages / stdout JSON
+(SURVEY.md §2.5); an analytics engine additionally owns HOW datasets
+land on storage, because layout decides every later query's cost:
+
+- ``write_partitioned``: hive-style directory partitioning on a
+  low-cardinality column (e.g. event date) → partition pruning makes
+  time-bounded scans O(selected partitions), not O(dataset).
+- ``write_bucketed``: hash-bucketed + sorted table registered in the
+  session catalog → equi-joins and groupBys on the bucket key run
+  WITHOUT an Exchange on either pre-bucketed side (verified by
+  tests/test_dataset_layout.py asserting the plan is shuffle-free).
+  At 100 TB this is the difference between re-shuffling the fact
+  table per join and never shuffling it at all.
+- ``compact``: rewrite small files to a target file count per
+  partition (the streaming-sink small-file problem).
+
+All writers are thin, deliberately: the point is picking the Spark
+primitives (partitionBy / bucketBy+sortBy / repartition before write)
+and the layout contract, not wrapping them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    *,
+    sort_cols: list[str] | None = None,
+    files_per_partition: int = 1,
+) -> None:
+    """Hive-partitioned parquet. ``sort_cols`` orders rows WITHIN each
+    file (min/max stats become selective → row-group skipping); the
+    repartition keys rows to their output partition so each partition
+    directory is written by ``files_per_partition`` tasks, not by every
+    task (the small-file explosion)."""
+    parts = [F.col(c) for c in partition_cols]
+    if files_per_partition == 1:
+        shaped = df.repartition(*parts)
+    else:
+        # salt splits each partition's rows across N writer tasks
+        salt = (F.rand(seed=0) * files_per_partition).cast("int")
+        shaped = df.repartition(*parts, salt)
+    if sort_cols:
+        # partition cols FIRST: the dynamic-partition writer requires
+        # rows ordered by partition key and inserts its own (data-order
+        # destroying) sort unless the incoming ordering already has the
+        # partition columns as a prefix
+        shaped = shaped.sortWithinPartitions(
+            *parts, *[F.col(c) for c in sort_cols]
+        )
+    shaped.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int,
+    *,
+    sort: bool = True,
+) -> None:
+    """Bucketed (and bucket-sorted) managed table. Readers joining two
+    tables bucketed on the same key with the same bucket count get a
+    SortMergeJoin with ZERO Exchange nodes."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table_name)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    *,
+    out_path: str | None = None,
+) -> None:
+    """Rewrite a parquet dataset into ``target_files`` files (coalesce,
+    not repartition: no shuffle — fine for merging, never for
+    splitting). Writes to ``out_path`` (default: in-place via temp dir
+    is NOT attempted — atomic swap is storage-specific)."""
+    dest = out_path or path + "_compacted"
+    spark.read.parquet(path).coalesce(target_files).write.mode("overwrite").parquet(dest)

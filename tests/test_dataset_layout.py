@@ -1,0 +1,78 @@
+"""Dataset-layout contracts: partition pruning, shuffle-free bucketed
+joins, small-file compaction (sinks/dataset.py)."""
+
+from __future__ import annotations
+
+import io
+import os
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from dolphinbeat_spark.sinks.dataset import compact, write_bucketed, write_partitioned
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_partitioned_write_prunes_and_sorts(spark, tmp_path):
+    path = str(tmp_path / "events_by_type")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 4).cast("string").alias("bucket_type"),
+        (F.col("id") * 7 % 100).alias("v"),
+    )
+    write_partitioned(df, path, ["bucket_type"], sort_cols=["v"])
+    # layout: one directory per partition value, one file each
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("bucket_type="))
+    assert dirs == [f"bucket_type={i}" for i in range(4)]
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d}: expected 1 file, got {files}"
+    # partition pruning: a filtered read scans one partition only
+    back = spark.read.parquet(path).filter(F.col("bucket_type") == "2")
+    plan = _plan(back)
+    assert "PartitionFilters" in plan and "bucket_type" in plan
+    assert back.count() == 250
+    # within-file ordering held (row-group stats selective)
+    vals = [r["v"] for r in back.collect()]
+    assert vals == sorted(vals)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    # warehouse dir is a static conf on the shared session; tables land
+    # in ./spark-warehouse (gitignored) and are dropped at the end
+    facts = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    dims = spark.range(0, 500).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+    )
+    write_bucketed(facts, "t_facts", "k", 8)
+    write_bucketed(dims, "t_dims", "k", 8)
+    a = spark.table("t_facts")
+    b = spark.table("t_dims")
+    # force SMJ so the assertion is about Exchange, not broadcast
+    joined = a.hint("merge").join(b, "k")
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join still shuffles:\n" + plan
+    assert joined.count() == 500
+    spark.sql("DROP TABLE IF EXISTS t_facts")
+    spark.sql("DROP TABLE IF EXISTS t_dims")
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    src = str(tmp_path / "small_files")
+    spark.range(0, 1000).repartition(16).write.parquet(src)
+    n_before = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_before == 16
+    compact(spark, src, 2)
+    dest = src + "_compacted"
+    n_after = len([f for f in os.listdir(dest) if f.endswith(".parquet")])
+    assert n_after == 2
+    assert spark.read.parquet(dest).count() == 1000
