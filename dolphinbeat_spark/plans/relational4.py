@@ -323,3 +323,55 @@ def q22_churned_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@register(
+    "array_functions_showcase",
+    oracle="""
+WITH arr AS (
+  SELECT l_orderkey,
+         list_sort(list(l_linenumber)) AS lns,
+         list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       len(qtys) AS n_lines,
+       qtys[1] AS min_qty,
+       qtys[len(qtys)] AS max_qty,
+       list_reduce(qtys, (a, b) -> a + b) AS total_qty,
+       len(list_filter(qtys, q -> q >= 25)) AS n_heavy,
+       list_transform(lns, x -> CAST(x AS BIGINT) * 10) AS lns_x10,
+       list_contains(lns, 3) AS has_line3,
+       qtys[1:2] AS first_two
+FROM arr
+WHERE l_orderkey % 20 = 0
+ORDER BY l_orderkey
+""",
+    tags=("relational", "array", "higher-order"),
+)
+def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order function library parity (collect →
+    array_sort for deterministic order, element_at, aggregate fold,
+    filter, transform, contains, slice). The reference has no
+    value-level function surface at all (SURVEY §2.8); these are the
+    Catalyst lambda functions that keep array work JVM-side instead of
+    in Python UDFs."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    arr = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_linenumber")).alias("lns"),
+        F.array_sort(F.collect_list(F.col("l_quantity").cast("bigint"))).alias("qtys"),
+    )
+    return (
+        arr.select(
+            "l_orderkey",
+            F.size("qtys").alias("n_lines"),
+            F.element_at("qtys", 1).alias("min_qty"),
+            F.element_at("qtys", F.size("qtys")).alias("max_qty"),
+            F.aggregate("qtys", F.lit(0).cast("bigint"), lambda a, b: a + b).alias("total_qty"),
+            F.size(F.filter("qtys", lambda q: q >= 25)).alias("n_heavy"),
+            F.transform("lns", lambda x: x.cast("bigint") * 10).alias("lns_x10"),
+            F.array_contains("lns", 3).alias("has_line3"),
+            F.slice("qtys", 1, 2).alias("first_two"),
+        )
+        .orderBy("l_orderkey")
+    )
