@@ -1,0 +1,115 @@
+"""Apply-changes sink: materialize a CDC envelope stream into a
+current-state table (the canonical CDC consumer).
+
+The reference ships changes to Kafka and leaves state reconstruction
+to consumers (``sink/kafka/client/go/decoder.go`` — decode only, no
+apply). This operator closes that loop Spark-side: given ordered
+insert/update/delete ops for one table, maintain a keyed snapshot:
+
+- per micro-batch, reduce each key to its LAST op (by log coords:
+  within one batch an insert followed by update collapses to the
+  final image; a trailing delete wins)
+- merge with the existing snapshot: delete removes, insert/update
+  upserts the after-image
+
+Storage here is plain parquet rewritten per batch (the only atomic
+primitive the bare filesystem gives). At 100 TB you'd swap the
+``_merge_write`` for a Delta/Iceberg MERGE INTO and keep the same
+per-batch last-op reduction; the reduction is the scalable part —
+it shuffles each batch once by key, never the snapshot by row count
+(the join against the snapshot is keyed, prunable, and with a
+partitioned snapshot only touched partitions rewrite).
+
+Streaming entry: ``apply_changes_stream`` wires foreachBatch;
+``apply_batch`` is the pure batch core (unit-testable without a
+stream).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+ROW_OPS = ("insert", "update", "delete")
+
+
+def last_op_per_key(batch: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Collapse a micro-batch to one terminal op per key, ordered by
+    binlog coordinates (log_name, log_pos) — the batch-local winner.
+    Keys come from the after-image for upserts, before-image for
+    deletes."""
+    ops = batch.filter(F.col("op_type").isin(*ROW_OPS))
+    keyed = ops.select(
+        "*",
+        *[
+            F.coalesce(
+                F.col("after").getItem(k), F.col("before").getItem(k)
+            ).alias(f"__k_{k}")
+            for k in key_cols
+        ],
+    )
+    w = Window.partitionBy(*[f"__k_{k}" for k in key_cols]).orderBy(
+        F.col("log_name").desc(), F.col("log_pos").desc()
+    )
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    snapshot_path: str,
+    key_cols: list[str],
+    value_cols: list[str],
+) -> None:
+    """Merge one batch of envelope ops into the parquet snapshot."""
+    winners = last_op_per_key(batch, key_cols)
+    upserts = winners.filter(F.col("op_type") != "delete").select(
+        *[F.col(f"__k_{k}").alias(k) for k in key_cols],
+        *[F.col("after").getItem(c).alias(c) for c in value_cols],
+    )
+    deletes = winners.filter(F.col("op_type") == "delete").select(
+        *[F.col(f"__k_{k}").alias(k) for k in key_cols]
+    )
+    touched = upserts.select(*key_cols).union(deletes).distinct()
+    if os.path.exists(snapshot_path):
+        current = spark.read.parquet(snapshot_path)
+        kept = current.join(touched, key_cols, "left_anti")
+        merged = kept.unionByName(upserts)
+    else:
+        merged = upserts
+    # plain-parquet atomicity: write to side dir, then swap. The rows
+    # must be materialized BEFORE the old snapshot is replaced.
+    tmp = snapshot_path + ".next"
+    merged.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    if os.path.exists(snapshot_path):
+        shutil.rmtree(snapshot_path)
+    os.rename(tmp, snapshot_path)
+
+
+def apply_changes_stream(
+    stream: DataFrame,
+    snapshot_path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    value_cols: list[str],
+):
+    """foreachBatch wiring: exactly-once via checkpoint + idempotent
+    merge (re-applying a replayed batch converges to the same state)."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        apply_batch(batch.sparkSession, batch, snapshot_path, key_cols, value_cols)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
