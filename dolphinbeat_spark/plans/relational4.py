@@ -375,3 +375,45 @@ def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+@register(
+    "join_salted_supplier_revenue",
+    oracle="""
+SELECT s.s_nationkey,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l.l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+ORDER BY s.s_nationkey
+""",
+    tags=("relational", "join", "skew"),
+)
+def join_salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-and-replicate skew join (operators/skew.py): lineitem
+    salted on its primary key, supplier replicated x8, join on
+    (suppkey, salt). The oracle is the PLAIN join — the rewrite is
+    semantics-preserving; this is the manual fallback when AQE skew
+    splitting can't apply (non-SMJ plans, custom partitioners)."""
+    from dolphinbeat_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    # key columns differ (l_suppkey vs s_suppkey): align names first
+    joined = salted_join(
+        li.withColumnRenamed("l_suppkey", "suppkey"),
+        s.select(F.col("s_suppkey").alias("suppkey"), "s_nationkey"),
+        on="suppkey",
+        salt_src=F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        factor=8,
+    )
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.round(F.sum(_d("l_extendedprice") * (1 - _d("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("s_nationkey")
+    )

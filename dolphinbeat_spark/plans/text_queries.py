@@ -266,3 +266,73 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", "tf", "df_docs", "score", "rank")
         .orderBy("doc_id", "rank")
     )
+
+
+@register(
+    "pipeline_training_data_filter",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, source,
+         len({_TOKENS_SQL}) AS n_tokens,
+         len(list_filter({_TOKENS_SQL}, x -> x IN ({_STOP_SQL}))) AS n_stop,
+         {", ".join(f'{expr} AS score_{lang}' for lang, expr in sorted(_LANG_SCORE_SQL.items()))}
+  FROM documents
+), gated AS (
+  SELECT doc_id, text, source, n_tokens
+  FROM t
+  WHERE n_tokens >= 20
+    AND CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.6
+    AND {_lang_case_sql()} = 'en'
+), deduped AS (
+  SELECT source, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM gated
+)
+SELECT source,
+       COUNT(*) AS docs_kept,
+       SUM(n_tokens) AS tokens_kept
+FROM deduped WHERE rn = 1
+GROUP BY source
+ORDER BY source
+""",
+    tags=("text", "pipeline", "dedup", "langid", "quality"),
+    bench=True,
+)
+def pipeline_training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite LLM-training-data pipeline in one plan: quality
+    gate (length + stopword band) → language-ID gate (marker argmax =
+    'en') → exact dedup (min doc_id per content hash) → per-source
+    yield stats. All gates are Catalyst expressions evaluated in the
+    scan stage, so at 100 TB the full filter chain runs map-side in
+    one pass; only the dedup (by content hash) and the final per-source
+    rollup shuffle — both on already heavily-reduced data."""
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    scores = T.lang_scores("text")
+    base = d.select(
+        "doc_id",
+        "text",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        T.stopword_count("text").alias("n_stop"),
+        T.lang_predict("text").alias("pred_lang"),
+    )
+    ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    gated = base.filter(
+        (F.col("n_tokens") >= 20)
+        & (ratio >= 0.01)
+        & (ratio <= 0.6)
+        & (F.col("pred_lang") == "en")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
