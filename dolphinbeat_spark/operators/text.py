@@ -94,17 +94,25 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
 
 
 def lang_predict(text: Column | str) -> Column:
-    """argmax language with lexicographic tie-break (deterministic)."""
+    """argmax language with lexicographic tie-break (deterministic).
+
+    Implemented as ONE array fold: each per-language score expression
+    appears exactly once (inside the array constructor). The naive
+    chained-when fold nests every earlier score into each comparison —
+    an exponentially-duplicated expression tree whose codegen alone
+    cost ~3 s per query compile."""
     scores = lang_scores(text)
-    # fold: keep (best_lang, best_score); strictly-greater replaces, so
-    # earlier (lexicographically sorted) languages win ties
-    best_lang, best_score = None, None
-    for lang in sorted(scores):
-        s = scores[lang]
-        if best_lang is None:
-            best_lang, best_score = F.lit(lang), s
-        else:
-            cond = s > best_score
-            best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-            best_score = F.when(cond, s).otherwise(best_score)
-    return best_lang
+    langs = sorted(scores)
+    pairs = F.array(
+        *[F.struct(scores[lang].alias("s"), F.lit(lang).alias("l")) for lang in langs]
+    )
+    # strict > keeps the earliest (sorted) language on ties; scores are
+    # always >= 0 so the -1 seed never survives
+    best = F.aggregate(
+        pairs,
+        F.struct(
+            F.lit(-1).cast("bigint").alias("s"), F.lit("").alias("l")
+        ),
+        lambda acc, p: F.when(p["s"] > acc["s"], p).otherwise(acc),
+    )
+    return best["l"]

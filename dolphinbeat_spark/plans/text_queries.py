@@ -305,8 +305,9 @@ def pipeline_training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     yield stats. All gates are Catalyst expressions evaluated in the
     scan stage, so at 100 TB the full filter chain runs map-side in
     one pass; only the dedup (by content hash) and the final per-source
-    rollup shuffle — both on already heavily-reduced data."""
-    d = load(spark, sf_dir, "documents")
+    rollup shuffle — both on already heavily-reduced data. widen=True:
+    the marker-occurrence scan work dominates (see catalog.load)."""
+    d = load(spark, sf_dir, "documents", widen=True)
     toks = T.tokens("text")
     scores = T.lang_scores("text")
     base = d.select(
