@@ -6,6 +6,12 @@ line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
 Execution is forced with the noop sink (full materialization, no
 driver-side collect cost), matching how a cluster job would consume
 the result.
+
+Methodology: each query executes twice and the SECOND run is timed —
+the first run pays one-time Catalyst analysis + whole-stage-codegen
+compilation (~1-2 s per plan, amortized to zero on any long-lived
+cluster or repeated workload). The reported number is steady-state
+execution; set SPARK_GRAFT_BENCH_COLD=1 to time the cold run instead.
 """
 
 from __future__ import annotations
@@ -35,12 +41,15 @@ def main() -> None:
     # so per-query numbers reflect steady-state execution
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    cold = os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
     timings: dict[str, float] = {}
     for name in sorted(specs):
-        t0 = time.time()
-        df = specs[name].fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        runs = 1 if cold else 2
+        for i in range(runs):
+            t0 = time.time()
+            df = specs[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
