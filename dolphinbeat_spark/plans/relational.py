@@ -57,8 +57,10 @@ ORDER BY l_returnflag, l_linestatus
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 adapted: full-scan partial-agg — the map-side-combine
-    benchmark. Only 7 columns of lineitem are read (check ReadSchema)."""
-    li = load(spark, sf_dir, "lineitem")
+    benchmark. Only 7 columns of lineitem are read (check ReadSchema).
+    widen=True: eight decimal aggregates per row out-cost the one-task
+    scan of the single-row-group test file (see catalog.load)."""
+    li = load(spark, sf_dir, "lineitem", widen=True)
     disc_price = _d("l_extendedprice") * (1 - _d("l_discount"))
     # bound intermediate precision so the 3-factor product stays exact
     # (raw (25,8)x(13,4) would exceed decimal(38) and trigger rounding)

@@ -337,3 +337,50 @@ def pipeline_training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_chunking",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents WHERE doc_id % 10 = 0
+), chunked AS (
+  SELECT doc_id,
+         CAST(i AS BIGINT) AS chunk_idx,
+         list_slice(toks, i * 50 + 1, i * 50 + 50) AS chunk
+  FROM t, unnest(range(0, CAST(ceil(len(toks) / 50.0) AS BIGINT))) AS u(i)
+)
+SELECT doc_id, chunk_idx,
+       len(chunk) AS chunk_tokens,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM chunked
+ORDER BY doc_id, chunk_idx
+""",
+    tags=("text", "chunking"),
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking (50-token windows) — the
+    context-window prep step of a training pipeline. Pure Catalyst:
+    tokens materialized once, chunk indices from sequence(), slices
+    JVM-side; one explode, no Python. At 100 TB chunking is map-only —
+    rows never shuffle until a downstream op asks."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    toked = d.select("doc_id", T.tokens("text").alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / F.lit(50.0))
+    chunked = toked.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("chunk_idx"),
+        "toks",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.slice(
+            "toks", (F.col("chunk_idx") * 50 + 1).cast("int"), 50
+        ).alias("chunk"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("bigint").alias("chunk_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
