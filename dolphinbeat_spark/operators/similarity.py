@@ -70,6 +70,68 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_pandas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Arrow/numpy variant of :func:`brute_force_topk`: the query set
+    is collected (it must be broadcast-small either way), each corpus
+    partition is scored as ONE (m×d)·(d×n) BLAS matmul inside
+    mapInPandas, per-partition top-k rows are emitted, and a final
+    window reduces to the global top-k.
+
+    Same two-phase reduction shape as TakeOrdered: the shuffle carries
+    at most |Q|·k rows per partition. Versus the Catalyst fold this
+    trades JVM codegen for vectorized BLAS — wins when d·|C| is large
+    enough that per-element expression interpretation dominates
+    (see tests/test_similarity_pandas.py for the parity check).
+    Float caveat: numpy's pairwise-summed dot differs from the
+    left-fold in final ulps, so ranks can swap at exact near-ties —
+    this is the documented cost of the fast path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qp = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).toPandas()
+    qids = qp["qid"].to_numpy()
+    Q = np.stack(qp["qv"].to_numpy()).astype("float64")  # (m, d)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf[id_col].to_numpy()
+            C = np.stack(pdf[vec_col].to_numpy()).astype("float64")  # (n, d)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Qn @ Cn.T  # (m, n)
+            n = S.shape[1]
+            kk = min(k + 1, n)  # +1 to survive self-exclusion
+            idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            rows = {
+                "query_id": np.repeat(qids, kk),
+                "neighbor_id": cids[idx].ravel(),
+                "cosine": np.take_along_axis(S, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:

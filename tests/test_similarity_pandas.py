@@ -1,0 +1,54 @@
+"""Parity check: Arrow/numpy brute-force top-k vs the Catalyst fold.
+
+Same semantics up to float summation order; any rank disagreement must
+be a genuine near-tie (|cosine difference| ~ ulps), not a logic bug.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dolphinbeat_spark.catalog import load
+from dolphinbeat_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_pandas,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+K = 5
+
+
+def test_pandas_topk_matches_catalyst(spark):
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    jvm = brute_force_topk(q, emb, "vec_id", "embedding", K).collect()
+    arrow = brute_force_topk_pandas(q, emb, "vec_id", "embedding", K).collect()
+
+    def by_query(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append(r)
+        for v in out.values():
+            v.sort(key=lambda r: r["rank"])
+        return out
+
+    a, b = by_query(jvm), by_query(arrow)
+    assert a.keys() == b.keys()
+    for qid in a:
+        ja, ar = a[qid], b[qid]
+        assert len(ja) == len(ar) == K
+        sa = {r["neighbor_id"] for r in ja}
+        sb = {r["neighbor_id"] for r in ar}
+        if sa != sb:
+            # allowed only for near-ties at the k-th boundary
+            kth = ja[-1]["cosine"]
+            for r in ja + ar:
+                if r["neighbor_id"] in sa.symmetric_difference(sb):
+                    assert abs(r["cosine"] - kth) < 1e-9, (
+                        f"query {qid}: neighbor sets diverge beyond "
+                        f"float noise: {sa} vs {sb}"
+                    )
+        # where the sets agree, cosines agree to float noise
+        for ra, rb in zip(ja, ar):
+            if ra["neighbor_id"] == rb["neighbor_id"]:
+                assert abs(ra["cosine"] - rb["cosine"]) < 1e-9
