@@ -453,3 +453,37 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY returnflag, linestatus
         """
     )
+
+
+@register(
+    "set_ops_all_variants",
+    oracle="""
+WITH a AS (
+  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+), b AS (
+  SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F' AND l_quantity >= 25
+)
+SELECT 'intersect_all' AS op, COUNT(*) AS n FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+UNION ALL
+SELECT 'except_all' AS op, COUNT(*) AS n FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+ORDER BY op
+""",
+    tags=("relational", "set-ops", "multiset"),
+)
+def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL / EXCEPT ALL (bag semantics — the
+    DISTINCT forms are covered by set_ops_customer_segments). Spark
+    plans these as aggregate+generate over per-row multiplicity counts:
+    one shuffle per side on the full row, no join blowup."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    b = li.filter(
+        (F.col("l_linestatus") == "F") & (F.col("l_quantity") >= 25)
+    ).select("l_suppkey")
+    inter = a.intersectAll(b).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    exc = a.exceptAll(b).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except_all").alias("op"), "n"
+    )
+    return inter.union(exc).orderBy("op")

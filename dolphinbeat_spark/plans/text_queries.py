@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from dolphinbeat_spark.catalog import load
 from dolphinbeat_spark.operators import text as T
 from dolphinbeat_spark.plans.registry import register
+from dolphinbeat_spark.functions.hashes import hash64_sql
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in T.STOPWORDS)
 _TOKENS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
@@ -384,3 +385,43 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk").cast("bigint").alias("chunk_tokens"),
         F.array_join("chunk", " ").alias("chunk_text"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+_DOC_HASH_SQL = hash64_sql("concat('sample-', CAST(doc_id AS VARCHAR))")
+
+
+@register(
+    "sample_hash_deterministic",
+    oracle=f"""
+WITH sampled AS (
+  SELECT source, n_chars FROM documents
+  WHERE {_DOC_HASH_SQL} % 10 = 0
+)
+SELECT source, COUNT(*) AS docs_sampled,
+       SUM(n_chars) AS chars_sampled
+FROM sampled
+GROUP BY source
+ORDER BY source
+""",
+    tags=("sampling", "pipeline"),
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by portable content-key hash — the
+    reproducible sampling a training pipeline needs (rand()-based
+    sampling is neither replayable across runs nor portable across
+    engines; hash-mod is both, and stratifies per key range). Map-only
+    until the per-source rollup."""
+    from dolphinbeat_spark.functions.hashes import hash64
+
+    d = load(spark, sf_dir, "documents")
+    keyed = d.filter(
+        hash64(F.concat(F.lit("sample-"), F.col("doc_id").cast("string"))) % 10 == 0
+    )
+    return (
+        keyed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_sampled"),
+            F.sum("n_chars").alias("chars_sampled"),
+        )
+        .orderBy("source")
+    )
