@@ -138,3 +138,55 @@ def decode_media_stub(df: DataFrame, allow_fake: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(batches, out_schema)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("out_width", LongType()),
+        StructField("out_height", LongType()),
+        StructField("resized_payload", BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, target_width: int, target_height: int, allow_fake: bool = False
+) -> DataFrame:
+    """Resize plumbing (north-star op): Arrow-batched mapInPandas with
+    the (payload, meta) → (resized payload, new dims) signature a real
+    PIL/ffmpeg resize would have. The pixel work is STUBBED like
+    decode_media_stub — without codecs the deterministic fake
+    byte-stride-downsamples the payload to ~target_width bytes, so
+    batch shapes, output schema, and payload-size reduction are all
+    real and testable.
+
+    At 100 TB resize is the canonical payload-shrinking map stage: run
+    it EARLY (before any shuffle) so exchanges carry thumbnails, not
+    originals."""
+    if not allow_fake:
+        raise NotImplementedError(
+            "media resize needs codec libraries (not present in this "
+            "environment); pass allow_fake=True for the deterministic "
+            "byte-stride fake used in tests"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"].map(bytes)
+            stride = payloads.map(
+                lambda b: max(1, len(b) // max(1, target_width))
+            )
+            resized = [
+                b[::s] if len(b) else b for b, s in zip(payloads, stride)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_width": [min(target_width, len(r)) for r in resized],
+                    "out_height": target_height,
+                    "resized_payload": resized,
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)

@@ -51,3 +51,25 @@ def test_decode_stub_is_honest(media):
     # deterministic fake: sha256-derived
     expected = int.from_bytes(hashlib.sha256(b"tiny").digest()[:6], "big")
     assert fake[2] == expected
+
+
+def test_resize_plumbing(media):
+    from dolphinbeat_spark.operators.multimodal import resize_media
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        resize_media(media, 16, 16).collect()
+
+    rows = resize_media(media, 16, 16, allow_fake=True).collect()
+    assert len(rows) == media.count()
+    for r in rows:
+        assert r["out_width"] <= 16
+        assert r["out_height"] == 16
+        # fake resize must actually shrink payloads beyond the target
+        assert len(r["resized_payload"]) <= 2 * 16 + 1
+    # deterministic across runs
+    again = resize_media(media, 16, 16, allow_fake=True).collect()
+    assert sorted((r["media_id"], bytes(r["resized_payload"])) for r in rows) == sorted(
+        (r["media_id"], bytes(r["resized_payload"])) for r in again
+    )
