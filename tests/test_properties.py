@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY §5: it has none). Three invariants that underpin the
+engine's correctness story:
+
+1. hash64 engine-parity: the portable hash produces identical bigints
+   in Spark and DuckDB for arbitrary unicode strings — the foundation
+   every sketch oracle (MinHash/SimHash/LSH) rests on.
+2. asof_join semantics: the union-scan implementation matches a naive
+   per-row Python oracle on random keyed event sets.
+3. last_op_per_key: the CDC batch reduction picks exactly the op with
+   the max (log_name, log_pos) per key.
+
+Examples are kept small (Spark round-trip per example is ~100 ms);
+the value is the adversarial inputs hypothesis finds (empty strings,
+unicode astral chars, equal timestamps), not bulk.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dolphinbeat_spark.functions.hashes import hash64, hash64_sql
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# strings DuckDB/Spark can both hold: no NUL, valid unicode
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(strings=st.lists(_text, min_size=1, max_size=8, unique=True))
+@settings(**_SETTINGS)
+def test_hash64_engine_parity(spark, strings):
+    df = spark.createDataFrame([(s,) for s in strings], ["s"])
+    got = {
+        r["s"]: r["h"] for r in df.select("s", hash64(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for s in strings:
+        (expect,) = con.execute(
+            f"SELECT {hash64_sql('?')}".replace("md5(?)", "md5(CAST(? AS VARCHAR))"),
+            [s],
+        ).fetchone()
+        assert got[s] == expect, f"hash mismatch for {s!r}"
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # key
+            st.integers(0, 50),  # time
+            st.booleans(),  # side: True=left
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_naive_oracle(spark, data):
+    from dolphinbeat_spark.operators.asof import asof_join
+
+    lefts = [
+        (i, k, t) for i, (k, t, is_l) in enumerate(data) if is_l
+    ]  # (lid, key, time)
+    rights_raw = [(k, t) for (k, t, is_l) in data if not is_l]
+    # asof_join requires unique (key, right_time): dedup keeping max payload
+    rights = {}
+    for j, (k, t) in enumerate(rights_raw):
+        rights[(k, t)] = max(rights.get((k, t), -1), j * 10)
+    right_rows = [(k, t, payload) for (k, t), payload in rights.items()]
+    if not lefts or not right_rows:
+        return
+    left_df = spark.createDataFrame(lefts, ["lid", "k", "lt"]).withColumn(
+        "lt", F.timestamp_seconds("lt")
+    )
+    right_df = spark.createDataFrame(right_rows, ["k", "rt", "payload"]).withColumn(
+        "rt", F.timestamp_seconds("rt")
+    )
+    out = {
+        r["lid"]: r["r_payload"]
+        for r in asof_join(
+            left_df, right_df, on="k", left_time="lt", right_time="rt"
+        ).collect()
+    }
+    for lid, k, lt in lefts:
+        cands = [(t, p) for (kk, t), p in rights.items() if kk == k and t <= lt]
+        expect = max(cands)[1] if cands else None
+        assert out[lid] == expect, f"lid={lid} key={k} t={lt}"
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(1, 3),  # key id
+            st.sampled_from(["insert", "update", "delete"]),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_last_op_per_key_property(spark, ops):
+    from dolphinbeat_spark.envelope import ENVELOPE_SCHEMA, empty_op
+    from dolphinbeat_spark.sinks.apply_changes import last_op_per_key
+
+    rows = []
+    for pos, (kid, op) in enumerate(ops):
+        img = {"id": str(kid)}
+        rows.append(
+            empty_op(
+                op_type=op,
+                log_name="b.1",
+                log_pos=100 + pos,
+                before=img if op != "insert" else None,
+                after=img if op != "delete" else None,
+            )
+        )
+    df = spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+    winners = {
+        r["__k_id"]: (r["op_type"], r["log_pos"])
+        for r in last_op_per_key(df, ["id"]).collect()
+    }
+    expect = {}
+    for pos, (kid, op) in enumerate(ops):
+        expect[str(kid)] = (op, 100 + pos)  # later pos always wins
+    assert winners == expect
