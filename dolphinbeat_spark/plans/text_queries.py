@@ -309,14 +309,18 @@ def pipeline_training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     rollup shuffle — both on already heavily-reduced data. widen=True:
     the marker-occurrence scan work dominates (see catalog.load)."""
     d = load(spark, sf_dir, "documents", widen=True)
-    toks = T.tokens("text")
-    scores = T.lang_scores("text")
-    base = d.select(
+    # tokens materialized ONCE; n_tokens and n_stop both read the array
+    # (inlining tokens() twice re-splits the string per expression)
+    stop_arr = F.array(*[F.lit(s) for s in T.STOPWORDS])
+    pre = d.select("doc_id", "text", "source", T.tokens("text").alias("__toks"))
+    base = pre.select(
         "doc_id",
         "text",
         "source",
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        T.stopword_count("text").alias("n_stop"),
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.size(F.filter("__toks", lambda t: F.array_contains(stop_arr, t)))
+        .cast("bigint")
+        .alias("n_stop"),
         T.lang_predict("text").alias("pred_lang"),
     )
     ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
