@@ -76,3 +76,12 @@ def test_compact_merges_small_files(spark, tmp_path):
     n_after = len([f for f in os.listdir(dest) if f.endswith(".parquet")])
     assert n_after == 2
     assert spark.read.parquet(dest).count() == 1000
+
+
+def test_cli_list_and_run(spark, capsys):
+    from dolphinbeat_spark.__main__ import main
+
+    assert main(["list", "dedup"]) == 0
+    out = capsys.readouterr().out
+    assert "dedup_minhash_signatures" in out
+    assert main(["run", "no_such_query"]) == 2
