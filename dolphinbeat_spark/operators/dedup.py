@@ -212,3 +212,61 @@ def jaccard_blocked(
         )
     )
     return out.filter(F.col("jaccard") >= threshold)
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Duplicate-cluster extraction: connected components over a
+    near-dup pair graph by iterative min-label propagation. Output:
+    (node, cluster_id) where cluster_id = min node id reachable —
+    the canonical keeper of each duplicate cluster.
+
+    Iterative (non-SQL-expressible in one pass): each round every node
+    adopts the minimum label among itself and its neighbors; converges
+    in O(component diameter) rounds. Near-dup graphs are overwhelmingly
+    tiny cliques/chains, so 3-4 rounds settle real corpora; max_iter
+    bounds adversarial chains.
+
+    At 100 TB: each round is one join (labels ⋈ edges, both partitioned
+    by node) + one groupBy-min — shuffle-bound, no driver data motion;
+    ``localCheckpoint`` truncates lineage so plans stay flat across
+    rounds. (The classic large-star/small-star optimization halves
+    round count; plain propagation keeps the oracle checkable.)
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

@@ -162,3 +162,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_blocked(d, "doc_id", "text", "source", 0.2, SHINGLE_K).orderBy(
         "id_a", "id_b"
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle=_MINHASH_CTE.replace("WITH shingled", "WITH RECURSIVE shingled", 1)
+    + _BANDS_CTE
+    + """
+, edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cand
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS node, LEAST(src, MIN(dst)) AS cluster_id
+FROM reach
+GROUP BY src
+ORDER BY node
+""",
+    tags=("dedup", "clusters", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster extraction: LSH candidate pairs → connected
+    components by iterative min-label propagation (the genuinely
+    iterative operator — the oracle needs a recursive CTE). cluster_id
+    is the canonical keeper (min doc_id in the component)."""
+    d = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(d, "doc_id", "text", NUM_PERM, SHINGLE_K)
+    pairs = D.lsh_candidate_pairs(sigs, "doc_id", NUM_PERM, BANDS)
+    return D.connected_components(pairs).orderBy("node")
