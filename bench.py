@@ -29,6 +29,51 @@ from dolphinbeat_spark.plans.registry import all_specs  # noqa: E402
 from dolphinbeat_spark.session import get_spark  # noqa: E402
 
 
+def stream_events_per_s(spark) -> dict:
+    """CDC envelope-pipeline throughput (BASELINE.md §C): fixture
+    source → per-sink regex table filter → JSON serialization → noop
+    sink, end to end through Structured Streaming with a checkpoint.
+    This is the metric comparable to the reference's core function
+    (binlog op routing); the reference publishes no number for it, so
+    this establishes the baseline."""
+    import shutil
+    import tempfile
+
+    from dolphinbeat_spark.envelope import golden_sequences
+    from dolphinbeat_spark.operators.filters import filter_tables
+    from dolphinbeat_spark.operators.projection import to_json_ops
+    from dolphinbeat_spark.sources.fixture_source import register_fixture_source
+
+    register_fixture_source(spark)
+    loops = int(os.environ.get("SPARK_GRAFT_STREAM_LOOPS", "10000"))
+    n_events = len(golden_sequences()) * loops
+    ckp = tempfile.mkdtemp(prefix="bench_stream_ckp_")
+    try:
+        stream = (
+            spark.readStream.format("dolphinbeat_fixture")
+            .option("batch_size", str(max(1000, n_events // 32)))
+            .option("loops", str(loops))
+            .load()
+        )
+        out = to_json_ops(filter_tables(stream, include=[r".*"], exclude=[r"mysql\..*"]))
+        t0 = time.time()
+        q = (
+            out.writeStream.format("noop")
+            .option("checkpointLocation", ckp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        secs = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(ckp, ignore_errors=True)
+    return {
+        "events": n_events,
+        "sec": secs,
+        "events_per_s": round(n_events / secs, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -51,6 +96,8 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
 
+    stream = stream_events_per_s(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -59,6 +106,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stream": stream,
                 "sf": sf,
             }
         )
