@@ -45,7 +45,7 @@ def stream_events_per_s(spark) -> dict:
     from dolphinbeat_spark.sources.fixture_source import register_fixture_source
 
     register_fixture_source(spark)
-    loops = int(os.environ.get("SPARK_GRAFT_STREAM_LOOPS", "10000"))
+    loops = int(os.environ.get("SPARK_GRAFT_STREAM_LOOPS", "40000"))
     n_events = len(golden_sequences()) * loops
     ckp = tempfile.mkdtemp(prefix="bench_stream_ckp_")
     try:
