@@ -4,7 +4,7 @@ token top-k, CUBE grouping, exact event dedup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dolphinbeat_spark.catalog import load
@@ -164,4 +164,44 @@ def events_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_dups") > 1)
         .select("dup_key", "n_dups", F.col("keep_id").alias("keep_id"))
         .orderBy("dup_key")
+    )
+
+
+@register(
+    "win_range_frame_30d",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,4))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY epoch_us(o_orderdate) // 1000000
+           RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+       ), 2) AS DOUBLE) AS spend_30d
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+""",
+    tags=("window", "range-frame"),
+)
+def win_range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, vs the ROWS frames elsewhere):
+    per-customer trailing-30-day spend. The frame is keyed on epoch
+    seconds because Spark's rangeBetween needs a numeric ordering key;
+    all orders at the SAME timestamp fall in one frame peer-group —
+    the semantic difference from ROWS that this spec pins down."""
+    o = load(spark, sf_dir, "orders")
+    epoch = F.col("o_orderdate").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-2592000, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,4)")).over(w), 2)
+            .cast("double")
+            .alias("spend_30d"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     )
