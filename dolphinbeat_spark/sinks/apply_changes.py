@@ -113,3 +113,42 @@ def apply_changes_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def scd2_history(batch: DataFrame, key_cols: list[str], value_cols: list[str]) -> DataFrame:
+    """SCD2 (slowly-changing-dimension) view of an envelope batch: one
+    row per (key, version) with [valid_from_pos, valid_to_pos) binlog
+    validity ranges — the history-preserving CDC consumer, vs
+    apply_batch's current-state snapshot.
+
+    valid_to_pos of a version = valid_from_pos of the key's next op
+    (NULL = still current); deletes close the last range and emit no
+    new version. Pure window arithmetic (lead over per-key op order):
+    one shuffle on the key, linear in ops. At 100 TB the history table
+    appends per batch; closing the previous open version is a keyed
+    MERGE exactly like apply_batch's."""
+    ops = batch.filter(F.col("op_type").isin(*ROW_OPS))
+    keyed = ops.select(
+        "op_type",
+        "log_name",
+        "log_pos",
+        *[
+            F.coalesce(F.col("after").getItem(k), F.col("before").getItem(k)).alias(k)
+            for k in key_cols
+        ],
+        *[F.col("after").getItem(c).alias(c) for c in value_cols],
+    )
+    w = Window.partitionBy(*key_cols).orderBy("log_name", "log_pos")
+    with_next = keyed.withColumn(
+        "valid_to_pos", F.lead("log_pos").over(w)
+    ).withColumnRenamed("log_pos", "valid_from_pos")
+    return (
+        with_next.filter(F.col("op_type") != "delete")
+        .select(
+            *key_cols,
+            *value_cols,
+            "valid_from_pos",
+            "valid_to_pos",
+            F.col("valid_to_pos").isNull().alias("is_current"),
+        )
+    )

@@ -71,3 +71,23 @@ def test_apply_changes_streaming_end_to_end(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert _state(spark, snap) == {"1": "a2", "3": "c"}
+
+
+def test_scd2_history(spark):
+    from dolphinbeat_spark.sinks.apply_changes import scd2_history
+
+    hist = scd2_history(_golden_df(spark), ["id"], ["name"]).collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r["id"], []).append(
+            (r["name"], r["valid_from_pos"], r["valid_to_pos"], r["is_current"])
+        )
+        by_key[r["id"]].sort(key=lambda t: t[1])
+    # id 1: insert(a)@140 superseded by update(a2)@240 twice (retry) —
+    # the retry creates a zero-width [240,240) version then the real one
+    assert by_key["1"][0] == ("a", 140, 240, False)
+    assert by_key["1"][-1][0] == "a2" and by_key["1"][-1][3] is True
+    # id 2: insert(b)@160 closed by delete@300, no current version
+    assert by_key["2"] == [("b", 160, 300, False)]
+    # id 3: insert(c)@180 still current
+    assert by_key["3"] == [("c", 180, None, True)]
