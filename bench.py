@@ -96,6 +96,9 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
 
+    # same steady-state methodology as the queries: first run pays the
+    # arrow-table build + stream plan compile, second run is reported
+    stream_events_per_s(spark)
     stream = stream_events_per_s(spark)
 
     total = round(sum(timings.values()), 3)
