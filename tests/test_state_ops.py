@@ -71,3 +71,56 @@ def test_running_user_totals(spark, tmp_path):
     assert rows, "no state output"
     by_user = {r["user_id"]: r for r in rows}
     assert by_user[1]["n_events"] >= 15
+
+
+def test_dedup_by_seq_v2_transform_with_state(spark, tmp_path):
+    """Same contract as test_dedup_by_seq_drops_producer_retries, via
+    the Spark 4 transformWithStateInPandas API (streaming/state_v2).
+
+    Gated: the transformWithState state-server protocol needs the
+    google.protobuf python package, absent in this container (same
+    class of gate as pymysqlreplication / confluent_kafka)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from dolphinbeat_spark.streaming.state_v2 import dedup_by_seq_v2
+
+    register_fixture_source(spark)
+    # transformWithState requires the RocksDB state store provider
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = (
+        spark.readStream.format("dolphinbeat_fixture")
+        .option("batch_size", "4")
+        .load()
+        .filter(F.col("log_pos").isNotNull())
+        .select(
+            F.lit(1).cast("bigint").alias("producer_id"),
+            F.col("log_pos").alias("seq"),
+            F.col("log_pos"),
+        )
+    )
+    q = (
+        dedup_by_seq_v2(stream)
+        .writeStream.format("memory")
+        .queryName("deduped_v2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckp"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM deduped_v2 ORDER BY seq").collect()
+    seqs = [r["seq"] for r in rows]
+    from dolphinbeat_spark.envelope import golden_sequences
+
+    distinct_pos = {o["log_pos"] for o in golden_sequences() if o["log_pos"] is not None}
+    assert len(seqs) == len(set(seqs))
+    assert set(seqs) == distinct_pos
+    if prev is None:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    else:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
