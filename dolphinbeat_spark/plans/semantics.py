@@ -115,3 +115,40 @@ def join_hint_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+@register(
+    "agg_stats_showcase",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(stddev_pop(l_quantity), 4) AS sd_qty,
+       ROUND(var_pop(l_quantity), 4) AS var_qty,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_pop(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       bool_and(l_quantity >= 1) AS all_positive,
+       bool_or(l_quantity >= 49) AS any_near_max
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("relational", "aggregate", "statistics"),
+)
+def agg_stats_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate library: population stddev/variance,
+    correlation, covariance (rounded — both engines use numerically
+    stable one-pass updates whose low bits differ), and boolean
+    aggregates."""
+    li = load(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_pop(q), 4).alias("sd_qty"),
+            F.round(F.var_pop(q), 4).alias("var_qty"),
+            F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+            F.round(F.covar_pop(q, p), 2).alias("covar_qty_price"),
+            F.bool_and(q >= 1).alias("all_positive"),
+            F.bool_or(q >= 49).alias("any_near_max"),
+        )
+        .orderBy("l_returnflag")
+    )
