@@ -59,6 +59,7 @@ def all_specs() -> dict[str, QuerySpec]:
     import dolphinbeat_spark.plans.relational3  # noqa: F401
     import dolphinbeat_spark.plans.relational4  # noqa: F401
     import dolphinbeat_spark.plans.semantics  # noqa: F401
+    import dolphinbeat_spark.plans.rollup_queries  # noqa: F401
     import dolphinbeat_spark.plans.windows_events  # noqa: F401
     import dolphinbeat_spark.plans.windows_events2  # noqa: F401
     import dolphinbeat_spark.plans.cdc_queries  # noqa: F401

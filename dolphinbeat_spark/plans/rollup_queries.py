@@ -1,0 +1,109 @@
+"""Hypertable-rollup and portable-sketch specs (operators/rollups.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dolphinbeat_spark.catalog import load
+from dolphinbeat_spark.functions.hashes import hash64_sql
+from dolphinbeat_spark.operators.rollups import HLL_ALPHA_64, hll_distinct, rollup_cascade
+from dolphinbeat_spark.plans.registry import register
+
+
+def _grain_sql(grain: str) -> str:
+    return f"""
+SELECT '{grain}' AS grain,
+       CAST(date_trunc('{grain}', ts) AS TIMESTAMP) AS bucket_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY bucket_start, event_type
+"""
+
+
+@register(
+    "events_rollup_cascade",
+    oracle=(
+        _grain_sql("minute")
+        + " UNION ALL "
+        + _grain_sql("hour")
+        + " UNION ALL "
+        + _grain_sql("day")
+        + " ORDER BY grain, bucket_start, event_type"
+    ),
+    tags=("rollup", "hypertable", "events"),
+    bench=True,
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable continuous-aggregate cascade: minute buckets from raw
+    events, hour buckets FROM the minute aggregates, day buckets FROM
+    hour — one raw scan for all three grains. The oracle computes every
+    grain directly from raw events, so a PASS proves the cascade
+    re-aggregates losslessly (decimal sums + counts compose)."""
+    e = load(spark, sf_dir, "events")
+    return rollup_cascade(e, "ts", ["event_type"], "value").orderBy(
+        "grain", "bucket_start", "event_type"
+    )
+
+
+_HLL_M = 64
+_HLL_MAXR = 43  # 48-bit hash - 6 bucket bits + 1
+
+
+@register(
+    "sketch_hll_users",
+    oracle=f"""
+WITH hashed AS (
+  SELECT event_type, user_id,
+         {hash64_sql("CAST(user_id AS VARCHAR)")} AS h
+  FROM events
+), ranked AS (
+  SELECT event_type,
+         CAST(h % {_HLL_M} AS INTEGER) AS b,
+         CAST(42 - (CASE WHEN h // {_HLL_M} > 0
+                         THEN length(bin(h // {_HLL_M})) ELSE 0 END) + 1 AS INTEGER) AS r
+  FROM hashed
+), regs AS (
+  SELECT event_type, b, MAX(r) AS reg FROM ranked GROUP BY event_type, b
+), folded AS (
+  SELECT event_type,
+         SUM(CAST(1 AS BIGINT) << ({_HLL_MAXR} - reg)) AS present_scaled,
+         COUNT(*) AS n_present
+  FROM regs GROUP BY event_type
+), est AS (
+  SELECT event_type,
+         ({_HLL_M} - n_present) AS zeros,
+         CAST(present_scaled + ({_HLL_M} - n_present) * (CAST(1 AS BIGINT) << {_HLL_MAXR}) AS DOUBLE)
+           / {float(1 << _HLL_MAXR)} AS z
+  FROM folded
+), exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       ROUND(CASE WHEN ({HLL_ALPHA_64} * {_HLL_M} * {_HLL_M} / z) < {2.5 * _HLL_M} AND zeros > 0
+                  THEN {float(_HLL_M)} * LN({float(_HLL_M)} / zeros)
+                  ELSE {HLL_ALPHA_64} * {_HLL_M} * {_HLL_M} / z END, 4) AS hll_estimate,
+       x.exact_distinct
+FROM est e JOIN exact x USING (event_type)
+ORDER BY e.event_type
+""",
+    tags=("sketch", "hll", "approx-distinct"),
+)
+def sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch portable HyperLogLog (m=64) per event_type, joined
+    with the exact distinct count so accuracy is visible in the result.
+    Unlike approx_count_distinct (engine-private HLL++ bytes, rows-only
+    checkable), every intermediate here is integer-exact portable
+    arithmetic — the estimate itself is oracle-verified bit-for-bit.
+
+    NOTE ln(): both engines compute natural log of identical doubles;
+    libm vs JVM can differ in the final ulp, but ROUND(,4) on values
+    O(100) gives ~1e10 ulps of slack at the boundary."""
+    e = load(spark, sf_dir, "events")
+    sketch = hll_distinct(e, ["event_type"], F.col("user_id").cast("string"), _HLL_M)
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return sketch.join(exact, "event_type").orderBy("event_type")
