@@ -1,0 +1,56 @@
+"""Stream/batch parity: the windowed aggregation computed
+incrementally over many micro-batches (file stream + watermark +
+append mode) must equal the one-pass batch result — the property that
+makes the batch oracles meaningful for the streaming engine."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dolphinbeat_spark.catalog import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    e = load(spark, SF_DIR, "events")
+    src = str(tmp_path / "events_parts")
+    # split into 8 files so availableNow + maxFilesPerTrigger=2 gives
+    # 4 real micro-batches with out-of-order event time across them
+    e.repartition(8).write.parquet(src)
+
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n")
+    )
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_parity")
+        # complete mode: every trigger re-emits the full aggregate from
+        # state, so nothing waits on a watermark to finalize — the
+        # cross-batch state accumulation is exactly what's under test
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckp"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["hour_start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_parity").collect()
+    }
+    expect = {(r["hour_start"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == expect
+    assert len(got) > 10
