@@ -185,18 +185,37 @@ def ivf_assign(
     n_cells: int = 1,
 ) -> DataFrame:
     """Nearest-centroid assignment (cells 1..n_cells per vector, by
-    descending cosine, centroid id as tie-break). Map-only: centroids
-    are broadcast; no shuffle of the corpus until the caller groups or
-    joins on ``cell``. Output: (out_id, vec, cell, cell_rank)."""
+    descending cosine, centroid id as tie-break). Centroids are
+    broadcast; for the n_cells=1 corpus-assignment path the argmax is
+    a max_by AGGREGATE — partial-aggregated map-side, so the exchange
+    carries one row per vector, never the |corpus|×|centroids| scored
+    rows (a row_number window would shuffle them all). The multi-cell
+    path (query probes; tiny input) keeps the window formulation.
+    Output: (out_id, vec, cell, cell_rank)."""
     v = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
     c = centroids.select(F.col("cid").alias("cell"), F.col("cv").alias("__c"))
-    w = Window.partitionBy(out_id).orderBy(
-        F.col("__sim").desc(), F.col("cell")
+    scored = v.crossJoin(F.broadcast(c)).select(
+        out_id, "__v", "cell", cosine_similarity("__v", "__c").alias("__sim")
     )
+    if n_cells == 1:
+        # argmax by (sim DESC, cell ASC): max_by over the unique
+        # ordering struct (sim, -cell) — ties on sim resolve to the
+        # smallest centroid id, matching the window formulation
+        best = scored.groupBy(out_id).agg(
+            F.max_by(
+                F.struct(F.col("cell"), F.col("__v")),
+                F.struct(F.col("__sim"), (-F.col("cell")).alias("__negc")),
+            ).alias("__best")
+        )
+        return best.select(
+            out_id,
+            F.col("__best.__v").alias("vec"),
+            F.col("__best.cell").alias("cell"),
+            F.lit(1).alias("cell_rank"),
+        )
+    w = Window.partitionBy(out_id).orderBy(F.col("__sim").desc(), F.col("cell"))
     return (
-        v.crossJoin(F.broadcast(c))
-        .select(out_id, "__v", "cell", cosine_similarity("__v", "__c").alias("__sim"))
-        .withColumn("cell_rank", F.row_number().over(w))
+        scored.withColumn("cell_rank", F.row_number().over(w))
         .filter(F.col("cell_rank") <= n_cells)
         .select(out_id, F.col("__v").alias("vec"), "cell", "cell_rank")
     )
