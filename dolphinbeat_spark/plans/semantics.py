@@ -152,3 +152,76 @@ def agg_stats_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "scalar_string_functions2",
+    oracle="""
+SELECT p_partkey,
+       split_part(p_type, ' ', 1) AS type_head,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       rpad(p_brand, 12, '.') AS brand_padded,
+       translate(p_name, 'aeiou', 'AEIOU') AS name_shout,
+       reverse(p_brand) AS brand_rev,
+       repeat('-', p_size % 5) AS dashes,
+       strpos(p_name, 'e') AS first_e,
+       ascii(substr(p_name, 1, 1)) AS first_cp,
+       left(p_name, 4) AS name_left4,
+       right(p_name, 3) AS name_right3
+FROM part
+WHERE p_partkey % 7 = 0
+ORDER BY p_partkey
+""",
+    tags=("relational", "scalar", "string"),
+)
+def scalar_string_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function library, second batch: split_part, padding,
+    translate, reverse, repeat, 1-based substring search (instr ≡
+    strpos), codepoints, left/right slices."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.rpad("p_brand", 12, ".").alias("brand_padded"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_shout"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.lit("-"), (F.col("p_size") % 5).cast("int")).alias("dashes"),
+        F.instr("p_name", "e").cast("bigint").alias("first_e"),
+        F.ascii(F.substring("p_name", 1, 1)).cast("int").alias("first_cp"),
+        F.left("p_name", F.lit(4)).alias("name_left4"),
+        F.right("p_name", F.lit(3)).alias("name_right3"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "datetime_functions2",
+    oracle="""
+SELECT o_orderkey,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS order_quarter,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3_months,
+       CAST(EXTRACT(week FROM o_orderdate) AS INTEGER) AS iso_week,
+       CAST(EXTRACT(isodow FROM o_orderdate) AS INTEGER) AS iso_dow,
+       CAST(EXTRACT(doy FROM o_orderdate) AS INTEGER) AS day_of_year
+FROM orders
+WHERE o_orderkey % 13 = 0
+ORDER BY o_orderkey
+""",
+    tags=("relational", "scalar", "datetime"),
+)
+def datetime_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime library, second batch. Cross-engine footguns pinned:
+    Spark dayofweek is 1=Sunday while ISO dow is 1=Monday (weekday()+1
+    gives ISO); week-of-year is ISO in both; add_months vs +INTERVAL
+    MONTH end-of-month clamping agrees."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus_3_months"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        (F.weekday("o_orderdate") + 1).cast("int").alias("iso_dow"),
+        F.dayofyear("o_orderdate").alias("day_of_year"),
+    ).orderBy("o_orderkey")
