@@ -225,3 +225,93 @@ def datetime_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.weekday("o_orderdate") + 1).cast("int").alias("iso_dow"),
         F.dayofyear("o_orderdate").alias("day_of_year"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "lateral_explode_outer",
+    oracle="""
+WITH arr AS (
+  SELECT l_orderkey,
+         list_sort(list_filter(list(CAST(l_quantity AS BIGINT)), q -> q > 45)) AS heavy
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey, u.q AS heavy_qty
+FROM arr, unnest(CASE WHEN len(heavy) = 0 THEN [CAST(NULL AS BIGINT)] ELSE heavy END) AS u(q)
+WHERE l_orderkey % 50 = 0
+ORDER BY l_orderkey, heavy_qty
+""",
+    tags=("relational", "lateral", "explode-outer"),
+)
+def lateral_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics pinned: orders whose heavy-quantity
+    array is EMPTY survive with a NULL row (plain explode silently
+    drops them — the row-loss bug this spec guards). The oracle
+    emulates outer-unnest with a [NULL] substitution."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    arr = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.filter(
+                F.collect_list(F.col("l_quantity").cast("bigint")), lambda q: q > 45
+            )
+        ).alias("heavy")
+    )
+    return (
+        arr.select("l_orderkey", F.explode_outer("heavy").alias("heavy_qty"))
+        .orderBy("l_orderkey", "heavy_qty")
+    )
+
+
+@register(
+    "map_functions_showcase",
+    oracle="""
+WITH per_line AS (
+  SELECT l_orderkey, l_linenumber, MAX(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem GROUP BY l_orderkey, l_linenumber
+), g AS (
+  SELECT l_orderkey,
+         COUNT(*) AS n_entries,
+         MAX(CASE WHEN l_linenumber = 1 THEN qty END) AS qty_line1,
+         list_sort(list(struct_pack(k := l_linenumber, v := qty))) AS entries
+  FROM per_line GROUP BY l_orderkey
+)
+SELECT l_orderkey, n_entries, qty_line1,
+       list_transform(entries, e -> e.k) AS keys_sorted,
+       list_transform(entries, e -> e.v) AS vals_by_key
+FROM g
+WHERE l_orderkey % 100 = 0
+ORDER BY l_orderkey
+""",
+    tags=("relational", "map"),
+)
+def map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: construction from key/value arrays,
+    cardinality, key lookup, sorted key listing, and value projection
+    through transform. Outputs are scalars/arrays (raw map columns
+    don't hash portably — entry order is engine-private)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    # l_linenumber is NOT unique per order in the synthetic data — maps
+    # reject duplicate keys, so reduce to one entry per (order, line)
+    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.max(F.col("l_quantity").cast("bigint")).alias("qty")
+    )
+    arr = per_line.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("k"), F.col("qty").alias("v")
+                    )
+                )
+            )
+        ).alias("qty_by_line")
+    )
+    keys_sorted = F.array_sort(F.map_keys("qty_by_line"))
+    return arr.select(
+        "l_orderkey",
+        F.size("qty_by_line").cast("bigint").alias("n_entries"),
+        F.element_at("qty_by_line", F.lit(1)).alias("qty_line1"),
+        keys_sorted.alias("keys_sorted"),
+        F.transform(keys_sorted, lambda k: F.element_at("qty_by_line", k)).alias(
+            "vals_by_key"
+        ),
+    ).orderBy("l_orderkey")
