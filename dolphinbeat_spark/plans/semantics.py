@@ -315,3 +315,65 @@ def map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vals_by_key"
         ),
     ).orderBy("l_orderkey")
+
+
+@register(
+    "scalar_try_cast",
+    oracle="""
+SELECT p_partkey,
+       TRY_CAST(split_part(p_name, ' ', 1) AS INTEGER) AS word_as_int,
+       TRY_CAST(CAST(p_size AS VARCHAR) AS INTEGER) AS size_roundtrip,
+       TRY_CAST(p_brand AS DOUBLE) AS brand_as_double,
+       CAST(p_size AS DOUBLE) / NULLIF(p_size - p_size, 0) IS NULL AS div_zero_nulled
+FROM part
+WHERE p_partkey % 11 = 0
+ORDER BY p_partkey
+""",
+    tags=("relational", "scalar", "ansi"),
+)
+def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode safety valves: TRY_CAST returns NULL where a plain
+    CAST would raise (Spark 4 runs ANSI — unparseable strings are
+    runtime errors, the #1 migration trap), and NULLIF-guarded
+    division instead of div-by-zero errors."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 11 == 0)
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))
+        .try_cast("int")
+        .alias("word_as_int"),
+        F.col("p_size").cast("string").try_cast("int").alias("size_roundtrip"),
+        F.col("p_brand").try_cast("double").alias("brand_as_double"),
+        (
+            F.col("p_size").cast("double")
+            / F.nullif(F.col("p_size") - F.col("p_size"), F.lit(0))
+        ).isNull().alias("div_zero_nulled"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "scalar_regex_functions",
+    oracle=r"""
+SELECT p_partkey,
+       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+       regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+       regexp_matches(p_name, '^(red|blue)') AS is_colored,
+       len(regexp_split_to_array(p_type, '[ ]')) AS type_words
+FROM part
+WHERE p_partkey % 17 = 0
+ORDER BY p_partkey
+""",
+    tags=("relational", "scalar", "regex"),
+)
+def scalar_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex library parity. Cross-engine trap pinned: Spark's
+    regexp_replace replaces ALL matches while DuckDB's default is
+    FIRST-only — the oracle must pass the 'g' flag to agree."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 17 == 0)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", r"[aeiou]", "*").alias("devoweled"),
+        F.col("p_name").rlike(r"^(red|blue)").alias("is_colored"),
+        F.size(F.split(F.col("p_type"), r"[ ]")).cast("bigint").alias("type_words"),
+    ).orderBy("p_partkey")
