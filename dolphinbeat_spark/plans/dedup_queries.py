@@ -83,7 +83,7 @@ ORDER BY doc_id, perm
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature matrix (long form), portable hashing."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", widen=True)
     return D.minhash_signatures(d, "doc_id", "text", NUM_PERM, SHINGLE_K).orderBy(
         "doc_id", "perm"
     )
@@ -99,7 +99,7 @@ ORDER BY id_a, id_b
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: candidate near-dup pairs from band-bucket joins."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", widen=True)
     sigs = D.minhash_signatures(d, "doc_id", "text", NUM_PERM, SHINGLE_K)
     return D.lsh_candidate_pairs(sigs, "doc_id", NUM_PERM, BANDS).orderBy("id_a", "id_b")
 
@@ -126,7 +126,7 @@ ORDER BY doc_id
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints (multiplicity-weighted)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", widen=True)
     return D.simhash(d, "doc_id", "text", bits=32).orderBy("doc_id")
 
 
@@ -158,7 +158,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialize; the oracle's nested-loop form is the semantic spec).
     At scale the blocking key would be an LSH bucket — see
     dedup_minhash_lsh_pairs."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", widen=True)
     return D.jaccard_blocked(d, "doc_id", "text", "source", 0.2, SHINGLE_K).orderBy(
         "id_a", "id_b"
     )
@@ -190,7 +190,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components by iterative min-label propagation (the genuinely
     iterative operator — the oracle needs a recursive CTE). cluster_id
     is the canonical keeper (min doc_id in the component)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", widen=True)
     sigs = D.minhash_signatures(d, "doc_id", "text", NUM_PERM, SHINGLE_K)
     pairs = D.lsh_candidate_pairs(sigs, "doc_id", NUM_PERM, BANDS)
     return D.connected_components(pairs).orderBy("node")
