@@ -7,7 +7,7 @@ join strategy without changing results.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dolphinbeat_spark.catalog import load
@@ -377,3 +377,75 @@ def scalar_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").rlike(r"^(red|blue)").alias("is_colored"),
         F.size(F.split(F.col("p_type"), r"[ ]")).cast("bigint").alias("type_words"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "unpivot_order_metrics",
+    oracle="""
+WITH m AS (
+  SELECT l_orderkey,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_qty,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_price,
+         CAST(COUNT(*) AS DOUBLE) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey, metric, value
+FROM m UNPIVOT (value FOR metric IN (total_qty, total_price, n_lines))
+WHERE l_orderkey % 200 = 0
+ORDER BY l_orderkey, metric
+""",
+    tags=("relational", "unpivot"),
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (inverse of the pivot spec): wide per-order metric
+    columns → long (metric, value) rows. Spark plans an Expand —
+    map-only, rows × metrics, no shuffle beyond the source agg."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 200 == 0)
+    m = li.groupBy("l_orderkey").agg(
+        F.round(F.sum(F.col("l_quantity").cast("decimal(12,4)")), 2)
+        .cast("double")
+        .alias("total_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,4)")), 2)
+        .cast("double")
+        .alias("total_price"),
+        F.count(F.lit(1)).cast("double").alias("n_lines"),
+    )
+    return (
+        m.unpivot(
+            "l_orderkey",
+            ["total_qty", "total_price", "n_lines"],
+            "metric",
+            "value",
+        )
+        .orderBy("l_orderkey", "metric")
+    )
+
+
+@register(
+    "win_nth_last_value",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       nth_value(o_orderkey, 2) OVER w AS second_order,
+       last_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS final_order,
+       first_value(o_totalprice) OVER w AS first_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+    tags=("window", "nth-value"),
+)
+def win_nth_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value / last_value frames: last_value needs the explicit
+    unbounded-following frame (the default frame ends at CURRENT ROW,
+    making last_value ≡ current row — the classic silent-wrong-answer);
+    nth_value(_, 2) is NULL until two rows have arrived."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.last("o_orderkey").over(wfull).alias("final_order"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+    ).orderBy("o_custkey", "o_orderkey")
