@@ -221,3 +221,43 @@ def cdc_unsigned_rewiden(spark: SparkSession, sf_dir: str) -> DataFrame:
         signed.alias("signed_byte"),
         F.when(signed < 0, signed + 256).otherwise(signed).alias("unsigned_byte"),
     ).orderBy("event_id")
+
+
+@register(
+    "json_functions_showcase",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_typed,
+       json_extract_string(props, '$.k') AS k_string,
+       CAST(json_valid(props) AS BOOLEAN) AS is_valid,
+       concat('{"event_id":', CAST(event_id AS VARCHAR), ',"k":',
+              json_extract_string(props, '$.k'), '}') AS rebuilt
+FROM events
+WHERE event_id % 97 = 0
+ORDER BY event_id
+""",
+    tags=("json", "semi-structured"),
+)
+def json_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON function surface: typed extraction via from_json with an
+    explicit schema (the scale path — parse once, typed thereafter;
+    get_json_object re-parses per call), string extraction, validity
+    probing, and a deterministic re-serialization (manual concat:
+    to_json key order/whitespace is engine-private)."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    parsed = e.withColumn(
+        "__p", F.from_json("props", "struct<k:int>")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("__p.k").alias("k_typed"),
+        F.get_json_object("props", "$.k").alias("k_string"),
+        F.col("__p").isNotNull().alias("is_valid"),
+        F.concat(
+            F.lit('{"event_id":'),
+            F.col("event_id").cast("string"),
+            F.lit(',"k":'),
+            F.get_json_object("props", "$.k"),
+            F.lit("}"),
+        ).alias("rebuilt"),
+    ).orderBy("event_id")
