@@ -88,3 +88,58 @@ def compact(
     is NOT attempted — atomic swap is storage-specific)."""
     dest = out_path or path + "_compacted"
     spark.read.parquet(path).coalesce(target_files).write.mode("overwrite").parquet(dest)
+
+
+def _zvalue(rank_cols: list, bits: int = 8):
+    """Interleave ``bits`` bits of each 0..2^bits-1 rank column into a
+    single Z (Morton) value — bit j of column i lands at position
+    j * n_cols + i."""
+    from pyspark.sql import functions as F
+
+    n = len(rank_cols)
+    z = F.lit(0).cast("bigint")
+    for i, c in enumerate(rank_cols):
+        for j in range(bits):
+            bit = F.shiftright(c.cast("bigint"), j).bitwiseAND(F.lit(1))
+            z = z + (bit * F.lit(1 << (j * n + i)).cast("bigint"))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    num_files: int = 8,
+    bits: int = 8,
+) -> None:
+    """Z-order clustered parquet: rows are range-partitioned and sorted
+    by the Morton interleave of per-column quantile ranks, so EVERY
+    z-ordered column gets tight per-file min/max ranges — multi-column
+    data skipping, where a plain sort only skips on its leading column.
+
+    Ranks come from ntile(2^bits) windows (a global pass; at 100 TB
+    swap in approxQuantile bounds computed once and a range lookup —
+    same z-value, no global window). Verified by
+    tests/test_dataset_layout.py::test_zorder_tightens_file_ranges
+    against single-column-sort baseline using parquet footer stats."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n_buckets = 1 << bits
+    ranked = df
+    rank_cols = []
+    for c in zorder_cols:
+        rc = f"__rank_{c}"
+        ranked = ranked.withColumn(
+            rc, F.ntile(n_buckets).over(Window.orderBy(F.col(c))) - 1
+        )
+        rank_cols.append(F.col(rc))
+    z = _zvalue(rank_cols, bits)
+    (
+        ranked.withColumn("__z", z)
+        .repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z", *[f"__rank_{c}" for c in zorder_cols])
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -85,3 +85,50 @@ def test_cli_list_and_run(spark, capsys):
     out = capsys.readouterr().out
     assert "dedup_minhash_signatures" in out
     assert main(["run", "no_such_query"]) == 2
+
+
+def test_zorder_tightens_file_ranges(spark, tmp_path):
+    """Z-ordering by (a, b) must give BALANCED per-file min/max spans:
+    a query filtering on b alone skips files under z-order (span_b ≪ 1
+    per file) where a plain a-sort cannot (span_b ≈ 1 in every file).
+    That balance — bounded spans on EVERY z-ordered column — is the
+    point of Morton layout; total area is comparable to a single sort."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from dolphinbeat_spark.sinks.dataset import write_zordered
+
+    n = 20000
+    df = spark.range(0, n).select(
+        F.col("id").alias("rid"),
+        (F.col("id") * 2654435761 % n).alias("a"),  # decorrelated dims
+        (F.col("id") * 40503 % n).alias("b"),
+    )
+    zpath = str(tmp_path / "zordered")
+    spath = str(tmp_path / "sorted_a")
+    write_zordered(df, zpath, ["a", "b"], num_files=64)
+    df.repartitionByRange(64, F.col("a")).sortWithinPartitions("a").write.parquet(spath)
+
+    def mean_spans(path):
+        spans = {"a": [], "b": []}
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.row_group(0).num_columns)
+            }
+            for c in ("a", "b"):
+                mn = min(md.row_group(g).column(cols[c]).statistics.min for g in range(md.num_row_groups))
+                mx = max(md.row_group(g).column(cols[c]).statistics.max for g in range(md.num_row_groups))
+                spans[c].append((mx - mn) / n)
+        return {c: sum(v) / len(v) for c, v in spans.items()}
+
+    z, srt = mean_spans(zpath), mean_spans(spath)
+    # a-sort: perfect on a (~1/64), useless on b (~1). z-order with 64
+    # files ≈ 8x8 grid: BOTH spans ~1/8 — b-only predicates now skip
+    # ~7/8 of files instead of none.
+    assert srt["b"] > 0.8, f"baseline should not constrain b: {srt}"
+    assert z["b"] < 0.35, f"z-order must bound span_b: {z}"
+    assert z["a"] < 0.35, f"z-order must keep span_a bounded: {z}"
+    # round-trip: same rows
+    assert spark.read.parquet(zpath).count() == n
