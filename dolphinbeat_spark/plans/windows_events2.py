@@ -205,3 +205,39 @@ def win_range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     )
+
+
+@register(
+    "range_join_banded_global",
+    oracle="""
+SELECT CAST(date_trunc('day', c.ts) AS TIMESTAMP) AS click_day,
+       COUNT(*) AS n_pairs
+FROM events c JOIN events x
+  ON x.ts > c.ts AND x.ts <= c.ts + INTERVAL 5 MINUTE
+WHERE c.event_type = 'click' AND x.event_type = 'error'
+GROUP BY click_day
+ORDER BY click_day
+""",
+    tags=("join", "range", "banded", "events"),
+)
+def range_join_banded_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS interval join via time banding (operators/ranges.py):
+    errors within 5 min after ANY click, counted per day. The oracle is
+    the naive non-equi join; the engine runs the banded equi-join on
+    gap-width bins — a hash join instead of a nested loop, which is the
+    only feasible shape without an equi key at scale."""
+    from dolphinbeat_spark.operators.ranges import banded_interval_join
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("cts")
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("ts").alias("xts")
+    )
+    pairs = banded_interval_join(clicks, errors, "cts", "xts", 300)
+    return (
+        pairs.groupBy(F.date_trunc("day", "cts").alias("click_day"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("click_day")
+    )
