@@ -449,3 +449,72 @@ def win_nth_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(wfull).alias("final_order"),
         F.first("o_totalprice").over(w).alias("first_price"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+SELECT l_returnflag,
+       bit_and(CAST(l_quantity AS BIGINT)) AS qty_and,
+       bit_or(CAST(l_quantity AS BIGINT)) AS qty_or,
+       bit_xor(CAST(l_quantity AS BIGINT)) AS qty_xor
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("relational", "aggregate", "bitwise"),
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (AND/OR/XOR fold) — order-free integer
+    reductions, map-side combinable like any semigroup."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bit_and(q).alias("qty_and"),
+            F.bit_or(q).alias("qty_or"),
+            F.bit_xor(q).alias("qty_xor"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_mode_exact",
+    oracle="""
+WITH counts AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS n
+  FROM lineitem GROUP BY l_returnflag, qty
+), ranked AS (
+  SELECT l_returnflag, qty, n,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY n DESC, qty) AS rn
+  FROM counts
+)
+SELECT l_returnflag, qty AS mode_qty, n AS mode_count
+FROM ranked WHERE rn = 1
+ORDER BY l_returnflag
+""",
+    tags=("relational", "aggregate", "mode"),
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode with a DETERMINISTIC tie-break (most-frequent value,
+    smallest value wins ties) — built-in mode() functions leave ties
+    engine-defined, which is exactly what an oracle-checked engine
+    cannot accept. Two-phase: count per (group, value) — map-side
+    combined — then argmax via max_by on the unique (n, -qty) struct."""
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", F.col("l_quantity").cast("bigint").alias("qty")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    best = counts.groupBy("l_returnflag").agg(
+        F.max_by(
+            F.struct(F.col("qty"), F.col("n")),
+            F.struct(F.col("n"), (-F.col("qty")).alias("__negq")),
+        ).alias("__best")
+    )
+    return best.select(
+        "l_returnflag",
+        F.col("__best.qty").alias("mode_qty"),
+        F.col("__best.n").alias("mode_count"),
+    ).orderBy("l_returnflag")
