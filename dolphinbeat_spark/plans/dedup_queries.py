@@ -194,3 +194,44 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = D.minhash_signatures(d, "doc_id", "text", NUM_PERM, SHINGLE_K)
     pairs = D.lsh_candidate_pairs(sigs, "doc_id", NUM_PERM, BANDS)
     return D.connected_components(pairs).orderBy("node")
+
+
+@register(
+    "fuzzy_match_levenshtein",
+    oracle="""
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+  AND a.p_name <> b.p_name
+ORDER BY id_a, id_b
+""",
+    tags=("dedup", "fuzzy", "levenshtein"),
+)
+def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: near-identical part names (edit distance
+    ≤ 3) within a p_type block — the entity-resolution primitive. The
+    block key turns the O(n²) comparison into per-block self-joins
+    (the same blocking discipline as jaccard_blocked); Levenshtein is
+    a JVM built-in on both engines."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_type")
+    a = p.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_type").alias("t"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_type").alias("t"),
+    )
+    return (
+        a.join(b, "t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter((F.col("edit_dist") <= 3) & (F.col("name_a") != F.col("name_b")))
+        .select("id_a", "id_b", "name_a", "name_b", "edit_dist")
+        .orderBy("id_a", "id_b")
+    )

@@ -429,3 +429,55 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         -- Efraimidis-Spirakis priority: u^(1/w) with u from the
+         -- portable hash (deterministic; rand() is not replayable)
+         POW(CAST({hash64_sql("concat('wsample-', CAST(doc_id AS VARCHAR))")} AS DOUBLE)
+             / {float(1 << 48)}, 1.0 / n_chars) AS priority
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, n_chars, priority,
+         ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rk
+  FROM keyed
+)
+SELECT doc_id, source, n_chars, ROUND(priority, 10) AS priority
+FROM ranked WHERE rk <= 25
+ORDER BY doc_id
+""",
+    tags=("sampling", "weighted", "pipeline"),
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis):
+    top-25 docs by priority u^(1/weight), weight = document length —
+    longer docs proportionally likelier, yet fully deterministic and
+    replayable because u comes from the portable content hash, not
+    rand(). One map pass + a global top-k (TakeOrdered, O(k) memory).
+    (pow is libm-correct on both engines for these magnitudes; ties
+    broken by doc_id.)"""
+    from dolphinbeat_spark.functions.hashes import hash64
+
+    d = load(spark, sf_dir, "documents")
+    u = hash64(F.concat(F.lit("wsample-"), F.col("doc_id").cast("string"))).cast(
+        "double"
+    ) / F.lit(float(1 << 48))
+    keyed = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.pow(u, 1.0 / F.col("n_chars")).alias("priority"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("priority").desc(), "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 25)
+        .select("doc_id", "source", "n_chars", F.round("priority", 10).alias("priority"))
+        .orderBy("doc_id")
+    )
