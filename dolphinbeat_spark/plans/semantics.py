@@ -518,3 +518,84 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__best.qty").alias("mode_qty"),
         F.col("__best.n").alias("mode_count"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_regression",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS base_price,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS fit_r2,
+       regr_count(l_extendedprice, l_quantity) AS n_obs
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("relational", "aggregate", "regression"),
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS regression aggregates (slope/intercept/R²) —
+    single-pass, map-side-combinable moment accumulation; rounded
+    because the engines' moment updates differ in final ulps."""
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope(y, x), 4).alias("price_per_qty"),
+            F.round(F.regr_intercept(y, x), 4).alias("base_price"),
+            F.round(F.regr_r2(y, x), 6).alias("fit_r2"),
+            F.regr_count(y, x).alias("n_obs"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "histogram_order_totals",
+    oracle="""
+WITH bounds AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+), binned AS (
+  SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20.0)) AS INTEGER), 19) AS bin,
+         lo, hi
+  FROM orders, bounds
+)
+SELECT bin,
+       CAST(ROUND(MIN(lo) + bin * ((MIN(hi) - MIN(lo)) / 20.0), 4) AS DOUBLE) AS bin_lo,
+       COUNT(*) AS n_orders
+FROM binned
+GROUP BY bin
+ORDER BY bin
+""",
+    tags=("relational", "aggregate", "histogram"),
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 bins over the observed range): global
+    min/max is a 1-row broadcast, binning is pure map arithmetic, the
+    count is one groupBy on a 20-value domain — the O(n) profile query
+    every column-stats pass needs."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    binned = o.join(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("int"),
+            F.lit(19),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.round(F.min("lo") + F.col("bin") * ((F.min("hi") - F.min("lo")) / 20.0), 4)
+            .cast("double")
+            .alias("bin_lo"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("bin")
+    )
