@@ -27,6 +27,35 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+_CONFED_SESSIONS: set[int] = set()
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Defensive per-session confs for externally-built sessions (the
+    driver passes its OWN SparkSession into ``queries()`` callables):
+
+    - ``nanosAsLong``: events.parquet carries TIMESTAMP(NANOS), which a
+      default session REJECTS outright ([PARQUET_TYPE_ILLEGAL]); with
+      the flag the column arrives as long and ``load`` converts it.
+    - UTC session timezone: timestamp literals in query predicates are
+      session-tz instants; a non-UTC session would shift comparison
+      boundaries against the NTZ table columns (and against the DuckDB
+      oracle, which runs naive).
+
+    Both are runtime-settable SQL confs; applied once per session."""
+    key = id(spark)
+    if key in _CONFED_SESSIONS:
+        return
+    for conf, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(conf, val)
+        except Exception:
+            pass  # locked-down session: keep going, reads may still work
+    _CONFED_SESSIONS.add(key)
+
 
 def load(
     spark: SparkSession, sf_dir: str, table: str, *, widen: bool = False
@@ -47,6 +76,7 @@ def load(
     """
     if table not in TABLES:
         raise KeyError(f"unknown table {table!r}; expected one of {TABLES}")
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     # TIMESTAMP(NANOS) columns arrive as epoch-nano longs (see
     # session.py nanosAsLong); truncate to micros like DuckDB does.
