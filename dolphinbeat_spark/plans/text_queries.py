@@ -481,3 +481,97 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars", F.round("priority", 10).alias("priority"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_token_count_bpe",
+    oracle=r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_pieces,
+       len(regexp_extract_all(text, '[0-9]+')) AS digit_runs,
+       len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS punct_marks
+FROM documents
+WHERE doc_id % 5 = 0
+ORDER BY doc_id
+""",
+    tags=("text", "tokens", "bpe"),
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style piece counting beside whitespace tokens: letter runs,
+    digit runs, and punctuation as separate pieces (the pre-tokenizer
+    split every BPE vocabulary builds on). Pure regexp_extract_all —
+    JVM-side, and the class-based pattern means identical semantics in
+    both engines' regex dialects."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return d.select(
+        "doc_id",
+        F.size(T.tokens("text")).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), F.lit(0)))
+        .cast("bigint")
+        .alias("bpe_pieces"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), F.lit(0))).cast("bigint").alias("digit_runs"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[^a-zA-Z0-9 ]"), F.lit(0)))
+        .cast("bigint")
+        .alias("punct_marks"),
+    ).orderBy("doc_id")
+
+
+_KGRAM = 8   # winnowing k-gram length
+_WINDOW = 4  # winnowing window
+
+
+@register(
+    "text_winnowing_fingerprint",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text) - {_KGRAM} + 1, 0) + 1),
+                        i -> {hash64_sql(f"substr(text, CAST(i AS INTEGER), {_KGRAM})")}) AS hs
+  FROM documents WHERE doc_id % 10 = 3
+), winnowed AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(hs) - {_WINDOW} + 1, 0) + 1),
+                       w -> list_min(hs[w:w + {_WINDOW} - 1]))) AS fps
+  FROM grams
+)
+SELECT doc_id,
+       len(fps) AS n_fingerprints,
+       list_min(fps) AS min_fp
+FROM winnowed
+ORDER BY doc_id
+""",
+    tags=("text", "fingerprint", "winnowing"),
+)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    {k}-char k-gram, keep the MINIMUM hash of each sliding window —
+    guaranteeing any sufficiently long match between documents shares a
+    fingerprint. Selection is position-robust where head-anchored
+    hashing is not. (The hash here is the portable md5-derived hash64
+    per k-gram; a production kernel computes it as an O(1) rolling
+    update inside a pandas UDF — selection semantics, and therefore
+    this oracle, are identical.)"""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 3)
+    # built via expr: F.substring needs a literal int start, so the
+    # positional substring inside the lambda uses the SQL form
+    grams = d.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, greatest(length(text) - {_KGRAM} + 1, 0)), "
+            f"i -> cast(conv(substring(md5(substring(text, i, {_KGRAM})), 1, 12), 16, 10) as bigint))"
+        ).alias("hs"),
+    )
+    windows = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(hs) - {_WINDOW} + 1, 0)), "
+        f"w -> array_min(slice(hs, w, {_WINDOW}))))"
+    )
+    return (
+        grams.select("doc_id", windows.alias("fps"))
+        .select(
+            "doc_id",
+            F.size("fps").cast("bigint").alias("n_fingerprints"),
+            F.array_min("fps").alias("min_fp"),
+        )
+        .orderBy("doc_id")
+    )
