@@ -286,3 +286,49 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "win_share_of_total",
+    oracle="""
+WITH nat AS (
+  SELECT s.s_nationkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l.l_discount AS DECIMAL(12,4)))) AS rev
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey
+)
+SELECT s_nationkey,
+       CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+       ROUND(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS share
+FROM nat
+ORDER BY s_nationkey
+""",
+    tags=("window", "unpartitioned", "ratio"),
+)
+def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total via an UNPARTITIONED window (SUM() OVER ()) — the
+    single-partition hazard is harmless here because the window input
+    is the already-aggregated per-nation rollup (25 rows), not the fact
+    table: aggregate first, window over the small result. The exact
+    decimal total is cast to double identically on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    nat = (
+        li.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+                li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,4)")
+                * (1 - F.col("l_discount").cast("decimal(12,4)"))
+            ).alias("rev")
+        )
+    )
+    w = Window.partitionBy()
+    return nat.select(
+        "s_nationkey",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"), 6
+        ).alias("share"),
+    ).orderBy("s_nationkey")
