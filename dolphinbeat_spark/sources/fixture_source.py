@@ -40,7 +40,17 @@ class _RangePartition(InputPartition):
 class FixtureStreamReader(DataSourceStreamReader):
     """Offsets are indices into the golden op list; each micro-batch
     serves ``batch_size`` ops until exhausted (then repeats if
-    ``loops`` > 1 — lets soak tests run arbitrarily long)."""
+    ``loops`` > 1 — lets soak tests run arbitrarily long).
+
+    ``max_events_per_batch`` is the back-pressure valve (the
+    maxOffsetsPerTrigger analog, replacing the reference's bounded
+    5120-op channels — SURVEY §4.2): each trigger's latestOffset
+    advances at most that many events past the previous plan, so a
+    fast source feeds a slow sink in bounded bites instead of one
+    unbounded batch. (After a restart the plan pointer re-walks from
+    0 in empty no-op triggers until it passes the checkpointed offset
+    — harmless for a fixture source; a production source would seed
+    it from the restart offset.)"""
 
     def __init__(self, options: dict):
         self.ops = golden_sequences()
@@ -48,11 +58,16 @@ class FixtureStreamReader(DataSourceStreamReader):
         self.loops = int(options.get("loops", "1"))
         self.total = len(self.ops) * self.loops
         self.use_arrow = options.get("arrow", "true").lower() == "true"
+        self.max_events = int(options.get("max_events_per_batch", "0"))  # 0 = all
+        self._planned = 0
 
     def initialOffset(self) -> dict:
         return {"index": 0}
 
     def latestOffset(self) -> dict:
+        if self.max_events > 0:
+            self._planned = min(self._planned + self.max_events, self.total)
+            return {"index": self._planned}
         # everything currently available; availableNow captures this
         # once and drains to it, chunked by partitions() below
         return {"index": self.total}

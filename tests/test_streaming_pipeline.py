@@ -139,3 +139,39 @@ def test_windowed_op_counts_streaming(spark, tmp_path):
         .collect()
     }
     assert got == {"insert": 3, "update": 2, "delete": 1}
+
+
+def test_rate_limited_source_bounds_batches(spark, tmp_path):
+    """max_events_per_batch (the maxOffsetsPerTrigger analog of the
+    reference's bounded op channels): with the cap at 5, draining the
+    16-op golden stream takes >= 4 micro-batches, each <= 5 rows."""
+    register_fixture_source(spark)
+    stream = (
+        spark.readStream.format("dolphinbeat_fixture")
+        .option("max_events_per_batch", "5")
+        .load()
+    )
+    batch_sizes = []
+
+    def record(batch_df, batch_id):
+        batch_sizes.append(batch_df.count())
+
+    q = (
+        stream.writeStream.foreachBatch(record)
+        .option("checkpointLocation", str(tmp_path / "ckp"))
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 120
+        from dolphinbeat_spark.envelope import golden_sequences
+
+        total = len(golden_sequences())
+        while sum(batch_sizes) < total and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert sum(batch_sizes) == total
+    assert max(batch_sizes) <= 5
+    assert len([b for b in batch_sizes if b]) >= 4
