@@ -6,11 +6,15 @@ column names, and the full sorted value multiset (STRICTER than the
 driver's hash — if this passes, any order-insensitive hash passes).
 
 Usage:  python tools/check_correctness.py [sf_dir] [name_filter...]
+        SPARK_GRAFT_CHECK_ORDER=1  additionally requires IDENTICAL row
+        ORDER between engines (covers an order-sensitive driver hash;
+        every spec carries unique ORDER BY tie-breaks so this passes)
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -82,6 +86,15 @@ def main() -> int:
             c.lower() for c in scols
         ) != sorted(c.lower() for c in dcols):
             problems.append(f"columns spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if not problems and os.environ.get("SPARK_GRAFT_CHECK_ORDER") == "1":
+            order = sorted(range(len(scols)), key=lambda i: scols[i])
+            s_seq = [tuple(_norm(r[i]) for i in order) for r in srows]
+            dmap = {c.lower(): i for i, c in enumerate(dcols)}
+            d_order = [dmap[scols[i].lower()] for i in order]
+            d_seq = [tuple(_norm(r[i]) for i in d_order) for r in drows]
+            if s_seq != d_seq:
+                di = next((i for i, (a, b) in enumerate(zip(s_seq, d_seq)) if a != b), 0)
+                problems.append(f"ROW ORDER differs at row {di}")
         if not problems:
             sc, dc = _canon(srows, scols), _canon(drows, [c.lower() for c in dcols])
             if sc != dc:
