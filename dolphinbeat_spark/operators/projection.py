@@ -77,9 +77,9 @@ def pair_before_after(envelope: DataFrame, key_cols: list[str]) -> DataFrame:
     changed = F.map_filter(
         F.col("after"),
         lambda k, v: ~(
-            F.col("before").getItem(k).eqNullSafe(v)
-            & F.coalesce(F.col("before_null").getItem(k), F.lit(False)).eqNullSafe(
-                F.coalesce(F.col("after_null").getItem(k), F.lit(False))
+            F.col("before")[k].eqNullSafe(v)
+            & F.coalesce(F.col("before_null")[k], F.lit(False)).eqNullSafe(
+                F.coalesce(F.col("after_null")[k], F.lit(False))
             )
         ),
     )
