@@ -332,3 +332,38 @@ def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"), 6
         ).alias("share"),
     ).orderBy("s_nationkey")
+
+
+@register(
+    "win_lag_lead_offsets",
+    oracle="""
+SELECT user_id, event_id, ts,
+       lag(event_id, 2) OVER w AS lag2,
+       lead(event_id, 3) OVER w AS lead3,
+       COALESCE(lag(event_id, 2) OVER w, -1) AS lag2_defaulted,
+       CAST(epoch_us(ts) - epoch_us(COALESCE(lag(ts, 1) OVER w, ts)) AS BIGINT) AS us_since_prev
+FROM events
+WHERE user_id % 25 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, ts, event_id
+""",
+    tags=("window", "lag-lead"),
+)
+def win_lag_lead_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with multi-row offsets and defaults, plus the
+    inter-event gap (microseconds since previous event) — the feature
+    extraction every sequence model's preprocessing needs."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.coalesce(F.lag("ts", 1).over(w), F.col("ts"))
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("event_id", 2).over(w).alias("lag2"),
+        F.lead("event_id", 3).over(w).alias("lead3"),
+        F.lag("event_id", 2, -1).over(w).alias("lag2_defaulted"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(prev_ts.cast("timestamp")))
+        .cast("bigint")
+        .alias("us_since_prev"),
+    ).orderBy("user_id", "ts", "event_id")
