@@ -599,3 +599,39 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "agg_distinct_variants",
+    oracle="""
+SELECT l_linestatus,
+       CAST(ROUND(SUM(DISTINCT CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_distinct_qty,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part_pairs,
+       count_if(l_discount > 0.05) AS n_discounted,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+    tags=("relational", "aggregate", "distinct"),
+)
+def agg_distinct_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT-aggregate variants in one pass: SUM(DISTINCT), single-
+    and multi-column COUNT(DISTINCT) (the pair form dedups the tuple),
+    and count_if. Multiple distinct aggregates expand to the
+    two-phase Expand plan — each distinct set dedups map-side."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.sum_distinct(F.col("l_quantity").cast("decimal(12,4)")), 2)
+            .cast("double")
+            .alias("sum_distinct_qty"),
+            F.count_distinct("l_suppkey").alias("n_suppliers"),
+            F.count_distinct("l_suppkey", "l_partkey").alias("n_supp_part_pairs"),
+            F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_linestatus")
+    )
