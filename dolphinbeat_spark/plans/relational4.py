@@ -487,3 +487,91 @@ def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("except_all").alias("op"), "n"
     )
     return inter.union(exc).orderBy("op")
+
+
+@register(
+    "agg_string_concat_ordered",
+    oracle="""
+SELECT l_returnflag,
+       string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+       string_agg(DISTINCT CAST(l_linenumber AS VARCHAR), '|' ORDER BY CAST(l_linenumber AS VARCHAR)) AS linenumbers
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("relational", "aggregate", "listagg"),
+)
+def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string-concatenation aggregate (LISTAGG/string_agg):
+    expressed as concat_ws over a sorted collect_set — deterministic
+    where a bare listagg's element order is engine-private. The set
+    dedups map-side; only distinct values shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias(
+                "statuses"
+            ),
+            F.concat_ws(
+                "|",
+                F.array_sort(F.collect_set(F.col("l_linenumber").cast("string"))),
+            ).alias("linenumbers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "array_zip_functions",
+    oracle="""
+WITH per_line AS (
+  SELECT l_orderkey, l_linenumber,
+         MAX(CAST(l_quantity AS BIGINT)) AS qty,
+         MAX(CAST(l_extendedprice AS DECIMAL(12,4))) AS price
+  FROM lineitem GROUP BY l_orderkey, l_linenumber
+), arr AS (
+  SELECT l_orderkey,
+         list_sort(list(struct_pack(k := l_linenumber, q := qty, p := price))) AS entries
+  FROM per_line GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       list_transform(entries, e -> e.q) AS qtys,
+       CAST(ROUND(list_reduce(list_transform(entries, e -> e.q * e.p),
+                  (a, b) -> a + b), 2) AS DOUBLE) AS dot_qty_price
+FROM arr
+WHERE l_orderkey % 150 = 0
+ORDER BY l_orderkey
+""",
+    tags=("relational", "array", "zip"),
+)
+def array_zip_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zip_with over parallel arrays: element-wise qty×price then an
+    ordered fold — the vector dot product in pure Catalyst (the same
+    kernel the similarity operators build on, here over business
+    arrays). Arrays built sorted so both engines fold identical
+    sequences; decimal products keep the fold exact."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 150 == 0)
+    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.max(F.col("l_quantity").cast("bigint")).alias("qty"),
+        F.max(F.col("l_extendedprice").cast("decimal(12,4)")).alias("price"),
+    )
+    arr = per_line.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "qty", "price"))
+        ).alias("entries")
+    )
+    qtys = F.transform("entries", lambda e: e["qty"])
+    prices = F.transform("entries", lambda e: e["price"])
+    # ANSI folds need a type-stable accumulator: bound the product and
+    # cast each step back to the seed's decimal type
+    dot = F.aggregate(
+        F.zip_with(qtys, prices, lambda q, p: (q.cast("decimal(10,0)") * p).cast("decimal(28,4)")),
+        F.lit(0).cast("decimal(28,4)"),
+        lambda acc, x: (acc + x).cast("decimal(28,4)"),
+    )
+    return arr.select(
+        "l_orderkey",
+        qtys.alias("qtys"),
+        F.round(dot, 2).cast("double").alias("dot_qty_price"),
+    ).orderBy("l_orderkey")
