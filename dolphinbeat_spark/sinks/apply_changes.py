@@ -152,3 +152,69 @@ def scd2_history(batch: DataFrame, key_cols: list[str], value_cols: list[str]) -
             F.col("valid_to_pos").isNull().alias("is_current"),
         )
     )
+
+
+def apply_batch_partitioned(
+    spark: SparkSession,
+    batch: DataFrame,
+    snapshot_path: str,
+    key_cols: list[str],
+    value_cols: list[str],
+    num_buckets: int = 16,
+) -> None:
+    """Partitioned-snapshot merge: the snapshot is hive-partitioned on
+    a hash bucket of the key; a batch only reads and rewrites the
+    buckets its keys touch (dynamic partition overwrite) — per-batch
+    cost is O(touched buckets), not O(snapshot). This is the plain-
+    parquet approximation of a Delta/Iceberg MERGE and the shape that
+    survives a 100 TB snapshot: with small batches most buckets are
+    cold and never open.
+
+    Same last-op-per-key semantics as apply_batch; replay-idempotent
+    (dynamic overwrite of the same buckets converges)."""
+    winners = last_op_per_key(batch, key_cols)
+    key_exprs = [F.col(f"__k_{k}") for k in key_cols]
+    bucket = F.pmod(F.xxhash64(*key_exprs), F.lit(num_buckets)).cast("int")
+    upserts = winners.filter(F.col("op_type") != "delete").select(
+        *[F.col(f"__k_{k}").alias(k) for k in key_cols],
+        *[F.col("after").getItem(c).alias(c) for c in value_cols],
+        bucket.alias("__bucket"),
+    )
+    deletes = winners.filter(F.col("op_type") == "delete").select(
+        *[F.col(f"__k_{k}").alias(k) for k in key_cols], bucket.alias("__bucket")
+    )
+    touched = [
+        r["__bucket"]
+        for r in upserts.select("__bucket").union(deletes.select("__bucket")).distinct().collect()
+    ]
+    if not touched:
+        return
+    merged = upserts
+    if os.path.exists(snapshot_path):
+        current = spark.read.parquet(snapshot_path).filter(
+            F.col("__bucket").isin(touched)  # partition-pruned read
+        )
+        gone = upserts.select(*key_cols).union(deletes.drop("__bucket")).distinct()
+        kept = current.join(gone, key_cols, "left_anti")
+        merged = kept.unionByName(upserts)
+    written = {r["__bucket"] for r in merged.select("__bucket").distinct().collect()}
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket")
+        .parquet(snapshot_path)
+    )
+    # dynamic overwrite only replaces partitions PRESENT in the output:
+    # a bucket whose last key was deleted ends empty and must be
+    # removed explicitly or its stale file survives
+    import shutil
+
+    for b in set(touched) - written:
+        shutil.rmtree(os.path.join(snapshot_path, f"__bucket={b}"), ignore_errors=True)
+
+
+def read_snapshot(spark: SparkSession, snapshot_path: str) -> DataFrame:
+    """Read a (partitioned or flat) snapshot without the internal
+    bucket column."""
+    df = spark.read.parquet(snapshot_path)
+    return df.drop("__bucket") if "__bucket" in df.columns else df

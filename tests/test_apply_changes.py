@@ -91,3 +91,53 @@ def test_scd2_history(spark):
     assert by_key["2"] == [("b", 160, 300, False)]
     # id 3: insert(c)@180 still current
     assert by_key["3"] == [("c", 180, None, True)]
+
+
+def test_apply_batch_partitioned_touches_only_dirty_buckets(spark, tmp_path):
+    import os as _os
+
+    from dolphinbeat_spark.sinks.apply_changes import (
+        apply_batch_partitioned,
+        read_snapshot,
+    )
+
+    snap = str(tmp_path / "snap_part")
+    df = _golden_df(spark)
+    inserts = df.filter(F.col("op_type") == "insert")
+    rest = df.filter(F.col("op_type") != "insert")
+    apply_batch_partitioned(spark, inserts, snap, ["id"], ["name"], num_buckets=8)
+    state = {r["id"]: r["name"] for r in read_snapshot(spark, snap).collect()}
+    assert state == {"1": "a", "2": "b", "3": "c"}
+
+    def dir_mtimes():
+        out = {}
+        for d in _os.listdir(snap):
+            if d.startswith("__bucket="):
+                p = _os.path.join(snap, d)
+                out[d] = max(
+                    _os.path.getmtime(_os.path.join(p, f)) for f in _os.listdir(p)
+                )
+        return out
+
+    before = dir_mtimes()
+    import time as _t
+
+    _t.sleep(1.1)  # mtime resolution guard
+    apply_batch_partitioned(spark, rest, snap, ["id"], ["name"], num_buckets=8)
+    after = dir_mtimes()
+    state = {r["id"]: r["name"] for r in read_snapshot(spark, snap).collect()}
+    assert state == {"1": "a2", "3": "c"}
+    # update touched id=1's bucket (rewritten), delete emptied id=2's
+    # bucket (dir removed); every other bucket's files are untouched
+    changed = {
+        d for d in before if d not in after or after[d] > before[d]
+    }
+    assert len(changed) <= 2, f"too many buckets rewritten: {changed}"
+    untouched = set(before) - changed
+    assert untouched, "expected at least one cold bucket"
+    for d in untouched:
+        assert after[d] == before[d]
+    # replay converges (idempotent)
+    apply_batch_partitioned(spark, rest, snap, ["id"], ["name"], num_buckets=8)
+    state = {r["id"]: r["name"] for r in read_snapshot(spark, snap).collect()}
+    assert state == {"1": "a2", "3": "c"}
