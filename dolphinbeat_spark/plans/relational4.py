@@ -575,3 +575,42 @@ def array_zip_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         qtys.alias("qtys"),
         F.round(dot, 2).cast("double").alias("dot_qty_price"),
     ).orderBy("l_orderkey")
+
+
+@register(
+    "generator_inline_structs",
+    oracle="""
+WITH per_line AS (
+  SELECT l_orderkey, l_linenumber, MAX(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem GROUP BY l_orderkey, l_linenumber
+), arr AS (
+  SELECT l_orderkey,
+         list_sort(list(struct_pack(ln := l_linenumber, q := qty))) AS entries
+  FROM per_line GROUP BY l_orderkey
+)
+SELECT a.l_orderkey, u.e.ln AS ln, u.e.q AS q
+FROM arr a, unnest(a.entries) AS u(e)
+WHERE a.l_orderkey % 250 = 0
+ORDER BY a.l_orderkey, ln
+""",
+    tags=("relational", "generator", "inline"),
+)
+def generator_inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inline() generator: explode an array<struct> into one row per
+    struct with the fields as columns — the typed row-expansion
+    counterpart of explode (which yields a single struct column)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 250 == 0)
+    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.max(F.col("l_quantity").cast("bigint")).alias("qty")
+    )
+    arr = per_line.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("l_linenumber").alias("ln"), F.col("qty").alias("q"))
+            )
+        ).alias("entries")
+    )
+    return (
+        arr.select("l_orderkey", F.inline("entries"))
+        .orderBy("l_orderkey", "ln")
+    )
