@@ -635,3 +635,51 @@ def agg_distinct_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@register(
+    "concentration_customer_deciles",
+    oracle="""
+WITH cust_rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS rev
+  FROM orders GROUP BY o_custkey
+), tiled AS (
+  SELECT o_custkey, rev,
+         NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+  FROM cust_rev
+), total AS (
+  SELECT CAST(SUM(rev) AS DOUBLE) AS t FROM cust_rev
+)
+SELECT decile,
+       COUNT(*) AS n_customers,
+       CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS decile_revenue,
+       ROUND(CAST(SUM(rev) AS DOUBLE) / MIN(t.t), 6) AS revenue_share
+FROM tiled, total t
+GROUP BY decile
+ORDER BY decile
+""",
+    tags=("window", "ntile", "concentration"),
+)
+def concentration_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: customers ranked into spend deciles
+    (ntile over the aggregated per-customer revenue — the window input
+    is |customers|, never |orders|), each decile's share of total.
+    The whale-curve / Pareto profile every usage-billing analysis
+    starts from."""
+    o = load(spark, sf_dir, "orders")
+    cust_rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,4)")).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), "o_custkey")
+    tiled = cust_rev.withColumn("decile", F.ntile(10).over(w))
+    total = cust_rev.agg(F.sum("rev").cast("double").alias("t"))
+    return (
+        tiled.join(F.broadcast(total))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("rev"), 2).cast("double").alias("decile_revenue"),
+            F.round(F.sum("rev").cast("double") / F.min("t"), 6).alias("revenue_share"),
+        )
+        .orderBy("decile")
+    )
