@@ -90,6 +90,7 @@ FROM est e JOIN exact x USING (event_type)
 ORDER BY e.event_type
 """,
     tags=("sketch", "hll", "approx-distinct"),
+    bench=True,
 )
 def sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """From-scratch portable HyperLogLog (m=64) per event_type, joined
