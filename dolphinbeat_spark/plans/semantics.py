@@ -683,3 +683,84 @@ def concentration_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "anomaly_zscore_events",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m2
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((e.value - s.mu) / sqrt(s.m2 - s.mu * s.mu), 6) AS zscore
+FROM events e JOIN stats s USING (event_type)
+WHERE abs(e.value - s.mu) / sqrt(s.m2 - s.mu * s.mu) > 3
+ORDER BY e.event_id
+""",
+    tags=("profiling", "anomaly", "events"),
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection with EXACT moments: mean and E[x²]
+    from decimal sums (not stddev_pop, whose one-pass update differs
+    in final ulps between engines and could flip the |z|>3 boundary) —
+    every double here derives from exact decimals, so the flagged set
+    is bit-stable. Per-group stats are a broadcast join back onto the
+    stream: two passes, both map-side-combinable."""
+    e = load(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    stats = e.groupBy("event_type").agg(
+        (F.sum(v).cast("double") / F.count(F.lit(1))).alias("mu"),
+        (F.sum(v * v).cast("double") / F.count(F.lit(1))).alias("m2"),
+    )
+    sd = F.sqrt(F.col("m2") - F.col("mu") * F.col("mu"))
+    z = (F.col("value") - F.col("mu")) / sd
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mu")) / sd > 3)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("zscore"))
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "profile_leading_digits",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS lead_digit
+  FROM orders WHERE o_totalprice >= 1
+)
+SELECT lead_digit, COUNT(*) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM d), 6) AS share
+FROM d GROUP BY lead_digit
+ORDER BY lead_digit
+""",
+    tags=("profiling", "benford"),
+)
+def profile_leading_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution (the Benford's-law data-quality
+    probe): integer string extraction, counts, share of total via a
+    1-row broadcast — a column-profiling primitive alongside
+    histogram_order_totals."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("lead_digit")
+    )
+    total = d.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        d.groupBy("lead_digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(total))
+        .select(
+            "lead_digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
+        )
+        .orderBy("lead_digit")
+    )
