@@ -367,3 +367,98 @@ def win_lag_lead_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("us_since_prev"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+@register(
+    "funnel_signup_to_purchase",
+    oracle="""
+WITH stage_ts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       count_if(t_signup IS NOT NULL) AS reached_signup,
+       count_if(t_signup IS NOT NULL AND t_view > t_signup) AS reached_view,
+       count_if(t_signup IS NOT NULL AND t_view > t_signup AND t_click > t_view) AS reached_click,
+       count_if(t_signup IS NOT NULL AND t_view > t_signup AND t_click > t_view
+                AND t_purchase > t_click) AS reached_purchase
+FROM stage_ts
+""",
+    tags=("events", "funnel", "behavioral"),
+)
+def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → view → click → purchase):
+    one conditional-MIN pass collapses each user to stage timestamps,
+    then stage predicates count strictly-ordered progressions — the
+    single-scan funnel formulation (the self-join-per-stage version is
+    |stages| scans and dies at scale)."""
+    e = load(spark, sf_dir, "events")
+    stage = e.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in ("signup", "view", "click", "purchase")
+        ]
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_view") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_click") > F.col("t_view"))
+    s4 = s3 & (F.col("t_purchase") > F.col("t_click"))
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count_if(s1).alias("reached_signup"),
+        F.count_if(s2).alias("reached_view"),
+        F.count_if(s3).alias("reached_click"),
+        F.count_if(s4).alias("reached_purchase"),
+    )
+
+
+@register(
+    "cohort_weekly_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort_day
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS active_day
+  FROM events
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.active_day) // 7 AS BIGINT) AS week_n,
+       COUNT(DISTINCT a.user_id) AS active_users
+FROM activity a JOIN first_seen f USING (user_id)
+WHERE f.cohort_day <= TIMESTAMP '2024-01-08'
+GROUP BY f.cohort_day, week_n
+ORDER BY f.cohort_day, week_n
+""",
+    tags=("events", "cohort", "retention", "behavioral"),
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen day,
+    activity counted per week-offset. Both inputs partial-aggregate
+    (MIN per user; DISTINCT user-day) before the join — the matrix
+    shuffles |users| + |user-days|, never raw events."""
+    e = load(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    ).filter(F.col("cohort_day") <= F.lit("2024-01-08").cast("timestamp"))
+    activity = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("active_day")
+    ).distinct()
+    week_n = (
+        F.datediff(
+            F.col("active_day").cast("date"), F.col("cohort_day").cast("date")
+        )
+        / 7
+    )
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_day", F.floor(week_n).cast("bigint").alias("week_n")
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "week_n")
+    )
