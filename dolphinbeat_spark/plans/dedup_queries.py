@@ -235,3 +235,41 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "name_a", "name_b", "edit_dist")
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "dedup_lsh_precision",
+    oracle=_MINHASH_CTE + _BANDS_CTE + f"""
+, truth AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+  FROM cand c
+  JOIN (SELECT doc_id, {_SHINGLES} AS sh FROM documents) a ON a.doc_id = c.id_a
+  JOIN (SELECT doc_id, {_SHINGLES} AS sh FROM documents) b ON b.doc_id = c.id_b
+)
+SELECT COUNT(*) AS n_candidates,
+       count_if(jaccard >= 0.5) AS n_true_pairs,
+       ROUND(CAST(count_if(jaccard >= 0.5) AS DOUBLE) / COUNT(*), 6) AS precision
+FROM truth
+""",
+    tags=("dedup", "lsh", "evaluation"),
+)
+def dedup_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess: the LSH banding's candidate PRECISION
+    against exact shingle Jaccard (>= 0.5) computed only for the
+    candidates — the cheap half of sketch evaluation (recall needs
+    all-pairs truth, which is exactly what LSH exists to avoid).
+    Exercises jaccard_pairs() as the verifier stage of the
+    candidate-generation → verification pipeline."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    sigs = D.minhash_signatures(d, "doc_id", "text", NUM_PERM, SHINGLE_K)
+    pairs = D.lsh_candidate_pairs(sigs, "doc_id", NUM_PERM, BANDS)
+    verified = D.jaccard_pairs(d, "doc_id", "text", pairs, SHINGLE_K)
+    return verified.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count_if(F.col("jaccard") >= 0.5).alias("n_true_pairs"),
+        F.round(
+            F.count_if(F.col("jaccard") >= 0.5).cast("double") / F.count(F.lit(1)), 6
+        ).alias("precision"),
+    )
