@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from dolphinbeat_spark.catalog import load
 from dolphinbeat_spark.functions.hashes import MERSENNE_61, hash64_sql, minhash_params
 from dolphinbeat_spark.operators import dedup as D
+from dolphinbeat_spark.operators.text import word_shingles as T_word_shingles
 from dolphinbeat_spark.plans.registry import register
 
 NUM_PERM = 32
@@ -272,4 +273,61 @@ def dedup_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.count_if(F.col("jaccard") >= 0.5).cast("double") / F.count(F.lit(1)), 6
         ).alias("precision"),
+    )
+
+
+@register(
+    "dedup_lsh_recall",
+    oracle=_MINHASH_CTE + _BANDS_CTE + f"""
+, universe AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM documents WHERE doc_id % 2 = 0
+), truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM universe a JOIN universe b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+)
+SELECT COUNT(*) AS n_true_pairs,
+       COALESCE(count_if(c.id_a IS NOT NULL), 0) AS n_captured,
+       ROUND(CASE WHEN COUNT(*) = 0 THEN 1.0
+                  ELSE CAST(count_if(c.id_a IS NOT NULL) AS DOUBLE) / COUNT(*) END, 6) AS recall
+FROM truth t LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+""",
+    tags=("dedup", "lsh", "evaluation"),
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of sketch evaluation: LSH candidate RECALL
+    against exact all-pairs Jaccard truth over a bounded universe
+    (doc_id % 2 == 0 — all-pairs truth is O(n²), which is the whole
+    reason LSH exists; the sample keeps the truth computable while the
+    candidates come from the FULL corpus banding)."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    uni = d.filter(F.col("doc_id") % 2 == 0)
+    sh = uni.select(
+        "doc_id", T_word_shingles(F.col("text")).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(inter.cast("double") / union >= 0.5)
+        .select("id_a", "id_b")
+    )
+    sigs = D.minhash_signatures(d, "doc_id", "text", NUM_PERM, SHINGLE_K)
+    cand = D.lsh_candidate_pairs(sigs, "doc_id", NUM_PERM, BANDS).withColumn(
+        "captured", F.lit(1)
+    )
+    joined = truth.join(cand, ["id_a", "id_b"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.count("captured").alias("n_captured"),
+        F.round(
+            F.when(F.count(F.lit(1)) == 0, F.lit(1.0)).otherwise(
+                F.count("captured").cast("double") / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("recall"),
     )
