@@ -39,3 +39,72 @@ def test_rollup_incremental_merge_equals_full(spark):
         )
     )
     assert _canon(merged) == _canon(full)
+
+
+def test_continuous_rollup_streaming(spark, tmp_path):
+    """Envelope stream → incrementally merged per-minute op-type
+    rollup; final table equals the one-pass batch aggregation."""
+    from dolphinbeat_spark.sources.fixture_source import (
+        golden_envelope_df,
+        register_fixture_source,
+    )
+    from dolphinbeat_spark.streaming.rollup import continuous_rollup
+
+    register_fixture_source(spark)
+    stream = (
+        spark.readStream.format("dolphinbeat_fixture")
+        .option("batch_size", "3")
+        .load()
+        .filter(F.col("timestamp").isNotNull())
+        .select("op_type", F.col("timestamp").cast("timestamp").alias("event_ts"))
+    )
+    rollup = str(tmp_path / "rollup")
+    q = continuous_rollup(
+        stream, rollup, str(tmp_path / "ckp"), "event_ts", ["op_type"]
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["bucket_start"], r["op_type"]): r["n_events"]
+        for r in spark.read.parquet(rollup).collect()
+    }
+    batch = (
+        golden_envelope_df(spark)
+        .filter(F.col("timestamp").isNotNull())
+        .groupBy(
+            F.date_trunc("minute", F.col("timestamp").cast("timestamp")).alias(
+                "bucket_start"
+            ),
+            "op_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    expect = {
+        (r["bucket_start"], r["op_type"]): r["n_events"] for r in batch.collect()
+    }
+    assert got == expect and got
+
+
+def test_continuous_rollup_replay_is_idempotent(spark, tmp_path):
+    """Replaying a batch (crash between merge and checkpoint commit)
+    must not double-count: the applied-marker skips it."""
+    from dolphinbeat_spark.sources.fixture_source import golden_envelope_df
+    from dolphinbeat_spark.streaming.rollup import merge_rollup_batch
+
+    rollup = str(tmp_path / "rollup")
+    b = (
+        golden_envelope_df(spark)
+        .filter(F.col("timestamp").isNotNull())
+        .select("op_type", F.col("timestamp").cast("timestamp").alias("event_ts"))
+    )
+    merge_rollup_batch(b, rollup, "event_ts", ["op_type"], batch_id=0)
+    once = sorted(
+        (r["bucket_start"], r["op_type"], r["n_events"])
+        for r in spark.read.parquet(rollup).collect()
+    )
+    merge_rollup_batch(b, rollup, "event_ts", ["op_type"], batch_id=0)  # replay
+    again = sorted(
+        (r["bucket_start"], r["op_type"], r["n_events"])
+        for r in spark.read.parquet(rollup).collect()
+    )
+    assert once == again
