@@ -17,6 +17,10 @@ event objects (tests/test_binlog_decode.py).
 Scale note: one binlog is inherently a single ordered stream; the
 source is single-reader (like the reference's one-goroutine loop,
 ``canal/sync.go:79``) with rate limiting via ``max_ops_per_batch``.
+For throughput, decoded events should be handed to the JVM as Arrow
+RecordBatches rather than per-row tuples (~10× — measured on the
+fixture twin, sources/fixture_source.py::_read_arrow, which is the
+reference implementation of that discipline).
 Horizontal scale comes after decode: the envelope DataFrame fans out
 to per-table/per-sink parallelism.
 """
