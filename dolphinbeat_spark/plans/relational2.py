@@ -194,20 +194,45 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_parts",
-    oracle=None,  # HLL sketches are engine-specific → rows-only check
+    # Sketch estimates are engine-specific, so the oracle checks the
+    # INVARIANT instead: the approx count must land within 5× the
+    # requested 1% rsd of the exact count. Both engines emit the same
+    # booleans (DuckDB trivially, Spark by actually computing both).
+    oracle="""
+SELECT l_returnflag,
+       TRUE AS parts_within_rsd,
+       TRUE AS orders_within_rsd
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
     tags=("relational", "aggregate", "approx"),
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the at-scale substitute
     for exact COUNT(DISTINCT) — no exact-mode expand, fixed-size
-    sketch, mergeable map-side. No oracle: sketch estimates are
-    engine-specific (the exact twin is agg_distinct_counts)."""
+    sketch, mergeable map-side. The estimate itself is engine-specific
+    (deterministic per engine, not portable), so the comparable output
+    is the banded invariant |approx - exact| / exact <= 5 * rsd; the
+    exact twin (un-banded values) is agg_distinct_counts."""
     li = load(spark, sf_dir, "lineitem")
+
+    def within(approx_col: str, exact_col: str):
+        rel_err = F.abs(F.col(approx_col) - F.col(exact_col)) / F.col(exact_col)
+        return rel_err <= F.lit(0.05)
+
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("ap"),
+            F.countDistinct("l_partkey").alias("ep"),
+            F.approx_count_distinct("l_orderkey", 0.01).alias("ao"),
+            F.countDistinct("l_orderkey").alias("eo"),
+        )
+        .select(
+            "l_returnflag",
+            within("ap", "ep").alias("parts_within_rsd"),
+            within("ao", "eo").alias("orders_within_rsd"),
         )
         .orderBy("l_returnflag")
     )

@@ -340,9 +340,9 @@ SELECT l_orderkey,
        qtys[len(qtys)] AS max_qty,
        list_reduce(qtys, (a, b) -> a + b) AS total_qty,
        len(list_filter(qtys, q -> q >= 25)) AS n_heavy,
-       list_transform(lns, x -> CAST(x AS BIGINT) * 10) AS lns_x10,
+       to_json(list_transform(lns, x -> CAST(x AS BIGINT) * 10)) AS lns_x10,
        list_contains(lns, 3) AS has_line3,
-       qtys[1:2] AS first_two
+       to_json(qtys[1:2]) AS first_two
 FROM arr
 WHERE l_orderkey % 20 = 0
 ORDER BY l_orderkey
@@ -369,9 +369,11 @@ def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("qtys", F.size("qtys")).alias("max_qty"),
             F.aggregate("qtys", F.lit(0).cast("bigint"), lambda a, b: a + b).alias("total_qty"),
             F.size(F.filter("qtys", lambda q: q >= 25)).alias("n_heavy"),
-            F.transform("lns", lambda x: x.cast("bigint") * 10).alias("lns_x10"),
+            # array-typed outputs ship as JSON strings: the driver's
+            # canonicalizer (pandas sort) can't hash list cells
+            F.to_json(F.transform("lns", lambda x: x.cast("bigint") * 10)).alias("lns_x10"),
             F.array_contains("lns", 3).alias("has_line3"),
-            F.slice("qtys", 1, 2).alias("first_two"),
+            F.to_json(F.slice("qtys", 1, 2)).alias("first_two"),
         )
         .orderBy("l_orderkey")
     )
@@ -536,7 +538,7 @@ WITH per_line AS (
   FROM per_line GROUP BY l_orderkey
 )
 SELECT l_orderkey,
-       list_transform(entries, e -> e.q) AS qtys,
+       to_json(list_transform(entries, e -> e.q)) AS qtys,
        CAST(ROUND(list_reduce(list_transform(entries, e -> e.q * e.p),
                   (a, b) -> a + b), 2) AS DOUBLE) AS dot_qty_price
 FROM arr
@@ -572,7 +574,8 @@ def array_zip_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return arr.select(
         "l_orderkey",
-        qtys.alias("qtys"),
+        # JSON string, not a raw array: driver canonicalizer can't hash lists
+        F.to_json(qtys).alias("qtys"),
         F.round(dot, 2).cast("double").alias("dot_qty_price"),
     ).orderBy("l_orderkey")
 

@@ -19,13 +19,13 @@ from dolphinbeat_spark.plans.registry import register
     oracle="""
 SELECT l_linestatus,
        COUNT(*) AS n_rows,
-       SUM(CASE WHEN NULLIF(l_returnflag, 'N') IS NOT DISTINCT FROM NULLIF(l_linestatus, 'O')
-                THEN 1 ELSE 0 END) AS n_nullsafe_eq,
-       SUM(CASE WHEN NULLIF(l_returnflag, 'N') = NULLIF(l_linestatus, 'O')
-                THEN 1 ELSE 0 END) AS n_plain_eq,
+       CAST(SUM(CASE WHEN NULLIF(l_returnflag, 'N') IS NOT DISTINCT FROM NULLIF(l_linestatus, 'O')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+       CAST(SUM(CASE WHEN NULLIF(l_returnflag, 'N') = NULLIF(l_linestatus, 'O')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_plain_eq,
        COUNT(NULLIF(l_returnflag, 'N')) AS n_nonnull_flag,
-       SUM(CASE WHEN COALESCE(NULLIF(l_returnflag, 'N'), '?') = '?'
-                THEN 1 ELSE 0 END) AS n_coalesced
+       CAST(SUM(CASE WHEN COALESCE(NULLIF(l_returnflag, 'N'), '?') = '?'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_coalesced
 FROM lineitem
 GROUP BY l_linestatus
 ORDER BY l_linestatus
@@ -275,8 +275,8 @@ WITH per_line AS (
   FROM per_line GROUP BY l_orderkey
 )
 SELECT l_orderkey, n_entries, qty_line1,
-       list_transform(entries, e -> e.k) AS keys_sorted,
-       list_transform(entries, e -> e.v) AS vals_by_key
+       to_json(list_transform(entries, e -> e.k)) AS keys_sorted,
+       to_json(list_transform(entries, e -> e.v)) AS vals_by_key
 FROM g
 WHERE l_orderkey % 100 = 0
 ORDER BY l_orderkey
@@ -310,10 +310,11 @@ def map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         F.size("qty_by_line").cast("bigint").alias("n_entries"),
         F.element_at("qty_by_line", F.lit(1)).alias("qty_line1"),
-        keys_sorted.alias("keys_sorted"),
-        F.transform(keys_sorted, lambda k: F.element_at("qty_by_line", k)).alias(
-            "vals_by_key"
-        ),
+        # JSON strings, not raw arrays: driver canonicalizer can't hash lists
+        F.to_json(keys_sorted).alias("keys_sorted"),
+        F.to_json(
+            F.transform(keys_sorted, lambda k: F.element_at("qty_by_line", k))
+        ).alias("vals_by_key"),
     ).orderBy("l_orderkey")
 
 
