@@ -14,10 +14,14 @@ Spark-side, with two deliberate design changes (SURVEY.md §7.4):
   ``schema/storage_boltdb.go`` collapses to a file per registry).
 
 The DDL dialect covered is the subset the reference's tests exercise
-(``canal/canal_test.go:73-80,129``; ``dump/dump_test.go:72-88``):
-CREATE TABLE, ALTER TABLE ADD/DROP/MODIFY/CHANGE COLUMN [FIRST|AFTER],
-RENAME, DROP TABLE, TRUNCATE. Unparseable DDL raises ``DdlError`` and
-is dead-lettered by the pipeline (reference C5's pause/repair loop).
+(``canal/canal_test.go:73-80,129``; ``dump/dump_test.go:72-88``) plus
+the forms any MySQL 8 quickstart emits: CREATE TABLE, ALTER TABLE
+ADD/DROP/MODIFY/CHANGE/RENAME COLUMN [FIRST|AFTER], parenthesized
+multi-ADD, ADD/DROP PRIMARY KEY, IF [NOT] EXISTS variants, RENAME
+[TO|AS] (mid-ALTER renames tombstone the old name and re-target the
+remaining actions), RENAME TABLE, DROP TABLE, TRUNCATE. Unparseable
+DDL raises ``DdlError`` and is dead-lettered by the pipeline
+(reference C5's pause/repair loop).
 """
 
 from __future__ import annotations
@@ -125,6 +129,11 @@ _RENAME_RE = re.compile(
     rf"^\s*RENAME\s+TABLE\s+(?:{_IDENT}\.)?{_IDENT}\s+TO\s+(?:{_IDENT}\.)?{_IDENT}",
     re.IGNORECASE,
 )
+# ALTER action `RENAME [TO|AS] new_tbl` — must NOT match RENAME COLUMN/INDEX/KEY
+_ALTER_RENAME_TBL_RE = re.compile(
+    rf"^RENAME\s+(?:TO\s+|AS\s+)?(?!COLUMN\b|INDEX\b|KEY\b)(?:{_IDENT}\.)?{_IDENT}\s*$",
+    re.IGNORECASE,
+)
 
 _DDL_PREFIXES = ("CREATE", "DROP", "ALTER", "RENAME", "TRUNCATE")
 _DCL_PREFIXES = ("GRANT", "REVOKE", "FLUSH")
@@ -190,12 +199,14 @@ def _parse_column(text: str) -> ColumnDef | None:
     if not m:
         raise DdlError(f"unparseable column definition: {text!r}")
     name, type_str, rest = m.group(1), m.group(2).lower(), m.group(3).upper()
+    key = "PRI" if "PRIMARY KEY" in rest else ("UNI" if "UNIQUE" in rest else "")
     return ColumnDef(
         name=name,
         type=type_str.strip(),
-        nullable="NOT NULL" not in rest,
+        # inline PRIMARY KEY implies NOT NULL (MySQL semantics)
+        nullable="NOT NULL" not in rest and key != "PRI",
         unsigned="UNSIGNED" in rest,
-        key="PRI" if "PRIMARY KEY" in rest else ("UNI" if "UNIQUE" in rest else ""),
+        key=key,
     )
 
 
@@ -277,8 +288,16 @@ class SchemaRegistry:
             if td is None:
                 raise DdlError(f"ALTER on unknown table {db}.{name}")
             cols = [ColumnDef(**asdict(c)) for c in td.columns]
+            # Table rename is handled HERE, not in _alter_action: the old
+            # name must stay tombstoned (no trailing bump under it) and
+            # any further actions in the same ALTER apply to the NEW name.
             for action in _split_top_level(actions):
-                cols = self._alter_action(cols, action, db, name)
+                a = action.strip()
+                if (m2 := _ALTER_RENAME_TBL_RE.match(a)) is not None:
+                    self._bump(db, name, None)
+                    db, name = m2.group(1) or db, m2.group(2)
+                else:
+                    cols = self._alter_action(cols, action, db, name)
             self._bump(db, name, TableDef(database=db, name=name, columns=cols, charset=td.charset))
         elif m := _RENAME_RE.match(stmt):
             odb, oname = m.group(1) or default_db, m.group(2)
@@ -317,8 +336,31 @@ class SchemaRegistry:
 
         if up.startswith(("ADD COLUMN", "ADD ")):
             body = re.sub(r"^ADD(\s+COLUMN)?\s+", "", a, flags=re.IGNORECASE)
-            if body.upper().startswith(("PRIMARY", "UNIQUE", "INDEX", "KEY", "CONSTRAINT", "FOREIGN")):
+            body = re.sub(r"^IF\s+NOT\s+EXISTS\s+", "", body, flags=re.IGNORECASE)
+            bu = body.upper()
+            if bu.startswith("PRIMARY"):
+                # ADD PRIMARY KEY (a, b): flag + NOT NULL the listed columns
+                if "(" not in body:
+                    return cols
+                pk = re.findall(r"\w+", body[body.index("(") + 1 : body.rindex(")")])
+                for c in cols:
+                    if c.name in pk:
+                        c.key = "PRI"
+                        c.nullable = False
                 return cols
+            if bu.startswith(("UNIQUE", "INDEX", "KEY", "CONSTRAINT", "FOREIGN", "FULLTEXT", "SPATIAL")):
+                return cols
+            if body.startswith("("):
+                # ADD (a INT, b VARCHAR(10), ...): parenthesized multi-add
+                out = list(cols)
+                for part in _split_top_level(body[1:body.rindex(")")]):
+                    col = _parse_column(part)
+                    if col is None:
+                        continue
+                    if col.name in [c.name for c in out]:
+                        raise DdlError(f"duplicate column {col.name} in {db}.{name}")
+                    out.append(col)
+                return out
             tail_m = re.search(r"\s+(FIRST|AFTER\s+`?\w+`?)\s*$", body, re.IGNORECASE)
             tail = tail_m.group(1) if tail_m else ""
             if tail_m:
@@ -329,10 +371,31 @@ class SchemaRegistry:
             if col.name in names:
                 raise DdlError(f"duplicate column {col.name} in {db}.{name}")
             return place(col, tail)
+        if up.startswith("DROP PRIMARY"):
+            # PK dropped; columns keep NOT NULL (MySQL retains the attribute)
+            for c in cols:
+                if c.key == "PRI":
+                    c.key = ""
+            return cols
+        if up.startswith("RENAME COLUMN"):
+            m2 = re.match(rf"RENAME\s+COLUMN\s+{_IDENT}\s+TO\s+{_IDENT}", a, re.IGNORECASE)
+            if not m2:
+                raise DdlError(f"unparseable RENAME COLUMN: {action!r}")
+            old, new = m2.group(1), m2.group(2)
+            if old not in names:
+                raise DdlError(f"RENAME COLUMN of unknown {old} in {db}.{name}")
+            for c in cols:
+                if c.name == old:
+                    c.name = new
+            return cols
+        if up.startswith(("RENAME INDEX", "RENAME KEY")):
+            return cols  # shape-neutral
         if up.startswith("DROP COLUMN") or (
-            up.startswith("DROP ") and not up.startswith(("DROP PRIMARY", "DROP INDEX", "DROP KEY", "DROP FOREIGN"))
+            up.startswith("DROP ") and not up.startswith(("DROP PRIMARY", "DROP INDEX", "DROP KEY", "DROP FOREIGN", "DROP CONSTRAINT", "DROP CHECK"))
         ):
-            m2 = re.match(rf"DROP(?:\s+COLUMN)?\s+{_IDENT}", a, re.IGNORECASE)
+            m2 = re.match(
+                rf"DROP(?:\s+COLUMN)?\s+(?:IF\s+EXISTS\s+)?{_IDENT}", a, re.IGNORECASE
+            )
             if not m2:
                 raise DdlError(f"unparseable DROP: {action!r}")
             return [c for c in cols if c.name != m2.group(1)]
@@ -358,13 +421,8 @@ class SchemaRegistry:
             old_name, rest = m2.group(1), m2.group(2)
             col = _parse_column(rest)
             return [col if c.name == old_name else c for c in cols]
-        if up.startswith(("RENAME TO", "RENAME ")):
-            m2 = re.match(rf"RENAME\s+(?:TO\s+)?(?:{_IDENT}\.)?{_IDENT}", a, re.IGNORECASE)
-            ndb, nname = m2.group(1) or db, m2.group(2)
-            self._bump(db, name, None)
-            self._bump(ndb, nname, TableDef(database=ndb, name=nname, columns=cols))
-            return cols
         # ENGINE=/CHARSET=/AUTO_INCREMENT=/ADD INDEX … — shape-neutral
+        # (table RENAME is routed in _apply_one, never reaches here)
         return cols
 
     # -- persistence -----------------------------------------------------

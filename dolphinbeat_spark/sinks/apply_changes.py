@@ -35,23 +35,65 @@ from pyspark.sql import functions as F
 ROW_OPS = ("insert", "update", "delete")
 
 
+def _img_val(image: str, col: str):
+    """Resolve one column from a stringly image map honoring the D12
+    null flag: the wire encodes NULL as "" plus a true bit in
+    ``{image}_null`` (same resolution ``typed_view`` applies), so a
+    snapshot must store NULL, not ""."""
+    raw = F.col(image).getItem(col)
+    is_null = F.coalesce(F.col(f"{image}_null").getItem(col), F.lit(False))
+    return F.when(is_null, F.lit(None)).otherwise(raw)
+
+
+def normalize_pk_changes(batch: DataFrame) -> DataFrame:
+    """Rewrite every update op as delete(before-image) + insert(after-
+    image) at the same log coordinates.
+
+    MySQL ROW update events carry both images and the primary key MAY
+    change between them; keying an update on its after-image alone
+    would leave the old-key row live in the snapshot forever. After the
+    split each op has exactly one key: after-image for inserts,
+    before-image for deletes. ``__op_rank`` breaks the tie at identical
+    coordinates so the insert half wins over the delete half when the
+    key did NOT change."""
+    ops = batch.filter(F.col("op_type").isin(*ROW_OPS))
+    non_upd = ops.filter(F.col("op_type") != "update").withColumn("__op_rank", F.lit(1))
+    upd = ops.filter(F.col("op_type") == "update")
+    null_map = F.lit(None).cast("map<string,string>")
+    null_flags = F.lit(None).cast("map<string,boolean>")
+    as_delete = (
+        upd.withColumn("op_type", F.lit("delete"))
+        .withColumn("after", null_map)
+        .withColumn("after_null", null_flags)
+        .withColumn("__op_rank", F.lit(0))
+    )
+    as_insert = (
+        upd.withColumn("op_type", F.lit("insert"))
+        .withColumn("before", null_map)
+        .withColumn("before_null", null_flags)
+        .withColumn("__op_rank", F.lit(2))
+    )
+    return non_upd.unionByName(as_delete).unionByName(as_insert)
+
+
 def last_op_per_key(batch: DataFrame, key_cols: list[str]) -> DataFrame:
     """Collapse a micro-batch to one terminal op per key, ordered by
     binlog coordinates (log_name, log_pos) — the batch-local winner.
     Keys come from the after-image for upserts, before-image for
-    deletes."""
+    deletes (null-flag-resolved). Honors ``__op_rank`` (from
+    ``normalize_pk_changes``) as the within-coordinate tie-break."""
     ops = batch.filter(F.col("op_type").isin(*ROW_OPS))
+    if "__op_rank" not in ops.columns:
+        ops = ops.withColumn("__op_rank", F.lit(1))
     keyed = ops.select(
         "*",
         *[
-            F.coalesce(
-                F.col("after").getItem(k), F.col("before").getItem(k)
-            ).alias(f"__k_{k}")
+            F.coalesce(_img_val("after", k), _img_val("before", k)).alias(f"__k_{k}")
             for k in key_cols
         ],
     )
     w = Window.partitionBy(*[f"__k_{k}" for k in key_cols]).orderBy(
-        F.col("log_name").desc(), F.col("log_pos").desc()
+        F.col("log_name").desc(), F.col("log_pos").desc(), F.col("__op_rank").desc()
     )
     return (
         keyed.withColumn("__rn", F.row_number().over(w))
@@ -68,10 +110,10 @@ def apply_batch(
     value_cols: list[str],
 ) -> None:
     """Merge one batch of envelope ops into the parquet snapshot."""
-    winners = last_op_per_key(batch, key_cols)
+    winners = last_op_per_key(normalize_pk_changes(batch), key_cols)
     upserts = winners.filter(F.col("op_type") != "delete").select(
         *[F.col(f"__k_{k}").alias(k) for k in key_cols],
-        *[F.col("after").getItem(c).alias(c) for c in value_cols],
+        *[_img_val("after", c).alias(c) for c in value_cols],
     )
     deletes = winners.filter(F.col("op_type") == "delete").select(
         *[F.col(f"__k_{k}").alias(k) for k in key_cols]
@@ -126,17 +168,19 @@ def scd2_history(batch: DataFrame, key_cols: list[str], value_cols: list[str]) -
     new version. Pure window arithmetic (lead over per-key op order):
     one shuffle on the key, linear in ops. At 100 TB the history table
     appends per batch; closing the previous open version is a keyed
-    MERGE exactly like apply_batch's."""
+    MERGE exactly like apply_batch's. Updates are keyed on the
+    after-image: a PK-changing update starts a new key's history (the
+    old key's last version stays open — history is per-key identity)."""
     ops = batch.filter(F.col("op_type").isin(*ROW_OPS))
     keyed = ops.select(
         "op_type",
         "log_name",
         "log_pos",
         *[
-            F.coalesce(F.col("after").getItem(k), F.col("before").getItem(k)).alias(k)
+            F.coalesce(_img_val("after", k), _img_val("before", k)).alias(k)
             for k in key_cols
         ],
-        *[F.col("after").getItem(c).alias(c) for c in value_cols],
+        *[_img_val("after", c).alias(c) for c in value_cols],
     )
     w = Window.partitionBy(*key_cols).orderBy("log_name", "log_pos")
     with_next = keyed.withColumn(
@@ -172,12 +216,12 @@ def apply_batch_partitioned(
 
     Same last-op-per-key semantics as apply_batch; replay-idempotent
     (dynamic overwrite of the same buckets converges)."""
-    winners = last_op_per_key(batch, key_cols)
+    winners = last_op_per_key(normalize_pk_changes(batch), key_cols)
     key_exprs = [F.col(f"__k_{k}") for k in key_cols]
     bucket = F.pmod(F.xxhash64(*key_exprs), F.lit(num_buckets)).cast("int")
     upserts = winners.filter(F.col("op_type") != "delete").select(
         *[F.col(f"__k_{k}").alias(k) for k in key_cols],
-        *[F.col("after").getItem(c).alias(c) for c in value_cols],
+        *[_img_val("after", c).alias(c) for c in value_cols],
         bucket.alias("__bucket"),
     )
     deletes = winners.filter(F.col("op_type") == "delete").select(

@@ -32,14 +32,15 @@ def merge_rollup_batch(
 ) -> None:
     """Merge one batch's counts into the persistent rollup parquet.
     ``batch_id`` (when given) makes the merge replay-idempotent via an
-    applied-marker file."""
-    marker = None
-    if batch_id is not None:
-        marker_dir = rollup_path + "_applied"
-        os.makedirs(marker_dir, exist_ok=True)
-        marker = os.path.join(marker_dir, str(batch_id))
-        if os.path.exists(marker):
-            return  # replayed batch: already folded in
+    applied-marker file INSIDE the rollup directory: the atomic rename
+    commits data and marker together, so there is no crash window
+    between "data swapped" and "marker written" that would double-count
+    the batch on restart (Spark's parquet reader ignores ``_``-prefixed
+    files, same convention as ``_SUCCESS``)."""
+    if batch_id is not None and os.path.exists(
+        os.path.join(rollup_path, f"_applied_{batch_id}")
+    ):
+        return  # replayed batch: already folded in
     spark = batch.sparkSession
     part = batch.groupBy(
         F.date_trunc(grain, ts_col).alias("bucket_start"), *group_cols
@@ -59,10 +60,16 @@ def merge_rollup_batch(
     import shutil
 
     if os.path.exists(rollup_path):
+        # carry prior batches' markers forward, then stamp this batch —
+        # all BEFORE the rename that makes the new snapshot live
+        for f in os.listdir(rollup_path):
+            if f.startswith("_applied_"):
+                open(os.path.join(tmp, f), "w").close()
+    if batch_id is not None:
+        open(os.path.join(tmp, f"_applied_{batch_id}"), "w").close()
+    if os.path.exists(rollup_path):
         shutil.rmtree(rollup_path)
     os.rename(tmp, rollup_path)
-    if marker is not None:
-        open(marker, "w").close()
 
 
 def continuous_rollup(

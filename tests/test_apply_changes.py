@@ -73,6 +73,87 @@ def test_apply_changes_streaming_end_to_end(spark, tmp_path):
     assert _state(spark, snap) == {"1": "a2", "3": "c"}
 
 
+def test_pk_changing_update_removes_old_key(spark, tmp_path):
+    """An update whose primary key CHANGES must delete the old-key row
+    (MySQL ROW update events may rewrite the PK)."""
+    from dolphinbeat_spark.envelope import empty_op
+
+    snap = str(tmp_path / "snap")
+    common = dict(server_id=1, log_name="binlog.000001", db="d", table="t", schema_version=1)
+    b1 = spark.createDataFrame(
+        [
+            empty_op(op_type="insert", log_pos=100, after={"id": "1", "name": "a"},
+                     after_null={"id": False, "name": False}, **common),
+            empty_op(op_type="insert", log_pos=120, after={"id": "2", "name": "b"},
+                     after_null={"id": False, "name": False}, **common),
+        ],
+        ENVELOPE_SCHEMA,
+    )
+    apply_batch(spark, b1, snap, ["id"], ["name"])
+    assert _state(spark, snap) == {"1": "a", "2": "b"}
+    # update 1 -> 9 (PK change) in a later batch
+    b2 = spark.createDataFrame(
+        [
+            empty_op(op_type="update", log_pos=200,
+                     before={"id": "1", "name": "a"}, before_null={"id": False, "name": False},
+                     after={"id": "9", "name": "a9"}, after_null={"id": False, "name": False},
+                     **common),
+        ],
+        ENVELOPE_SCHEMA,
+    )
+    apply_batch(spark, b2, snap, ["id"], ["name"])
+    assert _state(spark, snap) == {"9": "a9", "2": "b"}
+    # batch-internal chain: insert(5) then PK-change update 5 -> 6
+    b3 = spark.createDataFrame(
+        [
+            empty_op(op_type="insert", log_pos=300, after={"id": "5", "name": "e"},
+                     after_null={"id": False, "name": False}, **common),
+            empty_op(op_type="update", log_pos=320,
+                     before={"id": "5", "name": "e"}, before_null={"id": False, "name": False},
+                     after={"id": "6", "name": "f"}, after_null={"id": False, "name": False},
+                     **common),
+        ],
+        ENVELOPE_SCHEMA,
+    )
+    apply_batch(spark, b3, snap, ["id"], ["name"])
+    assert _state(spark, snap) == {"9": "a9", "2": "b", "6": "f"}
+
+
+def test_pk_changing_update_partitioned(spark, tmp_path):
+    from dolphinbeat_spark.envelope import empty_op
+    from dolphinbeat_spark.sinks.apply_changes import (
+        apply_batch_partitioned,
+        read_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    common = dict(server_id=1, log_name="binlog.000001", db="d", table="t", schema_version=1)
+    b1 = spark.createDataFrame(
+        [
+            empty_op(op_type="insert", log_pos=100, after={"id": "1", "name": "a"},
+                     after_null={"id": False, "name": False}, **common),
+            empty_op(op_type="update", log_pos=200,
+                     before={"id": "1", "name": "a"}, before_null={"id": False, "name": False},
+                     after={"id": "2", "name": "a2"}, after_null={"id": False, "name": False},
+                     **common),
+        ],
+        ENVELOPE_SCHEMA,
+    )
+    apply_batch_partitioned(spark, b1, snap, ["id"], ["name"], num_buckets=4)
+    state = {r["id"]: r["name"] for r in read_snapshot(spark, snap).collect()}
+    assert state == {"2": "a2"}
+
+
+def test_snapshot_stores_null_not_empty_string(spark, tmp_path):
+    """D12 contract: NULL wire-encodes as "" + null-flag; the snapshot
+    must resolve it back to a real NULL (golden id=3's content)."""
+    snap = str(tmp_path / "snap")
+    apply_batch(spark, _golden_df(spark), snap, ["id"], ["name", "content"])
+    rows = {r["id"]: r for r in spark.read.parquet(snap).collect()}
+    assert rows["3"]["content"] is None  # flagged null, not ""
+    assert rows["1"]["content"] == ""  # genuinely empty string survives
+
+
 def test_scd2_history(spark):
     from dolphinbeat_spark.sinks.apply_changes import scd2_history
 

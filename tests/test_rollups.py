@@ -102,9 +102,26 @@ def test_continuous_rollup_replay_is_idempotent(spark, tmp_path):
         (r["bucket_start"], r["op_type"], r["n_events"])
         for r in spark.read.parquet(rollup).collect()
     )
+    # marker commits ATOMICALLY with the data (inside the snapshot dir,
+    # landed by the same rename) — no crash window between swap and mark
+    import os
+
+    assert os.path.exists(os.path.join(rollup, "_applied_0"))
     merge_rollup_batch(b, rollup, "event_ts", ["op_type"], batch_id=0)  # replay
     again = sorted(
         (r["bucket_start"], r["op_type"], r["n_events"])
         for r in spark.read.parquet(rollup).collect()
     )
     assert once == again
+    # markers from earlier batches carry forward across later merges
+    merge_rollup_batch(b, rollup, "event_ts", ["op_type"], batch_id=1)
+    assert os.path.exists(os.path.join(rollup, "_applied_0"))
+    assert os.path.exists(os.path.join(rollup, "_applied_1"))
+    merge_rollup_batch(b, rollup, "event_ts", ["op_type"], batch_id=1)  # replay
+    final = sorted(
+        (r["bucket_start"], r["op_type"], r["n_events"])
+        for r in spark.read.parquet(rollup).collect()
+    )
+    assert [(b_, o, n) for (b_, o, n) in final] == [
+        (b_, o, 2 * n) for (b_, o, n) in once
+    ]

@@ -87,6 +87,65 @@ def test_rename_and_drop():
     assert reg.tables() == []
 
 
+def test_alter_rename_to_tombstones_old_name():
+    """ALTER ... RENAME TO must NOT resurrect the old name (a later
+    re-created table under the old name must resolve its own def)."""
+    reg = SchemaRegistry()
+    reg.apply_ddl("CREATE TABLE d.t (a INT)")
+    reg.apply_ddl("ALTER TABLE d.t RENAME TO t2")
+    assert reg.get("d", "t") is None
+    assert reg.get("d", "t2").column_names() == ["a"]
+    assert reg.tables() == [("d", "t2")]
+    # re-create under the old name: fresh def, not the stale one
+    reg.apply_ddl("CREATE TABLE d.t (x BIGINT, y INT)")
+    assert reg.get("d", "t").column_names() == ["x", "y"]
+    # RENAME AS variant + rename with a second action in the same ALTER
+    reg.apply_ddl("ALTER TABLE d.t2 ADD b INT, RENAME AS d.t3, ADD c INT")
+    assert reg.get("d", "t2") is None
+    assert reg.get("d", "t3").column_names() == ["a", "b", "c"]
+
+
+def test_rename_column_and_pk_actions():
+    reg = SchemaRegistry()
+    reg.apply_ddl("CREATE TABLE d.t (a INT NOT NULL, b VARCHAR(10))")
+    reg.apply_ddl("ALTER TABLE d.t RENAME COLUMN b TO b2")
+    assert reg.get("d", "t").column_names() == ["a", "b2"]
+    reg.apply_ddl("ALTER TABLE d.t ADD PRIMARY KEY (a)")
+    td = reg.get("d", "t")
+    assert td.primary_key() == ["a"] and not td.columns[0].nullable
+    reg.apply_ddl("ALTER TABLE d.t DROP PRIMARY KEY")
+    td = reg.get("d", "t")
+    assert td.primary_key() == [] and not td.columns[0].nullable  # NOT NULL kept
+    with pytest.raises(DdlError):
+        reg.apply_ddl("ALTER TABLE d.t RENAME COLUMN nope TO x")
+
+
+def test_multi_add_parenthesized_and_if_exists():
+    reg = SchemaRegistry()
+    reg.apply_ddl("CREATE TABLE d.t (a INT)")
+    reg.apply_ddl("ALTER TABLE d.t ADD (b DECIMAL(18,4), c VARCHAR(20) NOT NULL)")
+    td = reg.get("d", "t")
+    assert td.column_names() == ["a", "b", "c"]
+    assert td.columns[1].spark_field().dataType == T.DecimalType(18, 4)
+    assert not td.columns[2].nullable
+    reg.apply_ddl("ALTER TABLE d.t ADD COLUMN IF NOT EXISTS d INT")
+    reg.apply_ddl("ALTER TABLE d.t DROP COLUMN IF EXISTS b")
+    assert reg.get("d", "t").column_names() == ["a", "c", "d"]
+    # shape-neutral breadth: index renames, fulltext, constraint drops
+    v = reg.version
+    reg.apply_ddl("ALTER TABLE d.t RENAME INDEX i1 TO i2, ADD FULLTEXT KEY ft (c)")
+    assert reg.get("d", "t").column_names() == ["a", "c", "d"]
+    assert reg.version > v  # still versioned (a DDL happened)
+
+
+def test_inline_primary_key_not_null():
+    reg = SchemaRegistry()
+    reg.apply_ddl("CREATE TABLE d.t (id INT PRIMARY KEY, v VARCHAR(5))")
+    td = reg.get("d", "t")
+    assert td.primary_key() == ["id"]
+    assert td.spark_schema()[0] == T.StructField("id", T.IntegerType(), False)
+
+
 def test_idempotent_replay_by_position():
     reg = SchemaRegistry()
     reg.apply_ddl("CREATE TABLE d.t (a INT)", position=("binlog.1", 100))
