@@ -135,12 +135,78 @@ def brute_force_topk_pandas(
 def cosine_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
-    """All id_a < id_b pairs with cosine >= threshold (exact)."""
+    """All id_a < id_b pairs with cosine >= threshold (exact).
+
+    O(n²) pair materialization — BOUNDED INPUTS ONLY: the truth side of
+    recall evals and tiny reference sets. The scale path is
+    :func:`cosine_near_dup_pairs_banded` (equi-join on LSH bands)."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_similarity("__va", "__vb").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def lsh_band_keys(vec_col: Column | str, num_planes: int, bands: int, dim: int) -> Column:
+    """Array of (band, band_key) structs: the hyperplane signature split
+    into ``bands`` contiguous groups of ``num_planes // bands`` bits.
+    Pure integer arithmetic on the portable signature — the DuckDB
+    oracle regenerates identical keys."""
+    bits = num_planes // bands
+    sig = lsh_bucket(vec_col, num_planes, dim)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            (
+                F.floor(sig / F.pow(F.lit(2.0), (b * bits).cast("double"))).cast("bigint")
+                % F.lit(2**bits)
+            ).alias("band_key"),
+        ),
+    )
+
+
+def cosine_near_dup_pairs_banded(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    num_planes: int,
+    bands: int,
+    dim: int,
+) -> DataFrame:
+    """Near-dup pairs via banded random-hyperplane LSH: candidates are
+    pairs sharing at least one band of the signature; exact cosine is
+    scored ONLY within candidates.
+
+    The scale shape: each vector shuffles once per band to its
+    (band, band_key) bucket, candidates come from an equi-join inside
+    buckets (never an all-pairs product), pair dedup is a shuffle on
+    the candidate set, and the vector fetch is two keyed joins. Recall
+    against the exact all-pairs form is the standard OR-amplified bound
+    1 - (1 - p^bits)^bands with p = 1 - theta/pi per bit — tune
+    (num_planes, bands) to the target threshold; high thresholds
+    (true near-dups) need far fewer planes than loose ones.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(lsh_band_keys(vec_col, num_planes, bands, dim)).alias("__bk"),
+    ).select("__id", F.col("__bk.band").alias("band"), F.col("__bk.band_key").alias("band_key"))
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", cosine_similarity("__va", "__vb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

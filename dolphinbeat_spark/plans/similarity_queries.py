@@ -74,23 +74,47 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(q, emb, "vec_id", "embedding", K).orderBy("query_id", "rank")
 
 
+NEAR_DUP_BANDS = 4  # 12 planes -> 4 bands x 3 bits
+
+
 @register(
     "sim_cosine_near_dup",
+    # The oracle mirrors the SAME deterministic banded candidate
+    # generation (portable hyperplane hash), so both engines verify the
+    # full pipeline: signature -> band split -> bucket join -> exact
+    # cosine. The un-banded all-pairs truth stays available as
+    # operators/similarity.py::cosine_near_dup_pairs for bounded evals
+    # (dedup_lsh_recall pattern).
     oracle=f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {_cos('a.embedding', 'b.embedding')} AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_cos('a.embedding', 'b.embedding')} >= {NEAR_DUP_THRESHOLD}
+WITH sig AS (
+  SELECT vec_id, embedding, ({_BUCKET}) AS sig FROM embeddings
+), banded AS (
+  SELECT vec_id, b AS band,
+         CAST(FLOOR(sig / POW(2, b * 3)) AS BIGINT) % 8 AS band_key
+  FROM sig, unnest(range(0, {NEAR_DUP_BANDS})) AS u(b)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b, {_cos('ea.embedding', 'eb.embedding')} AS cosine
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE {_cos('ea.embedding', 'eb.embedding')} >= {NEAR_DUP_THRESHOLD}
 ORDER BY id_a, id_b
 """,
     tags=("similarity", "dedup"),
 )
 def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine >= 0.4)."""
+    """Embedding near-duplicate pairs (cosine >= 0.4) within banded-LSH
+    candidates — the 100 TB shape: bucket equi-join, never an all-pairs
+    product (VERDICT r1 #7)."""
     emb = load(spark, sf_dir, "embeddings", widen=True)
-    return S.cosine_near_dup_pairs(emb, "vec_id", "embedding", NEAR_DUP_THRESHOLD).orderBy(
-        "id_a", "id_b"
-    )
+    return S.cosine_near_dup_pairs_banded(
+        emb, "vec_id", "embedding", NEAR_DUP_THRESHOLD,
+        num_planes=NUM_PLANES, bands=NEAR_DUP_BANDS, dim=DIM,
+    ).orderBy("id_a", "id_b")
 
 
 @register(
