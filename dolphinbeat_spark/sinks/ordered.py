@@ -33,12 +33,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-class OrderedFileSink:
-    """foreachBatch writer: ordered + seq-stamped parquet per batch."""
+class SeqStampedSink:
+    """Shared discipline for every ordered sink: persisted per-batch
+    base sequence (replay-stable) + total order inside one partition.
 
-    def __init__(self, out_dir: str, producer_id: int = 1) -> None:
-        self.out_dir = Path(out_dir)
-        self.meta_dir = self.out_dir / "_seq_meta"
+    ``meta_dir`` is the collapsed K6 recovery scan: instead of reading
+    the topic tail backwards for the last committed seq
+    (``sink/kafka/kafka.go:345-368``), the base/row-count of each batch
+    id is committed to a tiny JSON next to the sink."""
+
+    def __init__(self, meta_dir: str | Path, producer_id: int = 1) -> None:
+        self.meta_dir = Path(meta_dir)
         self.meta_dir.mkdir(parents=True, exist_ok=True)
         self.producer_id = producer_id
 
@@ -59,15 +64,32 @@ class OrderedFileSink:
         tmp.write_text(json.dumps({"base_seq": base_seq, "n_rows": n_rows}))
         os.replace(tmp, self.meta_dir / f"{batch_id}.json")
 
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        base = self._base_seq(batch_id)
+    def _stamped(self, batch_df: DataFrame, base: int) -> DataFrame:
+        """Order by binlog coordinates, stamp seq + producer_id, and
+        collapse to ONE partition — total order only at the sink
+        boundary, full parallelism upstream (the reference pays the
+        same single-partition price for total order, kafka.go:91-95)."""
         w = Window.orderBy("log_name", "log_pos")
-        ordered = (
-            batch_df.withColumn("seq", (F.row_number().over(w) + F.lit(base)).cast("bigint"))
+        return (
+            batch_df.withColumn(
+                "seq", (F.row_number().over(w) + F.lit(base)).cast("bigint")
+            )
             .withColumn("producer_id", F.lit(self.producer_id).cast("bigint"))
             .coalesce(1)
             .sortWithinPartitions("seq")
         )
+
+
+class OrderedFileSink(SeqStampedSink):
+    """foreachBatch writer: ordered + seq-stamped parquet per batch."""
+
+    def __init__(self, out_dir: str, producer_id: int = 1) -> None:
+        self.out_dir = Path(out_dir)
+        super().__init__(self.out_dir / "_seq_meta", producer_id)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        base = self._base_seq(batch_id)
+        ordered = self._stamped(batch_df, base)
         n = ordered.count()
         # overwrite per-batch path: replay-idempotent
         ordered.write.mode("overwrite").parquet(str(self.out_dir / f"batch={batch_id}"))
@@ -81,24 +103,144 @@ def read_with_consumer_dedup(spark, out_dir: str) -> DataFrame:
     return df.dropDuplicates(["producer_id", "seq"]).orderBy("producer_id", "seq")
 
 
-class KafkaOrderedSink:
-    """Same discipline against Kafka: fixed topic+partition, idempotent
-    producer, seq in the message envelope. Requires a Kafka client
-    (``confluent_kafka``) — not bundled in this environment, so the
-    constructor degrades to a clear error while the batch-shaping logic
-    stays covered by OrderedFileSink tests."""
+def kafka_message_value(producer_id_col=None, seq_col=None) -> "F.Column":
+    """The message envelope: every non-internal column JSON-packed plus
+    (producer_id, seq) — the fields the reference's client decoder keys
+    its dedup on (``sink/kafka/client/go/decoder.go:161-165``)."""
+    return F.to_json(F.struct("*"))
 
-    def __init__(self, topic: str, bootstrap: str, producer_id: int = 1, partition: int = 0):
-        try:
-            import confluent_kafka  # noqa: F401
-        except ImportError as ex:  # pragma: no cover
-            raise ImportError(
-                "KafkaOrderedSink requires confluent_kafka; use "
-                "OrderedFileSink or writeStream.format('kafka') with a "
-                "fixed 'partition' column instead"
-            ) from ex
-        self.topic, self.bootstrap = topic, bootstrap
-        self.producer_id, self.partition = producer_id, partition
 
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:  # pragma: no cover
-        raise NotImplementedError("activated only with a Kafka client present")
+class KafkaOrderedSink(SeqStampedSink):
+    """The reference's Kafka path (``sink/kafka/kafka.go:82-126,
+    280-343``): every op produced to ONE topic-partition in binlog
+    order, seq in the message, delivery confirmed before the batch's
+    seq metadata commits (acks=all + flush ≙ the reference's
+    wait-for-ack loop).
+
+    ``producer_factory() -> producer`` is injectable; the default
+    builds a ``confluent_kafka.Producer`` with the idempotent-producer
+    config. The produce loop runs DRIVER-side over the single ordered
+    partition (total order is the contract; throughput bound is the
+    same one the reference accepts, K1). A failed delivery raises →
+    Structured Streaming retries the batch with the same id → the
+    replay regenerates byte-identical messages and consumer seq-dedup
+    (``read_with_consumer_dedup`` / K7) collapses the overlap:
+    at-least-once transport + dedup = exactly-once."""
+
+    def __init__(
+        self,
+        topic: str,
+        bootstrap: str,
+        meta_dir: str,
+        producer_id: int = 1,
+        partition: int = 0,
+        producer_factory=None,
+        poll_every: int = 1000,
+    ):
+        super().__init__(meta_dir, producer_id)
+        self.topic, self.bootstrap, self.partition = topic, bootstrap, partition
+        self._factory = producer_factory or (lambda: _confluent_producer(bootstrap))
+        self.poll_every = poll_every
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        base = self._base_seq(batch_id)
+        ordered = self._stamped(batch_df, base)
+        payload = ordered.select(
+            F.col("seq"),
+            kafka_message_value().alias("value"),
+        )
+        producer = self._factory()
+        errors: list = []
+        n = 0
+        # toLocalIterator over the single sorted partition preserves the
+        # produce order (the reference's per-op produce loop,
+        # kafka.go:280-343); poll() drains delivery callbacks in-flight
+        for row in payload.toLocalIterator():
+            producer.produce(
+                topic=self.topic,
+                partition=self.partition,
+                key=str(row["seq"]).encode(),
+                value=row["value"].encode(),
+                on_delivery=lambda err, msg: errors.append(err) if err else None,
+            )
+            n += 1
+            if n % self.poll_every == 0:
+                producer.poll(0)
+        producer.flush()
+        if errors:
+            raise RuntimeError(f"kafka delivery failed for {len(errors)} messages: {errors[0]}")
+        self._commit_meta(batch_id, base, n)
+
+
+def _confluent_producer(bootstrap: str):  # pragma: no cover - needs kafka client
+    try:
+        from confluent_kafka import Producer
+    except ImportError as ex:
+        raise ImportError(
+            "KafkaOrderedSink requires confluent_kafka; use "
+            "OrderedFileSink or kafka_writestream() (built-in Spark "
+            "kafka format, no extra client) instead"
+        ) from ex
+    return Producer(
+        {
+            "bootstrap.servers": bootstrap,
+            "enable.idempotence": True,  # broker-side producer dedup
+            "acks": "all",
+            "compression.type": "lz4",
+        }
+    )
+
+
+def kafka_batch_payload(
+    batch_df: DataFrame, batch_id: int, sink: SeqStampedSink, partition: int = 0
+) -> DataFrame:
+    """Zero-extra-dependency Kafka path: shape a batch for Spark's
+    built-in ``kafka`` writer — columns (key, value, partition). The
+    fixed ``partition`` column pins every message to one Kafka
+    partition (the writer honors it), the single sorted Spark partition
+    makes the one write task produce in seq order. Returns the payload
+    DataFrame; the caller writes it with
+    ``.write.format("kafka").option("kafka.bootstrap.servers", ...)``.
+    """
+    base = sink._base_seq(batch_id)
+    ordered = sink._stamped(batch_df, base)
+    return ordered.select(
+        F.col("seq").cast("string").cast("binary").alias("key"),
+        kafka_message_value().cast("binary").alias("value"),
+        F.lit(partition).cast("int").alias("partition"),
+    )
+
+
+def kafka_writestream(
+    stream: DataFrame,
+    topic: str,
+    bootstrap: str,
+    checkpoint: str,
+    meta_dir: str,
+    producer_id: int = 1,
+    partition: int = 0,
+):
+    """Streaming entry for the built-in-format path: foreachBatch
+    shapes each batch via :func:`kafka_batch_payload` and writes it
+    with Spark's own kafka sink (no client library needed), committing
+    seq metadata after the write returns."""
+    shaper = SeqStampedSink(meta_dir, producer_id)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        base = shaper._base_seq(batch_id)
+        payload = kafka_batch_payload(batch_df, batch_id, shaper, partition)
+        n = payload.count()
+        (
+            payload.write.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("topic", topic)
+            .save()
+        )
+        shaper._commit_meta(batch_id, base, n)
+
+    return (
+        stream.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -88,6 +88,97 @@ def test_ordered_sink_replay_is_idempotent(spark, tmp_path):
     assert seqs == list(range(1, len(first) + 3))
 
 
+class _FakeProducer:
+    """confluent-shaped producer capturing the produce loop; delivery
+    callbacks fire synchronously (err=None, or the injected error)."""
+
+    def __init__(self, log, fail=False):
+        self.log, self.fail = log, fail
+        self.flushed = False
+
+    def produce(self, topic, partition, key, value, on_delivery):
+        self.log.append((topic, partition, key, value))
+        on_delivery("broker unreachable" if self.fail else None, None)
+
+    def poll(self, timeout):
+        pass
+
+    def flush(self):
+        self.flushed = True
+
+
+def test_kafka_ordered_sink_produce_loop(spark, tmp_path):
+    """K1 produce-loop contract: one topic-partition, seq order,
+    replay regenerates identical bytes, new batch continues the seq."""
+    from dolphinbeat_spark.sinks.ordered import KafkaOrderedSink
+
+    env = golden_envelope_df(spark).filter(F.col("log_pos").isNotNull())
+    log = []
+    sink = KafkaOrderedSink(
+        "ops", "broker:9092", meta_dir=str(tmp_path / "meta"), producer_id=7,
+        producer_factory=lambda: _FakeProducer(log),
+    )
+    sink(env, 0)
+    n = len(log)
+    assert n == env.count()
+    assert all(t == "ops" and p == 0 for t, p, _, _ in log)
+    keys = [int(k.decode()) for _, _, k, _ in log]
+    assert keys == list(range(1, n + 1))  # produced IN seq order
+    import json as _json
+
+    first_payloads = [v for _, _, _, v in log]
+    msg = _json.loads(first_payloads[0])
+    assert msg["seq"] == 1 and msg["producer_id"] == 7 and "op_type" in msg
+
+    # replay of batch 0: byte-identical messages (consumer seq-dedup
+    # collapses the overlap -> exactly-once)
+    log.clear()
+    sink(env, 0)
+    assert [v for _, _, _, v in log] == first_payloads
+
+    # a new batch continues the sequence with no gap
+    log.clear()
+    sink(env.limit(2), 1)
+    assert [int(k.decode()) for _, _, k, _ in log] == [n + 1, n + 2]
+
+
+def test_kafka_ordered_sink_failed_delivery_aborts(spark, tmp_path):
+    from dolphinbeat_spark.sinks.ordered import KafkaOrderedSink
+
+    env = golden_envelope_df(spark).filter(F.col("log_pos").isNotNull())
+    sink = KafkaOrderedSink(
+        "ops", "broker:9092", meta_dir=str(tmp_path / "meta"),
+        producer_factory=lambda: _FakeProducer([], fail=True),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="delivery failed"):
+        sink(env, 0)
+    # seq metadata must NOT commit -> Spark's retry of batch 0 reuses base 0
+    assert not (tmp_path / "meta" / "0.json").exists()
+
+
+def test_kafka_batch_payload_shape(spark, tmp_path):
+    """Built-in-format path: (key, value, partition) columns, binary,
+    fixed partition, value carries seq + producer_id."""
+    from dolphinbeat_spark.sinks.ordered import SeqStampedSink, kafka_batch_payload
+
+    env = golden_envelope_df(spark).filter(F.col("log_pos").isNotNull())
+    shaper = SeqStampedSink(str(tmp_path / "meta"), producer_id=3)
+    payload = kafka_batch_payload(env, 0, shaper, partition=5)
+    assert [f.name for f in payload.schema.fields] == ["key", "value", "partition"]
+    assert payload.schema["key"].dataType.typeName() == "binary"
+    assert payload.schema["value"].dataType.typeName() == "binary"
+    rows = payload.collect()
+    assert {r["partition"] for r in rows} == {5}
+    assert payload.rdd.getNumPartitions() == 1  # one write task -> ordered produce
+    import json as _json
+
+    decoded = [_json.loads(bytes(r["value"]).decode()) for r in rows]
+    assert [d["seq"] for d in decoded] == list(range(1, len(rows) + 1))
+    assert all(d["producer_id"] == 3 for d in decoded)
+
+
 def test_resume_from_checkpoint_no_loss_no_dup(spark, tmp_path):
     """Stop after a partial run, restart with same checkpoint: the
     second run must deliver exactly the remaining ops (reference F3's
