@@ -32,7 +32,12 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
 from dolphinbeat_spark.envelope import ENVELOPE_SCHEMA
-from dolphinbeat_spark.schema.registry import SchemaRegistry, is_ddl, normalize_statement
+from dolphinbeat_spark.schema.registry import (
+    DdlError,
+    SchemaRegistry,
+    is_ddl,
+    normalize_statement,
+)
 
 
 @dataclass(frozen=True)
@@ -74,13 +79,24 @@ class BinlogOffset:
 class DecodeContext:
     """Mutable per-stream decode state (the reference's master/gtid
     tracking, canal/sync.go:89-171): current file, pending gtid,
-    transaction open flag, registry for schema versions."""
+    transaction open flag, registry for schema versions.
+
+    ``dead_letters`` collects DDL the registry could not replay
+    (reference C5's failed-DDL queue, retried/exec'd via the HTTP
+    control surface) — decode continues past them instead of pausing
+    the stream (documented deviation: versioned registry + stamping
+    makes a skipped DDL safe to apply late)."""
 
     registry: SchemaRegistry
     log_name: str = ""
     pending_gtid: str = ""
     server_id: int = 0
     in_trx: bool = False
+    dead_letters: list = None
+
+    def __post_init__(self) -> None:
+        if self.dead_letters is None:
+            self.dead_letters = []
 
 
 def decode_event(ev: object, ctx: DecodeContext) -> list[dict]:
@@ -115,9 +131,17 @@ def decode_event(ev: object, ctx: DecodeContext) -> list[dict]:
             ctx.in_trx = False
             return [dict(op_type="commit", gtid=ctx.pending_gtid, **base)]
         if is_ddl(stmt):
-            version = ctx.registry.apply_ddl(
-                stmt, default_db=getattr(ev, "schema", ""), position=(ctx.log_name, log_pos)
-            )
+            try:
+                version = ctx.registry.apply_ddl(
+                    stmt, default_db=getattr(ev, "schema", ""), position=(ctx.log_name, log_pos)
+                )
+            except DdlError as ex:
+                ctx.dead_letters.append(
+                    dict(statement=stmt, db=getattr(ev, "schema", ""),
+                         log_name=ctx.log_name, log_pos=log_pos, error=str(ex))
+                )
+                return [dict(op_type="ddl_failed", db=getattr(ev, "schema", ""),
+                             statement=stmt, schema_version=ctx.registry.version, **base)]
             return [dict(op_type="ddl", db=getattr(ev, "schema", ""), statement=stmt,
                          schema_version=version, **base)]
         # statement-based DML — surfaced as 'query' (the reference

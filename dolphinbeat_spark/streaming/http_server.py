@@ -1,0 +1,132 @@
+"""HTTP control surface (reference M1, ``cmd/dolphinbeat/http.go:30-54``).
+
+Stdlib-only server exposing the same routes the reference serves:
+
+- ``GET /status``                 — pipeline counters + registry version
+- ``GET /schema``                 — all live (db, table) pairs
+- ``GET /schema/{db}``            — tables of one database
+- ``GET /schema/{db}/{table}``    — full TableDef (``?version=N`` for a
+  historical version — the versioned registry's superpower; the
+  reference can only serve "current")
+- ``GET /ddl/failed``             — dead-lettered DDL (reference C5)
+- ``POST /ddl/retry``             — re-apply every dead letter; the ones
+  that now parse leave the queue
+- ``POST /ddl/exec``              — apply a statement directly
+  (body: ``{"statement": "...", "db": "..."}``)
+
+The reference's ``/metrics`` (Prometheus) and ``/debug/pprof`` have
+native Spark analogs (the metrics sink config and the Spark UI), so
+they are not re-served here (SURVEY §2.7 M2 note).
+
+Threaded + daemonized: ``serve()`` returns the bound port (pass
+``port=0`` for an ephemeral one in tests) and never blocks the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from dataclasses import asdict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from dolphinbeat_spark.schema.registry import DdlError, SchemaRegistry
+
+
+class ControlServer:
+    def __init__(
+        self,
+        registry: SchemaRegistry | None = None,
+        metrics=None,
+        dead_letters: list | None = None,
+        host: str = "127.0.0.1",
+        port: int = 8080,
+    ) -> None:
+        self.registry = registry or SchemaRegistry()
+        self.metrics = metrics
+        self.dead_letters = dead_letters if dead_letters is not None else []
+        self._host, self._port = host, port
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- route logic (pure: returns (code, payload)) ---------------------
+    def handle(self, method: str, path: str, body: bytes = b"") -> tuple[int, dict | list]:
+        if method == "GET" and path == "/status":
+            return 200, {
+                "queries": self.metrics.status() if self.metrics else {},
+                "registry_version": self.registry.version,
+                "ddl_failed": len(self.dead_letters),
+            }
+        if method == "GET" and path == "/schema":
+            return 200, {"tables": [list(t) for t in sorted(self.registry.tables())]}
+        if method == "GET" and (m := re.fullmatch(r"/schema/([^/]+)", path)):
+            db = m.group(1)
+            tables = [t for d, t in self.registry.tables() if d == db]
+            return 200, {"db": db, "tables": sorted(tables)}
+        if method == "GET" and (m := re.fullmatch(r"/schema/([^/]+)/([^/?]+)(\?version=(\d+))?", path)):
+            db, table, version = m.group(1), m.group(2), m.group(4)
+            td = self.registry.get(db, table, int(version) if version else None)
+            if td is None:
+                return 404, {"error": f"no schema for {db}.{table}"}
+            return 200, {
+                "def": asdict(td),
+                "spark_schema": td.spark_schema().simpleString(),
+                "primary_key": td.primary_key(),
+            }
+        if method == "GET" and path == "/ddl/failed":
+            return 200, {"failed": list(self.dead_letters)}
+        if method == "POST" and path == "/ddl/retry":
+            retried, still_failed = [], []
+            for dl in self.dead_letters:
+                try:
+                    self.registry.apply_ddl(dl["statement"], default_db=dl.get("db", ""))
+                    retried.append(dl["statement"])
+                except DdlError as ex:
+                    still_failed.append({**dl, "error": str(ex)})
+            self.dead_letters[:] = still_failed
+            return 200, {"retried": retried, "still_failed": len(still_failed)}
+        if method == "POST" and path == "/ddl/exec":
+            try:
+                req = json.loads(body or b"{}")
+                version = self.registry.apply_ddl(
+                    req["statement"], default_db=req.get("db", "")
+                )
+                return 200, {"applied": True, "registry_version": version}
+            except (DdlError, KeyError, json.JSONDecodeError) as ex:
+                return 400, {"error": str(ex)}
+        return 404, {"error": f"no route {method} {path}"}
+
+    # -- stdlib server wiring -------------------------------------------
+    def serve(self) -> int:
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def _respond(self, method: str) -> None:
+                length = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(length) if length else b""
+                code, payload = outer.handle(method, self.path, body)
+                data = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):  # noqa: N802 (stdlib API)
+                self._respond("GET")
+
+            def do_POST(self):  # noqa: N802
+                self._respond("POST")
+
+            def log_message(self, fmt, *args):  # quiet
+                pass
+
+        self._httpd = ThreadingHTTPServer((self._host, self._port), Handler)
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self._httpd.server_address[1]
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()
