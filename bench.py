@@ -71,6 +71,9 @@ def stream_events_per_s(spark) -> dict:
         "events": n_events,
         "sec": secs,
         "events_per_s": round(n_events / secs, 1),
+        # set by main(): the FIRST call pays the one-time arrow-table
+        # build + stream-plan compile; only the second (warm) is kept
+        "warm": True,
     }
 
 
@@ -117,6 +120,17 @@ def main() -> None:
                 "queries": timings,
                 "stream": stream,
                 "sf": sf,
+                # reproducibility block (BASELINE.md §C protocol)
+                "config": {
+                    "master": spark.sparkContext.master,
+                    "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+                    "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+                },
+                "methodology": (
+                    "cold" if cold else "steady-state: best of 2 post-compile runs; "
+                    "stream: second (warm) end-to-end pass"
+                ),
+                "n_queries": len(timings),
             }
         )
     )
