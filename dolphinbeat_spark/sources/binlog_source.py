@@ -274,7 +274,7 @@ class LiveBinlogStreamReader(SimpleDataSourceStreamReader):
     after restart, ``canal/sync.go:46-67``).
     """
 
-    def __init__(self, options: dict, event_iter_factory=None):
+    def __init__(self, options: dict, event_iter_factory=None, query_runner=None):
         self.options = dict(options)
         self.max_ops = int(options.get("max_ops_per_batch", "5120"))
         snap = options.get("schema_snapshot", "")
@@ -285,10 +285,26 @@ class LiveBinlogStreamReader(SimpleDataSourceStreamReader):
             server_id=int(options.get("server_id", "0")),
         )
         self._factory = event_iter_factory or (lambda off: live_event_iter(self.options, off))
+        self._runner = query_runner  # S5 probes; default built lazily from options
         self._iter = None
 
     # -- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
+        # no explicit start → probe the master's current position (S5),
+        # matching the reference's start-from-now bootstrap
+        if not self.options.get("file") and not self.options.get("gtid_set"):
+            runner = self._runner
+            if runner is None and self.options.get("host"):  # pragma: no cover
+                runner = pymysql_query_runner(
+                    {
+                        "host": self.options.get("host", "127.0.0.1"),
+                        "port": int(self.options.get("port", "3306")),
+                        "user": self.options.get("user", ""),
+                        "passwd": self.options.get("password", ""),
+                    }
+                )
+            if runner is not None:
+                return probe_master_offset(runner).to_json()
         return BinlogOffset(
             file=self.options.get("file", ""),
             pos=int(self.options.get("pos", "4")),
@@ -366,6 +382,54 @@ class LiveBinlogStreamReader(SimpleDataSourceStreamReader):
         close = getattr(self._iter, "close", None)
         if close:
             close()
+
+
+def probe_master_offset(run_query) -> BinlogOffset:
+    """S5 live probe: current master position + executed gtid set +
+    server id (reference ``canal/canal.go`` GetMasterPos /
+    GetMasterGTIDSet, polled by the master-position monitor).
+
+    ``run_query(sql) -> list[tuple]`` is injectable: a pymysql cursor
+    (:func:`pymysql_query_runner`), a one-row ``spark.read.jdbc``, or a
+    fake in tests. MySQL 8.0.22+ renamed the statement; the fallback
+    keeps older servers working."""
+    try:
+        rows = run_query("SHOW BINARY LOG STATUS")  # MySQL >= 8.4 name
+    except Exception:  # noqa: BLE001 - older servers
+        rows = run_query("SHOW MASTER STATUS")
+    file, pos = (str(rows[0][0]), int(rows[0][1])) if rows else ("", 4)
+    gtid_rows = run_query("SELECT @@GLOBAL.GTID_EXECUTED")
+    gtid = str(gtid_rows[0][0] or "") if gtid_rows else ""
+    sid_rows = run_query("SELECT @@server_id")
+    server_id = int(sid_rows[0][0]) if sid_rows else 0
+    return BinlogOffset(file=file, pos=pos, gtid_set=gtid.replace("\n", ""), server_id=server_id)
+
+
+def probe_binary_logs(run_query) -> list[tuple[str, int]]:
+    """S5: retained binlog files (name, size). Used to validate that a
+    checkpointed offset is still resumable — an offset whose file fell
+    off the retention window needs a fresh snapshot, not a resume."""
+    return [(str(r[0]), int(r[1])) for r in run_query("SHOW BINARY LOGS")]
+
+
+def offset_is_resumable(offset: BinlogOffset, run_query) -> bool:
+    """A checkpointed offset resumes iff its file is still retained."""
+    if offset.is_zero():
+        return False
+    return any(name == offset.file for name, _ in probe_binary_logs(run_query))
+
+
+def pymysql_query_runner(conn: dict):  # pragma: no cover - needs live MySQL
+    """Default live ``run_query`` over pymysql (bundled with
+    pymysqlreplication)."""
+    import pymysql
+
+    def run(sql: str) -> list[tuple]:
+        with pymysql.connect(**conn) as c, c.cursor() as cur:
+            cur.execute(sql)
+            return list(cur.fetchall())
+
+    return run
 
 
 def _merge_gtid(gset: str, gtid: str) -> str:

@@ -196,6 +196,48 @@ def test_live_reader_end_to_end_protocol():
     assert sock.closed or sock.cursor  # stop() closed the live iterator
 
 
+def test_master_position_probes():
+    """S5: probe current position / retained logs with an injected
+    query runner (fake server)."""
+    from dolphinbeat_spark.sources.binlog_source import (
+        offset_is_resumable,
+        probe_binary_logs,
+        probe_master_offset,
+    )
+
+    answers = {
+        "SHOW BINARY LOG STATUS": Exception("unknown statement"),  # old server
+        "SHOW MASTER STATUS": [("binlog.000007", 1234, "", "", "uuid-1:1-42")],
+        "SELECT @@GLOBAL.GTID_EXECUTED": [("uuid-1:1-42",)],
+        "SELECT @@server_id": [(11,)],
+        "SHOW BINARY LOGS": [("binlog.000006", 1048576), ("binlog.000007", 2048)],
+    }
+
+    def run(sql):
+        a = answers[sql]
+        if isinstance(a, Exception):
+            raise a
+        return a
+
+    off = probe_master_offset(run)
+    assert (off.file, off.pos, off.gtid_set, off.server_id) == (
+        "binlog.000007", 1234, "uuid-1:1-42", 11,
+    )
+    assert probe_binary_logs(run) == [("binlog.000006", 1048576), ("binlog.000007", 2048)]
+    assert offset_is_resumable(off, run)
+    assert not offset_is_resumable(BinlogOffset(file="binlog.000001", pos=4), run)
+    assert not offset_is_resumable(BinlogOffset(), run)  # zero offset
+
+    # reader with no explicit start probes the master (start-from-now)
+    reader = LiveBinlogStreamReader({}, lambda off: iter(()), query_runner=run)
+    got = BinlogOffset.from_json(reader.initialOffset())
+    assert (got.file, got.pos) == ("binlog.000007", 1234)
+    # explicit start wins over the probe
+    reader2 = LiveBinlogStreamReader({"file": "binlog.000002", "pos": "99"},
+                                     lambda off: iter(()), query_runner=run)
+    assert BinlogOffset.from_json(reader2.initialOffset()).file == "binlog.000002"
+
+
 def test_max_ops_per_batch_backpressure():
     sock = _FakeSocket(_event_script())
     sock.arrive(100)
