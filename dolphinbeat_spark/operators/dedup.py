@@ -270,3 +270,40 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def cross_split_contamination(
+    docs: DataFrame, id_col: str, text_col: str | Column, test_pred: Column
+) -> DataFrame:
+    """Train/test contamination check: exact-content matches between
+    the rows ``test_pred`` selects (the held-out split) and the rest
+    (the training split), by portable document fingerprint.
+
+    The core eval-hygiene operator of an LLM data pipeline: a test
+    document whose exact content also sits in training data silently
+    inflates benchmarks. One scan fingerprints every doc, one
+    fingerprint equi-join finds collisions — no pair materialization,
+    scales as a plain keyed join (SMJ at 100 TB, broadcast when the
+    test split is small). Near-dup contamination composes the same
+    join with minhash/simhash keys instead of the exact fingerprint.
+
+    ``text_col`` may be a derived Column — e.g. a leading-token prefix,
+    the standard heuristic for "benchmark text embedded inside a
+    longer training document".
+    """
+    from dolphinbeat_spark.operators.text import fingerprint
+
+    fp = docs.select(
+        F.col(id_col).alias("__id"),
+        fingerprint(text_col).alias("fingerprint"),
+        test_pred.alias("__is_test"),
+    )
+    test = fp.filter(F.col("__is_test")).select(
+        F.col("__id").alias("test_doc_id"), "fingerprint"
+    )
+    train = fp.filter(~F.col("__is_test")).select(
+        F.col("__id").alias("train_doc_id"), "fingerprint"
+    )
+    return test.join(train, "fingerprint").select(
+        "test_doc_id", "train_doc_id", "fingerprint"
+    )

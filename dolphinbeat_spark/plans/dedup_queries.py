@@ -331,3 +331,41 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+@register(
+    "dedup_cross_contamination",
+    # match key = fingerprint of the 5 leading tokens: the standard
+    # "benchmark text embedded in a training document" heuristic (exact
+    # whole-document matching finds nothing in any real corpus — or in
+    # this synthetic one; prefix collisions exist and are the signal)
+    oracle=r"""
+WITH fp AS (
+  SELECT doc_id,
+         substr(md5(lower(trim(array_to_string(
+           (regexp_split_to_array(trim(text), '\s+'))[1:5], ' ')))), 1, 16)
+           AS fingerprint,
+         doc_id % 17 = 0 AS is_test
+  FROM documents
+)
+SELECT t.doc_id AS test_doc_id, tr.doc_id AS train_doc_id, t.fingerprint
+FROM fp t JOIN fp tr ON t.fingerprint = tr.fingerprint
+WHERE t.is_test AND NOT tr.is_test
+ORDER BY test_doc_id, train_doc_id
+""",
+    tags=("dedup", "contamination", "llm-pipeline"),
+)
+def dedup_cross_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination: leading-5-token prefix collisions
+    between the held-out split (doc_id % 17 == 0 stands in for a
+    benchmark set) and the training split — the eval-hygiene gate
+    every LLM data pipeline needs. Single fingerprint scan + keyed
+    equi-join (operators/dedup.py::cross_split_contamination)."""
+    from dolphinbeat_spark.operators.dedup import cross_split_contamination
+    from dolphinbeat_spark.operators.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(tokens("text"), 1, 5))
+    return cross_split_contamination(
+        d, "doc_id", prefix, (F.col("doc_id") % 17 == 0)
+    ).orderBy("test_doc_id", "train_doc_id")

@@ -575,3 +575,102 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sample_domain_quota",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {hash64_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source, rk
+FROM ranked WHERE rk <= 25
+ORDER BY source, rk
+""",
+    tags=("sample", "quota", "llm-pipeline"),
+)
+def sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: keep at most 25 docs per source,
+    chosen by a deterministic hash order (stable across runs/engines) —
+    the anti-domination step of pretraining mixes (no single crawl
+    domain may swamp the corpus).
+
+    One shuffle on source. The partition key is the DOMAIN, so a
+    mega-domain concentrates on one task at 100 TB; the mitigation is
+    the standard two-phase top-k (pre-rank inside hash sub-buckets,
+    re-rank the <= 25 * n_buckets survivors) — same output, bounded
+    partitions. The single-window form is kept here because quota and
+    domain count make the survivor set tiny."""
+    from pyspark.sql import Window
+
+    from dolphinbeat_spark.functions.hashes import hash64
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        hash64(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 25)
+        .orderBy("source", "rk")
+    )
+
+
+# synthetic PII appended deterministically (the corpus itself is clean
+# lowercase words): both engines build the identical input string
+_PII_TEXT_SQL = (
+    "concat(text, ' contact ', source, CAST(doc_id AS VARCHAR), "
+    "'@example.com or +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+)
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@register(
+    "text_redact_pii",
+    oracle=f"""
+WITH pii AS (
+  SELECT doc_id, {_PII_TEXT_SQL} AS full_text FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(full_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+       len(regexp_extract_all(full_text, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(full_text, '{_PHONE_RE}')) AS n_phones
+FROM pii
+WHERE doc_id % 5 = 0
+ORDER BY doc_id
+""",
+    tags=("text", "redaction", "llm-pipeline"),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: regex scrub of emails/phones with per-doc match
+    counts — the pre-training privacy pass. Pure map-side
+    regexp_replace/extract_all (Catalyst, no UDF), linear to 100 TB.
+    The corpus is synthetic clean text, so the PII is injected
+    deterministically from (source, doc_id) on BOTH engines first —
+    the redaction machinery, not the generator, is what's verified."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    full = F.concat(
+        F.col("text"), F.lit(" contact "), F.col("source"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    base = d.select("doc_id", full.alias("full_text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("full_text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE, "<PHONE>",
+    )
+    return base.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all("full_text", F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("full_text", F.lit(_PHONE_RE), F.lit(0)))
+        .cast("bigint").alias("n_phones"),
+    ).orderBy("doc_id")
