@@ -135,3 +135,100 @@ def test_last_op_per_key_property(spark, ops):
     for pos, (kid, op) in enumerate(ops):
         expect[str(kid)] = (op, 100 + pos)  # later pos always wins
     assert winners == expect
+
+
+# -- CDC apply-changes vs a pure-Python replay oracle -----------------------
+#
+# Random op sequences (insert / update-with-possible-PK-change / delete,
+# split across arbitrary batch boundaries) applied through apply_batch
+# must land on the same final keyed state a trivial sequential dict
+# replay produces. This is the property the reference's whole delivery
+# pipeline exists to preserve (canal/sync.go ordering + kafka.go seq).
+
+_KEYS = ["1", "2", "3", "4"]
+_VALS = ["a", "b", "c", ""]
+
+
+@st.composite
+def _op_sequences(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    ops, live = [], set()
+    for _ in range(n):
+        kind = draw(st.sampled_from(["insert", "update", "delete"]))
+        if kind == "insert":
+            free = [k for k in _KEYS if k not in live]
+            if not free:
+                kind = "update"
+            else:
+                k = draw(st.sampled_from(free))
+                ops.append(("insert", None, k, draw(st.sampled_from(_VALS))))
+                live.add(k)
+                continue
+        if not live:
+            continue
+        k = draw(st.sampled_from(sorted(live)))
+        if kind == "delete":
+            ops.append(("delete", k, None, None))
+            live.discard(k)
+        else:  # update: may change the PK to any key not otherwise live
+            targets = sorted((set(_KEYS) - live) | {k})
+            nk = draw(st.sampled_from(targets))
+            ops.append(("update", k, nk, draw(st.sampled_from(_VALS))))
+            live.discard(k)
+            live.add(nk)
+    return ops
+
+
+def _dict_replay(ops):
+    state = {}
+    for kind, old_k, new_k, v in ops:
+        if kind == "insert":
+            state[new_k] = v
+        elif kind == "delete":
+            state.pop(old_k, None)
+        else:
+            state.pop(old_k, None)
+            state[new_k] = v
+    return state
+
+
+@given(ops=_op_sequences(), split=st.integers(min_value=0, max_value=12))
+@settings(**_SETTINGS)
+def test_apply_batch_matches_sequential_replay(spark, tmp_path_factory, ops, split):
+    from dolphinbeat_spark.envelope import ENVELOPE_SCHEMA, empty_op
+    from dolphinbeat_spark.sinks.apply_changes import apply_batch
+
+    if not ops:
+        return
+    rows = []
+    for i, (kind, old_k, new_k, v) in enumerate(ops):
+        common = dict(server_id=1, log_name="binlog.000001", log_pos=100 + 20 * i,
+                      db="d", table="t", schema_version=1)
+        if kind == "insert":
+            rows.append(empty_op(op_type="insert",
+                                 after={"id": new_k, "v": v},
+                                 after_null={"id": False, "v": False}, **common))
+        elif kind == "delete":
+            rows.append(empty_op(op_type="delete",
+                                 before={"id": old_k, "v": ""},
+                                 before_null={"id": False, "v": True}, **common))
+        else:
+            rows.append(empty_op(op_type="update",
+                                 before={"id": old_k, "v": ""},
+                                 before_null={"id": False, "v": True},
+                                 after={"id": new_k, "v": v},
+                                 after_null={"id": False, "v": False}, **common))
+    snap = str(tmp_path_factory.mktemp("prop") / "snap")
+    cut = min(split, len(rows))
+    for chunk in (rows[:cut], rows[cut:]):
+        if chunk:
+            apply_batch(spark, spark.createDataFrame(chunk, ENVELOPE_SCHEMA),
+                        snap, ["id"], ["v"])
+    import os as _os
+
+    got = (
+        {r["id"]: r["v"] for r in spark.read.parquet(snap).collect()}
+        if _os.path.exists(snap)
+        else {}
+    )
+    assert got == _dict_replay(ops)
