@@ -110,3 +110,32 @@ def registry_from_columns_rows(rows: list[tuple]) -> SchemaRegistry:
         td = TableDef(database=db, name=tbl, columns=[c for _, c in sorted(cols, key=lambda t: t[0])])
         reg._bump(db, tbl, td)  # seeding is a registry-internal bulk load
     return reg
+
+
+def bootstrap_handover(run_query, columns_rows: list[tuple]):
+    """Snapshot→stream handover (the reference's dump→sync switch,
+    ``canal/canal.go`` Run: dump bootstraps schema + position, sync
+    continues from that position).
+
+    ORDER MATTERS: the master position is probed BEFORE the schema
+    snapshot is read. Any DDL that commits between the probe and the
+    INFORMATION_SCHEMA read is then seen TWICE — once already folded
+    into the snapshot, once replayed from the binlog — and the
+    registry's position-keyed idempotence would not catch it (the
+    snapshot carries no positions). That duplicate replay is safe for
+    the grammar here (re-CREATE bumps a version with the same def;
+    consumers resolve by version), whereas the opposite order would
+    LOSE any DDL committed between snapshot and probe — a silent
+    schema hole. Probe-first is the conservative side.
+
+    ``run_query`` is the S5 injectable; ``columns_rows`` are
+    INFORMATION_SCHEMA tuples (from ``snapshot_schemas``'s JDBC read,
+    or any other transport). Returns ``(registry, start_offset)`` —
+    feed both to ``LiveBinlogStreamReader`` (registry via
+    ``schema_snapshot``, offset via ``file``/``pos``/``gtid_set``).
+    """
+    from dolphinbeat_spark.sources.binlog_source import probe_master_offset
+
+    offset = probe_master_offset(run_query)
+    registry = registry_from_columns_rows(columns_rows)
+    return registry, offset

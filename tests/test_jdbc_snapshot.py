@@ -33,3 +33,32 @@ def test_backfill_plan_options():
     assert opts["partitionColumn"] == "id" and opts["numPartitions"] == "16"
     unpartitioned = BackfillPlan("test1.tiny", None, 1)
     assert "partitionColumn" not in unpartitioned.reader_options("jdbc:mysql://h/db", "u", "p")
+
+
+def test_bootstrap_handover_probe_first():
+    """S1+S5 handover: position probed before the snapshot; both
+    halves wired from injectables (no live MySQL)."""
+    from dolphinbeat_spark.sources.jdbc_snapshot import bootstrap_handover
+
+    calls = []
+
+    def run(sql):
+        calls.append(sql)
+        return {
+            "SHOW BINARY LOG STATUS": [("binlog.000009", 777, "", "", "")],
+            "SELECT @@GLOBAL.GTID_EXECUTED": [("uuid-1:1-9",)],
+            "SELECT @@server_id": [(3,)],
+        }[sql]
+
+    rows = [
+        ("d", "t", "id", 1, "int", "NO", "PRI", None),
+        ("d", "t", "name", 2, "varchar(10)", "YES", "", "utf8"),
+    ]
+    reg, off = bootstrap_handover(run, rows)
+    assert (off.file, off.pos, off.gtid_set, off.server_id) == (
+        "binlog.000009", 777, "uuid-1:1-9", 3,
+    )
+    assert reg.get("d", "t").column_names() == ["id", "name"]
+    assert reg.get("d", "t").primary_key() == ["id"]
+    # probe happened before any schema assembly (order contract)
+    assert calls[0].startswith("SHOW")
