@@ -313,13 +313,23 @@ class LiveBinlogStreamReader(SimpleDataSourceStreamReader):
         ).to_json()
 
     # -- pull loop -------------------------------------------------------
+    # batch cuts happen only AFTER these ops: the offset is then a safe
+    # restart point (the reference makes positions durable only at
+    # XID/DDL boundaries too, canal/sync.go:122-171 — a cut inside a
+    # transaction would strand pending_gtid/in_trx in a dead context)
+    _SAFE_CUT_OPS = frozenset({"commit", "ddl", "ddl_failed", "rotate", "query"})
+
     def _decode_next(self, it, start: BinlogOffset, limit: int):
-        """Drain up to ``limit`` envelope rows from ``it``; returns
-        (rows, end_offset). Offset advances to the last decoded event's
-        coordinates; gtid_set accumulates commit gtids."""
+        """Drain envelope rows from ``it`` until at least ``limit`` rows
+        AND a transaction boundary (a transaction never splits across
+        batches — one larger than the limit extends the batch to its
+        commit); returns (rows, end_offset). Offset advances to the
+        last decoded event's coordinates; gtid_set accumulates commit
+        gtids."""
         rows: list[tuple] = []
         cur = start
         self.ctx.log_name = start.file or self.ctx.log_name
+        at_safe_cut = True
         for raw in it:
             ev = adapt_replication_event(raw)
             if ev is None:
@@ -336,7 +346,8 @@ class LiveBinlogStreamReader(SimpleDataSourceStreamReader):
                     gtid_set=gset,
                     server_id=cur.server_id or self.ctx.server_id,
                 )
-            if len(rows) >= limit:
+                at_safe_cut = op["op_type"] in self._SAFE_CUT_OPS
+            if len(rows) >= limit and at_safe_cut and not self.ctx.in_trx:
                 break
         return rows, cur
 

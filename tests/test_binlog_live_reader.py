@@ -239,11 +239,68 @@ def test_master_position_probes():
 
 
 def test_max_ops_per_batch_backpressure():
+    """Bounded bites, but cuts ONLY at transaction boundaries: a batch
+    never ends mid-transaction (a restart there would strand
+    pending_gtid/in_trx — the reference makes positions durable only
+    at XID/DDL boundaries, canal/sync.go:122-171)."""
     sock = _FakeSocket(_event_script())
     sock.arrive(100)
     reader = LiveBinlogStreamReader({"max_ops_per_batch": "3"}, sock.factory)
     rows, end = reader.read(reader.initialOffset())
-    assert len(list(rows)) == 3  # bounded bite, not the whole backlog
+    ops = [_cols(r)["op_type"] for r in rows]
+    # limit 3 hits at 'gtid' (mid-frame) -> extends through the commit
+    assert ops == ["rotate", "ddl", "gtid", "begin", "insert", "insert", "commit"]
+    assert BinlogOffset.from_json(end).pos == 300  # a safe restart point
     rows2, end2 = reader.read(end)
-    assert len(list(rows2)) == 3
+    assert [_cols(r)["op_type"] for r in rows2] == ["gtid", "begin", "update", "commit"]
     assert BinlogOffset.from_json(end2).pos > BinlogOffset.from_json(end).pos
+
+
+def test_live_reader_under_real_spark_streaming(spark, tmp_path):
+    """The production LiveBinlogStreamReader runs inside an actual
+    spark.readStream (registration, driver prefetch, WAL, checkpoint)
+    fed by the scripted fake-binlog source — end to end into the
+    apply-changes consumer."""
+    from pyspark.sql import functions as F
+
+    from dolphinbeat_spark.sources.binlog_fake import register_fake_binlog_source
+
+    register_fake_binlog_source(spark)
+    out = str(tmp_path / "env_out")
+
+    # max_ops_per_batch=17 caps each micro-batch; a python simple
+    # stream reader serves ONE batch per availableNow trigger, so
+    # repeated runs over the same checkpoint exercise BOTH multi-batch
+    # chunking AND checkpoint-resume of the production reader
+    def run_once():
+        stream = (
+            spark.readStream.format("dolphinbeat_binlog_fake")
+            .option("n_trx", "6")
+            .option("rows_per_trx", "4")
+            .option("max_ops_per_batch", "17")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    for _ in range(4):  # 44 ops / 17 per batch -> 3 batches + empty tail
+        run_once()
+    got = spark.read.parquet(out)
+    by_op = {r["op_type"]: r["n"] for r in
+             got.groupBy("op_type").agg(F.count("*").alias("n")).collect()}
+    # 1 rotate + 1 ddl + 6x(gtid, begin, 4 inserts, commit)
+    assert by_op == {"rotate": 1, "ddl": 1, "gtid": 6, "begin": 6,
+                     "insert": 24, "commit": 6}
+    inserts = got.filter(F.col("op_type") == "insert")
+    ids = sorted(int(r["after"]["id"]) for r in inserts.collect())
+    assert ids == list(range(1, 25))  # no loss, no dup across batches
+    assert {r["log_name"] for r in inserts.collect()} == {"binlog.000001"}
+    # commits carry their gtid (D6 through the real streaming path)
+    gtids = {r["gtid"] for r in got.filter(F.col("op_type") == "commit").collect()}
+    assert gtids == {f"uuid-f:{i}" for i in range(1, 7)}
