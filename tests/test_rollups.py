@@ -125,3 +125,64 @@ def test_continuous_rollup_replay_is_idempotent(spark, tmp_path):
     assert [(b_, o, n) for (b_, o, n) in final] == [
         (b_, o, 2 * n) for (b_, o, n) in once
     ]
+
+
+def test_partitioned_rollup_touches_only_dirty_days(spark, tmp_path):
+    """Time-partitioned continuous aggregate: a batch only rewrites the
+    day-partitions its events fall in; replay is marker-idempotent per
+    partition."""
+    import os
+    import time as _t
+
+    from dolphinbeat_spark.streaming.rollup import (
+        merge_rollup_batch_partitioned,
+        read_partitioned_rollup,
+    )
+
+    rollup = str(tmp_path / "rollup_part")
+    rows_day1 = [(f"2024-01-01 10:{m:02d}:30", "insert") for m in range(10)]
+    rows_day2 = [(f"2024-01-02 11:{m:02d}:30", "update") for m in range(5)]
+    b0 = spark.createDataFrame(rows_day1 + rows_day2, ["ts", "op_type"]).select(
+        F.col("ts").cast("timestamp").alias("event_ts"), "op_type"
+    )
+    merge_rollup_batch_partitioned(b0, rollup, "event_ts", ["op_type"], batch_id=0)
+    assert sorted(os.listdir(rollup)) == ["part=2024-01-01", "part=2024-01-02"]
+    state0 = sorted(
+        (str(r["bucket_start"]), r["op_type"], r["n_events"])
+        for r in read_partitioned_rollup(spark, rollup).collect()
+    )
+    assert len(state0) == 15 and all(n == 1 for _, _, n in state0)
+
+    def mtimes():
+        out = {}
+        for d in os.listdir(rollup):
+            p = os.path.join(rollup, d)
+            out[d] = max(os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p))
+        return out
+
+    before = mtimes()
+    _t.sleep(1.1)
+    # batch 1 touches ONLY day 2
+    b1 = spark.createDataFrame(
+        [("2024-01-02 11:00:45", "update")], ["ts", "op_type"]
+    ).select(F.col("ts").cast("timestamp").alias("event_ts"), "op_type")
+    merge_rollup_batch_partitioned(b1, rollup, "event_ts", ["op_type"], batch_id=1)
+    after = mtimes()
+    assert after["part=2024-01-01"] == before["part=2024-01-01"]  # cold day untouched
+    assert after["part=2024-01-02"] > before["part=2024-01-02"]
+    merged = {
+        (str(r["bucket_start"]), r["op_type"]): r["n_events"]
+        for r in read_partitioned_rollup(spark, rollup).collect()
+    }
+    assert merged[("2024-01-02 11:00:00", "update")] == 2  # additive merge
+
+    # replay of batch 1: per-partition marker skips -> identical state
+    merge_rollup_batch_partitioned(b1, rollup, "event_ts", ["op_type"], batch_id=1)
+    replayed = {
+        (str(r["bucket_start"]), r["op_type"]): r["n_events"]
+        for r in read_partitioned_rollup(spark, rollup).collect()
+    }
+    assert replayed == merged
+    # markers carried forward inside each partition dir
+    assert os.path.exists(os.path.join(rollup, "part=2024-01-02", "_applied_0"))
+    assert os.path.exists(os.path.join(rollup, "part=2024-01-02", "_applied_1"))
