@@ -59,10 +59,21 @@ class SeqStampedSink:
             best = max(best, m["base_seq"] + m["n_rows"])
         return best
 
+    #: retained per-batch meta files. Structured Streaming replays only
+    #: the last uncommitted batch, so old metas exist purely to seed
+    #: _base_seq's max — a bounded tail is sufficient and keeps the
+    #: meta dir O(1) over a long-running stream.
+    META_RETENTION = 100
+
     def _commit_meta(self, batch_id: int, base_seq: int, n_rows: int) -> None:
         tmp = self.meta_dir / f".{batch_id}.tmp"
         tmp.write_text(json.dumps({"base_seq": base_seq, "n_rows": n_rows}))
         os.replace(tmp, self.meta_dir / f"{batch_id}.json")
+        metas = sorted(
+            (p for p in self.meta_dir.glob("*.json")), key=lambda p: int(p.stem)
+        )
+        for p in metas[: -self.META_RETENTION]:
+            p.unlink(missing_ok=True)
 
     def _stamped(self, batch_df: DataFrame, base: int) -> DataFrame:
         """Order by binlog coordinates, stamp seq + producer_id, and

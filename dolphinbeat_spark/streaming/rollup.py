@@ -62,14 +62,28 @@ def merge_rollup_batch(
     if os.path.exists(rollup_path):
         # carry prior batches' markers forward, then stamp this batch —
         # all BEFORE the rename that makes the new snapshot live
-        for f in os.listdir(rollup_path):
-            if f.startswith("_applied_"):
-                open(os.path.join(tmp, f), "w").close()
+        _carry_markers(rollup_path, tmp)
     if batch_id is not None:
         open(os.path.join(tmp, f"_applied_{batch_id}"), "w").close()
     if os.path.exists(rollup_path):
         shutil.rmtree(rollup_path)
     os.rename(tmp, rollup_path)
+
+
+#: retained replay markers per rollup dir. Structured Streaming only
+#: ever replays the last uncommitted batch, so a bounded tail of
+#: markers suffices and the dir stays O(1) over a long-running stream.
+MARKER_RETENTION = 100
+
+
+def _carry_markers(src_dir: str, dst_dir: str) -> None:
+    ids = sorted(
+        int(f[len("_applied_"):])
+        for f in os.listdir(src_dir)
+        if f.startswith("_applied_") and f[len("_applied_"):].isdigit()
+    )
+    for i in ids[-MARKER_RETENTION:]:
+        open(os.path.join(dst_dir, f"_applied_{i}"), "w").close()
 
 
 def merge_rollup_batch_partitioned(
@@ -128,9 +142,7 @@ def merge_rollup_batch_partitioned(
         tmp = part_path + ".next"
         merged.write.mode("overwrite").parquet(tmp)
         if os.path.exists(part_path):
-            for f in os.listdir(part_path):
-                if f.startswith("_applied_"):
-                    open(os.path.join(tmp, f), "w").close()
+            _carry_markers(part_path, tmp)
         if marker:
             open(os.path.join(tmp, marker), "w").close()
         if os.path.exists(part_path):
