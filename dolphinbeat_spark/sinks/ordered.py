@@ -114,6 +114,34 @@ def read_with_consumer_dedup(spark, out_dir: str) -> DataFrame:
     return df.dropDuplicates(["producer_id", "seq"]).orderBy("producer_id", "seq")
 
 
+def decode_kafka_messages(messages: DataFrame, value_col: str = "value") -> DataFrame:
+    """Consumer-side decoder for the Kafka paths (the Spark analog of
+    the reference's client library, ``sink/kafka/client/go/decoder.go``):
+    parse the JSON message value back into the seq-stamped envelope,
+    dedup on (producer_id, seq), return in seq order.
+
+    ``messages`` is whatever carries the message bytes — a
+    ``spark.read.format("kafka")`` DataFrame (binary ``value``), the
+    fake producer's capture in tests, or a batch of
+    :func:`kafka_batch_payload` output. Round-trip contract:
+    payload → decode → the original stamped envelope rows, with
+    at-least-once transport overlaps collapsed (K7)."""
+    from dolphinbeat_spark.envelope import ENVELOPE_SCHEMA
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(ENVELOPE_SCHEMA.fields)
+        + [
+            T.StructField("seq", T.LongType()),
+            T.StructField("producer_id", T.LongType()),
+        ]
+    )
+    parsed = messages.select(
+        F.from_json(F.col(value_col).cast("string"), schema).alias("m")
+    ).select("m.*")
+    return parsed.dropDuplicates(["producer_id", "seq"]).orderBy("producer_id", "seq")
+
+
 def kafka_message_value(producer_id_col=None, seq_col=None) -> "F.Column":
     """The message envelope: every non-internal column JSON-packed plus
     (producer_id, seq) — the fields the reference's client decoder keys

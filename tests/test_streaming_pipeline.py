@@ -266,3 +266,30 @@ def test_rate_limited_source_bounds_batches(spark, tmp_path):
     assert sum(batch_sizes) == total
     assert max(batch_sizes) <= 5
     assert len([b for b in batch_sizes if b]) >= 4
+
+
+def test_kafka_payload_decode_roundtrip(spark, tmp_path):
+    """Producer payload -> consumer decoder round-trip (the reference's
+    client decoder contract, decoder.go): identical envelope rows back,
+    duplicated transport messages collapsed by seq-dedup."""
+    from dolphinbeat_spark.sinks.ordered import (
+        SeqStampedSink,
+        decode_kafka_messages,
+        kafka_batch_payload,
+    )
+
+    env = golden_envelope_df(spark).filter(F.col("log_pos").isNotNull())
+    shaper = SeqStampedSink(str(tmp_path / "meta"), producer_id=9)
+    payload = kafka_batch_payload(env, 0, shaper, partition=0)
+    # simulate at-least-once transport: every message delivered twice
+    doubled = payload.unionByName(payload)
+    decoded = decode_kafka_messages(doubled)
+    assert decoded.count() == env.count()  # overlaps collapsed
+    seqs = [r["seq"] for r in decoded.collect()]
+    assert seqs == list(range(1, env.count() + 1))
+    # envelope fields survive the JSON round-trip
+    orig = {r["log_pos"]: r["op_type"] for r in env.collect()}
+    got = {r["log_pos"]: r["op_type"] for r in decoded.collect()}
+    assert got == orig
+    ins = decoded.filter(F.col("op_type") == "insert").orderBy("seq").first()
+    assert ins["after"]["id"] is not None and ins["producer_id"] == 9
