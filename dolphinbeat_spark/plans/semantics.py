@@ -765,3 +765,46 @@ def profile_leading_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lead_digit")
     )
+
+
+@register(
+    "sql_text_interface",
+    oracle="""
+WITH per_nation AS (
+  SELECT s.s_nationkey AS nationkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l.l_discount AS DECIMAL(12,4)))) AS rev
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey
+)
+SELECT nationkey,
+       CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+       CAST(ROUND(100.0 * rev / SUM(rev) OVER (), 4) AS DOUBLE) AS pct_share,
+       RANK() OVER (ORDER BY rev DESC, nationkey) AS rev_rank
+FROM per_nation
+ORDER BY nationkey
+""",
+    tags=("relational", "sql-interface", "window"),
+)
+def sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry path: the SAME engine surface exercised as a pure
+    SQL string over registered views (spark.sql), not the DataFrame
+    builder — proving a user of the reference who writes SQL can run it
+    verbatim. CTE + join + grouped aggregate + two window functions;
+    Catalyst plans both APIs into the identical physical plan, so every
+    plan-quality property audited elsewhere holds here too."""
+    for t in ("lineitem", "supplier"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        WITH per_nation AS (
+          SELECT s.s_nationkey AS nationkey,
+                 SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l.l_discount AS DECIMAL(12,4)))) AS rev
+          FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY s.s_nationkey
+        )
+        SELECT nationkey,
+               CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+               CAST(ROUND(100.0 * rev / SUM(rev) OVER (), 4) AS DOUBLE) AS pct_share,
+               RANK() OVER (ORDER BY rev DESC, nationkey) AS rev_rank
+        FROM per_nation
+        ORDER BY nationkey
+    """)
