@@ -83,3 +83,51 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     media = M.attach_binary_payload(d, "doc_id", "text")
     return M.frame_sample_plan(media, frame_bytes=32, every=4).orderBy("media_id", "frame_idx")
+
+
+@register(
+    "mm_resize_fake",
+    # the fake resize is deterministic byte-stride downsampling
+    # (b[::s], s = max(1, len//16)); payloads are ASCII so DuckDB
+    # reproduces it with a stepped substr walk — md5-comparing the
+    # RESIZED BYTES proves the Arrow batch plumbing end to end, not
+    # just the metadata
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, text,
+         greatest(1, CAST(floor(length(text) / 16) AS INTEGER)) AS stride
+  FROM documents
+), resized AS (
+  SELECT media_id,
+         array_to_string(
+           list_transform(range(1, length(text) + 1, stride),
+                          i -> substr(text, i, 1)), '') AS r
+  FROM media
+)
+SELECT media_id,
+       least(16, length(r)) AS out_width,
+       CAST(16 AS BIGINT) AS out_height,
+       md5(r) AS resized_md5
+FROM resized
+ORDER BY media_id
+""",
+    tags=("multimodal", "resize", "pandas_udf"),
+)
+def mm_resize_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing through mapInPandas (PIL/ffmpeg slot stubbed
+    with the deterministic byte-stride fake): the payload-shrinking map
+    stage that at 100 TB must run BEFORE any shuffle so exchanges carry
+    thumbnails, not originals. The oracle independently recomputes the
+    strided bytes and their md5."""
+    d = load(spark, sf_dir, "documents")
+    media = M.attach_binary_payload(d, "doc_id", "text")
+    return (
+        M.resize_media(media, 16, 16, allow_fake=True)
+        .select(
+            "media_id",
+            "out_width",
+            F.col("out_height").cast("bigint").alias("out_height"),
+            F.md5("resized_payload").alias("resized_md5"),
+        )
+        .orderBy("media_id")
+    )
