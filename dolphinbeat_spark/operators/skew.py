@@ -47,3 +47,46 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
     ).withColumn("__salt", F.col("__salt").cast("int"))
     return s.join(r, [on, "__salt"], how).drop("__salt")
+
+
+def grouped_topk_two_phase(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_name: str = "rk",
+    sub_buckets: int = 32,
+    bucket_src: Column | None = None,
+) -> DataFrame:
+    """Top-k per group without unbounded group partitions: the
+    skew-safe form of ``row_number().over(partitionBy(group)) <= k``.
+
+    Phase 1 ranks within (group, sub_bucket) and keeps <= k per
+    sub-bucket — partitions are bounded by group_size / sub_buckets.
+    Phase 2 re-ranks the <= k * sub_buckets survivors per group —
+    bounded input by construction. Every global top-k row is top-k in
+    its own sub-bucket, so the result is IDENTICAL to the single-window
+    form (the equivalence a plain SQL oracle can verify); a mega-group
+    at 100 TB costs a bounded second pass instead of one giant
+    partition sort.
+
+    ``order_cols`` must be a deterministic total order within each
+    group (unique tie-break last). ``bucket_src`` defaults to hashing
+    the order columns — any row-varying expression works; it never
+    needs cross-engine portability (phase 1 is internal).
+    """
+    from pyspark.sql import Window
+
+    src = bucket_src if bucket_src is not None else F.xxhash64(*order_cols)
+    sub = F.pmod(src, F.lit(sub_buckets))
+    w1 = Window.partitionBy(*group_cols, sub).orderBy(*order_cols)
+    survivors = (
+        df.withColumn("__rk1", F.row_number().over(w1))
+        .filter(F.col("__rk1") <= k)
+        .drop("__rk1")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        survivors.withColumn(rank_name, F.row_number().over(w2))
+        .filter(F.col(rank_name) <= k)
+    )

@@ -600,23 +600,25 @@ def sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     the anti-domination step of pretraining mixes (no single crawl
     domain may swamp the corpus).
 
-    One shuffle on source. The partition key is the DOMAIN, so a
-    mega-domain concentrates on one task at 100 TB; the mitigation is
-    the standard two-phase top-k (pre-rank inside hash sub-buckets,
-    re-rank the <= 25 * n_buckets survivors) — same output, bounded
-    partitions. The single-window form is kept here because quota and
-    domain count make the survivor set tiny."""
-    from pyspark.sql import Window
-
+    Implemented with the SKEW-SAFE two-phase top-k
+    (operators/skew.py::grouped_topk_two_phase): phase 1 ranks inside
+    (domain, hash sub-bucket) partitions bounded by group_size/32,
+    phase 2 re-ranks the <= 25*32 survivors — a mega-domain at 100 TB
+    never sorts as one giant partition. The oracle is the SIMPLE
+    single-window form: the two-phase rewrite is provably
+    output-identical, and the driver verifies exactly that."""
     from dolphinbeat_spark.functions.hashes import hash64
+    from dolphinbeat_spark.operators.skew import grouped_topk_two_phase
 
     d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        hash64(F.col("doc_id").cast("string")), "doc_id"
-    )
     return (
-        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= 25)
+        grouped_topk_two_phase(
+            d.select("doc_id", "source"),
+            group_cols=["source"],
+            order_cols=[hash64(F.col("doc_id").cast("string")), F.col("doc_id")],
+            k=25,
+        )
+        .select("doc_id", "source", "rk")
         .orderBy("source", "rk")
     )
 
