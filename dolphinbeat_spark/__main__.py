@@ -101,6 +101,25 @@ def cmd_demo_pipeline(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """HTTP control surface over a saved registry (reference daemon's
+    M1 routes; Ctrl-C stops)."""
+    from dolphinbeat_spark.schema.registry import SchemaRegistry
+    from dolphinbeat_spark.streaming.http_server import ControlServer
+
+    reg = SchemaRegistry.load(args.registry) if args.registry else None
+    srv = ControlServer(registry=reg, host=args.host, port=args.port)
+    port = srv.serve()
+    print(f"serving on http://{args.host}:{port}  (/status /schema /ddl/failed)")
+    try:
+        import threading
+
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        srv.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dolphinbeat_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -125,6 +144,12 @@ def main(argv: list[str] | None = None) -> int:
     dp = sub.add_parser("demo-pipeline", help="stream the golden fixtures through the fan-out pipeline")
     dp.add_argument("--out", default=None)
     dp.set_defaults(fn=cmd_demo_pipeline)
+
+    vp = sub.add_parser("serve", help="HTTP control surface (/status, /schema, /ddl/*)")
+    vp.add_argument("--registry", default=None, help="saved registry JSON to serve")
+    vp.add_argument("--host", default="127.0.0.1")
+    vp.add_argument("--port", type=int, default=8080)
+    vp.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)
