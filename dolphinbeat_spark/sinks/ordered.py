@@ -114,6 +114,66 @@ def read_with_consumer_dedup(spark, out_dir: str) -> DataFrame:
     return df.dropDuplicates(["producer_id", "seq"]).orderBy("producer_id", "seq")
 
 
+def fragment_messages(payload: DataFrame, max_bytes: int) -> DataFrame:
+    """K3/K4 parity: split any message value larger than ``max_bytes``
+    into ordered fragments so no single Kafka message exceeds the
+    broker limit — the reference's "unlimited event size" claim
+    (``sink/kafka/kafka.go:109,114-116`` splits at ``max_payload_size``,
+    default 1 MiB; fragments carry index/count for reassembly).
+
+    Input: (key, value, partition) from :func:`kafka_batch_payload`.
+    Output: same columns plus (frag_idx, n_frags); sub-message keys are
+    ``<key>:<idx>/<n>`` so fragment ordering survives any transport
+    that preserves per-partition order (ours does — single partition).
+    Values at or under the limit pass through as their only fragment.
+    Pure Catalyst (explode over an offset sequence) — no driver loop."""
+    n_frags = F.ceil(F.length("value") / F.lit(max_bytes)).cast("int")
+    n_frags = F.greatest(n_frags, F.lit(1))  # empty value -> one empty frag
+    return (
+        payload.withColumn("n_frags", n_frags)
+        .withColumn("frag_idx", F.explode(F.sequence(F.lit(0), F.col("n_frags") - 1)))
+        .select(
+            F.concat(
+                F.col("key").cast("string"), F.lit(":"),
+                F.col("frag_idx").cast("string"), F.lit("/"),
+                F.col("n_frags").cast("string"),
+            ).cast("binary").alias("key"),
+            F.substring(
+                F.col("value"), F.col("frag_idx") * max_bytes + 1, max_bytes
+            ).alias("value"),
+            "partition",
+            "frag_idx",
+            "n_frags",
+        )
+    )
+
+
+def defragment_messages(frags: DataFrame) -> DataFrame:
+    """Consumer-side reassembly (reference client decoder's fragment
+    merge): group fragments by their base key, order by frag_idx,
+    binary-concat back to the original value. Tolerates duplicate
+    fragment delivery (at-least-once) by keeping one copy per index."""
+    base_key = F.split(F.col("key").cast("string"), ":").getItem(0)
+    one_per_idx = (
+        frags.select(base_key.alias("base_key"), "frag_idx", "value", "partition")
+        .dropDuplicates(["base_key", "frag_idx"])
+    )
+    return (
+        one_per_idx.groupBy("base_key")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("frag_idx", "value"))
+                ),
+                F.lit(b""),
+                lambda acc, x: F.concat(acc, x["value"]),
+            ).alias("value"),
+            F.first("partition").alias("partition"),
+        )
+        .select(F.col("base_key").cast("binary").alias("key"), "value", "partition")
+    )
+
+
 def decode_kafka_messages(messages: DataFrame, value_col: str = "value") -> DataFrame:
     """Consumer-side decoder for the Kafka paths (the Spark analog of
     the reference's client library, ``sink/kafka/client/go/decoder.go``):
