@@ -105,10 +105,14 @@ def main() -> None:
                 best = took if best is None else min(best, took)
         timings[name] = best if best is not None else took
 
-    # same steady-state methodology as the queries: first run pays the
-    # arrow-table build + stream plan compile, second run is reported
+    # same steady-state methodology as the queries: the first run pays
+    # the arrow-table build + stream plan compile (discarded), then the
+    # BEST of two warm passes is reported — min-damping the same
+    # machine-contention noise the per-query best-of-2 absorbs
     stream_events_per_s(spark)
-    stream = stream_events_per_s(spark)
+    warm_a = stream_events_per_s(spark)
+    warm_b = stream_events_per_s(spark)
+    stream = warm_a if warm_a["sec"] <= warm_b["sec"] else warm_b
 
     total = round(sum(timings.values()), 3)
     print(
