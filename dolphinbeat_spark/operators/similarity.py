@@ -353,3 +353,36 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def kmeans_centroids(
+    df: DataFrame, id_col: str, vec_col: str, k: int, seed: int = 42, max_iter: int = 10
+) -> DataFrame:
+    """Trained coarse quantizer for IVF: MLlib k-means over the
+    embedding column, returning the (cid, cv) centroid contract
+    ``ivf_assign``/``ivf_ann_topk`` consume — the production slot the
+    sampled-centroid oracle specs stand in for (trained centroids
+    follow the data distribution, so inverted lists balance and recall
+    per nprobe rises; estimates stay engine-specific, hence test-only,
+    no cross-engine oracle).
+
+    Scales as k-means does: each iteration is one map-side assignment
+    pass (centroids broadcast) + one partial-aggregated mean — the
+    exact plan shape ``ivf_assign`` already uses.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = df.select(
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
+    )
+    model = KMeans(
+        k=k, seed=seed, maxIter=max_iter, featuresCol="__features"
+    ).fit(feats)
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cid int, cv array<double>",
+    )
+    return cents.select("cid", F.col("cv").cast("array<float>").alias("cv"))

@@ -52,3 +52,39 @@ def test_pandas_topk_matches_catalyst(spark):
         for ra, rb in zip(ja, ar):
             if ra["neighbor_id"] == rb["neighbor_id"]:
                 assert abs(ra["cosine"] - rb["cosine"]) < 1e-9
+
+
+def test_ivf_with_kmeans_centroids(spark):
+    """The trained-quantizer slot: MLlib k-means centroids feed the
+    same IVF plan; results carry exact cosines and beat nothing-found
+    (recall checked loosely vs brute force on the tiny SF)."""
+    from dolphinbeat_spark.catalog import load
+    from dolphinbeat_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_ann_topk,
+        kmeans_centroids,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings", widen=True)
+    cents = kmeans_centroids(emb, "vec_id", "embedding", k=8)
+    assert cents.count() == 8
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    ivf = ivf_ann_topk(q, emb, cents, "vec_id", "embedding", k=5, nprobe=3)
+    rows = ivf.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert per_q and all(len(v) == 5 for v in per_q.values())
+    # deterministic across re-runs (fixed seed)
+    again = ivf_ann_topk(
+        q, emb, kmeans_centroids(emb, "vec_id", "embedding", k=8),
+        "vec_id", "embedding", k=5, nprobe=3,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # loose recall vs exact: probing 3/8 trained cells must recover a
+    # reasonable share of true top-5 neighbors
+    truth = brute_force_topk(q, emb, "vec_id", "embedding", 5).collect()
+    true_pairs = {(r["query_id"], r["neighbor_id"]) for r in truth}
+    got_pairs = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(true_pairs & got_pairs) / len(true_pairs)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
