@@ -118,7 +118,7 @@ WITH toked AS (
   GROUP BY doc_id, j
 )
 SELECT doc_id,
-       SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
 FROM bitsums
 GROUP BY doc_id
 ORDER BY doc_id
@@ -250,7 +250,7 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
   JOIN (SELECT doc_id, {_SHINGLES} AS sh FROM documents) b ON b.doc_id = c.id_b
 )
 SELECT COUNT(*) AS n_candidates,
-       count_if(jaccard >= 0.5) AS n_true_pairs,
+       CAST(count_if(jaccard >= 0.5) AS BIGINT) AS n_true_pairs,
        ROUND(CAST(count_if(jaccard >= 0.5) AS DOUBLE) / COUNT(*), 6) AS precision
 FROM truth
 """,
@@ -288,7 +288,7 @@ def dedup_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
 )
 SELECT COUNT(*) AS n_true_pairs,
-       COALESCE(count_if(c.id_a IS NOT NULL), 0) AS n_captured,
+       CAST(COALESCE(count_if(c.id_a IS NOT NULL), 0) AS BIGINT) AS n_captured,
        ROUND(CASE WHEN COUNT(*) = 0 THEN 1.0
                   ELSE CAST(count_if(c.id_a IS NOT NULL) AS DOUBLE) / COUNT(*) END, 6) AS recall
 FROM truth t LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b

@@ -609,7 +609,7 @@ SELECT l_linestatus,
        CAST(ROUND(SUM(DISTINCT CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_distinct_qty,
        COUNT(DISTINCT l_suppkey) AS n_suppliers,
        COUNT(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part_pairs,
-       count_if(l_discount > 0.05) AS n_discounted,
+       CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY l_linestatus

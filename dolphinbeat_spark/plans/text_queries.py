@@ -291,7 +291,7 @@ WITH t AS (
 )
 SELECT source,
        COUNT(*) AS docs_kept,
-       SUM(n_tokens) AS tokens_kept
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
 FROM deduped WHERE rn = 1
 GROUP BY source
 ORDER BY source
@@ -402,7 +402,7 @@ WITH sampled AS (
   WHERE {_DOC_HASH_SQL} % 10 = 0
 )
 SELECT source, COUNT(*) AS docs_sampled,
-       SUM(n_chars) AS chars_sampled
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
 FROM sampled
 GROUP BY source
 ORDER BY source

@@ -381,11 +381,11 @@ WITH stage_ts AS (
   FROM events GROUP BY user_id
 )
 SELECT COUNT(*) AS n_users,
-       count_if(t_signup IS NOT NULL) AS reached_signup,
-       count_if(t_signup IS NOT NULL AND t_view > t_signup) AS reached_view,
-       count_if(t_signup IS NOT NULL AND t_view > t_signup AND t_click > t_view) AS reached_click,
-       count_if(t_signup IS NOT NULL AND t_view > t_signup AND t_click > t_view
-                AND t_purchase > t_click) AS reached_purchase
+       CAST(count_if(t_signup IS NOT NULL) AS BIGINT) AS reached_signup,
+       CAST(count_if(t_signup IS NOT NULL AND t_view > t_signup) AS BIGINT) AS reached_view,
+       CAST(count_if(t_signup IS NOT NULL AND t_view > t_signup AND t_click > t_view) AS BIGINT) AS reached_click,
+       CAST(count_if(t_signup IS NOT NULL AND t_view > t_signup AND t_click > t_view
+                AND t_purchase > t_click) AS BIGINT) AS reached_purchase
 FROM stage_ts
 """,
     tags=("events", "funnel", "behavioral"),

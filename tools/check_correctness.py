@@ -74,12 +74,26 @@ def main() -> int:
         try:
             ddf = con.sql(oracles[name])
             dcols = ddf.columns
+            dtypes = [str(t).upper() for t in ddf.types]
             drows = ddf.fetchall()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {type(ex).__name__}: {ex}")
             n_fail += 1
             continue
         problems = []
+        # Guard: the driver's value hash is TYPE-SENSITIVE. DuckDB widens
+        # SUM/count_if over BIGINT to HUGEINT (int128), which Spark never
+        # emits — such an oracle "passes" our stringified comparison but
+        # hash-fails at the driver. Ban the type class outright.
+        bad_types = [
+            f"{c}:{t}"
+            for c, t in zip(dcols, dtypes)
+            if "HUGEINT" in t or "INT128" in t
+        ]
+        if bad_types:
+            problems.append(
+                f"oracle emits HUGEINT (driver hash-fail class) — add CAST(... AS BIGINT): {bad_types}"
+            )
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
         if sorted(scols) != sorted(c.lower() for c in dcols) and sorted(
