@@ -34,8 +34,10 @@ def banded_interval_join(
     """Pairs (left, right) with right_ts in (left_ts, left_ts + gap]
     (``strict_after=False`` makes the lower bound inclusive). Input
     frames must not share column names."""
-    bin_l = F.floor(F.col(left_ts).cast("long") / max_gap_seconds)
-    bin_r = F.floor(F.col(right_ts).cast("long") / max_gap_seconds)
+    # the intermediate .cast("timestamp") accepts TIMESTAMP_NTZ columns
+    # (parquet timestamps without tz) — NTZ cannot cast to long directly
+    bin_l = F.floor(F.col(left_ts).cast("timestamp").cast("long") / max_gap_seconds)
+    bin_r = F.floor(F.col(right_ts).cast("timestamp").cast("long") / max_gap_seconds)
     l_expanded = left.withColumn(
         "__bin", F.explode(F.array(bin_l, bin_l + 1))
     )

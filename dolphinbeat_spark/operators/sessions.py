@@ -27,8 +27,13 @@ def sessionize(
     w = Window.partitionBy(key).orderBy(F.col(time_col), F.col(tie_break))
     prev_ts = F.lag(F.col(time_col)).over(w)
     # integer microsecond arithmetic: portable across engines (second-
-    # granularity date_diff truncates; float epoch seconds drift)
-    gap_us = F.unix_micros(F.col(time_col)) - F.unix_micros(prev_ts)
+    # granularity date_diff truncates; float epoch seconds drift).
+    # The .cast("timestamp") accepts TIMESTAMP_NTZ inputs (what parquet
+    # timestamps without tz read as) — no-op for LTZ, session-tz (UTC)
+    # reinterpretation for NTZ, matching the DuckDB oracle's epoch_us.
+    gap_us = F.unix_micros(F.col(time_col).cast("timestamp")) - F.unix_micros(
+        prev_ts.cast("timestamp")
+    )
     is_new = F.when(prev_ts.isNull() | (gap_us > gap_seconds * 1_000_000), 1).otherwise(0)
     return df.withColumn(
         "session_id",

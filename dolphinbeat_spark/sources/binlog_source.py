@@ -287,6 +287,7 @@ class LiveBinlogStreamReader(SimpleDataSourceStreamReader):
         self._factory = event_iter_factory or (lambda off: live_event_iter(self.options, off))
         self._runner = query_runner  # S5 probes; default built lazily from options
         self._iter = None
+        self._pending_ops: list[dict] = []  # mid-trx drain rollback buffer
 
     # -- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -319,48 +320,99 @@ class LiveBinlogStreamReader(SimpleDataSourceStreamReader):
     # transaction would strand pending_gtid/in_trx in a dead context)
     _SAFE_CUT_OPS = frozenset({"commit", "ddl", "ddl_failed", "rotate", "query"})
 
-    def _decode_next(self, it, start: BinlogOffset, limit: int):
+    def _decode_next(self, it, start: BinlogOffset, limit: int,
+                     end: BinlogOffset | None = None, buffered: list | None = None):
         """Drain envelope rows from ``it`` until at least ``limit`` rows
         AND a transaction boundary (a transaction never splits across
         batches — one larger than the limit extends the batch to its
-        commit); returns (rows, end_offset). Offset advances to the
-        last decoded event's coordinates; gtid_set accumulates commit
-        gtids."""
+        commit); returns (rows, end_offset, leftover_ops).
+
+        ``end`` (replay only) is a hard bound: ops whose offset would
+        pass it are NOT emitted — a replayed batch must be byte-equal to
+        the original even when the binlog has since grown.
+
+        ``buffered`` ops (from a prior mid-transaction drain rollback)
+        are re-emitted before pulling the iterator.
+
+        If the iterator drains mid-transaction (non-blocking stream ran
+        dry between BEGIN and COMMIT), the batch ROLLS BACK to the last
+        safe-cut point: rows since it are returned as ``leftover_ops``
+        for the next call, and the returned offset stays at the safe
+        cut — a checkpointed offset must never point inside a
+        transaction (a restart there loses pending_gtid/in_trx and the
+        commit's gtid would silently drop from the gtid_set)."""
         rows: list[tuple] = []
         cur = start
         self.ctx.log_name = start.file or self.ctx.log_name
         at_safe_cut = True
-        for raw in it:
-            ev = adapt_replication_event(raw)
-            if ev is None:
-                continue
-            for op in decode_event(ev, self.ctx):
-                op.setdefault("gtid", None)
-                rows.append(_row_tuple(op))
-                gset = cur.gtid_set
-                if op["op_type"] == "commit" and op.get("gtid"):
-                    gset = _merge_gtid(gset, op["gtid"])
-                cur = BinlogOffset(
-                    file=self.ctx.log_name,
-                    pos=int(op.get("log_pos") or cur.pos),
-                    gtid_set=gset,
-                    server_id=cur.server_id or self.ctx.server_id,
-                )
-                at_safe_cut = op["op_type"] in self._SAFE_CUT_OPS
-            if len(rows) >= limit and at_safe_cut and not self.ctx.in_trx:
+        safe_len = 0
+        safe_off = cur
+        tail_ops: list[dict] = []  # ops since the last safe cut
+        hit_end = False
+
+        def emit(op: dict) -> None:
+            nonlocal cur, at_safe_cut, safe_len, safe_off, hit_end
+            op.setdefault("gtid", None)
+            gset = cur.gtid_set
+            if op["op_type"] == "commit" and op.get("gtid"):
+                gset = _merge_gtid(gset, op["gtid"])
+            nxt = BinlogOffset(
+                file=self.ctx.log_name,
+                pos=int(op.get("log_pos") or cur.pos),
+                gtid_set=gset,
+                server_id=cur.server_id or self.ctx.server_id,
+            )
+            if end is not None and nxt.compare(end) > 0:
+                hit_end = True  # op lies beyond the replay range: drop
+                return
+            rows.append(_row_tuple(op))
+            tail_ops.append(op)
+            cur = nxt
+            at_safe_cut = op["op_type"] in self._SAFE_CUT_OPS
+            if at_safe_cut and not self.ctx.in_trx:
+                safe_len, safe_off = len(rows), cur
+                tail_ops.clear()
+            if end is not None and cur.compare(end) >= 0:
+                hit_end = True
+
+        for op in list(buffered or ()):
+            if hit_end:
                 break
-        return rows, cur
+            emit(op)
+        if not hit_end:
+            for raw in it:
+                ev = adapt_replication_event(raw)
+                if ev is None:
+                    continue
+                for op in decode_event(ev, self.ctx):
+                    emit(op)
+                    if hit_end:
+                        break
+                if hit_end:
+                    break
+                if len(rows) >= limit and at_safe_cut and not self.ctx.in_trx:
+                    break
+        if not hit_end and (self.ctx.in_trx or not at_safe_cut):
+            # iterator drained mid-transaction: roll back to the last
+            # safe cut; the tail re-emits on the next read
+            leftover = list(tail_ops)
+            return rows[:safe_len], safe_off, leftover
+        return rows, cur, []
 
     def read(self, start: dict):
         off = BinlogOffset.from_json(start)
         if self._iter is None:
             self._iter = self._factory(off)
-        rows, end = self._decode_next(self._iter, off, self.max_ops)
+        rows, end, self._pending_ops = self._decode_next(
+            self._iter, off, self.max_ops, buffered=self._pending_ops
+        )
         return iter(rows), end.to_json()
 
     def readBetweenOffsets(self, start: dict, end: dict):
         """Replay a committed-but-lost range: fresh seek at ``start``,
-        drain until ``end`` is reached (binlog files are immutable)."""
+        drain until ``end`` is reached (binlog files are immutable).
+        ``end`` is passed down as a hard bound so the replay never
+        overshoots into rows the next live batch will also read."""
         s, e = BinlogOffset.from_json(start), BinlogOffset.from_json(end)
         it = self._factory(s)
         try:
@@ -374,7 +426,7 @@ class LiveBinlogStreamReader(SimpleDataSourceStreamReader):
             )
             try:
                 while cur.compare(e) < 0:
-                    got, cur = self._decode_next(it, cur, self.max_ops)
+                    got, cur, _ = self._decode_next(it, cur, self.max_ops, end=e)
                     if not got:
                         break
                     rows.extend(got)
@@ -444,11 +496,49 @@ def pymysql_query_runner(conn: dict):  # pragma: no cover - needs live MySQL
 
 
 def _merge_gtid(gset: str, gtid: str) -> str:
-    """Append a committed gtid to the running set representation (flat
-    comma list; interval compaction is the server's job on reconnect)."""
+    """Fold a committed ``uuid:txid`` into the running GTID set, kept in
+    canonical MySQL interval form (``uuid:1-3:7``) — contiguous txids
+    compact (``:7`` + ``:8`` → ``:7-8``), so a checkpointed offset stays
+    O(#uuids + #gaps) over an unbounded stream and the string is
+    directly usable as an ``auto_position`` value on reconnect.
+
+    Non-numeric txid forms (MariaDB domain-server-seq) fall back to the
+    flat comma append rather than guessing at their algebra."""
     if not gtid:
         return gset
-    return f"{gset},{gtid}" if gset else gtid
+    try:
+        order: list[str] = []
+        intervals: dict[str, list[list[int]]] = {}
+
+        def add(part: str) -> None:
+            uuid, *ivs = part.split(":")
+            if not ivs:
+                raise ValueError(part)
+            if uuid not in intervals:
+                intervals[uuid] = []
+                order.append(uuid)
+            for iv in ivs:
+                lo, _, hi = iv.partition("-")
+                intervals[uuid].append([int(lo), int(hi or lo)])
+
+        for part in filter(None, (gset or "").split(",")):
+            add(part)
+        add(gtid)
+
+        out = []
+        for uuid in order:
+            merged: list[list[int]] = []
+            for lo, hi in sorted(intervals[uuid]):
+                if merged and lo <= merged[-1][1] + 1:
+                    merged[-1][1] = max(merged[-1][1], hi)
+                else:
+                    merged.append([lo, hi])
+            out.append(uuid + "".join(
+                f":{lo}-{hi}" if hi > lo else f":{lo}" for lo, hi in merged
+            ))
+        return ",".join(out)
+    except (ValueError, TypeError):
+        return f"{gset},{gtid}" if gset else gtid
 
 
 def live_event_iter(options: dict, offset: BinlogOffset):  # pragma: no cover - needs live MySQL

@@ -184,7 +184,8 @@ def test_live_reader_end_to_end_protocol():
     upd = rows[2]
     assert upd["before"]["name"] == "a" and upd["after"]["name"] == "a2"
     e2 = BinlogOffset.from_json(end2)
-    assert e2.pos == 400 and e2.gtid_set == "uuid-1:7,uuid-1:8"
+    # contiguous txids compact to canonical interval form (auto_position-ready)
+    assert e2.pos == 400 and e2.gtid_set == "uuid-1:7-8"
 
     # replay a committed-but-lost range: fresh seek, same rows
     replay = [_cols(r) for r in reader.readBetweenOffsets(end1, end2)]
@@ -194,6 +195,71 @@ def test_live_reader_end_to_end_protocol():
     reader.commit(end2)
     reader.stop()
     assert sock.closed or sock.cursor  # stop() closed the live iterator
+
+
+def test_replay_does_not_overshoot_grown_binlog():
+    """readBetweenOffsets must stop AT ``end`` even though the binlog
+    has grown past it since the original batch was cut — rows beyond
+    ``end`` belong to the next live batch; replaying them too would
+    hand duplicates fresh seq stamps downstream."""
+    sock = _FakeSocket(_event_script())
+    reader = LiveBinlogStreamReader({"max_ops_per_batch": "100"}, sock.factory)
+    start = reader.initialOffset()
+    sock.arrive(7)  # through the first commit (pos 300)
+    rows, end1 = reader.read(start)
+    assert [_cols(r)["op_type"] for r in rows][-1] == "commit"
+    sock.arrive(10)  # binlog grows: second transaction now visible
+    # replay the FIRST batch range only — must not leak the second trx
+    replay = [_cols(r) for r in reader.readBetweenOffsets(start, end1)]
+    assert [r["op_type"] for r in replay] == [
+        "rotate", "ddl", "gtid", "begin", "insert", "insert", "commit"
+    ]
+    assert max(r["log_pos"] for r in replay) <= BinlogOffset.from_json(end1).pos
+
+
+def test_drain_mid_transaction_rolls_back_to_safe_cut():
+    """A non-blocking iterator that runs dry between BEGIN and COMMIT
+    must NOT checkpoint a mid-transaction offset: the batch rolls back
+    to the last safe cut and the tail re-emits next read — a restart at
+    the returned offset re-decodes the whole transaction, keeping its
+    commit gtid in the gtid_set."""
+    sock = _FakeSocket(_event_script())
+    reader = LiveBinlogStreamReader({"max_ops_per_batch": "100"}, sock.factory)
+    start = reader.initialOffset()
+    sock.arrive(6)  # drains after the inserts, BEFORE XidEvent(77, 300)
+    rows, end1 = reader.read(start)
+    ops = [_cols(r)["op_type"] for r in rows]
+    assert ops == ["rotate", "ddl"]  # gtid/begin/inserts held back
+    e1 = BinlogOffset.from_json(end1)
+    assert e1.pos == 150  # the DDL safe cut, not the insert position
+    # a fresh reader restarted at that offset sees the FULL transaction
+    fresh = LiveBinlogStreamReader({"max_ops_per_batch": "100"}, sock.factory)
+    sock.arrive(100)
+    rows_f, _ = fresh.read(end1)
+    assert [_cols(r)["op_type"] for r in rows_f][:5] == [
+        "gtid", "begin", "insert", "insert", "commit"
+    ]
+    # and the SAME live reader re-emits the held-back tail seamlessly
+    rows2, end2 = reader.read(end1)
+    ops2 = [_cols(r)["op_type"] for r in rows2]
+    assert ops2[:5] == ["gtid", "begin", "insert", "insert", "commit"]
+    assert BinlogOffset.from_json(end2).gtid_set.startswith("uuid-1:7")
+
+
+def test_merge_gtid_interval_compaction():
+    from dolphinbeat_spark.sources.binlog_source import _merge_gtid
+
+    assert _merge_gtid("", "u1:5") == "u1:5"
+    assert _merge_gtid("u1:5", "u1:6") == "u1:5-6"
+    assert _merge_gtid("u1:1-3", "u1:4") == "u1:1-4"
+    assert _merge_gtid("u1:1-3", "u1:7") == "u1:1-3:7"
+    assert _merge_gtid("u1:1-3:7", "u1:5") == "u1:1-3:5:7"
+    assert _merge_gtid("u1:1-3:5:7", "u1:4") == "u1:1-5:7"
+    assert _merge_gtid("u1:1-3,u2:9", "u2:10") == "u1:1-3,u2:9-10"
+    # duplicate commit (replay) is absorbed, not double-counted
+    assert _merge_gtid("u1:1-4", "u1:3") == "u1:1-4"
+    # MariaDB domain-server-seq form falls back to flat append
+    assert _merge_gtid("0-1-100", "0-1-101") == "0-1-100,0-1-101"
 
 
 def test_master_position_probes():
