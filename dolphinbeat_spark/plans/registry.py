@@ -81,69 +81,18 @@ _MODULE_PRIORITY = (
     "semantics",
 )
 
-# Specs the external verifier has already confirmed green in a prior
-# round (CORRECTNESS_r01 + r02). Its window only checks a PREFIX of the
-# registry, so within each family we front-load the specs it has NEVER
-# seen — one already-green sentinel leads each family (regression
-# canary), never-checked specs follow, previously-confirmed specs trail.
-_DRIVER_CONFIRMED = frozenset({
-    "agg_cube_sales", "agg_distinct_counts", "agg_grouping_sets",
-    "agg_rollup_sales", "agg_stats_showcase", "agg_string_concat_ordered",
-    "approx_distinct_parts", "array_functions_showcase", "array_zip_functions",
-    "cdc_envelope_from_events", "cdc_route_tables", "cdc_seq_stamp",
-    "cdc_trx_framing", "datetime_functions2", "datetime_functions_showcase",
-    "dedup_exact_docs", "dedup_minhash_lsh_pairs", "dedup_minhash_signatures",
-    "dedup_simhash", "events_rollup_cascade", "generator_inline_structs",
-    "join_anti_customers_no_orders", "join_hint_merge", "join_hint_shuffle_hash",
-    "join_salted_supplier_revenue", "join_semi_parts_shipped",
-    "lateral_explode_outer", "map_functions_showcase", "mm_binary_metadata",
-    "mm_feature_extract_pandas", "mm_frame_sample", "mm_resize_fake",
-    "percentiles_by_returnflag", "pivot_orders_priority_by_year",
-    "q10_returned_items", "q11_important_parts", "q12_priority_by_lateness",
-    "q13_customer_order_distribution", "q14_promo_revenue_share",
-    "q15_top_supplier", "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "q19_disjunctive_revenue",
-    "q1_pricing_summary", "q20_excess_suppliers", "q21_waiting_suppliers",
-    "q22_churned_balance", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority_exists", "q5_local_supplier_volume",
-    "q6_revenue_forecast", "q7_nation_trade", "q8_market_share",
-    "q9_profit_by_nation_year", "scalar_functions_showcase",
-    "scalar_null_semantics", "scalar_string_functions2", "scalar_try_cast",
-    "set_ops_all_variants", "set_ops_customer_segments", "sim_bruteforce_topk",
-    "sim_cosine_near_dup", "sim_ivf_ann_topk", "sim_label_centroids",
-    "sim_lsh_ann_topk", "sketch_hll_users", "skew_salted_agg",
-    "sort_limit_global", "text_fingerprint_dups", "text_lang_id",
-    "text_quality_score", "text_token_stats", "text_token_topk",
-    "win_moving_sum_daily", "win_rank_showcase", "win_running_revenue",
-    "win_sliding_10m_5m", "win_top3_orders_per_customer",
-})
-
-
-def _rotate_order(by_module: dict[str, list[QuerySpec]]) -> dict[str, QuerySpec]:
-    """Three phases, each round-robin across families:
-
-    1. one already-confirmed sentinel per family (regression canary);
-    2. every never-driver-checked spec (so the verifier's prefix window
-       confirms fresh ground each round);
-    3. the previously-confirmed remainder.
-    """
-    sentinels: list[list[QuerySpec]] = []
-    fresh: list[list[QuerySpec]] = []
-    rest: list[list[QuerySpec]] = []
-    for specs in by_module.values():
-        confirmed = [s for s in specs if s.name in _DRIVER_CONFIRMED]
-        sentinels.append(confirmed[:1])
-        fresh.append([s for s in specs if s.name not in _DRIVER_CONFIRMED])
-        rest.append(confirmed[1:])
-
+def _round_robin(by_module: dict[str, list[QuerySpec]]) -> dict[str, QuerySpec]:
+    """Neutral round-robin across plan-module families, in registration
+    order within each family. Any prefix window of the registry sees a
+    cross-section of every operator family; no spec is favored or
+    demoted based on external verification state."""
+    queues = [list(specs) for specs in by_module.values()]
     ordered: dict[str, QuerySpec] = {}
-    for queues in (sentinels, fresh, rest):
-        queues = [list(q) for q in queues]
-        while any(queues):
-            for q in queues:
-                if q:
-                    spec = q.pop(0)
-                    ordered[spec.name] = spec
+    while any(queues):
+        for q in queues:
+            if q:
+                spec = q.pop(0)
+                ordered[spec.name] = spec
     return ordered
 
 
@@ -167,4 +116,4 @@ def all_specs() -> dict[str, QuerySpec]:
     for spec in _REGISTRY.values():  # registration (definition) order
         by_module.setdefault(spec.module, []).append(spec)
 
-    return _rotate_order(by_module)
+    return _round_robin(by_module)

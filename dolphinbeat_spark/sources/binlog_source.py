@@ -425,11 +425,20 @@ class LiveBinlogStreamReader(SimpleDataSourceStreamReader):
                 registry=ctx_save.registry, log_name=s.file, server_id=ctx_save.server_id
             )
             try:
+                # leftover ops from a mid-transaction drain rollback were
+                # already consumed from the iterator — thread them into
+                # the next call (like read() does with _pending_ops) or
+                # the replay would silently return fewer rows than the
+                # committed range
+                leftover: list[dict] = []
                 while cur.compare(e) < 0:
-                    got, cur, _ = self._decode_next(it, cur, self.max_ops, end=e)
-                    if not got:
-                        break
+                    prev = cur
+                    got, cur, leftover = self._decode_next(
+                        it, cur, self.max_ops, end=e, buffered=leftover
+                    )
                     rows.extend(got)
+                    if not got and cur.compare(prev) == 0:
+                        break  # no progress: iterator drained
             finally:
                 self.ctx = ctx_save
             return iter(rows)
@@ -502,43 +511,51 @@ def _merge_gtid(gset: str, gtid: str) -> str:
     O(#uuids + #gaps) over an unbounded stream and the string is
     directly usable as an ``auto_position`` value on reconnect.
 
-    Non-numeric txid forms (MariaDB domain-server-seq) fall back to the
-    flat comma append rather than guessing at their algebra."""
+    Non-numeric txid forms (MariaDB domain-server-seq) are opaque: they
+    pass through verbatim and deduplicated, while the MySQL-form parts
+    around them still compact — one unparseable part must not abandon
+    compaction for the whole set (the set would then grow unboundedly
+    again)."""
     if not gtid:
         return gset
-    try:
-        order: list[str] = []
-        intervals: dict[str, list[list[int]]] = {}
+    order: list[str] = []
+    intervals: dict[str, list[list[int]]] = {}
+    opaque: list[str] = []  # non-MySQL-form parts, carried verbatim
 
-        def add(part: str) -> None:
+    def add(part: str) -> None:
+        try:
             uuid, *ivs = part.split(":")
             if not ivs:
                 raise ValueError(part)
-            if uuid not in intervals:
-                intervals[uuid] = []
-                order.append(uuid)
+            parsed = []
             for iv in ivs:
                 lo, _, hi = iv.partition("-")
-                intervals[uuid].append([int(lo), int(hi or lo)])
+                parsed.append([int(lo), int(hi or lo)])
+        except (ValueError, TypeError):
+            if part not in opaque:
+                opaque.append(part)
+            return
+        if uuid not in intervals:
+            intervals[uuid] = []
+            order.append(uuid)
+        intervals[uuid].extend(parsed)
 
-        for part in filter(None, (gset or "").split(",")):
-            add(part)
-        add(gtid)
+    for part in filter(None, (gset or "").split(",")):
+        add(part)
+    add(gtid)
 
-        out = []
-        for uuid in order:
-            merged: list[list[int]] = []
-            for lo, hi in sorted(intervals[uuid]):
-                if merged and lo <= merged[-1][1] + 1:
-                    merged[-1][1] = max(merged[-1][1], hi)
-                else:
-                    merged.append([lo, hi])
-            out.append(uuid + "".join(
-                f":{lo}-{hi}" if hi > lo else f":{lo}" for lo, hi in merged
-            ))
-        return ",".join(out)
-    except (ValueError, TypeError):
-        return f"{gset},{gtid}" if gset else gtid
+    out = []
+    for uuid in order:
+        merged: list[list[int]] = []
+        for lo, hi in sorted(intervals[uuid]):
+            if merged and lo <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        out.append(uuid + "".join(
+            f":{lo}-{hi}" if hi > lo else f":{lo}" for lo, hi in merged
+        ))
+    return ",".join(out + opaque)
 
 
 def live_event_iter(options: dict, offset: BinlogOffset):  # pragma: no cover - needs live MySQL

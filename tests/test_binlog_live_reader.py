@@ -258,8 +258,48 @@ def test_merge_gtid_interval_compaction():
     assert _merge_gtid("u1:1-3,u2:9", "u2:10") == "u1:1-3,u2:9-10"
     # duplicate commit (replay) is absorbed, not double-counted
     assert _merge_gtid("u1:1-4", "u1:3") == "u1:1-4"
-    # MariaDB domain-server-seq form falls back to flat append
+    # MariaDB domain-server-seq form is opaque: carried verbatim
     assert _merge_gtid("0-1-100", "0-1-101") == "0-1-100,0-1-101"
+    # ... and deduplicated, not appended unboundedly
+    assert _merge_gtid("0-1-100", "0-1-100") == "0-1-100"
+    # one opaque part must NOT abandon compaction for the rest of the
+    # set: MySQL-form parts around it still compact to interval form
+    assert _merge_gtid("0-1-100,u1:5", "u1:6") == "u1:5-6,0-1-100"
+    assert _merge_gtid("u1:1-3,0-1-100,u1:4", "u1:5") == "u1:1-5,0-1-100"
+
+
+def test_replay_threads_rollback_leftover_through():
+    """If the replay iterator transiently runs dry mid-transaction (the
+    non-blocking wire can pause between packets), the rolled-back tail
+    ops were already consumed from the iterator — readBetweenOffsets
+    must re-emit them on the next pull instead of dropping them, or the
+    replay returns fewer rows than the committed range."""
+
+    class _Trickle:
+        """Yields at most ``chunk`` events per iteration pass, then runs
+        dry until the next pass — a transiently-stalling stream."""
+
+        def __init__(self, events, chunk):
+            self.events, self.i, self.chunk = list(events), 0, chunk
+
+        def __iter__(self):
+            stop = min(self.i + self.chunk, len(self.events))
+            while self.i < stop:
+                ev = self.events[self.i]
+                self.i += 1
+                yield ev
+
+    events = _event_script()[:7]  # rotate..first commit (pos 300)
+    # chunk=4 drains after BEGIN: mid-transaction rollback on pass 1
+    reader = LiveBinlogStreamReader(
+        {"max_ops_per_batch": "100"}, lambda off: _Trickle(events, 4)
+    )
+    start = BinlogOffset(pos=4).to_json()
+    end = BinlogOffset(file="binlog.000002", pos=300).to_json()
+    replay = [_cols(r) for r in reader.readBetweenOffsets(start, end)]
+    assert [r["op_type"] for r in replay] == [
+        "rotate", "ddl", "gtid", "begin", "insert", "insert", "commit"
+    ]
 
 
 def test_master_position_probes():
