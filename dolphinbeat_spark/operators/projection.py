@@ -97,13 +97,25 @@ def frame_transactions(envelope: DataFrame) -> DataFrame:
 
     The single ordered stream stamps each row op with the last seen
     BEGIN's coordinates; in batch form we group by the commit gtid
-    (rows between BEGIN..COMMIT share the commit's log range)."""
+    (rows between BEGIN..COMMIT share the commit's log range).
+
+    Scale: the forward-fill window is partitioned by ``log_name`` — a
+    MySQL transaction never spans binlog files (rotation happens only
+    at transaction boundaries), so the partition is semantically safe,
+    and a binlog file is size-capped (``max_binlog_size``), so each
+    window partition is bounded no matter how large the envelope grows.
+    The previous formulation windowed the WHOLE envelope into one
+    partition (Spark's "No Partition Defined" warning)."""
     w_ops = envelope.filter(F.col("op_type").isin("insert", "update", "delete", "begin", "commit"))
     # forward-fill gtid is a streaming concern; batch fixtures carry
-    # gtid on the commit row — associate by log_pos ordering window
+    # gtid on the commit row — associate by per-file log_pos ordering
     from pyspark.sql import Window
 
-    w = Window.orderBy("log_pos").rowsBetween(0, Window.unboundedFollowing)
+    w = (
+        Window.partitionBy("log_name")
+        .orderBy("log_pos")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
     stamped = w_ops.withColumn(
         "trx_gtid", F.first(F.when(F.col("op_type") == "commit", F.col("gtid")), ignorenulls=True).over(w)
     )

@@ -472,12 +472,13 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.pow(u, 1.0 / F.col("n_chars")).alias("priority"),
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("priority").desc(), "doc_id")
+    # top-k via orderBy+limit → TakeOrderedAndProject: per-partition
+    # top-25 then a driver-side merge of 25-row heaps — never the
+    # single-partition shuffle an unpartitioned row_number window costs
+    # (same rows under the same (priority DESC, doc_id) tie-break)
     return (
-        keyed.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 25)
+        keyed.orderBy(F.col("priority").desc(), "doc_id")
+        .limit(25)
         .select("doc_id", "source", "n_chars", F.round("priority", 10).alias("priority"))
         .orderBy("doc_id")
     )
