@@ -224,6 +224,102 @@ def cdc_unsigned_rewiden(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_protobuf_roundtrip",
+    oracle=f"""
+SELECT event_id,
+       {_OP_CASE_SQL} AS op_type,
+       concat('db', CAST(user_id % 3 AS VARCHAR)) AS db,
+       concat('tbl_', event_type) AS "table",
+       CAST(user_id AS VARCHAR) AS user_id_str,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+            THEN '' ELSE json_extract_string(props, '$.k') END AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0 AS k_null
+FROM events
+WHERE event_id % 11 = 0
+ORDER BY event_id
+""",
+    tags=("cdc", "wire", "protobuf"),
+)
+def cdc_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The K5/K7 protobuf wire codec under the oracle gate: each event
+    becomes an envelope op, is serialized to a reference-schema
+    protobuf ``Operation`` (sinks/wire_protocol.py — field numbers from
+    ``sink/kafka/protocol/protocol.proto:128-151``, stringified values
+    + null flags per ``sink/kafka/operation.go:158-178``), decoded
+    back, and the DECODED fields are returned. Round-trip is identity,
+    so the oracle is the plain projection — any codec defect (tag,
+    varint, null flag, column order) breaks the value hash. Arrow-
+    batched mapInPandas; encode/decode is embarrassingly parallel."""
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    db, tbl = _db_table_cols()
+    src = e.select(
+        "event_id",
+        _op_col().alias("op_type"),
+        db.alias("db"),
+        tbl.alias("table"),
+        F.col("user_id").cast("string").alias("user_id_s"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+    def codec(batches):
+        from dolphinbeat_spark.schema.registry import ColumnDef, TableDef
+        from dolphinbeat_spark.sinks import wire_protocol as wp
+
+        cols = [
+            ColumnDef("event_id", "bigint", key="PRI"),
+            ColumnDef("user_id", "bigint"),
+            ColumnDef("k", "int"),
+        ]
+        for pdf in batches:
+            out = []
+            for r in pdf.to_dict("records"):
+                k_null = int(r["k"]) % 7 == 0
+                image = {
+                    "event_id": str(r["event_id"]),
+                    "user_id": r["user_id_s"],
+                    "k": "" if k_null else str(r["k"]),
+                }
+                nulls = {"event_id": False, "user_id": False, "k": k_null}
+                side = "before" if r["op_type"] == "delete" else "after"
+                row = {
+                    "op_type": r["op_type"],
+                    "server_id": 1,
+                    "log_pos": r["event_id"],
+                    f"{side}": image,
+                    f"{side}_null": nulls,
+                }
+                td = TableDef(database=r["db"], name=r["table"], columns=cols)
+                op = wp.decode_operation(wp.encode_operation(row, td))
+                img = op["rows"][0]["after"] or op["rows"][0]["before"]
+                out.append(
+                    (
+                        op["log_pos"],
+                        op["op_type"],
+                        op["table"]["database"],
+                        op["table"]["name"],
+                        img[1]["value"],
+                        img[2]["value"],
+                        img[2]["is_null"],
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "event_id", "op_type", "db", "table",
+                    "user_id_str", "k_str", "k_null",
+                ],
+            )
+
+    return src.mapInPandas(
+        codec,
+        schema="event_id bigint, op_type string, db string, table string, "
+        "user_id_str string, k_str string, k_null boolean",
+    ).orderBy("event_id")
+
+
+@register(
     "json_functions_showcase",
     oracle="""
 SELECT event_id,

@@ -310,6 +310,105 @@ def kafka_batch_payload(
     )
 
 
+def encode_ops_distributed(envelope: DataFrame, registry) -> DataFrame:
+    """Envelope rows → protobuf Payload chunks, Arrow-batched and
+    distributed (``Payload``'s repeated field makes each op's tagged
+    bytes independently encodable; the payload body is their plain
+    concatenation). Sort keys ride along so the caller can impose the
+    K1 total order AFTER the parallel encode."""
+    import pandas as pd
+
+    from dolphinbeat_spark.sinks import wire_protocol as wp
+
+    row_ops = {"insert", "update", "delete"}
+
+    def encode(batches):
+        for pdf in batches:
+            chunks = []
+            for row in pdf.to_dict("records"):
+                td = None
+                if row["op_type"] in row_ops:
+                    td = registry.get(
+                        row.get("db"), row.get("table"),
+                        wp.as_int(row.get("schema_version")) or None,
+                    )
+                chunks.append(wp.payload_chunk(wp.encode_operation(row, td)))
+            yield pd.DataFrame(
+                {
+                    "log_name": pdf["log_name"],
+                    "log_pos": pdf["log_pos"],
+                    "op_type": pdf["op_type"],
+                    "chunk": chunks,
+                }
+            )
+
+    return envelope.mapInPandas(
+        encode, schema="log_name string, log_pos long, op_type string, chunk binary"
+    )
+
+
+class ProtobufKafkaSink(SeqStampedSink):
+    """The reference's ACTUAL wire contract (K5/K7 drop-in): protobuf
+    ``Message``/``Payload``/``Operation`` values with optional in-band
+    zlib and IPv4-style fragmentation — a stock reference Go client
+    (``sink/kafka/client/go/decoder.go``) can consume the topic.
+
+    Differences from :class:`KafkaOrderedSink` (the JSON path): seq is
+    per Kafka MESSAGE (fragment), not per op — exactly the reference's
+    numbering (kafka.go:421-430) — and one message carries a Payload of
+    up to ``ops_per_payload`` ops. Replay determinism is unchanged:
+    same batch + same recorded base_seq → byte-identical messages, so
+    at-least-once transport + client seq-dedup = exactly-once.
+
+    ``produce(seq, value_bytes)`` is injectable (tests capture bytes;
+    production wraps a kafka client's produce)."""
+
+    def __init__(
+        self,
+        meta_dir: str,
+        registry,
+        produce,
+        producer_id: int = 1,
+        ops_per_payload: int = 128,
+        max_payload_size: int = 1 << 20,
+        compression: str = "none",
+    ):
+        from dolphinbeat_spark.sinks import wire_protocol as wp
+
+        super().__init__(meta_dir, producer_id)
+        self.registry = registry
+        self.produce = produce
+        self.ops_per_payload = ops_per_payload
+        self.max_payload_size = max_payload_size
+        self.compression = {
+            "none": wp.COMPRESSION_NONE, "zlib": wp.COMPRESSION_ZLIB,
+        }[compression]
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from dolphinbeat_spark.sinks import wire_protocol as wp
+
+        base = self._base_seq(batch_id)
+        # encode in parallel FIRST (CPU-heavy part), then collapse only
+        # the already-encoded bytes through the K1 single-partition
+        # total-order boundary for the produce loop
+        encoded = encode_ops_distributed(batch_df, self.registry)
+        ordered = encoded.coalesce(1).sortWithinPartitions(
+            "log_name", "log_pos", "op_type"
+        )
+        chunks = [bytes(r["chunk"]) for r in ordered.toLocalIterator()]
+        msgs = wp.build_messages(
+            chunks,
+            base,
+            self.producer_id,
+            ops_per_payload=self.ops_per_payload,
+            max_payload_size=self.max_payload_size,
+            compression=self.compression,
+        )
+        for seq, value in msgs:
+            self.produce(seq, value)
+        self._commit_meta(batch_id, base, len(msgs))
+
+
 def kafka_writestream(
     stream: DataFrame,
     topic: str,
