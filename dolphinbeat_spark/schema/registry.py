@@ -115,7 +115,7 @@ class TableDef:
 
 _IDENT = r"`?(\w+)`?"
 _CREATE_RE = re.compile(
-    rf"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:{_IDENT}\.)?{_IDENT}\s*\((.*)\)\s*(\w.*)?$",
+    rf"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:{_IDENT}\.)?{_IDENT}\s*(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 _ALTER_RE = re.compile(
@@ -157,6 +157,29 @@ def is_ddl_or_dcl(stmt: str) -> bool:
     return u.startswith(_DDL_PREFIXES) or u.startswith(_DCL_PREFIXES)
 
 
+def _find_balanced(s: str, start: int) -> int:
+    """Index of the ``)`` matching the ``(`` at ``start`` (quote-aware).
+    Needed because a CREATE body can be FOLLOWED by more parens —
+    ``PARTITION BY RANGE (c) (PARTITION p0 VALUES LESS THAN (10))``,
+    ``COMMENT='x (y)'`` — so a greedy match-to-last-paren is wrong."""
+    depth, quote = 0, None
+    for i in range(start, len(s)):
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"`":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise DdlError(f"unbalanced parentheses in DDL: {s!r}")
+
+
 def _split_top_level(s: str) -> list[str]:
     """Split on commas not inside parens/quotes."""
     parts, depth, buf, quote = [], 0, [], None
@@ -193,13 +216,23 @@ _COL_RE = re.compile(
 
 def _parse_column(text: str) -> ColumnDef | None:
     up = text.upper()
-    if up.startswith(("PRIMARY KEY", "UNIQUE", "KEY", "INDEX", "CONSTRAINT", "FOREIGN", "FULLTEXT")):
+    if up.startswith(
+        ("PRIMARY KEY", "UNIQUE", "KEY", "INDEX", "CONSTRAINT", "FOREIGN",
+         "FULLTEXT", "SPATIAL", "CHECK")
+    ):
         return None
     m = _COL_RE.match(text.strip())
     if not m:
         raise DdlError(f"unparseable column definition: {text!r}")
-    name, type_str, rest = m.group(1), m.group(2).lower(), m.group(3).upper()
+    name, type_str, raw_rest = m.group(1), m.group(2).lower(), m.group(3)
+    rest = raw_rest.upper()
     key = "PRI" if "PRIMARY KEY" in rest else ("UNI" if "UNIQUE" in rest else "")
+    # CHARACTER SET / CHARSET / COLLATE column options (MySQL-8 dumps
+    # emit these routinely); charset name kept in original case
+    cs = re.search(r"(?:CHARACTER\s+SET|CHARSET)\s+(\w+)", raw_rest, re.IGNORECASE)
+    charset = cs.group(1) if cs else ""
+    # generated columns ([GENERATED ALWAYS] AS (expr) STORED/VIRTUAL)
+    # keep their declared type; the expression itself is not tracked
     return ColumnDef(
         name=name,
         type=type_str.strip(),
@@ -207,6 +240,7 @@ def _parse_column(text: str) -> ColumnDef | None:
         nullable="NOT NULL" not in rest and key != "PRI",
         unsigned="UNSIGNED" in rest,
         key=key,
+        charset=charset,
     )
 
 
@@ -264,7 +298,27 @@ class SchemaRegistry:
 
     def _apply_one(self, stmt: str, default_db: str) -> None:
         if m := _CREATE_RE.match(stmt):
-            db, name, body = m.group(1) or default_db, m.group(2), m.group(3)
+            db, name, rest = m.group(1) or default_db, m.group(2), m.group(3).strip()
+            if not db:
+                raise DdlError(f"CREATE without database: {stmt!r}")
+            # CREATE TABLE new LIKE src — copy the source's shape
+            if lk := re.match(
+                rf"^\(?\s*LIKE\s+(?:{_IDENT}\.)?{_IDENT}\s*\)?\s*$", rest, re.IGNORECASE
+            ):
+                src = self.get(lk.group(1) or default_db or db, lk.group(2))
+                if src is None:
+                    raise DdlError(f"CREATE ... LIKE unknown table: {stmt!r}")
+                self._bump(db, name, TableDef(
+                    database=db, name=name,
+                    columns=[ColumnDef(**asdict(c)) for c in src.columns],
+                    charset=src.charset,
+                ))
+                return
+            if not rest.startswith("("):
+                # CREATE TABLE ... AS SELECT: shape depends on the query
+                raise DdlError(f"CREATE TABLE without column list: {stmt!r}")
+            end = _find_balanced(rest, 0)
+            body, tail = rest[1:end], rest[end + 1 :]
             cols = []
             pk_cols: list[str] = []
             for part in _split_top_level(body):
@@ -279,9 +333,16 @@ class SchemaRegistry:
                 if c.name in pk_cols:
                     c.key = "PRI"
                     c.nullable = False
-            if not db:
-                raise DdlError(f"CREATE without database: {stmt!r}")
-            self._bump(db, name, TableDef(database=db, name=name, columns=cols))
+            # table-option tail: DEFAULT CHARSET; PARTITION BY /
+            # ENGINE= / AUTO_INCREMENT= / COMMENT= are shape-neutral
+            cm = re.search(
+                r"(?:DEFAULT\s+)?(?:CHARSET|CHARACTER\s+SET)\s*=?\s*(\w+)",
+                tail, re.IGNORECASE,
+            )
+            self._bump(db, name, TableDef(
+                database=db, name=name, columns=cols,
+                charset=cm.group(1) if cm else "",
+            ))
         elif m := _ALTER_RE.match(stmt):
             db, name, actions = m.group(1) or default_db, m.group(2), m.group(3)
             td = self.get(db, name)
@@ -348,8 +409,11 @@ class SchemaRegistry:
                         c.key = "PRI"
                         c.nullable = False
                 return cols
-            if bu.startswith(("UNIQUE", "INDEX", "KEY", "CONSTRAINT", "FOREIGN", "FULLTEXT", "SPATIAL")):
-                return cols
+            if bu.startswith(
+                ("UNIQUE", "INDEX", "KEY", "CONSTRAINT", "FOREIGN",
+                 "FULLTEXT", "SPATIAL", "CHECK", "PARTITION")
+            ):
+                return cols  # ADD INDEX/KEY/CHECK/PARTITION: shape-neutral
             if body.startswith("("):
                 # ADD (a INT, b VARCHAR(10), ...): parenthesized multi-add
                 out = list(cols)
@@ -391,7 +455,10 @@ class SchemaRegistry:
         if up.startswith(("RENAME INDEX", "RENAME KEY")):
             return cols  # shape-neutral
         if up.startswith("DROP COLUMN") or (
-            up.startswith("DROP ") and not up.startswith(("DROP PRIMARY", "DROP INDEX", "DROP KEY", "DROP FOREIGN", "DROP CONSTRAINT", "DROP CHECK"))
+            up.startswith("DROP ") and not up.startswith(
+                ("DROP PRIMARY", "DROP INDEX", "DROP KEY", "DROP FOREIGN",
+                 "DROP CONSTRAINT", "DROP CHECK", "DROP PARTITION")
+            )
         ):
             m2 = re.match(
                 rf"DROP(?:\s+COLUMN)?\s+(?:IF\s+EXISTS\s+)?{_IDENT}", a, re.IGNORECASE

@@ -198,3 +198,134 @@ def test_save_load_roundtrip(tmp_path):
     v = reg2.version
     reg2.apply_ddl("ALTER TABLE test.canal_test ADD age INT AFTER name", position=("b.1", 2))
     assert reg2.version == v
+
+
+# -- MySQL-8 grammar long tail (reference replays anything its embedded
+# -- TiDB parser accepts, schema/tracker.go:153-172; these are the forms
+# -- real mysqldump / MySQL 8 emit daily) -------------------------------
+
+
+def test_create_with_partition_by_tail():
+    reg = SchemaRegistry()
+    reg.apply_ddl(
+        """CREATE TABLE test.metrics (
+  id BIGINT NOT NULL,
+  day DATE NOT NULL,
+  v DOUBLE,
+  PRIMARY KEY (id, day)
+) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_0900_ai_ci
+PARTITION BY RANGE (YEAR(day)) (
+  PARTITION p2023 VALUES LESS THAN (2024),
+  PARTITION p2024 VALUES LESS THAN (2025),
+  PARTITION pmax VALUES LESS THAN MAXVALUE
+)"""
+    )
+    td = reg.get("test", "metrics")
+    assert td.column_names() == ["id", "day", "v"]
+    assert td.primary_key() == ["id", "day"]
+    assert td.charset == "utf8mb4"
+
+
+def test_create_with_comment_containing_parens():
+    reg = SchemaRegistry()
+    reg.apply_ddl(
+        "CREATE TABLE test.t (id INT PRIMARY KEY) COMMENT='totals (daily)'"
+    )
+    assert reg.get("test", "t").column_names() == ["id"]
+
+
+def test_generated_columns_stored_and_virtual():
+    reg = SchemaRegistry()
+    reg.apply_ddl(
+        """CREATE TABLE test.gen (
+  a INT NOT NULL,
+  b INT NOT NULL,
+  s INT GENERATED ALWAYS AS (a + b) STORED,
+  v VARCHAR(20) AS (CONCAT(a, '-', b)) VIRTUAL,
+  PRIMARY KEY (a)
+)"""
+    )
+    td = reg.get("test", "gen")
+    assert td.column_names() == ["a", "b", "s", "v"]
+    assert td.columns[2].type == "int"
+    # ALTER ADD of a generated column
+    reg.apply_ddl(
+        "ALTER TABLE test.gen ADD COLUMN s2 BIGINT GENERATED ALWAYS AS (a * b) STORED AFTER b"
+    )
+    assert reg.get("test", "gen").column_names() == ["a", "b", "s2", "s", "v"]
+
+
+def test_charset_collate_column_options():
+    reg = SchemaRegistry()
+    reg.apply_ddl(
+        """CREATE TABLE test.cs (
+  id INT PRIMARY KEY,
+  name VARCHAR(100) CHARACTER SET utf8mb4 COLLATE utf8mb4_bin NOT NULL,
+  note TEXT CHARSET latin1
+) DEFAULT CHARACTER SET = utf8mb4"""
+    )
+    td = reg.get("test", "cs")
+    assert td.columns[1].charset == "utf8mb4"
+    assert not td.columns[1].nullable
+    assert td.columns[2].charset == "latin1"
+    assert td.charset == "utf8mb4"
+    # MODIFY with charset options keeps parsing
+    reg.apply_ddl(
+        "ALTER TABLE test.cs MODIFY name VARCHAR(200) CHARACTER SET utf8mb4 COLLATE utf8mb4_general_ci"
+    )
+    assert reg.get("test", "cs").columns[1].type == "varchar(200)"
+
+
+def test_add_index_key_and_check_are_shape_neutral():
+    reg = SchemaRegistry()
+    reg.apply_ddl("CREATE TABLE test.t (id INT PRIMARY KEY, a INT, b INT)")
+    v = reg.version
+    reg.apply_ddl("ALTER TABLE test.t ADD INDEX idx_a (a)")
+    reg.apply_ddl("ALTER TABLE test.t ADD KEY idx_b (b), ADD FULLTEXT INDEX ft (a)")
+    reg.apply_ddl("ALTER TABLE test.t ADD CHECK (a > 0)")
+    reg.apply_ddl("ALTER TABLE test.t ADD CONSTRAINT c1 CHECK (b < 100)")
+    td = reg.get("test", "t")
+    assert td.column_names() == ["id", "a", "b"]
+    assert reg.version > v  # versions advance; shape unchanged
+
+
+def test_partition_maintenance_alters():
+    reg = SchemaRegistry()
+    reg.apply_ddl("CREATE TABLE test.p (id INT PRIMARY KEY, day DATE)")
+    reg.apply_ddl("ALTER TABLE test.p PARTITION BY HASH(id) PARTITIONS 4")
+    reg.apply_ddl(
+        "ALTER TABLE test.p ADD PARTITION (PARTITION p4 VALUES LESS THAN (50))"
+    )
+    reg.apply_ddl("ALTER TABLE test.p DROP PARTITION p4")
+    reg.apply_ddl("ALTER TABLE test.p TRUNCATE PARTITION p0")
+    td = reg.get("test", "p")
+    # none of these touch the column shape — and DROP PARTITION must NOT
+    # be parsed as DROP COLUMN
+    assert td.column_names() == ["id", "day"]
+
+
+def test_auto_increment_and_engine_options():
+    reg = SchemaRegistry()
+    reg.apply_ddl(
+        "CREATE TABLE test.ai (id INT PRIMARY KEY) ENGINE=InnoDB AUTO_INCREMENT=1000"
+    )
+    reg.apply_ddl("ALTER TABLE test.ai AUTO_INCREMENT = 5000, ENGINE=InnoDB")
+    assert reg.get("test", "ai").column_names() == ["id"]
+
+
+def test_create_table_like_copies_shape():
+    reg = SchemaRegistry()
+    reg.apply_ddl(CANAL_TEST_DDL)
+    reg.apply_ddl("CREATE TABLE test.canal_copy LIKE test.canal_test")
+    td = reg.get("test", "canal_copy")
+    assert td.column_names() == ["id", "content", "name"]
+    assert td.primary_key() == ["id"]
+    # the copy is independent of the source
+    reg.apply_ddl("ALTER TABLE test.canal_copy DROP COLUMN content")
+    assert reg.get("test", "canal_test").column_names() == ["id", "content", "name"]
+
+
+def test_create_as_select_dead_letters():
+    reg = SchemaRegistry()
+    with pytest.raises(DdlError):
+        reg.apply_ddl("CREATE TABLE test.snap AS SELECT * FROM test.canal_test")
