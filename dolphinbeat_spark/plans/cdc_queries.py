@@ -223,6 +223,119 @@ def cdc_unsigned_rewiden(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def _events_as_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events reinterpreted as an ordered envelope stream for ONE keyed
+    table: key = user_id, log coords = (constant file, event_id),
+    op_type via the standard mapping, stringly images per D12."""
+    e = load(spark, sf_dir, "events")
+    img = F.create_map(
+        F.lit("user_id"), F.col("user_id").cast("string"),
+        F.lit("etype"), F.col("event_type"),
+        F.lit("k"), F.get_json_object("props", "$.k"),
+    )
+    flags = F.create_map(
+        F.lit("user_id"), F.lit(False),
+        F.lit("etype"), F.lit(False),
+        F.lit("k"), F.lit(False),
+    )
+    op = _op_col()
+    null_map = F.lit(None).cast("map<string,string>")
+    null_flags = F.lit(None).cast("map<string,boolean>")
+    return e.select(
+        op.alias("op_type"),
+        F.lit("binlog.000001").alias("log_name"),
+        F.col("event_id").alias("log_pos"),
+        F.when(op.isin("update", "delete"), img).otherwise(null_map).alias("before"),
+        F.when(op.isin("update", "delete"), flags).otherwise(null_flags).alias("before_null"),
+        F.when(op != "delete", img).otherwise(null_map).alias("after"),
+        F.when(op != "delete", flags).otherwise(null_flags).alias("after_null"),
+    )
+
+
+_OPS_CTE = f"""ops AS (
+  SELECT user_id, event_id, event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         {_OP_CASE_SQL} AS op_type
+  FROM events
+)"""
+
+
+@register(
+    "cdc_apply_changes",
+    oracle=f"""
+WITH {_OPS_CTE},
+last AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM ops
+)
+SELECT user_id, event_type AS etype, k AS k_val
+FROM last WHERE rn = 1 AND op_type <> 'delete'
+ORDER BY user_id
+""",
+    tags=("cdc", "apply-changes", "snapshot"),
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply-changes sink's current-state reduction under the
+    oracle gate: the REAL operator chain (``sinks/apply_changes.py`` —
+    normalize_pk_changes → last_op_per_key → upsert projection) over an
+    events-derived envelope; the oracle is DuckDB's window-last-op.
+    A key whose terminal op is a delete is absent from the state."""
+    from dolphinbeat_spark.sinks.apply_changes import (
+        _img_val,
+        last_op_per_key,
+        normalize_pk_changes,
+    )
+
+    env = _events_as_envelope(spark, sf_dir)
+    winners = last_op_per_key(normalize_pk_changes(env), ["user_id"])
+    return (
+        winners.filter(F.col("op_type") != "delete")
+        .select(
+            F.col("__k_user_id").cast("bigint").alias("user_id"),
+            _img_val("after", "etype").alias("etype"),
+            _img_val("after", "k").cast("bigint").alias("k_val"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "cdc_scd2",
+    oracle=f"""
+WITH {_OPS_CTE},
+v AS (
+  SELECT user_id, op_type, event_type, k,
+         event_id AS valid_from_pos,
+         LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to_pos
+  FROM ops
+)
+SELECT user_id, event_type AS etype, k AS k_val,
+       valid_from_pos, valid_to_pos,
+       valid_to_pos IS NULL AS is_current
+FROM v WHERE op_type <> 'delete'
+ORDER BY user_id, valid_from_pos
+""",
+    tags=("cdc", "scd2", "history"),
+)
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity ranges under the oracle gate: the REAL
+    ``scd2_history`` operator (one row per key-version with
+    [valid_from_pos, valid_to_pos) ranges, deletes close ranges and
+    emit none) vs DuckDB's per-key LEAD window."""
+    from dolphinbeat_spark.sinks.apply_changes import scd2_history
+
+    env = _events_as_envelope(spark, sf_dir)
+    hist = scd2_history(env, ["user_id"], ["etype", "k"])
+    return hist.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("etype"),
+        F.col("k").cast("bigint").alias("k_val"),
+        "valid_from_pos",
+        "valid_to_pos",
+        "is_current",
+    ).orderBy("user_id", "valid_from_pos")
+
+
 @register(
     "cdc_protobuf_roundtrip",
     oracle=f"""

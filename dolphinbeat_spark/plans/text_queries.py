@@ -330,15 +330,17 @@ def pipeline_training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         & (ratio <= 0.6)
         & (F.col("pred_lang") == "en")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    deduped = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # dedup as an aggregate, not a window: min_by partial-aggregates
+    # map-side, so the exchange carries (hash, winner-struct) — never
+    # the full text column a partitioned row_number window would ship
+    deduped = gated.groupBy(F.md5("text").alias("__h")).agg(
+        F.min_by(F.struct("source", "n_tokens"), "doc_id").alias("__w")
+    )
     return (
-        deduped.groupBy("source")
+        deduped.groupBy(F.col("__w.source").alias("source"))
         .agg(
             F.count(F.lit(1)).alias("docs_kept"),
-            F.sum("n_tokens").alias("tokens_kept"),
+            F.sum("__w.n_tokens").alias("tokens_kept"),
         )
         .orderBy("source")
     )
