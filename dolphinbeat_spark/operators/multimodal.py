@@ -3,12 +3,14 @@
 Images/audio/video ride as opaque ``binary`` columns with a typed
 metadata struct. The Spark-side machinery — schema, Arrow batch
 shape, mapInPandas signatures, frame-index explosion — is real and
-oracle-tested; the actual media decode is STUBBED because no codec
-libraries exist in this container:
+oracle-tested. The decode slot:
 
-- ``decode_media_stub`` raises NotImplementedError by default, or
-  produces a clearly-marked deterministic fake when
-  ``allow_fake=True`` (so pipelines can be exercised end-to-end).
+- ``decode_media`` REALLY decodes uncompressed formats with the
+  zero-dependency numpy codecs below (PPM P6, 24-bit BI_RGB BMP) —
+  actual pixel parsing, oracle-checked by md5 of the decoded bytes.
+- compressed formats (JPEG/PNG/video) still raise: no codec
+  libraries exist in this container. ``decode_media_stub`` keeps the
+  deterministic fake for exercising pipelines over such payloads.
 - ``extract_binary_features`` is a REAL Arrow-batched feature pass
   (byte length + sha256) whose output the DuckDB oracle reproduces.
 
@@ -21,8 +23,11 @@ row count (mapInPandas streams Arrow batches, never whole partitions).
 from __future__ import annotations
 
 import hashlib
+import re
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -103,6 +108,125 @@ def frame_sample_plan(df: DataFrame, frame_bytes: int = 32, every: int = 4) -> D
         F.col("frame_idx").cast("bigint").alias("frame_idx"),
         (F.col("frame_idx") * frame_bytes).cast("bigint").alias("byte_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL zero-dependency codecs: PPM (P6) and 24-bit uncompressed BMP.
+# Both are public byte-layout formats decodable with numpy alone; they
+# de-stub the decode slot for uncompressed payloads. Compressed formats
+# (JPEG/PNG/...) still raise — no codec libraries in this container.
+# ---------------------------------------------------------------------------
+
+_PPM_HEADER_RE = re.compile(
+    rb"^P6\s+(?:#[^\n]*\s+)?(\d+)\s+(?:#[^\n]*\s+)?(\d+)\s+(?:#[^\n]*\s+)?(\d+)\s"
+)
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary PPM (P6): ASCII header + raw interleaved RGB rows."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def decode_ppm(data: bytes) -> tuple[int, int, np.ndarray]:
+    """PPM (P6) → (width, height, HxWx3 uint8 array). Comment-tolerant
+    header parse; exactly one whitespace byte separates maxval from the
+    pixel stream (the spec's rule — pixel bytes may themselves be
+    whitespace-valued)."""
+    m = _PPM_HEADER_RE.match(data)
+    if not m:
+        raise ValueError("not a P6 PPM payload")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    px = np.frombuffer(data, np.uint8, count=w * h * 3, offset=m.end())
+    return w, h, px.reshape(h, w, 3)
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """24-bit uncompressed (BI_RGB) BMP: BITMAPFILEHEADER +
+    BITMAPINFOHEADER, rows bottom-up, BGR order, 4-byte row padding."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+    pad = (4 - (width * 3) % 4) % 4
+    bgr = np.frombuffer(rgb, np.uint8).reshape(height, width, 3)[::-1, :, ::-1]
+    rows = b"".join(bgr[r].tobytes() + b"\x00" * pad for r in range(height))
+    pixel_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", pixel_off + len(rows), 0, 0, pixel_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    return header + info + rows
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
+    """24-bit BI_RGB BMP → (width, height, HxWx3 uint8 RGB array).
+    Handles bottom-up (positive height) and top-down (negative) layouts
+    and row padding."""
+    magic, _, _, _, off = struct.unpack_from("<2sIHHI", data, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit BI_RGB BMP supported (bpp={bpp}, comp={comp})")
+    top_down, h = h < 0, abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(data, np.uint8, count=stride * h, offset=off)
+    px = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        px = px[::-1]
+    return w, h, px[:, :, ::-1]  # BGR → RGB
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("pixel_sum", LongType()),
+        StructField("pixel_md5", StringType()),
+    ]
+)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """REAL media decode for uncompressed formats: sniffs the payload
+    magic (``P6`` → PPM, ``BM`` → BMP), decodes actual pixel data with
+    the numpy codecs above, and emits per-image stats + the md5 of the
+    decoded RGB bytes. Arrow-batched mapInPandas — the same signature a
+    PIL/ffmpeg decode would slot into; compressed formats raise
+    NotImplementedError (stub retained: no codec libs here)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(raw)
+                if b[:2] == b"P6":
+                    fmt, (w, h, px) = "ppm", decode_ppm(b)
+                elif b[:2] == b"BM":
+                    fmt, (w, h, px) = "bmp", decode_bmp(b)
+                else:
+                    raise NotImplementedError(
+                        "compressed media formats need codec libraries "
+                        "not present in this environment"
+                    )
+                px = np.ascontiguousarray(px)
+                rows.append(
+                    (
+                        mid, fmt, w, h,
+                        int(px.astype(np.int64).sum()),
+                        hashlib.md5(px.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "fmt", "width", "height", "pixel_sum", "pixel_md5"],
+            )
+
+    return df.mapInPandas(batches, DECODED_SCHEMA)
 
 
 def decode_media_stub(df: DataFrame, allow_fake: bool = False) -> DataFrame:

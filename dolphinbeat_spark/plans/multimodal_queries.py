@@ -86,6 +86,48 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_decode_ppm",
+    # payload = a REAL binary PPM (P6 header + 8x4 RGB pixel rows) whose
+    # 96 pixel bytes are the ASCII of repeat(md5(doc_id), 3); the Spark
+    # side decodes the actual bytes (numpy codec), the oracle recomputes
+    # the expected pixel sum / md5 from the same pattern — an exact
+    # md5-of-decoded-pixels check, no codec libs needed
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT media_id,
+       'ppm' AS fmt,
+       CAST(8 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       CAST(list_sum(list_transform(range(1, 97),
+            i -> ord(substr(pattern, CAST(i AS INTEGER), 1)))) AS BIGINT) AS pixel_sum,
+       md5(pattern) AS pixel_md5
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "codec"),
+)
+def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the oracle gate: each document gets a
+    genuine binary PPM payload (built JVM-side — header + deterministic
+    ASCII pixel bytes), ``decode_media`` parses the actual format with
+    the pure-numpy codec (operators/multimodal.py::decode_ppm), and the
+    decoded pixels' sum + md5 must match the oracle's independent
+    recomputation. De-stubs the decode slot for uncompressed formats;
+    JPEG/PNG remain honestly stubbed (no codec libs in the env)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    pattern = F.repeat(F.md5(F.col("doc_id").cast("string")), 3)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.concat(F.lit("P6\n8 4\n255\n"), pattern), "UTF-8").alias("payload"),
+    )
+    return M.decode_media(media).orderBy("media_id")
+
+
+@register(
     "mm_resize_fake",
     # the fake resize is deterministic byte-stride downsampling
     # (b[::s], s = max(1, len//16)); payloads are ASCII so DuckDB

@@ -73,3 +73,69 @@ def test_resize_plumbing(media):
     assert sorted((r["media_id"], bytes(r["resized_payload"])) for r in rows) == sorted(
         (r["media_id"], bytes(r["resized_payload"])) for r in again
     )
+
+
+# -- real zero-dependency codecs (PPM / BMP) ---------------------------
+
+
+def test_ppm_roundtrip_and_header_tolerance():
+    import numpy as np
+
+    from dolphinbeat_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    rgb = bytes(range(2 * 3 * 3))  # 3x2 image
+    data = encode_ppm(3, 2, rgb)
+    w, h, px = decode_ppm(data)
+    assert (w, h) == (3, 2)
+    assert px.tobytes() == rgb
+    # comment lines in the header (emitted by many tools)
+    commented = b"P6\n# made by a tool\n3 2\n255\n" + rgb
+    w2, h2, px2 = decode_ppm(commented)
+    assert (w2, h2) == (3, 2) and px2.tobytes() == rgb
+    # whitespace-valued pixel bytes survive (single separator rule)
+    rgb_ws = b"\n" * 18
+    assert decode_ppm(encode_ppm(3, 2, rgb_ws))[2].tobytes() == rgb_ws
+    assert np.ascontiguousarray(px).shape == (2, 3, 3)
+
+
+def test_bmp_roundtrip_with_padding_and_orientation():
+    from dolphinbeat_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    # width 3 -> raw row 9 bytes -> stride 12 (3 pad bytes per row)
+    rgb = bytes(range(2 * 3 * 3))
+    data = encode_bmp(3, 2, rgb)
+    w, h, px = decode_bmp(data)
+    assert (w, h) == (3, 2)
+    assert px.tobytes() == rgb  # bottom-up + BGR undone exactly
+    # width 4 -> no padding
+    rgb4 = bytes(range(96, 96 + 2 * 4 * 3))
+    assert decode_bmp(encode_bmp(4, 2, rgb4))[2].tobytes() == rgb4
+
+
+def test_decode_media_real_formats_and_compressed_raise(spark):
+    import pytest as _pytest
+
+    from dolphinbeat_spark.operators.multimodal import (
+        decode_media,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rgb = bytes([7] * 48)  # 4x4
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(4, 4, rgb))), (2, bytearray(encode_bmp(4, 4, rgb)))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert rows[1]["fmt"] == "ppm" and rows[2]["fmt"] == "bmp"
+    assert rows[1]["pixel_sum"] == rows[2]["pixel_sum"] == 7 * 48
+    assert rows[1]["pixel_md5"] == rows[2]["pixel_md5"]  # same decoded pixels
+    assert rows[1]["width"] == rows[1]["height"] == 4
+
+    jpeg = spark.createDataFrame(
+        [(3, bytearray(b"\xff\xd8\xff\xe0JFIF-not-decodable"))],
+        "media_id long, payload binary",
+    )
+    with _pytest.raises(Exception) as exc:
+        decode_media(jpeg).collect()
+    assert "NotImplementedError" in str(exc.value) or "codec" in str(exc.value)
