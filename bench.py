@@ -77,6 +77,58 @@ def stream_events_per_s(spark) -> dict:
     }
 
 
+# the 5 most expensive headline queries (per BENCH_r04's clean run):
+# the sf0.1 -> sf1 scale-evidence set. q5 is the join-heavy one that
+# would expose a broadcast->SMJ flip at larger scale.
+_SCALE_SET = (
+    "pipeline_training_data_filter",
+    "dedup_minhash_signatures",
+    "events_rollup_cascade",
+    "q5_local_supplier_volume",
+    "q1_pricing_summary",
+)
+
+
+def sf1_section(spark, sf_dir: str, specs) -> dict:
+    """One pass of the most expensive headline queries at a 10× scale-up
+    of $SPARK_GRAFT_SF_DIR (sf0.1 → sf1-equivalent), with per-query plan
+    fingerprints so scale-induced plan drift (a broadcast flipping to
+    SMJ, an extra exchange) is visible, not assumed away."""
+    from tools.scale_testdata import ensure_scaled, plan_fingerprint
+
+    dest = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/dolphinbeat_scale10")
+    t0 = time.time()
+    built = ensure_scaled(spark, sf_dir, dest, factor=10)
+    build_sec = round(time.time() - t0, 3)
+
+    queries: dict[str, float] = {}
+    drift: dict[str, dict] = {}
+    for name in _SCALE_SET:
+        fn = specs[name].fn
+        fp_small = plan_fingerprint(fn(spark, sf_dir))
+        fp_big = plan_fingerprint(fn(spark, dest))
+        best = None
+        for i in range(2):  # steady-state: time the post-compile run
+            t0 = time.time()
+            fn(spark, dest).write.format("noop").mode("overwrite").save()
+            took = round(time.time() - t0, 3)
+            best = took if best is None or took < best else best
+        queries[name] = best
+        same = fp_small == fp_big
+        drift[name] = {"same_plan_shape": same}
+        if not same:
+            drift[name]["sf0.1"] = fp_small
+            drift[name]["sf1"] = fp_big
+    return {
+        "factor": 10,
+        "built": built,
+        "build_sec": build_sec,
+        "total_sec": round(sum(queries.values()), 3),
+        "queries": queries,
+        "plan_drift": drift,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -114,6 +166,15 @@ def main() -> None:
     warm_b = stream_events_per_s(spark)
     stream = warm_a if warm_a["sec"] <= warm_b["sec"] else warm_b
 
+    # sf0.1 -> sf1 scale evidence (never fails the bench)
+    if os.environ.get("SPARK_GRAFT_SKIP_SF1") == "1":
+        sf1 = {"skipped": True}
+    else:
+        try:
+            sf1 = sf1_section(spark, sf_dir, specs)
+        except Exception as ex:  # noqa: BLE001 - evidence, not a gate
+            sf1 = {"error": f"{type(ex).__name__}: {ex}"}
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -123,6 +184,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "stream": stream,
+                "sf1": sf1,
                 "sf": sf,
                 # reproducibility block (BASELINE.md §C protocol)
                 "config": {
