@@ -1,0 +1,194 @@
+"""Training-data quality / packing operators (north-star; absent in
+the reference — the filters every large-scale LLM corpus pipeline runs
+before training, per the public C4 and Gopher recipes).
+
+All map-only or per-shard-window plans: repetition and quality signals
+are Catalyst higher-order functions over a once-materialized token
+array (no explode, no shuffle until presentation); sequence packing
+windows per ``source`` shard, never globally. Ratios follow the
+cross-engine convention (exact integer numerators / denominators cast
+to double at the end — registry.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dolphinbeat_spark.catalog import load
+from dolphinbeat_spark.operators import text as T
+from dolphinbeat_spark.plans.registry import register
+
+_TOKENS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+@register(
+    "quality_repetition",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents WHERE doc_id % 3 = 0
+), m AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         list_transform(range(1, len(toks)),
+                        i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)]) AS bgs,
+         list_max(list_transform(list_distinct(toks),
+                                 d -> len(list_filter(toks, t -> t = d)))) AS top_cnt
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(len(bgs) - len(list_distinct(bgs)) AS DOUBLE)
+         / greatest(len(bgs), 1) AS dup_bigram_frac,
+       CAST(top_cnt AS DOUBLE) / n_tokens AS top_token_frac
+FROM m
+ORDER BY doc_id
+""",
+    tags=("quality", "repetition", "gopher"),
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-bigram fraction and
+    top-token mass per document — the classic 'repetitious document'
+    gate. Map-only: one token split, bigrams/distincts/counts all as
+    Catalyst higher-order functions (the per-distinct-token count scan
+    is O(n·distinct) INSIDE one row — no shuffle at any size; the
+    explode-and-group formulation would shuffle every token)."""
+    d = load(spark, sf_dir, "documents", widen=True).filter(F.col("doc_id") % 3 == 0)
+    toked = d.select("doc_id", T.tokens("text").alias("toks"))
+    n = F.size("toks")
+    bgs = F.when(
+        n > 1,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("toks"),
+            lambda d_: F.size(F.filter("toks", lambda t: t == d_)),
+        )
+    )
+    m = toked.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        bgs.alias("bgs"),
+        top_cnt.alias("top_cnt"),
+    )
+    n_bgs = F.size("bgs")
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        (
+            (n_bgs - F.size(F.array_distinct("bgs"))).cast("double")
+            / F.greatest(n_bgs, F.lit(1))
+        ).alias("dup_bigram_frac"),
+        (F.col("top_cnt").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "quality_c4_signals",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents WHERE doc_id % 3 = 1
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+         / len(toks) AS mean_token_len,
+       CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$'))) AS DOUBLE)
+         / len(toks) AS frac_alpha,
+       CAST(length(text) - length(replace(text, '.', '')) AS BIGINT) AS n_periods,
+       regexp_matches(text, '[.!?] *$') AS ends_with_punct,
+       regexp_matches(text, '[0-9]') AS has_digits
+FROM t
+ORDER BY doc_id
+""",
+    tags=("quality", "c4", "heuristics"),
+)
+def quality_c4_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality heuristics per document: mean token length,
+    alphabetic-token fraction, sentence-period count, terminal
+    punctuation, digit presence — the cheap gates a corpus pipeline
+    runs on every document before anything expensive. Entirely
+    map-side Catalyst expressions; ratios are exact-int / exact-int
+    cast to double (bit-identical cross-engine)."""
+    d = load(spark, sf_dir, "documents", widen=True).filter(F.col("doc_id") % 3 == 1)
+    toked = d.select("doc_id", "text", T.tokens("text").alias("toks"))
+    n = F.size("toks")
+    sum_len = F.aggregate(
+        "toks", F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    n_alpha = F.size(F.filter("toks", lambda t: t.rlike("^[a-z]+$")))
+    return toked.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        (sum_len.cast("double") / n).alias("mean_token_len"),
+        (n_alpha.cast("double") / n).alias("frac_alpha"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("."), F.lit(""))))
+        .cast("bigint")
+        .alias("n_periods"),
+        F.col("text").rlike("[.!?] *$").alias("ends_with_punct"),
+        F.col("text").rlike("[0-9]").alias("has_digits"),
+    ).orderBy("doc_id")
+
+
+_CTX = 512  # packing context window (tokens)
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, len({_TOKENS_SQL}) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_token,
+       CAST((cum - n_tokens) // {_CTX} AS BIGINT) AS bin_first,
+       CAST((cum - 1) // {_CTX} AS BIGINT) AS bin_last,
+       CAST((cum - 1) // {_CTX} - (cum - n_tokens) // {_CTX} + 1 AS BIGINT) AS n_bins
+FROM c
+ORDER BY doc_id
+""",
+    tags=("packing", "training-prep"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing offsets: documents are concatenated
+    per ``source`` shard in doc_id order and chunked into fixed
+    512-token context windows; each doc's start offset and the bin
+    range it spans come from one per-shard prefix sum. The window is
+    PARTITIONED by source — packing is a per-shard operation by
+    construction (that's also how a real pipeline shards it), so no
+    single-partition exchange at any corpus size. Pure integer
+    arithmetic: exact cross-engine."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.size(T.tokens("text")).cast("bigint").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        start.cast("bigint").alias("start_token"),
+        F.floor(start / _CTX).cast("bigint").alias("bin_first"),
+        F.floor((F.col("cum") - 1) / _CTX).cast("bigint").alias("bin_last"),
+        (
+            F.floor((F.col("cum") - 1) / _CTX) - F.floor(start / _CTX) + 1
+        ).cast("bigint").alias("n_bins"),
+    ).orderBy("doc_id")

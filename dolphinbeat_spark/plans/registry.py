@@ -70,6 +70,7 @@ _MODULE_PRIORITY = (
     "dedup_queries",
     "similarity_queries",
     "text_queries",
+    "quality_queries",
     "multimodal_queries",
     "rollup_queries",
     "windows_events",
@@ -101,6 +102,7 @@ def all_specs() -> dict[str, QuerySpec]:
     import dolphinbeat_spark.plans.cdc_queries  # noqa: F401
     import dolphinbeat_spark.plans.dedup_queries  # noqa: F401
     import dolphinbeat_spark.plans.multimodal_queries  # noqa: F401
+    import dolphinbeat_spark.plans.quality_queries  # noqa: F401
     import dolphinbeat_spark.plans.relational  # noqa: F401
     import dolphinbeat_spark.plans.relational2  # noqa: F401
     import dolphinbeat_spark.plans.relational3  # noqa: F401
