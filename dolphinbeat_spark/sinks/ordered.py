@@ -347,6 +347,81 @@ def encode_ops_distributed(envelope: DataFrame, registry) -> DataFrame:
     )
 
 
+def decode_protobuf_messages(messages: DataFrame, value_col: str = "value") -> DataFrame:
+    """The Spark restatement of the reference's kafka-consumer tool
+    (``cmd/tools/kafka-consumer/main.go`` → client decoder): decode a
+    DataFrame of protobuf Kafka message bytes back into operation rows.
+
+    The decode chain (seq-successor dedup → fragment reassembly →
+    zlib → Payload unmarshal) is inherently SEQUENTIAL per producer —
+    that's the contract, not an implementation detail — so it runs as
+    ``applyInPandas`` grouped by producer_id: one ordered chain per
+    producer, parallel ACROSS producers (and trivially across topics
+    when more grouping keys are added). A light map first extracts
+    (producer_id, seq) from each message so the shuffle groups by the
+    real producer key.
+
+    Output: one row per decoded op with its message bookkeeping
+    (producer_id, msg seq range via group end, op index within group).
+    """
+    import pandas as pd
+
+    from dolphinbeat_spark.sinks import wire_protocol as wp
+
+    def head(batches):
+        for pdf in batches:
+            vals = pdf[value_col]
+            heads = [wp.decode_message(bytes(v)) for v in vals]
+            yield pd.DataFrame(
+                {
+                    "producer_id": [h["producer_id"] for h in heads],
+                    "seq": [h["seq"] for h in heads],
+                    "value": [bytes(v) for v in vals],
+                }
+            )
+
+    headed = messages.mapInPandas(
+        head, schema="producer_id long, seq long, value binary"
+    )
+
+    out_schema = (
+        "producer_id long, end_seq long, op_index int, op_type string, "
+        "server_id long, timestamp long, log_pos long, gtid string, "
+        "db string, statement string, next_log_name string, "
+        "progress_gset string"
+    )
+
+    def decode(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("seq")
+        dec = wp.OperationDecoder()
+        rows = []
+        for _, r in pdf.iterrows():
+            res = dec.feed(bytes(r["value"]))
+            if res is None:
+                continue
+            for i, op in enumerate(res.ops):
+                prog = op.get("progress") or {}
+                rows.append(
+                    (
+                        int(r["producer_id"]), res.end_seq, i,
+                        op["op_type"], op["server_id"], op["timestamp"],
+                        op["log_pos"], op.get("gtid"), op.get("database"),
+                        op.get("statement"), op.get("next_log_name"),
+                        prog.get("gset"),
+                    )
+                )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "producer_id", "end_seq", "op_index", "op_type", "server_id",
+                "timestamp", "log_pos", "gtid", "db", "statement",
+                "next_log_name", "progress_gset",
+            ],
+        )
+
+    return headed.groupBy("producer_id").applyInPandas(decode, out_schema)
+
+
 class ProtobufKafkaSink(SeqStampedSink):
     """The reference's ACTUAL wire contract (K5/K7 drop-in): protobuf
     ``Message``/``Payload``/``Operation`` values with optional in-band

@@ -286,3 +286,56 @@ def test_protobuf_sink_end_to_end(spark, tmp_path, golden_df):
     assert all(dec.feed(d, offset=i) is not None or True for i, (_, d) in enumerate(captured3))
     # decoder accepted the continuation (its seq advanced)
     assert dec._cur_seq == captured3[-1][0]
+
+
+def test_spark_protobuf_consumer(spark, tmp_path, golden_df):
+    """The kafka-consumer tool restatement: a DataFrame of produced
+    protobuf messages (two producers, duplicates included) decodes back
+    to ordered op rows via per-producer applyInPandas chains."""
+    from dolphinbeat_spark.sinks.ordered import ProtobufKafkaSink, decode_protobuf_messages
+
+    captured: list[tuple[int, bytes]] = []
+    sink = ProtobufKafkaSink(
+        meta_dir=str(tmp_path / "meta"),
+        registry=_registry(),
+        produce=lambda seq, value: captured.append((seq, value)),
+        producer_id=1,
+        ops_per_payload=4,
+        compression="zlib",
+    )
+    sink(golden_df, batch_id=0)
+    # a second producer with its own chain, plus duplicated delivery of
+    # producer 1's messages (at-least-once transport)
+    captured2: list[tuple[int, bytes]] = []
+    sink2 = ProtobufKafkaSink(
+        meta_dir=str(tmp_path / "meta2"),
+        registry=_registry(),
+        produce=lambda seq, value: captured2.append((seq, value)),
+        producer_id=2,
+        ops_per_payload=4,
+    )
+    sink2(golden_df, batch_id=0)
+    values = [bytearray(v) for _, v in captured + captured + captured2]
+
+    msgs = spark.createDataFrame([(v,) for v in values], "value binary")
+    got = decode_protobuf_messages(msgs)
+    n_golden = len(golden_sequences())
+    by_producer = {
+        r["producer_id"]: r["n"]
+        for r in got.groupBy("producer_id").count().withColumnRenamed("count", "n").collect()
+    }
+    # duplicates collapsed by the seq chain; both producers fully decoded
+    assert by_producer == {1: n_golden, 2: n_golden}
+    p1 = got.filter("producer_id = 1").orderBy("end_seq", "op_index").collect()
+    # the sink's deterministic (log_name, log_pos, op_type) sort places
+    # the duplicated producer-retry op adjacent to its twin
+    expected = [
+        o["op_type"]
+        for o in sorted(
+            golden_sequences(),
+            key=lambda o: (o["log_name"] or "", o["log_pos"] or 0, o["op_type"]),
+        )
+    ]
+    assert [r["op_type"] for r in p1] == expected
+    ddl = next(r for r in p1 if r["op_type"] == "ddl")
+    assert "ALTER TABLE" in ddl["statement"] and ddl["progress_gset"]
