@@ -167,6 +167,150 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_quantize_int8",
+    # per-vector symmetric int8 quantization: scale = max|x|, q = floor
+    # (127·x/scale). floor (not round) because both engines' floor is
+    # exactly defined on identical IEEE doubles; the reconstruction
+    # error is an ORDERED left fold, bit-identical cross-engine.
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+         embedding
+  FROM embeddings WHERE vec_id % 5 = 0
+), quant AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale) AS BIGINT)) AS qv,
+         embedding
+  FROM q WHERE scale > 0
+)
+SELECT vec_id,
+       ROUND(scale, 8) AS scale_r,
+       CAST(list_reduce(qv, (acc, x) -> acc + x) AS BIGINT) AS q_sum,
+       CAST(list_min(qv) AS BIGINT) AS q_min,
+       CAST(list_max(qv) AS BIGINT) AS q_max,
+       ROUND(list_reduce(
+         list_transform(list_zip(embedding, qv),
+           t -> POW(CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE) * scale / 127.0, 2)),
+         (acc, x) -> acc + x), 10) AS sq_err
+FROM quant
+ORDER BY vec_id
+""",
+    tags=("similarity", "quantization", "compression"),
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column — the storage/
+    bandwidth step every large ANN index applies before sharding (4×
+    smaller vectors, cheaper shuffles). Map-only higher-order
+    functions: per-vector scale, quantize, and reconstruction error in
+    one pass, no Python, no shuffle."""
+    emb = load(spark, sf_dir, "embeddings", widen=True).filter(F.col("vec_id") % 5 == 0)
+    xd = lambda x: x.cast("double")  # noqa: E731
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x))))
+    q = emb.select("vec_id", scale.alias("scale"), "embedding").filter(F.col("scale") > 0)
+    qv = F.transform(
+        "embedding", lambda x: F.floor(xd(x) * 127.0 / F.col("scale")).cast("bigint")
+    )
+    quant = q.select("vec_id", "scale", qv.alias("qv"), "embedding")
+    sq_err = F.aggregate(
+        F.zip_with(
+            "embedding", "qv",
+            lambda x, qi: F.pow(xd(x) - qi.cast("double") * F.col("scale") / 127.0, F.lit(2)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return quant.select(
+        "vec_id",
+        F.round("scale", 8).alias("scale_r"),
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qv").cast("bigint").alias("q_min"),
+        F.array_max("qv").cast("bigint").alias("q_max"),
+        F.round(sq_err, 10).alias("sq_err"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "sim_ivf_recall_eval",
+    # recall@K of the IVF path against the exact brute-force top-K —
+    # the eval every ANN deployment runs before trusting an index
+    # (same pattern as dedup_lsh_precision/recall for MinHash-LSH)
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 7
+), inv AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv2, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cos('q.embedding', 'c.cv')} DESC, c.cid) AS rn
+    FROM embeddings q CROSS JOIN cent c
+    WHERE q.vec_id % 50 = 0
+  ) WHERE rn <= 2
+), ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, i.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+                              ORDER BY {_cos('p.qv', 'i.cv2')} DESC, i.neighbor_id) AS rank
+    FROM probes p JOIN inv i ON i.cell = p.cell AND i.neighbor_id <> p.query_id
+  ) WHERE rank <= {K}
+), brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cos('q.embedding', 'c.embedding')} DESC, c.vec_id) AS rank
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id % 50 = 0
+  ) WHERE rank <= {K}
+)
+SELECT COUNT(DISTINCT b.query_id) AS n_queries,
+       CAST(COUNT(i.neighbor_id) AS BIGINT) AS hits,
+       CAST(COUNT(*) AS BIGINT) AS truth_pairs,
+       CAST(COUNT(i.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+FROM brute b
+LEFT JOIN ivf i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+""",
+    tags=("similarity", "ann", "ivf", "eval"),
+)
+def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF index vs exact brute force on the query
+    subset — the accept/reject eval for an ANN index. Both pipelines
+    are the REAL operators (ivf_ann_topk, brute_force_topk); the
+    brute-force truth is restricted to the bounded query subset (the
+    documented eval pattern, never an unbounded all-pairs)."""
+    emb = load(spark, sf_dir, "embeddings", widen=True)
+    cent = emb.filter(F.col("vec_id") % 40 == 7).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    ivf = S.ivf_ann_topk(q, emb, cent, "vec_id", "embedding", K, nprobe=2).select(
+        "query_id", "neighbor_id"
+    )
+    brute = S.brute_force_topk(q, emb, "vec_id", "embedding", K).select(
+        "query_id", "neighbor_id"
+    )
+    joined = brute.alias("b").join(
+        ivf.alias("i"),
+        (F.col("b.query_id") == F.col("i.query_id"))
+        & (F.col("b.neighbor_id") == F.col("i.neighbor_id")),
+        "left",
+    )
+    return joined.agg(
+        F.countDistinct("b.query_id").alias("n_queries"),
+        F.count("i.neighbor_id").alias("hits"),
+        F.count(F.lit(1)).alias("truth_pairs"),
+        (F.count("i.neighbor_id").cast("double") / F.count(F.lit(1))).alias("recall_at_k"),
+    )
+
+
+@register(
     "sim_lsh_ann_topk",
     oracle=f"""
 WITH bucketed AS (
