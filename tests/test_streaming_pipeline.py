@@ -337,3 +337,53 @@ def test_fragmentation_roundtrip(spark, tmp_path):
     decoded = decode_kafka_messages(back)
     assert decoded.count() == env.count()
     assert [r["seq"] for r in decoded.collect()] == list(range(1, env.count() + 1))
+
+
+def test_protobuf_sink_under_writestream(spark, tmp_path):
+    """ProtobufKafkaSink as a foreachBatch target of a REAL stream:
+    fixture source -> protobuf produce (captured), decoded back by the
+    client-decoder port with the seq chain intact across micro-batches."""
+    from dolphinbeat_spark.schema.registry import SchemaRegistry
+    from dolphinbeat_spark.sinks import wire_protocol as wp
+    from dolphinbeat_spark.sinks.ordered import ProtobufKafkaSink
+    from dolphinbeat_spark.sources.fixture_source import register_fixture_source
+
+    register_fixture_source(spark)
+    reg = SchemaRegistry()
+    reg.apply_ddl(
+        "CREATE TABLE test.canal_test (id INT PRIMARY KEY, name VARCHAR(100), content BLOB)"
+    )
+    captured: list[tuple[int, bytes]] = []
+    sink = ProtobufKafkaSink(
+        meta_dir=str(tmp_path / "meta"),
+        registry=reg,
+        produce=lambda seq, value: captured.append((seq, value)),
+        producer_id=3,
+        ops_per_payload=5,
+        compression="zlib",
+    )
+    stream = (
+        spark.readStream.format("dolphinbeat_fixture")
+        .option("loops", "3")
+        .option("batch_size", "8")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert captured and [s for s, _ in captured] == list(range(1, len(captured) + 1))
+    dec = wp.OperationDecoder()
+    ops = []
+    for i, (_, data) in enumerate(captured):
+        r = dec.feed(data, offset=i)
+        if r:
+            ops.extend(r.ops)
+    from dolphinbeat_spark.envelope import golden_sequences
+
+    assert len(ops) == len(golden_sequences()) * 3
+    assert {o["op_type"] for o in ops} >= {"begin", "insert", "update", "commit", "ddl"}
