@@ -101,30 +101,35 @@ def sf1_section(spark, sf_dir: str, specs) -> dict:
     built = ensure_scaled(spark, sf_dir, dest, factor=10)
     build_sec = round(time.time() - t0, 3)
 
+    # plan fingerprints for EVERY bench spec at both scales (explain
+    # only — cheap); timed runs for the expensive _SCALE_SET subset
     queries: dict[str, float] = {}
     drift: dict[str, dict] = {}
-    for name in _SCALE_SET:
-        fn = specs[name].fn
+    for name, spec in sorted(specs.items()):
+        fn = spec.fn
         fp_small = plan_fingerprint(fn(spark, sf_dir))
         fp_big = plan_fingerprint(fn(spark, dest))
-        best = None
-        for i in range(2):  # steady-state: time the post-compile run
-            t0 = time.time()
-            fn(spark, dest).write.format("noop").mode("overwrite").save()
-            took = round(time.time() - t0, 3)
-            best = took if best is None or took < best else best
-        queries[name] = best
         same = fp_small == fp_big
         drift[name] = {"same_plan_shape": same}
         if not same:
             drift[name]["sf0.1"] = fp_small
             drift[name]["sf1"] = fp_big
+        if name in _SCALE_SET:
+            best = None
+            for _ in range(2):  # steady-state: time the post-compile run
+                t0 = time.time()
+                fn(spark, dest).write.format("noop").mode("overwrite").save()
+                took = round(time.time() - t0, 3)
+                best = took if best is None or took < best else best
+            queries[name] = best
     return {
         "factor": 10,
         "built": built,
         "build_sec": build_sec,
         "total_sec": round(sum(queries.values()), 3),
         "queries": queries,
+        "n_plans_compared": len(drift),
+        "n_plan_drift": sum(1 for d in drift.values() if not d["same_plan_shape"]),
         "plan_drift": drift,
     }
 
