@@ -457,6 +457,7 @@ class ProtobufKafkaSink(SeqStampedSink):
         self.max_payload_size = max_payload_size
         self.compression = {
             "none": wp.COMPRESSION_NONE, "zlib": wp.COMPRESSION_ZLIB,
+            "gzip": wp.COMPRESSION_GZIP,
         }[compression]
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:

@@ -351,6 +351,10 @@ def build_messages(
         payload = b"".join(payload_chunks[g : g + ops_per_payload])
         if compression == COMPRESSION_ZLIB:
             payload = zlib.compress(payload)
+        elif compression == COMPRESSION_GZIP:
+            # gzip framing via zlib with the gzip wbits offset (RFC 1952)
+            co = zlib.compressobj(wbits=16 + zlib.MAX_WBITS)
+            payload = co.compress(payload) + co.flush()
         group_id = seq + 1
         frags = [payload[i : i + max_payload_size]
                  for i in range(0, len(payload), max_payload_size)] or [b""]
@@ -449,9 +453,12 @@ def decode_message(buf: bytes) -> dict:
 
 
 def decode_payload_ops(data: bytes, compression: int) -> list[dict]:
-    """unmarshalOps (decoder.go:244-267): optional zlib, then Payload."""
+    """unmarshalOps (decoder.go:244-267): optional zlib/gzip, then
+    Payload."""
     if compression == COMPRESSION_ZLIB:
         data = zlib.decompress(data)
+    elif compression == COMPRESSION_GZIP:
+        data = zlib.decompress(data, wbits=16 + zlib.MAX_WBITS)
     return [decode_operation(buf) for buf in parse_fields(data).get(1, [])]
 
 

@@ -339,3 +339,96 @@ def test_spark_protobuf_consumer(spark, tmp_path, golden_df):
     assert [r["op_type"] for r in p1] == expected
     ddl = next(r for r in p1 if r["op_type"] == "ddl")
     assert "ALTER TABLE" in ddl["statement"] and ddl["progress_gset"]
+
+
+# ---------------------------------------------------------------------------
+# property-based: the wire survives arbitrary content and framing
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_texts = st.text(min_size=0, max_size=40)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    values=st.lists(
+        st.tuples(st.one_of(st.none(), _texts), st.booleans()), min_size=0, max_size=6
+    ),
+    db=_texts,
+    statement=_texts,
+)
+def test_prop_operation_roundtrip(values, db, statement):
+    """Arbitrary unicode values/nulls survive encode→decode exactly
+    (value "" with is_null False and value None both land per the
+    reference's NULL convention)."""
+    from dolphinbeat_spark.schema.registry import ColumnDef, TableDef
+
+    td = TableDef(
+        database="d", name="t",
+        columns=[ColumnDef(f"c{i}", "varchar(40)") for i in range(len(values))],
+    )
+    row = {
+        "op_type": "insert",
+        "server_id": 3,
+        "timestamp": 1234,
+        "log_pos": 99,
+        "after": {f"c{i}": (v if not isn else "") for i, (v, isn) in enumerate(values)},
+        "after_null": {f"c{i}": isn for i, (_, isn) in enumerate(values)},
+    }
+    op = wp.decode_operation(wp.encode_operation(row, td))
+    got = op.get("rows", [{}])[0].get("after", []) if values else []
+    assert len(got) == len(values)
+    for (v, isn), col in zip(values, got):
+        assert col["is_null"] == isn
+        assert col["value"] == ("" if isn else (v or ""))
+    # query ops carry arbitrary statements intact
+    qop = wp.decode_operation(
+        wp.encode_operation(
+            {"op_type": "query", "db": db, "statement": statement, "log_pos": 1}, None
+        )
+    )
+    assert (qop["statement"] or "") == statement
+    assert (qop["database"] or "") == db
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    payload=st.binary(min_size=0, max_size=4000),
+    max_size=st.integers(min_value=1, max_value=512),
+    compression=st.sampled_from(
+        [wp.COMPRESSION_NONE, wp.COMPRESSION_ZLIB, wp.COMPRESSION_GZIP]
+    ),
+)
+def test_prop_fragmentation_reassembly(payload, max_size, compression):
+    """Any payload bytes, any fragment size, any compression: the
+    framing layer reassembles the exact chunk stream (op decode is
+    covered separately — here the chunk content is arbitrary bytes)."""
+    chunk = wp.f_bytes(1, payload, emit_empty=True)  # one opaque 'op'
+    msgs = wp.build_messages(
+        [chunk], base_seq=0, producer_id=1,
+        max_payload_size=max_size, compression=compression,
+    )
+    heads = [wp.decode_message(d) for _, d in msgs]
+    assert [h["seq"] for h in heads] == list(range(1, len(msgs) + 1))
+    assert all(h["more_fragment"] for h in heads[:-1])
+    assert not heads[-1]["more_fragment"]
+    assert len({h["group_id"] for h in heads}) == 1
+    raw = b"".join(h["payload"] for h in heads)
+    if compression == wp.COMPRESSION_ZLIB:
+        raw = zlib.decompress(raw)
+    elif compression == wp.COMPRESSION_GZIP:
+        raw = zlib.decompress(raw, wbits=16 + zlib.MAX_WBITS)
+    assert bytes(wp.parse_fields(raw)[1][0]) == payload
+
+
+def test_gzip_in_band_compression():
+    msgs = wp.build_messages(
+        _chunks(), base_seq=0, producer_id=1, compression=wp.COMPRESSION_GZIP
+    )
+    m = wp.decode_message(msgs[0][1])
+    assert m["compression"] == wp.COMPRESSION_GZIP
+    assert m["payload"][:2] == b"\x1f\x8b"  # real RFC-1952 gzip magic
+    ops = wp.decode_payload_ops(m["payload"], m["compression"])
+    assert [o["op_type"] for o in ops] == [r["op_type"] for r in golden_sequences()]
