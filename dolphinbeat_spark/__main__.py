@@ -101,6 +101,40 @@ def cmd_demo_pipeline(args) -> int:
     return 0
 
 
+def cmd_consume(args) -> int:
+    """The reference's kafka-consumer tool
+    (``cmd/tools/kafka-consumer/main.go``): read protobuf Message bytes
+    (one file per message, or a directory of them, in name order), run
+    the client decode chain (seq-dedup, reassembly, decompress), print
+    each op as JSON + the commit bookkeeping."""
+    from pathlib import Path
+
+    from dolphinbeat_spark.sinks.wire_protocol import OperationDecoder
+
+    src = Path(args.path)
+    files = sorted(src.glob("*.msg")) if src.is_dir() else [src]
+    dec = OperationDecoder(last_commit_seq=args.last_commit_seq)
+    for offset, f in enumerate(files):
+        res = dec.feed(f.read_bytes(), offset=offset)
+        if res is None:
+            continue
+        for op in res.ops:
+            print(json.dumps(op, default=str))
+        print(
+            json.dumps(
+                {
+                    "_commit": {
+                        "begin_seq": res.begin_seq,
+                        "end_seq": res.end_seq,
+                        "commit_offset": res.commit_offset,
+                        "commit_seq": res.commit_seq,
+                    }
+                }
+            )
+        )
+    return 0
+
+
 def cmd_serve(args) -> int:
     """HTTP control surface over a saved registry (reference daemon's
     M1 routes; Ctrl-C stops)."""
@@ -144,6 +178,11 @@ def main(argv: list[str] | None = None) -> int:
     dp = sub.add_parser("demo-pipeline", help="stream the golden fixtures through the fan-out pipeline")
     dp.add_argument("--out", default=None)
     dp.set_defaults(fn=cmd_demo_pipeline)
+
+    cp = sub.add_parser("consume", help="decode protobuf Message files (kafka-consumer tool analog)")
+    cp.add_argument("path", help="a .msg file or a directory of *.msg files in name order")
+    cp.add_argument("--last-commit-seq", type=int, default=0)
+    cp.set_defaults(fn=cmd_consume)
 
     vp = sub.add_parser("serve", help="HTTP control surface (/status, /schema, /ddl/*)")
     vp.add_argument("--registry", default=None, help="saved registry JSON to serve")
