@@ -329,3 +329,43 @@ def test_create_as_select_dead_letters():
     reg = SchemaRegistry()
     with pytest.raises(DdlError):
         reg.apply_ddl("CREATE TABLE test.snap AS SELECT * FROM test.canal_test")
+
+
+def test_property_create_roundtrip():
+    """Property: any generated column list survives CREATE → registry
+    shape (names, order, nullability, PK) exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    types = st.sampled_from(
+        ["INT", "BIGINT", "VARCHAR(50)", "TEXT", "DECIMAL(10,2)",
+         "DATETIME", "TINYINT UNSIGNED", "BLOB", "JSON", "DOUBLE"]
+    )
+    names = st.lists(
+        st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True),
+        min_size=1, max_size=8, unique=True,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(cols=names, data=st.data())
+    def run(cols, data):
+        defs, nullables = [], {}
+        pk = data.draw(st.sampled_from([None] + cols))
+        for c in cols:
+            t = data.draw(types)
+            nn = data.draw(st.booleans())
+            nullables[c] = not nn and c != pk
+            defs.append(f"`{c}` {t}{' NOT NULL' if nn else ''}")
+        stmt = f"CREATE TABLE db1.t1 ({', '.join(defs)}"
+        if pk is not None:
+            stmt += f", PRIMARY KEY (`{pk}`)"
+        stmt += ") ENGINE=InnoDB DEFAULT CHARSET=utf8mb4"
+        reg = SchemaRegistry()
+        reg.apply_ddl(stmt)
+        td = reg.get("db1", "t1")
+        assert td.column_names() == cols
+        assert td.primary_key() == ([pk] if pk is not None else [])
+        for c in td.columns:
+            assert c.nullable == nullables[c.name], c.name
+
+    run()
