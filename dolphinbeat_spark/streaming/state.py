@@ -22,7 +22,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -100,6 +102,109 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
         outputStructType=_TOTALS_OUT,
         stateStructType=_TOTALS_STATE,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_PROTO_OUT = StructType(
+    [
+        StructField("producer_id", LongType()),
+        StructField("end_seq", LongType()),
+        StructField("op_index", LongType()),
+        StructField("op_type", StringType()),
+        StructField("log_pos", LongType()),
+        StructField("gtid", StringType()),
+        StructField("db", StringType()),
+        StructField("statement", StringType()),
+        StructField("progress_gset", StringType()),
+    ]
+)
+# decoder state per producer: seq high-watermark + the open fragment
+# group (reassembly IS byte concatenation, so one binary buffer is the
+# whole group state — O(group payload), bounded by max_payload_size ×
+# fragments, never a seen-set)
+_PROTO_STATE = StructType(
+    [
+        StructField("cur_seq", LongType()),
+        StructField("group_id", LongType()),
+        StructField("begin_seq", LongType()),
+        StructField("compression", LongType()),
+        StructField("buf", BinaryType()),
+        StructField("in_group", LongType()),  # 0/1 (flag)
+    ]
+)
+
+
+def _proto_decode_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    from dolphinbeat_spark.sinks import wire_protocol as wp
+
+    dec = wp.OperationDecoder()
+    dec._cur_producer = int(key[0])
+    if state.exists:
+        cur_seq, group_id, begin_seq, compression, buf, in_group = state.get
+        dec._cur_seq = cur_seq
+        if in_group:
+            dec._fragments = [bytes(buf or b"")]
+            dec._group = {
+                "group_id": group_id,
+                "begin_seq": begin_seq,
+                "begin_offset": 0,
+                "compression": compression,
+            }
+    out = []
+    for pdf in pdfs:
+        for _, r in pdf.sort_values("arrival").iterrows():
+            res = dec.feed(bytes(r["value"]), offset=int(r["arrival"]))
+            if res is None:
+                continue
+            for i, op in enumerate(res.ops):
+                prog = op.get("progress") or {}
+                out.append(
+                    (
+                        dec._cur_producer, res.end_seq, i, op["op_type"],
+                        op["log_pos"], op.get("gtid"), op.get("database"),
+                        op.get("statement"), prog.get("gset"),
+                    )
+                )
+    g = dec._group if dec._fragments else {}
+    state.update(
+        (
+            dec._cur_seq,
+            g.get("group_id", 0),
+            g.get("begin_seq", 0),
+            g.get("compression", 0),
+            b"".join(dec._fragments),
+            1 if dec._fragments else 0,
+        )
+    )
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "producer_id", "end_seq", "op_index", "op_type", "log_pos",
+                "gtid", "db", "statement", "progress_gset",
+            ],
+        )
+
+
+def streaming_protobuf_consumer(stream: DataFrame) -> DataFrame:
+    """STREAMING protobuf consumer (the reference kafka-consumer as a
+    long-running Structured Streaming op): per-producer stateful decode
+    where the seq high-watermark AND any open fragment group persist in
+    GroupState — a group whose fragments span micro-batches (or a
+    restart) completes correctly, which a stateless per-batch decode
+    cannot do.
+
+    ``stream`` needs columns (producer_id long, arrival long,
+    value binary) — ``arrival`` is any per-producer monotone transport
+    order (kafka partition offset, file sequence number)."""
+    return stream.groupBy("producer_id").applyInPandasWithState(
+        _proto_decode_fn,
+        outputStructType=_PROTO_OUT,
+        stateStructType=_PROTO_STATE,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
