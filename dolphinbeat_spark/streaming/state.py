@@ -209,46 +209,6 @@ def streaming_protobuf_consumer(stream: DataFrame) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Spark 4 transformWithStateInPandas twin: the next-generation arbitrary
-# state API (StatefulProcessor + typed state handles). Same K7 dedup
-# semantics as dedup_by_seq above; kept side by side because
-# applyInPandasWithState is the stable API and transformWithState is
-# where Structured Streaming custom state is headed (timers, multiple
-# typed state variables, state schema evolution).
-# NOTE: the TWS runtime requires the ``google.protobuf`` package (its
-# state API speaks protobuf to the JVM); absent in this sandbox, so the
-# e2e test is environment-gated (tests/test_state_ops.py) the same way
-# the live-MySQL path is.
-# ---------------------------------------------------------------------------
-
-
-def dedup_by_seq_tws(stream: DataFrame) -> DataFrame:
-    """K7 consumer dedup via ``transformWithStateInPandas``: ValueState
-    holds the per-producer high-watermark (O(1) state, never a
-    seen-set)."""
-    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
-
-    class _SeqDedup(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._max = handle.getValueState("max_seq", _DEDUP_STATE)
-
-        def handleInputRows(self, key, rows, timerValues):
-            max_seen = self._max.get()[0] if self._max.exists() else -1
-            for pdf in rows:
-                pdf = pdf.sort_values("seq").drop_duplicates("seq")
-                fresh = pdf[pdf["seq"] > max_seen]
-                if len(fresh):
-                    max_seen = int(fresh["seq"].max())
-                    yield fresh[["producer_id", "seq", "log_pos"]]
-            self._max.update((max_seen,))
-
-        def close(self) -> None:
-            pass
-
-    return stream.groupBy("producer_id").transformWithStateInPandas(
-        _SeqDedup(),
-        outputStructType=_DEDUP_OUT,
-        outputMode="append",
-        timeMode="none",
-    )
+# The Spark 4 transformWithStateInPandas form of dedup_by_seq lives in
+# streaming/state_v2.py (dedup_by_seq_v2) — typed state handles, same
+# O(1) watermark discipline; environment-gated on google.protobuf.

@@ -126,51 +126,6 @@ def test_dedup_by_seq_v2_transform_with_state(spark, tmp_path):
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
-def test_dedup_by_seq_transformwithstate(spark, tmp_path):
-    """Same K7 dedup contract through Spark 4's transformWithState
-    (StatefulProcessor + ValueState) — the next-gen state API twin.
-
-    Environment-gated: the TWS runtime speaks protobuf to the JVM and
-    needs the ``google.protobuf`` package, absent in this sandbox."""
-    import pytest
-
-    pytest.importorskip(
-        "google.protobuf.descriptor",
-        reason="transformWithState runtime needs the protobuf package",
-    )
-    from dolphinbeat_spark.streaming.state import dedup_by_seq_tws
-
-    register_fixture_source(spark)
-    stream = (
-        spark.readStream.format("dolphinbeat_fixture")
-        .option("batch_size", "4")
-        .load()
-        .filter(F.col("log_pos").isNotNull())
-        .select(
-            F.lit(1).cast("bigint").alias("producer_id"),
-            F.col("log_pos").alias("seq"),
-            F.col("log_pos"),
-        )
-    )
-    q = (
-        dedup_by_seq_tws(stream)
-        .writeStream.format("memory")
-        .queryName("deduped_tws")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", str(tmp_path / "ckp_tws"))
-        .start()
-    )
-    q.awaitTermination(120)
-    rows = spark.sql("SELECT * FROM deduped_tws ORDER BY seq").collect()
-    seqs = [r["seq"] for r in rows]
-    assert len(seqs) == len(set(seqs)), "duplicate seq leaked through"
-    from dolphinbeat_spark.envelope import golden_sequences
-
-    distinct_pos = {o["log_pos"] for o in golden_sequences() if o["log_pos"] is not None}
-    assert set(seqs) == distinct_pos
-
-
 def test_streaming_protobuf_consumer_group_across_batches(spark, tmp_path):
     """Protobuf messages stream in as files; a fragment GROUP is split
     across two availableNow runs (second half of the files arrives
