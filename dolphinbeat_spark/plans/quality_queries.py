@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dolphinbeat_spark.catalog import load
+from dolphinbeat_spark.functions.hashes import hash64_sql
 from dolphinbeat_spark.operators import text as T
 from dolphinbeat_spark.plans.registry import register
 
@@ -133,6 +134,51 @@ def quality_c4_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").rlike("[.!?] *$").alias("ends_with_punct"),
         F.col("text").rlike("[0-9]").alias("has_digits"),
     ).orderBy("doc_id")
+
+
+@register(
+    "sample_train_val_test",
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id, source, n_chars,
+         CASE
+           WHEN {hash64_sql("concat('split-', CAST(doc_id AS VARCHAR))")} % 100 < 80 THEN 'train'
+           WHEN {hash64_sql("concat('split-', CAST(doc_id AS VARCHAR))")} % 100 < 90 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents
+)
+SELECT source, split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+FROM assigned
+GROUP BY source, split
+ORDER BY source, split
+""",
+    tags=("sampling", "splits", "training-prep"),
+)
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content-key
+    hash — replayable across runs AND engines (rand()-based splits are
+    neither), leakage-free by construction (a doc's split is a pure
+    function of its id, so re-ingesting can never move it). Map-only
+    until the per-(source, split) audit rollup."""
+    from dolphinbeat_spark.functions.hashes import hash64
+
+    d = load(spark, sf_dir, "documents")
+    h = hash64(F.concat(F.lit("split-"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", "source", "n_chars", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+        .orderBy("source", "split")
+    )
 
 
 _CTX = 512  # packing context window (tokens)
