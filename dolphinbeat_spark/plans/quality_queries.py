@@ -137,6 +137,62 @@ def quality_c4_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents WHERE doc_id % 2 = 0
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+             i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ',
+                         toks[i+3], ' ', toks[i+4])))) AS g
+  FROM t
+), counts AS (
+  SELECT g, COUNT(*) AS nd FROM sh GROUP BY g
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN c.nd >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       CAST(SUM(CASE WHEN c.nd >= 5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS boiler_frac
+FROM sh s JOIN counts c USING (g)
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+""",
+    tags=("quality", "boilerplate", "ngram"),
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate detection by cross-document n-gram
+    frequency: a 5-gram present in ≥5 documents is boilerplate
+    (headers, footers, license blurbs); each doc reports its
+    boilerplate-gram fraction — the input to span-removal. Distinct
+    grams per doc (set semantics), document frequency via one groupBy
+    (map-side combined), join-back on the gram hash: two shuffles,
+    both on the already-reduced gram stream — the formulation that
+    survives a corpus-scale document-frequency table."""
+    d = load(spark, sf_dir, "documents", widen=True).filter(F.col("doc_id") % 2 == 0)
+    sh = (
+        d.select("doc_id", T.tokens("text").alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(T.word_shingles_from_tokens(F.col("__toks"), 5)).alias("g"),
+        )
+    )
+    counts = sh.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
+    joined = sh.join(counts, "g")
+    n_boiler = F.sum(F.when(F.col("nd") >= 5, 1).otherwise(0)).cast("bigint")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            n_boiler.alias("n_boiler"),
+            (n_boiler.cast("double") / F.count(F.lit(1))).alias("boiler_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "sample_train_val_test",
     oracle=f"""
 WITH assigned AS (
