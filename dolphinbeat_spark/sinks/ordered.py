@@ -387,8 +387,10 @@ def decode_protobuf_messages(messages: DataFrame, value_col: str = "value") -> D
     out_schema = (
         "producer_id long, end_seq long, op_index int, op_type string, "
         "server_id long, timestamp long, log_pos long, gtid string, "
-        "db string, statement string, next_log_name string, "
-        "progress_gset string"
+        "db string, table string, statement string, next_log_name string, "
+        "progress_gset string, "
+        "before map<string,string>, before_null map<string,boolean>, "
+        "after map<string,string>, after_null map<string,boolean>"
     )
 
     def decode(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -400,26 +402,44 @@ def decode_protobuf_messages(messages: DataFrame, value_col: str = "value") -> D
             if res is None:
                 continue
             for i, op in enumerate(res.ops):
-                prog = op.get("progress") or {}
-                rows.append(
-                    (
-                        int(r["producer_id"]), res.end_seq, i,
-                        op["op_type"], op["server_id"], op["timestamp"],
-                        op["log_pos"], op.get("gtid"), op.get("database"),
-                        op.get("statement"), op.get("next_log_name"),
-                        prog.get("gset"),
-                    )
-                )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "producer_id", "end_seq", "op_index", "op_type", "server_id",
-                "timestamp", "log_pos", "gtid", "db", "statement",
-                "next_log_name", "progress_gset",
-            ],
-        )
+                rows.append((int(r["producer_id"]), res.end_seq, i) + op_row_tail(op))
+        return pd.DataFrame(rows, columns=["producer_id", "end_seq", "op_index"] + OP_TAIL_COLS)
 
     return headed.groupBy("producer_id").applyInPandas(decode, out_schema)
+
+
+#: decoded-op columns shared by the batch and streaming consumers
+OP_TAIL_COLS = [
+    "op_type", "server_id", "timestamp", "log_pos", "gtid", "db", "table",
+    "statement", "next_log_name", "progress_gset",
+    "before", "before_null", "after", "after_null",
+]
+
+
+def op_row_tail(op: dict) -> tuple:
+    """Flatten one decoded protobuf Operation into the consumer row
+    tail — positional Column lists become the envelope's named image
+    maps via the op's own TableDef column order (the reference's
+    re-typing contract: consumers resolve positions through the
+    embedded table def), so decoded ops feed typed_view/apply_changes
+    directly."""
+    prog = op.get("progress") or {}
+    table = op.get("table") or {}
+    col_names = [c["name"] for c in table.get("columns", [])]
+    before = before_null = after = after_null = None
+    for row in op.get("rows", [])[:1]:  # one image per envelope op
+        if row.get("before"):
+            before = {n: c["value"] for n, c in zip(col_names, row["before"])}
+            before_null = {n: c["is_null"] for n, c in zip(col_names, row["before"])}
+        if row.get("after"):
+            after = {n: c["value"] for n, c in zip(col_names, row["after"])}
+            after_null = {n: c["is_null"] for n, c in zip(col_names, row["after"])}
+    return (
+        op["op_type"], op["server_id"], op["timestamp"], op["log_pos"],
+        op.get("gtid"), table.get("database") or op.get("database"),
+        table.get("name"), op.get("statement"), op.get("next_log_name"),
+        prog.get("gset"), before, before_null, after, after_null,
+    )
 
 
 class ProtobufKafkaSink(SeqStampedSink):

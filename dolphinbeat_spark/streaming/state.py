@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -112,11 +114,19 @@ _PROTO_OUT = StructType(
         StructField("end_seq", LongType()),
         StructField("op_index", LongType()),
         StructField("op_type", StringType()),
+        StructField("server_id", LongType()),
+        StructField("timestamp", LongType()),
         StructField("log_pos", LongType()),
         StructField("gtid", StringType()),
         StructField("db", StringType()),
+        StructField("table", StringType()),
         StructField("statement", StringType()),
+        StructField("next_log_name", StringType()),
         StructField("progress_gset", StringType()),
+        StructField("before", MapType(StringType(), StringType())),
+        StructField("before_null", MapType(StringType(), BooleanType())),
+        StructField("after", MapType(StringType(), StringType())),
+        StructField("after_null", MapType(StringType(), BooleanType())),
     ]
 )
 # decoder state per producer: seq high-watermark + the open fragment
@@ -153,6 +163,8 @@ def _proto_decode_fn(
                 "begin_offset": 0,
                 "compression": compression,
             }
+    from dolphinbeat_spark.sinks.ordered import OP_TAIL_COLS, op_row_tail
+
     out = []
     for pdf in pdfs:
         for _, r in pdf.sort_values("arrival").iterrows():
@@ -160,14 +172,7 @@ def _proto_decode_fn(
             if res is None:
                 continue
             for i, op in enumerate(res.ops):
-                prog = op.get("progress") or {}
-                out.append(
-                    (
-                        dec._cur_producer, res.end_seq, i, op["op_type"],
-                        op["log_pos"], op.get("gtid"), op.get("database"),
-                        op.get("statement"), prog.get("gset"),
-                    )
-                )
+                out.append((dec._cur_producer, res.end_seq, i) + op_row_tail(op))
     g = dec._group if dec._fragments else {}
     state.update(
         (
@@ -180,13 +185,7 @@ def _proto_decode_fn(
         )
     )
     if out:
-        yield pd.DataFrame(
-            out,
-            columns=[
-                "producer_id", "end_seq", "op_index", "op_type", "log_pos",
-                "gtid", "db", "statement", "progress_gset",
-            ],
-        )
+        yield pd.DataFrame(out, columns=["producer_id", "end_seq", "op_index"] + OP_TAIL_COLS)
 
 
 def streaming_protobuf_consumer(stream: DataFrame) -> DataFrame:

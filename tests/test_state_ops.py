@@ -211,6 +211,11 @@ def test_streaming_protobuf_consumer_group_across_batches(spark, tmp_path):
     # chunks were encoded in raw fixture order (no sink sort here)
     expected = [o["op_type"] for o in golden_sequences()]
     assert [r["op_type"] for r in ops] == expected
+    # positional Column lists came back as NAMED image maps (via the
+    # embedded TableDef) — the apply_changes/typed_view input shape
+    first_insert = next(r for r in ops if r["op_type"] == "insert")
+    assert first_insert["after"]["id"] == "1" and first_insert["table"] == "canal_test"
+    assert first_insert["after_null"]["content"] is False
 
     # duplicated delivery of everything: watermark in state drops it all
     run_once()
