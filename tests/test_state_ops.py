@@ -220,3 +220,52 @@ def test_streaming_protobuf_consumer_group_across_batches(spark, tmp_path):
     # duplicated delivery of everything: watermark in state drops it all
     run_once()
     assert spark.read.parquet(out).count() == len(expected)
+
+
+def test_full_loop_protobuf_to_apply_changes(spark, tmp_path):
+    """The complete reference pipeline as one flow: envelope ops →
+    protobuf wire (zlib) → stateful streaming consume → named image
+    maps → apply_changes current-state snapshot. Final state matches
+    the golden sequence: id=1 updated, id=2 deleted, id=3 insert with
+    NULL content."""
+    from pyspark.sql import functions as F
+
+    from dolphinbeat_spark.envelope import golden_sequences
+    from dolphinbeat_spark.schema.registry import SchemaRegistry
+    from dolphinbeat_spark.sinks import wire_protocol as wp
+    from dolphinbeat_spark.sinks.apply_changes import apply_batch, read_snapshot
+    from dolphinbeat_spark.sinks.ordered import decode_protobuf_messages
+
+    reg = SchemaRegistry()
+    reg.apply_ddl(
+        "CREATE TABLE test.canal_test (id INT PRIMARY KEY, name VARCHAR(100), content BLOB)"
+    )
+    chunks = [
+        wp.payload_chunk(
+            wp.encode_operation(
+                r,
+                reg.get("test", "canal_test")
+                if r["op_type"] in ("insert", "update", "delete")
+                else None,
+            )
+        )
+        for r in golden_sequences()
+    ]
+    msgs = wp.build_messages(chunks, base_seq=0, producer_id=1, ops_per_payload=6,
+                             compression=wp.COMPRESSION_ZLIB)
+    values = [bytearray(v) for _, v in msgs]
+    decoded = decode_protobuf_messages(
+        spark.createDataFrame([(v,) for v in values], "value binary")
+    )
+    env = decoded.filter(F.col("op_type").isin("insert", "update", "delete")).select(
+        "op_type",
+        F.lit("binlog.000001").alias("log_name"),
+        F.col("log_pos"),
+        "before", "before_null", "after", "after_null",
+    )
+    snap = str(tmp_path / "snapshot")
+    apply_batch(spark, env, snap, key_cols=["id"], value_cols=["name", "content"])
+    state = {r["id"]: r for r in read_snapshot(spark, snap).collect()}
+    assert set(state) == {"1", "3"}  # id=2 deleted
+    assert state["1"]["name"] == "a2"  # update applied
+    assert state["3"]["name"] == "c" and state["3"]["content"] is None  # D12 null
