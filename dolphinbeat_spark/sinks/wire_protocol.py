@@ -101,6 +101,8 @@ def as_int(x) -> int:
 def read_uvarint(buf: bytes, i: int) -> tuple[int, int]:
     n = shift = 0
     while True:
+        if i >= len(buf):
+            raise ValueError(f"truncated varint at byte {i} of {len(buf)}")
         b = buf[i]
         i += 1
         n |= (b & 0x7F) << shift
@@ -122,6 +124,11 @@ def parse_fields(buf: bytes) -> dict[int, list]:
             v, i = read_uvarint(buf, i)
         elif wt == 2:
             ln, i = read_uvarint(buf, i)
+            if i + ln > len(buf):
+                raise ValueError(
+                    f"truncated length-delimited field {fieldno}: "
+                    f"need {ln} bytes at {i}, have {len(buf) - i}"
+                )
             v = buf[i : i + ln]
             i += ln
         elif wt == 5:  # fixed32

@@ -432,3 +432,17 @@ def test_gzip_in_band_compression():
     assert m["payload"][:2] == b"\x1f\x8b"  # real RFC-1952 gzip magic
     ops = wp.decode_payload_ops(m["payload"], m["compression"])
     assert [o["op_type"] for o in ops] == [r["op_type"] for r in golden_sequences()]
+
+
+def test_corrupt_and_truncated_messages_fail_loud():
+    """Corruption surfaces as a clear ValueError, never a silent
+    misparse or a bare IndexError."""
+    msgs = wp.build_messages(_chunks(), base_seq=0, producer_id=1)
+    _, data = msgs[0]
+    with pytest.raises(ValueError, match="truncated"):
+        wp.parse_fields(data[: len(data) // 2])
+    with pytest.raises(ValueError, match="truncated varint"):
+        wp.read_uvarint(b"\x80\x80", 0)  # continuation bit never ends
+    # unknown wiretype (start-group, deprecated) rejects
+    with pytest.raises(ValueError, match="wiretype"):
+        wp.parse_fields(bytes([1 << 3 | 3, 0]))
