@@ -149,7 +149,10 @@ def _one(fields: dict, n: int, default):
 
 
 def _s(fields: dict, n: int) -> str:
-    return bytes(_one(fields, n, b"")).decode("utf-8")
+    # tolerant decode: a Go producer can stringify raw BLOB bytes into a
+    # proto string without UTF-8 validation (operation.go:158-163);
+    # invalid sequences must not kill the consumer chain
+    return bytes(_one(fields, n, b"")).decode("utf-8", "replace")
 
 
 def _i(fields: dict, n: int) -> int:

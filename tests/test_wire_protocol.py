@@ -446,3 +446,16 @@ def test_corrupt_and_truncated_messages_fail_loud():
     # unknown wiretype (start-group, deprecated) rejects
     with pytest.raises(ValueError, match="wiretype"):
         wp.parse_fields(bytes([1 << 3 | 3, 0]))
+
+
+def test_non_utf8_value_bytes_survive_decode():
+    """A foreign Go producer can stringify raw BLOB bytes into a proto
+    string without UTF-8 validation — the consumer must not crash."""
+    raw_col = wp._tag(2, 2) + wp._uvarint(3) + b"\xff\xfe\x80"  # Column.value
+    row = wp.f_bytes(2, raw_col, emit_empty=True)  # Row.after
+    op = wp.f_bytes(1, wp.f_varint(2, 4), emit_empty=True) + wp.f_bytes(
+        14, row, emit_empty=True
+    )
+    decoded = wp.decode_operation(op)
+    v = decoded["rows"][0]["after"][0]["value"]
+    assert isinstance(v, str) and len(v) == 3  # replacement chars, no crash
