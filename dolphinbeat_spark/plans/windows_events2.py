@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dolphinbeat_spark.catalog import load
+from dolphinbeat_spark.functions.hashes import hash64_sql
 from dolphinbeat_spark.operators.dedup import exact_dedup
 from dolphinbeat_spark.plans.registry import register
 
@@ -240,6 +241,85 @@ def range_join_banded_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy(F.date_trunc("day", "cts").alias("click_day"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("click_day")
+    )
+
+
+@register(
+    "geo_grid_neighbor_pairs",
+    # users get deterministic integer grid coordinates from the portable
+    # hash; the oracle is the naive all-pairs neighbor join, the engine
+    # runs the 3x3 grid-cell equi-join (the standard spatial-banding
+    # trick: |dx|<=8 with cell size 8 implies same-or-adjacent cell, so
+    # a hash join over exploded neighbor-cell keys replaces the O(n²)
+    # distance join). All integers: bit-exact cross-engine.
+    oracle=f"""
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+), pts AS (
+  SELECT user_id,
+         {hash64_sql("concat('gx-', CAST(user_id AS VARCHAR))")} % 1000 AS x,
+         {hash64_sql("concat('gy-', CAST(user_id AS VARCHAR))")} % 1000 AS y
+  FROM u
+)
+SELECT COUNT(*) AS n_pairs,
+       CAST(SUM((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS BIGINT)
+         AS sum_dist2
+FROM pts a JOIN pts b
+  ON b.user_id > a.user_id
+ AND abs(a.x - b.x) <= 8 AND abs(a.y - b.y) <= 8
+""",
+    tags=("join", "spatial", "banded"),
+)
+def geo_grid_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial neighbor pairs via grid-cell banding: points within
+    L∞ ≤ 8 on a synthetic integer grid, found by exploding each point
+    into its 3×3 neighbor-cell keys and equi-joining on the cell —
+    never the all-pairs distance join the oracle runs. Cell size =
+    radius guarantees candidates are in the same or an adjacent cell;
+    the exact distance filter runs on the banded candidates only. The
+    same plan shape serves geohash radius joins at any scale."""
+    from dolphinbeat_spark.functions.hashes import hash64
+
+    e = load(spark, sf_dir, "events")
+    u = e.select("user_id").distinct()
+    x = hash64(F.concat(F.lit("gx-"), F.col("user_id").cast("string"))) % 1000
+    y = hash64(F.concat(F.lit("gy-"), F.col("user_id").cast("string"))) % 1000
+    pts = u.select(
+        "user_id", x.alias("x"), y.alias("y"),
+        F.floor(x / 8).alias("cx"), F.floor(y / 8).alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    a = (
+        pts.withColumn("o", F.explode(offsets))
+        .select(
+            F.col("user_id").alias("uid_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.col("cx") + F.col("o.dx")).alias("kx"),
+            (F.col("cy") + F.col("o.dy")).alias("ky"),
+        )
+    )
+    b = pts.select(
+        F.col("user_id").alias("uid_b"), F.col("x").alias("xb"), F.col("y").alias("yb"),
+        F.col("cx").alias("kx"), F.col("cy").alias("ky"),
+    )
+    pairs = a.join(b, ["kx", "ky"]).filter(
+        (F.col("uid_b") > F.col("uid_a"))
+        & (F.abs(F.col("xa") - F.col("xb")) <= 8)
+        & (F.abs(F.col("ya") - F.col("yb")) <= 8)
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(d2).cast("bigint").alias("sum_dist2"),
     )
 
 
