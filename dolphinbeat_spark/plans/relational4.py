@@ -617,3 +617,70 @@ def generator_inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
         arr.select("l_orderkey", F.inline("entries"))
         .orderBy("l_orderkey", "ln")
     )
+
+
+@register(
+    "hierarchy_recursive_paths",
+    # the oracle uses a TRUE recursive CTE; the engine runs the bounded
+    # iterative-join loop (Spark has no recursive CTE — the loop is the
+    # idiomatic translation, same machinery as dedup_clusters'
+    # label propagation)
+    oracle="""
+WITH RECURSIVE walk(user_id, node, path_sum, depth) AS (
+  SELECT user_id, user_id, user_id, 0
+  FROM (SELECT DISTINCT user_id FROM events)
+  UNION ALL
+  SELECT user_id, node // 10, path_sum + node // 10, depth + 1
+  FROM walk WHERE node > 0
+)
+SELECT depth, COUNT(*) AS n_users,
+       CAST(SUM(path_sum) AS BIGINT) AS sum_path
+FROM (
+  SELECT user_id, MAX(depth) AS depth, MAX(path_sum) AS path_sum
+  FROM walk GROUP BY user_id
+)
+GROUP BY depth
+ORDER BY depth
+""",
+    tags=("relational", "recursive", "hierarchy", "iterative"),
+)
+def hierarchy_recursive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy traversal without recursive CTEs: each user walks the
+    synthetic tree parent(n) = n // 10 to the root, accumulating depth
+    and ancestor sum. The Spark form is a bounded iterative refinement
+    (each round advances every non-root walker one level; rounds =
+    tree height = O(log max_id)) with a localCheckpoint per
+    round to cut the exploding lineage — the standard Spark shape for
+    transitive closure when the recursion depth is bounded, identical
+    machinery to dedup_clusters. The oracle is DuckDB's native
+    WITH RECURSIVE."""
+    e = load(spark, sf_dir, "events")
+    walk = (
+        e.select("user_id").distinct()
+        .select(
+            "user_id",
+            F.col("user_id").alias("node"),
+            F.col("user_id").alias("path_sum"),
+            F.lit(0).alias("depth"),
+        )
+    )
+    for _ in range(9):  # ceil(log10(max user_id)) bounds the height (9 → ids < 10^9)
+        nxt = F.floor(F.col("node") / 10).cast("bigint")
+        walk = walk.select(
+            "user_id",
+            F.when(F.col("node") > 0, nxt).otherwise(F.col("node")).alias("node"),
+            F.when(F.col("node") > 0, F.col("path_sum") + nxt)
+            .otherwise(F.col("path_sum"))
+            .alias("path_sum"),
+            F.when(F.col("node") > 0, F.col("depth") + 1)
+            .otherwise(F.col("depth"))
+            .alias("depth"),
+        ).localCheckpoint(eager=False)
+    return (
+        walk.groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("path_sum").cast("bigint").alias("sum_path"),
+        )
+        .orderBy("depth")
+    )
