@@ -108,3 +108,88 @@ def sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("exact_distinct")
     )
     return sketch.join(exact, "event_type").orderBy("event_type")
+
+
+_CM_DEPTH, _CM_WIDTH = 4, 64
+
+
+@register(
+    "sketch_countmin_tokens",
+    # portable Count-Min: 4 md5-derived hash rows x 64 buckets; the
+    # sketch is integer-exact on both engines, and the estimate is the
+    # min over rows — always >= the true count (the CM guarantee, also
+    # asserted by the oracle's cm_ge_exact flag)
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), cells AS (
+  SELECT r, {hash64_sql("concat('cm', CAST(r AS VARCHAR), '-', token)")} % {_CM_WIDTH} AS b,
+         COUNT(*) AS cnt
+  FROM tok, unnest(range(0, {_CM_DEPTH})) AS u(r)
+  GROUP BY r, b
+), exact AS (
+  SELECT token, COUNT(*) AS exact_cnt FROM tok GROUP BY token
+  ORDER BY exact_cnt DESC, token LIMIT 10
+)
+SELECT e.token, e.exact_cnt,
+       CAST(MIN(c.cnt) AS BIGINT) AS cm_estimate,
+       MIN(c.cnt) >= e.exact_cnt AS cm_ge_exact
+FROM exact e
+JOIN cells c
+  ON c.b = {hash64_sql("concat('cm', CAST(c.r AS VARCHAR), '-', e.token)")} % {_CM_WIDTH}
+GROUP BY e.token, e.exact_cnt
+ORDER BY e.exact_cnt DESC, e.token
+""",
+    tags=("sketch", "countmin", "frequency"),
+)
+def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over the corpus token stream
+    (portable md5-derived rows, integer-exact cross-engine): the
+    fixed-size structure that answers "how often does X appear" at any
+    corpus scale — the sketch table is depth×width cells no matter the
+    input, built by ONE map-side-combined groupBy over (row, bucket).
+    The heavy-hitter estimates are then min-over-rows lookups; the CM
+    overcount guarantee (estimate >= exact) is asserted in-row."""
+    from dolphinbeat_spark.functions.hashes import hash64
+    from dolphinbeat_spark.operators.text import tokens
+
+    d = load(spark, sf_dir, "documents", widen=True)
+    tok = d.select(F.explode(tokens("text")).alias("token"))
+    rows_arr = F.array(*[F.lit(r) for r in range(_CM_DEPTH)])
+    cells = (
+        tok.select("token", F.explode(rows_arr).alias("r"))
+        .select(
+            "r",
+            (
+                hash64(F.concat(F.lit("cm"), F.col("r").cast("string"), F.lit("-"), F.col("token")))
+                % _CM_WIDTH
+            ).alias("b"),
+        )
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "token")
+        .limit(10)
+    )
+    probe = exact.select(
+        "token", "exact_cnt", F.explode(rows_arr).alias("r")
+    ).select(
+        "token", "exact_cnt", "r",
+        (
+            hash64(F.concat(F.lit("cm"), F.col("r").cast("string"), F.lit("-"), F.col("token")))
+            % _CM_WIDTH
+        ).alias("b"),
+    )
+    return (
+        probe.join(cells, ["r", "b"])
+        .groupBy("token", "exact_cnt")
+        .agg(
+            F.min("cnt").cast("bigint").alias("cm_estimate"),
+            (F.min("cnt") >= F.col("exact_cnt")).alias("cm_ge_exact"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "token")
+    )
