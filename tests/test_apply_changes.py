@@ -222,3 +222,63 @@ def test_apply_batch_partitioned_touches_only_dirty_buckets(spark, tmp_path):
     apply_batch_partitioned(spark, rest, snap, ["id"], ["name"], num_buckets=8)
     state = {r["id"]: r["name"] for r in read_snapshot(spark, snap).collect()}
     assert state == {"1": "a2", "3": "c"}
+
+
+def test_randomized_sequences_match_dict_replay(spark, tmp_path):
+    """Randomized equivalence: 20 seeded scenarios of interleaved
+    insert/update(±PK change)/delete ops reduce — through
+    normalize_pk_changes + last_op_per_key + the upsert projection —
+    to exactly the state a sequential dict replay produces. One Spark
+    job covers all scenarios (scenario id rides inside the key)."""
+    import random
+
+    from dolphinbeat_spark.envelope import empty_op
+    from dolphinbeat_spark.sinks.apply_changes import apply_batch, read_snapshot
+
+    rng = random.Random(20240813)
+    ops: list[dict] = []
+    expected: dict[str, str] = {}  # key -> value (final state)
+    state: dict[int, dict[str, str]] = {}
+    pos = 0
+    for s in range(20):
+        st = state.setdefault(s, {})
+        for _ in range(30):
+            pos += 20
+            k = f"{s}:{rng.randrange(5)}"
+            kind = rng.choice(["insert", "update", "update_pk", "delete"])
+            v = f"v{pos}"
+            common = dict(
+                log_name="binlog.000001", log_pos=pos, server_id=1, timestamp=0,
+                db="d", table="t", schema_version=1,
+            )
+            if kind == "insert":
+                st[k] = v
+                ops.append(empty_op(
+                    op_type="insert",
+                    after={"k": k, "v": v}, after_null={"k": False, "v": False},
+                    **common,
+                ))
+            elif kind == "delete":
+                st.pop(k, None)
+                ops.append(empty_op(
+                    op_type="delete",
+                    before={"k": k, "v": v}, before_null={"k": False, "v": False},
+                    **common,
+                ))
+            else:
+                k2 = f"{s}:{rng.randrange(5)}" if kind == "update_pk" else k
+                st.pop(k, None)
+                st[k2] = v
+                ops.append(empty_op(
+                    op_type="update",
+                    before={"k": k, "v": "old"}, before_null={"k": False, "v": False},
+                    after={"k": k2, "v": v}, after_null={"k": False, "v": False},
+                    **common,
+                ))
+        expected.update(st)
+
+    batch = spark.createDataFrame(ops, ENVELOPE_SCHEMA)
+    snap = str(tmp_path / "rand_snapshot")
+    apply_batch(spark, batch, snap, key_cols=["k"], value_cols=["v"])
+    got = {r["k"]: r["v"] for r in read_snapshot(spark, snap).collect()}
+    assert got == expected
