@@ -167,6 +167,70 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_semantic_clusters",
+    # semantic-dedup clusters: connected components over the banded
+    # cosine near-dup graph. The oracle computes the same components
+    # with a recursive reachability CTE; the engine runs the iterative
+    # min-label propagation (operators/dedup.py::connected_components —
+    # the same machinery as dedup_clusters, here over embedding space).
+    oracle=f"""
+WITH RECURSIVE sig AS (
+  SELECT vec_id, embedding, ({_BUCKET}) AS sig FROM embeddings
+), banded AS (
+  SELECT vec_id, b AS band,
+         CAST(FLOOR(sig / POW(2, b * 3)) AS BIGINT) % 8 AS band_key
+  FROM sig, unnest(range(0, {NEAR_DUP_BANDS})) AS u(b)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+), pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+  WHERE {_cos('ea.embedding', 'eb.embedding')} >= {NEAR_DUP_THRESHOLD}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(node, anc) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.anc
+), labels AS (
+  SELECT node, least(node, MIN(anc)) AS cluster_id FROM reach GROUP BY node
+)
+SELECT cluster_id, COUNT(*) AS n_members
+FROM labels GROUP BY cluster_id
+ORDER BY cluster_id
+""",
+    tags=("similarity", "dedup", "clusters", "iterative"),
+)
+def sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup clusters: connected components over the
+    embedding near-dup graph (banded LSH candidates, exact cosine
+    filter) by iterative min-label propagation — pick one keeper per
+    cluster and the corpus loses its semantic duplicates. Same scale
+    shape as dedup_clusters: each round one keyed join + groupBy-min,
+    localCheckpoint per round; never an all-pairs product (candidates
+    come from the band bucket join)."""
+    from dolphinbeat_spark.operators.dedup import connected_components
+
+    emb = load(spark, sf_dir, "embeddings", widen=True)
+    pairs = S.cosine_near_dup_pairs_banded(
+        emb, "vec_id", "embedding", NEAR_DUP_THRESHOLD,
+        num_planes=NUM_PLANES, bands=NEAR_DUP_BANDS, dim=DIM,
+    )
+    clusters = connected_components(pairs.select("id_a", "id_b"))
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster_id")
+    )
+
+
+@register(
     "sim_quantize_int8",
     # per-vector symmetric int8 quantization: scale = max|x|, q = floor
     # (127·x/scale). floor (not round) because both engines' floor is
