@@ -43,6 +43,11 @@ ENVELOPE_SCHEMA = T.StructType(
         T.StructField("timestamp", T.IntegerType()),
         T.StructField("log_name", T.StringType()),
         T.StructField("log_pos", T.LongType()),
+        # deterministic index of the row image WITHIN its RowsEvent —
+        # all rows of a multi-row INSERT/UPDATE/DELETE share the
+        # event's log_pos, so (log_name, log_pos) alone is not a total
+        # order; sinks tiebreak on this (0 for non-row ops)
+        T.StructField("row_index", T.IntegerType()),
         T.StructField("db", T.StringType()),
         T.StructField("table", T.StringType()),
         T.StructField("gtid", T.StringType()),
@@ -62,6 +67,7 @@ ENVELOPE_SCHEMA = T.StructType(
 def empty_op(**overrides) -> dict:
     """A fully-NULL envelope row; override the fields that apply."""
     base = {f.name: None for f in ENVELOPE_SCHEMA.fields}
+    base["row_index"] = 0
     base.update(overrides)
     unknown = set(overrides) - set(base)
     if unknown:

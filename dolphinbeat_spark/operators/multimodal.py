@@ -117,8 +117,10 @@ def frame_sample_plan(df: DataFrame, frame_bytes: int = 32, every: int = 4) -> D
 # (JPEG/PNG/...) still raise — no codec libraries in this container.
 # ---------------------------------------------------------------------------
 
+# PPM allows ANY number of consecutive comment lines before each
+# header token, not just one — hence the * on the comment group.
 _PPM_HEADER_RE = re.compile(
-    rb"^P6\s+(?:#[^\n]*\s+)?(\d+)\s+(?:#[^\n]*\s+)?(\d+)\s+(?:#[^\n]*\s+)?(\d+)\s"
+    rb"^P6\s+(?:#[^\n]*\s+)*(\d+)\s+(?:#[^\n]*\s+)*(\d+)\s+(?:#[^\n]*\s+)*(\d+)\s"
 )
 
 
@@ -141,7 +143,12 @@ def decode_ppm(data: bytes) -> tuple[int, int, np.ndarray]:
     if maxval > 255:
         raise NotImplementedError("16-bit PPM not supported")
     px = np.frombuffer(data, np.uint8, count=w * h * 3, offset=m.end())
-    return w, h, px.reshape(h, w, 3)
+    px = px.reshape(h, w, 3)
+    if maxval != 255:
+        # rescale to full range so pixel_sum/pixel_md5 semantics are
+        # uniform across maxval (spec: samples are 0..maxval)
+        px = (px.astype(np.uint32) * 255 // maxval).astype(np.uint8)
+    return w, h, px
 
 
 def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:

@@ -33,6 +33,38 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def op_type_rank() -> "F.Column":
+    """Explicit binlog-semantic rank for op types that could ever share
+    a (log_name, log_pos): gtid/begin precede the row images, commit
+    follows them, and a rotate ending a file at position P comes after
+    everything that ended at P — never the accident of alphabetical
+    order (which would sort 'commit' before 'insert')."""
+    return (
+        F.when(F.col("op_type") == "gtid", 1)
+        .when(F.col("op_type") == "begin", 2)
+        .when(F.col("op_type") == "commit", 4)
+        .when(F.col("op_type") == "rotate", 5)
+        .otherwise(3)  # insert/update/delete/query/ddl/ddl_failed
+        .cast("int")
+    )
+
+
+def total_order_cols() -> list:
+    """The TOTAL ordering every ordered sink stamps/sorts by. binlog
+    coordinates alone are not total: the source emits one envelope op
+    per row of a multi-row event, all sharing the event's log_pos
+    (binlog_source.decode_event), so the per-event ``row_index``
+    stamped at the source is the deterministic tiebreak; the op-type
+    rank covers the cross-event tie a synthetic/fixture stream can
+    produce."""
+    return [
+        F.col("log_name"),
+        F.col("log_pos"),
+        op_type_rank(),
+        F.coalesce(F.col("row_index"), F.lit(0)),
+    ]
+
+
 class SeqStampedSink:
     """Shared discipline for every ordered sink: persisted per-batch
     base sequence (replay-stable) + total order inside one partition.
@@ -76,11 +108,14 @@ class SeqStampedSink:
             p.unlink(missing_ok=True)
 
     def _stamped(self, batch_df: DataFrame, base: int) -> DataFrame:
-        """Order by binlog coordinates, stamp seq + producer_id, and
+        """Order by binlog coordinates (+ the row_index/op-rank
+        tiebreaks that make it TOTAL), stamp seq + producer_id, and
         collapse to ONE partition — total order only at the sink
         boundary, full parallelism upstream (the reference pays the
         same single-partition price for total order, kafka.go:91-95)."""
-        w = Window.orderBy("log_name", "log_pos")
+        if "row_index" not in batch_df.columns:
+            batch_df = batch_df.withColumn("row_index", F.lit(0))
+        w = Window.orderBy(*total_order_cols())
         return (
             batch_df.withColumn(
                 "seq", (F.row_number().over(w) + F.lit(base)).cast("bigint")
@@ -338,12 +373,21 @@ def encode_ops_distributed(envelope: DataFrame, registry) -> DataFrame:
                     "log_name": pdf["log_name"],
                     "log_pos": pdf["log_pos"],
                     "op_type": pdf["op_type"],
+                    "row_index": (
+                        pdf["row_index"].fillna(0)
+                        if "row_index" in pdf.columns
+                        else 0
+                    ),
                     "chunk": chunks,
                 }
             )
 
     return envelope.mapInPandas(
-        encode, schema="log_name string, log_pos long, op_type string, chunk binary"
+        encode,
+        schema=(
+            "log_name string, log_pos long, op_type string, "
+            "row_index int, chunk binary"
+        ),
     )
 
 
@@ -385,7 +429,8 @@ def decode_protobuf_messages(messages: DataFrame, value_col: str = "value") -> D
     )
 
     out_schema = (
-        "producer_id long, end_seq long, op_index int, op_type string, "
+        "producer_id long, end_seq long, op_index int, row_index int, "
+        "op_type string, "
         "server_id long, timestamp long, log_pos long, gtid string, "
         "db string, table string, statement string, next_log_name string, "
         "progress_gset string, "
@@ -402,8 +447,12 @@ def decode_protobuf_messages(messages: DataFrame, value_col: str = "value") -> D
             if res is None:
                 continue
             for i, op in enumerate(res.ops):
-                rows.append((int(r["producer_id"]), res.end_seq, i) + op_row_tail(op))
-        return pd.DataFrame(rows, columns=["producer_id", "end_seq", "op_index"] + OP_TAIL_COLS)
+                for j, tail in enumerate(op_row_tails(op)):
+                    rows.append((int(r["producer_id"]), res.end_seq, i, j) + tail)
+        return pd.DataFrame(
+            rows,
+            columns=["producer_id", "end_seq", "op_index", "row_index"] + OP_TAIL_COLS,
+        )
 
     return headed.groupBy("producer_id").applyInPandas(decode, out_schema)
 
@@ -416,30 +465,41 @@ OP_TAIL_COLS = [
 ]
 
 
-def op_row_tail(op: dict) -> tuple:
-    """Flatten one decoded protobuf Operation into the consumer row
-    tail — positional Column lists become the envelope's named image
-    maps via the op's own TableDef column order (the reference's
-    re-typing contract: consumers resolve positions through the
-    embedded table def), so decoded ops feed typed_view/apply_changes
-    directly."""
+def op_row_tails(op: dict) -> list:
+    """Flatten one decoded protobuf Operation into consumer row tails,
+    ONE PER ROW IMAGE — the reference producer packs every row of a
+    RowsEvent into a single Operation (operation.go:33-73, repeated
+    ``Row rows = 14``), so a multi-row INSERT/UPDATE/DELETE must fan
+    out here rather than truncate to the first image. Positional
+    Column lists become the envelope's named image maps via the op's
+    own TableDef column order (the reference's re-typing contract:
+    consumers resolve positions through the embedded table def), so
+    decoded ops feed typed_view/apply_changes directly. Ops with no
+    rows (DDL, begin/commit, heartbeat) yield one tail with null
+    images."""
     prog = op.get("progress") or {}
     table = op.get("table") or {}
     col_names = [c["name"] for c in table.get("columns", [])]
-    before = before_null = after = after_null = None
-    for row in op.get("rows", [])[:1]:  # one image per envelope op
+    head = (
+        op["op_type"], op["server_id"], op["timestamp"], op["log_pos"],
+        op.get("gtid"), table.get("database") or op.get("database"),
+        table.get("name"), op.get("statement"), op.get("next_log_name"),
+        prog.get("gset"),
+    )
+    rows = op.get("rows") or []
+    if not rows:
+        return [head + (None, None, None, None)]
+    tails = []
+    for row in rows:
+        before = before_null = after = after_null = None
         if row.get("before"):
             before = {n: c["value"] for n, c in zip(col_names, row["before"])}
             before_null = {n: c["is_null"] for n, c in zip(col_names, row["before"])}
         if row.get("after"):
             after = {n: c["value"] for n, c in zip(col_names, row["after"])}
             after_null = {n: c["is_null"] for n, c in zip(col_names, row["after"])}
-    return (
-        op["op_type"], op["server_id"], op["timestamp"], op["log_pos"],
-        op.get("gtid"), table.get("database") or op.get("database"),
-        table.get("name"), op.get("statement"), op.get("next_log_name"),
-        prog.get("gset"), before, before_null, after, after_null,
-    )
+        tails.append(head + (before, before_null, after, after_null))
+    return tails
 
 
 class ProtobufKafkaSink(SeqStampedSink):
@@ -488,9 +548,7 @@ class ProtobufKafkaSink(SeqStampedSink):
         # the already-encoded bytes through the K1 single-partition
         # total-order boundary for the produce loop
         encoded = encode_ops_distributed(batch_df, self.registry)
-        ordered = encoded.coalesce(1).sortWithinPartitions(
-            "log_name", "log_pos", "op_type"
-        )
+        ordered = encoded.coalesce(1).sortWithinPartitions(*total_order_cols())
         chunks = [bytes(r["chunk"]) for r in ordered.toLocalIterator()]
         msgs = wp.build_messages(
             chunks,

@@ -172,11 +172,15 @@ OP_TYPE_NAME = {v: k for k, v in OP_TYPE_CODE.items()}
 COMPRESSION_NONE, COMPRESSION_ZLIB, COMPRESSION_GZIP = 0, 1, 2
 
 # MySQL wire-protocol type codes (the InnerType enum mirrors them,
-# protocol.proto:15-48); matched against the registry's raw type text.
+# protocol.proto:15-48). The reference's schema tracker emits the
+# CLASSIC protocol codes — TypeTimestamp=7, TypeDuration=11,
+# TypeDatetime=12 (schema/definition.go:30-37), NOT the binlog-side
+# TIMESTAMP2/DATETIME2/TIME2 storage codes (17/18/19) — so consumers
+# branching on inner_type see the same codes as from the Go producer.
 _INNER_TYPE_PATTERNS = (
     ("bigint", 8), ("tinyint", 1), ("smallint", 2), ("mediumint", 9),
     ("int", 3), ("float", 4), ("double", 5), ("decimal", 246),
-    ("numeric", 246), ("timestamp", 17), ("datetime", 18), ("time", 19),
+    ("numeric", 246), ("timestamp", 7), ("datetime", 12), ("time", 11),
     ("date", 10), ("year", 13), ("varchar", 15), ("varbinary", 253),
     ("char", 254), ("binary", 254), ("tinytext", 249), ("mediumtext", 250),
     ("longtext", 251), ("text", 252), ("tinyblob", 249),

@@ -27,6 +27,7 @@ to per-table/per-sink parallelism.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
@@ -114,6 +115,7 @@ def decode_event(ev: object, ctx: DecodeContext) -> list[dict]:
         timestamp=ts,
         log_name=ctx.log_name,
         log_pos=log_pos,
+        row_index=0,  # overridden per row image for multi-row events
     )
     if kind == "rotate":
         ctx.log_name = ev.next_binlog
@@ -155,22 +157,24 @@ def decode_event(ev: object, ctx: DecodeContext) -> list[dict]:
         out = []
         td = ctx.registry.get(ev.schema, ev.table)
         names = td.column_names() if td else None
-        for row in ev.rows:
+        for ri, row in enumerate(ev.rows):
             vals, nulls = _stringify(row, names)
             out.append(dict(op_type=kind, db=ev.schema, table=ev.table,
                             schema_version=ctx.registry.version,
-                            **{img: vals, f"{img}_null": nulls}, **base))
+                            **{img: vals, f"{img}_null": nulls},
+                            **{**base, "row_index": ri}))
         return out
     if kind == "update":
         out = []
         td = ctx.registry.get(ev.schema, ev.table)
         names = td.column_names() if td else None
-        for before_row, after_row in ev.rows:
+        for ri, (before_row, after_row) in enumerate(ev.rows):
             b, bn = _stringify(before_row, names)
             a, an = _stringify(after_row, names)
             out.append(dict(op_type="update", db=ev.schema, table=ev.table,
                             schema_version=ctx.registry.version,
-                            before=b, before_null=bn, after=a, after_null=an, **base))
+                            before=b, before_null=bn, after=a, after_null=an,
+                            **{**base, "row_index": ri}))
         return out
     return []
 
@@ -504,25 +508,40 @@ def pymysql_query_runner(conn: dict):  # pragma: no cover - needs live MySQL
     return run
 
 
-def _merge_gtid(gset: str, gtid: str) -> str:
-    """Fold a committed ``uuid:txid`` into the running GTID set, kept in
-    canonical MySQL interval form (``uuid:1-3:7``) — contiguous txids
-    compact (``:7`` + ``:8`` → ``:7-8``), so a checkpointed offset stays
-    O(#uuids + #gaps) over an unbounded stream and the string is
-    directly usable as an ``auto_position`` value on reconnect.
+#: MariaDB GTID: domain-server-seq, no colon (canal/gtid.go:21-25 parses
+#: these via ParseMariadbGTIDSet; a MariaDB SET holds ONE current
+#: position per replication domain, not intervals)
+_MARIADB_GTID_RE = re.compile(r"^(\d+)-(\d+)-(\d+)$")
 
-    Non-numeric txid forms (MariaDB domain-server-seq) are opaque: they
-    pass through verbatim and deduplicated, while the MySQL-form parts
-    around them still compact — one unparseable part must not abandon
-    compaction for the whole set (the set would then grow unboundedly
-    again)."""
-    if not gtid:
-        return gset
-    order: list[str] = []
-    intervals: dict[str, list[list[int]]] = {}
-    opaque: list[str] = []  # non-MySQL-form parts, carried verbatim
 
-    def add(part: str) -> None:
+class _GtidSetParts:
+    """Both GTID dialects parsed out of one set string: MySQL
+    ``uuid:interval[:interval...]`` parts as merged interval lists,
+    MariaDB ``domain-server-seq`` parts as one (server, seq) per
+    domain, anything else carried verbatim as opaque."""
+
+    def __init__(self, *strings: str) -> None:
+        self.order: list[str] = []
+        self.intervals: dict[str, list[list[int]]] = {}
+        self.maria_order: list[int] = []
+        self.maria: dict[int, tuple[int, int]] = {}  # domain -> (server, seq)
+        self.opaque: list[str] = []
+        for s in strings:
+            for part in filter(None, (s or "").split(",")):
+                self.add(part)
+
+    def add(self, part: str) -> None:
+        if m := _MARIADB_GTID_RE.match(part):
+            d, s, n = (int(g) for g in m.groups())
+            if d not in self.maria:
+                self.maria_order.append(d)
+                self.maria[d] = (s, n)
+            elif n > self.maria[d][1]:
+                # the domain's position advances to the newest seq
+                # (MariaDB gtid_slave_pos semantics: one current
+                # position per domain, not an interval history)
+                self.maria[d] = (s, n)
+            return
         try:
             uuid, *ivs = part.split(":")
             if not ivs:
@@ -532,30 +551,78 @@ def _merge_gtid(gset: str, gtid: str) -> str:
                 lo, _, hi = iv.partition("-")
                 parsed.append([int(lo), int(hi or lo)])
         except (ValueError, TypeError):
-            if part not in opaque:
-                opaque.append(part)
+            if part not in self.opaque:
+                self.opaque.append(part)
             return
-        if uuid not in intervals:
-            intervals[uuid] = []
-            order.append(uuid)
-        intervals[uuid].extend(parsed)
+        if uuid not in self.intervals:
+            self.intervals[uuid] = []
+            self.order.append(uuid)
+        self.intervals[uuid].extend(parsed)
 
-    for part in filter(None, (gset or "").split(",")):
-        add(part)
-    add(gtid)
-
-    out = []
-    for uuid in order:
+    def merged_intervals(self, uuid: str) -> list[list[int]]:
         merged: list[list[int]] = []
-        for lo, hi in sorted(intervals[uuid]):
+        for lo, hi in sorted(self.intervals[uuid]):
             if merged and lo <= merged[-1][1] + 1:
                 merged[-1][1] = max(merged[-1][1], hi)
             else:
                 merged.append([lo, hi])
-        out.append(uuid + "".join(
-            f":{lo}-{hi}" if hi > lo else f":{lo}" for lo, hi in merged
-        ))
-    return ",".join(out + opaque)
+        return merged
+
+    def canonical(self) -> str:
+        out = []
+        for uuid in self.order:
+            out.append(uuid + "".join(
+                f":{lo}-{hi}" if hi > lo else f":{lo}"
+                for lo, hi in self.merged_intervals(uuid)
+            ))
+        for d in self.maria_order:
+            s, n = self.maria[d]
+            out.append(f"{d}-{s}-{n}")
+        return ",".join(out + self.opaque)
+
+
+def _merge_gtid(gset: str, gtid: str) -> str:
+    """Fold a committed GTID into the running set, kept canonical and
+    bounded for BOTH dialects the reference's syncer handles
+    (canal/sync.go:132-153 branches on MariadbGTIDEvent vs GTIDEvent):
+
+    - MySQL ``uuid:txid``: interval form (``uuid:1-3:7``) — contiguous
+      txids compact (``:7`` + ``:8`` → ``:7-8``), so a checkpointed
+      offset stays O(#uuids + #gaps) over an unbounded stream and the
+      string is directly usable as ``auto_position`` on reconnect.
+    - MariaDB ``domain-server-seq`` (canal/gtid.go:21-25): one current
+      position per domain, newest seq wins — O(#domains), directly
+      usable as a ``slave_pos`` start value.
+
+    Parts in neither form are opaque: carried verbatim and
+    deduplicated, while the parseable parts around them still compact —
+    one unparseable part must not abandon compaction for the whole set
+    (the set would then grow unboundedly again)."""
+    if not gtid:
+        return gset
+    return _GtidSetParts(gset, gtid).canonical()
+
+
+def gtid_set_covers(a: str, b: str) -> bool:
+    """True iff set ``a`` contains everything in ``b`` — the gtid-based
+    progress comparison (the reference compares GTIDSets for resume
+    decisions where file/pos is incomparable, e.g. after failover,
+    ckp/manager.go:161-165). MySQL parts compare by interval
+    containment; MariaDB parts by per-domain seq (a covers b's domain
+    iff a's seq >= b's). Opaque parts compare only by equality —
+    an opaque part of ``b`` must appear verbatim in ``a``."""
+    pa, pb = _GtidSetParts(a), _GtidSetParts(b)
+    for uuid in pb.order:
+        if uuid not in pa.intervals:
+            return False
+        mine = pa.merged_intervals(uuid)
+        for lo, hi in pb.merged_intervals(uuid):
+            if not any(mlo <= lo and hi <= mhi for mlo, mhi in mine):
+                return False
+    for d in pb.maria_order:
+        if d not in pa.maria or pa.maria[d][1] < pb.maria[d][1]:
+            return False
+    return all(p in pa.opaque for p in pb.opaque)
 
 
 def live_event_iter(options: dict, offset: BinlogOffset):  # pragma: no cover - needs live MySQL

@@ -14,9 +14,16 @@ Stdlib-only server exposing the same routes the reference serves:
 - ``POST /ddl/exec``              — apply a statement directly
   (body: ``{"statement": "...", "db": "..."}``)
 
-The reference's ``/metrics`` (Prometheus) and ``/debug/pprof`` have
-native Spark analogs (the metrics sink config and the Spark UI), so
-they are not re-served here (SURVEY §2.7 M2 note).
+- ``GET /metrics``                — Prometheus text exposition
+  (reference serves promhttp at ``http.go:38``; counter families from
+  ``metrics.go:21-51``, with each family counting its OWN op class —
+  the reference's iud/ddl counters all read TrxCount, a bug)
+- ``GET /debug/pprof/``           — profile index (pprof analog)
+- ``GET /debug/pprof/cmdline``    — process argv
+- ``GET /debug/pprof/goroutine``  — all Python thread stacks (the
+  goroutine-dump analog, via ``sys._current_frames``)
+- pprof's CPU ``profile``/``trace``/``symbol`` return 501 with a
+  pointer to the Spark UI — executor-side profiling belongs to Spark.
 
 Threaded + daemonized: ``serve()`` returns the bound port (pass
 ``port=0`` for an ephemeral one in tests) and never blocks the driver.
@@ -49,8 +56,45 @@ class ControlServer:
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
-    # -- route logic (pure: returns (code, payload)) ---------------------
-    def handle(self, method: str, path: str, body: bytes = b"") -> tuple[int, dict | list]:
+    # -- route logic (pure: returns (code, payload); str payloads are
+    # served as text/plain, dict/list as JSON) ---------------------------
+    def handle(self, method: str, path: str, body: bytes = b"") -> tuple[int, dict | list | str]:
+        if method == "GET" and path == "/metrics":
+            from dolphinbeat_spark.streaming.metrics import PipelineMetrics
+
+            m = self.metrics if self.metrics is not None else PipelineMetrics()
+            text = m.prometheus_text()
+            # dead-letter queue length also feeds failed_ddl_total when
+            # the pipeline didn't push explicit counter increments
+            if self.dead_letters and "failed_ddl_total 0" in text:
+                text = text.replace(
+                    "failed_ddl_total 0", f"failed_ddl_total {len(self.dead_letters)}"
+                )
+            return 200, text
+        if method == "GET" and path in ("/debug/pprof", "/debug/pprof/"):
+            return 200, (
+                "profiles:\ncmdline\ngoroutine\n\n"
+                "profile/trace/symbol: 501 (use the Spark UI for "
+                "executor-side profiling)\n"
+            )
+        if method == "GET" and path == "/debug/pprof/cmdline":
+            import sys
+
+            return 200, "\x00".join(sys.argv)
+        if method == "GET" and path == "/debug/pprof/goroutine":
+            import sys
+            import traceback
+
+            frames = sys._current_frames()
+            parts = []
+            for tid, frame in frames.items():
+                parts.append(f"thread {tid}:\n" + "".join(traceback.format_stack(frame)))
+            return 200, "\n".join(parts)
+        if method == "GET" and path.startswith("/debug/pprof/"):
+            return 501, {
+                "error": "CPU profile/trace/symbol not served driver-side; "
+                "use the Spark UI / spark.python.profile for executor profiling"
+            }
         if method == "GET" and path == "/status":
             return 200, {
                 "queries": self.metrics.status() if self.metrics else {},
@@ -105,9 +149,19 @@ class ControlServer:
                 length = int(self.headers.get("Content-Length") or 0)
                 body = self.rfile.read(length) if length else b""
                 code, payload = outer.handle(method, self.path, body)
-                data = json.dumps(payload).encode()
+                if isinstance(payload, str):
+                    data = payload.encode()
+                    # the exposition-format version tag on /metrics only
+                    ctype = (
+                        "text/plain; version=0.0.4; charset=utf-8"
+                        if self.path == "/metrics"
+                        else "text/plain; charset=utf-8"
+                    )
+                else:
+                    data = json.dumps(payload).encode()
+                    ctype = "application/json"
                 self.send_response(code)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)

@@ -42,6 +42,8 @@ class PipelineMetrics(StreamingQueryListener):
     def __init__(self) -> None:
         self._lock = threading.Lock()
         self._stats: dict[str, QueryStats] = {}
+        self._ops: dict[str, int] = {}  # op_type -> count (pipeline-wide)
+        self._failed_ddl = 0
 
     # -- listener callbacks -------------------------------------------------
     def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
@@ -66,6 +68,69 @@ class PipelineMetrics(StreamingQueryListener):
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass
+
+    # -- pipeline-level op counters (reference metrics.go:21-51) ------------
+    def record_ops(self, by_op: dict[str, int]) -> None:
+        """Fold a batch's per-op-type counts into the pipeline counters
+        (call from a foreachBatch consumer or the source dispatch) —
+        these feed trx_total / iud_total / ddl_total."""
+        with self._lock:
+            for op, n in by_op.items():
+                self._ops[op] = self._ops.get(op, 0) + int(n)
+
+    def record_failed_ddl(self, n: int = 1) -> None:
+        with self._lock:
+            self._failed_ddl += n
+
+    def counters(self) -> dict[str, int]:
+        """The reference's four counter families. NOTE the reference
+        has a copy-paste bug where iud_total and ddl_total both read
+        TrxCount (cmd/dolphinbeat/metrics.go:35-44); here each counts
+        its own op class."""
+        with self._lock:
+            iud = sum(self._ops.get(k, 0) for k in ("insert", "update", "delete"))
+            return {
+                "trx_total": self._ops.get("commit", 0),
+                "iud_total": iud,
+                "ddl_total": self._ops.get("ddl", 0),
+                "failed_ddl_total": self._failed_ddl + self._ops.get("ddl_failed", 0),
+            }
+
+    _HELP = {
+        "trx_total": "Counter of trx handled by dolphinbeat.",
+        "iud_total": "Counter of insert/update/delete events handled by dolphinbeat.",
+        "ddl_total": "Counter of DDL handled by dolphinbeat.",
+        "failed_ddl_total": "Counter of failed DDL.",
+    }
+
+    def prometheus_text(self) -> str:
+        """Prometheus text exposition format (the scrape body served at
+        /metrics, mirroring the reference's promhttp handler): the four
+        reference counter families, plus per-query streaming counters
+        labeled by query name."""
+        lines: list[str] = []
+        for name, value in self.counters().items():
+            lines.append(f"# HELP {name} {self._HELP[name]}")
+            lines.append(f"# TYPE {name} counter")
+            lines.append(f"{name} {value}")
+        per_query = (
+            ("dolphinbeat_query_rows_total", "counter", "rows_total",
+             "Input rows per streaming query."),
+            ("dolphinbeat_query_batches_total", "counter", "batches_total",
+             "Micro-batches per streaming query."),
+            ("dolphinbeat_query_last_batch_seconds", "gauge", "last_batch_seconds",
+             "Duration of the last micro-batch."),
+        )
+        snap = self.status()
+        for fam, typ, key, help_ in per_query:
+            if not snap:
+                continue
+            lines.append(f"# HELP {fam} {help_}")
+            lines.append(f"# TYPE {fam} {typ}")
+            for qname, s in sorted(snap.items()):
+                label = str(qname).replace("\\", r"\\").replace('"', r"\"")
+                lines.append(f'{fam}{{query="{label}"}} {s[key]}')
+        return "\n".join(lines) + "\n"
 
     # -- read side ----------------------------------------------------------
     def status(self) -> dict[str, dict]:

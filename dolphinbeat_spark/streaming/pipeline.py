@@ -38,14 +38,35 @@ class SinkSpec:
 
 
 def build_pipeline(
-    envelope_stream: DataFrame, sinks: list[SinkSpec], trigger_once: bool = True
+    envelope_stream: DataFrame,
+    sinks: list[SinkSpec],
+    trigger_once: bool = True,
+    metrics=None,
 ) -> list[StreamingQuery]:
-    """Fan one envelope stream out to N ordered sinks (R1 + F2 + K1)."""
+    """Fan one envelope stream out to N ordered sinks (R1 + F2 + K1).
+
+    ``metrics`` (a PipelineMetrics) receives per-op-type counts from
+    each batch — the feed for the /metrics counter families
+    (trx_total/iud_total/ddl_total, reference metrics.go:21-51)."""
     queries = []
     for spec in sinks:
         filtered = filter_tables(envelope_stream, spec.include, spec.exclude)
+        sink = OrderedFileSink(spec.out_dir, spec.producer_id)
+        if metrics is None:
+            consumer = sink
+        else:
+            def consumer(batch_df, batch_id, _sink=sink):
+                # one extra tiny agg per batch: op-type counts → counters
+                counts = {
+                    r["op_type"]: r["n"]
+                    for r in batch_df.groupBy("op_type")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                _sink(batch_df, batch_id)
+                metrics.record_ops(counts)
         writer = (
-            filtered.writeStream.foreachBatch(OrderedFileSink(spec.out_dir, spec.producer_id))
+            filtered.writeStream.foreachBatch(consumer)
             .option("checkpointLocation", spec.checkpoint_dir)
             .queryName(spec.name)
         )

@@ -113,6 +113,7 @@ _PROTO_OUT = StructType(
         StructField("producer_id", LongType()),
         StructField("end_seq", LongType()),
         StructField("op_index", LongType()),
+        StructField("row_index", LongType()),
         StructField("op_type", StringType()),
         StructField("server_id", LongType()),
         StructField("timestamp", LongType()),
@@ -163,16 +164,26 @@ def _proto_decode_fn(
                 "begin_offset": 0,
                 "compression": compression,
             }
-    from dolphinbeat_spark.sinks.ordered import OP_TAIL_COLS, op_row_tail
+    from dolphinbeat_spark.sinks.ordered import OP_TAIL_COLS, op_row_tails
 
     out = []
-    for pdf in pdfs:
-        for _, r in pdf.sort_values("arrival").iterrows():
-            res = dec.feed(bytes(r["value"]), offset=int(r["arrival"]))
-            if res is None:
-                continue
-            for i, op in enumerate(res.ops):
-                out.append((dec._cur_producer, res.end_seq, i) + op_row_tail(op))
+    # applyInPandasWithState may split a group's rows across Arrow
+    # chunks in arbitrary post-shuffle order — materialize ALL chunks
+    # and sort ONCE by arrival, or a batch spanning chunks can feed the
+    # decoder out of seq order and stall it permanently at the gap.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    whole = (
+        pd.concat(chunks, ignore_index=True).sort_values("arrival")
+        if chunks
+        else pd.DataFrame(columns=["value", "arrival"])
+    )
+    for _, r in whole.iterrows():
+        res = dec.feed(bytes(r["value"]), offset=int(r["arrival"]))
+        if res is None:
+            continue
+        for i, op in enumerate(res.ops):
+            for j, tail in enumerate(op_row_tails(op)):
+                out.append((dec._cur_producer, res.end_seq, i, j) + tail)
     g = dec._group if dec._fragments else {}
     state.update(
         (
@@ -185,7 +196,10 @@ def _proto_decode_fn(
         )
     )
     if out:
-        yield pd.DataFrame(out, columns=["producer_id", "end_seq", "op_index"] + OP_TAIL_COLS)
+        yield pd.DataFrame(
+            out,
+            columns=["producer_id", "end_seq", "op_index", "row_index"] + OP_TAIL_COLS,
+        )
 
 
 def streaming_protobuf_consumer(stream: DataFrame) -> DataFrame:

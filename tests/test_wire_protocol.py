@@ -74,6 +74,11 @@ def test_inner_type_codes():
     assert wp.inner_type_code("longblob") == 251
     assert wp.inner_type_code("json") == 245
     assert wp.inner_type_code("mystery") == 253  # VAR_STRING fallback
+    # classic protocol codes, matching the reference's schema tracker
+    # (schema/definition.go:30-37) — NOT the binlog '2' storage codes
+    assert wp.inner_type_code("timestamp") == 7
+    assert wp.inner_type_code("datetime") == 12
+    assert wp.inner_type_code("time") == 11
 
 
 # ---------------------------------------------------------------------------
@@ -327,18 +332,105 @@ def test_spark_protobuf_consumer(spark, tmp_path, golden_df):
     # duplicates collapsed by the seq chain; both producers fully decoded
     assert by_producer == {1: n_golden, 2: n_golden}
     p1 = got.filter("producer_id = 1").orderBy("end_seq", "op_index").collect()
-    # the sink's deterministic (log_name, log_pos, op_type) sort places
-    # the duplicated producer-retry op adjacent to its twin
+    # the sink's deterministic (log_name, log_pos, op_rank, row_index)
+    # total order places the duplicated producer-retry op adjacent to
+    # its twin; rank puts commit before the rotate that shares its pos
+    rank = {"gtid": 1, "begin": 2, "commit": 4, "rotate": 5}
     expected = [
         o["op_type"]
         for o in sorted(
             golden_sequences(),
-            key=lambda o: (o["log_name"] or "", o["log_pos"] or 0, o["op_type"]),
+            key=lambda o: (
+                o["log_name"] or "", o["log_pos"] or 0,
+                rank.get(o["op_type"], 3), o["row_index"] or 0,
+            ),
         )
     ]
     assert [r["op_type"] for r in p1] == expected
     ddl = next(r for r in p1 if r["op_type"] == "ddl")
     assert "ALTER TABLE" in ddl["statement"] and ddl["progress_gset"]
+
+
+def _multirow_operation(n_rows: int) -> bytes:
+    """Hand-assemble an Operation the way the REFERENCE producer packs
+    a multi-row RowsEvent: one Operation, repeated ``Row rows = 14``
+    (operation.go:33-73) — this repo's producer emits one row per op,
+    so the multi-row shape must be built explicitly to test the
+    consumer against a foreign producer's output."""
+    reg = _registry()
+    td = reg.get("test", "canal_test")
+    header = (
+        wp.f_varint(1, 1) + wp.f_varint(2, wp.OP_TYPE_CODE["insert"])
+        + wp.f_varint(3, 1000) + wp.f_varint(4, 777)
+    )
+    out = bytearray()
+    out += wp.f_bytes(1, header, emit_empty=True)
+    out += wp.f_bytes(13, wp.encode_table_def(td), emit_empty=True)
+    for i in range(n_rows):
+        after = [(str(i + 1), False), (chr(ord("a") + i), False), ("", i == n_rows - 1)]
+        out += wp.f_bytes(14, wp.encode_row(None, after), emit_empty=True)
+    return bytes(out)
+
+
+def test_multirow_operation_fans_out_one_row_per_image(spark):
+    """A reference-produced Operation carrying N row images must decode
+    to N consumer rows (row_index 0..N-1), not just the first."""
+    from dolphinbeat_spark.sinks.ordered import decode_protobuf_messages, op_row_tails
+
+    op_bytes = _multirow_operation(3)
+    # direct flatten: one tail per row image
+    op = wp.decode_operation(op_bytes)
+    assert len(op["rows"]) == 3
+    tails = op_row_tails(op)
+    assert len(tails) == 3
+    afters = [t[-2] for t in tails]  # `after` map is second-to-last
+    assert [a["id"] for a in afters] == ["1", "2", "3"]
+    assert [a["name"] for a in afters] == ["a", "b", "c"]
+    nulls = [t[-1] for t in tails]
+    assert [n["content"] for n in nulls] == [False, False, True]
+
+    # and through the full Spark consumer chain
+    msgs = wp.build_messages([wp.payload_chunk(op_bytes)], base_seq=0, producer_id=1)
+    df = spark.createDataFrame([(bytearray(v),) for _, v in msgs], "value binary")
+    got = decode_protobuf_messages(df).orderBy("row_index").collect()
+    assert [r["row_index"] for r in got] == [0, 1, 2]
+    assert [r["after"]["id"] for r in got] == ["1", "2", "3"]
+    assert all(r["op_type"] == "insert" and r["log_pos"] == 777 for r in got)
+
+
+def test_streaming_decoder_tolerates_out_of_order_arrow_chunks():
+    """applyInPandasWithState may deliver a group's rows split across
+    Arrow chunks in arbitrary order — the decode fn must concat ALL
+    chunks and sort once, or it stalls at the first inter-chunk gap."""
+    import pandas as pd
+
+    from dolphinbeat_spark.streaming.state import _proto_decode_fn
+
+    msgs = wp.build_messages(_chunks(), base_seq=0, producer_id=1, ops_per_payload=3)
+    assert len(msgs) >= 3
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists = True
+            self.value = v
+
+        @property
+        def get(self):
+            return self.value
+
+    rows = [
+        {"producer_id": 1, "arrival": i, "value": bytearray(d)}
+        for i, (_, d) in enumerate(msgs)
+    ]
+    # later messages arrive in the FIRST chunk, earlier in the second
+    half = len(rows) // 2
+    chunks = [pd.DataFrame(rows[half:]), pd.DataFrame(rows[:half])]
+    out = list(_proto_decode_fn((1,), iter(chunks), FakeState()))
+    assert out, "decoder stalled on out-of-order chunks"
+    got = pd.concat(out)
+    assert list(got["op_type"]) == [r["op_type"] for r in golden_sequences()]
 
 
 # ---------------------------------------------------------------------------
