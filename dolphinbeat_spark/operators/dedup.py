@@ -286,6 +286,108 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+    rounds_out: list | None = None,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same output contract as :func:`connected_components`
+    ((node, cluster_id = component min)), but converging in
+    O(log² n) rounds instead of O(component diameter): on a length-L
+    chain, propagation needs ~L rounds; this needs ~log L. At 100 TB
+    that's the difference between 4 and 60 shuffle stages for
+    pathological near-dup chains.
+
+    Each round is two phases over the edge set:
+
+    - large-star: every node u connects its LARGER neighbors to
+      m(u) = min(u ∪ Γ(u)) — long chains contract toward minima;
+    - small-star: every node u (edges held as (max, min)) connects
+      itself and its smaller neighbors to m(u) — stars flatten.
+
+    Convergence = edge set fixed point. Checked in two tiers: a cheap
+    (count, sum(hi), sum(lo)) fingerprint every round (one agg job),
+    and the exact two-sided subtract ONLY when the fingerprint is
+    unchanged — so the expensive confirmation typically runs once, at
+    the actual fixed point. ``rounds_out``, when given, receives the
+    number of rounds used (test hook for the round-count guarantee)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("hi"), F.least("src", "dst").alias("lo")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(df: DataFrame) -> tuple:
+        r = df.agg(
+            F.count(F.lit(1)), F.sum("hi"), F.sum("lo")
+        ).collect()[0]
+        return tuple(r)
+
+    fp = fingerprint(edges)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # -- large-star: symmetric neighborhoods ------------------------
+        sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.first("u"), F.min("v")).alias("m")
+        )
+        ls = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # -- small-star: (hi, lo) orientation only ----------------------
+        smins = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        ss = (
+            ls.join(smins, "hi")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("hi").alias("a"), F.col("m").alias("b")),
+                        F.struct(F.col("lo").alias("a"), F.col("m").alias("b")),
+                    )
+                ).alias("e")
+            )
+            .select(
+                F.greatest("e.a", "e.b").alias("hi"), F.least("e.a", "e.b").alias("lo")
+            )
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_fp = fingerprint(ss)
+        if new_fp == fp and ss.exceptAll(edges).isEmpty():
+            # same count + same element sums + subset ⇒ same set
+            edges = ss
+            break
+        fp, edges = new_fp, ss
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    # fixed point is a forest of stars: every non-root points at its
+    # component min; roots are the lo side never appearing as hi
+    nodes = edges.select(F.col("hi").alias("node"), F.col("lo").alias("cluster_id"))
+    roots = (
+        edges.select(F.col("lo").alias("node"))
+        .distinct()
+        .join(edges.select(F.col("hi").alias("node")).distinct(), "node", "left_anti")
+        .withColumn("cluster_id", F.col("node"))
+    )
+    return nodes.union(roots)
+
+
 def cross_split_contamination(
     docs: DataFrame, id_col: str, text_col: str | Column, test_pred: Column
 ) -> DataFrame:

@@ -188,13 +188,14 @@ ORDER BY node
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster extraction: LSH candidate pairs → connected
-    components by iterative min-label propagation (the genuinely
-    iterative operator — the oracle needs a recursive CTE). cluster_id
-    is the canonical keeper (min doc_id in the component)."""
+    components by alternating large-star/small-star (the genuinely
+    iterative operator — the oracle needs a recursive CTE; O(log²)
+    rounds vs propagation's O(diameter)). cluster_id is the canonical
+    keeper (min doc_id in the component)."""
     d = load(spark, sf_dir, "documents", widen=True)
     sigs = D.minhash_signatures(d, "doc_id", "text", NUM_PERM, SHINGLE_K)
     pairs = D.lsh_candidate_pairs(sigs, "doc_id", NUM_PERM, BANDS)
-    return D.connected_components(pairs).orderBy("node")
+    return D.connected_components_star(pairs).orderBy("node")
 
 
 @register(

@@ -210,19 +210,19 @@ ORDER BY cluster_id
 def sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup clusters: connected components over the
     embedding near-dup graph (banded LSH candidates, exact cosine
-    filter) by iterative min-label propagation — pick one keeper per
+    filter) by alternating large-star/small-star — pick one keeper per
     cluster and the corpus loses its semantic duplicates. Same scale
-    shape as dedup_clusters: each round one keyed join + groupBy-min,
-    localCheckpoint per round; never an all-pairs product (candidates
-    come from the band bucket join)."""
-    from dolphinbeat_spark.operators.dedup import connected_components
+    shape as dedup_clusters: O(log²) shuffle rounds regardless of
+    chain length, localCheckpoint per round; never an all-pairs
+    product (candidates come from the band bucket join)."""
+    from dolphinbeat_spark.operators.dedup import connected_components_star
 
     emb = load(spark, sf_dir, "embeddings", widen=True)
     pairs = S.cosine_near_dup_pairs_banded(
         emb, "vec_id", "embedding", NEAR_DUP_THRESHOLD,
         num_planes=NUM_PLANES, bands=NEAR_DUP_BANDS, dim=DIM,
     )
-    clusters = connected_components(pairs.select("id_a", "id_b"))
+    clusters = connected_components_star(pairs.select("id_a", "id_b"))
     return (
         clusters.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_members"))
