@@ -17,6 +17,11 @@ event objects (tests/test_binlog_decode.py).
 Scale note: one binlog is inherently a single ordered stream; the
 source is single-reader (like the reference's one-goroutine loop,
 ``canal/sync.go:79``) with rate limiting via ``max_ops_per_batch``.
+Past the single-reader decode ceiling, the SHARD-BY-TABLE option
+(:func:`sharded_binlog_readers`, or ``shard_index``/``shard_count``
+reader options) runs N readers over the same binlog, each decoding
+only its crc32 shard of tables — per-table order intact, cross-shard
+order traded away (contract documented on the function).
 For throughput, decoded events should be handed to the JVM as Arrow
 RecordBatches rather than per-row tuples (~10× — measured on the
 fixture twin, sources/fixture_source.py::_read_arrow, which is the
@@ -93,6 +98,10 @@ class DecodeContext:
     pending_gtid: str = ""
     server_id: int = 0
     in_trx: bool = False
+    #: optional (db, table) -> bool predicate; row events of rejected
+    #: tables are dropped BEFORE stringify (the expensive step) — the
+    #: hook the shard-by-table read option plugs into
+    table_filter: object = None
     dead_letters: list = None
 
     def __post_init__(self) -> None:
@@ -153,6 +162,8 @@ def decode_event(ev: object, ctx: DecodeContext) -> list[dict]:
         ctx.in_trx = False
         return [dict(op_type="commit", gtid=ctx.pending_gtid, **base)]
     if kind in ("insert", "delete"):
+        if ctx.table_filter and not ctx.table_filter(ev.schema, ev.table):
+            return []
         img = "after" if kind == "insert" else "before"
         out = []
         td = ctx.registry.get(ev.schema, ev.table)
@@ -165,6 +176,8 @@ def decode_event(ev: object, ctx: DecodeContext) -> list[dict]:
                             **{**base, "row_index": ri}))
         return out
     if kind == "update":
+        if ctx.table_filter and not ctx.table_filter(ev.schema, ev.table):
+            return []
         out = []
         td = ctx.registry.get(ev.schema, ev.table)
         names = td.column_names() if td else None
@@ -283,10 +296,19 @@ class LiveBinlogStreamReader(SimpleDataSourceStreamReader):
         self.max_ops = int(options.get("max_ops_per_batch", "5120"))
         snap = options.get("schema_snapshot", "")
         registry = SchemaRegistry.load(snap) if snap else SchemaRegistry()
+        table_filter = None
+        if "shard_count" in options:
+            # shard-by-table read option (SURVEY §7.2 step 5): this
+            # reader instance decodes ONLY tables hashing to its shard
+            # — see sharded_binlog_readers for the ordering contract
+            idx = int(options.get("shard_index", "0"))
+            n = int(options["shard_count"])
+            table_filter = lambda db, tbl: shard_for_table(db, tbl, n) == idx  # noqa: E731
         self.ctx = DecodeContext(
             registry=registry,
             log_name=options.get("file", ""),
             server_id=int(options.get("server_id", "0")),
+            table_filter=table_filter,
         )
         self._factory = event_iter_factory or (lambda off: live_event_iter(self.options, off))
         self._runner = query_runner  # S5 probes; default built lazily from options
@@ -458,6 +480,58 @@ class LiveBinlogStreamReader(SimpleDataSourceStreamReader):
         close = getattr(self._iter, "close", None)
         if close:
             close()
+
+
+def shard_for_table(db: str, table: str, n_shards: int) -> int:
+    """Deterministic, process-stable shard of a (db, table) — crc32,
+    never Python ``hash()`` (seed-randomized per process, which would
+    scatter a table across shards on restart)."""
+    import zlib
+
+    return zlib.crc32(f"{db}.{table}".encode()) % n_shards
+
+
+def sharded_binlog_readers(
+    options: dict, n_shards: int, event_iter_factory=None, query_runner=None
+) -> list["LiveBinlogStreamReader"]:
+    """Shard-by-table read option: N readers over the SAME binlog, each
+    decoding only the tables that hash to its shard (the classic way
+    past the single-reader throughput ceiling documented in the module
+    docstring — MySQL serves any number of replication clients, and
+    each reader skips the expensive row-stringify for foreign tables,
+    so per-reader decode cost is ~1/N of the row volume plus the cheap
+    shared framing).
+
+    ORDERING CONTRACT (what sharding trades away):
+
+    - WITHIN a table: total order preserved — a table lives in exactly
+      one shard, whose reader sees the binlog in order. This is the
+      order CDC consumers need (apply_changes keys on the row).
+    - Control ops (begin/commit/gtid/ddl/rotate) appear in EVERY
+      shard's stream with identical coordinates: each shard tracks its
+      own complete offset/gtid progress and schema registry, so any
+      shard alone can resume, and transaction boundaries remain
+      visible per shard.
+    - ACROSS tables in different shards: no order guarantee — shard
+      streams progress independently (one may lag). Consumers needing
+      cross-table transactional atomicity must align shards on gtid
+      (each commit carries it) or use the single-reader path; this is
+      the same trade the reference's single-threaded design avoids by
+      not scaling (canal/sync.go:79).
+
+    Each reader is an independent streaming source with its own
+    checkpoint; `parity`: the union of all shards' row ops equals the
+    single reader's row ops exactly (tests/test_binlog_live_reader.py).
+    """
+    readers = []
+    for i in range(n_shards):
+        opts = {**options, "shard_index": str(i), "shard_count": str(n_shards)}
+        readers.append(
+            LiveBinlogStreamReader(
+                opts, event_iter_factory=event_iter_factory, query_runner=query_runner
+            )
+        )
+    return readers
 
 
 def probe_master_offset(run_query) -> BinlogOffset:

@@ -246,6 +246,101 @@ def test_drain_mid_transaction_rolls_back_to_safe_cut():
     assert BinlogOffset.from_json(end2).gtid_set.startswith("uuid-1:7")
 
 
+def _two_table_script():
+    """Interleaved transactions over two tables (d.t, d.s — chosen
+    to land in different crc32 shards at n=2) — the shard
+    parity fixture."""
+    return [
+        RotateEvent("binlog.000002", 4),
+        QueryEvent(b"CREATE TABLE d.t (id INT PRIMARY KEY, name VARCHAR(10))", b"d", 100),
+        QueryEvent(b"CREATE TABLE d.s (id INT PRIMARY KEY, v VARCHAR(10))", b"d", 140),
+        GtidEvent("uuid-1:1", 160),
+        QueryEvent(b"BEGIN", b"d", 180),
+        WriteRowsEvent("d", "t", [{"id": 1, "name": "a"}], 220),
+        WriteRowsEvent("d", "s", [{"id": 10, "v": "x"}, {"id": 11, "v": "y"}], 260),
+        XidEvent(1, 300),
+        GtidEvent("uuid-1:2", 320),
+        QueryEvent(b"BEGIN", b"d", 340),
+        UpdateRowsEvent("d", "t", [({"id": 1, "name": "a"}, {"id": 1, "name": "b"})], 380),
+        WriteRowsEvent("d", "t", [{"id": 2, "name": "c"}], 420),
+        WriteRowsEvent("d", "s", [{"id": 12, "v": "z"}], 460),
+        XidEvent(2, 500),
+    ]
+
+
+def test_sharded_readers_parity_with_single_reader():
+    """Shard-by-table option: the union of the shards' row ops equals
+    the single reader's row ops exactly; per-table order is preserved
+    inside each shard; control ops and offset/gtid progress are
+    complete in EVERY shard (each shard can resume alone)."""
+    from dolphinbeat_spark.sources.binlog_source import (
+        shard_for_table,
+        sharded_binlog_readers,
+    )
+
+    events = _two_table_script()
+    row_ops = {"insert", "update", "delete"}
+
+    def read_all(reader, sock):
+        sock.arrive(100)
+        rows, end = reader.read(reader.initialOffset())
+        return [_cols(r) for r in rows], end
+
+    single_sock = _FakeSocket(events)
+    single_rows, single_end = read_all(
+        LiveBinlogStreamReader({"max_ops_per_batch": "100"}, single_sock.factory),
+        single_sock,
+    )
+    # shard assignment is deterministic and splits the two tables —
+    # the parity below is only meaningful when both shards carry rows
+    n = 2
+    assert shard_for_table("d", "t", n) != shard_for_table("d", "s", n)
+    socks = [_FakeSocket(events) for _ in range(n)]
+    readers = sharded_binlog_readers({"max_ops_per_batch": "100"}, n)
+    shard_rows, shard_ends = [], []
+    for i, r in enumerate(readers):
+        r._factory = socks[i].factory  # injectable per-shard stream
+        rows, end = read_all(r, socks[i])
+        shard_rows.append(rows)
+        shard_ends.append(end)
+
+    def key(r):
+        return (r["log_name"], r["log_pos"], r["row_index"], str(r.get("after")))
+
+    # 1. row-op parity: union of shards == single reader, exactly
+    single_keyed = sorted(key(r) for r in single_rows if r["op_type"] in row_ops)
+    union_keyed = sorted(
+        key(r) for rows in shard_rows for r in rows if r["op_type"] in row_ops
+    )
+    assert union_keyed == single_keyed
+    # ... and no row op appears in more than one shard
+    assert len(union_keyed) == len(set(union_keyed))
+
+    # 2. per-table order inside each shard matches the single reader
+    for rows in shard_rows:
+        for tbl in ("t", "s"):
+            mine = [key(r) for r in rows
+                    if r["op_type"] in row_ops and r["table"] == tbl]
+            ref = [key(r) for r in single_rows
+                   if r["op_type"] in row_ops and r["table"] == tbl
+                   and key(r) in set(mine)]
+            assert mine == ref
+
+    # 3. every shard sees ALL control ops and reaches the same offset
+    ctrl = [r["op_type"] for r in single_rows if r["op_type"] not in row_ops]
+    for rows, end in zip(shard_rows, shard_ends):
+        assert [r["op_type"] for r in rows if r["op_type"] not in row_ops] == ctrl
+        assert BinlogOffset.from_json(end).gtid_set == \
+            BinlogOffset.from_json(single_end).gtid_set
+        assert BinlogOffset.from_json(end).pos == \
+            BinlogOffset.from_json(single_end).pos
+
+    # 4. each shard's registry replayed every DDL (any shard can resume)
+    for r in readers:
+        assert r.ctx.registry.get("d", "t") is not None
+        assert r.ctx.registry.get("d", "s") is not None
+
+
 def test_merge_gtid_interval_compaction():
     from dolphinbeat_spark.sources.binlog_source import _merge_gtid
 
