@@ -375,6 +375,73 @@ def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivf_trained_recall",
+    # MLlib k-means centroids are engine-specific (no cross-engine
+    # oracle exists for a trained model) → rows-only driver check; the
+    # recall numbers themselves are the evidence, computed against the
+    # exact brute-force truth inside the query.
+    oracle=None,
+    tags=("similarity", "ann", "ivf", "eval", "trained"),
+    bench=True,
+)
+def sim_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer (MLlib k-means,
+    operators/similarity.py::kmeans_centroids) vs the sampled-centroid
+    baseline, both measured as recall@5 against exact brute force on
+    the bounded query subset. Returns one row: (n_queries,
+    recall_trained, recall_sampled, recall_delta) — trained centroids
+    follow the data distribution, so inverted lists balance and recall
+    per nprobe rises; the delta is the value of training the codebook.
+    Same scale shape as sim_ivf_ann_topk: k-means iterations are
+    broadcast-assign + partial-agg means, the index path is map-only
+    assignment + an equi-join on cell."""
+    emb = load(spark, sf_dir, "embeddings", widen=True)
+    n_cent = max(4, emb.count() // 40)  # match the sampled codebook size
+    # train on a deterministic ~20% sample, few iterations — the
+    # production IVF pattern (codebooks train on a corpus sample; the
+    # coarse quantizer needs cluster SHAPE, not convergence)
+    train = emb.filter(F.col("vec_id") % 5 == 0)
+    trained = S.kmeans_centroids(
+        train, "vec_id", "embedding", k=n_cent, seed=42, max_iter=4
+    )
+    sampled = emb.filter(F.col("vec_id") % 40 == 7).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    brute = S.brute_force_topk(q, emb, "vec_id", "embedding", K).select(
+        "query_id", "neighbor_id"
+    )
+
+    def recall(cent):
+        ivf = S.ivf_ann_topk(q, emb, cent, "vec_id", "embedding", K, nprobe=2).select(
+            "query_id", "neighbor_id"
+        )
+        joined = brute.alias("b").join(
+            ivf.alias("i"),
+            (F.col("b.query_id") == F.col("i.query_id"))
+            & (F.col("b.neighbor_id") == F.col("i.neighbor_id")),
+            "left",
+        )
+        return joined.agg(
+            F.countDistinct("b.query_id").alias("n_queries"),
+            (F.count("i.neighbor_id").cast("double") / F.count(F.lit(1))).alias("recall"),
+        )
+
+    t = recall(trained).select(
+        "n_queries", F.round("recall", 4).alias("recall_trained")
+    )
+    s = recall(sampled).select(F.round("recall", 4).alias("recall_sampled"))
+    return t.crossJoin(s).select(
+        "n_queries",
+        "recall_trained",
+        "recall_sampled",
+        F.round(F.col("recall_trained") - F.col("recall_sampled"), 4).alias(
+            "recall_delta"
+        ),
+    )
+
+
+@register(
     "sim_lsh_ann_topk",
     oracle=f"""
 WITH bucketed AS (
