@@ -92,8 +92,17 @@ def last_op_per_key(batch: DataFrame, key_cols: list[str]) -> DataFrame:
             for k in key_cols
         ],
     )
+    # row_index makes the order total across a multi-row event (all its
+    # rows share log_pos); a PK can't appear twice within one event, so
+    # this is belt-and-braces determinism, not a semantic change
+    row_idx = (
+        F.coalesce(F.col("row_index"), F.lit(0))
+        if "row_index" in ops.columns
+        else F.lit(0)
+    )
     w = Window.partitionBy(*[f"__k_{k}" for k in key_cols]).orderBy(
-        F.col("log_name").desc(), F.col("log_pos").desc(), F.col("__op_rank").desc()
+        F.col("log_name").desc(), F.col("log_pos").desc(),
+        row_idx.desc(), F.col("__op_rank").desc()
     )
     return (
         keyed.withColumn("__rn", F.row_number().over(w))

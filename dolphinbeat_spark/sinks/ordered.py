@@ -8,9 +8,11 @@ increasing ``seq`` per producer; consumers dedup on seq gaps
 
 Spark restatement used here (SURVEY.md §7.2 step 4):
 
-- ordering: within each micro-batch, sort by (log_name, log_pos) and
-  coalesce to ONE partition before writing — order only at the sink
-  boundary, full parallelism upstream (§7.4 risk note).
+- ordering: within each micro-batch, sort by the TOTAL key
+  (log_name, log_pos, op-type rank, row_index) — see
+  :func:`total_order_cols` — and coalesce to ONE partition before
+  writing; order only at the sink boundary, full parallelism upstream
+  (§7.4 risk note).
 - seq: deterministic ``base_seq(batch) + row_number`` where the base
   is persisted per batch id. Structured Streaming replays a failed
   batch with the same batch_id and the same data, so a replay

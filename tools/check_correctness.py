@@ -9,6 +9,9 @@ Usage:  python tools/check_correctness.py [sf_dir] [name_filter...]
         SPARK_GRAFT_CHECK_ORDER=1  additionally requires IDENTICAL row
         ORDER between engines (covers an order-sensitive driver hash;
         every spec carries unique ORDER BY tie-breaks so this passes)
+        SPARK_GRAFT_CHECK_JSON=<path>  additionally writes a per-spec
+        JSON artifact (the committed CORRECTNESS_local_r{N}.json —
+        the guard for specs outside the driver's sample window)
 """
 
 from __future__ import annotations
@@ -55,6 +58,7 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     for name, fn in sorted(qs.items()):
         if name_filter and not any(f in name for f in name_filter):
             continue
@@ -65,10 +69,13 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {type(ex).__name__}: {ex}")
+            results[name] = {"status": "fail", "err": f"spark: {type(ex).__name__}: {ex}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(srows)} rows  [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "rows-only", "spark_rows": len(srows),
+                             "sec": round(time.time() - t0, 1)}
             n_rows_only += 1
             continue
         try:
@@ -78,6 +85,7 @@ def main() -> int:
             drows = ddf.fetchall()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {type(ex).__name__}: {ex}")
+            results[name] = {"status": "fail", "err": f"duckdb: {type(ex).__name__}: {ex}"}
             n_fail += 1
             continue
         problems = []
@@ -120,12 +128,29 @@ def main() -> int:
                 )
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
+            results[name] = {"status": "fail", "err": "; ".join(problems),
+                             "spark_rows": len(srows), "oracle_rows": len(drows)}
             n_fail += 1
         else:
             print(f"PASS {name}: {len(srows)} rows  [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "pass", "spark_rows": len(srows),
+                             "oracle_rows": len(drows),
+                             "sec": round(time.time() - t0, 1)}
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if out_path := os.environ.get("SPARK_GRAFT_CHECK_JSON"):
+        import json
+
+        Path(out_path).write_text(json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "order_strict": os.environ.get("SPARK_GRAFT_CHECK_ORDER") == "1",
+                "n_pass": n_pass, "n_fail": n_fail, "n_rows_only": n_rows_only,
+                "specs": results,
+            },
+            indent=1,
+        ) + "\n")
     return 1 if n_fail else 0
 
 
