@@ -222,6 +222,117 @@ def streaming_protobuf_consumer(stream: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# streaming document dedup: bounded-state exact dedup for continuous
+# ingestion (the LLM-pipeline twin of operators/dedup.py::exact dedup —
+# that one is a batch groupBy over the corpus; this one admits documents
+# AS THEY ARRIVE, emitting only first-seen content)
+# ---------------------------------------------------------------------------
+
+_DOC_DEDUP_OUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fingerprint", StringType()),
+    ]
+)
+# per-shard state: admitted-doc count + a Bloom filter over content
+# fingerprints. The bloom is the 100 TB discipline: state stays O(bits)
+# per shard FOREVER (a seen-set grows with the corpus); the trade is a
+# tunable false-positive rate = a few unique docs dropped as dups,
+# which training-data dedup accepts by design. No false negatives: a
+# true duplicate is never admitted twice.
+_DOC_DEDUP_STATE = StructType(
+    [StructField("n_admitted", LongType()), StructField("bloom", BinaryType())]
+)
+
+
+def _bloom_positions(fp_hex: str, n_bits: int, k: int) -> list[int]:
+    """k bit positions from a hex fingerprint — split its md5-grade
+    entropy into independent 16-hex-char words (portable, no Python
+    hash() seed dependence)."""
+    import hashlib
+
+    h = fp_hex
+    out = []
+    i = 0
+    while len(out) < k:
+        if (i + 1) * 16 > len(h):
+            h = hashlib.md5(h.encode()).hexdigest() + h  # extend entropy
+            i = 0
+        out.append(int(h[i * 16:(i + 1) * 16], 16) % n_bits)
+        i += 1
+    return out
+
+
+def make_doc_dedup_fn(n_bits: int = 1 << 20, k_hashes: int = 7):
+    """Build the per-shard dedup function (n_bits/k bound the state and
+    set the FP rate: ~0.8% at n/m=0.1 with k=7)."""
+    import numpy as np
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            n_admitted, raw = state.get
+            bloom = np.frombuffer(bytes(raw), dtype=np.uint8).copy()
+        else:
+            n_admitted, bloom = 0, np.zeros(n_bits // 8, dtype=np.uint8)
+        out = []
+        for pdf in pdfs:
+            # deterministic intra-batch order; first occurrence wins
+            for _, r in pdf.sort_values("doc_id").iterrows():
+                pos = _bloom_positions(str(r["fingerprint"]), n_bits, k_hashes)
+                if all(bloom[p >> 3] & (1 << (p & 7)) for p in pos):
+                    continue  # seen (or bloom FP): drop
+                for p in pos:
+                    bloom[p >> 3] |= 1 << (p & 7)
+                n_admitted += 1
+                out.append((int(r["doc_id"]), str(r["fingerprint"])))
+        state.update((n_admitted, bloom.tobytes()))
+        if out:
+            yield pd.DataFrame(out, columns=["doc_id", "fingerprint"])
+
+    return fn
+
+
+def streaming_doc_dedup(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 64,
+    n_bits: int = 1 << 20,
+    k_hashes: int = 7,
+) -> DataFrame:
+    """STREAMING exact-content dedup: admit each document the first
+    time its content fingerprint appears across the whole stream
+    history, drop every later arrival — continuous-ingestion dedup for
+    a training-data pipeline (the batch corpus dedup can't see
+    yesterday's corpus without rescanning it; this one's state does).
+
+    Scale shape: fingerprints shard by a stable crc32 → ``n_shards``
+    groups, each holding ONE fixed-size Bloom filter — state is
+    n_shards × n_bits/8 bytes total regardless of corpus size, and a
+    duplicate is never admitted (Bloom errs only toward dropping a
+    unique doc, at the documented FP rate). Arrow-batched
+    applyInPandasWithState, same discipline as dedup_by_seq.
+    """
+    from pyspark.sql import functions as F
+
+    from dolphinbeat_spark.operators.text import fingerprint
+
+    shaped = stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+    ).withColumn(
+        "shard", F.pmod(F.crc32(F.col("fingerprint").cast("binary")), F.lit(n_shards))
+    )
+    return shaped.groupBy("shard").applyInPandasWithState(
+        make_doc_dedup_fn(n_bits, k_hashes),
+        outputStructType=_DOC_DEDUP_OUT,
+        stateStructType=_DOC_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # The Spark 4 transformWithStateInPandas form of dedup_by_seq lives in
 # streaming/state_v2.py (dedup_by_seq_v2) — typed state handles, same
 # O(1) watermark discipline; environment-gated on google.protobuf.
