@@ -347,6 +347,62 @@ def kafka_batch_payload(
     )
 
 
+def pack_multirow_events(envelope: DataFrame) -> DataFrame:
+    """Regroup the envelope's one-row-per-image ops back into ONE op
+    per RowsEvent, carrying all images in a ``__rows`` array (ordered
+    by the source-stamped row_index) — the reference producer's wire
+    shape (one Operation per event, repeated ``Row rows = 14``,
+    operation.go:33-73). Byte-level parity for multi-row
+    INSERT/UPDATE/DELETE plus fewer repeated table defs on the wire.
+
+    One groupBy on the event coordinates (a shuffle — the price of the
+    packed shape; the default unpacked path stays shuffle-free until
+    the K1 boundary). Non-row ops pass through unchanged."""
+    row_ops = F.col("op_type").isin("insert", "update", "delete")
+    rows = envelope.filter(row_ops)
+    others = envelope.filter(~row_ops).withColumn(
+        "__rows",
+        F.lit(None).cast(
+            "array<struct<row_index:int,"
+            "before:map<string,string>,before_null:map<string,boolean>,"
+            "after:map<string,string>,after_null:map<string,boolean>>>"
+        ),
+    )
+    group_keys = [
+        c for c in ("log_name", "log_pos", "op_type", "db", "table",
+                    "server_id", "timestamp", "schema_version")
+        if c in envelope.columns
+    ]
+    carried = [c for c in envelope.columns if c not in group_keys]
+    packed = (
+        rows.groupBy(*group_keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("row_index", "before", "before_null",
+                             "after", "after_null")
+                ),
+                # explicit comparator on row_index: the default struct
+                # ordering can't compare the map-typed image fields
+                lambda a, b: F.when(a["row_index"] < b["row_index"], -1)
+                .when(a["row_index"] > b["row_index"], 1)
+                .otherwise(0),
+            ).alias("__rows"),
+            *[
+                F.first(c).alias(c)
+                for c in carried
+                if c not in ("before", "before_null", "after", "after_null")
+            ],
+        )
+        .withColumn("row_index", F.lit(0))
+        .withColumn("before", F.lit(None).cast("map<string,string>"))
+        .withColumn("before_null", F.lit(None).cast("map<string,boolean>"))
+        .withColumn("after", F.lit(None).cast("map<string,string>"))
+        .withColumn("after_null", F.lit(None).cast("map<string,boolean>"))
+    )
+    return others.unionByName(packed.select(*others.columns))
+
+
 def encode_ops_distributed(envelope: DataFrame, registry) -> DataFrame:
     """Envelope rows → protobuf Payload chunks, Arrow-batched and
     distributed (``Payload``'s repeated field makes each op's tagged
@@ -529,6 +585,7 @@ class ProtobufKafkaSink(SeqStampedSink):
         ops_per_payload: int = 128,
         max_payload_size: int = 1 << 20,
         compression: str = "none",
+        pack_rows: bool = False,
     ):
         from dolphinbeat_spark.sinks import wire_protocol as wp
 
@@ -537,6 +594,11 @@ class ProtobufKafkaSink(SeqStampedSink):
         self.produce = produce
         self.ops_per_payload = ops_per_payload
         self.max_payload_size = max_payload_size
+        #: pack_rows=True regroups multi-row events into ONE Operation
+        #: with repeated Row images — the reference producer's exact
+        #: wire shape (operation.go:33-73); default False keeps the
+        #: shuffle-free one-op-per-row path (both decode identically)
+        self.pack_rows = pack_rows
         self.compression = {
             "none": wp.COMPRESSION_NONE, "zlib": wp.COMPRESSION_ZLIB,
             "gzip": wp.COMPRESSION_GZIP,
@@ -549,6 +611,8 @@ class ProtobufKafkaSink(SeqStampedSink):
         # encode in parallel FIRST (CPU-heavy part), then collapse only
         # the already-encoded bytes through the K1 single-partition
         # total-order boundary for the produce loop
+        if self.pack_rows:
+            batch_df = pack_multirow_events(batch_df)
         encoded = encode_ops_distributed(batch_df, self.registry)
         ordered = encoded.coalesce(1).sortWithinPartitions(*total_order_cols())
         chunks = [bytes(r["chunk"]) for r in ordered.toLocalIterator()]

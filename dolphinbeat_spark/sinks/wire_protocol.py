@@ -300,11 +300,24 @@ def encode_operation(row: dict, table_def=None) -> bytes:
             raise ValueError(f"row op {op_type} needs a TableDef for column order")
         cols = table_def.column_names()
         out += f_bytes(13, encode_table_def(table_def), emit_empty=True)
-        out += f_bytes(
-            14,
-            encode_row(_image(row, "before", cols), _image(row, "after", cols)),
-            emit_empty=True,
-        )
+        packed = row.get("__rows")
+        if packed is not None and not (isinstance(packed, float) and packed != packed):
+            # multi-row packing: one Operation carries EVERY row image
+            # of its RowsEvent as repeated ``Row rows = 14`` — the
+            # reference producer's exact shape (operation.go:33-73)
+            for r in packed:
+                r = r if isinstance(r, dict) else r.asDict()
+                out += f_bytes(
+                    14,
+                    encode_row(_image(r, "before", cols), _image(r, "after", cols)),
+                    emit_empty=True,
+                )
+        else:
+            out += f_bytes(
+                14,
+                encode_row(_image(row, "before", cols), _image(row, "after", cols)),
+                emit_empty=True,
+            )
     if op_type in ("commit", "ddl"):
         prog = row.get("progress")
         if prog is not None and not isinstance(prog, dict):

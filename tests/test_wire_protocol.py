@@ -398,6 +398,73 @@ def test_multirow_operation_fans_out_one_row_per_image(spark):
     assert all(r["op_type"] == "insert" and r["log_pos"] == 777 for r in got)
 
 
+def test_pack_rows_producer_matches_reference_wire_shape(spark, tmp_path):
+    """pack_rows=True regroups the source's one-op-per-row envelope
+    into ONE Operation per RowsEvent with repeated Row images — the
+    reference producer's wire shape — and the decoded stream is
+    identical to the unpacked path's."""
+    from dolphinbeat_spark.envelope import empty_op
+    from dolphinbeat_spark.sources.fixture_source import golden_envelope_df
+    from dolphinbeat_spark.sinks.ordered import ProtobufKafkaSink, decode_protobuf_messages
+
+    # a 3-row insert event: three envelope ops sharing log_pos
+    common = dict(server_id=1, log_name="binlog.000001", timestamp=1000,
+                  db="test", table="canal_test", schema_version=1)
+    multi = [
+        empty_op(op_type="insert", log_pos=900, row_index=i,
+                 after={"id": str(50 + i), "name": chr(ord("x") + i), "content": ""},
+                 after_null={"id": False, "name": False, "content": i == 2},
+                 **common)
+        for i in range(3)
+    ]
+    batch = golden_envelope_df(spark).unionByName(
+        spark.createDataFrame(
+            [tuple(op[f.name] for f in golden_envelope_df(spark).schema.fields)
+             for op in multi],
+            golden_envelope_df(spark).schema,
+        )
+    )
+
+    def run(pack: bool, sub: str):
+        captured = []
+        sink = ProtobufKafkaSink(
+            meta_dir=str(tmp_path / sub), registry=_registry(),
+            produce=lambda seq, v: captured.append((seq, v)),
+            producer_id=1, pack_rows=pack,
+        )
+        sink(batch, batch_id=0)
+        return captured
+
+    packed_msgs = run(True, "m1")
+    plain_msgs = run(False, "m2")
+
+    # wire shape: the packed stream carries ONE insert op at pos 900
+    # with 3 Row images; the plain stream carries three 1-row ops
+    def ops_at_900(msgs):
+        out = []
+        for _, data in msgs:
+            m = wp.decode_message(data)
+            for op in wp.decode_payload_ops(m["payload"], m["compression"]):
+                if op["log_pos"] == 900:
+                    out.append(op)
+        return out
+
+    p900 = ops_at_900(packed_msgs)
+    assert len(p900) == 1 and len(p900[0]["rows"]) == 3
+    u900 = ops_at_900(plain_msgs)
+    assert len(u900) == 3 and all(len(o["rows"]) == 1 for o in u900)
+
+    # consumer parity: both decode to the same envelope rows
+    def consume(msgs, name):
+        df = spark.createDataFrame([(bytearray(v),) for _, v in msgs], "value binary")
+        return {
+            (r["log_pos"], r["op_type"], str(r["after"]))
+            for r in decode_protobuf_messages(df).collect()
+        }
+
+    assert consume(packed_msgs, "p") == consume(plain_msgs, "u")
+
+
 def test_streaming_decoder_tolerates_out_of_order_arrow_chunks():
     """applyInPandasWithState may deliver a group's rows split across
     Arrow chunks in arbitrary order — the decode fn must concat ALL
