@@ -32,6 +32,68 @@ def to_json_ops(df: DataFrame) -> DataFrame:
     )
 
 
+_DEBEZIUM_OP = {"insert": "c", "update": "u", "delete": "d"}
+
+
+def to_debezium_json(envelope: DataFrame, server_name: str = "dolphinbeat") -> DataFrame:
+    """Envelope row ops → Debezium-style MySQL change-event payloads —
+    the interop bridge: downstream consumers built against Debezium's
+    connector (sink frameworks, schema registries, CDC lakehouse
+    ingesters) read this topic without a custom decoder.
+
+    Payload shape mirrors Debezium's MySQL envelope: ``op`` (c/u/d),
+    ``before``/``after`` images with real JSON nulls for NULL columns
+    (resolved through the engine's null-flag maps), and a ``source``
+    block carrying the binlog coordinates this engine tracks
+    (file/pos/row/server_id/gtid). Map-only Catalyst projection — one
+    ``to_json`` per row, no shuffle."""
+    null_resolved = {
+        img: F.map_zip_with(
+            F.col(img),
+            F.col(f"{img}_null"),
+            lambda k, v, isn: F.when(F.coalesce(isn, F.lit(False)), F.lit(None)).otherwise(v),
+        )
+        for img in ("before", "after")
+    }
+    op_code = (
+        F.when(F.col("op_type") == "insert", "c")
+        .when(F.col("op_type") == "update", "u")
+        .when(F.col("op_type") == "delete", "d")
+    )
+    source = F.struct(
+        F.lit("mysql").alias("connector"),
+        F.lit(server_name).alias("name"),
+        F.col("db").alias("db"),
+        F.col("table").alias("table"),
+        F.col("server_id").cast("long").alias("server_id"),
+        F.col("log_name").alias("file"),
+        F.col("log_pos").alias("pos"),
+        F.coalesce(F.col("row_index"), F.lit(0)).alias("row"),
+        F.col("gtid").alias("gtid"),
+    )
+    payload = F.to_json(
+        F.struct(
+            null_resolved["before"].alias("before"),
+            null_resolved["after"].alias("after"),
+            source.alias("source"),
+            op_code.alias("op"),
+            (F.col("timestamp").cast("long") * 1000).alias("ts_ms"),
+        ),
+        {"ignoreNullFields": "false"},
+    )
+    return (
+        envelope.filter(F.col("op_type").isin(*_DEBEZIUM_OP))
+        .select(
+            F.col("db"),
+            F.col("table"),
+            F.col("log_name"),
+            F.col("log_pos"),
+            F.coalesce(F.col("row_index"), F.lit(0)).alias("row_index"),
+            payload.alias("value"),
+        )
+    )
+
+
 def typed_view(
     envelope: DataFrame,
     registry: SchemaRegistry,

@@ -80,6 +80,98 @@ def cdc_envelope_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_debezium_envelope",
+    oracle=f"""
+SELECT event_id,
+       concat('db', CAST(user_id % 3 AS VARCHAR)) AS db,
+       concat('tbl_', event_type) AS "table",
+       event_id AS log_pos,
+       concat(
+         '{{"before":',
+         CASE WHEN {_OP_CASE_SQL} = 'insert' THEN 'null'
+              ELSE concat('{{"event_id":"', CAST(event_id AS VARCHAR), '"}}') END,
+         ',"after":',
+         CASE WHEN {_OP_CASE_SQL} = 'delete' THEN 'null'
+              ELSE concat('{{"event_id":"', CAST(event_id AS VARCHAR), '","k":',
+                          CASE WHEN json_extract_string(props, '$.k') IS NULL
+                               THEN 'null'
+                               ELSE concat('"', json_extract_string(props, '$.k'), '"') END,
+                          '}}') END,
+         ',"source":{{"connector":"mysql","name":"dolphinbeat","db":"',
+         concat('db', CAST(user_id % 3 AS VARCHAR)),
+         '","table":"', concat('tbl_', event_type),
+         '","server_id":', CAST(user_id % 5 AS VARCHAR),
+         ',"file":"binlog.000001","pos":', CAST(event_id AS VARCHAR),
+         ',"row":0,"gtid":null}},"op":"',
+         CASE {_OP_CASE_SQL} WHEN 'insert' THEN 'c' WHEN 'update' THEN 'u'
+              ELSE 'd' END,
+         '","ts_ms":', CAST(event_id * 1000 AS VARCHAR), '}}'
+       ) AS value
+FROM events
+WHERE {_OP_CASE_SQL} IN ('insert', 'update', 'delete')
+ORDER BY event_id
+""",
+    tags=("cdc", "envelope", "interop"),
+)
+def cdc_debezium_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-interop projection: the synthetic change stream
+    rendered as Debezium-style MySQL change-event payloads via the
+    REAL operator (operators/projection.py::to_debezium_json) —
+    op c/u/d codes, before/after images with true JSON nulls resolved
+    through the null-flag maps, and the source block carrying binlog
+    coordinates. A consumer built against Debezium's MySQL connector
+    reads this topic unchanged. The oracle reconstructs the exact
+    payload text, so rendering (null literals, key order, numeric
+    form) is pinned cross-engine."""
+    from dolphinbeat_spark.operators.projection import to_debezium_json
+
+    e = load(spark, sf_dir, "events")
+    db, tbl = _db_table_cols()
+    k_raw = F.get_json_object("props", "$.k")
+    eid_s = F.col("event_id").cast("string")
+    is_ins = F.col("op_type") == "insert"
+    is_del = F.col("op_type") == "delete"
+    env = e.select(
+        "event_id",
+        _op_col().alias("op_type"),
+        db.alias("db"),
+        tbl.alias("table"),
+        (F.col("user_id") % 5).cast("int").alias("server_id"),
+        F.lit("binlog.000001").alias("log_name"),
+        F.col("event_id").alias("log_pos"),
+        F.lit(0).alias("row_index"),
+        F.lit(None).cast("string").alias("gtid"),
+        F.col("event_id").cast("int").alias("timestamp"),
+        k_raw.alias("__k"),
+    ).withColumns(
+        {
+            "before": F.when(
+                ~is_ins, F.create_map(F.lit("event_id"), eid_s)
+            ),
+            "before_null": F.when(
+                ~is_ins, F.create_map(F.lit("event_id"), F.lit(False))
+            ),
+            "after": F.when(
+                ~is_del,
+                F.create_map(F.lit("event_id"), eid_s, F.lit("k"), F.col("__k")),
+            ),
+            "after_null": F.when(
+                ~is_del,
+                F.create_map(
+                    F.lit("event_id"), F.lit(False),
+                    F.lit("k"), F.col("__k").isNull(),
+                ),
+            ),
+        }
+    )
+    dbz = to_debezium_json(env)  # filters to insert/update/delete itself
+    return dbz.select(
+        F.col("log_pos").alias("event_id"),  # log_pos was set to event_id
+        "db", "table", "log_pos", "value",
+    ).orderBy("event_id")
+
+
+@register(
     "cdc_route_tables",
     oracle="""
 WITH named AS (

@@ -98,3 +98,39 @@ def test_to_json_ops(spark):
     payload = json.loads(first_insert["json"])
     assert payload["after"]["id"] == "1"
     assert "before" not in payload  # null fields dropped
+
+
+def test_to_debezium_json(spark):
+    import json
+
+    from dolphinbeat_spark.operators.projection import to_debezium_json
+
+    env = golden_envelope_df(spark)
+    rows = to_debezium_json(env).collect()
+    # only row ops render; op codes map c/u/d
+    golden_row_ops = [o for o in golden_sequences()
+                      if o["op_type"] in ("insert", "update", "delete")]
+    assert len(rows) == len(golden_row_ops)
+    by_pos = {}
+    for r in rows:
+        by_pos.setdefault(r["log_pos"], []).append(json.loads(r["value"]))
+
+    ins = next(json.loads(r["value"]) for r in rows
+               if json.loads(r["value"])["op"] == "c")
+    assert ins["before"] is None and ins["after"]["id"] == "1"
+    assert ins["source"]["connector"] == "mysql"
+    assert ins["source"]["file"] == "binlog.000001"
+    assert ins["source"]["table"] == "canal_test"
+    # the NULL content column renders as a true JSON null (null-flag
+    # resolved), not the wire's empty string
+    third = next(p for ps in by_pos.values() for p in ps
+                 if p["op"] == "c" and p["after"]["id"] == "3")
+    assert third["after"]["content"] is None
+
+    upd = next(json.loads(r["value"]) for r in rows
+               if json.loads(r["value"])["op"] == "u")
+    assert upd["before"]["name"] == "a" and upd["after"]["name"] == "a2"
+    dele = next(json.loads(r["value"]) for r in rows
+                if json.loads(r["value"])["op"] == "d")
+    assert dele["after"] is None and dele["before"]["id"] == "2"
+    assert dele["ts_ms"] == 1002 * 1000
