@@ -210,14 +210,18 @@ def main() -> None:
         # of the line still carries the headline number
         "value_tail": total,
     }
-    line = json.dumps(result)
-    # the one-line stdout contract AND a standalone well-formed file —
-    # a bounded stdout-tail capture truncates the line's head (cost
-    # round 4 its headline total); the file always parses whole
-    Path(__file__).resolve().parent.joinpath("BENCH_LATEST.json").write_text(
-        json.dumps(result, indent=1) + "\n"
-    )
-    print(line)
+    # the one-line stdout contract FIRST (primary channel), then the
+    # standalone well-formed file — a bounded stdout-tail capture
+    # truncates the line's head (cost round 4 its headline total); the
+    # file always parses whole, and a file-write failure must not
+    # destroy the already-printed results
+    print(json.dumps(result))
+    try:
+        Path(__file__).resolve().parent.joinpath("BENCH_LATEST.json").write_text(
+            json.dumps(result, indent=1) + "\n"
+        )
+    except OSError as ex:  # read-only checkout: stdout already has it
+        print(f"(BENCH_LATEST.json not written: {ex})", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -412,26 +412,37 @@ def sim_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
 
-    def recall(cent):
-        ivf = S.ivf_ann_topk(q, emb, cent, "vec_id", "embedding", K, nprobe=2).select(
-            "query_id", "neighbor_id"
-        )
-        joined = brute.alias("b").join(
-            ivf.alias("i"),
-            (F.col("b.query_id") == F.col("i.query_id"))
-            & (F.col("b.neighbor_id") == F.col("i.neighbor_id")),
-            "left",
-        )
-        return joined.agg(
-            F.countDistinct("b.query_id").alias("n_queries"),
-            (F.count("i.neighbor_id").cast("double") / F.count(F.lit(1))).alias("recall"),
+    # ONE action evaluates the expensive brute-force truth once: union
+    # the two labeled IVF candidate sets, cross the truth with the two
+    # labels, one left join, conditional aggregation per label
+    def ivf(cent, label):
+        return (
+            S.ivf_ann_topk(q, emb, cent, "vec_id", "embedding", K, nprobe=2)
+            .select("query_id", "neighbor_id", F.lit(label).alias("which"))
         )
 
-    t = recall(trained).select(
-        "n_queries", F.round("recall", 4).alias("recall_trained")
+    both = ivf(trained, "trained").unionByName(ivf(sampled, "sampled"))
+    labels = emb.sparkSession.createDataFrame(
+        [("trained",), ("sampled",)], "which string"
     )
-    s = recall(sampled).select(F.round("recall", 4).alias("recall_sampled"))
-    return t.crossJoin(s).select(
+    truth = brute.crossJoin(F.broadcast(labels))
+    joined = truth.join(
+        both.withColumn("__hit", F.lit(1)),
+        ["which", "query_id", "neighbor_id"],
+        "left",
+    )
+    agg = joined.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        *[
+            F.round(
+                F.count(F.when(F.col("which") == w, F.col("__hit"))).cast("double")
+                / F.count(F.when(F.col("which") == w, F.lit(1))),
+                4,
+            ).alias(f"recall_{w}")
+            for w in ("trained", "sampled")
+        ],
+    )
+    return agg.select(
         "n_queries",
         "recall_trained",
         "recall_sampled",

@@ -92,9 +92,13 @@ def last_op_per_key(batch: DataFrame, key_cols: list[str]) -> DataFrame:
             for k in key_cols
         ],
     )
-    # row_index makes the order total across a multi-row event (all its
-    # rows share log_pos); a PK can't appear twice within one event, so
-    # this is belt-and-braces determinism, not a semantic change
+    # __op_rank stays the PRIMARY within-coordinate tiebreak: a
+    # multi-row PK-changing update replays as all-deletes-then-
+    # all-inserts (normalize_pk_changes ranks), so when one event's
+    # row i inserts key K and row j>i deletes it (UPDATE SET k=k+1 on
+    # consecutive keys), the insert must win — ordering row_index
+    # FIRST would pick the delete and silently drop the key. row_index
+    # is only the final determinism tiebreak between same-rank pieces.
     row_idx = (
         F.coalesce(F.col("row_index"), F.lit(0))
         if "row_index" in ops.columns
@@ -102,7 +106,7 @@ def last_op_per_key(batch: DataFrame, key_cols: list[str]) -> DataFrame:
     )
     w = Window.partitionBy(*[f"__k_{k}" for k in key_cols]).orderBy(
         F.col("log_name").desc(), F.col("log_pos").desc(),
-        row_idx.desc(), F.col("__op_rank").desc()
+        F.col("__op_rank").desc(), row_idx.desc()
     )
     return (
         keyed.withColumn("__rn", F.row_number().over(w))

@@ -63,14 +63,11 @@ class ControlServer:
             from dolphinbeat_spark.streaming.metrics import PipelineMetrics
 
             m = self.metrics if self.metrics is not None else PipelineMetrics()
-            text = m.prometheus_text()
-            # dead-letter queue length also feeds failed_ddl_total when
-            # the pipeline didn't push explicit counter increments
-            if self.dead_letters and "failed_ddl_total 0" in text:
-                text = text.replace(
-                    "failed_ddl_total 0", f"failed_ddl_total {len(self.dead_letters)}"
-                )
-            return 200, text
+            # dead-letter queue length feeds failed_ddl_total when the
+            # pipeline didn't push explicit counter increments
+            return 200, m.prometheus_text(
+                fallback_failed_ddl=len(self.dead_letters)
+            )
         if method == "GET" and path in ("/debug/pprof", "/debug/pprof/"):
             return 200, (
                 "profiles:\ncmdline\ngoroutine\n\n"

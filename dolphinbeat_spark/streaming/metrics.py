@@ -82,18 +82,21 @@ class PipelineMetrics(StreamingQueryListener):
         with self._lock:
             self._failed_ddl += n
 
-    def counters(self) -> dict[str, int]:
+    def counters(self, fallback_failed_ddl: int = 0) -> dict[str, int]:
         """The reference's four counter families. NOTE the reference
         has a copy-paste bug where iud_total and ddl_total both read
         TrxCount (cmd/dolphinbeat/metrics.go:35-44); here each counts
-        its own op class."""
+        its own op class. ``fallback_failed_ddl`` (e.g. a dead-letter
+        queue length) stands in when no explicit failed-DDL increments
+        were recorded."""
         with self._lock:
             iud = sum(self._ops.get(k, 0) for k in ("insert", "update", "delete"))
+            failed = self._failed_ddl + self._ops.get("ddl_failed", 0)
             return {
                 "trx_total": self._ops.get("commit", 0),
                 "iud_total": iud,
                 "ddl_total": self._ops.get("ddl", 0),
-                "failed_ddl_total": self._failed_ddl + self._ops.get("ddl_failed", 0),
+                "failed_ddl_total": failed or fallback_failed_ddl,
             }
 
     _HELP = {
@@ -103,13 +106,13 @@ class PipelineMetrics(StreamingQueryListener):
         "failed_ddl_total": "Counter of failed DDL.",
     }
 
-    def prometheus_text(self) -> str:
+    def prometheus_text(self, fallback_failed_ddl: int = 0) -> str:
         """Prometheus text exposition format (the scrape body served at
         /metrics, mirroring the reference's promhttp handler): the four
         reference counter families, plus per-query streaming counters
         labeled by query name."""
         lines: list[str] = []
-        for name, value in self.counters().items():
+        for name, value in self.counters(fallback_failed_ddl).items():
             lines.append(f"# HELP {name} {self._HELP[name]}")
             lines.append(f"# TYPE {name} counter")
             lines.append(f"{name} {value}")

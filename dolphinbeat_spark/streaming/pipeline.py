@@ -42,37 +42,52 @@ def build_pipeline(
     sinks: list[SinkSpec],
     trigger_once: bool = True,
     metrics=None,
+    metrics_checkpoint: str | None = None,
 ) -> list[StreamingQuery]:
     """Fan one envelope stream out to N ordered sinks (R1 + F2 + K1).
 
-    ``metrics`` (a PipelineMetrics) receives per-op-type counts from
-    each batch — the feed for the /metrics counter families
-    (trx_total/iud_total/ddl_total, reference metrics.go:21-51)."""
+    ``metrics`` (a PipelineMetrics) receives per-op-type counts once
+    per batch of the UNFILTERED stream, via a dedicated counting query
+    — daemon-level counters like the reference's (metrics.go:21-51
+    count at the canal, before any sink filter), so fanning out to N
+    sinks does NOT multiply trx_total/iud_total by N.
+    ``metrics_checkpoint`` defaults to ``<first sink ckp>_metrics``."""
     queries = []
     for spec in sinks:
         filtered = filter_tables(envelope_stream, spec.include, spec.exclude)
-        sink = OrderedFileSink(spec.out_dir, spec.producer_id)
-        if metrics is None:
-            consumer = sink
-        else:
-            def consumer(batch_df, batch_id, _sink=sink):
-                # one extra tiny agg per batch: op-type counts → counters
-                counts = {
-                    r["op_type"]: r["n"]
-                    for r in batch_df.groupBy("op_type")
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()
-                }
-                _sink(batch_df, batch_id)
-                metrics.record_ops(counts)
         writer = (
-            filtered.writeStream.foreachBatch(consumer)
+            filtered.writeStream.foreachBatch(
+                OrderedFileSink(spec.out_dir, spec.producer_id)
+            )
             .option("checkpointLocation", spec.checkpoint_dir)
             .queryName(spec.name)
         )
         if trigger_once:
             writer = writer.trigger(availableNow=True)
         queries.append(writer.start())
+    if metrics is not None and sinks:
+        def count_ops(batch_df, batch_id) -> None:
+            # one tiny agg per batch: op-type counts → counter families
+            metrics.record_ops(
+                {
+                    r["op_type"]: r["n"]
+                    for r in batch_df.groupBy("op_type")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+            )
+
+        mw = (
+            envelope_stream.writeStream.foreachBatch(count_ops)
+            .option(
+                "checkpointLocation",
+                metrics_checkpoint or sinks[0].checkpoint_dir + "_metrics",
+            )
+            .queryName("pipeline_metrics")
+        )
+        if trigger_once:
+            mw = mw.trigger(availableNow=True)
+        queries.append(mw.start())
     return queries
 
 

@@ -247,8 +247,9 @@ _DOC_DEDUP_STATE = StructType(
 
 
 def _bloom_positions(fp_hex: str, n_bits: int, k: int) -> list[int]:
-    """k bit positions from a hex fingerprint — split its md5-grade
-    entropy into independent 16-hex-char words (portable, no Python
+    """k bit positions from a hex fingerprint — consume independent
+    16-hex-char words, REPLACING the buffer with a fresh md5 chain
+    when it runs out so no word is ever re-read (portable, no Python
     hash() seed dependence)."""
     import hashlib
 
@@ -257,8 +258,9 @@ def _bloom_positions(fp_hex: str, n_bits: int, k: int) -> list[int]:
     i = 0
     while len(out) < k:
         if (i + 1) * 16 > len(h):
-            h = hashlib.md5(h.encode()).hexdigest() + h  # extend entropy
+            h = hashlib.md5(h.encode()).hexdigest()  # fresh 32-char block
             i = 0
+            continue
         out.append(int(h[i * 16:(i + 1) * 16], 16) % n_bits)
         i += 1
     return out

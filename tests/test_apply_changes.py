@@ -119,6 +119,46 @@ def test_pk_changing_update_removes_old_key(spark, tmp_path):
     assert _state(spark, snap) == {"9": "a9", "2": "b", "6": "f"}
 
 
+def test_multirow_pk_shift_update_keeps_middle_keys(spark, tmp_path):
+    """One multi-row UPDATE ... SET id=id+1 over {1,2}: both row images
+    share log_pos (row_index 0 and 1). Row 0 inserts key 2, row 1
+    deletes key 2 (its before image) — the insert must win
+    (delete-then-insert replay order, __op_rank BEFORE row_index in
+    the winner sort) or key 2 silently vanishes. Truth: {2, 3}."""
+    from dolphinbeat_spark.envelope import empty_op
+
+    snap = str(tmp_path / "snap")
+    common = dict(server_id=1, log_name="binlog.000001", db="d", table="t",
+                  schema_version=1)
+    seed = spark.createDataFrame(
+        [
+            empty_op(op_type="insert", log_pos=100, after={"id": "1", "name": "a"},
+                     after_null={"id": False, "name": False}, **common),
+            empty_op(op_type="insert", log_pos=120, after={"id": "2", "name": "b"},
+                     after_null={"id": False, "name": False}, **common),
+        ],
+        ENVELOPE_SCHEMA,
+    )
+    apply_batch(spark, seed, snap, ["id"], ["name"])
+    shift = spark.createDataFrame(
+        [
+            empty_op(op_type="update", log_pos=200, row_index=0,
+                     before={"id": "1", "name": "a"},
+                     before_null={"id": False, "name": False},
+                     after={"id": "2", "name": "a"},
+                     after_null={"id": False, "name": False}, **common),
+            empty_op(op_type="update", log_pos=200, row_index=1,
+                     before={"id": "2", "name": "b"},
+                     before_null={"id": False, "name": False},
+                     after={"id": "3", "name": "b"},
+                     after_null={"id": False, "name": False}, **common),
+        ],
+        ENVELOPE_SCHEMA,
+    )
+    apply_batch(spark, shift, snap, ["id"], ["name"])
+    assert _state(spark, snap) == {"2": "a", "3": "b"}
+
+
 def test_pk_changing_update_partitioned(spark, tmp_path):
     from dolphinbeat_spark.envelope import empty_op
     from dolphinbeat_spark.sinks.apply_changes import (

@@ -147,27 +147,27 @@ def test_debug_pprof_routes(server):
     assert ei.value.code == 501
 
 
-def test_pipeline_feeds_metrics_counters(spark, tmp_path):
-    """End-to-end: a pipeline run over the golden envelope feeds the
-    op counters that /metrics serves."""
+def test_pipeline_feeds_metrics_counters_once(spark, tmp_path):
+    """End-to-end: build_pipeline over the golden envelope stream with
+    TWO sinks feeds the op counters EXACTLY ONCE — daemon-level
+    counters like the reference's, not once per sink."""
     from dolphinbeat_spark.envelope import golden_sequences
-    from dolphinbeat_spark.sources.fixture_source import golden_envelope_df
+    from dolphinbeat_spark.sources.fixture_source import register_fixture_source
     from dolphinbeat_spark.streaming.metrics import PipelineMetrics
+    from dolphinbeat_spark.streaming.pipeline import SinkSpec, build_pipeline
 
+    register_fixture_source(spark)
+    stream = spark.readStream.format("dolphinbeat_fixture").option(
+        "batch_size", "6"
+    ).load()
     m = PipelineMetrics()
-    # batch twin of the streaming fan-out: drive the same foreachBatch
-    # consumer build_pipeline wires up (trigger semantics covered in
-    # test_streaming_pipeline)
-    batch = golden_envelope_df(spark)
-    from pyspark.sql import functions as F
-
-    from dolphinbeat_spark.sinks.ordered import OrderedFileSink
-
-    sink = OrderedFileSink(str(tmp_path / "out"), 1)
-    counts = {r["op_type"]: r["n"] for r in
-              batch.groupBy("op_type").agg(F.count(F.lit(1)).alias("n")).collect()}
-    sink(batch, 0)
-    m.record_ops(counts)
+    specs = [
+        SinkSpec(name=f"s{i}", out_dir=str(tmp_path / f"out{i}"),
+                 checkpoint_dir=str(tmp_path / f"ckp{i}"))
+        for i in (1, 2)
+    ]
+    for q in build_pipeline(stream, specs, trigger_once=True, metrics=m):
+        q.awaitTermination(120)
 
     got = m.counters()
     golden = golden_sequences()

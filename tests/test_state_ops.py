@@ -73,6 +73,20 @@ def test_running_user_totals(spark, tmp_path):
     assert by_user[1]["n_events"] >= 15
 
 
+def test_bloom_positions_are_distinct_words():
+    """The md5-chain extension must never re-read a consumed word —
+    k probes from a 16-char fingerprint are k DISTINCT positions
+    (a duplicate would silently lower the effective k and raise the
+    documented FP rate)."""
+    from dolphinbeat_spark.streaming.state import _bloom_positions
+
+    p = _bloom_positions("0123456789abcdef", 1 << 20, 7)
+    assert len(p) == 7 and len(set(p)) == 7
+    assert len(set(_bloom_positions("deadbeefdeadbeef", 1 << 14, 9))) == 9
+    # deterministic across calls (state restore depends on it)
+    assert p == _bloom_positions("0123456789abcdef", 1 << 20, 7)
+
+
 def test_streaming_doc_dedup_unit_state_machine():
     """Bloom state machine direct: intra-chunk dups, cross-call dups
     (state persisted), and unique admits."""
