@@ -154,6 +154,13 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_daemon(args) -> int:
+    from dolphinbeat_spark.daemon import main as daemon_main
+
+    argv = ["--config", args.config] + (["--dry-run"] if args.dry_run else [])
+    return daemon_main(argv)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dolphinbeat_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -189,6 +196,14 @@ def main(argv: list[str] | None = None) -> int:
     vp.add_argument("--host", default="127.0.0.1")
     vp.add_argument("--port", type=int, default=8080)
     vp.set_defaults(fn=cmd_serve)
+
+    dm = sub.add_parser(
+        "daemon",
+        help="TOML-configured CDC daemon (the reference's dolphinbeat --cfg shape)",
+    )
+    dm.add_argument("--config", required=True)
+    dm.add_argument("--dry-run", action="store_true")
+    dm.set_defaults(fn=cmd_daemon)
 
     args = p.parse_args(argv)
     return args.fn(args)
