@@ -355,6 +355,132 @@ def lsh_ann_topk(
     )
 
 
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    dim: int,
+) -> DataFrame:
+    """Product-quantization encode: split each vector into ``m``
+    subvectors and store, per subspace, the id of the nearest codeword
+    (min L2, smallest cid on ties) — the corpus compresses from
+    dim×float to m small ints (the classic Jégou-style PQ memory
+    story: 64 floats → 4 codes here).
+
+    ``codebook`` needs (cid, cv) full-dim rows (sampled vectors or
+    trained centroids — same contract as IVF). Scale shape: codebook
+    broadcast, per-subspace argmin as a ``min_by`` partial aggregate —
+    the exchange carries one row per (vector, subspace), never the
+    scored products. Output: (pq_id, s, code) long form.
+    """
+    sub = dim // m
+    cb = codebook.select(
+        F.col("cid"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice("cv", s * sub + 1, sub).alias("__csub"),
+                )
+                for s in range(m)
+            ])
+        ).alias("e"),
+    ).select(F.col("cid"), F.col("e.s").alias("s"), F.col("e.__csub").alias("__csub"))
+    v = corpus.select(F.col(id_col).alias("pq_id"), F.col(vec_col).alias("__v"))
+    vsub = v.select(
+        "pq_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice("__v", s * sub + 1, sub).alias("__vsub"),
+                )
+                for s in range(m)
+            ])
+        ).alias("e"),
+    ).select("pq_id", F.col("e.s").alias("s"), F.col("e.__vsub").alias("__vsub"))
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("__vsub").cast("array<double>"),
+            F.col("__csub").cast("array<double>"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = vsub.join(F.broadcast(cb), "s").select(
+        "pq_id", "s", "cid", dist2.alias("__d2")
+    )
+    return scored.groupBy("pq_id", "s").agg(
+        F.min_by(F.col("cid"), F.struct(F.col("__d2"), F.col("cid"))).alias("code")
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    m: int,
+    dim: int,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: score each query against the
+    CODES, not the vectors — approx_dot(q, x) = Σ_s dot(q_sub[s],
+    codeword(code_s)_sub[s]), i.e. the exact dot against the
+    PQ-reconstructed corpus. The scan reads m ints per corpus vector
+    instead of dim floats (the PQ bandwidth story); composing with IVF
+    cell filtering gives IVFPQ.
+
+    Determinism: the m per-subspace dots are summed as a FIXED-ORDER
+    column expression (not a shuffle-order-dependent aggregate), so
+    scores are bit-identical to the oracle's ordered fold. Output:
+    (query_id, neighbor_id, rank, approx_dot)."""
+    sub = dim // m
+    codes = pq_encode(corpus, codebook, id_col, vec_col, m, dim)
+    wide = codes.groupBy("pq_id").pivot("s", list(range(m))).agg(
+        F.first("code")
+    )
+    # attach each subspace's codeword subvector (m broadcast joins on
+    # the small codebook), then score against broadcast queries
+    for s in range(m):
+        cb_s = codebook.select(
+            F.col("cid").alias(f"__cid{s}"),
+            F.slice("cv", s * sub + 1, sub).alias(f"__cw{s}"),
+        )
+        wide = wide.join(
+            F.broadcast(cb_s), F.col(str(s)) == F.col(f"__cid{s}")
+        ).drop(f"__cid{s}")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    from dolphinbeat_spark.functions.vector import dot
+
+    score = None
+    for s in range(m):
+        term = dot(F.slice("__qv", s * sub + 1, sub), F.col(f"__cw{s}"))
+        score = term if score is None else score + term
+    scored = (
+        F.broadcast(q)
+        .crossJoin(wide)
+        .filter(F.col("query_id") != F.col("pq_id"))
+        .select(
+            "query_id",
+            F.col("pq_id").alias("neighbor_id"),
+            score.alias("approx_dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dot").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("approx_dot", 6).alias("approx_dot"))
+    )
+
+
 def kmeans_centroids(
     df: DataFrame, id_col: str, vec_col: str, k: int, seed: int = 42, max_iter: int = 10
 ) -> DataFrame:

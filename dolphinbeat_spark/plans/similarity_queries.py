@@ -374,6 +374,75 @@ def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M, _PQ_SUB = 4, DIM // 4
+_PQ_D2 = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "t -> (CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE)) * "
+    "(CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=f"""
+WITH cb AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 25 = 3
+), subspaces AS (
+  SELECT unnest(range(0, {_PQ_M})) AS s
+), codes AS (
+  SELECT pq_id, s, cid AS code FROM (
+    SELECT e.vec_id AS pq_id, u.s, cb.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id, u.s
+             ORDER BY {_PQ_D2.format(
+                 a=f"e.embedding[u.s*{_PQ_SUB}+1:u.s*{_PQ_SUB}+{_PQ_SUB}]",
+                 b=f"cb.cv[u.s*{_PQ_SUB}+1:u.s*{_PQ_SUB}+{_PQ_SUB}]")}, cb.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN subspaces u CROSS JOIN cb
+  ) WHERE rn = 1
+), pd AS (
+  SELECT q.vec_id AS query_id, c.pq_id AS neighbor_id, c.s,
+         {_DOT.format(
+             a=f"q.embedding[c.s*{_PQ_SUB}+1:c.s*{_PQ_SUB}+{_PQ_SUB}]",
+             b=f"cb.cv[c.s*{_PQ_SUB}+1:c.s*{_PQ_SUB}+{_PQ_SUB}]")} AS pdot
+  FROM embeddings q
+  CROSS JOIN codes c
+  JOIN cb ON cb.cid = c.code
+  WHERE q.vec_id % 50 = 0 AND c.pq_id <> q.vec_id
+), agg AS (
+  SELECT query_id, neighbor_id,
+         list_reduce(list(pdot ORDER BY s), (acc, x) -> acc + x) AS approx_dot
+  FROM pd GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, rank, ROUND(approx_dot, 6) AS approx_dot FROM (
+  SELECT query_id, neighbor_id, approx_dot,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_dot DESC, neighbor_id) AS rank
+  FROM agg
+) WHERE rank <= {K}
+ORDER BY query_id, rank
+""",
+    tags=("similarity", "ann", "pq"),
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou-style PQ): corpus encoded as
+    m={_PQ_M} per-subspace codeword ids (64 floats → 4 small ints),
+    queries scored by asymmetric distance against the codes. The
+    deterministic sampled codebook (vec_id % 25 == 3) keeps a
+    cross-engine oracle; production swaps per-subspace k-means in with
+    the same plan shape (the IVF pattern). Composing with
+    sim_ivf_ann_topk's cell filter = IVFPQ, the standard billion-scale
+    ANN layout."""
+    emb = load(spark, sf_dir, "embeddings", widen=True)
+    cb = emb.filter(F.col("vec_id") % 25 == 3).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.pq_adc_topk(q, emb, cb, "vec_id", "embedding", K, _PQ_M, DIM).orderBy(
+        "query_id", "rank"
+    )
+
+
 @register(
     "sim_ivf_trained_recall",
     # MLlib k-means centroids are engine-specific (no cross-engine
