@@ -721,6 +721,11 @@ def live_event_iter(options: dict, offset: BinlogOffset):  # pragma: no cover - 
         resume_stream=True,
         freeze_schema=False,
     )
+    if options.get("flavor") == "mariadb":
+        # MariaDB speaks its own GTID handshake (domain-server-seq —
+        # the dialect gtid_set_covers/_merge_gtid handle first-class);
+        # pymysqlreplication needs the explicit flag to request it
+        kwargs["is_mariadb"] = True
     if offset.gtid_set:
         kwargs["auto_position"] = offset.gtid_set
     elif offset.file:
