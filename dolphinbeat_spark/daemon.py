@@ -116,6 +116,11 @@ class DaemonConfig:
             )
         if self.flavor not in ("mysql", "mariadb"):
             errors.append(f"flavor must be mysql or mariadb, got {self.flavor!r}")
+        if self.http_addr:
+            try:
+                _split_addr(self.http_addr)
+            except ValueError as ex:
+                errors.append(str(ex))
         names = [s.name for s in self.sinks if s.enabled]
         if len(names) != len(set(names)):
             errors.append(f"sink names must be unique, got {names}")
@@ -141,6 +146,8 @@ def source_options(cfg: DaemonConfig) -> dict:
         "password": cfg.mysql_password,
         "server_id": str(cfg.server_id),
         "flavor": cfg.flavor,
+        # false = resume by file/pos only, never auto_position
+        "gtid_enabled": "true" if cfg.gtid_enabled else "false",
         "schema_snapshot": str(Path(cfg.tracker_dir) / "schema_snapshot.json"),
     }
     return opts
@@ -186,10 +193,12 @@ def resolve_plan(cfg: DaemonConfig) -> dict:
     return plan
 
 
-def run(cfg: DaemonConfig, spark=None, event_iter_factory=None):  # pragma: no cover - needs live MySQL
-    """Start the daemon: source stream → per-sink queries + control
-    server. Returns (queries, control_server). Blocks are the
+def run(cfg: DaemonConfig, spark=None):  # pragma: no cover - needs live MySQL
+    """Start the daemon: source stream(s) → per-sink queries + control
+    server. Returns (spark, queries, control_server). Blocking is the
     caller's choice (``spark.streams.awaitAnyTermination()``)."""
+    from functools import reduce
+
     from dolphinbeat_spark.schema.registry import SchemaRegistry
     from dolphinbeat_spark.session import get_spark
     from dolphinbeat_spark.sources.binlog_source import BinlogDataSource
@@ -203,34 +212,99 @@ def run(cfg: DaemonConfig, spark=None, event_iter_factory=None):  # pragma: no c
     metrics = PipelineMetrics()
     spark.streams.addListener(metrics)
 
-    reader = (
-        spark.readStream.format("dolphinbeat_binlog")
-        .options(**plan["source"]["options"])
-    )
-    stream = reader.load()
-    specs = [
-        SinkSpec(
-            name=s["name"],
-            out_dir=s.get("out_dir", str(Path("./out") / s["name"])),
-            checkpoint_dir=s["checkpoint"],
-            include=s["include"],
-            exclude=s["exclude"],
+    # shard-by-table: N reader instances over the same binlog, unioned
+    # into one streaming plan (Structured Streaming tracks each
+    # source's offsets independently in the shared checkpoint)
+    n_readers = plan["source"]["readers"]
+    shards = []
+    for i in range(n_readers):
+        opts = dict(plan["source"]["options"])
+        if n_readers > 1:
+            opts.update(shard_index=str(i), shard_count=str(n_readers))
+        shards.append(
+            spark.readStream.format("dolphinbeat_binlog").options(**opts).load()
         )
-        for s in plan["sinks"]
-    ]
-    queries = build_pipeline(stream, specs, trigger_once=False, metrics=metrics)
+    stream = reduce(lambda a, b: a.unionByName(b), shards)
+
+    queries = []
+    file_specs = []
+    for s in plan["sinks"]:
+        if s["type"] == "stdout":
+            file_specs.append(
+                SinkSpec(
+                    name=s["name"], out_dir=s["out_dir"],
+                    checkpoint_dir=s["checkpoint"],
+                    include=s["include"], exclude=s["exclude"],
+                )
+            )
+        elif s["type"] == "kafka":
+            queries.append(_start_kafka_sink(stream, s, cfg))
+    if file_specs:
+        queries += build_pipeline(
+            stream, file_specs, trigger_once=False, metrics=metrics,
+            metrics_checkpoint=str(Path(cfg.checkpoint_dir) / "_metrics"),
+        )
 
     snap = Path(cfg.tracker_dir) / "schema_snapshot.json"
     registry = SchemaRegistry.load(str(snap)) if snap.exists() else SchemaRegistry()
     server = None
     if cfg.http_addr:
-        host, _, port = cfg.http_addr.rpartition(":")
+        host, port = _split_addr(cfg.http_addr)
         server = ControlServer(
-            registry=registry, metrics=metrics,
-            host=host or "0.0.0.0", port=int(port or 8080),
+            registry=registry, metrics=metrics, host=host, port=port,
         )
         server.serve()
-    return queries, server
+    return spark, queries, server
+
+
+def _start_kafka_sink(stream, s: dict, cfg: DaemonConfig):  # pragma: no cover - needs broker
+    """One [[sink]] kafka block → a streaming query. ``encoder =
+    "protobuf"`` produces the reference wire format via
+    ProtobufKafkaSink over a confluent producer (in-band compression +
+    fragmentation, ``max_payload_size``); ``"json"`` uses Spark's
+    built-in kafka writer (kafka_writestream), no extra client."""
+    from dolphinbeat_spark.operators.filters import filter_tables
+    from dolphinbeat_spark.schema.registry import SchemaRegistry
+    from dolphinbeat_spark.sinks.ordered import (
+        ProtobufKafkaSink,
+        _confluent_producer,
+        kafka_writestream,
+    )
+
+    filtered = filter_tables(stream, s["include"], s["exclude"])
+    meta_dir = str(Path(cfg.checkpoint_dir) / s["name"] / "_seq_meta")
+    if s["encoder"] == "json":
+        return kafka_writestream(
+            filtered, topic=s["topic"], bootstrap=s["bootstrap"],
+            checkpoint=s["checkpoint"], meta_dir=meta_dir,
+            partition=s["partition"],
+        )
+    snap = Path(cfg.tracker_dir) / "schema_snapshot.json"
+    registry = SchemaRegistry.load(str(snap)) if snap.exists() else SchemaRegistry()
+    producer = _confluent_producer(s["bootstrap"])
+    sink = ProtobufKafkaSink(
+        meta_dir=meta_dir,
+        registry=registry,
+        produce=lambda seq, value: producer.produce(
+            topic=s["topic"], partition=s["partition"],
+            key=str(seq).encode(), value=value,
+        ) or producer.flush(),
+        compression=s["compression"] if s["compression"] in ("none", "zlib", "gzip") else "none",
+        max_payload_size=s["max_payload_size"],
+    )
+    return (
+        filtered.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", s["checkpoint"])
+        .queryName(s["name"])
+        .start()
+    )
+
+
+def _split_addr(addr: str) -> tuple[str, int]:
+    host, sep, port = addr.rpartition(":")
+    if not sep or not port.isdigit():
+        raise ValueError(f"http_server addr must be host:port, got {addr!r}")
+    return host or "0.0.0.0", int(port)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -250,10 +324,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.dry_run:
         print(json.dumps(plan, indent=2))
         return 0
-    queries, _server = run(cfg)  # pragma: no cover - needs live MySQL
-    import pyspark
-
-    spark = pyspark.sql.SparkSession.getActiveSession()
+    spark, queries, _server = run(cfg)  # pragma: no cover - needs live MySQL
     spark.streams.awaitAnyTermination()
     return 0
 

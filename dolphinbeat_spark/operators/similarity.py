@@ -375,6 +375,8 @@ def pq_encode(
     the exchange carries one row per (vector, subspace), never the
     scored products. Output: (pq_id, s, code) long form.
     """
+    if dim % m:
+        raise ValueError(f"dim={dim} must divide evenly into m={m} subspaces")
     sub = dim // m
     cb = codebook.select(
         F.col("cid"),

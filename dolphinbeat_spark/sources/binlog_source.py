@@ -726,7 +726,8 @@ def live_event_iter(options: dict, offset: BinlogOffset):  # pragma: no cover - 
         # the dialect gtid_set_covers/_merge_gtid handle first-class);
         # pymysqlreplication needs the explicit flag to request it
         kwargs["is_mariadb"] = True
-    if offset.gtid_set:
+    gtid_on = options.get("gtid_enabled", "true") != "false"
+    if offset.gtid_set and gtid_on:
         kwargs["auto_position"] = offset.gtid_set
     elif offset.file:
         kwargs.update(log_file=offset.file, log_pos=max(offset.pos, 4))

@@ -16,6 +16,7 @@ windows over the envelope stream.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -81,7 +82,13 @@ def build_pipeline(
             envelope_stream.writeStream.foreachBatch(count_ops)
             .option(
                 "checkpointLocation",
-                metrics_checkpoint or sinks[0].checkpoint_dir + "_metrics",
+                # default: a SIBLING of the sink checkpoints, named
+                # independently of any sink — reordering/renaming the
+                # [[sink]] blocks must not relocate this checkpoint
+                # (that would recount retained history into the
+                # counters on restart)
+                metrics_checkpoint
+                or str(Path(sinks[0].checkpoint_dir).parent / "_pipeline_metrics"),
             )
             .queryName("pipeline_metrics")
         )

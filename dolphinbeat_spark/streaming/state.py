@@ -250,7 +250,12 @@ def _bloom_positions(fp_hex: str, n_bits: int, k: int) -> list[int]:
     """k bit positions from a hex fingerprint — consume independent
     16-hex-char words, REPLACING the buffer with a fresh md5 chain
     when it runs out so no word is ever re-read (portable, no Python
-    hash() seed dependence)."""
+    hash() seed dependence).
+
+    STATE VERSIONING: the probe layout is part of the persisted bloom
+    state's format — changing this function invalidates checkpointed
+    filters (previously-admitted docs would be re-admitted). Bump the
+    checkpoint (fresh state) alongside any change here."""
     import hashlib
 
     h = fp_hex

@@ -65,6 +65,20 @@ def test_validation_errors(tmp_path):
     p2 = tmp_path / "nok.toml"
     p2.write_text(nok)
     assert any("broker_list" in e for e in DaemonConfig.from_toml(p2).validate())
+    # malformed http addr is a CONFIG error (caught at review, not at
+    # startup after the queries are already running)
+    noport = SAMPLE.read_text().replace('addr = "127.0.0.1:8080"', 'addr = "127.0.0.1"')
+    p3 = tmp_path / "noport.toml"
+    p3.write_text(noport)
+    assert any("host:port" in e for e in DaemonConfig.from_toml(p3).validate())
+
+
+def test_gtid_enabled_flows_to_source_options(tmp_path):
+    off = SAMPLE.read_text().replace("gtid_enabled = true", "gtid_enabled = false")
+    p = tmp_path / "off.toml"
+    p.write_text(off)
+    assert source_options(DaemonConfig.from_toml(p))["gtid_enabled"] == "false"
+    assert source_options(DaemonConfig.from_toml(SAMPLE))["gtid_enabled"] == "true"
 
 
 def test_cli_dry_run_prints_plan():
