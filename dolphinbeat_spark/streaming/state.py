@@ -9,9 +9,14 @@ genuinely need user-level state:
   high-watermark — O(1) state per producer, not a seen-set.
 - ``running_user_totals``: per-user running aggregates emitted every
   micro-batch (the CDC-consumer materialized-view pattern).
+- ``streaming_doc_dedup``: continuous-ingestion exact-content dedup —
+  per-shard Bloom filters in GroupState, bounded forever.
+- ``streaming_protobuf_consumer``: the reference kafka-consumer as a
+  long-running stateful decode (seq watermark + open fragment group
+  persisted across micro-batches).
 
-Both use GroupState with timeouts so state is bounded; both are
-Arrow-batched (pandas), the sanctioned slow path.
+All keep state bounded by construction; all are Arrow-batched
+(pandas), the sanctioned slow path.
 """
 
 from __future__ import annotations
