@@ -193,10 +193,16 @@ def resolve_plan(cfg: DaemonConfig) -> dict:
     return plan
 
 
-def run(cfg: DaemonConfig, spark=None):  # pragma: no cover - needs live MySQL
+def run(cfg: DaemonConfig, spark=None, source_format: str = "dolphinbeat_binlog",
+        source_options_extra: dict | None = None, trigger_once: bool = False):
     """Start the daemon: source stream(s) → per-sink queries + control
     server. Returns (spark, queries, control_server). Blocking is the
-    caller's choice (``spark.streams.awaitAnyTermination()``)."""
+    caller's choice (``spark.streams.awaitAnyTermination()``).
+
+    ``source_format``/``source_options_extra``/``trigger_once`` let
+    the integration test drive the EXACT runtime wiring against the
+    scripted fake-binlog source (register it first) — only the live
+    socket goes unexecuted, like everywhere else in this engine."""
     from functools import reduce
 
     from dolphinbeat_spark.schema.registry import SchemaRegistry
@@ -208,7 +214,8 @@ def run(cfg: DaemonConfig, spark=None):  # pragma: no cover - needs live MySQL
 
     plan = resolve_plan(cfg)
     spark = spark or get_spark("dolphinbeat")
-    spark.dataSource.register(BinlogDataSource)
+    if source_format == "dolphinbeat_binlog":  # pragma: no cover - needs live MySQL
+        spark.dataSource.register(BinlogDataSource)
     metrics = PipelineMetrics()
     spark.streams.addListener(metrics)
 
@@ -219,10 +226,11 @@ def run(cfg: DaemonConfig, spark=None):  # pragma: no cover - needs live MySQL
     shards = []
     for i in range(n_readers):
         opts = dict(plan["source"]["options"])
+        opts.update(source_options_extra or {})
         if n_readers > 1:
             opts.update(shard_index=str(i), shard_count=str(n_readers))
         shards.append(
-            spark.readStream.format("dolphinbeat_binlog").options(**opts).load()
+            spark.readStream.format(source_format).options(**opts).load()
         )
     stream = reduce(lambda a, b: a.unionByName(b), shards)
 
@@ -237,11 +245,11 @@ def run(cfg: DaemonConfig, spark=None):  # pragma: no cover - needs live MySQL
                     include=s["include"], exclude=s["exclude"],
                 )
             )
-        elif s["type"] == "kafka":
+        elif s["type"] == "kafka":  # pragma: no cover - needs broker
             queries.append(_start_kafka_sink(stream, s, cfg))
     if file_specs:
         queries += build_pipeline(
-            stream, file_specs, trigger_once=False, metrics=metrics,
+            stream, file_specs, trigger_once=trigger_once, metrics=metrics,
             metrics_checkpoint=str(Path(cfg.checkpoint_dir) / "_metrics"),
         )
 

@@ -484,7 +484,13 @@ def pq_adc_topk(
 
 
 def kmeans_centroids(
-    df: DataFrame, id_col: str, vec_col: str, k: int, seed: int = 42, max_iter: int = 10
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    seed: int = 42,
+    max_iter: int = 10,
+    init_mode: str = "k-means||",
 ) -> DataFrame:
     """Trained coarse quantizer for IVF: MLlib k-means over the
     embedding column, returning the (cid, cv) centroid contract
@@ -505,8 +511,12 @@ def kmeans_centroids(
         F.col(id_col),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
     )
+    # init_mode="random" skips the k-means|| init passes (2 extra
+    # distributed rounds) — the right trade for a COARSE quantizer,
+    # where a few refinement iterations matter more than seeding
     model = KMeans(
-        k=k, seed=seed, maxIter=max_iter, featuresCol="__features"
+        k=k, seed=seed, maxIter=max_iter, featuresCol="__features",
+        initMode=init_mode,
     ).fit(feats)
     spark = df.sparkSession
     cents = spark.createDataFrame(

@@ -471,7 +471,8 @@ def sim_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coarse quantizer needs cluster SHAPE, not convergence)
     train = emb.filter(F.col("vec_id") % 5 == 0)
     trained = S.kmeans_centroids(
-        train, "vec_id", "embedding", k=n_cent, seed=42, max_iter=4
+        train, "vec_id", "embedding", k=n_cent, seed=42, max_iter=4,
+        init_mode="random",
     )
     sampled = emb.filter(F.col("vec_id") % 40 == 7).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")

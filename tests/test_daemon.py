@@ -81,6 +81,95 @@ def test_gtid_enabled_flows_to_source_options(tmp_path):
     assert source_options(DaemonConfig.from_toml(SAMPLE))["gtid_enabled"] == "true"
 
 
+def test_daemon_run_end_to_end_on_fake_binlog(spark, tmp_path):
+    """run() drives the EXACT runtime wiring — sharded-or-single
+    source, fan-out file sinks, once-only metrics, control server —
+    against the scripted fake-binlog source; only the MySQL socket
+    goes unexecuted."""
+    import urllib.request
+
+    from dolphinbeat_spark.daemon import run
+    from dolphinbeat_spark.sources.binlog_fake import register_fake_binlog_source
+
+    register_fake_binlog_source(spark)
+    toml = f"""
+mysql_addr = "127.0.0.1:3306"
+server_id = 77
+[checkpoint]
+  dir = "{tmp_path}/ckp"
+[schema_tracker]
+  dir = "{tmp_path}/schema"
+[http_server]
+  addr = "127.0.0.1:0"
+[[sink]]
+  enabled = true
+  type = "stdout"
+  name = "all"
+  [sink.cfg]
+    out_dir = "{tmp_path}/out/all"
+[[sink]]
+  enabled = true
+  type = "stdout"
+  name = "fake_only"
+  include_table = ["test\\\\.fake_t"]
+  [sink.cfg]
+    out_dir = "{tmp_path}/out/fake_only"
+"""
+    p = tmp_path / "daemon.toml"
+    p.write_text(toml)
+    cfg = DaemonConfig.from_toml(p)
+    assert cfg.validate() == []
+    sparksess, queries, server = run(
+        cfg, spark,
+        source_format="dolphinbeat_binlog_fake",
+        source_options_extra={"schema_snapshot": "", "n_trx": "6",
+                              "rows_per_trx": "3",
+                              # explicit start position: no live
+                              # master to probe in the sandbox
+                              "file": "binlog.000001", "pos": "4"},
+        trigger_once=True,
+    )
+    try:
+        for q in queries:
+            q.awaitTermination(120)
+        all_ops = spark.read.parquet(f"{tmp_path}/out/all/batch=*")
+        by_op = {r["op_type"]: r["n"] for r in
+                 all_ops.groupBy("op_type").count()
+                 .withColumnRenamed("count", "n").collect()}
+        assert by_op["insert"] == 18 and by_op["commit"] == 6
+        assert by_op["ddl"] == 1
+        # per-sink include filter applied: all 18 row ops are
+        # test.fake_t (control markers pass through by design, F2)
+        fake_only = spark.read.parquet(f"{tmp_path}/out/fake_only/batch=*")
+        rows_only = fake_only.filter("op_type in ('insert','update','delete')")
+        assert rows_only.count() == 18
+        assert rows_only.filter("table <> 'fake_t'").count() == 0
+
+        # daemon-level counters: counted ONCE despite two sinks
+        # (run() starts the dedicated metrics query)
+        from dolphinbeat_spark.streaming.metrics import PipelineMetrics
+
+        # the metrics listener instance is attached inside run(); read
+        # through the control server instead (the operator's view)
+        port = server._httpd.server_address[1]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=5
+        ) as r:
+            text = r.read().decode()
+        metrics = {
+            parts[0]: float(parts[1])
+            for parts in (ln.split() for ln in text.splitlines()
+                          if ln and not ln.startswith("#"))
+            if len(parts) == 2 and "{" not in parts[0]
+        }
+        assert metrics["trx_total"] == 6
+        assert metrics["iud_total"] == 18
+        assert metrics["ddl_total"] == 1
+    finally:
+        if server:
+            server.stop()
+
+
 def test_cli_dry_run_prints_plan():
     out = subprocess.run(
         [sys.executable, "-m", "dolphinbeat_spark", "daemon",
