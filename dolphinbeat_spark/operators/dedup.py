@@ -286,6 +286,54 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
+def ngram_decontaminate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    test_pred: Column,
+    k: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination by k-gram overlap: flag every
+    TRAINING document sharing at least one k-word shingle with any
+    held-out/test document — the published method (13-gram collision)
+    for scrubbing eval benchmarks out of a pretraining corpus, where
+    exact/prefix matching misses benchmarks embedded mid-document and
+    near-dup similarity is too loose a net.
+
+    Scale shape: one scan shingles everything; test-side shingles are
+    DISTINCT (bounded by the benchmark corpus, typically tiny vs
+    training); the collision is a hash equi-join — the exchange
+    carries (shingle_hash, doc_id) longs, never text. Output one row
+    per contaminated training doc: (train_doc_id, n_shared_ngrams =
+    distinct colliding k-grams, n_test_docs = distinct test docs hit,
+    min_test_doc_id = the example to inspect)."""
+    from dolphinbeat_spark.functions.hashes import hash64
+    from dolphinbeat_spark.operators.text import tokens, word_shingles_from_tokens
+
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        tokens(F.col(text_col)).alias("__toks"),
+        test_pred.alias("__is_test"),
+    )
+    sh = base.select(
+        "__id",
+        "__is_test",
+        F.explode(word_shingles_from_tokens(F.col("__toks"), k)).alias("__g"),
+    ).select("__id", "__is_test", hash64(F.col("__g")).alias("__h"))
+    test_sh = (
+        sh.filter(F.col("__is_test"))
+        .select(F.col("__h"), F.col("__id").alias("__test_id"))
+        .distinct()
+    )
+    train_sh = sh.filter(~F.col("__is_test")).select("__h", "__id")
+    hits = train_sh.join(test_sh, "__h")
+    return hits.groupBy(F.col("__id").alias("train_doc_id")).agg(
+        F.countDistinct("__h").alias("n_shared_ngrams"),
+        F.countDistinct("__test_id").alias("n_test_docs"),
+        F.min("__test_id").alias("min_test_doc_id"),
+    )
+
+
 def connected_components_star(
     pairs: DataFrame,
     id_a: str = "id_a",

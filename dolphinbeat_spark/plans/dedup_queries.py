@@ -198,6 +198,49 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components_star(pairs).orderBy("node")
 
 
+_DECON_K = 5  # 13 in production; the synthetic docs are short
+_DECON_SHINGLES = (
+    f"list_distinct(list_transform(range(1, greatest(len({_TOKS}) - {_DECON_K - 1}, 0) + 1), "
+    f"i -> array_to_string(({_TOKS})[i:i+{_DECON_K - 1}], ' ')))"
+)
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, doc_id % 17 = 0 AS is_test,
+         {hash64_sql('g')} AS h
+  FROM (SELECT doc_id, text, unnest({_DECON_SHINGLES}) AS g FROM documents)
+), test_sh AS (
+  SELECT DISTINCT h, doc_id AS test_id FROM sh WHERE is_test
+), train_sh AS (
+  SELECT h, doc_id FROM sh WHERE NOT is_test
+)
+SELECT tr.doc_id AS train_doc_id,
+       COUNT(DISTINCT tr.h) AS n_shared_ngrams,
+       COUNT(DISTINCT te.test_id) AS n_test_docs,
+       MIN(te.test_id) AS min_test_doc_id
+FROM train_sh tr JOIN test_sh te ON te.h = tr.h
+GROUP BY tr.doc_id
+ORDER BY train_doc_id
+""",
+    tags=("dedup", "contamination", "llm-pipeline"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by k-gram collision (the published
+    13-gram method; k={_DECON_K} here for the short synthetic docs):
+    training documents sharing any k-word shingle with the held-out
+    split (doc_id %% 17 == 0 stands in for a benchmark corpus) are
+    flagged with collision counts — stricter than the prefix heuristic
+    (catches benchmarks embedded MID-document), tighter than near-dup
+    similarity. operators/dedup.py::ngram_decontaminate."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    return D.ngram_decontaminate(
+        d, "doc_id", "text", (F.col("doc_id") % 17 == 0), k=_DECON_K
+    ).orderBy("train_doc_id")
+
+
 @register(
     "fuzzy_match_levenshtein",
     oracle="""
