@@ -212,11 +212,38 @@ def cosine_near_dup_pairs_banded(
     )
 
 
-def hyperplane_coeff(p: Column, d: Column) -> Column:
+def hyperplane_coeff(p: Column, d: Column, salt: str = HYPERPLANE_SALT) -> Column:
     """Deterministic pseudo-random coefficient in [-1, 1] for plane p,
     dim d — portable across engines via the md5 hash."""
-    key = F.concat_ws("-", F.lit(HYPERPLANE_SALT), p.cast("string"), d.cast("string"))
+    key = F.concat_ws("-", F.lit(salt), p.cast("string"), d.cast("string"))
     return (hash64(key) % 2001 - 1000) / F.lit(1000.0)
+
+
+def random_projection(
+    vec_col: Column | str, out_dim: int, dim: int, salt: str = "jl"
+) -> Column:
+    """Johnson-Lindenstrauss random projection: dim → out_dim with a
+    deterministic dense ±-random matrix (hyperplane_coeff, so the
+    DuckDB oracle regenerates the identical matrix). JL preserves
+    pairwise distances within (1±ε) for out_dim = O(log n / ε²) — the
+    standard dimensionality cut before a brute-force or IVF scan when
+    the embedding width, not the row count, is the cost driver
+    (distance cost drops dim/out_dim-fold for every query). Fold
+    order: per output dim, ascending input dims — bit-identical
+    cross-engine."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    js = F.sequence(F.lit(0), F.lit(out_dim - 1))
+
+    def proj(j: Column) -> Column:
+        dims = F.sequence(F.lit(1), F.lit(dim))
+        prods = F.transform(
+            dims,
+            lambda d: F.element_at(v, d).cast("double")
+            * hyperplane_coeff(j, d, salt=salt),
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    return F.transform(js, proj)
 
 
 def lsh_bucket(vec_col: Column | str, num_planes: int, dim: int) -> Column:

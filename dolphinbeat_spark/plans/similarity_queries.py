@@ -374,6 +374,81 @@ def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JL_DIM = 16
+_JL_COEFF = (
+    f"(({hash64_sql(chr(39) + 'jl-' + chr(39) + ' || CAST(j AS VARCHAR) || ' + chr(39) + '-' + chr(39) + ' || CAST(d AS VARCHAR)')}) % 2001 - 1000) / 1000.0"
+)
+_JL_PROJ = f"""
+list_transform(range(0, {_JL_DIM}), j ->
+  list_reduce(list_transform(range(1, {DIM} + 1),
+    d -> CAST(embedding[d] AS DOUBLE) * {_JL_COEFF}),
+    (acc, x) -> acc + x))
+"""
+
+
+@register(
+    "sim_random_projection_recall",
+    oracle=f"""
+WITH proj AS (
+  SELECT vec_id, {_JL_PROJ} AS pv FROM embeddings
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cos('q.pv', 'c.pv')} DESC, c.vec_id) AS rank
+    FROM proj q JOIN proj c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id % 50 = 0
+  ) WHERE rank <= {K}
+), brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cos('q.embedding', 'c.embedding')} DESC, c.vec_id) AS rank
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id % 50 = 0
+  ) WHERE rank <= {K}
+)
+SELECT COUNT(DISTINCT b.query_id) AS n_queries,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
+       CAST(COUNT(*) AS BIGINT) AS truth_pairs,
+       CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+FROM brute b
+LEFT JOIN approx a ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+""",
+    tags=("similarity", "ann", "projection", "eval"),
+)
+def sim_random_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality cut: project {DIM}→{_JL_DIM}
+    dims with a deterministic dense random matrix, run the brute-force
+    scan in the reduced space (distance cost drops 4x per query), and
+    measure recall@{K} against the full-dim truth on the bounded query
+    subset — the standard accept/reject eval for trading embedding
+    width against recall (operators/similarity.py::random_projection)."""
+    emb = load(spark, sf_dir, "embeddings", widen=True)
+    proj = emb.select(
+        "vec_id", S.random_projection("embedding", _JL_DIM, DIM).alias("pv")
+    )
+    q_pred = F.col("vec_id") % 50 == 0
+    approx = S.brute_force_topk(
+        proj.filter(q_pred), proj, "vec_id", "pv", K
+    ).select("query_id", "neighbor_id")
+    brute = S.brute_force_topk(
+        emb.filter(q_pred), emb, "vec_id", "embedding", K
+    ).select("query_id", "neighbor_id")
+    joined = brute.alias("b").join(
+        approx.alias("a"),
+        (F.col("b.query_id") == F.col("a.query_id"))
+        & (F.col("b.neighbor_id") == F.col("a.neighbor_id")),
+        "left",
+    )
+    return joined.agg(
+        F.countDistinct("b.query_id").alias("n_queries"),
+        F.count("a.neighbor_id").alias("hits"),
+        F.count(F.lit(1)).alias("truth_pairs"),
+        (F.count("a.neighbor_id").cast("double") / F.count(F.lit(1))).alias("recall_at_k"),
+    )
+
+
 _PQ_M, _PQ_SUB = 4, DIM // 4
 _PQ_D2 = (
     "list_reduce(list_transform(list_zip({a}, {b}), "
