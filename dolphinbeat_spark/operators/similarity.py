@@ -219,31 +219,45 @@ def hyperplane_coeff(p: Column, d: Column, salt: str = HYPERPLANE_SALT) -> Colum
     return (hash64(key) % 2001 - 1000) / F.lit(1000.0)
 
 
+def projection_coeff(j: int, d: int, salt: str = "jl") -> float:
+    """Python twin of hyperplane_coeff for DRIVER-side matrix
+    materialization — same md5 derivation, same double math."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{salt}-{j}-{d}".encode()).hexdigest()[:12], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
 def random_projection(
     vec_col: Column | str, out_dim: int, dim: int, salt: str = "jl"
 ) -> Column:
     """Johnson-Lindenstrauss random projection: dim → out_dim with a
-    deterministic dense ±-random matrix (hyperplane_coeff, so the
-    DuckDB oracle regenerates the identical matrix). JL preserves
-    pairwise distances within (1±ε) for out_dim = O(log n / ε²) — the
-    standard dimensionality cut before a brute-force or IVF scan when
-    the embedding width, not the row count, is the cost driver
-    (distance cost drops dim/out_dim-fold for every query). Fold
-    order: per output dim, ascending input dims — bit-identical
-    cross-engine."""
+    deterministic dense ±-random matrix. JL preserves pairwise
+    distances within (1±ε) for out_dim = O(log n / ε²) — the standard
+    dimensionality cut before a brute-force or IVF scan when the
+    embedding width, not the row count, is the cost driver (distance
+    cost drops dim/out_dim-fold for every query).
+
+    The matrix is materialized ONCE driver-side (projection_coeff —
+    the same md5 derivation the DuckDB oracle regenerates) and
+    embedded as literal arrays: scoring a row costs out_dim ordered
+    folds, never out_dim×dim per-row md5 evaluations. Fold order: per
+    output dim, ascending input dims — bit-identical cross-engine."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    js = F.sequence(F.lit(0), F.lit(out_dim - 1))
-
-    def proj(j: Column) -> Column:
-        dims = F.sequence(F.lit(1), F.lit(dim))
-        prods = F.transform(
-            dims,
-            lambda d: F.element_at(v, d).cast("double")
-            * hyperplane_coeff(j, d, salt=salt),
+    dv = v.cast("array<double>")
+    out = []
+    for j in range(out_dim):
+        row = F.array(*[
+            F.lit(projection_coeff(j, d, salt)) for d in range(1, dim + 1)
+        ])
+        out.append(
+            F.aggregate(
+                F.zip_with(dv, row, lambda a, c: a * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         )
-        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-
-    return F.transform(js, proj)
+    return F.array(*out)
 
 
 def lsh_bucket(vec_col: Column | str, num_planes: int, dim: int) -> Column:
