@@ -261,26 +261,32 @@ def random_projection(
 
 
 def lsh_bucket(vec_col: Column | str, num_planes: int, dim: int) -> Column:
-    """Random-hyperplane signature: bit p = 1 iff dot(vec, plane_p) >= 0."""
+    """Random-hyperplane signature: bit p = 1 iff dot(vec, plane_p) >= 0.
+
+    Plane coefficients are materialized ONCE driver-side
+    (projection_coeff with the hyperplane salt — the exact values the
+    DuckDB oracle regenerates via md5) and embedded as literal arrays:
+    signing a row costs num_planes ordered folds, never
+    num_planes×dim per-row md5 evaluations (~770 md5/row at the
+    default 12×64 — measured 5× off the near-dup specs)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    planes = F.sequence(F.lit(0), F.lit(num_planes - 1))
-
-    def plane_dot(p: Column) -> Column:
-        dims = F.sequence(F.lit(1), F.lit(dim))
-        prods = F.transform(
-            dims, lambda d: F.element_at(v, d).cast("double") * hyperplane_coeff(p, d)
+    dv = v.cast("array<double>")
+    acc = F.lit(0).cast("bigint")
+    out = None
+    for p in range(num_planes):
+        plane = F.array(*[
+            F.lit(projection_coeff(p, d, HYPERPLANE_SALT)) for d in range(1, dim + 1)
+        ])
+        dot_p = F.aggregate(
+            F.zip_with(dv, plane, lambda a, c: a * c),
+            F.lit(0.0),
+            lambda acc_, x: acc_ + x,
         )
-        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-
-    # 2^p via pow(): exact for p < 53; shiftleft() needs a literal
-    # shift amount so it can't be used inside the lambda
-    bits = F.transform(
-        planes,
-        lambda p: F.when(
-            plane_dot(p) >= 0, F.pow(F.lit(2.0), p.cast("double")).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint")),
-    )
-    return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+        bit = F.when(dot_p >= 0, F.lit(1 << p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        out = bit if out is None else out + bit
+    return out
 
 
 def ivf_assign(
