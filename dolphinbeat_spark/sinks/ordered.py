@@ -501,7 +501,15 @@ def decode_protobuf_messages(messages: DataFrame, value_col: str = "value") -> D
         dec = wp.OperationDecoder()
         rows = []
         for _, r in pdf.iterrows():
-            res = dec.feed(bytes(r["value"]))
+            try:
+                res = dec.feed(bytes(r["value"]))
+            except Exception as ex:  # noqa: BLE001 - corrupt message
+                rows.append(
+                    (int(r["producer_id"]), None, 0, 0)
+                    + corrupt_row_tail(ex, int(r["seq"]))
+                )
+                dec._fragments = []  # don't let it poison the next group
+                continue
             if res is None:
                 continue
             for i, op in enumerate(res.ops):
@@ -521,6 +529,23 @@ OP_TAIL_COLS = [
     "statement", "next_log_name", "progress_gset",
     "before", "before_null", "after", "after_null",
 ]
+
+
+def corrupt_row_tail(ex: Exception, pos: int) -> tuple:
+    """Dead-letter row for a message the decode chain rejects
+    (truncated varint, bad wiretype, zlib failure, mid-group jump):
+    op_type='corrupt', the error in ``statement``, the transport
+    coordinate in ``log_pos`` — the stream CONTINUES past it instead
+    of crash-looping on one bad Kafka message. If the Message envelope
+    itself parsed, the seq chain already advanced, so subsequent
+    groups decode; an unreadable envelope can't advance the chain
+    (strict like the reference) and the dead letter is the operator's
+    signal to reset the consumer at a known seq."""
+    return (
+        "corrupt", None, None, pos, None, None, None,
+        f"{type(ex).__name__}: {ex}", None, None,
+        None, None, None, None,
+    )
 
 
 def op_row_tails(op: dict) -> list:

@@ -182,8 +182,18 @@ def _proto_decode_fn(
         if chunks
         else pd.DataFrame(columns=["value", "arrival"])
     )
+    from dolphinbeat_spark.sinks.ordered import corrupt_row_tail
+
     for _, r in whole.iterrows():
-        res = dec.feed(bytes(r["value"]), offset=int(r["arrival"]))
+        try:
+            res = dec.feed(bytes(r["value"]), offset=int(r["arrival"]))
+        except Exception as ex:  # noqa: BLE001 - corrupt message: dead-letter
+            out.append(
+                (dec._cur_producer, None, 0, 0)
+                + corrupt_row_tail(ex, int(r["arrival"]))
+            )
+            dec._fragments = []
+            continue
         if res is None:
             continue
         for i, op in enumerate(res.ops):

@@ -12,6 +12,7 @@ from __future__ import annotations
 import zlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from dolphinbeat_spark.envelope import golden_sequences
 from dolphinbeat_spark.schema.registry import SchemaRegistry
@@ -498,6 +499,38 @@ def test_streaming_decoder_tolerates_out_of_order_arrow_chunks():
     assert out, "decoder stalled on out-of-order chunks"
     got = pd.concat(out)
     assert list(got["op_type"]) == [r["op_type"] for r in golden_sequences()]
+
+
+def test_corrupt_message_dead_letters_and_stream_continues(spark):
+    """One Kafka message with a corrupted payload must not crash-loop
+    or stall the consumer: it dead-letters as op_type='corrupt' and
+    every other group still decodes (the seq chain advanced when the
+    envelope parsed)."""
+    from dolphinbeat_spark.sinks.ordered import decode_protobuf_messages
+
+    msgs = wp.build_messages(_chunks(), base_seq=0, producer_id=1, ops_per_payload=4)
+    assert len(msgs) >= 3
+    # corrupt the MIDDLE message's payload bytes but keep its envelope:
+    # re-encode with garbage payload under the same seq/group
+    seq1, _ = msgs[1]
+    bad = wp.encode_message(
+        seq=seq1, producer_id=1, group_id=seq1, payload=b"\xff\xff\xff\xff"
+    )
+    values = [msgs[0][1], bad, msgs[2][1]] + [d for _, d in msgs[3:]]
+    df = spark.createDataFrame(
+        [(i + 1, bytearray(v)) for i, v in enumerate(values)],
+        "seq long, value binary",
+    ).withColumn("producer_id", F.lit(1).cast("long"))
+    got = decode_protobuf_messages(df.select("producer_id", "seq", "value"))
+    rows = got.collect()
+    corrupt = [r for r in rows if r["op_type"] == "corrupt"]
+    assert len(corrupt) == 1
+    assert "ValueError" in corrupt[0]["statement"] or "truncated" in corrupt[0]["statement"]
+    ok_ops = [r["op_type"] for r in rows if r["op_type"] != "corrupt"]
+    # groups before AND after the corrupt message decoded
+    n_golden = len(golden_sequences())
+    assert len(ok_ops) == n_golden - 4  # the corrupted group's 4 ops lost
+    assert ok_ops[:4] == [o["op_type"] for o in golden_sequences()[:4]]
 
 
 # ---------------------------------------------------------------------------
