@@ -466,6 +466,46 @@ def test_pack_rows_producer_matches_reference_wire_shape(spark, tmp_path):
     assert consume(packed_msgs, "p") == consume(plain_msgs, "u")
 
 
+def test_pack_rows_multirow_update_keeps_both_images(spark, tmp_path):
+    """Packed multi-row UPDATE: each Row carries its own before AND
+    after image, in row_index order."""
+    from dolphinbeat_spark.envelope import empty_op
+    from dolphinbeat_spark.sinks.ordered import ProtobufKafkaSink
+
+    common = dict(server_id=1, log_name="binlog.000001", timestamp=1000,
+                  db="test", table="canal_test", schema_version=1)
+    ops = [
+        empty_op(op_type="update", log_pos=500, row_index=i,
+                 before={"id": str(i + 1), "name": "old", "content": ""},
+                 before_null={"id": False, "name": False, "content": False},
+                 after={"id": str(i + 1), "name": f"new{i}", "content": ""},
+                 after_null={"id": False, "name": False, "content": False},
+                 **common)
+        for i in range(2)
+    ]
+    from dolphinbeat_spark.envelope import ENVELOPE_SCHEMA
+
+    batch = spark.createDataFrame(
+        [tuple(op[f.name] for f in ENVELOPE_SCHEMA.fields) for op in ops],
+        ENVELOPE_SCHEMA,
+    )
+    captured = []
+    ProtobufKafkaSink(
+        meta_dir=str(tmp_path / "m"), registry=_registry(),
+        produce=lambda seq, v: captured.append((seq, v)), pack_rows=True,
+    )(batch, batch_id=0)
+    dec = wp.OperationDecoder()
+    ops_out = []
+    for i, (_, d) in enumerate(captured):
+        r = dec.feed(d, offset=i)
+        if r:
+            ops_out.extend(r.ops)
+    assert len(ops_out) == 1 and len(ops_out[0]["rows"]) == 2
+    for i, row in enumerate(ops_out[0]["rows"]):
+        assert [c["value"] for c in row["before"]][1] == "old"
+        assert [c["value"] for c in row["after"]][1] == f"new{i}"
+
+
 def test_streaming_decoder_tolerates_out_of_order_arrow_chunks():
     """applyInPandasWithState may deliver a group's rows split across
     Arrow chunks in arbitrary order — the decode fn must concat ALL
