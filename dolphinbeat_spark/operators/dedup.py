@@ -300,32 +300,33 @@ def ngram_decontaminate(
     exact/prefix matching misses benchmarks embedded mid-document and
     near-dup similarity is too loose a net.
 
-    Scale shape: one scan shingles everything; test-side shingles are
-    DISTINCT (bounded by the benchmark corpus, typically tiny vs
-    training); the collision is a hash equi-join — the exchange
-    carries (shingle_hash, doc_id) longs, never text. Output one row
-    per contaminated training doc: (train_doc_id, n_shared_ngrams =
-    distinct colliding k-grams, n_test_docs = distinct test docs hit,
-    min_test_doc_id = the example to inspect)."""
+    Scale shape: the test/train split happens BEFORE shingling, so
+    each document is tokenized+shingled+hashed exactly once (filtering
+    a shared shingled view would shingle the whole corpus in BOTH join
+    branches); test-side shingles are DISTINCT (bounded by the
+    benchmark corpus, typically tiny vs training); the collision is a
+    hash equi-join — the exchange carries (shingle_hash, doc_id)
+    longs, never text. Output one row per contaminated training doc:
+    (train_doc_id, n_shared_ngrams = distinct colliding k-grams,
+    n_test_docs = distinct test docs hit, min_test_doc_id = the
+    example to inspect)."""
     from dolphinbeat_spark.functions.hashes import hash64
     from dolphinbeat_spark.operators.text import tokens, word_shingles_from_tokens
 
-    base = docs.select(
-        F.col(id_col).alias("__id"),
-        tokens(F.col(text_col)).alias("__toks"),
-        test_pred.alias("__is_test"),
-    )
-    sh = base.select(
-        "__id",
-        "__is_test",
-        F.explode(word_shingles_from_tokens(F.col("__toks"), k)).alias("__g"),
-    ).select("__id", "__is_test", hash64(F.col("__g")).alias("__h"))
+    def shingled(side):
+        return side.select(
+            F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks")
+        ).select(
+            "__id",
+            F.explode(word_shingles_from_tokens(F.col("__toks"), k)).alias("__g"),
+        ).select("__id", hash64(F.col("__g")).alias("__h"))
+
     test_sh = (
-        sh.filter(F.col("__is_test"))
+        shingled(docs.filter(test_pred))
         .select(F.col("__h"), F.col("__id").alias("__test_id"))
         .distinct()
     )
-    train_sh = sh.filter(~F.col("__is_test")).select("__h", "__id")
+    train_sh = shingled(docs.filter(~test_pred)).select("__h", "__id")
     hits = train_sh.join(test_sh, "__h")
     return hits.groupBy(F.col("__id").alias("train_doc_id")).agg(
         F.countDistinct("__h").alias("n_shared_ngrams"),

@@ -31,7 +31,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from dolphinbeat_spark.functions.hashes import hash64
 from dolphinbeat_spark.functions.vector import cosine_similarity
 
 HYPERPLANE_SALT = "rh"
@@ -212,16 +211,13 @@ def cosine_near_dup_pairs_banded(
     )
 
 
-def hyperplane_coeff(p: Column, d: Column, salt: str = HYPERPLANE_SALT) -> Column:
-    """Deterministic pseudo-random coefficient in [-1, 1] for plane p,
-    dim d — portable across engines via the md5 hash."""
-    key = F.concat_ws("-", F.lit(salt), p.cast("string"), d.cast("string"))
-    return (hash64(key) % 2001 - 1000) / F.lit(1000.0)
-
-
 def projection_coeff(j: int, d: int, salt: str = "jl") -> float:
-    """Python twin of hyperplane_coeff for DRIVER-side matrix
-    materialization — same md5 derivation, same double math."""
+    """Deterministic pseudo-random coefficient in [-1, 1] for plane j,
+    dim d — THE single source of truth for every projection matrix
+    (LSH hyperplanes, JL). Derivation: first 12 hex digits of
+    md5("{salt}-{j}-{d}") as an int, mapped into [-1, 1] — exactly
+    what the DuckDB oracles regenerate SQL-side (hash64_sql), so
+    driver-materialized matrices stay bit-identical cross-engine."""
     import hashlib
 
     h = int(hashlib.md5(f"{salt}-{j}-{d}".encode()).hexdigest()[:12], 16)

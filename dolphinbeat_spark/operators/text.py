@@ -64,7 +64,12 @@ def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     reference — a quadratic blowup on long documents.
     """
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    # guard n < k explicitly: sequence(1, 0) is DESCENDING in Spark
+    # ([1, 0] — not empty), and element_at(toks, 0) then throws under
+    # ANSI. A doc shorter than k tokens has NO k-shingles.
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     shingle = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])  # noqa: E731
     return F.array_distinct(F.transform(idx, shingle))
 

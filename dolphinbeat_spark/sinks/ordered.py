@@ -472,15 +472,21 @@ def decode_protobuf_messages(messages: DataFrame, value_col: str = "value") -> D
 
     def head(batches):
         for pdf in batches:
-            vals = pdf[value_col]
-            heads = [wp.decode_message(bytes(v)) for v in vals]
-            yield pd.DataFrame(
-                {
-                    "producer_id": [h["producer_id"] for h in heads],
-                    "seq": [h["seq"] for h in heads],
-                    "value": [bytes(v) for v in vals],
-                }
-            )
+            out = {"producer_id": [], "seq": [], "value": []}
+            for v in pdf[value_col]:
+                raw = bytes(v)
+                try:
+                    h = wp.decode_message(raw)
+                    out["producer_id"].append(h["producer_id"])
+                    out["seq"].append(h["seq"])
+                except Exception:  # noqa: BLE001 - unreadable envelope:
+                    # route to the dead-letter producer group (-1); the
+                    # decode stage emits it as an op_type='corrupt' row
+                    # instead of the task crash-looping here
+                    out["producer_id"].append(-1)
+                    out["seq"].append(0)
+                out["value"].append(raw)
+            yield pd.DataFrame(out)
 
     headed = messages.mapInPandas(
         head, schema="producer_id long, seq long, value binary"
@@ -501,14 +507,19 @@ def decode_protobuf_messages(messages: DataFrame, value_col: str = "value") -> D
         dec = wp.OperationDecoder()
         rows = []
         for _, r in pdf.iterrows():
+            if int(r["producer_id"]) == -1:  # unreadable envelope (head)
+                rows.append(
+                    (-1, None, 0, 0)
+                    + corrupt_row_tail(ValueError("unreadable Message envelope"), 0)
+                )
+                continue
             try:
                 res = dec.feed(bytes(r["value"]))
-            except Exception as ex:  # noqa: BLE001 - corrupt message
+            except Exception as ex:  # noqa: BLE001 - corrupt payload
                 rows.append(
                     (int(r["producer_id"]), None, 0, 0)
                     + corrupt_row_tail(ex, int(r["seq"]))
                 )
-                dec._fragments = []  # don't let it poison the next group
                 continue
             if res is None:
                 continue

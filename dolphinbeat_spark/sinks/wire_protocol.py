@@ -538,14 +538,22 @@ class OperationDecoder:
                 "compression": msg["compression"],
             }
         elif msg["group_id"] != self._group["group_id"]:
+            self._fragments = []  # restore the invariant before raising
             raise RuntimeError("unexpected new group amid uncompleted fragments")
         self._fragments.append(msg["payload"])
 
         if msg["more_fragment"]:
             return None
-        ops = decode_payload_ops(
-            b"".join(self._fragments), self._group["compression"]
-        )
+        try:
+            ops = decode_payload_ops(
+                b"".join(self._fragments), self._group["compression"]
+            )
+        except Exception:
+            # corrupt payload: drop the group so the NEXT group decodes
+            # cleanly (the seq chain already advanced above); callers
+            # dead-letter the exception and continue
+            self._fragments = []
+            raise
         result = OutputResult(
             ops=ops,
             begin_seq=self._group["begin_seq"],

@@ -188,11 +188,11 @@ def _proto_decode_fn(
         try:
             res = dec.feed(bytes(r["value"]), offset=int(r["arrival"]))
         except Exception as ex:  # noqa: BLE001 - corrupt message: dead-letter
+            # feed() restored its own group invariant before raising
             out.append(
                 (dec._cur_producer, None, 0, 0)
                 + corrupt_row_tail(ex, int(r["arrival"]))
             )
-            dec._fragments = []
             continue
         if res is None:
             continue

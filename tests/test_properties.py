@@ -232,3 +232,36 @@ def test_apply_batch_matches_sequential_replay(spark, tmp_path_factory, ops, spl
         else {}
     )
     assert got == _dict_replay(ops)
+
+
+def test_short_doc_shingles_empty_not_crash(spark):
+    """A document shorter than k tokens has NO k-shingles — Spark's
+    sequence(1, 0) is DESCENDING ([1, 0]), which used to drive
+    element_at out of bounds under ANSI and kill the query (the
+    production k=13 on any real corpus hits this immediately)."""
+    from pyspark.sql import functions as F
+
+    from dolphinbeat_spark.operators.dedup import ngram_decontaminate
+    from dolphinbeat_spark.operators.text import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "only three tokens"),
+         (2, "longer document with exactly seven tokens here"),
+         (3, "only three tokens")],
+        "doc_id long, text string",
+    )
+    sizes = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", F.size(word_shingles("text", 13)).alias("n")).collect()}
+    assert sizes == {1: 0, 2: 0, 3: 0}
+    # k at the boundary: a 3-token doc has exactly one 3-shingle
+    assert df.filter("doc_id = 1").select(
+        F.size(word_shingles("text", 3)).alias("n")).collect()[0]["n"] == 1
+    # decontaminate with k > every doc length: no rows, no crash
+    assert ngram_decontaminate(
+        df, "doc_id", "text", (F.col("doc_id") == 1), k=13
+    ).collect() == []
+    # and with matching k the duplicated short doc is flagged
+    got = ngram_decontaminate(
+        df, "doc_id", "text", (F.col("doc_id") == 1), k=3
+    ).collect()
+    assert [r["train_doc_id"] for r in got] == [3]

@@ -573,6 +573,21 @@ def test_corrupt_message_dead_letters_and_stream_continues(spark):
     assert ok_ops[:4] == [o["op_type"] for o in golden_sequences()[:4]]
 
 
+def test_unreadable_envelope_dead_letters_too(spark):
+    """Total garbage bytes (the Message ENVELOPE itself unreadable, the
+    common real truncation) must also dead-letter instead of crashing
+    the head-extraction task."""
+    from dolphinbeat_spark.sinks.ordered import decode_protobuf_messages
+
+    msgs = wp.build_messages(_chunks(), base_seq=0, producer_id=1)
+    values = [msgs[0][1], b"\xff\xfe\x80\x80\x80"]
+    df = spark.createDataFrame([(bytearray(v),) for v in values], "value binary")
+    rows = decode_protobuf_messages(df).collect()
+    corrupt = [r for r in rows if r["op_type"] == "corrupt"]
+    assert len(corrupt) == 1 and "envelope" in corrupt[0]["statement"]
+    assert len([r for r in rows if r["op_type"] != "corrupt"]) == len(golden_sequences())
+
+
 # ---------------------------------------------------------------------------
 # property-based: the wire survives arbitrary content and framing
 # ---------------------------------------------------------------------------
