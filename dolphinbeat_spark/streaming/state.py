@@ -355,6 +355,133 @@ def streaming_doc_dedup(
     )
 
 
+# ---------------------------------------------------------------------------
+# streaming NEAR-dup dedup: minhash-band flags over bounded Bloom state
+# ---------------------------------------------------------------------------
+
+_BAND_FLAGS_OUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("band", LongType()),
+        StructField("was_seen", BooleanType()),
+    ]
+)
+
+
+def make_band_flags_fn(n_bits: int = 1 << 20, k_hashes: int = 5):
+    """Per-shard mark-and-report over band keys: marks every key,
+    reports whether it was already present (no dropping here — the
+    admit decision needs ALL of a doc's bands, aggregated by
+    :func:`near_dup_admitted`)."""
+    import numpy as np
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            n_marked, raw = state.get
+            bloom = np.frombuffer(bytes(raw), dtype=np.uint8).copy()
+        else:
+            n_marked, bloom = 0, np.zeros(n_bits // 8, dtype=np.uint8)
+        out = []
+        for pdf in pdfs:
+            for _, r in pdf.sort_values(["doc_id", "band"]).iterrows():
+                pos = _bloom_positions(str(r["band_key"]), n_bits, k_hashes)
+                seen = all(bloom[p >> 3] & (1 << (p & 7)) for p in pos)
+                if not seen:
+                    for p in pos:
+                        bloom[p >> 3] |= 1 << (p & 7)
+                    n_marked += 1
+                out.append((int(r["doc_id"]), int(r["band"]), bool(seen)))
+        state.update((n_marked, bloom.tobytes()))
+        if out:
+            yield pd.DataFrame(out, columns=["doc_id", "band", "was_seen"])
+
+    return fn
+
+
+def streaming_band_flags(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    n_shards: int = 64,
+    n_bits: int = 1 << 20,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """STREAMING near-dup detection, stage 1: minhash-band the text
+    (map-only Catalyst, the batch pipeline's exact banding math) and
+    mark-and-report each band key against per-shard Bloom state.
+    Output: one (doc_id, band, was_seen) row per band — aggregate with
+    :func:`near_dup_admitted` (all of a doc's flags land in the same
+    micro-batch, so a foreachBatch consumer composes them directly).
+
+    Semantics (the streaming trade, documented): a doc is a near-dup
+    candidate if ANY band was seen before — standard LSH OR-
+    amplification, but WITHOUT the batch pipeline's exact-similarity
+    verify, and a flagged doc's other bands still mark the filter
+    (conservative over-dropping on later arrivals). State stays
+    n_shards × n_bits/8 bytes forever."""
+    from pyspark.sql import functions as F
+
+    from dolphinbeat_spark.functions.hashes import affine_hash, hash64, minhash_params
+    from dolphinbeat_spark.operators.text import tokens, word_shingles_from_tokens
+
+    params = minhash_params(num_perm)
+    rows_per_band = num_perm // bands
+    toked = stream.select(
+        F.col(id_col).cast("long").alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") >= shingle_k)
+    hashed = toked.select(
+        "doc_id",
+        F.transform(
+            word_shingles_from_tokens(F.col("__toks"), shingle_k), lambda s: hash64(s)
+        ).alias("__hs"),
+    )
+    mh = [
+        F.array_min(F.transform("__hs", lambda h: affine_hash(h, a, b)))
+        for (a, b) in params
+    ]
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("long").alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[m.cast("string") for m in mh[b * rows_per_band:(b + 1) * rows_per_band]],
+                )
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = hashed.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("e")
+    ).select(
+        "doc_id",
+        F.col("e.band").alias("band"),
+        F.col("e.band_key").alias("band_key"),
+        F.pmod(F.crc32(F.col("e.band_key").cast("binary")), F.lit(n_shards)).alias("shard"),
+    )
+    return banded.groupBy("shard").applyInPandasWithState(
+        make_band_flags_fn(n_bits, k_hashes),
+        outputStructType=_BAND_FLAGS_OUT,
+        stateStructType=_DOC_DEDUP_STATE,  # same (count, bloom) shape
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def near_dup_admitted(flags: DataFrame) -> DataFrame:
+    """Stage 2 (per micro-batch, e.g. inside foreachBatch): collapse a
+    doc's band flags — admitted iff NO band was previously seen."""
+    from pyspark.sql import functions as F
+
+    return flags.groupBy("doc_id").agg(
+        (~F.bool_or("was_seen")).alias("admitted"),
+        F.count(F.lit(1)).alias("n_bands"),
+    )
+
+
 # The Spark 4 transformWithStateInPandas form of dedup_by_seq lives in
 # streaming/state_v2.py (dedup_by_seq_v2) — typed state handles, same
 # O(1) watermark discipline; environment-gated on google.protobuf.

@@ -175,6 +175,64 @@ def test_streaming_doc_dedup_end_to_end(spark, tmp_path):
     assert not any(100 <= i < 200 for i in new_ids), "cross-wave dup admitted"
 
 
+def test_streaming_near_dup_band_flags(spark, tmp_path):
+    """Two arrival waves: a near-duplicate of a wave-1 doc (same text,
+    so every band collides) is flagged on resume; unrelated docs admit.
+    All of a doc's band flags land in its own micro-batch, so the
+    per-batch admit aggregation composes in foreachBatch."""
+    import json
+
+    from dolphinbeat_spark.streaming.state import (
+        near_dup_admitted,
+        streaming_band_flags,
+    )
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog today",
+        2: "an entirely different document about database replication logs",
+    }
+    (src / "w1.json").write_text("\n".join(
+        json.dumps({"doc_id": i, "text": t}) for i, t in texts.items()))
+    out_dir = str(tmp_path / "flags")
+
+    def run_wave():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1").json(str(src))
+        )
+        q = (
+            streaming_band_flags(stream, n_shards=8, n_bits=1 << 14)
+            .writeStream.format("parquet").option("path", out_dir)
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckp"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_wave()
+    flags1 = spark.read.parquet(out_dir)
+    adm1 = {r["doc_id"]: r["admitted"] for r in near_dup_admitted(flags1).collect()}
+    assert adm1 == {1: True, 2: True}
+
+    # wave 2: doc 10 = exact near-dup of doc 1; doc 11 fresh
+    (src / "w2.json").write_text("\n".join([
+        json.dumps({"doc_id": 10, "text": texts[1]}),
+        json.dumps({"doc_id": 11, "text": "completely novel content with many new tokens"}),
+    ]))
+    run_wave()
+    flags_all = spark.read.parquet(out_dir)
+    adm = {r["doc_id"]: r["admitted"]
+           for r in near_dup_admitted(flags_all.filter("doc_id >= 10")).collect()}
+    assert adm[10] is False, "near-dup of wave-1 doc must be flagged"
+    assert adm[11] is True
+    # every doc produced one flag per band
+    n_bands = {r["doc_id"]: r["n_bands"]
+               for r in near_dup_admitted(flags_all).collect()}
+    assert set(n_bands.values()) == {4}
+
+
 def test_dedup_by_seq_v2_transform_with_state(spark, tmp_path):
     """Same contract as test_dedup_by_seq_drops_producer_retries, via
     the Spark 4 transformWithStateInPandas API (streaming/state_v2).
