@@ -567,3 +567,87 @@ def kmeans_centroids(
         "cid int, cv array<double>",
     )
     return cents.select("cid", F.col("cv").cast("array<float>").alias("cv"))
+
+
+def sample_kmeans_centroids(
+    sample: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_cap: int = 262_144,
+) -> DataFrame:
+    """Codebook training the way production ANN systems actually do it
+    (faiss practice): collect a BOUNDED deterministic sample to the
+    driver, run numpy Lloyd's there, broadcast the k centroids back.
+    Same (cid, cv) contract as ``kmeans_centroids``.
+
+    Why not distributed k-means for the coarse quantizer? Training
+    needs ~O(100·k) vectors regardless of corpus size — at 100 TB you
+    still train on ≲256k sampled vectors (64 MB at d=64), while each
+    MLlib iteration is a full distributed job. Driver-side training is
+    one TakeOrdered of the pre-filtered sample + zero shuffles; the
+    expensive part (assigning the full corpus) stays distributed and
+    map-only in ``ivf_assign``. ``sample`` should already be a
+    hash-mod filtered subset; the orderBy+limit inside is a bounded
+    TakeOrdered, not a global sort of the corpus.
+    """
+    import numpy as np
+
+    rows = (
+        sample.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(id_col)
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.asarray([r[1] for r in rows], dtype=np.float64)
+    n = x.shape[0]
+    if n == 0:
+        raise ValueError("sample_kmeans_centroids: empty training sample")
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding (deterministic under the seeded rng): spreads
+    # initial centroids ∝ squared distance, avoiding the split-cluster
+    # local optima plain random init falls into
+    first = int(rng.integers(n))
+    chosen = [first]
+    d2min = ((x - x[first]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        total = d2min.sum()
+        if total <= 0.0:
+            # all remaining points coincide with a centroid
+            nxt = int(rng.integers(n))
+        else:
+            nxt = int(rng.choice(n, p=d2min / total))
+        chosen.append(nxt)
+        d2min = np.minimum(d2min, ((x - x[nxt]) ** 2).sum(axis=1))
+    cents = x[chosen].copy()
+    for _ in range(max_iter):
+        # one vectorized assignment pass: argmin_c ||x - c||^2
+        d2 = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2.0 * x @ cents.T
+            + (cents * cents).sum(axis=1)
+        )
+        assign = d2.argmin(axis=1)
+        new = np.zeros_like(cents)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        np.add.at(new, assign, x)
+        empty = counts == 0
+        nonzero = ~empty
+        new[nonzero] /= counts[nonzero, None]
+        # deterministic empty-cluster reseed: farthest points by d2
+        if empty.any():
+            far = np.argsort(-d2[np.arange(n), assign], kind="stable")
+            new[empty] = x[far[: int(empty.sum())]]
+        if np.allclose(new, cents):
+            cents = new
+            break
+        cents = new
+    spark = sample.sparkSession
+    out = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
+        "cid int, cv array<double>",
+    )
+    return out.select("cid", F.col("cv").cast("array<float>").alias("cv"))

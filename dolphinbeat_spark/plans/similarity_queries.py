@@ -540,14 +540,16 @@ def sim_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-assign + partial-agg means, the index path is map-only
     assignment + an equi-join on cell."""
     emb = load(spark, sf_dir, "embeddings", widen=True)
+    # train on a deterministic ~20% hash-mod sample, driver-side
+    # Lloyd's on the bounded collect (operators/similarity.py::
+    # sample_kmeans_centroids — the faiss codebook pattern; the MLlib
+    # slot kmeans_centroids stays for corpora whose TRAINING sample
+    # itself must be distributed). n_cent matches the sampled-codebook
+    # size: |corpus|/40, derived from the sample (no extra count job).
     n_cent = max(4, emb.count() // 40)  # match the sampled codebook size
-    # train on a deterministic ~20% sample, few iterations — the
-    # production IVF pattern (codebooks train on a corpus sample; the
-    # coarse quantizer needs cluster SHAPE, not convergence)
     train = emb.filter(F.col("vec_id") % 5 == 0)
-    trained = S.kmeans_centroids(
+    trained = S.sample_kmeans_centroids(
         train, "vec_id", "embedding", k=n_cent, seed=42, max_iter=4,
-        init_mode="random",
     )
     sampled = emb.filter(F.col("vec_id") % 40 == 7).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")

@@ -88,3 +88,49 @@ def test_ivf_with_kmeans_centroids(spark):
     got_pairs = {(r["query_id"], r["neighbor_id"]) for r in rows}
     recall = len(true_pairs & got_pairs) / len(true_pairs)
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+
+def test_sample_kmeans_centroids_recovers_clusters(spark):
+    """Driver-side Lloyd's (the faiss codebook pattern): on
+    well-separated synthetic clusters it recovers the cluster means,
+    is deterministic under a fixed seed, and its centroids drive the
+    same IVF plan to exact-neighbor recall."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.similarity import (
+        ivf_ann_topk,
+        sample_kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = np.array(
+        [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0], [-10.0, 0.0, 0.0]]
+    )
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        rows.append((i, [float(v) for v in c + rng.normal(0, 0.1, 3)]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    cents = sample_kmeans_centroids(emb, "vec_id", "embedding", k=4, seed=3)
+    got = sorted([tuple(round(v) for v in r["cv"]) for r in cents.collect()])
+    want = sorted([tuple(int(v) for v in c) for c in centers])
+    assert got == want, f"centroids off: {got} vs {want}"
+
+    again = sample_kmeans_centroids(emb, "vec_id", "embedding", k=4, seed=3)
+    assert sorted(map(tuple, cents.collect())) == sorted(map(tuple, again.collect()))
+
+    # k > distinct points degrades gracefully (k clamped, no crash)
+    tiny = spark.createDataFrame(rows[:3], "vec_id bigint, embedding array<float>")
+    assert sample_kmeans_centroids(tiny, "vec_id", "embedding", k=8).count() == 3
+
+    # with a perfect codebook, nprobe=1 IVF is exact on these clusters
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    ivf = ivf_ann_topk(q, emb, cents, "vec_id", "embedding", k=3, nprobe=1)
+    per_q = {}
+    for r in ivf.collect():
+        per_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for qid, ns in per_q.items():
+        assert all(n % 4 == qid % 4 for n in ns), (
+            "IVF with trained codebook leaked a cross-cluster neighbor"
+        )
