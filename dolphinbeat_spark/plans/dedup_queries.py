@@ -14,6 +14,10 @@ from dolphinbeat_spark.catalog import load
 from dolphinbeat_spark.functions.hashes import MERSENNE_61, hash64_sql, minhash_params
 from dolphinbeat_spark.operators import dedup as D
 from dolphinbeat_spark.operators.text import word_shingles as T_word_shingles
+from dolphinbeat_spark.operators.text import tokens as T_tokens
+from dolphinbeat_spark.operators.text import (
+    word_shingles_from_tokens as T_word_shingles_from_tokens,
+)
 from dolphinbeat_spark.plans.registry import register
 
 NUM_PERM = 32
@@ -413,3 +417,78 @@ def dedup_cross_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_split_contamination(
         d, "doc_id", prefix, (F.col("doc_id") % 17 == 0)
     ).orderBy("test_doc_id", "train_doc_id")
+
+
+@register(
+    "dedup_soft_weights",
+    # exact integer arithmetic end to end: sum(df) and n_shingles are
+    # BIGINTs, dup_factor/weight are int/int -> DOUBLE (bit-identical
+    # across engines; no float folds, no rounding needed)
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), df AS (
+  SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+), doc AS (
+  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(d.df) AS BIGINT) AS sum_df
+  FROM sh s JOIN df d USING (shingle) GROUP BY s.doc_id
+)
+SELECT b.doc_id,
+       COALESCE(doc.n_shingles, 0) AS n_shingles,
+       CASE WHEN doc.doc_id IS NULL THEN 1.0
+            ELSE CAST(doc.sum_df AS DOUBLE) / doc.n_shingles END AS dup_factor,
+       CASE WHEN doc.doc_id IS NULL THEN 1.0
+            ELSE CAST(doc.n_shingles AS DOUBLE) / doc.sum_df END AS weight
+FROM documents b LEFT JOIN doc ON b.doc_id = doc.doc_id
+ORDER BY b.doc_id
+""",
+    tags=("dedup", "soft", "reweight", "llm-pipeline"),
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (SoftDedup-style): instead of DROPPING
+    near-duplicate documents, every document gets a sampling weight
+    inversely proportional to how duplicated its content is across the
+    corpus — dup_factor = mean document-frequency of the doc's distinct
+    3-word shingles, weight = 1/dup_factor. Training loaders then
+    sample by weight, keeping one effective copy of boilerplate while
+    never losing rare text. A doc too short to shingle is by definition
+    unique (weight 1.0).
+
+    Scale shape: the classic wordcount pair — one shuffle keyed on
+    shingle for document frequency (partial-aggregated map-side), one
+    shuffle keyed on doc_id for the per-doc sums; the join is an
+    equi-join on shingle. Nothing materializes pairs, so cost is
+    O(total shingles), not O(pairs) — the property that lets soft
+    dedup run where pairwise near-dup mining would blow up.
+    """
+    d = load(spark, sf_dir, "documents", widen=True)
+    toked = d.select("doc_id", T_tokens("text").alias("toks"))
+    sh = toked.select(
+        "doc_id", F.explode(T_word_shingles_from_tokens(F.col("toks"), SHINGLE_K)).alias("shingle")
+    )
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    doc = (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum("df").cast("bigint").alias("sum_df"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(doc.withColumnRenamed("doc_id", "sdoc_id"),
+              F.col("doc_id") == F.col("sdoc_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0).cast("bigint")).alias("n_shingles"),
+            F.when(F.col("sdoc_id").isNull(), F.lit(1.0))
+            .otherwise(F.col("sum_df").cast("double") / F.col("n_shingles"))
+            .alias("dup_factor"),
+            F.when(F.col("sdoc_id").isNull(), F.lit(1.0))
+            .otherwise(F.col("n_shingles").cast("double") / F.col("sum_df"))
+            .alias("weight"),
+        )
+        .orderBy("doc_id")
+    )

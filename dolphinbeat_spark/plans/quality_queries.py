@@ -294,3 +294,93 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("cum") - 1) / _CTX) - F.floor(start / _CTX) + 1
         ).cast("bigint").alias("n_bins"),
     ).orderBy("doc_id")
+
+
+@register(
+    "quality_unigram_lm",
+    # ln() is not correctly-rounded identically across engines (ulp
+    # differences); both sides fold the per-token terms in the SAME
+    # deterministic token order and ROUND(,4) absorbs the ~1e-13
+    # accumulated ulp noise (same convention as sketch_hll_users)
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS k FROM tok GROUP BY doc_id, token
+), vocab AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM tok
+), terms AS (
+  SELECT tf.doc_id, tf.token, tf.k,
+         CAST(tf.k AS DOUBLE)
+           * ln(CAST(vb.cnt + 1 AS DOUBLE) / CAST(t.n_total + t.v AS DOUBLE)) AS term
+  FROM tf JOIN vocab vb USING (token) CROSS JOIN tot t
+), doc AS (
+  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+         ROUND(-list_reduce(list(term ORDER BY token), (a, x) -> a + x)
+               / CAST(SUM(k) AS BIGINT), 4) AS xent_nats
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, xent_nats, ROUND(exp(xent_nats), 2) AS ppl
+FROM doc ORDER BY doc_id
+""",
+    tags=("quality", "lm", "perplexity", "ccnet", "llm-pipeline"),
+)
+def quality_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering with a from-scratch LM: train
+    an add-one-smoothed unigram language model on the corpus itself,
+    score every document by per-token cross-entropy (nats) and
+    perplexity. Low-ppl documents read like the corpus average (head
+    of a CCNet split); high-ppl ones are outliers — the standard
+    cheap quality signal when no external KenLM is available, and the
+    exact plan shape one would use WITH one (broadcast the external
+    vocab instead of computing it).
+
+    Scale shape: vocab building is wordcount (one shuffle on token,
+    partial-aggregated); scoring joins (doc,token,k) to the vocab on
+    token — an equi-join whose build side is the vocabulary, typically
+    << corpus and broadcastable; the per-doc fold runs over an
+    array_sort'ed collect_list so the double summation order matches
+    the oracle bit-for-bit (doc-bounded memory: distinct tokens per
+    doc)."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("k"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = tok.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.count_distinct("token").cast("bigint").alias("v"),
+    )
+    terms = (
+        tf.join(vocab, "token")
+        .join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "token",
+            "k",
+            (
+                F.col("k").cast("double")
+                * F.log(
+                    (F.col("cnt") + 1).cast("double")
+                    / (F.col("n_total") + F.col("v")).cast("double")
+                )
+            ).alias("term"),
+        )
+    )
+    doc = terms.groupBy("doc_id").agg(
+        F.sum("k").cast("bigint").alias("n_tokens"),
+        F.round(
+            -F.aggregate(
+                F.array_sort(F.collect_list(F.struct("token", "term"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            )
+            / F.sum("k").cast("bigint"),
+            4,
+        ).alias("xent_nats"),
+    )
+    return doc.select(
+        "doc_id", "n_tokens", "xent_nats", F.round(F.exp("xent_nats"), 2).alias("ppl")
+    ).orderBy("doc_id")

@@ -48,6 +48,7 @@ _BNLJ_OK = {
     "concentration_customer_deciles",  # 1-row grand-total broadcast
     "profile_leading_digits",  # 1-row total broadcast
     "dedup_lsh_recall",  # bounded-universe all-pairs truth (by design)
+    "quality_unigram_lm",  # 1-row corpus-totals (N, V) broadcast
 }
 # specs whose final presentation sort is the only exchange-heavy step
 _WIDE_READ_OK = {"cdc_envelope_from_events"}  # reads most event columns by design
