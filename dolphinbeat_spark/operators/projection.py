@@ -94,6 +94,58 @@ def to_debezium_json(envelope: DataFrame, server_name: str = "dolphinbeat") -> D
     )
 
 
+def to_maxwell_json(envelope: DataFrame) -> DataFrame:
+    """Envelope row ops → Maxwell-format JSON change events (the
+    public Zendesk Maxwell daemon wire format) — the second interop
+    bridge next to ``to_debezium_json``: consumers built against
+    Maxwell's `database/table/type/ts/data/old` payloads read this
+    topic unchanged.
+
+    Semantics per the Maxwell spec: ``data`` is the full new row image
+    (the old image for deletes); ``old`` appears ONLY on updates and
+    holds just the columns whose value changed (a column missing from
+    the after image counts as changed). NULL column values are real
+    JSON nulls, resolved through the engine's null-flag maps. Omitted
+    Maxwell extras (xid/commit flags) need transaction framing — see
+    ``frame_transactions``. Map-only Catalyst projection, no shuffle.
+    """
+    resolved = {
+        img: F.map_zip_with(
+            F.col(img),
+            F.col(f"{img}_null"),
+            lambda k, v, isn: F.when(F.coalesce(isn, F.lit(False)), F.lit(None)).otherwise(v),
+        )
+        for img in ("before", "after")
+    }
+    before_r, after_r = resolved["before"], resolved["after"]
+    is_del = F.col("op_type") == "delete"
+    is_upd = F.col("op_type") == "update"
+    data = F.when(is_del, before_r).otherwise(after_r)
+    old = F.map_filter(
+        before_r, lambda k, v: ~v.eqNullSafe(F.element_at(after_r, k))
+    )
+    base = [
+        F.col("db").alias("database"),
+        F.col("table").alias("table"),
+        F.col("op_type").alias("type"),
+        F.col("timestamp").cast("long").alias("ts"),
+        F.col("gtid").alias("gtid"),
+    ]
+    render = {"ignoreNullFields": "false"}
+    value = F.when(
+        is_upd,
+        F.to_json(F.struct(*base, data.alias("data"), old.alias("old")), render),
+    ).otherwise(F.to_json(F.struct(*base, data.alias("data")), render))
+    return envelope.filter(F.col("op_type").isin(*_DEBEZIUM_OP)).select(
+        F.col("db"),
+        F.col("table"),
+        F.col("log_name"),
+        F.col("log_pos"),
+        F.coalesce(F.col("row_index"), F.lit(0)).alias("row_index"),
+        value.alias("value"),
+    )
+
+
 def typed_view(
     envelope: DataFrame,
     registry: SchemaRegistry,

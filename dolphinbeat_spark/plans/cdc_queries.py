@@ -562,3 +562,102 @@ def json_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("}"),
         ).alias("rebuilt"),
     ).orderBy("event_id")
+
+
+@register(
+    "cdc_maxwell_envelope",
+    oracle=f"""
+SELECT event_id,
+       concat('db', CAST(user_id % 3 AS VARCHAR)) AS db,
+       concat('tbl_', event_type) AS "table",
+       event_id AS log_pos,
+       concat(
+         '{{"database":"db', CAST(user_id % 3 AS VARCHAR),
+         '","table":"tbl_', event_type,
+         '","type":"', {_OP_CASE_SQL},
+         '","ts":', CAST(event_id AS VARCHAR),
+         ',"gtid":null,"data":{{"event_id":"', CAST(event_id AS VARCHAR), '","k":',
+         CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 'null'
+              WHEN {_OP_CASE_SQL} = 'delete'
+                THEN concat('"', json_extract_string(props, '$.k'), '_0"')
+              ELSE concat('"', json_extract_string(props, '$.k'), '"') END,
+         '}}',
+         CASE WHEN {_OP_CASE_SQL} = 'update'
+              THEN concat(',"old":{{',
+                          CASE WHEN json_extract_string(props, '$.k') IS NULL THEN ''
+                               ELSE concat('"k":"', json_extract_string(props, '$.k'), '_0"') END,
+                          '}}')
+              ELSE '' END,
+         '}}'
+       ) AS value
+FROM events
+WHERE {_OP_CASE_SQL} IN ('insert', 'update', 'delete')
+ORDER BY event_id
+""",
+    tags=("cdc", "envelope", "interop", "maxwell"),
+)
+def cdc_maxwell_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maxwell-interop projection: the synthetic change stream rendered
+    as Maxwell-daemon JSON payloads via the REAL operator
+    (operators/projection.py::to_maxwell_json) — `data` carries the
+    full new image (old image for deletes) with true JSON nulls, and
+    updates carry `old` holding ONLY the columns whose value changed
+    (here the before image stores k+'_0', so `old` has exactly `k`
+    when k is set and is empty when it is NULL — both Maxwell paths
+    exercised). The oracle reconstructs the payload text exactly, so
+    key order, null literals, and the changed-column diff are pinned
+    cross-engine."""
+    from dolphinbeat_spark.operators.projection import to_maxwell_json
+
+    e = load(spark, sf_dir, "events")
+    db, tbl = _db_table_cols()
+    k_raw = F.get_json_object("props", "$.k")
+    k_old = F.concat(k_raw, F.lit("_0"))  # NULL-propagating
+    eid_s = F.col("event_id").cast("string")
+    is_ins = F.col("op_type") == "insert"
+    is_del = F.col("op_type") == "delete"
+    env = e.select(
+        "event_id",
+        _op_col().alias("op_type"),
+        db.alias("db"),
+        tbl.alias("table"),
+        F.lit("binlog.000001").alias("log_name"),
+        F.col("event_id").alias("log_pos"),
+        F.lit(0).alias("row_index"),
+        F.lit(None).cast("string").alias("gtid"),
+        F.col("event_id").cast("int").alias("timestamp"),
+        k_raw.alias("__k"),
+        k_old.alias("__k_old"),
+    ).withColumns(
+        {
+            "before": F.when(
+                ~is_ins,
+                F.create_map(
+                    F.lit("event_id"), eid_s, F.lit("k"), F.col("__k_old")
+                ),
+            ),
+            "before_null": F.when(
+                ~is_ins,
+                F.create_map(
+                    F.lit("event_id"), F.lit(False),
+                    F.lit("k"), F.col("__k_old").isNull(),
+                ),
+            ),
+            "after": F.when(
+                ~is_del,
+                F.create_map(F.lit("event_id"), eid_s, F.lit("k"), F.col("__k")),
+            ),
+            "after_null": F.when(
+                ~is_del,
+                F.create_map(
+                    F.lit("event_id"), F.lit(False),
+                    F.lit("k"), F.col("__k").isNull(),
+                ),
+            ),
+        }
+    )
+    mxw = to_maxwell_json(env)  # filters to insert/update/delete itself
+    return mxw.select(
+        F.col("log_pos").alias("event_id"),
+        "db", "table", "log_pos", "value",
+    ).orderBy("event_id")

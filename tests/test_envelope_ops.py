@@ -134,3 +134,35 @@ def test_to_debezium_json(spark):
                 if json.loads(r["value"])["op"] == "d")
     assert dele["after"] is None and dele["before"]["id"] == "2"
     assert dele["ts_ms"] == 1002 * 1000
+
+
+def test_to_maxwell_json(spark):
+    import json
+
+    from dolphinbeat_spark.operators.projection import to_maxwell_json
+
+    env = golden_envelope_df(spark)
+    rows = to_maxwell_json(env).collect()
+    golden_row_ops = [o for o in golden_sequences()
+                      if o["op_type"] in ("insert", "update", "delete")]
+    assert len(rows) == len(golden_row_ops)
+    payloads = [json.loads(r["value"]) for r in rows]
+
+    ins = next(p for p in payloads if p["type"] == "insert")
+    assert ins["database"] == "test" and ins["table"] == "canal_test"
+    assert ins["data"]["id"] == "1"
+    assert "old" not in ins  # old is update-only in Maxwell
+
+    # NULL column renders as true JSON null inside data
+    third = next(p for p in payloads
+                 if p["type"] == "insert" and p["data"]["id"] == "3")
+    assert third["data"]["content"] is None
+
+    upd = next(p for p in payloads if p["type"] == "update")
+    assert upd["data"]["name"] == "a2"
+    # old carries ONLY the changed columns (id unchanged -> absent)
+    assert upd["old"] == {"name": "a"}
+
+    dele = next(p for p in payloads if p["type"] == "delete")
+    assert dele["data"]["id"] == "2"  # delete: data = old image
+    assert "old" not in dele
