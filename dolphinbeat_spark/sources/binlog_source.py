@@ -168,8 +168,9 @@ def decode_event(ev: object, ctx: DecodeContext) -> list[dict]:
         out = []
         td = ctx.registry.get(ev.schema, ev.table)
         names = td.column_names() if td else None
+        json_cols = _json_columns(td)
         for ri, row in enumerate(ev.rows):
-            vals, nulls = _stringify(row, names)
+            vals, nulls = _stringify(row, names, json_cols)
             out.append(dict(op_type=kind, db=ev.schema, table=ev.table,
                             schema_version=ctx.registry.version,
                             **{img: vals, f"{img}_null": nulls},
@@ -181,9 +182,10 @@ def decode_event(ev: object, ctx: DecodeContext) -> list[dict]:
         out = []
         td = ctx.registry.get(ev.schema, ev.table)
         names = td.column_names() if td else None
+        json_cols = _json_columns(td)
         for ri, (before_row, after_row) in enumerate(ev.rows):
-            b, bn = _stringify(before_row, names)
-            a, an = _stringify(after_row, names)
+            b, bn = _stringify(before_row, names, json_cols)
+            a, an = _stringify(after_row, names, json_cols)
             out.append(dict(op_type="update", db=ev.schema, table=ev.table,
                             schema_version=ctx.registry.version,
                             before=b, before_null=bn, after=a, after_null=an,
@@ -192,16 +194,45 @@ def decode_event(ev: object, ctx: DecodeContext) -> list[dict]:
     return []
 
 
-def _stringify(row, names: list[str] | None) -> tuple[dict, dict]:
+def _json_columns(td) -> set[str]:
+    """Names of JSON-typed columns per the registry TableDef (empty
+    when the table is unknown — values then pass through str())."""
+    if td is None:
+        return set()
+    return {c.name for c in td.columns if c.type.startswith("json")}
+
+
+def _stringify(
+    row, names: list[str] | None, json_cols: set[str] | None = None
+) -> tuple[dict, dict]:
     """Positional row → named stringly map + null map (reference D12
     stringifies every value and flags NULL separately,
-    sink/kafka/operation.go:158-178)."""
+    sink/kafka/operation.go:158-178).
+
+    JSON columns (``json_cols``, from the registry's TableDef) carry
+    JSON *text* on the wire like the reference's go-mysql-decoded
+    values: raw binary-JSONB bytes are decoded (sources/mysql_jsonb),
+    and already-parsed dict/list values (newer pymysqlreplication
+    versions parse JSONB themselves) are re-serialized compactly."""
     if isinstance(row, dict):
         items = list(row.items())
     else:
         names = names or [f"col_{i}" for i in range(len(row))]
         items = list(zip(names, row))
-    vals = {k: ("" if v is None else str(v)) for k, v in items}
+
+    def render(k, v):
+        if k in (json_cols or ()):
+            if isinstance(v, (bytes, bytearray)):
+                from dolphinbeat_spark.sources.mysql_jsonb import decode_jsonb
+
+                return decode_jsonb(v)
+            if isinstance(v, (dict, list)):
+                import json as _json
+
+                return _json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+        return str(v)
+
+    vals = {k: ("" if v is None else render(k, v)) for k, v in items}
     nulls = {k: v is None for k, v in items}
     return vals, nulls
 

@@ -1,0 +1,202 @@
+"""MySQL binary-JSON (JSONB) decoder.
+
+MySQL stores ``JSON`` columns — and ships them in binlog row images —
+in the binary format of WL#8132 (public spec: mysql-server
+sql/json_binary.h; the reference reads these through go-mysql's
+replication decoder, go.mod:25). This module decodes that format from
+scratch so JSON columns coming off a real binlog surface in the
+envelope as JSON *text*, matching what the reference's consumers see
+(reference rows flow schema/definition.go:42 TypeJSON=0xf5 →
+stringly wire values).
+
+Layout (all little-endian):
+
+- byte 0: type. 0x00/0x01 small/large object, 0x02/0x03 small/large
+  array, 0x04 literal, 0x05..0x0a int16/uint16/int32/uint32/int64/
+  uint64, 0x0b double, 0x0c utf8 string, 0x0f opaque.
+- small containers use 2-byte counts/sizes/offsets, large 4-byte
+  (MySQL switches to large when the doc exceeds 64 KiB).
+- object data: count, size, then per-key (offset, key-len u16)
+  entries, then per-element value entries, then key bytes, then
+  out-of-line values. Array data: count, size, value entries, values.
+- a value entry is a type byte plus either an inlined scalar (literal
+  and 16-bit ints always; 32-bit ints too in large format) or the
+  offset of the value, relative to the start of the container data.
+- string/opaque lengths are varlen: 7 bits per byte, high bit
+  continues.
+
+Scope: the full JSON spine (containers, literals, all int widths,
+double, string, arbitrarily nested). Opaque values (0x0f — DECIMAL /
+temporal values stored inside JSON documents) raise ``ValueError``
+with the embedded field type; decoding those requires MySQL's packed
+decimal/temporal formats and is out of scope until a consumer needs
+it (the error is loud, never silent corruption).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Any
+
+_SMALL_OBJECT = 0x00
+_LARGE_OBJECT = 0x01
+_SMALL_ARRAY = 0x02
+_LARGE_ARRAY = 0x03
+_LITERAL = 0x04
+_INT16 = 0x05
+_UINT16 = 0x06
+_INT32 = 0x07
+_UINT32 = 0x08
+_INT64 = 0x09
+_UINT64 = 0x0A
+_DOUBLE = 0x0B
+_STRING = 0x0C
+_OPAQUE = 0x0F
+
+_LITERAL_NULL = 0x00
+_LITERAL_TRUE = 0x01
+_LITERAL_FALSE = 0x02
+
+
+class JsonbError(ValueError):
+    """Malformed or unsupported JSONB payload."""
+
+
+def _need(data: bytes, pos: int, n: int, what: str) -> None:
+    if pos + n > len(data):
+        raise JsonbError(f"truncated JSONB: need {n} bytes for {what} at {pos}, have {len(data) - pos}")
+
+
+def _read_varlen(data: bytes, pos: int) -> tuple[int, int]:
+    """Variable-length unsigned int (string/opaque data length)."""
+    length = 0
+    for i in range(5):  # max 2^35 > max doc size; bounded loop
+        _need(data, pos + i, 1, "varlen length byte")
+        b = data[pos + i]
+        length |= (b & 0x7F) << (7 * i)
+        if not b & 0x80:
+            return length, pos + i + 1
+    raise JsonbError("varlen length runs past 5 bytes")
+
+
+def _read_literal(b: int) -> Any:
+    if b == _LITERAL_NULL:
+        return None
+    if b == _LITERAL_TRUE:
+        return True
+    if b == _LITERAL_FALSE:
+        return False
+    raise JsonbError(f"bad literal byte {b:#x}")
+
+
+def _parse_scalar(tp: int, data: bytes, pos: int) -> Any:
+    """Scalar at ``pos`` given its type byte (already consumed)."""
+    if tp == _LITERAL:
+        _need(data, pos, 1, "literal")
+        return _read_literal(data[pos])
+    if tp == _INT16:
+        _need(data, pos, 2, "int16")
+        return struct.unpack_from("<h", data, pos)[0]
+    if tp == _UINT16:
+        _need(data, pos, 2, "uint16")
+        return struct.unpack_from("<H", data, pos)[0]
+    if tp == _INT32:
+        _need(data, pos, 4, "int32")
+        return struct.unpack_from("<i", data, pos)[0]
+    if tp == _UINT32:
+        _need(data, pos, 4, "uint32")
+        return struct.unpack_from("<I", data, pos)[0]
+    if tp == _INT64:
+        _need(data, pos, 8, "int64")
+        return struct.unpack_from("<q", data, pos)[0]
+    if tp == _UINT64:
+        _need(data, pos, 8, "uint64")
+        return struct.unpack_from("<Q", data, pos)[0]
+    if tp == _DOUBLE:
+        _need(data, pos, 8, "double")
+        return struct.unpack_from("<d", data, pos)[0]
+    if tp == _STRING:
+        length, dpos = _read_varlen(data, pos)
+        _need(data, dpos, length, "string bytes")
+        return data[dpos : dpos + length].decode("utf-8")
+    if tp == _OPAQUE:
+        _need(data, pos, 1, "opaque field type")
+        raise JsonbError(
+            f"unsupported opaque JSONB value (MySQL field type {data[pos]:#x}); "
+            "DECIMAL/temporal-in-JSON decoding not implemented"
+        )
+    raise JsonbError(f"unknown JSONB type byte {tp:#x}")
+
+
+def _parse_value(tp: int, data: bytes, pos: int) -> Any:
+    if tp in (_SMALL_OBJECT, _LARGE_OBJECT, _SMALL_ARRAY, _LARGE_ARRAY):
+        return _parse_container(tp, data, pos)
+    return _parse_scalar(tp, data, pos)
+
+
+def _parse_container(tp: int, data: bytes, base: int) -> Any:
+    large = tp in (_LARGE_OBJECT, _LARGE_ARRAY)
+    is_object = tp in (_SMALL_OBJECT, _LARGE_OBJECT)
+    osz = 4 if large else 2
+    ofmt = "<I" if large else "<H"
+
+    _need(data, base, 2 * osz, "container header")
+    count = struct.unpack_from(ofmt, data, base)[0]
+    size = struct.unpack_from(ofmt, data, base + osz)[0]
+    _need(data, base, size, "container body")
+
+    entry_base = base + 2 * osz
+    keys: list[str] = []
+    if is_object:
+        for i in range(count):
+            kpos = entry_base + i * (osz + 2)
+            _need(data, kpos, osz + 2, "key entry")
+            koff = struct.unpack_from(ofmt, data, kpos)[0]
+            klen = struct.unpack_from("<H", data, kpos + osz)[0]
+            _need(data, base + koff, klen, "key bytes")
+            keys.append(data[base + koff : base + koff + klen].decode("utf-8"))
+        entry_base += count * (osz + 2)
+
+    # a value entry inlines literals and ints that fit in the offset
+    # field; everything else is an offset from the container base
+    inline_ok = {_LITERAL, _INT16, _UINT16}
+    if large:
+        inline_ok |= {_INT32, _UINT32}
+
+    values: list[Any] = []
+    for i in range(count):
+        vpos = entry_base + i * (1 + osz)
+        _need(data, vpos, 1 + osz, "value entry")
+        vtp = data[vpos]
+        if vtp in inline_ok:
+            values.append(_parse_scalar(vtp, data, vpos + 1))
+        else:
+            voff = struct.unpack_from(ofmt, data, vpos + 1)[0]
+            if voff >= size:
+                raise JsonbError(f"value offset {voff} outside container size {size}")
+            values.append(_parse_value(vtp, data, base + voff))
+
+    if is_object:
+        return dict(zip(keys, values))
+    return values
+
+
+def parse_jsonb(payload: bytes) -> Any:
+    """Binary JSONB payload (leading type byte included, as shipped in
+    binlog row images) → Python object."""
+    if not isinstance(payload, (bytes, bytearray)):
+        raise JsonbError(f"JSONB payload must be bytes, got {type(payload).__name__}")
+    payload = bytes(payload)
+    if len(payload) == 0:
+        # MySQL encodes a JSON null column value as an empty payload
+        return None
+    return _parse_value(payload[0], payload, 1)
+
+
+def decode_jsonb(payload: bytes) -> str:
+    """Binary JSONB payload → compact JSON text (the stringly wire
+    form the envelope carries for JSON columns, like the reference's
+    go-mysql-decoded values). Keys keep MySQL's stored order (sorted
+    by length, then bytes)."""
+    return json.dumps(parse_jsonb(payload), separators=(",", ":"), ensure_ascii=False)
