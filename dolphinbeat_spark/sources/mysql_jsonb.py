@@ -26,17 +26,20 @@ Layout (all little-endian):
   continues.
 
 Scope: the full JSON spine (containers, literals, all int widths,
-double, string, arbitrarily nested). Opaque values (0x0f — DECIMAL /
-temporal values stored inside JSON documents) raise ``ValueError``
-with the embedded field type; decoding those requires MySQL's packed
-decimal/temporal formats and is out of scope until a consumer needs
-it (the error is loud, never silent corruption).
+double, string, arbitrarily nested) plus the opaque values MySQL
+embeds for typed SQL values inside JSON documents: packed DECIMAL
+(strings/decimal.c bin format — the internals manual's documented
+byte layout) decoded losslessly to ``decimal.Decimal``, and packed
+DATE/TIME/DATETIME/TIMESTAMP (my_time.h longlong-packed form) decoded
+to the quoted text MySQL itself renders ("2015-01-15 23:24:25.000000").
+Other opaque field types raise ``ValueError`` with the embedded type —
+loud, never silent corruption.
 """
 
 from __future__ import annotations
 
-import json
 import struct
+from decimal import Decimal
 from typing import Any
 
 _SMALL_OBJECT = 0x00
@@ -122,11 +125,111 @@ def _parse_scalar(tp: int, data: bytes, pos: int) -> Any:
         return data[dpos : dpos + length].decode("utf-8")
     if tp == _OPAQUE:
         _need(data, pos, 1, "opaque field type")
-        raise JsonbError(
-            f"unsupported opaque JSONB value (MySQL field type {data[pos]:#x}); "
-            "DECIMAL/temporal-in-JSON decoding not implemented"
-        )
+        field_type = data[pos]
+        length, dpos = _read_varlen(data, pos + 1)
+        _need(data, dpos, length, "opaque bytes")
+        return _parse_opaque(field_type, data[dpos : dpos + length])
     raise JsonbError(f"unknown JSONB type byte {tp:#x}")
+
+
+# MySQL wire field types that appear as opaque JSONB values
+_FT_TIMESTAMP = 0x07
+_FT_DATE = 0x0A
+_FT_TIME = 0x0B
+_FT_DATETIME = 0x0C
+_FT_NEWDECIMAL = 0xF6
+
+# digits → bytes for one partial 9-digit group (strings/decimal.c)
+_DIG2BYTES = (0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
+
+
+def _parse_opaque(field_type: int, data: bytes) -> Any:
+    if field_type == _FT_NEWDECIMAL:
+        return _parse_packed_decimal(data)
+    if field_type in (_FT_DATE, _FT_TIME, _FT_DATETIME, _FT_TIMESTAMP):
+        if len(data) < 8:
+            raise JsonbError(f"packed temporal needs 8 bytes, have {len(data)}")
+        raw = struct.unpack_from("<q", data, 0)[0]
+        return _render_packed_temporal(field_type, raw)
+    raise JsonbError(
+        f"unsupported opaque JSONB value (MySQL field type {field_type:#x})"
+    )
+
+
+def _parse_packed_decimal(data: bytes) -> Decimal:
+    """MySQL binary DECIMAL: [precision][scale][bin], bin = big-endian
+    groups of 9 decimal digits per 4 bytes (partial leading/trailing
+    groups per _DIG2BYTES), sign carried by flipping the first byte's
+    msb and complementing all bytes for negatives."""
+    if len(data) < 2:
+        raise JsonbError("packed decimal needs precision+scale header")
+    precision, scale = data[0], data[1]
+    if not 1 <= precision <= 65 or scale > min(30, precision):
+        raise JsonbError(f"bad decimal precision/scale ({precision},{scale})")
+    intg = precision - scale
+    intg0, intg0x = divmod(intg, 9)
+    frac0, frac0x = divmod(scale, 9)
+    nbytes = intg0 * 4 + _DIG2BYTES[intg0x] + frac0 * 4 + _DIG2BYTES[frac0x]
+    if len(data) - 2 < nbytes:
+        raise JsonbError(f"packed decimal needs {nbytes} bytes, have {len(data) - 2}")
+    buf = bytearray(data[2 : 2 + nbytes])
+    negative = not buf[0] & 0x80
+    buf[0] ^= 0x80
+    if negative:
+        for i in range(len(buf)):
+            buf[i] = ~buf[i] & 0xFF
+
+    pos = 0
+
+    def group(nb: int, digits: int) -> str:
+        nonlocal pos
+        val = int.from_bytes(buf[pos : pos + nb], "big")
+        pos += nb
+        if val >= 10**digits:
+            raise JsonbError(f"decimal group {val} exceeds {digits} digits")
+        return str(val).zfill(digits)
+
+    int_digits = ""
+    if intg0x:
+        int_digits += group(_DIG2BYTES[intg0x], intg0x)
+    for _ in range(intg0):
+        int_digits += group(4, 9)
+    frac_digits = ""
+    for _ in range(frac0):
+        frac_digits += group(4, 9)
+    if frac0x:
+        frac_digits += group(_DIG2BYTES[frac0x], frac0x)
+
+    text = (int_digits.lstrip("0") or "0") + (("." + frac_digits) if frac_digits else "")
+    if negative and Decimal(text) != 0:
+        text = "-" + text
+    return Decimal(text)
+
+
+def _render_packed_temporal(field_type: int, raw: int) -> str:
+    """my_time.h longlong-packed temporal → the text MySQL renders
+    inside JSON documents (always 6 fractional digits for time-bearing
+    types)."""
+    if field_type == _FT_TIME:
+        sign = "-" if raw < 0 else ""
+        raw = abs(raw)
+        int_part, frac = raw >> 24, raw & 0xFFFFFF
+        hour = (int_part >> 12) & 0x3FF
+        minute = (int_part >> 6) & 0x3F
+        second = int_part & 0x3F
+        return f"{sign}{hour:02d}:{minute:02d}:{second:02d}.{frac:06d}"
+    int_part, frac = raw >> 24, raw & 0xFFFFFF
+    ymd = int_part >> 17
+    ym, day = ymd >> 5, ymd & 0x1F
+    year, month = divmod(ym, 13)
+    hms = int_part & 0x1FFFF
+    hour, minute, second = hms >> 12, (hms >> 6) & 0x3F, hms & 0x3F
+    if field_type == _FT_DATE:
+        return f"{year:04d}-{month:02d}-{day:02d}"
+    return (
+        f"{year:04d}-{month:02d}-{day:02d} "
+        f"{hour:02d}:{minute:02d}:{second:02d}.{frac:06d}"
+    )
 
 
 def _parse_value(tp: int, data: bytes, pos: int) -> Any:
@@ -194,9 +297,38 @@ def parse_jsonb(payload: bytes) -> Any:
     return _parse_value(payload[0], payload, 1)
 
 
+def _render_json(obj: Any) -> str:
+    """Compact JSON text. Hand-rolled only because DECIMAL values must
+    render as unquoted numbers with their scale preserved ("1.20", not
+    1.2 or "1.20") — json.dumps cannot emit raw number text for
+    Decimal. Strings/escapes delegate to the stdlib encoder."""
+    import json
+
+    if obj is None:
+        return "null"
+    if obj is True:
+        return "true"
+    if obj is False:
+        return "false"
+    if isinstance(obj, Decimal):
+        return format(obj, "f")
+    if isinstance(obj, (int, float, str)):
+        return json.dumps(obj, ensure_ascii=False)
+    if isinstance(obj, list):
+        return "[" + ",".join(_render_json(v) for v in obj) + "]"
+    if isinstance(obj, dict):
+        import json as _j
+
+        return "{" + ",".join(
+            f"{_j.dumps(k, ensure_ascii=False)}:{_render_json(v)}" for k, v in obj.items()
+        ) + "}"
+    raise JsonbError(f"unrenderable decoded value {type(obj).__name__}")
+
+
 def decode_jsonb(payload: bytes) -> str:
     """Binary JSONB payload → compact JSON text (the stringly wire
     form the envelope carries for JSON columns, like the reference's
     go-mysql-decoded values). Keys keep MySQL's stored order (sorted
-    by length, then bytes)."""
-    return json.dumps(parse_jsonb(payload), separators=(",", ":"), ensure_ascii=False)
+    by length, then bytes); DECIMAL opaques render as unquoted
+    numbers with scale intact, temporal opaques as quoted text."""
+    return _render_json(parse_jsonb(payload))

@@ -178,7 +178,7 @@ def test_empty_containers_and_null_column():
         b"\x04\x09",            # bad literal
         b"\xee\x00",            # unknown type byte
         b"\x0c" + b"\xff" * 5,  # varlen runs past 5 bytes
-        b"\x0f\xf6\x01\x02",    # opaque (decimal) - unsupported, loud
+        b"\x0f\xf6\x01\x02",    # opaque decimal missing precision/scale header
     ],
 )
 def test_malformed_raises(payload):
@@ -223,3 +223,83 @@ def test_envelope_integration_json_column():
     assert ops[2]["after"]["doc"] == "" and ops[2]["after_null"]["doc"] is True
     # non-JSON column untouched
     assert ops[0]["after"]["id"] == "1"
+
+
+def _opaque(field_type: int, data: bytes) -> bytes:
+    return bytes([0x0F, field_type]) + enc_varlen(len(data)) + data
+
+
+def test_opaque_decimal_internals_manual_fixture():
+    """DECIMAL(14,4) 1234567890.1234 — byte layout straight from the
+    MySQL internals manual's packed-decimal example."""
+    from decimal import Decimal
+
+    packed = bytes([14, 4, 0x81, 0x0D, 0xFB, 0x38, 0xD2, 0x04, 0xD2])
+    payload = _opaque(0xF6, packed)
+    assert parse_jsonb(payload) == Decimal("1234567890.1234")
+    assert decode_jsonb(payload) == "1234567890.1234"
+
+    # negative = full complement of the same bytes
+    neg = bytes([14, 4]) + bytes(~b & 0xFF for b in packed[2:])
+    assert parse_jsonb(_opaque(0xF6, neg)) == Decimal("-1234567890.1234")
+
+    # scale preserved: 1.20 stays "1.20"
+    small = bytes([3, 2, 0x81, 0x14])  # DECIMAL(3,2) +1.20
+    assert decode_jsonb(_opaque(0xF6, small)) == "1.20"
+    # zero renders unsigned
+    zero = bytes([3, 2, 0x80, 0x00])
+    assert decode_jsonb(_opaque(0xF6, zero)) == "0.00"
+
+
+def test_opaque_temporal():
+    import struct as _s
+
+    def packed_datetime(y, mo, d, h, mi, s, us=0):
+        ymd = ((y * 13 + mo) << 5) | d
+        hms = (h << 12) | (mi << 6) | s
+        return _s.pack("<q", (((ymd << 17) | hms) << 24) | us)
+
+    dt = _opaque(0x0C, packed_datetime(2015, 1, 15, 23, 24, 25))
+    assert parse_jsonb(dt) == "2015-01-15 23:24:25.000000"
+    assert decode_jsonb(dt) == '"2015-01-15 23:24:25.000000"'
+
+    date = _opaque(0x0A, packed_datetime(1999, 12, 31, 0, 0, 0))
+    assert parse_jsonb(date) == "1999-12-31"
+
+    def packed_time(h, mi, s, us=0, neg=False):
+        v = (((h << 12) | (mi << 6) | s) << 24) | us
+        return _s.pack("<q", -v if neg else v)
+
+    t = _opaque(0x0B, packed_time(838, 59, 59, 123456))
+    assert parse_jsonb(t) == "838:59:59.123456"
+    assert parse_jsonb(_opaque(0x0B, packed_time(1, 2, 3, neg=True))) == "-01:02:03.000000"
+
+    # timestamp opaque renders as datetime text
+    ts = _opaque(0x07, packed_datetime(2020, 6, 1, 12, 0, 0, 42))
+    assert parse_jsonb(ts) == "2020-06-01 12:00:00.000042"
+
+
+def test_opaque_inside_document():
+    from decimal import Decimal
+
+    packed = bytes([5, 2, 0x80, 0x7B, 0x2D])  # DECIMAL(5,2) 123.45
+    # hand-build {"d": <opaque decimal>}: key entry + out-of-line value
+    body = _opaque(0xF6, packed)
+    val_bytes = body[1:]  # out-of-line value excludes the entry's type byte
+    obj = bytearray()
+    obj += (1).to_bytes(2, "little")                    # count
+    size = 2 + 2 + 4 + 3 + 1 + len(val_bytes)
+    obj += size.to_bytes(2, "little")                   # size
+    obj += (2 + 2 + 4 + 3).to_bytes(2, "little")        # key offset
+    obj += (1).to_bytes(2, "little")                    # key len
+    obj += bytes([0x0F]) + (2 + 2 + 4 + 3 + 1).to_bytes(2, "little")  # value entry
+    obj += b"d"
+    obj += val_bytes
+    payload = bytes([0x00]) + bytes(obj)
+    assert parse_jsonb(payload) == {"d": Decimal("123.45")}
+    assert decode_jsonb(payload) == '{"d":123.45}'
+
+
+def test_unknown_opaque_still_raises():
+    with pytest.raises(JsonbError):
+        parse_jsonb(_opaque(0x01, b"\x05"))  # TINY int opaque: not a JSONB thing
