@@ -384,3 +384,75 @@ def quality_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc.select(
         "doc_id", "n_tokens", "xent_nats", F.round(F.exp("xent_nats"), 2).alias("ppl")
     ).orderBy("doc_id")
+
+
+@register(
+    "quality_entropy",
+    # ln() ulp differences absorbed by ROUND(,4); both engines fold
+    # the per-symbol terms in the SAME order (sorted symbol) so the
+    # double summation is order-identical
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_sort(list_distinct(string_split(text, ''))) AS chars_d,
+         string_split(text, '') AS chars,
+         list_sort(list_distinct({_TOKENS_SQL})) AS toks_d,
+         {_TOKENS_SQL} AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(chars) AS n_chars_t,
+         len(toks) AS n_toks,
+         list_reduce(
+           list_prepend(0.0, list_transform(chars_d,
+             c -> - (CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / len(chars))
+                  * ln(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / len(chars)))),
+           (a, x) -> a + x) AS char_h,
+         list_reduce(
+           list_prepend(0.0, list_transform(toks_d,
+             w -> - (CAST(len(list_filter(toks, x -> x = w)) AS DOUBLE) / len(toks))
+                  * ln(CAST(len(list_filter(toks, x -> x = w)) AS DOUBLE) / len(toks)))),
+           (a, x) -> a + x) AS tok_h
+  FROM t
+)
+SELECT doc_id, CAST(n_chars_t AS BIGINT) AS n_chars_t,
+       ROUND(char_h, 4) AS char_entropy,
+       ROUND(tok_h, 4) AS token_entropy
+FROM m ORDER BY doc_id
+""",
+    tags=("quality", "entropy", "llm-pipeline"),
+)
+def quality_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy gates: character-level and token-level entropy
+    per document (nats). Low char-entropy flags repeated-symbol junk
+    ('aaaa…', ASCII art); low token-entropy flags template spam that
+    passes length checks; both are standard cheap gates before
+    expensive dedup. Map-only: the histogram is computed INSIDE each
+    row with Catalyst higher-order functions over the distinct-symbol
+    list (O(n·distinct) per row, zero shuffle until presentation) —
+    the explode-and-group formulation would shuffle every character of
+    a 100 TB corpus. Terms fold in sorted-symbol order on both
+    engines, making the double sums bit-comparable under ROUND(,4)."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    m = d.select(
+        "doc_id",
+        F.split("text", "").alias("chars"),
+        T.tokens("text").alias("toks"),
+    )
+
+    def h(arr):
+        n = F.size(arr)
+        dis = F.array_sort(F.array_distinct(arr))
+        p = lambda s: F.size(F.filter(arr, lambda x: x == s)).cast("double") / n  # noqa: E731
+        return F.aggregate(
+            F.transform(dis, lambda s: -p(s) * F.log(p(s))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    return m.select(
+        "doc_id",
+        F.size("chars").cast("bigint").alias("n_chars_t"),
+        F.round(h(F.col("chars")), 4).alias("char_entropy"),
+        F.round(h(F.col("toks")), 4).alias("token_entropy"),
+    ).orderBy("doc_id")
