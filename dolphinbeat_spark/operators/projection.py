@@ -146,6 +146,122 @@ def to_maxwell_json(envelope: DataFrame) -> DataFrame:
     )
 
 
+# java.sql.Types constants for Canal's sqlType map (public JDBC spec;
+# the mapping mirrors what alibaba/canal's MQ flatMessage emits)
+_JDBC_TYPES = (
+    ("tinyint", -6), ("smallint", 5), ("mediumint", 4), ("bigint", -5),
+    ("int", 4), ("decimal", 3), ("numeric", 3), ("double", 8),
+    ("float", 7), ("datetime", 93), ("timestamp", 93), ("date", 91),
+    ("time", 92), ("year", 91), ("char", 1), ("varchar", 12),
+    ("tinytext", 2005), ("mediumtext", 2005), ("longtext", 2005),
+    ("text", 2005), ("tinyblob", 2004), ("mediumblob", 2004),
+    ("longblob", 2004), ("blob", 2004), ("varbinary", -3),
+    ("binary", -2), ("enum", 4), ("set", -7), ("bit", -7), ("json", 12),
+)
+
+
+def _jdbc_type(mysql_type: str) -> int:
+    t = mysql_type.lower()
+    for prefix, code in _JDBC_TYPES:
+        if t.startswith(prefix):
+            return code
+    return 12  # VARCHAR fallback, canal's own default
+
+
+def to_canal_flat_json(envelope: DataFrame, table_def: "TableDef") -> DataFrame:
+    """Envelope row ops → Canal flatMessage JSON (the public
+    alibaba/canal MQ format) for ONE table — the third interop bridge
+    (protobuf wire / Debezium / Maxwell / this): consumers built
+    against canal's RocketMQ/Kafka flat messages read the topic
+    unchanged.
+
+    flatMessage semantics: one message per BINLOG EVENT, with ``data``
+    an array of row images (multi-row events stay batched, ordered by
+    row_index), ``old`` an aligned array holding just the changed
+    columns per row (updates only), ``pkNames``/``mysqlType``/
+    ``sqlType`` from the table definition, ``type`` upper-cased,
+    ``es`` the binlog execute time (ms) and ``ts`` pinned to ``es``
+    (canal stamps its own sink-time there; a deterministic replay
+    cannot). ``id``/``sql`` carry flatMessage's DML constants (0, "").
+
+    Scale shape: one shuffle keyed on the event coordinate
+    (log_name, log_pos) to regroup rows into their event — the same
+    key the ordered sink already partitions by, so in a pipeline the
+    exchange reuses that partitioning; everything else is map-side.
+    """
+    resolved = {
+        img: F.map_zip_with(
+            F.col(img),
+            F.col(f"{img}_null"),
+            lambda k, v, isn: F.when(F.coalesce(isn, F.lit(False)), F.lit(None)).otherwise(v),
+        )
+        for img in ("before", "after")
+    }
+    before_r, after_r = resolved["before"], resolved["after"]
+    is_del = F.col("op_type") == "delete"
+    is_upd = F.col("op_type") == "update"
+    row_data = F.when(is_del, before_r).otherwise(after_r)
+    row_old = F.when(
+        is_upd, F.map_filter(before_r, lambda k, v: ~v.eqNullSafe(F.element_at(after_r, k)))
+    )
+
+    grouped = (
+        envelope.filter(F.col("op_type").isin(*_DEBEZIUM_OP))
+        .filter((F.col("db") == table_def.database) & (F.col("table") == table_def.name))
+        .select(
+            "db", "table", "op_type", "log_name", "log_pos", "timestamp",
+            F.coalesce(F.col("row_index"), F.lit(0)).alias("row_index"),
+            row_data.alias("__data"), row_old.alias("__old"),
+        )
+        .groupBy("db", "table", "op_type", "log_name", "log_pos")
+        .agg(
+            F.min("timestamp").alias("timestamp"),
+            # explicit comparator: structs holding maps have no natural
+            # ordering, but row_index alone is the sort key
+            F.array_sort(
+                F.collect_list(F.struct("row_index", "__data", "__old")),
+                lambda a, b: F.when(a["row_index"] < b["row_index"], -1)
+                .when(a["row_index"] > b["row_index"], 1)
+                .otherwise(0),
+            ).alias("__rows"),
+        )
+    )
+    pk = [c.name for c in table_def.columns if c.key == "PRI"]
+    mysql_type = F.create_map(
+        *[x for c in table_def.columns for x in (F.lit(c.name), F.lit(c.type))]
+    )
+    sql_type = F.create_map(
+        *[x for c in table_def.columns
+          for x in (F.lit(c.name), F.lit(_jdbc_type(c.type)))]
+    )
+    es = F.col("timestamp").cast("long") * 1000
+    payload = F.to_json(
+        F.struct(
+            F.lit(0).alias("id"),
+            F.col("db").alias("database"),
+            F.col("table").alias("table"),
+            F.array(*[F.lit(p) for p in pk]).alias("pkNames"),
+            F.lit(False).alias("isDdl"),
+            F.upper("op_type").alias("type"),
+            es.alias("es"),
+            es.alias("ts"),
+            F.lit("").alias("sql"),
+            sql_type.alias("sqlType"),
+            mysql_type.alias("mysqlType"),
+            F.transform(F.col("__rows"), lambda r: r["__data"]).alias("data"),
+            F.when(
+                F.col("op_type") == "update",
+                F.transform(F.col("__rows"), lambda r: r["__old"]),
+            ).alias("old"),
+        ),
+        {"ignoreNullFields": "false"},
+    )
+    return grouped.select(
+        "db", "table", "log_name", "log_pos",
+        F.upper("op_type").alias("type"), payload.alias("value"),
+    )
+
+
 def typed_view(
     envelope: DataFrame,
     registry: SchemaRegistry,

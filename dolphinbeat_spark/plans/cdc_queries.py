@@ -661,3 +661,77 @@ def cdc_maxwell_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("log_pos").alias("event_id"),
         "db", "table", "log_pos", "value",
     ).orderBy("event_id")
+
+
+@register(
+    "cdc_canal_flat",
+    oracle=f"""
+SELECT event_id,
+       'db1' AS db, 'tbl_click' AS "table", event_id AS log_pos,
+       concat(
+         '{{"id":0,"database":"db1","table":"tbl_click",',
+         '"pkNames":["event_id"],"isDdl":false,"type":"UPDATE",',
+         '"es":', CAST(event_id * 1000 AS VARCHAR),
+         ',"ts":', CAST(event_id * 1000 AS VARCHAR),
+         ',"sql":"","sqlType":{{"event_id":-5,"k":12}},',
+         '"mysqlType":{{"event_id":"bigint","k":"varchar(64)"}},',
+         '"data":[{{"event_id":"', CAST(event_id AS VARCHAR), '","k":',
+         CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 'null'
+              ELSE concat('"', json_extract_string(props, '$.k'), '"') END,
+         '}}],"old":[{{',
+         CASE WHEN json_extract_string(props, '$.k') IS NULL THEN ''
+              ELSE concat('"k":"', json_extract_string(props, '$.k'), '_0"') END,
+         '}}]}}'
+       ) AS value
+FROM events
+WHERE event_type = 'click' AND user_id % 3 = 1
+ORDER BY event_id
+""",
+    tags=("cdc", "envelope", "interop", "canal"),
+)
+def cdc_canal_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal-flatMessage interop: the db1.tbl_click slice of the
+    synthetic change stream rendered as alibaba/canal MQ flat messages
+    via the REAL operator (operators/projection.py::
+    to_canal_flat_json) — data as a row-image ARRAY per binlog event,
+    old aligned per row with only the changed columns, pkNames/
+    sqlType/mysqlType from the registry TableDef, type upper-cased,
+    ts pinned to es for determinism. The oracle reconstructs the
+    payload text exactly. Multi-row event batching is pinned by the
+    unit test (the synthetic stream is one row per event)."""
+    from dolphinbeat_spark.operators.projection import to_canal_flat_json
+    from dolphinbeat_spark.schema.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.apply_ddl(
+        "CREATE TABLE db1.tbl_click (event_id BIGINT PRIMARY KEY, k VARCHAR(64))"
+    )
+    td = reg.get("db1", "tbl_click")
+
+    e = load(spark, sf_dir, "events")
+    db, tbl = _db_table_cols()
+    k_raw = F.get_json_object("props", "$.k")
+    k_old = F.concat(k_raw, F.lit("_0"))
+    eid_s = F.col("event_id").cast("string")
+    env = e.select(
+        "event_id",
+        _op_col().alias("op_type"),
+        db.alias("db"),
+        tbl.alias("table"),
+        F.lit("binlog.000001").alias("log_name"),
+        F.col("event_id").alias("log_pos"),
+        F.lit(0).alias("row_index"),
+        F.col("event_id").cast("int").alias("timestamp"),
+        F.create_map(F.lit("event_id"), eid_s, F.lit("k"), k_old).alias("before"),
+        F.create_map(
+            F.lit("event_id"), F.lit(False), F.lit("k"), k_old.isNull()
+        ).alias("before_null"),
+        F.create_map(F.lit("event_id"), eid_s, F.lit("k"), k_raw).alias("after"),
+        F.create_map(
+            F.lit("event_id"), F.lit(False), F.lit("k"), k_raw.isNull()
+        ).alias("after_null"),
+    )
+    out = to_canal_flat_json(env, td)
+    return out.select(
+        F.col("log_pos").alias("event_id"), "db", "table", "log_pos", "value"
+    ).orderBy("event_id")

@@ -166,3 +166,59 @@ def test_to_maxwell_json(spark):
     dele = next(p for p in payloads if p["type"] == "delete")
     assert dele["data"]["id"] == "2"  # delete: data = old image
     assert "old" not in dele
+
+
+def test_to_canal_flat_json(spark):
+    import json
+
+    from dolphinbeat_spark.operators.projection import to_canal_flat_json
+    from dolphinbeat_spark.schema.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.apply_ddl(
+        "CREATE TABLE test.canal_test (id INT PRIMARY KEY, name VARCHAR(100), content BLOB)"
+    )
+    td = reg.get("test", "canal_test")
+    # consumer-side dedup first (K7), as for frame_transactions: the
+    # golden stream ends with a producer-retry duplicate
+    env = golden_envelope_df(spark).dropDuplicates(
+        ["log_name", "log_pos", "op_type", "row_index"]
+    )
+    rows = to_canal_flat_json(env, td).collect()
+    payloads = {(r["type"], r["log_pos"]): json.loads(r["value"]) for r in rows}
+    assert all(r["table"] == "canal_test" for r in rows)
+
+    ins = next(p for (t, _), p in payloads.items()
+               if t == "INSERT" and p["data"][0]["id"] == "1")
+    assert ins["database"] == "test" and ins["isDdl"] is False
+    assert ins["pkNames"] == ["id"]
+    assert ins["mysqlType"]["name"].startswith("varchar")
+    assert ins["sqlType"] == {"id": 4, "name": 12, "content": 2004}
+    assert isinstance(ins["data"], list) and ins["data"][0]["id"] == "1"
+    assert ins["old"] is None  # non-update: old renders null
+    assert ins["es"] == ins["ts"]
+
+    upd = next(p for (t, _), p in payloads.items() if t == "UPDATE")
+    assert upd["data"][0]["name"] == "a2"
+    assert upd["old"] == [{"name": "a"}]  # aligned per-row changed cols
+
+    dele = next(p for (t, _), p in payloads.items() if t == "DELETE")
+    assert dele["data"][0]["id"] == "2"
+
+    # multi-row event batches into ONE message, rows ordered by row_index
+    multi = env.sparkSession.createDataFrame(
+        [
+            ("insert", "test", "canal_test", "b.1", 500, 1, 100,
+             {"id": "11", "name": "y", "content": ""}, {"id": False, "name": False, "content": True}),
+            ("insert", "test", "canal_test", "b.1", 500, 0, 100,
+             {"id": "10", "name": "x", "content": ""}, {"id": False, "name": False, "content": True}),
+        ],
+        "op_type string, db string, table string, log_name string, log_pos long, "
+        "row_index int, timestamp long, after map<string,string>, after_null map<string,boolean>",
+    ).withColumn("before", F.lit(None).cast("map<string,string>")) \
+     .withColumn("before_null", F.lit(None).cast("map<string,boolean>"))
+    out = to_canal_flat_json(multi, td).collect()
+    assert len(out) == 1
+    p = json.loads(out[0]["value"])
+    assert [d["id"] for d in p["data"]] == ["10", "11"]
+    assert p["data"][0]["content"] is None  # null flag -> JSON null
