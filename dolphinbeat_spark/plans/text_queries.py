@@ -677,3 +677,102 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("full_text", F.lit(_PHONE_RE), F.lit(0)))
         .cast("bigint").alias("n_phones"),
     ).orderBy("doc_id")
+
+
+_MIX_MOD = 1_000_000
+
+
+@register(
+    "sample_temperature_mix",
+    # sqrt() IS correctly rounded per IEEE-754 (unlike ln), so the
+    # alpha=0.5 temperature weights are bit-identical across engines;
+    # thresholds floor to integers, the per-doc keep decision is pure
+    # integer hash arithmetic
+    oracle=f"""
+WITH per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+         SUM(sqrt(CAST(n_docs AS DOUBLE))) AS z
+  FROM per_src
+), rates AS (
+  SELECT s.source, s.n_docs,
+         sqrt(CAST(s.n_docs AS DOUBLE)) / t.z AS target_share,
+         CAST(LEAST(
+           floor((0.5 * t.n_total * (sqrt(CAST(s.n_docs AS DOUBLE)) / t.z)
+                  / s.n_docs) * {_MIX_MOD}),
+           {_MIX_MOD}) AS BIGINT) AS threshold
+  FROM per_src s CROSS JOIN tot t
+), kept AS (
+  SELECT d.source, COUNT(*) AS n_kept
+  FROM documents d JOIN rates r USING (source)
+  WHERE {hash64_sql("concat('mix-', CAST(doc_id AS VARCHAR))")} % {_MIX_MOD} < r.threshold
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, ROUND(r.target_share, 6) AS target_share,
+       r.threshold, CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM rates r LEFT JOIN kept k ON r.source = k.source
+ORDER BY r.source
+""",
+    tags=("sampling", "mixture", "temperature", "llm-pipeline"),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the mT5/Pile recipe): sampling
+    share per source ∝ n^alpha with alpha=0.5, flattening the source
+    distribution so big crawls stop drowning small high-quality
+    sources. A global budget of half the corpus is allocated to
+    sources by target share, converted to a per-source acceptance
+    threshold, and every document decides membership by pure
+    deterministic hash — reproducible across runs, engines, and
+    cluster sizes (no RNG state). Returns the per-source audit:
+    corpus count, target share, threshold, kept count.
+
+    Scale shape: the rate table is a per-source aggregate (tiny,
+    broadcast back); the keep decision is map-side integer hashing;
+    the audit is one more partial-agg. No shuffle touches document
+    text. alpha=0.5 specifically because sqrt is IEEE
+    correctly-rounded — cross-engine bit-identical where a pow()/ln()
+    temperature would not be."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tot = per_src.agg(
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("z"),
+    )
+    rates = per_src.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        (F.sqrt(F.col("n_docs").cast("double")) / F.col("z")).alias("target_share"),
+        F.least(
+            F.floor(
+                (
+                    F.lit(0.5)
+                    * F.col("n_total")
+                    * (F.sqrt(F.col("n_docs").cast("double")) / F.col("z"))
+                    / F.col("n_docs")
+                )
+                * _MIX_MOD
+            ),
+            F.lit(_MIX_MOD),
+        ).cast("bigint").alias("threshold"),
+    )
+    from dolphinbeat_spark.functions.hashes import hash64
+
+    doc_hash = hash64(F.concat(F.lit("mix-"), F.col("doc_id").cast("string")))
+    kept = (
+        d.join(F.broadcast(rates.select("source", "threshold")), "source")
+        .filter(doc_hash % _MIX_MOD < F.col("threshold"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.round("target_share", 6).alias("target_share"),
+            "threshold",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("source")
+    )

@@ -49,6 +49,7 @@ _BNLJ_OK = {
     "profile_leading_digits",  # 1-row total broadcast
     "dedup_lsh_recall",  # bounded-universe all-pairs truth (by design)
     "quality_unigram_lm",  # 1-row corpus-totals (N, V) broadcast
+    "sample_temperature_mix",  # 1-row budget/normalizer broadcast
 }
 # specs whose final presentation sort is the only exchange-heavy step
 _WIDE_READ_OK = {"cdc_envelope_from_events"}  # reads most event columns by design
