@@ -7,7 +7,7 @@ from the same portable hash arithmetic (functions/hashes.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dolphinbeat_spark.catalog import load
@@ -491,4 +491,86 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weight"),
         )
         .orderBy("doc_id")
+    )
+
+
+_SPAN_K = 8  # tokens per duplicate-detection window
+
+
+@register(
+    "dedup_duplicate_spans",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), w AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         concat_ws(' ', {", ".join(f"toks[CAST(i + {j} AS INTEGER)]" for j in range(8))}) AS gram
+  FROM t, unnest(range(1, greatest(len(toks) - {_SPAN_K - 1}, 0) + 1)) AS u(i)
+), h AS (
+  SELECT doc_id, pos, {hash64_sql('gram')} AS gh FROM w
+), dupw AS (
+  SELECT doc_id, pos FROM h
+  WHERE gh IN (SELECT gh FROM h GROUP BY gh HAVING COUNT(*) >= 2)
+), isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dupw
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_SPAN_K - 1} AS BIGINT) AS span_end,
+       CAST(MAX(pos) - MIN(pos) + {_SPAN_K} AS BIGINT) AS span_tokens
+FROM isl
+GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+""",
+    tags=("dedup", "spans", "substring", "llm-pipeline"),
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring extraction (the 'Deduplicating
+    Training Data Makes Language Models Better' operation): find every
+    maximal token span whose {_SPAN_K}-token windows ALL occur at
+    least twice in the corpus, per document — the spans a trainer cuts
+    out instead of dropping whole documents. The suffix-array form of
+    this is superlinear-memory and single-machine; the distributed
+    standard is windowed hashing (winnowing's cousin): hash every
+    k-token window, keep windows whose hash repeats corpus-wide, and
+    merge per-doc consecutive positions into maximal spans with the
+    gaps-and-islands trick (pos - row_number is constant within a
+    consecutive run).
+
+    Shuffles: window-hash frequency is wordcount-shaped (partial aggs);
+    the repeat filter is an equi-join on the 64-bit hash (never the
+    text); the island merge windows per doc_id — bounded by windows
+    per document, skew-safe."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    toked = d.select("doc_id", T_tokens("text").alias("toks"))
+    n = F.size("toks")
+    idx = F.when(
+        n >= _SPAN_K, F.sequence(F.lit(1), n - (_SPAN_K - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at("toks", i + j) for j in range(_SPAN_K)]
+    )
+    from dolphinbeat_spark.functions.hashes import hash64
+
+    w = toked.select(
+        "doc_id", F.posexplode(F.transform(idx, gram)).alias("pos0", "gram")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        hash64(F.col("gram")).alias("gh"),
+    )
+    rep = w.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") >= 2)
+    dupw = w.join(rep.select("gh"), "gh").select("doc_id", "pos")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dupw.withColumn("grp", F.col("pos") - F.row_number().over(win))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + (_SPAN_K - 1)).cast("bigint").alias("span_end"),
+            (F.max("pos") - F.min("pos") + _SPAN_K).cast("bigint").alias("span_tokens"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+        .orderBy("doc_id", "span_start")
     )
