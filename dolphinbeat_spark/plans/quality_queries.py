@@ -21,6 +21,7 @@ from dolphinbeat_spark.operators import text as T
 from dolphinbeat_spark.plans.registry import register
 
 _TOKENS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
+_STOP_SQL = ", ".join(f"'{s}'" for s in T.STOPWORDS)
 
 
 @register(
@@ -455,4 +456,78 @@ def quality_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chars").cast("bigint").alias("n_chars_t"),
         F.round(h(F.col("chars")), 4).alias("char_entropy"),
         F.round(h(F.col("toks")), 4).alias("token_entropy"),
+    ).orderBy("doc_id")
+
+
+# stand-in coefficients for the classifier spec: intercept, mean token
+# length, alphabetic fraction, stopword fraction. Production swaps in
+# trained weights (same broadcast + identical plan).
+_CLF_W = (-3.0, 0.35, 2.0, 1.5)
+
+
+@register(
+    "quality_linear_classifier",
+    # features are exact int/int doubles; the linear combination is a
+    # FIXED left-to-right chain of IEEE ops on identical operands →
+    # bit-identical z on both engines. Only exp() needs ROUND-slack.
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+), feats AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+           / len(toks) AS mean_len,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$'))) AS DOUBLE)
+           / len(toks) AS frac_alpha,
+         CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+           / len(toks) AS frac_stop
+  FROM t
+), scored AS (
+  SELECT doc_id,
+         ((({_CLF_W[0]} + {_CLF_W[1]} * mean_len) + {_CLF_W[2]} * frac_alpha)
+          + {_CLF_W[3]} * frac_stop) AS z
+  FROM feats
+)
+SELECT doc_id, ROUND(z, 6) AS z,
+       ROUND(1.0 / (1.0 + exp(-z)), 4) AS prob,
+       z > 0 AS keep
+FROM scored ORDER BY doc_id
+""",
+    tags=("quality", "classifier", "llm-pipeline"),
+)
+def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier inference at scale (the fastText/logreg gate
+    every production corpus runs — FineWeb-Edu style): a linear model
+    over cheap per-doc features (mean token length, alphabetic
+    fraction, stopword fraction), sigmoid score, keep decision on the
+    raw margin. The coefficient vector here is a fixed stand-in;
+    production broadcasts trained weights into the SAME plan — which
+    is the point: inference is a map-only projection, no shuffle, no
+    UDF, whatever the weights are. The keep decision compares the
+    bit-deterministic margin z (not the rounded probability), so the
+    boundary is exact cross-engine."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    toked = d.select("doc_id", T.tokens("text").alias("toks"))
+    n = F.size("toks")
+    sum_len = F.aggregate(
+        "toks", F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = sum_len.cast("double") / n
+    frac_alpha = (
+        F.size(F.filter("toks", lambda t: t.rlike("^[a-z]+$"))).cast("double") / n
+    )
+    stop_arr = F.array(*[F.lit(s) for s in T.STOPWORDS])
+    frac_stop = (
+        F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t))).cast("double")
+        / n
+    )
+    w0, w1, w2, w3 = _CLF_W
+    z = ((F.lit(w0) + F.lit(w1) * mean_len) + F.lit(w2) * frac_alpha) + F.lit(
+        w3
+    ) * frac_stop
+    return toked.select(
+        "doc_id",
+        F.round(z, 6).alias("z"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias("prob"),
+        (z > 0).alias("keep"),
     ).orderBy("doc_id")
