@@ -525,6 +525,7 @@ GROUP BY doc_id, grp
 ORDER BY doc_id, span_start
 """,
     tags=("dedup", "spans", "substring", "llm-pipeline"),
+    bench=True,
 )
 def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring extraction (the 'Deduplicating

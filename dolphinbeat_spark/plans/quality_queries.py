@@ -328,6 +328,7 @@ SELECT doc_id, n_tokens, xent_nats, ROUND(exp(xent_nats), 2) AS ppl
 FROM doc ORDER BY doc_id
 """,
     tags=("quality", "lm", "perplexity", "ccnet", "llm-pipeline"),
+    bench=True,
 )
 def quality_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity filtering with a from-scratch LM: train

@@ -303,3 +303,52 @@ def test_opaque_inside_document():
 def test_unknown_opaque_still_raises():
     with pytest.raises(JsonbError):
         parse_jsonb(_opaque(0x01, b"\x05"))  # TINY int opaque: not a JSONB thing
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_json_values = st.recursive(
+    st.none()
+    | st.booleans()
+    | st.integers(min_value=-(2**63), max_value=2**64 - 1)
+    | st.floats(allow_nan=False, allow_infinity=False, width=64)
+    | st.text(max_size=40),
+    lambda children: st.lists(children, max_size=5)
+    | st.dictionaries(st.text(max_size=10), children, max_size=5),
+    max_leaves=20,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_json_values, st.booleans())
+def test_jsonb_roundtrip_property(value, large):
+    """Any JSON document survives encode→decode in both the small and
+    large container formats, and the rendered text re-parses to the
+    same document."""
+    import json as _json
+
+    payload = enc(value, large=large)
+    assert parse_jsonb(payload) == value
+    assert _json.loads(decode_jsonb(payload)) == value
+
+
+@settings(max_examples=100, deadline=None)
+@given(_json_values, st.integers(min_value=0, max_value=60))
+def test_jsonb_truncation_never_misdecodes(value, cut):
+    """A truncated payload either raises JsonbError or (when the cut
+    lands beyond every referenced byte) decodes to the same document —
+    it must never silently return a DIFFERENT document... for scalars
+    and containers alike, wrong-silent is the failure mode that
+    corrupts a CDC stream."""
+    payload = enc(value)
+    if cut >= len(payload) or cut == 0:
+        # cut == 0 is the empty payload: by convention a JSON NULL
+        # column value, not a truncation
+        return
+    truncated = payload[:cut]
+    try:
+        got = parse_jsonb(truncated)
+    except JsonbError:
+        return
+    assert got == value
