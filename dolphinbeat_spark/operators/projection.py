@@ -35,6 +35,33 @@ def to_json_ops(df: DataFrame) -> DataFrame:
 _DEBEZIUM_OP = {"insert": "c", "update": "u", "delete": "d"}
 
 
+def _resolved_images() -> dict:
+    """NULL-flag resolution shared by every interop exporter: the wire
+    images carry (value map, null-flag map) pairs; a flagged column
+    becomes a real NULL so it renders as JSON null, not "". One
+    definition — the three export formats must never diverge here."""
+    return {
+        img: F.map_zip_with(
+            F.col(img),
+            F.col(f"{img}_null"),
+            lambda k, v, isn: F.when(F.coalesce(isn, F.lit(False)), F.lit(None)).otherwise(v),
+        )
+        for img in ("before", "after")
+    }
+
+
+def _changed_old_columns(before_r, after_r):
+    """Update-diff rule shared by the Maxwell and Canal exporters: the
+    ``old`` image keeps a before-column iff its value differs in the
+    after image OR the column is absent from the after image entirely
+    (absent counts as changed even when the before value is NULL)."""
+    return F.map_filter(
+        before_r,
+        lambda k, v: ~F.array_contains(F.map_keys(after_r), k)
+        | ~v.eqNullSafe(F.element_at(after_r, k)),
+    )
+
+
 def to_debezium_json(envelope: DataFrame, server_name: str = "dolphinbeat") -> DataFrame:
     """Envelope row ops → Debezium-style MySQL change-event payloads —
     the interop bridge: downstream consumers built against Debezium's
@@ -47,14 +74,7 @@ def to_debezium_json(envelope: DataFrame, server_name: str = "dolphinbeat") -> D
     block carrying the binlog coordinates this engine tracks
     (file/pos/row/server_id/gtid). Map-only Catalyst projection — one
     ``to_json`` per row, no shuffle."""
-    null_resolved = {
-        img: F.map_zip_with(
-            F.col(img),
-            F.col(f"{img}_null"),
-            lambda k, v, isn: F.when(F.coalesce(isn, F.lit(False)), F.lit(None)).otherwise(v),
-        )
-        for img in ("before", "after")
-    }
+    null_resolved = _resolved_images()
     op_code = (
         F.when(F.col("op_type") == "insert", "c")
         .when(F.col("op_type") == "update", "u")
@@ -109,21 +129,12 @@ def to_maxwell_json(envelope: DataFrame) -> DataFrame:
     Maxwell extras (xid/commit flags) need transaction framing — see
     ``frame_transactions``. Map-only Catalyst projection, no shuffle.
     """
-    resolved = {
-        img: F.map_zip_with(
-            F.col(img),
-            F.col(f"{img}_null"),
-            lambda k, v, isn: F.when(F.coalesce(isn, F.lit(False)), F.lit(None)).otherwise(v),
-        )
-        for img in ("before", "after")
-    }
+    resolved = _resolved_images()
     before_r, after_r = resolved["before"], resolved["after"]
     is_del = F.col("op_type") == "delete"
     is_upd = F.col("op_type") == "update"
     data = F.when(is_del, before_r).otherwise(after_r)
-    old = F.map_filter(
-        before_r, lambda k, v: ~v.eqNullSafe(F.element_at(after_r, k))
-    )
+    old = _changed_old_columns(before_r, after_r)
     base = [
         F.col("db").alias("database"),
         F.col("table").alias("table"),
@@ -189,21 +200,12 @@ def to_canal_flat_json(envelope: DataFrame, table_def: "TableDef") -> DataFrame:
     key the ordered sink already partitions by, so in a pipeline the
     exchange reuses that partitioning; everything else is map-side.
     """
-    resolved = {
-        img: F.map_zip_with(
-            F.col(img),
-            F.col(f"{img}_null"),
-            lambda k, v, isn: F.when(F.coalesce(isn, F.lit(False)), F.lit(None)).otherwise(v),
-        )
-        for img in ("before", "after")
-    }
+    resolved = _resolved_images()
     before_r, after_r = resolved["before"], resolved["after"]
     is_del = F.col("op_type") == "delete"
     is_upd = F.col("op_type") == "update"
     row_data = F.when(is_del, before_r).otherwise(after_r)
-    row_old = F.when(
-        is_upd, F.map_filter(before_r, lambda k, v: ~v.eqNullSafe(F.element_at(after_r, k)))
-    )
+    row_old = F.when(is_upd, _changed_old_columns(before_r, after_r))
 
     grouped = (
         envelope.filter(F.col("op_type").isin(*_DEBEZIUM_OP))
@@ -226,7 +228,7 @@ def to_canal_flat_json(envelope: DataFrame, table_def: "TableDef") -> DataFrame:
             ).alias("__rows"),
         )
     )
-    pk = [c.name for c in table_def.columns if c.key == "PRI"]
+    pk = table_def.primary_key()
     mysql_type = F.create_map(
         *[x for c in table_def.columns for x in (F.lit(c.name), F.lit(c.type))]
     )

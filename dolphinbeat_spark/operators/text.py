@@ -54,9 +54,10 @@ def stopword_count(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -
     return F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("bigint")
 
 
-def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles from a token-array column, 1-based
-    indexing to mirror SQL arrays.
+def word_grams_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-word grams from a token-array column in POSITION order (one
+    per window, duplicates kept — posexplode gives 0-based window
+    positions), 1-based indexing to mirror SQL arrays.
 
     Pass a MATERIALIZED tokens column (a real projected column, not
     ``tokens(text)`` inline): the lambda references the array k+1
@@ -66,12 +67,19 @@ def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     n = F.size(toks)
     # guard n < k explicitly: sequence(1, 0) is DESCENDING in Spark
     # ([1, 0] — not empty), and element_at(toks, 0) then throws under
-    # ANSI. A doc shorter than k tokens has NO k-shingles.
+    # ANSI. A doc shorter than k tokens has NO k-windows.
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
         F.array().cast("array<int>")
     )
-    shingle = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])  # noqa: E731
-    return F.array_distinct(F.transform(idx, shingle))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])  # noqa: E731
+    return F.transform(idx, gram)
+
+
+def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles: the positional grams with
+    multiplicity and order dropped (see word_grams_from_tokens for the
+    materialized-column requirement)."""
+    return F.array_distinct(word_grams_from_tokens(toks, k))
 
 
 def word_shingles(text: Column | str, k: int = 3) -> Column:

@@ -544,19 +544,14 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the repeat filter is an equi-join on the 64-bit hash (never the
     text); the island merge windows per doc_id — bounded by windows
     per document, skew-safe."""
+    from dolphinbeat_spark.functions.hashes import hash64
+    from dolphinbeat_spark.operators.text import word_grams_from_tokens
+
     d = load(spark, sf_dir, "documents", widen=True)
     toked = d.select("doc_id", T_tokens("text").alias("toks"))
-    n = F.size("toks")
-    idx = F.when(
-        n >= _SPAN_K, F.sequence(F.lit(1), n - (_SPAN_K - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at("toks", i + j) for j in range(_SPAN_K)]
-    )
-    from dolphinbeat_spark.functions.hashes import hash64
-
     w = toked.select(
-        "doc_id", F.posexplode(F.transform(idx, gram)).alias("pos0", "gram")
+        "doc_id",
+        F.posexplode(word_grams_from_tokens(F.col("toks"), _SPAN_K)).alias("pos0", "gram"),
     ).select(
         "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"),
         hash64(F.col("gram")).alias("gh"),

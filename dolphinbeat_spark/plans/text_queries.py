@@ -692,8 +692,12 @@ _MIX_MOD = 1_000_000
 WITH per_src AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
 ), tot AS (
+  -- z folds the per-source sqrt terms in sorted-source order (not a
+  -- bare SUM): double addition is order-dependent, and the threshold
+  -- floor() downstream has no rounding slack to absorb a stray ulp
   SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
-         SUM(sqrt(CAST(n_docs AS DOUBLE))) AS z
+         list_reduce(list_prepend(0.0, list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source)),
+                     (a, x) -> a + x) AS z
   FROM per_src
 ), rates AS (
   SELECT s.source, s.n_docs,
@@ -735,9 +739,20 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     temperature would not be."""
     d = load(spark, sf_dir, "documents", widen=True)
     per_src = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    # ordered fold, not F.sum: the normalizer feeds an integer floor()
+    # with no rounding slack, so the double summation order must match
+    # the oracle exactly (sorted by source on both engines)
     tot = per_src.agg(
         F.sum("n_docs").cast("bigint").alias("n_total"),
-        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("z"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("source", F.sqrt(F.col("n_docs").cast("double")).alias("s"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("z"),
     )
     rates = per_src.join(F.broadcast(tot)).select(
         "source",

@@ -250,6 +250,14 @@ def _parse_container(tp: int, data: bytes, base: int) -> Any:
     _need(data, base, size, "container body")
 
     entry_base = base + 2 * osz
+    # every out-of-line key/value lives AFTER the fixed entry tables;
+    # offsets below this bound (self/header references) or at/after
+    # `size` are corruption — reject both, or a malformed payload can
+    # silently decode to a WRONG document (wrong keys) or recurse into
+    # its own container forever
+    key_entries = count * (osz + 2) if is_object else 0
+    min_off = 2 * osz + key_entries + count * (1 + osz)
+
     keys: list[str] = []
     if is_object:
         for i in range(count):
@@ -257,9 +265,13 @@ def _parse_container(tp: int, data: bytes, base: int) -> Any:
             _need(data, kpos, osz + 2, "key entry")
             koff = struct.unpack_from(ofmt, data, kpos)[0]
             klen = struct.unpack_from("<H", data, kpos + osz)[0]
+            if koff < min_off or koff + klen > size:
+                raise JsonbError(
+                    f"key offset {koff}+{klen} outside container data [{min_off}, {size})"
+                )
             _need(data, base + koff, klen, "key bytes")
             keys.append(data[base + koff : base + koff + klen].decode("utf-8"))
-        entry_base += count * (osz + 2)
+        entry_base += key_entries
 
     # a value entry inlines literals and ints that fit in the offset
     # field; everything else is an offset from the container base
@@ -276,8 +288,10 @@ def _parse_container(tp: int, data: bytes, base: int) -> Any:
             values.append(_parse_scalar(vtp, data, vpos + 1))
         else:
             voff = struct.unpack_from(ofmt, data, vpos + 1)[0]
-            if voff >= size:
-                raise JsonbError(f"value offset {voff} outside container size {size}")
+            if voff < min_off or voff >= size:
+                raise JsonbError(
+                    f"value offset {voff} outside container data [{min_off}, {size})"
+                )
             values.append(_parse_value(vtp, data, base + voff))
 
     if is_object:

@@ -222,3 +222,26 @@ def test_to_canal_flat_json(spark):
     p = json.loads(out[0]["value"])
     assert [d["id"] for d in p["data"]] == ["10", "11"]
     assert p["data"][0]["content"] is None  # null flag -> JSON null
+
+
+def test_maxwell_old_missing_after_column_counts_as_changed(spark):
+    """A before-column absent from the after image is CHANGED in the
+    update diff, even when its before value is NULL (the documented
+    rule; NULL <=> missing must not read as equal)."""
+    import json
+
+    from dolphinbeat_spark.operators.projection import to_maxwell_json
+
+    env = spark.createDataFrame(
+        [(
+            "update", "test", "t", "b.1", 10, 0, 100, None,
+            {"id": "1", "dropped": ""}, {"id": False, "dropped": True},
+            {"id": "1"}, {"id": False},
+        )],
+        "op_type string, db string, table string, log_name string, log_pos long, "
+        "row_index int, timestamp long, gtid string, "
+        "before map<string,string>, before_null map<string,boolean>, "
+        "after map<string,string>, after_null map<string,boolean>",
+    )
+    p = json.loads(to_maxwell_json(env).collect()[0]["value"])
+    assert p["old"] == {"dropped": None}

@@ -352,3 +352,23 @@ def test_jsonb_truncation_never_misdecodes(value, cut):
     except JsonbError:
         return
     assert got == value
+
+
+def test_corrupt_key_offset_rejected():
+    """Review repro: {"a":2} with the key offset bumped to point past
+    the container (at a junk byte) must raise, not decode {"Z":2}."""
+    payload = bytes(
+        [0x00, 0x01, 0x00, 0x0C, 0x00,
+         0x0C, 0x00,  # key offset 12 == size (outside)
+         0x01, 0x00, 0x05, 0x02, 0x00, 0x61, 0x5A]
+    )
+    with pytest.raises(JsonbError):
+        parse_jsonb(payload)
+
+
+def test_self_referential_offset_rejected():
+    """Review repro: an array whose value entry points back at its own
+    container header must raise JsonbError, not RecursionError."""
+    payload = bytes([0x02, 0x01, 0x00, 0x07, 0x00, 0x02, 0x00, 0x00])
+    with pytest.raises(JsonbError):
+        parse_jsonb(payload)
