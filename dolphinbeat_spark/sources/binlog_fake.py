@@ -136,3 +136,51 @@ class FakeBinlogDataSource(DataSource):
 
 def register_fake_binlog_source(spark) -> None:
     spark.dataSource.register(FakeBinlogDataSource)
+
+
+FAKE_ARROW_BINLOG_SOURCE_NAME = "dolphinbeat_binlog_fake_arrow"
+
+
+def arrow_scripted_provider(options: dict):
+    """Provider for the Arrow reader (passed by module path so the
+    executor constructs it locally): (event_iter_factory, latest_fn)
+    over the same deterministic script the simple fake source uses."""
+    n_trx = int(options.get("n_trx", "10"))
+    rows_per_trx = int(options.get("rows_per_trx", "5"))
+    factory = _scripted_factory(n_trx, rows_per_trx)
+
+    def latest(opts: dict) -> dict:
+        events = scripted_events(n_trx, rows_per_trx)
+        last = max(e.packet.log_pos for e in events)
+        return BinlogOffset(
+            file="binlog.000001", pos=last,
+            server_id=int(opts.get("server_id", "0")),
+        ).to_json()
+
+    return factory, latest
+
+
+class FakeArrowBinlogDataSource(DataSource):
+    """The executor-side Arrow reader under real streaming machinery,
+    same scripted stand-in: latestOffset planning, shard partitions,
+    RecordBatch handoff, checkpoint commit all execute for real."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FAKE_ARROW_BINLOG_SOURCE_NAME
+
+    def schema(self):
+        return ENVELOPE_SCHEMA
+
+    def streamReader(self, schema):
+        from dolphinbeat_spark.sources.binlog_source import ArrowBinlogStreamReader
+
+        opts = dict(self.options)
+        opts.setdefault(
+            "provider", "dolphinbeat_spark.sources.binlog_fake:arrow_scripted_provider"
+        )
+        return ArrowBinlogStreamReader(opts)
+
+
+def register_fake_arrow_binlog_source(spark) -> None:
+    spark.dataSource.register(FakeArrowBinlogDataSource)

@@ -35,7 +35,12 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from dolphinbeat_spark.envelope import ENVELOPE_SCHEMA
 from dolphinbeat_spark.schema.registry import (
@@ -776,6 +781,173 @@ def _assert_row_format(conn: dict) -> None:  # pragma: no cover - needs live MyS
         row = cur.fetchone()
         if row and str(row[1]).upper() != "ROW":
             raise RuntimeError(f"binlog_format must be ROW, got {row[1]!r}")
+
+
+class _ShardRangePartition(InputPartition):
+    """One executor task of an Arrow binlog batch: a fixed offset range
+    plus the table shard this task decodes."""
+
+    def __init__(self, start: dict, end: dict, shard_index: int, shard_count: int):
+        self.start = start
+        self.end = end
+        self.shard_index = shard_index
+        self.shard_count = shard_count
+
+
+def _resolve_provider(ref: str):
+    """``pkg.module:callable`` → the callable (importable on executors,
+    which is why providers are passed by reference, not by pickle)."""
+    mod, _, fn = ref.partition(":")
+    if not mod or not fn:
+        raise ValueError(f"provider must be 'module:callable', got {ref!r}")
+    import importlib
+
+    return getattr(importlib.import_module(mod), fn)
+
+
+_ROW_OPS = frozenset({"insert", "update", "delete"})
+
+
+def _read_shard_arrow(options: dict, partition: _ShardRangePartition, batch_rows: int):
+    """Executor-side decode of one (offset range, table shard) into
+    pyarrow RecordBatches — the Arrow handoff discipline measured ~10×
+    faster than per-row tuples on the fixture source."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    start = BinlogOffset.from_json(partition.start)
+    end = BinlogOffset.from_json(partition.end)
+    provider = options.get("provider")
+    if provider:
+        factory, _latest = _resolve_provider(provider)(options)
+    else:  # pragma: no cover - needs live MySQL
+        factory = lambda off: live_event_iter(options, off)  # noqa: E731
+    snap = options.get("schema_snapshot", "")
+    registry = SchemaRegistry.load(snap) if snap else SchemaRegistry()
+    table_filter = None
+    if partition.shard_count > 1:
+        table_filter = (
+            lambda db, tbl: shard_for_table(db, tbl, partition.shard_count)
+            == partition.shard_index
+        )
+    ctx = DecodeContext(
+        registry=registry,
+        log_name=start.file,
+        server_id=start.server_id or int(options.get("server_id", "0")),
+        table_filter=table_filter,
+    )
+    schema = to_arrow_schema(ENVELOPE_SCHEMA)
+    fields = ENVELOPE_SCHEMA.fields
+    buf: list[dict] = []
+
+    def batches():
+        tbl = pa.Table.from_pylist(
+            [{f.name: op.get(f.name) for f in fields} for op in buf], schema=schema
+        )
+        return tbl.to_batches()
+
+    for raw in factory(start):
+        ev = adapt_replication_event(raw)
+        if ev is None:
+            continue
+        lp = int(getattr(ev, "log_pos", 0) or 0)
+        if lp and not end.is_zero():
+            cur = BinlogOffset(
+                file=ctx.log_name or start.file, pos=lp, server_id=end.server_id
+            )
+            if cur.compare(end) > 0:
+                break  # beyond this batch's range: belongs to the next one
+        for op in decode_event(ev, ctx):
+            # shard 0 carries the control ops (begin/commit/gtid/ddl/
+            # rotate/query) exactly once; other shards emit only their
+            # row ops — DDL is still APPLIED to every shard's registry
+            # (decode needs the schema), just not re-emitted
+            if partition.shard_index != 0 and op["op_type"] not in _ROW_OPS:
+                continue
+            op.setdefault("gtid", None)
+            buf.append(op)
+            if len(buf) >= batch_rows:
+                yield from batches()
+                buf.clear()
+    if buf:
+        yield from batches()
+
+
+class ArrowBinlogStreamReader(DataSourceStreamReader):
+    """High-throughput form of the binlog source: executor-side Arrow
+    decode behind the full ``DataSourceStreamReader`` protocol.
+
+    The driver-side :class:`LiveBinlogStreamReader` (the reference's
+    single-goroutine shape, canal/sync.go:79) decodes every event in
+    one process; past that ceiling THIS reader moves decode off the
+    driver entirely:
+
+    - the driver only plans offsets: ``latestOffset`` probes the
+      master (S5 SHOW-status probe — cheap SQL, zero event decode);
+    - ``partitions(start, end)`` splits the fixed range into
+      ``shard_count`` table shards (crc32, same contract as
+      :func:`sharded_binlog_readers`);
+    - each executor task opens its OWN replication iterator at
+      ``start`` (providers are module-path references so construction
+      happens executor-side), decodes only its shard's tables, and
+      yields pyarrow RecordBatches.
+
+    Contracts and trades, explicit:
+
+    - per-table order preserved; cross-shard interleaving undefined
+      (the shard-by-table trade). Control ops ship on shard 0 only.
+    - a batch is a FIXED [start, end) coordinate range over an
+      immutable log, so failure replay re-decodes byte-identically —
+      the property the simple reader's ``readBetweenOffsets`` uses.
+    - offsets carry (file, pos) only; gtid tracking in this mode rides
+      the envelope rows (commit ops carry gtid), because executor-side
+      decode cannot feed merged gtid_sets back into driver offsets.
+    - the range boundary is the master's probed position, which can
+      fall mid-transaction; consumers needing trx atomicity frame on
+      gtid (D5) downstream, as the envelope design already assumes.
+    """
+
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self.shard_count = max(1, int(options.get("shard_count", "1")))
+        self.batch_rows = int(options.get("arrow_batch_rows", "4096"))
+
+    def initialOffset(self) -> dict:
+        return BinlogOffset(
+            file=self.options.get("file", ""),
+            pos=int(self.options.get("pos", "4")),
+            gtid_set=self.options.get("gtid_set", ""),
+            server_id=int(self.options.get("server_id", "0")),
+        ).to_json()
+
+    def latestOffset(self) -> dict:
+        provider = self.options.get("provider")
+        if provider:
+            _factory, latest = _resolve_provider(provider)(self.options)
+            return latest(self.options)
+        if self.options.get("host"):  # pragma: no cover - needs live MySQL
+            runner = pymysql_query_runner(
+                {
+                    "host": self.options.get("host", "127.0.0.1"),
+                    "port": int(self.options.get("port", "3306")),
+                    "user": self.options.get("user", ""),
+                    "passwd": self.options.get("password", ""),
+                }
+            )
+            return probe_master_offset(runner).to_json()
+        raise ValueError("ArrowBinlogStreamReader needs a 'provider' or 'host' option")
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            _ShardRangePartition(start, end, i, self.shard_count)
+            for i in range(self.shard_count)
+        ]
+
+    def read(self, partition: _ShardRangePartition):
+        yield from _read_shard_arrow(self.options, partition, self.batch_rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are replayable coordinates; nothing to release
 
 
 class BinlogDataSource(DataSource):

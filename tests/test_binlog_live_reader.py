@@ -569,3 +569,88 @@ def test_live_reader_under_real_spark_streaming(spark, tmp_path):
     # commits carry their gtid (D6 through the real streaming path)
     gtids = {r["gtid"] for r in got.filter(F.col("op_type") == "commit").collect()}
     assert gtids == {f"uuid-f:{i}" for i in range(1, 7)}
+
+
+def test_arrow_reader_under_real_spark_streaming(spark, tmp_path):
+    """The executor-side Arrow reader (full DataSourceStreamReader:
+    driver offset planning, shard partitions, RecordBatch handoff)
+    produces the same envelope content as the driver-side simple
+    reader on the identical script — through a real spark.readStream."""
+    from pyspark.sql import functions as F
+
+    from dolphinbeat_spark.sources.binlog_fake import (
+        register_fake_arrow_binlog_source,
+    )
+
+    register_fake_arrow_binlog_source(spark)
+    out = str(tmp_path / "arrow_out")
+    stream = (
+        spark.readStream.format("dolphinbeat_binlog_fake_arrow")
+        .option("n_trx", "6")
+        .option("rows_per_trx", "4")
+        .option("arrow_batch_rows", "16")  # force several RecordBatches
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "arrow_ckp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    by_op = {r["op_type"]: r["n"] for r in
+             got.groupBy("op_type").agg(F.count("*").alias("n")).collect()}
+    assert by_op == {"rotate": 1, "ddl": 1, "gtid": 6, "begin": 6,
+                     "insert": 24, "commit": 6}
+    ids = sorted(int(r["after"]["id"]) for r in
+                 got.filter(F.col("op_type") == "insert").collect())
+    assert ids == list(range(1, 25))
+    gtids = {r["gtid"] for r in got.filter(F.col("op_type") == "commit").collect()}
+    assert gtids == {f"uuid-f:{i}" for i in range(1, 7)}
+
+
+def test_arrow_reader_sharded_partitions(spark, tmp_path):
+    """shard_count=3: row ops land in exactly one shard (crc32 of
+    test.fake_t), control ops ship on shard 0 only — no duplication
+    across the union of partitions, and per-table order survives."""
+    from pyspark.sql import functions as F
+
+    from dolphinbeat_spark.sources.binlog_fake import (
+        register_fake_arrow_binlog_source,
+    )
+
+    register_fake_arrow_binlog_source(spark)
+    out = str(tmp_path / "shard_out")
+    stream = (
+        spark.readStream.format("dolphinbeat_binlog_fake_arrow")
+        .option("n_trx", "5")
+        .option("rows_per_trx", "3")
+        .option("shard_count", "3")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "shard_ckp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    by_op = {r["op_type"]: r["n"] for r in
+             got.groupBy("op_type").agg(F.count("*").alias("n")).collect()}
+    # control ops exactly once (shard 0), all 15 inserts exactly once
+    assert by_op == {"rotate": 1, "ddl": 1, "gtid": 5, "begin": 5,
+                     "insert": 15, "commit": 5}
+    ids = sorted(int(r["after"]["id"]) for r in
+                 got.filter(F.col("op_type") == "insert").collect())
+    assert ids == list(range(1, 16))
+    # per-table order: log_pos of inserts strictly increases with id
+    rows = sorted(
+        ((int(r["after"]["id"]), r["log_pos"]) for r in
+         got.filter(F.col("op_type") == "insert").collect())
+    )
+    poss = [p for _, p in rows]
+    assert poss == sorted(poss)
