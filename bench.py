@@ -82,6 +82,69 @@ def stream_events_per_s(spark) -> dict:
     }
 
 
+def binlog_decode_section(spark) -> dict:
+    """Decode-path throughput: the scripted fake binlog through BOTH
+    reader forms — the driver-side simple reader (reference-shaped
+    single loop) and the executor-side Arrow reader (shard partitions,
+    RecordBatch handoff). Same script, same envelope out; the ratio is
+    the measured value of moving decode off the driver."""
+    import shutil
+    import tempfile
+
+    from dolphinbeat_spark.sources.binlog_fake import (
+        register_fake_arrow_binlog_source,
+        register_fake_binlog_source,
+    )
+
+    register_fake_binlog_source(spark)
+    register_fake_arrow_binlog_source(spark)
+    n_trx, rows_per_trx = 1500, 12
+    n_ops = 2 + n_trx * (3 + rows_per_trx)  # rotate+ddl + per-trx ops
+
+    def run(fmt: str, extra: dict) -> float:
+        ckp = tempfile.mkdtemp(prefix="bench_binlog_ckp_")
+        try:
+            best = None
+            for i in range(2):  # warm-up + timed (fresh checkpoint each)
+                shutil.rmtree(ckp, ignore_errors=True)
+                reader = (
+                    spark.readStream.format(fmt)
+                    .option("n_trx", str(n_trx))
+                    .option("rows_per_trx", str(rows_per_trx))
+                    .option("max_ops_per_batch", str(n_ops + 10))
+                )
+                for k, v in extra.items():
+                    reader = reader.option(k, v)
+                t0 = time.time()
+                q = (
+                    reader.load()
+                    .writeStream.format("noop")
+                    .option("checkpointLocation", ckp)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                took = time.time() - t0
+                if i > 0:
+                    best = took if best is None else min(best, took)
+            return best
+        finally:
+            shutil.rmtree(ckp, ignore_errors=True)
+
+    simple_sec = run("dolphinbeat_binlog_fake", {})
+    arrow_sec = run(
+        "dolphinbeat_binlog_fake_arrow", {"shard_count": "4", "arrow_batch_rows": "4096"}
+    )
+    return {
+        "ops": n_ops,
+        "simple_sec": round(simple_sec, 3),
+        "simple_ops_per_s": round(n_ops / simple_sec, 1),
+        "arrow_sec": round(arrow_sec, 3),
+        "arrow_ops_per_s": round(n_ops / arrow_sec, 1),
+        "speedup": round(simple_sec / arrow_sec, 2),
+    }
+
+
 # the 5 most expensive headline queries (per BENCH_r04's clean run):
 # the sf0.1 -> sf1 scale-evidence set. q5 is the join-heavy one that
 # would expose a broadcast->SMJ flip at larger scale.
@@ -177,6 +240,11 @@ def main() -> None:
     warm_b = stream_events_per_s(spark)
     stream = warm_a if warm_a["sec"] <= warm_b["sec"] else warm_b
 
+    try:
+        binlog_decode = binlog_decode_section(spark)
+    except Exception as ex:  # noqa: BLE001 - evidence, not a gate
+        binlog_decode = {"error": f"{type(ex).__name__}: {ex}"}
+
     # sf0.1 -> sf1 scale evidence (never fails the bench)
     if os.environ.get("SPARK_GRAFT_SKIP_SF1") == "1":
         sf1 = {"skipped": True}
@@ -211,6 +279,7 @@ def main() -> None:
         "n_comparable_r4": sum(1 for k in timings if k in _R4_SET),
         "queries": timings,
         "stream": stream,
+        "binlog_decode": binlog_decode,
         "sf1": sf1,
         "sf": sf,
         # reproducibility block (BASELINE.md §C protocol)
