@@ -63,6 +63,7 @@ class DaemonConfig:
     flavor: str = "mysql"
     gtid_enabled: bool = True
     shard_count: int = 0  # 0/1 = single reader; N>1 = shard-by-table
+    reader: str = "simple"  # simple = driver-side decode; arrow = executor-side shards
     checkpoint_dir: str = "./ckp"
     tracker_dir: str = "./schema"
     http_addr: str = ""
@@ -97,6 +98,7 @@ class DaemonConfig:
             flavor=raw.get("flavor", "mysql"),
             gtid_enabled=bool(raw.get("gtid_enabled", True)),
             shard_count=int(raw.get("shard_count", 0)),
+            reader=raw.get("reader", "simple"),
             checkpoint_dir=ckp.get("dir", "./ckp"),
             tracker_dir=tracker.get("dir", "./schema"),
             http_addr=http.get("addr", ""),
@@ -114,6 +116,8 @@ class DaemonConfig:
                 "per source under your cluster manager's supervision "
                 "(restart policy = the leader lease); see COVERAGE.md C9"
             )
+        if self.reader not in ("simple", "arrow"):
+            errors.append(f"reader must be simple or arrow, got {self.reader!r}")
         if self.flavor not in ("mysql", "mariadb"):
             errors.append(f"flavor must be mysql or mariadb, got {self.flavor!r}")
         if self.http_addr:
@@ -159,8 +163,15 @@ def resolve_plan(cfg: DaemonConfig) -> dict:
     plan = {
         "source": {
             "options": source_options(cfg),
-            "readers": max(1, cfg.shard_count),
-            "mode": "sharded-by-table" if cfg.shard_count > 1 else "single-reader",
+            # the arrow reader shards INTERNALLY via executor
+            # partitions: one stream, N tasks — not N driver readers
+            "readers": 1 if cfg.reader == "arrow" else max(1, cfg.shard_count),
+            "reader": cfg.reader,
+            "mode": (
+                f"arrow-executor-shards({max(1, cfg.shard_count)})"
+                if cfg.reader == "arrow"
+                else "sharded-by-table" if cfg.shard_count > 1 else "single-reader"
+            ),
         },
         "sinks": [],
         "http": {"addr": cfg.http_addr or None},
@@ -214,8 +225,14 @@ def run(cfg: DaemonConfig, spark=None, source_format: str = "dolphinbeat_binlog"
 
     plan = resolve_plan(cfg)
     spark = spark or get_spark("dolphinbeat")
+    if cfg.reader == "arrow" and source_format == "dolphinbeat_binlog":
+        source_format = "dolphinbeat_binlog_arrow"
     if source_format == "dolphinbeat_binlog":  # pragma: no cover - needs live MySQL
         spark.dataSource.register(BinlogDataSource)
+    if source_format == "dolphinbeat_binlog_arrow":  # pragma: no cover - needs live MySQL
+        from dolphinbeat_spark.sources.binlog_source import ArrowBinlogDataSource
+
+        spark.dataSource.register(ArrowBinlogDataSource)
     metrics = PipelineMetrics()
     spark.streams.addListener(metrics)
 
@@ -227,6 +244,8 @@ def run(cfg: DaemonConfig, spark=None, source_format: str = "dolphinbeat_binlog"
     for i in range(n_readers):
         opts = dict(plan["source"]["options"])
         opts.update(source_options_extra or {})
+        if cfg.reader == "arrow" and cfg.shard_count > 1:
+            opts.update(shard_count=str(cfg.shard_count))
         if n_readers > 1:
             opts.update(shard_index=str(i), shard_count=str(n_readers))
         shards.append(

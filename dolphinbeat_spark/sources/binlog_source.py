@@ -22,10 +22,13 @@ Past the single-reader decode ceiling, the SHARD-BY-TABLE option
 reader options) runs N readers over the same binlog, each decoding
 only its crc32 shard of tables — per-table order intact, cross-shard
 order traded away (contract documented on the function).
-For throughput, decoded events should be handed to the JVM as Arrow
-RecordBatches rather than per-row tuples (~10× — measured on the
-fixture twin, sources/fixture_source.py::_read_arrow, which is the
-reference implementation of that discipline).
+Past THAT, :class:`ArrowBinlogStreamReader` moves decode off the
+driver entirely: full DataSourceStreamReader protocol, offset-only
+planning on the driver, executor tasks decoding crc32 table shards
+and handing the JVM Arrow RecordBatches instead of per-row tuples
+(the discipline measured ~10× on the fixture twin,
+sources/fixture_source.py::_read_arrow; measured 1.5× end-to-end on
+the scripted fake at 4 shards, bench.py::binlog_decode_section).
 Horizontal scale comes after decode: the envelope DataFrame fans out
 to per-table/per-sink parallelism.
 """
@@ -974,3 +977,28 @@ class BinlogDataSource(DataSource):
                 "the fixture source (sources/fixture_source.py) instead"
             ) from ex
         return LiveBinlogStreamReader(self.options)
+
+
+class ArrowBinlogDataSource(DataSource):
+    """Live Arrow-reader source (daemon ``reader = "arrow"``): same
+    preconditions as :class:`BinlogDataSource`, but serves the full
+    DataSourceStreamReader protocol with executor-side decode."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dolphinbeat_binlog_arrow"
+
+    def schema(self):
+        return ENVELOPE_SCHEMA
+
+    def streamReader(self, schema):
+        if not self.options.get("provider"):  # pragma: no cover - needs live MySQL
+            try:
+                import pymysqlreplication  # noqa: F401
+            except ImportError as ex:
+                raise ImportError(
+                    "ArrowBinlogDataSource needs the public 'mysql-replication' "
+                    "package (pymysqlreplication) unless a 'provider' option "
+                    "supplies the event iterator"
+                ) from ex
+        return ArrowBinlogStreamReader(self.options)

@@ -654,3 +654,34 @@ def test_arrow_reader_sharded_partitions(spark, tmp_path):
     )
     poss = [p for _, p in rows]
     assert poss == sorted(poss)
+
+
+def test_arrow_reader_replay_is_deterministic():
+    """A partition is a fixed [start,end) coordinate range over an
+    immutable log: reading it twice yields byte-identical batches (the
+    failure-recovery property the class docstring claims)."""
+    from dolphinbeat_spark.sources.binlog_source import (
+        _read_shard_arrow,
+        _ShardRangePartition,
+        BinlogOffset,
+    )
+
+    opts = {
+        "provider": "dolphinbeat_spark.sources.binlog_fake:arrow_scripted_provider",
+        "n_trx": "4",
+        "rows_per_trx": "3",
+    }
+    start = BinlogOffset(file="", pos=4).to_json()
+    end = BinlogOffset(file="binlog.000001", pos=10_000).to_json()
+    part = _ShardRangePartition(start, end, 0, 1)
+    a = list(_read_shard_arrow(opts, part, batch_rows=7))
+    b = list(_read_shard_arrow(opts, part, batch_rows=7))
+    assert len(a) == len(b) and len(a) >= 2  # several RecordBatches
+    for ba, bb in zip(a, b):
+        assert ba.equals(bb)
+    # and a mid-log start replays strictly after its offset
+    mid = BinlogOffset(file="binlog.000001", pos=100).to_json()
+    tail = list(_read_shard_arrow(opts, _ShardRangePartition(mid, end, 0, 1), 1000))
+    import pyarrow as pa
+    tbl = pa.Table.from_batches(tail)
+    assert min(x for x in tbl.column("log_pos").to_pylist() if x) > 100

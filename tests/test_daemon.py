@@ -194,3 +194,63 @@ def test_cli_dry_run_rejects_bad_config(tmp_path):
     )
     assert out.returncode == 1
     assert "config error" in out.stderr
+
+
+def test_daemon_run_with_arrow_reader(spark, tmp_path):
+    """reader = "arrow" in the TOML routes the daemon through the
+    executor-side Arrow source (one stream, shard partitions inside)
+    — same sink outputs as the simple-reader wiring."""
+    from dolphinbeat_spark.daemon import run
+    from dolphinbeat_spark.sources.binlog_fake import (
+        register_fake_arrow_binlog_source,
+    )
+
+    register_fake_arrow_binlog_source(spark)
+    toml = f"""
+mysql_addr = "127.0.0.1:3306"
+server_id = 78
+reader = "arrow"
+shard_count = 3
+[checkpoint]
+  dir = "{tmp_path}/ckp"
+[schema_tracker]
+  dir = "{tmp_path}/schema"
+[[sink]]
+  enabled = true
+  type = "stdout"
+  name = "all"
+  [sink.cfg]
+    out_dir = "{tmp_path}/out/all"
+"""
+    p = tmp_path / "daemon.toml"
+    p.write_text(toml)
+    cfg = DaemonConfig.from_toml(p)
+    assert cfg.validate() == []
+    from dolphinbeat_spark.daemon import resolve_plan
+
+    plan = resolve_plan(cfg)
+    assert plan["source"]["mode"] == "arrow-executor-shards(3)"
+    assert plan["source"]["readers"] == 1  # one stream, N executor tasks
+
+    _, queries, server = run(
+        cfg, spark,
+        source_format="dolphinbeat_binlog_fake_arrow",
+        source_options_extra={"schema_snapshot": "", "n_trx": "5",
+                              "rows_per_trx": "4"},
+        trigger_once=True,
+    )
+    try:
+        for q in queries:
+            q.awaitTermination(120)
+        all_ops = spark.read.parquet(f"{tmp_path}/out/all/batch=*")
+        by_op = {r["op_type"]: r["n"] for r in
+                 all_ops.groupBy("op_type").count()
+                 .withColumnRenamed("count", "n").collect()}
+        # control ops once (shard 0), 20 inserts exactly once
+        assert by_op["insert"] == 20 and by_op["commit"] == 5
+        assert by_op["ddl"] == 1 and by_op["rotate"] == 1
+    finally:
+        if server:
+            server.stop()
+        for q in queries:
+            q.stop()
