@@ -532,3 +532,87 @@ def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias("prob"),
         (z > 0).alias("keep"),
     ).orderBy("doc_id")
+
+
+@register(
+    "profile_source_divergence",
+    # per-source terms fold in sorted-token order on both engines;
+    # ln() ulp noise absorbed by ROUND(,4) (the quality_unigram_lm
+    # convention). p and q themselves are exact int/int doubles.
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKENS_SQL}) AS token FROM documents
+), st AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS k
+  FROM tok GROUP BY source, token
+), corpus AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY token
+), totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok
+), src_tot AS (
+  SELECT source, CAST(SUM(k) AS BIGINT) AS n_s, CAST(COUNT(*) AS BIGINT) AS n_unique
+  FROM st GROUP BY source
+), terms AS (
+  SELECT st.source, st.token,
+         (CAST(st.k AS DOUBLE) / s.n_s)
+           * ln((CAST(st.k AS DOUBLE) / s.n_s) / (CAST(c.c AS DOUBLE) / t.n)) AS term
+  FROM st
+  JOIN src_tot s USING (source)
+  JOIN corpus c USING (token)
+  CROSS JOIN totals t
+)
+SELECT s.source, s.n_s AS n_tokens, s.n_unique,
+       ROUND(list_reduce(list_prepend(0.0, list(term ORDER BY token)),
+                         (a, x) -> a + x), 4) AS kl_nats
+FROM terms tm JOIN src_tot s USING (source)
+GROUP BY s.source, s.n_s, s.n_unique
+ORDER BY s.source
+""",
+    tags=("profiling", "divergence", "mixture", "llm-pipeline"),
+)
+def profile_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-audit divergence profile: KL(p_source ‖ p_corpus) over
+    token distributions, per source — the drift/mixture audit a
+    pipeline runs to see which sources are linguistic outliers (high
+    KL = the source reads nothing like the blend; candidates for a
+    dedicated mixture weight or a closer look). Every source token
+    also appears in the corpus distribution, so the KL is finite by
+    construction.
+
+    Scale shape: two wordcount aggregations (per-source-token and
+    corpus-token, both partial-aggregated), one equi-join on token,
+    1-row totals broadcast, then a per-source sorted fold whose state
+    is bounded by the source's vocabulary — no document text moves
+    after the explode."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    tok = d.select("source", F.explode(T.tokens("text")).alias("token"))
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    corpus = tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    totals = tok.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    src_tot = st.groupBy("source").agg(
+        F.sum("k").cast("bigint").alias("n_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+    )
+    p = F.col("k").cast("double") / F.col("n_s")
+    q = F.col("c").cast("double") / F.col("n")
+    terms = (
+        st.join(src_tot, "source")
+        .join(corpus, "token")
+        .join(F.broadcast(totals))
+        .select("source", "n_s", "n_unique", "token", (p * F.log(p / q)).alias("term"))
+    )
+    return (
+        terms.groupBy("source", "n_s", "n_unique")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("token", "term"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["term"],
+                ),
+                4,
+            ).alias("kl_nats")
+        )
+        .select("source", F.col("n_s").alias("n_tokens"), "n_unique", "kl_nats")
+        .orderBy("source")
+    )

@@ -50,6 +50,7 @@ _BNLJ_OK = {
     "dedup_lsh_recall",  # bounded-universe all-pairs truth (by design)
     "quality_unigram_lm",  # 1-row corpus-totals (N, V) broadcast
     "sample_temperature_mix",  # 1-row budget/normalizer broadcast
+    "profile_source_divergence",  # 1-row corpus-total broadcast
 }
 # specs whose final presentation sort is the only exchange-heavy step
 _WIDE_READ_OK = {"cdc_envelope_from_events"}  # reads most event columns by design
