@@ -573,7 +573,7 @@ def sample_kmeans_centroids(
     sample: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int,
+    k,
     seed: int = 42,
     max_iter: int = 10,
     sample_cap: int = 262_144,
@@ -605,6 +605,10 @@ def sample_kmeans_centroids(
     n = x.shape[0]
     if n == 0:
         raise ValueError("sample_kmeans_centroids: empty training sample")
+    if callable(k):
+        # size the codebook FROM the sample (k = f(n_sample)) — saves
+        # the caller a separate corpus-count job just to pick k
+        k = int(k(n))
     k = min(k, n)
     rng = np.random.default_rng(seed)
     # k-means++ seeding (deterministic under the seeded rng): spreads

@@ -546,10 +546,12 @@ def sim_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slot kmeans_centroids stays for corpora whose TRAINING sample
     # itself must be distributed). n_cent matches the sampled-codebook
     # size: |corpus|/40, derived from the sample (no extra count job).
-    n_cent = max(4, emb.count() // 40)  # match the sampled codebook size
     train = emb.filter(F.col("vec_id") % 5 == 0)
+    # k from the sample itself (|corpus| ~= 5x the 20% sample): matches
+    # the sampled-codebook size |corpus|/40 without a count() job
     trained = S.sample_kmeans_centroids(
-        train, "vec_id", "embedding", k=n_cent, seed=42, max_iter=4,
+        train, "vec_id", "embedding",
+        k=lambda n: max(4, 5 * n // 40), seed=42, max_iter=4,
     )
     sampled = emb.filter(F.col("vec_id") % 40 == 7).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
