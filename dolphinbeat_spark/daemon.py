@@ -244,8 +244,14 @@ def run(cfg: DaemonConfig, spark=None, source_format: str = "dolphinbeat_binlog"
     for i in range(n_readers):
         opts = dict(plan["source"]["options"])
         opts.update(source_options_extra or {})
-        if cfg.reader == "arrow" and cfg.shard_count > 1:
-            opts.update(shard_count=str(cfg.shard_count))
+        if cfg.reader == "arrow":
+            if cfg.shard_count > 1:
+                opts.update(shard_count=str(cfg.shard_count))
+            # executor-side decode cannot read a driver-local snapshot
+            # path: ship the snapshot CONTENT in the options instead
+            snap = opts.pop("schema_snapshot", "")
+            if snap and Path(snap).exists():
+                opts["schema_snapshot_json"] = Path(snap).read_text()
         if n_readers > 1:
             opts.update(shard_index=str(i), shard_count=str(n_readers))
         shards.append(

@@ -587,8 +587,11 @@ def profile_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents", widen=True)
     tok = d.select("source", F.explode(T.tokens("text")).alias("token"))
     st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
-    corpus = tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    totals = tok.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # corpus counts and the grand total REDUCE the per-source counts
+    # instead of re-exploding tok: the tokenize+explode subtree (the
+    # expensive step) runs once, not three times
+    corpus = st.groupBy("token").agg(F.sum("k").cast("bigint").alias("c"))
+    totals = st.agg(F.sum("k").cast("bigint").alias("n"))
     src_tot = st.groupBy("source").agg(
         F.sum("k").cast("bigint").alias("n_s"),
         F.count(F.lit(1)).cast("bigint").alias("n_unique"),

@@ -548,7 +548,13 @@ def sim_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size: |corpus|/40, derived from the sample (no extra count job).
     train = emb.filter(F.col("vec_id") % 5 == 0)
     # k from the sample itself (|corpus| ~= 5x the 20% sample): matches
-    # the sampled-codebook size |corpus|/40 without a count() job
+    # the sampled-codebook size |corpus|/40 without a count() job.
+    # CAVEAT: past sample_cap (262k collected vectors ~ a 1.3M corpus)
+    # 5n stops approximating |corpus| and k saturates at 32_768 — at
+    # that scale pass an explicit k (codebook sizes are a capacity
+    # decision anyway, faiss-style), or the trained/sampled codebook
+    # sizes diverge and the recall_delta comparison is no longer
+    # apples-to-apples.
     trained = S.sample_kmeans_centroids(
         train, "vec_id", "embedding",
         k=lambda n: max(4, 5 * n // 40), seed=42, max_iter=4,

@@ -494,6 +494,12 @@ class SchemaRegistry:
 
     # -- persistence -----------------------------------------------------
     def save(self, path: str | Path) -> None:
+        Path(path).write_text(self.dumps())
+
+    def dumps(self) -> str:
+        """Snapshot as JSON text — the form shipped to executors in
+        reader options (executor-side decode cannot read driver-local
+        snapshot paths)."""
         data = {
             "version": self._version,
             "applied": sorted([list(p) for p in self._applied]),
@@ -508,11 +514,15 @@ class SchemaRegistry:
                 for (db, table), hist in sorted(self._versions.items())
             ],
         }
-        Path(path).write_text(json.dumps(data, indent=1))
+        return json.dumps(data, indent=1)
 
     @classmethod
     def load(cls, path: str | Path) -> "SchemaRegistry":
-        data = json.loads(Path(path).read_text())
+        return cls.loads(Path(path).read_text())
+
+    @classmethod
+    def loads(cls, text: str) -> "SchemaRegistry":
+        data = json.loads(text)
         reg = cls()
         reg._version = data["version"]
         reg._applied = {tuple(p) for p in data.get("applied", [])}

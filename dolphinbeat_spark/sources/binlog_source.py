@@ -824,9 +824,25 @@ def _read_shard_arrow(options: dict, partition: _ShardRangePartition, batch_rows
     if provider:
         factory, _latest = _resolve_provider(provider)(options)
     else:  # pragma: no cover - needs live MySQL
-        factory = lambda off: live_event_iter(options, off)  # noqa: E731
+        # each concurrent shard task must register with a DISTINCT
+        # replica server id: MySQL kills the existing dump thread when
+        # a second connection reuses one (zombie-dump-thread rule)
+        live_opts = dict(options)
+        live_opts["client_server_id"] = str(
+            int(options.get("client_server_id", "1001")) + partition.shard_index
+        )
+        factory = lambda off: live_event_iter(live_opts, off)  # noqa: E731
+    # the snapshot ships as JSON TEXT in the options (executors cannot
+    # read a driver-local snapshot path); the path form stays for
+    # driver-side callers and same-machine tests
+    snap_json = options.get("schema_snapshot_json", "")
     snap = options.get("schema_snapshot", "")
-    registry = SchemaRegistry.load(snap) if snap else SchemaRegistry()
+    if snap_json:
+        registry = SchemaRegistry.loads(snap_json)
+    elif snap:
+        registry = SchemaRegistry.load(snap)
+    else:
+        registry = SchemaRegistry()
     table_filter = None
     if partition.shard_count > 1:
         table_filter = (
@@ -849,31 +865,39 @@ def _read_shard_arrow(options: dict, partition: _ShardRangePartition, batch_rows
         )
         return tbl.to_batches()
 
-    for raw in factory(start):
-        ev = adapt_replication_event(raw)
-        if ev is None:
-            continue
-        lp = int(getattr(ev, "log_pos", 0) or 0)
-        if lp and not end.is_zero():
-            cur = BinlogOffset(
-                file=ctx.log_name or start.file, pos=lp, server_id=end.server_id
-            )
-            if cur.compare(end) > 0:
-                break  # beyond this batch's range: belongs to the next one
-        for op in decode_event(ev, ctx):
-            # shard 0 carries the control ops (begin/commit/gtid/ddl/
-            # rotate/query) exactly once; other shards emit only their
-            # row ops — DDL is still APPLIED to every shard's registry
-            # (decode needs the schema), just not re-emitted
-            if partition.shard_index != 0 and op["op_type"] not in _ROW_OPS:
+    it = factory(start)
+    try:
+        for raw in it:
+            ev = adapt_replication_event(raw)
+            if ev is None:
                 continue
-            op.setdefault("gtid", None)
-            buf.append(op)
-            if len(buf) >= batch_rows:
-                yield from batches()
-                buf.clear()
-    if buf:
-        yield from batches()
+            lp = int(getattr(ev, "log_pos", 0) or 0)
+            if lp and not end.is_zero():
+                cur = BinlogOffset(
+                    file=ctx.log_name or start.file, pos=lp, server_id=end.server_id
+                )
+                if cur.compare(end) > 0:
+                    break  # beyond this batch's range: belongs to the next one
+            for op in decode_event(ev, ctx):
+                # shard 0 carries the control ops (begin/commit/gtid/ddl/
+                # rotate/query) exactly once; other shards emit only their
+                # row ops — DDL is still APPLIED to every shard's registry
+                # (decode needs the schema), just not re-emitted
+                if partition.shard_index != 0 and op["op_type"] not in _ROW_OPS:
+                    continue
+                op.setdefault("gtid", None)
+                buf.append(op)
+                if len(buf) >= batch_rows:
+                    yield from batches()
+                    buf.clear()
+        if buf:
+            yield from batches()
+    finally:
+        # a live iterator is a socket + registered replica: release it
+        # or worker-process reuse leaks one connection per micro-batch
+        close = getattr(it, "close", None)
+        if close:
+            close()
 
 
 class ArrowBinlogStreamReader(DataSourceStreamReader):
@@ -906,16 +930,55 @@ class ArrowBinlogStreamReader(DataSourceStreamReader):
       the envelope rows (commit ops carry gtid), because executor-side
       decode cannot feed merged gtid_sets back into driver offsets.
     - the range boundary is the master's probed position, which can
-      fall mid-transaction; consumers needing trx atomicity frame on
-      gtid (D5) downstream, as the envelope design already assumes.
+      fall mid-transaction. Each batch decodes with a FRESH context,
+      so a commit whose GTID event landed in the PREVIOUS batch is
+      emitted with a NULL gtid — consumers needing complete gtid
+      framing should frame on (log_name, log_pos) ranges or use the
+      simple reader, whose safe-cut rollback never splits a
+      transaction. This is the documented price of stateless
+      executor-side decode.
+    - admission control: ``max_pos_delta_per_batch`` (bytes, default
+      64 MiB) clamps how far ``latestOffset`` advances past the
+      previous planned end within one file — steady-state batches stay
+      bounded. The clamp cannot see the checkpointed start after a
+      driver restart (Spark does not surface it), so the FIRST batch
+      after long downtime still spans the backlog; RecordBatches
+      stream incrementally (``arrow_batch_rows`` rows buffered per
+      task), bounding memory but not task duration for that batch.
     """
 
     def __init__(self, options: dict):
         self.options = dict(options)
         self.shard_count = max(1, int(options.get("shard_count", "1")))
         self.batch_rows = int(options.get("arrow_batch_rows", "4096"))
+        self.max_pos_delta = int(
+            options.get("max_pos_delta_per_batch", str(64 * 1024 * 1024))
+        )
+        self._planned_end: BinlogOffset | None = None  # driver-side clamp state
+
+    def _runner(self):  # pragma: no cover - needs live MySQL
+        return pymysql_query_runner(
+            {
+                "host": self.options.get("host", "127.0.0.1"),
+                "port": int(self.options.get("port", "3306")),
+                "user": self.options.get("user", ""),
+                "passwd": self.options.get("password", ""),
+            }
+        )
 
     def initialOffset(self) -> dict:
+        # start-from-now bootstrap: with no explicit coordinates the
+        # master is probed ONCE here, so every shard task of the first
+        # batch reads the same replayable range (N tasks each falling
+        # back to "current position at connect time" would read N
+        # different nondeterministic ranges)
+        if (
+            not self.options.get("file")
+            and not self.options.get("gtid_set")
+            and not self.options.get("provider")  # scripted: cold start = pos 4
+        ):
+            if self.options.get("host"):  # pragma: no cover - needs live MySQL
+                return probe_master_offset(self._runner()).to_json()
         return BinlogOffset(
             file=self.options.get("file", ""),
             pos=int(self.options.get("pos", "4")),
@@ -927,18 +990,31 @@ class ArrowBinlogStreamReader(DataSourceStreamReader):
         provider = self.options.get("provider")
         if provider:
             _factory, latest = _resolve_provider(provider)(self.options)
-            return latest(self.options)
-        if self.options.get("host"):  # pragma: no cover - needs live MySQL
-            runner = pymysql_query_runner(
-                {
-                    "host": self.options.get("host", "127.0.0.1"),
-                    "port": int(self.options.get("port", "3306")),
-                    "user": self.options.get("user", ""),
-                    "passwd": self.options.get("password", ""),
-                }
+            head = BinlogOffset.from_json(latest(self.options))
+        elif self.options.get("host"):  # pragma: no cover - needs live MySQL
+            head = probe_master_offset(self._runner())
+        else:
+            raise ValueError(
+                "ArrowBinlogStreamReader needs a 'provider' or 'host' option"
             )
-            return probe_master_offset(runner).to_json()
-        raise ValueError("ArrowBinlogStreamReader needs a 'provider' or 'host' option")
+        # admission control: advance at most max_pos_delta past the
+        # previously planned end (same file only — a file rotation
+        # resets the clamp; see class docstring for the restart caveat)
+        prev = self._planned_end
+        if (
+            prev is not None
+            and self.max_pos_delta > 0
+            and head.file == prev.file
+            and head.pos - prev.pos > self.max_pos_delta
+        ):
+            head = BinlogOffset(
+                file=head.file,
+                pos=prev.pos + self.max_pos_delta,
+                gtid_set=head.gtid_set,
+                server_id=head.server_id,
+            )
+        self._planned_end = head
+        return head.to_json()
 
     def partitions(self, start: dict, end: dict):
         return [

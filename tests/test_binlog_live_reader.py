@@ -685,3 +685,32 @@ def test_arrow_reader_replay_is_deterministic():
     import pyarrow as pa
     tbl = pa.Table.from_batches(tail)
     assert min(x for x in tbl.column("log_pos").to_pylist() if x) > 100
+
+
+def test_arrow_reader_latest_offset_clamp():
+    """Admission control: latestOffset advances at most
+    max_pos_delta_per_batch past the previously planned end (same
+    file); a rotation resets the clamp."""
+    from dolphinbeat_spark.sources.binlog_source import ArrowBinlogStreamReader
+
+    opts = {
+        "provider": "dolphinbeat_spark.sources.binlog_fake:arrow_scripted_provider",
+        "n_trx": "50",
+        "rows_per_trx": "10",
+        "max_pos_delta_per_batch": "100",
+    }
+    r = ArrowBinlogStreamReader(opts)
+    first = r.latestOffset()  # no previous end: head passes through
+    head_pos = first["pos"]
+    assert head_pos > 200
+    # simulate having planned a far-behind end, then re-probe
+    from dolphinbeat_spark.sources.binlog_source import BinlogOffset
+
+    r._planned_end = BinlogOffset(file="binlog.000001", pos=4)
+    clamped = r.latestOffset()
+    assert clamped["pos"] == 104  # 4 + max_pos_delta
+    # next call advances another window from the clamped plan
+    assert r.latestOffset()["pos"] == 204
+    # file rotation: clamp resets (different file names don't compare)
+    r._planned_end = BinlogOffset(file="binlog.000000", pos=999_999)
+    assert r.latestOffset()["pos"] == head_pos
