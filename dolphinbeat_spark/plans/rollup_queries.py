@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dolphinbeat_spark.catalog import load
-from dolphinbeat_spark.functions.hashes import hash64_sql
+from dolphinbeat_spark.functions.hashes import hash64, hash64_sql
 from dolphinbeat_spark.operators.rollups import HLL_ALPHA_64, hll_distinct, rollup_cascade
 from dolphinbeat_spark.plans.registry import register
 
@@ -192,4 +192,130 @@ def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("cnt") >= F.col("exact_cnt")).alias("cm_ge_exact"),
         )
         .orderBy(F.col("exact_cnt").desc(), "token")
+    )
+
+
+_KMV_K = 64
+_KMV_DOMAIN = 1 << 48  # hash64() is a 48-bit portable hash
+
+
+@register(
+    "sketch_kmv_intersection",
+    # pure integer arithmetic until the final divisions; BIGINT→DOUBLE
+    # conversion and double division are IEEE-defined, so estimates are
+    # bit-identical cross-engine (no ROUND slack needed beyond display)
+    oracle=f"""
+WITH dist AS (
+  SELECT DISTINCT event_type,
+         {hash64_sql("concat('kmv-', CAST(user_id AS VARCHAR))")} AS h
+  FROM events
+), km AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM dist
+), arr AS (
+  SELECT event_type, list(h ORDER BY h) AS kmv
+  FROM km WHERE rn <= {_KMV_K} GROUP BY event_type
+), ex AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS exact_inter
+  FROM dist a JOIN dist b ON a.h = b.h AND a.event_type < b.event_type
+  GROUP BY type_a, type_b
+), p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.kmv AS ka, b.kmv AS kb,
+         list_sort(list_distinct(list_concat(a.kmv, b.kmv))) AS mg
+  FROM arr a JOIN arr b ON a.event_type < b.event_type
+), calc AS (
+  SELECT type_a, type_b,
+         len(mg) AS m_full,
+         CASE WHEN len(mg) < {_KMV_K} THEN CAST(len(mg) AS DOUBLE)
+              ELSE CAST({(_KMV_K - 1) * _KMV_DOMAIN} AS DOUBLE)
+                   / CAST(mg[{_KMV_K}] AS DOUBLE) END AS union_est,
+         len(list_filter(mg[1:{_KMV_K}],
+             x -> list_contains(ka, x) AND list_contains(kb, x))) AS rho
+  FROM p
+)
+SELECT c.type_a, c.type_b, e.exact_inter,
+       ROUND(CASE WHEN c.m_full < {_KMV_K} THEN CAST(c.rho AS DOUBLE)
+                  ELSE CAST(c.rho AS DOUBLE) * c.union_est / {_KMV_K} END, 2)
+         AS kmv_inter,
+       ROUND(c.union_est, 2) AS kmv_union
+FROM calc c JOIN ex e ON e.type_a = c.type_a AND e.type_b = c.type_b
+ORDER BY c.type_a, c.type_b
+""",
+    tags=("sketch", "kmv", "set-ops"),
+)
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketches with SET-OPERATION
+    estimation — the capability HLL lacks: union AND intersection
+    cardinalities from k=64-value summaries. Per event_type the sketch
+    keeps the k smallest portable user-hashes; pairs estimate
+    |A∪B| = (k-1)·D / θ (θ = the merged sketch's k-th value) and
+    |A∩B| = ρ/k · |A∪B| (ρ = merged values present in both sketches),
+    with the exact-count degenerate case when the union fits in k.
+    Exact intersections ride along so accuracy is visible per pair.
+
+    Scale shape: one distinct (wordcount), per-type k-smallest via a
+    windowed top-k (bounded state — never a collect_set of the full
+    user set), then all arithmetic on 10 pairs of 64-value arrays. The
+    exact-side self-join exists only for the accuracy column."""
+    e = load(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    h = hash64(F.concat(F.lit("kmv-"), F.col("user_id").cast("string")))
+    dist = e.select("event_type", h.alias("h")).distinct()
+    w = W.partitionBy("event_type").orderBy("h")
+    arr = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+    )
+    a = arr.select(F.col("event_type").alias("type_a"), F.col("kmv").alias("ka"))
+    b = arr.select(F.col("event_type").alias("type_b"), F.col("kmv").alias("kb"))
+    p = a.join(b, F.col("type_a") < F.col("type_b")).withColumn(
+        "mg", F.array_sort(F.array_union("ka", "kb"))
+    )
+    m_full = F.size("mg")
+    merged = F.slice("mg", 1, _KMV_K)
+    theta = F.element_at("mg", _KMV_K)
+    union_est = F.when(m_full < _KMV_K, m_full.cast("double")).otherwise(
+        F.lit((_KMV_K - 1) * _KMV_DOMAIN).cast("double") / theta.cast("double")
+    )
+    rho = F.size(
+        F.filter(
+            merged,
+            lambda x: F.array_contains("ka", x) & F.array_contains("kb", x),
+        )
+    )
+    ex = (
+        dist.select(F.col("event_type").alias("type_a"), "h")
+        .join(dist.select(F.col("event_type").alias("type_b"), "h"), "h")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+    calc = p.select(
+        "type_a",
+        "type_b",
+        m_full.alias("m_full"),
+        union_est.alias("union_est"),
+        rho.alias("rho"),
+    )
+    return (
+        calc.join(ex, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_inter",
+            F.round(
+                F.when(F.col("m_full") < _KMV_K, F.col("rho").cast("double")).otherwise(
+                    F.col("rho").cast("double") * F.col("union_est") / _KMV_K
+                ),
+                2,
+            ).alias("kmv_inter"),
+            F.round("union_est", 2).alias("kmv_union"),
+        )
+        .orderBy("type_a", "type_b")
     )

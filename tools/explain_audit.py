@@ -51,6 +51,7 @@ _BNLJ_OK = {
     "quality_unigram_lm",  # 1-row corpus-totals (N, V) broadcast
     "sample_temperature_mix",  # 1-row budget/normalizer broadcast
     "profile_source_divergence",  # 1-row corpus-total broadcast
+    "sketch_kmv_intersection",  # 5-row sketch-array pair join (type_a < type_b)
 }
 # specs whose final presentation sort is the only exchange-heavy step
 _WIDE_READ_OK = {"cdc_envelope_from_events"}  # reads most event columns by design
