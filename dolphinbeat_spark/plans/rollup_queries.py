@@ -236,12 +236,13 @@ WITH dist AS (
              x -> list_contains(ka, x) AND list_contains(kb, x))) AS rho
   FROM p
 )
-SELECT c.type_a, c.type_b, e.exact_inter,
+SELECT c.type_a, c.type_b,
+       CAST(COALESCE(e.exact_inter, 0) AS BIGINT) AS exact_inter,
        ROUND(CASE WHEN c.m_full < {_KMV_K} THEN CAST(c.rho AS DOUBLE)
                   ELSE CAST(c.rho AS DOUBLE) * c.union_est / {_KMV_K} END, 2)
          AS kmv_inter,
        ROUND(c.union_est, 2) AS kmv_union
-FROM calc c JOIN ex e ON e.type_a = c.type_a AND e.type_b = c.type_b
+FROM calc c LEFT JOIN ex e ON e.type_a = c.type_a AND e.type_b = c.type_b
 ORDER BY c.type_a, c.type_b
 """,
     tags=("sketch", "kmv", "set-ops"),
@@ -303,12 +304,15 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         union_est.alias("union_est"),
         rho.alias("rho"),
     )
+    # LEFT join: a disjoint pair has no exact row, but its sketch
+    # estimate must still appear (that's exactly where a false-positive
+    # kmv_inter needs exact_inter=0 next to it)
     return (
-        calc.join(ex, ["type_a", "type_b"])
+        calc.join(ex, ["type_a", "type_b"], "left")
         .select(
             "type_a",
             "type_b",
-            "exact_inter",
+            F.coalesce("exact_inter", F.lit(0)).cast("bigint").alias("exact_inter"),
             F.round(
                 F.when(F.col("m_full") < _KMV_K, F.col("rho").cast("double")).otherwise(
                     F.col("rho").cast("double") * F.col("union_est") / _KMV_K
