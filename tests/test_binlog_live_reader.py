@@ -714,3 +714,41 @@ def test_arrow_reader_latest_offset_clamp():
     # file rotation: clamp resets (different file names don't compare)
     r._planned_end = BinlogOffset(file="binlog.000000", pos=999_999)
     assert r.latestOffset()["pos"] == head_pos
+
+
+def test_arrow_reader_checkpoint_resume(spark, tmp_path):
+    """Offsets checkpoint through the full-reader protocol: a second
+    run over the same checkpoint with a LONGER script resumes from the
+    committed offset — earlier transactions are not re-emitted."""
+    from pyspark.sql import functions as F
+
+    from dolphinbeat_spark.sources.binlog_fake import (
+        register_fake_arrow_binlog_source,
+    )
+
+    register_fake_arrow_binlog_source(spark)
+    out = str(tmp_path / "resume_out")
+    ckp = str(tmp_path / "resume_ckp")
+
+    def run(n_trx: int):
+        q = (
+            spark.readStream.format("dolphinbeat_binlog_fake_arrow")
+            .option("n_trx", str(n_trx))
+            .option("rows_per_trx", "2")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run(3)
+    run(8)  # same checkpoint, longer log: only trx 4..8 are new
+    got = spark.read.parquet(out)
+    inserts = got.filter(F.col("op_type") == "insert").collect()
+    ids = sorted(int(r["after"]["id"]) for r in inserts)
+    assert ids == list(range(1, 17)), ids  # 8 trx x 2 rows, no dup, no loss
+    gtids = sorted(r["gtid"] for r in got.filter("op_type = 'commit'").collect())
+    assert gtids == sorted(f"uuid-f:{i}" for i in range(1, 9))
