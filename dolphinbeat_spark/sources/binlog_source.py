@@ -238,6 +238,13 @@ def _stringify(
                 import json as _json
 
                 return _json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+        if isinstance(v, (bytes, bytearray)):
+            # blob/binary columns: the wire value is the RAW byte
+            # string (the reference's go string(bytes)), not Python's
+            # "b'...'" repr; surrogateescape keeps non-UTF8 bytes
+            # reversible (encode("utf-8","surrogateescape") restores
+            # the original bytes exactly)
+            return bytes(v).decode("utf-8", "surrogateescape")
         return str(v)
 
     vals = {k: ("" if v is None else render(k, v)) for k, v in items}

@@ -40,8 +40,10 @@ def test_full_canal_scenario():
 
     inserts = [o for o in ops if o["op_type"] == "insert"]
     assert len(inserts) == 2
-    # positional row named via the registry (reference D10)
-    assert inserts[0]["after"] == {"id": "1", "content": "b'1'", "name": "a"}
+    # positional row named via the registry (reference D10); blob
+    # bytes stringify as the RAW byte string (reference D12 parity),
+    # not Python's b'...' repr
+    assert inserts[0]["after"] == {"id": "1", "content": "1", "name": "a"}
     assert inserts[1]["after_null"] == {"id": False, "content": True, "name": False}
     assert inserts[1]["after"]["content"] == ""  # NULL stringifies to "" + flag
     commit = ops[-1]
@@ -98,3 +100,17 @@ def test_offset_algebra():
         a.compare(other_server)  # C2 caveat: cross-server undefined
     rt = BinlogOffset.from_json(a.to_json())
     assert rt == a
+
+
+def test_stringify_blob_bytes_raw_not_repr():
+    """A bytes value in a non-JSON column renders as the RAW byte
+    string (reference parity: go string(bytes)), never Python's
+    "b'...'" repr; non-UTF8 bytes round-trip via surrogateescape."""
+    from dolphinbeat_spark.sources.binlog_source import _stringify
+
+    vals, nulls = _stringify({"a": b"plain", "b": b"\xff\x00ok", "c": 7}, None)
+    assert vals["a"] == "plain"
+    assert vals["b"].encode("utf-8", "surrogateescape") == b"\xff\x00ok"
+    assert not vals["b"].startswith("b'")
+    assert vals["c"] == "7"
+    assert nulls == {"a": False, "b": False, "c": False}
