@@ -241,10 +241,15 @@ def _stringify(
         if isinstance(v, (bytes, bytearray)):
             # blob/binary columns: the wire value is the RAW byte
             # string (the reference's go string(bytes)), not Python's
-            # "b'...'" repr; surrogateescape keeps non-UTF8 bytes
-            # reversible (encode("utf-8","surrogateescape") restores
-            # the original bytes exactly)
-            return bytes(v).decode("utf-8", "surrogateescape")
+            # "b'...'" repr. Text blobs decode as UTF-8; binary blobs
+            # fall back to latin-1, which maps bytes 1:1 to
+            # U+0000-U+00FF — reversible via encode("latin-1") and,
+            # unlike surrogateescape, always valid through Spark's
+            # UTF-8 string boundary
+            try:
+                return bytes(v).decode("utf-8")
+            except UnicodeDecodeError:
+                return bytes(v).decode("latin-1")
         return str(v)
 
     vals = {k: ("" if v is None else render(k, v)) for k, v in items}

@@ -110,7 +110,18 @@ def test_stringify_blob_bytes_raw_not_repr():
 
     vals, nulls = _stringify({"a": b"plain", "b": b"\xff\x00ok", "c": 7}, None)
     assert vals["a"] == "plain"
-    assert vals["b"].encode("utf-8", "surrogateescape") == b"\xff\x00ok"
+    assert vals["b"].encode("latin-1") == b"\xff\x00ok"  # 1:1 reversible
     assert not vals["b"].startswith("b'")
     assert vals["c"] == "7"
     assert nulls == {"a": False, "b": False, "c": False}
+
+
+def test_stringify_nonutf8_blob_survives_spark(spark):
+    """The latin-1 fallback produces strings that cross Spark's UTF-8
+    boundary (a surrogateescape form would throw at serialization)."""
+    from dolphinbeat_spark.sources.binlog_source import _stringify
+
+    vals, _ = _stringify({"blob": bytes(range(256))}, None)
+    df = spark.createDataFrame([(vals["blob"],)], "blob string")
+    [row] = df.collect()
+    assert row["blob"].encode("latin-1") == bytes(range(256))
