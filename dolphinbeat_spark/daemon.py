@@ -248,9 +248,13 @@ def run(cfg: DaemonConfig, spark=None, source_format: str = "dolphinbeat_binlog"
             if cfg.shard_count > 1:
                 opts.update(shard_count=str(cfg.shard_count))
             # executor-side decode cannot read a driver-local snapshot
-            # path: ship the snapshot CONTENT in the options instead
+            # path: ship the snapshot CONTENT in the options instead.
+            # read_text() raising on a missing configured snapshot is
+            # deliberate — the simple-reader path fails loudly at
+            # startup too; silently shipping an empty registry would
+            # decode JSON columns as garbage with no error anywhere
             snap = opts.pop("schema_snapshot", "")
-            if snap and Path(snap).exists():
+            if snap:
                 opts["schema_snapshot_json"] = Path(snap).read_text()
         if n_readers > 1:
             opts.update(shard_index=str(i), shard_count=str(n_readers))

@@ -878,8 +878,12 @@ def _read_shard_arrow(options: dict, partition: _ShardRangePartition, batch_rows
         return tbl.to_batches()
 
     it = factory(start)
+    cur_pos = start.pos
+    done = False
     try:
         for raw in it:
+            if done:
+                break
             ev = adapt_replication_event(raw)
             if ev is None:
                 continue
@@ -891,6 +895,21 @@ def _read_shard_arrow(options: dict, partition: _ShardRangePartition, batch_rows
                 if cur.compare(end) > 0:
                     break  # beyond this batch's range: belongs to the next one
             for op in decode_event(ev, ctx):
+                # post-decode guard, mirroring the simple reader's
+                # emit(): a rotate carries log_pos 0 and flips
+                # ctx.log_name, so its coordinate (new file, prev pos)
+                # must be re-checked or a rotate past the planned end
+                # is emitted by BOTH this batch and the next
+                cur_pos = int(op.get("log_pos") or cur_pos)
+                if not end.is_zero():
+                    nxt = BinlogOffset(
+                        file=ctx.log_name or start.file,
+                        pos=cur_pos,
+                        server_id=end.server_id,
+                    )
+                    if nxt.compare(end) > 0:
+                        done = True
+                        break
                 # shard 0 carries the control ops (begin/commit/gtid/ddl/
                 # rotate/query) exactly once; other shards emit only their
                 # row ops — DDL is still APPLIED to every shard's registry
@@ -941,6 +960,13 @@ class ArrowBinlogStreamReader(DataSourceStreamReader):
     - offsets carry (file, pos) only; gtid tracking in this mode rides
       the envelope rows (commit ops carry gtid), because executor-side
       decode cannot feed merged gtid_sets back into driver offsets.
+    - schema tracking is snapshot-based: every batch's tasks rebuild
+      the registry from the shipped snapshot and apply only the DDL
+      inside their OWN range — DDL decoded in an earlier batch is not
+      visible later unless the snapshot is refreshed out-of-band.
+      Deployments with active DDL should refresh the tracker snapshot
+      between batches or use the simple reader (whose one registry
+      lives across batches).
     - the range boundary is the master's probed position, which can
       fall mid-transaction. Each batch decodes with a FRESH context,
       so a commit whose GTID event landed in the PREVIOUS batch is
@@ -1011,10 +1037,17 @@ class ArrowBinlogStreamReader(DataSourceStreamReader):
             )
         # admission control: advance at most max_pos_delta past the
         # previously planned end (same file only — a file rotation
-        # resets the clamp; see class docstring for the restart caveat)
+        # resets the clamp; see class docstring for the restart caveat).
+        # PROVIDER MODE ONLY: a scripted/filtering iterator accepts any
+        # numeric bound, but a live MySQL seek requires an event
+        # boundary ("impossible position" otherwise) and a clamped
+        # offset must not carry the head's full gtid_set (auto_position
+        # with it would skip everything up to the real head — data
+        # loss). The live path therefore never clamps.
         prev = self._planned_end
         if (
-            prev is not None
+            provider
+            and prev is not None
             and self.max_pos_delta > 0
             and head.file == prev.file
             and head.pos - prev.pos > self.max_pos_delta
@@ -1022,7 +1055,7 @@ class ArrowBinlogStreamReader(DataSourceStreamReader):
             head = BinlogOffset(
                 file=head.file,
                 pos=prev.pos + self.max_pos_delta,
-                gtid_set=head.gtid_set,
+                gtid_set="",  # a clamped boundary is position-defined
                 server_id=head.server_id,
             )
         self._planned_end = head

@@ -105,7 +105,8 @@ def test_offset_algebra():
 def test_stringify_blob_bytes_raw_not_repr():
     """A bytes value in a non-JSON column renders as the RAW byte
     string (reference parity: go string(bytes)), never Python's
-    "b'...'" repr; non-UTF8 bytes round-trip via surrogateescape."""
+    "b'...'" repr; non-UTF8 bytes round-trip via the latin-1
+    fallback."""
     from dolphinbeat_spark.sources.binlog_source import _stringify
 
     vals, nulls = _stringify({"a": b"plain", "b": b"\xff\x00ok", "c": 7}, None)
@@ -118,7 +119,8 @@ def test_stringify_blob_bytes_raw_not_repr():
 
 def test_stringify_nonutf8_blob_survives_spark(spark):
     """The latin-1 fallback produces strings that cross Spark's UTF-8
-    boundary (a surrogateescape form would throw at serialization)."""
+    boundary (an escape scheme using lone surrogates would throw at
+    serialization)."""
     from dolphinbeat_spark.sources.binlog_source import _stringify
 
     vals, _ = _stringify({"blob": bytes(range(256))}, None)
