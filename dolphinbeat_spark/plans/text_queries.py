@@ -791,3 +791,47 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_collapse_repeats",
+    # pure integer/string list ops — exact cross-engine
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents WHERE doc_id % 7 = 0
+), kept AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         [toks[CAST(i AS INTEGER)] FOR i IN range(1, len(toks) + 1)
+          IF i = 1 OR toks[CAST(i AS INTEGER)] <> toks[CAST(i - 1 AS INTEGER)]] AS dedup
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens - len(dedup) AS BIGINT) AS n_removed,
+       array_to_string(dedup, ' ') AS cleaned
+FROM kept
+ORDER BY doc_id
+""",
+    tags=("text", "cleaning", "repetition", "llm-pipeline"),
+)
+def text_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-token-run collapse — the cheap intra-document
+    cleaning TRANSFORM (not just a signal): stuttered generations and
+    scraped-page artifacts like 'buy buy buy buy now' become
+    'buy now', with the removal count kept for filtering decisions.
+    Map-only: the keep-mask compares each token to its predecessor
+    inside one Catalyst higher-order expression; no shuffle, no UDF,
+    linear in corpus size."""
+    d = load(spark, sf_dir, "documents", widen=True).filter(F.col("doc_id") % 7 == 0)
+    toked = d.select("doc_id", T.tokens("text").alias("toks"))
+    n = F.size("toks")
+    dedup = F.filter(
+        "toks",
+        lambda t, i: (i == 0) | (t != F.element_at("toks", i)),  # i is 0-based; element_at 1-based = predecessor
+    )
+    return toked.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        (n - F.size(dedup)).cast("bigint").alias("n_removed"),
+        F.array_join(dedup, " ").alias("cleaned"),
+    ).orderBy("doc_id")
