@@ -392,3 +392,89 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "sessions_peak_concurrency",
+    # end-exclusive overlap: at one timestamp the -1 (session end)
+    # sorts before the +1 (session start), so back-to-back sessions
+    # never count as concurrent; (user_id, session_id) complete the
+    # total order for the order-strict check
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id,
+         ts
+  FROM flagged
+), iv AS (
+  SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM sess GROUP BY user_id, session_id
+), pts AS (
+  SELECT CAST(s_start AS DATE) AS day, s_start AS t, 1 AS delta, user_id, session_id FROM iv
+  UNION ALL
+  SELECT CAST(s_start AS DATE) AS day, s_end AS t, -1 AS delta, user_id, session_id FROM iv
+), run AS (
+  SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY t, delta, user_id, session_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM pts
+)
+SELECT r.day, i.n_sessions, CAST(MAX(r.conc) AS BIGINT) AS peak_concurrency
+FROM run r
+JOIN (SELECT CAST(s_start AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM iv GROUP BY day) i USING (day)
+GROUP BY r.day, i.n_sessions
+ORDER BY r.day
+""",
+    tags=("window", "events", "session", "sweep-line"),
+)
+def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the classic sweep-line
+    reduction: each session contributes (+1 at start, -1 at end)
+    events, a running sum inside the day partition is the live
+    concurrency, and its max is the capacity-planning number. End
+    sorts before start at equal timestamps (end-exclusive overlap).
+    Sessions are attributed to their START day — the bounded-partition
+    form of the sweep (a global sweep would be one unpartitioned
+    window; per-day partitions keep state bounded and parallel at any
+    scale).
+
+    Shuffles: the sessionize windows per user (bounded), one explode
+    to 2 rows per session, one window per day partition."""
+    e = load(spark, sf_dir, "events")
+    s = sessionize(e, key="user_id", time_col="ts", gap_seconds=1800, tie_break="event_id")
+    iv = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    pts = iv.select(
+        F.col("s_start").cast("date").alias("day"),
+        F.explode(
+            F.array(
+                F.struct(F.col("s_start").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("s_end").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("pt"),
+        "user_id",
+        "session_id",
+    ).select("day", F.col("pt.t").alias("t"), F.col("pt.delta").alias("delta"),
+             "user_id", "session_id")
+    w = Window.partitionBy("day").orderBy("t", "delta", "user_id", "session_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = pts.withColumn("conc", F.sum("delta").over(w))
+    n_sess = iv.groupBy(F.col("s_start").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    return (
+        run.groupBy("day")
+        .agg(F.max("conc").cast("bigint").alias("peak_concurrency"))
+        .join(n_sess, "day")
+        .select("day", "n_sessions", "peak_concurrency")
+        .orderBy("day")
+    )
