@@ -478,3 +478,70 @@ def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "n_sessions", "peak_concurrency")
         .orderBy("day")
     )
+
+
+@register(
+    "ts_ewma_daily_events",
+    # alpha = 0.5 deliberately: halving is exact in binary floating
+    # point, and both engines fold the SAME prefix left-to-right, so
+    # every EWMA value is bit-identical with no rounding slack needed
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY day
+), arr AS (
+  SELECT list(CAST(n_events AS DOUBLE) ORDER BY day) AS xs,
+         list(day ORDER BY day) AS days,
+         list(n_events ORDER BY day) AS ns
+  FROM daily
+)
+SELECT u.day, u.n_events,
+       CASE WHEN u.i = 1 THEN a.xs[1]
+            ELSE list_reduce(a.xs[1:CAST(u.i AS INTEGER)],
+                             (acc, x) -> 0.5 * x + 0.5 * acc) END AS ewma
+FROM arr a,
+     LATERAL (SELECT CAST(i AS BIGINT) AS i, a.days[CAST(i AS INTEGER)] AS day,
+                     a.ns[CAST(i AS INTEGER)] AS n_events
+              FROM unnest(range(1, len(a.days) + 1)) AS t(i)) u
+ORDER BY u.day
+""",
+    tags=("timeseries", "ewma", "smoothing"),
+)
+def ts_ewma_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event volume
+    (alpha = 0.5) — the recursive smoother windows can't express
+    (ewma_t depends on ewma_{t-1}, not on a fixed frame), computed as
+    an ordered prefix fold over the BOUNDED daily aggregate. The shape
+    that scales: the raw table reduces to one row per day first
+    (partial-aggregated shuffle), and the O(days²) fold runs over that
+    tiny array — never over events. Per-key variants partition the
+    collect by key with the same machinery."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    arr = daily.agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", F.col("n_events").cast("double").alias("x")))
+        ).alias("s")
+    )
+    # one output row per day: the EWMA at position i is the fold of
+    # the first i values (seeded with the first element, like the
+    # oracle's list_reduce)
+    out = arr.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("s")),
+                lambda i: F.struct(
+                    F.element_at("s", i)["day"].alias("day"),
+                    F.element_at("s", i)["x"].cast("bigint").alias("n_events"),
+                    F.aggregate(
+                        F.slice(F.transform("s", lambda e_: e_["x"]), 2, (i - 1).cast("int")),
+                        F.element_at("s", 1)["x"],
+                        lambda acc, x: F.lit(0.5) * x + F.lit(0.5) * acc,
+                    ).alias("ewma"),
+                ),
+            )
+        ).alias("r")
+    )
+    return out.select("r.day", "r.n_events", "r.ewma").orderBy("day")
