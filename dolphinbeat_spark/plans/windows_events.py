@@ -545,3 +545,83 @@ def ts_ewma_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     )
     return out.select("r.day", "r.n_events", "r.ewma").orderBy("day")
+
+
+@register(
+    "anomaly_cusum_daily",
+    # deviations are exact (BIGINT count minus an int/int-exact mean);
+    # the clamped fold runs in the same order on both engines; ROUND
+    # absorbs nothing because every op is deterministic — kept only
+    # for display stability of the half-unit slack constant
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY day
+), m AS (
+  SELECT CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mean FROM daily
+), arr AS (
+  SELECT list(CAST(n_events AS DOUBLE) ORDER BY day) AS xs,
+         list(day ORDER BY day) AS days,
+         list(n_events ORDER BY day) AS ns
+  FROM daily
+)
+SELECT u.day, u.n_events,
+       list_reduce(
+         list_prepend(0.0, list_transform(arr.xs[1:CAST(u.i AS INTEGER)],
+                                          x -> x - m.mean - 0.5)),
+         (acc, x) -> greatest(0.0, acc + x)) AS cusum_hi,
+       list_reduce(
+         list_prepend(0.0, list_transform(arr.xs[1:CAST(u.i AS INTEGER)],
+                                          x -> m.mean - x - 0.5)),
+         (acc, x) -> greatest(0.0, acc + x)) AS cusum_lo
+FROM arr, m,
+     LATERAL (SELECT CAST(i AS BIGINT) AS i, arr.days[CAST(i AS INTEGER)] AS day,
+                     arr.ns[CAST(i AS INTEGER)] AS n_events
+              FROM unnest(range(1, len(arr.days) + 1)) AS t(i)) u
+ORDER BY u.day
+""",
+    tags=("timeseries", "anomaly", "cusum", "change-point"),
+)
+def anomaly_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point statistic over daily event volume:
+    S⁺_t = max(0, S⁺_{t-1} + x_t − μ − k) and the mirrored S⁻ (slack
+    k = 0.5) — the sequential drift detector; a sustained level shift
+    accumulates where a one-day spike resets. Recursive with a clamp,
+    so like the EWMA it is a prefix fold over the bounded daily
+    aggregate, never a window over the fact table."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    arr = daily.agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", F.col("n_events").cast("double").alias("x")))
+        ).alias("s"),
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias("mean"),
+    )
+
+    def cusum(i, sign):
+        # sign=+1: x - mean - k; sign=-1: mean - x - k
+        return F.aggregate(
+            F.slice(F.transform("s", lambda e_: e_["x"]), 1, i.cast("int")),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(
+                F.lit(0.0),
+                acc + (sign * (x - F.col("mean")) - F.lit(0.5)),
+            ),
+        )
+
+    out = arr.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("s")),
+                lambda i: F.struct(
+                    F.element_at("s", i)["day"].alias("day"),
+                    F.element_at("s", i)["x"].cast("bigint").alias("n_events"),
+                    cusum(i, F.lit(1.0)).alias("cusum_hi"),
+                    cusum(i, F.lit(-1.0)).alias("cusum_lo"),
+                ),
+            )
+        ).alias("r")
+    )
+    return out.select("r.day", "r.n_events", "r.cusum_hi", "r.cusum_lo").orderBy("day")
