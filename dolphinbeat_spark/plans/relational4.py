@@ -684,3 +684,85 @@ def hierarchy_recursive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("depth")
     )
+
+
+_PROFILE_COLS = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_returnflag", "l_linestatus", "l_shipdate",
+)
+
+
+def _profile_min_max_sql(c: str) -> tuple[str, str]:
+    if c == "l_shipdate":
+        return (
+            f"strftime(MIN({c}), '%Y-%m-%d %H:%M:%S')",
+            f"strftime(MAX({c}), '%Y-%m-%d %H:%M:%S')",
+        )
+    return f"CAST(MIN({c}) AS VARCHAR)", f"CAST(MAX({c}) AS VARCHAR)"
+
+
+@register(
+    "profile_table_stats",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {_profile_min_max_sql(c)[0]} AS min_value,
+       {_profile_min_max_sql(c)[1]} AS max_value
+FROM lineitem"""
+        for c in _PROFILE_COLS
+    )
+    + "\nORDER BY column_name",
+    tags=("profiling", "stats", "data-quality"),
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table data-profiling report: one row per column with
+    row/null/distinct counts and min/max — the first thing any data
+    platform runs against a new 100 TB delivery. ONE scan computes
+    every column's aggregates simultaneously (Spark's partial-agg
+    machinery fuses them); the oracle's N-scan UNION ALL is the
+    semantic spec, not the plan. Doubles are profiled numerically in
+    production; here the column set sticks to types whose min/max
+    render identically as text on both engines (the l_quantity family
+    would hit float-formatting differences, not value differences)."""
+    li = load(spark, sf_dir, "lineitem", widen=True)
+
+    def min_max(c):
+        mn, mx = F.min(c), F.max(c)
+        if c == "l_shipdate":
+            fmt = "yyyy-MM-dd HH:mm:ss"
+            return F.date_format(mn, fmt), F.date_format(mx, fmt)
+        return mn.cast("string"), mx.cast("string")
+
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        mn, mx = min_max(c)
+        aggs += [
+            F.count(c).cast("bigint").alias(f"__nn_{c}"),
+            F.count_distinct(c).cast("bigint").alias(f"__nd_{c}"),
+            mn.alias(f"__mn_{c}"),
+            mx.alias(f"__mx_{c}"),
+        ]
+    one = li.agg(*aggs)
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col("n_rows").alias("n_rows"),
+                        (F.col("n_rows") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                        F.col(f"__nd_{c}").alias("n_distinct"),
+                        F.col(f"__mn_{c}").alias("min_value"),
+                        F.col(f"__mx_{c}").alias("max_value"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select(
+        "r.column_name", "r.n_rows", "r.n_nulls", "r.n_distinct",
+        "r.min_value", "r.max_value",
+    ).orderBy("column_name")
