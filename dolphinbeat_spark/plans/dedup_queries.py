@@ -570,3 +570,50 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "span_start", "span_end", "span_tokens")
         .orderBy("doc_id", "span_start")
     )
+
+
+@register(
+    "graph_triangles_neardup",
+    oracle=_MINHASH_CTE + _BANDS_CTE + """
+, tri AS (
+  SELECT COUNT(*) AS n_triangles FROM cand e1
+  JOIN cand e2 ON e2.id_a = e1.id_b
+  JOIN cand e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+), wedges AS (
+  SELECT COUNT(*) AS n_wedges FROM cand e1
+  JOIN cand e2 ON e2.id_a = e1.id_b
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_edges,
+       CAST(w.n_wedges AS BIGINT) AS n_wedges,
+       CAST(t.n_triangles AS BIGINT) AS n_triangles
+FROM tri t, wedges w
+""",
+    tags=("graph", "triangles", "dedup"),
+)
+def graph_triangles_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the near-duplicate candidate graph — the
+    standard graph-analytics reduction beyond connected components
+    (triangles measure how CLIQUE-LIKE duplicate clusters are: chains
+    of borderline pairs have none, true duplicate groups are dense).
+    Node-ordered edges (id_a < id_b) make each triangle count exactly
+    once: wedges join edge(a,b)xedge(b,c), closure checks (a,c).
+
+    Scale shape: two equi-joins on vertex keys over the ORDERED edge
+    list — ordering by id (degree in production) bounds wedge fan-out
+    by the smaller endpoint's out-degree, the classic trick that keeps
+    triangle counting feasible on power-law graphs."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    sigs = D.minhash_signatures(d, "doc_id", "text", NUM_PERM, SHINGLE_K)
+    edges = D.lsh_candidate_pairs(sigs, "doc_id", NUM_PERM, BANDS)
+    e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = edges.select(F.col("id_a").alias("b2"), F.col("id_b").alias("c"))
+    wedges = e1.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
+    closure = edges.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("c"), F.lit(1).alias("__hit")
+    )
+    tri = wedges.join(closure, ["a", "c"])
+    return (
+        edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        .join(wedges.agg(F.count(F.lit(1)).cast("bigint").alias("n_wedges")))
+        .join(tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles")))
+    )

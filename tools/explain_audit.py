@@ -52,6 +52,7 @@ _BNLJ_OK = {
     "sample_temperature_mix",  # 1-row budget/normalizer broadcast
     "profile_source_divergence",  # 1-row corpus-total broadcast
     "sketch_kmv_intersection",  # 5-row sketch-array pair join (type_a < type_b)
+    "graph_triangles_neardup",  # 1-row summary-count joins (edges/wedges/triangles)
 }
 # specs whose final presentation sort is the only exchange-heavy step
 _WIDE_READ_OK = {"cdc_envelope_from_events"}  # reads most event columns by design
