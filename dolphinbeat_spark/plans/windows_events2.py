@@ -573,3 +573,72 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("event_type", "next_type")
     )
+
+
+@register(
+    "funnel_conversion_within_24h",
+    # integer microsecond arithmetic + exact int/int rate division:
+    # bit-identical cross-engine (sessionize's epoch_us convention)
+    oracle="""
+WITH su AS (
+  SELECT user_id, MIN(ts) AS t_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), fp AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN su ON su.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > su.t_signup
+  GROUP BY e.user_id
+), per_user AS (
+  SELECT su.user_id, CAST(su.t_signup AS DATE) AS cohort_day,
+         CASE WHEN fp.t_purchase IS NOT NULL
+                   AND epoch_us(fp.t_purchase) - epoch_us(su.t_signup) <= 86400000000
+              THEN 1 ELSE 0 END AS converted
+  FROM su LEFT JOIN fp ON fp.user_id = su.user_id
+)
+SELECT cohort_day,
+       CAST(COUNT(*) AS BIGINT) AS n_signups,
+       CAST(SUM(converted) AS BIGINT) AS n_converted_24h,
+       CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conv_rate
+FROM per_user GROUP BY cohort_day ORDER BY cohort_day
+""",
+    tags=("events", "funnel", "behavioral", "windowed"),
+)
+def funnel_conversion_within_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-budgeted conversion by cohort: of each day's first-time
+    signups, how many purchased within 24 HOURS of signing up — the
+    windowed funnel product analytics actually reports (the global
+    funnel ignores elapsed time). Two aggregations and one equi-join
+    on user_id: signup times reduce first, purchases after signup
+    reduce against them, cohorts aggregate the per-user flags —
+    nothing ever windows the raw event stream."""
+    e = load(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    us = F.unix_micros(F.col("t_purchase").cast("timestamp")) - F.unix_micros(
+        F.col("t_signup").cast("timestamp")
+    )
+    per_user = su.join(fp, "user_id", "left").select(
+        F.col("t_signup").cast("date").alias("cohort_day"),
+        F.when(F.col("t_purchase").isNotNull() & (us <= 86_400_000_000), 1)
+        .otherwise(0)
+        .alias("converted"),
+    )
+    return (
+        per_user.groupBy("cohort_day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_signups"),
+            F.sum("converted").cast("bigint").alias("n_converted_24h"),
+            (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("conv_rate"),
+        )
+        .orderBy("cohort_day")
+    )
