@@ -735,3 +735,107 @@ def cdc_canal_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("log_pos").alias("event_id"), "db", "table", "log_pos", "value"
     ).orderBy("event_id")
+
+
+@register(
+    "cdc_incremental_agg",
+    # the oracle aggregates the FINAL state directly; the engine folds
+    # the signed deltas of every change op. Their equality is the
+    # incremental-view-maintenance theorem itself: per user the chain
+    # +insert(img_1), (-img_{i-1} +img_i)..., [-img_last] telescopes to
+    # exactly the user's final contribution
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS err_before
+  FROM events
+), kept AS (
+  SELECT * FROM seq WHERE COALESCE(err_before, 0) = 0
+), state AS (
+  SELECT user_id, event_type AS etype, k FROM (
+    SELECT user_id, event_type, k,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rnd
+    FROM kept
+  ) WHERE rnd = 1 AND event_type <> 'error'
+)
+SELECT etype,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CASE WHEN COUNT(k) = 0 THEN NULL
+            ELSE CAST(SUM(k) AS DOUBLE) END AS sum_k
+FROM state GROUP BY etype ORDER BY etype
+""",
+    tags=("cdc", "incremental-view", "delta-algebra"),
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance under the oracle gate: the
+    synthetic per-user event chains become a WELL-FORMED change stream
+    (first event = insert, later events = update carrying the true
+    before-image, 'error' = delete, nothing after a delete), and the
+    REAL delta pipeline (sinks/incremental_agg.py::delta_frame — the
+    single-batch case of merge_agg_batch) folds the +/- contributions.
+    The oracle computes GROUP BY over the final state instead; equality
+    is what 'maintained without recompute' means."""
+    from pyspark.sql import Window
+
+    from dolphinbeat_spark.sinks.incremental_agg import AggViewSpec, delta_frame
+
+    e = load(spark, sf_dir, "events")
+    wf = Window.partitionBy("user_id").orderBy("event_id")
+    err_before = F.max(
+        F.when(F.col("event_type") == "error", 1).otherwise(0)
+    ).over(wf.rowsBetween(Window.unboundedPreceding, -1))
+    kept = e.withColumn("__eb", F.coalesce(err_before, F.lit(0))).filter(
+        F.col("__eb") == 0
+    )
+    w2 = Window.partitionBy("user_id").orderBy("event_id")
+    k_raw = F.get_json_object("props", "$.k")
+    img = F.create_map(
+        F.lit("user_id"), F.col("user_id").cast("string"),
+        F.lit("etype"), F.col("event_type"),
+        F.lit("k"), F.coalesce(k_raw, F.lit("")),
+    )
+    flags = F.create_map(
+        F.lit("user_id"), F.lit(False),
+        F.lit("etype"), F.lit(False),
+        F.lit("k"), k_raw.isNull(),
+    )
+    seq = kept.select(
+        "user_id", "event_id", "event_type",
+        img.alias("__img"), flags.alias("__flags"),
+        F.row_number().over(w2).alias("__rn"),
+        F.lag(img.alias("x")).over(w2).alias("__lag_img"),
+        F.lag(flags.alias("y")).over(w2).alias("__lag_flags"),
+    )
+    is_err = F.col("event_type") == "error"
+    op = (
+        F.when(F.col("__rn") == 1, F.lit("insert"))
+        .when(is_err, F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    null_map = F.lit(None).cast("map<string,string>")
+    null_flags = F.lit(None).cast("map<string,boolean>")
+    env = (
+        # a user whose FIRST event is a delete never existed: skip
+        seq.filter(~((F.col("__rn") == 1) & is_err)).select(
+            op.alias("op_type"),
+            F.lit("binlog.000001").alias("log_name"),
+            F.col("event_id").alias("log_pos"),
+            F.lit(0).alias("row_index"),
+            F.when(op != "insert", F.col("__lag_img")).otherwise(null_map).alias("before"),
+            F.when(op != "insert", F.col("__lag_flags")).otherwise(null_flags).alias("before_null"),
+            F.when(op != "delete", F.col("__img")).otherwise(null_map).alias("after"),
+            F.when(op != "delete", F.col("__flags")).otherwise(null_flags).alias("after_null"),
+        )
+    )
+    view = AggViewSpec(group_cols=("etype",), sum_cols=("k",))
+    deltas = delta_frame(env, view).filter(F.col("n_delta") != 0)
+    return deltas.select(
+        "etype",
+        F.col("n_delta").alias("n_rows"),
+        F.when(F.col("nn_k") > 0, F.col("sum_k"))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("sum_k"),
+    ).orderBy("etype")

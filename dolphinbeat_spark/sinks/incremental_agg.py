@@ -1,0 +1,167 @@
+"""Incremental aggregate-view maintenance from CDC deltas.
+
+``apply_changes`` maintains ROW state (the current table);
+``streaming/rollup`` maintains aggregates over APPEND-ONLY events.
+This sink closes the remaining cell: aggregates over a table that
+receives updates and deletes, maintained incrementally with the
+classic +/- delta algebra instead of recomputing from the snapshot —
+each change op contributes signed deltas (insert +, delete −, update
+as delete(before)+insert(after) via ``normalize_pk_changes``, which
+also makes group-moving updates correct), and the persistent view
+folds them in.
+
+Maintained aggregates are the SELF-MAINTAINABLE ones: COUNT(*) and
+SUM(col) (with a non-null count per SUM column so SQL's
+all-NULL-group → NULL semantics reconstruct exactly). MIN/MAX are
+deliberately absent — under deletes they are not self-maintainable
+(deleting the current minimum requires the full group to find the next
+one; the textbook result), so views needing them recompute per group
+from the ``apply_changes`` snapshot instead.
+
+At scale: a batch's deltas partial-aggregate to one row per touched
+group before the merge; the merge unions against the (group-keyed,
+already aggregated) view and re-aggregates — cost proportional to
+touched groups + view size, never to the underlying table. Replay
+idempotence reuses the rollup sink's applied-marker discipline
+(marker and data commit in one atomic rename).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dolphinbeat_spark.sinks.apply_changes import _img_val, normalize_pk_changes
+from dolphinbeat_spark.streaming.rollup import MARKER_RETENTION, _carry_markers
+
+
+@dataclass(frozen=True)
+class AggViewSpec:
+    """Definition of one maintained view over a stringly CDC envelope:
+    group columns and SUM columns are resolved from the op's image
+    (after-image for inserts, before-image for deletes) and cast from
+    the wire strings."""
+
+    group_cols: tuple[str, ...]
+    sum_cols: tuple[str, ...] = field(default_factory=tuple)
+    cast: str = "double"  # numeric type the wire strings cast to
+
+
+def delta_frame(batch: DataFrame, view: AggViewSpec) -> DataFrame:
+    """One signed delta row per normalized change op → aggregated to
+    one row per touched group: n_delta (COUNT(*)), and per SUM column
+    sum_<c> plus nn_<c> (non-null count)."""
+    ops = normalize_pk_changes(batch)
+    sign = F.when(F.col("op_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+
+    def from_img(col: str):
+        # insert reads the after-image, delete the before-image (the
+        # only images normalize_pk_changes leaves populated)
+        return F.when(
+            F.col("op_type") == "insert", _img_val("after", col)
+        ).otherwise(_img_val("before", col))
+
+    proj = ops.select(
+        sign.alias("__sign"),
+        *[from_img(g).alias(g) for g in view.group_cols],
+        *[from_img(c).cast(view.cast).alias(f"__v_{c}") for c in view.sum_cols],
+    )
+    aggs = [F.sum("__sign").cast("bigint").alias("n_delta")]
+    for c in view.sum_cols:
+        v = F.col(f"__v_{c}")
+        aggs.append(
+            F.sum(F.when(v.isNotNull(), F.col("__sign") * v).otherwise(F.lit(0)))
+            .cast(view.cast)
+            .alias(f"sum_{c}")
+        )
+        aggs.append(
+            F.sum(F.when(v.isNotNull(), F.col("__sign")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"nn_{c}")
+        )
+    return proj.groupBy(*view.group_cols).agg(*aggs)
+
+
+def merge_agg_batch(
+    batch: DataFrame,
+    view_path: str,
+    view: AggViewSpec,
+    batch_id: int | None = None,
+) -> None:
+    """Fold one micro-batch's deltas into the persistent view.
+    Groups whose row count reaches zero are dropped (they no longer
+    exist in the underlying table). Same atomic marker discipline as
+    the rollup sink: replayed batches are no-ops."""
+    if batch_id is not None and os.path.exists(
+        os.path.join(view_path, f"_applied_{batch_id}")
+    ):
+        return
+    spark = batch.sparkSession
+    deltas = delta_frame(batch, view)
+    keys = list(view.group_cols)
+    if os.path.exists(view_path):
+        current = spark.read.parquet(view_path)
+        merged = (
+            current.unionByName(deltas)
+            .groupBy(*keys)
+            .agg(
+                F.sum("n_delta").cast("bigint").alias("n_delta"),
+                *[
+                    a
+                    for c in view.sum_cols
+                    for a in (
+                        F.sum(f"sum_{c}").cast(view.cast).alias(f"sum_{c}"),
+                        F.sum(f"nn_{c}").cast("bigint").alias(f"nn_{c}"),
+                    )
+                ],
+            )
+        )
+    else:
+        merged = deltas
+    merged = merged.filter(F.col("n_delta") != 0)
+    tmp = view_path + ".next"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(view_path):
+        _carry_markers(view_path, tmp)
+    if batch_id is not None:
+        open(os.path.join(tmp, f"_applied_{batch_id}"), "w").close()
+    if os.path.exists(view_path):
+        shutil.rmtree(view_path)
+    os.rename(tmp, view_path)
+
+
+def incremental_agg_stream(
+    stream: DataFrame,
+    view_path: str,
+    checkpoint_dir: str,
+    view: AggViewSpec,
+):
+    """foreachBatch wiring: envelope stream → continuously maintained
+    aggregate view."""
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        merge_agg_batch(batch, view_path, view, batch_id=batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
+def read_agg_view(spark: SparkSession, view_path: str, view: AggViewSpec) -> DataFrame:
+    """Present the maintained state with exact SQL aggregate semantics:
+    COUNT(*) = n_delta; SUM(c) = NULL when the group holds no non-null
+    values (nn_c = 0), the stored sum otherwise."""
+    df = spark.read.parquet(view_path)
+    cols = [*view.group_cols, F.col("n_delta").alias("n_rows")]
+    for c in view.sum_cols:
+        cols.append(
+            F.when(F.col(f"nn_{c}") > 0, F.col(f"sum_{c}"))
+            .otherwise(F.lit(None).cast(view.cast))
+            .alias(f"sum_{c}")
+        )
+    return df.select(*cols)
