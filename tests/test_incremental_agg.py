@@ -153,3 +153,51 @@ def test_streaming_wiring(spark, tmp_path):
     state = {r["id"]: r["n_rows"] for r in read_agg_view(spark, path, view).collect()}
     # golden: ids 1,3 survive (2 deleted); update keeps id 1 at 1 row
     assert state == {"1": 1, "3": 1}
+
+
+def test_partitioned_merge_parity_and_bucket_isolation(spark, tmp_path):
+    """The bucket-partitioned variant reaches the same state as the
+    flat merge, only touched buckets rewrite, and per-bucket markers
+    make delta replay exactly-once."""
+    import os
+
+    from dolphinbeat_spark.sinks.incremental_agg import merge_agg_batch_partitioned
+
+    flat, part = str(tmp_path / "flat"), str(tmp_path / "part")
+    b0 = [
+        _op("insert", 10, after={"id": 1, "grp": "a", "amount": 5}),
+        _op("insert", 20, after={"id": 2, "grp": "b", "amount": 3}),
+        _op("insert", 30, after={"id": 3, "grp": "c", "amount": None}),
+    ]
+    b1 = [
+        _op("update", 40,
+            before={"id": 1, "grp": "a", "amount": 5},
+            after={"id": 1, "grp": "b", "amount": 6}),
+        _op("delete", 50, before={"id": 3, "grp": "c", "amount": None}),
+    ]
+    for i, ops in enumerate((b0, b1)):
+        merge_agg_batch(_batch(spark, ops), flat, VIEW, batch_id=i)
+        merge_agg_batch_partitioned(_batch(spark, ops), part, VIEW, batch_id=i, num_buckets=4)
+    assert _view_state(spark, part) == _view_state(spark, flat) == {"b": (2, 9.0)}
+
+    # replaying batch 1 against the partitioned view double-counts
+    # NOTHING (per-bucket markers)
+    before = _view_state(spark, part)
+    merge_agg_batch_partitioned(_batch(spark, b1), part, VIEW, batch_id=1, num_buckets=4)
+    assert _view_state(spark, part) == before
+
+    # cold-bucket isolation: a batch touching only group 'b' must not
+    # rewrite other buckets' directories
+    buckets = {d: os.path.getmtime(os.path.join(part, d))
+               for d in os.listdir(part) if d.startswith("__bucket=")}
+    merge_agg_batch_partitioned(
+        _batch(spark, [_op("insert", 60, after={"id": 9, "grp": "b", "amount": 1})]),
+        part, VIEW, batch_id=2, num_buckets=4,
+    )
+    after = {d: os.path.getmtime(os.path.join(part, d))
+             for d in os.listdir(part) if d.startswith("__bucket=")}
+    unchanged = [d for d in buckets if d in after and after[d] == buckets[d]]
+    changed = [d for d in after if d not in buckets or after[d] != buckets.get(d)]
+    assert len(changed) == 1  # exactly the bucket holding group 'b'
+    assert set(unchanged) == set(buckets) - set(changed)
+    assert _view_state(spark, part) == {"b": (3, 10.0)}
