@@ -790,7 +790,6 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = e.withColumn("__eb", F.coalesce(err_before, F.lit(0))).filter(
         F.col("__eb") == 0
     )
-    w2 = Window.partitionBy("user_id").orderBy("event_id")
     k_raw = F.get_json_object("props", "$.k")
     img = F.create_map(
         F.lit("user_id"), F.col("user_id").cast("string"),
@@ -805,9 +804,9 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = kept.select(
         "user_id", "event_id", "event_type",
         img.alias("__img"), flags.alias("__flags"),
-        F.row_number().over(w2).alias("__rn"),
-        F.lag(img.alias("x")).over(w2).alias("__lag_img"),
-        F.lag(flags.alias("y")).over(w2).alias("__lag_flags"),
+        F.row_number().over(wf).alias("__rn"),
+        F.lag(img.alias("x")).over(wf).alias("__lag_img"),
+        F.lag(flags.alias("y")).over(wf).alias("__lag_flags"),
     )
     is_err = F.col("event_type") == "error"
     op = (

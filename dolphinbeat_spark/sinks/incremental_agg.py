@@ -29,14 +29,13 @@ idempotence reuses the rollup sink's applied-marker discipline
 from __future__ import annotations
 
 import os
-import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dolphinbeat_spark.sinks.apply_changes import _img_val, normalize_pk_changes
-from dolphinbeat_spark.streaming.rollup import _carry_markers
+from dolphinbeat_spark.streaming.rollup import atomic_swap_dir, recover_swap_dir
 
 
 @dataclass(frozen=True)
@@ -86,6 +85,37 @@ def delta_frame(batch: DataFrame, view: AggViewSpec) -> DataFrame:
     return proj.groupBy(*view.group_cols).agg(*aggs)
 
 
+def _fold_aggs(view: AggViewSpec) -> list:
+    """The re-aggregation list merging stored state with new deltas —
+    one definition shared by the flat and bucket-partitioned merges."""
+    return [F.sum("n_delta").cast("bigint").alias("n_delta")] + [
+        a
+        for c in view.sum_cols
+        for a in (
+            F.sum(f"sum_{c}").cast(view.cast).alias(f"sum_{c}"),
+            F.sum(f"nn_{c}").cast("bigint").alias(f"nn_{c}"),
+        )
+    ]
+
+
+def _merge_dir(spark, deltas: DataFrame, dir_path: str, view: AggViewSpec,
+               tmp_path: str, old_path: str, marker: str | None) -> None:
+    """Fold deltas into one aggregate directory via the crash-safe
+    rename-aside swap (streaming/rollup.py::atomic_swap_dir)."""
+    recover_swap_dir(dir_path, tmp_path, old_path)
+    if marker and os.path.exists(os.path.join(dir_path, marker)):
+        return  # replayed batch: already folded in
+    if os.path.exists(dir_path):
+        current = spark.read.parquet(dir_path)
+        merged = current.unionByName(deltas).groupBy(*view.group_cols).agg(
+            *_fold_aggs(view)
+        )
+    else:
+        merged = deltas
+    merged = merged.filter(F.col("n_delta") != 0)
+    atomic_swap_dir(merged, dir_path, tmp_path, old_path, marker)
+
+
 def merge_agg_batch(
     batch: DataFrame,
     view_path: str,
@@ -94,44 +124,15 @@ def merge_agg_batch(
 ) -> None:
     """Fold one micro-batch's deltas into the persistent view.
     Groups whose row count reaches zero are dropped (they no longer
-    exist in the underlying table). Same atomic marker discipline as
-    the rollup sink: replayed batches are no-ops."""
-    if batch_id is not None and os.path.exists(
-        os.path.join(view_path, f"_applied_{batch_id}")
-    ):
-        return
-    spark = batch.sparkSession
+    exist in the underlying table). Crash-safe swap + replay markers:
+    replayed batches are no-ops, and no crash point loses the prior
+    state (the rename-aside discipline)."""
+    marker = f"_applied_{batch_id}" if batch_id is not None else None
     deltas = delta_frame(batch, view)
-    keys = list(view.group_cols)
-    if os.path.exists(view_path):
-        current = spark.read.parquet(view_path)
-        merged = (
-            current.unionByName(deltas)
-            .groupBy(*keys)
-            .agg(
-                F.sum("n_delta").cast("bigint").alias("n_delta"),
-                *[
-                    a
-                    for c in view.sum_cols
-                    for a in (
-                        F.sum(f"sum_{c}").cast(view.cast).alias(f"sum_{c}"),
-                        F.sum(f"nn_{c}").cast("bigint").alias(f"nn_{c}"),
-                    )
-                ],
-            )
-        )
-    else:
-        merged = deltas
-    merged = merged.filter(F.col("n_delta") != 0)
-    tmp = view_path + ".next"
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(view_path):
-        _carry_markers(view_path, tmp)
-    if batch_id is not None:
-        open(os.path.join(tmp, f"_applied_{batch_id}"), "w").close()
-    if os.path.exists(view_path):
-        shutil.rmtree(view_path)
-    os.rename(tmp, view_path)
+    _merge_dir(
+        batch.sparkSession, deltas, view_path, view,
+        view_path + ".next", view_path + ".old", marker,
+    )
 
 
 def incremental_agg_stream(
@@ -187,40 +188,43 @@ def merge_agg_batch_partitioned(
     on their marker, unswapped ones redo from their old state —
     exactly-once per bucket, no double counting."""
     spark = batch.sparkSession
+    os.makedirs(view_path, exist_ok=True)
+    _pin_bucket_count(view_path, num_buckets)
     deltas = delta_frame(batch, view)
     bucket = F.pmod(
         F.xxhash64(*[F.col(g) for g in view.group_cols]), F.lit(num_buckets)
     ).cast("int")
     deltas = deltas.withColumn("__bucket", bucket).localCheckpoint(eager=True)
     touched = [r["__bucket"] for r in deltas.select("__bucket").distinct().collect()]
-    keys = list(view.group_cols)
-    sum_aggs = [F.sum("n_delta").cast("bigint").alias("n_delta")] + [
-        a
-        for c in view.sum_cols
-        for a in (
-            F.sum(f"sum_{c}").cast(view.cast).alias(f"sum_{c}"),
-            F.sum(f"nn_{c}").cast("bigint").alias(f"nn_{c}"),
-        )
-    ]
+    marker = f"_applied_{batch_id}" if batch_id is not None else None
     for b in sorted(touched):
-        bpath = os.path.join(view_path, f"__bucket={b}")
-        marker = f"_applied_{batch_id}" if batch_id is not None else None
-        if marker and os.path.exists(os.path.join(bpath, marker)):
-            continue  # this bucket already folded this batch in
         mine = deltas.filter(F.col("__bucket") == b).drop("__bucket")
-        if os.path.exists(bpath):
-            current = spark.read.parquet(bpath)
-            merged = current.unionByName(mine).groupBy(*keys).agg(*sum_aggs)
-        else:
-            merged = mine
-        merged = merged.filter(F.col("n_delta") != 0)
-        tmp = bpath + ".next"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(bpath):
-            _carry_markers(bpath, tmp)
-        if marker:
-            open(os.path.join(tmp, marker), "w").close()
-        if os.path.exists(bpath):
-            shutil.rmtree(bpath)
-        os.makedirs(view_path, exist_ok=True)
-        os.rename(tmp, bpath)
+        _merge_dir(
+            spark, mine, os.path.join(view_path, f"__bucket={b}"), view,
+            # temp/aside dirs INSIDE view_path must be '_'-prefixed or
+            # partition discovery reads them as phantom buckets
+            os.path.join(view_path, f"_next___bucket_{b}"),
+            os.path.join(view_path, f"_old___bucket_{b}"),
+            marker,
+        )
+
+
+def _pin_bucket_count(view_path: str, num_buckets: int) -> None:
+    """The bucket count is part of the view's on-disk layout: merging
+    with a different count would scatter a group across two buckets
+    (duplicate, conflicting rows). Pin it in a '_'-prefixed meta file
+    on first write and refuse mismatches loudly."""
+    import json
+
+    meta = os.path.join(view_path, "_view_meta.json")
+    if os.path.exists(meta):
+        stored = json.loads(open(meta).read())
+        if stored.get("num_buckets") != num_buckets:
+            raise ValueError(
+                f"view at {view_path} was built with num_buckets="
+                f"{stored.get('num_buckets')}; merging with {num_buckets} "
+                "would split groups across buckets"
+            )
+    else:
+        with open(meta, "w") as f:
+            json.dump({"num_buckets": num_buckets}, f)

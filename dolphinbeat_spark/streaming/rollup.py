@@ -86,6 +86,51 @@ def _carry_markers(src_dir: str, dst_dir: str) -> None:
         open(os.path.join(dst_dir, f"_applied_{i}"), "w").close()
 
 
+def atomic_swap_dir(
+    merged: "DataFrame",
+    dir_path: str,
+    tmp_path: str,
+    old_path: str,
+    marker: str | None,
+) -> None:
+    """Crash-safe swap of an aggregate directory: write the merged
+    frame to ``tmp_path``, carry forward prior replay markers, stamp
+    ``marker``, then RENAME-ASIDE — ``dir`` → ``old``, ``tmp`` →
+    ``dir``, drop ``old``. Unlike rmtree-then-rename, no window exists
+    where the only copy of prior state lives in an uncommitted temp:
+    every crash point leaves either ``dir`` or ``old`` holding the
+    last committed state, and :func:`recover_swap_dir` (called first)
+    restores it. ``tmp_path``/``old_path`` must be ignored by parquet
+    discovery (outside the read root, or '_'-prefixed inside it)."""
+    recover_swap_dir(dir_path, tmp_path, old_path)
+    merged.write.mode("overwrite").parquet(tmp_path)
+    if os.path.exists(dir_path):
+        _carry_markers(dir_path, tmp_path)
+    if marker:
+        open(os.path.join(tmp_path, marker), "w").close()
+    if os.path.exists(dir_path):
+        os.rename(dir_path, old_path)
+    os.rename(tmp_path, dir_path)
+    if os.path.exists(old_path):
+        import shutil
+
+        shutil.rmtree(old_path)
+
+
+def recover_swap_dir(dir_path: str, tmp_path: str, old_path: str) -> None:
+    """Roll an interrupted :func:`atomic_swap_dir` back to its last
+    committed state: a lone ``old`` dir is the committed state
+    (restore it); a leftover ``tmp`` is uncommitted (drop it)."""
+    import shutil
+
+    if not os.path.exists(dir_path) and os.path.exists(old_path):
+        os.rename(old_path, dir_path)
+    elif os.path.exists(old_path):
+        shutil.rmtree(old_path)
+    if os.path.exists(tmp_path):
+        shutil.rmtree(tmp_path)
+
+
 def merge_rollup_batch_partitioned(
     batch: DataFrame,
     rollup_path: str,

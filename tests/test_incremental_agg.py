@@ -201,3 +201,57 @@ def test_partitioned_merge_parity_and_bucket_isolation(spark, tmp_path):
     assert len(changed) == 1  # exactly the bucket holding group 'b'
     assert set(unchanged) == set(buckets) - set(changed)
     assert _view_state(spark, part) == {"b": (3, 10.0)}
+
+
+def test_crash_recovery_rename_aside(spark, tmp_path):
+    """Every interruption point of the swap leaves a recoverable
+    state: a lone .old dir restores, stale temps drop, and the replay
+    then folds the batch exactly once."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "view")
+    b0 = [_op("insert", 10, after={"id": 1, "grp": "a", "amount": 5})]
+    b1 = [_op("insert", 20, after={"id": 2, "grp": "a", "amount": 2})]
+    merge_agg_batch(_batch(spark, b0), path, VIEW, batch_id=0)
+
+    # crash window: dir renamed aside, tmp (with marker) not yet in
+    # place — the pre-fix rmtree+rename would have lost all state here
+    os.rename(path, path + ".old")
+    merge_agg_batch(_batch(spark, b1), path, VIEW, batch_id=1)
+    assert _view_state(spark, path) == {"a": (2, 7.0)}  # nothing lost
+
+    # crash window: stale uncommitted temp next to a live dir
+    shutil.copytree(path, path + ".next")
+    merge_agg_batch(_batch(spark, [
+        _op("delete", 30, before={"id": 2, "grp": "a", "amount": 2}),
+    ]), path, VIEW, batch_id=2)
+    assert _view_state(spark, path) == {"a": (1, 5.0)}
+    assert not os.path.exists(path + ".next") and not os.path.exists(path + ".old")
+
+
+def test_partitioned_temp_dirs_invisible_and_bucket_pin(spark, tmp_path):
+    """Leftover swap dirs inside the view root are '_'-prefixed so
+    partition discovery never reads them as phantom buckets; merging
+    with a different bucket count is refused loudly."""
+    import os
+
+    import pytest
+
+    from dolphinbeat_spark.sinks.incremental_agg import merge_agg_batch_partitioned
+
+    path = str(tmp_path / "view")
+    merge_agg_batch_partitioned(_batch(spark, [
+        _op("insert", 10, after={"id": 1, "grp": "a", "amount": 5}),
+    ]), path, VIEW, batch_id=0, num_buckets=4)
+    # plant a stale uncommitted temp: state must be unaffected
+    bdir = next(d for d in os.listdir(path) if d.startswith("__bucket="))
+    import shutil
+
+    shutil.copytree(os.path.join(path, bdir), os.path.join(path, "_next___bucket_9"))
+    assert _view_state(spark, path) == {"a": (1, 5.0)}  # not double-read
+
+    with pytest.raises(ValueError, match="num_buckets"):
+        merge_agg_batch_partitioned(_batch(spark, [
+            _op("insert", 20, after={"id": 2, "grp": "b", "amount": 1}),
+        ]), path, VIEW, batch_id=1, num_buckets=8)
