@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -196,6 +197,80 @@ DECODED_SCHEMA = StructType(
         StructField("pixel_md5", StringType()),
     ]
 )
+
+
+def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-numpy RIFF/WAVE decoder for uncompressed 8-bit mono PCM —
+    audio's analog of :func:`decode_ppm`: WAV is a container with no
+    entropy coding, so real decode needs only header validation and a
+    byte view. Returns (sample_rate, n_samples, samples uint8).
+    Compressed/esoteric WAV variants raise, honestly."""
+    import struct as _s
+
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    if data[12:16] != b"fmt " or _s.unpack_from("<I", data, 16)[0] != 16:
+        raise ValueError("expected a 16-byte PCM fmt chunk first")
+    audio_fmt, channels = _s.unpack_from("<HH", data, 20)
+    rate, byte_rate = _s.unpack_from("<II", data, 24)
+    block_align, bits = _s.unpack_from("<HH", data, 32)
+    if audio_fmt != 1:
+        raise NotImplementedError(f"non-PCM WAV (format {audio_fmt}) needs codec libs")
+    if channels != 1 or bits != 8 or block_align != 1 or byte_rate != rate:
+        raise NotImplementedError(
+            f"only 8-bit mono PCM decoded here (got {channels}ch/{bits}bit)"
+        )
+    if data[36:40] != b"data":
+        raise ValueError("expected the data chunk after fmt")
+    n = _s.unpack_from("<I", data, 40)[0]
+    if len(data) - 44 < n:
+        raise ValueError(f"data chunk truncated: declared {n}, have {len(data) - 44}")
+    samples = np.frombuffer(data, dtype=np.uint8, count=n, offset=44)
+    return rate, n, samples
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("sample_sum", LongType()),
+        StructField("sample_md5", StringType()),
+    ]
+)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """REAL audio decode for uncompressed WAV/PCM payloads: per-clip
+    sample stats + the md5 of the decoded samples, Arrow-batched
+    mapInPandas (the slot an ffmpeg decode would fill for compressed
+    codecs)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(raw)
+                rate, n, samples = decode_wav(b)
+                rows.append(
+                    (
+                        mid, "wav", rate, n,
+                        float(n) / rate,
+                        int(samples.astype(np.int64).sum()),
+                        hashlib.md5(samples.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "fmt", "sample_rate", "n_samples",
+                    "duration_s", "sample_sum", "sample_md5",
+                ],
+            )
+
+    return df.mapInPandas(batches, AUDIO_SCHEMA)
 
 
 def decode_media(df: DataFrame) -> DataFrame:

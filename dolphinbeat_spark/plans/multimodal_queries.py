@@ -173,3 +173,56 @@ def mm_resize_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# constant RIFF/WAVE header for 8-bit mono PCM @ 8 kHz with a 96-byte
+# data chunk (sizes are fixed, so the whole header is one hex literal)
+_WAV_HDR_HEX = (
+    "524946468400000057415645666D7420100000000100"
+    "0100401F0000401F0000010008006461746160000000"
+)
+
+
+@register(
+    "mm_decode_wav",
+    # payload = a REAL binary WAV (RIFF header via unhex + 96 ASCII
+    # PCM samples = repeat(md5(doc_id), 3)); Spark decodes the actual
+    # container (operators/multimodal.py::decode_wav), the oracle
+    # recomputes the expected sample sum / md5 / duration from the
+    # same pattern — audio's analog of mm_decode_ppm
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 9 = 2
+)
+SELECT media_id,
+       'wav' AS fmt,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(96 AS BIGINT) AS n_samples,
+       CAST(96 AS DOUBLE) / 8000 AS duration_s,
+       CAST(list_sum(list_transform(range(1, 97),
+            i -> ord(substr(pattern, CAST(i AS INTEGER), 1)))) AS BIGINT) AS sample_sum,
+       md5(pattern) AS sample_md5
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "audio", "codec"),
+)
+def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under the oracle gate: each document gets a
+    genuine binary WAV payload (RIFF header bytes via unhex + ASCII
+    8-bit PCM samples), ``decode_audio`` parses the actual container
+    with the pure-numpy codec and the decoded samples' sum, md5, and
+    duration must match the oracle's independent recomputation.
+    De-stubs the audio slot for uncompressed PCM; MP3/AAC/opus remain
+    honestly stubbed (no codec libs in the env)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 2)
+    pattern = F.repeat(F.md5(F.col("doc_id").cast("string")), 3)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.unhex(F.lit(_WAV_HDR_HEX)), F.encode(pattern, "UTF-8")
+        ).alias("payload"),
+    )
+    return M.decode_audio(media).orderBy("media_id")

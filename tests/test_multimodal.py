@@ -147,3 +147,36 @@ def test_decode_media_real_formats_and_compressed_raise(spark):
     with _pytest.raises(Exception) as exc:
         decode_media(jpeg).collect()
     assert "NotImplementedError" in str(exc.value) or "codec" in str(exc.value)
+
+
+def test_decode_wav_validation():
+    """The WAV decoder parses real RIFF containers and rejects
+    malformed/unsupported variants loudly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dolphinbeat_spark.operators.multimodal import decode_wav
+
+    def wav(samples: bytes, rate=8000, channels=1, bits=8, fmt=1):
+        block = channels * bits // 8
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(samples)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", fmt, channels, rate, rate * block, block, bits)
+            + b"data" + struct.pack("<I", len(samples)) + samples
+        )
+
+    rate, n, got = decode_wav(wav(bytes(range(100, 110))))
+    assert (rate, n) == (8000, 10)
+    assert np.array_equal(got, np.arange(100, 110, dtype=np.uint8))
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + b"\x00" * 60)  # wrong magic
+    with pytest.raises(ValueError):
+        decode_wav(wav(bytes(10))[:-5])  # truncated data chunk
+    with pytest.raises(NotImplementedError):
+        decode_wav(wav(bytes(10), fmt=3))  # float PCM: codec territory
+    with pytest.raises(NotImplementedError):
+        decode_wav(wav(bytes(10), channels=2, bits=16))  # not 8-bit mono
