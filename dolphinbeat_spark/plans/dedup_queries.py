@@ -617,3 +617,107 @@ def graph_triangles_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(wedges.agg(F.count(F.lit(1)).cast("bigint").alias("n_wedges")))
         .join(tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles")))
     )
+
+
+@register(
+    "dedup_remove_spans",
+    # pure integer/list ops + an ordered string_agg: token positions
+    # anti-join the doc's covered positions — exact cross-engine
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), w AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         concat_ws(' ', {", ".join(f"toks[CAST(i + {j} AS INTEGER)]" for j in range(8))}) AS gram
+  FROM t, unnest(range(1, greatest(len(toks) - {_SPAN_K - 1}, 0) + 1)) AS u(i)
+), h AS (
+  SELECT doc_id, pos, {hash64_sql('gram')} AS gh FROM w
+), dupw AS (
+  SELECT doc_id, pos FROM h
+  WHERE gh IN (SELECT gh FROM h GROUP BY gh HAVING COUNT(*) >= 2)
+), isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dupw
+), spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_SPAN_K - 1} AS e
+  FROM isl GROUP BY doc_id, grp
+), covered AS (
+  SELECT DISTINCT spans.doc_id, CAST(c.p AS BIGINT) AS pos
+  FROM spans, unnest(range(spans.s, spans.e + 1)) AS c(p)
+), toks_l AS (
+  SELECT t.doc_id, CAST(u.i AS BIGINT) AS pos,
+         t.toks[CAST(u.i AS INTEGER)] AS tok
+  FROM t, unnest(range(1, len(t.toks) + 1)) AS u(i)
+), kept AS (
+  SELECT tl.doc_id, tl.pos, tl.tok
+  FROM toks_l tl LEFT JOIN covered c
+    ON c.doc_id = tl.doc_id AND c.pos = tl.pos
+  WHERE c.doc_id IS NULL
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_cut,
+       COALESCE(a.cleaned, '') AS cleaned
+FROM t LEFT JOIN agg a USING (doc_id)
+ORDER BY t.doc_id
+""",
+    tags=("dedup", "spans", "cleaning", "llm-pipeline"),
+)
+def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the duplicate-span cut: compose dedup_duplicate_spans'
+    maximal repeated spans with the removal itself — every token whose
+    position falls inside a span is cut, the survivors re-join into
+    cleaned text, and the cut count rides along. This is the
+    cut-spans-not-documents dedup end to end: the corpus keeps one
+    copy of repeated material (inside whichever doc the k-gram
+    frequency happens to spare NONE — repeats of a gram are cut from
+    every occurrence; the KEEP-one-copy policy would seed span
+    detection from a canonical-occurrence rank, same machinery).
+
+    Scale shape: the span side is dedup_duplicate_spans' plan; spans
+    regroup per doc (bounded arrays), one equi-join back to documents,
+    and the cut is a per-row higher-order filter over positions."""
+    from dolphinbeat_spark.functions.hashes import hash64
+    from dolphinbeat_spark.operators.text import word_grams_from_tokens
+
+    d = load(spark, sf_dir, "documents", widen=True)
+    toked = d.select("doc_id", T_tokens("text").alias("toks"))
+    w = toked.select(
+        "doc_id",
+        F.posexplode(word_grams_from_tokens(F.col("toks"), _SPAN_K)).alias("pos0", "gram"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        hash64(F.col("gram")).alias("gh"),
+    )
+    rep = w.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") >= 2)
+    dupw = w.join(rep.select("gh"), "gh").select("doc_id", "pos")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        dupw.withColumn("grp", F.col("pos") - F.row_number().over(win))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + (_SPAN_K - 1)).alias("e"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("iv"))
+    )
+    joined = toked.join(spans, "doc_id", "left")
+    positions = F.transform(
+        F.sequence(F.lit(1), F.size("toks")), lambda x: x.cast("bigint")
+    )
+    in_span = lambda p: F.exists(  # noqa: E731
+        F.coalesce(F.col("iv"), F.array().cast("array<struct<s:bigint,e:bigint>>")),
+        lambda s: (p >= s["s"]) & (p <= s["e"]),
+    )
+    kept = F.filter(positions, lambda p: ~in_span(p))
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("bigint").alias("n_cut"),
+        F.array_join(
+            F.transform(kept, lambda p: F.element_at("toks", p.cast("int"))), " "
+        ).alias("cleaned"),
+    ).orderBy("doc_id")
