@@ -216,6 +216,8 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     block_align, bits = _s.unpack_from("<HH", data, 32)
     if audio_fmt != 1:
         raise NotImplementedError(f"non-PCM WAV (format {audio_fmt}) needs codec libs")
+    if rate <= 0:
+        raise ValueError(f"invalid WAV sample rate {rate}")
     if channels != 1 or bits != 8 or block_align != 1 or byte_rate != rate:
         raise NotImplementedError(
             f"only 8-bit mono PCM decoded here (got {channels}ch/{bits}bit)"

@@ -496,15 +496,15 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_K = 8  # tokens per duplicate-detection window
 
-
-@register(
-    "dedup_duplicate_spans",
-    oracle=f"""
+# shared oracle prefix: documents → k-token windows → repeated-window
+# positions → maximal spans (gaps-and-islands) — used by both the
+# span-report and span-removal specs
+_SPAN_CTE = f"""
 WITH t AS (
   SELECT doc_id, {_TOKS} AS toks FROM documents
 ), w AS (
   SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         concat_ws(' ', {", ".join(f"toks[CAST(i + {j} AS INTEGER)]" for j in range(8))}) AS gram
+         concat_ws(' ', {", ".join(f"toks[CAST(i + {j} AS INTEGER)]" for j in range(_SPAN_K))}) AS gram
   FROM t, unnest(range(1, greatest(len(toks) - {_SPAN_K - 1}, 0) + 1)) AS u(i)
 ), h AS (
   SELECT doc_id, pos, {hash64_sql('gram')} AS gh FROM w
@@ -515,35 +515,16 @@ WITH t AS (
   SELECT doc_id, pos,
          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
   FROM dupw
+), spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_SPAN_K - 1} AS e
+  FROM isl GROUP BY doc_id, grp
 )
-SELECT doc_id,
-       CAST(MIN(pos) AS BIGINT) AS span_start,
-       CAST(MAX(pos) + {_SPAN_K - 1} AS BIGINT) AS span_end,
-       CAST(MAX(pos) - MIN(pos) + {_SPAN_K} AS BIGINT) AS span_tokens
-FROM isl
-GROUP BY doc_id, grp
-ORDER BY doc_id, span_start
-""",
-    tags=("dedup", "spans", "substring", "llm-pipeline"),
-    bench=True,
-)
-def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact duplicated-substring extraction (the 'Deduplicating
-    Training Data Makes Language Models Better' operation): find every
-    maximal token span whose {_SPAN_K}-token windows ALL occur at
-    least twice in the corpus, per document — the spans a trainer cuts
-    out instead of dropping whole documents. The suffix-array form of
-    this is superlinear-memory and single-machine; the distributed
-    standard is windowed hashing (winnowing's cousin): hash every
-    k-token window, keep windows whose hash repeats corpus-wide, and
-    merge per-doc consecutive positions into maximal spans with the
-    gaps-and-islands trick (pos - row_number is constant within a
-    consecutive run).
+"""
 
-    Shuffles: window-hash frequency is wordcount-shaped (partial aggs);
-    the repeat filter is an equi-join on the 64-bit hash (never the
-    text); the island merge windows per doc_id — bounded by windows
-    per document, skew-safe."""
+
+def _duplicate_span_frames(spark, sf_dir):
+    """Shared Spark-side span detection: returns (toked, spans) —
+    tokenized docs and the maximal repeated spans per doc."""
     from dolphinbeat_spark.functions.hashes import hash64
     from dolphinbeat_spark.operators.text import word_grams_from_tokens
 
@@ -559,17 +540,51 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = w.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") >= 2)
     dupw = w.join(rep.select("gh"), "gh").select("doc_id", "pos")
     win = Window.partitionBy("doc_id").orderBy("pos")
-    isl = dupw.withColumn("grp", F.col("pos") - F.row_number().over(win))
-    return (
-        isl.groupBy("doc_id", "grp")
-        .agg(
-            F.min("pos").cast("bigint").alias("span_start"),
-            (F.max("pos") + (_SPAN_K - 1)).cast("bigint").alias("span_end"),
-            (F.max("pos") - F.min("pos") + _SPAN_K).cast("bigint").alias("span_tokens"),
-        )
-        .select("doc_id", "span_start", "span_end", "span_tokens")
-        .orderBy("doc_id", "span_start")
+    spans = (
+        dupw.withColumn("grp", F.col("pos") - F.row_number().over(win))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + (_SPAN_K - 1)).alias("e"))
     )
+    return toked, spans
+
+
+@register(
+    "dedup_duplicate_spans",
+    oracle=_SPAN_CTE + f"""
+SELECT doc_id,
+       CAST(s AS BIGINT) AS span_start,
+       CAST(e AS BIGINT) AS span_end,
+       CAST(e - s + 1 AS BIGINT) AS span_tokens
+FROM spans
+ORDER BY doc_id, span_start
+""",
+    tags=("dedup", "spans", "substring", "llm-pipeline"),
+    bench=True,
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring extraction (the 'Deduplicating
+    Training Data Makes Language Models Better' operation): find every
+    maximal token span whose k-token windows ALL occur at least twice
+    in the corpus, per document — the spans a trainer cuts out instead
+    of dropping whole documents. The suffix-array form of this is
+    superlinear-memory and single-machine; the distributed standard is
+    windowed hashing (winnowing's cousin): hash every k-token window,
+    keep windows whose hash repeats corpus-wide, and merge per-doc
+    consecutive positions into maximal spans with the gaps-and-islands
+    trick (pos - row_number is constant within a consecutive run).
+
+    Shuffles: window-hash frequency is wordcount-shaped (partial aggs);
+    the repeat filter is an equi-join on the 64-bit hash (never the
+    text); the island merge windows per doc_id — bounded by windows
+    per document, skew-safe. Span detection is shared with
+    dedup_remove_spans (_duplicate_span_frames)."""
+    _, spans = _duplicate_span_frames(spark, sf_dir)
+    return spans.select(
+        "doc_id",
+        F.col("s").cast("bigint").alias("span_start"),
+        F.col("e").cast("bigint").alias("span_end"),
+        (F.col("e") - F.col("s") + 1).cast("bigint").alias("span_tokens"),
+    ).orderBy("doc_id", "span_start")
 
 
 @register(
@@ -621,28 +636,10 @@ def graph_triangles_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_remove_spans",
-    # pure integer/list ops + an ordered string_agg: token positions
-    # anti-join the doc's covered positions — exact cross-engine
-    oracle=f"""
-WITH t AS (
-  SELECT doc_id, {_TOKS} AS toks FROM documents
-), w AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         concat_ws(' ', {", ".join(f"toks[CAST(i + {j} AS INTEGER)]" for j in range(8))}) AS gram
-  FROM t, unnest(range(1, greatest(len(toks) - {_SPAN_K - 1}, 0) + 1)) AS u(i)
-), h AS (
-  SELECT doc_id, pos, {hash64_sql('gram')} AS gh FROM w
-), dupw AS (
-  SELECT doc_id, pos FROM h
-  WHERE gh IN (SELECT gh FROM h GROUP BY gh HAVING COUNT(*) >= 2)
-), isl AS (
-  SELECT doc_id, pos,
-         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-  FROM dupw
-), spans AS (
-  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_SPAN_K - 1} AS e
-  FROM isl GROUP BY doc_id, grp
-), covered AS (
+    # shared span CTE + pure integer anti-join of token positions
+    # against covered positions, ordered string_agg — exact
+    oracle=_SPAN_CTE + f""",
+covered AS (
   SELECT DISTINCT spans.doc_id, CAST(c.p AS BIGINT) AS pos
   FROM spans, unnest(range(spans.s, spans.e + 1)) AS c(p)
 ), toks_l AS (
@@ -669,42 +666,21 @@ ORDER BY t.doc_id
     tags=("dedup", "spans", "cleaning", "llm-pipeline"),
 )
 def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """APPLY the duplicate-span cut: compose dedup_duplicate_spans'
-    maximal repeated spans with the removal itself — every token whose
-    position falls inside a span is cut, the survivors re-join into
-    cleaned text, and the cut count rides along. This is the
-    cut-spans-not-documents dedup end to end: the corpus keeps one
-    copy of repeated material (inside whichever doc the k-gram
-    frequency happens to spare NONE — repeats of a gram are cut from
-    every occurrence; the KEEP-one-copy policy would seed span
-    detection from a canonical-occurrence rank, same machinery).
+    """APPLY the duplicate-span cut: compose the shared span detection
+    (_duplicate_span_frames, same machinery as dedup_duplicate_spans)
+    with the removal itself — every token whose position falls inside
+    a repeated span is cut, the survivors re-join into cleaned text,
+    and the cut count rides along. The cut-spans-not-documents dedup
+    end to end (repeats of a gram are cut from every occurrence; a
+    KEEP-one-copy policy would seed detection from a canonical-
+    occurrence rank, same machinery).
 
     Scale shape: the span side is dedup_duplicate_spans' plan; spans
     regroup per doc (bounded arrays), one equi-join back to documents,
     and the cut is a per-row higher-order filter over positions."""
-    from dolphinbeat_spark.functions.hashes import hash64
-    from dolphinbeat_spark.operators.text import word_grams_from_tokens
-
-    d = load(spark, sf_dir, "documents", widen=True)
-    toked = d.select("doc_id", T_tokens("text").alias("toks"))
-    w = toked.select(
-        "doc_id",
-        F.posexplode(word_grams_from_tokens(F.col("toks"), _SPAN_K)).alias("pos0", "gram"),
-    ).select(
-        "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"),
-        hash64(F.col("gram")).alias("gh"),
-    )
-    rep = w.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") >= 2)
-    dupw = w.join(rep.select("gh"), "gh").select("doc_id", "pos")
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    spans = (
-        dupw.withColumn("grp", F.col("pos") - F.row_number().over(win))
-        .groupBy("doc_id", "grp")
-        .agg(F.min("pos").alias("s"), (F.max("pos") + (_SPAN_K - 1)).alias("e"))
-        .groupBy("doc_id")
-        .agg(F.collect_list(F.struct("s", "e")).alias("iv"))
-    )
-    joined = toked.join(spans, "doc_id", "left")
+    toked, spans = _duplicate_span_frames(spark, sf_dir)
+    per_doc = spans.groupBy("doc_id").agg(F.collect_list(F.struct("s", "e")).alias("iv"))
+    joined = toked.join(per_doc, "doc_id", "left")
     positions = F.transform(
         F.sequence(F.lit(1), F.size("toks")), lambda x: x.cast("bigint")
     )

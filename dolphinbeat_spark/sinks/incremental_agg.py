@@ -35,7 +35,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dolphinbeat_spark.sinks.apply_changes import _img_val, normalize_pk_changes
-from dolphinbeat_spark.streaming.rollup import atomic_swap_dir, recover_swap_dir
+from dolphinbeat_spark.streaming.rollup import (
+    atomic_swap_dir,
+    recover_swap_dir,
+    swap_aside_paths,
+    sweep_interrupted_swaps,
+)
 
 
 @dataclass(frozen=True)
@@ -189,6 +194,10 @@ def merge_agg_batch_partitioned(
     exactly-once per bucket, no double counting."""
     spark = batch.sparkSession
     os.makedirs(view_path, exist_ok=True)
+    # recover EVERY interrupted bucket swap, not just the ones this
+    # batch touches — an aside dir holds the only committed copy of
+    # its bucket and is invisible to readers until restored
+    sweep_interrupted_swaps(view_path)
     _pin_bucket_count(view_path, num_buckets)
     deltas = delta_frame(batch, view)
     bucket = F.pmod(
@@ -199,13 +208,12 @@ def merge_agg_batch_partitioned(
     marker = f"_applied_{batch_id}" if batch_id is not None else None
     for b in sorted(touched):
         mine = deltas.filter(F.col("__bucket") == b).drop("__bucket")
+        # temp/aside dirs INSIDE view_path must be '_'-prefixed or
+        # partition discovery reads them as phantom buckets
+        tmp, old_dir = swap_aside_paths(view_path, f"__bucket={b}")
         _merge_dir(
             spark, mine, os.path.join(view_path, f"__bucket={b}"), view,
-            # temp/aside dirs INSIDE view_path must be '_'-prefixed or
-            # partition discovery reads them as phantom buckets
-            os.path.join(view_path, f"_next___bucket_{b}"),
-            os.path.join(view_path, f"_old___bucket_{b}"),
-            marker,
+            tmp, old_dir, marker,
         )
 
 

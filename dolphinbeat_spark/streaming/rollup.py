@@ -37,6 +37,7 @@ def merge_rollup_batch(
     between "data swapped" and "marker written" that would double-count
     the batch on restart (Spark's parquet reader ignores ``_``-prefixed
     files, same convention as ``_SUCCESS``)."""
+    recover_swap_dir(rollup_path, rollup_path + ".next", rollup_path + ".old")
     if batch_id is not None and os.path.exists(
         os.path.join(rollup_path, f"_applied_{batch_id}")
     ):
@@ -55,19 +56,10 @@ def merge_rollup_batch(
         )
     else:
         merged = part
-    tmp = rollup_path + ".next"
-    merged.write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    if os.path.exists(rollup_path):
-        # carry prior batches' markers forward, then stamp this batch —
-        # all BEFORE the rename that makes the new snapshot live
-        _carry_markers(rollup_path, tmp)
-    if batch_id is not None:
-        open(os.path.join(tmp, f"_applied_{batch_id}"), "w").close()
-    if os.path.exists(rollup_path):
-        shutil.rmtree(rollup_path)
-    os.rename(tmp, rollup_path)
+    atomic_swap_dir(
+        merged, rollup_path, rollup_path + ".next", rollup_path + ".old",
+        f"_applied_{batch_id}" if batch_id is not None else None,
+    )
 
 
 #: retained replay markers per rollup dir. Structured Streaming only
@@ -115,6 +107,41 @@ def atomic_swap_dir(
         import shutil
 
         shutil.rmtree(old_path)
+
+
+def swap_aside_paths(root: str, live_name: str) -> tuple[str, str]:
+    """(tmp, old) dir names for an in-root swap of ``live_name``:
+    '_'-prefixed so parquet partition discovery ignores them — and
+    with '=' encoded away, because a 'key=value' shape overrides the
+    underscore rule and would be inferred as a conflicting partition
+    column. Recovery maps back via :func:`swap_live_name`."""
+    enc = live_name.replace("=", "~")
+    return (
+        os.path.join(root, "_next." + enc),
+        os.path.join(root, "_old." + enc),
+    )
+
+
+def swap_live_name(aside_entry: str) -> str:
+    """Inverse of the aside encoding: '_next.part~X' → 'part=X'."""
+    for prefix in ("_next.", "_old."):
+        if aside_entry.startswith(prefix):
+            return aside_entry[len(prefix):].replace("~", "=")
+    raise ValueError(f"not an aside dir name: {aside_entry}")
+
+
+def sweep_interrupted_swaps(root: str) -> None:
+    """Recover EVERY interrupted swap under ``root`` — not just the
+    dirs the current batch touches: a '_old.<name>' left by a crash
+    holds the only committed copy of its partition and is invisible to
+    parquet discovery until restored."""
+    if not os.path.isdir(root):
+        return
+    for entry in os.listdir(root):
+        if entry.startswith(("_old.", "_next.")):
+            live = swap_live_name(entry)
+            tmp, old = swap_aside_paths(root, live)
+            recover_swap_dir(os.path.join(root, live), tmp, old)
 
 
 def recover_swap_dir(dir_path: str, tmp_path: str, old_path: str) -> None:
@@ -167,8 +194,8 @@ def merge_rollup_batch_partitioned(
     ).localCheckpoint(eager=True)  # batch partials computed once, reused per partition
     keys = ["bucket_start", *group_cols]
     touched = [r["__part"] for r in part.select("__part").distinct().collect()]
-    import shutil
-
+    os.makedirs(rollup_path, exist_ok=True)
+    sweep_interrupted_swaps(rollup_path)
     for p in sorted(touched):
         part_path = os.path.join(rollup_path, f"part={p}")
         marker = f"_applied_{batch_id}" if batch_id is not None else None
@@ -184,16 +211,11 @@ def merge_rollup_batch_partitioned(
             )
         else:
             merged = mine
-        tmp = part_path + ".next"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(part_path):
-            _carry_markers(part_path, tmp)
-        if marker:
-            open(os.path.join(tmp, marker), "w").close()
-        if os.path.exists(part_path):
-            shutil.rmtree(part_path)
-        os.makedirs(rollup_path, exist_ok=True)
-        os.rename(tmp, part_path)
+        # temp/aside dirs INSIDE the read root must be '_'-prefixed:
+        # a 'part=X.next' name contains '=' and partition discovery
+        # would read it as a phantom partition
+        tmp, old = swap_aside_paths(rollup_path, f"part={p}")
+        atomic_swap_dir(merged, part_path, tmp, old, marker)
 
 
 def read_partitioned_rollup(spark, rollup_path: str) -> DataFrame:

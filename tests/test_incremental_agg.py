@@ -248,7 +248,7 @@ def test_partitioned_temp_dirs_invisible_and_bucket_pin(spark, tmp_path):
     bdir = next(d for d in os.listdir(path) if d.startswith("__bucket="))
     import shutil
 
-    shutil.copytree(os.path.join(path, bdir), os.path.join(path, "_next___bucket_9"))
+    shutil.copytree(os.path.join(path, bdir), os.path.join(path, "_next.__bucket~9"))
     assert _view_state(spark, path) == {"a": (1, 5.0)}  # not double-read
 
     with pytest.raises(ValueError, match="num_buckets"):
