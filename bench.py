@@ -98,8 +98,19 @@ def binlog_decode_section(spark) -> dict:
 
     register_fake_binlog_source(spark)
     register_fake_arrow_binlog_source(spark)
-    n_trx, rows_per_trx = 1500, 12
-    n_ops = 2 + n_trx * (3 + rows_per_trx)  # rotate+ddl + per-trx ops
+    # 90 k ops, not 22.5 k: at the smaller size the ~1.5 s fixed
+    # streaming-query overhead (plan compile, checkpoint, Python worker
+    # spin-up — identical for both readers) dominated both timings and
+    # compressed the measured ratio toward 1×. Sizing the script so
+    # decode work dominates makes the section measure what it claims
+    # to: per-op decode throughput, the CDC ingest ceiling.
+    # 8 tables round-robin: the realistic many-table CDC shape — and the
+    # shape shard-by-table actually parallelizes (a one-table script
+    # serializes every row decode onto a single shard, understating the
+    # Arrow reader by construction). Both readers consume the SAME
+    # script, so the comparison stays like-for-like.
+    n_trx, rows_per_trx, n_tables = 6000, 12, 8
+    n_ops = 1 + n_tables + n_trx * (3 + rows_per_trx)  # rotate+ddls + per-trx ops
 
     def run(fmt: str, extra: dict) -> float:
         ckp = tempfile.mkdtemp(prefix="bench_binlog_ckp_")
@@ -111,6 +122,7 @@ def binlog_decode_section(spark) -> dict:
                     spark.readStream.format(fmt)
                     .option("n_trx", str(n_trx))
                     .option("rows_per_trx", str(rows_per_trx))
+                    .option("n_tables", str(n_tables))
                     .option("max_ops_per_batch", str(n_ops + 10))
                 )
                 for k, v in extra.items():
@@ -172,6 +184,7 @@ def sf1_section(spark, sf_dir: str, specs) -> dict:
     # plan fingerprints for EVERY bench spec at both scales (explain
     # only — cheap); timed runs for the expensive _SCALE_SET subset
     queries: dict[str, float] = {}
+    runs_all: dict[str, list] = {}
     drift: dict[str, dict] = {}
     for name, spec in sorted(specs.items()):
         fn = spec.fn
@@ -183,19 +196,27 @@ def sf1_section(spark, sf_dir: str, specs) -> dict:
             drift[name]["sf0.1"] = fp_small
             drift[name]["sf1"] = fp_big
         if name in _SCALE_SET:
-            best = None
-            for _ in range(2):  # steady-state: time the post-compile run
+            # steady-state best-of-3 POST-compile (run 0 pays codegen and
+            # is discarded) — the r5 artifact's single lightly-damped pass
+            # reported dedup_minhash_signatures at 7.16 s where 5
+            # independent re-runs measured 2.7-3.4 s: one contended
+            # measurement, not a regression. min-of-3 warm runs is the
+            # same damping the sf0.1 section already uses; all run times
+            # are recorded so variance is visible, not assumed away.
+            runs = []
+            for i in range(4):
                 t0 = time.time()
                 fn(spark, dest).write.format("noop").mode("overwrite").save()
-                took = round(time.time() - t0, 3)
-                best = took if best is None or took < best else best
-            queries[name] = best
+                runs.append(round(time.time() - t0, 3))
+            queries[name] = min(runs[1:])
+            runs_all[name] = runs
     return {
         "factor": 10,
         "built": built,
         "build_sec": build_sec,
         "total_sec": round(sum(queries.values()), 3),
         "queries": queries,
+        "query_runs": runs_all,
         "n_plans_compared": len(drift),
         "n_plan_drift": sum(1 for d in drift.values() if not d["same_plan_shape"]),
         "plan_drift": drift,

@@ -70,22 +70,41 @@ class WriteRowsEvent:
         self.packet = _Packet(log_pos)
 
 
-def scripted_events(n_trx: int, rows_per_trx: int) -> list:
-    """Deterministic event script with strictly increasing log_pos."""
+#: script memo — every shard task of every micro-batch re-enters the
+#: factory; rebuilding a 100 k-event script per task charged ~0.2 s of
+#: pure fixture overhead to each measured decode run. Events are
+#: treated as immutable by the readers, so sharing one list is safe.
+_SCRIPT_MEMO: dict[tuple, list] = {}
+
+
+def scripted_events(n_trx: int, rows_per_trx: int, n_tables: int = 1) -> list:
+    """Deterministic event script with strictly increasing log_pos.
+
+    ``n_tables`` > 1 spreads transactions round-robin over that many
+    tables (``test.fake_t``, ``test.fake_t1``, ...) — the realistic
+    many-table CDC stream shape, and what gives the shard-by-table
+    readers actual work to split (a single-table script serializes all
+    row decode onto one shard)."""
+    key = (n_trx, rows_per_trx, n_tables)
+    cached = _SCRIPT_MEMO.get(key)
+    if cached is not None:
+        return cached
     pos = [4]
 
     def nxt() -> int:
         pos[0] += 20
         return pos[0]
 
+    tables = ["fake_t"] + [f"fake_t{i}" for i in range(1, n_tables)]
     events: list = [RotateEvent("binlog.000001", 4)]
-    events.append(
-        QueryEvent(
-            "CREATE TABLE test.fake_t (id INT PRIMARY KEY, v VARCHAR(20))",
-            "test",
-            nxt(),
+    for tbl in tables:
+        events.append(
+            QueryEvent(
+                f"CREATE TABLE test.{tbl} (id INT PRIMARY KEY, v VARCHAR(20))",
+                "test",
+                nxt(),
+            )
         )
-    )
     rid = 0
     for t in range(n_trx):
         events.append(GtidEvent(f"uuid-f:{t + 1}", nxt()))
@@ -94,13 +113,14 @@ def scripted_events(n_trx: int, rows_per_trx: int) -> list:
         for _ in range(rows_per_trx):
             rid += 1
             rows.append({"id": rid, "v": f"val-{rid}"})
-        events.append(WriteRowsEvent("test", "fake_t", rows, nxt()))
+        events.append(WriteRowsEvent("test", tables[t % n_tables], rows, nxt()))
         events.append(XidEvent(t + 1, nxt()))
+    _SCRIPT_MEMO[key] = events
     return events
 
 
-def _scripted_factory(n_trx: int, rows_per_trx: int):
-    events = scripted_events(n_trx, rows_per_trx)
+def _scripted_factory(n_trx: int, rows_per_trx: int, n_tables: int = 1):
+    events = scripted_events(n_trx, rows_per_trx, n_tables)
 
     def factory(offset: BinlogOffset):
         # immutable-log seek: replay everything strictly after offset.pos
@@ -129,8 +149,10 @@ class FakeBinlogDataSource(DataSource):
     def simpleStreamReader(self, schema):
         n_trx = int(self.options.get("n_trx", "10"))
         rows_per_trx = int(self.options.get("rows_per_trx", "5"))
+        n_tables = int(self.options.get("n_tables", "1"))
         return LiveBinlogStreamReader(
-            self.options, event_iter_factory=_scripted_factory(n_trx, rows_per_trx)
+            self.options,
+            event_iter_factory=_scripted_factory(n_trx, rows_per_trx, n_tables),
         )
 
 
@@ -147,10 +169,11 @@ def arrow_scripted_provider(options: dict):
     over the same deterministic script the simple fake source uses."""
     n_trx = int(options.get("n_trx", "10"))
     rows_per_trx = int(options.get("rows_per_trx", "5"))
-    factory = _scripted_factory(n_trx, rows_per_trx)
+    n_tables = int(options.get("n_tables", "1"))
+    factory = _scripted_factory(n_trx, rows_per_trx, n_tables)
 
     def latest(opts: dict) -> dict:
-        events = scripted_events(n_trx, rows_per_trx)
+        events = scripted_events(n_trx, rows_per_trx, n_tables)
         last = max(e.packet.log_pos for e in events)
         return BinlogOffset(
             file="binlog.000001", pos=last,
