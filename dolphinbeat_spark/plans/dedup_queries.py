@@ -697,3 +697,196 @@ def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(kept, lambda p: F.element_at("toks", p.cast("int"))), " "
         ).alias("cleaned"),
     ).orderBy("doc_id")
+
+# ---------------------------------------------------------------------------
+# STREAMING near-dup dedup with verify stage: the real streaming path
+# (applyInPandasWithState over an availableNow file stream) driven as a
+# correctness spec, with a full DuckDB oracle replicating the admit
+# semantics — stronger evidence than a rows-only check.
+# ---------------------------------------------------------------------------
+
+# streaming-decision CTEs shared by both specs (on top of _MINHASH_CTE
+# + _BANDS_CTE): the verified streaming path admits a banded doc unless
+# some band key was first marked by an EARLIER doc (owner) whose full-
+# signature minhash agreement clears the threshold. Bloom false
+# positives / cache evictions cannot occur at gate scale (n_bits 2^20,
+# cap 50k vs ~4k keys), so the SQL below is the exact decision law.
+_STREAM_DECISIONS_CTE = f"""
+, owners AS (
+  SELECT band_key, MIN(doc_id) AS owner FROM bands GROUP BY band_key
+), coll AS (
+  SELECT DISTINCT b.doc_id, o.owner
+  FROM bands b JOIN owners o USING (band_key)
+  WHERE o.owner < b.doc_id
+), est AS (
+  SELECT c.doc_id, c.owner,
+         CAST(count_if(m1.minhash = m2.minhash) AS DOUBLE) / {NUM_PERM} AS est
+  FROM coll c
+  JOIN minhash m1 ON m1.doc_id = c.doc_id
+  JOIN minhash m2 ON m2.doc_id = c.owner AND m2.perm = m1.perm
+  GROUP BY c.doc_id, c.owner
+), decisions AS (
+  SELECT d.doc_id,
+         COALESCE(NOT bool_or(e.est >= 0.5), TRUE) AS admitted,
+         COUNT(e.owner) > 0 AS any_collision
+  FROM (SELECT DISTINCT doc_id FROM bands) d
+  LEFT JOIN est e USING (doc_id)
+  GROUP BY d.doc_id
+)
+"""
+
+
+def _stream_verified_decisions(spark: SparkSession, sf_dir: str):
+    """Run the VERIFIED streaming near-dup path (streaming/state.py::
+    streaming_band_flags_verified) over the documents table as a real
+    availableNow Structured Streaming query, and return the per-doc
+    admit decisions as a local DataFrame.
+
+    The stream/checkpoint/flag files live in a temp dir removed before
+    returning; decisions are collected (bounded: one row per banded
+    doc) and re-created so the returned plan has no dangling file
+    dependency. The driver-side collect is the documented price of
+    evaluating a STREAMING operator inside a batch correctness spec."""
+    import shutil
+    import tempfile
+
+    from dolphinbeat_spark.streaming.state import (
+        near_dup_admitted_verified,
+        streaming_band_flags_verified,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="stream_neardup_")
+    try:
+        src = f"{work}/src"
+        d.select("doc_id", "text").write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        flags = streaming_band_flags_verified(
+            stream,
+            num_perm=NUM_PERM,
+            bands=BANDS,
+            shingle_k=SHINGLE_K,
+            n_shards=16,
+        )
+        out = f"{work}/flags"
+        q = (
+            flags.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", f"{work}/ckp")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        decisions = near_dup_admitted_verified(spark.read.parquet(out), threshold=0.5)
+        schema = decisions.schema
+        rows = decisions.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "stream_near_dup_admitted",
+    oracle=_MINHASH_CTE + _BANDS_CTE + _STREAM_DECISIONS_CTE + """
+SELECT doc_id, admitted, any_collision FROM decisions
+ORDER BY doc_id
+""",
+    tags=("dedup", "streaming", "lsh", "verify"),
+)
+def stream_near_dup_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified STREAMING near-dup admit decision per document,
+    oracle-checked end to end: file stream -> Catalyst banding ->
+    per-shard bloom + signature-cache state -> collision verify
+    (minhash-estimated Jaccard vs the band key's owner) -> admit.
+
+    ``any_collision`` is what the unverified OR-rule would have
+    flagged; ``admitted`` is the verified decision — their disagreement
+    rows are exactly the band-collision false positives the verify
+    stage rescues (cf. VERDICT r5: the unverified admit silently loses
+    training data at scale)."""
+    return _stream_verified_decisions(spark, sf_dir).select(
+        "doc_id", "admitted", "any_collision"
+    ).orderBy("doc_id")
+
+
+@register(
+    "stream_near_dup_precision",
+    oracle=_MINHASH_CTE + _BANDS_CTE + _STREAM_DECISIONS_CTE + f"""
+, sh AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM documents
+), verified_pairs AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+), batch_dups AS (
+  SELECT DISTINCT id_b AS doc_id FROM verified_pairs WHERE jaccard >= 0.5
+), joined AS (
+  SELECT dec.doc_id, dec.admitted, dec.any_collision,
+         bd.doc_id IS NOT NULL AS is_batch_dup
+  FROM decisions dec LEFT JOIN batch_dups bd USING (doc_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(count_if(NOT admitted) AS BIGINT) AS n_dropped_verified,
+       CAST(count_if(any_collision) AS BIGINT) AS n_flagged_any,
+       CAST(count_if(is_batch_dup) AS BIGINT) AS n_batch_dups,
+       CAST(count_if(NOT admitted AND is_batch_dup) AS BIGINT) AS n_tp_verified,
+       CAST(count_if(any_collision AND is_batch_dup) AS BIGINT) AS n_tp_any,
+       ROUND(CASE WHEN count_if(NOT admitted) = 0 THEN 1.0
+                  ELSE CAST(count_if(NOT admitted AND is_batch_dup) AS DOUBLE)
+                       / count_if(NOT admitted) END, 6) AS precision_verified,
+       ROUND(CASE WHEN count_if(any_collision) = 0 THEN 1.0
+                  ELSE CAST(count_if(any_collision AND is_batch_dup) AS DOUBLE)
+                       / count_if(any_collision) END, 6) AS precision_any,
+       ROUND(CASE WHEN count_if(is_batch_dup) = 0 THEN 1.0
+                  ELSE CAST(count_if(NOT admitted AND is_batch_dup) AS DOUBLE)
+                       / count_if(is_batch_dup) END, 6) AS recall_verified
+FROM joined
+""",
+    tags=("dedup", "streaming", "lsh", "evaluation"),
+)
+def stream_near_dup_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup PRECISION vs the batch pipeline's truth
+    (LSH candidates verified by exact shingle Jaccard >= 0.5, i.e.
+    dedup_minhash_lsh_pairs -> jaccard_pairs): of the docs the
+    verified streaming path drops, how many the batch pipeline also
+    calls duplicates — side by side with what the unverified OR-rule
+    would have dropped (``precision_any``), making the verify stage's
+    gain a measured number instead of a design claim."""
+    dec = _stream_verified_decisions(spark, sf_dir)
+    d = load(spark, sf_dir, "documents", widen=True)
+    sigs = D.minhash_signatures(d, "doc_id", "text", NUM_PERM, SHINGLE_K)
+    cand = D.lsh_candidate_pairs(sigs, "doc_id", NUM_PERM, BANDS)
+    verified = D.jaccard_pairs(d, "doc_id", "text", cand, SHINGLE_K)
+    batch_dups = (
+        verified.filter(F.col("jaccard") >= 0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_batch_dup", F.lit(True))
+    )
+    j = dec.join(batch_dups, "doc_id", "left").select(
+        "doc_id",
+        "admitted",
+        "any_collision",
+        F.coalesce("is_batch_dup", F.lit(False)).alias("is_batch_dup"),
+    )
+    dropped = F.count_if(~F.col("admitted"))
+    flagged = F.count_if("any_collision")
+    dups = F.count_if("is_batch_dup")
+    tp_v = F.count_if(~F.col("admitted") & F.col("is_batch_dup"))
+    tp_a = F.count_if(F.col("any_collision") & F.col("is_batch_dup"))
+    ratio = lambda num, den: F.round(  # noqa: E731
+        F.when(den == 0, F.lit(1.0)).otherwise(num.cast("double") / den), 6
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dropped.alias("n_dropped_verified"),
+        flagged.alias("n_flagged_any"),
+        dups.alias("n_batch_dups"),
+        tp_v.alias("n_tp_verified"),
+        tp_a.alias("n_tp_any"),
+        ratio(tp_v, dropped).alias("precision_verified"),
+        ratio(tp_a, flagged).alias("precision_any"),
+        ratio(tp_v, dups).alias("recall_verified"),
+    )

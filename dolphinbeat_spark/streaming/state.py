@@ -29,6 +29,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
+    DoubleType,
     LongType,
     MapType,
     StringType,
@@ -298,9 +299,11 @@ def make_doc_dedup_fn(n_bits: int = 1 << 20, k_hashes: int = 7):
         else:
             n_admitted, bloom = 0, np.zeros(n_bits // 8, dtype=np.uint8)
         out = []
-        for pdf in pdfs:
-            # deterministic intra-batch order; first occurrence wins
-            for _, r in pdf.sort_values("doc_id").iterrows():
+        # deterministic intra-batch order; first occurrence wins.
+        # concat THEN sort so the order is chunk-boundary-independent
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            for _, r in pd.concat(chunks).sort_values("doc_id").iterrows():
                 pos = _bloom_positions(str(r["fingerprint"]), n_bits, k_hashes)
                 if all(bloom[p >> 3] & (1 << (p & 7)) for p in pos):
                     continue  # seen (or bloom FP): drop
@@ -382,8 +385,12 @@ def make_band_flags_fn(n_bits: int = 1 << 20, k_hashes: int = 5):
         else:
             n_marked, bloom = 0, np.zeros(n_bits // 8, dtype=np.uint8)
         out = []
-        for pdf in pdfs:
-            for _, r in pdf.sort_values(["doc_id", "band"]).iterrows():
+        # concat THEN sort (chunk-boundary-independent "earlier doc
+        # wins" — same discipline as the verified path and the
+        # protobuf decoder's cross-chunk fix)
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            for _, r in pd.concat(chunks).sort_values(["doc_id", "band"]).iterrows():
                 pos = _bloom_positions(str(r["band_key"]), n_bits, k_hashes)
                 seen = all(bloom[p >> 3] & (1 << (p & 7)) for p in pos)
                 if not seen:
@@ -478,6 +485,233 @@ def near_dup_admitted(flags: DataFrame) -> DataFrame:
 
     return flags.groupBy("doc_id").agg(
         (~F.bool_or("was_seen")).alias("admitted"),
+        F.count(F.lit(1)).alias("n_bands"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming near-dup with a VERIFY stage: band collisions are checked
+# against the colliding key's stored owner signature before they count
+# toward a drop. Closes the plain band-flag path's documented trade
+# (OR-amplified LSH admits band-collision false positives unverified —
+# material data loss at 100 TB; the batch pipeline verifies candidates
+# with exact Jaccard, plans/dedup_queries.py::dedup_lsh_precision).
+# ---------------------------------------------------------------------------
+
+_BAND_VERIFY_OUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("band", LongType()),
+        StructField("was_seen", BooleanType()),
+        # minhash-estimated Jaccard vs the collided key's owner doc;
+        # NULL when the owner signature is unknowable (cache evicted /
+        # bloom false positive) — consumers treat NULL conservatively
+        StructField("est_jaccard", DoubleType()),
+    ]
+)
+# per-shard state: bloom (same as the flags path) + a bounded
+# signature cache of length-prefixed records [2B LE key length |
+# key bytes | 8B LE owner doc_id | num_perm x 8B LE signature].
+# FIFO eviction at ``cache_cap`` keeps state bounded: cap x
+# record_size bytes per shard, on top of the bloom's n_bits/8.
+_BAND_VERIFY_STATE = StructType(
+    [
+        StructField("n_marked", LongType()),
+        StructField("bloom", BinaryType()),
+        StructField("sig_cache", BinaryType()),
+    ]
+)
+
+
+def make_band_verify_fn(
+    num_perm: int, n_bits: int = 1 << 20, k_hashes: int = 5, cache_cap: int = 50_000
+):
+    """Per-shard mark-and-VERIFY over band keys.
+
+    First occurrence of a band key marks the bloom and stores
+    (owner doc_id, full minhash signature) in the cache. A later
+    arrival hitting the key estimates Jaccard against the owner's
+    signature (fraction of equal minhash positions — the standard
+    unbiased MinHash estimator) and reports it; the admit decision
+    (:func:`near_dup_admitted_verified`) only counts collisions whose
+    estimate clears the threshold, so a single spurious band collision
+    no longer drops a unique document. NULL estimates (evicted cache
+    entry, bloom false positive) stay conservative (count as dup).
+
+    Self-collisions (a doc whose two bands hash to the same key) are
+    recognized via the stored owner id and reported as not-seen.
+
+    STATE VERSIONING: record layout + probe layout are part of the
+    persisted state format — bump checkpoints on change."""
+    import numpy as np
+
+    def _load_cache(raw) -> dict:
+        b = bytes(raw)
+        cache = {}
+        off = 0
+        while off < len(b):
+            klen = int.from_bytes(b[off:off + 2], "little")
+            off += 2
+            key = b[off:off + klen].decode("utf-8")
+            off += klen
+            owner = int.from_bytes(b[off:off + 8], "little", signed=True)
+            off += 8
+            sig = np.frombuffer(b, dtype="<i8", count=num_perm, offset=off)
+            off += num_perm * 8
+            cache[key] = (owner, sig)
+        return cache
+
+    def _dump_cache(cache: dict) -> bytes:
+        parts = []
+        for k, (owner, sig) in cache.items():
+            kb = k.encode("utf-8")
+            parts.append(len(kb).to_bytes(2, "little"))
+            parts.append(kb)
+            parts.append(int(owner).to_bytes(8, "little", signed=True))
+            parts.append(np.asarray(sig, dtype="<i8").tobytes())
+        return b"".join(parts)
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            n_marked, raw_bloom, raw_cache = state.get
+            bloom = np.frombuffer(bytes(raw_bloom), dtype=np.uint8).copy()
+            cache = _load_cache(raw_cache)
+        else:
+            n_marked = 0
+            bloom = np.zeros(n_bits // 8, dtype=np.uint8)
+            cache = {}
+        # concat THEN sort: per-chunk sorting would let a later Arrow
+        # chunk's lower doc_id probe after a higher one marked, making
+        # "earlier doc wins" depend on chunk boundaries
+        chunks = [p for p in pdfs if len(p)]
+        out = []
+        if chunks:
+            whole = pd.concat(chunks).sort_values(["doc_id", "band"])
+            for _, r in whole.iterrows():
+                doc = int(r["doc_id"])
+                bk = str(r["band_key"])
+                sig = np.asarray(r["sig"], dtype=np.int64)
+                pos = _bloom_positions(bk, n_bits, k_hashes)
+                seen = all(bloom[p >> 3] & (1 << (p & 7)) for p in pos)
+                est = None
+                if seen:
+                    hit = cache.get(bk)
+                    if hit is not None and hit[0] == doc:
+                        seen = False  # self-collision: doc's own earlier band
+                    elif hit is not None:
+                        est = float((hit[1] == sig).mean())
+                else:
+                    for p in pos:
+                        bloom[p >> 3] |= 1 << (p & 7)
+                    n_marked += 1
+                    cache[bk] = (doc, sig)
+                    while len(cache) > cache_cap:
+                        cache.pop(next(iter(cache)))  # FIFO: oldest insert
+                out.append((doc, int(r["band"]), bool(seen), est))
+        state.update((n_marked, bloom.tobytes(), _dump_cache(cache)))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["doc_id", "band", "was_seen", "est_jaccard"]
+            )
+
+    return fn
+
+
+def streaming_band_flags_verified(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    n_shards: int = 64,
+    n_bits: int = 1 << 20,
+    k_hashes: int = 5,
+    cache_cap: int = 50_000,
+) -> DataFrame:
+    """STREAMING near-dup detection WITH the verify stage: the same
+    map-only Catalyst banding as :func:`streaming_band_flags`, but each
+    row also carries the doc's full minhash signature so collisions are
+    verified against the colliding key's owner before they can drop a
+    document. Aggregate with :func:`near_dup_admitted_verified`.
+
+    Scale shape: signatures ride the shuffle as num_perm int64s per
+    band row (num_perm x bands x 8 bytes per doc — bounded, tunable);
+    state adds a capped FIFO signature cache per shard on top of the
+    bloom. Everything else matches the unverified path."""
+    from pyspark.sql import functions as F
+
+    from dolphinbeat_spark.functions.hashes import affine_hash, hash64, minhash_params
+    from dolphinbeat_spark.operators.text import tokens, word_shingles_from_tokens
+
+    params = minhash_params(num_perm)
+    rows_per_band = num_perm // bands
+    toked = stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).filter(F.size("__toks") >= shingle_k)
+    hashed = toked.select(
+        "doc_id",
+        F.transform(
+            word_shingles_from_tokens(F.col("__toks"), shingle_k), lambda s: hash64(s)
+        ).alias("__hs"),
+    )
+    sig = F.array(
+        *[
+            F.array_min(F.transform("__hs", lambda h: affine_hash(h, a, b)))
+            for (a, b) in params
+        ]
+    )
+    sigd = hashed.select("doc_id", sig.alias("sig"))
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("long").alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig")[i].cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigd.select(
+        "doc_id", "sig", F.explode(F.array(*band_structs)).alias("e")
+    ).select(
+        "doc_id",
+        F.col("e.band").alias("band"),
+        F.col("e.band_key").alias("band_key"),
+        "sig",
+        F.pmod(F.crc32(F.col("e.band_key").cast("binary")), F.lit(n_shards)).alias(
+            "shard"
+        ),
+    )
+    return banded.groupBy("shard").applyInPandasWithState(
+        make_band_verify_fn(num_perm, n_bits, k_hashes, cache_cap),
+        outputStructType=_BAND_VERIFY_OUT,
+        stateStructType=_BAND_VERIFY_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def near_dup_admitted_verified(flags: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Collapse verified band flags: admitted iff no collision was
+    CONFIRMED — a band counts against admission only when its Jaccard
+    estimate clears ``threshold`` (or is NULL: unknowable owner stays
+    conservative). ``any_collision`` preserves what the unverified
+    OR-rule would have decided, so precision gains are measurable."""
+    from pyspark.sql import functions as F
+
+    confirmed = F.col("was_seen") & (
+        F.col("est_jaccard").isNull() | (F.col("est_jaccard") >= threshold)
+    )
+    return flags.groupBy("doc_id").agg(
+        (~F.bool_or(confirmed)).alias("admitted"),
+        F.bool_or("was_seen").alias("any_collision"),
         F.count(F.lit(1)).alias("n_bands"),
     )
 

@@ -429,3 +429,120 @@ def test_full_loop_protobuf_to_apply_changes(spark, tmp_path):
     assert set(state) == {"1", "3"}  # id=2 deleted
     assert state["1"]["name"] == "a2"  # update applied
     assert state["3"]["name"] == "c" and state["3"]["content"] is None  # D12 null
+
+
+def test_band_verify_unit_state_machine():
+    """Verify-stage state machine direct: first marker owns the key;
+    a genuine near-dup (matching signature) reports a high estimate; a
+    SPURIOUS band collision (same band_key, mostly-different signature)
+    reports a low estimate — the case the unverified OR-rule wrongly
+    drops; a self-collision (one doc, two bands, same key) is NOT seen;
+    state round-trips through the packed cache bytes."""
+    import pandas as pd
+
+    from dolphinbeat_spark.streaming.state import make_band_verify_fn
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists, self.value = True, v
+
+        @property
+        def get(self):
+            return self.value
+
+    num_perm = 8
+    fn = make_band_verify_fn(num_perm, n_bits=1 << 14, k_hashes=5)
+    state = FakeState()
+    sig_a = [10, 20, 30, 40, 50, 60, 70, 80]
+    # doc 1: bands 0 and 2 share one key (self-collision), band 1 unique
+    b1 = pd.DataFrame(
+        {
+            "doc_id": [1, 1, 1],
+            "band": [0, 1, 2],
+            "band_key": ["k_shared", "k_b1", "k_shared"],
+            "sig": [sig_a, sig_a, sig_a],
+        }
+    )
+    out1 = pd.concat(list(fn((0,), iter([b1]), state)))
+    assert not out1["was_seen"].any(), "self-collision must not read as seen"
+
+    # doc 2: near-dup of doc 1 (7/8 positions match) hits k_shared;
+    # doc 3: spurious collision on k_b1 with an unrelated signature
+    sig_near = [10, 20, 30, 40, 50, 60, 70, 999]
+    sig_far = [1, 2, 3, 4, 5, 6, 7, 80]
+    b2 = pd.DataFrame(
+        {
+            "doc_id": [2, 3],
+            "band": [0, 1],
+            "band_key": ["k_shared", "k_b1"],
+            "sig": [sig_near, sig_far],
+        }
+    )
+    out2 = pd.concat(list(fn((0,), iter([b2]), state))).set_index("doc_id")
+    assert bool(out2.loc[2, "was_seen"]) and out2.loc[2, "est_jaccard"] == 7 / 8
+    assert bool(out2.loc[3, "was_seen"]) and out2.loc[3, "est_jaccard"] == 1 / 8
+    # cache owner stays the FIRST marker: doc 4 re-hitting k_shared
+    # compares against doc 1's signature, not doc 2's
+    b3 = pd.DataFrame(
+        {"doc_id": [4], "band": [0], "band_key": ["k_shared"], "sig": [sig_a]}
+    )
+    out3 = pd.concat(list(fn((0,), iter([b3]), state)))
+    assert out3["est_jaccard"].iloc[0] == 1.0
+
+
+def test_streaming_near_dup_verified_end_to_end(spark, tmp_path):
+    """The verified wrapper under real streaming machinery across two
+    arrival waves: an exact near-dup of a wave-1 doc is dropped with
+    estimate 1.0; novel docs admit; the unverified OR-rule decision
+    (any_collision) rides along."""
+    import json
+
+    from dolphinbeat_spark.streaming.state import (
+        near_dup_admitted_verified,
+        streaming_band_flags_verified,
+    )
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog today",
+        2: "an entirely different document about database replication logs",
+    }
+    (src / "w1.json").write_text("\n".join(
+        json.dumps({"doc_id": i, "text": t}) for i, t in texts.items()))
+    out_dir = str(tmp_path / "flags")
+
+    def run_wave():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1").json(str(src))
+        )
+        q = (
+            streaming_band_flags_verified(stream, n_shards=8, n_bits=1 << 14)
+            .writeStream.format("parquet").option("path", out_dir)
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckp"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_wave()
+    dec1 = {r["doc_id"]: r for r in
+            near_dup_admitted_verified(spark.read.parquet(out_dir)).collect()}
+    assert dec1[1]["admitted"] and dec1[2]["admitted"]
+
+    (src / "w2.json").write_text("\n".join([
+        json.dumps({"doc_id": 10, "text": texts[1]}),
+        json.dumps({"doc_id": 11, "text": "completely novel content with many new tokens"}),
+    ]))
+    run_wave()
+    flags = spark.read.parquet(out_dir)
+    dec = {r["doc_id"]: r for r in
+           near_dup_admitted_verified(flags.filter("doc_id >= 10")).collect()}
+    assert dec[10]["admitted"] is False and dec[10]["any_collision"] is True
+    assert dec[11]["admitted"] is True and dec[11]["any_collision"] is False
+    # the exact copy's collisions verify at estimate 1.0 on every band
+    ests = [r["est_jaccard"] for r in flags.filter("doc_id = 10").collect()]
+    assert ests and all(e == 1.0 for e in ests)
