@@ -5,11 +5,13 @@ metadata struct. The Spark-side machinery — schema, Arrow batch
 shape, mapInPandas signatures, frame-index explosion — is real and
 oracle-tested. The decode slot:
 
-- ``decode_media`` REALLY decodes uncompressed formats with the
-  zero-dependency numpy codecs below (PPM P6, 24-bit BI_RGB BMP) —
-  actual pixel parsing, oracle-checked by md5 of the decoded bytes.
-- compressed formats (JPEG/PNG/video) still raise: no codec
-  libraries exist in this container. ``decode_media_stub`` keeps the
+- ``decode_media`` REALLY decodes with the zero-dependency numpy
+  codecs below: PPM P6, 24-bit BI_RGB BMP, and PNG (stdlib zlib
+  inflate + full scanline unfilter — PNG's entropy coding is DEFLATE,
+  which the stdlib ships) — actual pixel parsing, oracle-checked by
+  md5 of the decoded bytes.
+- formats needing external codec libraries (JPEG/video) still raise:
+  none exist in this container. ``decode_media_stub`` keeps the
   deterministic fake for exercising pipelines over such payloads.
 - ``extract_binary_features`` is a REAL Arrow-batched feature pass
   (byte length + sha256) whose output the DuckDB oracle reproduces.
@@ -187,6 +189,165 @@ def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, px[:, :, ::-1]  # BGR → RGB
 
 
+# ---------------------------------------------------------------------------
+# REAL PNG codec: stdlib zlib + numpy only (PNG's entropy coding IS
+# zlib/DEFLATE, which the stdlib ships — so unlike JPEG, PNG is fully
+# decodable here). 8-bit greyscale / truecolor / truecolor+alpha,
+# non-interlaced, all 5 scanline filters, CRC-validated chunks.
+# 16-bit, palette, and Adam7 interlace raise honestly.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # color_type -> samples per pixel
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    width: int, height: int, pixels: bytes, color_type: int = 2, row_filters=None
+) -> bytes:
+    """Minimal real PNG writer (8-bit, non-interlaced). ``row_filters``
+    optionally sets the filter type per scanline (int or per-row list,
+    default 0/None) — used by tests to force every unfilter path in
+    :func:`decode_png` to actually execute."""
+    import zlib
+
+    ch = _PNG_CHANNELS.get(color_type)
+    if ch is None:
+        raise ValueError(f"unsupported color_type {color_type}")
+    if len(pixels) != width * height * ch:
+        raise ValueError(f"need {width * height * ch} bytes, got {len(pixels)}")
+    if row_filters is None:
+        row_filters = [0] * height
+    elif isinstance(row_filters, int):
+        row_filters = [row_filters] * height
+    px = np.frombuffer(pixels, np.uint8).reshape(height, width * ch).astype(np.int32)
+    bpp = ch  # bytes per pixel at bit depth 8
+    raw = bytearray()
+    prev = np.zeros(width * ch, dtype=np.int32)
+    for r in range(height):
+        cur = px[r]
+        ft = int(row_filters[r])
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = cur - left
+        elif ft == 2:
+            enc = cur - prev
+        elif ft == 3:
+            enc = cur - (left + prev) // 2
+        elif ft == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            enc = cur - pred
+        else:
+            raise ValueError(f"bad filter {ft}")
+        raw.append(ft)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
+    """PNG → (width, height, HxWxC uint8 array). Real decode: chunk
+    walk with CRC validation, concatenated-IDAT zlib inflate, and the
+    full scanline unfilter (None/Sub/Up/Average/Paeth — Paeth per the
+    spec's integer predictor). 8-bit color types 0/2/6 non-interlaced;
+    everything else raises honestly (palette needs PLTE indirection,
+    16-bit changes bpp, Adam7 reorders scanlines)."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    off = 8
+    w = h = None
+    color_type = None
+    idat = bytearray()
+    while off + 8 <= len(data):
+        (clen,) = struct.unpack_from(">I", data, off)
+        ctype = data[off + 4:off + 8]
+        body = data[off + 8:off + 8 + clen]
+        (crc,) = struct.unpack_from(">I", data, off + 8 + clen)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        off += 12 + clen
+        if ctype == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise NotImplementedError(f"{depth}-bit PNG not supported")
+            if color_type not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG color type {color_type} (palette?) not supported"
+                )
+            if comp != 0 or filt != 0:
+                raise ValueError("invalid PNG compression/filter method")
+            if interlace != 0:
+                raise NotImplementedError("Adam7-interlaced PNG not supported")
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG pixel stream: expected {h * (stride + 1)} bytes, got {len(raw)}"
+        )
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.int32)
+    bpp = ch
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ft = int(rows[r, 0])
+        cur = rows[r, 1:].astype(np.int32)
+        if ft == 0:
+            pass
+        elif ft == 2:  # Up: fully vectorized
+            cur = (cur + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth: left-sequential
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if ft == 1:
+                    cur[i] = (cur[i] + a) & 0xFF
+                elif ft == 3:
+                    cur[i] = (cur[i] + (a + b) // 2) & 0xFF
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG scanline filter {ft}")
+        out[r] = cur
+        prev = cur
+    return w, h, out.astype(np.uint8).reshape(h, w, ch)
+
+
 DECODED_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -292,10 +453,12 @@ def decode_media(df: DataFrame) -> DataFrame:
                     fmt, (w, h, px) = "ppm", decode_ppm(b)
                 elif b[:2] == b"BM":
                     fmt, (w, h, px) = "bmp", decode_bmp(b)
+                elif b[:8] == _PNG_SIG:
+                    fmt, (w, h, px) = "png", decode_png(b)
                 else:
                     raise NotImplementedError(
-                        "compressed media formats need codec libraries "
-                        "not present in this environment"
+                        "media formats beyond PPM/BMP/PNG need codec "
+                        "libraries not present in this environment"
                     )
                 px = np.ascontiguousarray(px)
                 rows.append(
