@@ -1,0 +1,520 @@
+"""Offline MySQL binlog FILE parser + replay source (from scratch).
+
+Why this exists: the live socket path (sources/binlog_source.py) rides
+``pymysqlreplication``, which this environment does not ship — so until
+now every decode test drove duck-typed fakes. This module closes the
+recorded-bytes gap with a real binary parser for the public binlog v4
+FILE format (the bytes ``mysqlbinlog`` reads; MySQL internals manual,
+"Binary Log Versions" / "Row Based Replication"; reference parity:
+the reference's go-mysql dependency implements the same wire layout in
+``replication/parser.go``). Everything the socket would deliver except
+the network handshake is exercised on real bytes: event headers, CRC32
+checksums, TABLE_MAP column metadata, ROWS v2 NULL bitmaps, multi-row
+packing, packed temporals (DATETIME2/TIME2/TIMESTAMP2), NEWDECIMAL
+base-10^9 packing, 2-byte VARCHAR lengths, UTF-8 charset decode, and
+binary-JSONB payloads (decoded downstream via sources/mysql_jsonb).
+
+It is also a real feature, not just a test shim: archived binlog files
+are the standard CDC *backfill* medium (object-store retention outlives
+server retention). ``binlog_file_provider`` plugs a directory of
+recorded files into the SAME reader classes the live path uses —
+LiveBinlogStreamReader driver-side or ArrowBinlogStreamReader
+executor-side — so backfill replays through identical machinery and
+offsets. At 100 TB scale each file parses independently (table-sharded
+by the Arrow reader), and the format's per-event ``log_pos`` chaining
+makes resume exact.
+
+Column values surface with the Python types ``pymysqlreplication``
+would produce (int/float/str/bytes/date/datetime/timedelta/Decimal),
+positionally — column NAMES come from the engine's own schema registry
+replaying the DDL recorded in the same file (the reference's design,
+``schema/` tracking; pymysqlreplication instead queries the server's
+information_schema, which an offline file cannot).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+from datetime import date, datetime, timedelta, timezone
+from decimal import Decimal
+from pathlib import Path
+
+BINLOG_MAGIC = b"\xfebin"
+
+# event type codes (public enum Log_event_type)
+EV_QUERY = 0x02
+EV_ROTATE = 0x04
+EV_FORMAT_DESCRIPTION = 0x0F
+EV_XID = 0x10
+EV_TABLE_MAP = 0x13
+EV_WRITE_ROWS_V2 = 0x1E
+EV_UPDATE_ROWS_V2 = 0x1F
+EV_DELETE_ROWS_V2 = 0x20
+EV_GTID = 0x21
+
+# column type codes (public enum_field_types)
+T_TINY, T_SHORT, T_LONG, T_FLOAT, T_DOUBLE = 1, 2, 3, 4, 5
+T_LONGLONG, T_INT24, T_DATE, T_YEAR = 8, 9, 10, 13
+T_VARCHAR, T_BIT = 15, 16
+T_TIMESTAMP2, T_DATETIME2, T_TIME2 = 17, 18, 19
+T_JSON, T_NEWDECIMAL = 245, 246
+T_ENUM, T_SET = 247, 248
+T_BLOB, T_VAR_STRING, T_STRING = 252, 253, 254
+
+#: bytes of TABLE_MAP metadata each column type carries
+_META_LEN = {
+    T_VARCHAR: 2, T_BIT: 2, T_NEWDECIMAL: 2, T_STRING: 2, T_VAR_STRING: 2,
+    T_BLOB: 1, T_FLOAT: 1, T_DOUBLE: 1, T_JSON: 1,
+    T_TIMESTAMP2: 1, T_DATETIME2: 1, T_TIME2: 1,
+}
+_DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
+
+
+class BinlogFormatError(ValueError):
+    """Malformed binlog bytes (bad magic, truncated event, CRC mismatch)."""
+
+
+# --- event objects, duck-typed for adapt_replication_event ------------------
+# (dispatch there is by CLASS NAME; .packet.log_pos / .timestamp match
+# the pymysqlreplication attribute shape)
+
+
+class _Packet:
+    __slots__ = ("log_pos",)
+
+    def __init__(self, log_pos: int):
+        self.log_pos = log_pos
+
+
+class _Event:
+    def __init__(self, timestamp: int, log_pos: int):
+        self.timestamp = timestamp
+        self.packet = _Packet(log_pos)
+
+
+class RotateEvent(_Event):
+    def __init__(self, ts, log_pos, next_binlog: str, position: int):
+        super().__init__(ts, log_pos)
+        self.next_binlog = next_binlog
+        self.position = position
+
+
+class GtidEvent(_Event):
+    def __init__(self, ts, log_pos, gtid: str):
+        super().__init__(ts, log_pos)
+        self.gtid = gtid
+
+
+class QueryEvent(_Event):
+    def __init__(self, ts, log_pos, schema: str, query: str):
+        super().__init__(ts, log_pos)
+        self.schema = schema
+        self.query = query
+
+
+class XidEvent(_Event):
+    def __init__(self, ts, log_pos, xid: int):
+        super().__init__(ts, log_pos)
+        self.xid = xid
+
+
+class WriteRowsEvent(_Event):
+    def __init__(self, ts, log_pos, schema, table, rows):
+        super().__init__(ts, log_pos)
+        self.schema, self.table = schema, table
+        self.rows = [{"values": r} for r in rows]
+
+
+class DeleteRowsEvent(_Event):
+    def __init__(self, ts, log_pos, schema, table, rows):
+        super().__init__(ts, log_pos)
+        self.schema, self.table = schema, table
+        self.rows = [{"values": r} for r in rows]
+
+
+class UpdateRowsEvent(_Event):
+    def __init__(self, ts, log_pos, schema, table, pairs):
+        super().__init__(ts, log_pos)
+        self.schema, self.table = schema, table
+        self.rows = [{"before_values": b, "after_values": a} for b, a in pairs]
+
+
+@dataclass
+class _TableMap:
+    schema: str
+    table: str
+    col_types: list
+    col_metas: list
+
+
+# --- low-level readers ------------------------------------------------------
+
+
+def _lenenc(data: bytes, pos: int) -> tuple[int, int]:
+    b = data[pos]
+    if b < 0xFB:
+        return b, pos + 1
+    if b == 0xFC:
+        return int.from_bytes(data[pos + 1:pos + 3], "little"), pos + 3
+    if b == 0xFD:
+        return int.from_bytes(data[pos + 1:pos + 4], "little"), pos + 4
+    if b == 0xFE:
+        return int.from_bytes(data[pos + 1:pos + 9], "little"), pos + 9
+    raise BinlogFormatError(f"bad length-encoded integer prefix {b:#x}")
+
+
+def _frac_micros(data: bytes, pos: int, fsp: int) -> tuple[int, int]:
+    """Fractional-seconds part: ceil(fsp/2) big-endian bytes holding
+    fsp decimal digits; scale to microseconds."""
+    nb = (fsp + 1) // 2
+    if nb == 0:
+        return 0, pos
+    frac = int.from_bytes(data[pos:pos + nb], "big")
+    return frac * 10 ** (6 - 2 * nb), pos + nb
+
+
+def _read_decimal(data: bytes, pos: int, precision: int, scale: int):
+    """NEWDECIMAL: sign-flipped big-endian base-10^9 groups (public
+    layout, strings/decimal.cc bin2decimal)."""
+    intg = precision - scale
+    intg0, frac0 = intg // 9, scale // 9
+    intg0x, frac0x = intg - intg0 * 9, scale - frac0 * 9
+    size = intg0 * 4 + _DIG2BYTES[intg0x] + frac0 * 4 + _DIG2BYTES[frac0x]
+    buf = bytearray(data[pos:pos + size])
+    if len(buf) != size:
+        raise BinlogFormatError("truncated NEWDECIMAL value")
+    negative = not (buf[0] & 0x80)
+    buf[0] ^= 0x80
+    if negative:
+        buf = bytearray(b ^ 0xFF for b in buf)
+    p = 0
+    intpart = 0
+    if intg0x:
+        nb = _DIG2BYTES[intg0x]
+        intpart = int.from_bytes(buf[p:p + nb], "big")
+        p += nb
+    for _ in range(intg0):
+        intpart = intpart * 10**9 + int.from_bytes(buf[p:p + 4], "big")
+        p += 4
+    frac_digits = ""
+    for _ in range(frac0):
+        frac_digits += str(int.from_bytes(buf[p:p + 4], "big")).zfill(9)
+        p += 4
+    if frac0x:
+        nb = _DIG2BYTES[frac0x]
+        frac_digits += str(int.from_bytes(buf[p:p + nb], "big")).zfill(frac0x)
+        p += nb
+    text = ("-" if negative else "") + str(intpart)
+    if scale:
+        text += "." + frac_digits
+    return Decimal(text), pos + size
+
+
+def _read_value(data: bytes, pos: int, ctype: int, meta: int):
+    """One non-NULL column value (signed reads, like pymysqlreplication
+    without schema signedness hints; unsigned re-widening is the
+    engine's D4 stage downstream)."""
+    if ctype == T_TINY:
+        return int.from_bytes(data[pos:pos + 1], "little", signed=True), pos + 1
+    if ctype == T_SHORT:
+        return int.from_bytes(data[pos:pos + 2], "little", signed=True), pos + 2
+    if ctype == T_INT24:
+        return int.from_bytes(data[pos:pos + 3], "little", signed=True), pos + 3
+    if ctype == T_LONG:
+        return int.from_bytes(data[pos:pos + 4], "little", signed=True), pos + 4
+    if ctype == T_LONGLONG:
+        return int.from_bytes(data[pos:pos + 8], "little", signed=True), pos + 8
+    if ctype == T_FLOAT:
+        return struct.unpack_from("<f", data, pos)[0], pos + 4
+    if ctype == T_DOUBLE:
+        return struct.unpack_from("<d", data, pos)[0], pos + 8
+    if ctype == T_YEAR:
+        v = data[pos]
+        return (1900 + v if v else 0), pos + 1
+    if ctype == T_DATE:
+        v = int.from_bytes(data[pos:pos + 3], "little")
+        if v == 0:
+            return None, pos + 3  # zero-date sentinel, like the libraries
+        return date(v >> 9, (v >> 5) & 0x0F, v & 0x1F), pos + 3
+    if ctype == T_DATETIME2:
+        fsp = meta
+        intpart = int.from_bytes(data[pos:pos + 5], "big") - 0x8000000000
+        pos += 5
+        micros, pos = _frac_micros(data, pos, fsp)
+        ymd = intpart >> 17
+        ym = ymd >> 5
+        hms = intpart & 0x1FFFF
+        return (
+            datetime(ym // 13, ym % 13, ymd & 0x1F,
+                     hms >> 12, (hms >> 6) & 0x3F, hms & 0x3F, micros),
+            pos,
+        )
+    if ctype == T_TIMESTAMP2:
+        fsp = meta
+        secs = int.from_bytes(data[pos:pos + 4], "big")
+        pos += 4
+        micros, pos = _frac_micros(data, pos, fsp)
+        # naive UTC instant (deterministic; session tz handling is the
+        # consumer's concern, mirroring the engine's UTC convention)
+        dt = datetime.fromtimestamp(secs, tz=timezone.utc).replace(tzinfo=None)
+        return dt.replace(microsecond=micros), pos
+    if ctype == T_TIME2:
+        fsp = meta
+        raw = int.from_bytes(data[pos:pos + 3], "big")
+        pos += 3
+        micros, pos = _frac_micros(data, pos, fsp)
+        v = raw - 0x800000
+        sign = -1 if v < 0 else 1
+        v = abs(v)
+        td = timedelta(hours=(v >> 12) & 0x3FF, minutes=(v >> 6) & 0x3F,
+                       seconds=v & 0x3F, microseconds=micros)
+        return sign * td, pos
+    if ctype == T_VARCHAR or ctype == T_VAR_STRING:
+        if meta > 255:
+            n = int.from_bytes(data[pos:pos + 2], "little")
+            pos += 2
+        else:
+            n = data[pos]
+            pos += 1
+        return data[pos:pos + n].decode("utf-8"), pos + n
+    if ctype == T_STRING:
+        # meta: (real_type, pack_length) — ENUM/SET ride this code too
+        m0, m1 = meta >> 8, meta & 0xFF
+        if m0 & 0x30 != 0x30:
+            real, maxlen = m0 | 0x30, m1 | (((m0 & 0x30) ^ 0x30) << 4)
+        else:
+            real, maxlen = m0, m1
+        if real in (T_ENUM, T_SET):
+            raise NotImplementedError("ENUM/SET decode not supported")
+        if maxlen > 255:
+            n = int.from_bytes(data[pos:pos + 2], "little")
+            pos += 2
+        else:
+            n = data[pos]
+            pos += 1
+        return data[pos:pos + n].decode("utf-8"), pos + n
+    if ctype == T_BLOB:
+        n = int.from_bytes(data[pos:pos + meta], "little")
+        pos += meta
+        return bytes(data[pos:pos + n]), pos + n
+    if ctype == T_JSON:
+        n = int.from_bytes(data[pos:pos + meta], "little")
+        pos += meta
+        # raw binary-JSONB value (type byte + payload); the envelope
+        # stringify decodes it via sources/mysql_jsonb per the schema
+        # registry's json column tagging
+        return bytes(data[pos:pos + n]), pos + n
+    if ctype == T_NEWDECIMAL:
+        return _read_decimal(data, pos, meta >> 8, meta & 0xFF)
+    raise NotImplementedError(f"column type {ctype} not supported by the file parser")
+
+
+def _read_row_image(data: bytes, pos: int, tm: _TableMap) -> tuple[tuple, int]:
+    ncols = len(tm.col_types)
+    nullmap = data[pos:pos + (ncols + 7) // 8]
+    pos += (ncols + 7) // 8
+    vals = []
+    for i, (ct, meta) in enumerate(zip(tm.col_types, tm.col_metas)):
+        if nullmap[i >> 3] & (1 << (i & 7)):
+            vals.append(None)
+            continue
+        v, pos = _read_value(data, pos, ct, meta)
+        vals.append(v)
+    return tuple(vals), pos
+
+
+# --- event-level parse ------------------------------------------------------
+
+
+def parse_binlog_events(data: bytes):
+    """Yield duck-typed events from the raw bytes of one binlog file.
+
+    Validates the 4-byte magic and (when the FDE advertises CRC32)
+    every event's checksum; maintains the TABLE_MAP registry the rows
+    events reference. Unknown event types are skipped by size — the
+    contract real replicas follow (a binlog contains many bookkeeping
+    events a CDC consumer ignores)."""
+    if data[:4] != BINLOG_MAGIC:
+        raise BinlogFormatError("not a binlog file (bad magic)")
+    pos = 4
+    checksum = 0  # set from the FDE
+    tables: dict[int, _TableMap] = {}
+    while pos + 19 <= len(data):
+        ts, etype, _server_id, esize, log_pos, _flags = struct.unpack_from(
+            "<IBIIIH", data, pos
+        )
+        if esize < 19 or pos + esize > len(data):
+            raise BinlogFormatError(f"truncated event at offset {pos}")
+        body = data[pos + 19:pos + esize]
+        if etype == EV_FORMAT_DESCRIPTION:
+            # trailer: [checksum_alg 1B][crc 4B] (5.6.1+ servers always
+            # write it; alg 0 = none, 1 = CRC32)
+            checksum = body[-5]
+            if checksum == 1:
+                (crc,) = struct.unpack_from("<I", data, pos + esize - 4)
+                if zlib.crc32(data[pos:pos + esize - 4]) & 0xFFFFFFFF != crc:
+                    raise BinlogFormatError("FDE CRC mismatch")
+            binlog_version = struct.unpack_from("<H", body, 0)[0]
+            if binlog_version != 4:
+                raise BinlogFormatError(f"unsupported binlog version {binlog_version}")
+            pos += esize
+            continue
+        if checksum == 1:
+            (crc,) = struct.unpack_from("<I", data, pos + esize - 4)
+            if zlib.crc32(data[pos:pos + esize - 4]) & 0xFFFFFFFF != crc:
+                raise BinlogFormatError(
+                    f"event CRC mismatch at offset {pos} (type {etype:#x})"
+                )
+            body = body[:-4]
+        pos += esize
+
+        if etype == EV_ROTATE:
+            (position,) = struct.unpack_from("<Q", body, 0)
+            yield RotateEvent(ts, log_pos, body[8:].decode("utf-8"), position)
+        elif etype == EV_GTID:
+            # flags(1) sid(16) gno(8LE); later-version logical-clock
+            # fields follow and are ignored
+            sid = body[1:17]
+            (gno,) = struct.unpack_from("<q", body, 17)
+            uuid = "-".join(
+                sid.hex()[a:b] for a, b in ((0, 8), (8, 12), (12, 16), (16, 20), (20, 32))
+            )
+            yield GtidEvent(ts, log_pos, f"{uuid}:{gno}")
+        elif etype == EV_QUERY:
+            db_len = body[8]
+            status_len = struct.unpack_from("<H", body, 11)[0]
+            p = 13 + status_len
+            schema = body[p:p + db_len].decode("utf-8")
+            query = body[p + db_len + 1:].decode("utf-8")
+            yield QueryEvent(ts, log_pos, schema, query)
+        elif etype == EV_XID:
+            yield XidEvent(ts, log_pos, struct.unpack_from("<Q", body, 0)[0])
+        elif etype == EV_TABLE_MAP:
+            table_id = int.from_bytes(body[0:6], "little")
+            p = 8  # table_id(6) + flags(2)
+            slen = body[p]
+            schema = body[p + 1:p + 1 + slen].decode("utf-8")
+            p += 2 + slen  # len + name + NUL
+            tlen = body[p]
+            table = body[p + 1:p + 1 + tlen].decode("utf-8")
+            p += 2 + tlen
+            ncols, p = _lenenc(body, p)
+            ctypes = list(body[p:p + ncols])
+            p += ncols
+            mlen, p = _lenenc(body, p)
+            mend = p + mlen
+            metas = []
+            for ct in ctypes:
+                w = _META_LEN.get(ct, 0)
+                if w == 0:
+                    metas.append(0)
+                elif w == 1:
+                    metas.append(body[p])
+                    p += 1
+                else:
+                    if ct in (T_VARCHAR, T_VAR_STRING, T_BIT):
+                        metas.append(int.from_bytes(body[p:p + 2], "little"))
+                    else:  # STRING/NEWDECIMAL pack (hi, lo) big-endian-ish
+                        metas.append((body[p] << 8) | body[p + 1])
+                    p += 2
+            if p != mend:
+                raise BinlogFormatError("TABLE_MAP metadata length mismatch")
+            tables[table_id] = _TableMap(schema, table, ctypes, metas)
+        elif etype in (EV_WRITE_ROWS_V2, EV_DELETE_ROWS_V2, EV_UPDATE_ROWS_V2):
+            table_id = int.from_bytes(body[0:6], "little")
+            tm = tables.get(table_id)
+            if tm is None:
+                raise BinlogFormatError(f"rows event for unmapped table id {table_id}")
+            p = 8
+            extra_len = struct.unpack_from("<H", body, p)[0]
+            p += extra_len  # includes its own 2 bytes
+            ncols, p = _lenenc(body, p)
+            if ncols != len(tm.col_types):
+                raise BinlogFormatError("rows event width != TABLE_MAP width")
+            p += (ncols + 7) // 8  # columns-present bitmap (all set here)
+            if etype == EV_UPDATE_ROWS_V2:
+                p += (ncols + 7) // 8  # after-image present bitmap
+                pairs = []
+                while p < len(body):
+                    before, p = _read_row_image(body, p, tm)
+                    after, p = _read_row_image(body, p, tm)
+                    pairs.append((before, after))
+                yield UpdateRowsEvent(ts, log_pos, tm.schema, tm.table, pairs)
+            else:
+                rows = []
+                while p < len(body):
+                    row, p = _read_row_image(body, p, tm)
+                    rows.append(row)
+                cls = WriteRowsEvent if etype == EV_WRITE_ROWS_V2 else DeleteRowsEvent
+                yield cls(ts, log_pos, tm.schema, tm.table, rows)
+        # else: bookkeeping event types (PREVIOUS_GTIDS, ANONYMOUS_GTID,
+        # HEARTBEAT, ...) — skipped by size, like real consumers
+
+
+# --- replay provider: recorded files through the live reader classes --------
+
+
+def binlog_file_provider(options: dict):
+    """Provider for the binlog reader classes: (factory, latest) over a
+    recorded binlog file at ``binlog_file_path``. The file is an
+    immutable log, so a factory seek is a filtered replay — the exact
+    contract the scripted fake documents — and `latest` is the last
+    event's end position (availableNow drains the file in one batch)."""
+    path = options["binlog_file_path"]
+    log_name = options.get("file") or Path(path).name
+
+    def _events():
+        return list(parse_binlog_events(Path(path).read_bytes()))
+
+    def factory(offset):
+        start_pos = offset.pos if offset.file else 0
+        return iter(
+            [
+                e
+                for e in _events()
+                if e.packet.log_pos > start_pos
+                or (start_pos <= 4 and isinstance(e, RotateEvent))
+            ]
+        )
+
+    def latest(opts: dict) -> dict:
+        from dolphinbeat_spark.sources.binlog_source import BinlogOffset
+
+        last = max(e.packet.log_pos for e in _events())
+        return BinlogOffset(
+            file=log_name, pos=last, server_id=int(opts.get("server_id", "0"))
+        ).to_json()
+
+    return factory, latest
+
+
+BINLOG_FILE_SOURCE_NAME = "dolphinbeat_binlog_file"
+
+
+def register_binlog_file_source(spark) -> None:
+    """Streaming DataSource over a recorded binlog file: the CDC
+    backfill path. Options: ``binlog_file_path`` (required), plus the
+    shared reader options (max_ops_per_batch, shard_count, ...)."""
+    from pyspark.sql.datasource import DataSource
+
+    from dolphinbeat_spark.envelope import ENVELOPE_SCHEMA
+    from dolphinbeat_spark.sources.binlog_source import ArrowBinlogStreamReader
+
+    class BinlogFileDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return BINLOG_FILE_SOURCE_NAME
+
+        def schema(self):
+            return ENVELOPE_SCHEMA
+
+        def streamReader(self, schema):
+            opts = dict(self.options)
+            opts.setdefault(
+                "provider", "dolphinbeat_spark.sources.binlog_file:binlog_file_provider"
+            )
+            return ArrowBinlogStreamReader(opts)
+
+    spark.dataSource.register(BinlogFileDataSource)

@@ -1,0 +1,289 @@
+"""Build the recorded-binlog replay fixture (tests/fixtures/replay.binlog).
+
+Writes a format-faithful MySQL binlog v4 FILE byte-by-byte per the
+public layout (magic, CRC32-checksummed events, FDE trailer, TABLE_MAP
+column metadata, ROWS v2 bitmaps, packed temporals, NEWDECIMAL
+packing) — the bytes a real server would have produced for this DDL +
+DML sequence. The committed fixture is parsed by the from-scratch
+reader in sources/binlog_file.py; re-run this tool only to regenerate
+after a deliberate fixture change (goldens in
+tests/test_binlog_file_replay.py pin the decoded output).
+
+Deliberately exercised: multi-row events, NULL bitmaps, 1- and 2-byte
+VARCHAR lengths, UTF-8 multibyte text, binary BLOB bytes, binary-JSONB
+payloads, DECIMAL sign/scale, DATETIME2 fractional seconds, TIME2,
+TIMESTAMP2, YEAR, CHAR-as-STRING metadata, UPDATE before/after images.
+"""
+
+from __future__ import annotations
+
+import struct
+import sys
+import zlib
+from datetime import date, datetime, timedelta
+from decimal import Decimal
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from dolphinbeat_spark.sources import binlog_file as B  # noqa: E402
+
+TS = 1_700_000_000
+SERVER_ID = 33061
+_DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
+
+
+def enc_decimal(v: Decimal, precision: int, scale: int) -> bytes:
+    sign, _digits, _exp = v.as_tuple()
+    # normalize into intg/frac digit strings at the declared scale
+    s = format(abs(v), "f")
+    if "." in s:
+        ip, fp = s.split(".")
+    else:
+        ip, fp = s, ""
+    fp = (fp + "0" * scale)[:scale]
+    intg = precision - scale
+    ip = ip.zfill(intg)
+    intg0, frac0 = intg // 9, scale // 9
+    intg0x, frac0x = intg - intg0 * 9, scale - frac0 * 9
+    out = bytearray()
+    p = 0
+    if intg0x:
+        out += int(ip[:intg0x]).to_bytes(_DIG2BYTES[intg0x], "big")
+        p = intg0x
+    for _ in range(intg0):
+        out += int(ip[p:p + 9]).to_bytes(4, "big")
+        p += 9
+    p = 0
+    for _ in range(frac0):
+        out += int(fp[p:p + 9]).to_bytes(4, "big")
+        p += 9
+    if frac0x:
+        out += int(fp[p:p + frac0x]).to_bytes(_DIG2BYTES[frac0x], "big")
+    out[0] ^= 0x80
+    if sign:
+        out = bytearray(b ^ 0xFF for b in out)
+    return bytes(out)
+
+
+def enc_value(ctype: int, meta: int, v) -> bytes:
+    if v is None:
+        raise ValueError("NULL rides the bitmap, not the value stream")
+    if ctype == B.T_TINY:
+        return int(v).to_bytes(1, "little", signed=True)
+    if ctype == B.T_SHORT:
+        return int(v).to_bytes(2, "little", signed=True)
+    if ctype == B.T_LONG:
+        return int(v).to_bytes(4, "little", signed=True)
+    if ctype == B.T_LONGLONG:
+        return int(v).to_bytes(8, "little", signed=True)
+    if ctype == B.T_FLOAT:
+        return struct.pack("<f", v)
+    if ctype == B.T_DOUBLE:
+        return struct.pack("<d", v)
+    if ctype == B.T_YEAR:
+        return bytes([0 if v == 0 else v - 1900])
+    if ctype == B.T_DATE:
+        return ((v.year << 9) | (v.month << 5) | v.day).to_bytes(3, "little")
+    if ctype == B.T_DATETIME2:
+        fsp = meta
+        ymd = ((v.year * 13 + v.month) << 5) | v.day
+        hms = (v.hour << 12) | (v.minute << 6) | v.second
+        out = (0x8000000000 + ((ymd << 17) | hms)).to_bytes(5, "big")
+        nb = (fsp + 1) // 2
+        if nb:
+            out += (v.microsecond // 10 ** (6 - 2 * nb)).to_bytes(nb, "big")
+        return out
+    if ctype == B.T_TIMESTAMP2:
+        fsp = meta
+        out = int(v).to_bytes(4, "big")  # epoch seconds
+        nb = (fsp + 1) // 2
+        if nb:
+            out += bytes(nb)
+        return out
+    if ctype == B.T_TIME2:
+        secs = int(v.total_seconds())
+        packed = 0x800000 + (((secs // 3600) << 12) | ((secs // 60 % 60) << 6) | (secs % 60))
+        return packed.to_bytes(3, "big")
+    if ctype in (B.T_VARCHAR, B.T_VAR_STRING):
+        raw = v.encode("utf-8")
+        n = len(raw).to_bytes(2 if meta > 255 else 1, "little")
+        return n + raw
+    if ctype == B.T_STRING:
+        raw = v.encode("utf-8")
+        maxlen = meta & 0xFF  # CHAR(n<256) fixture shape
+        return len(raw).to_bytes(2 if maxlen > 255 else 1, "little") + raw
+    if ctype == B.T_BLOB:
+        return len(v).to_bytes(meta, "little") + bytes(v)
+    if ctype == B.T_JSON:
+        return len(v).to_bytes(meta, "little") + bytes(v)
+    if ctype == B.T_NEWDECIMAL:
+        return enc_decimal(v, meta >> 8, meta & 0xFF)
+    raise ValueError(f"no encoder for type {ctype}")
+
+
+class Writer:
+    def __init__(self):
+        self.buf = bytearray(B.BINLOG_MAGIC)
+        self.pos = 4
+
+    def event(self, etype: int, body: bytes) -> None:
+        esize = 19 + len(body) + 4  # header + body + CRC32
+        self.pos += esize
+        hdr = struct.pack("<IBIIIH", TS, etype, SERVER_ID, esize, self.pos, 0)
+        ev = hdr + body
+        self.buf += ev + (zlib.crc32(ev) & 0xFFFFFFFF).to_bytes(4, "little")
+
+    def fde(self) -> None:
+        sv = b"8.0.99-dolphinbeat-fixture".ljust(50, b"\x00")
+        # post-header length table (one byte per event type, standard
+        # 8.0 values for the types we write; zeros elsewhere)
+        ph = bytearray(41)
+        ph[B.EV_QUERY - 1] = 13
+        ph[B.EV_ROTATE - 1] = 8
+        ph[B.EV_FORMAT_DESCRIPTION - 1] = 84 + len(ph) - 78
+        ph[B.EV_TABLE_MAP - 1] = 8
+        ph[B.EV_WRITE_ROWS_V2 - 1] = 10
+        ph[B.EV_UPDATE_ROWS_V2 - 1] = 10
+        ph[B.EV_DELETE_ROWS_V2 - 1] = 10
+        body = struct.pack("<H", 4) + sv + struct.pack("<I", TS) + bytes([19])
+        body += bytes(ph) + bytes([1])  # checksum_alg = CRC32
+        self.event(B.EV_FORMAT_DESCRIPTION, body)
+
+    def query(self, db: str, sql: str) -> None:
+        dbb, q = db.encode(), sql.encode()
+        body = struct.pack("<IIBHH", 7, 0, len(dbb), 0, 0) + dbb + b"\x00" + q
+        self.event(B.EV_QUERY, body)
+
+    def gtid(self, sid_hex: str, gno: int) -> None:
+        body = bytes([1]) + bytes.fromhex(sid_hex) + struct.pack("<q", gno)
+        self.event(B.EV_GTID, body)
+
+    def xid(self, n: int) -> None:
+        self.event(B.EV_XID, struct.pack("<Q", n))
+
+    def table_map(self, table_id: int, db: str, tbl: str, cols) -> None:
+        body = table_id.to_bytes(6, "little") + b"\x01\x00"
+        body += bytes([len(db)]) + db.encode() + b"\x00"
+        body += bytes([len(tbl)]) + tbl.encode() + b"\x00"
+        body += bytes([len(cols)]) + bytes(ct for ct, _ in cols)
+        metas = bytearray()
+        for ct, meta in cols:
+            w = B._META_LEN.get(ct, 0)
+            if w == 1:
+                metas.append(meta)
+            elif w == 2:
+                if ct in (B.T_VARCHAR, B.T_VAR_STRING, B.T_BIT):
+                    metas += int(meta).to_bytes(2, "little")
+                else:
+                    metas += bytes([meta >> 8, meta & 0xFF])
+        body += bytes([len(metas)]) + bytes(metas)
+        body += bytes((len(cols) + 7) // 8)  # nullability bitmap (all nullable=0)
+        self.event(B.EV_TABLE_MAP, body)
+
+    def _image(self, cols, row) -> bytes:
+        n = len(cols)
+        nullmap = bytearray((n + 7) // 8)
+        vals = bytearray()
+        for i, ((ct, meta), v) in enumerate(zip(cols, row)):
+            if v is None:
+                nullmap[i >> 3] |= 1 << (i & 7)
+            else:
+                vals += enc_value(ct, meta, v)
+        return bytes(nullmap) + bytes(vals)
+
+    def rows(self, etype: int, table_id: int, cols, rows) -> None:
+        n = len(cols)
+        body = table_id.to_bytes(6, "little") + b"\x01\x00"
+        body += struct.pack("<H", 2)  # extra_data_len (just itself)
+        body += bytes([n])  # lenenc width (< 251)
+        present = bytes([0xFF] * ((n + 7) // 8))
+        body += present
+        if etype == B.EV_UPDATE_ROWS_V2:
+            body += present
+            for before, after in rows:
+                body += self._image(cols, before) + self._image(cols, after)
+        else:
+            for row in rows:
+                body += self._image(cols, row)
+        self.event(etype, body)
+
+    def rotate(self, next_name: str, position: int = 4) -> None:
+        self.event(B.EV_ROTATE, struct.pack("<Q", position) + next_name.encode())
+
+
+TYPED_COLS = [
+    (B.T_LONG, 0),                 # id INT
+    (B.T_LONGLONG, 0),             # big BIGINT
+    (B.T_TINY, 0),                 # tiny TINYINT
+    (B.T_NEWDECIMAL, (14 << 8) | 4),  # price DECIMAL(14,4)
+    (B.T_DOUBLE, 8),               # ratio DOUBLE
+    (B.T_FLOAT, 4),                # ratio_f FLOAT
+    (B.T_VARCHAR, 40),             # name VARCHAR(40)  (1-byte length)
+    (B.T_STRING, (B.T_STRING << 8) | 8),  # code CHAR(8)
+    (B.T_BLOB, 2),                 # payload BLOB
+    (B.T_JSON, 4),                 # doc JSON
+    (B.T_DATE, 0),                 # d DATE
+    (B.T_DATETIME2, 3),            # dt DATETIME(3)
+    (B.T_TIME2, 0),                # t TIME
+    (B.T_TIMESTAMP2, 0),           # ts TIMESTAMP
+    (B.T_YEAR, 0),                 # y YEAR
+]
+
+T2_COLS = [(B.T_LONG, 0), (B.T_VARCHAR, 300)]  # note VARCHAR(300): 2-byte length
+
+# binary-JSONB scalar string (type 0x0C + varlen + utf8): the minimal
+# real JSONB value; container layouts are covered by test_mysql_jsonb
+_JSONB_HELLO = b"\x0c\x0bhello jsonb"
+
+TYPED_ROWS = [
+    (1, 9223372036854775807, -5, Decimal("1234567890.1234"), 2.5, -0.5,
+     "héllo wörld", "ABCD1234", b"\x00\xffbin\x01", _JSONB_HELLO,
+     date(2024, 1, 15), datetime(2024, 1, 15, 10, 30, 45, 123000),
+     timedelta(hours=10, minutes=30, seconds=45), 1_700_000_000, 2024),
+    (2, -42, 7, Decimal("-0.5000"), -1.25, 1.5,
+     None, None, None, None, None, None, None, 0, 0),
+    (3, 0, 0, Decimal("0.0000"), 0.0, 0.0,
+     "", "", b"", _JSONB_HELLO, date(1999, 12, 31),
+     datetime(1999, 12, 31, 23, 59, 59, 0),
+     timedelta(0), 946684799, 1999),
+]
+
+LONG_NOTE = ("длинная-замет ка-" * 20)[:280]  # multibyte, > 255 utf-8 bytes
+
+
+def main() -> None:
+    w = Writer()
+    w.fde()
+    w.query("test", "CREATE TABLE test.typed ("
+            "id INT PRIMARY KEY, big BIGINT, tiny TINYINT, "
+            "price DECIMAL(14,4), ratio DOUBLE, ratio_f FLOAT, "
+            "name VARCHAR(40), code CHAR(8), payload BLOB, doc JSON, "
+            "d DATE, dt DATETIME(3), t TIME, ts TIMESTAMP, y YEAR)")
+    w.query("test", "CREATE TABLE test.t2 (id INT PRIMARY KEY, note VARCHAR(300))")
+
+    sid = "3e11fa47e3b24f2c90b1aa6d1d1f3e11"
+    w.gtid(sid, 1)
+    w.query("test", "BEGIN")
+    w.table_map(101, "test", "typed", TYPED_COLS)
+    w.rows(B.EV_WRITE_ROWS_V2, 101, TYPED_COLS, TYPED_ROWS)
+    w.xid(1)
+
+    w.gtid(sid, 2)
+    w.query("test", "BEGIN")
+    w.table_map(102, "test", "t2", T2_COLS)
+    w.rows(B.EV_WRITE_ROWS_V2, 102, T2_COLS, [(1, LONG_NOTE), (2, "row two")])
+    w.rows(B.EV_UPDATE_ROWS_V2, 102, T2_COLS,
+           [((1, LONG_NOTE), (1, "short note ✓"))])
+    w.rows(B.EV_DELETE_ROWS_V2, 102, T2_COLS, [(2, "row two")])
+    w.xid(2)
+
+    w.rotate("replay.000002")
+    out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "replay.binlog"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_bytes(bytes(w.buf))
+    print(f"wrote {out} ({len(w.buf)} bytes, end pos {w.pos})")
+
+
+if __name__ == "__main__":
+    main()
