@@ -737,6 +737,24 @@ def cdc_canal_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# final-state reconstruction of the synthetic per-user change chains
+# (shared by the incremental-agg oracles): a user's row exists iff
+# their LAST event is not an error (error = delete, later events
+# re-insert), carrying that last event's (etype, k)
+_INC_AGG_STATE_CTE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+), state AS (
+  SELECT user_id, event_type AS etype, k FROM (
+    SELECT user_id, event_type, k,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rnd
+    FROM seq
+  ) WHERE rnd = 1 AND event_type <> 'error'
+)
+"""
+
 @register(
     "cdc_incremental_agg",
     # the oracle aggregates the FINAL state directly; the engine folds
@@ -744,23 +762,7 @@ def cdc_canal_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incremental-view-maintenance theorem itself: per user the chain
     # +insert(img_1), (-img_{i-1} +img_i)..., [-img_last] telescopes to
     # exactly the user's final contribution
-    oracle=f"""
-WITH seq AS (
-  SELECT user_id, event_id, event_type,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS err_before
-  FROM events
-), kept AS (
-  SELECT * FROM seq WHERE COALESCE(err_before, 0) = 0
-), state AS (
-  SELECT user_id, event_type AS etype, k FROM (
-    SELECT user_id, event_type, k,
-           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rnd
-    FROM kept
-  ) WHERE rnd = 1 AND event_type <> 'error'
-)
+    oracle=_INC_AGG_STATE_CTE + """
 SELECT etype,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CASE WHEN COUNT(k) = 0 THEN NULL
@@ -778,17 +780,46 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-batch case of merge_agg_batch) folds the +/- contributions.
     The oracle computes GROUP BY over the final state instead; equality
     is what 'maintained without recompute' means."""
-    from pyspark.sql import Window
-
     from dolphinbeat_spark.sinks.incremental_agg import AggViewSpec, delta_frame
+
+    env = _event_change_stream(spark, sf_dir)
+    view = AggViewSpec(group_cols=("etype",), sum_cols=("k",))
+    deltas = delta_frame(env, view).filter(F.col("n_delta") != 0)
+    return deltas.select(
+        "etype",
+        F.col("n_delta").alias("n_rows"),
+        F.when(F.col("nn_k") > 0, F.col("sum_k"))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("sum_k"),
+    ).orderBy("etype")
+
+
+def _event_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic per-user event chains as a well-formed CDC
+    envelope stream, shared by the incremental-agg specs: an 'error'
+    event DELETES the user's row and later events RE-INSERT it (the
+    realistic PK delete + re-insert lifecycle), so within each error-
+    delimited segment the first event is an insert, later ones are
+    updates carrying the true before-image, and the error is a delete
+    of the segment's last image. log_pos = event_id.
+
+    (The original formulation dropped everything after a user's first
+    error — but every synthetic user errors eventually, which made the
+    final state EMPTY at every SF and the oracle comparison vacuously
+    0 = 0 rows. Segmented semantics keep ~1/5 of users live at the
+    end, so the maintained aggregates are compared on real groups.)"""
+    from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
     wf = Window.partitionBy("user_id").orderBy("event_id")
-    err_before = F.max(
-        F.when(F.col("event_type") == "error", 1).otherwise(0)
-    ).over(wf.rowsBetween(Window.unboundedPreceding, -1))
-    kept = e.withColumn("__eb", F.coalesce(err_before, F.lit(0))).filter(
-        F.col("__eb") == 0
+    is_err = F.col("event_type") == "error"
+    # segment index = number of STRICTLY preceding errors: the error
+    # event itself still belongs to the segment it terminates
+    seg = F.coalesce(
+        F.sum(F.when(is_err, 1).otherwise(0)).over(
+            wf.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
     )
     k_raw = F.get_json_object("props", "$.k")
     img = F.create_map(
@@ -801,23 +832,25 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("etype"), F.lit(False),
         F.lit("k"), k_raw.isNull(),
     )
-    seq = kept.select(
+    wseg = Window.partitionBy("user_id", "__seg").orderBy("event_id")
+    seq = e.withColumn("__seg", seg).select(
         "user_id", "event_id", "event_type",
         img.alias("__img"), flags.alias("__flags"),
-        F.row_number().over(wf).alias("__rn"),
-        F.lag(img.alias("x")).over(wf).alias("__lag_img"),
-        F.lag(flags.alias("y")).over(wf).alias("__lag_flags"),
+        F.row_number().over(wseg).alias("__rn"),
+        F.lag(img.alias("x")).over(wseg).alias("__lag_img"),
+        F.lag(flags.alias("y")).over(wseg).alias("__lag_flags"),
     )
-    is_err = F.col("event_type") == "error"
     op = (
-        F.when(F.col("__rn") == 1, F.lit("insert"))
-        .when(is_err, F.lit("delete"))
+        F.when(is_err, F.lit("delete"))
+        .when(F.col("__rn") == 1, F.lit("insert"))
         .otherwise(F.lit("update"))
     )
     null_map = F.lit(None).cast("map<string,string>")
     null_flags = F.lit(None).cast("map<string,boolean>")
-    env = (
-        # a user whose FIRST event is a delete never existed: skip
+    return (
+        # an error opening a segment (consecutive errors, or a user
+        # whose first event is an error) deletes a row that does not
+        # exist: skip, keeping the stream well-formed
         seq.filter(~((F.col("__rn") == 1) & is_err)).select(
             op.alias("op_type"),
             F.lit("binlog.000001").alias("log_name"),
@@ -829,12 +862,90 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(op != "delete", F.col("__flags")).otherwise(null_flags).alias("after_null"),
         )
     )
-    view = AggViewSpec(group_cols=("etype",), sum_cols=("k",))
-    deltas = delta_frame(env, view).filter(F.col("n_delta") != 0)
-    return deltas.select(
-        "etype",
-        F.col("n_delta").alias("n_rows"),
-        F.when(F.col("nn_k") > 0, F.col("sum_k"))
-        .otherwise(F.lit(None).cast("double"))
-        .alias("sum_k"),
-    ).orderBy("etype")
+
+
+def _base_as_of(env: DataFrame, hi: int) -> DataFrame:
+    """The base table after applying every change op with
+    log_pos <= ``hi``: each user's last op decides existence (delete →
+    gone) and the surviving after-image supplies (etype, k) — what an
+    apply_changes snapshot would hold at that point. Supplied to the
+    MIN/MAX merge as its recompute source."""
+    from pyspark.sql import Window
+
+    pref = env.filter(F.col("log_pos") <= hi)
+    uid = F.coalesce(F.col("after")["user_id"], F.col("before")["user_id"])
+    w = Window.partitionBy("__uid").orderBy(F.desc("log_pos"))
+    last = (
+        pref.withColumn("__uid", uid)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("op_type") != "delete"))
+    )
+    return last.select(
+        F.col("after")["etype"].alias("etype"),
+        F.when(
+            ~F.col("after_null")["k"], F.col("after")["k"].cast("double")
+        ).alias("k"),
+    )
+
+
+@register(
+    "cdc_incremental_agg_minmax",
+    # same final-state oracle, extended with MIN/MAX — the aggregates
+    # that are NOT self-maintainable under deletes. The engine side
+    # runs the REAL persistent sink across three sequential batches
+    # (stored parquet state, replay markers, crash-safe swaps), with
+    # extremum retractions recomputing only the touched groups from the
+    # post-batch base table; equality with a direct GROUP BY over the
+    # final state is the correctness claim of hybrid maintenance.
+    oracle=_INC_AGG_STATE_CTE + """
+SELECT etype,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CASE WHEN COUNT(k) = 0 THEN NULL
+            ELSE CAST(SUM(k) AS DOUBLE) END AS sum_k,
+       CAST(MIN(k) AS DOUBLE) AS min_k,
+       CAST(MAX(k) AS DOUBLE) AS max_k
+FROM state GROUP BY etype ORDER BY etype
+""",
+    tags=("cdc", "incremental-view", "delta-algebra", "minmax"),
+)
+def cdc_incremental_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX incremental maintenance end to end (closes the r5
+    documented absence): the change stream splits into three log_pos
+    ranges and each folds through merge_agg_batch into one on-disk
+    view — COUNT/SUM as pure deltas, MIN/MAX hybrid with
+    recompute-on-retraction against the post-batch base
+    (sinks/incremental_agg.py::_resolve_extrema documents the exact
+    predicate). The bounded driver-side collect materializes the final
+    small view so the temp state can be removed before returning."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from dolphinbeat_spark.sinks.incremental_agg import (
+        AggViewSpec,
+        merge_agg_batch,
+        read_agg_view,
+    )
+
+    env = _event_change_stream(spark, sf_dir)
+    view = AggViewSpec(
+        group_cols=("etype",), sum_cols=("k",), min_cols=("k",), max_cols=("k",)
+    )
+    hi = env.agg(F.max("log_pos")).first()[0] or 0
+    cuts = [0, hi // 3, 2 * hi // 3, hi]
+    work = tempfile.mkdtemp(prefix="cdc_aggmm_")
+    vp = _os.path.join(work, "view")
+    try:
+        for i in range(3):
+            batch = env.filter(
+                (F.col("log_pos") > cuts[i]) & (F.col("log_pos") <= cuts[i + 1])
+            )
+            merge_agg_batch(
+                batch, vp, view, batch_id=i, base=_base_as_of(env, cuts[i + 1])
+            )
+        out = read_agg_view(spark, vp, view)
+        schema = out.schema
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).orderBy("etype")

@@ -10,13 +10,17 @@ as delete(before)+insert(after) via ``normalize_pk_changes``, which
 also makes group-moving updates correct), and the persistent view
 folds them in.
 
-Maintained aggregates are the SELF-MAINTAINABLE ones: COUNT(*) and
-SUM(col) (with a non-null count per SUM column so SQL's
-all-NULL-group → NULL semantics reconstruct exactly). MIN/MAX are
-deliberately absent — under deletes they are not self-maintainable
-(deleting the current minimum requires the full group to find the next
-one; the textbook result), so views needing them recompute per group
-from the ``apply_changes`` snapshot instead.
+COUNT(*) and SUM(col) are SELF-MAINTAINABLE (with a non-null count
+per SUM column so SQL's all-NULL-group → NULL semantics reconstruct
+exactly). MIN/MAX are not self-maintainable under deletes (deleting
+the current minimum requires the full group to find the next one; the
+textbook result) — they are maintained HYBRID: inserts fold in place
+(least/greatest against stored state), and a retraction that could
+undercut the stored extremum triggers a recompute of JUST that group
+from the caller-supplied base table (the ``apply_changes`` snapshot,
+post-batch). The recompute predicate is exact: a group recomputes only
+when a deleted value ≤ the group's candidate min (resp. ≥ candidate
+max), so batches that never touch an extremum stay pure-delta.
 
 At scale: a batch's deltas partial-aggregate to one row per touched
 group before the merge; the merge unions against the (group-keyed,
@@ -52,7 +56,18 @@ class AggViewSpec:
 
     group_cols: tuple[str, ...]
     sum_cols: tuple[str, ...] = field(default_factory=tuple)
+    #: MIN/MAX-maintained columns: hybrid fold + recompute-on-retraction
+    #: (merges then REQUIRE the ``base`` table argument)
+    min_cols: tuple[str, ...] = field(default_factory=tuple)
+    max_cols: tuple[str, ...] = field(default_factory=tuple)
     cast: str = "double"  # numeric type the wire strings cast to
+
+    @property
+    def value_cols(self) -> tuple[str, ...]:
+        seen: dict[str, None] = {}
+        for c in (*self.sum_cols, *self.min_cols, *self.max_cols):
+            seen.setdefault(c)
+        return tuple(seen)
 
 
 def delta_frame(batch: DataFrame, view: AggViewSpec) -> DataFrame:
@@ -72,7 +87,7 @@ def delta_frame(batch: DataFrame, view: AggViewSpec) -> DataFrame:
     proj = ops.select(
         sign.alias("__sign"),
         *[from_img(g).alias(g) for g in view.group_cols],
-        *[from_img(c).cast(view.cast).alias(f"__v_{c}") for c in view.sum_cols],
+        *[from_img(c).cast(view.cast).alias(f"__v_{c}") for c in view.value_cols],
     )
     aggs = [F.sum("__sign").cast("bigint").alias("n_delta")]
     for c in view.sum_cols:
@@ -87,13 +102,27 @@ def delta_frame(batch: DataFrame, view: AggViewSpec) -> DataFrame:
             .cast("bigint")
             .alias(f"nn_{c}")
         )
+    # MIN/MAX deltas keep the two sides separate: the insert side is a
+    # candidate extremum (folds like stored state); the delete side
+    # (rmin/rmax) only ever triggers the recompute predicate
+    for c in view.min_cols:
+        v = F.col(f"__v_{c}")
+        aggs.append(F.min(F.when(F.col("__sign") == 1, v)).cast(view.cast).alias(f"min_{c}"))
+        aggs.append(F.min(F.when(F.col("__sign") == -1, v)).cast(view.cast).alias(f"rmin_{c}"))
+    for c in view.max_cols:
+        v = F.col(f"__v_{c}")
+        aggs.append(F.max(F.when(F.col("__sign") == 1, v)).cast(view.cast).alias(f"max_{c}"))
+        aggs.append(F.max(F.when(F.col("__sign") == -1, v)).cast(view.cast).alias(f"rmax_{c}"))
     return proj.groupBy(*view.group_cols).agg(*aggs)
 
 
 def _fold_aggs(view: AggViewSpec) -> list:
     """The re-aggregation list merging stored state with new deltas —
-    one definition shared by the flat and bucket-partitioned merges."""
-    return [F.sum("n_delta").cast("bigint").alias("n_delta")] + [
+    one definition shared by the flat and bucket-partitioned merges.
+    Stored rows carry min_<c>/max_<c> and NULL retraction columns, so
+    folding min(min_<c>) computes the candidate extremum (stored vs
+    insert-side) and min(rmin_<c>) surfaces the batch's retractions."""
+    aggs = [F.sum("n_delta").cast("bigint").alias("n_delta")] + [
         a
         for c in view.sum_cols
         for a in (
@@ -101,24 +130,83 @@ def _fold_aggs(view: AggViewSpec) -> list:
             F.sum(f"nn_{c}").cast("bigint").alias(f"nn_{c}"),
         )
     ]
+    for c in view.min_cols:
+        aggs.append(F.min(f"min_{c}").cast(view.cast).alias(f"min_{c}"))
+        aggs.append(F.min(f"rmin_{c}").cast(view.cast).alias(f"rmin_{c}"))
+    for c in view.max_cols:
+        aggs.append(F.max(f"max_{c}").cast(view.cast).alias(f"max_{c}"))
+        aggs.append(F.max(f"rmax_{c}").cast(view.cast).alias(f"rmax_{c}"))
+    return aggs
 
 
 def _merge_dir(spark, deltas: DataFrame, dir_path: str, view: AggViewSpec,
-               tmp_path: str, old_path: str, marker: str | None) -> None:
+               tmp_path: str, old_path: str, marker: str | None,
+               base: DataFrame | None = None) -> None:
     """Fold deltas into one aggregate directory via the crash-safe
-    rename-aside swap (streaming/rollup.py::atomic_swap_dir)."""
+    rename-aside swap (streaming/rollup.py::atomic_swap_dir).
+
+    With MIN/MAX columns, ``base`` must be the POST-batch base table
+    (group cols + value cols, typed) — groups whose stored extremum a
+    retraction may have invalidated recompute from it; every other
+    group folds purely from deltas."""
     recover_swap_dir(dir_path, tmp_path, old_path)
     if marker and os.path.exists(os.path.join(dir_path, marker)):
         return  # replayed batch: already folded in
     if os.path.exists(dir_path):
         current = spark.read.parquet(dir_path)
-        merged = current.unionByName(deltas).groupBy(*view.group_cols).agg(
-            *_fold_aggs(view)
+        merged = (
+            current.unionByName(deltas, allowMissingColumns=True)
+            .groupBy(*view.group_cols)
+            .agg(*_fold_aggs(view))
         )
     else:
         merged = deltas
     merged = merged.filter(F.col("n_delta") != 0)
+    if view.min_cols or view.max_cols:
+        if base is None:
+            raise ValueError(
+                "MIN/MAX maintenance needs the post-batch base table "
+                "(pass base=<apply_changes snapshot>)"
+            )
+        merged = _resolve_extrema(merged, view, base)
     atomic_swap_dir(merged, dir_path, tmp_path, old_path, marker)
+
+
+def _resolve_extrema(merged: DataFrame, view: AggViewSpec, base: DataFrame) -> DataFrame:
+    """Split folded groups into pure-delta vs recompute-needed.
+
+    Exactness of the predicate: with candidate = least(stored extremum,
+    insert-side extremum), a deletion strictly above the candidate min
+    cannot change the min (the candidate value is known present), so
+    only rmin ≤ candidate (resp. rmax ≥ candidate) forces a group
+    recompute — deleting one of several copies of the extremum included
+    (multiplicity is unknowable without the full group)."""
+    need = F.lit(False)
+    for c in view.min_cols:
+        need = need | (
+            F.col(f"rmin_{c}").isNotNull()
+            & (F.col(f"min_{c}").isNull() | (F.col(f"rmin_{c}") <= F.col(f"min_{c}")))
+        )
+    for c in view.max_cols:
+        need = need | (
+            F.col(f"rmax_{c}").isNotNull()
+            & (F.col(f"max_{c}").isNull() | (F.col(f"rmax_{c}") >= F.col(f"max_{c}")))
+        )
+    drop_r = [f"rmin_{c}" for c in view.min_cols] + [f"rmax_{c}" for c in view.max_cols]
+    drop_x = [f"min_{c}" for c in view.min_cols] + [f"max_{c}" for c in view.max_cols]
+    flagged = merged.withColumn("__need", need)
+    ok = flagged.filter(~F.col("__need")).drop("__need", *drop_r)
+    stale = flagged.filter(F.col("__need")).drop("__need", *drop_r, *drop_x)
+    keys = list(view.group_cols)
+    recomputed = (
+        base.join(stale.select(*keys), keys, "left_semi")
+        .groupBy(*keys)
+        .agg(
+            *[F.min(c).cast(view.cast).alias(f"min_{c}") for c in view.min_cols],
+            *[F.max(c).cast(view.cast).alias(f"max_{c}") for c in view.max_cols],
+        )
+    )
+    return ok.unionByName(stale.join(recomputed, keys, "left"))
 
 
 def merge_agg_batch(
@@ -126,17 +214,20 @@ def merge_agg_batch(
     view_path: str,
     view: AggViewSpec,
     batch_id: int | None = None,
+    base: DataFrame | None = None,
 ) -> None:
     """Fold one micro-batch's deltas into the persistent view.
     Groups whose row count reaches zero are dropped (they no longer
     exist in the underlying table). Crash-safe swap + replay markers:
     replayed batches are no-ops, and no crash point loses the prior
-    state (the rename-aside discipline)."""
+    state (the rename-aside discipline). Views with MIN/MAX columns
+    pass ``base`` = the post-batch base table for group recompute on
+    extremum retraction."""
     marker = f"_applied_{batch_id}" if batch_id is not None else None
     deltas = delta_frame(batch, view)
     _merge_dir(
         batch.sparkSession, deltas, view_path, view,
-        view_path + ".next", view_path + ".old", marker,
+        view_path + ".next", view_path + ".old", marker, base=base,
     )
 
 
@@ -172,6 +263,10 @@ def read_agg_view(spark: SparkSession, view_path: str, view: AggViewSpec) -> Dat
             .otherwise(F.lit(None).cast(view.cast))
             .alias(f"sum_{c}")
         )
+    for c in view.min_cols:
+        cols.append(F.col(f"min_{c}"))
+    for c in view.max_cols:
+        cols.append(F.col(f"max_{c}"))
     return df.select(*cols)
 
 
@@ -181,6 +276,7 @@ def merge_agg_batch_partitioned(
     view: AggViewSpec,
     batch_id: int | None = None,
     num_buckets: int = 16,
+    base: DataFrame | None = None,
 ) -> None:
     """Hash-bucket-partitioned variant: the view lays out as one
     directory per key-hash bucket and a batch merges ONLY the buckets
@@ -213,7 +309,7 @@ def merge_agg_batch_partitioned(
         tmp, old_dir = swap_aside_paths(view_path, f"__bucket={b}")
         _merge_dir(
             spark, mine, os.path.join(view_path, f"__bucket={b}"), view,
-            tmp, old_dir, marker,
+            tmp, old_dir, marker, base=base,
         )
 
 

@@ -255,3 +255,153 @@ def test_partitioned_temp_dirs_invisible_and_bucket_pin(spark, tmp_path):
         merge_agg_batch_partitioned(_batch(spark, [
             _op("insert", 20, after={"id": 2, "grp": "b", "amount": 1}),
         ]), path, VIEW, batch_id=1, num_buckets=8)
+
+
+MM_VIEW = AggViewSpec(
+    group_cols=("grp",), sum_cols=("amount",),
+    min_cols=("amount",), max_cols=("amount",),
+)
+
+
+def _mm_state(spark, path):
+    return {
+        r["grp"]: (r["n_rows"], r["min_amount"], r["max_amount"])
+        for r in read_agg_view(spark, path, MM_VIEW).collect()
+    }
+
+
+def _base(spark, rows):
+    """Post-batch base table (grp, amount) the recompute reads."""
+    return spark.createDataFrame(rows, "grp string, amount double")
+
+
+def test_minmax_insert_only_folds_without_base_scan(spark, tmp_path):
+    """Pure inserts fold min/max in place; the base recompute join
+    receives zero groups (predicate never fires on insert-only)."""
+    path = str(tmp_path / "view")
+    merge_agg_batch(_batch(spark, [
+        _op("insert", 1, after={"grp": "a", "amount": 5}),
+        _op("insert", 2, after={"grp": "a", "amount": 9}),
+        _op("insert", 3, after={"grp": "b", "amount": 2}),
+    ]), path, MM_VIEW, batch_id=0, base=_base(spark, []))
+    # empty base on purpose: a recompute would surface as NULL extrema
+    assert _mm_state(spark, path) == {"a": (2, 5.0, 9.0), "b": (1, 2.0, 2.0)}
+    # second batch improves extrema by insert only — still no recompute
+    merge_agg_batch(_batch(spark, [
+        _op("insert", 4, after={"grp": "a", "amount": 1}),
+        _op("insert", 5, after={"grp": "a", "amount": 12}),
+    ]), path, MM_VIEW, batch_id=1, base=_base(spark, []))
+    assert _mm_state(spark, path) == {"a": (4, 1.0, 12.0), "b": (1, 2.0, 2.0)}
+
+
+def test_minmax_retraction_of_extremum_recomputes_group(spark, tmp_path):
+    path = str(tmp_path / "view")
+    merge_agg_batch(_batch(spark, [
+        _op("insert", 1, after={"grp": "a", "amount": 5}),
+        _op("insert", 2, after={"grp": "a", "amount": 9}),
+        _op("insert", 3, after={"grp": "a", "amount": 7}),
+        _op("insert", 4, after={"grp": "b", "amount": 3}),
+    ]), path, MM_VIEW, batch_id=0, base=_base(spark, []))
+    # delete the current max (9): group a must recompute from base;
+    # group b untouched (its state must NOT hit the base, which would
+    # yield the poisoned value 999)
+    merge_agg_batch(_batch(spark, [
+        _op("delete", 5, before={"grp": "a", "amount": 9}),
+    ]), path, MM_VIEW, batch_id=1,
+        base=_base(spark, [("a", 5.0), ("a", 7.0), ("b", 999.0)]))
+    assert _mm_state(spark, path) == {"a": (2, 5.0, 7.0), "b": (1, 3.0, 3.0)}
+
+
+def test_minmax_non_extremum_delete_is_pure_delta(spark, tmp_path):
+    path = str(tmp_path / "view")
+    merge_agg_batch(_batch(spark, [
+        _op("insert", 1, after={"grp": "a", "amount": 5}),
+        _op("insert", 2, after={"grp": "a", "amount": 9}),
+        _op("insert", 3, after={"grp": "a", "amount": 7}),
+    ]), path, MM_VIEW, batch_id=0, base=_base(spark, []))
+    # delete a middle value: min/max unaffected -> no recompute. The
+    # poisoned base proves the group never touched it.
+    merge_agg_batch(_batch(spark, [
+        _op("delete", 4, before={"grp": "a", "amount": 7}),
+    ]), path, MM_VIEW, batch_id=1, base=_base(spark, [("a", 999.0)]))
+    assert _mm_state(spark, path) == {"a": (2, 5.0, 9.0)}
+
+
+def test_minmax_same_batch_insert_covers_deleted_extremum(spark, tmp_path):
+    """The exactness edge: stored min 5; one batch inserts 1 AND
+    deletes 5. rmin(5) > candidate(1) -> no recompute needed, min=1."""
+    path = str(tmp_path / "view")
+    merge_agg_batch(_batch(spark, [
+        _op("insert", 1, after={"grp": "a", "amount": 5}),
+        _op("insert", 2, after={"grp": "a", "amount": 8}),
+    ]), path, MM_VIEW, batch_id=0, base=_base(spark, []))
+    merge_agg_batch(_batch(spark, [
+        _op("insert", 3, after={"grp": "a", "amount": 1}),
+        _op("delete", 4, before={"grp": "a", "amount": 5}),
+    ]), path, MM_VIEW, batch_id=1, base=_base(spark, [("a", 999.0)]))
+    st = _mm_state(spark, path)
+    assert st["a"][0] == 2 and st["a"][1] == 1.0
+    # max: deleting 5 < max 8 is not a retraction of the max either
+    assert st["a"][2] == 8.0
+
+
+def test_minmax_update_moving_extremum(spark, tmp_path):
+    """An update is delete(before)+insert(after): moving the min UP
+    forces recompute; duplicate extremum copies survive correctly."""
+    path = str(tmp_path / "view")
+    merge_agg_batch(_batch(spark, [
+        _op("insert", 1, after={"grp": "a", "amount": 5}),
+        _op("insert", 2, after={"grp": "a", "amount": 5}),
+        _op("insert", 3, after={"grp": "a", "amount": 8}),
+    ]), path, MM_VIEW, batch_id=0, base=_base(spark, []))
+    # one of the two 5s moves to 10: min must STAY 5 (the other copy) —
+    # multiplicity is unknowable from state, so this must recompute
+    merge_agg_batch(_batch(spark, [
+        _op("update", 4, before={"grp": "a", "amount": 5},
+            after={"grp": "a", "amount": 10}),
+    ]), path, MM_VIEW, batch_id=1,
+        base=_base(spark, [("a", 5.0), ("a", 8.0), ("a", 10.0)]))
+    assert _mm_state(spark, path) == {"a": (3, 5.0, 10.0)}
+
+
+def test_minmax_requires_base(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="base"):
+        merge_agg_batch(_batch(spark, [
+            _op("insert", 1, after={"grp": "a", "amount": 5}),
+        ]), str(tmp_path / "v"), MM_VIEW, batch_id=0)
+
+
+def test_minmax_partitioned_parity(spark, tmp_path):
+    """Bucket-partitioned merge with min/max: same final state as the
+    flat merge, recompute confined to touched groups."""
+    from dolphinbeat_spark.sinks.incremental_agg import merge_agg_batch_partitioned
+
+    flat, part = str(tmp_path / "flat"), str(tmp_path / "part")
+    b0 = [
+        _op("insert", i, after={"grp": f"g{i % 5}", "amount": i}) for i in range(1, 21)
+    ]
+    b1 = [
+        _op("delete", 21, before={"grp": "g0", "amount": 20}),  # g0's max
+        _op("insert", 22, after={"grp": "g1", "amount": 0}),    # new min
+        _op("update", 23, before={"grp": "g2", "amount": 2},
+            after={"grp": "g2", "amount": 3}),                  # min moves
+    ]
+    base1 = _base(spark, [("g0", float(a)) for a in (5, 10, 15)]
+                  + [("g1", float(a)) for a in (0, 1, 6, 11, 16)]
+                  + [("g2", float(a)) for a in (3, 7, 12, 17)]
+                  + [("g3", float(a)) for a in (3, 8, 13, 18)]
+                  + [("g4", float(a)) for a in (4, 9, 14, 19)])
+    for path, fn in ((flat, merge_agg_batch),):
+        fn(_batch(spark, b0), path, MM_VIEW, batch_id=0, base=_base(spark, []))
+        fn(_batch(spark, b1), path, MM_VIEW, batch_id=1, base=base1)
+    merge_agg_batch_partitioned(_batch(spark, b0), part, MM_VIEW, batch_id=0,
+                                num_buckets=4, base=_base(spark, []))
+    merge_agg_batch_partitioned(_batch(spark, b1), part, MM_VIEW, batch_id=1,
+                                num_buckets=4, base=base1)
+    assert _mm_state(spark, flat) == _mm_state(spark, part)
+    st = _mm_state(spark, flat)
+    assert st["g0"] == (3, 5.0, 15.0)
+    assert st["g1"] == (5, 0.0, 16.0)
+    assert st["g2"] == (4, 3.0, 17.0)
