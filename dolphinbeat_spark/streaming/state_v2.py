@@ -9,12 +9,22 @@ the v1 module remains the comparison point.
 State discipline at scale is identical: O(1) ValueState per producer
 (a seq high-watermark), never a seen-set.
 
-Environment gate: executing transformWithState requires (a) the
-RocksDB state store provider (bundled) and (b) the ``google.protobuf``
-python package for its state-server protocol — the latter is NOT in
-this container, so the operator is import-clean but only runs where
-protobuf exists (tests skip accordingly; see
-tests/test_state_ops.py::test_dedup_by_seq_v2_transform_with_state).
+Environment gate — and why it cannot be vendored away: executing
+transformWithState requires (a) the RocksDB state store provider
+(bundled) and (b) the ``google.protobuf`` python RUNTIME for its
+state-server protocol. (b) is not satisfiable by hand-rolled message
+encoding (the way sinks/wire_protocol.py hand-rolls proto3 wire
+bytes): Spark imports its own generated
+``pyspark.sql.streaming.proto.StateMessage_pb2``, whose generated code
+needs the real runtime — ``descriptor_pool.Default().Add...``,
+``internal.builder``, and a ``runtime_version.ValidateProtobufRuntimeVersion``
+check pinned to the generator's protobuf release — i.e. vendoring
+would mean reimplementing the protobuf runtime itself. The module
+therefore stays import-clean; the processor LOGIC is exercised
+directly (tests/test_state_ops.py::test_dedup_by_seq_v2_processor_unit)
+and the end-to-end form runs wherever the package exists
+(test_dedup_by_seq_v2_transform_with_state forks on availability —
+no perpetual skip either way).
 """
 
 from __future__ import annotations
