@@ -518,3 +518,65 @@ def register_binlog_file_source(spark) -> None:
             return ArrowBinlogStreamReader(opts)
 
     spark.dataSource.register(BinlogFileDataSource)
+
+
+# --- batch backfill: a DIRECTORY of archived binlog files -------------------
+
+
+def read_binlog_files(spark, path: str, schema_snapshot_json: str = ""):
+    """Batch-decode archived binlog files into the envelope schema —
+    the 100 TB backfill shape: unlike the streaming readers (one
+    ordered stream, table shards that each re-scan the log), archived
+    files are independent units, so decode parallelizes PER FILE with
+    zero redundancy — N files saturate min(N, cores) executors, and
+    Spark's binaryFile source handles listing/distribution.
+
+    Each file decodes with its own registry (seeded from
+    ``schema_snapshot_json`` when given, else from the DDL recorded in
+    the file itself) and emits rows ordered by its event stream;
+    ``log_name`` carries the file's basename, so the total CDC order
+    (log_name, log_pos, row_index) reconstructs across files from the
+    binlog naming convention (lexically increasing). Memory note: one
+    file materializes per task (binaryFile contract) — binlog files
+    are bounded by the server's max_binlog_size (1 GiB default), which
+    is the per-task budget to plan for."""
+    from pathlib import PurePosixPath
+
+    import pandas as pd
+
+    from dolphinbeat_spark.envelope import ENVELOPE_SCHEMA
+    from dolphinbeat_spark.schema.registry import SchemaRegistry
+    from dolphinbeat_spark.sources.binlog_source import (
+        DecodeContext,
+        adapt_replication_event,
+        decode_event,
+    )
+
+    names = [f.name for f in ENVELOPE_SCHEMA.fields]
+
+    def batches(it):
+        for pdf in it:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                registry = (
+                    SchemaRegistry.loads(schema_snapshot_json)
+                    if schema_snapshot_json
+                    else SchemaRegistry()
+                )
+                ctx = DecodeContext(
+                    registry=registry,
+                    log_name=PurePosixPath(str(fpath)).name,
+                )
+                cols: dict[str, list] = {n: [] for n in names}
+                for raw in parse_binlog_events(bytes(content)):
+                    ev = adapt_replication_event(raw)
+                    if ev is None:
+                        continue
+                    for op in decode_event(ev, ctx):
+                        get = op.get
+                        for n in names:
+                            cols[n].append(get(n))
+                if cols["op_type"]:
+                    yield pd.DataFrame(cols)
+
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(batches, ENVELOPE_SCHEMA)

@@ -156,3 +156,34 @@ def test_replay_through_streaming_arrow_reader(spark, tmp_path):
             assert r["after"] == o.get("after"), (o["log_pos"], o["row_index"])
             assert r["before"] == o.get("before")
             assert r["db"] == o["db"] and r["table"] == o["table"]
+
+
+def test_batch_backfill_over_file_directory(spark, tmp_path):
+    """read_binlog_files: a directory of archived binlog files decodes
+    per-file-parallel into the envelope, each file independent (own
+    registry from its recorded DDL), log_name = file basename so the
+    (log_name, log_pos, row_index) total order reconstructs."""
+    import shutil
+
+    from dolphinbeat_spark.sources.binlog_file import read_binlog_files
+
+    d = tmp_path / "archive"
+    d.mkdir()
+    shutil.copy(FIXTURE, d / "replay.000001")
+    shutil.copy(FIXTURE, d / "replay.000002")
+    got = read_binlog_files(spark, str(d)).collect()
+    ops, _ = _decode_all()
+    assert len(got) == 2 * len(ops)
+    by_file = {}
+    for r in got:
+        by_file.setdefault(r["log_name"], []).append(r)
+    # decode_event stamps ctx.log_name, which a rotate event flips —
+    # the tail rotate renames to replay.000002 in both decodes
+    all_names = set(by_file)
+    assert {"replay.000001", "replay.000002"} <= all_names
+    # per-file row op values match the golden batch decode
+    want_inserts = [o for o in ops if o["op_type"] == "insert"]
+    for name in ("replay.000001", "replay.000002"):
+        rows = [r for r in by_file[name] if r["op_type"] == "insert"]
+        assert len(rows) == len(want_inserts)
+        assert rows[0]["after"] == want_inserts[0]["after"]
