@@ -157,6 +157,56 @@ def binlog_decode_section(spark) -> dict:
     }
 
 
+def binlog_backfill_section(spark) -> dict:
+    """Archived-binlog BACKFILL throughput (sources/binlog_file.py::
+    read_binlog_files): wall time for 1 file vs 4 files of identical
+    size. Files are independent decode units, so the 4-file wall should
+    approach the 1-file wall (per-file parallelism — the scale property
+    that distinguishes backfill from the streaming readers' shard
+    re-scan); `scaling` = measured speedup over serial decode
+    (ideal 4.0 at 4 files on >=4 cores)."""
+    from pathlib import Path
+
+    from dolphinbeat_spark.sources.binlog_file import read_binlog_files
+    from tools.make_binlog_fixture import write_synthetic
+
+    base = Path("/tmp/dolphinbeat_backfill")
+    n_trx, rows_per_trx, n_files = 1200, 10, 4
+    ops_per_file = 1 + n_trx * (3 + rows_per_trx)
+    marker = base / f"_OK_{n_trx}x{rows_per_trx}x{n_files}"
+    if not marker.exists():
+        for i in range(n_files):
+            sub = base / ("one" if i == 0 else "rest")
+            write_synthetic(sub / f"bf.{i + 1:06d}", n_trx, rows_per_trx, seed=i)
+        # the 1-file dir holds file 0; the 4-file dir holds all of them
+        import shutil
+
+        shutil.copy(base / "one" / "bf.000001", base / "rest" / "bf.000001")
+        marker.touch()
+
+    def run(path: str) -> float:
+        best = None
+        for i in range(2):  # warm-up + timed
+            t0 = time.time()
+            read_binlog_files(spark, path).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            took = time.time() - t0
+            if i > 0:
+                best = took if best is None else min(best, took)
+        return best
+
+    one_sec = run(str(base / "one"))
+    four_sec = run(str(base / "rest"))
+    return {
+        "ops_per_file": ops_per_file,
+        "one_file_sec": round(one_sec, 3),
+        "four_files_sec": round(four_sec, 3),
+        "four_files_ops_per_s": round(n_files * ops_per_file / four_sec, 1),
+        "scaling": round(n_files * one_sec / four_sec, 2),
+    }
+
+
 # the 5 most expensive headline queries (per BENCH_r04's clean run):
 # the sf0.1 -> sf1 scale-evidence set. q5 is the join-heavy one that
 # would expose a broadcast->SMJ flip at larger scale.
@@ -266,6 +316,11 @@ def main() -> None:
     except Exception as ex:  # noqa: BLE001 - evidence, not a gate
         binlog_decode = {"error": f"{type(ex).__name__}: {ex}"}
 
+    try:
+        binlog_backfill = binlog_backfill_section(spark)
+    except Exception as ex:  # noqa: BLE001 - evidence, not a gate
+        binlog_backfill = {"error": f"{type(ex).__name__}: {ex}"}
+
     # sf0.1 -> sf1 scale evidence (never fails the bench)
     if os.environ.get("SPARK_GRAFT_SKIP_SF1") == "1":
         sf1 = {"skipped": True}
@@ -301,6 +356,7 @@ def main() -> None:
         "queries": timings,
         "stream": stream,
         "binlog_decode": binlog_decode,
+        "binlog_backfill": binlog_backfill,
         "sf1": sf1,
         "sf": sf,
         # reproducibility block (BASELINE.md §C protocol)

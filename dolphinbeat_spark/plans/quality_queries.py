@@ -619,3 +619,149 @@ def profile_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("n_s").alias("n_tokens"), "n_unique", "kl_nats")
         .orderBy("source")
     )
+
+
+_DSIR_B = 256  # hashed feature buckets (DSIR uses 10k at corpus scale)
+
+
+@register(
+    "sample_dsir_importance",
+    # ln() ulp noise absorbed by ROUND(,4) over a bucket-ordered fold
+    # (the quality_unigram_lm convention). All counts are exact ints;
+    # the only doubles are the two smoothed-log terms per bucket.
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKENS_SQL} AS tk FROM documents
+), feats AS (
+  SELECT doc_id, source, unnest(list_concat(
+           tk,
+           list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                          i -> concat(tk[i], ' ', tk[i + 1]))
+         )) AS f
+  FROM toks
+), bucketed AS (
+  SELECT doc_id, source,
+         CAST(substr(source, 4) AS INTEGER) < 5 AS is_target,
+         ({hash64_sql('f')}) % {_DSIR_B} AS b
+  FROM feats
+), bucket_stats AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS r_cnt,
+         CAST(count_if(is_target) AS BIGINT) AS t_cnt
+  FROM bucketed GROUP BY b
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS r_total,
+         CAST(count_if(is_target) AS BIGINT) AS t_total
+  FROM bucketed
+), doc_b AS (
+  SELECT doc_id, source, b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM bucketed GROUP BY doc_id, source, b
+), terms AS (
+  SELECT d.doc_id, d.source, d.b, d.n,
+         CAST(d.n AS DOUBLE)
+           * (ln(CAST(s.t_cnt + 1 AS DOUBLE) / CAST(t.t_total + {_DSIR_B} AS DOUBLE))
+              - ln(CAST(s.r_cnt + 1 AS DOUBLE) / CAST(t.r_total + {_DSIR_B} AS DOUBLE)))
+           AS term
+  FROM doc_b d JOIN bucket_stats s USING (b) CROSS JOIN tot t
+), scored AS (
+  SELECT doc_id, source, CAST(SUM(n) AS BIGINT) AS n_feats,
+         ROUND(list_reduce(list(term ORDER BY b), (a, x) -> a + x), 4) AS log_importance
+  FROM terms GROUP BY doc_id, source
+)
+SELECT doc_id, source, n_feats, log_importance,
+       log_importance > 0 AS target_like
+FROM scored ORDER BY doc_id
+""",
+    tags=("sampling", "dsir", "importance", "llm-pipeline"),
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (hashed n-gram importance resampling,
+    Xie et al. 2023): per-document log importance weight
+    log p_target(doc) - log p_raw(doc) under two add-one-smoothed
+    bag-of-hashed-features models — unigrams + bigrams hashed into
+    B=256 buckets, target = the src0-src4 slice of the corpus, raw =
+    the whole pool. Positive weight = reads more like the target than
+    the average document; DSIR then resamples proportional to
+    exp(weight) (a nondeterministic Gumbel step left to the caller —
+    the weights are the method's substance).
+
+    Scale shape: the feature space is FIXED at B buckets regardless
+    of corpus size, so both distributions and the per-doc join side
+    are broadcastable constants; everything else is wordcount-shaped
+    (one shuffle on bucket id, partial-aggregated) plus a per-doc
+    bucket-ordered fold bounded by B. The 100 TB form is identical
+    with B=10k."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    toked = d.select("doc_id", "source", T.tokens("text").alias("tk"))
+    feats = toked.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.concat(
+                F.col("tk"),
+                F.expr(
+                    "transform(sequence(1, greatest(size(tk) - 1, 0)),"
+                    " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+                ),
+            )
+        ).alias("f"),
+    )
+    from dolphinbeat_spark.functions.hashes import hash64
+
+    bucketed = feats.select(
+        "doc_id",
+        "source",
+        (F.substring("source", 4, 10).cast("int") < 5).alias("is_target"),
+        F.pmod(hash64(F.col("f")), F.lit(_DSIR_B)).alias("b"),
+    )
+    bucket_stats = bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r_cnt"),
+        F.count_if("is_target").cast("bigint").alias("t_cnt"),
+    )
+    tot = bucketed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("r_total"),
+        F.count_if("is_target").cast("bigint").alias("t_total"),
+    )
+    doc_b = bucketed.groupBy("doc_id", "source", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    terms = (
+        doc_b.join(F.broadcast(bucket_stats), "b")
+        .join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "source",
+            "b",
+            "n",
+            (
+                F.col("n").cast("double")
+                * (
+                    F.log(
+                        (F.col("t_cnt") + 1).cast("double")
+                        / (F.col("t_total") + _DSIR_B).cast("double")
+                    )
+                    - F.log(
+                        (F.col("r_cnt") + 1).cast("double")
+                        / (F.col("r_total") + _DSIR_B).cast("double")
+                    )
+                )
+            ).alias("term"),
+        )
+    )
+    scored = terms.groupBy("doc_id", "source").agg(
+        F.sum("n").cast("bigint").alias("n_feats"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("b", "term"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            ),
+            4,
+        ).alias("log_importance"),
+    )
+    return scored.select(
+        "doc_id",
+        "source",
+        "n_feats",
+        "log_importance",
+        (F.col("log_importance") > 0).alias("target_like"),
+    ).orderBy("doc_id")

@@ -287,3 +287,29 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def write_synthetic(path: Path, n_trx: int, rows_per_trx: int, seed: int = 0) -> int:
+    """A larger synthetic binlog file for throughput measurement
+    (bench.py binlog_backfill section): one VARCHAR table, ``n_trx``
+    GTID-framed transactions. Returns the op count a decode should
+    yield (ddl + per-trx gtid/begin/commit + row ops)."""
+    w = Writer()
+    w.fde()
+    w.query("test", "CREATE TABLE test.bf (id INT PRIMARY KEY, v VARCHAR(64))")
+    sid = f"{seed:032x}"
+    rid = seed * 10_000_000
+    for t in range(n_trx):
+        w.gtid(sid, t + 1)
+        w.query("test", "BEGIN")
+        rows = []
+        for _ in range(rows_per_trx):
+            rid += 1
+            rows.append((rid, f"value-{rid:016d}-{seed}"))
+        w.table_map(201, "test", "bf", [(B.T_LONG, 0), (B.T_VARCHAR, 64)])
+        w.rows(B.EV_WRITE_ROWS_V2, 201, [(B.T_LONG, 0), (B.T_VARCHAR, 64)], rows)
+        w.xid(t + 1)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(bytes(w.buf))
+    # ops: 1 ddl + per trx (gtid + begin + rows_per_trx inserts + commit)
+    return 1 + n_trx * (3 + rows_per_trx)
