@@ -50,6 +50,7 @@ _BNLJ_OK = {
     "dedup_lsh_recall",  # bounded-universe all-pairs truth (by design)
     "quality_unigram_lm",  # 1-row corpus-totals (N, V) broadcast
     "sample_temperature_mix",  # 1-row budget/normalizer broadcast
+    "sample_dsir_importance",  # 1-row feature-totals (R, T) broadcast
     "profile_source_divergence",  # 1-row corpus-total broadcast
     "sketch_kmv_intersection",  # 5-row sketch-array pair join (type_a < type_b)
     "graph_triangles_neardup",  # 1-row summary-count joins (edges/wedges/triangles)
