@@ -655,3 +655,68 @@ def sample_kmeans_centroids(
         "cid int, cv array<double>",
     )
     return out.select("cid", F.col("cv").cast("array<float>").alias("cv"))
+
+
+def ivf_hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """ANN hard-negative mining for contrastive/embedding training:
+    for each anchor, the top-k most-similar corpus vectors carrying a
+    DIFFERENT label — the standard in-batch-negatives upgrade (mine
+    near neighbors across the label boundary instead of random
+    negatives). Same scale shape as :func:`ivf_ann_topk` (broadcast
+    centroids, cell-bucketed candidate join, no all-pairs product);
+    the label filter runs before ranking so k true negatives survive
+    even when an anchor's cell is dominated by its own class."""
+    inv = (
+        ivf_assign(corpus, centroids, id_col, vec_col, "negative_id", 1)
+        .select("negative_id", F.col("vec").alias("__cv"), "cell")
+        .join(
+            corpus.select(
+                F.col(id_col).alias("negative_id"),
+                F.col(label_col).alias("negative_label"),
+            ),
+            "negative_id",
+        )
+    )
+    probes = (
+        ivf_assign(queries, centroids, id_col, vec_col, "anchor_id", nprobe)
+        .select("anchor_id", F.col("vec").alias("__qv"), "cell")
+        .join(
+            queries.select(
+                F.col(id_col).alias("anchor_id"),
+                F.col(label_col).alias("anchor_label"),
+            ),
+            "anchor_id",
+        )
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(inv, "cell")
+        .filter(F.col("negative_label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            cosine_similarity("__qv", "__cv").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id", "anchor_label", "negative_id", "negative_label",
+            "rank", "cosine",
+        )
+    )

@@ -635,3 +635,61 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(q, emb, "vec_id", "embedding", 3, NUM_PLANES, DIM).orderBy(
         "query_id", "rank"
     )
+
+
+@register(
+    "sim_hard_negatives",
+    # the sim_ivf_ann_topk oracle with the label boundary applied
+    # before ranking: candidates come from the same cell-bucketed
+    # probe join; only different-label candidates may rank
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 7
+), inv AS (
+  SELECT vec_id AS negative_id, label AS negative_label, cv2, cell FROM (
+    SELECT e.vec_id, e.label, e.embedding AS cv2, c.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT anchor_id, anchor_label, qv, cell FROM (
+    SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+           q.embedding AS qv, c.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cos('q.embedding', 'c.cv')} DESC, c.cid) AS rn
+    FROM embeddings q CROSS JOIN cent c
+    WHERE q.vec_id % 50 = 0
+  ) WHERE rn <= 2
+), scored AS (
+  SELECT p.anchor_id, p.anchor_label, i.negative_id, i.negative_label,
+         {_cos('p.qv', 'i.cv2')} AS cosine
+  FROM probes p JOIN inv i ON i.cell = p.cell
+  WHERE i.negative_label <> p.anchor_label
+), ranked AS (
+  SELECT anchor_id, anchor_label, negative_id, negative_label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id
+                            ORDER BY cosine DESC, negative_id) AS rank
+  FROM scored
+)
+SELECT anchor_id, anchor_label, negative_id, negative_label, rank, cosine
+FROM ranked WHERE rank <= {K}
+ORDER BY anchor_id, rank
+""",
+    tags=("similarity", "ann", "hard-negatives", "llm-pipeline"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training data: each anchor
+    (vec_id % 50 == 0) gets its top-5 most-similar DIFFERENT-label
+    vectors via the IVF cell-bucketed candidate path — near neighbors
+    across the label boundary are the informative negatives that random
+    sampling almost never finds. Identical ANN scale shape to
+    sim_ivf_ann_topk; only the label filter is new."""
+    emb = load(spark, sf_dir, "embeddings", widen=True)
+    cent = emb.filter(F.col("vec_id") % 40 == 7).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.ivf_hard_negatives(
+        q, emb, cent, "vec_id", "embedding", "label", K, nprobe=2
+    ).orderBy("anchor_id", "rank")

@@ -40,6 +40,7 @@ _BNLJ_OK = {
     "q22_churned_balance",
     "text_tfidf_topterms",
     "sim_ivf_ann_topk",
+    "sim_hard_negatives",  # same IVF centroid broadcast, label filter added
     "sim_ivf_recall_eval",  # composes the two intended-BNLJ operators above
     "sim_ivf_trained_recall",  # same composition + 1-row recall crossJoin
     "sim_pq_adc_topk",  # PQ linear code scan: broadcast query set by design
