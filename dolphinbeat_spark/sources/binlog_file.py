@@ -49,10 +49,16 @@ EV_ROTATE = 0x04
 EV_FORMAT_DESCRIPTION = 0x0F
 EV_XID = 0x10
 EV_TABLE_MAP = 0x13
+# v1 rows events (5.1-5.5 era archives): identical layout to v2 minus
+# the extra-data block — still common in long-retention backfill sets
+EV_WRITE_ROWS_V1 = 0x17
+EV_UPDATE_ROWS_V1 = 0x18
+EV_DELETE_ROWS_V1 = 0x19
 EV_WRITE_ROWS_V2 = 0x1E
 EV_UPDATE_ROWS_V2 = 0x1F
 EV_DELETE_ROWS_V2 = 0x20
 EV_GTID = 0x21
+EV_MARIADB_GTID = 0xA2  # MariaDB dialect: domain-server-seq
 
 # column type codes (public enum_field_types)
 T_TINY, T_SHORT, T_LONG, T_FLOAT, T_DOUBLE = 1, 2, 3, 4, 5
@@ -422,19 +428,30 @@ def parse_binlog_events(data: bytes):
             if p != mend:
                 raise BinlogFormatError("TABLE_MAP metadata length mismatch")
             tables[table_id] = _TableMap(schema, table, ctypes, metas)
-        elif etype in (EV_WRITE_ROWS_V2, EV_DELETE_ROWS_V2, EV_UPDATE_ROWS_V2):
+        elif etype == EV_MARIADB_GTID:
+            # gno(8LE) domain(4LE) flags(1); gtid text form is
+            # domain-server_id-seq (the dialect the offset algebra's
+            # MariaDB branch consumes)
+            (gno,) = struct.unpack_from("<Q", body, 0)
+            (domain,) = struct.unpack_from("<I", body, 8)
+            yield GtidEvent(ts, log_pos, f"{domain}-{_server_id}-{gno}")
+        elif etype in (
+            EV_WRITE_ROWS_V2, EV_DELETE_ROWS_V2, EV_UPDATE_ROWS_V2,
+            EV_WRITE_ROWS_V1, EV_DELETE_ROWS_V1, EV_UPDATE_ROWS_V1,
+        ):
             table_id = int.from_bytes(body[0:6], "little")
             tm = tables.get(table_id)
             if tm is None:
                 raise BinlogFormatError(f"rows event for unmapped table id {table_id}")
             p = 8
-            extra_len = struct.unpack_from("<H", body, p)[0]
-            p += extra_len  # includes its own 2 bytes
+            if etype in (EV_WRITE_ROWS_V2, EV_DELETE_ROWS_V2, EV_UPDATE_ROWS_V2):
+                extra_len = struct.unpack_from("<H", body, p)[0]
+                p += extra_len  # includes its own 2 bytes
             ncols, p = _lenenc(body, p)
             if ncols != len(tm.col_types):
                 raise BinlogFormatError("rows event width != TABLE_MAP width")
             p += (ncols + 7) // 8  # columns-present bitmap (all set here)
-            if etype == EV_UPDATE_ROWS_V2:
+            if etype in (EV_UPDATE_ROWS_V2, EV_UPDATE_ROWS_V1):
                 p += (ncols + 7) // 8  # after-image present bitmap
                 pairs = []
                 while p < len(body):
@@ -447,7 +464,11 @@ def parse_binlog_events(data: bytes):
                 while p < len(body):
                     row, p = _read_row_image(body, p, tm)
                     rows.append(row)
-                cls = WriteRowsEvent if etype == EV_WRITE_ROWS_V2 else DeleteRowsEvent
+                cls = (
+                    WriteRowsEvent
+                    if etype in (EV_WRITE_ROWS_V2, EV_WRITE_ROWS_V1)
+                    else DeleteRowsEvent
+                )
                 yield cls(ts, log_pos, tm.schema, tm.table, rows)
         # else: bookkeeping event types (PREVIOUS_GTIDS, ANONYMOUS_GTID,
         # HEARTBEAT, ...) — skipped by size, like real consumers
