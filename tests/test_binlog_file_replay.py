@@ -257,3 +257,84 @@ def test_parser_fuzz_never_silently_wrong():
         # server-version text, skipped bookkeeping): output must be
         # IDENTICAL to the uncorrupted decode for all parsed fields
         assert len(evs) == len(good)
+
+
+def test_value_codec_property_roundtrip():
+    """Property test: random typed values survive the writer→parser
+    byte roundtrip exactly — randomized evidence on top of the fixed
+    golden vectors (decimal precision/scale grid, full int ranges,
+    unicode strings, temporal fields)."""
+    import sys
+    from datetime import date, datetime, timedelta
+    from decimal import Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from tools.make_binlog_fixture import enc_value
+
+    from dolphinbeat_spark.sources import binlog_file as B
+
+    def roundtrip(ctype, meta, v):
+        raw = enc_value(ctype, meta, v)
+        out, consumed = B._read_value(raw, 0, ctype, meta)
+        assert consumed == len(raw), "trailing bytes not consumed"
+        return out
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(-(2**31), 2**31 - 1))
+    def ints_long(v):
+        assert roundtrip(B.T_LONG, 0, v) == v
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(-(2**63), 2**63 - 1))
+    def ints_longlong(v):
+        assert roundtrip(B.T_LONGLONG, 0, v) == v
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(1, 30).flatmap(
+            lambda p: st.tuples(
+                st.just(p),
+                st.integers(0, min(p, 30)),
+                st.integers(0, 10**p - 1),
+                st.booleans(),
+            )
+        )
+    )
+    def decimals(t):
+        p, s, digits, neg = t
+        txt = str(digits).zfill(s + 1)
+        val = Decimal(("-" if neg and digits else "") + (txt[:-s] + "." + txt[-s:] if s else txt))
+        got = roundtrip(B.T_NEWDECIMAL, (p << 8) | s, val)
+        assert got == val, (p, s, val, got)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=80))
+    def varchars(v):
+        meta = 300 if len(v.encode("utf-8")) > 250 else 255
+        assert roundtrip(B.T_VARCHAR, meta, v) == v
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.datetimes(
+            min_value=datetime(1000, 1, 1), max_value=datetime(9999, 12, 31)
+        ).map(lambda d: d.replace(microsecond=(d.microsecond // 1000) * 1000))
+    )
+    def datetimes_fsp3(v):
+        assert roundtrip(B.T_DATETIME2, 3, v) == v
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.dates(min_value=date(1000, 1, 1), max_value=date(9999, 12, 31)))
+    def dates(v):
+        assert roundtrip(B.T_DATE, 0, v) == v
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(0, 838 * 3600 + 59 * 60 + 59))
+    def times(secs):
+        v = timedelta(seconds=secs)
+        assert roundtrip(B.T_TIME2, 0, v) == v
+
+    for f in (ints_long, ints_longlong, decimals, varchars, datetimes_fsp3, dates, times):
+        f()

@@ -405,3 +405,22 @@ def test_minmax_partitioned_parity(spark, tmp_path):
     assert st["g0"] == (3, 5.0, 15.0)
     assert st["g1"] == (5, 0.0, 16.0)
     assert st["g2"] == (4, 3.0, 17.0)
+
+
+def test_minmax_replayed_batch_is_noop(spark, tmp_path):
+    """Replay idempotence with min/max columns: re-merging a batch
+    under its original batch_id hits the applied marker and must not
+    re-fold deltas OR re-run the base recompute (a poisoned base on
+    the replay call proves the recompute never executed)."""
+    path = str(tmp_path / "view")
+    b0 = [_op("insert", i, after={"grp": "a", "amount": i}) for i in (5, 9, 7)]
+    b1 = [_op("delete", 10, before={"grp": "a", "amount": 9})]
+    merge_agg_batch(_batch(spark, b0), path, MM_VIEW, batch_id=0, base=_base(spark, []))
+    merge_agg_batch(_batch(spark, b1), path, MM_VIEW, batch_id=1,
+                    base=_base(spark, [("a", 5.0), ("a", 7.0)]))
+    want = _mm_state(spark, path)
+    assert want == {"a": (2, 5.0, 7.0)}
+    # replay batch 1 with a poisoned base: marker short-circuits
+    merge_agg_batch(_batch(spark, b1), path, MM_VIEW, batch_id=1,
+                    base=_base(spark, [("a", 999.0)]))
+    assert _mm_state(spark, path) == want

@@ -35,8 +35,12 @@ _DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
 
 def enc_decimal(v: Decimal, precision: int, scale: int) -> bytes:
     sign, _digits, _exp = v.as_tuple()
-    # normalize into intg/frac digit strings at the declared scale
-    s = format(abs(v), "f")
+    # normalize into intg/frac digit strings at the declared scale.
+    # copy_abs(), NOT abs(): abs is context arithmetic and silently
+    # rounds to the default 28 significant digits — a 29-digit
+    # DECIMAL(29,0) lost its last digit (caught by the hypothesis
+    # roundtrip test); copy_abs is the exact, context-free form
+    s = format(v.copy_abs(), "f")
     if "." in s:
         ip, fp = s.split(".")
     else:
