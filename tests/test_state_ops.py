@@ -607,3 +607,47 @@ def test_streaming_near_dup_verified_end_to_end(spark, tmp_path):
     # the exact copy's collisions verify at estimate 1.0 on every band
     ests = [r["est_jaccard"] for r in flags.filter("doc_id = 10").collect()]
     assert ests and all(e == 1.0 for e in ests)
+
+
+def test_band_verify_cache_eviction_stays_conservative():
+    """FIFO eviction at cache_cap: a collision with an EVICTED key's
+    owner signature reports est_jaccard NULL — the conservative
+    unknowable case (counts as dup downstream), never a wrong number."""
+    import pandas as pd
+
+    from dolphinbeat_spark.streaming.state import make_band_verify_fn
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists, self.value = True, v
+
+        @property
+        def get(self):
+            return self.value
+
+    fn = make_band_verify_fn(num_perm=4, n_bits=1 << 14, k_hashes=5, cache_cap=2)
+    state = FakeState()
+    sig = [1, 2, 3, 4]
+    b1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "band": [0, 0, 0],
+            "band_key": ["k1", "k2", "k3"],  # k1 evicted when k3 lands
+            "sig": [sig, sig, sig],
+        }
+    )
+    list(fn((0,), iter([b1]), state))
+    n_marked, _bloom, cache_bytes = state.get
+    assert n_marked == 3
+    # cap 2: only the 2 newest records survive in the packed cache
+    fn2 = make_band_verify_fn(num_perm=4, n_bits=1 << 14, k_hashes=5, cache_cap=2)
+    b2 = pd.DataFrame(
+        {"doc_id": [9, 10], "band": [0, 0], "band_key": ["k1", "k3"], "sig": [sig, sig]}
+    )
+    out = pd.concat(list(fn2((0,), iter([b2]), state))).set_index("doc_id")
+    # k1 was evicted: bloom still remembers it (seen), owner unknowable
+    assert bool(out.loc[9, "was_seen"]) and pd.isna(out.loc[9, "est_jaccard"])
+    # k3 survived: exact estimate against its stored owner
+    assert bool(out.loc[10, "was_seen"]) and out.loc[10, "est_jaccard"] == 1.0
