@@ -598,9 +598,11 @@ def sample_kmeans_centroids(
     rows = (
         sample.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
         .orderBy(id_col)
-        .limit(sample_cap)
+        .limit(sample_cap + 1)  # +1: detect (not fetch) an over-cap sample
         .collect()
     )
+    capped = len(rows) > sample_cap
+    rows = rows[:sample_cap]
     x = np.asarray([r[1] for r in rows], dtype=np.float64)
     n = x.shape[0]
     if n == 0:
@@ -609,6 +611,22 @@ def sample_kmeans_centroids(
         # size the codebook FROM the sample (k = f(n_sample)) — saves
         # the caller a separate corpus-count job just to pick k
         k = int(k(n))
+        if capped:
+            # LOUD, not a comment (r5 review): past the cap a derived
+            # k saturates at f(sample_cap) while the corpus keeps
+            # growing — recall deltas measured against such a codebook
+            # silently compare different effective k. Callers at that
+            # scale should pass an explicit k (and typically a larger
+            # hash-mod sample).
+            import warnings
+
+            warnings.warn(
+                f"k-means training sample hit sample_cap={sample_cap}; "
+                f"derived k saturates at k={k}. Pass an explicit k for "
+                "corpora beyond the cap.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     k = min(k, n)
     rng = np.random.default_rng(seed)
     # k-means++ seeding (deterministic under the seeded rng): spreads

@@ -134,3 +134,32 @@ def test_sample_kmeans_centroids_recovers_clusters(spark):
         assert all(n % 4 == qid % 4 for n in ns), (
             "IVF with trained codebook leaked a cross-cluster neighbor"
         )
+
+
+def test_kmeans_warns_when_sample_cap_saturates_derived_k(spark):
+    """Past sample_cap, a DERIVED k saturates while the corpus grows —
+    the warning makes the silent apples-to-oranges recall comparison
+    loud (r5 review nit). Explicit k stays silent."""
+    import warnings
+
+    from dolphinbeat_spark.operators.similarity import sample_kmeans_centroids
+
+    df = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"), (F.col("id") % 5).cast("double")
+        ).alias("embedding"),
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sample_kmeans_centroids(
+            df, "vec_id", "embedding", k=lambda n: max(2, n // 8),
+            sample_cap=16, max_iter=2,
+        )
+    assert any("sample_cap" in str(x.message) for x in w), "no saturation warning"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sample_kmeans_centroids(
+            df, "vec_id", "embedding", k=3, sample_cap=16, max_iter=2
+        )
+    assert not any("sample_cap" in str(x.message) for x in w)
