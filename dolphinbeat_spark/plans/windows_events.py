@@ -625,3 +625,133 @@ def anomaly_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     )
     return out.select("r.day", "r.n_events", "r.cusum_hi", "r.cusum_lo").orderBy("day")
+
+
+_TS_NSEG = 4  # PAA segments for the similarity-search word prefilter
+
+
+@register(
+    "ts_similarity_topk",
+    # EVERYTHING integer-exact: daily counts, segment sums, the SAX-ish
+    # word bits (segment_sum * NSEG vs series total), and the squared
+    # euclidean distance — zero float hazard, no ROUND needed
+    oracle=f"""
+WITH b AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0,
+         datediff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) + 1 AS nd
+  FROM events
+), daily AS (
+  SELECT user_id, datediff('day', b.d0, CAST(ts AS DATE)) AS i,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events, b GROUP BY user_id, i
+), vec AS (
+  SELECT g.user_id,
+         list_transform(range(0, b.nd),
+           x -> COALESCE(list_extract(cs, list_position(iis, x)), 0)) AS s
+  FROM (SELECT user_id, list(i ORDER BY i) AS iis, list(c ORDER BY i) AS cs
+        FROM daily GROUP BY user_id) g, b
+), worded AS (
+  SELECT user_id, s,
+         list_reduce(s, (a, x) -> a + x) AS tot,
+         array_to_string(list_transform(range(0, {_TS_NSEG}), j ->
+           CASE WHEN list_reduce(
+                  list_transform(range(1, len(s) + 1),
+                    i -> CASE WHEN ((i - 1) * {_TS_NSEG}) // len(s) = j
+                              THEN s[i] ELSE 0 END),
+                  (a, x) -> a + x) * {_TS_NSEG}
+                > list_reduce(s, (a, x) -> a + x)
+           THEN '1' ELSE '0' END), '') AS word
+  FROM vec
+), scored AS (
+  SELECT q.user_id AS query_id, c.user_id AS neighbor_id,
+         list_reduce(list_transform(range(1, len(q.s) + 1),
+           i -> (q.s[i] - c.s[i]) * (q.s[i] - c.s[i])), (a, x) -> a + x) AS dist2
+  FROM worded q JOIN worded c ON q.word = c.word AND q.user_id <> c.user_id
+  WHERE q.user_id % 10 = 0
+), ranked AS (
+  SELECT query_id, neighbor_id, dist2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dist2, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       CAST(dist2 AS BIGINT) AS dist2
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+    tags=("timeseries", "similarity", "paa"),
+)
+def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed time-series similarity search (the EDBT'19/ICDE'21
+    streaming-similarity family, PAPERS.md): each user's daily activity
+    profile (zero-filled day grid) is a fixed-length integer series;
+    candidates come from a PAA/SAX-style WORD bucket join — one bit per
+    segment (above/below the series' mean segment mass), so similar
+    shapes collide and the join never goes all-pairs — and candidates
+    verify by EXACT integer squared euclidean distance, top-5 per
+    query user.
+
+    Scale shape: the series build is one shuffle (user,day) + one per
+    user; the word is a map-side fold; the only join is the word-bucket
+    equi-join (16 buckets at 4 segments — raise segments/alphabet for
+    finer buckets at corpus scale, the standard iSAX refinement); the
+    verify is a bounded zip_with fold per candidate pair. All integer
+    arithmetic end to end — bit-identical across engines by
+    construction."""
+    e = load(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    bounds = e.agg(
+        F.min(day).alias("d0"),
+        (F.datediff(F.max(day), F.min(day)) + 1).alias("nd"),
+    )
+    daily = (
+        e.join(F.broadcast(bounds))
+        .select("user_id", F.datediff(day, F.col("d0")).alias("i"), "nd")
+        .groupBy("user_id", "i", "nd")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    series = (
+        daily.groupBy("user_id", "nd")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("i", "c"))).alias("m")
+        )
+        .select(
+            "user_id",
+            F.expr("transform(sequence(0, nd - 1), x -> coalesce(m[x], 0L))").alias("s"),
+        )
+    )
+    worded = series.select(
+        "user_id",
+        "s",
+        F.expr(
+            f"""concat_ws('', transform(sequence(0, {_TS_NSEG - 1}), j ->
+              CASE WHEN aggregate(
+                     zip_with(s, sequence(0, size(s) - 1),
+                       (v, i) -> IF((i * {_TS_NSEG}) div size(s) = j, v, 0L)),
+                     0L, (a, x) -> a + x) * {_TS_NSEG}
+                   > aggregate(s, 0L, (a, x) -> a + x)
+              THEN '1' ELSE '0' END))"""
+        ).alias("word"),
+    )
+    q = worded.filter(F.col("user_id") % 10 == 0).select(
+        F.col("user_id").alias("query_id"), F.col("s").alias("qs"), "word"
+    )
+    scored = (
+        q.join(worded, "word")
+        .filter(F.col("user_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("user_id").alias("neighbor_id"),
+            F.expr(
+                "aggregate(zip_with(qs, s, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("dist2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "dist2")
+        .orderBy("query_id", "rank")
+    )
