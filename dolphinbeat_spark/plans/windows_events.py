@@ -755,3 +755,153 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank", "dist2")
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "ts_motif_discord",
+    # integer-exact end to end (window sums and squared distances over
+    # daily counts); ties broken by window index
+    oracle="""
+WITH b AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0,
+         datediff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) + 1 AS nd
+  FROM events
+), daily AS (
+  SELECT user_id, datediff('day', b.d0, CAST(ts AS DATE)) AS i,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events, b GROUP BY user_id, i
+), vec AS (
+  SELECT g.user_id,
+         list_transform(range(0, b.nd),
+           x -> COALESCE(list_extract(cs, list_position(iis, x)), 0)) AS s
+  FROM (SELECT user_id, list(i ORDER BY i) AS iis, list(c ORDER BY i) AS cs
+        FROM daily GROUP BY user_id) g, b
+  WHERE user_id % 5 = 0
+), win AS (
+  SELECT user_id, CAST(w AS BIGINT) AS w,
+         list_slice(s, w + 1, w + 7) AS seg
+  FROM vec, unnest(range(0, len(s) - 6)) AS t(w)
+), pair AS (
+  SELECT a.user_id, a.w AS w_a, c.w AS w_b,
+         list_reduce(list_transform(range(1, 8),
+           i -> (a.seg[i] - c.seg[i]) * (a.seg[i] - c.seg[i])),
+           (x, y) -> x + y) AS dist2
+  FROM win a JOIN win c
+    ON a.user_id = c.user_id AND c.w >= a.w + 7  -- non-overlapping, ordered
+), nn AS (
+  -- nearest non-overlapping neighbor distance per window (both sides)
+  SELECT user_id, w, MIN(dist2) AS nn_dist2 FROM (
+    SELECT user_id, w_a AS w, dist2 FROM pair
+    UNION ALL
+    SELECT user_id, w_b AS w, dist2 FROM pair
+  ) GROUP BY user_id, w
+), motif AS (
+  SELECT user_id, w_a, w_b, dist2,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY dist2, w_a, w_b) AS rn
+  FROM pair
+), discord AS (
+  SELECT user_id, w, nn_dist2,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY nn_dist2 DESC, w) AS rn
+  FROM nn
+)
+SELECT m.user_id,
+       m.w_a AS motif_a, m.w_b AS motif_b, m.dist2 AS motif_dist2,
+       d.w AS discord_w, d.nn_dist2 AS discord_dist2
+FROM motif m JOIN discord d ON d.user_id = m.user_id AND d.rn = 1
+WHERE m.rn = 1
+ORDER BY m.user_id
+""",
+    tags=("timeseries", "motif", "matrix-profile"),
+)
+def ts_motif_discord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other classic time-series primitive pair (matrix-profile
+    family): per user, the MOTIF (closest pair of non-overlapping
+    7-day windows — the repeated behavioral pattern) and the DISCORD
+    (the window farthest from its nearest non-overlapping neighbor —
+    the anomalous week). Exact integer squared distances over the
+    zero-filled daily-count series.
+
+    Scale shape: everything after the (user, day) count shuffle is
+    PER-USER bounded compute — window extraction is a map-side
+    sequence/slice, the pair join is a self-join within the user key
+    (24 windows -> 276 pairs for a 30-day series), and both argmins
+    are per-user windows. Series length bounds memory, corpus size
+    only adds users — embarrassingly parallel."""
+    e = load(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    bounds = e.agg(
+        F.min(day).alias("d0"),
+        (F.datediff(F.max(day), F.min(day)) + 1).alias("nd"),
+    )
+    daily = (
+        e.join(F.broadcast(bounds))
+        .select("user_id", F.datediff(day, F.col("d0")).alias("i"), "nd")
+        .groupBy("user_id", "i", "nd")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    series = (
+        daily.groupBy("user_id", "nd")
+        .agg(F.map_from_entries(F.collect_list(F.struct("i", "c"))).alias("m"))
+        .filter(F.col("user_id") % 5 == 0)
+        .select(
+            "user_id",
+            F.expr("transform(sequence(0, nd - 1), x -> coalesce(m[x], 0L))").alias("s"),
+        )
+    )
+    win = series.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(s) - 7),"
+                " w -> struct(cast(w as bigint) as w, slice(s, w + 1, 7) as seg))"
+            )
+        ).alias("e"),
+    ).select("user_id", F.col("e.w").alias("w"), F.col("e.seg").alias("seg"))
+    a = win.select("user_id", F.col("w").alias("w_a"), F.col("seg").alias("seg_a"))
+    c = win.select("user_id", F.col("w").alias("w_b"), F.col("seg").alias("seg_b"))
+    pair = (
+        a.join(c, "user_id")
+        .filter(F.col("w_b") >= F.col("w_a") + 7)
+        .select(
+            "user_id",
+            "w_a",
+            "w_b",
+            F.expr(
+                "aggregate(zip_with(seg_a, seg_b, (x, y) -> (x - y) * (x - y)),"
+                " 0L, (acc, v) -> acc + v)"
+            ).alias("dist2"),
+        )
+    )
+    nn = (
+        pair.select("user_id", F.col("w_a").alias("w"), "dist2")
+        .unionAll(pair.select("user_id", F.col("w_b").alias("w"), "dist2"))
+        .groupBy("user_id", "w")
+        .agg(F.min("dist2").alias("nn_dist2"))
+    )
+    wm = Window.partitionBy("user_id").orderBy("dist2", "w_a", "w_b")
+    motif = (
+        pair.withColumn("rn", F.row_number().over(wm)).filter(F.col("rn") == 1)
+    )
+    wd = Window.partitionBy("user_id").orderBy(F.col("nn_dist2").desc(), "w")
+    discord = (
+        nn.withColumn("rn", F.row_number().over(wd)).filter(F.col("rn") == 1)
+    )
+    return (
+        motif.select(
+            "user_id",
+            F.col("w_a").alias("motif_a"),
+            F.col("w_b").alias("motif_b"),
+            F.col("dist2").alias("motif_dist2"),
+        )
+        .join(
+            discord.select(
+                "user_id",
+                F.col("w").alias("discord_w"),
+                F.col("nn_dist2").alias("discord_dist2"),
+            ),
+            "user_id",
+        )
+        .orderBy("user_id")
+    )

@@ -56,6 +56,7 @@ _BNLJ_OK = {
     "sketch_kmv_intersection",  # 5-row sketch-array pair join (type_a < type_b)
     "graph_triangles_neardup",  # 1-row summary-count joins (edges/wedges/triangles)
     "ts_similarity_topk",  # 1-row (d0, nd) date-bounds broadcast
+    "ts_motif_discord",  # same 1-row date-bounds broadcast
 }
 # specs whose final presentation sort is the only exchange-heavy step
 _WIDE_READ_OK = {"cdc_envelope_from_events"}  # reads most event columns by design
