@@ -63,7 +63,10 @@ class DaemonConfig:
     flavor: str = "mysql"
     gtid_enabled: bool = True
     shard_count: int = 0  # 0/1 = single reader; N>1 = shard-by-table
-    reader: str = "simple"  # simple = driver-side decode; arrow = executor-side shards
+    #: simple = driver-side decode; arrow = executor-side shards;
+    #: file = recorded-binlog backfill (binlog_file_path, no socket)
+    reader: str = "simple"
+    binlog_file_path: str = ""  # reader = "file": the archived binlog to replay
     checkpoint_dir: str = "./ckp"
     tracker_dir: str = "./schema"
     http_addr: str = ""
@@ -99,6 +102,7 @@ class DaemonConfig:
             gtid_enabled=bool(raw.get("gtid_enabled", True)),
             shard_count=int(raw.get("shard_count", 0)),
             reader=raw.get("reader", "simple"),
+            binlog_file_path=raw.get("binlog_file_path", ""),
             checkpoint_dir=ckp.get("dir", "./ckp"),
             tracker_dir=tracker.get("dir", "./schema"),
             http_addr=http.get("addr", ""),
@@ -116,8 +120,14 @@ class DaemonConfig:
                 "per source under your cluster manager's supervision "
                 "(restart policy = the leader lease); see COVERAGE.md C9"
             )
-        if self.reader not in ("simple", "arrow"):
-            errors.append(f"reader must be simple or arrow, got {self.reader!r}")
+        if self.reader not in ("simple", "arrow", "file"):
+            errors.append(
+                f"reader must be simple, arrow, or file, got {self.reader!r}"
+            )
+        if self.reader == "file" and not self.binlog_file_path:
+            errors.append("reader = 'file' needs binlog_file_path")
+        if self.reader != "file" and self.binlog_file_path:
+            errors.append("binlog_file_path is only valid with reader = 'file'")
         if self.flavor not in ("mysql", "mariadb"):
             errors.append(f"flavor must be mysql or mariadb, got {self.flavor!r}")
         if self.http_addr:
@@ -163,12 +173,16 @@ def resolve_plan(cfg: DaemonConfig) -> dict:
     plan = {
         "source": {
             "options": source_options(cfg),
-            # the arrow reader shards INTERNALLY via executor
+            # the arrow/file readers shard INTERNALLY via executor
             # partitions: one stream, N tasks — not N driver readers
-            "readers": 1 if cfg.reader == "arrow" else max(1, cfg.shard_count),
+            "readers": (
+                1 if cfg.reader in ("arrow", "file") else max(1, cfg.shard_count)
+            ),
             "reader": cfg.reader,
             "mode": (
-                f"arrow-executor-shards({max(1, cfg.shard_count)})"
+                f"file-replay({cfg.binlog_file_path})"
+                if cfg.reader == "file"
+                else f"arrow-executor-shards({max(1, cfg.shard_count)})"
                 if cfg.reader == "arrow"
                 else "sharded-by-table" if cfg.shard_count > 1 else "single-reader"
             ),
@@ -227,6 +241,15 @@ def run(cfg: DaemonConfig, spark=None, source_format: str = "dolphinbeat_binlog"
     spark = spark or get_spark("dolphinbeat")
     if cfg.reader == "arrow" and source_format == "dolphinbeat_binlog":
         source_format = "dolphinbeat_binlog_arrow"
+    if cfg.reader == "file" and source_format == "dolphinbeat_binlog":
+        # recorded-binlog backfill: same envelope, same sinks, no socket
+        from dolphinbeat_spark.sources.binlog_file import (
+            BINLOG_FILE_SOURCE_NAME,
+            register_binlog_file_source,
+        )
+
+        source_format = BINLOG_FILE_SOURCE_NAME
+        register_binlog_file_source(spark)
     if source_format == "dolphinbeat_binlog":  # pragma: no cover - needs live MySQL
         spark.dataSource.register(BinlogDataSource)
     if source_format == "dolphinbeat_binlog_arrow":  # pragma: no cover - needs live MySQL
@@ -244,6 +267,18 @@ def run(cfg: DaemonConfig, spark=None, source_format: str = "dolphinbeat_binlog"
     for i in range(n_readers):
         opts = dict(plan["source"]["options"])
         opts.update(source_options_extra or {})
+        if cfg.reader == "file":
+            opts["binlog_file_path"] = cfg.binlog_file_path
+            if cfg.shard_count > 1:
+                opts.update(shard_count=str(cfg.shard_count))
+            # unlike the live readers, an archived file CARRIES its own
+            # DDL from position 4 — a tracker snapshot is an optional
+            # head start, not a requirement (the live arrow path
+            # instead fails loudly on a configured-but-missing snapshot
+            # because mid-stream startup has no DDL history to replay)
+            snap = opts.pop("schema_snapshot", "")
+            if snap and Path(snap).exists():
+                opts["schema_snapshot_json"] = Path(snap).read_text()
         if cfg.reader == "arrow":
             if cfg.shard_count > 1:
                 opts.update(shard_count=str(cfg.shard_count))

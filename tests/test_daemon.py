@@ -254,3 +254,46 @@ shard_count = 3
             server.stop()
         for q in queries:
             q.stop()
+
+
+def test_daemon_file_reader_backfill(spark, tmp_path):
+    """reader = 'file': the daemon replays an archived binlog through
+    the full pipeline wiring (source registration, per-sink filters,
+    checkpoints) — the backfill deployment shape, no socket anywhere."""
+    from pathlib import Path as P
+
+    from dolphinbeat_spark.daemon import DaemonConfig, SinkBlock, resolve_plan, run
+
+    fixture = P(__file__).parent / "fixtures" / "replay.binlog"
+    cfg = DaemonConfig(
+        reader="file",
+        binlog_file_path=str(fixture),
+        checkpoint_dir=str(tmp_path / "ckp"),
+        tracker_dir=str(tmp_path / "schema"),
+        sinks=[
+            SinkBlock(type="stdout", name="all", enabled=True,
+                      cfg={"out_dir": str(tmp_path / "out")}),
+        ],
+    )
+    assert cfg.validate() == []
+    plan = resolve_plan(cfg)
+    assert plan["source"]["mode"].startswith("file-replay(")
+    assert plan["source"]["readers"] == 1
+    spark_, queries, server = run(cfg, spark=spark, trigger_once=True)
+    for q in queries:
+        q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out" / "batch=*"))
+    ops = {r["op_type"] for r in out.select("op_type").distinct().collect()}
+    assert {"insert", "update", "delete", "ddl"} <= ops
+    assert out.count() >= 16
+    if server:
+        server.stop()
+
+
+def test_daemon_file_reader_validation():
+    from dolphinbeat_spark.daemon import DaemonConfig
+
+    assert any("binlog_file_path" in e
+               for e in DaemonConfig(reader="file").validate())
+    assert any("only valid" in e
+               for e in DaemonConfig(binlog_file_path="/x").validate())
