@@ -338,3 +338,36 @@ def test_value_codec_property_roundtrip():
 
     for f in (ints_long, ints_longlong, decimals, varchars, datetimes_fsp3, dates, times):
         f()
+
+
+def test_backfill_composes_into_apply_changes_snapshot(spark, tmp_path):
+    """The full consumer composition on recorded bytes: archived file
+    -> batch envelope (read_binlog_files) -> apply_changes merge ->
+    materialized snapshot. Split into two sequential batches at a real
+    transaction boundary so the merge path (not just initial load)
+    executes: after batch 2 the updated row survives with its new
+    value and the deleted row is gone."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dolphinbeat_spark.sinks.apply_changes import apply_batch, read_snapshot
+    from dolphinbeat_spark.sources.binlog_file import read_binlog_files
+
+    d = tmp_path / "archive"
+    d.mkdir()
+    shutil.copy(FIXTURE, d / "replay.000001")
+    env = read_binlog_files(spark, str(d)).filter(
+        (F.col("table") == "t2")
+        & F.col("op_type").isin("insert", "update", "delete")
+    )
+    snap = str(tmp_path / "snapshot")
+    # the t2 insert event sits at log_pos 1656; update/delete follow
+    b1 = env.filter(F.col("log_pos") <= 1700)
+    b2 = env.filter(F.col("log_pos") > 1700)
+    apply_batch(spark, b1, snap, ["id"], ["note"])
+    mid = {r["id"]: r["note"] for r in read_snapshot(spark, snap).collect()}
+    assert set(mid) == {"1", "2"} and mid["2"] == "row two"
+    apply_batch(spark, b2, snap, ["id"], ["note"])
+    final = {r["id"]: r["note"] for r in read_snapshot(spark, snap).collect()}
+    assert final == {"1": "short note ✓"}, final
