@@ -273,6 +273,13 @@ def _read_value(data: bytes, pos: int, ctype: int, meta: int):
         micros, pos = _frac_micros(data, pos, fsp)
         v = raw - 0x800000
         sign = -1 if v < 0 else 1
+        if sign < 0 and fsp:
+            # negative TIME with fractional seconds packs the whole
+            # (intpart, frac) as one two's-complement quantity — decode
+            # here would be silently wrong; fail loudly instead
+            raise NotImplementedError(
+                "negative fractional TIME2 packing not supported"
+            )
         v = abs(v)
         td = timedelta(hours=(v >> 12) & 0x3FF, minutes=(v >> 6) & 0x3F,
                        seconds=v & 0x3F, microseconds=micros)
