@@ -332,3 +332,41 @@ def _pin_bucket_count(view_path: str, num_buckets: int) -> None:
     else:
         with open(meta, "w") as f:
             json.dump({"num_buckets": num_buckets}, f)
+
+
+def snapshot_and_agg_stream(
+    stream: DataFrame,
+    snapshot_path: str,
+    view_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    value_cols: list[str],
+    view: AggViewSpec,
+    cast_cols: dict[str, str] | None = None,
+):
+    """The composed CDC-consumer deployment shape: ONE foreachBatch
+    maintains the row snapshot (apply_changes) and the aggregate view
+    in lockstep — the snapshot merges first, then the aggregate fold
+    uses the freshly-merged snapshot as its MIN/MAX recompute base
+    (exactly the post-batch-base contract _resolve_extrema documents,
+    now wired instead of left to the caller).
+
+    Ordering is the correctness point: a crash between the two merges
+    replays the batch — apply_batch converges idempotently and the
+    aggregate's applied marker skips its half, so no interleaving
+    double-counts. ``cast_cols`` types the snapshot's wire strings for
+    the recompute (e.g. {"amount": "double"})."""
+    from dolphinbeat_spark.sinks.apply_changes import apply_batch, read_snapshot
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        apply_batch(spark, batch, snapshot_path, key_cols, value_cols)
+        base = read_snapshot(spark, snapshot_path)
+        for c, t in (cast_cols or {}).items():
+            base = base.withColumn(c, F.col(c).cast(t))
+        merge_agg_batch(batch, view_path, view, batch_id=batch_id, base=base)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+    )

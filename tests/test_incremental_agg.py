@@ -424,3 +424,58 @@ def test_minmax_replayed_batch_is_noop(spark, tmp_path):
     merge_agg_batch(_batch(spark, b1), path, MM_VIEW, batch_id=1,
                     base=_base(spark, [("a", 999.0)]))
     assert _mm_state(spark, path) == want
+
+
+def test_snapshot_and_agg_stream_lockstep(spark, tmp_path):
+    """The composed sink under real streaming: two arrival waves of
+    envelope ops maintain snapshot + min/max aggregate in lockstep —
+    wave 2 deletes the group max, and the recompute base is the
+    freshly-merged snapshot (not a caller-supplied frame)."""
+    import json
+
+    from dolphinbeat_spark.envelope import ENVELOPE_SCHEMA
+    from dolphinbeat_spark.sinks.apply_changes import read_snapshot
+    from dolphinbeat_spark.sinks.incremental_agg import snapshot_and_agg_stream
+
+    src = tmp_path / "ops"
+    src.mkdir()
+
+    def js(op):
+        return json.dumps({k: v for k, v in op.items() if v is not None})
+
+    wave1 = [
+        _op("insert", 1, after={"id": 1, "grp": "a", "amount": 5}),
+        _op("insert", 2, after={"id": 2, "grp": "a", "amount": 9}),
+        _op("insert", 3, after={"id": 3, "grp": "a", "amount": 7}),
+    ]
+    (src / "w1.json").write_text("\n".join(js(o) for o in wave1))
+    snap, view_path = str(tmp_path / "snap"), str(tmp_path / "view")
+    view = AggViewSpec(group_cols=("grp",), sum_cols=("amount",),
+                       min_cols=("amount",), max_cols=("amount",))
+
+    def run_wave():
+        stream = (
+            spark.readStream.schema(ENVELOPE_SCHEMA)
+            .option("maxFilesPerTrigger", "1").json(str(src))
+        )
+        q = (
+            snapshot_and_agg_stream(
+                stream, snap, view_path, str(tmp_path / "ckp"),
+                key_cols=["id"], value_cols=["grp", "amount"], view=view,
+                cast_cols={"amount": "double"},
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_wave()
+    assert _mm_state(spark, view_path) == {"a": (3, 5.0, 9.0)}
+    # wave 2: delete the max (9) — recompute must read the post-merge
+    # snapshot, which no longer contains id=2
+    (src / "w2.json").write_text(js(
+        _op("delete", 4, before={"id": 2, "grp": "a", "amount": 9})))
+    run_wave()
+    assert _mm_state(spark, view_path) == {"a": (2, 5.0, 7.0)}
+    snap_rows = {r["id"] for r in read_snapshot(spark, snap).collect()}
+    assert snap_rows == {"1", "3"}
