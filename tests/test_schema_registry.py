@@ -369,3 +369,67 @@ def test_property_create_roundtrip():
             assert c.nullable == nullables[c.name], c.name
 
     run()
+
+
+def test_ddl_replay_model_based_property():
+    """Model-based property test for D9: a random sequence of
+    ADD/DROP/MODIFY/CHANGE/RENAME-COLUMN ALTERs replayed through the
+    registry must leave exactly the column list a trivial Python model
+    predicts — and every historical version must stay resolvable with
+    the column list it had when stamped (the versioned-registry
+    contract that replaces the reference's DDL barrier)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dolphinbeat_spark.schema.registry import SchemaRegistry
+
+    name = st.sampled_from([f"c{i}" for i in range(8)])
+    action = st.one_of(
+        st.tuples(st.just("add"), name),
+        st.tuples(st.just("drop"), name),
+        st.tuples(st.just("modify"), name),
+        st.tuples(st.just("change"), name, name),
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(action, max_size=12))
+    def run(actions):
+        reg = SchemaRegistry()
+        reg.apply_ddl("CREATE TABLE d.t (id INT PRIMARY KEY, c0 VARCHAR(10))")
+        model = ["id", "c0"]
+        history = [(reg.version, list(model))]
+        for act in actions:
+            kind = act[0]
+            if kind == "add":
+                c = act[1]
+                if c in model:
+                    continue  # duplicate add is a MySQL error; skip
+                reg.apply_ddl(f"ALTER TABLE d.t ADD COLUMN {c} INT")
+                model.append(c)
+            elif kind == "drop":
+                c = act[1]
+                if c not in model or c == "id":
+                    continue
+                reg.apply_ddl(f"ALTER TABLE d.t DROP COLUMN {c}")
+                model.remove(c)
+            elif kind == "modify":
+                c = act[1]
+                if c not in model:
+                    continue
+                reg.apply_ddl(f"ALTER TABLE d.t MODIFY COLUMN {c} BIGINT")
+            else:  # change (rename, keeps position)
+                old, new = act[1], act[2]
+                if old not in model or (new != old and new in model) or old == "id":
+                    continue
+                reg.apply_ddl(f"ALTER TABLE d.t CHANGE COLUMN {old} {new} TEXT")
+                model[model.index(old)] = new
+            history.append((reg.version, list(model)))
+        td = reg.get("d", "t")
+        assert td is not None and td.column_names() == model
+        # version pinning: every stamped version resolves to the column
+        # list the table had AT that version
+        for v, cols in history:
+            got = reg.get("d", "t", version=v)
+            assert got is not None and got.column_names() == cols, (v, cols)
+
+    run()
