@@ -323,3 +323,92 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "sketch_quantiles_sampled",
+    # rank-based quantiles with EXPLICIT index arithmetic (value at
+    # 1-based rank floor(q*(n-1))+1 under (value, id) order) — no
+    # interpolation, so both engines agree bit-for-bit; the sample is
+    # the deterministic portable-hash 1/16 slice
+    oracle=f"""
+WITH src AS (
+  SELECT l_orderkey * 10 + l_linenumber AS rid, l_extendedprice AS v
+  FROM lineitem
+), samp AS (
+  SELECT rid, v FROM src WHERE ({hash64_sql("CAST(rid AS VARCHAR)")}) % 16 = 0
+), ranked_s AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v, rid) AS r,
+         COUNT(*) OVER () AS n
+  FROM samp
+), ranked_f AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v, rid) AS r,
+         COUNT(*) OVER () AS n
+  FROM src
+), q(qq) AS (
+  SELECT CAST(x AS DOUBLE) FROM (VALUES (0.5), (0.9), (0.99)) t(x)
+)
+SELECT qq AS quantile,
+       (SELECT CAST(s.v AS DOUBLE) FROM ranked_s s
+        WHERE s.r = CAST(floor(qq * (s.n - 1)) AS BIGINT) + 1) AS est,
+       (SELECT CAST(f.v AS DOUBLE) FROM ranked_f f
+        WHERE f.r = CAST(floor(qq * (f.n - 1)) AS BIGINT) + 1) AS exact,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM samp) AS n_sample
+FROM q
+ORDER BY quantile
+""",
+    tags=("sketch", "quantiles", "sampling"),
+)
+def sketch_quantiles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-based quantile estimation — the sketch-family cell HLL
+    / Count-Min / KMV don't cover: p50/p90/p99 of l_extendedprice from
+    a deterministic portable-hash 1/16 sample, side by side with the
+    exact full-data quantiles so the estimation error is visible in
+    the result (measure, don't guess). Rank-by-explicit-index (no
+    interpolation) keeps both engines bit-identical.
+
+    Scale shape: the estimate path sorts only the sample (1/16 and
+    tunable — the knob that bounds sort memory at 100 TB); the exact
+    side exists for the error column and is what you'd DROP at scale,
+    leaving a sample-sort whose size you control. A mergeable KLL
+    sketch would avoid the sample sort too; the hash-sample form keeps
+    the cross-engine oracle exact, which the randomized compactors of
+    KLL cannot."""
+    li = load(spark, sf_dir, "lineitem")
+    src = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    samp = src.filter(F.pmod(hash64(F.col("rid").cast("string")), F.lit(16)) == 0)
+
+    def rank_at(df: DataFrame, name: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.orderBy("v", "rid")
+        ranked = df.select(
+            "v",
+            F.row_number().over(w).alias("r"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy(F.lit(1)).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n"),
+        )
+        qs = df.sparkSession.createDataFrame(
+            [(0.5,), (0.9,), (0.99,)], "quantile double"
+        )
+        hit = qs.join(
+            ranked,
+            ranked["r"] == F.floor(qs["quantile"] * (ranked["n"] - 1)) + 1,
+        )
+        return hit.select("quantile", F.col("v").cast("double").alias(name))
+
+    est = rank_at(samp, "est")
+    exact = rank_at(src, "exact")
+    n_sample = samp.agg(F.count(F.lit(1)).cast("bigint").alias("n_sample"))
+    return (
+        est.join(exact, "quantile")
+        .join(F.broadcast(n_sample))
+        .select("quantile", "est", "exact", "n_sample")
+        .orderBy("quantile")
+    )

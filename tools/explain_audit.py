@@ -57,6 +57,7 @@ _BNLJ_OK = {
     "graph_triangles_neardup",  # 1-row summary-count joins (edges/wedges/triangles)
     "ts_similarity_topk",  # 1-row (d0, nd) date-bounds broadcast
     "ts_motif_discord",  # same 1-row date-bounds broadcast
+    "sketch_quantiles_sampled",  # 3-row quantile-index theta join + 1-row n_sample
 }
 # specs whose final presentation sort is the only exchange-heavy step
 _WIDE_READ_OK = {"cdc_envelope_from_events"}  # reads most event columns by design
@@ -69,6 +70,11 @@ _GLOBAL_WINDOW_OK = {
     "concentration_customer_deciles",  # ntile over the per-customer AGGREGATE
     "sql_text_interface",  # share-of-total over the 25-row nation aggregate
     "win_share_of_total",  # same shape: windows a 25-row aggregate
+    # rank-based quantiles NEED a total order: the sample-side sort is
+    # bounded by the sampling rate (the design); the full-data sort is
+    # the EVALUATION side (exact-error column), documented as dropped
+    # at scale — same status as dedup_lsh_recall's bounded truth side
+    "sketch_quantiles_sampled",
 }
 
 
