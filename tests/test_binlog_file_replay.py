@@ -104,7 +104,8 @@ def test_replay_golden_multibyte_and_update_images():
     assert len(ins1["after"]["note"].encode("utf-8")) > 255
     assert upd["before"]["note"] == ins1["after"]["note"]
     assert upd["after"]["note"] == "short note ✓"
-    assert dele["op_type"] == "delete" and dele["before"]["id"] == "1" or True
+    assert dele["op_type"] == "delete"
+    assert dele["before"]["id"] == "2"
     assert dele["before"]["note"] == "row two"
 
 
