@@ -949,3 +949,73 @@ def cdc_incremental_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, schema).orderBy("etype")
+
+
+# --- recorded-binlog type tail (S4 file parser: ENUM/SET/BIT/GEOMETRY,
+# WL#10570 partial JSON) -----------------------------------------------------
+
+# SRID 0 + WKB POINT(1.5, -2.25) — the geometry bytes recorded in the
+# committed fixture, pinned as hex so the stringly wire value (latin-1
+# preserved bytes) compares cleanly cross-engine
+_GEO_HEX = "000000000101000000000000000000F83F00000000000002C0"
+
+_TAILS_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('insert', 1, 'active', 'a,c',     '683',  '{_GEO_HEX}', '"hello jsonb"'),
+  ('insert', 2, '',       '',        '0',    '',           '"hello jsonb"'),
+  ('insert', 3, NULL,     NULL,      NULL,   NULL,         NULL),
+  ('update', 1, 'closed', 'a,c',     '683',  '{_GEO_HEX}',
+   '{{"$json_diff":[{{"op":"replace","path":"$.k","value":"patched"}},{{"op":"remove","path":"$.old"}}]}}'),
+  ('update', 2, 'new',    'a,b,c,d', '1023', '',           '"hello jsonb"')
+) AS t(op_type, id, status, flags, mask, geo_hex, doc)
+ORDER BY id, op_type
+"""
+
+
+@register(
+    "cdc_binlog_enum_set",
+    oracle=_TAILS_ORACLE,
+    tags=("cdc", "binlog-file", "type-tail"),
+)
+def cdc_binlog_enum_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r7 binlog-file type tail under the oracle gate: the REAL
+    from-scratch parser (sources/binlog_file.py) decodes the committed
+    recorded-bytes fixture — ENUM index→label via the registry's column
+    definition, SET bitmask→members in definition order, BIT big-endian
+    over its meta width, GEOMETRY as raw SRID+WKB passthrough (pinned
+    as hex), and a WL#10570 PARTIAL_UPDATE_ROWS event whose PARTIAL_JSON
+    row surfaces {"$json_diff": [...]} while its value_options=0 row
+    decodes as a plain full image. The oracle is the independently
+    written expected relation for the fixture (reference type inventory:
+    schema/definition.go:40,44-45,52)."""
+    from pathlib import Path
+
+    from dolphinbeat_spark.sources.binlog_file import read_binlog_files
+
+    fixture = (
+        Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "replay.binlog"
+    )
+    env = read_binlog_files(spark, str(fixture))
+
+    def col(name):
+        return F.when(F.col("after_null")[name], F.lit(None)).otherwise(
+            F.col("after")[name]
+        )
+
+    return (
+        env.filter(
+            (F.col("table") == "tails") & F.col("op_type").isin("insert", "update")
+        )
+        .select(
+            "op_type",
+            F.col("after")["id"].cast("int").alias("id"),
+            col("status").alias("status"),
+            col("flags").alias("flags"),
+            col("mask").alias("mask"),
+            F.when(F.col("after_null")["geo"], F.lit(None))
+            .otherwise(F.hex(F.encode(F.col("after")["geo"], "ISO-8859-1")))
+            .alias("geo_hex"),
+            col("doc").alias("doc"),
+        )
+        .orderBy("id", "op_type")
+    )

@@ -224,7 +224,15 @@ def _parse_column(text: str) -> ColumnDef | None:
     m = _COL_RE.match(text.strip())
     if not m:
         raise DdlError(f"unparseable column definition: {text!r}")
-    name, type_str, raw_rest = m.group(1), m.group(2).lower(), m.group(3)
+    name, raw_type, raw_rest = m.group(1), m.group(2), m.group(3)
+    # lowercase the type KEYWORD only — enum('Red','Blue') label case
+    # is significant (the decode stage resolves wire indexes to these)
+    paren = raw_type.find("(")
+    type_str = (
+        raw_type.lower()
+        if paren < 0
+        else raw_type[:paren].lower() + raw_type[paren:]
+    )
     rest = raw_rest.upper()
     key = "PRI" if "PRIMARY KEY" in rest else ("UNI" if "UNIQUE" in rest else "")
     # CHARACTER SET / CHARSET / COLLATE column options (MySQL-8 dumps

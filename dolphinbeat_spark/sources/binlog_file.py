@@ -58,6 +58,9 @@ EV_WRITE_ROWS_V2 = 0x1E
 EV_UPDATE_ROWS_V2 = 0x1F
 EV_DELETE_ROWS_V2 = 0x20
 EV_GTID = 0x21
+# MySQL 8 binlog_row_value_options=PARTIAL_JSON (WL#10570): UPDATE
+# whose after-image may carry JSON *diffs* instead of full values
+EV_PARTIAL_UPDATE_ROWS = 0x27
 EV_MARIADB_GTID = 0xA2  # MariaDB dialect: domain-server-seq
 
 # column type codes (public enum_field_types)
@@ -68,11 +71,12 @@ T_TIMESTAMP2, T_DATETIME2, T_TIME2 = 17, 18, 19
 T_JSON, T_NEWDECIMAL = 245, 246
 T_ENUM, T_SET = 247, 248
 T_BLOB, T_VAR_STRING, T_STRING = 252, 253, 254
+T_GEOMETRY = 255
 
 #: bytes of TABLE_MAP metadata each column type carries
 _META_LEN = {
     T_VARCHAR: 2, T_BIT: 2, T_NEWDECIMAL: 2, T_STRING: 2, T_VAR_STRING: 2,
-    T_BLOB: 1, T_FLOAT: 1, T_DOUBLE: 1, T_JSON: 1,
+    T_BLOB: 1, T_FLOAT: 1, T_DOUBLE: 1, T_JSON: 1, T_GEOMETRY: 1,
     T_TIMESTAMP2: 1, T_DATETIME2: 1, T_TIME2: 1,
 }
 _DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
@@ -118,6 +122,12 @@ class QueryEvent(_Event):
         super().__init__(ts, log_pos)
         self.schema = schema
         self.query = query
+
+
+class SchemaOnlyQueryEvent(QueryEvent):
+    """A QueryEvent replayed from BELOW a seek offset purely to seed
+    the schema registry: decode applies its DDL but emits no op (the
+    envelope already carried it when the position was first read)."""
 
 
 class XidEvent(_Event):
@@ -299,8 +309,17 @@ def _read_value(data: bytes, pos: int, ctype: int, meta: int):
             real, maxlen = m0 | 0x30, m1 | (((m0 & 0x30) ^ 0x30) << 4)
         else:
             real, maxlen = m0, m1
-        if real in (T_ENUM, T_SET):
-            raise NotImplementedError("ENUM/SET decode not supported")
+        if real == T_ENUM:
+            # pack length (1 for <=255 labels, else 2), little-endian
+            # 1-based label index; 0 = MySQL's invalid/empty member.
+            # Surfaces as the raw index (the reference wire format,
+            # sink/kafka/operation.go makeValue over go-mysql's int64);
+            # the engine's decode stage maps index -> label via the
+            # schema registry's column definition when known
+            return int.from_bytes(data[pos:pos + maxlen], "little"), pos + maxlen
+        if real == T_SET:
+            # pack length 1..8 bytes, little-endian member bitmask
+            return int.from_bytes(data[pos:pos + maxlen], "little"), pos + maxlen
         if maxlen > 255:
             n = int.from_bytes(data[pos:pos + 2], "little")
             pos += 2
@@ -308,7 +327,18 @@ def _read_value(data: bytes, pos: int, ctype: int, meta: int):
             n = data[pos]
             pos += 1
         return data[pos:pos + n].decode("utf-8"), pos + n
-    if ctype == T_BLOB:
+    if ctype == T_BIT:
+        # TABLE_MAP meta bytes: (bits % 8, nbytes*8) packed little —
+        # nbits = hi*8 + lo; value is big-endian over ceil(nbits/8)
+        # bytes (public layout; pymysqlreplication column.py agrees)
+        nbits = (meta >> 8) * 8 + (meta & 0xFF)
+        nb = (nbits + 7) // 8
+        return int.from_bytes(data[pos:pos + nb], "big"), pos + nb
+    if ctype in (T_BLOB, T_GEOMETRY):
+        # GEOMETRY rides the BLOB layout (pack-length meta + bytes);
+        # the payload is SRID(4LE)+WKB, surfaced as raw bytes — the
+        # reference maps it to bytes too (go-mysql []byte through
+        # makeValue, sink/kafka/operation.go:158)
         n = int.from_bytes(data[pos:pos + meta], "little")
         pos += meta
         return bytes(data[pos:pos + n]), pos + n
@@ -341,6 +371,114 @@ def _read_row_image(data: bytes, pos: int, tm: _TableMap) -> tuple[tuple, int]:
 # --- event-level parse ------------------------------------------------------
 
 
+def _version_at_least(server_version: str, want: tuple) -> bool:
+    """Parse the FDE's null-padded server-version string ("5.5.62-log",
+    "8.0.32") into its leading numeric triple and compare."""
+    import re
+
+    m = re.match(r"(\d+)\.(\d+)\.(\d+)", server_version)
+    if not m:
+        return True  # unparseable → assume modern (trailer present)
+    return tuple(int(g) for g in m.groups()) >= want
+
+
+def _present_or_raise(body: bytes, p: int, ncols: int, image: str) -> int:
+    """Consume a columns-present bitmap, requiring a FULL row image.
+
+    binlog_row_image=MINIMAL/NOBLOB clears bits here and drops the
+    matching values from the stream — silently mis-decoding values into
+    the wrong columns if ignored. The engine requires FULL images (the
+    reference does too: go-mysql indexes rows positionally over the
+    TABLE_MAP width), so anything else fails loudly by name."""
+    nb = (ncols + 7) // 8
+    bitmap = body[p:p + nb]
+    for i in range(ncols):
+        if not bitmap[i >> 3] & (1 << (i & 7)):
+            raise BinlogFormatError(
+                f"rows event {image}-image omits column {i}: archive was "
+                "written with binlog_row_image=MINIMAL or NOBLOB; only "
+                "FULL row images are supported"
+            )
+    return p + nb
+
+
+#: WL#10570 row value_options bits — bit 0 = PARTIAL_JSON_UPDATES
+_ROW_VALUE_OPTION_PARTIAL_JSON = 1
+
+_JSON_DIFF_OPS = {0: "replace", 1: "insert", 2: "remove"}
+
+
+def _read_json_diff(data: bytes, pos: int) -> tuple[dict, int]:
+    """Partial-JSON after-image value (WL#10570): lenenc total length,
+    then a sequence of diffs — op(1B: 0 replace / 1 insert / 2 remove),
+    lenenc path, and (except remove) lenenc binary-JSONB value.
+
+    Surfaces as ``{"$json_diff": [{"op","path","value"}...]}`` — an
+    explicit diff marker, NOT a full value: a consumer that needs the
+    materialized document must apply it to its own current image (the
+    same contract MySQL replicas follow for PARTIAL_JSON binlogs)."""
+    import json as _json
+
+    from dolphinbeat_spark.sources.mysql_jsonb import decode_jsonb
+
+    total, pos = _lenenc(data, pos)
+    end = pos + total
+    diffs = []
+    while pos < end:
+        op = data[pos]
+        pos += 1
+        if op not in _JSON_DIFF_OPS:
+            raise BinlogFormatError(
+                f"unknown JSON diff operation {op} in PARTIAL_JSON row image"
+            )
+        plen, pos = _lenenc(data, pos)
+        path = data[pos:pos + plen].decode("utf-8")
+        pos += plen
+        entry = {"op": _JSON_DIFF_OPS[op], "path": path}
+        if op != 2:  # remove carries no value
+            vlen, pos = _lenenc(data, pos)
+            entry["value"] = _json.loads(decode_jsonb(data[pos:pos + vlen]))
+            pos += vlen
+        diffs.append(entry)
+    if pos != end:
+        raise BinlogFormatError("JSON diff sequence overran its declared length")
+    return {"$json_diff": diffs}, pos
+
+
+def _read_row_image_partial(
+    data: bytes, pos: int, tm: _TableMap, partial_json: bool
+) -> tuple[tuple, int]:
+    """After-image of a PARTIAL_UPDATE_ROWS event: when the row's
+    value_options set PARTIAL_JSON, a partial-cols bitmap (one bit per
+    JSON column) precedes the null bitmap, and flagged JSON columns
+    hold diff sequences instead of full JSONB documents."""
+    json_idx = [i for i, ct in enumerate(tm.col_types) if ct == T_JSON]
+    partial_bits = b""
+    if partial_json and json_idx:
+        nb = (len(json_idx) + 7) // 8
+        partial_bits = data[pos:pos + nb]
+        pos += nb
+    is_partial = {}
+    for j, i in enumerate(json_idx):
+        is_partial[i] = bool(partial_bits) and bool(
+            partial_bits[j >> 3] & (1 << (j & 7))
+        )
+    ncols = len(tm.col_types)
+    nullmap = data[pos:pos + (ncols + 7) // 8]
+    pos += (ncols + 7) // 8
+    vals = []
+    for i, (ct, meta) in enumerate(zip(tm.col_types, tm.col_metas)):
+        if nullmap[i >> 3] & (1 << (i & 7)):
+            vals.append(None)
+            continue
+        if is_partial.get(i):
+            v, pos = _read_json_diff(data, pos)
+        else:
+            v, pos = _read_value(data, pos, ct, meta)
+        vals.append(v)
+    return tuple(vals), pos
+
+
 def parse_binlog_events(data: bytes):
     """Yield duck-typed events from the raw bytes of one binlog file.
 
@@ -362,16 +500,20 @@ def parse_binlog_events(data: bytes):
             raise BinlogFormatError(f"truncated event at offset {pos}")
         body = data[pos + 19:pos + esize]
         if etype == EV_FORMAT_DESCRIPTION:
-            # trailer: [checksum_alg 1B][crc 4B] (5.6.1+ servers always
-            # write it; alg 0 = none, 1 = CRC32)
-            checksum = body[-5]
+            # trailer: [checksum_alg 1B][crc 4B] — written by 5.6.1+
+            # servers only. A 5.1-5.5 archive (the ROWS v1 era this
+            # parser also accepts) has NO trailer, so body[-5] there is
+            # a post-header-length-table byte; gate on the declared
+            # server version like go-mysql's parser does
+            binlog_version = struct.unpack_from("<H", body, 0)[0]
+            if binlog_version != 4:
+                raise BinlogFormatError(f"unsupported binlog version {binlog_version}")
+            server_version = body[2:52].split(b"\x00", 1)[0].decode("ascii", "replace")
+            checksum = body[-5] if _version_at_least(server_version, (5, 6, 1)) else 0
             if checksum == 1:
                 (crc,) = struct.unpack_from("<I", data, pos + esize - 4)
                 if zlib.crc32(data[pos:pos + esize - 4]) & 0xFFFFFFFF != crc:
                     raise BinlogFormatError("FDE CRC mismatch")
-            binlog_version = struct.unpack_from("<H", body, 0)[0]
-            if binlog_version != 4:
-                raise BinlogFormatError(f"unsupported binlog version {binlog_version}")
             pos += esize
             continue
         if checksum == 1:
@@ -383,102 +525,157 @@ def parse_binlog_events(data: bytes):
             body = body[:-4]
         pos += esize
 
-        if etype == EV_ROTATE:
-            (position,) = struct.unpack_from("<Q", body, 0)
-            yield RotateEvent(ts, log_pos, body[8:].decode("utf-8"), position)
-        elif etype == EV_GTID:
-            # flags(1) sid(16) gno(8LE); later-version logical-clock
-            # fields follow and are ignored
-            sid = body[1:17]
-            (gno,) = struct.unpack_from("<q", body, 17)
-            uuid = "-".join(
-                sid.hex()[a:b] for a, b in ((0, 8), (8, 12), (12, 16), (16, 20), (20, 32))
-            )
-            yield GtidEvent(ts, log_pos, f"{uuid}:{gno}")
-        elif etype == EV_QUERY:
-            db_len = body[8]
-            status_len = struct.unpack_from("<H", body, 11)[0]
-            p = 13 + status_len
-            schema = body[p:p + db_len].decode("utf-8")
-            query = body[p + db_len + 1:].decode("utf-8")
-            yield QueryEvent(ts, log_pos, schema, query)
-        elif etype == EV_XID:
-            yield XidEvent(ts, log_pos, struct.unpack_from("<Q", body, 0)[0])
-        elif etype == EV_TABLE_MAP:
-            table_id = int.from_bytes(body[0:6], "little")
-            p = 8  # table_id(6) + flags(2)
-            slen = body[p]
-            schema = body[p + 1:p + 1 + slen].decode("utf-8")
-            p += 2 + slen  # len + name + NUL
-            tlen = body[p]
-            table = body[p + 1:p + 1 + tlen].decode("utf-8")
-            p += 2 + tlen
-            ncols, p = _lenenc(body, p)
-            ctypes = list(body[p:p + ncols])
-            p += ncols
-            mlen, p = _lenenc(body, p)
-            mend = p + mlen
-            metas = []
-            for ct in ctypes:
-                w = _META_LEN.get(ct, 0)
-                if w == 0:
-                    metas.append(0)
-                elif w == 1:
-                    metas.append(body[p])
-                    p += 1
-                else:
-                    if ct in (T_VARCHAR, T_VAR_STRING, T_BIT):
-                        metas.append(int.from_bytes(body[p:p + 2], "little"))
-                    else:  # STRING/NEWDECIMAL pack (hi, lo) big-endian-ish
-                        metas.append((body[p] << 8) | body[p + 1])
-                    p += 2
-            if p != mend:
-                raise BinlogFormatError("TABLE_MAP metadata length mismatch")
-            tables[table_id] = _TableMap(schema, table, ctypes, metas)
-        elif etype == EV_MARIADB_GTID:
-            # gno(8LE) domain(4LE) flags(1); gtid text form is
-            # domain-server_id-seq (the dialect the offset algebra's
-            # MariaDB branch consumes)
-            (gno,) = struct.unpack_from("<Q", body, 0)
-            (domain,) = struct.unpack_from("<I", body, 8)
-            yield GtidEvent(ts, log_pos, f"{domain}-{_server_id}-{gno}")
-        elif etype in (
-            EV_WRITE_ROWS_V2, EV_DELETE_ROWS_V2, EV_UPDATE_ROWS_V2,
-            EV_WRITE_ROWS_V1, EV_DELETE_ROWS_V1, EV_UPDATE_ROWS_V1,
-        ):
-            table_id = int.from_bytes(body[0:6], "little")
-            tm = tables.get(table_id)
-            if tm is None:
-                raise BinlogFormatError(f"rows event for unmapped table id {table_id}")
-            p = 8
-            if etype in (EV_WRITE_ROWS_V2, EV_DELETE_ROWS_V2, EV_UPDATE_ROWS_V2):
-                extra_len = struct.unpack_from("<H", body, p)[0]
-                p += extra_len  # includes its own 2 bytes
-            ncols, p = _lenenc(body, p)
-            if ncols != len(tm.col_types):
-                raise BinlogFormatError("rows event width != TABLE_MAP width")
-            p += (ncols + 7) // 8  # columns-present bitmap (all set here)
-            if etype in (EV_UPDATE_ROWS_V2, EV_UPDATE_ROWS_V1):
-                p += (ncols + 7) // 8  # after-image present bitmap
-                pairs = []
-                while p < len(body):
-                    before, p = _read_row_image(body, p, tm)
-                    after, p = _read_row_image(body, p, tm)
-                    pairs.append((before, after))
-                yield UpdateRowsEvent(ts, log_pos, tm.schema, tm.table, pairs)
+        # any malformed body from here down must surface as the typed
+        # BinlogFormatError (the loud-failure contract the fuzz test
+        # pins) — reachable when the file was written without CRC32
+        # (5.1-5.5, or binlog_checksum=NONE) so corruption has no
+        # checksum to trip first
+        try:
+            ev = _decode_body(etype, ts, _server_id, log_pos, body, tables)
+        except (BinlogFormatError, NotImplementedError):
+            raise
+        except Exception as ex:
+            raise BinlogFormatError(
+                f"malformed event body at offset {pos - esize} "
+                f"(type {etype:#x}): {ex}"
+            ) from ex
+        if ev is not None:
+            yield ev
+
+
+def _decode_body(etype, ts, _server_id, log_pos, body, tables):
+    """Decode one post-CRC event body; returns the event or None (for
+    TABLE_MAP, which mutates ``tables``, and skipped bookkeeping)."""
+    if etype == EV_ROTATE:
+        (position,) = struct.unpack_from("<Q", body, 0)
+        return RotateEvent(ts, log_pos, body[8:].decode("utf-8"), position)
+    elif etype == EV_GTID:
+        # flags(1) sid(16) gno(8LE); later-version logical-clock
+        # fields follow and are ignored
+        sid = body[1:17]
+        (gno,) = struct.unpack_from("<q", body, 17)
+        uuid = "-".join(
+            sid.hex()[a:b] for a, b in ((0, 8), (8, 12), (12, 16), (16, 20), (20, 32))
+        )
+        return GtidEvent(ts, log_pos, f"{uuid}:{gno}")
+    elif etype == EV_QUERY:
+        db_len = body[8]
+        status_len = struct.unpack_from("<H", body, 11)[0]
+        p = 13 + status_len
+        schema = body[p:p + db_len].decode("utf-8")
+        query = body[p + db_len + 1:].decode("utf-8")
+        return QueryEvent(ts, log_pos, schema, query)
+    elif etype == EV_XID:
+        return XidEvent(ts, log_pos, struct.unpack_from("<Q", body, 0)[0])
+    elif etype == EV_TABLE_MAP:
+        table_id = int.from_bytes(body[0:6], "little")
+        p = 8  # table_id(6) + flags(2)
+        slen = body[p]
+        schema = body[p + 1:p + 1 + slen].decode("utf-8")
+        p += 2 + slen  # len + name + NUL
+        tlen = body[p]
+        table = body[p + 1:p + 1 + tlen].decode("utf-8")
+        p += 2 + tlen
+        ncols, p = _lenenc(body, p)
+        ctypes = list(body[p:p + ncols])
+        p += ncols
+        mlen, p = _lenenc(body, p)
+        mend = p + mlen
+        metas = []
+        for ct in ctypes:
+            w = _META_LEN.get(ct, 0)
+            if w == 0:
+                metas.append(0)
+            elif w == 1:
+                metas.append(body[p])
+                p += 1
             else:
-                rows = []
-                while p < len(body):
-                    row, p = _read_row_image(body, p, tm)
-                    rows.append(row)
-                cls = (
-                    WriteRowsEvent
-                    if etype in (EV_WRITE_ROWS_V2, EV_WRITE_ROWS_V1)
-                    else DeleteRowsEvent
+                if ct in (T_VARCHAR, T_VAR_STRING, T_BIT):
+                    metas.append(int.from_bytes(body[p:p + 2], "little"))
+                else:  # STRING/NEWDECIMAL pack (hi, lo) big-endian-ish
+                    metas.append((body[p] << 8) | body[p + 1])
+                p += 2
+        if p != mend:
+            raise BinlogFormatError("TABLE_MAP metadata length mismatch")
+        tables[table_id] = _TableMap(schema, table, ctypes, metas)
+    elif etype == EV_MARIADB_GTID:
+        # gno(8LE) domain(4LE) flags(1); gtid text form is
+        # domain-server_id-seq (the dialect the offset algebra's
+        # MariaDB branch consumes)
+        (gno,) = struct.unpack_from("<Q", body, 0)
+        (domain,) = struct.unpack_from("<I", body, 8)
+        return GtidEvent(ts, log_pos, f"{domain}-{_server_id}-{gno}")
+    elif etype in (
+        EV_WRITE_ROWS_V2, EV_DELETE_ROWS_V2, EV_UPDATE_ROWS_V2,
+        EV_WRITE_ROWS_V1, EV_DELETE_ROWS_V1, EV_UPDATE_ROWS_V1,
+    ):
+        table_id = int.from_bytes(body[0:6], "little")
+        tm = tables.get(table_id)
+        if tm is None:
+            raise BinlogFormatError(f"rows event for unmapped table id {table_id}")
+        p = 8
+        if etype in (EV_WRITE_ROWS_V2, EV_DELETE_ROWS_V2, EV_UPDATE_ROWS_V2):
+            extra_len = struct.unpack_from("<H", body, p)[0]
+            p += extra_len  # includes its own 2 bytes
+        ncols, p = _lenenc(body, p)
+        if ncols != len(tm.col_types):
+            raise BinlogFormatError("rows event width != TABLE_MAP width")
+        p = _present_or_raise(body, p, ncols, "before")
+        if etype in (EV_UPDATE_ROWS_V2, EV_UPDATE_ROWS_V1):
+            p = _present_or_raise(body, p, ncols, "after")
+            pairs = []
+            while p < len(body):
+                before, p = _read_row_image(body, p, tm)
+                after, p = _read_row_image(body, p, tm)
+                pairs.append((before, after))
+            return UpdateRowsEvent(ts, log_pos, tm.schema, tm.table, pairs)
+        else:
+            rows = []
+            while p < len(body):
+                row, p = _read_row_image(body, p, tm)
+                rows.append(row)
+            cls = (
+                WriteRowsEvent
+                if etype in (EV_WRITE_ROWS_V2, EV_WRITE_ROWS_V1)
+                else DeleteRowsEvent
+            )
+            return cls(ts, log_pos, tm.schema, tm.table, rows)
+    elif etype == EV_PARTIAL_UPDATE_ROWS:
+        # WL#10570: UPDATE written under binlog_row_value_options=
+        # PARTIAL_JSON. Before-images are ordinary; each after-image
+        # is preceded by a lenenc value_options — bit 0 flags that
+        # JSON columns may carry diff sequences (surfaced as
+        # {"$json_diff": [...]}); any other bit is from a future
+        # server and fails loudly by option name
+        table_id = int.from_bytes(body[0:6], "little")
+        tm = tables.get(table_id)
+        if tm is None:
+            raise BinlogFormatError(f"rows event for unmapped table id {table_id}")
+        p = 8
+        extra_len = struct.unpack_from("<H", body, p)[0]
+        p += extra_len
+        ncols, p = _lenenc(body, p)
+        if ncols != len(tm.col_types):
+            raise BinlogFormatError("rows event width != TABLE_MAP width")
+        p = _present_or_raise(body, p, ncols, "before")
+        p = _present_or_raise(body, p, ncols, "after")
+        pairs = []
+        while p < len(body):
+            before, p = _read_row_image(body, p, tm)
+            value_options, p = _lenenc(body, p)
+            if value_options & ~_ROW_VALUE_OPTION_PARTIAL_JSON:
+                raise BinlogFormatError(
+                    f"unsupported binlog_row_value_options bits {value_options:#x} "
+                    "in PARTIAL_UPDATE_ROWS event (only PARTIAL_JSON is known)"
                 )
-                yield cls(ts, log_pos, tm.schema, tm.table, rows)
-        # else: bookkeeping event types (PREVIOUS_GTIDS, ANONYMOUS_GTID,
-        # HEARTBEAT, ...) — skipped by size, like real consumers
+            after, p = _read_row_image_partial(
+                body, p, tm, bool(value_options & _ROW_VALUE_OPTION_PARTIAL_JSON)
+            )
+            pairs.append((before, after))
+        return UpdateRowsEvent(ts, log_pos, tm.schema, tm.table, pairs)
+    # else: bookkeeping event types (PREVIOUS_GTIDS, ANONYMOUS_GTID,
+    # HEARTBEAT, ...) — skipped by size, like real consumers
+    return None
 
 
 # --- replay provider: recorded files through the live reader classes --------
@@ -498,19 +695,33 @@ def binlog_file_provider(options: dict):
 
     def factory(offset):
         start_pos = offset.pos if offset.file else 0
-        return iter(
-            [
-                e
-                for e in _events()
-                if e.packet.log_pos > start_pos
-                or (start_pos <= 4 and isinstance(e, RotateEvent))
-            ]
-        )
+        out = []
+        for e in _events():
+            if e.packet.log_pos > start_pos or (
+                start_pos <= 4 and isinstance(e, RotateEvent)
+            ):
+                out.append(e)
+            elif isinstance(e, QueryEvent):
+                # a seek past position 4 (paced replay, checkpoint
+                # restart mid-file) must still SEE the DDL recorded at
+                # the file head, or rows decode with positional
+                # col_0..N names in a fresh executor registry — replay
+                # those QueryEvents apply-only (registry mutation, no
+                # re-emission downstream)
+                out.append(
+                    SchemaOnlyQueryEvent(
+                        e.timestamp, e.packet.log_pos, e.schema, e.query
+                    )
+                )
+        return iter(out)
 
     def latest(opts: dict) -> dict:
         from dolphinbeat_spark.sources.binlog_source import BinlogOffset
 
-        last = max(e.packet.log_pos for e in _events())
+        # default=4: a valid file holding only an FDE/bookkeeping
+        # events yields no parsed events — plan an empty batch at the
+        # post-magic head position instead of raising from max()
+        last = max((e.packet.log_pos for e in _events()), default=4)
         return BinlogOffset(
             file=log_name, pos=last, server_id=int(opts.get("server_id", "0"))
         ).to_json()

@@ -142,13 +142,17 @@ def decode_event(ev: object, ctx: DecodeContext) -> list[dict]:
         ctx.pending_gtid = ev.gtid
         return [dict(op_type="gtid", gtid=ev.gtid, **base)]
     if kind == "query":
+        # apply_only: schema-seeding replay below a seek offset (file
+        # provider) — mutate decode state, emit nothing (those ops
+        # already flowed when the position was first consumed)
+        apply_only = bool(getattr(ev, "apply_only", False))
         stmt = normalize_statement(ev.query)
         if stmt.upper() == "BEGIN":
             ctx.in_trx = True
-            return [dict(op_type="begin", **base)]
+            return [] if apply_only else [dict(op_type="begin", **base)]
         if stmt.upper() == "COMMIT":
             ctx.in_trx = False
-            return [dict(op_type="commit", gtid=ctx.pending_gtid, **base)]
+            return [] if apply_only else [dict(op_type="commit", gtid=ctx.pending_gtid, **base)]
         if is_ddl(stmt):
             try:
                 version = ctx.registry.apply_ddl(
@@ -159,13 +163,15 @@ def decode_event(ev: object, ctx: DecodeContext) -> list[dict]:
                     dict(statement=stmt, db=getattr(ev, "schema", ""),
                          log_name=ctx.log_name, log_pos=log_pos, error=str(ex))
                 )
-                return [dict(op_type="ddl_failed", db=getattr(ev, "schema", ""),
-                             statement=stmt, schema_version=ctx.registry.version, **base)]
-            return [dict(op_type="ddl", db=getattr(ev, "schema", ""), statement=stmt,
-                         schema_version=version, **base)]
+                return [] if apply_only else [
+                    dict(op_type="ddl_failed", db=getattr(ev, "schema", ""),
+                         statement=stmt, schema_version=ctx.registry.version, **base)]
+            return [] if apply_only else [
+                dict(op_type="ddl", db=getattr(ev, "schema", ""), statement=stmt,
+                     schema_version=version, **base)]
         # statement-based DML — surfaced as 'query' (the reference
         # silently drops these, F4; we keep them observable)
-        return [dict(op_type="query", statement=stmt, **base)]
+        return [] if apply_only else [dict(op_type="query", statement=stmt, **base)]
     if kind == "xid":
         ctx.in_trx = False
         return [dict(op_type="commit", gtid=ctx.pending_gtid, **base)]
@@ -177,8 +183,9 @@ def decode_event(ev: object, ctx: DecodeContext) -> list[dict]:
         td = ctx.registry.get(ev.schema, ev.table)
         names = td.column_names() if td else None
         json_cols = _json_columns(td)
+        labels = _label_maps(td)
         for ri, row in enumerate(ev.rows):
-            vals, nulls = _stringify(row, names, json_cols)
+            vals, nulls = _stringify(row, names, json_cols, labels)
             out.append(dict(op_type=kind, db=ev.schema, table=ev.table,
                             schema_version=ctx.registry.version,
                             **{img: vals, f"{img}_null": nulls},
@@ -191,9 +198,10 @@ def decode_event(ev: object, ctx: DecodeContext) -> list[dict]:
         td = ctx.registry.get(ev.schema, ev.table)
         names = td.column_names() if td else None
         json_cols = _json_columns(td)
+        labels = _label_maps(td)
         for ri, (before_row, after_row) in enumerate(ev.rows):
-            b, bn = _stringify(before_row, names, json_cols)
-            a, an = _stringify(after_row, names, json_cols)
+            b, bn = _stringify(before_row, names, json_cols, labels)
+            a, an = _stringify(after_row, names, json_cols, labels)
             out.append(dict(op_type="update", db=ev.schema, table=ev.table,
                             schema_version=ctx.registry.version,
                             before=b, before_null=bn, after=a, after_null=an,
@@ -210,8 +218,78 @@ def _json_columns(td) -> set[str]:
     return {c.name for c in td.columns if c.type.startswith("json")}
 
 
+def _parse_labels(type_text: str) -> list[str]:
+    """Member labels out of an ``enum('a','b')`` / ``set('a','b')``
+    type string ('' inside a label is MySQL's escaped quote)."""
+    labels, cur, in_q = [], [], False
+    i = type_text.find("(")
+    for ch_i in range(i + 1, len(type_text)):
+        ch = type_text[ch_i]
+        if in_q:
+            if ch == "'":
+                if ch_i + 1 < len(type_text) and type_text[ch_i + 1] == "'":
+                    cur.append("'")
+                    in_q = None  # consume the escape pair's 2nd quote
+                else:
+                    labels.append("".join(cur))
+                    cur, in_q = [], False
+            else:
+                cur.append(ch)
+        elif in_q is None:  # just consumed escape's first quote
+            in_q = True
+        elif ch == "'":
+            in_q = True
+    return labels
+
+
+def _label_maps(td) -> dict | None:
+    """name -> ("enum"|"set", labels) for ENUM/SET columns of a known
+    table. The binlog wire carries the 1-based index (ENUM) / member
+    bitmask (SET); the reference ships that raw number plus the
+    TableDef and lets the CLIENT resolve it (sink/kafka/operation.go
+    makeValue over go-mysql int64). We resolve engine-side instead —
+    the registry already holds the labels, and it keeps the file route
+    consistent with live pymysqlreplication (which resolves labels via
+    information_schema). Unknown table → None → index passes through."""
+    if td is None:
+        return None
+    out = {}
+    for c in td.columns:
+        if c.type.startswith("enum("):
+            out[c.name] = ("enum", _parse_labels(c.type))
+        elif c.type.startswith("set("):
+            out[c.name] = ("set", _parse_labels(c.type))
+    return out or None
+
+
+def _render_label(kind_labels: tuple, v):
+    kind, labels = kind_labels
+    if kind == "enum":
+        if isinstance(v, int):
+            if v == 0:
+                return ""  # MySQL's invalid/empty enum member
+            if 1 <= v <= len(labels):
+                return labels[v - 1]
+            return str(v)
+        return str(v)  # live path already resolved the label
+    # set
+    if isinstance(v, int):
+        if v >> len(labels):  # bit beyond the definition: unknown member
+            return str(v)
+        return ",".join(l for i, l in enumerate(labels) if v & (1 << i))
+    if isinstance(v, (set, frozenset)):
+        # canonical definition order (str(set) order is unstable)
+        known = [l for l in labels if l in v]
+        extra = sorted(x for x in v if x not in labels)
+        return ",".join(known + extra)
+    return str(v)
+
+
 def _stringify(
-    row, names: list[str] | None, json_cols: set[str] | None = None
+    row,
+    names: list[str] | None,
+    json_cols: set[str] | None = None,
+    label_maps: dict | None = None,
 ) -> tuple[dict, dict]:
     """Positional row → named stringly map + null map (reference D12
     stringifies every value and flags NULL separately,
@@ -257,6 +335,7 @@ def _stringify(
     # render) — this is the per-row hot loop of the whole decode path,
     # measured ~2× over the two-dict-comp + render-per-value form
     jc = json_cols or ()
+    lm = label_maps
     vals = {}
     nulls = {}
     for k, v in items:
@@ -267,6 +346,8 @@ def _stringify(
             t = type(v)
             if k in jc:
                 vals[k] = render(k, v)
+            elif lm and k in lm:
+                vals[k] = _render_label(lm[k], v)
             elif t is str:
                 vals[k] = v
             elif t is int:
@@ -301,14 +382,19 @@ def adapt_replication_event(raw: object) -> object | None:
         return SimpleNamespace(kind="rotate", next_binlog=nb, position=int(raw.position), **base)
     if cls in ("GtidEvent", "MariadbGtidEvent"):
         return SimpleNamespace(kind="gtid", gtid=str(raw.gtid), **base)
-    if cls == "QueryEvent":
+    if cls in ("QueryEvent", "SchemaOnlyQueryEvent"):
         q = raw.query
         if isinstance(q, bytes):
             q = q.decode("utf-8", "replace")
         db = getattr(raw, "schema", b"") or b""
         if isinstance(db, bytes):
             db = db.decode("utf-8", "replace")
-        return SimpleNamespace(kind="query", query=q, schema=db, **base)
+        # SchemaOnlyQueryEvent: a file-provider seek replaying head DDL
+        # below the start offset — registry mutation only, no emission
+        return SimpleNamespace(
+            kind="query", query=q, schema=db,
+            apply_only=(cls == "SchemaOnlyQueryEvent"), **base,
+        )
     if cls == "XidEvent":
         return SimpleNamespace(kind="xid", xid=getattr(raw, "xid", 0), **base)
     if cls == "WriteRowsEvent":

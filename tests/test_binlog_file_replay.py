@@ -45,6 +45,9 @@ def test_replay_golden_op_sequence():
         "ddl", "ddl",
         "gtid", "begin", "insert", "insert", "insert", "commit",
         "gtid", "begin", "insert", "insert", "update", "delete", "commit",
+        "ddl",
+        "gtid", "begin", "insert", "insert", "insert", "update", "update",
+        "commit",
         "rotate",
     ]
     assert not ctx.dead_letters, f"DDL failed to replay: {ctx.dead_letters}"
@@ -52,7 +55,8 @@ def test_replay_golden_op_sequence():
     assert ops[2]["gtid"] == "3e11fa47-e3b2-4f2c-90b1-aa6d1d1f3e11:1"
     assert ops[7]["gtid"] == "3e11fa47-e3b2-4f2c-90b1-aa6d1d1f3e11:1"
     assert ops[14]["gtid"] == "3e11fa47-e3b2-4f2c-90b1-aa6d1d1f3e11:2"
-    assert ops[15]["next_log_name"] == "replay.000002"
+    assert ops[23]["gtid"] == "3e11fa47-e3b2-4f2c-90b1-aa6d1d1f3e11:3"
+    assert ops[24]["next_log_name"] == "replay.000002"
 
 
 def test_replay_golden_typed_row_values():
@@ -107,6 +111,195 @@ def test_replay_golden_multibyte_and_update_images():
     assert dele["op_type"] == "delete"
     assert dele["before"]["id"] == "2"
     assert dele["before"]["note"] == "row two"
+
+
+def test_replay_golden_type_tail_enum_set_bit_geometry():
+    """r7 type tail on recorded bytes: ENUM resolves to its label via
+    the registry's column definition (index fallback when unknown),
+    SET renders members in definition order, BIT decodes big-endian
+    over its meta width, GEOMETRY passes through as raw SRID+WKB
+    bytes (latin-1-preserved on the stringly wire like BLOB)."""
+    ops, _ = _decode_all()
+    tails = [o for o in ops if o.get("table") == "tails"]
+    ins = [o for o in tails if o["op_type"] == "insert"]
+    assert len(ins) == 3
+    r1 = ins[0]["after"]
+    assert r1["status"] == "active"      # wire index 2 -> 2nd label
+    assert r1["flags"] == "a,c"          # bitmask 0b0101, definition order
+    assert r1["mask"] == "683"           # BIT(10) big-endian 0x2AB
+    geo = r1["geo"].encode("latin-1")
+    assert geo[:4] == b"\x00\x00\x00\x00" and geo[4] == 1  # SRID + WKB LE
+    # enum index 0 = MySQL's invalid/empty member; set bitmask 0 = ""
+    r2 = ins[1]["after"]
+    assert r2["status"] == "" and r2["flags"] == "" and r2["mask"] == "0"
+    # NULL bitmap covers the tail types too
+    n3 = ins[2]["after_null"]
+    assert n3["status"] and n3["flags"] and n3["mask"] and n3["geo"] and n3["doc"]
+
+
+def test_replay_golden_partial_json_update():
+    """WL#10570 PARTIAL_UPDATE_ROWS: the PARTIAL_JSON row surfaces its
+    JSON column as an explicit {"$json_diff": [...]} document (decoded
+    diff ops, paths, JSONB values); the value_options=0 row in the SAME
+    event decodes as a plain full image."""
+    import json
+
+    ops, _ = _decode_all()
+    upds = [o for o in ops if o.get("table") == "tails" and o["op_type"] == "update"]
+    assert len(upds) == 2
+    diff_doc = json.loads(upds[0]["after"]["doc"])
+    assert diff_doc == {"$json_diff": [
+        {"op": "replace", "path": "$.k", "value": "patched"},
+        {"op": "remove", "path": "$.old"},
+    ]}
+    assert upds[0]["before"]["doc"] == '"hello jsonb"'
+    assert upds[0]["after"]["status"] == "closed"
+    # plain row: full after image, enum/set/bit all re-decoded
+    assert upds[1]["after"]["doc"] == '"hello jsonb"'
+    assert upds[1]["after"]["flags"] == "a,b,c,d"
+    assert upds[1]["after"]["mask"] == "1023"
+
+
+def test_partial_json_unknown_value_options_fail_loudly():
+    import struct
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from tools.make_binlog_fixture import TAILS_COLS, Writer
+
+    from dolphinbeat_spark.sources import binlog_file as B
+
+    w = Writer()
+    w.fde()
+    w.table_map(9, "test", "x", TAILS_COLS)
+    n = len(TAILS_COLS)
+    body = (9).to_bytes(6, "little") + b"\x01\x00" + struct.pack("<H", 2)
+    body += bytes([n]) + b"\xff" + b"\xff"  # widths + 2 present bitmaps
+    body += bytes([0b00111110])  # before: only id non-null
+    body += (1).to_bytes(4, "little", signed=True)
+    body += bytes([2])  # value_options = 2: NOT a known option bit
+    w.event(B.EV_PARTIAL_UPDATE_ROWS, body)
+    with pytest.raises(B.BinlogFormatError, match="binlog_row_value_options"):
+        list(B.parse_binlog_events(bytes(w.buf)))
+
+
+def test_minimal_row_image_rejected_by_name():
+    """binlog_row_image=MINIMAL clears columns-present bits and drops
+    values from the stream — silently mis-decoding if ignored (ADVICE
+    r6). The parser must refuse by option name instead."""
+    import struct
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from tools.make_binlog_fixture import Writer
+
+    from dolphinbeat_spark.sources import binlog_file as B
+
+    w = Writer()
+    w.fde()
+    cols = [(B.T_LONG, 0), (B.T_VARCHAR, 32)]
+    w.table_map(8, "test", "m", cols)
+    body = (8).to_bytes(6, "little") + b"\x01\x00" + struct.pack("<H", 2)
+    body += bytes([2]) + bytes([0b01])  # present bitmap: col 1 OMITTED
+    body += bytes([0]) + (5).to_bytes(4, "little", signed=True)
+    w.event(B.EV_WRITE_ROWS_V2, body)
+    with pytest.raises(B.BinlogFormatError, match="MINIMAL or NOBLOB"):
+        list(B.parse_binlog_events(bytes(w.buf)))
+
+
+def test_pre_561_fde_has_no_checksum_trailer():
+    """A 5.5-era FDE has no [alg][crc] trailer; trailer detection must
+    gate on the declared server version (ADVICE r6) — body[-5] there
+    is a post-header-table byte that may equal 1 by accident."""
+    import struct
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from tools.make_binlog_fixture import SERVER_ID, TS, Writer
+
+    from dolphinbeat_spark.sources import binlog_file as B
+
+    buf = bytearray(B.BINLOG_MAGIC)
+    # hand-build a trailer-less 5.5 FDE whose LAST post-header byte is
+    # 1 (the false-positive the old body[-5] read tripped on)
+    sv = b"5.5.62-log".ljust(50, b"\x00")
+    ph = bytearray(40)
+    ph[B.EV_QUERY - 1] = 13
+    ph[-1] = 1  # would masquerade as checksum_alg=CRC32
+    body = struct.pack("<H", 4) + sv + struct.pack("<I", TS) + bytes([19]) + bytes(ph)
+    esize = 19 + len(body)  # no CRC trailer on any event either
+    pos = 4 + esize
+    buf += struct.pack("<IBIIIH", TS, B.EV_FORMAT_DESCRIPTION, SERVER_ID,
+                       esize, pos, 0) + body
+    # one un-checksummed QueryEvent after it must parse cleanly
+    q = b"CREATE TABLE test.t (id INT)"
+    qbody = struct.pack("<IIBHH", 7, 0, 4, 0, 0) + b"test\x00" + q
+    esize = 19 + len(qbody)
+    pos += esize
+    buf += struct.pack("<IBIIIH", TS, B.EV_QUERY, SERVER_ID, esize, pos, 0) + qbody
+    evs = list(B.parse_binlog_events(bytes(buf)))
+    assert [type(e).__name__ for e in evs] == ["QueryEvent"]
+    assert evs[0].query == "CREATE TABLE test.t (id INT)"
+    assert evs[0].schema == "test"
+
+
+def test_provider_latest_defaults_on_eventless_file(tmp_path):
+    """A valid binlog holding only an FDE yields no events; latest()
+    must plan an empty batch at position 4, not raise from max()
+    (ADVICE r6)."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from tools.make_binlog_fixture import Writer
+
+    from dolphinbeat_spark.sources.binlog_file import binlog_file_provider
+
+    w = Writer()
+    w.fde()
+    f = tmp_path / "empty.binlog"
+    f.write_bytes(bytes(w.buf))
+    _, latest = binlog_file_provider({"binlog_file_path": str(f)})
+    off = latest({"server_id": "7"})
+    assert off["pos"] == 4 and off["file"] == "empty.binlog"
+
+
+def test_provider_seek_replays_head_schema_apply_only():
+    """A factory seek past position 4 (paced replay / mid-file restart)
+    must still seed the registry from the file-head DDL (ADVICE r6):
+    rows decode with REAL column names, and the replayed DDL emits no
+    duplicate ops."""
+    from dolphinbeat_spark.schema.registry import SchemaRegistry
+    from dolphinbeat_spark.sources.binlog_file import binlog_file_provider
+    from dolphinbeat_spark.sources.binlog_source import (
+        BinlogOffset,
+        DecodeContext,
+        adapt_replication_event,
+        decode_event,
+    )
+
+    factory, latest = binlog_file_provider({"binlog_file_path": str(FIXTURE)})
+    # full decode to find the t2 insert position (start AFTER it)
+    ops, _ = _decode_all()
+    t2_ins_pos = next(o["log_pos"] for o in ops
+                      if o.get("table") == "t2" and o["op_type"] == "insert")
+    ctx = DecodeContext(registry=SchemaRegistry(), log_name="replay.binlog")
+    resumed = []
+    for raw in factory(BinlogOffset(file="replay.binlog", pos=t2_ins_pos)):
+        ev = adapt_replication_event(raw)
+        if ev is not None:
+            resumed.extend(decode_event(ev, ctx))
+    # no duplicate ddl ops from the apply-only replay (the two head
+    # CREATEs + mid-file tails CREATE sit at/below... tails CREATE is
+    # above the seek, so exactly ONE ddl op flows)
+    assert [o["op_type"] for o in resumed].count("ddl") == 1
+    # ...but the registry saw them: resumed t2/tails rows carry real
+    # column names, not positional col_0/col_1
+    upd = next(o for o in resumed if o.get("table") == "t2" and o["op_type"] == "update")
+    assert set(upd["after"]) == {"id", "note"}
+    tails_ins = next(o for o in resumed if o.get("table") == "tails")
+    assert "status" in tails_ins["after"] and tails_ins["after"]["status"] == "active"
+    # nothing at or before the seek position re-emitted
+    assert all(o["log_pos"] > t2_ins_pos for o in resumed)
 
 
 def test_replay_rejects_corruption():

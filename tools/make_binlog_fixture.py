@@ -114,10 +114,17 @@ def enc_value(ctype: int, meta: int, v) -> bytes:
         n = len(raw).to_bytes(2 if meta > 255 else 1, "little")
         return n + raw
     if ctype == B.T_STRING:
+        real, size = meta >> 8, meta & 0xFF
+        if real in (B.T_ENUM, B.T_SET):
+            # ENUM: 1-based label index; SET: member bitmask — both
+            # little-endian over the declared pack length
+            return int(v).to_bytes(size, "little")
         raw = v.encode("utf-8")
-        maxlen = meta & 0xFF  # CHAR(n<256) fixture shape
-        return len(raw).to_bytes(2 if maxlen > 255 else 1, "little") + raw
-    if ctype == B.T_BLOB:
+        return len(raw).to_bytes(2 if size > 255 else 1, "little") + raw
+    if ctype == B.T_BIT:
+        nbits = (meta >> 8) * 8 + (meta & 0xFF)
+        return int(v).to_bytes((nbits + 7) // 8, "big")
+    if ctype in (B.T_BLOB, B.T_GEOMETRY):
         return len(v).to_bytes(meta, "little") + bytes(v)
     if ctype == B.T_JSON:
         return len(v).to_bytes(meta, "little") + bytes(v)
@@ -150,6 +157,7 @@ class Writer:
         ph[B.EV_WRITE_ROWS_V2 - 1] = 10
         ph[B.EV_UPDATE_ROWS_V2 - 1] = 10
         ph[B.EV_DELETE_ROWS_V2 - 1] = 10
+        ph[B.EV_PARTIAL_UPDATE_ROWS - 1] = 10
         body = struct.pack("<H", 4) + sv + struct.pack("<I", TS) + bytes([19])
         body += bytes(ph) + bytes([1])  # checksum_alg = CRC32
         self.event(B.EV_FORMAT_DESCRIPTION, body)
@@ -212,8 +220,69 @@ class Writer:
                 body += self._image(cols, row)
         self.event(etype, body)
 
+    def partial_update_rows(self, table_id: int, cols, rows) -> None:
+        """PARTIAL_UPDATE_ROWS (WL#10570): ``rows`` is a list of
+        (before_tuple, after_tuple, partial) where ``partial`` maps
+        column index -> encoded diff-sequence bytes (see json_diff) for
+        JSON columns carried as diffs; empty/None partial writes the
+        row with value_options=0 (full after-image)."""
+        n = len(cols)
+        json_idx = [i for i, (ct, _) in enumerate(cols) if ct == B.T_JSON]
+        body = table_id.to_bytes(6, "little") + b"\x01\x00"
+        body += struct.pack("<H", 2)
+        body += bytes([n])
+        present = bytes([0xFF] * ((n + 7) // 8))
+        body += present + present
+        for before, after, partial in rows:
+            body += self._image(cols, before)
+            if partial:
+                body += bytes([1])  # value_options: PARTIAL_JSON
+                pbits = bytearray((len(json_idx) + 7) // 8)
+                for j, i in enumerate(json_idx):
+                    if i in partial:
+                        pbits[j >> 3] |= 1 << (j & 7)
+                body += bytes(pbits)
+                # after image with diff bytes substituted in place of
+                # the flagged JSON columns' full values
+                nullmap = bytearray((n + 7) // 8)
+                vals = bytearray()
+                for i, ((ct, meta), v) in enumerate(zip(cols, after)):
+                    if i in partial:
+                        vals += partial[i]
+                    elif v is None:
+                        nullmap[i >> 3] |= 1 << (i & 7)
+                    else:
+                        vals += enc_value(ct, meta, v)
+                body += bytes(nullmap) + bytes(vals)
+            else:
+                body += bytes([0])  # value_options: none → plain image
+                body += self._image(cols, after)
+        self.event(B.EV_PARTIAL_UPDATE_ROWS, body)
+
     def rotate(self, next_name: str, position: int = 4) -> None:
         self.event(B.EV_ROTATE, struct.pack("<Q", position) + next_name.encode())
+
+
+def lenenc(n: int) -> bytes:
+    if n < 0xFB:
+        return bytes([n])
+    if n < 1 << 16:
+        return b"\xfc" + n.to_bytes(2, "little")
+    if n < 1 << 24:
+        return b"\xfd" + n.to_bytes(3, "little")
+    return b"\xfe" + n.to_bytes(8, "little")
+
+
+def json_diff(entries) -> bytes:
+    """Encode a WL#10570 diff sequence: (op, path, jsonb_value|None)
+    triples -> lenenc(total) + [op(1) lenenc(path) path [lenenc(v) v]]."""
+    seq = bytearray()
+    for op, path, value in entries:
+        p = path.encode("utf-8")
+        seq += bytes([op]) + lenenc(len(p)) + p
+        if value is not None:
+            seq += lenenc(len(value)) + value
+    return lenenc(len(seq)) + bytes(seq)
 
 
 TYPED_COLS = [
@@ -255,6 +324,29 @@ TYPED_ROWS = [
 
 LONG_NOTE = ("длинная-замет ка-" * 20)[:280]  # multibyte, > 255 utf-8 bytes
 
+# --- type-tail table: ENUM / SET / BIT / GEOMETRY / partial JSON ------------
+
+TAILS_COLS = [
+    (B.T_LONG, 0),                        # id INT
+    (B.T_STRING, (B.T_ENUM << 8) | 1),    # status ENUM(3 labels, 1-byte index)
+    (B.T_STRING, (B.T_SET << 8) | 1),     # flags SET(4 members, 1-byte mask)
+    (B.T_BIT, (1 << 8) | 2),              # mask BIT(10): meta (bits%8=2, bytes=1)
+    (B.T_GEOMETRY, 4),                    # geo GEOMETRY (4-byte pack length)
+    (B.T_JSON, 4),                        # doc JSON
+]
+
+# SRID 0 + little-endian WKB POINT(1.5, -2.25)
+GEO_POINT = (
+    b"\x00\x00\x00\x00" + b"\x01" + (1).to_bytes(4, "little")
+    + struct.pack("<dd", 1.5, -2.25)
+)
+
+TAILS_ROWS = [
+    (1, 2, 0b0101, 0x2AB, GEO_POINT, _JSONB_HELLO),  # active; {a,c}; 683
+    (2, 0, 0, 0, b"", _JSONB_HELLO),                 # enum 0 = invalid -> ""
+    (3, None, None, None, None, None),               # NULL bitmap over the tail types
+]
+
 
 def main() -> None:
     w = Writer()
@@ -281,6 +373,30 @@ def main() -> None:
            [((1, LONG_NOTE), (1, "short note ✓"))])
     w.rows(B.EV_DELETE_ROWS_V2, 102, T2_COLS, [(2, "row two")])
     w.xid(2)
+
+    # trx 3: the r7 type tail — ENUM/SET/BIT/GEOMETRY inserts, then a
+    # PARTIAL_UPDATE_ROWS event mixing a PARTIAL_JSON diff row with a
+    # value_options=0 (plain) row
+    w.query("test", "CREATE TABLE test.tails ("
+            "id INT PRIMARY KEY, status ENUM('new','active','closed'), "
+            "flags SET('a','b','c','d'), mask BIT(10), "
+            "geo GEOMETRY, doc JSON)")
+    w.gtid(sid, 3)
+    w.query("test", "BEGIN")
+    w.table_map(103, "test", "tails", TAILS_COLS)
+    w.rows(B.EV_WRITE_ROWS_V2, 103, TAILS_COLS, TAILS_ROWS)
+    diff = json_diff([
+        (0, "$.k", b"\x0c\x07patched"),   # replace $.k with "patched"
+        (2, "$.old", None),               # remove $.old
+    ])
+    w.table_map(103, "test", "tails", TAILS_COLS)
+    w.partial_update_rows(103, TAILS_COLS, [
+        ((1, 2, 0b0101, 0x2AB, GEO_POINT, _JSONB_HELLO),
+         (1, 3, 0b0101, 0x2AB, GEO_POINT, None), {5: diff}),
+        ((2, 0, 0, 0, b"", _JSONB_HELLO),
+         (2, 1, 0b1111, 1023, b"", _JSONB_HELLO), None),
+    ])
+    w.xid(3)
 
     w.rotate("replay.000002")
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "replay.binlog"
