@@ -762,11 +762,21 @@ WITH seq AS (
     # incremental-view-maintenance theorem itself: per user the chain
     # +insert(img_1), (-img_{i-1} +img_i)..., [-img_last] telescopes to
     # exactly the user's final contribution
+    # AVG and STDDEV are written CLOSED-FORM over exact integer sums on
+    # BOTH sides (never AVG()/STDDEV_SAMP(): DuckDB's Welford order
+    # differs) — identical IEEE expression trees are bit-identical
     oracle=_INC_AGG_STATE_CTE + """
 SELECT etype,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CASE WHEN COUNT(k) = 0 THEN NULL
-            ELSE CAST(SUM(k) AS DOUBLE) END AS sum_k
+            ELSE CAST(SUM(k) AS DOUBLE) END AS sum_k,
+       CASE WHEN COUNT(k) = 0 THEN NULL
+            ELSE CAST(SUM(k) AS DOUBLE) / COUNT(k) END AS avg_k,
+       CASE WHEN COUNT(k) < 2 THEN NULL
+            ELSE SQRT(GREATEST(0.0,
+              (CAST(SUM(k * k) AS DOUBLE)
+               - CAST(SUM(k) AS DOUBLE) * CAST(SUM(k) AS DOUBLE) / COUNT(k))
+              / (COUNT(k) - 1))) END AS std_k
 FROM state GROUP BY etype ORDER BY etype
 """,
     tags=("cdc", "incremental-view", "delta-algebra"),
@@ -777,20 +787,28 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (first event = insert, later events = update carrying the true
     before-image, 'error' = delete, nothing after a delete), and the
     REAL delta pipeline (sinks/incremental_agg.py::delta_frame — the
-    single-batch case of merge_agg_batch) folds the +/- contributions.
-    The oracle computes GROUP BY over the final state instead; equality
-    is what 'maintained without recompute' means."""
+    single-batch case of merge_agg_batch) folds the +/- contributions,
+    now including the sum-of-squares moment that derives AVG and sample
+    STDDEV (r6 VERDICT #6). The oracle computes GROUP BY over the final
+    state instead; equality is what 'maintained without recompute'
+    means."""
     from dolphinbeat_spark.sinks.incremental_agg import AggViewSpec, delta_frame
 
     env = _event_change_stream(spark, sf_dir)
-    view = AggViewSpec(group_cols=("etype",), sum_cols=("k",))
+    view = AggViewSpec(group_cols=("etype",), sum_cols=("k",), avg_cols=("k",))
     deltas = delta_frame(env, view).filter(F.col("n_delta") != 0)
+    nn, s, sq = F.col("nn_k"), F.col("sum_k"), F.col("sq_k")
     return deltas.select(
         "etype",
         F.col("n_delta").alias("n_rows"),
-        F.when(F.col("nn_k") > 0, F.col("sum_k"))
+        F.when(nn > 0, s).otherwise(F.lit(None).cast("double")).alias("sum_k"),
+        F.when(nn > 0, s / nn).otherwise(F.lit(None).cast("double")).alias("avg_k"),
+        F.when(
+            nn > 1,
+            F.sqrt(F.greatest(F.lit(0.0), (sq - s * s / nn) / (nn - F.lit(1)))),
+        )
         .otherwise(F.lit(None).cast("double"))
-        .alias("sum_k"),
+        .alias("std_k"),
     ).orderBy("etype")
 
 
@@ -1019,3 +1037,61 @@ def cdc_binlog_enum_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id", "op_type")
     )
+
+
+@register(
+    "cdc_incremental_agg_distinct",
+    # final-state oracle for the LAST non-self-maintainable aggregate a
+    # CDC-maintained dashboard needs: COUNT(DISTINCT k) under deletes.
+    # The engine maintains a level-2 (group, value) multiplicity view
+    # (a value leaves the distinct set only when its last copy
+    # retracts); equality with a direct COUNT(DISTINCT) over the final
+    # state is the two-level-view correctness claim (r6 VERDICT #4)
+    oracle=_INC_AGG_STATE_CTE + """
+SELECT etype,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS distinct_k
+FROM state GROUP BY etype ORDER BY etype
+""",
+    tags=("cdc", "incremental-view", "delta-algebra", "distinct"),
+)
+def cdc_incremental_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) incremental maintenance end to end through the
+    REAL persistent sink across three sequential batches (stored
+    parquet state, replay markers, crash-safe swaps): each batch's
+    signed deltas fold into the main view AND the per-(group, value)
+    level-2 view (sinks/incremental_agg.py::AggViewSpec.distinct_cols);
+    the reader counts live non-null values. The bounded driver-side
+    collect materializes the final small view so the temp state can be
+    removed before returning."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from dolphinbeat_spark.sinks.incremental_agg import (
+        AggViewSpec,
+        merge_agg_batch,
+        read_agg_view,
+    )
+
+    env = _event_change_stream(spark, sf_dir)
+    view = AggViewSpec(group_cols=("etype",), distinct_cols=("k",))
+    hi = env.agg(F.max("log_pos")).first()[0] or 0
+    cuts = [0, hi // 3, 2 * hi // 3, hi]
+    work = tempfile.mkdtemp(prefix="cdc_aggdc_")
+    vp = _os.path.join(work, "view")
+    try:
+        for i in range(3):
+            batch = env.filter(
+                (F.col("log_pos") > cuts[i]) & (F.col("log_pos") <= cuts[i + 1])
+            )
+            merge_agg_batch(batch, vp, view, batch_id=i)
+        out = read_agg_view(spark, vp, view)
+        out = out.select(
+            "etype", "n_rows", F.col("distinct_k").cast("bigint").alias("distinct_k")
+        )
+        schema = out.schema
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).orderBy("etype")

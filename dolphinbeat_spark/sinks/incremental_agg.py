@@ -60,14 +60,38 @@ class AggViewSpec:
     #: (merges then REQUIRE the ``base`` table argument)
     min_cols: tuple[str, ...] = field(default_factory=tuple)
     max_cols: tuple[str, ...] = field(default_factory=tuple)
+    #: AVG/STDDEV-derived columns: maintain sum, non-null count AND
+    #: sum-of-squares (all self-maintainable signed deltas); the reader
+    #: derives avg_<c> and std_<c> (sample stddev) from them
+    avg_cols: tuple[str, ...] = field(default_factory=tuple)
+    #: COUNT(DISTINCT c)-maintained columns: a second-level view keyed
+    #: (group_cols..., c) tracks per-value multiplicity — the exact
+    #: state distinct-under-deletes requires (a value disappears only
+    #: when its LAST copy retracts); the reader counts live values
+    distinct_cols: tuple[str, ...] = field(default_factory=tuple)
     cast: str = "double"  # numeric type the wire strings cast to
 
     @property
     def value_cols(self) -> tuple[str, ...]:
         seen: dict[str, None] = {}
-        for c in (*self.sum_cols, *self.min_cols, *self.max_cols):
+        for c in (*self.sum_cols, *self.avg_cols, *self.min_cols, *self.max_cols):
             seen.setdefault(c)
         return tuple(seen)
+
+    @property
+    def acc_cols(self) -> tuple[str, ...]:
+        """Columns carrying sum/non-null-count accumulators (SUM output
+        columns plus AVG/STDDEV inputs, deduped)."""
+        seen: dict[str, None] = {}
+        for c in (*self.sum_cols, *self.avg_cols):
+            seen.setdefault(c)
+        return tuple(seen)
+
+    def distinct_subview(self, c: str) -> "AggViewSpec":
+        """The level-2 spec for COUNT(DISTINCT c): same delta algebra,
+        keyed one level deeper — n_delta per (group, value) IS the
+        value's multiplicity, and the fold drops it at zero."""
+        return AggViewSpec(group_cols=(*self.group_cols, c), cast=self.cast)
 
 
 def delta_frame(batch: DataFrame, view: AggViewSpec) -> DataFrame:
@@ -90,7 +114,7 @@ def delta_frame(batch: DataFrame, view: AggViewSpec) -> DataFrame:
         *[from_img(c).cast(view.cast).alias(f"__v_{c}") for c in view.value_cols],
     )
     aggs = [F.sum("__sign").cast("bigint").alias("n_delta")]
-    for c in view.sum_cols:
+    for c in view.acc_cols:
         v = F.col(f"__v_{c}")
         aggs.append(
             F.sum(F.when(v.isNotNull(), F.col("__sign") * v).otherwise(F.lit(0)))
@@ -101,6 +125,15 @@ def delta_frame(batch: DataFrame, view: AggViewSpec) -> DataFrame:
             F.sum(F.when(v.isNotNull(), F.col("__sign")).otherwise(F.lit(0)))
             .cast("bigint")
             .alias(f"nn_{c}")
+        )
+    for c in view.avg_cols:
+        # sum of squares: the third self-maintainable moment AVG/STDDEV
+        # derivation needs (std² = (Σv² − (Σv)²/n) / (n−1))
+        v = F.col(f"__v_{c}")
+        aggs.append(
+            F.sum(F.when(v.isNotNull(), F.col("__sign") * v * v).otherwise(F.lit(0)))
+            .cast(view.cast)
+            .alias(f"sq_{c}")
         )
     # MIN/MAX deltas keep the two sides separate: the insert side is a
     # candidate extremum (folds like stored state); the delete side
@@ -124,12 +157,14 @@ def _fold_aggs(view: AggViewSpec) -> list:
     insert-side) and min(rmin_<c>) surfaces the batch's retractions."""
     aggs = [F.sum("n_delta").cast("bigint").alias("n_delta")] + [
         a
-        for c in view.sum_cols
+        for c in view.acc_cols
         for a in (
             F.sum(f"sum_{c}").cast(view.cast).alias(f"sum_{c}"),
             F.sum(f"nn_{c}").cast("bigint").alias(f"nn_{c}"),
         )
     ]
+    for c in view.avg_cols:
+        aggs.append(F.sum(f"sq_{c}").cast(view.cast).alias(f"sq_{c}"))
     for c in view.min_cols:
         aggs.append(F.min(f"min_{c}").cast(view.cast).alias(f"min_{c}"))
         aggs.append(F.min(f"rmin_{c}").cast(view.cast).alias(f"rmin_{c}"))
@@ -229,6 +264,16 @@ def merge_agg_batch(
         batch.sparkSession, deltas, view_path, view,
         view_path + ".next", view_path + ".old", marker, base=base,
     )
+    # COUNT(DISTINCT) state: one level-2 view per column, maintained by
+    # the SAME machinery recursively (value as an extra group key —
+    # n_delta is the value's live multiplicity). Each sub-view has its
+    # own swap/marker, so a crash between the main merge and a
+    # sub-merge replays the batch with each half skipping on its marker
+    for c in view.distinct_cols:
+        merge_agg_batch(
+            batch, _distinct_path(view_path, c), view.distinct_subview(c),
+            batch_id=batch_id,
+        )
 
 
 def incremental_agg_stream(
@@ -249,10 +294,18 @@ def incremental_agg_stream(
     )
 
 
+def _distinct_path(view_path: str, c: str) -> str:
+    return f"{view_path}.distinct_{c}"
+
+
 def read_agg_view(spark: SparkSession, view_path: str, view: AggViewSpec) -> DataFrame:
     """Present the maintained state with exact SQL aggregate semantics:
     COUNT(*) = n_delta; SUM(c) = NULL when the group holds no non-null
-    values (nn_c = 0), the stored sum otherwise."""
+    values (nn_c = 0), the stored sum otherwise; AVG(c) = sum/nn;
+    STDDEV(c) = sample stddev from the three maintained moments (NULL
+    below two non-null values, like SQL STDDEV_SAMP); COUNT(DISTINCT c)
+    = live non-null values in the level-2 state (0 for an all-NULL
+    group, matching SQL)."""
     df = spark.read.parquet(view_path)
     if "__bucket" in df.columns:  # hash-partitioned layout
         df = df.drop("__bucket")
@@ -263,11 +316,41 @@ def read_agg_view(spark: SparkSession, view_path: str, view: AggViewSpec) -> Dat
             .otherwise(F.lit(None).cast(view.cast))
             .alias(f"sum_{c}")
         )
+    for c in view.avg_cols:
+        nn, s, sq = F.col(f"nn_{c}"), F.col(f"sum_{c}"), F.col(f"sq_{c}")
+        cols.append(
+            F.when(nn > 0, s / nn).otherwise(F.lit(None).cast(view.cast))
+            .alias(f"avg_{c}")
+        )
+        # greatest(0, ·) guards the tiny negative variance floating-
+        # point cancellation can produce when all values are equal
+        cols.append(
+            F.when(
+                nn > 1,
+                F.sqrt(F.greatest(F.lit(0.0), (sq - s * s / nn) / (nn - F.lit(1)))),
+            )
+            .otherwise(F.lit(None).cast(view.cast))
+            .alias(f"std_{c}")
+        )
     for c in view.min_cols:
         cols.append(F.col(f"min_{c}"))
     for c in view.max_cols:
         cols.append(F.col(f"max_{c}"))
-    return df.select(*cols)
+    out = df.select(*cols)
+    for c in view.distinct_cols:
+        sub = spark.read.parquet(_distinct_path(view_path, c))
+        if "__bucket" in sub.columns:
+            sub = sub.drop("__bucket")
+        keys = list(view.group_cols)
+        dc = (
+            sub.filter(F.col(c).isNotNull() & (F.col("n_delta") > 0))
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).cast("bigint").alias(f"distinct_{c}"))
+        )
+        out = out.join(dc, keys, "left").withColumn(
+            f"distinct_{c}", F.coalesce(F.col(f"distinct_{c}"), F.lit(0).cast("bigint"))
+        )
+    return out
 
 
 def merge_agg_batch_partitioned(
@@ -310,6 +393,13 @@ def merge_agg_batch_partitioned(
         _merge_dir(
             spark, mine, os.path.join(view_path, f"__bucket={b}"), view,
             tmp, old_dir, marker, base=base,
+        )
+    # level-2 distinct state buckets by ITS key hash (group + value) —
+    # same touched-bucket discipline, recursively
+    for c in view.distinct_cols:
+        merge_agg_batch_partitioned(
+            batch, _distinct_path(view_path, c), view.distinct_subview(c),
+            batch_id=batch_id, num_buckets=num_buckets,
         )
 
 

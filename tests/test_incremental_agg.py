@@ -479,3 +479,125 @@ def test_snapshot_and_agg_stream_lockstep(spark, tmp_path):
     assert _mm_state(spark, view_path) == {"a": (2, 5.0, 7.0)}
     snap_rows = {r["id"] for r in read_snapshot(spark, snap).collect()}
     assert snap_rows == {"1", "3"}
+
+
+def test_distinct_maintenance_under_deletes(spark, tmp_path):
+    """COUNT(DISTINCT) via the level-2 multiplicity view: a value
+    leaves the distinct set only when its LAST copy retracts; NULLs
+    never count; value-changing updates move multiplicity."""
+    path = str(tmp_path / "dview")
+    view = AggViewSpec(group_cols=("grp",), distinct_cols=("amount",))
+
+    def state():
+        return {
+            r["grp"]: (r["n_rows"], r["distinct_amount"])
+            for r in read_agg_view(spark, path, view).collect()
+        }
+
+    # two copies of 5, one 7, one NULL in group a
+    merge_agg_batch(_batch(spark, [
+        _op("insert", 10, after={"id": 1, "grp": "a", "amount": 5}),
+        _op("insert", 20, after={"id": 2, "grp": "a", "amount": 5}),
+        _op("insert", 30, after={"id": 3, "grp": "a", "amount": 7}),
+        _op("insert", 40, after={"id": 4, "grp": "a", "amount": None}),
+    ]), path, view, batch_id=0)
+    assert state() == {"a": (4, 2)}  # {5, 7}; NULL not counted
+
+    # delete ONE copy of 5 -> still distinct {5, 7}
+    merge_agg_batch(_batch(spark, [
+        _op("delete", 50, before={"id": 2, "grp": "a", "amount": 5}),
+    ]), path, view, batch_id=1)
+    assert state() == {"a": (3, 2)}
+
+    # delete the LAST copy of 5 -> {7}; update NULL -> 9 adds a value
+    merge_agg_batch(_batch(spark, [
+        _op("delete", 60, before={"id": 1, "grp": "a", "amount": 5}),
+        _op("update", 70,
+            before={"id": 4, "grp": "a", "amount": None},
+            after={"id": 4, "grp": "a", "amount": 9}),
+    ]), path, view, batch_id=2)
+    assert state() == {"a": (2, 2)}  # {7, 9}
+
+    # replay batch 2: marker discipline covers the level-2 state too
+    merge_agg_batch(_batch(spark, [
+        _op("delete", 60, before={"id": 1, "grp": "a", "amount": 5}),
+        _op("update", 70,
+            before={"id": 4, "grp": "a", "amount": None},
+            after={"id": 4, "grp": "a", "amount": 9}),
+    ]), path, view, batch_id=2)
+    assert state() == {"a": (2, 2)}
+
+    # all-NULL group reads distinct 0, not NULL (SQL COUNT semantics)
+    merge_agg_batch(_batch(spark, [
+        _op("insert", 80, after={"id": 5, "grp": "z", "amount": None}),
+    ]), path, view, batch_id=3)
+    assert state()["z"] == (1, 0)
+
+
+def test_avg_stddev_derived_from_moments(spark, tmp_path):
+    """AVG/sample-STDDEV derive from the maintained sum/count/sumsq
+    moments with SQL NULL semantics (AVG NULL on zero non-null values,
+    STDDEV NULL below two)."""
+    import math
+
+    path = str(tmp_path / "aview")
+    view = AggViewSpec(group_cols=("grp",), sum_cols=("amount",), avg_cols=("amount",))
+
+    def state():
+        return {
+            r["grp"]: (r["n_rows"], r["sum_amount"], r["avg_amount"], r["std_amount"])
+            for r in read_agg_view(spark, path, view).collect()
+        }
+
+    merge_agg_batch(_batch(spark, [
+        _op("insert", 10, after={"id": 1, "grp": "a", "amount": 2}),
+        _op("insert", 20, after={"id": 2, "grp": "a", "amount": 4}),
+        _op("insert", 30, after={"id": 3, "grp": "a", "amount": 9}),
+        _op("insert", 40, after={"id": 4, "grp": "b", "amount": 7}),
+        _op("insert", 50, after={"id": 5, "grp": "c", "amount": None}),
+    ]), path, view, batch_id=0)
+    s = state()
+    assert s["a"][1:3] == (15.0, 5.0)
+    assert abs(s["a"][3] - math.sqrt(((4 + 16 + 81) - 15 * 15 / 3) / 2)) < 1e-12
+    assert s["b"][2] == 7.0 and s["b"][3] is None  # single value: no stddev
+    assert s["c"][2] is None and s["c"][3] is None  # all-NULL: AVG NULL
+
+    # a retraction updates the moments exactly (delete the 9)
+    merge_agg_batch(_batch(spark, [
+        _op("delete", 60, before={"id": 3, "grp": "a", "amount": 9}),
+    ]), path, view, batch_id=1)
+    s = state()
+    assert s["a"][1:3] == (6.0, 3.0)
+    assert abs(s["a"][3] - math.sqrt(((4 + 16) - 36 / 2) / 1)) < 1e-12
+
+    # equal values: cancellation guard keeps variance at exactly 0
+    merge_agg_batch(_batch(spark, [
+        _op("insert", 70, after={"id": 6, "grp": "e", "amount": 3}),
+        _op("insert", 80, after={"id": 7, "grp": "e", "amount": 3}),
+    ]), path, view, batch_id=2)
+    assert state()["e"][3] == 0.0
+
+
+def test_partitioned_distinct_touched_buckets(spark, tmp_path):
+    """The bucket-partitioned merge maintains the level-2 distinct
+    state with the same touched-bucket discipline (its own bucket
+    layout over (group, value))."""
+    from dolphinbeat_spark.sinks.incremental_agg import merge_agg_batch_partitioned
+
+    path = str(tmp_path / "pview")
+    view = AggViewSpec(group_cols=("grp",), sum_cols=("amount",),
+                       distinct_cols=("amount",))
+    merge_agg_batch_partitioned(_batch(spark, [
+        _op("insert", 10, after={"id": 1, "grp": "a", "amount": 5}),
+        _op("insert", 20, after={"id": 2, "grp": "a", "amount": 5}),
+        _op("insert", 30, after={"id": 3, "grp": "b", "amount": 6}),
+    ]), path, view, batch_id=0, num_buckets=4)
+    merge_agg_batch_partitioned(_batch(spark, [
+        _op("delete", 40, before={"id": 1, "grp": "a", "amount": 5}),
+        _op("insert", 50, after={"id": 4, "grp": "a", "amount": 8}),
+    ]), path, view, batch_id=1, num_buckets=4)
+    got = {
+        r["grp"]: (r["n_rows"], r["sum_amount"], r["distinct_amount"])
+        for r in read_agg_view(spark, path, view).collect()
+    }
+    assert got == {"a": (2, 13.0, 2), "b": (1, 6.0, 1)}
