@@ -190,6 +190,47 @@ def resolve_plan(cfg: DaemonConfig) -> dict:
         "sinks": [],
         "http": {"addr": cfg.http_addr or None},
         "checkpoint_root": cfg.checkpoint_dir,
+        # the startup probe sequence the live readers run against the
+        # server BEFORE consuming events (RUNBOOK.md §2) — printed by
+        # --dry-run so the first real deployment reviews the exact
+        # statements and failure actions ahead of time
+        "probes": [] if cfg.reader == "file" else [
+            {
+                "probe": "row-format assert",
+                "statement": "SHOW VARIABLES LIKE 'binlog_format'",
+                "requires": "ROW",
+                "on_failure": "refuse startup (reference canal.go:368-377)",
+            },
+            {
+                "probe": "master position",
+                "statement": (
+                    "SHOW BINARY LOG STATUS (>=8.4; falls back to "
+                    "SHOW MASTER STATUS) + SELECT @@GLOBAL.GTID_EXECUTED "
+                    "+ SELECT @@server_id"
+                ),
+                "use": (
+                    "start-from-now bootstrap offset; polled as the S5 "
+                    "master-position monitor"
+                ),
+            },
+            {
+                "probe": "retention / resumability",
+                "statement": "SHOW BINARY LOGS",
+                "use": (
+                    "a checkpointed offset resumes iff its file is still "
+                    "retained; otherwise take a fresh snapshot + "
+                    "archived-binlog backfill (reader='file'), not a resume"
+                ),
+            },
+            {
+                "probe": "start mode",
+                "resolved": (
+                    f"gtid auto_position (flavor={cfg.flavor})"
+                    if cfg.gtid_enabled
+                    else "file/pos resume only (gtid_enabled=false)"
+                ),
+            },
+        ],
     }
     for s in cfg.sinks:
         if not s.enabled:

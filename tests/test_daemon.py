@@ -297,3 +297,34 @@ def test_daemon_file_reader_validation():
                for e in DaemonConfig(reader="file").validate())
     assert any("only valid" in e
                for e in DaemonConfig(binlog_file_path="/x").validate())
+
+
+def test_dry_run_prints_probe_plan(tmp_path, capsys):
+    """--dry-run surfaces the startup probe sequence (RUNBOOK.md §2):
+    ROW-format assert, master-position probe, retention check, start
+    mode — and the file reader (no socket) plans no probes."""
+    import json
+
+    from dolphinbeat_spark.daemon import DaemonConfig, main, resolve_plan
+
+    cfg = tmp_path / "d.toml"
+    cfg.write_text(
+        'mysql_addr = "127.0.0.1:3306"\nserver_id = 9\n'
+        '[[sink]]\ntype = "stdout"\nname = "s"\n'
+    )
+    assert main(["daemon", "--config", str(cfg), "--dry-run"][1:]) == 0
+    plan = json.loads(capsys.readouterr().out)
+    probes = {p["probe"] for p in plan["probes"]}
+    assert {"row-format assert", "master position",
+            "retention / resumability", "start mode"} <= probes
+    row = next(p for p in plan["probes"] if p["probe"] == "row-format assert")
+    assert row["requires"] == "ROW"
+    mode = next(p for p in plan["probes"] if p["probe"] == "start mode")
+    assert "auto_position" in mode["resolved"]
+
+    # gtid off -> file/pos resume; file reader -> no socket, no probes
+    fc = DaemonConfig(reader="file", binlog_file_path="x.binlog")
+    assert resolve_plan(fc)["probes"] == []
+    gc = DaemonConfig(gtid_enabled=False)
+    mode = next(p for p in resolve_plan(gc)["probes"] if p["probe"] == "start mode")
+    assert "file/pos" in mode["resolved"]
