@@ -61,6 +61,10 @@ EV_GTID = 0x21
 # MySQL 8 binlog_row_value_options=PARTIAL_JSON (WL#10570): UPDATE
 # whose after-image may carry JSON *diffs* instead of full values
 EV_PARTIAL_UPDATE_ROWS = 0x27
+# MySQL 8.0.20+ binlog_transaction_compression (WL#3549): a whole
+# transaction's events wrapped in one TLV-framed, optionally
+# zstd-compressed payload
+EV_TRANSACTION_PAYLOAD = 0x28
 EV_MARIADB_GTID = 0xA2  # MariaDB dialect: domain-server-seq
 
 # column type codes (public enum_field_types)
@@ -277,22 +281,25 @@ def _read_value(data: bytes, pos: int, ctype: int, meta: int):
         dt = datetime.fromtimestamp(secs, tz=timezone.utc).replace(tzinfo=None)
         return dt.replace(microsecond=micros), pos
     if ctype == T_TIME2:
+        # the (intpart, frac) ensemble is ONE sign-offset quantity over
+        # 24 + 8*ceil(fsp/2) bits (MySQL internals "TIME encoding"):
+        # non-negative stores offset + magnitude, negative stores
+        # offset − magnitude — decoding the two parts separately
+        # mis-reads every negative fractional TIME (the r6
+        # NotImplementedError this replaces)
         fsp = meta
-        raw = int.from_bytes(data[pos:pos + 3], "big")
-        pos += 3
-        micros, pos = _frac_micros(data, pos, fsp)
-        v = raw - 0x800000
-        sign = -1 if v < 0 else 1
-        if sign < 0 and fsp:
-            # negative TIME with fractional seconds packs the whole
-            # (intpart, frac) as one two's-complement quantity — decode
-            # here would be silently wrong; fail loudly instead
-            raise NotImplementedError(
-                "negative fractional TIME2 packing not supported"
-            )
-        v = abs(v)
-        td = timedelta(hours=(v >> 12) & 0x3FF, minutes=(v >> 6) & 0x3F,
-                       seconds=v & 0x3F, microseconds=micros)
+        nb = (fsp + 1) // 2
+        width = 3 + nb
+        raw = int.from_bytes(data[pos:pos + width], "big")
+        pos += width
+        signed = raw - (1 << (width * 8 - 1))
+        sign = -1 if signed < 0 else 1
+        mag = -signed if signed < 0 else signed
+        frac = mag & ((1 << (8 * nb)) - 1) if nb else 0
+        intpart = mag >> (8 * nb)
+        micros = frac * 10 ** (6 - 2 * nb) if nb else 0
+        td = timedelta(hours=(intpart >> 12) & 0x3FF, minutes=(intpart >> 6) & 0x3F,
+                       seconds=intpart & 0x3F, microseconds=micros)
         return sign * td, pos
     if ctype == T_VARCHAR or ctype == T_VAR_STRING:
         if meta > 255:
@@ -531,7 +538,13 @@ def parse_binlog_events(data: bytes):
         # (5.1-5.5, or binlog_checksum=NONE) so corruption has no
         # checksum to trip first
         try:
-            ev = _decode_body(etype, ts, _server_id, log_pos, body, tables)
+            if etype == EV_TRANSACTION_PAYLOAD:
+                evs = _decode_transaction_payload(
+                    body, ts, _server_id, log_pos, tables
+                )
+            else:
+                ev = _decode_body(etype, ts, _server_id, log_pos, body, tables)
+                evs = [] if ev is None else [ev]
         except (BinlogFormatError, NotImplementedError):
             raise
         except Exception as ex:
@@ -539,8 +552,84 @@ def parse_binlog_events(data: bytes):
                 f"malformed event body at offset {pos - esize} "
                 f"(type {etype:#x}): {ex}"
             ) from ex
+        yield from evs
+
+
+# TRANSACTION_PAYLOAD TLV field types (WL#3549, public
+# libbinlogevents/include/control_events.h)
+_TPE_END_MARK = 0
+_TPE_PAYLOAD_SIZE = 1
+_TPE_COMPRESSION_TYPE = 2
+_TPE_UNCOMPRESSED_SIZE = 3
+_TPE_COMPRESS_ZSTD = 0
+_TPE_COMPRESS_NONE = 255
+
+
+def _decode_transaction_payload(body, ts, _server_id, log_pos, tables):
+    """MySQL 8.0.20+ compressed-transaction wrapper: TLV header fields
+    (each: lenenc type, lenenc length, value; numeric values are
+    themselves lenenc) up to the end mark, then the payload — a
+    concatenation of ordinary events WITHOUT per-event checksums
+    (checksums apply to the outer event only). zstd payloads need the
+    public ``zstandard`` package; without it the failure is loud and
+    names the server option, never a misparse."""
+    p = 0
+    compression = _TPE_COMPRESS_NONE
+    payload_size = None
+    uncompressed_size = None
+    while True:
+        ftype, p = _lenenc(body, p)
+        if ftype == _TPE_END_MARK:
+            break
+        flen, p = _lenenc(body, p)
+        value = body[p:p + flen]
+        p += flen
+        if ftype == _TPE_PAYLOAD_SIZE:
+            payload_size, _ = _lenenc(value, 0)
+        elif ftype == _TPE_COMPRESSION_TYPE:
+            compression, _ = _lenenc(value, 0)
+        elif ftype == _TPE_UNCOMPRESSED_SIZE:
+            uncompressed_size, _ = _lenenc(value, 0)
+        # unknown field types are skipped by length (upstream contract)
+    payload = body[p:p + payload_size] if payload_size is not None else body[p:]
+    if compression == _TPE_COMPRESS_ZSTD:
+        try:
+            import zstandard
+        except ImportError as ex:
+            raise NotImplementedError(
+                "this binlog was written with binlog_transaction_compression="
+                "zstd; decoding needs the public 'zstandard' package "
+                "(pip install zstandard), which this environment lacks"
+            ) from ex
+        payload = zstandard.ZstdDecompressor().decompress(
+            payload, max_output_size=uncompressed_size or 0
+        )
+    elif compression != _TPE_COMPRESS_NONE:
+        raise BinlogFormatError(
+            f"unknown transaction-payload compression type {compression}"
+        )
+    # inner events: plain v4 headers, no CRC trailer; real servers
+    # write them with log_pos 0 (the transaction occupies ONE outer
+    # position) — surface the outer coordinate so offset-based seek,
+    # resume and ordering see the payload as a unit
+    out = []
+    ip = 0
+    while ip + 19 <= len(payload):
+        its, ietype, _isid, iesize, ilog_pos, _ = struct.unpack_from(
+            "<IBIIIH", payload, ip
+        )
+        if iesize < 19 or ip + iesize > len(payload):
+            raise BinlogFormatError("truncated event inside transaction payload")
+        ibody = payload[ip + 19:ip + iesize]
+        ip += iesize
+        ev = _decode_body(ietype, its, _isid, ilog_pos or log_pos, ibody, tables)
         if ev is not None:
-            yield ev
+            if ev.packet.log_pos == 0:
+                ev.packet.log_pos = log_pos
+            out.append(ev)
+    if ip != len(payload):
+        raise BinlogFormatError("transaction payload has trailing bytes")
+    return out
 
 
 def _decode_body(etype, ts, _server_id, log_pos, body, tables):

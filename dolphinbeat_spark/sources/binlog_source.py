@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from datetime import timedelta as _timedelta
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -210,6 +211,20 @@ def decode_event(ev: object, ctx: DecodeContext) -> list[dict]:
     return []
 
 
+def _format_mysql_time(td: _timedelta) -> str:
+    """MySQL TIME literal text: sign, zero-padded HH (unbounded past
+    99), MM, SS, fractional microseconds only when present."""
+    neg = td < _timedelta(0)
+    a = -td if neg else td
+    total = a.days * 86400 + a.seconds
+    h, rem = divmod(total, 3600)
+    m, s = divmod(rem, 60)
+    out = f"{'-' if neg else ''}{h:02d}:{m:02d}:{s:02d}"
+    if a.microseconds:
+        out += f".{a.microseconds:06d}"
+    return out
+
+
 def _json_columns(td) -> set[str]:
     """Names of JSON-typed columns per the registry TableDef (empty
     when the table is unknown — values then pass through str())."""
@@ -328,6 +343,12 @@ def _stringify(
                 return bytes(v).decode("utf-8")
             except UnicodeDecodeError:
                 return bytes(v).decode("latin-1")
+        if isinstance(v, _timedelta):
+            # TIME columns: MySQL text form ("-00:05:00.250000",
+            # "838:59:59"), matching the reference's go-mysql string
+            # values — str(timedelta) renders negatives as
+            # "-1 day, 23:54:59.750000" and drops hour zero-padding
+            return _format_mysql_time(v)
         return str(v)
 
     # single pass, common types inlined (str passes through, int takes

@@ -48,6 +48,9 @@ def test_replay_golden_op_sequence():
         "ddl",
         "gtid", "begin", "insert", "insert", "insert", "update", "update",
         "commit",
+        # trx 4 arrives inside a TRANSACTION_PAYLOAD wrapper (inner
+        # events share the outer position)
+        "gtid", "begin", "ddl", "insert", "insert", "commit",
         "rotate",
     ]
     assert not ctx.dead_letters, f"DDL failed to replay: {ctx.dead_letters}"
@@ -56,7 +59,8 @@ def test_replay_golden_op_sequence():
     assert ops[7]["gtid"] == "3e11fa47-e3b2-4f2c-90b1-aa6d1d1f3e11:1"
     assert ops[14]["gtid"] == "3e11fa47-e3b2-4f2c-90b1-aa6d1d1f3e11:2"
     assert ops[23]["gtid"] == "3e11fa47-e3b2-4f2c-90b1-aa6d1d1f3e11:3"
-    assert ops[24]["next_log_name"] == "replay.000002"
+    assert ops[29]["gtid"] == "3e11fa47-e3b2-4f2c-90b1-aa6d1d1f3e11:4"
+    assert ops[30]["next_log_name"] == "replay.000002"
 
 
 def test_replay_golden_typed_row_values():
@@ -288,10 +292,10 @@ def test_provider_seek_replays_head_schema_apply_only():
         ev = adapt_replication_event(raw)
         if ev is not None:
             resumed.extend(decode_event(ev, ctx))
-    # no duplicate ddl ops from the apply-only replay (the two head
-    # CREATEs + mid-file tails CREATE sit at/below... tails CREATE is
-    # above the seek, so exactly ONE ddl op flows)
-    assert [o["op_type"] for o in resumed].count("ddl") == 1
+    # no duplicate ddl ops from the apply-only replay: only the DDL
+    # ABOVE the seek flows (tails + payload-wrapped t4 CREATEs); the
+    # two head CREATEs replay silently into the registry
+    assert [o["op_type"] for o in resumed].count("ddl") == 2
     # ...but the registry saw them: resumed t2/tails rows carry real
     # column names, not positional col_0/col_1
     upd = next(o for o in resumed if o.get("table") == "t2" and o["op_type"] == "update")
@@ -343,10 +347,12 @@ def test_replay_through_streaming_arrow_reader(spark, tmp_path):
     want_types = sorted((o["log_pos"], o["row_index"], o["op_type"]) for o in ops)
     got_types = sorted((r["log_pos"], r["row_index"], r["op_type"]) for r in got)
     assert got_types == want_types
-    by_key = {(r["log_pos"], r["row_index"]): r for r in got}
+    # key includes op_type: a payload-wrapped transaction's inner ops
+    # all share the outer (log_pos, row_index=0) coordinate
+    by_key = {(r["log_pos"], r["row_index"], r["op_type"]): r for r in got}
     for o in ops:
         if o["op_type"] in ("insert", "update", "delete"):
-            r = by_key[(o["log_pos"], o["row_index"])]
+            r = by_key[(o["log_pos"], o["row_index"], o["op_type"])]
             assert r["after"] == o.get("after"), (o["log_pos"], o["row_index"])
             assert r["before"] == o.get("before")
             assert r["db"] == o["db"] and r["table"] == o["table"]
@@ -565,3 +571,105 @@ def test_backfill_composes_into_apply_changes_snapshot(spark, tmp_path):
     apply_batch(spark, b2, snap, ["id"], ["note"])
     final = {r["id"]: r["note"] for r in read_snapshot(spark, snap).collect()}
     assert final == {"1": "short note ✓"}, final
+
+
+def test_transaction_payload_golden_and_negative_time2():
+    """TRANSACTION_PAYLOAD (binlog_transaction_compression wire shape,
+    uncompressed): inner events decode through the same machinery,
+    share the outer position, and frame normally. The wrapped rows pin
+    the r7 negative-fractional TIME2 decode (combined sign-offset
+    quantity) and MySQL TIME text rendering."""
+    ops, _ = _decode_all()
+    t4 = [o for o in ops if o.get("table") == "t4"]
+    assert [o["op_type"] for o in t4] == ["insert", "insert"]
+    assert t4[0]["after"] == {"id": "1", "dur": "01:02:03.456000"}
+    assert t4[1]["after"] == {"id": "2", "dur": "-00:05:00.250000"}
+    # inner ops surface at the OUTER payload event's position
+    assert t4[0]["log_pos"] == t4[1]["log_pos"] > 0
+    assert t4[0]["row_index"] == 0 and t4[1]["row_index"] == 1
+    # the payload's BEGIN/DDL/COMMIT framed at the same position
+    pos = t4[0]["log_pos"]
+    framing = [o["op_type"] for o in ops if o["log_pos"] == pos]
+    assert framing == ["begin", "ddl", "insert", "insert", "commit"]
+
+
+def test_zstd_payload_fails_loudly_by_option_name():
+    """A zstd-compressed transaction payload without the zstandard
+    package must fail loudly naming the server option — never misparse
+    the compressed bytes as events."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from tools.make_binlog_fixture import Writer, inner_query, lenenc
+
+    from dolphinbeat_spark.sources import binlog_file as B
+
+    w = Writer()
+    w.fde()
+    fake_payload = b"\x28\xb5\x2f\xfd notzstdreally"  # zstd magic + junk
+    body = bytearray()
+    for ftype, val in ((1, len(fake_payload)), (2, 0), (3, 64)):  # comp 0 = ZSTD
+        enc = lenenc(val)
+        body += lenenc(ftype) + lenenc(len(enc)) + enc
+    body += lenenc(0) + fake_payload
+    w.event(B.EV_TRANSACTION_PAYLOAD, bytes(body))
+    try:
+        import zstandard  # noqa: F401
+
+        has_zstd = True
+    except ImportError:
+        has_zstd = False
+    if has_zstd:  # pragma: no cover - env ships zstandard
+        with pytest.raises(Exception):
+            list(B.parse_binlog_events(bytes(w.buf)))
+    else:
+        with pytest.raises(NotImplementedError,
+                           match="binlog_transaction_compression"):
+            list(B.parse_binlog_events(bytes(w.buf)))
+    # unknown compression type: typed format error, any environment
+    w2 = Writer()
+    w2.fde()
+    body2 = bytearray()
+    for ftype, val in ((1, 4), (2, 7), (3, 4)):
+        enc = lenenc(val)
+        body2 += lenenc(ftype) + lenenc(len(enc)) + enc
+    body2 += lenenc(0) + b"xxxx"
+    w2.event(B.EV_TRANSACTION_PAYLOAD, bytes(body2))
+    with pytest.raises(B.BinlogFormatError, match="compression type 7"):
+        list(B.parse_binlog_events(bytes(w2.buf)))
+    assert inner_query  # imported for parity with the golden builder
+
+
+def test_time2_negative_fractional_property_roundtrip():
+    """Property: TIME2 values across the full MySQL range (±838:59:59,
+    fsp 0/3/6) survive the writer→parser roundtrip exactly — including
+    the negative fractional packing r6 rejected."""
+    import sys
+    from datetime import timedelta
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from tools.make_binlog_fixture import enc_value
+
+    from dolphinbeat_spark.sources import binlog_file as B
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(-(838 * 3600 + 59 * 60 + 59), 838 * 3600 + 59 * 60 + 59),
+        st.sampled_from([0, 3, 6]),
+        st.integers(0, 999),
+    )
+    def roundtrip(secs, fsp, millis):
+        micros = (millis * 1000 // 10 ** (6 - fsp)) * 10 ** (6 - fsp) if fsp else 0
+        v = timedelta(seconds=secs)
+        v = v - timedelta(microseconds=micros) if secs < 0 else v + timedelta(
+            microseconds=micros
+        )
+        raw = enc_value(B.T_TIME2, fsp, v)
+        out, consumed = B._read_value(raw, 0, B.T_TIME2, fsp)
+        assert consumed == len(raw)
+        assert out == v, (secs, fsp, micros, out)
+
+    roundtrip()

@@ -106,9 +106,16 @@ def enc_value(ctype: int, meta: int, v) -> bytes:
             out += bytes(nb)
         return out
     if ctype == B.T_TIME2:
-        secs = int(v.total_seconds())
-        packed = 0x800000 + (((secs // 3600) << 12) | ((secs // 60 % 60) << 6) | (secs % 60))
-        return packed.to_bytes(3, "big")
+        fsp = meta
+        nb = (fsp + 1) // 2
+        width = 3 + nb
+        sign = 1 if v >= type(v)() else -1
+        a = v if sign > 0 else -v
+        secs = a.days * 86400 + a.seconds
+        frac = a.microseconds // 10 ** (6 - 2 * nb) if nb else 0
+        intpart = ((secs // 3600) << 12) | ((secs // 60 % 60) << 6) | (secs % 60)
+        mag = (intpart << (8 * nb)) | frac
+        return ((1 << (width * 8 - 1)) + sign * mag).to_bytes(width, "big")
     if ctype in (B.T_VARCHAR, B.T_VAR_STRING):
         raw = v.encode("utf-8")
         n = len(raw).to_bytes(2 if meta > 255 else 1, "little")
@@ -259,8 +266,66 @@ class Writer:
                 body += self._image(cols, after)
         self.event(B.EV_PARTIAL_UPDATE_ROWS, body)
 
+    def transaction_payload(self, inner: bytes, compress: bool = False) -> None:
+        """TRANSACTION_PAYLOAD (WL#3549): ``inner`` is a concatenation
+        of checksum-less inner events (build with inner_event). TLV
+        header: payload size, compression type, uncompressed size,
+        end mark — then the payload."""
+        comp_type = 0 if compress else 255  # ZSTD / NONE
+        payload = inner
+        if compress:
+            import zstandard
+
+            payload = zstandard.ZstdCompressor().compress(inner)
+        body = bytearray()
+        for ftype, val in (
+            (1, len(payload)), (2, comp_type), (3, len(inner)),
+        ):
+            enc = lenenc(val)
+            body += lenenc(ftype) + lenenc(len(enc)) + enc
+        body += lenenc(0)  # header end mark
+        body += payload
+        self.event(B.EV_TRANSACTION_PAYLOAD, bytes(body))
+
     def rotate(self, next_name: str, position: int = 4) -> None:
         self.event(B.EV_ROTATE, struct.pack("<Q", position) + next_name.encode())
+
+
+def inner_event(etype: int, body: bytes, log_pos: int = 0) -> bytes:
+    """One checksum-less event frame for a transaction payload (real
+    servers write inner events with log_pos 0 — the transaction
+    occupies a single outer position)."""
+    hdr = struct.pack("<IBIIIH", TS, etype, SERVER_ID, 19 + len(body), log_pos, 0)
+    return hdr + body
+
+
+def inner_query(db: str, sql: str) -> bytes:
+    dbb, q = db.encode(), sql.encode()
+    return inner_event(
+        B.EV_QUERY,
+        struct.pack("<IIBHH", 7, 0, len(dbb), 0, 0) + dbb + b"\x00" + q,
+    )
+
+
+def inner_table_map(table_id: int, db: str, tbl: str, cols) -> bytes:
+    w = Writer()
+    start = len(w.buf)
+    w.table_map(table_id, db, tbl, cols)
+    # re-frame the CRC'd event as a checksum-less inner event
+    body = bytes(w.buf[start + 19:-4])
+    return inner_event(B.EV_TABLE_MAP, body)
+
+
+def inner_rows(etype: int, table_id: int, cols, rows) -> bytes:
+    w = Writer()
+    start = len(w.buf)
+    w.rows(etype, table_id, cols, rows)
+    body = bytes(w.buf[start + 19:-4])
+    return inner_event(etype, body)
+
+
+def inner_xid(n: int) -> bytes:
+    return inner_event(B.EV_XID, struct.pack("<Q", n))
 
 
 def lenenc(n: int) -> bytes:
@@ -397,6 +462,24 @@ def main() -> None:
          (2, 1, 0b1111, 1023, b"", _JSONB_HELLO), None),
     ])
     w.xid(3)
+
+    # trx 4: a TRANSACTION_PAYLOAD-wrapped (uncompressed) transaction —
+    # the binlog_transaction_compression wire shape with the codec
+    # removed — plus a negative fractional TIME2 exercising the
+    # combined sign-offset packing
+    t4_cols = [(B.T_LONG, 0), (B.T_TIME2, 3)]
+    w.gtid(sid, 4)
+    inner = (
+        inner_query("test", "BEGIN")
+        + inner_query("test", "CREATE TABLE test.t4 (id INT PRIMARY KEY, dur TIME(3))")
+        + inner_table_map(104, "test", "t4", t4_cols)
+        + inner_rows(B.EV_WRITE_ROWS_V2, 104, t4_cols, [
+            (1, timedelta(hours=1, minutes=2, seconds=3, microseconds=456000)),
+            (2, -timedelta(minutes=5, microseconds=250000)),
+        ])
+        + inner_xid(4)
+    )
+    w.transaction_payload(inner)
 
     w.rotate("replay.000002")
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "replay.binlog"
