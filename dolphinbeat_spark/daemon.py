@@ -66,7 +66,9 @@ class DaemonConfig:
     #: simple = driver-side decode; arrow = executor-side shards;
     #: file = recorded-binlog backfill (binlog_file_path, no socket)
     reader: str = "simple"
-    binlog_file_path: str = ""  # reader = "file": the archived binlog to replay
+    #: reader = "file": one archived binlog, or a DIRECTORY holding a
+    #: series (lexical order, rotate-stitched)
+    binlog_file_path: str = ""
     checkpoint_dir: str = "./ckp"
     tracker_dir: str = "./schema"
     http_addr: str = ""

@@ -771,32 +771,63 @@ def _decode_body(etype, ts, _server_id, log_pos, body, tables):
 
 
 def binlog_file_provider(options: dict):
-    """Provider for the binlog reader classes: (factory, latest) over a
-    recorded binlog file at ``binlog_file_path``. The file is an
-    immutable log, so a factory seek is a filtered replay — the exact
-    contract the scripted fake documents — and `latest` is the last
-    event's end position (availableNow drains the file in one batch)."""
-    path = options["binlog_file_path"]
-    log_name = options.get("file") or Path(path).name
+    """Provider for the binlog reader classes: (factory, latest) over
+    recorded binlog bytes at ``binlog_file_path`` — one file, or a
+    DIRECTORY holding an archived series (files replay in lexical
+    order, the binlog naming convention). The log is immutable, so a
+    factory seek is a filtered replay — the exact contract the
+    scripted fake documents — and `latest` is the series' last event
+    coordinate (availableNow drains everything in one batch).
+
+    Series semantics: each archive normally ends with the rotate to
+    its successor (servers write one), so log_name tracking flips
+    naturally; a file missing its tail rotate (server crash) gets a
+    synthetic one injected. A seek into file N replays files < N and
+    the head of N schema-only (QueryEvents wrapped apply-only), so a
+    resumed batch still decodes with the full DDL history's column
+    names."""
+    path = Path(options["binlog_file_path"])
+
+    def _paths() -> list[Path]:
+        if path.is_dir():
+            files = sorted(p for p in path.iterdir() if p.is_file())
+            if not files:
+                raise FileNotFoundError(f"no binlog files in {path}")
+            return files
+        return [path]
+
+    first_name = options.get("file") or _paths()[0].name
 
     def _events():
-        return list(parse_binlog_events(Path(path).read_bytes()))
+        """(file_name, event) across the series, synthetic rotates
+        stitched between files that lack their tail rotate."""
+        paths = _paths()
+        out = []
+        for i, p in enumerate(paths):
+            data = p.read_bytes()
+            evs = list(parse_binlog_events(data))
+            out += [(p.name, e) for e in evs]
+            if i + 1 < len(paths) and not (
+                evs and isinstance(evs[-1], RotateEvent)
+            ):
+                out.append(
+                    (p.name, RotateEvent(0, len(data), paths[i + 1].name, 4))
+                )
+        return out
 
     def factory(offset):
-        start_pos = offset.pos if offset.file else 0
+        start_key = (offset.file, offset.pos) if offset.file else ("", 0)
+        fresh = not offset.file or offset.pos <= 4
         out = []
-        for e in _events():
-            if e.packet.log_pos > start_pos or (
-                start_pos <= 4 and isinstance(e, RotateEvent)
+        for fname, e in _events():
+            if (fname, e.packet.log_pos) > start_key or (
+                fresh and isinstance(e, RotateEvent)
             ):
                 out.append(e)
             elif isinstance(e, QueryEvent):
-                # a seek past position 4 (paced replay, checkpoint
-                # restart mid-file) must still SEE the DDL recorded at
-                # the file head, or rows decode with positional
-                # col_0..N names in a fresh executor registry — replay
-                # those QueryEvents apply-only (registry mutation, no
-                # re-emission downstream)
+                # at/below the seek: replay DDL apply-only (registry
+                # mutation, no re-emission) — without it a resumed
+                # executor decodes rows with positional col_0..N names
                 out.append(
                     SchemaOnlyQueryEvent(
                         e.timestamp, e.packet.log_pos, e.schema, e.query
@@ -807,12 +838,15 @@ def binlog_file_provider(options: dict):
     def latest(opts: dict) -> dict:
         from dolphinbeat_spark.sources.binlog_source import BinlogOffset
 
-        # default=4: a valid file holding only an FDE/bookkeeping
-        # events yields no parsed events — plan an empty batch at the
+        # default: a valid series holding only FDE/bookkeeping events
+        # yields no parsed events — plan an empty batch at the
         # post-magic head position instead of raising from max()
-        last = max((e.packet.log_pos for e in _events()), default=4)
+        last_file, last_pos = max(
+            ((f, e.packet.log_pos) for f, e in _events()),
+            default=(first_name, 4),
+        )
         return BinlogOffset(
-            file=log_name, pos=last, server_id=int(opts.get("server_id", "0"))
+            file=last_file, pos=last_pos, server_id=int(opts.get("server_id", "0"))
         ).to_json()
 
     return factory, latest

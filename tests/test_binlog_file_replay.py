@@ -673,3 +673,66 @@ def test_time2_negative_fractional_property_roundtrip():
         assert out == v, (secs, fsp, micros, out)
 
     roundtrip()
+
+
+def test_provider_replays_archived_series_directory(tmp_path):
+    """binlog_file_path may be a DIRECTORY holding an archived series:
+    files replay in lexical order, log_name flips on each file's tail
+    rotate, and a seek into file 2 replays file 1's DDL apply-only so
+    resumed decodes keep real column names."""
+    import shutil
+
+    from dolphinbeat_spark.schema.registry import SchemaRegistry
+    from dolphinbeat_spark.sources.binlog_file import binlog_file_provider
+    from dolphinbeat_spark.sources.binlog_source import (
+        BinlogOffset,
+        DecodeContext,
+        adapt_replication_event,
+        decode_event,
+    )
+
+    d = tmp_path / "series"
+    d.mkdir()
+    # the fixture's tail rotate names replay.000002 — match it
+    shutil.copy(FIXTURE, d / "replay.000001")
+    shutil.copy(FIXTURE, d / "replay.000002")
+    factory, latest = binlog_file_provider({"binlog_file_path": str(d)})
+
+    off = latest({"server_id": "1"})
+    assert off["file"] == "replay.000002"
+
+    def decode_from(offset):
+        ctx = DecodeContext(registry=SchemaRegistry(), log_name=offset.file)
+        ops = []
+        for raw in factory(offset):
+            ev = adapt_replication_event(raw)
+            if ev is not None:
+                ops.extend(decode_event(ev, ctx))
+        return ops
+
+    # fresh start: BOTH files' ops, log_name flipping at the rotate
+    ops = decode_from(BinlogOffset(file="", pos=0))
+    single, _ = _decode_all()
+    n_single = len(single)
+    assert len(ops) == 2 * n_single
+    names = [o["log_name"] for o in ops if o["op_type"] == "insert"]
+    assert "replay.000002" in names  # second file's rows carry its name
+    # per-file golden: the t2 update decodes identically in both halves
+    upds = [o for o in ops if o.get("table") == "t2" and o["op_type"] == "update"]
+    assert len(upds) == 2 and upds[0]["after"] == upds[1]["after"]
+
+    # resume INTO file 2 past its t2 insert: only later ops flow, with
+    # real column names from the apply-only replay of the whole prefix
+    t2pos = next(o["log_pos"] for o in single
+                 if o.get("table") == "t2" and o["op_type"] == "insert")
+    resumed = decode_from(BinlogOffset(file="replay.000002", pos=t2pos))
+    assert all(
+        (o["log_name"] or "replay.000002", o["log_pos"]) > ("replay.000002", 0)
+        for o in resumed if o["op_type"] == "insert"
+    )
+    assert [o["op_type"] for o in resumed].count("ddl") == 2  # tails + t4 only
+    upd = next(o for o in resumed
+               if o.get("table") == "t2" and o["op_type"] == "update")
+    assert set(upd["after"]) == {"id", "note"}
+    tails = next(o for o in resumed if o.get("table") == "tails")
+    assert tails["after"]["status"] == "active"
