@@ -127,3 +127,50 @@ def test_stringify_nonutf8_blob_survives_spark(spark):
     df = spark.createDataFrame([(vals["blob"],)], "blob string")
     [row] = df.collect()
     assert row["blob"].encode("latin-1") == bytes(range(256))
+
+
+def test_enum_set_values_render_canonically_both_routes():
+    """ENUM/SET wire values reach decode in TWO shapes — int index /
+    bitmask from the file parser, label str / frozenset from live
+    pymysqlreplication — and must render to the SAME canonical text
+    (labels resolved via the registry's column definition; set members
+    in definition order, never str(set)'s unstable order)."""
+    ctx = _ctx()
+    decode_event(
+        NS(kind="query", schema="test", log_pos=50, timestamp=1,
+           query="CREATE TABLE test.e (id INT PRIMARY KEY, "
+                 "status ENUM('New','active','closed'), "
+                 "flags SET('a','b','c','d'))"),
+        ctx,
+    )
+    # file-parser shape: 1-based index / bitmask
+    ops = decode_event(
+        NS(kind="insert", schema="test", table="e",
+           rows=[(1, 2, 0b1010), (2, 0, 0)], log_pos=60, timestamp=1),
+        ctx,
+    )
+    assert ops[0]["after"] == {"id": "1", "status": "active", "flags": "b,d"}
+    assert ops[1]["after"] == {"id": "2", "status": "", "flags": ""}
+    # label case preserved from the DDL (not lowercased)
+    ops = decode_event(
+        NS(kind="insert", schema="test", table="e",
+           rows=[(3, 1, 0b0001)], log_pos=70, timestamp=1),
+        ctx,
+    )
+    assert ops[0]["after"]["status"] == "New"
+    # live pymysqlreplication shape: resolved label / frozenset
+    ops = decode_event(
+        NS(kind="insert", schema="test", table="e",
+           rows=[(4, "closed", frozenset({"d", "a"}))], log_pos=80, timestamp=1),
+        ctx,
+    )
+    assert ops[0]["after"] == {"id": "4", "status": "closed", "flags": "a,d"}
+    # out-of-definition index / unknown set bit: raw number fallback,
+    # never a crash or silent wrong label
+    ops = decode_event(
+        NS(kind="insert", schema="test", table="e",
+           rows=[(5, 9, 1 << 6)], log_pos=90, timestamp=1),
+        ctx,
+    )
+    assert ops[0]["after"]["status"] == "9"
+    assert ops[0]["after"]["flags"] == "64"
