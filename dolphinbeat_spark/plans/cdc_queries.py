@@ -950,7 +950,10 @@ def cdc_incremental_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=("etype",), sum_cols=("k",), min_cols=("k",), max_cols=("k",)
     )
     hi = env.agg(F.max("log_pos")).first()[0] or 0
-    cuts = [0, hi // 3, 2 * hi // 3, hi]
+    # lower bound -1: batch filters are (lo, hi] and a change op can
+    # legitimately sit at log_pos 0 (first synthetic event) — an
+    # exclusive 0 bound would silently drop it from every batch
+    cuts = [-1, hi // 3, 2 * hi // 3, hi]
     work = tempfile.mkdtemp(prefix="cdc_aggmm_")
     vp = _os.path.join(work, "view")
     try:
@@ -1077,7 +1080,10 @@ def cdc_incremental_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = _event_change_stream(spark, sf_dir)
     view = AggViewSpec(group_cols=("etype",), distinct_cols=("k",))
     hi = env.agg(F.max("log_pos")).first()[0] or 0
-    cuts = [0, hi // 3, 2 * hi // 3, hi]
+    # lower bound -1: batch filters are (lo, hi] and a change op can
+    # legitimately sit at log_pos 0 (first synthetic event) — an
+    # exclusive 0 bound would silently drop it from every batch
+    cuts = [-1, hi // 3, 2 * hi // 3, hi]
     work = tempfile.mkdtemp(prefix="cdc_aggdc_")
     vp = _os.path.join(work, "view")
     try:
@@ -1095,3 +1101,93 @@ def cdc_incremental_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, schema).orderBy("etype")
+
+
+@register(
+    "cdc_partial_json_materialize",
+    # every user's doc starts {"k": first_k} and each later event
+    # arrives as a WL#10570 partial diff replacing $.k — the maintained
+    # snapshot must hold the MATERIALIZED document, so the oracle is
+    # simply the last k rendered into the compact JSON text
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rnd
+  FROM events
+)
+SELECT user_id,
+       concat('{"k":', COALESCE(CAST(k AS VARCHAR), 'null'), '}') AS doc
+FROM seq WHERE rnd = 1
+ORDER BY user_id
+""",
+    tags=("cdc", "partial-json", "apply-changes"),
+)
+def cdc_partial_json_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL_JSON consumer semantics under the oracle gate: the
+    synthetic per-user chains become a change stream whose UPDATE
+    after-images carry {"$json_diff": [...]} documents (replace $.k),
+    split into three sequential batches through the REAL apply-changes
+    sink with patch_json_cols — later diffs patch the snapshot's
+    stored document (operators/json_patch.py), chaining across AND
+    within batches. Equality with the last-k reconstruction is the
+    materialization claim."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from dolphinbeat_spark.sinks.apply_changes import apply_batch, read_snapshot
+
+    e = load(spark, sf_dir, "events")
+    wf = W.partitionBy("user_id").orderBy("event_id")
+    k_raw = F.get_json_object("props", "$.k")  # JSON number text or null
+    k_json = F.coalesce(k_raw, F.lit("null"))
+    first = F.row_number().over(wf) == 1
+    doc = F.when(
+        first, F.concat(F.lit('{"k":'), k_json, F.lit("}"))
+    ).otherwise(
+        F.concat(
+            F.lit('{"$json_diff":[{"op":"replace","path":"$.k","value":'),
+            k_json,
+            F.lit("}]}"),
+        )
+    )
+    uid = F.col("user_id").cast("string")
+    img = F.create_map(F.lit("user_id"), uid, F.lit("doc"), doc)
+    flags = F.create_map(F.lit("user_id"), F.lit(False), F.lit("doc"), F.lit(False))
+    null_map = F.lit(None).cast("map<string,string>")
+    null_flags = F.lit(None).cast("map<string,boolean>")
+    env = e.select(
+        F.when(first, F.lit("insert")).otherwise(F.lit("update")).alias("op_type"),
+        F.lit("binlog.000001").alias("log_name"),
+        F.col("event_id").alias("log_pos"),
+        F.lit(0).alias("row_index"),
+        F.when(~first, F.create_map(F.lit("user_id"), uid)).otherwise(null_map).alias("before"),
+        F.when(~first, F.create_map(F.lit("user_id"), F.lit(False))).otherwise(null_flags).alias("before_null"),
+        img.alias("after"),
+        flags.alias("after_null"),
+    )
+    hi = env.agg(F.max("log_pos")).first()[0] or 0
+    # lower bound -1: batch filters are (lo, hi] and a change op can
+    # legitimately sit at log_pos 0 (first synthetic event) — an
+    # exclusive 0 bound would silently drop it from every batch
+    cuts = [-1, hi // 3, 2 * hi // 3, hi]
+    work = tempfile.mkdtemp(prefix="cdc_pjson_")
+    snap = _os.path.join(work, "snap")
+    try:
+        for i in range(3):
+            batch = env.filter(
+                (F.col("log_pos") > cuts[i]) & (F.col("log_pos") <= cuts[i + 1])
+            )
+            apply_batch(spark, batch, snap, ["user_id"], ["doc"],
+                        patch_json_cols=("doc",))
+        out = read_snapshot(spark, snap).select(
+            F.col("user_id").cast("bigint").alias("user_id"), "doc"
+        )
+        schema = out.schema
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).orderBy("user_id")

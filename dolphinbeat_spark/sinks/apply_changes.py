@@ -121,13 +121,27 @@ def apply_batch(
     snapshot_path: str,
     key_cols: list[str],
     value_cols: list[str],
+    patch_json_cols: tuple[str, ...] = (),
 ) -> None:
-    """Merge one batch of envelope ops into the parquet snapshot."""
-    winners = last_op_per_key(normalize_pk_changes(batch), key_cols)
+    """Merge one batch of envelope ops into the parquet snapshot.
+
+    ``patch_json_cols``: JSON columns whose after-images may arrive as
+    WL#10570 partial diffs ({"$json_diff": [...]}, the binlog-file
+    route under binlog_row_value_options=PARTIAL_JSON). Those columns
+    fold the batch's FULL ordered per-key value sequence against the
+    current snapshot value (operators/json_patch.py), so the snapshot
+    stores materialized documents — last-op-wins alone would store the
+    diff text itself as the value."""
+    norm = normalize_pk_changes(batch)
+    winners = last_op_per_key(norm, key_cols)
     upserts = winners.filter(F.col("op_type") != "delete").select(
         *[F.col(f"__k_{k}").alias(k) for k in key_cols],
         *[_img_val("after", c).alias(c) for c in value_cols],
     )
+    if patch_json_cols:
+        upserts = _materialize_json_patches(
+            spark, norm, upserts, snapshot_path, key_cols, patch_json_cols
+        )
     deletes = winners.filter(F.col("op_type") == "delete").select(
         *[F.col(f"__k_{k}").alias(k) for k in key_cols]
     )
@@ -209,6 +223,69 @@ def scd2_history(batch: DataFrame, key_cols: list[str], value_cols: list[str]) -
             F.col("valid_to_pos").isNull().alias("is_current"),
         )
     )
+
+
+def _materialize_json_patches(
+    spark: SparkSession,
+    norm: DataFrame,
+    upserts: DataFrame,
+    snapshot_path: str,
+    key_cols: list[str],
+    patch_cols: tuple[str, ...],
+) -> DataFrame:
+    """Replace each patch column's last-op value with the fold of the
+    key's ORDERED after-image sequence over the current snapshot value
+    — full documents overwrite, {"$json_diff"} documents patch
+    (a later diff can chain on an earlier diff within one batch, which
+    last-op-wins cannot express). Work is bounded by the batch's
+    touched keys: the sequence aggregation reads only this batch's
+    inserts and the old-value join is key-equi against the snapshot."""
+    from dolphinbeat_spark.operators.json_patch import fold_udf
+
+    ins = norm.filter(F.col("op_type") == "insert").select(
+        *[_img_val("after", k).alias(k) for k in key_cols],
+        "log_name",
+        "log_pos",
+        "__op_rank",
+        F.coalesce(F.col("row_index"), F.lit(0)).alias("__ri"),
+        *[_img_val("after", c).alias(f"__v_{c}") for c in patch_cols],
+    )
+    seqs = ins.groupBy(*key_cols).agg(
+        *[
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "log_name", "log_pos", "__op_rank", "__ri",
+                            F.col(f"__v_{c}").alias("v"),
+                        )
+                    )
+                ),
+                lambda x: x["v"],
+            ).alias(f"__seq_{c}")
+            for c in patch_cols
+        ]
+    )
+    out = upserts.join(seqs, list(key_cols), "left")
+    if os.path.exists(snapshot_path):
+        old = spark.read.parquet(snapshot_path).select(
+            *key_cols, *[F.col(c).alias(f"__old_{c}") for c in patch_cols]
+        )
+        out = out.join(old, list(key_cols), "left")
+    else:
+        for c in patch_cols:
+            out = out.withColumn(f"__old_{c}", F.lit(None).cast("string"))
+    fold = fold_udf()
+    for c in patch_cols:
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col(f"__seq_{c}").isNotNull(),
+                fold(F.col(f"__old_{c}"), F.col(f"__seq_{c}")),
+            ).otherwise(F.col(c)),
+        )
+    return out.drop(*[f"__seq_{c}" for c in patch_cols],
+                    *[f"__old_{c}" for c in patch_cols])
 
 
 def apply_batch_partitioned(

@@ -322,3 +322,97 @@ def test_randomized_sequences_match_dict_replay(spark, tmp_path):
     apply_batch(spark, batch, snap, key_cols=["k"], value_cols=["v"])
     got = {r["k"]: r["v"] for r in read_snapshot(spark, snap).collect()}
     assert got == expected
+
+
+# --- partial-JSON materialization (WL#10570 consumer side) ------------------
+
+
+def test_json_patch_path_and_apply_unit():
+    from dolphinbeat_spark.operators.json_patch import (
+        apply_diffs,
+        fold_json_values,
+        parse_path,
+    )
+
+    assert parse_path("$") == []
+    assert parse_path("$.a.b") == ["a", "b"]
+    assert parse_path('$.a[3].c') == ["a", 3, "c"]
+    assert parse_path('$."quoted key"[0]') == ["quoted key", 0]
+
+    doc = {"a": 1, "arr": [1, 2, 3], "keep": True}
+    out = apply_diffs(doc, [
+        {"op": "replace", "path": "$.a", "value": 5},
+        {"op": "insert", "path": "$.b", "value": "new"},
+        {"op": "remove", "path": "$.arr[0]"},
+        {"op": "insert", "path": "$.arr[1]", "value": 99},
+        {"op": "replace", "path": "$.missing.deep", "value": 1},  # no-op
+    ])
+    assert out == {"a": 5, "b": "new", "arr": [2, 99, 3], "keep": True}
+    # whole-document replace; insert does not overwrite (JSON_INSERT)
+    assert apply_diffs({"x": 1}, [{"op": "replace", "path": "$", "value": [1]}]) == [1]
+    assert apply_diffs({"x": 1}, [{"op": "insert", "path": "$.x", "value": 2}]) == {"x": 1}
+
+    # fold: full value overwrites, diffs chain in order
+    got = fold_json_values(None, [
+        '{"a":1}',
+        '{"$json_diff":[{"op":"insert","path":"$.b","value":2}]}',
+        '{"$json_diff":[{"op":"replace","path":"$.b","value":3}]}',
+    ])
+    assert got == '{"a":1,"b":3}'
+
+
+def test_apply_batch_materializes_partial_json(spark, tmp_path):
+    """The PARTIAL_JSON consumer contract: a snapshot maintained with
+    patch_json_cols stores materialized documents — including a diff
+    CHAINING on an earlier diff inside the same batch, which plain
+    last-op-wins cannot express."""
+    import json
+
+    from dolphinbeat_spark.envelope import empty_op
+    from dolphinbeat_spark.sinks.apply_changes import read_snapshot
+
+    def op(op_type, pos, before=None, after=None):
+        def img(d):
+            if d is None:
+                return None, None
+            return (
+                {k: ("" if v is None else v) for k, v in d.items()},
+                {k: v is None for k, v in d.items()},
+            )
+
+        b, bn = img(before)
+        a, an = img(after)
+        return empty_op(op_type=op_type, log_name="b.1", log_pos=pos, row_index=0,
+                        db="d", table="t", before=b, before_null=bn,
+                        after=a, after_null=an)
+
+    snap = str(tmp_path / "snap")
+    d0 = '{"a":1,"arr":[1,2]}'
+    diff1 = '{"$json_diff":[{"op":"replace","path":"$.a","value":5},{"op":"insert","path":"$.b","value":"x"}]}'
+    diff2 = '{"$json_diff":[{"op":"remove","path":"$.arr[0]"},{"op":"replace","path":"$.b","value":"y"}]}'
+
+    # batch 1: full insert
+    b1 = spark.createDataFrame([op("insert", 10, after={"id": "1", "doc": d0})],
+                               ENVELOPE_SCHEMA)
+    apply_batch(spark, b1, snap, ["id"], ["doc"], patch_json_cols=("doc",))
+    # batch 2: TWO chained diff updates in one batch
+    b2 = spark.createDataFrame([
+        op("update", 20, before={"id": "1", "doc": d0},
+           after={"id": "1", "doc": diff1}),
+        op("update", 30, before={"id": "1", "doc": diff1},
+           after={"id": "1", "doc": diff2}),
+    ], ENVELOPE_SCHEMA)
+    apply_batch(spark, b2, snap, ["id"], ["doc"], patch_json_cols=("doc",))
+    got = {r["id"]: r["doc"] for r in read_snapshot(spark, snap).collect()}
+    assert json.loads(got["1"]) == {"a": 5, "arr": [2], "b": "y"}
+
+    # batch 3: a later FULL value overwrites any patch history; a row
+    # without diffs is untouched by the patch path
+    b3 = spark.createDataFrame([
+        op("update", 40, before={"id": "1", "doc": got["1"]},
+           after={"id": "1", "doc": '{"z":0}'}),
+        op("insert", 50, after={"id": "2", "doc": '{"w":1}'}),
+    ], ENVELOPE_SCHEMA)
+    apply_batch(spark, b3, snap, ["id"], ["doc"], patch_json_cols=("doc",))
+    got = {r["id"]: r["doc"] for r in read_snapshot(spark, snap).collect()}
+    assert got == {"1": '{"z":0}', "2": '{"w":1}'}
