@@ -433,6 +433,7 @@ def snapshot_and_agg_stream(
     value_cols: list[str],
     view: AggViewSpec,
     cast_cols: dict[str, str] | None = None,
+    patch_json_cols: tuple[str, ...] = (),
 ):
     """The composed CDC-consumer deployment shape: ONE foreachBatch
     maintains the row snapshot (apply_changes) and the aggregate view
@@ -450,7 +451,8 @@ def snapshot_and_agg_stream(
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        apply_batch(spark, batch, snapshot_path, key_cols, value_cols)
+        apply_batch(spark, batch, snapshot_path, key_cols, value_cols,
+                    patch_json_cols=patch_json_cols)
         base = read_snapshot(spark, snapshot_path)
         for c, t in (cast_cols or {}).items():
             base = base.withColumn(c, F.col(c).cast(t))

@@ -65,6 +65,10 @@ EV_PARTIAL_UPDATE_ROWS = 0x27
 # transaction's events wrapped in one TLV-framed, optionally
 # zstd-compressed payload
 EV_TRANSACTION_PAYLOAD = 0x28
+# gtid set executed BEFORE this file (5.6+; always first after the
+# FDE) — the coordinate that makes an archived series resumability-
+# checkable without the server's SHOW BINARY LOGS
+EV_PREVIOUS_GTIDS = 0x23
 EV_MARIADB_GTID = 0xA2  # MariaDB dialect: domain-server-seq
 
 # column type codes (public enum_field_types)
@@ -132,6 +136,16 @@ class SchemaOnlyQueryEvent(QueryEvent):
     """A QueryEvent replayed from BELOW a seek offset purely to seed
     the schema registry: decode applies its DDL but emits no op (the
     envelope already carried it when the position was first read)."""
+
+
+class PreviousGtidsEvent(_Event):
+    """The gtid set executed before this file began (5.6+ writes one
+    right after the FDE). Not an envelope op (adapt returns None for
+    it) — it drives the archived-series resume helpers below."""
+
+    def __init__(self, ts, log_pos, gtid_set: str):
+        super().__init__(ts, log_pos)
+        self.gtid_set = gtid_set
 
 
 class XidEvent(_Event):
@@ -694,6 +708,29 @@ def _decode_body(etype, ts, _server_id, log_pos, body, tables):
         (gno,) = struct.unpack_from("<Q", body, 0)
         (domain,) = struct.unpack_from("<I", body, 8)
         return GtidEvent(ts, log_pos, f"{domain}-{_server_id}-{gno}")
+    elif etype == EV_PREVIOUS_GTIDS:
+        # encoded Gtid_set (public layout, rpl_gtid_set.cc encode):
+        # n_sids(8LE), then per sid 16B uuid + n_intervals(8LE) +
+        # intervals of (start 8LE, end-EXCLUSIVE 8LE)
+        (n_sids,) = struct.unpack_from("<Q", body, 0)
+        p = 8
+        parts = []
+        for _ in range(n_sids):
+            sid = body[p:p + 16]
+            p += 16
+            uuid = "-".join(
+                sid.hex()[a:b]
+                for a, b in ((0, 8), (8, 12), (12, 16), (16, 20), (20, 32))
+            )
+            (n_iv,) = struct.unpack_from("<Q", body, p)
+            p += 8
+            ivs = []
+            for _ in range(n_iv):
+                start, end = struct.unpack_from("<QQ", body, p)
+                p += 16
+                ivs.append(str(start) if end == start + 1 else f"{start}-{end - 1}")
+            parts.append(f"{uuid}:{':'.join(ivs)}")
+        return PreviousGtidsEvent(ts, log_pos, ",".join(parts))
     elif etype in (
         EV_WRITE_ROWS_V2, EV_DELETE_ROWS_V2, EV_UPDATE_ROWS_V2,
         EV_WRITE_ROWS_V1, EV_DELETE_ROWS_V1, EV_UPDATE_ROWS_V1,
@@ -942,3 +979,47 @@ def read_binlog_files(spark, path: str, schema_snapshot_json: str = ""):
 
     files = spark.read.format("binaryFile").load(path)
     return files.select("path", "content").mapInPandas(batches, ENVELOPE_SCHEMA)
+
+
+# --- archived-series resumability (S5's retention check, file route) --------
+
+
+def series_start_points(path: str) -> list[tuple[str, str | None]]:
+    """(file_name, previous_gtid_set) per archived file in lexical
+    order — the PREVIOUS_GTIDS coordinate 5.6+ servers write after
+    every FDE. None for pre-5.6 files (no such event)."""
+    p = Path(path)
+    files = sorted(f for f in p.iterdir() if f.is_file()) if p.is_dir() else [p]
+    out = []
+    for f in files:
+        prev = None
+        for e in parse_binlog_events(f.read_bytes()):
+            if isinstance(e, PreviousGtidsEvent):
+                prev = e.gtid_set
+                break
+            if not isinstance(e, (RotateEvent,)):
+                break  # data began with no PREVIOUS_GTIDS: pre-5.6 file
+        out.append((f.name, prev))
+    return out
+
+
+def series_resume_file(path: str, executed_gtid_set: str) -> str | None:
+    """Where to resume an archived series given a consumer's executed
+    gtid set: the LAST file whose PREVIOUS_GTIDS is fully covered by
+    ``executed_gtid_set`` (everything before it is already applied;
+    replay from its head, deduping via resume/seq discipline like any
+    replay). None when even the first file starts past the consumer's
+    position — the gap case where the retention window has moved on and
+    the right action is a fresh snapshot, the file-route analog of
+    ``offset_is_resumable`` returning False."""
+    from dolphinbeat_spark.sources.binlog_source import gtid_set_covers
+
+    best = None
+    for name, prev in series_start_points(path):
+        if prev is None:
+            continue  # pre-5.6 file: no gtid coordinate to compare
+        if gtid_set_covers(executed_gtid_set, prev):
+            best = name
+        else:
+            break  # later files start even further ahead
+    return best

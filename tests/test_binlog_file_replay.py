@@ -562,9 +562,13 @@ def test_backfill_composes_into_apply_changes_snapshot(spark, tmp_path):
         & F.col("op_type").isin("insert", "update", "delete")
     )
     snap = str(tmp_path / "snapshot")
-    # the t2 insert event sits at log_pos 1656; update/delete follow
-    b1 = env.filter(F.col("log_pos") <= 1700)
-    b2 = env.filter(F.col("log_pos") > 1700)
+    # split at the real transaction boundary after the t2 insert event
+    # (position taken from the decode, not pinned — the fixture grows)
+    ops, _ = _decode_all()
+    cut = next(o["log_pos"] for o in ops
+               if o.get("table") == "t2" and o["op_type"] == "insert")
+    b1 = env.filter(F.col("log_pos") <= cut)
+    b2 = env.filter(F.col("log_pos") > cut)
     apply_batch(spark, b1, snap, ["id"], ["note"])
     mid = {r["id"]: r["note"] for r in read_snapshot(spark, snap).collect()}
     assert set(mid) == {"1", "2"} and mid["2"] == "row two"
@@ -736,3 +740,57 @@ def test_provider_replays_archived_series_directory(tmp_path):
     assert set(upd["after"]) == {"id", "note"}
     tails = next(o for o in resumed if o.get("table") == "tails")
     assert tails["after"]["status"] == "active"
+
+
+def test_previous_gtids_and_series_resume(tmp_path):
+    """PREVIOUS_GTIDS parses into the dialect text form and drives the
+    archived-series resume decision: resume at the LAST file whose
+    starting set the consumer already covers; None = retention gap,
+    take a fresh snapshot (the file-route offset_is_resumable)."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from tools.make_binlog_fixture import Writer
+
+    from dolphinbeat_spark.sources import binlog_file as B
+
+    sid = "3e11fa47e3b24f2c90b1aa6d1d1f3e11"
+    uuid = "3e11fa47-e3b2-4f2c-90b1-aa6d1d1f3e11"
+    # the committed fixture's first event is the empty fresh-server set
+    evs = list(B.parse_binlog_events(FIXTURE.read_bytes()))
+    prev = next(e for e in evs if isinstance(e, B.PreviousGtidsEvent))
+    assert prev.gtid_set == ""
+
+    d = tmp_path / "series"
+    d.mkdir()
+    specs = [
+        ("arch.000001", []),
+        ("arch.000002", [(sid, [(1, 2)])]),
+        ("arch.000003", [(sid, [(1, 5)])]),
+    ]
+    for name, parts in specs:
+        w = Writer()
+        w.fde()
+        w.previous_gtids(parts)
+        (d / name).write_bytes(bytes(w.buf))
+    from dolphinbeat_spark.sources.binlog_file import (
+        series_resume_file,
+        series_start_points,
+    )
+
+    pts = dict(series_start_points(str(d)))
+    assert pts == {"arch.000001": "", "arch.000002": f"{uuid}:1-2",
+                   "arch.000003": f"{uuid}:1-5"}
+    # consumer executed 1-3: file 2's start (1-2) is covered, file 3's
+    # (1-5) is not -> resume at file 2
+    assert series_resume_file(str(d), f"{uuid}:1-3") == "arch.000002"
+    # fresh consumer: only the empty-start first file is covered
+    assert series_resume_file(str(d), "") == "arch.000001"
+    # gap: even the first retained file starts past the consumer
+    d2 = tmp_path / "gap"
+    d2.mkdir()
+    w = Writer()
+    w.fde()
+    w.previous_gtids([(sid, [(1, 9)])])
+    (d2 / "arch.000007").write_bytes(bytes(w.buf))
+    assert series_resume_file(str(d2), f"{uuid}:1-3") is None

@@ -178,6 +178,18 @@ class Writer:
         body = bytes([1]) + bytes.fromhex(sid_hex) + struct.pack("<q", gno)
         self.event(B.EV_GTID, body)
 
+    def previous_gtids(self, parts: list | None = None) -> None:
+        """Encoded Gtid_set: [(sid_hex, [(start, end_inclusive)...])].
+        5.6+ servers write one right after every FDE; empty list = the
+        fresh-server first file."""
+        parts = parts or []
+        body = struct.pack("<Q", len(parts))
+        for sid_hex, intervals in parts:
+            body += bytes.fromhex(sid_hex) + struct.pack("<Q", len(intervals))
+            for start, end in intervals:
+                body += struct.pack("<QQ", start, end + 1)  # wire end is exclusive
+        self.event(B.EV_PREVIOUS_GTIDS, body)
+
     def xid(self, n: int) -> None:
         self.event(B.EV_XID, struct.pack("<Q", n))
 
@@ -416,6 +428,7 @@ TAILS_ROWS = [
 def main() -> None:
     w = Writer()
     w.fde()
+    w.previous_gtids()  # fresh-server first file: empty executed set
     w.query("test", "CREATE TABLE test.typed ("
             "id INT PRIMARY KEY, big BIGINT, tiny TINYINT, "
             "price DECIMAL(14,4), ratio DOUBLE, ratio_f FLOAT, "
