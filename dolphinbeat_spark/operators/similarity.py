@@ -738,3 +738,45 @@ def ivf_hard_negatives(
             "rank", "cosine",
         )
     )
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """SemDeDup (public method, Abbas et al. 2023, arXiv:2303.09540):
+    semantic deduplication by clustering embeddings and removing
+    near-identical pairs WITHIN each cluster — the pairwise work is
+    bounded per cluster, never corpus×corpus (the property that makes
+    the method viable at LAION/LLM scale; clusters at 100 TB come from
+    the same broadcast-centroid assignment the IVF index uses, and a
+    skewed mega-cluster is split by re-clustering, not by widening the
+    join). Keeper rule here: the LOWEST id of each duplicate pair
+    survives (deterministic, cross-engine checkable; the paper's
+    keep-farthest-from-centroid variant swaps the ordering key only).
+
+    Returns the REMOVED rows: (``vec_id``, cell, max_cosine) — one row
+    per dropped vector with its strongest same-cluster duplicate
+    evidence; survivors = anti-join against this set."""
+    assigned = ivf_assign(emb, centroids, id_col, vec_col, "vid", n_cells=1)
+    a = assigned.select(
+        F.col("vid").alias("id_a"), F.col("vec").alias("__va"), "cell"
+    )
+    b = assigned.select(
+        F.col("vid").alias("id_b"), F.col("vec").alias("__vb"),
+        F.col("cell").alias("__cell_b"),
+    )
+    pairs = (
+        a.join(b, (F.col("cell") == F.col("__cell_b")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_b", "cell",
+            cosine_similarity("__va", "__vb").alias("__sim"),
+        )
+        .filter(F.col("__sim") >= threshold)
+    )
+    return pairs.groupBy(F.col("id_b").alias("vec_id"), F.col("cell")).agg(
+        F.max("__sim").alias("max_cosine")
+    )

@@ -693,3 +693,51 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_hard_negatives(
         q, emb, cent, "vec_id", "embedding", "label", K, nprobe=2
     ).orderBy("anchor_id", "rank")
+
+
+SEMDEDUP_THRESHOLD = 0.3
+
+
+@register(
+    "dedup_semdedup",
+    # oracle mirrors the SAME deterministic pipeline: sampled centroids
+    # (vec_id % 40 = 7), argmax-cosine cluster assignment, within-
+    # cluster pairs only, remove the higher id of each pair >= the
+    # threshold — cosines are ordered folds, bit-identical cross-engine
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 7
+), assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+), pairs AS (
+  SELECT b.vec_id AS vec_id, a.cell AS cell,
+         {_cos('a.embedding', 'b.embedding')} AS sim
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_cos('a.embedding', 'b.embedding')} >= {SEMDEDUP_THRESHOLD}
+)
+SELECT vec_id, cell, MAX(sim) AS max_cosine
+FROM pairs GROUP BY vec_id, cell
+ORDER BY vec_id
+""",
+    tags=("similarity", "dedup", "semantic"),
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (arXiv:2303.09540) under the oracle
+    gate: cluster by broadcast sampled centroids (the IVF assignment
+    path), pairwise cosine WITHIN clusters only, drop the higher id of
+    each pair above the threshold. Complements the lexical dedup
+    family (exact/minhash/simhash/Jaccard) with the embedding-space
+    member; per-cluster bounded pairs, never all-pairs."""
+    emb = load(spark, sf_dir, "embeddings", widen=True)
+    cent = emb.filter(F.col("vec_id") % 40 == 7).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return S.semdedup_prune(
+        emb, cent, "vec_id", "embedding", SEMDEDUP_THRESHOLD
+    ).orderBy("vec_id")

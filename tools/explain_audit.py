@@ -58,6 +58,7 @@ _BNLJ_OK = {
     "ts_similarity_topk",  # 1-row (d0, nd) date-bounds broadcast
     "ts_motif_discord",  # same 1-row date-bounds broadcast
     "sketch_quantiles_sampled",  # 3-row quantile-index theta join + 1-row n_sample
+    "dedup_semdedup",  # same IVF centroid broadcast; cluster pairs are a hash join
 }
 # specs whose final presentation sort is the only exchange-heavy step
 _WIDE_READ_OK = {"cdc_envelope_from_events"}  # reads most event columns by design
