@@ -794,3 +794,57 @@ def test_previous_gtids_and_series_resume(tmp_path):
     w.previous_gtids([(sid, [(1, 9)])])
     (d2 / "arch.000007").write_bytes(bytes(w.buf))
     assert series_resume_file(str(d2), f"{uuid}:1-3") is None
+
+
+def test_partial_json_binlog_to_materialized_snapshot(spark, tmp_path):
+    """The full PARTIAL_JSON consumer path on real bytes: a binlog
+    file whose UPDATE carries a JSON diff -> from-scratch parser ->
+    envelope (read_binlog_files) -> apply_batch(patch_json_cols) ->
+    snapshot holds the MATERIALIZED document, not the diff text."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from tools.make_binlog_fixture import Writer, json_diff
+
+    from dolphinbeat_spark.sinks.apply_changes import apply_batch, read_snapshot
+    from dolphinbeat_spark.sources import binlog_file as B
+    from dolphinbeat_spark.sources.binlog_file import read_binlog_files
+
+    cols = [(B.T_LONG, 0), (B.T_JSON, 4)]
+    # binary-JSONB small object {"a": 1, "b": "x"}  (type 0x00):
+    # count=2, size=22, key-entries (offset2,len2), value-entries
+    # (type 1B + 2B inline/offset), keys, values — offsets relative to
+    # the container base (the count field)
+    obj = bytes([0x00]) + bytes([2, 0]) + bytes([22, 0])
+    obj += bytes([18, 0]) + bytes([1, 0])   # key "a" at 18, len 1
+    obj += bytes([19, 0]) + bytes([1, 0])   # key "b" at 19, len 1
+    obj += bytes([0x05]) + (1).to_bytes(2, "little")   # a: inline int16 1
+    obj += bytes([0x0C]) + (20).to_bytes(2, "little")  # b: string at 20
+    obj += b"ab" + bytes([1]) + b"x"
+    w = Writer()
+    w.fde()
+    w.query("test", "CREATE TABLE test.pj (id INT PRIMARY KEY, doc JSON)")
+    w.query("test", "BEGIN")
+    w.table_map(55, "test", "pj", cols)
+    w.rows(B.EV_WRITE_ROWS_V2, 55, cols, [(1, obj)])
+    diff = json_diff([
+        (0, "$.a", b"\x05\x09\x00"),   # replace $.a with 9
+        (2, "$.b", None),              # remove $.b
+        (1, "$.c", b"\x0c\x02hi"),     # insert $.c = "hi"
+    ])
+    w.table_map(55, "test", "pj", cols)
+    w.partial_update_rows(55, cols, [((1, obj), (1, None), {1: diff})])
+    w.xid(1)
+    d = tmp_path / "arch"
+    d.mkdir()
+    (d / "pj.000001").write_bytes(bytes(w.buf))
+
+    env = read_binlog_files(spark, str(d))
+    # sanity: the initial insert decoded the JSONB object to JSON text
+    ins = env.filter("op_type = 'insert'").collect()[0]
+    assert json.loads(ins["after"]["doc"]) == {"a": 1, "b": "x"}
+    snap = str(tmp_path / "snap")
+    apply_batch(spark, env, snap, ["id"], ["doc"], patch_json_cols=("doc",))
+    got = {r["id"]: r["doc"] for r in read_snapshot(spark, snap).collect()}
+    assert json.loads(got["1"]) == {"a": 9, "c": "hi"}
