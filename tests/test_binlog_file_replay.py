@@ -848,3 +848,59 @@ def test_partial_json_binlog_to_materialized_snapshot(spark, tmp_path):
     apply_batch(spark, env, snap, ["id"], ["doc"], patch_json_cols=("doc",))
     got = {r["id"]: r["doc"] for r in read_snapshot(spark, snap).collect()}
     assert json.loads(got["1"]) == {"a": 9, "c": "hi"}
+
+
+def test_type_tail_codec_property_roundtrip():
+    """Property roundtrips for the r7 wire types: ENUM 1- and 2-byte
+    pack lengths, SET masks over 1..8-byte widths, BIT over 1..64
+    bits, GEOMETRY byte passthrough."""
+    import sys
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from tools.make_binlog_fixture import enc_value
+
+    from dolphinbeat_spark.sources import binlog_file as B
+
+    def roundtrip(ctype, meta, v):
+        raw = enc_value(ctype, meta, v)
+        out, consumed = B._read_value(raw, 0, ctype, meta)
+        assert consumed == len(raw)
+        return out
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(1, 2).flatmap(
+        lambda size: st.tuples(st.just(size), st.integers(0, 2 ** (8 * size) - 1))
+    ))
+    def enums(t):
+        size, idx = t
+        meta = (B.T_ENUM << 8) | size
+        assert roundtrip(B.T_STRING, meta, idx) == idx
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(1, 8).flatmap(
+        lambda size: st.tuples(st.just(size), st.integers(0, 2 ** (8 * size) - 1))
+    ))
+    def sets(t):
+        size, mask = t
+        meta = (B.T_SET << 8) | size
+        assert roundtrip(B.T_STRING, meta, mask) == mask
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(1, 64).flatmap(
+        lambda bits: st.tuples(st.just(bits), st.integers(0, 2 ** bits - 1))
+    ))
+    def bits(t):
+        nbits, v = t
+        meta = ((nbits // 8) << 8) | (nbits % 8)
+        assert roundtrip(B.T_BIT, meta, v) == v
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.binary(max_size=300))
+    def geometry(payload):
+        assert roundtrip(B.T_GEOMETRY, 4, payload) == payload
+
+    for f in (enums, sets, bits, geometry):
+        f()
