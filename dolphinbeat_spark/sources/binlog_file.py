@@ -1017,7 +1017,11 @@ def series_resume_file(path: str, executed_gtid_set: str) -> str | None:
     best = None
     for name, prev in series_start_points(path):
         if prev is None:
-            continue  # pre-5.6 file: no gtid coordinate to compare
+            # pre-5.6 file: no gtid coordinate — coverage past this
+            # point is UNVERIFIABLE, so stop extending rather than
+            # skip ahead (skipping could overshoot data the consumer
+            # has not applied)
+            break
         if gtid_set_covers(executed_gtid_set, prev):
             best = name
         else:
