@@ -232,6 +232,7 @@ def _materialize_json_patches(
     snapshot_path: str,
     key_cols: list[str],
     patch_cols: tuple[str, ...],
+    old_df: DataFrame | None = None,
 ) -> DataFrame:
     """Replace each patch column's last-op value with the fold of the
     key's ORDERED after-image sequence over the current snapshot value
@@ -267,8 +268,10 @@ def _materialize_json_patches(
         ]
     )
     out = upserts.join(seqs, list(key_cols), "left")
-    if os.path.exists(snapshot_path):
-        old = spark.read.parquet(snapshot_path).select(
+    if old_df is None and os.path.exists(snapshot_path):
+        old_df = spark.read.parquet(snapshot_path)
+    if old_df is not None:
+        old = old_df.select(
             *key_cols, *[F.col(c).alias(f"__old_{c}") for c in patch_cols]
         )
         out = out.join(old, list(key_cols), "left")
@@ -295,6 +298,7 @@ def apply_batch_partitioned(
     key_cols: list[str],
     value_cols: list[str],
     num_buckets: int = 16,
+    patch_json_cols: tuple[str, ...] = (),
 ) -> None:
     """Partitioned-snapshot merge: the snapshot is hive-partitioned on
     a hash bucket of the key; a batch only reads and rewrites the
@@ -305,8 +309,12 @@ def apply_batch_partitioned(
     cold and never open.
 
     Same last-op-per-key semantics as apply_batch; replay-idempotent
-    (dynamic overwrite of the same buckets converges)."""
-    winners = last_op_per_key(normalize_pk_changes(batch), key_cols)
+    (dynamic overwrite of the same buckets converges).
+    ``patch_json_cols`` folds partial-JSON diffs like apply_batch —
+    the old-value side reads only the touched buckets, keeping the
+    per-batch cost discipline."""
+    norm = normalize_pk_changes(batch)
+    winners = last_op_per_key(norm, key_cols)
     key_exprs = [F.col(f"__k_{k}") for k in key_cols]
     bucket = F.pmod(F.xxhash64(*key_exprs), F.lit(num_buckets)).cast("int")
     upserts = winners.filter(F.col("op_type") != "delete").select(
@@ -323,11 +331,18 @@ def apply_batch_partitioned(
     ]
     if not touched:
         return
-    merged = upserts
+    current = None
     if os.path.exists(snapshot_path):
         current = spark.read.parquet(snapshot_path).filter(
             F.col("__bucket").isin(touched)  # partition-pruned read
         )
+    if patch_json_cols:
+        upserts = _materialize_json_patches(
+            spark, norm, upserts, snapshot_path, key_cols, patch_json_cols,
+            old_df=current,
+        )
+    merged = upserts
+    if current is not None:
         gone = upserts.select(*key_cols).union(deletes.drop("__bucket")).distinct()
         kept = current.join(gone, key_cols, "left_anti")
         merged = kept.unionByName(upserts)

@@ -416,3 +416,46 @@ def test_apply_batch_materializes_partial_json(spark, tmp_path):
     apply_batch(spark, b3, snap, ["id"], ["doc"], patch_json_cols=("doc",))
     got = {r["id"]: r["doc"] for r in read_snapshot(spark, snap).collect()}
     assert got == {"1": '{"z":0}', "2": '{"w":1}'}
+
+
+def test_apply_batch_partitioned_materializes_partial_json(spark, tmp_path):
+    """The bucket-partitioned merge folds partial-JSON diffs too, with
+    the old-value side read only from touched buckets."""
+    import json
+
+    from dolphinbeat_spark.envelope import empty_op
+    from dolphinbeat_spark.sinks.apply_changes import (
+        apply_batch_partitioned,
+        read_snapshot,
+    )
+
+    def op(op_type, pos, before=None, after=None):
+        def img(d):
+            if d is None:
+                return None, None
+            return ({k: str(v) for k, v in d.items()},
+                    {k: False for k in d})
+
+        b, bn = img(before)
+        a, an = img(after)
+        return empty_op(op_type=op_type, log_name="b.1", log_pos=pos, row_index=0,
+                        db="d", table="t", before=b, before_null=bn,
+                        after=a, after_null=an)
+
+    snap = str(tmp_path / "psnap")
+    b1 = spark.createDataFrame([
+        op("insert", 10, after={"id": "1", "doc": '{"a":1}'}),
+        op("insert", 11, after={"id": "2", "doc": '{"z":9}'}),
+    ], ENVELOPE_SCHEMA)
+    apply_batch_partitioned(spark, b1, snap, ["id"], ["doc"],
+                            num_buckets=4, patch_json_cols=("doc",))
+    b2 = spark.createDataFrame([
+        op("update", 20, before={"id": "1", "doc": '{"a":1}'},
+           after={"id": "1",
+                  "doc": '{"$json_diff":[{"op":"replace","path":"$.a","value":7}]}'}),
+    ], ENVELOPE_SCHEMA)
+    apply_batch_partitioned(spark, b2, snap, ["id"], ["doc"],
+                            num_buckets=4, patch_json_cols=("doc",))
+    got = {r["id"]: r["doc"] for r in read_snapshot(spark, snap).collect()}
+    assert json.loads(got["1"]) == {"a": 7}
+    assert json.loads(got["2"]) == {"z": 9}  # untouched bucket intact
