@@ -455,9 +455,11 @@ def decode_media(df: DataFrame) -> DataFrame:
                     fmt, (w, h, px) = "bmp", decode_bmp(b)
                 elif b[:8] == _PNG_SIG:
                     fmt, (w, h, px) = "png", decode_png(b)
+                elif b[:4] == b"GIF8":
+                    fmt, (w, h, px) = "gif", decode_gif(b)
                 else:
                     raise NotImplementedError(
-                        "media formats beyond PPM/BMP/PNG need codec "
+                        "media formats beyond PPM/BMP/PNG/GIF need codec "
                         "libraries not present in this environment"
                     )
                 px = np.ascontiguousarray(px)
@@ -561,3 +563,176 @@ def resize_media(
             )
 
     return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+# --- GIF: from-scratch LZW codec (public GIF87a/89a spec) -------------------
+
+
+def encode_gif(width: int, height: int, indices: bytes) -> bytes:
+    """Minimal real GIF87a writer: 256-entry grayscale global color
+    table (palette[i] = (i,i,i)) + REAL LZW compression of the pixel
+    index stream. The bit-width bookkeeping mirrors the decoder's
+    exactly: the width grows after the i-th non-clear code when the
+    DECODER's table (which trails the encoder's by one entry — it
+    cannot append until it has a previous code) reaches the width
+    limit, and both sides freeze appends at 4096 entries."""
+    if len(indices) != width * height:
+        raise ValueError(f"need {width * height} indices, got {len(indices)}")
+    mcs = 8  # 256-color image: min code size 8
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    s0 = eoi + 1
+
+    out = bytearray()
+    state = {"acc": 0, "nbits": 0, "cs": mcs + 1, "dlen": s0, "first": True}
+
+    def write(code: int) -> None:
+        state["acc"] |= code << state["nbits"]
+        state["nbits"] += state["cs"]
+        while state["nbits"] >= 8:
+            out.append(state["acc"] & 0xFF)
+            state["acc"] >>= 8
+            state["nbits"] -= 8
+
+    def write_data(code: int) -> None:
+        # decoder-mirrored width step: after reading a non-clear code
+        # the decoder appends (except for the first after clear) and
+        # widens when its table hits the limit — apply the same AFTER
+        # writing, so the NEXT code uses the decoder's read width
+        write(code)
+        if state["first"]:
+            state["first"] = False
+            return
+        if state["dlen"] < 4096:
+            state["dlen"] += 1
+            if state["dlen"] == (1 << state["cs"]) and state["cs"] < 12:
+                state["cs"] += 1
+
+    def write_clear() -> None:
+        write(clear)
+        state.update(cs=mcs + 1, dlen=s0, first=True)
+
+    write_clear()
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = s0
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        write_data(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+        else:  # dictionary full: reset, like real encoders
+            write_clear()
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = s0
+        w = bytes([k])
+    if w:
+        write_data(table[w])
+    write(eoi)
+    if state["nbits"]:
+        out.append(state["acc"] & 0xFF)
+    blocks = bytearray()
+    for i in range(0, len(out), 255):
+        chunk = out[i:i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    hdr = b"GIF87a" + struct.pack("<HH", width, height)
+    hdr += bytes([0xF7, 0, 0])  # GCT present, 8 bpp, 256 entries
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    img = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    return hdr + gct + img + bytes([mcs]) + bytes(blocks) + b"\x3b"
+
+
+def decode_gif(data: bytes) -> tuple[int, int, np.ndarray]:
+    """GIF → (width, height, HxWx3 uint8 RGB via the color table).
+    Real decode: logical-screen parse, global color table, full LZW
+    decompression (variable code width LSB-first, clear/EOI, KwKwK
+    case, dictionary growth to 12 bits, reset) per the public spec.
+    Interlaced images, local color tables and animation extensions
+    raise honestly."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack_from("<HH", data, 6)
+    packed = data[10]
+    if not packed & 0x80:
+        raise NotImplementedError("GIF without a global color table")
+    gct_n = 2 << (packed & 0x07)
+    pos = 13
+    gct = np.frombuffer(data, np.uint8, count=gct_n * 3, offset=pos).reshape(gct_n, 3)
+    pos += gct_n * 3
+    # skip 89a extension blocks until the image descriptor
+    while pos < len(data) and data[pos] == 0x21:
+        pos += 2
+        while data[pos]:
+            pos += 1 + data[pos]
+        pos += 1
+    if pos >= len(data) or data[pos] != 0x2C:
+        raise ValueError("GIF image descriptor not found")
+    left, top, w, h = struct.unpack_from("<HHHH", data, pos + 1)
+    ipacked = data[pos + 9]
+    if ipacked & 0x80:
+        raise NotImplementedError("GIF local color tables not supported")
+    if ipacked & 0x40:
+        raise NotImplementedError("interlaced GIF not supported")
+    pos += 10
+    if pos >= len(data):
+        raise ValueError("truncated GIF: missing LZW minimum code size")
+    mcs = data[pos]
+    pos += 1
+    stream = bytearray()
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated GIF: unterminated data sub-blocks")
+        n = data[pos]
+        if n == 0:
+            break
+        if pos + 1 + n > len(data):
+            raise ValueError("truncated GIF: short data sub-block")
+        stream += data[pos + 1:pos + 1 + n]
+        pos += 1 + n
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    code_size = mcs + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = nbits = 0
+    prev: bytes | None = None
+    bi = 0
+    while True:
+        while nbits < code_size:
+            if bi >= len(stream):
+                raise ValueError("GIF LZW stream ended without EOI")
+            acc |= stream[bi] << nbits
+            bi += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt GIF LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    if len(out) != w * h:
+        raise ValueError(f"GIF pixel stream: expected {w * h}, got {len(out)}")
+    idx = np.frombuffer(bytes(out), np.uint8)
+    if int(idx.max(initial=0)) >= gct_n:
+        raise ValueError("GIF pixel index beyond the color table")
+    return w, h, gct[idx].reshape(h, w, 3)

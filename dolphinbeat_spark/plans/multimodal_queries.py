@@ -280,3 +280,52 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     media = spark.createDataFrame(rows, "media_id long, payload binary")
     return M.decode_media(media).orderBy("media_id")
+
+
+@register(
+    "mm_decode_gif",
+    # payload = a REAL GIF87a (from-scratch LZW compression, 256-entry
+    # grayscale color table) whose 12x8 pixel indices are the ASCII of
+    # repeat(md5(doc_id), 3); decode LZW-decompresses and maps through
+    # the palette, so each index becomes an (i,i,i) RGB triple — the
+    # oracle recomputes the tripled pattern's sum and md5 independently
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 13 = 5
+)
+SELECT media_id,
+       'gif' AS fmt,
+       CAST(12 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(3 * list_sum(list_transform(range(1, 97),
+            i -> ord(substr(pattern, CAST(i AS INTEGER), 1)))) AS BIGINT) AS pixel_sum,
+       md5(regexp_replace(pattern, '(.)', '\\1\\1\\1', 'g')) AS pixel_md5
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "codec"),
+)
+def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW-compressed image decode under the oracle gate: GIF's
+    entropy coding is LZW, implemented from scratch (variable code
+    width, clear/EOI, KwKwK, dictionary growth — public GIF87a spec),
+    so a second compressed format decodes with no codec libraries.
+    Encode side is driver-side harness glue over the bounded subset;
+    the DECODE runs distributed through the same mapInPandas slot as
+    PPM/BMP/PNG. The grayscale-identity palette makes each decoded
+    pixel the (i,i,i) triple of its index, which the oracle reproduces
+    as the tripled pattern."""
+    import hashlib
+
+    from dolphinbeat_spark.operators.multimodal import encode_gif
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 5)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode("ascii")
+        rows.append((i, bytearray(encode_gif(12, 8, pattern))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return M.decode_media(media).orderBy("media_id")

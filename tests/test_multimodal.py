@@ -260,3 +260,74 @@ def test_decode_media_sniffs_png(spark):
         assert got[i]["width"] == 8 and got[i]["height"] == 4
         assert got[i]["pixel_md5"] == want_md5
         assert got[i]["pixel_sum"] == want_sum
+
+
+def test_gif_lzw_roundtrip_and_hand_vectors():
+    """From-scratch GIF LZW codec: random index streams survive the
+    encode→decode roundtrip (dictionary growth, width escalation,
+    4096-entry reset), and the DECODER is pinned independently by
+    hand-computed code-stream vectors (width growth + the KwKwK case)
+    so a complementary encoder/decoder bug cannot hide."""
+    import random
+    import struct
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = random.Random(11)
+    for w, h in [(8, 4), (64, 64), (150, 90)]:
+        n = w * h
+        idx = bytearray()
+        while len(idx) < n:
+            if rng.random() < 0.5:
+                idx += bytes(rng.randrange(256) for _ in range(rng.randrange(1, 20)))
+            else:
+                idx += bytes([rng.randrange(256)]) * rng.randrange(1, 50)
+        idx = bytes(idx[:n])
+        W, H, px = decode_gif(encode_gif(w, h, idx))
+        assert (W, H) == (w, h)
+        assert px[:, :, 0].tobytes() == idx  # identity palette: R = index
+        assert (px[:, :, 0] == px[:, :, 2]).all()
+
+    def tiny_gif(mcs, stream, w, h, gct_bits=1):
+        nc = 2 << gct_bits
+        hdr = b"GIF87a" + struct.pack("<HH", w, h) + bytes([0x80 | gct_bits, 0, 0])
+        gct = bytes(v for i in range(nc) for v in (i, i, i))
+        img = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        return hdr + gct + img + bytes([mcs]) + bytes([len(stream)]) + stream + b"\x00\x3b"
+
+    # mcs=2: codes [clear,1,2,6,eoi] -> pixels 1 2 1 2 (slot 6=[1,2],
+    # width grows to 4 bits before EOI); LSB-first packing = 8C 5C
+    _, _, px = decode_gif(tiny_gif(2, bytes([0x8C, 0x5C]), 4, 1))
+    assert list(px[0, :, 0]) == [1, 2, 1, 2]
+    # codes [clear,1,6,eoi]: KwKwK -> 1 1 1; packing = 8C 0B
+    _, _, px = decode_gif(tiny_gif(2, bytes([0x8C, 0x0B]), 3, 1))
+    assert list(px[0, :, 0]) == [1, 1, 1]
+
+
+def test_gif_honest_failures():
+    import struct
+
+    import pytest
+
+    from dolphinbeat_spark.operators.multimodal import decode_gif, encode_gif
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOPE" + bytes(40))
+    gif = bytearray(encode_gif(4, 1, bytes([1, 2, 3, 4])))
+    # image descriptor sits after header(13) + 256-entry GCT(768)
+    desc = 13 + 768
+    assert gif[desc] == 0x2C
+    lct = bytearray(gif)
+    lct[desc + 9] |= 0x80
+    with pytest.raises(NotImplementedError, match="local color"):
+        decode_gif(bytes(lct))
+    inter = bytearray(gif)
+    inter[desc + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(inter))
+    # truncated LZW stream must fail loudly, not return short pixels
+    trunc = bytes(gif[:desc + 12]) + b"\x01\x00\x00\x3b"
+    with pytest.raises(ValueError):
+        decode_gif(trunc)
