@@ -360,12 +360,15 @@ DECODED_SCHEMA = StructType(
 )
 
 
-def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Pure-numpy RIFF/WAVE decoder for uncompressed 8-bit mono PCM —
-    audio's analog of :func:`decode_ppm`: WAV is a container with no
-    entropy coding, so real decode needs only header validation and a
-    byte view. Returns (sample_rate, n_samples, samples uint8).
-    Compressed/esoteric WAV variants raise, honestly."""
+def decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Pure-numpy RIFF/WAVE decoder for uncompressed PCM — audio's
+    analog of :func:`decode_ppm`: WAV is a container with no entropy
+    coding, so real decode needs only header validation and a typed
+    view. 8- and 16-bit, mono and stereo (the common real-world
+    shapes; 16-bit samples are little-endian signed int16, interleaved
+    L/R for stereo). Returns (sample_rate, n_channels, n_samples,
+    samples) with n_samples = total interleaved samples (frames ×
+    channels). Compressed/esoteric WAV variants raise, honestly."""
     import struct as _s
 
     if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -379,17 +382,26 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
         raise NotImplementedError(f"non-PCM WAV (format {audio_fmt}) needs codec libs")
     if rate <= 0:
         raise ValueError(f"invalid WAV sample rate {rate}")
-    if channels != 1 or bits != 8 or block_align != 1 or byte_rate != rate:
+    if bits not in (8, 16) or channels not in (1, 2):
         raise NotImplementedError(
-            f"only 8-bit mono PCM decoded here (got {channels}ch/{bits}bit)"
+            f"only 8/16-bit mono/stereo PCM decoded here (got {channels}ch/{bits}bit)"
+        )
+    width = bits // 8
+    if block_align != channels * width or byte_rate != rate * block_align:
+        raise ValueError(
+            f"inconsistent WAV header: block_align {block_align} / "
+            f"byte_rate {byte_rate} vs {channels}ch x {bits}bit @ {rate}Hz"
         )
     if data[36:40] != b"data":
         raise ValueError("expected the data chunk after fmt")
     n = _s.unpack_from("<I", data, 40)[0]
     if len(data) - 44 < n:
         raise ValueError(f"data chunk truncated: declared {n}, have {len(data) - 44}")
-    samples = np.frombuffer(data, dtype=np.uint8, count=n, offset=44)
-    return rate, n, samples
+    if n % block_align:
+        raise ValueError(f"data chunk {n} not a multiple of the {block_align}-byte frame")
+    dtype = np.uint8 if bits == 8 else np.dtype("<i2")
+    samples = np.frombuffer(data, dtype=dtype, count=n // width, offset=44)
+    return rate, channels, n // width, samples
 
 
 AUDIO_SCHEMA = StructType(
@@ -416,11 +428,13 @@ def decode_audio(df: DataFrame) -> DataFrame:
             rows = []
             for mid, raw in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(raw)
-                rate, n, samples = decode_wav(b)
+                rate, ch, n, samples = decode_wav(b)
                 rows.append(
                     (
                         mid, "wav", rate, n,
-                        float(n) / rate,
+                        # duration = frames / rate (stereo interleaves 2
+                        # samples per frame)
+                        float(n) / ch / rate,
                         int(samples.astype(np.int64).sum()),
                         hashlib.md5(samples.tobytes()).hexdigest(),
                     )

@@ -329,3 +329,59 @@ def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((i, bytearray(encode_gif(12, 8, pattern))))
     media = spark.createDataFrame(rows, "media_id long, payload binary")
     return M.decode_media(media).orderBy("media_id")
+
+
+# RIFF/WAVE header for 16-bit STEREO PCM @ 8 kHz with a 96-byte data
+# chunk (= 48 interleaved int16 samples = 24 frames)
+_WAV16_HDR_HEX = (
+    "524946468400000057415645666D74201000000001000200"
+    "401F0000007D0000040010006461746160000000"
+)
+
+
+@register(
+    "mm_decode_wav_stereo16",
+    # payload = the 16-bit stereo header + the 96 ASCII pattern bytes
+    # reinterpreted as 48 little-endian int16 samples; ASCII < 128
+    # keeps every sample positive, so the oracle recomputes each as
+    # low + 256*high without sign handling, and the raw sample bytes
+    # ARE the pattern (md5 equality pins the byte-exact decode)
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 17 = 4
+)
+SELECT media_id,
+       'wav' AS fmt,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(48 AS BIGINT) AS n_samples,
+       CAST(24 AS DOUBLE) / 8000 AS duration_s,
+       CAST(list_sum(list_transform(range(0, 48),
+            i -> ord(substr(pattern, CAST(2 * i + 1 AS INTEGER), 1))
+                 + 256 * ord(substr(pattern, CAST(2 * i + 2 AS INTEGER), 1))))
+            AS BIGINT) AS sample_sum,
+       md5(pattern) AS sample_md5
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "audio", "codec"),
+)
+def mm_decode_wav_stereo16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit STEREO PCM decode under the oracle gate — the common
+    real-world WAV shape (the r7 widening of the 8-bit-mono-only
+    decoder): interleaved little-endian signed int16 frames, duration
+    = frames/rate (not samples/rate). Sum and md5 of the decoded
+    int16 stream must match the oracle's independent per-sample
+    recomputation from the same pattern."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 4)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    import hashlib
+
+    hdr = bytes.fromhex(_WAV16_HDR_HEX)
+    for i in ids:
+        pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode("ascii")
+        rows.append((i, bytearray(hdr + pattern)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return M.decode_audio(media).orderBy("media_id")

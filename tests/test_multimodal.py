@@ -168,9 +168,24 @@ def test_decode_wav_validation():
             + b"data" + struct.pack("<I", len(samples)) + samples
         )
 
-    rate, n, got = decode_wav(wav(bytes(range(100, 110))))
-    assert (rate, n) == (8000, 10)
+    rate, ch, n, got = decode_wav(wav(bytes(range(100, 110))))
+    assert (rate, ch, n) == (8000, 1, 10)
     assert np.array_equal(got, np.arange(100, 110, dtype=np.uint8))
+
+    # 16-bit stereo (the common real-world shape): interleaved signed
+    # little-endian int16 frames
+    frames = np.array([[1000, -1000], [32767, -32768], [0, 7]], dtype="<i2")
+    rate, ch, n, got = decode_wav(
+        wav(frames.tobytes(), rate=44100, channels=2, bits=16)
+    )
+    assert (rate, ch, n) == (44100, 2, 6)
+    assert np.array_equal(got, frames.reshape(-1))
+
+    # 16-bit mono
+    rate, ch, n, got = decode_wav(
+        wav(np.array([-5, 5], dtype="<i2").tobytes(), bits=16)
+    )
+    assert (ch, n) == (1, 2) and list(got) == [-5, 5]
 
     with pytest.raises(ValueError):
         decode_wav(b"RIFX" + b"\x00" * 60)  # wrong magic
@@ -179,7 +194,17 @@ def test_decode_wav_validation():
     with pytest.raises(NotImplementedError):
         decode_wav(wav(bytes(10), fmt=3))  # float PCM: codec territory
     with pytest.raises(NotImplementedError):
-        decode_wav(wav(bytes(10), channels=2, bits=16))  # not 8-bit mono
+        decode_wav(wav(bytes(12), channels=3, bits=8))  # >2 channels
+    with pytest.raises(NotImplementedError):
+        decode_wav(wav(bytes(12), bits=24))  # 24-bit: esoteric
+    # inconsistent header (block_align lies about the frame size)
+    bad = bytearray(wav(bytes(8), channels=2, bits=16))
+    bad[32] = 1  # block_align 1 vs 2ch x 16bit
+    with pytest.raises(ValueError, match="inconsistent WAV header"):
+        decode_wav(bytes(bad))
+    # data not a whole number of frames
+    with pytest.raises(ValueError, match="multiple"):
+        decode_wav(wav(bytes(7), channels=2, bits=16))
 
 
 def test_png_roundtrip_all_filters_and_color_types():
