@@ -213,15 +213,23 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 def encode_png(
-    width: int, height: int, pixels: bytes, color_type: int = 2, row_filters=None
+    width: int, height: int, pixels: bytes, color_type: int = 2, row_filters=None,
+    palette: bytes | None = None,
 ) -> bytes:
     """Minimal real PNG writer (8-bit, non-interlaced). ``row_filters``
     optionally sets the filter type per scanline (int or per-row list,
     default 0/None) — used by tests to force every unfilter path in
-    :func:`decode_png` to actually execute."""
+    :func:`decode_png` to actually execute. ``color_type=3`` writes an
+    indexed image: ``pixels`` are palette indices and ``palette`` is
+    the PLTE RGB-triple bytes."""
     import zlib
 
-    ch = _PNG_CHANNELS.get(color_type)
+    if color_type == 3:
+        if palette is None or len(palette) % 3 or not palette:
+            raise ValueError("color_type 3 needs an RGB-triple palette")
+        ch = 1
+    else:
+        ch = _PNG_CHANNELS.get(color_type)
     if ch is None:
         raise ValueError(f"unsupported color_type {color_type}")
     if len(pixels) != width * height * ch:
@@ -258,9 +266,11 @@ def encode_png(
         raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
         prev = cur
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    plte = _png_chunk(b"PLTE", palette) if color_type == 3 else b""
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + plte
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
@@ -270,9 +280,9 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     """PNG → (width, height, HxWxC uint8 array). Real decode: chunk
     walk with CRC validation, concatenated-IDAT zlib inflate, and the
     full scanline unfilter (None/Sub/Up/Average/Paeth — Paeth per the
-    spec's integer predictor). 8-bit color types 0/2/6 non-interlaced;
-    everything else raises honestly (palette needs PLTE indirection,
-    16-bit changes bpp, Adam7 reorders scanlines)."""
+    spec's integer predictor), and PLTE indirection for indexed images.
+    8-bit color types 0/2/3/6 non-interlaced; everything else raises
+    honestly (16-bit changes bpp, Adam7 reorders scanlines)."""
     import zlib
 
     if data[:8] != _PNG_SIG:
@@ -280,6 +290,7 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     off = 8
     w = h = None
     color_type = None
+    plte = None
     idat = bytearray()
     while off + 8 <= len(data):
         (clen,) = struct.unpack_from(">I", data, off)
@@ -295,21 +306,25 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
             )
             if depth != 8:
                 raise NotImplementedError(f"{depth}-bit PNG not supported")
-            if color_type not in _PNG_CHANNELS:
+            if color_type != 3 and color_type not in _PNG_CHANNELS:
                 raise NotImplementedError(
-                    f"PNG color type {color_type} (palette?) not supported"
+                    f"PNG color type {color_type} not supported"
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("invalid PNG compression/filter method")
             if interlace != 0:
                 raise NotImplementedError("Adam7-interlaced PNG not supported")
+        elif ctype == b"PLTE":
+            if len(body) % 3 or not body:
+                raise ValueError("PNG PLTE length must be a positive multiple of 3")
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
             break
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    ch = _PNG_CHANNELS[color_type]
+    ch = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
     stride = w * ch
     raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (stride + 1):
@@ -345,7 +360,17 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
             raise ValueError(f"bad PNG scanline filter {ft}")
         out[r] = cur
         prev = cur
-    return w, h, out.astype(np.uint8).reshape(h, w, ch)
+    px = out.astype(np.uint8).reshape(h, w, ch)
+    if color_type == 3:
+        # indexed image: PLTE indirection maps each index to its RGB
+        # triple (the branch that previously raised honestly)
+        if plte is None:
+            raise ValueError("indexed PNG missing its PLTE chunk")
+        idx = px.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index beyond PLTE")
+        px = plte[idx]
+    return w, h, px
 
 
 DECODED_SCHEMA = StructType(

@@ -238,12 +238,13 @@ def test_png_rejects_corruption_and_unsupported():
         decode_png(bytes(bad))
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"\x89PNX" + good[4:])
-    # 16-bit depth / palette / interlace are honest NotImplementedError
+    # 16-bit depth / gray+alpha / interlace are honest
+    # NotImplementedError (palette type 3 is decoded since r7)
     import struct as s
 
     hdr = bytearray(good)
     # IHDR body starts at 16 (sig 8 + len 4 + type 4); depth byte at +8
-    for pos, val, msg in [(16 + 8, 16, "16-bit"), (16 + 9, 3, "color type"),
+    for pos, val, msg in [(16 + 8, 16, "16-bit"), (16 + 9, 4, "color type"),
                           (16 + 12, 1, "interlaced")]:
         mut = bytearray(good)
         mut[pos] = val
@@ -356,3 +357,29 @@ def test_gif_honest_failures():
     trunc = bytes(gif[:desc + 12]) + b"\x01\x00\x00\x3b"
     with pytest.raises(ValueError):
         decode_gif(trunc)
+
+
+def test_png_palette_indexed_roundtrip():
+    """Color type 3 (indexed): PLTE indirection maps each index to its
+    RGB triple through the same unfilter paths; missing PLTE and
+    out-of-palette indexes are typed errors."""
+    import numpy as np
+    import pytest
+
+    from dolphinbeat_spark.operators.multimodal import decode_png, encode_png
+
+    pal = bytes(v for i in range(64) for v in ((i * 3) % 256, i, 255 - i))
+    idx = bytes([0, 1, 2, 63, 17, 33, 40, 41] * 4)
+    png = encode_png(8, 4, idx, color_type=3, row_filters=[0, 1, 2, 4], palette=pal)
+    w, h, px = decode_png(png)
+    exp = np.frombuffer(pal, np.uint8).reshape(64, 3)[
+        np.frombuffer(idx, np.uint8)
+    ].reshape(4, 8, 3)
+    assert (w, h) == (8, 4) and (px == exp).all()
+    # index beyond the palette
+    with pytest.raises(ValueError, match="beyond PLTE"):
+        decode_png(encode_png(2, 1, bytes([0, 64]), color_type=3, palette=pal))
+    # dropping the PLTE chunk (12-byte overhead + 192 body) is an error
+    bad = png[:33] + png[33 + 12 + len(pal):]
+    with pytest.raises(ValueError, match="missing its PLTE"):
+        decode_png(bad)
