@@ -6,10 +6,11 @@ shape, mapInPandas signatures, frame-index explosion — is real and
 oracle-tested. The decode slot:
 
 - ``decode_media`` REALLY decodes with the zero-dependency numpy
-  codecs below: PPM P6, 24-bit BI_RGB BMP, and PNG (stdlib zlib
-  inflate + full scanline unfilter — PNG's entropy coding is DEFLATE,
-  which the stdlib ships) — actual pixel parsing, oracle-checked by
-  md5 of the decoded bytes.
+  codecs below: PPM P6, 24-bit BI_RGB BMP, PNG (stdlib zlib inflate +
+  full scanline unfilter + PLTE indirection — PNG's entropy coding is
+  DEFLATE, which the stdlib ships) and GIF (LZW implemented from
+  scratch per the public spec) — actual pixel parsing, oracle-checked
+  by md5 of the decoded bytes.
 - formats needing external codec libraries (JPEG/video) still raise:
   none exist in this container. ``decode_media_stub`` keeps the
   deterministic fake for exercising pipelines over such payloads.
@@ -114,10 +115,10 @@ def frame_sample_plan(df: DataFrame, frame_bytes: int = 32, every: int = 4) -> D
 
 
 # ---------------------------------------------------------------------------
-# REAL zero-dependency codecs: PPM (P6) and 24-bit uncompressed BMP.
-# Both are public byte-layout formats decodable with numpy alone; they
-# de-stub the decode slot for uncompressed payloads. Compressed formats
-# (JPEG/PNG/...) still raise — no codec libraries in this container.
+# REAL zero-dependency codecs: PPM (P6), 24-bit uncompressed BMP, PNG
+# (zlib DEFLATE + unfilter + palette), GIF (from-scratch LZW), WAV PCM.
+# All public byte-layout formats decodable with numpy + stdlib alone.
+# JPEG/video still raise — their codecs need libraries absent here.
 # ---------------------------------------------------------------------------
 
 # PPM allows ANY number of consecutive comment lines before each
