@@ -215,7 +215,7 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
 
 def encode_png(
     width: int, height: int, pixels: bytes, color_type: int = 2, row_filters=None,
-    palette: bytes | None = None,
+    palette: bytes | None = None, interlace: bool = False,
 ) -> bytes:
     """Minimal real PNG writer (8-bit, non-interlaced). ``row_filters``
     optionally sets the filter type per scanline (int or per-row list,
@@ -235,6 +235,29 @@ def encode_png(
         raise ValueError(f"unsupported color_type {color_type}")
     if len(pixels) != width * height * ch:
         raise ValueError(f"need {width * height * ch} bytes, got {len(pixels)}")
+    if interlace:
+        # Adam7 writer (filter 0 rows): each non-empty pass is its own
+        # filtered sub-image in pass order
+        import zlib as _z
+
+        px3 = np.frombuffer(pixels, np.uint8).reshape(height, width, ch)
+        raw7 = bytearray()
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            sub = px3[y0::dy, x0::dx, :]
+            if sub.size == 0:
+                continue
+            for r in range(sub.shape[0]):
+                raw7.append(0)
+                raw7.extend(sub[r].tobytes())
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1)
+        plte = _png_chunk(b"PLTE", palette) if color_type == 3 else b""
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + plte
+            + _png_chunk(b"IDAT", _z.compress(bytes(raw7)))
+            + _png_chunk(b"IEND", b"")
+        )
     if row_filters is None:
         row_filters = [0] * height
     elif isinstance(row_filters, int):
@@ -277,13 +300,55 @@ def encode_png(
     )
 
 
+#: Adam7 pass pattern: (x0, y0, dx, dy) per the PNG spec
+_ADAM7_PASSES = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo the per-scanline filters over one (sub-)image: each row is
+    [filter_type][stride bytes]; returns an (h, stride) int32 array."""
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ft = int(rows[r, 0])
+        cur = rows[r, 1:].astype(np.int32)
+        if ft == 0:
+            pass
+        elif ft == 2:  # Up: fully vectorized
+            cur = (cur + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth: left-sequential
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if ft == 1:
+                    cur[i] = (cur[i] + a) & 0xFF
+                elif ft == 3:
+                    cur[i] = (cur[i] + (a + b) // 2) & 0xFF
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG scanline filter {ft}")
+        out[r] = cur
+        prev = cur
+    return out
+
+
 def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     """PNG → (width, height, HxWxC uint8 array). Real decode: chunk
     walk with CRC validation, concatenated-IDAT zlib inflate, and the
     full scanline unfilter (None/Sub/Up/Average/Paeth — Paeth per the
-    spec's integer predictor), and PLTE indirection for indexed images.
-    8-bit color types 0/2/3/6 non-interlaced; everything else raises
-    honestly (16-bit changes bpp, Adam7 reorders scanlines)."""
+    spec's integer predictor), PLTE indirection for indexed images, and
+    Adam7 deinterlacing (7 independently-filtered sub-images scattered
+    onto the pass grid). 8-bit color types 0/2/3/6; 16-bit raises
+    honestly (it changes the byte-per-sample geometry)."""
     import zlib
 
     if data[:8] != _PNG_SIG:
@@ -313,8 +378,8 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("invalid PNG compression/filter method")
-            if interlace != 0:
-                raise NotImplementedError("Adam7-interlaced PNG not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"invalid PNG interlace method {interlace}")
         elif ctype == b"PLTE":
             if len(body) % 3 or not body:
                 raise ValueError("PNG PLTE length must be a positive multiple of 3")
@@ -328,40 +393,35 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     ch = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
     stride = w * ch
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError(
-            f"PNG pixel stream: expected {h * (stride + 1)} bytes, got {len(raw)}"
-        )
-    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
-    out = np.zeros((h, stride), dtype=np.int32)
-    bpp = ch
-    prev = np.zeros(stride, dtype=np.int32)
-    for r in range(h):
-        ft = int(rows[r, 0])
-        cur = rows[r, 1:].astype(np.int32)
-        if ft == 0:
-            pass
-        elif ft == 2:  # Up: fully vectorized
-            cur = (cur + prev) & 0xFF
-        elif ft in (1, 3, 4):  # Sub/Average/Paeth: left-sequential
-            for i in range(stride):
-                a = cur[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                if ft == 1:
-                    cur[i] = (cur[i] + a) & 0xFF
-                elif ft == 3:
-                    cur[i] = (cur[i] + (a + b) // 2) & 0xFF
-                else:
-                    c = prev[i - bpp] if i >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    cur[i] = (cur[i] + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG scanline filter {ft}")
-        out[r] = cur
-        prev = cur
-    px = out.astype(np.uint8).reshape(h, w, ch)
+    if interlace == 0:
+        if len(raw) != h * (stride + 1):
+            raise ValueError(
+                f"PNG pixel stream: expected {h * (stride + 1)} bytes, got {len(raw)}"
+            )
+        px = _png_unfilter(raw, h, stride, ch).astype(np.uint8).reshape(h, w, ch)
+    else:
+        # Adam7: the stream is 7 independently-filtered sub-images
+        # (empty passes contribute nothing), scattered onto the
+        # (x0 + j*dx, y0 + i*dy) grid per the spec's pass pattern
+        px8 = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            wp = (w - x0 + dx - 1) // dx if w > x0 else 0
+            hp = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if wp == 0 or hp == 0:
+                continue
+            pstride = wp * ch
+            need = hp * (pstride + 1)
+            if pos + need > len(raw):
+                raise ValueError("PNG interlaced pixel stream truncated")
+            sub = _png_unfilter(raw[pos:pos + need], hp, pstride, ch)
+            pos += need
+            px8[y0::dy, x0::dx, :] = (
+                sub.astype(np.uint8).reshape(hp, wp, ch)[:hp, :wp]
+            )
+        if pos != len(raw):
+            raise ValueError("PNG interlaced pixel stream has trailing bytes")
+        px = px8
     if color_type == 3:
         # indexed image: PLTE indirection maps each index to its RGB
         # triple (the branch that previously raised honestly)

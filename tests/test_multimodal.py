@@ -238,23 +238,29 @@ def test_png_rejects_corruption_and_unsupported():
         decode_png(bytes(bad))
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"\x89PNX" + good[4:])
-    # 16-bit depth / gray+alpha / interlace are honest
-    # NotImplementedError (palette type 3 is decoded since r7)
+    # 16-bit depth / gray+alpha are honest NotImplementedError
+    # (palette type 3 and Adam7 interlace are decoded since r7);
+    # an out-of-spec interlace method is a typed format error
     import struct as s
+    import zlib
 
-    hdr = bytearray(good)
-    # IHDR body starts at 16 (sig 8 + len 4 + type 4); depth byte at +8
-    for pos, val, msg in [(16 + 8, 16, "16-bit"), (16 + 9, 4, "color type"),
-                          (16 + 12, 1, "interlaced")]:
+    def mutated(pos, val):
         mut = bytearray(good)
         mut[pos] = val
-        # fix the IHDR CRC so the depth/type check is what fires
-        import zlib
-
         body = bytes(mut[12:16]) + bytes(mut[16:29])
         mut[29:33] = s.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        return bytes(mut)
+
+    # IHDR body starts at 16 (sig 8 + len 4 + type 4); depth byte at +8
+    for pos, val, msg in [(16 + 8, 16, "16-bit"), (16 + 9, 4, "color type")]:
         with pytest.raises(NotImplementedError, match=msg):
-            decode_png(bytes(mut))
+            decode_png(mutated(pos, val))
+    with pytest.raises(ValueError, match="invalid PNG interlace"):
+        decode_png(mutated(16 + 12, 2))
+    # flipping a plain stream's interlace flag makes the stream length
+    # wrong for the declared pass structure: loud, never misdecoded
+    with pytest.raises(ValueError, match="interlaced pixel stream"):
+        decode_png(mutated(16 + 12, 1))
 
 
 def test_decode_media_sniffs_png(spark):
@@ -383,3 +389,28 @@ def test_png_palette_indexed_roundtrip():
     bad = png[:33] + png[33 + 12 + len(pal):]
     with pytest.raises(ValueError, match="missing its PLTE"):
         decode_png(bad)
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 deinterlacing: 7 independently-filtered sub-images scatter
+    back to the exact original pixels across odd sizes (partial passes,
+    empty passes at 1x1) and color types incl. indexed."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    for w, h, ct in [(8, 4, 2), (13, 7, 0), (16, 16, 6), (1, 1, 2), (9, 2, 2)]:
+        ch = {0: 1, 2: 3, 6: 4}[ct]
+        px = rng.integers(0, 256, size=h * w * ch, dtype=np.uint8).tobytes()
+        W, H, out = decode_png(encode_png(w, h, px, color_type=ct, interlace=True))
+        assert (W, H, out.tobytes()) == (w, h, px), (w, h, ct)
+    pal = bytes(v for i in range(16) for v in (i, i * 2 % 256, 255 - i))
+    idx = bytes(rng.integers(0, 16, size=10 * 6, dtype=np.uint8))
+    _, _, out = decode_png(
+        encode_png(10, 6, idx, color_type=3, palette=pal, interlace=True)
+    )
+    exp = np.frombuffer(pal, np.uint8).reshape(16, 3)[
+        np.frombuffer(idx, np.uint8)
+    ].reshape(6, 10, 3)
+    assert (out == exp).all()
