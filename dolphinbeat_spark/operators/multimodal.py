@@ -557,10 +557,14 @@ def decode_media(df: DataFrame) -> DataFrame:
                     fmt, (w, h, px) = "png", decode_png(b)
                 elif b[:4] == b"GIF8":
                     fmt, (w, h, px) = "gif", decode_gif(b)
+                elif b[:2] == b"\xff\xd8":
+                    from dolphinbeat_spark.operators.jpeg import decode_jpeg
+
+                    fmt, (w, h, px) = "jpeg", decode_jpeg(b)
                 else:
                     raise NotImplementedError(
-                        "media formats beyond PPM/BMP/PNG/GIF need codec "
-                        "libraries not present in this environment"
+                        "media formats beyond PPM/BMP/PNG/GIF/JPEG need "
+                        "codec libraries not present in this environment"
                     )
                 px = np.ascontiguousarray(px)
                 rows.append(

@@ -385,3 +385,51 @@ def mm_decode_wav_stereo16(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((i, bytearray(hdr + pattern)))
     media = spark.createDataFrame(rows, "media_id long, payload binary")
     return M.decode_audio(media).orderBy("media_id")
+
+
+@register(
+    "mm_decode_jpeg",
+    # payload = a REAL baseline JPEG (from-scratch T.81 encoder) of a
+    # FLAT 16x8 grayscale image with v = 2*(ord(first md5 hex char)
+    # % 64) — an even offset from 128, so the lone DC coefficient
+    # quantizes losslessly (8*(v-128)/16 is an integer with the Annex K
+    # q00=16) and the decode returns exactly v everywhere: the decoded
+    # relation has a CLOSED FORM the oracle recomputes (v < 128 keeps
+    # chr() single-byte for the md5)
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         2 * (ord(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 64) AS v
+  FROM documents WHERE doc_id % 19 = 7
+)
+SELECT media_id,
+       'jpeg' AS fmt,
+       CAST(16 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(128 * v AS BIGINT) AS pixel_sum,
+       md5(repeat(chr(CAST(v AS INTEGER)), 128)) AS pixel_md5
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "codec"),
+)
+def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode under the oracle gate: the last image
+    stub closed from scratch (operators/jpeg.py — Annex K tables,
+    canonical Huffman, F.2 entropy decode, orthonormal-DCT IDCT). The
+    oracle can only pin what has a cross-engine closed form, so the
+    spec uses DC-lossless flat images; textured reconstruction error
+    bounds and the hand-assembled-bitstream decoder pin live in
+    tests/test_multimodal.py."""
+    import hashlib
+
+    from dolphinbeat_spark.operators.jpeg import encode_jpeg
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 19 == 7)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        v = 2 * (ord(hashlib.md5(str(i).encode()).hexdigest()[0]) % 64)
+        rows.append((i, bytearray(encode_jpeg(16, 8, bytes([v]) * 128, gray=True))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return M.decode_media(media).orderBy("media_id")

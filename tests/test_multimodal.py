@@ -140,13 +140,23 @@ def test_decode_media_real_formats_and_compressed_raise(spark):
     assert rows[1]["pixel_md5"] == rows[2]["pixel_md5"]  # same decoded pixels
     assert rows[1]["width"] == rows[1]["height"] == 4
 
-    jpeg = spark.createDataFrame(
-        [(3, bytearray(b"\xff\xd8\xff\xe0JFIF-not-decodable"))],
+    # video containers still raise the honest codec-stub error
+    video = spark.createDataFrame(
+        [(3, bytearray(b"\x00\x00\x00\x18ftypisom-not-decodable"))],
         "media_id long, payload binary",
     )
     with _pytest.raises(Exception) as exc:
-        decode_media(jpeg).collect()
+        decode_media(video).collect()
     assert "NotImplementedError" in str(exc.value) or "codec" in str(exc.value)
+    # a JPEG header with garbage markers routes to the REAL decoder
+    # (since r7) and fails as a typed decode error, not a stub
+    badjpeg = spark.createDataFrame(
+        [(4, bytearray(b"\xff\xd8\xff\xe0JFIF-not-decodable"))],
+        "media_id long, payload binary",
+    )
+    with _pytest.raises(Exception) as exc:
+        decode_media(badjpeg).collect()
+    assert "JpegError" in str(exc.value) or "JPEG" in str(exc.value)
 
 
 def test_decode_wav_validation():
@@ -414,3 +424,99 @@ def test_png_adam7_interlaced_roundtrip():
         np.frombuffer(idx, np.uint8)
     ].reshape(6, 10, 3)
     assert (out == exp).all()
+
+
+# -- baseline JPEG (from-scratch, ITU-T T.81) --------------------------
+
+
+def _hand_jpeg(entropy: bytes, q: int = 16) -> bytes:
+    """A minimal 8x8 grayscale baseline JPEG built BY HAND (markers +
+    Annex K tables), independent of encode_jpeg."""
+    import struct
+
+    from dolphinbeat_spark.operators import jpeg as J
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([q] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    dht = (
+        seg(0xC4, bytes([0x00]) + bytes(J.HUFF_DC_LUMA[0]) + bytes(J.HUFF_DC_LUMA[1]))
+        + seg(0xC4, bytes([0x10]) + bytes(J.HUFF_AC_LUMA[0]) + bytes(J.HUFF_AC_LUMA[1]))
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+
+
+def test_jpeg_decoder_pinned_by_hand_bitstream():
+    """DC-only blocks decoded from HAND-ASSEMBLED entropy bits using
+    the PUBLISHED canonical codes (DC-luma cat2='011', cat3='100';
+    AC-luma EOB='1010') — pins Huffman construction, EXTEND, dequant,
+    the IDCT DC scaling and level shift independently of the encoder."""
+    from dolphinbeat_spark.operators.jpeg import decode_jpeg
+
+    # diff=+5: cat 3 -> '100' + '101'; EOB '1010' => 1001011010 + 1-pad
+    w, h, px = decode_jpeg(_hand_jpeg(bytes([0b10010110, 0b10111111])))
+    assert (w, h) == (8, 8)
+    assert set(px.reshape(-1).tolist()) == {2 * 5 + 128}
+    # diff=-3: cat 2 -> '011' + bits (-3 + 3 = 0) '00'; EOB => 011001010
+    w, h, px = decode_jpeg(_hand_jpeg(bytes([0b01100101, 0b01111111])))
+    assert set(px.reshape(-1).tolist()) == {2 * -3 + 128}
+
+
+def test_jpeg_roundtrip_and_closed_form():
+    """Flat images decode to the closed-form dequantized DC value
+    (exactly v when (v-128) is even, quant 16); smooth images bound
+    reconstruction error; odd sizes exercise edge padding; color goes
+    through YCbCr both ways."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    for v in (64, 130, 200):  # even offsets from 128: lossless DC
+        _, _, px = decode_jpeg(encode_jpeg(16, 8, bytes([v]) * 128, gray=True))
+        assert set(px.reshape(-1).tolist()) == {v}
+    xx, yy = np.meshgrid(np.arange(32), np.arange(24))
+    smooth = (128 + 60 * np.sin(xx / 10) * np.cos(yy / 8)).astype(np.uint8)
+    _, _, px = decode_jpeg(encode_jpeg(32, 24, smooth.tobytes(), gray=True))
+    err = np.abs(px.reshape(24, 32).astype(int) - smooth.astype(int))
+    assert err.mean() < 3 and err.max() <= 12
+    rgb = np.stack([smooth, 255 - smooth, smooth // 2], axis=-1).astype(np.uint8)
+    w, h, px = decode_jpeg(encode_jpeg(32, 24, rgb.tobytes()))
+    assert (w, h) == (32, 24) and px.shape == (24, 32, 3)
+    err = np.abs(px.astype(int) - rgb.astype(int))
+    assert err.mean() < 6, err.mean()
+    odd = (np.arange(13 * 5) % 256).astype(np.uint8)
+    w, h, px = decode_jpeg(encode_jpeg(13, 5, odd.tobytes(), gray=True))
+    assert (w, h) == (13, 5) and px.shape == (5, 13, 1)
+
+
+def test_jpeg_honest_failures():
+    import struct
+
+    import pytest
+
+    from dolphinbeat_spark.operators.jpeg import JpegError, decode_jpeg, encode_jpeg
+
+    with pytest.raises(JpegError, match="SOI"):
+        decode_jpeg(b"NOPE")
+    good = bytearray(encode_jpeg(8, 8, bytes(64), gray=True))
+    # SOF0 -> SOF2 (progressive)
+    i = good.index(b"\xff\xc0")
+    prog = bytearray(good)
+    prog[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(prog))
+    # subsampled sampling factors
+    sub = bytearray(good)
+    sub[i + 11] = 0x22  # component 1 sampling 2x2
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        decode_jpeg(bytes(sub))
+    # truncated entropy stream
+    with pytest.raises((JpegError, IndexError)) as exc:
+        decode_jpeg(bytes(good[:-8]))
+    # restart interval marker
+    dri = bytes(good[:2]) + b"\xff\xdd" + struct.pack(">H", 4) + b"\x00\x08" + bytes(good[2:])
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg(dri)
