@@ -19,8 +19,8 @@ Verification strategy (tests/test_multimodal.py):
   error comes from quantization, not parsing).
 
 Unsupported-but-detected shapes raise honestly by name: progressive
-(SOF2), arithmetic coding, chroma subsampling, restart intervals,
-12-bit precision.
+(SOF2), arithmetic coding, restart intervals, 12-bit precision,
+sampling factors beyond 1/2 (4:4:4, 4:2:2 and 4:2:0 all decode).
 
 At 100 TB this decode runs inside the same Arrow ``mapInPandas`` slot
 as the other codecs (operators/multimodal.py::decode_media) — one
@@ -279,9 +279,16 @@ def _encode_block(bw: _BitWriter, block: np.ndarray, quant: np.ndarray,
     return int(zz[0])
 
 
-def encode_jpeg(width: int, height: int, pixels: bytes, gray: bool = False) -> bytes:
-    """Baseline JFIF writer: grayscale (1 byte/px) or RGB (3 bytes/px,
-    4:4:4 YCbCr), Annex K tables, edge-replicated padding to 8."""
+def encode_jpeg(width: int, height: int, pixels: bytes, gray: bool = False,
+                subsample: str = "444") -> bytes:
+    """Baseline JFIF writer: grayscale (1 byte/px) or RGB (3 bytes/px)
+    YCbCr at 4:4:4 or 4:2:0 (``subsample="420"``: luma 2x2, chroma
+    box-mean downsampled — the wild-JPEG default), Annex K tables,
+    edge-replicated padding."""
+    if subsample not in ("444", "420"):
+        raise ValueError(f"subsample must be 444 or 420, got {subsample!r}")
+    if gray:
+        subsample = "444"
     ch = 1 if gray else 3
     if len(pixels) != width * height * ch:
         raise ValueError(f"need {width * height * ch} bytes, got {len(pixels)}")
@@ -294,17 +301,25 @@ def encode_jpeg(width: int, height: int, pixels: bytes, gray: bool = False) -> b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         planes = [y, cb, cr]
-    ph = (height + 7) // 8 * 8
-    pw = (width + 7) // 8 * 8
+    mcu = 16 if subsample == "420" else 8
+    ph = (height + mcu - 1) // mcu * mcu
+    pw = (width + mcu - 1) // mcu * mcu
     planes = [
         np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge") for p in planes
     ]
+    if subsample == "420":
+        # chroma planes: 2x2 box mean at half resolution
+        for c in (1, 2):
+            q4 = planes[c].reshape(ph // 2, 2, pw // 2, 2)
+            planes[c] = q4.mean(axis=(1, 3))
     quants = [QUANT_LUMA] + [QUANT_CHROMA] * (ch - 1)
     dqt = _seg(0xDB, bytes([0x00]) + QUANT_LUMA.reshape(64)[ZIGZAG].astype(np.uint8).tobytes())
     if ch == 3:
         dqt += _seg(0xDB, bytes([0x01]) + QUANT_CHROMA.reshape(64)[ZIGZAG].astype(np.uint8).tobytes())
+    luma_samp = 0x22 if subsample == "420" else 0x11
     comp = b"".join(
-        bytes([cid + 1, 0x11, 0 if cid == 0 else 1]) for cid in range(ch)
+        bytes([cid + 1, luma_samp if cid == 0 else 0x11, 0 if cid == 0 else 1])
+        for cid in range(ch)
     )
     sof = _seg(0xC0, struct.pack(">BHHB", 8, height, width, ch) + comp)
     def dht(cls, tid, tbl):
@@ -321,13 +336,29 @@ def encode_jpeg(width: int, height: int, pixels: bytes, gray: bool = False) -> b
     ac_tabs = [_build_codes(*HUFF_AC_LUMA)] + [_build_codes(*HUFF_AC_CHROMA)] * (ch - 1)
     bw = _BitWriter()
     preds = [0] * ch
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            for c in range(ch):
-                blk = planes[c][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-                preds[c] = _encode_block(
-                    bw, blk, quants[c], dc_tabs[c], ac_tabs[c], preds[c]
-                )
+    if subsample == "420" and ch == 3:
+        for my in range(ph // 16):
+            for mx in range(pw // 16):
+                for byi in range(2):
+                    for bxi in range(2):
+                        y0, x0 = my * 16 + byi * 8, mx * 16 + bxi * 8
+                        blk = planes[0][y0:y0 + 8, x0:x0 + 8]
+                        preds[0] = _encode_block(
+                            bw, blk, quants[0], dc_tabs[0], ac_tabs[0], preds[0]
+                        )
+                for c in (1, 2):
+                    blk = planes[c][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+                    preds[c] = _encode_block(
+                        bw, blk, quants[c], dc_tabs[c], ac_tabs[c], preds[c]
+                    )
+    else:
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                for c in range(ch):
+                    blk = planes[c][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                    preds[c] = _encode_block(
+                        bw, blk, quants[c], dc_tabs[c], ac_tabs[c], preds[c]
+                    )
     return (
         b"\xff\xd8" + dqt + sof + dhts + sos + bw.flush() + b"\xff\xd9"
     )
@@ -388,12 +419,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
             comps = []
             for i in range(nc):
                 cid, samp, qtid = body[6 + 3 * i:9 + 3 * i]
-                if samp != 0x11:
+                hs, vs = samp >> 4, samp & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
                     raise NotImplementedError(
-                        "chroma-subsampled JPEG (sampling factors != 1x1) "
-                        "not supported"
+                        f"JPEG sampling factors {hs}x{vs} not supported "
+                        "(1 and 2 only: 4:4:4 / 4:2:2 / 4:2:0)"
                     )
-                comps.append((cid, qtid))
+                comps.append((cid, qtid, hs, vs))
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError("progressive/extended JPEG not supported")
         elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -408,7 +440,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
             for i in range(ns):
                 sid, tabs = body[1 + 2 * i], body[2 + 2 * i]
                 ci = next(
-                    (j for j, (cid, _) in enumerate(comps) if cid == sid), None
+                    (j for j, c in enumerate(comps) if c[0] == sid), None
                 )
                 if ci is None:
                     raise JpegError(f"SOS references unknown component {sid}")
@@ -418,40 +450,68 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     if scan is None or w is None:
         raise JpegError("JPEG missing SOF/SOS")
     br = _BitReader(data, pos)
-    bw8, bh8 = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((bh8 * 8, bw8 * 8), np.float64) for _ in scan]
+    # MCU geometry from the max sampling factors (A.2.3): each MCU
+    # holds hs*vs blocks per component; lower-sampled planes decode at
+    # reduced resolution and upsample by replication afterwards
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * 8 * comps[ci][3], mcux * 8 * comps[ci][2]), np.float64)
+        for ci, _, _ in scan
+    ]
     preds = [0] * len(scan)
-    for by in range(bh8):
-        for bx in range(bw8):
+
+    def read_block(dc_tab, ac_tab, q, si):
+        zz = np.zeros(64, np.int64)
+        s = br.decode(dc_tab)
+        preds[si] += _extend(br.bits(s), s)
+        zz[0] = preds[si]
+        k = 1
+        while k < 64:
+            rs = br.decode(ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise JpegError("AC run past the end of the block")
+            zz[k] = _extend(br.bits(s), s)
+            k += 1
+        coef = np.zeros(64, np.float64)
+        coef[ZIGZAG] = zz * q.reshape(64)[ZIGZAG]
+        return _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M + 128.0
+
+    for my in range(mcuy):
+        for mx in range(mcux):
             for si, (ci, dct, act) in enumerate(scan):
+                _, qtid, hs, vs = comps[ci]
                 try:
                     dc_tab, ac_tab = dc_dec[dct], ac_dec[act]
-                    q = quant[comps[ci][1]]
+                    q = quant[qtid]
                 except KeyError as ex:
                     raise JpegError(f"scan references missing table {ex}") from ex
-                zz = np.zeros(64, np.int64)
-                s = br.decode(dc_tab)
-                preds[si] += _extend(br.bits(s), s)
-                zz[0] = preds[si]
-                k = 1
-                while k < 64:
-                    rs = br.decode(ac_tab)
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise JpegError("AC run past the end of the block")
-                    zz[k] = _extend(br.bits(s), s)
-                    k += 1
-                coef = np.zeros(64, np.float64)
-                coef[ZIGZAG] = zz * q.reshape(64)[ZIGZAG]
-                blk = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M + 128.0
-                planes[si][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
-    planes = [p[:h, :w] for p in planes]
+                for byi in range(vs):
+                    for bxi in range(hs):
+                        blk = read_block(dc_tab, ac_tab, q, si)
+                        y0 = (my * vs + byi) * 8
+                        x0 = (mx * hs + bxi) * 8
+                        planes[si][y0:y0 + 8, x0:x0 + 8] = blk
+    # upsample to full resolution, then crop
+    up = []
+    for si, (ci, _, _) in enumerate(scan):
+        _, _, hs, vs = comps[ci]
+        pl = planes[si]
+        if vs < vmax:
+            pl = np.repeat(pl, vmax // vs, axis=0)
+        if hs < hmax:
+            pl = np.repeat(pl, hmax // hs, axis=1)
+        up.append(pl[:h, :w])
+    planes = up
     if len(planes) == 1:
         out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return w, h, out.reshape(h, w, 1)

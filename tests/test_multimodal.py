@@ -492,6 +492,31 @@ def test_jpeg_roundtrip_and_closed_form():
     assert (w, h) == (13, 5) and px.shape == (5, 13, 1)
 
 
+def test_jpeg_chroma_subsampling_420():
+    """4:2:0 — the wild-JPEG default: MCU of 4 luma + 2 chroma blocks,
+    half-resolution chroma upsampled by replication. Flat color decodes
+    exactly (DC-lossless for even offsets on all planes); smooth color
+    stays within the quantization error band; odd sizes pad to 16."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    flat = np.full((16, 16, 3), 130, np.uint8)
+    w, h, px = decode_jpeg(encode_jpeg(16, 16, flat.tobytes(), subsample="420"))
+    assert set(px.reshape(-1).tolist()) == {130}
+    xx, yy = np.meshgrid(np.arange(32), np.arange(24))
+    smooth = (128 + 60 * np.sin(xx / 10) * np.cos(yy / 8)).astype(np.uint8)
+    rgb = np.stack([smooth, 255 - smooth, smooth // 2], axis=-1).astype(np.uint8)
+    w, h, px = decode_jpeg(encode_jpeg(32, 24, rgb.tobytes(), subsample="420"))
+    err = np.abs(px.astype(int) - rgb.astype(int))
+    assert (w, h) == (32, 24) and err.mean() < 8, err.mean()
+    w, h, px = decode_jpeg(
+        encode_jpeg(18, 10, np.full(18 * 10 * 3, 130, np.uint8).tobytes(),
+                    subsample="420")
+    )
+    assert (w, h) == (18, 10) and set(px.reshape(-1).tolist()) == {130}
+
+
 def test_jpeg_honest_failures():
     import struct
 
@@ -508,10 +533,10 @@ def test_jpeg_honest_failures():
     prog[i + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="progressive"):
         decode_jpeg(bytes(prog))
-    # subsampled sampling factors
+    # out-of-range sampling factors (3x1; 1 and 2 are supported)
     sub = bytearray(good)
-    sub[i + 11] = 0x22  # component 1 sampling 2x2
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    sub[i + 11] = 0x31
+    with pytest.raises(NotImplementedError, match="sampling factors"):
         decode_jpeg(bytes(sub))
     # truncated entropy stream
     with pytest.raises((JpegError, IndexError)) as exc:
