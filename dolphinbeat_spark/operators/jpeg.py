@@ -373,8 +373,20 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     Marker walk (APPn/COM skipped), multi-table DQT/DHT, SOF0, single
     interleaved SOS, F.2 entropy decode, dequant + dezigzag + IDCT per
     block, JFIF YCbCr→RGB. Progressive (SOF2), arithmetic coding
-    (SOF9+), 12-bit, chroma subsampling and restart intervals raise
-    honestly by name."""
+    (SOF9+), 12-bit, sampling factors beyond 2 and restart intervals
+    raise honestly by name; any malformed byte surfaces as the typed
+    JpegError, never a foreign IndexError/struct.error (note the lossy
+    caveat: a bit flip INSIDE valid entropy data decodes to different
+    pixels — JPEG carries no integrity check to catch it)."""
+    try:
+        return _decode_jpeg(data)
+    except (JpegError, NotImplementedError):
+        raise
+    except (IndexError, struct.error, ValueError) as ex:
+        raise JpegError(f"malformed JPEG: {ex}") from ex
+
+
+def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     if data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG payload (missing SOI)")
     pos = 2

@@ -757,7 +757,17 @@ def decode_gif(data: bytes) -> tuple[int, int, np.ndarray]:
     decompression (variable code width LSB-first, clear/EOI, KwKwK
     case, dictionary growth to 12 bits, reset) per the public spec.
     Interlaced images, local color tables and animation extensions
-    raise honestly."""
+    raise honestly; any malformed byte surfaces as a typed ValueError,
+    never a foreign IndexError."""
+    try:
+        return _decode_gif(data)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, struct.error) as ex:
+        raise ValueError(f"malformed GIF: {ex}") from ex
+
+
+def _decode_gif(data: bytes) -> tuple[int, int, np.ndarray]:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw, sh = struct.unpack_from("<HH", data, 6)

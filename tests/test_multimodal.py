@@ -545,3 +545,41 @@ def test_jpeg_honest_failures():
     dri = bytes(good[:2]) + b"\xff\xdd" + struct.pack(">H", 4) + b"\x00\x08" + bytes(good[2:])
     with pytest.raises(NotImplementedError, match="restart"):
         decode_jpeg(dri)
+
+
+def test_codec_fuzz_typed_errors_only():
+    """Robustness contract for the r7 codecs: random single-byte
+    corruption and truncation of valid GIF/JPEG payloads either still
+    decodes (JPEG's entropy data carries no integrity check — flips
+    there legitimately change pixels) or raises a TYPED error
+    (ValueError/JpegError/NotImplementedError) — never a foreign
+    IndexError/struct.error/KeyError crash."""
+    import random
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from dolphinbeat_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = random.Random(19)
+    xx, yy = np.meshgrid(np.arange(24), np.arange(16))
+    smooth = (128 + 50 * np.sin(xx / 7) * np.cos(yy / 5)).astype(np.uint8)
+    payloads = [
+        ("gif", encode_gif(24, 16, smooth.tobytes()), decode_gif),
+        ("jpeg", encode_jpeg(24, 16, smooth.tobytes(), gray=True), decode_jpeg),
+    ]
+    for name, data, dec in payloads:
+        for _ in range(120):
+            mut = bytearray(data)
+            i = rng.randrange(len(mut))
+            mut[i] ^= 1 << rng.randrange(8)
+            try:
+                dec(bytes(mut))
+            except (ValueError, NotImplementedError):
+                pass  # typed: the contract (JpegError is a ValueError)
+        for _ in range(30):
+            cut = rng.randrange(1, len(data))
+            try:
+                dec(bytes(data[:cut]))
+            except (ValueError, NotImplementedError):
+                pass
