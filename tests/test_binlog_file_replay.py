@@ -904,3 +904,29 @@ def test_type_tail_codec_property_roundtrip():
 
     for f in (enums, sets, bits, geometry):
         f()
+
+
+def test_lenenc_wide_integer_paths():
+    """The 2-/3-/8-byte length-encoded-integer branches (0xFC/0xFD/
+    0xFE) roundtrip through the writer/parser pair, and a JSON diff
+    whose path exceeds 250 bytes exercises the wide form inside the
+    diff frame."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from tools.make_binlog_fixture import json_diff, lenenc
+
+    from dolphinbeat_spark.sources import binlog_file as B
+
+    for n in (0, 250, 251, 65535, 65536, 1 << 22, 1 << 24, 1 << 40):
+        enc = lenenc(n)
+        got, consumed = B._lenenc(enc, 0)
+        assert (got, consumed) == (n, len(enc)), n
+    with __import__("pytest").raises(B.BinlogFormatError, match="prefix"):
+        B._lenenc(b"\xfb", 0)
+    # long path through the diff frame
+    long_path = "$." + "a" * 300
+    frame = json_diff([(2, long_path, None)])
+    doc, pos = B._read_json_diff(frame, 0)
+    assert pos == len(frame)
+    assert doc["$json_diff"] == [{"op": "remove", "path": long_path}]

@@ -583,3 +583,21 @@ def test_codec_fuzz_typed_errors_only():
                 dec(bytes(data[:cut]))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_gif89a_extension_blocks_skipped():
+    """GIF89a files carry extension blocks (Graphic Control, comment)
+    before the image descriptor; the decoder skips them by sub-block
+    length and still decodes the image."""
+    from dolphinbeat_spark.operators.multimodal import decode_gif, encode_gif
+
+    base = bytearray(encode_gif(4, 2, bytes([1, 2, 3, 4, 5, 6, 7, 8])))
+    base[:6] = b"GIF89a"
+    desc = 13 + 768
+    assert base[desc] == 0x2C
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"          # graphic control
+    comment = b"\x21\xfe\x05hello\x00"                  # comment extension
+    data = bytes(base[:desc]) + gce + comment + bytes(base[desc:])
+    w, h, px = decode_gif(data)
+    assert (w, h) == (4, 2)
+    assert px[:, :, 0].tobytes() == bytes([1, 2, 3, 4, 5, 6, 7, 8])
