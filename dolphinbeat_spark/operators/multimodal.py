@@ -753,12 +753,12 @@ def encode_gif(width: int, height: int, indices: bytes) -> bytes:
 
 def decode_gif(data: bytes) -> tuple[int, int, np.ndarray]:
     """GIF → (width, height, HxWx3 uint8 RGB via the color table).
-    Real decode: logical-screen parse, global color table, full LZW
-    decompression (variable code width LSB-first, clear/EOI, KwKwK
-    case, dictionary growth to 12 bits, reset) per the public spec.
-    Interlaced images, local color tables and animation extensions
-    raise honestly; any malformed byte surfaces as a typed ValueError,
-    never a foreign IndexError."""
+    Real decode: logical-screen parse, global/local color tables,
+    full LZW decompression (variable code width LSB-first, clear/EOI,
+    KwKwK case, dictionary growth to 12 bits, reset) and the 4-pass
+    interlace row reorder, per the public spec. Animation extension
+    blocks are skipped (first frame decodes); any malformed byte
+    surfaces as a typed ValueError, never a foreign IndexError."""
     try:
         return _decode_gif(data)
     except (ValueError, NotImplementedError):
@@ -788,11 +788,16 @@ def _decode_gif(data: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("GIF image descriptor not found")
     left, top, w, h = struct.unpack_from("<HHHH", data, pos + 1)
     ipacked = data[pos + 9]
-    if ipacked & 0x80:
-        raise NotImplementedError("GIF local color tables not supported")
-    if ipacked & 0x40:
-        raise NotImplementedError("interlaced GIF not supported")
     pos += 10
+    if ipacked & 0x80:
+        # local color table overrides the global one for this image
+        lct_n = 2 << (ipacked & 0x07)
+        gct = np.frombuffer(data, np.uint8, count=lct_n * 3, offset=pos).reshape(
+            lct_n, 3
+        )
+        gct_n = lct_n
+        pos += lct_n * 3
+    interlaced = bool(ipacked & 0x40)
     if pos >= len(data):
         raise ValueError("truncated GIF: missing LZW minimum code size")
     mcs = data[pos]
@@ -849,4 +854,15 @@ def _decode_gif(data: bytes) -> tuple[int, int, np.ndarray]:
     idx = np.frombuffer(bytes(out), np.uint8)
     if int(idx.max(initial=0)) >= gct_n:
         raise ValueError("GIF pixel index beyond the color table")
-    return w, h, gct[idx].reshape(h, w, 3)
+    px = idx.reshape(h, w)
+    if interlaced:
+        # GIF 4-pass interlace: rows arrive as 0::8, 4::8, 2::4, 1::2
+        out_rows = np.zeros_like(px)
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        for src, dst in enumerate(order):
+            out_rows[dst] = px[src]
+        px = out_rows
+    return w, h, gct[px.reshape(-1)].reshape(h, w, 3)

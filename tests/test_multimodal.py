@@ -361,18 +361,48 @@ def test_gif_honest_failures():
     # image descriptor sits after header(13) + 256-entry GCT(768)
     desc = 13 + 768
     assert gif[desc] == 0x2C
-    lct = bytearray(gif)
-    lct[desc + 9] |= 0x80
-    with pytest.raises(NotImplementedError, match="local color"):
-        decode_gif(bytes(lct))
-    inter = bytearray(gif)
-    inter[desc + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_gif(bytes(inter))
     # truncated LZW stream must fail loudly, not return short pixels
     trunc = bytes(gif[:desc + 12]) + b"\x01\x00\x00\x3b"
     with pytest.raises(ValueError):
         decode_gif(trunc)
+
+
+def test_gif_interlace_and_local_color_table():
+    """The 4-pass interlace row reorder and local-color-table override
+    (both previously honest raises) decode correctly."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.multimodal import decode_gif, encode_gif
+
+    # target 4x9 image; write its rows in interlace ARRIVAL order with
+    # a plain encoder, then set the descriptor's interlace flag — the
+    # decoder must scatter them back to the target order
+    h, w = 9, 4
+    target = (np.arange(h * w, dtype=np.uint8)).reshape(h, w)
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    arrival = target[order]  # rows as they appear in the stream
+    gif = bytearray(encode_gif(w, h, arrival.tobytes()))
+    desc = 13 + 768
+    gif[desc + 9] |= 0x40
+    W, H, px = decode_gif(bytes(gif))
+    assert (W, H) == (w, h)
+    assert (px[:, :, 0] == target).all()
+
+    # local color table: insert a 2-bit LCT after the descriptor and
+    # flag it; indexes then resolve through the LOCAL palette
+    base = bytearray(encode_gif(2, 2, bytes([0, 1, 2, 3])))
+    lct = bytes(v for i in range(4) for v in (10 * i, 200 - i, i))
+    out = bytearray(base[:desc + 10])
+    out[desc + 9] |= 0x80 | 0x01  # LCT present, 4 entries
+    out += lct + base[desc + 10:]
+    W, H, px = decode_gif(bytes(out))
+    exp = np.frombuffer(lct, np.uint8).reshape(4, 3)[
+        np.array([0, 1, 2, 3])
+    ].reshape(2, 2, 3)
+    assert (px == exp).all()
 
 
 def test_png_palette_indexed_roundtrip():
