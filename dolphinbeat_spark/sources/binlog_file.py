@@ -70,6 +70,8 @@ EV_TRANSACTION_PAYLOAD = 0x28
 # checkable without the server's SHOW BINARY LOGS
 EV_PREVIOUS_GTIDS = 0x23
 EV_MARIADB_GTID = 0xA2  # MariaDB dialect: domain-server-seq
+# MariaDB's PREVIOUS_GTIDS analog: the gtid state at file start
+EV_MARIADB_GTID_LIST = 0xA3
 
 # column type codes (public enum_field_types)
 T_TINY, T_SHORT, T_LONG, T_FLOAT, T_DOUBLE = 1, 2, 3, 4, 5
@@ -708,6 +710,19 @@ def _decode_body(etype, ts, _server_id, log_pos, body, tables):
         (gno,) = struct.unpack_from("<Q", body, 0)
         (domain,) = struct.unpack_from("<I", body, 8)
         return GtidEvent(ts, log_pos, f"{domain}-{_server_id}-{gno}")
+    elif etype == EV_MARIADB_GTID_LIST:
+        # count(4LE, low 28 bits; high nibble = flags) then per gtid:
+        # domain(4LE) server_id(4LE) seq(8LE); text form is the
+        # MariaDB dialect the offset algebra consumes
+        (count,) = struct.unpack_from("<I", body, 0)
+        count &= (1 << 28) - 1
+        parts = []
+        p = 4
+        for _ in range(count):
+            domain, server, seq = struct.unpack_from("<IIQ", body, p)
+            p += 16
+            parts.append(f"{domain}-{server}-{seq}")
+        return PreviousGtidsEvent(ts, log_pos, ",".join(parts))
     elif etype == EV_PREVIOUS_GTIDS:
         # encoded Gtid_set (public layout, rpl_gtid_set.cc encode):
         # n_sids(8LE), then per sid 16B uuid + n_intervals(8LE) +

@@ -930,3 +930,44 @@ def test_lenenc_wide_integer_paths():
     doc, pos = B._read_json_diff(frame, 0)
     assert pos == len(frame)
     assert doc["$json_diff"] == [{"op": "remove", "path": long_path}]
+
+
+def test_mariadb_gtid_list_series_resume(tmp_path):
+    """MariaDB archives write GTID_LIST instead of PREVIOUS_GTIDS; the
+    series resume decision reads both dialects (the offset algebra
+    already compares per-domain seqs)."""
+    import struct
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from tools.make_binlog_fixture import Writer
+
+    from dolphinbeat_spark.sources import binlog_file as B
+    from dolphinbeat_spark.sources.binlog_file import (
+        series_resume_file,
+        series_start_points,
+    )
+
+    def gtid_list(entries):
+        body = struct.pack("<I", len(entries))
+        for d, srv, seq in entries:
+            body += struct.pack("<IIQ", d, srv, seq)
+        return body
+
+    d = tmp_path / "maria"
+    d.mkdir()
+    for name, entries in [
+        ("m.000001", []),
+        ("m.000002", [(0, 1, 2)]),
+        ("m.000003", [(0, 1, 5)]),
+    ]:
+        w = Writer()
+        w.fde()
+        w.event(B.EV_MARIADB_GTID_LIST, gtid_list(entries))
+        (d / name).write_bytes(bytes(w.buf))
+    pts = dict(series_start_points(str(d)))
+    assert pts == {"m.000001": "", "m.000002": "0-1-2", "m.000003": "0-1-5"}
+    # consumer at 0-1-3: file 2's start (0-1-2) covered, file 3's not
+    assert series_resume_file(str(d), "0-1-3") == "m.000002"
+    assert series_resume_file(str(d), "") == "m.000001"
+    assert series_resume_file(str(d), "0-1-9") == "m.000003"
