@@ -1,25 +1,32 @@
-"""Baseline JPEG (ITU-T T.81) codec from scratch — no codec libraries.
+"""JPEG (ITU-T T.81) codec from scratch — no codec libraries.
 
-De-stubs the last image-decode slot: baseline sequential DCT, 8-bit,
-grayscale or YCbCr 4:4:4, built entirely from the PUBLIC spec —
-Annex K reference quantization + Huffman tables (typed below straight
-from the standard, reviewable against it), Annex C canonical Huffman
-code construction, F.2 entropy decoding (EXTEND, run/size, EOB/ZRL),
-A.3.3 DCT via the orthonormal 8x8 DCT-II matrix (whose row scaling
-a(0)=1/(2*sqrt(2)), a(u>0)=1/2 equals the spec's C(u)/2 factors), and
-the JFIF YCbCr <-> RGB transform.
+De-stubs the last image-decode slot: sequential baseline DCT AND
+progressive (SOF2, Annex G: spectral selection + successive
+approximation — most wild JPEGs are progressive), 8-bit, grayscale or
+YCbCr, built entirely from the PUBLIC spec — Annex K reference
+quantization + Huffman tables (typed below straight from the
+standard, reviewable against it), Annex C canonical Huffman code
+construction, F.2 entropy decoding (EXTEND, run/size, EOB/ZRL), G.1.2
+progressive scan decoding (DC first/refine, AC first/refine with EOB
+runs), A.3.3 DCT via the orthonormal 8x8 DCT-II matrix (whose row
+scaling a(0)=1/(2*sqrt(2)), a(u>0)=1/2 equals the spec's C(u)/2
+factors), and the JFIF YCbCr <-> RGB transform.
 
 Verification strategy (tests/test_multimodal.py):
-- the DECODER is pinned independently of the encoder by a hand-built
-  DC-only bitstream whose decoded block value is computable by hand;
+- the DECODER is pinned independently of the encoder by hand-built
+  bitstreams whose decoded values are computable by hand (a DC-only
+  baseline block; an AC successive-approximation refinement scan);
 - flat images decode to a CLOSED-FORM value (quantize/dequantize of
   the lone DC coefficient), which is also what makes an oracle-checked
-  spec possible (mm_decode_jpeg: DuckDB recomputes the same formula);
+  spec possible (mm_decode_jpeg / mm_decode_jpeg_progressive: DuckDB
+  recomputes the same formula);
 - textured roundtrips bound the reconstruction error (JPEG is lossy;
-  error comes from quantization, not parsing).
+  error comes from quantization, not parsing), and the progressive
+  re-encoding of an image must decode BIT-IDENTICAL to the baseline
+  encoding (same coefficients, different scan order).
 
-Unsupported-but-detected shapes raise honestly by name: progressive
-(SOF2), arithmetic coding, restart intervals, 12-bit precision,
+Unsupported-but-detected shapes raise honestly by name: arithmetic
+coding, restart intervals, 12-bit precision, lossless/extended SOFs,
 sampling factors beyond 1/2 (4:4:4, 4:2:2 and 4:2:0 all decode).
 
 At 100 TB this decode runs inside the same Arrow ``mapInPandas`` slot
@@ -116,6 +123,19 @@ HUFF_AC_CHROMA = (
         0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
         0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
     ],
+)
+
+#: progressive AC table: every run/size symbol plus the EOBn symbols
+#: (0x10..0xE0) progressive scans emit for EOB runs — all at a flat 9
+#: bits (176 codes < 2^9, valid canonical table; compression is not
+#: the fixture generator's job)
+_AC_PROG_SYMS = sorted(
+    {(r << 4) | sz for r in range(16) for sz in range(1, 11)}
+    | {r << 4 for r in range(15)} | {0xF0}
+)
+HUFF_AC_PROGRESSIVE = (
+    [0] * 8 + [len(_AC_PROG_SYMS)] + [0] * 7,
+    _AC_PROG_SYMS,
 )
 
 # orthonormal 8x8 DCT-II basis (== the spec's C(u)/2 scaling)
@@ -364,15 +384,203 @@ def encode_jpeg(width: int, height: int, pixels: bytes, gray: bool = False,
     )
 
 
+def encode_jpeg_progressive(width: int, height: int, pixels: bytes,
+                            gray: bool = False,
+                            subsample: str = "444") -> bytes:
+    """Progressive (SOF2) JFIF writer — the fixture generator for the
+    progressive decoder. Scan script (a cjpeg-like simple progression):
+
+    1. DC first, interleaved, successive approximation Al=1
+    2. per component: AC first Ss=1..5 then Ss=6..63 (Al=0)
+    3. DC refinement Ah=1, Al=0 (one raw bit per block)
+
+    This exercises DC first/refine, non-interleaved AC with EOB runs
+    and ZRL on decode; AC successive approximation is covered by the
+    hand-built refinement vector in tests (its encoder would only
+    re-derive what the hand vector pins independently)."""
+    if subsample not in ("444", "420"):
+        raise ValueError(f"subsample must be 444 or 420, got {subsample!r}")
+    if gray:
+        subsample = "444"
+    ch = 1 if gray else 3
+    if len(pixels) != width * height * ch:
+        raise ValueError(f"need {width * height * ch} bytes, got {len(pixels)}")
+    img = np.frombuffer(pixels, np.uint8).reshape(height, width, ch).astype(np.float64)
+    if gray:
+        planes = [img[:, :, 0]]
+    else:
+        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    mcu = 16 if subsample == "420" else 8
+    ph = (height + mcu - 1) // mcu * mcu
+    pw = (width + mcu - 1) // mcu * mcu
+    planes = [
+        np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge") for p in planes
+    ]
+    samp = [(1, 1)] * ch
+    if subsample == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+        for c in (1, 2):
+            q4 = planes[c].reshape(ph // 2, 2, pw // 2, 2)
+            planes[c] = q4.mean(axis=(1, 3))
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    quants = [QUANT_LUMA] + [QUANT_CHROMA] * (ch - 1)
+    # quantized zigzag coefficients over each plane's padded grid
+    coefs = []
+    true_bdims = []
+    for c in range(ch):
+        pl = planes[c]
+        bh_b, bw_b = pl.shape[0] // 8, pl.shape[1] // 8
+        arr = np.zeros((bh_b, bw_b, 64), np.int64)
+        for by in range(bh_b):
+            for bx in range(bw_b):
+                blk = pl[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                q = np.round(
+                    (_DCT_M @ (blk - 128.0) @ _DCT_M.T) / quants[c]
+                ).astype(np.int64)
+                arr[by, bx] = q.reshape(64)[ZIGZAG]
+        coefs.append(arr)
+        hs, vs = samp[c]
+        cw = (width * hs + hmax - 1) // hmax
+        chh = (height * vs + vmax - 1) // vmax
+        true_bdims.append(((cw + 7) // 8, (chh + 7) // 8))
+
+    dqt = _seg(0xDB, bytes([0x00]) + QUANT_LUMA.reshape(64)[ZIGZAG]
+               .astype(np.uint8).tobytes())
+    if ch == 3:
+        dqt += _seg(0xDB, bytes([0x01]) + QUANT_CHROMA.reshape(64)[ZIGZAG]
+                    .astype(np.uint8).tobytes())
+    comp = b"".join(
+        bytes([c + 1, samp[c][0] << 4 | samp[c][1], 0 if c == 0 else 1])
+        for c in range(ch)
+    )
+    sof = _seg(0xC2, struct.pack(">BHHB", 8, height, width, ch) + comp)
+
+    def dht(cls, tid, tbl):
+        bits, vals = tbl
+        return _seg(0xC4, bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals))
+
+    # progressive AC scans need EOBn symbols (0x10..0xE0) that the
+    # Annex K baseline tables don't define — ship the flat custom
+    # table as AC id 2
+    dhts = dht(0, 0, HUFF_DC_LUMA) + dht(1, 2, HUFF_AC_PROGRESSIVE)
+    if ch == 3:
+        dhts += dht(0, 1, HUFF_DC_CHROMA)
+    dc_tabs = [_build_codes(*HUFF_DC_LUMA)] + [_build_codes(*HUFF_DC_CHROMA)] * (ch - 1)
+    ac_tabs = [_build_codes(*HUFF_AC_PROGRESSIVE)] * ch
+
+    def sos_hdr(sel, ss, se, ah, al):
+        # sel: list of (comp_index, dc_tid, ac_tid)
+        body = bytes([len(sel)])
+        for c, dct, act in sel:
+            body += bytes([c + 1, dct << 4 | act])
+        return _seg(0xDA, body + bytes([ss, se, ah << 4 | al]))
+
+    out = b"\xff\xd8" + dqt + sof + dhts
+
+    # scan 1: DC first, interleaved, Al=1
+    bw = _BitWriter()
+    preds = [0] * ch
+    mcux, mcuy = pw // (8 * hmax), ph // (8 * vmax)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in range(ch):
+                hs, vs = samp[c]
+                for byi in range(vs):
+                    for bxi in range(hs):
+                        v = int(coefs[c][my * vs + byi, mx * hs + bxi, 0]) >> 1
+                        diff = v - preds[c]
+                        preds[c] = v
+                        s = _category(diff)
+                        code, ln = dc_tabs[c][s]
+                        bw.put(code, ln)
+                        if s:
+                            bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    out += sos_hdr(
+        [(c, 0 if c == 0 else 1, 0) for c in range(ch)], 0, 0, 0, 1
+    ) + bw.flush()
+
+    # scans 2..: AC first per component, two spectral bands
+    for c in range(ch):
+        for ss, se in ((1, 5), (6, 63)):
+            bw = _BitWriter()
+            ac = ac_tabs[c]
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    code, ln = ac[r << 4]
+                    bw.put(code, ln)
+                    if r:
+                        bw.put(eobrun - (1 << r), r)
+                    eobrun = 0
+
+            bw_c, bh_c = true_bdims[c]
+            for by in range(bh_c):
+                for bx in range(bw_c):
+                    zz = coefs[c][by, bx]
+                    ks = [k for k in range(ss, se + 1) if zz[k]]
+                    if not ks:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                        continue
+                    flush_eob()
+                    run = 0
+                    for k in range(ss, se + 1):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = ac[0xF0]
+                            bw.put(code, ln)
+                            run -= 16
+                        s = _category(v)
+                        code, ln = ac[(run << 4) | s]
+                        bw.put(code, ln)
+                        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                        run = 0
+                    if run:
+                        eobrun = 1
+            flush_eob()
+            out += sos_hdr([(c, 0, 2)], ss, se, 0, 0)
+            out += bw.flush()
+
+    # final scan: DC refinement (Ah=1, Al=0) — one raw bit per block
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in range(ch):
+                hs, vs = samp[c]
+                for byi in range(vs):
+                    for bxi in range(hs):
+                        bw.put(int(coefs[c][my * vs + byi, mx * hs + bxi, 0]) & 1, 1)
+    out += sos_hdr(
+        [(c, 0 if c == 0 else 1, 0) for c in range(ch)], 0, 0, 1, 0
+    ) + bw.flush()
+    return out + b"\xff\xd9"
+
+
 # --- decoder ----------------------------------------------------------------
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Baseline JPEG → (width, height, HxWxC uint8; C = 1 gray, 3 RGB).
+    """JPEG → (width, height, HxWxC uint8; C = 1 gray, 3 RGB).
 
-    Marker walk (APPn/COM skipped), multi-table DQT/DHT, SOF0, single
-    interleaved SOS, F.2 entropy decode, dequant + dezigzag + IDCT per
-    block, JFIF YCbCr→RGB. Progressive (SOF2), arithmetic coding
+    Marker walk (APPn/COM skipped), multi-table DQT/DHT, SOF0/1
+    baseline with a single interleaved SOS, and SOF2 PROGRESSIVE
+    (spectral selection + successive approximation, T.81 Annex G:
+    multi-scan coefficient accumulation, DC first/refine, AC
+    first/refine with EOB runs), F.2 entropy decode, dequant +
+    dezigzag + IDCT per block, JFIF YCbCr→RGB. Arithmetic coding
     (SOF9+), 12-bit, sampling factors beyond 2 and restart intervals
     raise honestly by name; any malformed byte surfaces as the typed
     JpegError, never a foreign IndexError/struct.error (note the lossy
@@ -393,14 +601,19 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     quant: dict[int, np.ndarray] = {}
     dc_dec: dict[int, dict] = {}
     ac_dec: dict[int, dict] = {}
-    comps = None  # list of (comp_id, quant_tid)
+    comps = None  # list of (comp_id, quant_tid, hs, vs)
     w = h = None
-    scan = None  # list of (comp_index, dc_tid, ac_tid)
-    while pos + 4 <= len(data):
+    progressive = False
+    prog = None  # _ProgState once the first SOF2 scan arrives
+    scan = None  # baseline: list of (comp_index, dc_tid, ac_tid)
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at {pos}")
         marker = data[pos + 1]
-        if marker == 0xD9:  # EOI with no scan
+        if marker == 0xFF:  # fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4:pos + 2 + seglen]
@@ -424,10 +637,11 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 vals = list(body[p + 17:p + 17 + n])
                 (dc_dec if cls == 0 else ac_dec)[tid] = _build_decoder(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / progressive SOF
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            progressive = marker == 0xC2
             comps = []
             for i in range(nc):
                 cid, samp, qtid = body[6 + 3 * i:9 + 3 * i]
@@ -438,8 +652,8 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                         "(1 and 2 only: 4:4:4 / 4:2:2 / 4:2:0)"
                     )
                 comps.append((cid, qtid, hs, vs))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
-            raise NotImplementedError("progressive/extended JPEG not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError("extended/lossless JPEG not supported")
         elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("arithmetic-coded JPEG not supported")
         elif marker == 0xDD:
@@ -447,6 +661,11 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
         elif marker == 0xDA:  # SOS: entropy data follows the header
             if comps is None:
                 raise JpegError("SOS before SOF")
+            if progressive:
+                if prog is None:
+                    prog = _ProgState(comps, w, h)
+                pos = prog.decode_scan(data, pos, body, dc_dec, ac_dec)
+                continue  # keep walking: more scans / DHT redefinitions
             ns = body[0]
             scan = []
             for i in range(ns):
@@ -459,6 +678,10 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 scan.append((ci, tabs >> 4, tabs & 0x0F))
             break
         # else: APPn / COM / others skipped by length
+    if progressive:
+        if prog is None:
+            raise JpegError("progressive JPEG with no scan")
+        return prog.reconstruct(quant)
     if scan is None or w is None:
         raise JpegError("JPEG missing SOF/SOS")
     br = _BitReader(data, pos)
@@ -535,3 +758,221 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --- progressive (SOF2, T.81 Annex G) ---------------------------------------
+
+
+def _refine_ac(br: _BitReader, zz, ss: int, se: int, p1: int, m1: int,
+               ac_tab: dict, eobrun: int) -> int:
+    """One block of an AC successive-approximation refinement scan
+    (G.1.2.3): correction bits for already-nonzero coefficients, plus
+    newly-significant coefficients at magnitude 1<<Al. The EOB-run
+    convention differs from first scans: the CURRENT block still
+    consumes its correction bits before the run decrements."""
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.decode(ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise JpegError("invalid size in AC refinement scan")
+                newval = p1 if br.bit() else m1
+            while k <= se:
+                c = int(zz[k])
+                if c != 0:
+                    if br.bit() and (c & p1) == 0:
+                        zz[k] = c + (p1 if c > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(zz[k])
+            if c != 0:
+                if br.bit() and (c & p1) == 0:
+                    zz[k] = c + (p1 if c > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+class _ProgState:
+    """Coefficient accumulator for a progressive JPEG: one
+    zigzag-order int32 array per component, filled across scans
+    (spectral selection splits the k-range, successive approximation
+    splits the bit-planes), then dequantized + IDCTed once at EOI."""
+
+    def __init__(self, comps, w: int, h: int):
+        self.comps = comps
+        self.w, self.h = w, h
+        self.hmax = max(c[2] for c in comps)
+        self.vmax = max(c[3] for c in comps)
+        self.mcux = (w + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcuy = (h + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.coefs = []
+        self.bdims = []  # per-comp true (non-interleaved) block grid
+        for _, _, hs, vs in comps:
+            self.coefs.append(
+                np.zeros((self.mcuy * vs, self.mcux * hs, 64), np.int32)
+            )
+            cw = (w * hs + self.hmax - 1) // self.hmax
+            ch = (h * vs + self.vmax - 1) // self.vmax
+            self.bdims.append(((cw + 7) // 8, (ch + 7) // 8))
+
+    def decode_scan(self, data: bytes, pos: int, body: bytes,
+                    dc_dec: dict, ac_dec: dict) -> int:
+        ns = body[0]
+        sel = []
+        for i in range(ns):
+            sid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+            ci = next(
+                (j for j, c in enumerate(self.comps) if c[0] == sid), None
+            )
+            if ci is None:
+                raise JpegError(f"SOS references unknown component {sid}")
+            sel.append((ci, tabs >> 4, tabs & 0x0F))
+        p = 1 + 2 * ns
+        ss, se = body[p], body[p + 1]
+        ah, al = body[p + 2] >> 4, body[p + 2] & 0x0F
+        br = _BitReader(data, pos)
+        if ss == 0:
+            self._dc_scan(br, sel, se, ah, al, dc_dec)
+        else:
+            self._ac_scan(br, sel, ss, se, ah, al, ac_dec)
+        # resync: the scan's last byte may hold padding bits; advance
+        # to the next marker (FF followed by a non-stuffing byte)
+        pos = br.pos
+        while pos + 1 < len(data) and not (
+            data[pos] == 0xFF and data[pos + 1] != 0x00
+        ):
+            pos += 1
+        return pos
+
+    def _dc_scan(self, br, sel, se, ah, al, dc_dec):
+        if se != 0:
+            raise JpegError("progressive DC scan with Se != 0")
+        first = ah == 0
+        tabs = {}
+        if first:
+            for ci, dct, _ in sel:
+                t = dc_dec.get(dct)
+                if t is None:
+                    raise JpegError(f"scan references missing DC table {dct}")
+                tabs[ci] = t
+        preds = {ci: 0 for ci, _, _ in sel}
+
+        def block(ci, by, bx):
+            c = self.coefs[ci]
+            if first:
+                s = br.decode(tabs[ci])
+                preds[ci] += _extend(br.bits(s), s)
+                c[by, bx, 0] = preds[ci] << al
+            elif br.bit():
+                c[by, bx, 0] |= 1 << al
+
+        if len(sel) > 1:  # interleaved over MCUs
+            for my in range(self.mcuy):
+                for mx in range(self.mcux):
+                    for ci, _, _ in sel:
+                        _, _, hs, vs = self.comps[ci]
+                        for byi in range(vs):
+                            for bxi in range(hs):
+                                block(ci, my * vs + byi, mx * hs + bxi)
+        else:  # single-component scan: the component's own grid
+            ci = sel[0][0]
+            bw_c, bh_c = self.bdims[ci]
+            for by in range(bh_c):
+                for bx in range(bw_c):
+                    block(ci, by, bx)
+
+    def _ac_scan(self, br, sel, ss, se, ah, al, ac_dec):
+        if len(sel) != 1:
+            raise JpegError("progressive AC scan must be single-component")
+        if se > 63 or ss > se:
+            raise JpegError(f"bad spectral range {ss}..{se}")
+        ci, _, act = sel[0]
+        ac_tab = ac_dec.get(act)
+        if ac_tab is None:
+            raise JpegError(f"scan references missing AC table {act}")
+        bw_c, bh_c = self.bdims[ci]
+        carr = self.coefs[ci]
+        eobrun = 0
+        p1, m1 = 1 << al, -(1 << al)
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                zz = carr[by, bx]
+                if ah != 0:
+                    eobrun = _refine_ac(br, zz, ss, se, p1, m1, ac_tab, eobrun)
+                    continue
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.decode(ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise JpegError("AC run past Se in progressive scan")
+                    zz[k] = _extend(br.bits(s), s) * p1
+                    k += 1
+
+    def reconstruct(self, quant: dict) -> tuple[int, int, np.ndarray]:
+        w, h = self.w, self.h
+        planes = []
+        for ci, (_, qtid, hs, vs) in enumerate(self.comps):
+            q = quant.get(qtid)
+            if q is None:
+                raise JpegError(f"component references missing quant table {qtid}")
+            qzz = q.reshape(64)[ZIGZAG].astype(np.int64)
+            carr = self.coefs[ci]
+            bh_b, bw_b = carr.shape[:2]
+            pl = np.zeros((bh_b * 8, bw_b * 8), np.float64)
+            for by in range(bh_b):
+                for bx in range(bw_b):
+                    nat = np.zeros(64, np.float64)
+                    nat[ZIGZAG] = carr[by, bx] * qzz
+                    pl[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                        _DCT_M.T @ nat.reshape(8, 8) @ _DCT_M + 128.0
+                    )
+            if vs < self.vmax:
+                pl = np.repeat(pl, self.vmax // vs, axis=0)
+            if hs < self.hmax:
+                pl = np.repeat(pl, self.hmax // hs, axis=1)
+            planes.append(pl[:h, :w])
+        if len(planes) == 1:
+            out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+            return w, h, out.reshape(h, w, 1)
+        if len(planes) != 3:
+            raise NotImplementedError(
+                f"{len(planes)}-component JPEG not supported"
+            )
+        y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.stack([r, g, b], axis=-1)
+        return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)

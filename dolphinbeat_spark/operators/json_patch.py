@@ -127,7 +127,16 @@ def fold_json_values(start: str | None, values: list) -> str | None:
         if v is None:
             cur = None
         elif is_diff_doc(v):
-            base = json.loads(cur) if cur not in (None, "") else None
+            if cur in (None, ""):
+                # a partial-JSON diff against a missing base row is a
+                # replica-contract violation (the server only emits
+                # diffs when the row existed); fail loud rather than
+                # materialize null (ADVICE r7)
+                raise ValueError(
+                    "partial-JSON diff applied to a missing base "
+                    "document (no snapshot value for this key)"
+                )
+            base = json.loads(cur)
             patched = apply_diffs(base, json.loads(v)[DIFF_KEY])
             cur = json.dumps(patched, separators=(",", ":"), ensure_ascii=False)
         else:

@@ -1191,3 +1191,71 @@ def cdc_partial_json_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, schema).orderBy("user_id")
+
+
+_MINIMAL_ORACLE = """
+SELECT * FROM (VALUES
+  ('insert', 1, '',            'bal,id,memo,name', 'alice',  '10.50', 'm1'),
+  ('update', 1, 'id',          'bal,id',           NULL,     '99.25', NULL),
+  ('delete', 2, 'id',          '',                 NULL,     NULL,    NULL),
+  ('insert', 2, '',            'bal,id,memo,name', 'bob',    '0.00',  'm2'),
+  ('update', 2, 'bal,id,name', 'bal,id,name',      'robert', '0.00',  NULL),
+  ('insert', 3, '',            'bal,id,memo,name', NULL,     '1.00',  '')
+) AS t(op_type, id, before_cols, after_cols, name, bal, memo)
+ORDER BY id, op_type
+"""
+
+
+@register(
+    "cdc_binlog_minimal_image",
+    oracle=_MINIMAL_ORACLE,
+    tags=("cdc", "binlog-file", "row-image"),
+)
+def cdc_binlog_minimal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binlog_row_image=MINIMAL/NOBLOB decode under the oracle gate
+    (VERDICT r7 #2): the from-scratch parser indexes row values by the
+    columns-present bitmap (null bitmap covers only PRESENT columns,
+    go-mysql rows.go contract) instead of positionally over the
+    TABLE_MAP width. Absent columns are OMITTED from the envelope's
+    before/after maps — distinct from present-and-NULL, which stays in
+    the map with its null flag (row 3's name pins the difference).
+    MINIMAL: update/delete before = PK only, update after = PK +
+    changed; NOBLOB: unchanged blobs dropped. The oracle is the
+    independently written expected relation for the committed
+    recorded-bytes fixture (tests/fixtures/minimal.binlog)."""
+    from pathlib import Path
+
+    from dolphinbeat_spark.sources.binlog_file import read_binlog_files
+
+    fixture = (
+        Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "minimal.binlog"
+    )
+    env = read_binlog_files(spark, str(fixture))
+
+    def val(image, name):
+        return F.when(
+            F.coalesce(F.col(f"{image}_null")[name], F.lit(False)),
+            F.lit(None),
+        ).otherwise(F.col(image)[name])
+
+    def cols_of(image):
+        return F.coalesce(
+            F.array_join(F.array_sort(F.map_keys(F.col(image))), ","),
+            F.lit(""),
+        )
+
+    return (
+        env.filter(F.col("op_type").isin("insert", "update", "delete"))
+        .select(
+            "op_type",
+            F.coalesce(F.col("after")["id"], F.col("before")["id"])
+            .cast("int")
+            .alias("id"),
+            cols_of("before").alias("before_cols"),
+            cols_of("after").alias("after_cols"),
+            val("after", "name").alias("name"),
+            val("after", "bal").alias("bal"),
+            val("after", "memo").alias("memo"),
+        )
+        .orderBy("id", "op_type")
+    )

@@ -433,3 +433,52 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((i, bytearray(encode_jpeg(16, 8, bytes([v]) * 128, gray=True))))
     media = spark.createDataFrame(rows, "media_id long, payload binary")
     return M.decode_media(media).orderBy("media_id")
+
+
+@register(
+    "mm_decode_jpeg_progressive",
+    # payload = a REAL progressive (SOF2) JPEG of the same flat 16x8
+    # grayscale closed form as mm_decode_jpeg: v = 2*(ord(first md5
+    # hex char) % 64) quantizes losslessly, and splitting the
+    # coefficients across progressive scans (DC Al=1 + refinement,
+    # spectral-selection AC bands) must reconstruct the identical
+    # pixels — so the SAME closed form holds
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         2 * (ord(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 64) AS v
+  FROM documents WHERE doc_id % 19 = 11
+)
+SELECT media_id,
+       'jpeg' AS fmt,
+       CAST(16 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(128 * v AS BIGINT) AS pixel_sum,
+       md5(repeat(chr(CAST(v AS INTEGER)), 128)) AS pixel_md5
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "codec", "progressive"),
+)
+def mm_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG (SOF2, T.81 Annex G) decode under the oracle
+    gate (VERDICT r7 #3): multi-scan coefficient accumulation —
+    interleaved DC first scan at Al=1, per-component spectral-selection
+    AC scans with cross-block EOB runs, and a DC successive-
+    approximation refinement scan — reconstructed once at EOI. The
+    AC-refinement path and malformed-stream fuzz are pinned in
+    tests/test_multimodal.py (hand-assembled scans, typed errors)."""
+    import hashlib
+
+    from dolphinbeat_spark.operators.jpeg import encode_jpeg_progressive
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 19 == 11)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        v = 2 * (ord(hashlib.md5(str(i).encode()).hexdigest()[0]) % 64)
+        rows.append(
+            (i, bytearray(encode_jpeg_progressive(16, 8, bytes([v]) * 128, gray=True)))
+        )
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return M.decode_media(media).orderBy("media_id")

@@ -23,6 +23,24 @@ partitioned snapshot only touched partitions rewrite).
 Streaming entry: ``apply_changes_stream`` wires foreachBatch;
 ``apply_batch`` is the pure batch core (unit-testable without a
 stream).
+
+Row-image requirements (binlog_row_image): this sink assumes FULL
+after-images — every value column present in each upsert. Under
+MINIMAL the envelope's after map carries only the PK + changed
+columns (absent columns are OMITTED from the map, see
+sources/binlog_file.ABSENT), so ``_img_val`` would resolve the
+untouched columns to NULL and the merge would clobber them. The
+before-image narrowing is harmless — keys resolve from
+after-coalesce-before maps and MINIMAL always carries the PK — but
+consuming MINIMAL after-images correctly needs a patch-merge
+(coalesce each absent column from the current snapshot row, the
+same per-key join ``_materialize_json_patches`` already does for
+JSON diffs). That variant is deliberately not implemented: decode
+supports MINIMAL archives (cdc_binlog_minimal_image), and the
+envelope faithfully distinguishes absent from NULL, so a consumer
+CAN apply them — but this snapshot sink targets FULL/NOBLOB feeds
+and a NOBLOB blob column is likewise only maintainable if it is not
+a value column here.
 """
 
 from __future__ import annotations
@@ -243,12 +261,22 @@ def _materialize_json_patches(
     inserts and the old-value join is key-equi against the snapshot."""
     from dolphinbeat_spark.operators.json_patch import fold_udf
 
+    # envelope batches may lack __op_rank / row_index (same presence
+    # guard as last_op_per_key — ADVICE r7)
+    rank_col = (
+        F.col("__op_rank") if "__op_rank" in norm.columns else F.lit(1)
+    )
+    ri_col = (
+        F.coalesce(F.col("row_index"), F.lit(0))
+        if "row_index" in norm.columns
+        else F.lit(0)
+    )
     ins = norm.filter(F.col("op_type") == "insert").select(
         *[_img_val("after", k).alias(k) for k in key_cols],
         "log_name",
         "log_pos",
-        "__op_rank",
-        F.coalesce(F.col("row_index"), F.lit(0)).alias("__ri"),
+        rank_col.alias("__op_rank"),
+        ri_col.alias("__ri"),
         *[_img_val("after", c).alias(f"__v_{c}") for c in patch_cols],
     )
     seqs = ins.groupBy(*key_cols).agg(

@@ -377,17 +377,50 @@ def _read_value(data: bytes, pos: int, ctype: int, meta: int):
     raise NotImplementedError(f"column type {ctype} not supported by the file parser")
 
 
-def _read_row_image(data: bytes, pos: int, tm: _TableMap) -> tuple[tuple, int]:
+class _Absent:
+    """Sentinel for a column OMITTED from a row image — its present
+    bit is cleared because the archive was written with
+    binlog_row_image=MINIMAL (before = PK only, after = PK + changed)
+    or NOBLOB (unchanged blob/text columns dropped). Distinct from
+    SQL NULL: the column HAS a value on the server, the log just
+    doesn't carry it. The envelope projection omits absent columns
+    from the before/after maps entirely."""
+
+    __slots__ = ()
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return "<absent>"
+
+
+ABSENT = _Absent()
+
+
+def _read_row_image(
+    data: bytes, pos: int, tm: _TableMap, present: bytes | None = None
+) -> tuple[tuple, int]:
+    """One row image. ``present`` is the event's columns-present
+    bitmap (None = all columns, the FULL row-image fast path). Per the
+    MySQL rows-event layout, the null bitmap covers only the PRESENT
+    columns — one bit per set present bit, indexed in present order —
+    so MINIMAL/NOBLOB images are narrower than the TABLE_MAP width.
+    Omitted columns decode as the ABSENT sentinel."""
     ncols = len(tm.col_types)
-    nullmap = data[pos:pos + (ncols + 7) // 8]
-    pos += (ncols + 7) // 8
-    vals = []
-    for i, (ct, meta) in enumerate(zip(tm.col_types, tm.col_metas)):
-        if nullmap[i >> 3] & (1 << (i & 7)):
-            vals.append(None)
+    if present is None:
+        idx = range(ncols)
+        npresent = ncols
+    else:
+        idx = [i for i in range(ncols) if present[i >> 3] & (1 << (i & 7))]
+        npresent = len(idx)
+    nb = (npresent + 7) // 8
+    nullmap = data[pos:pos + nb]
+    pos += nb
+    vals: list = [ABSENT] * ncols
+    for j, i in enumerate(idx):
+        if nullmap[j >> 3] & (1 << (j & 7)):
+            vals[i] = None
             continue
-        v, pos = _read_value(data, pos, ct, meta)
-        vals.append(v)
+        v, pos = _read_value(data, pos, tm.col_types[i], tm.col_metas[i])
+        vals[i] = v
     return tuple(vals), pos
 
 
@@ -405,24 +438,35 @@ def _version_at_least(server_version: str, want: tuple) -> bool:
     return tuple(int(g) for g in m.groups()) >= want
 
 
-def _present_or_raise(body: bytes, p: int, ncols: int, image: str) -> int:
-    """Consume a columns-present bitmap, requiring a FULL row image.
-
-    binlog_row_image=MINIMAL/NOBLOB clears bits here and drops the
-    matching values from the stream — silently mis-decoding values into
-    the wrong columns if ignored. The engine requires FULL images (the
-    reference does too: go-mysql indexes rows positionally over the
-    TABLE_MAP width), so anything else fails loudly by name."""
+def _read_present(body: bytes, p: int, ncols: int) -> tuple[bytes | None, int]:
+    """Consume a columns-present bitmap. Returns (None, p') when every
+    bit is set (FULL row image — lets _read_row_image take the no-index
+    fast path), else the bitmap itself (binlog_row_image=MINIMAL: before
+    = PK columns only, after = PK + changed; NOBLOB: unchanged blob/text
+    columns dropped). go-mysql's rows.go decodes the same way: values
+    are indexed by the present bitmap, never positionally over the
+    TABLE_MAP width."""
     nb = (ncols + 7) // 8
     bitmap = body[p:p + nb]
-    for i in range(ncols):
-        if not bitmap[i >> 3] & (1 << (i & 7)):
-            raise BinlogFormatError(
-                f"rows event {image}-image omits column {i}: archive was "
-                "written with binlog_row_image=MINIMAL or NOBLOB; only "
-                "FULL row images are supported"
-            )
-    return p + nb
+    full = all(
+        bitmap[i >> 3] & (1 << (i & 7)) for i in range(ncols)
+    )
+    return (None if full else bytes(bitmap)), p + nb
+
+
+def _present_or_raise(body: bytes, p: int, ncols: int, image: str) -> int:
+    """Consume a columns-present bitmap, requiring a FULL row image —
+    kept for the PARTIAL_UPDATE_ROWS path, whose partial-JSON bitmap
+    indexing assumes the full column set (MINIMAL + PARTIAL_JSON in one
+    event is not supported; fails loudly by name)."""
+    bitmap, p2 = _read_present(body, p, ncols)
+    if bitmap is not None:
+        raise BinlogFormatError(
+            f"PARTIAL_UPDATE_ROWS {image}-image omits columns "
+            "(binlog_row_image=MINIMAL/NOBLOB combined with "
+            "PARTIAL_JSON is not supported)"
+        )
+    return p2
 
 
 #: WL#10570 row value_options bits — bit 0 = PARTIAL_JSON_UPDATES
@@ -532,7 +576,13 @@ def parse_binlog_events(data: bytes):
             if binlog_version != 4:
                 raise BinlogFormatError(f"unsupported binlog version {binlog_version}")
             server_version = body[2:52].split(b"\x00", 1)[0].decode("ascii", "replace")
-            checksum = body[-5] if _version_at_least(server_version, (5, 6, 1)) else 0
+            # MariaDB backported binlog checksums in 5.3, so a
+            # "5.5.x-MariaDB" archive DOES carry the trailer even though
+            # the numeric triple is pre-5.6.1 (ADVICE r7 finding)
+            trailer_floor = (
+                (5, 3, 0) if "-MariaDB" in server_version else (5, 6, 1)
+            )
+            checksum = body[-5] if _version_at_least(server_version, trailer_floor) else 0
             if checksum == 1:
                 (crc,) = struct.unpack_from("<I", data, pos + esize - 4)
                 if zlib.crc32(data[pos:pos + esize - 4]) & 0xFFFFFFFF != crc:
@@ -761,19 +811,19 @@ def _decode_body(etype, ts, _server_id, log_pos, body, tables):
         ncols, p = _lenenc(body, p)
         if ncols != len(tm.col_types):
             raise BinlogFormatError("rows event width != TABLE_MAP width")
-        p = _present_or_raise(body, p, ncols, "before")
+        present1, p = _read_present(body, p, ncols)
         if etype in (EV_UPDATE_ROWS_V2, EV_UPDATE_ROWS_V1):
-            p = _present_or_raise(body, p, ncols, "after")
+            present2, p = _read_present(body, p, ncols)
             pairs = []
             while p < len(body):
-                before, p = _read_row_image(body, p, tm)
-                after, p = _read_row_image(body, p, tm)
+                before, p = _read_row_image(body, p, tm, present1)
+                after, p = _read_row_image(body, p, tm, present2)
                 pairs.append((before, after))
             return UpdateRowsEvent(ts, log_pos, tm.schema, tm.table, pairs)
         else:
             rows = []
             while p < len(body):
-                row, p = _read_row_image(body, p, tm)
+                row, p = _read_row_image(body, p, tm, present1)
                 rows.append(row)
             cls = (
                 WriteRowsEvent
@@ -868,7 +918,20 @@ def binlog_file_provider(options: dict):
         return out
 
     def factory(offset):
-        start_key = (offset.file, offset.pos) if offset.file else ("", 0)
+        off_file = offset.file
+        # compat: a checkpoint written with a configured options['file']
+        # alias that is NOT an on-disk name would compare lexically
+        # against real file names and replay or skip events — map the
+        # alias to the first series file instead (ADVICE r7)
+        alias = options.get("file")
+        if (
+            off_file
+            and alias
+            and off_file == alias
+            and off_file not in {p.name for p in _paths()}
+        ):
+            off_file = _paths()[0].name
+        start_key = (off_file, offset.pos) if off_file else ("", 0)
         fresh = not offset.file or offset.pos <= 4
         out = []
         for fname, e in _events():

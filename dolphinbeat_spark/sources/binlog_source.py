@@ -47,6 +47,7 @@ from pyspark.sql.datasource import (
 )
 
 from dolphinbeat_spark.envelope import ENVELOPE_SCHEMA
+from dolphinbeat_spark.sources.binlog_file import ABSENT
 from dolphinbeat_spark.schema.registry import (
     DdlError,
     SchemaRegistry,
@@ -235,25 +236,33 @@ def _json_columns(td) -> set[str]:
 
 def _parse_labels(type_text: str) -> list[str]:
     """Member labels out of an ``enum('a','b')`` / ``set('a','b')``
-    type string ('' inside a label is MySQL's escaped quote)."""
-    labels, cur, in_q = [], [], False
-    i = type_text.find("(")
-    for ch_i in range(i + 1, len(type_text)):
-        ch = type_text[ch_i]
+    type string. '' inside a label is MySQL's escaped quote; when
+    NO_BACKSLASH_ESCAPES is off MySQL also emits backslash escapes
+    (\\' \\\\), consumed here as literal next-char (ADVICE r7)."""
+    labels: list[str] = []
+    cur: list[str] = []
+    in_q = False
+    i = type_text.find("(") + 1
+    n = len(type_text)
+    while i < n:
+        ch = type_text[i]
         if in_q:
+            if ch == "\\" and i + 1 < n:
+                cur.append(type_text[i + 1])
+                i += 2
+                continue
             if ch == "'":
-                if ch_i + 1 < len(type_text) and type_text[ch_i + 1] == "'":
+                if i + 1 < n and type_text[i + 1] == "'":
                     cur.append("'")
-                    in_q = None  # consume the escape pair's 2nd quote
-                else:
-                    labels.append("".join(cur))
-                    cur, in_q = [], False
+                    i += 2
+                    continue
+                labels.append("".join(cur))
+                cur, in_q = [], False
             else:
                 cur.append(ch)
-        elif in_q is None:  # just consumed escape's first quote
-            in_q = True
         elif ch == "'":
             in_q = True
+        i += 1
     return labels
 
 
@@ -360,6 +369,12 @@ def _stringify(
     vals = {}
     nulls = {}
     for k, v in items:
+        if v is ABSENT:
+            # column omitted from the row image (binlog_row_image=
+            # MINIMAL/NOBLOB): the server HAS a value, the log doesn't
+            # carry it — omit the key from the wire maps (Debezium's
+            # MINIMAL behavior), distinct from null
+            continue
         if v is None:
             vals[k] = ""
             nulls[k] = True

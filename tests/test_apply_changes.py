@@ -459,3 +459,55 @@ def test_apply_batch_partitioned_materializes_partial_json(spark, tmp_path):
     got = {r["id"]: r["doc"] for r in read_snapshot(spark, snap).collect()}
     assert json.loads(got["1"]) == {"a": 7}
     assert json.loads(got["2"]) == {"z": 9}  # untouched bucket intact
+
+
+def test_fold_diff_against_missing_base_raises():
+    """A partial-JSON diff applied to a key with NO current snapshot
+    value violates the replica contract (the server only emits diffs
+    when the row existed) — fail loud, never materialize null
+    (ADVICE r7)."""
+    import pytest
+
+    from dolphinbeat_spark.operators.json_patch import fold_json_values
+
+    diff = '{"$json_diff":[{"op":"replace","path":"$.a","value":1}]}'
+    with pytest.raises(ValueError, match="missing base"):
+        fold_json_values(None, [diff])
+    with pytest.raises(ValueError, match="missing base"):
+        fold_json_values("", [diff])
+    # a full doc arriving first is fine, diff chains on it
+    assert fold_json_values(None, ['{"a":0}', diff]) == '{"a":1}'
+
+
+def test_patch_materialization_without_row_index_column(spark, tmp_path):
+    """_materialize_json_patches must apply the same presence guard as
+    last_op_per_key: an envelope batch lacking row_index/__op_rank
+    (e.g. a pre-normalized upsert feed) still analyzes (ADVICE r7)."""
+    import json
+
+    from dolphinbeat_spark.envelope import empty_op
+    from dolphinbeat_spark.sinks.apply_changes import (
+        _materialize_json_patches,
+        read_snapshot,
+    )
+
+    def op(op_type, pos, after):
+        vals = {k: ("" if v is None else v) for k, v in after.items()}
+        nulls = {k: v is None for k, v in after.items()}
+        return empty_op(op_type=op_type, log_name="b.1", log_pos=pos,
+                        row_index=0, db="d", table="t",
+                        after=vals, after_null=nulls)
+
+    d0 = '{"a":1}'
+    diff = '{"$json_diff":[{"op":"replace","path":"$.a","value":2}]}'
+    batch = spark.createDataFrame(
+        [op("insert", 10, {"id": "1", "doc": d0}),
+         op("insert", 20, {"id": "1", "doc": diff})],
+        ENVELOPE_SCHEMA,
+    ).drop("row_index")  # no row_index, no __op_rank
+    upserts = spark.createDataFrame([("1", diff)], "id string, doc string")
+    out = _materialize_json_patches(
+        spark, batch, upserts, str(tmp_path / "none"), ["id"], ("doc",)
+    )
+    got = {r["id"]: r["doc"] for r in out.collect()}
+    assert json.loads(got["1"]) == {"a": 2}

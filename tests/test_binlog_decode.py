@@ -174,3 +174,17 @@ def test_enum_set_values_render_canonically_both_routes():
     )
     assert ops[0]["after"]["status"] == "9"
     assert ops[0]["after"]["flags"] == "64"
+
+
+def test_parse_labels_backslash_escapes():
+    """ENUM/SET label tokenizing must honor BOTH MySQL quote escapes:
+    the doubled quote ('') and the backslash forms (\\' \\\\) MySQL
+    emits when NO_BACKSLASH_ESCAPES is off (ADVICE r7)."""
+    from dolphinbeat_spark.sources.binlog_source import _parse_labels
+
+    assert _parse_labels("enum('a','b')") == ["a", "b"]
+    assert _parse_labels("enum('it''s','x')") == ["it's", "x"]
+    assert _parse_labels("enum('it\\'s','x')") == ["it's", "x"]
+    assert _parse_labels("set('a\\\\b','c')") == ["a\\b", "c"]
+    # mixed in one definition; escape as the label's last char
+    assert _parse_labels("enum('q\\'','\\\\','d''d')") == ["q'", "\\", "d'd"]

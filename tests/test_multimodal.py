@@ -557,11 +557,17 @@ def test_jpeg_honest_failures():
     with pytest.raises(JpegError, match="SOI"):
         decode_jpeg(b"NOPE")
     good = bytearray(encode_jpeg(8, 8, bytes(64), gray=True))
-    # SOF0 -> SOF2 (progressive)
+    # SOF0 -> SOF3 (lossless) — progressive SOF2 decodes since r8
     i = good.index(b"\xff\xc0")
+    lossless = bytearray(good)
+    lossless[i + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_jpeg(bytes(lossless))
+    # SOF0 -> SOF2 with the baseline's full-band interleaved scan is
+    # NOT a valid progressive stream (DC scan must have Se=0): typed
     prog = bytearray(good)
     prog[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(JpegError, match="DC scan"):
         decode_jpeg(bytes(prog))
     # out-of-range sampling factors (3x1; 1 and 2 are supported)
     sub = bytearray(good)
@@ -594,9 +600,14 @@ def test_codec_fuzz_typed_errors_only():
     rng = random.Random(19)
     xx, yy = np.meshgrid(np.arange(24), np.arange(16))
     smooth = (128 + 50 * np.sin(xx / 7) * np.cos(yy / 5)).astype(np.uint8)
+    from dolphinbeat_spark.operators.jpeg import encode_jpeg_progressive
+
     payloads = [
         ("gif", encode_gif(24, 16, smooth.tobytes()), decode_gif),
         ("jpeg", encode_jpeg(24, 16, smooth.tobytes(), gray=True), decode_jpeg),
+        ("jpeg-prog",
+         encode_jpeg_progressive(24, 16, smooth.tobytes(), gray=True),
+         decode_jpeg),
     ]
     for name, data, dec in payloads:
         for _ in range(120):
@@ -631,3 +642,133 @@ def test_gif89a_extension_blocks_skipped():
     w, h, px = decode_gif(data)
     assert (w, h) == (4, 2)
     assert px[:, :, 0].tobytes() == bytes([1, 2, 3, 4, 5, 6, 7, 8])
+
+
+# -- progressive JPEG (SOF2, Annex G) ----------------------------------
+
+
+def test_jpeg_progressive_matches_baseline_decode():
+    """A progressive re-encoding of an image carries the SAME
+    quantized coefficients as the baseline encoding, only split across
+    scans — so both must decode to BIT-IDENTICAL pixels. Covers gray,
+    4:4:4 color and 4:2:0 (non-interleaved AC over the subsampled
+    component's true block grid), plus flat closed form and odd sizes
+    (padding blocks coded only in the interleaved DC scan)."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    for v in (64, 130, 200):
+        _, _, px = decode_jpeg(
+            encode_jpeg_progressive(16, 8, bytes([v]) * 128, gray=True)
+        )
+        assert set(px.reshape(-1).tolist()) == {v}
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=29 * 13, dtype=np.uint8).tobytes()
+    _, _, b0 = decode_jpeg(encode_jpeg(29, 13, gray, gray=True))
+    w, h, p0 = decode_jpeg(encode_jpeg_progressive(29, 13, gray, gray=True))
+    assert (w, h) == (29, 13) and (b0 == p0).all()
+
+    rgb = rng.integers(0, 256, size=20 * 12 * 3, dtype=np.uint8).tobytes()
+    _, _, b1 = decode_jpeg(encode_jpeg(20, 12, rgb))
+    _, _, p1 = decode_jpeg(encode_jpeg_progressive(20, 12, rgb))
+    assert (b1 == p1).all()
+
+    rgb2 = rng.integers(0, 256, size=27 * 21 * 3, dtype=np.uint8).tobytes()
+    _, _, b2 = decode_jpeg(encode_jpeg(27, 21, rgb2, subsample="420"))
+    _, _, p2 = decode_jpeg(encode_jpeg_progressive(27, 21, rgb2, subsample="420"))
+    assert (b2 == p2).all()
+
+
+def test_jpeg_progressive_refinement_hand_bitstream():
+    """AC successive approximation decoded from HAND-ASSEMBLED scans,
+    independent of any encoder (the progressive encoder deliberately
+    emits no AC refinement scans, so this path is pinned only here):
+
+    scan 1  DC first    Ss=0 Se=0 Ah=0 Al=0: diff=0 ('00' cat0)
+    scan 2  AC first    Ss=1 Se=63 Ah=0 Al=1: k=1 value +1 -> coef 2
+            ('00' sym 0x01, '1' magnitude, '1010' EOB)
+    scan 3  AC refine   Ss=1 Se=63 Ah=1 Al=0:
+            '00' sym 0x01 + sign '1' (new +1) -> correction '0' for
+            the nonzero k=1, newly-significant k=2, then '1010' EOB0
+            => coef[1] stays 2, coef[2] becomes 1
+
+    Expected pixels = IDCT of {zz1: 2*16, zz2: 1*16} + 128 from the
+    published orthonormal basis."""
+    import struct
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators import jpeg as J
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(ss, se, ah, al, entropy):
+        return (
+            seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])) + entropy
+        )
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+    sof = seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    dht = (
+        seg(0xC4, bytes([0x00]) + bytes(J.HUFF_DC_LUMA[0]) + bytes(J.HUFF_DC_LUMA[1]))
+        + seg(0xC4, bytes([0x10]) + bytes(J.HUFF_AC_LUMA[0]) + bytes(J.HUFF_AC_LUMA[1]))
+    )
+    data = (
+        b"\xff\xd8" + dqt + sof + dht
+        + sos(0, 0, 0, 0, bytes([0b00111111]))   # DC diff=0
+        + sos(1, 63, 0, 1, bytes([0b00110101]))  # AC first: coef[1]=1<<1
+        + sos(1, 63, 1, 0, bytes([0b00101010]))  # AC refine: +coef[2]=1
+        + b"\xff\xd9"
+    )
+    w, h, px = J.decode_jpeg(data)
+    assert (w, h) == (8, 8)
+    nat = np.zeros(64)
+    nat[J.ZIGZAG[1]] = 2 * 16
+    nat[J.ZIGZAG[2]] = 1 * 16
+    exp = J._DCT_M.T @ nat.reshape(8, 8) @ J._DCT_M + 128.0
+    exp = np.clip(np.round(exp), 0, 255).astype(np.uint8)
+    assert (px.reshape(8, 8) == exp).all()
+
+    # refinement correction bit flips an established coefficient up:
+    # scan 3' emits EOB0 immediately, correction bit '1' for k=1
+    # => coef[1] 2 -> 3
+    data2 = (
+        b"\xff\xd8" + dqt + sof + dht
+        + sos(0, 0, 0, 0, bytes([0b00111111]))
+        + sos(1, 63, 0, 1, bytes([0b00110101]))
+        + sos(1, 63, 1, 0, bytes([0b10101111]))  # EOB0 then bit=1
+        + b"\xff\xd9"
+    )
+    _, _, px2 = J.decode_jpeg(data2)
+    nat2 = np.zeros(64)
+    nat2[J.ZIGZAG[1]] = 3 * 16
+    exp2 = J._DCT_M.T @ nat2.reshape(8, 8) @ J._DCT_M + 128.0
+    exp2 = np.clip(np.round(exp2), 0, 255).astype(np.uint8)
+    assert (px2.reshape(8, 8) == exp2).all()
+
+
+def test_jpeg_progressive_dc_refinement_and_eob_runs():
+    """Multi-block coverage: a 32x8 gray flat-ish image whose encoder
+    output necessarily carries DC successive approximation (Al=1 then
+    the Ah=1 bit scan) and cross-block EOB runs in the AC scans; and
+    v=101 (odd offset from 128) pins that the DC refinement bit
+    restores the low bit the first scan dropped."""
+    from dolphinbeat_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    # (101-128)*8/16 = -13.5 -> DC coef -14 (banker's to even) = odd:
+    # Al=1 first scan carries -7, the refinement bit the trailing 0/1
+    img = bytes([101]) * 256
+    _, _, base = decode_jpeg(encode_jpeg(32, 8, img, gray=True))
+    _, _, prog = decode_jpeg(encode_jpeg_progressive(32, 8, img, gray=True))
+    assert (base == prog).all()

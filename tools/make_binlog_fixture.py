@@ -152,8 +152,8 @@ class Writer:
         ev = hdr + body
         self.buf += ev + (zlib.crc32(ev) & 0xFFFFFFFF).to_bytes(4, "little")
 
-    def fde(self) -> None:
-        sv = b"8.0.99-dolphinbeat-fixture".ljust(50, b"\x00")
+    def fde(self, server_version: str = "8.0.99-dolphinbeat-fixture") -> None:
+        sv = server_version.encode().ljust(50, b"\x00")
         # post-header length table (one byte per event type, standard
         # 8.0 values for the types we write; zeros elsewhere)
         ph = bytearray(41)
@@ -212,31 +212,58 @@ class Writer:
         body += bytes((len(cols) + 7) // 8)  # nullability bitmap (all nullable=0)
         self.event(B.EV_TABLE_MAP, body)
 
-    def _image(self, cols, row) -> bytes:
-        n = len(cols)
-        nullmap = bytearray((n + 7) // 8)
+    def _image(self, cols, row, present=None) -> bytes:
+        """One row image. ``present`` (list[bool] or None=all) selects
+        which columns the image carries — per the rows-event layout the
+        null bitmap covers only the PRESENT columns, and absent
+        columns' values are skipped entirely (binlog_row_image=
+        MINIMAL/NOBLOB)."""
+        idx = [
+            i for i in range(len(cols)) if present is None or present[i]
+        ]
+        nullmap = bytearray((len(idx) + 7) // 8)
         vals = bytearray()
-        for i, ((ct, meta), v) in enumerate(zip(cols, row)):
+        for j, i in enumerate(idx):
+            ct, meta = cols[i]
+            v = row[i]
             if v is None:
-                nullmap[i >> 3] |= 1 << (i & 7)
+                nullmap[j >> 3] |= 1 << (j & 7)
             else:
                 vals += enc_value(ct, meta, v)
         return bytes(nullmap) + bytes(vals)
 
-    def rows(self, etype: int, table_id: int, cols, rows) -> None:
+    @staticmethod
+    def _present_bitmap(n: int, present=None) -> bytes:
+        if present is None:
+            # 0xFF-padded like real servers (and the committed fixture)
+            return bytes([0xFF] * ((n + 7) // 8))
+        b = bytearray((n + 7) // 8)
+        for i, flag in enumerate(present):
+            if flag:
+                b[i >> 3] |= 1 << (i & 7)
+        return bytes(b)
+
+    def rows(
+        self, etype: int, table_id: int, cols, rows,
+        present=None, present_after=None,
+    ) -> None:
+        """``present`` narrows the (before-)image columns, and for
+        updates ``present_after`` the after-image — how MINIMAL
+        (before = PK only, after = PK + changed) and NOBLOB archives
+        are written."""
         n = len(cols)
         body = table_id.to_bytes(6, "little") + b"\x01\x00"
         body += struct.pack("<H", 2)  # extra_data_len (just itself)
         body += bytes([n])  # lenenc width (< 251)
-        present = bytes([0xFF] * ((n + 7) // 8))
-        body += present
+        body += self._present_bitmap(n, present)
         if etype == B.EV_UPDATE_ROWS_V2:
-            body += present
+            body += self._present_bitmap(n, present_after)
             for before, after in rows:
-                body += self._image(cols, before) + self._image(cols, after)
+                body += self._image(cols, before, present)
+                body += self._image(cols, after, present_after)
         else:
             for row in rows:
-                body += self._image(cols, row)
+                body += self._image(cols, row, present)
         self.event(etype, body)
 
     def partial_update_rows(self, table_id: int, cols, rows) -> None:
@@ -497,6 +524,81 @@ def main() -> None:
     w.rotate("replay.000002")
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "replay.binlog"
     out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_bytes(bytes(w.buf))
+    print(f"wrote {out} ({len(w.buf)} bytes, end pos {w.pos})")
+    write_minimal_fixture()
+
+
+# --- MINIMAL/NOBLOB row-image fixture (VERDICT r7 #2) ------------------------
+
+MINIMAL_COLS = [
+    (B.T_LONG, 0),                    # id INT PK
+    (B.T_VARCHAR, 32),                # name VARCHAR(32)
+    (B.T_NEWDECIMAL, (10 << 8) | 2),  # bal DECIMAL(10,2)
+    (B.T_BLOB, 2),                    # memo BLOB (2-byte pack length)
+]
+
+
+def write_minimal_fixture() -> None:
+    """tests/fixtures/minimal.binlog: an archive written with
+    binlog_row_image=MINIMAL / NOBLOB — row images narrower than the
+    TABLE_MAP width. MINIMAL: update/delete before-image = PK columns
+    only, update after-image = PK + changed columns (inserts stay
+    full). NOBLOB: unchanged blob columns dropped from both images.
+    The null bitmap covers only PRESENT columns, so decoding requires
+    present-column indexing (sources/binlog_file._read_row_image)."""
+    w = Writer()
+    w.fde()
+    w.previous_gtids()
+    w.query("test", "CREATE TABLE test.acct (id INT PRIMARY KEY, "
+            "name VARCHAR(32), bal DECIMAL(10,2), memo BLOB)")
+    sid = "aa11fa47e3b24f2c90b1aa6d1d1f3e22"
+
+    # trx 1: inserts are FULL even under MINIMAL
+    w.gtid(sid, 1)
+    w.query("test", "BEGIN")
+    w.table_map(201, "test", "acct", MINIMAL_COLS)
+    w.rows(B.EV_WRITE_ROWS_V2, 201, MINIMAL_COLS, [
+        (1, "alice", Decimal("10.50"), b"m1"),
+        (2, "bob", Decimal("0.00"), b"m2"),
+    ])
+    w.xid(1)
+
+    # trx 2: MINIMAL update — before = PK only, after = PK + changed
+    w.gtid(sid, 2)
+    w.query("test", "BEGIN")
+    w.table_map(201, "test", "acct", MINIMAL_COLS)
+    w.rows(B.EV_UPDATE_ROWS_V2, 201, MINIMAL_COLS,
+           [((1, None, None, None), (1, None, Decimal("99.25"), None))],
+           present=[True, False, False, False],
+           present_after=[True, False, True, False])
+    w.xid(2)
+
+    # trx 3: NOBLOB update — both images carry everything but the
+    # unchanged blob
+    w.gtid(sid, 3)
+    w.query("test", "BEGIN")
+    w.table_map(201, "test", "acct", MINIMAL_COLS)
+    w.rows(B.EV_UPDATE_ROWS_V2, 201, MINIMAL_COLS,
+           [((2, "bob", Decimal("0.00"), None),
+             (2, "robert", Decimal("0.00"), None))],
+           present=[True, True, True, False],
+           present_after=[True, True, True, False])
+    w.xid(3)
+
+    # trx 4: full insert with a present-but-NULL column (null != absent),
+    # then a MINIMAL delete (PK-only before-image)
+    w.gtid(sid, 4)
+    w.query("test", "BEGIN")
+    w.table_map(201, "test", "acct", MINIMAL_COLS)
+    w.rows(B.EV_WRITE_ROWS_V2, 201, MINIMAL_COLS,
+           [(3, None, Decimal("1.00"), b"")])
+    w.rows(B.EV_DELETE_ROWS_V2, 201, MINIMAL_COLS, [(2, None, None, None)],
+           present=[True, False, False, False])
+    w.xid(4)
+
+    w.rotate("minimal.000002")
+    out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "minimal.binlog"
     out.write_bytes(bytes(w.buf))
     print(f"wrote {out} ({len(w.buf)} bytes, end pos {w.pos})")
 
