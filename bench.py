@@ -355,10 +355,86 @@ def sf1_section(spark, sf_dir: str, specs) -> dict:
     }
 
 
+def sf100_section(spark, sf_dir: str, specs) -> dict:
+    """Opt-in (SPARK_GRAFT_BENCH_SF100=1) 100× scale probe — the
+    BASELINE.md §C one-off folded into the bench so the evidence is a
+    shipped artifact instead of a manually-transcribed row. Times the
+    _SCALE_SET queries best-of-2 against a cached 100× key-shifted
+    replica and fingerprints every run's plan against sf0.1."""
+    from tools.scale_testdata import ensure_scaled, plan_fingerprint
+
+    dest = os.environ.get("SPARK_GRAFT_SF100_DIR", "/tmp/dolphinbeat_scale100")
+    t0 = time.time()
+    built = ensure_scaled(spark, sf_dir, dest, factor=100)
+    build_sec = round(time.time() - t0, 3)
+
+    queries: dict[str, float] = {}
+    runs_all: dict[str, list] = {}
+    drift: dict[str, dict] = {}
+    for name in _SCALE_SET:
+        fn = specs[name].fn
+        fp_small = plan_fingerprint(fn(spark, sf_dir))
+        fp_big = plan_fingerprint(fn(spark, dest))
+        same = fp_small == fp_big
+        drift[name] = {"same_plan_shape": same}
+        if not same:
+            drift[name]["sf0.1"] = fp_small
+            drift[name]["sf100"] = fp_big
+        runs = []
+        for _ in range(2):  # best-of-2 (cold pass kept visible in runs)
+            gc0 = _jvm_gc_ms(spark)
+            t0 = time.time()
+            fn(spark, dest).write.format("noop").mode("overwrite").save()
+            runs.append(
+                {
+                    "sec": round(time.time() - t0, 3),
+                    "gc_ms": _jvm_gc_ms(spark) - gc0,
+                    "load1": round(os.getloadavg()[0], 2),
+                }
+            )
+        queries[name] = min(r["sec"] for r in runs)
+        runs_all[name] = runs
+    return {
+        "factor": 100,
+        "built": built,
+        "build_sec": build_sec,
+        "total_sec": round(sum(queries.values()), 3),
+        "queries": queries,
+        "query_runs": runs_all,
+        "n_plans_compared": len(drift),
+        "n_plan_drift": sum(1 for d in drift.values() if not d["same_plan_shape"]),
+        "plan_drift": drift,
+    }
+
+
+# a shipped-bench precondition, not advice: three rounds of artifacts
+# captured at load1 3-8 made regression detection impossible. Above
+# this 1-min load the run REFUSES (exit 2) unless explicitly forced,
+# and a forced artifact is stamped "contended": true at the top level.
+_LOAD1_CEILING = 1.5
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    load1_pre = round(os.getloadavg()[0], 2)
+    contended = load1_pre > _LOAD1_CEILING
+    if contended and os.environ.get("SPARK_GRAFT_BENCH_FORCE") != "1":
+        print(
+            json.dumps(
+                {
+                    "error": "machine contended before run: "
+                    f"load1 {load1_pre} > {_LOAD1_CEILING}; numbers would be "
+                    "noise. Set SPARK_GRAFT_BENCH_FORCE=1 to run anyway "
+                    "(artifact will be stamped contended=true).",
+                    "load1_pre": load1_pre,
+                }
+            ),
+            file=sys.stderr,
+        )
+        sys.exit(2)
 
     spark = get_spark("bench")
     specs = {n: s for n, s in all_specs().items() if s.bench}
@@ -412,6 +488,14 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001 - evidence, not a gate
             sf1 = {"error": f"{type(ex).__name__}: {ex}"}
 
+    if os.environ.get("SPARK_GRAFT_BENCH_SF100") == "1":
+        try:
+            sf100 = sf100_section(spark, sf_dir, specs)
+        except Exception as ex:  # noqa: BLE001 - evidence, not a gate
+            sf100 = {"error": f"{type(ex).__name__}: {ex}"}
+    else:
+        sf100 = {"skipped": True}
+
     total = round(sum(timings.values()), 3)
     # round-over-round comparability: new bench specs added in later
     # rounds grow the headline total without any query getting slower.
@@ -433,6 +517,10 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        # pre-run load precondition (see _LOAD1_CEILING): captured
+        # BEFORE SparkSession creation so it reflects external load
+        "load1_pre": load1_pre,
+        "contended": contended,
         "value_comparable_r4": comparable,
         "n_comparable_r4": sum(1 for k in timings if k in _R4_SET),
         "queries": timings,
@@ -440,6 +528,7 @@ def main() -> None:
         "binlog_decode": binlog_decode,
         "binlog_backfill": binlog_backfill,
         "sf1": sf1,
+        "sf100": sf100,
         "sf": sf,
         # reproducibility block (BASELINE.md §C protocol)
         "config": {

@@ -24,23 +24,29 @@ Streaming entry: ``apply_changes_stream`` wires foreachBatch;
 ``apply_batch`` is the pure batch core (unit-testable without a
 stream).
 
-Row-image requirements (binlog_row_image): this sink assumes FULL
-after-images — every value column present in each upsert. Under
-MINIMAL the envelope's after map carries only the PK + changed
-columns (absent columns are OMITTED from the map, see
-sources/binlog_file.ABSENT), so ``_img_val`` would resolve the
-untouched columns to NULL and the merge would clobber them. The
-before-image narrowing is harmless — keys resolve from
-after-coalesce-before maps and MINIMAL always carries the PK — but
-consuming MINIMAL after-images correctly needs a patch-merge
-(coalesce each absent column from the current snapshot row, the
-same per-key join ``_materialize_json_patches`` already does for
-JSON diffs). That variant is deliberately not implemented: decode
-supports MINIMAL archives (cdc_binlog_minimal_image), and the
-envelope faithfully distinguishes absent from NULL, so a consumer
-CAN apply them — but this snapshot sink targets FULL/NOBLOB feeds
-and a NOBLOB blob column is likewise only maintainable if it is not
-a value column here.
+Row-image requirements (binlog_row_image): the default
+``row_image="full"`` path assumes FULL after-images — every value
+column present in each upsert — and ENFORCES it: an upsert whose
+after map omits a declared value column (key missing from the map —
+distinct from present-and-NULL, which stays in the map with its
+null flag) raises :class:`PartialRowImageError` by name instead of
+silently clobbering the untouched column to NULL in the merge.
+
+``row_image="minimal"`` consumes binlog_row_image=MINIMAL/NOBLOB
+feeds correctly (decode support: cdc_binlog_minimal_image; absent
+columns are OMITTED from the envelope maps, see
+sources/binlog_file.ABSENT): each value column resolves to the last
+in-batch op that CARRIES it, and columns no op carried coalesce
+from the current snapshot row via the same per-key join
+``_materialize_json_patches`` does for JSON diffs. MINIMAL update
+after-images may omit an unchanged PK, so keys resolve
+after-coalesce-before BEFORE the update split (the FULL path's
+split nulls the before map in the insert half). A PK-changing
+MINIMAL update fills its absent columns from the OLD key's snapshot
+row (the chain's origin key). MINIMAL + PARTIAL_JSON is refused
+upstream by the decoder (ambiguous absent-vs-diff), so
+``patch_json_cols`` with ``row_image="minimal"`` is rejected here
+too.
 """
 
 from __future__ import annotations
@@ -51,6 +57,39 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 ROW_OPS = ("insert", "update", "delete")
+
+
+class PartialRowImageError(ValueError):
+    """An upsert's after image omitted a declared value column while
+    the sink ran in FULL row-image mode (binlog_row_image=MINIMAL or
+    NOBLOB feed into the default path). Re-run with
+    ``row_image="minimal"`` or drop the column from value_cols."""
+
+
+def _assert_full_images(winners: DataFrame, value_cols: list[str]) -> None:
+    """FULL-mode gate: raise by name if any winning upsert's after map
+    omits a declared value column. One bounded job over the batch's
+    winners (limit-1 probe, no full materialization)."""
+    probe = winners.filter(F.col("op_type") != "delete")
+    missing = F.array_sort(
+        F.filter(
+            F.array(*[F.lit(c) for c in value_cols]),
+            lambda c: ~F.map_contains_key(F.col("after"), c),
+        )
+    )
+    bad = (
+        probe.select(missing.alias("__missing"), F.map_keys("after").alias("__have"))
+        .filter(F.size("__missing") > 0)
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise PartialRowImageError(
+            "after image omits declared value column(s) "
+            f"{list(bad[0]['__missing'])} (present: {sorted(bad[0]['__have'])}): "
+            "this is a MINIMAL/NOBLOB row-image feed; apply it with "
+            'row_image="minimal" instead of clobbering untouched columns to NULL'
+        )
 
 
 def _img_val(image: str, col: str):
@@ -94,6 +133,119 @@ def normalize_pk_changes(batch: DataFrame) -> DataFrame:
     return non_upd.unionByName(as_delete).unionByName(as_insert)
 
 
+def _normalize_minimal(batch: DataFrame, key_cols: list[str]) -> DataFrame:
+    """MINIMAL-image variant of :func:`normalize_pk_changes`: resolve
+    per-op keys while BOTH images are intact, because a MINIMAL update
+    after-image may omit an unchanged PK (the before image always
+    carries it — it identifies the row).
+
+    Emits per op: ``__k_*`` the op's effective key (delete half: before
+    key; upsert half: after-coalesce-before key), ``__ok_*`` the op's
+    ORIGIN key (the before key — where the row's prior state lives in
+    the snapshot), and ``__op_rank`` with the same delete<other<insert
+    ordering contract."""
+    ops = batch.filter(F.col("op_type").isin(*ROW_OPS))
+    new_key = {
+        k: F.coalesce(_img_val("after", k), _img_val("before", k)) for k in key_cols
+    }
+    old_key = {
+        k: F.coalesce(_img_val("before", k), _img_val("after", k)) for k in key_cols
+    }
+    non_upd = ops.filter(F.col("op_type") != "update").select(
+        "*",
+        *[new_key[k].alias(f"__k_{k}") for k in key_cols],
+        *[old_key[k].alias(f"__ok_{k}") for k in key_cols],
+    ).withColumn("__op_rank", F.lit(1))
+    upd = ops.filter(F.col("op_type") == "update")
+    null_map = F.lit(None).cast("map<string,string>")
+    null_flags = F.lit(None).cast("map<string,boolean>")
+    as_delete = (
+        upd.select(
+            "*",
+            *[old_key[k].alias(f"__k_{k}") for k in key_cols],
+            *[old_key[k].alias(f"__ok_{k}") for k in key_cols],
+        )
+        .withColumn("op_type", F.lit("delete"))
+        .withColumn("after", null_map)
+        .withColumn("after_null", null_flags)
+        .withColumn("__op_rank", F.lit(0))
+    )
+    as_insert = (
+        upd.select(
+            "*",
+            *[new_key[k].alias(f"__k_{k}") for k in key_cols],
+            *[old_key[k].alias(f"__ok_{k}") for k in key_cols],
+        )
+        .withColumn("op_type", F.lit("insert"))
+        .withColumn("before", null_map)
+        .withColumn("before_null", null_flags)
+        .withColumn("__op_rank", F.lit(2))
+    )
+    return non_upd.unionByName(as_delete).unionByName(as_insert)
+
+
+def _merge_minimal_upserts(
+    spark: SparkSession,
+    norm: DataFrame,
+    snapshot_path: str,
+    key_cols: list[str],
+    value_cols: list[str],
+    old_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-key patch-merge of MINIMAL after-images: each value column
+    resolves to the LAST in-batch op that carries it (max_by over log
+    coordinates — absent columns yield a NULL ordering key, which
+    max_by ignores; present-and-NULL stays a carried NULL via the null
+    flag); columns NO op carried coalesce from the current snapshot
+    row of the chain's ORIGIN key (min_by — so a PK-changing update
+    pulls untouched columns from the old key's row). One shuffle on
+    the key with map-side partial aggregation; the snapshot join is
+    key-equi and bounded by the batch's touched keys."""
+    ins = norm.filter(F.col("op_type") != "delete")
+    ri = (
+        F.coalesce(F.col("row_index"), F.lit(0))
+        if "row_index" in ins.columns
+        else F.lit(0)
+    )
+    coord = F.struct(
+        F.col("log_name"), F.col("log_pos"), F.col("__op_rank"), ri.alias("__ri")
+    )
+    aggs = [
+        F.min_by(F.struct(*[F.col(f"__ok_{k}").alias(k) for k in key_cols]), coord)
+        .alias("__origin")
+    ]
+    for c in value_cols:
+        carries = F.map_contains_key(F.col("after"), c)
+        aggs.append(
+            F.max_by(
+                F.struct(_img_val("after", c).alias("v")),
+                F.when(carries, coord),
+            ).alias(f"__last_{c}")
+        )
+    folded = ins.groupBy(*[F.col(f"__k_{k}").alias(k) for k in key_cols]).agg(*aggs)
+    if old_df is None and os.path.exists(snapshot_path):
+        old_df = spark.read.parquet(snapshot_path)
+    if old_df is not None:
+        old = old_df.select(
+            *[F.col(k).alias(f"__o_{k}") for k in key_cols],
+            *[F.col(c).alias(f"__old_{c}") for c in value_cols],
+        )
+        cond = [folded["__origin"][k] == old[f"__o_{k}"] for k in key_cols]
+        folded = folded.join(old, cond, "left")
+    else:
+        for c in value_cols:
+            folded = folded.withColumn(f"__old_{c}", F.lit(None).cast("string"))
+    return folded.select(
+        *key_cols,
+        *[
+            F.when(
+                F.col(f"__last_{c}").isNotNull(), F.col(f"__last_{c}")["v"]
+            ).otherwise(F.col(f"__old_{c}")).alias(c)
+            for c in value_cols
+        ],
+    )
+
+
 def last_op_per_key(batch: DataFrame, key_cols: list[str]) -> DataFrame:
     """Collapse a micro-batch to one terminal op per key, ordered by
     binlog coordinates (log_name, log_pos) — the batch-local winner.
@@ -103,13 +255,18 @@ def last_op_per_key(batch: DataFrame, key_cols: list[str]) -> DataFrame:
     ops = batch.filter(F.col("op_type").isin(*ROW_OPS))
     if "__op_rank" not in ops.columns:
         ops = ops.withColumn("__op_rank", F.lit(1))
-    keyed = ops.select(
-        "*",
-        *[
-            F.coalesce(_img_val("after", k), _img_val("before", k)).alias(f"__k_{k}")
-            for k in key_cols
-        ],
-    )
+    if f"__k_{key_cols[0]}" in ops.columns:
+        # keys precomputed upstream (_normalize_minimal resolves them
+        # BEFORE the update split, where the before map is still intact)
+        keyed = ops
+    else:
+        keyed = ops.select(
+            "*",
+            *[
+                F.coalesce(_img_val("after", k), _img_val("before", k)).alias(f"__k_{k}")
+                for k in key_cols
+            ],
+        )
     # __op_rank stays the PRIMARY within-coordinate tiebreak: a
     # multi-row PK-changing update replays as all-deletes-then-
     # all-inserts (normalize_pk_changes ranks), so when one event's
@@ -140,6 +297,7 @@ def apply_batch(
     key_cols: list[str],
     value_cols: list[str],
     patch_json_cols: tuple[str, ...] = (),
+    row_image: str = "full",
 ) -> None:
     """Merge one batch of envelope ops into the parquet snapshot.
 
@@ -149,17 +307,43 @@ def apply_batch(
     fold the batch's FULL ordered per-key value sequence against the
     current snapshot value (operators/json_patch.py), so the snapshot
     stores materialized documents — last-op-wins alone would store the
-    diff text itself as the value."""
-    norm = normalize_pk_changes(batch)
-    winners = last_op_per_key(norm, key_cols)
-    upserts = winners.filter(F.col("op_type") != "delete").select(
-        *[F.col(f"__k_{k}").alias(k) for k in key_cols],
-        *[_img_val("after", c).alias(c) for c in value_cols],
-    )
-    if patch_json_cols:
-        upserts = _materialize_json_patches(
-            spark, norm, upserts, snapshot_path, key_cols, patch_json_cols
+    diff text itself as the value.
+
+    ``row_image``: "full" (default — partial after-images raise
+    :class:`PartialRowImageError`) or "minimal" (binlog_row_image=
+    MINIMAL/NOBLOB feed: absent columns patch-merge from the last
+    in-batch carrier, then the current snapshot row; see module
+    docstring)."""
+    if row_image == "minimal":
+        if patch_json_cols:
+            raise ValueError(
+                "row_image='minimal' with patch_json_cols is unsupported: "
+                "the decoder refuses MINIMAL+PARTIAL_JSON archives by name "
+                "(an absent JSON column is indistinguishable from a diff)"
+            )
+        norm = _normalize_minimal(batch, key_cols)
+        winners = last_op_per_key(norm, key_cols)
+        live = winners.filter(F.col("op_type") != "delete").select(
+            *[F.col(f"__k_{k}").alias(k) for k in key_cols]
+        ).distinct()
+        merged_vals = _merge_minimal_upserts(
+            spark, norm, snapshot_path, key_cols, value_cols
         )
+        upserts = live.join(merged_vals, key_cols, "inner")
+    elif row_image == "full":
+        norm = normalize_pk_changes(batch)
+        winners = last_op_per_key(norm, key_cols)
+        _assert_full_images(winners, value_cols)
+        upserts = winners.filter(F.col("op_type") != "delete").select(
+            *[F.col(f"__k_{k}").alias(k) for k in key_cols],
+            *[_img_val("after", c).alias(c) for c in value_cols],
+        )
+        if patch_json_cols:
+            upserts = _materialize_json_patches(
+                spark, norm, upserts, snapshot_path, key_cols, patch_json_cols
+            )
+    else:
+        raise ValueError(f"row_image must be 'full' or 'minimal', got {row_image!r}")
     deletes = winners.filter(F.col("op_type") == "delete").select(
         *[F.col(f"__k_{k}").alias(k) for k in key_cols]
     )
@@ -187,12 +371,14 @@ def apply_changes_stream(
     checkpoint: str,
     key_cols: list[str],
     value_cols: list[str],
+    row_image: str = "full",
 ):
     """foreachBatch wiring: exactly-once via checkpoint + idempotent
     merge (re-applying a replayed batch converges to the same state)."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        apply_batch(batch.sparkSession, batch, snapshot_path, key_cols, value_cols)
+        apply_batch(batch.sparkSession, batch, snapshot_path, key_cols, value_cols,
+                    row_image=row_image)
 
     return (
         stream.writeStream.foreachBatch(_apply)
@@ -327,6 +513,7 @@ def apply_batch_partitioned(
     value_cols: list[str],
     num_buckets: int = 16,
     patch_json_cols: tuple[str, ...] = (),
+    row_image: str = "full",
 ) -> None:
     """Partitioned-snapshot merge: the snapshot is hive-partitioned on
     a hash bucket of the key; a batch only reads and rewrites the
@@ -340,9 +527,25 @@ def apply_batch_partitioned(
     (dynamic overwrite of the same buckets converges).
     ``patch_json_cols`` folds partial-JSON diffs like apply_batch —
     the old-value side reads only the touched buckets, keeping the
-    per-batch cost discipline."""
-    norm = normalize_pk_changes(batch)
+    per-batch cost discipline. ``row_image="minimal"`` patch-merges
+    partial after-images like apply_batch; a PK-changing MINIMAL
+    update's origin key lands in the touched-bucket set through its
+    delete half, so the bucket-pruned snapshot read still covers the
+    coalesce-from-origin join."""
+    if row_image == "minimal":
+        if patch_json_cols:
+            raise ValueError(
+                "row_image='minimal' with patch_json_cols is unsupported: "
+                "the decoder refuses MINIMAL+PARTIAL_JSON archives by name"
+            )
+        norm = _normalize_minimal(batch, key_cols)
+    elif row_image == "full":
+        norm = normalize_pk_changes(batch)
+    else:
+        raise ValueError(f"row_image must be 'full' or 'minimal', got {row_image!r}")
     winners = last_op_per_key(norm, key_cols)
+    if row_image == "full":
+        _assert_full_images(winners, value_cols)
     key_exprs = [F.col(f"__k_{k}") for k in key_cols]
     bucket = F.pmod(F.xxhash64(*key_exprs), F.lit(num_buckets)).cast("int")
     upserts = winners.filter(F.col("op_type") != "delete").select(
@@ -363,6 +566,20 @@ def apply_batch_partitioned(
     if os.path.exists(snapshot_path):
         current = spark.read.parquet(snapshot_path).filter(
             F.col("__bucket").isin(touched)  # partition-pruned read
+        )
+    if row_image == "minimal":
+        live = winners.filter(F.col("op_type") != "delete").select(
+            *[F.col(f"__k_{k}").alias(k) for k in key_cols]
+        ).distinct()
+        merged_vals = _merge_minimal_upserts(
+            spark, norm, snapshot_path, key_cols, value_cols,
+            old_df=current.drop("__bucket") if current is not None else None,
+        )
+        bucket_out = F.pmod(
+            F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(num_buckets)
+        ).cast("int")
+        upserts = live.join(merged_vals, key_cols, "inner").select(
+            *key_cols, *value_cols, bucket_out.alias("__bucket")
         )
     if patch_json_cols:
         upserts = _materialize_json_patches(

@@ -511,3 +511,146 @@ def test_patch_materialization_without_row_index_column(spark, tmp_path):
     )
     got = {r["id"]: r["doc"] for r in out.collect()}
     assert json.loads(got["1"]) == {"a": 2}
+
+
+# ---------------------------------------------------------------------------
+# row_image="minimal" (binlog_row_image=MINIMAL/NOBLOB feeds) + FULL guard
+
+
+_ENV_COLS = (
+    "op_type string, log_name string, log_pos long, "
+    "before map<string,string>, before_null map<string,boolean>, "
+    "after map<string,string>, after_null map<string,boolean>"
+)
+
+
+def _mrow(op, pos, before=None, after=None, anull=None):
+    bnull = {k: False for k in before} if before else None
+    if after is not None and anull is None:
+        anull = {k: False for k in after}
+    return (op, "b.000001", pos, before, bnull, after, anull)
+
+
+def _mdf(spark, rows):
+    return spark.createDataFrame(rows, _ENV_COLS)
+
+
+def test_full_mode_guard_raises_on_partial_after_image(spark, tmp_path):
+    from dolphinbeat_spark.sinks.apply_changes import PartialRowImageError
+    import pytest
+
+    batch = _mdf(spark, [
+        _mrow("insert", 1, after={"id": "1", "name": "n", "bal": "2"}),
+        _mrow("update", 2, before={"id": "1"}, after={"id": "1", "bal": "3"}),
+    ])
+    with pytest.raises(PartialRowImageError, match="name"):
+        apply_batch(spark, batch, str(tmp_path / "s"), ["id"], ["name", "bal"])
+
+
+def test_full_mode_guard_accepts_present_and_null(spark, tmp_path):
+    # NULL stays IN the map ("" + null flag) — distinct from absent;
+    # the guard must not confuse the two
+    batch = _mdf(spark, [
+        _mrow("insert", 1, after={"id": "1", "name": "", "bal": "2"},
+              anull={"id": False, "name": True, "bal": False}),
+    ])
+    snap = str(tmp_path / "s")
+    apply_batch(spark, batch, snap, ["id"], ["name", "bal"])
+    row = spark.read.parquet(snap).collect()[0]
+    assert row["name"] is None and row["bal"] == "2"
+
+
+def test_minimal_mode_coalesces_absent_columns_across_batches(spark, tmp_path):
+    snap = str(tmp_path / "s")
+    b1 = _mdf(spark, [
+        _mrow("insert", 1, after={"id": "1", "name": "alice", "bal": "10"}),
+    ])
+    # MINIMAL update: after omits the unchanged PK AND name
+    b2 = _mdf(spark, [
+        _mrow("update", 2, before={"id": "1"}, after={"bal": "99"}),
+    ])
+    apply_batch(spark, b1, snap, ["id"], ["name", "bal"], row_image="minimal")
+    apply_batch(spark, b2, snap, ["id"], ["name", "bal"], row_image="minimal")
+    row = spark.read.parquet(snap).collect()[0]
+    assert (row["id"], row["name"], row["bal"]) == ("1", "alice", "99")
+
+
+def test_minimal_mode_in_batch_fold_last_carrier_wins(spark, tmp_path):
+    snap = str(tmp_path / "s")
+    batch = _mdf(spark, [
+        _mrow("insert", 1, after={"id": "1", "name": "a", "bal": "1"}),
+        _mrow("update", 2, before={"id": "1"}, after={"bal": "2"}),
+        _mrow("update", 3, before={"id": "1"}, after={"name": "z"}),
+    ])
+    apply_batch(spark, batch, snap, ["id"], ["name", "bal"], row_image="minimal")
+    row = spark.read.parquet(snap).collect()[0]
+    # name from op 3, bal from op 2, both surviving the per-column fold
+    assert (row["name"], row["bal"]) == ("z", "2")
+
+
+def test_minimal_mode_pk_change_pulls_from_origin_row(spark, tmp_path):
+    snap = str(tmp_path / "s")
+    b1 = _mdf(spark, [
+        _mrow("insert", 1, after={"id": "2", "name": "bob", "bal": "5"}),
+    ])
+    # PK-changing MINIMAL update 2 -> 7: after carries only the new PK;
+    # name/bal must come from the OLD key's snapshot row
+    b2 = _mdf(spark, [
+        _mrow("update", 2, before={"id": "2"}, after={"id": "7"}),
+    ])
+    apply_batch(spark, b1, snap, ["id"], ["name", "bal"], row_image="minimal")
+    apply_batch(spark, b2, snap, ["id"], ["name", "bal"], row_image="minimal")
+    got = {r["id"]: (r["name"], r["bal"]) for r in spark.read.parquet(snap).collect()}
+    assert got == {"7": ("bob", "5")}
+
+
+def test_minimal_mode_carried_null_is_not_coalesced(spark, tmp_path):
+    snap = str(tmp_path / "s")
+    b1 = _mdf(spark, [
+        _mrow("insert", 1, after={"id": "1", "name": "a", "bal": "1"}),
+    ])
+    # update carries name present-and-NULL: must store NULL, not the
+    # old snapshot value
+    b2 = _mdf(spark, [
+        _mrow("update", 2, before={"id": "1"}, after={"name": ""},
+              anull={"name": True}),
+    ])
+    apply_batch(spark, b1, snap, ["id"], ["name", "bal"], row_image="minimal")
+    apply_batch(spark, b2, snap, ["id"], ["name", "bal"], row_image="minimal")
+    row = spark.read.parquet(snap).collect()[0]
+    assert row["name"] is None and row["bal"] == "1"
+
+
+def test_minimal_mode_partitioned_matches_flat(spark, tmp_path):
+    from dolphinbeat_spark.sinks.apply_changes import (
+        apply_batch_partitioned,
+        read_snapshot,
+    )
+
+    flat, part = str(tmp_path / "flat"), str(tmp_path / "part")
+    batches = [
+        _mdf(spark, [
+            _mrow("insert", 1, after={"id": "1", "name": "a", "bal": "1"}),
+            _mrow("insert", 2, after={"id": "2", "name": "b", "bal": "2"}),
+        ]),
+        _mdf(spark, [
+            _mrow("update", 3, before={"id": "1"}, after={"bal": "9"}),
+            _mrow("update", 4, before={"id": "2"}, after={"id": "5"}),
+            _mrow("delete", 5, before={"id": "1"}),
+        ]),
+    ]
+    for b in batches:
+        apply_batch(spark, b, flat, ["id"], ["name", "bal"], row_image="minimal")
+        apply_batch_partitioned(spark, b, part, ["id"], ["name", "bal"],
+                                num_buckets=4, row_image="minimal")
+    f = {tuple(r) for r in read_snapshot(spark, flat).collect()}
+    p = {tuple(r) for r in read_snapshot(spark, part).collect()}
+    assert f == p == {("5", "b", "2")}
+
+
+def test_minimal_mode_rejects_patch_json_cols(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="PARTIAL_JSON"):
+        apply_batch(spark, _mdf(spark, []), str(tmp_path / "s"), ["id"],
+                    ["doc"], patch_json_cols=("doc",), row_image="minimal")
