@@ -60,6 +60,16 @@ ENVELOPE_SCHEMA = T.StructType(
         T.StructField("after_null", T.MapType(T.StringType(), T.BooleanType())),
         T.StructField("schema_version", T.LongType()),
         T.StructField("progress", PROGRESS_TYPE),
+        # MySQL 5.7+ group-commit logical clock (GTID event bytes 26-41;
+        # the reference tracks both, canal/sync.go:144-145, and reserves
+        # wire fields 9/10, protocol.proto:137-138). Transactions whose
+        # sequence_number intervals share a last_committed watermark
+        # committed together on the master and are therefore
+        # conflict-free — the enabling primitive for parallel
+        # downstream apply (operators/projection.parallel_apply_groups).
+        # NULL on feeds without the clock (pre-5.7, MariaDB dialect).
+        T.StructField("last_committed", T.LongType()),
+        T.StructField("sequence_number", T.LongType()),
     ]
 )
 

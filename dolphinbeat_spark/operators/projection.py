@@ -361,3 +361,48 @@ def frame_transactions(envelope: DataFrame) -> DataFrame:
             F.collect_set("op_type").alias("op_types"),
         )
     )
+
+
+def parallel_apply_groups(envelope: DataFrame) -> DataFrame:
+    """Group committed transactions into parallel-apply cohorts from
+    the group-commit logical clock (``last_committed`` /
+    ``sequence_number``, MySQL 5.7+ GTID events).
+
+    Transactions sharing one ``last_committed`` watermark prepared
+    concurrently on the master (for i<j with equal lc:
+    lc_j = lc < sn_i, the MTS LOGICAL_CLOCK pairwise rule), so a
+    downstream applier can run each cohort's transactions in parallel
+    and only barrier BETWEEN cohorts — the reference tracks the clock
+    (canal/sync.go:144-145) and reserves wire fields 9/10 for it but
+    never acts on it; this closes that loop. Same-lc grouping is the
+    conservative subset of the full interval rule (a trx may also
+    overlap the NEXT cohort when its sn interval allows); cohorts are
+    already the master's real group-commit batches, so the extra
+    parallelism forgone is the cross-batch overlap only.
+
+    Returns one row per committed transaction: (log_name, gtid,
+    last_committed, sequence_number, n_row_ops, apply_group). Scale:
+    one row per TRANSACTION, not per row op — the window partitions by
+    log_name (size-capped binlog files) and the per-trx row-op counts
+    partial-aggregate map-side before the one keyed shuffle. Clock-less
+    feeds (pre-5.7, MariaDB) have NULL sequence_number and are
+    excluded: with no clock there is no safe parallelism claim."""
+    from pyspark.sql import Window
+
+    commits = envelope.filter(
+        (F.col("op_type") == "commit") & F.col("sequence_number").isNotNull()
+    ).select("log_name", "gtid", "last_committed", "sequence_number")
+    row_ops = (
+        envelope.filter(
+            F.col("op_type").isin("insert", "update", "delete")
+            & F.col("sequence_number").isNotNull()
+        )
+        .groupBy("log_name", "sequence_number")
+        .agg(F.count(F.lit(1)).alias("n_row_ops"))
+    )
+    w = Window.partitionBy("log_name").orderBy("last_committed")
+    return (
+        commits.join(row_ops, ["log_name", "sequence_number"], "left")
+        .withColumn("n_row_ops", F.coalesce(F.col("n_row_ops"), F.lit(0)))
+        .withColumn("apply_group", F.dense_rank().over(w).cast("long"))
+    )

@@ -292,6 +292,13 @@ def encode_operation(row: dict, table_def=None) -> bytes:
         out += f_varint(7, as_int(row.get("next_log_pos")))
     elif op_type == "gtid":
         out += f_str(8, row.get("gtid"))
+        # group-commit logical clock, wire fields 9/10 — the reference
+        # RESERVES these (protocol.proto:137-138) but its producer never
+        # populates them (operation.go:93-99 omission); we do, enabling
+        # parallel apply at the consumer. NaN/None (clock-less feed)
+        # encodes as the proto3 default (absent).
+        out += f_varint(9, as_int(row.get("last_committed")))
+        out += f_varint(10, as_int(row.get("sequence_number")))
     elif op_type in ("query", "ddl"):
         out += f_str(11, row.get("db"))
         out += f_str(12, row.get("statement"))
@@ -420,6 +427,13 @@ def decode_operation(buf: bytes) -> dict:
     op["next_log_name"] = _s(f, 6) or None
     op["next_log_pos"] = _i(f, 7) or None
     op["gtid"] = _s(f, 8) or None
+    # proto3 cannot distinguish absent from 0, and f_varint elides the
+    # 0 default — so field 10 is the clock's presence witness (real
+    # sequence_numbers start at 1; last_committed CAN be 0 for the
+    # first group of a binlog and then decodes via the proto3 default)
+    has_clock = 10 in f
+    op["last_committed"] = _i(f, 9) if has_clock else None
+    op["sequence_number"] = _i(f, 10) if has_clock else None
     op["database"] = _s(f, 11) or None
     op["statement"] = _s(f, 12) or None
     if 13 in f:

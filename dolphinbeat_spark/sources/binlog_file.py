@@ -122,9 +122,15 @@ class RotateEvent(_Event):
 
 
 class GtidEvent(_Event):
-    def __init__(self, ts, log_pos, gtid: str):
+    def __init__(self, ts, log_pos, gtid: str,
+                 last_committed: int | None = None,
+                 sequence_number: int | None = None):
         super().__init__(ts, log_pos)
         self.gtid = gtid
+        # MySQL 5.7+ group-commit logical clock (None when the event
+        # predates it or the dialect lacks it — MariaDB)
+        self.last_committed = last_committed
+        self.sequence_number = sequence_number
 
 
 class QueryEvent(_Event):
@@ -705,14 +711,22 @@ def _decode_body(etype, ts, _server_id, log_pos, body, tables):
         (position,) = struct.unpack_from("<Q", body, 0)
         return RotateEvent(ts, log_pos, body[8:].decode("utf-8"), position)
     elif etype == EV_GTID:
-        # flags(1) sid(16) gno(8LE); later-version logical-clock
-        # fields follow and are ignored
+        # flags(1) sid(16) gno(8LE), then (5.7+) the group-commit
+        # logical clock: lt_type(1)=2 (LOGICAL_TIMESTAMP_TYPECODE,
+        # libbinlogevents control_events.h) + last_committed(8LE) +
+        # sequence_number(8LE). Later 8.0 tail fields (immediate/
+        # original commit timestamps, transaction_length) follow and
+        # are ignored.
         sid = body[1:17]
         (gno,) = struct.unpack_from("<q", body, 17)
         uuid = "-".join(
             sid.hex()[a:b] for a, b in ((0, 8), (8, 12), (12, 16), (16, 20), (20, 32))
         )
-        return GtidEvent(ts, log_pos, f"{uuid}:{gno}")
+        last_committed = sequence_number = None
+        if len(body) >= 42 and body[25] == 2:
+            last_committed, sequence_number = struct.unpack_from("<qq", body, 26)
+        return GtidEvent(ts, log_pos, f"{uuid}:{gno}",
+                         last_committed, sequence_number)
     elif etype == EV_QUERY:
         db_len = body[8]
         status_len = struct.unpack_from("<H", body, 11)[0]

@@ -106,6 +106,12 @@ class DecodeContext:
     registry: SchemaRegistry
     log_name: str = ""
     pending_gtid: str = ""
+    #: group-commit logical clock of the pending transaction (MySQL
+    #: 5.7+ GTID event; None on clock-less feeds) — stamped onto every
+    #: op of the transaction so downstream parallel apply can group
+    #: conflict-free transactions (canal/sync.go:144-145)
+    pending_last_committed: int | None = None
+    pending_sequence_number: int | None = None
     server_id: int = 0
     in_trx: bool = False
     #: optional (db, table) -> bool predicate; row events of rejected
@@ -129,19 +135,26 @@ def decode_event(ev: object, ctx: DecodeContext) -> list[dict]:
     kind = getattr(ev, "kind", None)
     ts = int(getattr(ev, "timestamp", 0))
     log_pos = int(getattr(ev, "log_pos", 0))
+    if kind == "gtid":
+        # update the pending clock BEFORE stamping, so the gtid op and
+        # everything through its commit carry the same values
+        ctx.pending_gtid = ev.gtid
+        ctx.pending_last_committed = getattr(ev, "last_committed", None)
+        ctx.pending_sequence_number = getattr(ev, "sequence_number", None)
     base = dict(
         server_id=ctx.server_id,
         timestamp=ts,
         log_name=ctx.log_name,
         log_pos=log_pos,
         row_index=0,  # overridden per row image for multi-row events
+        last_committed=ctx.pending_last_committed,
+        sequence_number=ctx.pending_sequence_number,
     )
     if kind == "rotate":
         ctx.log_name = ev.next_binlog
         return [dict(op_type="rotate", next_log_name=ev.next_binlog,
                      next_log_pos=int(ev.position), **base)]
     if kind == "gtid":
-        ctx.pending_gtid = ev.gtid
         return [dict(op_type="gtid", gtid=ev.gtid, **base)]
     if kind == "query":
         # apply_only: schema-seeding replay below a seek offset (file
@@ -417,7 +430,17 @@ def adapt_replication_event(raw: object) -> object | None:
             nb = nb.decode()
         return SimpleNamespace(kind="rotate", next_binlog=nb, position=int(raw.position), **base)
     if cls in ("GtidEvent", "MariadbGtidEvent"):
-        return SimpleNamespace(kind="gtid", gtid=str(raw.gtid), **base)
+        # MySQL 5.7+ logical clock when the upstream parser exposes it
+        # (our file parser does; pymysqlreplication's GtidEvent decodes
+        # it on recent versions) — None otherwise, including MariaDB
+        lc = getattr(raw, "last_committed", None)
+        sn = getattr(raw, "sequence_number", None)
+        return SimpleNamespace(
+            kind="gtid", gtid=str(raw.gtid),
+            last_committed=None if lc is None else int(lc),
+            sequence_number=None if sn is None else int(sn),
+            **base,
+        )
     if cls in ("QueryEvent", "SchemaOnlyQueryEvent"):
         q = raw.query
         if isinstance(q, bytes):

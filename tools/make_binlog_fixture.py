@@ -174,8 +174,15 @@ class Writer:
         body = struct.pack("<IIBHH", 7, 0, len(dbb), 0, 0) + dbb + b"\x00" + q
         self.event(B.EV_QUERY, body)
 
-    def gtid(self, sid_hex: str, gno: int) -> None:
+    def gtid(self, sid_hex: str, gno: int,
+             last_committed: int | None = None,
+             sequence_number: int | None = None) -> None:
+        """GTID event; pass both clock args to append the 5.7+ logical
+        timestamp block (lt_type=2 + last_committed + sequence_number).
+        Existing fixtures omit it — their bytes stay identical."""
         body = bytes([1]) + bytes.fromhex(sid_hex) + struct.pack("<q", gno)
+        if last_committed is not None and sequence_number is not None:
+            body += bytes([2]) + struct.pack("<qq", last_committed, sequence_number)
         self.event(B.EV_GTID, body)
 
     def previous_gtids(self, parts: list | None = None) -> None:
