@@ -569,6 +569,92 @@ def kmeans_centroids(
     return cents.select("cid", F.col("cv").cast("array<float>").alias("cv"))
 
 
+def lloyd_kmeans_exact(
+    train: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int,
+    dim: int,
+) -> DataFrame:
+    """Deterministic DISTRIBUTED Lloyd's k-means whose every float op
+    is a bit-reproducible ordered fold — the trained coarse quantizer
+    that CAN be replicated by an independent engine (retiring the
+    rows-only gate the seeded-numpy/MLlib variants force):
+
+    - init: the first ``k`` training vectors by ``id_col`` order
+      (sorted init — deterministic, no RNG), cid = 0..k-1
+    - assignment: min squared-L2 via an in-order fold over dims,
+      smallest cid on ties (min_by over the (d2, cid) struct — a
+      map-side partial aggregate, the exchange carries one row per
+      vector)
+    - update: per-cell mean as an ordered fold — members sorted by id,
+      elementwise array fold-sum, divide by count. Unordered SUM would
+      be run-dependent float association; the ordered fold is
+      bit-identical across engines (registry docstring contract).
+      Empty cells keep their previous centroid.
+
+    Scale: per iteration one broadcast-assign pass + one keyed shuffle
+    of (cell, vector) — identical shape to ``ivf_assign``; the member
+    fold is per-cell bounded by the TRAINING sample (callers pass a
+    hash-mod sample, faiss practice), never the corpus. Returns the
+    (cid, cv) contract, cv as array<double>."""
+    v = train.select(
+        F.col(id_col).alias("__tid"),
+        F.col(vec_col).cast("array<double>").alias("__tv"),
+    )
+    w = Window.orderBy("__tid")
+    cents = (
+        v.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select((F.col("__rn") - 1).cast("int").alias("cid"), F.col("__tv").alias("cv"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("__tv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(iters):
+        assigned = (
+            v.crossJoin(F.broadcast(cents))
+            .select("__tid", "__tv", "cid", d2.alias("__d2"))
+            .groupBy("__tid")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("cid"), F.col("__tv")),
+                    F.struct(F.col("__d2"), F.col("cid")),
+                ).alias("__b")
+            )
+            .select(
+                F.col("__b.cid").alias("cid"),
+                F.col("__b.__tv").alias("__tv"),
+                "__tid",
+            )
+        )
+        means = (
+            assigned.groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__tid"), F.col("__tv")))
+                ).alias("__arr")
+            )
+            .select(
+                "cid",
+                F.transform(
+                    F.aggregate(
+                        F.transform(F.col("__arr"), lambda s: s["__tv"]),
+                        F.array_repeat(F.lit(0.0), dim),
+                        lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
+                    ),
+                    lambda x: x / F.size(F.col("__arr")),
+                ).alias("cv"),
+            )
+        )
+        kept = cents.join(means.select("cid"), "cid", "left_anti")
+        cents = means.unionByName(kept)
+    return cents
+
+
 def sample_kmeans_centroids(
     sample: DataFrame,
     id_col: str,

@@ -76,6 +76,11 @@ _GLOBAL_WINDOW_OK = {
     # the EVALUATION side (exact-error column), documented as dropped
     # at scale — same status as dedup_lsh_recall's bounded truth side
     "sketch_quantiles_sampled",
+    # lloyd_kmeans_exact's sorted init: row_number over the TRAINING
+    # SAMPLE (hash-mod bounded, faiss codebook practice — never the
+    # corpus) picks the first k vectors deterministically so the DuckDB
+    # oracle can replay training bit-identically
+    "sim_ivf_trained_recall",
 }
 
 
