@@ -25,9 +25,13 @@ Verification strategy (tests/test_multimodal.py):
   re-encoding of an image must decode BIT-IDENTICAL to the baseline
   encoding (same coefficients, different scan order).
 
-Unsupported-but-detected shapes raise honestly by name: arithmetic
-coding, restart intervals, 12-bit precision, lossless/extended SOFs,
-sampling factors beyond 1/2 (4:4:4, 4:2:2 and 4:2:0 all decode).
+Restart intervals (DRI + RSTn) decode in both baseline and
+progressive scans: predictors/EOB runs reset at each marker, and a
+missing, misplaced, or out-of-sequence RSTn raises a typed JpegError
+naming the expected marker. Unsupported-but-detected shapes raise
+honestly by name: arithmetic coding, 12-bit precision,
+lossless/extended SOFs, sampling factors beyond 1/2 (4:4:4, 4:2:2 and
+4:2:0 all decode).
 
 At 100 TB this decode runs inside the same Arrow ``mapInPandas`` slot
 as the other codecs (operators/multimodal.py::decode_media) — one
@@ -200,6 +204,11 @@ class _BitWriter:
             self.acc = self.n = 0
         return bytes(self.out)
 
+    def put_restart(self, n: int) -> None:
+        """Byte-align (1-padding per B.1.1.5) and emit RSTn."""
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (n % 8)])
+
 
 class _BitReader:
     """MSB-first reader over entropy-coded data with FF00 de-stuffing;
@@ -219,13 +228,44 @@ class _BitReader:
             if nxt == 0x00:
                 self.pos += 1
             elif 0xD0 <= nxt <= 0xD7:
-                raise NotImplementedError(
-                    "JPEG restart markers (DRI) not supported"
+                # a restart marker is only legal at a restart-interval
+                # boundary, where decode consumes it via restart() —
+                # hitting one mid-entropy-data means the stream lost
+                # sync (or carries a bogus/missing DRI)
+                raise JpegError(
+                    f"misplaced restart marker RST{nxt - 0xD0} inside "
+                    "entropy data (before the restart interval elapsed)"
                 )
             else:
                 raise JpegError(f"unexpected marker FF{nxt:02X} inside scan")
         self.acc = (self.acc << 8) | b
         self.n += 8
+
+    def restart(self, expected: int) -> None:
+        """Consume the RSTn due at a restart-interval boundary
+        (B.2.1.2): drop padding bits, expect FF D0+(expected%8);
+        anything else — entropy bytes where the marker belongs
+        (missing RSTn) or the wrong index (dropped/duplicated
+        interval) — is a typed error."""
+        self.acc = 0
+        self.n = 0
+        if self.pos + 1 >= len(self.data) or self.data[self.pos] != 0xFF:
+            raise JpegError(
+                f"missing restart marker RST{expected % 8} at interval "
+                "boundary (found entropy data)"
+            )
+        nxt = self.data[self.pos + 1]
+        if not (0xD0 <= nxt <= 0xD7):
+            raise JpegError(
+                f"expected RST{expected % 8} at restart boundary, "
+                f"found marker FF{nxt:02X}"
+            )
+        if nxt - 0xD0 != expected % 8:
+            raise JpegError(
+                f"restart marker out of sequence: RST{nxt - 0xD0} where "
+                f"RST{expected % 8} expected"
+            )
+        self.pos += 2
 
     def bit(self) -> int:
         if self.n == 0:
@@ -300,11 +340,13 @@ def _encode_block(bw: _BitWriter, block: np.ndarray, quant: np.ndarray,
 
 
 def encode_jpeg(width: int, height: int, pixels: bytes, gray: bool = False,
-                subsample: str = "444") -> bytes:
+                subsample: str = "444", restart_interval: int = 0) -> bytes:
     """Baseline JFIF writer: grayscale (1 byte/px) or RGB (3 bytes/px)
     YCbCr at 4:4:4 or 4:2:0 (``subsample="420"``: luma 2x2, chroma
     box-mean downsampled — the wild-JPEG default), Annex K tables,
-    edge-replicated padding."""
+    edge-replicated padding. ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every that-many MCUs (camera-origin JPEGs
+    routinely carry them for error resilience)."""
     if subsample not in ("444", "420"):
         raise ValueError(f"subsample must be 444 or 420, got {subsample!r}")
     if gray:
@@ -352,13 +394,23 @@ def encode_jpeg(width: int, height: int, pixels: bytes, gray: bool = False,
         bytes([cid + 1, 0x00 if cid == 0 else 0x11]) for cid in range(ch)
     )
     sos = _seg(0xDA, bytes([ch]) + scomp + bytes([0, 63, 0]))
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
     dc_tabs = [_build_codes(*HUFF_DC_LUMA)] + [_build_codes(*HUFF_DC_CHROMA)] * (ch - 1)
     ac_tabs = [_build_codes(*HUFF_AC_LUMA)] + [_build_codes(*HUFF_AC_CHROMA)] * (ch - 1)
     bw = _BitWriter()
     preds = [0] * ch
+
+    def maybe_restart(mcu_i: int) -> None:
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            bw.put_restart(mcu_i // restart_interval - 1)
+            preds[:] = [0] * ch
+
     if subsample == "420" and ch == 3:
         for my in range(ph // 16):
             for mx in range(pw // 16):
+                maybe_restart(my * (pw // 16) + mx)
                 for byi in range(2):
                     for bxi in range(2):
                         y0, x0 = my * 16 + byi * 8, mx * 16 + bxi * 8
@@ -374,19 +426,21 @@ def encode_jpeg(width: int, height: int, pixels: bytes, gray: bool = False,
     else:
         for by in range(ph // 8):
             for bx in range(pw // 8):
+                maybe_restart(by * (pw // 8) + bx)
                 for c in range(ch):
                     blk = planes[c][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
                     preds[c] = _encode_block(
                         bw, blk, quants[c], dc_tabs[c], ac_tabs[c], preds[c]
                     )
     return (
-        b"\xff\xd8" + dqt + sof + dhts + sos + bw.flush() + b"\xff\xd9"
+        b"\xff\xd8" + dqt + sof + dhts + dri + sos + bw.flush() + b"\xff\xd9"
     )
 
 
 def encode_jpeg_progressive(width: int, height: int, pixels: bytes,
                             gray: bool = False,
-                            subsample: str = "444") -> bytes:
+                            subsample: str = "444",
+                            restart_interval: int = 0) -> bytes:
     """Progressive (SOF2) JFIF writer — the fixture generator for the
     progressive decoder. Scan script (a cjpeg-like simple progression):
 
@@ -482,6 +536,8 @@ def encode_jpeg_progressive(width: int, height: int, pixels: bytes,
         return _seg(0xDA, body + bytes([ss, se, ah << 4 | al]))
 
     out = b"\xff\xd8" + dqt + sof + dhts
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
 
     # scan 1: DC first, interleaved, Al=1
     bw = _BitWriter()
@@ -489,6 +545,10 @@ def encode_jpeg_progressive(width: int, height: int, pixels: bytes,
     mcux, mcuy = pw // (8 * hmax), ph // (8 * vmax)
     for my in range(mcuy):
         for mx in range(mcux):
+            mcu_i = my * mcux + mx
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.put_restart(mcu_i // restart_interval - 1)
+                preds = [0] * ch
             for c in range(ch):
                 hs, vs = samp[c]
                 for byi in range(vs):
@@ -525,6 +585,10 @@ def encode_jpeg_progressive(width: int, height: int, pixels: bytes,
             bw_c, bh_c = true_bdims[c]
             for by in range(bh_c):
                 for bx in range(bw_c):
+                    unit = by * bw_c + bx
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        flush_eob()  # EOB runs never cross a restart
+                        bw.put_restart(unit // restart_interval - 1)
                     zz = coefs[c][by, bx]
                     ks = [k for k in range(ss, se + 1) if zz[k]]
                     if not ks:
@@ -558,6 +622,9 @@ def encode_jpeg_progressive(width: int, height: int, pixels: bytes,
     bw = _BitWriter()
     for my in range(mcuy):
         for mx in range(mcux):
+            mcu_i = my * mcux + mx
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.put_restart(mcu_i // restart_interval - 1)
             for c in range(ch):
                 hs, vs = samp[c]
                 for byi in range(vs):
@@ -580,8 +647,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     (spectral selection + successive approximation, T.81 Annex G:
     multi-scan coefficient accumulation, DC first/refine, AC
     first/refine with EOB runs), F.2 entropy decode, dequant +
-    dezigzag + IDCT per block, JFIF YCbCr→RGB. Arithmetic coding
-    (SOF9+), 12-bit, sampling factors beyond 2 and restart intervals
+    dezigzag + IDCT per block, JFIF YCbCr→RGB. Restart intervals
+    (DRI/RSTn) decode in both modes with typed errors for
+    missing/misplaced/out-of-sequence markers. Arithmetic coding
+    (SOF9+), 12-bit and sampling factors beyond 2
     raise honestly by name; any malformed byte surfaces as the typed
     JpegError, never a foreign IndexError/struct.error (note the lossy
     caveat: a bit flip INSIDE valid entropy data decodes to different
@@ -606,6 +675,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     progressive = False
     prog = None  # _ProgState once the first SOF2 scan arrives
     scan = None  # baseline: list of (comp_index, dc_tid, ac_tid)
+    restart_interval = 0  # DRI; 0 = no restarts (last DRI before a scan wins)
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at {pos}")
@@ -615,6 +685,12 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
             continue
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # length-less standalone markers (TEM, stray RSTn between
+            # scans) — parsing them as length-prefixed would read two
+            # arbitrary bytes as a segment length and mis-skip
+            pos += 2
+            continue
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4:pos + 2 + seglen]
         pos += 2 + seglen
@@ -656,15 +732,18 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
             raise NotImplementedError("extended/lossless JPEG not supported")
         elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("arithmetic-coded JPEG not supported")
-        elif marker == 0xDD:
-            raise NotImplementedError("JPEG restart intervals (DRI) not supported")
+        elif marker == 0xDD:  # DRI (B.2.4.4): MCUs between RSTn markers
+            if len(body) != 2:
+                raise JpegError(f"DRI segment length {len(body) + 4} != 6")
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS: entropy data follows the header
             if comps is None:
                 raise JpegError("SOS before SOF")
             if progressive:
                 if prog is None:
                     prog = _ProgState(comps, w, h)
-                pos = prog.decode_scan(data, pos, body, dc_dec, ac_dec)
+                pos = prog.decode_scan(data, pos, body, dc_dec, ac_dec,
+                                       restart_interval)
                 continue  # keep walking: more scans / DHT redefinitions
             ns = body[0]
             scan = []
@@ -723,6 +802,12 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
 
     for my in range(mcuy):
         for mx in range(mcux):
+            mcu_i = my * mcux + mx
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                # RSTn due (B.2.1.2): consume it, verify its modulo-8
+                # sequence index, reset every DC predictor
+                br.restart(mcu_i // restart_interval - 1)
+                preds = [0] * len(scan)
             for si, (ci, dct, act) in enumerate(scan):
                 _, qtid, hs, vs = comps[ci]
                 try:
@@ -835,7 +920,7 @@ class _ProgState:
             self.bdims.append(((cw + 7) // 8, (ch + 7) // 8))
 
     def decode_scan(self, data: bytes, pos: int, body: bytes,
-                    dc_dec: dict, ac_dec: dict) -> int:
+                    dc_dec: dict, ac_dec: dict, ri: int = 0) -> int:
         ns = body[0]
         sel = []
         for i in range(ns):
@@ -851,9 +936,9 @@ class _ProgState:
         ah, al = body[p + 2] >> 4, body[p + 2] & 0x0F
         br = _BitReader(data, pos)
         if ss == 0:
-            self._dc_scan(br, sel, se, ah, al, dc_dec)
+            self._dc_scan(br, sel, se, ah, al, dc_dec, ri)
         else:
-            self._ac_scan(br, sel, ss, se, ah, al, ac_dec)
+            self._ac_scan(br, sel, ss, se, ah, al, ac_dec, ri)
         # resync: the scan's last byte may hold padding bits; advance
         # to the next marker (FF followed by a non-stuffing byte)
         pos = br.pos
@@ -863,7 +948,7 @@ class _ProgState:
             pos += 1
         return pos
 
-    def _dc_scan(self, br, sel, se, ah, al, dc_dec):
+    def _dc_scan(self, br, sel, se, ah, al, dc_dec, ri=0):
         if se != 0:
             raise JpegError("progressive DC scan with Se != 0")
         first = ah == 0
@@ -875,6 +960,15 @@ class _ProgState:
                     raise JpegError(f"scan references missing DC table {dct}")
                 tabs[ci] = t
         preds = {ci: 0 for ci, _, _ in sel}
+
+        def maybe_restart(unit):
+            # RSTn every ri MCUs (a progressive DRI applies per scan;
+            # non-interleaved scans count their own blocks as MCUs):
+            # byte-align, verify sequence, reset the DC predictors
+            if ri and unit and unit % ri == 0:
+                br.restart(unit // ri - 1)
+                for k in preds:
+                    preds[k] = 0
 
         def block(ci, by, bx):
             c = self.coefs[ci]
@@ -888,6 +982,7 @@ class _ProgState:
         if len(sel) > 1:  # interleaved over MCUs
             for my in range(self.mcuy):
                 for mx in range(self.mcux):
+                    maybe_restart(my * self.mcux + mx)
                     for ci, _, _ in sel:
                         _, _, hs, vs = self.comps[ci]
                         for byi in range(vs):
@@ -898,9 +993,10 @@ class _ProgState:
             bw_c, bh_c = self.bdims[ci]
             for by in range(bh_c):
                 for bx in range(bw_c):
+                    maybe_restart(by * bw_c + bx)
                     block(ci, by, bx)
 
-    def _ac_scan(self, br, sel, ss, se, ah, al, ac_dec):
+    def _ac_scan(self, br, sel, ss, se, ah, al, ac_dec, ri=0):
         if len(sel) != 1:
             raise JpegError("progressive AC scan must be single-component")
         if se > 63 or ss > se:
@@ -915,6 +1011,13 @@ class _ProgState:
         p1, m1 = 1 << al, -(1 << al)
         for by in range(bh_c):
             for bx in range(bw_c):
+                unit = by * bw_c + bx
+                if ri and unit and unit % ri == 0:
+                    # G.1.2.2/B.2.1.2: a restart resets the entropy
+                    # state — EOB runs shall not cross the boundary, so
+                    # any pending run is discarded with the marker
+                    br.restart(unit // ri - 1)
+                    eobrun = 0
                 zz = carr[by, bx]
                 if ah != 0:
                     eobrun = _refine_ac(br, zz, ss, se, p1, m1, ac_tab, eobrun)

@@ -482,3 +482,56 @@ def mm_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     media = spark.createDataFrame(rows, "media_id long, payload binary")
     return M.decode_media(media).orderBy("media_id")
+
+
+@register(
+    "mm_decode_jpeg_dri",
+    # same flat-grayscale closed form as mm_decode_jpeg, but every
+    # payload carries a DRI segment and RSTn markers (restart_interval
+    # = 1 on a 2-MCU 16x8 image => a marker between the MCUs). Even
+    # doc_ids encode BASELINE, odd PROGRESSIVE (restarts in the DC
+    # first, AC band and DC refinement scans) — both restart paths sit
+    # under one oracle. Restarts reset the DC predictor, and a flat
+    # image stays DC-lossless, so the closed form is unchanged.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         2 * (ord(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 64) AS v
+  FROM documents WHERE doc_id % 19 = 3
+)
+SELECT media_id,
+       'jpeg' AS fmt,
+       CAST(16 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(128 * v AS BIGINT) AS pixel_sum,
+       md5(repeat(chr(CAST(v AS INTEGER)), 128)) AS pixel_md5
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "codec", "dri"),
+)
+def mm_decode_jpeg_dri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG restart-interval decode under the oracle gate (VERDICT r9
+    #6): DRI + RSTn markers in both baseline and progressive streams —
+    predictor/EOB-run reset at each marker, byte-aligned marker
+    consumption, modulo-8 sequence verification. Missing/misplaced/
+    out-of-sequence RSTn fuzz lives in tests/test_multimodal.py."""
+    import hashlib
+
+    from dolphinbeat_spark.operators.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 19 == 3)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        v = 2 * (ord(hashlib.md5(str(i).encode()).hexdigest()[0]) % 64)
+        enc = encode_jpeg if i % 2 == 0 else encode_jpeg_progressive
+        rows.append(
+            (i, bytearray(enc(16, 8, bytes([v]) * 128, gray=True,
+                              restart_interval=1)))
+        )
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return M.decode_media(media).orderBy("media_id")

@@ -577,10 +577,13 @@ def test_jpeg_honest_failures():
     # truncated entropy stream
     with pytest.raises((JpegError, IndexError)) as exc:
         decode_jpeg(bytes(good[:-8]))
-    # restart interval marker
-    dri = bytes(good[:2]) + b"\xff\xdd" + struct.pack(">H", 4) + b"\x00\x08" + bytes(good[2:])
-    with pytest.raises(NotImplementedError, match="restart"):
-        decode_jpeg(dri)
+    # a DRI segment now DECODES (r9); an interval the 1-MCU image never
+    # reaches changes nothing
+    dri = (bytes(good[:2]) + b"\xff\xdd" + struct.pack(">H", 4)
+           + struct.pack(">H", 8) + bytes(good[2:]))
+    import numpy as np
+
+    assert np.array_equal(decode_jpeg(dri)[2], decode_jpeg(bytes(good))[2])
 
 
 def test_codec_fuzz_typed_errors_only():
@@ -772,3 +775,82 @@ def test_jpeg_progressive_dc_refinement_and_eob_runs():
     _, _, base = decode_jpeg(encode_jpeg(32, 8, img, gray=True))
     _, _, prog = decode_jpeg(encode_jpeg_progressive(32, 8, img, gray=True))
     assert (base == prog).all()
+
+
+def test_jpeg_dri_baseline_and_progressive_roundtrip():
+    """DRI + RSTn decode identity: restart markers partition the
+    entropy data but must not change a single pixel — baseline 4:4:4,
+    baseline 4:2:0, progressive (restarts in DC first / AC band / DC
+    refinement scans), gray progressive."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    w, h = 40, 24
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).tobytes()
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(w, h, px, restart_interval=4))[2],
+        decode_jpeg(encode_jpeg(w, h, px))[2],
+    )
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(w, h, px, subsample="420", restart_interval=2))[2],
+        decode_jpeg(encode_jpeg(w, h, px, subsample="420"))[2],
+    )
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(w, h, px, restart_interval=3))[2],
+        decode_jpeg(encode_jpeg_progressive(w, h, px))[2],
+    )
+    g = rng.integers(0, 256, (h, w), dtype=np.uint8).tobytes()
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(w, h, g, gray=True, restart_interval=2))[2],
+        decode_jpeg(encode_jpeg_progressive(w, h, g, gray=True))[2],
+    )
+
+
+def test_jpeg_dri_fuzz_typed_errors():
+    """Misplaced, out-of-sequence, and missing RSTn all raise typed
+    JpegError naming the marker — never a foreign crash."""
+    import numpy as np
+    import pytest
+
+    from dolphinbeat_spark.operators.jpeg import JpegError, decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(13)
+    w, h = 40, 24
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).tobytes()
+    good = encode_jpeg(w, h, px, restart_interval=4)
+
+    # wrong sequence index (RST5 where RST0 due)
+    buf = bytearray(good)
+    i = buf.find(b"\xff\xd0", 100)
+    assert i > 0
+    buf[i + 1] = 0xD5
+    with pytest.raises(JpegError, match="out of sequence"):
+        decode_jpeg(bytes(buf))
+
+    # DRI removed but markers still in the scan: misplaced RSTn by name
+    nodri = bytearray(good)
+    j = nodri.find(b"\xff\xdd")
+    del nodri[j:j + 6]
+    with pytest.raises(JpegError, match="misplaced restart"):
+        decode_jpeg(bytes(nodri))
+
+    # marker deleted where one is due: the decoder either reports the
+    # missing/garbled restart structure or a downstream entropy error —
+    # always typed
+    nomark = bytearray(good)
+    del nomark[i:i + 2]
+    with pytest.raises(JpegError):
+        decode_jpeg(bytes(nomark))
+
+    # truncated DRI segment
+    import struct as _s
+
+    shortdri = (good[:2] + b"\xff\xdd" + _s.pack(">H", 3) + b"\x01" + good[2:])
+    with pytest.raises(JpegError, match="DRI"):
+        decode_jpeg(bytes(shortdri))
