@@ -944,7 +944,23 @@ def binlog_file_provider(options: dict):
             and off_file == alias
             and off_file not in {p.name for p in _paths()}
         ):
-            off_file = _paths()[0].name
+            paths = _paths()
+            off_file = paths[0].name
+            if len(paths) > 1:
+                # the remap can only anchor to the FIRST series file: a
+                # checkpoint taken while reading a LATER file replays
+                # every later-file event (safe direction, at-least-once
+                # — but diagnosable duplicates, ADVICE r8)
+                import warnings
+
+                warnings.warn(
+                    f"alias checkpoint file={alias!r} remapped to first "
+                    f"series file {off_file!r} of a {len(paths)}-file "
+                    "series: events from later files at-or-before the "
+                    "checkpoint will replay (at-least-once)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         start_key = (off_file, offset.pos) if off_file else ("", 0)
         fresh = not offset.file or offset.pos <= 4
         out = []

@@ -1180,6 +1180,57 @@ class ArrowBinlogStreamReader(DataSourceStreamReader):
             options.get("max_pos_delta_per_batch", str(64 * 1024 * 1024))
         )
         self._planned_end: BinlogOffset | None = None  # driver-side clamp state
+        # provider prefetch (VERDICT r9 #7): resolving the provider —
+        # module import + factory construction, which for scripted/file
+        # providers builds the whole event script — used to run inside
+        # the FIRST latestOffset call, serial with batch planning. The
+        # reader is constructed when the query starts, well before
+        # Spark's first planning round trip, so a background thread
+        # warms the (factory, latest) pair here and planning overlaps
+        # the build. Subsequent latestOffset calls reuse the resolved
+        # pair (factories are stateless closures; ``latest`` re-probes
+        # its head on every call, so freshness is unaffected).
+        self._provider_pair = None
+        self._provider_err: Exception | None = None
+        self._provider_ready = None
+        provider = self.options.get("provider")
+        if provider:
+            import threading
+
+            self._provider_ready = threading.Event()
+
+            def _warm() -> None:
+                try:
+                    self._provider_pair = _resolve_provider(provider)(self.options)
+                except Exception as ex:  # surfaced on first use, not swallowed
+                    self._provider_err = ex
+                finally:
+                    self._provider_ready.set()
+
+            threading.Thread(
+                target=_warm, daemon=True, name="binlog-provider-warm"
+            ).start()
+
+    def _provider(self):
+        """The resolved (event_iter_factory, latest_fn) pair — from the
+        prefetch thread when it won the race, resolved inline otherwise."""
+        if self._provider_ready is not None:
+            self._provider_ready.wait()
+            if self._provider_err is not None:
+                raise self._provider_err
+            return self._provider_pair
+        return _resolve_provider(self.options["provider"])(self.options)
+
+    def __getstate__(self):
+        # the reader ships to executors for read(); the prefetch
+        # thread/Event and resolved closures are driver-runner-local
+        # and not picklable — executors resolve the provider themselves
+        # inside _read_shard_arrow
+        state = dict(self.__dict__)
+        state["_provider_pair"] = None
+        state["_provider_err"] = None
+        state["_provider_ready"] = None
+        return state
 
     def _runner(self):  # pragma: no cover - needs live MySQL
         return pymysql_query_runner(
@@ -1214,7 +1265,7 @@ class ArrowBinlogStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         provider = self.options.get("provider")
         if provider:
-            _factory, latest = _resolve_provider(provider)(self.options)
+            _factory, latest = self._provider()
             head = BinlogOffset.from_json(latest(self.options))
         elif self.options.get("host"):  # pragma: no cover - needs live MySQL
             head = probe_master_offset(self._runner())
