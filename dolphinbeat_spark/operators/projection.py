@@ -406,3 +406,49 @@ def parallel_apply_groups(envelope: DataFrame) -> DataFrame:
         .withColumn("n_row_ops", F.coalesce(F.col("n_row_ops"), F.lit(0)))
         .withColumn("apply_group", F.dense_rank().over(w).cast("long"))
     )
+
+
+def parallel_apply_schedule(envelope: DataFrame) -> DataFrame:
+    """The FULL MTS LOGICAL_CLOCK schedule — greedy maximal groups
+    under the pairwise rule (trx i<j parallel iff lc_j < sn_i), the
+    exact algorithm a MySQL multi-threaded replica coordinator runs.
+
+    :func:`parallel_apply_groups`' same-``last_committed`` cohorts are
+    the conservative subset (the master's literal group-commit
+    batches); this operator also merges ACROSS group commits whenever
+    a later transaction's ``last_committed`` still precedes the
+    current group's FIRST ``sequence_number``. Greedy scan in
+    sequence-number order: a new group starts at transaction *i* iff
+    ``lc_i >= sn_(group start)``. The scan is inherently sequential,
+    so it runs as ``applyInPandas`` per ``log_name`` — a binlog file
+    is size-capped (``max_binlog_size``), so each pandas group is a
+    bounded list of TRANSACTIONS (one row per commit, never per row
+    op); files schedule in parallel. Output: one row per committed
+    transaction with its ``apply_group`` (1-based per file, in
+    sequence order) and the group's anchoring first sequence number.
+    Clock-less commits are excluded (no clock, no parallelism claim)."""
+    commits = envelope.filter(
+        (F.col("op_type") == "commit") & F.col("sequence_number").isNotNull()
+    ).select("log_name", "gtid", "last_committed", "sequence_number")
+
+    def sched(pdf):
+        pdf = pdf.sort_values("sequence_number").reset_index(drop=True)
+        groups, starts = [], []
+        grp, start = 0, None
+        for lc, sn in zip(pdf["last_committed"], pdf["sequence_number"]):
+            if start is None or lc >= start:
+                grp += 1
+                start = sn
+            groups.append(grp)
+            starts.append(start)
+        pdf["apply_group"] = groups
+        pdf["group_start_seq"] = starts
+        return pdf
+
+    return commits.groupBy("log_name").applyInPandas(
+        sched,
+        schema=(
+            "log_name string, gtid string, last_committed long, "
+            "sequence_number long, apply_group long, group_start_seq long"
+        ),
+    )

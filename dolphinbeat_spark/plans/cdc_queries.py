@@ -1324,6 +1324,66 @@ def cdc_parallel_apply_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_parallel_apply_schedule",
+    oracle="""
+WITH RECURSIVE trx AS (
+  SELECT event_id // 5 AS t FROM events GROUP BY 1
+), c AS (
+  SELECT t + 1 AS sn, GREATEST(0, t - ((t * 7) % 5)) AS lc,
+         ROW_NUMBER() OVER (ORDER BY t) AS rn
+  FROM trx
+), g AS (
+  SELECT rn, sn, lc, CAST(1 AS BIGINT) AS apply_group, sn AS group_start_seq
+  FROM c WHERE rn = 1
+  UNION ALL
+  SELECT c.rn, c.sn, c.lc,
+         CASE WHEN c.lc >= g.group_start_seq THEN g.apply_group + 1
+              ELSE g.apply_group END,
+         CASE WHEN c.lc >= g.group_start_seq THEN c.sn
+              ELSE g.group_start_seq END
+  FROM c JOIN g ON c.rn = g.rn + 1
+)
+SELECT 'binlog.000001' AS log_name,
+       'uuid-1:' || CAST(sn AS VARCHAR) AS gtid,
+       lc AS last_committed, sn AS sequence_number,
+       apply_group, group_start_seq
+FROM g ORDER BY sequence_number
+""",
+    tags=("cdc", "logical-clock", "parallel-apply"),
+)
+def cdc_parallel_apply_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MTS LOGICAL_CLOCK greedy schedule under the oracle
+    gate: events → transactions (trx = event_id DIV 5) with a sliding
+    synthetic clock (sn = t+1, lc = max(0, t - (7t mod 5)) — groups of
+    varying width that also merge ACROSS group commits), scheduled by
+    the REAL ``parallel_apply_schedule`` operator (sequential greedy
+    scan per binlog file via applyInPandas; a new group starts when
+    lc >= the group's first sequence number). The oracle replays the
+    same scan with a recursive CTE. Complements
+    cdc_parallel_apply_groups' conservative same-lc cohorts with the
+    exact replica-coordinator rule."""
+    from dolphinbeat_spark.operators.projection import parallel_apply_schedule
+
+    e = load(spark, sf_dir, "events")
+    t = F.floor(F.col("event_id") / 5).cast("long")
+    env = (
+        e.groupBy(t.alias("t"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("commit").alias("op_type"),
+            F.lit("binlog.000001").alias("log_name"),
+            F.concat(F.lit("uuid-1:"), (F.col("t") + 1).cast("string")).alias("gtid"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                (F.col("t") - ((F.col("t") * 7) % 5)).cast("long"),
+            ).alias("last_committed"),
+            (F.col("t") + 1).alias("sequence_number"),
+        )
+    )
+    return parallel_apply_schedule(env).orderBy("sequence_number")
+
+
+@register(
     "cdc_apply_minimal_image",
     oracle="""
 SELECT * FROM (VALUES

@@ -116,3 +116,27 @@ def _uuid() -> str:
     return "-".join(
         SID[a:b] for a, b in ((0, 8), (8, 12), (12, 16), (16, 20), (20, 32))
     )
+
+
+def test_parallel_apply_schedule_greedy_groups(spark):
+    """Full MTS interval rule: groups merge ACROSS group commits when
+    lc still precedes the group's first sn; boundary exactly at
+    lc == group_start_seq."""
+    from dolphinbeat_spark.operators.projection import parallel_apply_schedule
+
+    # (lc, sn): greedy from sn=1 -> group1 {1,2,3} (lc<1), boundary at
+    # (1,4) since lc 1 >= start 1 -> group2 {4,5} (lc<4), boundary at
+    # (4,6) -> group3 {6}
+    trx = [(0, 1), (0, 2), (0, 3), (1, 4), (3, 5), (4, 6)]
+    rows = [("commit", "b.1", f"u:{sn}", lc, sn) for lc, sn in trx]
+    env = spark.createDataFrame(
+        rows,
+        "op_type string, log_name string, gtid string, "
+        "last_committed long, sequence_number long",
+    )
+    got = {
+        r["sequence_number"]: (r["apply_group"], r["group_start_seq"])
+        for r in parallel_apply_schedule(env).collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 1), 3: (1, 1),
+                   4: (2, 4), 5: (2, 4), 6: (3, 6)}
