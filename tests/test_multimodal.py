@@ -201,12 +201,30 @@ def test_decode_wav_validation():
         decode_wav(b"RIFX" + b"\x00" * 60)  # wrong magic
     with pytest.raises(ValueError):
         decode_wav(wav(bytes(10))[:-5])  # truncated data chunk
-    with pytest.raises(NotImplementedError):
-        decode_wav(wav(bytes(10), fmt=3))  # float PCM: codec territory
-    with pytest.raises(NotImplementedError):
-        decode_wav(wav(bytes(12), channels=3, bits=8))  # >2 channels
-    with pytest.raises(NotImplementedError):
-        decode_wav(wav(bytes(12), bits=24))  # 24-bit: esoteric
+
+    # r9 widenings: IEEE float, 24/32-bit PCM, >2 channels
+    f = np.array([1.5, -2.25, 7.0], dtype="<f4")
+    rate, ch, n, got = decode_wav(wav(f.tobytes(), bits=32, fmt=3))
+    assert (ch, n) == (1, 3) and np.array_equal(got, f)
+    f64 = np.array([0.125, -1e9], dtype="<f8")
+    _, _, n, got = decode_wav(wav(f64.tobytes(), bits=64, fmt=3))
+    assert n == 2 and np.array_equal(got, f64)
+    raw24 = bytes([0x56, 0x34, 0x12, 0xFE, 0xFF, 0xFF])  # 0x123456, -2
+    _, _, n, got = decode_wav(wav(raw24, bits=24))
+    assert list(got) == [0x123456, -2] and got.dtype == np.int32
+    i32 = np.array([2**31 - 1, -5], dtype="<i4")
+    _, _, _, got = decode_wav(wav(i32.tobytes(), bits=32))
+    assert list(got) == [2**31 - 1, -5]
+    rate, ch, n, got = decode_wav(wav(bytes(12), channels=3, bits=8))
+    assert (ch, n) == (3, 12)
+
+    # still honestly out of scope: perceptual/legacy codecs by name
+    with pytest.raises(NotImplementedError, match="0x7"):
+        decode_wav(wav(bytes(10), fmt=7))  # mu-law
+    with pytest.raises(NotImplementedError, match="0x2"):
+        decode_wav(wav(bytes(10), fmt=2))  # MS-ADPCM
+    with pytest.raises(NotImplementedError, match="8-bit IEEE-float"):
+        decode_wav(wav(bytes(10), fmt=3))  # nonsense float width
     # inconsistent header (block_align lies about the frame size)
     bad = bytearray(wav(bytes(8), channels=2, bits=16))
     bad[32] = 1  # block_align 1 vs 2ch x 16bit
@@ -215,6 +233,131 @@ def test_decode_wav_validation():
     # data not a whole number of frames
     with pytest.raises(ValueError, match="multiple"):
         decode_wav(wav(bytes(7), channels=2, bits=16))
+
+
+def test_decode_wav_chunk_walker_and_extensible():
+    """RIFF chunks before data (LIST/fact) are walked per spec;
+    WAVE_FORMAT_EXTENSIBLE unwraps via the SubFormat GUID."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dolphinbeat_spark.operators.multimodal import decode_wav
+
+    s = np.array([100, -100, 7], dtype="<i2")
+    fmtc = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    payload = (
+        b"fmt " + struct.pack("<I", len(fmtc)) + fmtc
+        + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd: padded
+        + b"data" + struct.pack("<I", 6) + s.tobytes()
+    )
+    d = b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
+    rate, ch, n, got = decode_wav(d)
+    assert (rate, ch, n) == (8000, 1, 3) and list(got) == [100, -100, 7]
+
+    # extensible wrapping 16-bit PCM
+    guid = struct.pack("<H", 1) + bytes.fromhex("000000001000800000aa00389b71")
+    ext = struct.pack("<HHI", 0x16, 16, 3) + guid
+    fmtc = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16) + ext
+    d = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmtc) + 8 + 4) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmtc)) + fmtc
+        + b"data" + struct.pack("<I", 4)
+        + np.array([5, -6], dtype="<i2").tobytes()
+    )
+    _, _, n, got = decode_wav(d)
+    assert n == 2 and list(got) == [5, -6]
+    # unregistered GUID raises by name
+    bad = bytearray(d)
+    i = d.index(bytes.fromhex("000000001000800000aa00389b71"))
+    bad[i] = 0xAB
+    with pytest.raises(NotImplementedError, match="GUID"):
+        decode_wav(bytes(bad))
+
+
+def test_decode_wav_ima_adpcm_against_reference_recursion():
+    """IMA ADPCM blocks decode exactly per the published recursion —
+    compared against an independent straight-line replay here, for
+    mono and stereo, multi-block, and fact-chunk truncation."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dolphinbeat_spark.operators.multimodal import (
+        _IMA_INDEX,
+        _IMA_STEPS,
+        decode_wav,
+    )
+
+    def ref_decode(nibbles, pred, idx):
+        out = []
+        for nb in nibbles:
+            st = _IMA_STEPS[idx]
+            d = st >> 3
+            if nb & 1:
+                d += st >> 2
+            if nb & 2:
+                d += st >> 1
+            if nb & 4:
+                d += st
+            if nb & 8:
+                d = -d
+            pred = max(-32768, min(32767, pred + d))
+            idx = max(0, min(88, idx + _IMA_INDEX[nb]))
+            out.append(pred)
+        return out
+
+    def ima_wav(blocks, channels, block_align, spb, fact=None):
+        ext = struct.pack("<HH", 2, spb)
+        fmtc = struct.pack(
+            "<HHIIHH", 0x11, channels, 8000, 4096, block_align, 4
+        ) + ext
+        data = b"".join(blocks)
+        body = b"fmt " + struct.pack("<I", len(fmtc)) + fmtc
+        if fact is not None:
+            body += b"fact" + struct.pack("<II", 4, fact)
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    rng = np.random.RandomState(11)
+    # mono, two blocks, block_align 12 → 16 nibbles/block, spb 17
+    blocks, want = [], []
+    for _ in range(2):
+        pred = int(rng.randint(-30000, 30000))
+        idx = int(rng.randint(0, 89))
+        body = bytes(rng.randint(0, 256, 8).astype("u1"))
+        nib = [x for b in body for x in (b & 0xF, b >> 4)]
+        blocks.append(struct.pack("<hBB", pred, idx, 0) + body)
+        want += [pred] + ref_decode(nib, pred, idx)
+    rate, ch, n, got = decode_wav(ima_wav(blocks, 1, 12, 17))
+    assert (ch, n) == (1, 34) and list(got) == want
+
+    # stereo: words interleave L/R per 4 bytes
+    pL, iL, pR, iR = -5, 3, 1000, 70
+    bodyL1, bodyR1 = bytes([0x10, 0x32, 0x54, 0x76]), bytes([0x98, 0xBA, 0xDC, 0xFE])
+    bodyL2, bodyR2 = bytes([0x01, 0x23, 0x45, 0x67]), bytes([0x89, 0xAB, 0xCD, 0xEF])
+    blk = (
+        struct.pack("<hBB", pL, iL, 0) + struct.pack("<hBB", pR, iR, 0)
+        + bodyL1 + bodyR1 + bodyL2 + bodyR2
+    )
+    rate, ch, n, got = decode_wav(ima_wav([blk], 2, 24, 17))
+    nibL = [x for b in bodyL1 + bodyL2 for x in (b & 0xF, b >> 4)]
+    nibR = [x for b in bodyR1 + bodyR2 for x in (b & 0xF, b >> 4)]
+    assert (ch, n) == (2, 34)
+    assert list(got[0::2]) == [pL] + ref_decode(nibL, pL, iL)
+    assert list(got[1::2]) == [pR] + ref_decode(nibR, pR, iR)
+
+    # fact chunk truncates the logically-short last block
+    rate, ch, n, got = decode_wav(ima_wav(blocks, 1, 12, 17, fact=20))
+    assert n == 20 and list(got) == want[:20]
+    with pytest.raises(ValueError, match="fact"):
+        decode_wav(ima_wav(blocks, 1, 12, 17, fact=99))
+    # malformed: step index > 88 in a block header
+    bad = struct.pack("<hBB", 0, 89, 0) + bytes(8)
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav(ima_wav([bad], 1, 12, 17))
 
 
 def test_png_roundtrip_all_filters_and_color_types():
