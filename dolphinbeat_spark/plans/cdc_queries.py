@@ -1438,3 +1438,48 @@ def cdc_apply_minimal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, schema).orderBy("id")
+
+
+@register(
+    "cdc_binlog_zstd_payload",
+    # the committed fixture's TRANSACTION_PAYLOAD is a REAL zstd frame
+    # (CLI-compressed at fixture-build time) wrapping CREATE TABLE +
+    # 40 formulaic inserts; the oracle regenerates the expected
+    # relation from the same formula
+    oracle="""
+SELECT 'insert' AS op_type,
+       CAST(i AS INTEGER) AS id,
+       printf('server-%03d.dc1.example.com', i) AS host,
+       CAST(i * 10 + 5 AS BIGINT) AS val
+FROM range(40) t(i)
+ORDER BY id
+""",
+    tags=("cdc", "binlog-file", "compression", "zstd"),
+)
+def cdc_binlog_zstd_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binlog_transaction_compression=zstd decode under the oracle
+    gate: the archive's compressed transaction decodes through the
+    from-scratch RFC 8878 zstd decoder (operators/zstd_frame.py —
+    previously a named refusal; the reference gets zstd from a Go
+    library). The inner events — DDL replayed into the schema
+    registry for real column names, then 40 typed inserts — must
+    match the oracle's regenerated relation exactly."""
+    from pathlib import Path
+
+    from dolphinbeat_spark.sources.binlog_file import read_binlog_files
+
+    fixture = (
+        Path(__file__).resolve().parents[2]
+        / "tests" / "fixtures" / "zstd_payload.binlog"
+    )
+    env = read_binlog_files(spark, str(fixture))
+    return (
+        env.filter(F.col("op_type") == "insert")
+        .select(
+            "op_type",
+            F.col("after")["id"].cast("int").alias("id"),
+            F.col("after")["host"].alias("host"),
+            F.col("after")["val"].cast("bigint").alias("val"),
+        )
+        .orderBy("id")
+    )

@@ -642,9 +642,9 @@ def _decode_transaction_payload(body, ts, _server_id, log_pos, tables):
     (each: lenenc type, lenenc length, value; numeric values are
     themselves lenenc) up to the end mark, then the payload — a
     concatenation of ordinary events WITHOUT per-event checksums
-    (checksums apply to the outer event only). zstd payloads need the
-    public ``zstandard`` package; without it the failure is loud and
-    names the server option, never a misparse."""
+    (checksums apply to the outer event only). zstd payloads decode
+    through the from-scratch RFC 8878 decoder in
+    ``operators/zstd_frame.py`` (r9 — previously a named refusal)."""
     p = 0
     compression = _TPE_COMPRESS_NONE
     payload_size = None
@@ -665,17 +665,27 @@ def _decode_transaction_payload(body, ts, _server_id, log_pos, tables):
         # unknown field types are skipped by length (upstream contract)
     payload = body[p:p + payload_size] if payload_size is not None else body[p:]
     if compression == _TPE_COMPRESS_ZSTD:
+        # from-scratch RFC 8878 decoder (operators/zstd_frame.py) — no
+        # external package needed; the event's declared uncompressed
+        # size caps the output so a hostile frame cannot balloon
+        # executor memory
+        from dolphinbeat_spark.operators.zstd_frame import ZstdError, decode_zstd
+
         try:
-            import zstandard
-        except ImportError as ex:
-            raise NotImplementedError(
-                "this binlog was written with binlog_transaction_compression="
-                "zstd; decoding needs the public 'zstandard' package "
-                "(pip install zstandard), which this environment lacks"
+            payload = decode_zstd(
+                payload,
+                max_output=uncompressed_size
+                if uncompressed_size is not None else None,
+            )
+        except ZstdError as ex:
+            raise BinlogFormatError(
+                f"malformed zstd transaction payload: {ex}"
             ) from ex
-        payload = zstandard.ZstdDecompressor().decompress(
-            payload, max_output_size=uncompressed_size or 0
-        )
+        if uncompressed_size is not None and len(payload) != uncompressed_size:
+            raise BinlogFormatError(
+                f"zstd payload decompressed to {len(payload)} bytes, "
+                f"event declared {uncompressed_size}"
+            )
     elif compression != _TPE_COMPRESS_NONE:
         raise BinlogFormatError(
             f"unknown transaction-payload compression type {compression}"

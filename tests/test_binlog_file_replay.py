@@ -640,10 +640,11 @@ def test_transaction_payload_golden_and_negative_time2():
     assert framing == ["begin", "ddl", "insert", "insert", "commit"]
 
 
-def test_zstd_payload_fails_loudly_by_option_name():
-    """A zstd-compressed transaction payload without the zstandard
-    package must fail loudly naming the server option — never misparse
-    the compressed bytes as events."""
+def test_zstd_payload_malformed_frame_fails_typed():
+    """A zstd transaction payload with a corrupt frame must raise the
+    typed BinlogFormatError naming zstd — never misparse the
+    compressed bytes as events. (Since r9 the decode itself is
+    in-repo: operators/zstd_frame.py, RFC 8878 from scratch.)"""
     import sys
 
     sys.path.insert(0, str(Path(__file__).parent.parent))
@@ -660,19 +661,8 @@ def test_zstd_payload_fails_loudly_by_option_name():
         body += lenenc(ftype) + lenenc(len(enc)) + enc
     body += lenenc(0) + fake_payload
     w.event(B.EV_TRANSACTION_PAYLOAD, bytes(body))
-    try:
-        import zstandard  # noqa: F401
-
-        has_zstd = True
-    except ImportError:
-        has_zstd = False
-    if has_zstd:  # pragma: no cover - env ships zstandard
-        with pytest.raises(Exception):
-            list(B.parse_binlog_events(bytes(w.buf)))
-    else:
-        with pytest.raises(NotImplementedError,
-                           match="binlog_transaction_compression"):
-            list(B.parse_binlog_events(bytes(w.buf)))
+    with pytest.raises(B.BinlogFormatError, match="zstd"):
+        list(B.parse_binlog_events(bytes(w.buf)))
     # unknown compression type: typed format error, any environment
     w2 = Writer()
     w2.fde()
@@ -1076,3 +1066,54 @@ def test_series_resume_accepts_configured_file_alias(tmp_path):
     # and latest still reports the real on-disk coordinate
     last = latest({})
     assert last["file"] == "zzz-archive.binlog"
+
+
+def test_zstd_transaction_payload_fixture():
+    """binlog_transaction_compression=zstd archives decode through the
+    from-scratch RFC 8878 decoder (operators/zstd_frame.py): the
+    committed fixture's TRANSACTION_PAYLOAD carries a real zstd frame
+    (CLI-compressed, 1863 -> 684 bytes) wrapping CREATE TABLE + 40
+    inserts. Corruption inside the compressed bytes surfaces as the
+    typed BinlogFormatError, never a misparse."""
+    from dolphinbeat_spark.schema.registry import SchemaRegistry
+    from dolphinbeat_spark.sources.binlog_file import (
+        BinlogFormatError,
+        parse_binlog_events,
+    )
+    from dolphinbeat_spark.sources.binlog_source import (
+        DecodeContext,
+        adapt_replication_event,
+        decode_event,
+    )
+
+    fx = FIXTURE.parent / "zstd_payload.binlog"
+    data = fx.read_bytes()
+
+    def decode(raw_bytes):
+        ctx = DecodeContext(registry=SchemaRegistry(),
+                            log_name="zstd_payload.binlog", server_id=33061)
+        ops = []
+        for raw in parse_binlog_events(raw_bytes):
+            ev = adapt_replication_event(raw)
+            if ev is not None:
+                ops.extend(decode_event(ev, ctx))
+        return ops
+
+    ops = decode(data)
+    ins = [o for o in ops if o["op_type"] == "insert"]
+    assert len(ins) == 40
+    assert all(o["table"] == "metrics" for o in ins)
+    assert ins[0]["after"] == {"id": "0", "host": "server-000.dc1.example.com",
+                               "val": "5"}
+    assert ins[39]["after"]["host"] == "server-039.dc1.example.com"
+    assert ins[39]["after"]["val"] == "395"
+    # the DDL inside the compressed payload replayed into the registry
+    # (real column names, not positional)
+    assert set(ins[7]["after"]) == {"id", "host", "val"}
+
+    # flip one byte inside the compressed payload: either the outer
+    # CRC trips or the zstd checksum/structure does — both typed
+    corrupt = bytearray(data)
+    corrupt[-220] ^= 0x40
+    with pytest.raises(BinlogFormatError):
+        decode(bytes(corrupt))

@@ -320,9 +320,25 @@ class Writer:
         comp_type = 0 if compress else 255  # ZSTD / NONE
         payload = inner
         if compress:
-            import zstandard
+            # prefer the reference implementation (system zstd CLI) so
+            # the committed fixture carries REAL compressed blocks;
+            # fall back to the in-repo store-mode writer (still a
+            # valid zstd frame) when the CLI is absent
+            import shutil as _sh
+            import subprocess as _sp
 
-            payload = zstandard.ZstdCompressor().compress(inner)
+            cli = _sh.which("zstd")
+            if cli:
+                payload = _sp.run(
+                    [cli, "-19", "-c"], input=inner,
+                    capture_output=True, check=True,
+                ).stdout
+            else:
+                from dolphinbeat_spark.operators.zstd_frame import (
+                    encode_zstd_store,
+                )
+
+                payload = encode_zstd_store(inner)
         body = bytearray()
         for ftype, val in (
             (1, len(payload)), (2, comp_type), (3, len(inner)),
@@ -608,6 +624,53 @@ def write_minimal_fixture() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "minimal.binlog"
     out.write_bytes(bytes(w.buf))
     print(f"wrote {out} ({len(w.buf)} bytes, end pos {w.pos})")
+    write_zstd_fixture()
+
+
+# --- zstd-compressed TRANSACTION_PAYLOAD fixture (r9) ------------------------
+
+ZSTD_COLS = [
+    (B.T_LONG, 0),        # id INT PK
+    (B.T_VARCHAR, 96),    # host VARCHAR(32)
+    (B.T_LONGLONG, 0),    # val BIGINT
+]
+
+
+def write_zstd_fixture() -> None:
+    """tests/fixtures/zstd_payload.binlog: an archive written with
+    binlog_transaction_compression=zstd (MySQL 8.0.20+, WL#3549) — one
+    GTID-framed transaction whose TRANSACTION_PAYLOAD carries a REAL
+    zstd frame (compressed by the system zstd CLI at fixture-build
+    time) wrapping CREATE TABLE + 40 formulaic inserts. Decoded at
+    runtime by the from-scratch RFC 8878 decoder
+    (operators/zstd_frame.py)."""
+    w = Writer()
+    w.fde()
+    w.previous_gtids()
+    sid = "bb22fb58f4c35a3da1c2bb7e2e204f33"
+    w.gtid(sid, 1)
+    rows = [
+        (i, f"server-{i:03d}.dc1.example.com", i * 10 + 5) for i in range(40)
+    ]
+    inner = (
+        inner_query("test", "BEGIN")
+        + inner_query(
+            "test",
+            "CREATE TABLE test.metrics (id INT PRIMARY KEY, "
+            "host VARCHAR(32), val BIGINT)",
+        )
+        + inner_table_map(105, "test", "metrics", ZSTD_COLS)
+        + inner_rows(B.EV_WRITE_ROWS_V2, 105, ZSTD_COLS, rows)
+        + inner_xid(1)
+    )
+    w.transaction_payload(inner, compress=True)
+    w.rotate("zstd_payload.000002")
+    out = (
+        Path(__file__).resolve().parent.parent
+        / "tests" / "fixtures" / "zstd_payload.binlog"
+    )
+    out.write_bytes(bytes(w.buf))
+    print(f"wrote {out} ({len(w.buf)} bytes, inner {len(inner)} bytes)")
 
 
 if __name__ == "__main__":
