@@ -13,9 +13,13 @@ audio — ARE fully decodable and get real byte extraction + digests.
 
 Box walker: size+4cc headers (64-bit largesize handled), moov/trak/
 mdia/minf/stbl containers, mvhd/tkhd/mdhd/hdlr/stsd/stts/stsc/stsz/
-stco/co64 leaves. Fragmented MP4 (moof) raises by name. The writer
-(`encode_mp4`) builds format-faithful fixtures: real chunk
-interleaving, multi-entry stts runs, multi-chunk stsc patterns —
+stco/co64 leaves — plus FRAGMENTED layouts (§8.8): mvex/trex
+defaults, moof/traf with tfhd flag parsing (base-data-offset,
+default-base-is-moof, per-traf defaults), tfdt decode-time anchors,
+multi-trun sample tables with per-sample duration/size/flags/cto
+fields. The writer (`encode_mp4`) builds format-faithful fixtures in
+both layouts: real chunk interleaving, multi-entry stts runs,
+multi-chunk stsc patterns, and fMP4 init-segment + moof/mdat pairs —
 tests and oracle specs decode what a real muxer would emit.
 
 Scale notes: demux runs inside Arrow-batched ``mapInPandas`` — one
@@ -149,25 +153,146 @@ def parse_mp4(data: bytes) -> list[dict]:
     Returns one dict per track: ``track_id``, ``handler`` (vide/soun/
     ...), ``codec`` (stsd entry 4cc), ``timescale``, ``duration``,
     ``samples`` = list of (sample_idx, dts, offset, size) with offsets
-    absolute into ``data``."""
+    absolute into ``data``. Handles both classic (moov sample tables)
+    and FRAGMENTED layouts (moov/mvex init segment + moof/traf/trun
+    fragments — the shape streaming video actually ships)."""
     tracks = []
     saw_moov = False
+    trex: dict[int, tuple] = {}
+    moofs: list[tuple[int, int, int]] = []  # (box_start, body_start, body_end)
     for cc, s, e in _walk(data, 0, len(data)):
         if cc == b"moof":
-            raise Mp4Error(
-                "fragmented MP4 (moof) not supported — flatten with a "
-                "remux first"
-            )
+            # box start = body start - header (8; moof never needs
+            # largesize in practice, and _walk validated the header)
+            moofs.append((s - 8, s, e))
         if cc != b"moov":
             continue
         saw_moov = True
         for cc2, s2, e2 in _walk(data, s, e):
-            if cc2 != b"trak":
-                continue
-            tracks.append(_parse_trak(data, s2, e2))
+            if cc2 == b"trak":
+                tracks.append(_parse_trak(data, s2, e2))
+            elif cc2 == b"mvex":
+                for cc3, s3, e3 in _walk(data, s2, e2):
+                    if cc3 == b"trex":
+                        _, _, p = _fullbox(data, s3)
+                        tid, _sdi, d_dur, d_size, d_flags = struct.unpack_from(
+                            ">IIIII", data, p
+                        )
+                        trex[tid] = (d_dur, d_size)
     if not saw_moov:
         raise Mp4Error("no moov box — not an ISO-BMFF payload (or truncated)")
+    if moofs:
+        _apply_fragments(data, tracks, trex, moofs)
     return tracks
+
+
+def _apply_fragments(data, tracks, trex, moofs) -> None:
+    """Walk moof fragments and append their samples to each track
+    (ISO/IEC 14496-12 §8.8: tfhd defaults + trun per-sample tables)."""
+    by_id = {t["track_id"]: t for t in tracks}
+    next_dts = {tid: t["samples"][-1][1] if t["samples"] else 0
+                for tid, t in by_id.items()}
+    for moof_start, s, e in moofs:
+        for cc, s1, e1 in _walk(data, s, e):
+            if cc != b"traf":
+                continue
+            _parse_traf(data, s1, e1, moof_start, by_id, trex, next_dts)
+
+
+def _parse_traf(data, s, e, moof_start, by_id, trex, next_dts) -> None:
+    tfhd = None
+    base_dts = None
+    truns = []
+    for cc, s1, e1 in _walk(data, s, e):
+        if cc == b"tfhd":
+            _, flags, p = _fullbox(data, s1)
+            tid = int.from_bytes(data[p:p + 4], "big")
+            p += 4
+            base_off = None
+            if flags & 0x1:  # base-data-offset
+                base_off = int.from_bytes(data[p:p + 8], "big")
+                p += 8
+            if flags & 0x2:  # sample-description-index
+                p += 4
+            d_dur = d_size = None
+            if flags & 0x8:
+                d_dur = int.from_bytes(data[p:p + 4], "big")
+                p += 4
+            if flags & 0x10:
+                d_size = int.from_bytes(data[p:p + 4], "big")
+                p += 4
+            if flags & 0x20:  # default-sample-flags
+                p += 4
+            if base_off is None:
+                if flags & 0x20000:  # default-base-is-moof
+                    base_off = moof_start
+                else:
+                    # legacy default (base = start of enclosing moof
+                    # for the FIRST traf only) — ambiguous beyond that
+                    base_off = moof_start
+            tfhd = (tid, base_off, d_dur, d_size)
+        elif cc == b"tfdt":
+            v, _, p = _fullbox(data, s1)
+            base_dts = int.from_bytes(data[p:p + (8 if v == 1 else 4)], "big")
+        elif cc == b"trun":
+            truns.append((s1, e1))
+    if tfhd is None:
+        raise Mp4Error("traf missing tfhd")
+    tid, base_off, d_dur, d_size = tfhd
+    tr = by_id.get(tid)
+    if tr is None:
+        raise Mp4Error(f"traf references unknown track_id {tid}")
+    tx_dur, tx_size = trex.get(tid, (None, None))
+    dts = base_dts if base_dts is not None else next_dts.get(tid, 0)
+    run_off = None  # running offset when a trun omits data_offset
+    for s1, e1 in truns:
+        v, flags, p = _fullbox(data, s1)
+        if v != 0:
+            # v1 only changes composition-offset signedness, which we
+            # skip over anyway
+            pass
+        n = int.from_bytes(data[p:p + 4], "big")
+        p += 4
+        if flags & 0x1:  # data-offset-present (signed)
+            doff = int.from_bytes(data[p:p + 4], "big", signed=True)
+            p += 4
+            off = base_off + doff
+        else:
+            if run_off is None:
+                raise Mp4Error("trun without data_offset before any run")
+            off = run_off
+        if flags & 0x4:  # first-sample-flags
+            p += 4
+        per_dur = bool(flags & 0x100)
+        per_size = bool(flags & 0x200)
+        per_flags = bool(flags & 0x400)
+        per_cto = bool(flags & 0x800)
+        for _ in range(n):
+            dur = d_dur if d_dur is not None else tx_dur
+            size = d_size if d_size is not None else tx_size
+            if per_dur:
+                dur = int.from_bytes(data[p:p + 4], "big")
+                p += 4
+            if per_size:
+                size = int.from_bytes(data[p:p + 4], "big")
+                p += 4
+            if per_flags:
+                p += 4
+            if per_cto:
+                p += 4
+            if p > e1:
+                raise Mp4Error("trun sample table truncated")
+            if size is None or dur is None:
+                raise Mp4Error(
+                    f"track {tid}: no sample size/duration in trun, "
+                    "tfhd defaults, or trex"
+                )
+            idx = len(tr["samples"])
+            tr["samples"].append((idx, dts, off, size))
+            dts += dur
+            off += size
+        run_off = off
+    next_dts[tid] = dts
 
 
 def _parse_trak(data, s, e) -> dict:
@@ -273,7 +398,7 @@ def _full(cc: bytes, v: int, flags: int, payload: bytes) -> bytes:
     return _box(cc, bytes([v]) + flags.to_bytes(3, "big") + payload)
 
 
-def encode_mp4(tracks: list[dict]) -> bytes:
+def encode_mp4(tracks: list[dict], fragments: int | None = None) -> bytes:
     """Minimal format-faithful ISO-BMFF writer for fixtures.
 
     Each track dict: ``handler`` ('vide'|'soun'), ``codec`` (4cc str),
@@ -281,7 +406,15 @@ def encode_mp4(tracks: list[dict]) -> bytes:
     dts deltas (len == samples), optional ``chunk_sizes`` = samples per
     chunk (defaults to one chunk with everything). Chunks are
     interleaved round-robin across tracks in mdat — the layout a real
-    muxer produces."""
+    muxer produces.
+
+    With ``fragments=N`` the file is written FRAGMENTED (fMP4): an
+    init segment (moov with empty sample tables + mvex/trex) followed
+    by one moof+mdat pair per N samples — tfhd uses
+    default-base-is-moof, truns carry explicit data offsets, sizes and
+    durations, tfdt anchors each fragment's decode time."""
+    if fragments is not None:
+        return _encode_fmp4(tracks, fragments)
     # lay out mdat: round-robin chunks
     chunk_plans = []  # per track: list[(sample_lo, sample_hi)]
     for t in tracks:
@@ -411,6 +544,75 @@ def encode_mp4(tracks: list[dict]) -> bytes:
     )
     moov = _box(b"moov", mvhd + traks)
     return ftyp + _box(b"mdat", bytes(mdat)) + moov
+
+
+def _encode_fmp4(tracks: list[dict], per_frag: int) -> bytes:
+    """Fragmented writer: init segment (via the classic writer with
+    empty sample tables, plus mvex/trex) + moof/mdat pairs. Data
+    offsets are moof-relative (default-base-is-moof), computed by
+    building each moof once with placeholders to learn its size."""
+    if per_frag < 1:
+        raise ValueError("fragments must be >= 1")
+    init_tracks = [
+        {**t, "samples": [], "deltas": [], "chunk_sizes": None}
+        for t in tracks
+    ]
+    init = encode_mp4(init_tracks)
+    parts = {}
+    pos = 0
+    while pos < len(init):
+        size = int.from_bytes(init[pos:pos + 4], "big")
+        parts[init[pos + 4:pos + 8]] = init[pos:pos + size]
+        pos += size
+    mvex = b"".join(
+        _full(b"trex", 0, 0, struct.pack(">IIIII", ti + 1, 1, 0, 0, 0))
+        for ti in range(len(tracks))
+    )
+    out = bytearray(
+        parts[b"ftyp"] + _box(b"moov", parts[b"moov"][8:] + _box(b"mvex", mvex))
+    )
+    n_frags = max(
+        (len(t["samples"]) + per_frag - 1) // per_frag for t in tracks
+    )
+    dts_cursor = [0] * len(tracks)
+    for f in range(n_frags):
+        slices = []
+        for ti, t in enumerate(tracks):
+            lo, hi = f * per_frag, min((f + 1) * per_frag, len(t["samples"]))
+            if lo < hi:
+                slices.append((ti, lo, hi))
+
+        def build_moof(offs):
+            trafs = b""
+            for (ti, lo, hi) in slices:
+                t = tracks[ti]
+                tfhd = _full(b"tfhd", 0, 0x20000, struct.pack(">I", ti + 1))
+                tfdt = _full(b"tfdt", 0, 0, struct.pack(">I", dts_cursor[ti]))
+                body = struct.pack(">I", hi - lo)
+                body += struct.pack(">i", offs[ti] if offs else 0)
+                for d, smp in zip(t["deltas"][lo:hi], t["samples"][lo:hi]):
+                    body += struct.pack(">II", d, len(smp))
+                trun = _full(b"trun", 0, 0x1 | 0x100 | 0x200, body)
+                trafs += _box(b"traf", tfhd + tfdt + trun)
+            return _box(
+                b"moof",
+                _full(b"mfhd", 0, 0, struct.pack(">I", f + 1)) + trafs,
+            )
+
+        probe = build_moof(None)
+        offs = {}
+        cur = len(probe) + 8  # moof-relative: mdat payload starts here
+        mdat = bytearray()
+        for (ti, lo, hi) in slices:
+            offs[ti] = cur
+            for smp in tracks[ti]["samples"][lo:hi]:
+                mdat += smp
+                cur += len(smp)
+        moof = build_moof(offs)
+        out += moof + _box(b"mdat", bytes(mdat))
+        for (ti, lo, hi) in slices:
+            dts_cursor[ti] += sum(tracks[ti]["deltas"][lo:hi])
+    return bytes(out)
 
 
 # --- Spark operators -------------------------------------------------------

@@ -1,9 +1,12 @@
 """Multimodal-column query plans (binary payload plumbing).
 
-The decode step is stubbed (no codec libs here — see
-operators/multimodal.py); everything around it — binary columns,
-metadata structs, Arrow-batched feature extraction, frame sampling —
-is real and oracle-checked.
+The decode slots are REAL zero-dependency codecs implemented from
+their public specs (see operators/multimodal.py, operators/jpeg.py,
+operators/mp4_demux.py): PPM/BMP/PNG/GIF/baseline+progressive JPEG
+images, WAV PCM/float/IMA-ADPCM audio, MP4 container demux — each
+under a DuckDB oracle that independently recomputes the decoded
+relation. Only perceptual codec bitstreams (H.264/AAC/MP3) remain
+stubbed by name: no codec libraries exist in this environment.
 """
 
 from __future__ import annotations
@@ -713,6 +716,78 @@ def mm_video_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "channels": 1, "samples": aud, "deltas": [4] * 4,
                  "chunk_sizes": [2, 2]},
             ]
+        )
+        rows.append((i, bytearray(payload)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return (
+        demux_media(media, handler="vide")
+        .select(
+            "media_id", "track_id", "handler", "codec", "sample_idx",
+            "dts", "dts_s", "sample_bytes", "sample_md5",
+        )
+        .orderBy("media_id", "sample_idx")
+    )
+
+
+@register(
+    "mm_video_demux_fragmented",
+    # same sample content as mm_video_demux but written FRAGMENTED
+    # (fMP4: init segment + moof/mdat pairs, tfdt anchors, trun
+    # per-sample tables) — the layout streaming video ships; the
+    # demuxed relation must be identical to the classic layout's
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 27 = 11
+),
+s(sample_idx, start, sz) AS (
+  VALUES (0, 1, 10), (1, 11, 20), (2, 31, 14),
+         (3, 45, 16), (4, 61, 16), (5, 77, 20)
+)
+SELECT media_id,
+       CAST(1 AS BIGINT) AS track_id,
+       'vide' AS handler,
+       'raw ' AS codec,
+       CAST(sample_idx AS BIGINT) AS sample_idx,
+       CAST(sample_idx * 100 AS BIGINT) AS dts,
+       CAST(sample_idx AS DOUBLE) / 10 AS dts_s,
+       CAST(sz AS BIGINT) AS sample_bytes,
+       md5(substr(pattern, start, sz)) AS sample_md5
+FROM p CROSS JOIN s
+ORDER BY media_id, sample_idx
+""",
+    tags=("multimodal", "video", "demux", "fragmented"),
+)
+def mm_video_demux_fragmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAGMENTED MP4 demux under the oracle gate: the same six 'raw '
+    video samples as mm_video_demux, but written as an fMP4 init
+    segment + three moof/mdat fragments (mvex/trex defaults,
+    default-base-is-moof tfhd, tfdt decode-time anchors, explicit
+    trun sample tables). A demuxer that only reads classic stbl
+    tables sees ZERO samples here — this spec pins the fragment walk
+    (ISO/IEC 14496-12 §8.8) against the identical expected relation."""
+    import hashlib
+
+    from dolphinbeat_spark.operators.mp4_demux import demux_media, encode_mp4
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 27 == 11)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    sizes = [10, 20, 14, 16, 16, 20]
+    rows = []
+    for i in ids:
+        pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
+        vid, pos = [], 0
+        for sz in sizes:
+            vid.append(pattern[pos:pos + sz])
+            pos += sz
+        payload = encode_mp4(
+            [
+                {"handler": "vide", "codec": "raw ", "timescale": 1000,
+                 "width": 8, "height": 4, "samples": vid,
+                 "deltas": [100] * 6},
+            ],
+            fragments=2,
         )
         rows.append((i, bytearray(payload)))
     media = spark.createDataFrame(rows, "media_id long, payload binary")

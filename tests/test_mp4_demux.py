@@ -106,10 +106,10 @@ def test_typed_failures():
         parse_mp4(payload[:40])  # truncated mid-mdat
     with pytest.raises(Mp4Error, match="truncated box header"):
         parse_mp4(payload + b"\x00\x00\x00\x09")  # dangling partial box
-    # fragmented MP4 raises by name
+    # a stray empty moof is tolerated (fragmented layouts are parsed
+    # since r9 — an empty fragment contributes no samples)
     moof = struct.pack(">I", 8) + b"moof"
-    with pytest.raises(Mp4Error, match="fragmented"):
-        parse_mp4(moof + payload)
+    assert len(parse_mp4(moof + payload)) == 2
     # box overrunning its container
     bad = struct.pack(">I", 64) + b"free" + b"\x00" * 8
     with pytest.raises(Mp4Error, match="overruns"):
@@ -162,3 +162,77 @@ def test_largesize_and_co64_paths():
     (t,) = parse_mp4(bytes(big2))
     for (idx, dts, off, size_), want in zip(t["samples"], samples):
         assert bytes(big2[off:off + size_]) == want
+
+
+def test_fragmented_roundtrip():
+    """fMP4: init segment + moof/mdat pairs — sample byte ranges,
+    decode times (tfdt anchors), and cross-fragment sample indices all
+    recover exactly; interleaved two-track fragments included."""
+    vid = [bytes([0x10 + i]) * (6 + i) for i in range(7)]
+    aud = [bytes([0x60 + i]) * 3 for i in range(5)]
+    tracks = [
+        {"handler": "vide", "codec": "raw ", "timescale": 1000,
+         "width": 4, "height": 2, "samples": vid,
+         "deltas": [100, 100, 100, 200, 200, 100, 100]},
+        {"handler": "soun", "codec": "twos", "timescale": 8000,
+         "channels": 1, "samples": aud, "deltas": [4] * 5},
+    ]
+    payload = encode_mp4(tracks, fragments=3)
+    parsed = parse_mp4(payload)
+    assert [t["track_id"] for t in parsed] == [1, 2]
+    tv, ta = parsed
+    assert len(tv["samples"]) == 7 and len(ta["samples"]) == 5
+    for (idx, dts, off, size), want in zip(tv["samples"], vid):
+        assert payload[off:off + size] == want
+    assert [s[1] for s in tv["samples"]] == [0, 100, 200, 300, 500, 700, 800]
+    assert [s[0] for s in tv["samples"]] == list(range(7))
+    for (idx, dts, off, size), want in zip(ta["samples"], aud):
+        assert payload[off:off + size] == want
+    assert [s[1] for s in ta["samples"]] == [0, 4, 8, 12, 16]
+    # three fragments (7 video samples / 3 per fragment)
+    assert payload.count(b"moof") == 3
+    # the classic and fragmented layouts of the same content agree on
+    # everything but byte offsets
+    classic = parse_mp4(encode_mp4(tracks))
+    for tc, tf in zip(classic, parsed):
+        assert [(s[0], s[1], s[3]) for s in tc["samples"]] == \
+               [(s[0], s[1], s[3]) for s in tf["samples"]]
+
+
+def test_fragmented_demux_operator(spark):
+    import hashlib
+
+    vid = [bytes([i]) * 10 for i in range(6)]
+    payload = encode_mp4(
+        [{"handler": "vide", "codec": "raw ", "timescale": 90000,
+          "samples": vid, "deltas": [3000] * 6}],
+        fragments=2,
+    )
+    df = spark.createDataFrame(
+        [(9, bytearray(payload))], "media_id long, payload binary"
+    )
+    rows = demux_media(df).orderBy("sample_idx").collect()
+    assert [r["sample_idx"] for r in rows] == list(range(6))
+    assert rows[5]["sample_md5"] == hashlib.md5(vid[5]).hexdigest()
+    assert rows[3]["dts_s"] == pytest.approx(3 * 3000 / 90000)
+
+
+def test_fragmented_typed_failures():
+    vid = [b"abcd"] * 4
+    payload = encode_mp4(
+        [{"handler": "vide", "codec": "raw ", "timescale": 10,
+          "samples": vid, "deltas": [1] * 4}],
+        fragments=2,
+    )
+    # traf referencing an unknown track id
+    i = payload.index(b"tfhd")
+    bad = bytearray(payload)
+    bad[i + 8:i + 12] = struct.pack(">I", 99)
+    with pytest.raises(Mp4Error, match="unknown track_id"):
+        parse_mp4(bytes(bad))
+    # trun sample table truncated: inflate the declared sample count
+    j = payload.index(b"trun")
+    bad = bytearray(payload)
+    bad[j + 8:j + 12] = struct.pack(">I", 1000)
+    with pytest.raises(Mp4Error):
+        parse_mp4(bytes(bad))
