@@ -1,9 +1,13 @@
 """JPEG (ITU-T T.81) codec from scratch — no codec libraries.
 
-De-stubs the last image-decode slot: sequential baseline DCT AND
-progressive (SOF2, Annex G: spectral selection + successive
-approximation — most wild JPEGs are progressive), 8-bit, grayscale or
-YCbCr, built entirely from the PUBLIC spec — Annex K reference
+De-stubs the last image-decode slot: sequential baseline DCT,
+extended sequential (SOF1), AND progressive (SOF2, Annex G: spectral
+selection + successive approximation — most wild JPEGs are
+progressive), 8-bit and 12-bit precision (12-bit: 16-bit DQT entries,
+level shift 2048, uint16 output — the medical/scientific-imaging
+shape; T.81 forbids 12-bit in baseline SOF0 and the decoder rejects
+it as malformed), grayscale or YCbCr, built entirely from the PUBLIC
+spec — Annex K reference
 quantization + Huffman tables (typed below straight from the
 standard, reviewable against it), Annex C canonical Huffman code
 construction, F.2 entropy decoding (EXTEND, run/size, EOB/ZRL), G.1.2
@@ -29,7 +33,7 @@ Restart intervals (DRI + RSTn) decode in both baseline and
 progressive scans: predictors/EOB runs reset at each marker, and a
 missing, misplaced, or out-of-sequence RSTn raises a typed JpegError
 naming the expected marker. Unsupported-but-detected shapes raise
-honestly by name: arithmetic coding, 12-bit precision,
+honestly by name: arithmetic coding,
 lossless/extended SOFs, sampling factors beyond 1/2 (4:4:4, 4:2:2 and
 4:2:0 all decode).
 
@@ -308,8 +312,9 @@ def _seg(marker: int, body: bytes) -> bytes:
 
 
 def _encode_block(bw: _BitWriter, block: np.ndarray, quant: np.ndarray,
-                  dc_codes, ac_codes, pred: int) -> int:
-    coef = _DCT_M @ (block - 128.0) @ _DCT_M.T
+                  dc_codes, ac_codes, pred: int,
+                  level: float = 128.0) -> int:
+    coef = _DCT_M @ (block - level) @ _DCT_M.T
     q = np.round(coef / quant).astype(np.int64)
     zz = q.reshape(64)[ZIGZAG]
     diff = int(zz[0]) - pred
@@ -340,21 +345,37 @@ def _encode_block(bw: _BitWriter, block: np.ndarray, quant: np.ndarray,
 
 
 def encode_jpeg(width: int, height: int, pixels: bytes, gray: bool = False,
-                subsample: str = "444", restart_interval: int = 0) -> bytes:
+                subsample: str = "444", restart_interval: int = 0,
+                precision: int = 8) -> bytes:
     """Baseline JFIF writer: grayscale (1 byte/px) or RGB (3 bytes/px)
     YCbCr at 4:4:4 or 4:2:0 (``subsample="420"``: luma 2x2, chroma
     box-mean downsampled — the wild-JPEG default), Annex K tables,
     edge-replicated padding. ``restart_interval`` > 0 emits a DRI
     segment and RSTn markers every that-many MCUs (camera-origin JPEGs
-    routinely carry them for error resilience)."""
+    routinely carry them for error resilience).
+
+    ``precision=12`` writes EXTENDED SEQUENTIAL (SOF1 — T.81 forbids
+    12-bit baseline): grayscale only, pixels as little-endian uint16
+    (2 bytes/px, values 0..4095), 16-bit DQT entries (Pq=1), level
+    shift 2048 — the medical/scientific-imaging shape."""
     if subsample not in ("444", "420"):
         raise ValueError(f"subsample must be 444 or 420, got {subsample!r}")
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
+    if precision == 12 and not gray:
+        raise NotImplementedError("12-bit encode: grayscale only")
     if gray:
         subsample = "444"
     ch = 1 if gray else 3
-    if len(pixels) != width * height * ch:
-        raise ValueError(f"need {width * height * ch} bytes, got {len(pixels)}")
-    img = np.frombuffer(pixels, np.uint8).reshape(height, width, ch).astype(np.float64)
+    px_bytes = 1 if precision == 8 else 2
+    if len(pixels) != width * height * ch * px_bytes:
+        raise ValueError(
+            f"need {width * height * ch * px_bytes} bytes, got {len(pixels)}"
+        )
+    img = np.frombuffer(
+        pixels, np.uint8 if precision == 8 else np.dtype("<u2")
+    ).reshape(height, width, ch).astype(np.float64)
+    level = float(1 << (precision - 1))
     if gray:
         planes = [img[:, :, 0]]
     else:
@@ -375,7 +396,11 @@ def encode_jpeg(width: int, height: int, pixels: bytes, gray: bool = False,
             q4 = planes[c].reshape(ph // 2, 2, pw // 2, 2)
             planes[c] = q4.mean(axis=(1, 3))
     quants = [QUANT_LUMA] + [QUANT_CHROMA] * (ch - 1)
-    dqt = _seg(0xDB, bytes([0x00]) + QUANT_LUMA.reshape(64)[ZIGZAG].astype(np.uint8).tobytes())
+    if precision == 12:  # Pq=1: 16-bit big-endian table entries
+        dqt = _seg(0xDB, bytes([0x10]) + QUANT_LUMA.reshape(64)[ZIGZAG]
+                   .astype(">u2").tobytes())
+    else:
+        dqt = _seg(0xDB, bytes([0x00]) + QUANT_LUMA.reshape(64)[ZIGZAG].astype(np.uint8).tobytes())
     if ch == 3:
         dqt += _seg(0xDB, bytes([0x01]) + QUANT_CHROMA.reshape(64)[ZIGZAG].astype(np.uint8).tobytes())
     luma_samp = 0x22 if subsample == "420" else 0x11
@@ -383,7 +408,8 @@ def encode_jpeg(width: int, height: int, pixels: bytes, gray: bool = False,
         bytes([cid + 1, luma_samp if cid == 0 else 0x11, 0 if cid == 0 else 1])
         for cid in range(ch)
     )
-    sof = _seg(0xC0, struct.pack(">BHHB", 8, height, width, ch) + comp)
+    sof = _seg(0xC0 if precision == 8 else 0xC1,
+               struct.pack(">BHHB", precision, height, width, ch) + comp)
     def dht(cls, tid, tbl):
         bits, vals = tbl
         return _seg(0xC4, bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals))
@@ -416,12 +442,14 @@ def encode_jpeg(width: int, height: int, pixels: bytes, gray: bool = False,
                         y0, x0 = my * 16 + byi * 8, mx * 16 + bxi * 8
                         blk = planes[0][y0:y0 + 8, x0:x0 + 8]
                         preds[0] = _encode_block(
-                            bw, blk, quants[0], dc_tabs[0], ac_tabs[0], preds[0]
+                            bw, blk, quants[0], dc_tabs[0], ac_tabs[0],
+                            preds[0], level
                         )
                 for c in (1, 2):
                     blk = planes[c][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
                     preds[c] = _encode_block(
-                        bw, blk, quants[c], dc_tabs[c], ac_tabs[c], preds[c]
+                        bw, blk, quants[c], dc_tabs[c], ac_tabs[c],
+                        preds[c], level
                     )
     else:
         for by in range(ph // 8):
@@ -430,7 +458,8 @@ def encode_jpeg(width: int, height: int, pixels: bytes, gray: bool = False,
                 for c in range(ch):
                     blk = planes[c][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
                     preds[c] = _encode_block(
-                        bw, blk, quants[c], dc_tabs[c], ac_tabs[c], preds[c]
+                        bw, blk, quants[c], dc_tabs[c], ac_tabs[c],
+                        preds[c], level
                     )
     return (
         b"\xff\xd8" + dqt + sof + dhts + dri + sos + bw.flush() + b"\xff\xd9"
@@ -672,6 +701,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     ac_dec: dict[int, dict] = {}
     comps = None  # list of (comp_id, quant_tid, hs, vs)
     w = h = None
+    precision = 8
     progressive = False
     prog = None  # _ProgState once the first SOF2 scan arrives
     scan = None  # baseline: list of (comp_index, dc_tid, ac_tid)
@@ -697,13 +727,17 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
         if marker == 0xDB:  # DQT (possibly several tables per marker)
             p = 0
             while p < len(body):
-                prec, tid = body[p] >> 4, body[p] & 0x0F
-                if prec != 0:
-                    raise NotImplementedError("16-bit quantization tables")
+                pq, tid = body[p] >> 4, body[p] & 0x0F
+                if pq not in (0, 1):
+                    raise JpegError(f"DQT precision field {pq} invalid")
                 tbl = np.zeros(64, np.int32)
-                tbl[ZIGZAG] = np.frombuffer(body, np.uint8, 64, p + 1)
+                if pq:  # 16-bit big-endian entries (12-bit streams)
+                    tbl[ZIGZAG] = np.frombuffer(body, ">u2", 64, p + 1)
+                    p += 129
+                else:
+                    tbl[ZIGZAG] = np.frombuffer(body, np.uint8, 64, p + 1)
+                    p += 65
                 quant[tid] = tbl.reshape(8, 8)
-                p += 65
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(body):
@@ -713,10 +747,15 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 vals = list(body[p + 17:p + 17 + n])
                 (dc_dec if cls == 0 else ac_dec)[tid] = _build_decoder(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / progressive SOF
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline/ext-seq/progressive SOF
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            if prec == 12 and marker == 0xC0:
+                # T.81 Table B.2: baseline is 8-bit only — a 12-bit
+                # SOF0 is a malformed stream, not a capability gap
+                raise JpegError("12-bit precision is invalid in baseline SOF0")
+            precision = prec
             progressive = marker == 0xC2
             comps = []
             for i in range(nc):
@@ -760,9 +799,11 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     if progressive:
         if prog is None:
             raise JpegError("progressive JPEG with no scan")
-        return prog.reconstruct(quant)
+        return prog.reconstruct(quant, precision)
     if scan is None or w is None:
         raise JpegError("JPEG missing SOF/SOS")
+    level = float(1 << (precision - 1))
+    maxval = (1 << precision) - 1
     br = _BitReader(data, pos)
     # MCU geometry from the max sampling factors (A.2.3): each MCU
     # holds hs*vs blocks per component; lower-sampled planes decode at
@@ -798,7 +839,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
             k += 1
         coef = np.zeros(64, np.float64)
         coef[ZIGZAG] = zz * q.reshape(64)[ZIGZAG]
-        return _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M + 128.0
+        return _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M + level
 
     for my in range(mcuy):
         for mx in range(mcux):
@@ -832,17 +873,18 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
             pl = np.repeat(pl, hmax // hs, axis=1)
         up.append(pl[:h, :w])
     planes = up
+    dtype = np.uint8 if precision == 8 else np.uint16
     if len(planes) == 1:
-        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        out = np.clip(np.round(planes[0]), 0, maxval).astype(dtype)
         return w, h, out.reshape(h, w, 1)
     if len(planes) != 3:
         raise NotImplementedError(f"{len(planes)}-component JPEG not supported")
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    y, cb, cr = planes[0], planes[1] - level, planes[2] - level
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
-    return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return w, h, np.clip(np.round(rgb), 0, maxval).astype(dtype)
 
 
 # --- progressive (SOF2, T.81 Annex G) ---------------------------------------
@@ -1043,8 +1085,12 @@ class _ProgState:
                     zz[k] = _extend(br.bits(s), s) * p1
                     k += 1
 
-    def reconstruct(self, quant: dict) -> tuple[int, int, np.ndarray]:
+    def reconstruct(self, quant: dict,
+                    precision: int = 8) -> tuple[int, int, np.ndarray]:
         w, h = self.w, self.h
+        level = float(1 << (precision - 1))
+        maxval = (1 << precision) - 1
+        dtype = np.uint8 if precision == 8 else np.uint16
         planes = []
         for ci, (_, qtid, hs, vs) in enumerate(self.comps):
             q = quant.get(qtid)
@@ -1059,7 +1105,7 @@ class _ProgState:
                     nat = np.zeros(64, np.float64)
                     nat[ZIGZAG] = carr[by, bx] * qzz
                     pl[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
-                        _DCT_M.T @ nat.reshape(8, 8) @ _DCT_M + 128.0
+                        _DCT_M.T @ nat.reshape(8, 8) @ _DCT_M + level
                     )
             if vs < self.vmax:
                 pl = np.repeat(pl, self.vmax // vs, axis=0)
@@ -1067,15 +1113,15 @@ class _ProgState:
                 pl = np.repeat(pl, self.hmax // hs, axis=1)
             planes.append(pl[:h, :w])
         if len(planes) == 1:
-            out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+            out = np.clip(np.round(planes[0]), 0, maxval).astype(dtype)
             return w, h, out.reshape(h, w, 1)
         if len(planes) != 3:
             raise NotImplementedError(
                 f"{len(planes)}-component JPEG not supported"
             )
-        y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        y, cb, cr = planes[0], planes[1] - level, planes[2] - level
         r = y + 1.402 * cr
         g = y - 0.344136 * cb - 0.714136 * cr
         b = y + 1.772 * cb
         rgb = np.stack([r, g, b], axis=-1)
-        return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        return w, h, np.clip(np.round(rgb), 0, maxval).astype(dtype)

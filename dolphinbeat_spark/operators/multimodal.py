@@ -5,15 +5,19 @@ metadata struct. The Spark-side machinery — schema, Arrow batch
 shape, mapInPandas signatures, frame-index explosion — is real and
 oracle-tested. The decode slot:
 
-- ``decode_media`` REALLY decodes with the zero-dependency numpy
-  codecs below: PPM P6, 24-bit BI_RGB BMP, PNG (stdlib zlib inflate +
-  full scanline unfilter + PLTE indirection — PNG's entropy coding is
-  DEFLATE, which the stdlib ships) and GIF (LZW implemented from
-  scratch per the public spec) — actual pixel parsing, oracle-checked
-  by md5 of the decoded bytes.
-- formats needing external codec libraries (JPEG/video) still raise:
-  none exist in this container. ``decode_media_stub`` keeps the
-  deterministic fake for exercising pipelines over such payloads.
+- ``decode_media`` REALLY decodes with the zero-dependency codecs
+  below and in ``operators/jpeg.py``: PPM P6, 24-bit BI_RGB BMP, PNG
+  (stdlib zlib inflate + full scanline unfilter + PLTE indirection),
+  GIF (from-scratch LZW), baseline + progressive JPEG (ITU-T T.81
+  from scratch) — actual pixel parsing, oracle-checked by md5 of the
+  decoded bytes.
+- ``decode_audio`` decodes real WAV containers: PCM 8/16/24/32-bit,
+  IEEE float, WAVE_FORMAT_EXTENSIBLE, and IMA/DVI ADPCM from scratch.
+- video containers demux for real in ``operators/mp4_demux.py``; only
+  perceptual codec BITSTREAMS (H.264/AAC/MP3) still raise by name —
+  no codec libraries exist in this container. ``decode_media_stub``
+  keeps the deterministic fake for exercising pipelines over such
+  payloads.
 - ``extract_binary_features`` is a REAL Arrow-batched feature pass
   (byte length + sha256) whose output the DuckDB oracle reproduces.
 
@@ -729,13 +733,20 @@ def decode_audio(df: DataFrame, digest: str = "bytes") -> DataFrame:
     return df.mapInPandas(batches, AUDIO_SCHEMA)
 
 
-def decode_media(df: DataFrame) -> DataFrame:
-    """REAL media decode for uncompressed formats: sniffs the payload
-    magic (``P6`` → PPM, ``BM`` → BMP), decodes actual pixel data with
-    the numpy codecs above, and emits per-image stats + the md5 of the
-    decoded RGB bytes. Arrow-batched mapInPandas — the same signature a
-    PIL/ffmpeg decode would slot into; compressed formats raise
-    NotImplementedError (stub retained: no codec libs here)."""
+def decode_media(df: DataFrame, digest: str = "bytes") -> DataFrame:
+    """REAL media decode: sniffs the payload magic and decodes actual
+    pixel data with the from-scratch codecs (PPM, BMP, PNG, GIF,
+    baseline/extended/progressive JPEG incl. 12-bit), emitting
+    per-image stats + the md5 of the decoded bytes. Arrow-batched
+    mapInPandas — the signature a PIL/ffmpeg decode would slot into;
+    unknown formats raise NotImplementedError by name.
+
+    ``digest="hex"`` md5s the lowercase-hex rendering of the decoded
+    little-endian sample bytes instead of the raw bytes — the form a
+    SQL oracle can recompute when samples are wider than one byte
+    (12-bit JPEG → uint16; DuckDB's md5 takes VARCHAR only)."""
+    if digest not in ("bytes", "hex"):
+        raise ValueError(f"digest must be 'bytes' or 'hex', got {digest!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -760,11 +771,16 @@ def decode_media(df: DataFrame) -> DataFrame:
                         "codec libraries not present in this environment"
                     )
                 px = np.ascontiguousarray(px)
+                if px.dtype.itemsize > 1:  # explicit LE for the digest
+                    px = px.astype(px.dtype.newbyteorder("<"))
+                sb = px.tobytes()
                 rows.append(
                     (
                         mid, fmt, w, h,
                         int(px.astype(np.int64).sum()),
-                        hashlib.md5(px.tobytes()).hexdigest(),
+                        hashlib.md5(
+                            sb if digest == "bytes" else sb.hex().encode()
+                        ).hexdigest(),
                     )
                 )
             yield pd.DataFrame(

@@ -799,3 +799,57 @@ def mm_video_demux_fragmented(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "sample_idx")
     )
+
+
+@register(
+    "mm_decode_jpeg12",
+    # payload = a REAL 12-bit EXTENDED SEQUENTIAL JPEG (SOF1, 16-bit
+    # DQT, level shift 2048) of a FLAT 16x8 grayscale image with
+    # v = 2048 + 2*((ord(first md5 hex char) % 64) - 32) — an even
+    # offset from 2048, so the lone DC coefficient quantizes
+    # losslessly and the decode returns exactly v in every uint16
+    # pixel; the oracle rebuilds the little-endian hex stream for the
+    # digest (DuckDB md5 takes VARCHAR only — same contract as
+    # mm_decode_wav_adpcm)
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         2048 + 2 * ((ord(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 64) - 32) AS v
+  FROM documents WHERE doc_id % 29 = 9
+)
+SELECT media_id,
+       'jpeg' AS fmt,
+       CAST(16 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(128 * v AS BIGINT) AS pixel_sum,
+       md5(repeat(printf('%02x%02x', v & 255, (v >> 8) & 255), 128)) AS pixel_md5
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "codec", "12bit"),
+)
+def mm_decode_jpeg12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-BIT JPEG decode under the oracle gate (the medical/
+    scientific-imaging precision, previously a named refusal): SOF1
+    extended sequential with 16-bit quantization tables and level
+    shift 2048, decoded to uint16 pixels by the same from-scratch
+    T.81 machinery as the 8-bit paths (operators/jpeg.py). Flat even
+    values make the decoded relation closed-form; the digest is over
+    the hex rendering of the little-endian uint16 stream
+    (decode_media digest='hex')."""
+    import hashlib
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.jpeg import encode_jpeg
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 9)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        v = 2048 + 2 * ((ord(hashlib.md5(str(i).encode()).hexdigest()[0]) % 64) - 32)
+        px = np.full(16 * 8, v, dtype="<u2").tobytes()
+        rows.append((i, bytearray(encode_jpeg(16, 8, px, gray=True,
+                                              precision=12))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return M.decode_media(media, digest="hex").orderBy("media_id")

@@ -997,3 +997,54 @@ def test_jpeg_dri_fuzz_typed_errors():
     shortdri = (good[:2] + b"\xff\xdd" + _s.pack(">H", 3) + b"\x01" + good[2:])
     with pytest.raises(JpegError, match="DRI"):
         decode_jpeg(bytes(shortdri))
+
+
+def test_jpeg_12bit_extended_sequential():
+    """12-bit precision (SOF1 extended sequential): 16-bit DQT entries,
+    level shift 2048, uint16 output; flat even values round-trip
+    exactly (lossless DC quantization closed form); 12-bit baseline
+    SOF0 is rejected as malformed per T.81 Table B.2."""
+    import numpy as np
+    import pytest
+
+    from dolphinbeat_spark.operators.jpeg import (
+        JpegError,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for v in (2, 1984, 2048, 2110, 4094):
+        px = np.full(16 * 8, v, dtype="<u2").tobytes()
+        w, h, out = decode_jpeg(encode_jpeg(16, 8, px, gray=True,
+                                            precision=12))
+        assert (w, h) == (16, 8) and out.dtype == np.uint16
+        assert (out == v).all()
+
+    # restart markers interoperate with 12-bit scans
+    px = np.full(128, 2046, dtype="<u2").tobytes()
+    d = encode_jpeg(16, 8, px, gray=True, precision=12, restart_interval=1)
+    assert (decode_jpeg(d)[2] == 2046).all()
+
+    # textured content: reconstruction error bounded by quantization
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 4096, 24 * 16).astype("<u2")
+    w, h, out = decode_jpeg(
+        encode_jpeg(24, 16, img.tobytes(), gray=True, precision=12)
+    )
+    err = np.abs(out.reshape(-1).astype(int) - img.astype(int))
+    assert err.max() < 300  # q-table bounded; measured ~67
+
+    # 12-bit SOF0 = malformed stream, not a capability gap
+    good = bytearray(encode_jpeg(16, 8, np.full(128, 2000, "<u2").tobytes(),
+                                 gray=True, precision=12))
+    i = good.index(b"\xff\xc1")
+    good[i + 1] = 0xC0
+    with pytest.raises(JpegError, match="baseline SOF0"):
+        decode_jpeg(bytes(good))
+
+    # still-unsupported precision raises by name
+    bad = bytearray(encode_jpeg(16, 8, bytes(128), gray=True))
+    j = bad.index(b"\xff\xc0")
+    bad[j + 4] = 10  # SOF precision byte
+    with pytest.raises(NotImplementedError, match="10-bit"):
+        decode_jpeg(bytes(bad))
