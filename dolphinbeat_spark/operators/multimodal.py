@@ -120,9 +120,10 @@ def frame_sample_plan(df: DataFrame, frame_bytes: int = 32, every: int = 4) -> D
 
 # ---------------------------------------------------------------------------
 # REAL zero-dependency codecs: PPM (P6), 24-bit uncompressed BMP, PNG
-# (zlib DEFLATE + unfilter + palette), GIF (from-scratch LZW), WAV PCM.
-# All public byte-layout formats decodable with numpy + stdlib alone.
-# JPEG/video still raise — their codecs need libraries absent here.
+# (zlib DEFLATE + unfilter + palette), GIF (from-scratch LZW), WAV
+# (PCM/float/extensible + IMA ADPCM + G.711 companding). JPEG lives in
+# operators/jpeg.py, MP4 demux in operators/mp4_demux.py — all public
+# byte-layout formats decodable with numpy + stdlib alone.
 # ---------------------------------------------------------------------------
 
 # PPM allows ANY number of consecutive comment lines before each
@@ -464,6 +465,30 @@ _IMA_STEPS = (
 )
 _IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
 
+
+def _g711_tables():
+    """ITU-T G.711 companding expansion tables (also RFC 3551 §4.5.14):
+    256-entry u8 → int16 for µ-law (wFormatTag 7) and A-law (6)."""
+    ulaw = np.empty(256, np.int16)
+    alaw = np.empty(256, np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        exp = (u >> 4) & 7
+        mant = u & 0xF
+        x = (((mant << 3) + 0x84) << exp) - 0x84
+        ulaw[b] = -x if u & 0x80 else x
+        a = b ^ 0x55
+        exp = (a >> 4) & 7
+        mant = a & 0xF
+        x = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
+        # A-law's sign convention is INVERTED vs µ-law: bit 7 set means
+        # positive (G.711 Table 2 / the public-domain g711.c reference)
+        alaw[b] = x if a & 0x80 else -x
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_tables()
+
 # WAVE_FORMAT_EXTENSIBLE SubFormat GUID tail shared by all registered
 # formats ({...-0000-0010-8000-00AA00389B71}); the leading u16 is the
 # actual wFormatTag
@@ -544,16 +569,18 @@ def decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
       signed (24-bit frames widened to int32)
     - IEEE float (wFormatTag 3): float32 / float64
     - IMA/DVI ADPCM (wFormatTag 0x11): 4-bit block-coded, mono/stereo
-      — the one compressed WAV codec simple enough to be fully
-      specified publicly (IMA RP / RFC 3551 §4.5.1), decoded from
-      scratch here
+      — decoded from scratch per the public IMA recursion (IMA RP /
+      RFC 3551 §4.5.1)
+    - G.711 µ-law (7) and A-law (6) telephony companding — table
+      expansion per G.711 (validated against the stdlib audioop
+      reference)
     - WAVE_FORMAT_EXTENSIBLE (0xFFFE): unwrapped via the SubFormat
       GUID to one of the above
 
     Returns (sample_rate, n_channels, n_samples, samples) with
     n_samples = total interleaved samples (frames × channels).
-    Perceptual codecs (MP3/AAC in WAV, μ-law, MS-ADPCM) raise by
-    name, honestly."""
+    Perceptual codecs (MP3/AAC in WAV, MS-ADPCM) raise by name,
+    honestly."""
     import struct as _s
 
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -628,6 +655,20 @@ def decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
         else:
             samples = np.frombuffer(payload, dtype=dtypes[bits])
         return rate, channels, n // width, samples
+
+    if audio_fmt in (6, 7):  # G.711 A-law / µ-law telephony companding
+        if bits != 8:
+            raise ValueError(
+                f"G.711 WAV declares {bits} bits/sample (want 8)"
+            )
+        if block_align != channels:
+            raise ValueError(
+                f"inconsistent G.711 header: block_align {block_align} "
+                f"vs {channels} channel(s) x 1 byte"
+            )
+        table = _ALAW_TABLE if audio_fmt == 6 else _ULAW_TABLE
+        samples = table[np.frombuffer(payload, np.uint8)]
+        return rate, channels, len(samples), samples
 
     if audio_fmt == 0x11:  # IMA/DVI ADPCM
         if bits != 4:

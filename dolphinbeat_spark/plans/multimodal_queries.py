@@ -853,3 +853,74 @@ def mm_decode_jpeg12(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               precision=12))))
     media = spark.createDataFrame(rows, "media_id long, payload binary")
     return M.decode_media(media, digest="hex").orderBy("media_id")
+
+
+@register(
+    "mm_decode_wav_ulaw",
+    # payload = a G.711 µ-law WAV (wFormatTag 7) whose 96 sample bytes
+    # are the doc's md5 pattern; the oracle expands each byte with the
+    # published G.711 µ-law formula directly in SQL (complement, 3-bit
+    # exponent, 4-bit mantissa, bias 132) and rebuilds the int16-LE
+    # hex stream for the digest — a second independent implementation
+    # of the codec (the Python side's table is additionally pinned
+    # against the stdlib audioop reference in tests)
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 31 = 12
+),
+s1 AS (
+  SELECT media_id, i,
+         255 - ord(substr(pattern, CAST(i AS INTEGER), 1)) AS u
+  FROM p, range(1, 97) t(i)
+),
+s2 AS (
+  SELECT media_id, i, u, (u >> 4) & 7 AS e, u & 15 AS m FROM s1
+),
+s3 AS (
+  SELECT media_id, i,
+         CASE WHEN u & 128 > 0
+              THEN -((((m << 3) + 132) << e) - 132)
+              ELSE (((m << 3) + 132) << e) - 132 END AS v
+  FROM s2
+)
+SELECT media_id,
+       'wav' AS fmt,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(96 AS BIGINT) AS n_samples,
+       CAST(96 AS DOUBLE) / 8000 AS duration_s,
+       CAST(SUM(v) AS BIGINT) AS sample_sum,
+       md5(string_agg(printf('%02x%02x', v & 255, (v >> 8) & 255),
+                      '' ORDER BY i)) AS sample_md5
+FROM s3
+GROUP BY media_id
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "audio", "codec", "g711"),
+)
+def mm_decode_wav_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 µ-law telephony-audio decode under the oracle gate
+    (wFormatTag 7 — previously a named refusal): logarithmic
+    companding expanded to int16 via the published G.711 formula,
+    which the DuckDB oracle re-implements per sample in plain SQL.
+    The A-law twin (wFormatTag 6, inverted sign convention) is
+    table-pinned against the stdlib audioop reference in
+    tests/test_multimodal.py."""
+    import hashlib
+    import struct
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 31 == 12)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    rows = []
+    for i in ids:
+        pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
+        wavb = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 96) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 96) + pattern
+        )
+        rows.append((i, bytearray(wavb)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return M.decode_audio(media, digest="hex").orderBy("media_id")

@@ -218,9 +218,18 @@ def test_decode_wav_validation():
     rate, ch, n, got = decode_wav(wav(bytes(12), channels=3, bits=8))
     assert (ch, n) == (3, 12)
 
+    # G.711 mu-law / A-law decode via the published expansion tables
+    # (validated against the stdlib audioop reference)
+    import audioop  # deprecated but present in 3.11 -- independent ref
+
+    allb = bytes(range(256))
+    for fmt_tag, ref in ((7, audioop.ulaw2lin(allb, 2)),
+                         (6, audioop.alaw2lin(allb, 2))):
+        rate, ch, n, got = decode_wav(wav(allb, fmt=fmt_tag))
+        assert n == 256 and got.dtype == np.int16
+        assert got.tobytes() == ref
+
     # still honestly out of scope: perceptual/legacy codecs by name
-    with pytest.raises(NotImplementedError, match="0x7"):
-        decode_wav(wav(bytes(10), fmt=7))  # mu-law
     with pytest.raises(NotImplementedError, match="0x2"):
         decode_wav(wav(bytes(10), fmt=2))  # MS-ADPCM
     with pytest.raises(NotImplementedError, match="8-bit IEEE-float"):
