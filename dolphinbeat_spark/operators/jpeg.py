@@ -32,10 +32,12 @@ Verification strategy (tests/test_multimodal.py):
 Restart intervals (DRI + RSTn) decode in both baseline and
 progressive scans: predictors/EOB runs reset at each marker, and a
 missing, misplaced, or out-of-sequence RSTn raises a typed JpegError
-naming the expected marker. Unsupported-but-detected shapes raise
-honestly by name: arithmetic coding,
-lossless/extended SOFs, sampling factors beyond 1/2 (4:4:4, 4:2:2 and
-4:2:0 all decode).
+naming the expected marker. ARITHMETIC-coded sequential JPEGs (SOF9,
+T.81 Annex D QM-coder + DAC conditioning) decode via jpeg_arith.py,
+cross-pinned bit-for-bit against libjpeg at the coefficient level.
+Unsupported-but-detected shapes raise honestly by name:
+progressive-arithmetic (SOF10), lossless/extended SOFs, sampling
+factors beyond 1/2 (4:4:4, 4:2:2 and 4:2:0 all decode).
 
 At 100 TB this decode runs inside the same Arrow ``mapInPandas`` slot
 as the other codecs (operators/multimodal.py::decode_media) — one
@@ -677,9 +679,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     multi-scan coefficient accumulation, DC first/refine, AC
     first/refine with EOB runs), F.2 entropy decode, dequant +
     dezigzag + IDCT per block, JFIF YCbCr→RGB. Restart intervals
-    (DRI/RSTn) decode in both modes with typed errors for
-    missing/misplaced/out-of-sequence markers. Arithmetic coding
-    (SOF9+), 12-bit and sampling factors beyond 2
+    (DRI/RSTn) decode in all modes with typed errors for
+    missing/misplaced/out-of-sequence markers. SOF9 sequential
+    ARITHMETIC scans decode via the jpeg_arith QM-coder with DAC
+    conditioning honored; progressive-arithmetic (SOF10), lossless
+    and sampling factors beyond 2
     raise honestly by name; any malformed byte surfaces as the typed
     JpegError, never a foreign IndexError/struct.error (note the lossy
     caveat: a bit flip INSIDE valid entropy data decodes to different
@@ -703,6 +707,9 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     w = h = None
     precision = 8
     progressive = False
+    arith = False  # SOF9: QM-coded extended sequential (jpeg_arith.py)
+    dc_cond: dict[int, tuple[int, int]] = {}  # DAC DC conditioning (L, U)
+    ac_cond: dict[int, int] = {}              # DAC AC conditioning Kx
     prog = None  # _ProgState once the first SOF2 scan arrives
     scan = None  # baseline: list of (comp_index, dc_tid, ac_tid)
     restart_interval = 0  # DRI; 0 = no restarts (last DRI before a scan wins)
@@ -747,7 +754,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 vals = list(body[p + 17:p + 17 + n])
                 (dc_dec if cls == 0 else ac_dec)[tid] = _build_decoder(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # baseline/ext-seq/progressive SOF
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # Huffman seq/prog + arith seq
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
@@ -757,6 +764,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 raise JpegError("12-bit precision is invalid in baseline SOF0")
             precision = prec
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             comps = []
             for i in range(nc):
                 cid, samp, qtid = body[6 + 3 * i:9 + 3 * i]
@@ -769,8 +777,17 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 comps.append((cid, qtid, hs, vs))
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError("extended/lossless JPEG not supported")
-        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("arithmetic-coded JPEG not supported")
+        elif marker in (0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/lossless/differential arithmetic JPEG not "
+                "supported (sequential SOF9 decodes)"
+            )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            from .jpeg_arith import parse_dac
+
+            new_dc, new_ac = parse_dac(body)
+            dc_cond.update(new_dc)
+            ac_cond.update(new_ac)
         elif marker == 0xDD:  # DRI (B.2.4.4): MCUs between RSTn markers
             if len(body) != 2:
                 raise JpegError(f"DRI segment length {len(body) + 4} != 6")
@@ -804,7 +821,12 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
         raise JpegError("JPEG missing SOF/SOS")
     level = float(1 << (precision - 1))
     maxval = (1 << precision) - 1
-    br = _BitReader(data, pos)
+    if arith:
+        from .jpeg_arith import SeqArithScan
+
+        arith_scan = SeqArithScan(data, pos, len(scan), dc_cond, ac_cond)
+    else:
+        br = _BitReader(data, pos)
     # MCU geometry from the max sampling factors (A.2.3): each MCU
     # holds hs*vs blocks per component; lower-sampled planes decode at
     # reduced resolution and upsample by replication afterwards
@@ -841,24 +863,38 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
         coef[ZIGZAG] = zz * q.reshape(64)[ZIGZAG]
         return _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M + level
 
+    def read_block_arith(si, dct, act, q):
+        zz = arith_scan.read_zz(si, dct, act)
+        coef = np.zeros(64, np.float64)
+        coef[ZIGZAG] = zz * q.reshape(64)[ZIGZAG]
+        return _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M + level
+
     for my in range(mcuy):
         for mx in range(mcux):
             mcu_i = my * mcux + mx
             if restart_interval and mcu_i and mcu_i % restart_interval == 0:
                 # RSTn due (B.2.1.2): consume it, verify its modulo-8
-                # sequence index, reset every DC predictor
-                br.restart(mcu_i // restart_interval - 1)
-                preds = [0] * len(scan)
+                # sequence index, reset every DC predictor (and, for
+                # arithmetic scans, all statistics — F.2.4.3)
+                if arith:
+                    arith_scan.restart(mcu_i // restart_interval - 1)
+                else:
+                    br.restart(mcu_i // restart_interval - 1)
+                    preds = [0] * len(scan)
             for si, (ci, dct, act) in enumerate(scan):
                 _, qtid, hs, vs = comps[ci]
                 try:
-                    dc_tab, ac_tab = dc_dec[dct], ac_dec[act]
                     q = quant[qtid]
+                    if not arith:
+                        dc_tab, ac_tab = dc_dec[dct], ac_dec[act]
                 except KeyError as ex:
                     raise JpegError(f"scan references missing table {ex}") from ex
                 for byi in range(vs):
                     for bxi in range(hs):
-                        blk = read_block(dc_tab, ac_tab, q, si)
+                        if arith:
+                            blk = read_block_arith(si, dct, act, q)
+                        else:
+                            blk = read_block(dc_tab, ac_tab, q, si)
                         y0 = (my * vs + byi) * 8
                         x0 = (mx * hs + bxi) * 8
                         planes[si][y0:y0 + 8, x0:x0 + 8] = blk

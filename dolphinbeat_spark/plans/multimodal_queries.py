@@ -540,6 +540,60 @@ def mm_decode_jpeg_dri(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_media(media).orderBy("media_id")
 
 
+@register(
+    "mm_decode_jpeg_arith",
+    # same flat-grayscale closed form as mm_decode_jpeg, but the
+    # payload is an ARITHMETIC-coded (SOF9, T.81 Annex D QM-coder)
+    # JPEG; odd doc_ids additionally carry a restart interval (RSTn
+    # resets statistics AND predictors in arithmetic scans). The
+    # quantized coefficients are identical to the Huffman encoding,
+    # so the identical closed form holds.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         2 * (ord(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 64) AS v
+  FROM documents WHERE doc_id % 19 = 15
+)
+SELECT media_id,
+       'jpeg' AS fmt,
+       CAST(16 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(128 * v AS BIGINT) AS pixel_sum,
+       md5(repeat(chr(CAST(v AS INTEGER)), 128)) AS pixel_md5
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "codec", "arithmetic"),
+)
+def mm_decode_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARITHMETIC-coded JPEG (SOF9) decode under the oracle gate: the
+    T.81 Annex D QM-coder (113-state probability estimation,
+    conditional exchange, DAC conditioning, restart statistics reset)
+    implemented from the public spec in operators/jpeg_arith.py. The
+    decoder is cross-pinned bit-for-bit against libjpeg at the
+    quantized-coefficient level on committed fixtures
+    (tests/fixtures/arith/, generated by tools/jpeg_arith_harness.c);
+    this spec pins the in-Spark decode path with the DC-lossless flat
+    closed form the oracle can recompute."""
+    import hashlib
+
+    from dolphinbeat_spark.operators.jpeg_arith import encode_jpeg_arith
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 19 == 15)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        v = 2 * (ord(hashlib.md5(str(i).encode()).hexdigest()[0]) % 64)
+        rows.append(
+            (i, bytearray(encode_jpeg_arith(
+                16, 8, bytes([v]) * 128, gray=True,
+                restart_interval=1 if i % 2 else 0,
+            )))
+        )
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return M.decode_media(media).orderBy("media_id")
+
+
 # the 89-entry IMA step table + 16-entry index table as SQL array
 # literals (public: IMA RP / RFC 3551 §4.5.1) — the oracle replays the
 # ADPCM recursion itself in a recursive CTE, fully independent of the

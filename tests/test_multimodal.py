@@ -1057,3 +1057,164 @@ def test_jpeg_12bit_extended_sequential():
     bad[j + 4] = 10  # SOF precision byte
     with pytest.raises(NotImplementedError, match="10-bit"):
         decode_jpeg(bytes(bad))
+
+
+def _arith_fixture(name):
+    import pathlib
+
+    return (pathlib.Path(__file__).parent / "fixtures" / "arith" / name).read_bytes()
+
+
+def _parse_harness_coefs(blob):
+    """tools/jpeg_arith_harness.c `coefs` dump -> per-component
+    (height_blocks, width_blocks, 64) int arrays in natural order."""
+    import struct
+
+    import numpy as np
+
+    comps, off = [], 0
+    while off < len(blob):
+        _, hb, wb = struct.unpack_from("<3i", blob, off)
+        off += 12
+        comps.append(
+            np.frombuffer(blob, "<i2", hb * wb * 64, off)
+            .reshape(hb, wb, 64).astype(np.int64)
+        )
+        off += hb * wb * 128
+    return comps
+
+
+def test_jpeg_arith_decodes_libjpeg_coefficients_exactly():
+    """The QM decoder (T.81 Annex D) reproduces libjpeg's — the public
+    spec's reference implementation's — quantized coefficients
+    bit-for-bit on a committed SOF9 fixture. Coefficient-level, so the
+    pin is on the ENTROPY layer, independent of IDCT rounding."""
+    import struct
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.jpeg import ZIGZAG, decode_jpeg
+    from dolphinbeat_spark.operators.jpeg_arith import SeqArithScan, parse_dac
+
+    jpg = _arith_fixture("gray_rand.jpg")
+    want = _parse_harness_coefs(_arith_fixture("gray_rand.coefs"))[0]
+
+    # minimal marker walk to the scan header
+    pos, dc_cond, ac_cond = 2, {}, {}
+    while True:
+        marker = jpg[pos + 1]
+        seglen = struct.unpack_from(">H", jpg, pos + 2)[0]
+        if marker == 0xDA:
+            ent = pos + 2 + seglen
+            break
+        if marker == 0xCC:
+            d, a = parse_dac(jpg[pos + 4:pos + 2 + seglen])
+            dc_cond.update(d)
+            ac_cond.update(a)
+        pos += 2 + seglen
+    sc = SeqArithScan(jpg, ent, 1, dc_cond, ac_cond)
+    for by in range(want.shape[0]):
+        for bx in range(want.shape[1]):
+            nat = np.zeros(64, np.int64)
+            nat[ZIGZAG] = sc.read_zz(0, 0, 0)
+            assert np.array_equal(nat, want[by, bx]), (by, bx)
+
+    # and the full pixel decode runs on both committed fixtures,
+    # including RGB 4:2:0 with restart interval 2
+    w, h, px = decode_jpeg(jpg)
+    assert (w, h, px.shape) == (64, 64, (64, 64, 1))
+    w, h, px = decode_jpeg(_arith_fixture("rgb420_dri2.jpg"))
+    assert (w, h, px.shape) == (48, 32, (32, 48, 3))
+
+
+def test_jpeg_arith_roundtrip_matches_huffman_decode():
+    """Arithmetic and Huffman encodings of the same image carry the
+    same quantized coefficients, so both must decode BIT-IDENTICAL —
+    the same cross-mode pin the progressive tests use."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from dolphinbeat_spark.operators.jpeg_arith import encode_jpeg_arith
+
+    rng = np.random.RandomState(42)
+    for kw in (
+        dict(gray=True),
+        dict(gray=True, restart_interval=3),
+        dict(subsample="444"),
+        dict(subsample="420"),
+        dict(subsample="420", restart_interval=2),
+    ):
+        ch = 1 if kw.get("gray") else 3
+        raw = rng.randint(0, 256, 40 * 56 * ch, dtype=np.uint8).tobytes()
+        arith = decode_jpeg(encode_jpeg_arith(56, 40, raw, **kw))[2]
+        huff = decode_jpeg(encode_jpeg(56, 40, raw, **kw))[2]
+        assert np.array_equal(arith, huff), kw
+
+    # flat grayscale at even offsets from 128: lossless DC closed form
+    # (same pin as test_jpeg_roundtrip_and_closed_form)
+    for v in (64, 130, 200):
+        w, h, px = decode_jpeg(encode_jpeg_arith(16, 8, bytes([v]) * 128,
+                                                 gray=True))
+        assert (w, h) == (16, 8) and set(px.reshape(-1).tolist()) == {v}
+
+
+def test_jpeg_arith_honest_failures():
+    """Unsupported arithmetic shapes raise by name; malformed DAC and
+    restart sequences surface as typed JpegError."""
+    import pytest
+
+    from dolphinbeat_spark.operators.jpeg import JpegError, decode_jpeg
+    from dolphinbeat_spark.operators.jpeg_arith import encode_jpeg_arith
+
+    good = bytearray(encode_jpeg_arith(16, 8, bytes(128), gray=True))
+    i = good.index(b"\xff\xc9")
+
+    # SOF10 progressive-arithmetic: still a named capability boundary
+    prog = bytearray(good)
+    prog[i + 1] = 0xCA
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(bytes(prog))
+
+    # DAC with Kx=0 (valid range 1..63)
+    j = good.index(b"\xff\xcc")
+    bad_dac = bytearray(good)
+    assert bad_dac[j + 4] == 0x00 and bad_dac[j + 6] == 0x10
+    bad_dac[j + 7] = 0  # AC Cs byte
+    with pytest.raises(JpegError, match="Kx"):
+        decode_jpeg(bytes(bad_dac))
+
+    # wrong RSTn sequence index
+    dri = bytearray(encode_jpeg_arith(32, 8, bytes(256), gray=True,
+                                      restart_interval=1))
+    k = dri.index(b"\xff\xd0")
+    dri[k + 1] = 0xD5
+    with pytest.raises(JpegError, match="RST0"):
+        decode_jpeg(bytes(dri))
+
+    # truncation inside the scan header region stays a typed error
+    with pytest.raises((JpegError, NotImplementedError)):
+        decode_jpeg(bytes(good[: good.index(b"\xff\xda") + 3]))
+
+
+def test_jpeg_arith_header_fuzz_typed_errors_only():
+    """Byte flips across the header region (everything before the
+    entropy data) either decode or raise the typed errors — never a
+    foreign IndexError/struct.error. Entropy-region flips are the
+    documented lossy caveat (arithmetic state diverges silently)."""
+    import struct
+
+    from dolphinbeat_spark.operators.jpeg import JpegError, decode_jpeg
+    from dolphinbeat_spark.operators.jpeg_arith import encode_jpeg_arith
+
+    good = encode_jpeg_arith(24, 16, bytes(b % 256 for b in range(24 * 16)),
+                             gray=True, restart_interval=1)
+    sos = good.index(b"\xff\xda")
+    hdr_end = sos + 2 + struct.unpack_from(">H", good, sos + 2)[0]
+    for pos in range(2, hdr_end):
+        for flip in (0x01, 0x80, 0xFF):
+            mut = bytearray(good)
+            mut[pos] ^= flip
+            try:
+                decode_jpeg(bytes(mut))
+            except (JpegError, NotImplementedError):
+                pass
