@@ -32,12 +32,13 @@ Verification strategy (tests/test_multimodal.py):
 Restart intervals (DRI + RSTn) decode in both baseline and
 progressive scans: predictors/EOB runs reset at each marker, and a
 missing, misplaced, or out-of-sequence RSTn raises a typed JpegError
-naming the expected marker. ARITHMETIC-coded sequential JPEGs (SOF9,
-T.81 Annex D QM-coder + DAC conditioning) decode via jpeg_arith.py,
-cross-pinned bit-for-bit against libjpeg at the coefficient level.
+naming the expected marker. ARITHMETIC-coded JPEGs — sequential SOF9
+AND progressive SOF10 (T.81 Annex D QM-coder + DAC conditioning;
+Annex G.2 scan procedures) — decode via jpeg_arith.py, cross-pinned
+bit-for-bit against libjpeg at the coefficient level.
 Unsupported-but-detected shapes raise honestly by name:
-progressive-arithmetic (SOF10), lossless/extended SOFs, sampling
-factors beyond 1/2 (4:4:4, 4:2:2 and 4:2:0 all decode).
+lossless/extended SOFs, sampling factors beyond 1/2 (4:4:4, 4:2:2 and
+4:2:0 all decode).
 
 At 100 TB this decode runs inside the same Arrow ``mapInPandas`` slot
 as the other codecs (operators/multimodal.py::decode_media) — one
@@ -680,10 +681,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     first/refine with EOB runs), F.2 entropy decode, dequant +
     dezigzag + IDCT per block, JFIF YCbCr→RGB. Restart intervals
     (DRI/RSTn) decode in all modes with typed errors for
-    missing/misplaced/out-of-sequence markers. SOF9 sequential
-    ARITHMETIC scans decode via the jpeg_arith QM-coder with DAC
-    conditioning honored; progressive-arithmetic (SOF10), lossless
-    and sampling factors beyond 2
+    missing/misplaced/out-of-sequence markers. ARITHMETIC scans —
+    SOF9 sequential and SOF10 progressive — decode via the jpeg_arith
+    QM-coder with DAC conditioning honored; lossless/differential
+    shapes and sampling factors beyond 2
     raise honestly by name; any malformed byte surfaces as the typed
     JpegError, never a foreign IndexError/struct.error (note the lossy
     caveat: a bit flip INSIDE valid entropy data decodes to different
@@ -754,7 +755,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 vals = list(body[p + 17:p + 17 + n])
                 (dc_dec if cls == 0 else ac_dec)[tid] = _build_decoder(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # Huffman seq/prog + arith seq
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):  # seq/prog, Huff+arith
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
@@ -763,8 +764,8 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 # SOF0 is a malformed stream, not a capability gap
                 raise JpegError("12-bit precision is invalid in baseline SOF0")
             precision = prec
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             comps = []
             for i in range(nc):
                 cid, samp, qtid = body[6 + 3 * i:9 + 3 * i]
@@ -777,10 +778,10 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 comps.append((cid, qtid, hs, vs))
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError("extended/lossless JPEG not supported")
-        elif marker in (0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/lossless/differential arithmetic JPEG not "
-                "supported (sequential SOF9 decodes)"
+                "lossless/differential arithmetic JPEG not supported "
+                "(sequential SOF9 and progressive SOF10 decode)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             from .jpeg_arith import parse_dac
@@ -798,8 +799,12 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
             if progressive:
                 if prog is None:
                     prog = _ProgState(comps, w, h)
-                pos = prog.decode_scan(data, pos, body, dc_dec, ac_dec,
-                                       restart_interval)
+                if arith:
+                    pos = prog.decode_scan_arith(data, pos, body, dc_cond,
+                                                 ac_cond, restart_interval)
+                else:
+                    pos = prog.decode_scan(data, pos, body, dc_dec, ac_dec,
+                                           restart_interval)
                 continue  # keep walking: more scans / DHT redefinitions
             ns = body[0]
             scan = []
@@ -997,8 +1002,7 @@ class _ProgState:
             ch = (h * vs + self.vmax - 1) // self.vmax
             self.bdims.append(((cw + 7) // 8, (ch + 7) // 8))
 
-    def decode_scan(self, data: bytes, pos: int, body: bytes,
-                    dc_dec: dict, ac_dec: dict, ri: int = 0) -> int:
+    def _scan_header(self, body: bytes):
         ns = body[0]
         sel = []
         for i in range(ns):
@@ -1012,19 +1016,90 @@ class _ProgState:
         p = 1 + 2 * ns
         ss, se = body[p], body[p + 1]
         ah, al = body[p + 2] >> 4, body[p + 2] & 0x0F
-        br = _BitReader(data, pos)
-        if ss == 0:
-            self._dc_scan(br, sel, se, ah, al, dc_dec, ri)
-        else:
-            self._ac_scan(br, sel, ss, se, ah, al, ac_dec, ri)
-        # resync: the scan's last byte may hold padding bits; advance
-        # to the next marker (FF followed by a non-stuffing byte)
-        pos = br.pos
+        return sel, ss, se, ah, al
+
+    @staticmethod
+    def _resync(data: bytes, pos: int) -> int:
+        # the scan's last byte may hold padding bits; advance to the
+        # next marker (FF followed by a non-stuffing byte)
         while pos + 1 < len(data) and not (
             data[pos] == 0xFF and data[pos + 1] != 0x00
         ):
             pos += 1
         return pos
+
+    def decode_scan(self, data: bytes, pos: int, body: bytes,
+                    dc_dec: dict, ac_dec: dict, ri: int = 0) -> int:
+        sel, ss, se, ah, al = self._scan_header(body)
+        br = _BitReader(data, pos)
+        if ss == 0:
+            self._dc_scan(br, sel, se, ah, al, dc_dec, ri)
+        else:
+            self._ac_scan(br, sel, ss, se, ah, al, ac_dec, ri)
+        return self._resync(data, br.pos)
+
+    def decode_scan_arith(self, data: bytes, pos: int, body: bytes,
+                          dc_cond: dict, ac_cond: dict, ri: int = 0) -> int:
+        """One progressive ARITHMETIC scan (T.81 Annex G.2): same scan
+        geometry as the Huffman path, decisions from the Annex D QM
+        decoder (jpeg_arith.ProgArithScan — statistics live per scan,
+        reset again at every restart marker)."""
+        from .jpeg_arith import ProgArithScan
+
+        sel, ss, se, ah, al = self._scan_header(body)
+        sc = ProgArithScan(data, pos, len(sel), dc_cond, ac_cond)
+        if ss == 0:
+            if se != 0:
+                raise JpegError("progressive DC scan with Se != 0")
+            first = ah == 0
+
+            def block(si, ci, by, bx):
+                c = self.coefs[ci]
+                if first:
+                    c[by, bx, 0] = sc.dc_first(si, sel[si][1]) << al
+                elif sc.dc_refine_bit():
+                    c[by, bx, 0] |= 1 << al
+
+            if len(sel) > 1:  # interleaved over MCUs
+                for my in range(self.mcuy):
+                    for mx in range(self.mcux):
+                        unit = my * self.mcux + mx
+                        if ri and unit and unit % ri == 0:
+                            sc.restart(unit // ri - 1)
+                        for si, (ci, _, _) in enumerate(sel):
+                            _, _, hs, vs = self.comps[ci]
+                            for byi in range(vs):
+                                for bxi in range(hs):
+                                    block(si, ci, my * vs + byi,
+                                          mx * hs + bxi)
+            else:  # single-component scan: the component's own grid
+                ci = sel[0][0]
+                bw_c, bh_c = self.bdims[ci]
+                for by in range(bh_c):
+                    for bx in range(bw_c):
+                        unit = by * bw_c + bx
+                        if ri and unit and unit % ri == 0:
+                            sc.restart(unit // ri - 1)
+                        block(0, ci, by, bx)
+        else:
+            if len(sel) != 1:
+                raise JpegError("progressive AC scan must be single-component")
+            if se > 63 or ss > se:
+                raise JpegError(f"bad spectral range {ss}..{se}")
+            ci, _, act = sel[0]
+            bw_c, bh_c = self.bdims[ci]
+            carr = self.coefs[ci]
+            for by in range(bh_c):
+                for bx in range(bw_c):
+                    unit = by * bw_c + bx
+                    if ri and unit and unit % ri == 0:
+                        sc.restart(unit // ri - 1)
+                    zz = carr[by, bx]
+                    if ah:
+                        sc.ac_refine(act, zz, ss, se, al)
+                    else:
+                        sc.ac_first(act, zz, ss, se, al)
+        return self._resync(data, sc.qm.bp)
 
     def _dc_scan(self, br, sel, se, ah, al, dc_dec, ri=0):
         if se != 0:

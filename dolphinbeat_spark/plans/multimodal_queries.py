@@ -594,6 +594,59 @@ def mm_decode_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_media(media).orderBy("media_id")
 
 
+@register(
+    "mm_decode_jpeg_arith_prog",
+    # same flat-grayscale closed form: the payload is a PROGRESSIVE
+    # arithmetic-coded (SOF10, T.81 Annex G.2) JPEG whose scan script
+    # exercises DC first/refine and AC first/refine; odd doc_ids add a
+    # restart interval. Quantized coefficients equal the sequential /
+    # Huffman encodings, so the identical closed form holds.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         2 * (ord(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) % 64) AS v
+  FROM documents WHERE doc_id % 19 = 16
+)
+SELECT media_id,
+       'jpeg' AS fmt,
+       CAST(16 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(128 * v AS BIGINT) AS pixel_sum,
+       md5(repeat(chr(CAST(v AS INTEGER)), 128)) AS pixel_md5
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "codec", "arithmetic", "progressive"),
+)
+def mm_decode_jpeg_arith_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE arithmetic JPEG (SOF10) decode under the oracle
+    gate: the Annex G.2 scan procedures (DC first/refine, AC
+    first/refine with EOBx gating) on top of the Annex D QM coder.
+    Cross-pinned bit-for-bit against libjpeg's own
+    jpeg_simple_progression output at the quantized-coefficient level
+    (tests/fixtures/arith/*_prog.*); this spec pins the in-Spark
+    decode path with the DC-lossless flat closed form."""
+    import hashlib
+
+    from dolphinbeat_spark.operators.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 19 == 16)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        v = 2 * (ord(hashlib.md5(str(i).encode()).hexdigest()[1]) % 64)
+        rows.append(
+            (i, bytearray(encode_jpeg_arith_progressive(
+                16, 8, bytes([v]) * 128, gray=True,
+                restart_interval=1 if i % 2 else 0,
+            )))
+        )
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return M.decode_media(media).orderBy("media_id")
+
+
 # the 89-entry IMA step table + 16-entry index table as SQL array
 # literals (public: IMA RP / RFC 3551 §4.5.1) — the oracle replays the
 # ADPCM recursion itself in a recursive CTE, fully independent of the

@@ -1158,6 +1158,79 @@ def test_jpeg_arith_roundtrip_matches_huffman_decode():
         assert (w, h) == (16, 8) and set(px.reshape(-1).tolist()) == {v}
 
 
+def test_jpeg_arith_progressive_decodes_libjpeg_coefficients_exactly():
+    """SOF10 (progressive arithmetic, T.81 Annex G.2) reproduces
+    libjpeg's quantized coefficients bit-for-bit on committed fixtures
+    written by libjpeg's own jpeg_simple_progression script — which
+    includes AC successive-approximation scans — both grayscale and
+    RGB 4:2:0 with a restart interval. The pin drives the real marker
+    walk and captures the accumulated coefficient planes just before
+    reconstruction."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators import jpeg as J
+    from dolphinbeat_spark.operators.jpeg import ZIGZAG, decode_jpeg
+
+    for name in ("gray_rand_prog", "rgb420_prog_dri2"):
+        jpg = _arith_fixture(f"{name}.jpg")
+        want = _parse_harness_coefs(_arith_fixture(f"{name}.coefs"))
+        captured = {}
+        orig = J._ProgState.reconstruct
+
+        def capture(self, quant, precision=8):
+            captured["coefs"] = [c.copy() for c in self.coefs]
+            return orig(self, quant, precision)
+
+        J._ProgState.reconstruct = capture
+        try:
+            w, h, px = decode_jpeg(jpg)
+        finally:
+            J._ProgState.reconstruct = orig
+        assert (w, h) == ((64, 64) if name.startswith("gray") else (48, 32))
+        for ci, wc in enumerate(want):
+            got = captured["coefs"][ci]
+            assert got.shape[:2] == wc.shape[:2], (name, ci)
+            for by in range(wc.shape[0]):
+                for bx in range(wc.shape[1]):
+                    nat = np.zeros(64, np.int64)
+                    nat[ZIGZAG] = got[by, bx]
+                    assert np.array_equal(nat, wc[by, bx]), (name, ci, by, bx)
+
+
+def test_jpeg_arith_progressive_roundtrip_matches_huffman_decode():
+    """Our own SOF10 writer (DC first/refine + AC first/refine scans,
+    exercising all four G.2 procedures) decodes bit-identical to the
+    Huffman encoding of the same image — the coefficients are the
+    same, so the pixels must be."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from dolphinbeat_spark.operators.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    rng = np.random.RandomState(43)
+    for kw in (
+        dict(gray=True),
+        dict(gray=True, restart_interval=3),
+        dict(subsample="444"),
+        dict(subsample="420", restart_interval=2),
+    ):
+        ch = 1 if kw.get("gray") else 3
+        raw = rng.randint(0, 256, 40 * 56 * ch, dtype=np.uint8).tobytes()
+        pa = decode_jpeg(encode_jpeg_arith_progressive(56, 40, raw, **kw))[2]
+        hu = decode_jpeg(encode_jpeg(56, 40, raw, **kw))[2]
+        assert np.array_equal(pa, hu), kw
+
+    # flat grayscale: lossless DC closed form survives the progressive
+    # successive-approximation path (DC first Al=1 + DC refine)
+    for v in (64, 130, 200):
+        w, h, px = decode_jpeg(
+            encode_jpeg_arith_progressive(16, 8, bytes([v]) * 128, gray=True)
+        )
+        assert (w, h) == (16, 8) and set(px.reshape(-1).tolist()) == {v}
+
+
 def test_jpeg_arith_honest_failures():
     """Unsupported arithmetic shapes raise by name; malformed DAC and
     restart sequences surface as typed JpegError."""
@@ -1169,11 +1242,18 @@ def test_jpeg_arith_honest_failures():
     good = bytearray(encode_jpeg_arith(16, 8, bytes(128), gray=True))
     i = good.index(b"\xff\xc9")
 
-    # SOF10 progressive-arithmetic: still a named capability boundary
-    prog = bytearray(good)
-    prog[i + 1] = 0xCA
+    # SOF11 lossless-arithmetic: still a named capability boundary
+    # (SOF10 progressive decodes since the Annex G.2 procedures landed
+    # — a sequential stream re-marked SOF10 is instead a MALFORMED
+    # progressive stream: its full-band interleaved scan is typed)
+    lossless = bytearray(good)
+    lossless[i + 1] = 0xCB
     with pytest.raises(NotImplementedError, match="arithmetic"):
-        decode_jpeg(bytes(prog))
+        decode_jpeg(bytes(lossless))
+    remarked = bytearray(good)
+    remarked[i + 1] = 0xCA
+    with pytest.raises(JpegError, match="Se"):
+        decode_jpeg(bytes(remarked))
 
     # DAC with Kx=0 (valid range 1..63)
     j = good.index(b"\xff\xcc")

@@ -5,6 +5,8 @@
  * in dolphinbeat_spark/operators/jpeg.py:
  *
  *   encode W H GRAY|RGB [restart_interval]  < raw pixels > arith JPEG
+ *   encode_prog W H GRAY|RGB [restart_interval]
+ *       same, progressive (SOF10, jpeg_simple_progression scan script)
  *   coefs                                   < JPEG > per-block coefficients
  *
  * "coefs" dumps the ENTROPY layer exactly (jpeg_read_coefficients):
@@ -34,7 +36,7 @@ static unsigned char *read_all(FILE *f, unsigned long *n) {
   return buf;
 }
 
-static int do_encode(int w, int h, int rgb, int ri) {
+static int do_encode(int w, int h, int rgb, int ri, int prog) {
   struct jpeg_compress_struct cinfo;
   struct jpeg_error_mgr jerr;
   unsigned long inlen, outlen = 0;
@@ -57,6 +59,8 @@ static int do_encode(int w, int h, int rgb, int ri) {
   cinfo.arith_code = TRUE;          /* the point of the exercise */
   cinfo.optimize_coding = FALSE;
   cinfo.restart_interval = ri;
+  if (prog)                         /* SOF10: libjpeg's standard script */
+    jpeg_simple_progression(&cinfo);
   jpeg_start_compress(&cinfo, TRUE);
   for (y = 0; y < h; y++) {
     row = pixels + (long)y * stride;
@@ -104,12 +108,14 @@ static int do_coefs(void) {
 }
 
 int main(int argc, char **argv) {
-  if (argc >= 4 && !strcmp(argv[1], "encode"))
+  if (argc >= 4 && (!strcmp(argv[1], "encode") ||
+                    !strcmp(argv[1], "encode_prog")))
     return do_encode(atoi(argv[2]), atoi(argv[3]),
                      argc > 4 && !strcmp(argv[4], "RGB"),
-                     argc > 5 ? atoi(argv[5]) : 0);
+                     argc > 5 ? atoi(argv[5]) : 0,
+                     !strcmp(argv[1], "encode_prog"));
   if (argc >= 2 && !strcmp(argv[1], "coefs"))
     return do_coefs();
-  die("usage: encode W H GRAY|RGB | coefs");
+  die("usage: encode|encode_prog W H GRAY|RGB [ri] | coefs");
   return 2;
 }
