@@ -198,13 +198,20 @@ def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
 # ---------------------------------------------------------------------------
 # REAL PNG codec: stdlib zlib + numpy only (PNG's entropy coding IS
 # zlib/DEFLATE, which the stdlib ships — so unlike JPEG, PNG is fully
-# decodable here). 8-bit greyscale / truecolor / truecolor+alpha,
-# non-interlaced, all 5 scanline filters, CRC-validated chunks.
-# 16-bit, palette, and Adam7 interlace raise honestly.
+# decodable here). Every spec-valid IHDR shape decodes: color types
+# 0/2/3/4/6 at their legal bit depths (1/2/4/8/16 grey, 1/2/4/8
+# indexed, 8/16 truecolor / grey+alpha / truecolor+alpha), both
+# non-interlaced and Adam7, all 5 scanline filters, CRC-validated
+# chunks. 16-bit emits uint16 samples (decode_media digest='hex');
+# sub-byte grey scales to the full 8-bit range by the spec's exact
+# integer factor (255/(2^d-1)); indexed keeps raw PLTE indices.
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # color_type -> samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> samples per pixel
+#: spec-legal bit depths per color type (PNG spec Table 11.1)
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -218,16 +225,39 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
+def _png_pack_rows(sub: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w, ch) int samples -> (h, stride) packed scanline bytes:
+    BE pairs at depth 16, MSB-first bit packing (zero row padding)
+    at the sub-byte depths."""
+    hh, ww, ch = sub.shape
+    if depth == 8:
+        return sub.astype(np.uint8).reshape(hh, ww * ch)
+    if depth == 16:
+        u = sub.astype(np.uint16)
+        return np.stack([(u >> 8) & 0xFF, u & 0xFF], axis=-1).astype(
+            np.uint8
+        ).reshape(hh, ww * ch * 2)
+    bits = np.unpackbits(sub.astype(np.uint8).reshape(hh, -1), axis=1)
+    bits = bits.reshape(hh, ww * ch, 8)[:, :, 8 - depth:].reshape(hh, -1)
+    pad = -bits.shape[1] % 8
+    if pad:
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+    return np.packbits(bits, axis=1)
+
+
 def encode_png(
     width: int, height: int, pixels: bytes, color_type: int = 2, row_filters=None,
-    palette: bytes | None = None, interlace: bool = False,
+    palette: bytes | None = None, interlace: bool = False, depth: int = 8,
 ) -> bytes:
-    """Minimal real PNG writer (8-bit, non-interlaced). ``row_filters``
-    optionally sets the filter type per scanline (int or per-row list,
-    default 0/None) — used by tests to force every unfilter path in
-    :func:`decode_png` to actually execute. ``color_type=3`` writes an
-    indexed image: ``pixels`` are palette indices and ``palette`` is
-    the PLTE RGB-triple bytes."""
+    """Minimal real PNG writer covering every decode shape.
+    ``row_filters`` optionally sets the filter type per scanline (int
+    or per-row list, default 0/None) — used by tests to force every
+    unfilter path in :func:`decode_png` to actually execute.
+    ``color_type=3`` writes an indexed image: ``pixels`` are palette
+    indices and ``palette`` is the PLTE RGB-triple bytes. ``depth``
+    follows the spec's legality matrix; 16-bit takes big-endian
+    sample pairs, sub-byte depths take one byte per sample (values
+    must fit the depth) and pack MSB-first."""
     import zlib
 
     if color_type == 3:
@@ -238,39 +268,54 @@ def encode_png(
         ch = _PNG_CHANNELS.get(color_type)
     if ch is None:
         raise ValueError(f"unsupported color_type {color_type}")
-    if len(pixels) != width * height * ch:
-        raise ValueError(f"need {width * height * ch} bytes, got {len(pixels)}")
+    if depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError(
+            f"invalid PNG bit depth {depth} for color type {color_type}"
+        )
+    nsamp = width * height * ch
+    if depth == 16:
+        if len(pixels) != nsamp * 2:
+            raise ValueError(f"need {nsamp * 2} bytes, got {len(pixels)}")
+        samples = np.frombuffer(pixels, ">u2").reshape(height, width, ch)
+        samples = samples.astype(np.int32)
+    else:
+        if len(pixels) != nsamp:
+            raise ValueError(f"need {nsamp} bytes, got {len(pixels)}")
+        samples = np.frombuffer(pixels, np.uint8).reshape(height, width, ch)
+        samples = samples.astype(np.int32)
+        if depth < 8 and int(samples.max(initial=0)) >> depth:
+            raise ValueError(f"sample value exceeds {depth}-bit depth")
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0,
+                       1 if interlace else 0)
+    plte = _png_chunk(b"PLTE", palette) if color_type == 3 else b""
     if interlace:
         # Adam7 writer (filter 0 rows): each non-empty pass is its own
         # filtered sub-image in pass order
-        import zlib as _z
-
-        px3 = np.frombuffer(pixels, np.uint8).reshape(height, width, ch)
         raw7 = bytearray()
         for x0, y0, dx, dy in _ADAM7_PASSES:
-            sub = px3[y0::dy, x0::dx, :]
+            sub = samples[y0::dy, x0::dx, :]
             if sub.size == 0:
                 continue
-            for r in range(sub.shape[0]):
+            packed = _png_pack_rows(sub, depth)
+            for r in range(packed.shape[0]):
                 raw7.append(0)
-                raw7.extend(sub[r].tobytes())
-        ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1)
-        plte = _png_chunk(b"PLTE", palette) if color_type == 3 else b""
+                raw7.extend(packed[r].tobytes())
         return (
             _PNG_SIG
             + _png_chunk(b"IHDR", ihdr)
             + plte
-            + _png_chunk(b"IDAT", _z.compress(bytes(raw7)))
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw7)))
             + _png_chunk(b"IEND", b"")
         )
     if row_filters is None:
         row_filters = [0] * height
     elif isinstance(row_filters, int):
         row_filters = [row_filters] * height
-    px = np.frombuffer(pixels, np.uint8).reshape(height, width * ch).astype(np.int32)
-    bpp = ch  # bytes per pixel at bit depth 8
+    px = _png_pack_rows(samples, depth).astype(np.int32)
+    bpp = max(1, ch * depth // 8)  # filter distance, whole bytes
     raw = bytearray()
-    prev = np.zeros(width * ch, dtype=np.int32)
+    stride = px.shape[1]
+    prev = np.zeros(stride, dtype=np.int32)
     for r in range(height):
         cur = px[r]
         ft = int(row_filters[r])
@@ -294,8 +339,6 @@ def encode_png(
         raw.append(ft)
         raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    plte = _png_chunk(b"PLTE", palette) if color_type == 3 else b""
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -346,14 +389,37 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _png_samples(sub: np.ndarray, wp: int, ch: int, depth: int) -> np.ndarray:
+    """Unfiltered scanline bytes (h, stride) -> (h, wp, ch) int32
+    samples: big-endian pairs at depth 16, MSB-first bit unpacking at
+    the sub-byte depths (row padding bits discarded per the spec)."""
+    hgt = sub.shape[0]
+    b = sub.astype(np.uint8)
+    if depth == 8:
+        return b[:, :wp * ch].astype(np.int32).reshape(hgt, wp, ch)
+    if depth == 16:
+        u = b[:, :wp * ch * 2].reshape(hgt, wp, ch, 2).astype(np.int32)
+        return (u[..., 0] << 8) | u[..., 1]
+    bits = np.unpackbits(b, axis=1)
+    spp = wp * ch  # sub-byte depths only occur at ch == 1
+    vals = bits[:, :spp * depth].reshape(hgt, spp, depth).astype(np.int32)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int32)
+    return (vals * weights).sum(axis=2).reshape(hgt, wp, ch)
+
+
 def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
-    """PNG → (width, height, HxWxC uint8 array). Real decode: chunk
-    walk with CRC validation, concatenated-IDAT zlib inflate, and the
-    full scanline unfilter (None/Sub/Up/Average/Paeth — Paeth per the
-    spec's integer predictor), PLTE indirection for indexed images, and
-    Adam7 deinterlacing (7 independently-filtered sub-images scattered
-    onto the pass grid). 8-bit color types 0/2/3/6; 16-bit raises
-    honestly (it changes the byte-per-sample geometry)."""
+    """PNG → (width, height, HxWxC uint8/uint16 array). Real decode:
+    chunk walk with CRC validation, concatenated-IDAT zlib inflate,
+    the full scanline unfilter (None/Sub/Up/Average/Paeth — Paeth per
+    the spec's integer predictor), PLTE indirection for indexed
+    images, and Adam7 deinterlacing (7 independently-filtered
+    sub-images scattered onto the pass grid). Every spec-legal
+    IHDR shape: color types 0/2/3/4/6 at depths 1/2/4/8/16 per Table
+    11.1 — 16-bit decodes to uint16 (BE sample pairs; filters stay
+    byte-wise with bpp doubled), sub-byte grey scales to 0..255 by
+    the exact integer factor 255/(2^d-1), sub-byte indexed keeps raw
+    palette indices. tRNS transparency is ignored (stats/digest are
+    over the color samples)."""
     import zlib
 
     if data[:8] != _PNG_SIG:
@@ -375,11 +441,12 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8:
-                raise NotImplementedError(f"{depth}-bit PNG not supported")
-            if color_type != 3 and color_type not in _PNG_CHANNELS:
-                raise NotImplementedError(
-                    f"PNG color type {color_type} not supported"
+            if color_type not in _PNG_DEPTHS:
+                raise ValueError(f"invalid PNG color type {color_type}")
+            if depth not in _PNG_DEPTHS[color_type]:
+                raise ValueError(
+                    f"invalid PNG bit depth {depth} for color type "
+                    f"{color_type}"
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("invalid PNG compression/filter method")
@@ -396,37 +463,43 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     ch = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
-    stride = w * ch
+    bits_pp = depth * ch  # bits per pixel; rows are byte-padded
+    stride = (w * bits_pp + 7) // 8
+    fbpp = max(1, bits_pp // 8)  # filter distance, whole bytes
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
         if len(raw) != h * (stride + 1):
             raise ValueError(
                 f"PNG pixel stream: expected {h * (stride + 1)} bytes, got {len(raw)}"
             )
-        px = _png_unfilter(raw, h, stride, ch).astype(np.uint8).reshape(h, w, ch)
+        px = _png_samples(_png_unfilter(raw, h, stride, fbpp), w, ch, depth)
     else:
         # Adam7: the stream is 7 independently-filtered sub-images
         # (empty passes contribute nothing), scattered onto the
         # (x0 + j*dx, y0 + i*dy) grid per the spec's pass pattern
-        px8 = np.zeros((h, w, ch), dtype=np.uint8)
+        px = np.zeros((h, w, ch), dtype=np.int32)
         pos = 0
         for x0, y0, dx, dy in _ADAM7_PASSES:
             wp = (w - x0 + dx - 1) // dx if w > x0 else 0
             hp = (h - y0 + dy - 1) // dy if h > y0 else 0
             if wp == 0 or hp == 0:
                 continue
-            pstride = wp * ch
+            pstride = (wp * bits_pp + 7) // 8
             need = hp * (pstride + 1)
             if pos + need > len(raw):
                 raise ValueError("PNG interlaced pixel stream truncated")
-            sub = _png_unfilter(raw[pos:pos + need], hp, pstride, ch)
+            sub = _png_unfilter(raw[pos:pos + need], hp, pstride, fbpp)
             pos += need
-            px8[y0::dy, x0::dx, :] = (
-                sub.astype(np.uint8).reshape(hp, wp, ch)[:hp, :wp]
-            )
+            px[y0::dy, x0::dx, :] = _png_samples(sub, wp, ch, depth)
         if pos != len(raw):
             raise ValueError("PNG interlaced pixel stream has trailing bytes")
-        px = px8
+    if depth == 16:
+        px = px.astype(np.uint16)
+    elif color_type == 0 and depth < 8:
+        # exact integer range expansion (255 is divisible by 2^d - 1)
+        px = (px * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    else:
+        px = px.astype(np.uint8)
     if color_type == 3:
         # indexed image: PLTE indirection maps each index to its RGB
         # triple (the branch that previously raised honestly)

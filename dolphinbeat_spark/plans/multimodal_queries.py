@@ -647,6 +647,117 @@ def mm_decode_jpeg_arith_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_media(media).orderBy("media_id")
 
 
+@register(
+    "mm_decode_png16",
+    # payload = a REAL 16-bit grayscale PNG (BE sample pairs, byte-wise
+    # filters at doubled bpp) of a 16x8 image with v_i = (base*131 +
+    # i*7919) % 65536, base = doc_id % 9973; row filter cycles with
+    # doc_id and odd ids are Adam7-interlaced, so the wide-sample
+    # unfilter AND deinterlace paths both execute. Digest over the hex
+    # rendering of the little-endian uint16 stream (decode_media
+    # digest='hex' — same contract as mm_decode_jpeg12).
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id, doc_id % 9973 AS base
+  FROM documents WHERE doc_id % 23 = 7
+), px AS (
+  SELECT media_id, i, (base * 131 + i * 7919) % 65536 AS v
+  FROM p, range(128) t(i)
+)
+SELECT media_id,
+       'png' AS fmt,
+       CAST(16 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       md5(string_agg(printf('%02x%02x', v % 256, v // 256), ''
+                      ORDER BY i)) AS pixel_md5
+FROM px GROUP BY media_id
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "codec", "16bit"),
+)
+def mm_decode_png16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-BIT PNG decode under the oracle gate (previously a named
+    refusal: wide samples change the filter geometry — bpp doubles
+    and samples are big-endian pairs). The decode runs distributed in
+    the same mapInPandas slot; pixel sum + md5 of the hex-rendered
+    LE uint16 stream must match the oracle's recomputation."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.multimodal import encode_png
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 23 == 7)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        base = i % 9973
+        v = (base * 131 + np.arange(128) * 7919) % 65536
+        raw = v.astype(">u2").tobytes()
+        rows.append(
+            (i, bytearray(encode_png(
+                16, 8, raw, color_type=0, depth=16,
+                row_filters=int(i % 5), interlace=bool(i % 2),
+            )))
+        )
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return M.decode_media(media, digest="hex").orderBy("media_id")
+
+
+@register(
+    "mm_decode_png_lowdepth",
+    # payload = a sub-byte grayscale PNG (depth 1/2/4 by doc_id % 3) of
+    # a 19x6 image — width chosen so scanlines carry padding bits the
+    # decoder must discard. Samples v_i = (base + i) % 2^d scale to
+    # 0..255 by the spec's exact factor 255/(2^d - 1); digest over the
+    # hex rendering of the decoded uint8 stream.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS d,
+         doc_id % 251 AS base
+  FROM documents WHERE doc_id % 23 = 11
+), px AS (
+  SELECT media_id, i,
+         ((base + i) % (1 << d)) * (255 // ((1 << d) - 1)) AS v
+  FROM p, range(114) t(i)
+)
+SELECT media_id,
+       'png' AS fmt,
+       CAST(19 AS BIGINT) AS width,
+       CAST(6 AS BIGINT) AS height,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       md5(string_agg(printf('%02x', v), '' ORDER BY i)) AS pixel_md5
+FROM px GROUP BY media_id
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "codec", "lowdepth"),
+)
+def mm_decode_png_lowdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-byte PNG decode (1/2/4-bit grayscale, MSB-first packed
+    scanlines with row-padding bits) under the oracle gate. Exercises
+    the bit-unpacking sample path and the exact integer range
+    expansion; filters still apply byte-wise at bpp=1."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.multimodal import encode_png
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 23 == 11)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        dep = {0: 1, 1: 2, 2: 4}[i % 3]
+        base = i % 251
+        vals = ((base + np.arange(114)) % (1 << dep)).astype(np.uint8)
+        rows.append(
+            (i, bytearray(encode_png(
+                19, 6, vals.tobytes(), color_type=0, depth=dep,
+                row_filters=int(i % 5),
+            )))
+        )
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return M.decode_media(media, digest="hex").orderBy("media_id")
+
+
 # the 89-entry IMA step table + 16-entry index table as SQL array
 # literals (public: IMA RP / RFC 3551 §4.5.1) — the oracle replays the
 # ADPCM recursion itself in a recursive CTE, fully independent of the

@@ -400,8 +400,7 @@ def test_png_rejects_corruption_and_unsupported():
         decode_png(bytes(bad))
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"\x89PNX" + good[4:])
-    # 16-bit depth / gray+alpha are honest NotImplementedError
-    # (palette type 3 and Adam7 interlace are decoded since r7);
+    # every spec-legal depth/color-type combination decodes since r9;
     # an out-of-spec interlace method is a typed format error
     import struct as s
     import zlib
@@ -413,10 +412,17 @@ def test_png_rejects_corruption_and_unsupported():
         mut[29:33] = s.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
         return bytes(mut)
 
-    # IHDR body starts at 16 (sig 8 + len 4 + type 4); depth byte at +8
-    for pos, val, msg in [(16 + 8, 16, "16-bit"), (16 + 9, 4, "color type")]:
-        with pytest.raises(NotImplementedError, match=msg):
+    # IHDR body starts at 16 (sig 8 + len 4 + type 4); depth byte at +8.
+    # Flipping depth to 16 or color type to gray+alpha on an 8-bit RGB
+    # stream makes the stream length wrong for the geometry: loud
+    for pos, val in [(16 + 8, 16), (16 + 9, 4)]:
+        with pytest.raises(ValueError, match="pixel stream"):
             decode_png(mutated(pos, val))
+    # spec-ILLEGAL combinations (Table 11.1) are typed format errors
+    with pytest.raises(ValueError, match="invalid PNG bit depth"):
+        decode_png(mutated(16 + 8, 4))  # depth 4 illegal for truecolor
+    with pytest.raises(ValueError, match="invalid PNG color type"):
+        decode_png(mutated(16 + 9, 5))
     with pytest.raises(ValueError, match="invalid PNG interlace"):
         decode_png(mutated(16 + 12, 2))
     # flipping a plain stream's interlace flag makes the stream length
@@ -581,6 +587,78 @@ def test_png_palette_indexed_roundtrip():
     bad = png[:33] + png[33 + 12 + len(pal):]
     with pytest.raises(ValueError, match="missing its PLTE"):
         decode_png(bad)
+
+
+def test_png_full_depth_matrix_roundtrip():
+    """Every spec-legal (color type, bit depth) IHDR combination
+    roundtrips through the real writer and decoder: 16-bit BE samples
+    (filters at doubled bpp), sub-byte MSB-first packing with
+    row-padding bits at a non-byte-aligned width, gray+alpha, and the
+    exact 255/(2^d-1) range expansion for sub-byte grayscale — both
+    plain and Adam7-interlaced."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(11)
+
+    # 16-bit: all four sample layouts, every filter, plus Adam7
+    for ct, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        want = rng.randint(0, 65536, (13, 21, ch), dtype=np.uint16)
+        raw = want.astype(">u2").tobytes()
+        for filt in (0, 1, 2, 3, 4):
+            w, h, px = decode_png(
+                encode_png(21, 13, raw, color_type=ct, depth=16,
+                           row_filters=filt)
+            )
+        assert (w, h, px.dtype) == (21, 13, np.uint16)
+        assert np.array_equal(px, want), ct
+        _, _, px = decode_png(
+            encode_png(21, 13, raw, color_type=ct, depth=16, interlace=True)
+        )
+        assert np.array_equal(px, want), ("adam7", ct)
+
+    # sub-byte grayscale: scaling + padding bits (width 19)
+    for dep in (1, 2, 4):
+        vals = rng.randint(0, 1 << dep, (7, 19), dtype=np.uint8)
+        scale = 255 // ((1 << dep) - 1)
+        for filt in (0, 2, 4):
+            _, _, px = decode_png(
+                encode_png(19, 7, vals.tobytes(), color_type=0, depth=dep,
+                           row_filters=filt)
+            )
+            assert np.array_equal(px.reshape(7, 19), vals * scale), (dep, filt)
+        _, _, px = decode_png(
+            encode_png(19, 7, vals.tobytes(), color_type=0, depth=dep,
+                       interlace=True)
+        )
+        assert np.array_equal(px.reshape(7, 19), vals * scale), ("adam7", dep)
+
+    # sub-byte indexed: raw PLTE indices, no scaling
+    pal = bytes(rng.randint(0, 256, 16 * 3, dtype=np.uint8))
+    want_pal = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+    for dep in (1, 2, 4):
+        idx = rng.randint(0, 1 << dep, (7, 19), dtype=np.uint8)
+        _, _, px = decode_png(
+            encode_png(19, 7, idx.tobytes(), color_type=3, depth=dep,
+                       palette=pal)
+        )
+        assert np.array_equal(px, want_pal[idx]), dep
+
+    # gray+alpha 8-bit with the Paeth filter
+    ga = rng.randint(0, 256, (6, 10, 2), dtype=np.uint8)
+    _, _, px = decode_png(
+        encode_png(10, 6, ga.tobytes(), color_type=4, row_filters=4)
+    )
+    assert np.array_equal(px, ga)
+
+    # encoder rejects out-of-depth samples and illegal combinations
+    import pytest
+
+    with pytest.raises(ValueError, match="exceeds"):
+        encode_png(4, 1, bytes([9, 0, 0, 0]), color_type=0, depth=2)
+    with pytest.raises(ValueError, match="invalid PNG bit depth"):
+        encode_png(4, 1, bytes(12), color_type=2, depth=4)
 
 
 def test_png_adam7_interlaced_roundtrip():
