@@ -800,10 +800,12 @@ AUDIO_SCHEMA = StructType(
 
 
 def decode_audio(df: DataFrame, digest: str = "bytes") -> DataFrame:
-    """REAL audio decode for WAV payloads (PCM/float/IMA-ADPCM — see
-    :func:`decode_wav`): per-clip sample stats + the md5 of the
-    decoded samples, Arrow-batched mapInPandas (the slot an ffmpeg
-    decode would fill for perceptual codecs).
+    """REAL audio decode for WAV (PCM/float/IMA-ADPCM/G.711 — see
+    :func:`decode_wav`) and FLAC payloads (the from-scratch RFC 9639
+    decoder in operators/flac.py, self-checking against the stream's
+    embedded MD5): per-clip sample stats + the md5 of the decoded
+    samples, Arrow-batched mapInPandas (the slot an ffmpeg decode
+    would fill for perceptual codecs).
 
     ``digest="bytes"`` (default) md5s the raw little-endian sample
     bytes; ``digest="hex"`` md5s their lowercase-hex rendering — the
@@ -818,7 +820,12 @@ def decode_audio(df: DataFrame, digest: str = "bytes") -> DataFrame:
             rows = []
             for mid, raw in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(raw)
-                rate, ch, n, samples = decode_wav(b)
+                if b[:4] == b"fLaC":
+                    from dolphinbeat_spark.operators.flac import decode_flac
+
+                    fmt, (rate, ch, n, samples) = "flac", decode_flac(b)
+                else:
+                    fmt, (rate, ch, n, samples) = "wav", decode_wav(b)
                 if samples.dtype.kind == "f":
                     total = int(round(float(samples.sum())))
                 else:
@@ -826,7 +833,7 @@ def decode_audio(df: DataFrame, digest: str = "bytes") -> DataFrame:
                 sb = samples.tobytes()
                 rows.append(
                     (
-                        mid, "wav", rate, n,
+                        mid, fmt, rate, n,
                         # duration = frames / rate (stereo interleaves 2
                         # samples per frame)
                         float(n) / ch / rate,

@@ -758,6 +758,75 @@ def mm_decode_png_lowdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_media(media, digest="hex").orderBy("media_id")
 
 
+@register(
+    "mm_decode_flac",
+    # payload = a REAL FLAC stream (from-scratch RFC 9639 encoder:
+    # Rice-coded fixed-predictor subframes over multiple frames incl.
+    # a short tail, stereo decorrelation mode cycling with doc_id
+    # through independent/left-side/right-side/mid-side, Rice
+    # partition order cycling 0/1/2, embedded STREAMINFO MD5). The
+    # decoder verifies frame CRC-8/CRC-16 AND the embedded MD5 of the
+    # decoded samples before emitting. Samples are the closed-form
+    # l_i = ((base + 37i) % 4001) - 2000, r_i = ((3*base + 11i) %
+    # 3001) - 1500 the oracle recomputes; digest over the hex-rendered
+    # interleaved LE int16 stream (decode_audio digest='hex').
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id, doc_id % 997 AS base
+  FROM documents WHERE doc_id % 21 = 5
+), px AS (
+  SELECT media_id, i,
+         ((base + 37 * i) % 4001) - 2000 AS l,
+         ((base * 3 + 11 * i) % 3001) - 1500 AS r
+  FROM p, range(240) t(i)
+)
+SELECT media_id,
+       'flac' AS fmt,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(480 AS BIGINT) AS n_samples,
+       CAST(480 AS DOUBLE) / 2 / 8000 AS duration_s,
+       CAST(SUM(l + r) AS BIGINT) AS sample_sum,
+       md5(string_agg(printf('%02x%02x%02x%02x',
+           l & 255, (l >> 8) & 255, r & 255, (r >> 8) & 255), ''
+           ORDER BY i)) AS sample_md5
+FROM px GROUP BY media_id
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "audio", "codec", "flac"),
+)
+def mm_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS COMPRESSED audio decode under the oracle gate: FLAC,
+    the one audio codec whose entropy layer (Rice-coded linear
+    prediction) is decodable from scratch with no codec libraries —
+    the audio analog of the PNG/GIF/JPEG de-stubs. The decode runs
+    distributed through the same mapInPandas slot as WAV
+    (operators/flac.py; self-checks against the stream's embedded
+    MD5), and the decoded interleaved samples must match the oracle's
+    closed-form recomputation. Perceptual codecs (MP3/AAC/opus)
+    remain honestly stubbed by name."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.flac import encode_flac
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 21 == 5)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    modes = (None, "left-side", "right-side", "mid-side")
+    rows = []
+    for i in ids:
+        base = i % 997
+        t = np.arange(240)
+        left = ((base + 37 * t) % 4001) - 2000
+        right = ((base * 3 + 11 * t) % 3001) - 1500
+        rows.append(
+            (i, bytearray(encode_flac(
+                np.stack([left, right], 1), 8000, block_size=64,
+                stereo_mode=modes[i % 4], partition_order=int(i % 3),
+            )))
+        )
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return M.decode_audio(media, digest="hex").orderBy("media_id")
+
+
 # the 89-entry IMA step table + 16-entry index table as SQL array
 # literals (public: IMA RP / RFC 3551 §4.5.1) — the oracle replays the
 # ADPCM recursion itself in a recursive CTE, fully independent of the
