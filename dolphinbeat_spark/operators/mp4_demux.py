@@ -648,7 +648,15 @@ def demux_media(df: DataFrame, every: int = 1,
             rows = []
             for mid, raw in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(raw)
-                for tr in parse_mp4(b):
+                if b[:4] == b"\x1aE\xdf\xa3":  # EBML: Matroska / WebM
+                    from dolphinbeat_spark.operators.mkv_demux import (
+                        parse_mkv,
+                    )
+
+                    tracks = parse_mkv(b)
+                else:
+                    tracks = parse_mp4(b)
+                for tr in tracks:
                     if handler is not None and tr["handler"] != handler:
                         continue
                     ts = tr["timescale"] or 1

@@ -827,6 +827,86 @@ def mm_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_audio(media, digest="hex").orderBy("media_id")
 
 
+@register(
+    "mm_video_demux_mkv",
+    # payload = a REAL Matroska/WebM container (RFC 8794 EBML + RFC
+    # 9559, operators/mkv_demux.py): a V_RAW video track whose 6
+    # SimpleBlocks (BlockGroup/Block for odd doc_ids) partition the
+    # doc's 96-byte md5 pattern (sizes 10/20/14/16/16/20, 40-tick
+    # deltas at the default 1 ms TimestampScale), plus an A_PCM audio
+    # track the handler filter must skip. The oracle recomputes each
+    # frame's byte range from the pattern — the WebM twin of
+    # mm_video_demux.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 21 = 12
+),
+s(sample_idx, start, sz) AS (
+  VALUES (0, 1, 10), (1, 11, 20), (2, 31, 14),
+         (3, 45, 16), (4, 61, 16), (5, 77, 20)
+)
+SELECT media_id,
+       CAST(1 AS BIGINT) AS track_id,
+       'vide' AS handler,
+       'V_RAW' AS codec,
+       CAST(sample_idx AS BIGINT) AS sample_idx,
+       CAST(sample_idx * 40 AS BIGINT) AS dts,
+       CAST(sample_idx * 40 AS DOUBLE) / 1000 AS dts_s,
+       CAST(sz AS BIGINT) AS sample_bytes,
+       md5(substr(pattern, start, sz)) AS sample_md5
+FROM p CROSS JOIN s
+ORDER BY media_id, sample_idx
+""",
+    tags=("multimodal", "video", "demux", "webm"),
+)
+def mm_video_demux_mkv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matroska/WebM demux under the oracle gate — the SECOND video
+    container beside ISO-BMFF, dispatched by payload magic through
+    the same demux_media Arrow slot: every video frame's
+    track/codec/dts/size/digest recovered from a real EBML structure
+    (Info/Tracks/Clusters) with an audio track the handler filter
+    skips. Lacing modes are pinned in pytest (they share block
+    timestamps, so the per-frame dts relation here stays closed-form
+    without them)."""
+    import hashlib
+
+    from dolphinbeat_spark.operators.mkv_demux import encode_mkv
+    from dolphinbeat_spark.operators.mp4_demux import demux_media
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 21 == 12)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    sizes = [10, 20, 14, 16, 16, 20]
+    rows = []
+    for i in ids:
+        pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
+        vid, pos = [], 0
+        for sz in sizes:
+            vid.append(pattern[pos:pos + sz])
+            pos += sz
+        aud = [pattern[8 * j:8 * j + 8] for j in range(4)]
+        payload = encode_mkv(
+            [
+                {"track_id": 1, "handler": "vide", "codec": "V_RAW",
+                 "samples": vid, "deltas": [40] * 6},
+                {"track_id": 2, "handler": "soun", "codec": "A_PCM/INT/LIT",
+                 "samples": aud, "deltas": [60] * 4},
+            ],
+            cluster_frames=3, block_group=bool(i % 2),
+        )
+        rows.append((i, bytearray(payload)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return (
+        demux_media(media, handler="vide")
+        .select(
+            "media_id", "track_id", "handler", "codec", "sample_idx",
+            "dts", "dts_s", "sample_bytes", "sample_md5",
+        )
+        .orderBy("media_id", "sample_idx")
+    )
+
+
 # the 89-entry IMA step table + 16-entry index table as SQL array
 # literals (public: IMA RP / RFC 3551 §4.5.1) — the oracle replays the
 # ADPCM recursion itself in a recursive CTE, fully independent of the

@@ -1512,3 +1512,130 @@ def test_decode_audio_sniffs_flac(spark):
     assert got.fmt == "flac" and got.sample_rate == 8000
     assert got.n_samples == 600
     assert got.sample_sum == int(s.sum())
+
+
+# --- Matroska / WebM demux (operators/mkv_demux.py) --------------------------
+
+
+# Hand-assembled per RFC 8794/9559, independent of the encoder:
+#   1A45DFA3 87          EBML header, size 7
+#     4282 84 "webm"       DocType
+#   18538067 B0          Segment, size 48
+#     1549A966 87          Info, size 7
+#       2AD7B1 83 0F4240     TimestampScale 1,000,000 ns (1 ms ticks)
+#     1654AE6B 8F          Tracks, size 15
+#       AE 8D                TrackEntry, size 13
+#         D7 81 01             TrackNumber 1
+#         83 81 01             TrackType video
+#         86 85 "V_RAW"        CodecID
+#     1F43B675 8B          Cluster, size 11
+#       E7 81 00             Cluster Timestamp 0
+#       A3 86                SimpleBlock, size 6:
+#         81 0000 80 "hi"      track VINT 1, rel ts 0, keyframe, no lacing
+_MKV_VECTOR = bytes.fromhex(
+    "1a45dfa3874282847765626d18538067b01549a966872ad7b1830f42401654ae6b"
+    "8fae8dd781018381018685565f5241571f43b6758be78100a386810000806869"
+)
+
+
+def test_mkv_hand_assembled_vector():
+    from dolphinbeat_spark.operators.mkv_demux import parse_mkv
+
+    (tr,) = parse_mkv(_MKV_VECTOR)
+    assert (tr["track_id"], tr["handler"], tr["codec"]) == (1, "vide", "V_RAW")
+    assert tr["timescale"] == 1000.0
+    ((idx, ts, off, sz),) = tr["samples"]
+    assert (idx, ts, sz) == (0, 0, 2)
+    assert _MKV_VECTOR[off:off + sz] == b"hi"
+
+
+def test_mkv_demux_roundtrip_all_lacings():
+    """Encoder->parser roundtrips: two interleaved tracks, every
+    lacing mode (none / Xiph 255-terminated / fixed / EBML deltas,
+    incl. frames >255 bytes that force multi-byte Xiph and wide EBML
+    deltas), SimpleBlock AND BlockGroup/Block carriage, custom
+    timestamp scale. Laced frames share their block's timestamp —
+    the spec's lacing contract."""
+    from dolphinbeat_spark.operators.mkv_demux import encode_mkv, parse_mkv
+
+    vid = [bytes([i]) * (10 + i) for i in range(6)]
+    aud = [bytes([0x40 + i]) * 8 for i in range(4)]
+    mkv = encode_mkv([
+        {"track_id": 1, "handler": "vide", "codec": "V_VP9",
+         "samples": vid, "deltas": [100] * 6},
+        {"track_id": 2, "handler": "soun", "codec": "A_OPUS",
+         "samples": aud, "deltas": [160] * 4},
+    ])
+    t1, t2 = parse_mkv(mkv)
+    assert [ts for _, ts, _, _ in t1["samples"]] == [0, 100, 200, 300, 400, 500]
+    assert [ts for _, ts, _, _ in t2["samples"]] == [0, 160, 320, 480]
+    for t, src in ((t1, vid), (t2, aud)):
+        for (i, ts, off, sz) in t["samples"]:
+            assert mkv[off:off + sz] == src[i]
+
+    for lac in ("xiph", "fixed", "ebml"):
+        sizes = [8] * 6 if lac == "fixed" else [5, 300, 2, 17, 9, 260]
+        smp = [bytes([i]) * s for i, s in enumerate(sizes)]
+        for bg in (False, True):
+            m = encode_mkv(
+                [{"track_id": 3, "handler": "vide", "codec": "V_AV1",
+                  "samples": smp, "deltas": [40] * 6, "lacing": lac}],
+                cluster_frames=3, block_group=bg,
+            )
+            (t,) = parse_mkv(m)
+            assert [ts for _, ts, _, _ in t["samples"]] == [0] * 3 + [120] * 3
+            for (i, ts, off, sz) in t["samples"]:
+                assert m[off:off + sz] == smp[i], (lac, bg, i)
+
+    m = encode_mkv([{"track_id": 1, "handler": "vide", "codec": "V_VP8",
+                     "samples": vid[:2], "deltas": [50] * 2}],
+                   timestamp_scale=500_000)
+    assert parse_mkv(m)[0]["timescale"] == 2000.0
+
+
+def test_mkv_typed_errors():
+    import pytest
+
+    from dolphinbeat_spark.operators.mkv_demux import MkvError, parse_mkv
+
+    v = _MKV_VECTOR
+    with pytest.raises(MkvError, match="EBML/Matroska"):
+        parse_mkv(b"\x1aE\xdf\xa4" + v[4:])  # near-miss magic
+    with pytest.raises(MkvError, match="VINT"):
+        parse_mkv(b"\x00" + v[1:])
+    # DocType -> "xebm" (byte 8 = first DocType char)
+    bad_doc = bytearray(v)
+    bad_doc[8] = ord("x")
+    with pytest.raises(MkvError, match="DocType"):
+        parse_mkv(bytes(bad_doc))
+    with pytest.raises(MkvError, match="truncated|overruns"):
+        parse_mkv(v[:40])
+    # unknown-size Cluster: size byte -> 0xFF (all ones, 1-byte VINT)
+    unk = bytearray(v)
+    cpos = v.index(bytes.fromhex("1F43B675"))
+    unk[cpos + 4] = 0xFF
+    with pytest.raises(NotImplementedError, match="unknown-size Cluster"):
+        parse_mkv(bytes(unk))
+    # block referencing an absent track: track VINT 0x81 -> 0x82
+    ghost = bytearray(v)
+    ghost[-6] = 0x82
+    with pytest.raises(MkvError, match="unknown track"):
+        parse_mkv(bytes(ghost))
+
+
+def test_demux_media_sniffs_mkv(spark):
+    """demux_media dispatches on the payload magic: EBML streams go
+    through parse_mkv in the same Arrow slot as MP4."""
+    from dolphinbeat_spark.operators.mkv_demux import encode_mkv
+    from dolphinbeat_spark.operators.mp4_demux import demux_media
+
+    vid = [bytes([i]) * 12 for i in range(4)]
+    rows = [(9, bytearray(encode_mkv(
+        [{"track_id": 1, "handler": "vide", "codec": "V_VP9",
+          "samples": vid, "deltas": [40] * 4}]
+    )))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = demux_media(df, handler="vide").orderBy("sample_idx").collect()
+    assert [r.codec for r in got] == ["V_VP9"] * 4
+    assert [r.dts for r in got] == [0, 40, 80, 120]
+    assert got[1].dts_s == 0.04
