@@ -634,14 +634,22 @@ DEMUX_SCHEMA = StructType(
 
 
 def demux_media(df: DataFrame, every: int = 1,
-                handler: str | None = None) -> DataFrame:
+                handler: str | None = None,
+                digest: str = "bytes") -> DataFrame:
     """Demux ``(media_id, payload)`` rows into one row per sample
     (every ``every``-th, optionally one handler type only): the
     frame-sampling primitive. Emits byte ranges + md5 of the actual
     sample bytes — never the bytes themselves — so the result
-    relation is shuffle-cheap at any scale."""
+    relation is shuffle-cheap at any scale. Containers dispatch on the
+    payload magic: ISO-BMFF (MP4), EBML (Matroska/WebM), and raw MPEG
+    audio (MP3, with ID3 tags). ``digest="hex"`` md5s the
+    lowercase-hex rendering of the sample bytes instead — the form a
+    SQL oracle recomputes when frames contain non-ASCII bytes
+    (DuckDB's md5 takes VARCHAR only)."""
     if every < 1:
         raise ValueError("every must be >= 1")
+    if digest not in ("bytes", "hex"):
+        raise ValueError(f"digest must be 'bytes' or 'hex', got {digest!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -654,6 +662,14 @@ def demux_media(df: DataFrame, every: int = 1,
                     )
 
                     tracks = parse_mkv(b)
+                elif b[:3] == b"ID3" or (
+                    len(b) > 1 and b[0] == 0xFF and b[1] >> 5 == 0b111
+                ):
+                    from dolphinbeat_spark.operators.mp3_demux import (
+                        parse_mp3,
+                    )
+
+                    tracks = parse_mp3(b)
                 else:
                     tracks = parse_mp4(b)
                 for tr in tracks:
@@ -668,11 +684,15 @@ def demux_media(df: DataFrame, every: int = 1,
                                 f"sample {idx} byte range {off}+{size} "
                                 f"exceeds payload ({len(b)})"
                             )
+                        sb = b[off:off + size]
                         rows.append(
                             (
                                 mid, tr["track_id"], tr["handler"],
                                 tr["codec"], idx, dts, dts / ts, size, off,
-                                hashlib.md5(b[off:off + size]).hexdigest(),
+                                hashlib.md5(
+                                    sb if digest == "bytes"
+                                    else sb.hex().encode()
+                                ).hexdigest(),
                             )
                         )
             yield pd.DataFrame(

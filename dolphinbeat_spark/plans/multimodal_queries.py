@@ -907,6 +907,72 @@ def mm_video_demux_mkv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_audio_demux_mp3",
+    # payload = a REAL MPEG-1 Layer III frame sequence (128 kbit/s,
+    # 44.1 kHz, alternating padding bit -> 417/418-byte frames, the
+    # VBR length mechanism) whose frame bodies draw round-robin from
+    # the doc's 96-char md5 pattern; operators/mp3_demux.py walks the
+    # published header matrix and the oracle recomputes each frame's
+    # header hex + body slice (digest='hex': md5 over the lowercase
+    # hex rendering, since frame headers are non-ASCII).
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 21 = 15
+),
+s(sample_idx, hdr, start, sz) AS (
+  VALUES (0, 'fffb90c0', 1, 413), (1, 'fffb92c0', 414, 414),
+         (2, 'fffb90c0', 828, 413)
+)
+SELECT media_id,
+       CAST(1 AS BIGINT) AS track_id,
+       'soun' AS handler,
+       'mpeg1-layer3' AS codec,
+       CAST(sample_idx AS BIGINT) AS sample_idx,
+       CAST(sample_idx * 1152 AS BIGINT) AS dts,
+       CAST(sample_idx * 1152 AS DOUBLE) / 44100 AS dts_s,
+       CAST(sz + 4 AS BIGINT) AS sample_bytes,
+       md5(hdr || lower(hex(substr(repeat(pattern, 13), start, sz))))
+           AS sample_md5
+FROM p CROSS JOIN s
+ORDER BY media_id, sample_idx
+""",
+    tags=("multimodal", "audio", "demux", "mp3"),
+)
+def mm_audio_demux_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 frame demux under the oracle gate — the audio analog of
+    the video-container demux specs: per-frame byte ranges, sample
+    timestamps (1152 samples/frame), and digests recovered from real
+    MPEG audio framing, dispatched by payload magic through the same
+    demux_media Arrow slot. DCT-domain bitstream decode stays honestly
+    stubbed (no codec libs); frame-level demux is what the 100 TB
+    sampling/dedup pipeline needs."""
+    import hashlib
+
+    from dolphinbeat_spark.operators.mp3_demux import encode_mp3_frames
+    from dolphinbeat_spark.operators.mp4_demux import demux_media
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 21 == 15)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
+        rows.append((i, bytearray(
+            encode_mp3_frames(3, pattern, paddings=[0, 1, 0])
+        )))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return (
+        demux_media(media, digest="hex")
+        .select(
+            "media_id", "track_id", "handler", "codec", "sample_idx",
+            "dts", "dts_s", "sample_bytes", "sample_md5",
+        )
+        .orderBy("media_id", "sample_idx")
+    )
+
+
 # the 89-entry IMA step table + 16-entry index table as SQL array
 # literals (public: IMA RP / RFC 3551 §4.5.1) — the oracle replays the
 # ADPCM recursion itself in a recursive CTE, fully independent of the

@@ -1639,3 +1639,79 @@ def test_demux_media_sniffs_mkv(spark):
     assert [r.codec for r in got] == ["V_VP9"] * 4
     assert [r.dts for r in got] == [0, 40, 80, 120]
     assert got[1].dts_s == 0.04
+
+
+# --- MP3 frame demux (operators/mp3_demux.py) --------------------------------
+
+
+def test_mp3_frame_demux_matrix():
+    """Every (MPEG version, layer) pair frames correctly: published
+    bitrate/sample-rate tables, Layer-I 4-byte slots, per-frame
+    padding (the VBR length mechanism), ID3v2 prefix + ID3v1 trailer
+    skip, and the samples-per-frame timestamp advance."""
+    from dolphinbeat_spark.operators.mp3_demux import (
+        encode_mp3_frames, parse_mp3,
+    )
+
+    mp3 = encode_mp3_frames(5, b"abcdefgh", paddings=[0, 1, 0, 1, 0])
+    (t,) = parse_mp3(mp3)
+    assert t["codec"] == "mpeg1-layer3" and t["timescale"] == 44100
+    assert [(d, s) for _, d, _, s in t["samples"]] == [
+        (0, 417), (1152, 418), (2304, 417), (3456, 418), (4608, 417)
+    ]
+    assert all(mp3[off] == 0xFF for _, _, off, _ in t["samples"])
+
+    tag = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + bytes(10)
+    (t,) = parse_mp3(encode_mp3_frames(3, b"xy", id3v2=tag, id3v1=True))
+    assert len(t["samples"]) == 3 and t["samples"][0][2] == 20
+
+    # (version, layer) -> (frame bytes at samplerate_idx 1, samples/frame)
+    want = {("1", 1): (288, 384), ("1", 2): (480, 1152),
+            ("2", 3): (240, 576), ("2.5", 3): (480, 576),
+            ("2", 2): (480, 1152)}
+    for (v, l), (fl, spf) in want.items():
+        (t,) = parse_mp3(encode_mp3_frames(2, b"z", version=v, layer=l,
+                                           samplerate_idx=1))
+        assert t["codec"] == f"mpeg{v}-layer{l}"
+        assert t["samples"][0][3] == fl and t["samples"][1][1] == spf
+
+
+def test_mp3_typed_errors():
+    import pytest
+
+    from dolphinbeat_spark.operators.mp3_demux import (
+        Mp3Error, encode_mp3_frames, parse_mp3,
+    )
+
+    good = bytearray(encode_mp3_frames(2, b"q"))
+    with pytest.raises(Mp3Error, match="sync"):
+        parse_mp3(bytes(20))
+    with pytest.raises(Mp3Error, match="overruns"):
+        parse_mp3(bytes(good[:100]))
+    free = bytearray(good)
+    free[2] &= 0x0F  # bitrate index 0
+    with pytest.raises(NotImplementedError, match="free-format"):
+        parse_mp3(bytes(free))
+    badsr = bytearray(good)
+    badsr[2] |= 0x0C  # sample rate index 11
+    with pytest.raises(Mp3Error, match="sample rate"):
+        parse_mp3(bytes(badsr))
+    # inconsistent stream: second frame re-marked MPEG2
+    mixed = bytearray(good)
+    mixed[417 + 1] = (mixed[417 + 1] & 0xE7) | (2 << 3)
+    with pytest.raises(Mp3Error, match="inconsistent"):
+        parse_mp3(bytes(mixed))
+    with pytest.raises(Mp3Error, match="only an ID3 tag"):
+        parse_mp3(b"ID3\x04\x00\x00\x00\x00\x00\x00")
+
+
+def test_demux_media_sniffs_mp3(spark):
+    from dolphinbeat_spark.operators.mp3_demux import encode_mp3_frames
+    from dolphinbeat_spark.operators.mp4_demux import demux_media
+
+    rows = [(4, bytearray(encode_mp3_frames(4, b"pad")))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = demux_media(df).orderBy("sample_idx").collect()
+    assert [r.codec for r in got] == ["mpeg1-layer3"] * 4
+    assert [r.dts for r in got] == [0, 1152, 2304, 3456]
+    assert got[0].handler == "soun"
