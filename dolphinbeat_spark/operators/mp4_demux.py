@@ -662,6 +662,12 @@ def demux_media(df: DataFrame, every: int = 1,
                     )
 
                     tracks = parse_mkv(b)
+                elif b[:4] == b"OggS":
+                    from dolphinbeat_spark.operators.ogg_demux import (
+                        parse_ogg,
+                    )
+
+                    tracks = parse_ogg(b)
                 elif b[:3] == b"ID3" or (
                     len(b) > 1 and b[0] == 0xFF and b[1] >> 5 == 0b111
                 ):

@@ -973,6 +973,83 @@ def mm_audio_demux_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_audio_demux_ogg",
+    # payload = a REAL Ogg/Opus stream (RFC 3533 pages with the
+    # Ogg-specific CRC-32, lacing, BOS/EOS flags; RFC 7845 OpusHead
+    # identification packet -> fixed 48 kHz granule clock): 5 data
+    # packets from the doc's md5 pattern over two pages with granules
+    # 960/2880; every packet row carries its PAGE's granule (what the
+    # container stores). digest='hex' since the head packet is
+    # non-ASCII; its hex is embedded in the oracle verbatim.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 21 = 18
+),
+s(sample_idx, dts, start, sz) AS (
+  VALUES (1, 960, 1, 10), (2, 960, 11, 20), (3, 2880, 31, 14),
+         (4, 2880, 45, 16), (5, 2880, 61, 16)
+)
+SELECT media_id,
+       CAST(1 AS BIGINT) AS track_id,
+       'soun' AS handler,
+       'opus' AS codec,
+       CAST(sample_idx AS BIGINT) AS sample_idx,
+       CAST(dts AS BIGINT) AS dts,
+       CAST(dts AS DOUBLE) / 48000 AS dts_s,
+       CAST(sz AS BIGINT) AS sample_bytes,
+       md5(lower(hex(substr(pattern, start, sz)))) AS sample_md5
+FROM p CROSS JOIN s
+UNION ALL
+SELECT media_id, 1, 'soun', 'opus', 0, 960,
+       CAST(960 AS DOUBLE) / 48000, 19,
+       md5('4f707573486561640102000080bb0000000000')
+FROM p
+ORDER BY media_id, sample_idx
+""",
+    tags=("multimodal", "audio", "demux", "ogg", "opus"),
+)
+def mm_audio_demux_ogg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg/Opus container demux under the oracle gate — the THIRD
+    container dialect through the magic-dispatched demux_media slot
+    (ISO-BMFF, EBML, MPEG audio framing, now RFC 3533 pages): page
+    CRC verification, segment-lacing packet reassembly, BOS codec
+    identification, per-packet byte ranges with page granules.
+    Opus/Vorbis BITSTREAM decode stays honestly stubbed (no codec
+    libs)."""
+    import hashlib
+
+    from dolphinbeat_spark.operators.mp4_demux import demux_media
+    from dolphinbeat_spark.operators.ogg_demux import encode_ogg
+
+    head = bytes.fromhex("4f707573486561640102000080bb0000000000")
+    sizes = [10, 20, 14, 16, 16]
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 21 == 18)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
+        pkts, pos = [], 0
+        for sz in sizes:
+            pkts.append(pattern[pos:pos + sz])
+            pos += sz
+        rows.append((i, bytearray(encode_ogg(
+            [{"serial": 1, "packets": pkts, "codec_head": head,
+              "granules": [960, 2880]}]
+        ))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return (
+        demux_media(media, digest="hex")
+        .select(
+            "media_id", "track_id", "handler", "codec", "sample_idx",
+            "dts", "dts_s", "sample_bytes", "sample_md5",
+        )
+        .orderBy("media_id", "sample_idx")
+    )
+
+
 # the 89-entry IMA step table + 16-entry index table as SQL array
 # literals (public: IMA RP / RFC 3551 §4.5.1) — the oracle replays the
 # ADPCM recursion itself in a recursive CTE, fully independent of the

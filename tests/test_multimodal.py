@@ -1715,3 +1715,103 @@ def test_demux_media_sniffs_mp3(spark):
     assert [r.codec for r in got] == ["mpeg1-layer3"] * 4
     assert [r.dts for r in got] == [0, 1152, 2304, 3456]
     assert got[0].handler == "soun"
+
+
+# --- Ogg demux (operators/ogg_demux.py) --------------------------------------
+
+
+def test_ogg_demux_roundtrip():
+    """Page walk with the Ogg-specific CRC, 255-run lacing incl. the
+    terminating-0 exact-multiple case, BOS codec identification
+    (OpusHead fixed 48 kHz / Vorbis ident-header rate), multiplexed
+    serials, and per-packet byte ranges carrying the page granule."""
+    from dolphinbeat_spark.operators.ogg_demux import encode_ogg, parse_ogg
+
+    head = b"OpusHead" + bytes([1, 2]) + bytes(9)
+    pkts = [bytes([i]) * (50 + i * 40) for i in range(7)]
+    ogg = encode_ogg([{"serial": 0xABCD, "packets": pkts,
+                       "codec_head": head}])
+    (t,) = parse_ogg(ogg)
+    assert (t["track_id"], t["codec"], t["timescale"]) == (0xABCD, "opus",
+                                                           48000)
+    for (i, g, off, sz) in t["samples"]:
+        want = head if i == 0 else pkts[i - 1]
+        assert ogg[off:off + sz] == want, i
+
+    # exact multiples of 255 need the terminating 0 lacing value
+    p255 = [b"x" * 255, b"y" * 510, b"z" * 10]
+    (t,) = parse_ogg(encode_ogg([{"serial": 7, "packets": p255}],
+                                packets_per_page=2))
+    assert [sz for _, _, _, sz in t["samples"]] == [255, 510, 10]
+
+    vh = b"\x01vorbis" + bytes(4) + b"\x02" + b"\x44\xac\x00\x00" + bytes(6)
+    streams = [{"serial": 1, "packets": [b"a", b"b"], "codec_head": head},
+               {"serial": 2, "packets": [b"c"], "codec_head": vh}]
+    t1, t2 = parse_ogg(encode_ogg(streams))
+    assert (t1["codec"], len(t1["samples"])) == ("opus", 3)
+    assert (t2["codec"], t2["timescale"]) == ("vorbis", 44100)
+
+
+def test_ogg_typed_errors_and_spanning_packets():
+    import struct
+
+    import pytest
+
+    from dolphinbeat_spark.operators.ogg_demux import (
+        OggError, _ogg_crc, encode_ogg, parse_ogg,
+    )
+
+    good = encode_ogg([{"serial": 5, "packets": [b"hello", b"world"]}])
+    with pytest.raises(OggError, match="OggS"):
+        parse_ogg(b"XggS" + good[4:])
+    bad = bytearray(good)
+    bad[-1] ^= 1  # flip a body byte: CRC catches it
+    with pytest.raises(OggError, match="CRC"):
+        parse_ogg(bytes(bad))
+    with pytest.raises(OggError, match="truncated"):
+        parse_ogg(good[:20])
+
+    def page(htype, seq, segtab, body, serial=9, granule=0):
+        hdr = bytearray(b"OggS") + bytes([0, htype])
+        hdr += struct.pack("<qIIIB", granule, serial, seq, 0, len(segtab))
+        hdr += bytes(segtab)
+        pg = hdr + body
+        pg[22:26] = struct.pack("<I", _ogg_crc(bytes(pg)))
+        return bytes(pg)
+
+    # a packet spanning two pages: honest NotImplementedError
+    spanning = (page(0x02, 0, [255], b"a" * 255)
+                + page(0x05, 1, [45], b"a" * 45))
+    with pytest.raises(NotImplementedError, match="spanning"):
+        parse_ogg(spanning)
+    # sequence gap
+    gap = page(0x02, 0, [1], b"x") + page(0x04, 2, [1], b"y")
+    with pytest.raises(OggError, match="sequence gap"):
+        parse_ogg(gap)
+    # continuation flag without a continued packet
+    with pytest.raises(OggError, match="continuation page without"):
+        parse_ogg(page(0x03, 0, [1], b"x"))
+    # continued packet dropped by a flag-less page
+    dropped = (page(0x02, 0, [255], b"a" * 255)
+               + page(0x04, 1, [1], b"b"))
+    with pytest.raises(OggError, match="continued packet dropped"):
+        parse_ogg(dropped)
+    # stream ends mid-packet
+    with pytest.raises(OggError, match="ends inside"):
+        parse_ogg(page(0x02, 0, [255], b"a" * 255))
+
+
+def test_demux_media_sniffs_ogg(spark):
+    from dolphinbeat_spark.operators.ogg_demux import encode_ogg
+    from dolphinbeat_spark.operators.mp4_demux import demux_media
+
+    head = b"OpusHead" + bytes([1, 1]) + bytes(9)
+    rows = [(2, bytearray(encode_ogg(
+        [{"serial": 3, "packets": [b"pkt0", b"pkt11"], "codec_head": head,
+          "granules": [960]}]
+    )))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = demux_media(df).orderBy("sample_idx").collect()
+    assert [r.codec for r in got] == ["opus"] * 3
+    assert [r.dts for r in got] == [960, 960, 960]
+    assert got[0].dts_s == 0.02
