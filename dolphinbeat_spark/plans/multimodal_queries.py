@@ -1050,6 +1050,144 @@ def mm_audio_demux_ogg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_exif_extract",
+    # payload = a real JPEG carrying a real APP1 Exif segment (TIFF
+    # IFD chain, operators/exif.py::encode_exif_app1, byte order
+    # alternating II/MM with doc_id parity): camera fields and GPS
+    # DMS rationals are closed-form in doc_id; every fourth doc has
+    # no GPS IFD at all. The oracle recomputes each field, including
+    # the DMS->decimal-degree conversion with hemisphere signs
+    # (bit-identical double math: d + m/60.0 + s/3600.0).
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id, doc_id AS i
+  FROM documents WHERE doc_id % 25 = 4
+)
+SELECT media_id,
+       'ACME-' || CAST(i % 5 AS VARCHAR) AS make,
+       'M' || CAST(i % 97 AS VARCHAR) AS model,
+       CAST(1 + i % 8 AS BIGINT) AS orientation,
+       printf('2024:%02d:%02d 10:20:30', 1 + i % 12, 1 + i % 28)
+           AS datetime_original,
+       CAST(100 * (1 + i % 8) AS BIGINT) AS iso,
+       CASE WHEN i % 4 = 0 THEN NULL
+            WHEN i % 2 = 1
+            THEN -((i % 90) + ((i * 7) % 60) / 60.0
+                   + ((i * 13) % 60) / 3600.0)
+            ELSE (i % 90) + ((i * 7) % 60) / 60.0
+                 + ((i * 13) % 60) / 3600.0 END AS gps_lat,
+       CASE WHEN i % 4 = 0 THEN NULL
+            WHEN i % 3 = 0
+            THEN -((i % 180) + ((i * 11) % 60) / 60.0
+                   + ((i * 17) % 60) / 3600.0)
+            ELSE (i % 180) + ((i * 11) % 60) / 60.0
+                 + ((i * 17) % 60) / 3600.0 END AS gps_lon,
+       i % 4 != 0 AS has_gps
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "exif", "metadata"),
+)
+def mm_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction under the oracle gate: camera
+    make/model/orientation/timestamp/ISO and GPS coordinates parsed
+    from real APP1 TIFF-IFD structures (both byte orders) by the
+    from-scratch parser in operators/exif.py, distributed via Arrow
+    mapInPandas. These fields are the filter/dedup keys a multimodal
+    training pipeline joins on (same-device bursts, time windows) —
+    and the GPS columns are exactly the PII the redaction spec
+    removes."""
+    from dolphinbeat_spark.operators.exif import (
+        encode_exif_app1, exif_extract, insert_app1,
+    )
+    from dolphinbeat_spark.operators.jpeg import encode_jpeg
+
+    jpg = encode_jpeg(16, 8, bytes([130]) * 128, gray=True)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 4)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        gps = None
+        if i % 4:
+            gps = ("S" if i % 2 else "N",
+                   ((i % 90, 1), ((i * 7) % 60, 1), ((i * 13) % 60, 1)),
+                   "W" if i % 3 == 0 else "E",
+                   ((i % 180, 1), ((i * 11) % 60, 1), ((i * 17) % 60, 1)))
+        app1 = encode_exif_app1(
+            make=f"ACME-{i % 5}", model=f"M{i % 97}",
+            orientation=1 + i % 8,
+            datetime_original=f"2024:{1 + i % 12:02d}:{1 + i % 28:02d} "
+                              "10:20:30",
+            iso=100 * (1 + i % 8), gps=gps,
+            byte_order="<" if i % 2 == 0 else ">",
+        )
+        rows.append((i, bytearray(insert_app1(jpg, app1))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return exif_extract(media).orderBy("media_id")
+
+
+@register(
+    "mm_exif_gps_redact",
+    # the redaction gate: strip_metadata drops every APPn/COM segment
+    # (GPS hides in thumbnails/maker notes too) and MUST NOT disturb
+    # the entropy-coded pixels. Each doc's JPEG carries a GPS-bearing
+    # APP1; after distributed redaction the extractor finds nothing
+    # and the decode still matches the flat closed form.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         2 * (ord(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) % 64) AS v
+  FROM documents WHERE doc_id % 25 = 9
+)
+SELECT media_id,
+       FALSE AS has_gps,
+       'jpeg' AS fmt,
+       CAST(16 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(128 * v AS BIGINT) AS pixel_sum,
+       md5(repeat(chr(CAST(v AS INTEGER)), 128)) AS pixel_md5
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "exif", "redaction", "pii"),
+)
+def mm_exif_gps_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPS/PII redaction under the oracle gate, proving BOTH halves
+    of the contract at once: after the distributed strip
+    (exif.strip_metadata_df) the extractor finds no GPS, and the
+    pixel decode is byte-identical to the untagged closed form — the
+    metadata layer went, the image didn't."""
+    import hashlib
+
+    from dolphinbeat_spark.operators.exif import (
+        encode_exif_app1, exif_extract, insert_app1, strip_metadata_df,
+    )
+    from dolphinbeat_spark.operators.jpeg import encode_jpeg
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 9)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        v = 2 * (ord(hashlib.md5(str(i).encode()).hexdigest()[2]) % 64)
+        jpg = encode_jpeg(16, 8, bytes([v]) * 128, gray=True)
+        app1 = encode_exif_app1(
+            make="ACME", gps=("N", ((1, 1), (2, 1), (3, 1)),
+                              "E", ((4, 1), (5, 1), (6, 1))),
+        )
+        rows.append((i, bytearray(insert_app1(jpg, app1))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    clean = strip_metadata_df(media)
+    meta = exif_extract(clean).select("media_id", "has_gps")
+    pixels = M.decode_media(clean)
+    return (
+        meta.join(pixels, "media_id")
+        .select("media_id", "has_gps", "fmt", "width", "height",
+                "pixel_sum", "pixel_md5")
+        .orderBy("media_id")
+    )
+
+
 # the 89-entry IMA step table + 16-entry index table as SQL array
 # literals (public: IMA RP / RFC 3551 §4.5.1) — the oracle replays the
 # ADPCM recursion itself in a recursive CTE, fully independent of the

@@ -1815,3 +1815,76 @@ def test_demux_media_sniffs_ogg(spark):
     assert [r.codec for r in got] == ["opus"] * 3
     assert [r.dts for r in got] == [960, 960, 960]
     assert got[0].dts_s == 0.02
+
+
+# --- EXIF (operators/exif.py) -------------------------------------------------
+
+
+def test_exif_parse_both_byte_orders_and_redaction():
+    """The TIFF-IFD parser reads real APP1 structures in both II and
+    MM byte order (inline vs offset values, sub-IFD and GPS-IFD
+    pointers, DMS->decimal with hemisphere signs), and strip_metadata
+    removes the whole metadata layer while preserving the decode
+    byte-for-byte."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.exif import (
+        encode_exif_app1, insert_app1, parse_exif, strip_metadata,
+    )
+    from dolphinbeat_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    jpg = encode_jpeg(16, 8, bytes([130]) * 128, gray=True)
+    want_px = decode_jpeg(jpg)[2]
+    for bo in ("<", ">"):
+        app1 = encode_exif_app1(
+            make="ACME", model="Cam 9000", orientation=6,
+            datetime_original="2024:05:01 10:20:30", iso=400,
+            gps=("N", ((37, 1), (46, 1), (30, 1)),
+                 "W", ((122, 1), (25, 1), (12, 1))),
+            byte_order=bo,
+        )
+        tagged = insert_app1(jpg, app1)
+        m = parse_exif(tagged)
+        assert m["make"] == "ACME" and m["model"] == "Cam 9000"
+        assert m["orientation"] == 6 and m["iso"] == 400
+        assert m["datetime_original"] == "2024:05:01 10:20:30"
+        assert m["gps_lat"] == 37 + 46 / 60 + 30 / 3600
+        assert m["gps_lon"] == -(122 + 25 / 60 + 12 / 3600)
+        # the tag does not disturb the decode; the strip removes it
+        assert np.array_equal(decode_jpeg(tagged)[2], want_px)
+        clean = strip_metadata(tagged)
+        assert parse_exif(clean) == {}
+        assert np.array_equal(decode_jpeg(clean)[2], want_px)
+    assert parse_exif(jpg) == {}  # no APP1 at all
+
+
+def test_exif_typed_errors_and_robustness():
+    import pytest
+
+    from dolphinbeat_spark.operators.exif import (
+        ExifError, encode_exif_app1, insert_app1, parse_exif,
+    )
+    from dolphinbeat_spark.operators.jpeg import encode_jpeg
+
+    with pytest.raises(ExifError, match="not a JPEG"):
+        parse_exif(b"nope")
+    jpg = encode_jpeg(8, 8, bytes(64), gray=True)
+    app1 = encode_exif_app1(make="X", gps=("N", ((1, 1),) * 3,
+                                           "E", ((2, 1),) * 3))
+    tagged = bytearray(insert_app1(jpg, app1))
+    # corrupt the TIFF byte-order mark: typed error
+    i = bytes(tagged).index(b"Exif\x00\x00") + 6
+    bad = bytearray(tagged)
+    bad[i] = ord("X")
+    with pytest.raises(ExifError, match="byte order"):
+        parse_exif(bytes(bad))
+    # IFD offset pointing past the segment: typed error
+    bad2 = bytearray(tagged)
+    bad2[i + 4:i + 8] = (2 ** 31).to_bytes(4, "little")
+    with pytest.raises(ExifError, match="beyond|overruns|truncated"):
+        parse_exif(bytes(bad2))
+    # zero-denominator rationals degrade to absent fields, not errors
+    weird = encode_exif_app1(gps=("N", ((1, 0), (0, 1), (0, 1)),
+                                  "E", ((2, 1), (0, 1), (0, 1))))
+    m = parse_exif(insert_app1(jpg, weird))
+    assert "gps_lat" not in m and m["gps_lon"] == 2.0
