@@ -1188,6 +1188,87 @@ def mm_exif_gps_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "warc_records",
+    # payload = a REAL WARC 1.0 file (sources/warc.py): warcinfo +
+    # two HTTP response records whose bodies are slices of the doc's
+    # md5 pattern; odd doc_ids use the Common Crawl record-per-gzip-
+    # member layout. The oracle recomputes every column, including
+    # the HTTP envelope split (status / Content-Type / entity body).
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id, doc_id AS i,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 25 = 14
+),
+s(record_idx, wt, status, sz, start) AS (
+  VALUES (1, 'response', 200, 40, 1), (2, 'response', 404, 30, 41)
+)
+SELECT media_id, CAST(record_idx AS BIGINT) AS record_idx,
+       wt AS warc_type,
+       '<urn:uuid:' || CAST(i AS VARCHAR) || '-'
+           || CAST(record_idx AS VARCHAR) || '>' AS record_id,
+       'http://ex.com/' || CAST(i AS VARCHAR) || '/'
+           || CAST(record_idx AS VARCHAR) AS target_uri,
+       printf('2024-01-%02dT00:00:00Z', 1 + i % 28) AS warc_date,
+       CAST(status AS BIGINT) AS http_status,
+       CASE record_idx WHEN 1 THEN 'text/html' ELSE 'text/plain' END
+           AS content_type,
+       CAST(sz AS BIGINT) AS body_len,
+       md5(substr(pattern, start, sz)) AS body_md5,
+       substr(pattern, start, sz) AS body_text
+FROM p CROSS JOIN s
+UNION ALL
+SELECT media_id, 0, 'warcinfo',
+       '<urn:uuid:' || CAST(i AS VARCHAR) || '-0>', NULL,
+       printf('2024-01-%02dT00:00:00Z', 1 + i % 28), NULL,
+       'application/warc-fields', 23,
+       md5('software: dolphinbeat' || chr(13) || chr(10)),
+       'software: dolphinbeat' || chr(13) || chr(10)
+FROM p
+ORDER BY media_id, record_idx
+""",
+    tags=("text", "ingest", "warc"),
+)
+def warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion under the oracle gate — the Common Crawl bulk
+    format a web-scale training pipeline reads first: record grammar
+    (version line, CRLF headers, Content-Length framing), the
+    record-per-gzip-member layout (odd doc_ids), and HTTP response
+    envelope splitting, all via Arrow mapInPandas
+    (sources/warc.py::read_warc). The emitted relation (uri, date,
+    status, content type, body text/digest) is what the dedup /
+    quality / lang-ID stages consume."""
+    import hashlib
+
+    from dolphinbeat_spark.sources.warc import encode_warc, read_warc
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 14)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
+        date = f"2024-01-{1 + i % 28:02d}T00:00:00Z"
+        recs = [
+            {"type": "warcinfo", "record_id": f"<urn:uuid:{i}-0>",
+             "date": date, "content": b"software: dolphinbeat\r\n",
+             "content_type": "application/warc-fields"},
+            {"type": "response", "record_id": f"<urn:uuid:{i}-1>",
+             "target_uri": f"http://ex.com/{i}/1", "date": date,
+             "content": pattern[0:40],
+             "http": {"status": 200, "content_type": "text/html"}},
+            {"type": "response", "record_id": f"<urn:uuid:{i}-2>",
+             "target_uri": f"http://ex.com/{i}/2", "date": date,
+             "content": pattern[40:70],
+             "http": {"status": 404, "content_type": "text/plain"}},
+        ]
+        rows.append(
+            (i, bytearray(encode_warc(recs, gzip_members=bool(i % 2))))
+        )
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return read_warc(media).orderBy("media_id", "record_idx")
+
+
 # the 89-entry IMA step table + 16-entry index table as SQL array
 # literals (public: IMA RP / RFC 3551 §4.5.1) — the oracle replays the
 # ADPCM recursion itself in a recursive CTE, fully independent of the

@@ -1,0 +1,226 @@
+"""WARC (Web ARChive) record reader from scratch — ISO 28500 /
+the IIPC WARC 1.0/1.1 spec.
+
+WARC is THE bulk format web-scale training corpora ship in (Common
+Crawl distributes ~100 TB-scale WARC): a pipeline that can't open it
+can't ingest its own input. Covered: the record grammar
+(``WARC/1.x`` version line, CRLF header block, ``Content-Length``
+framing, double-CRLF record separator), the per-record GZIP-MEMBER
+layout Common Crawl actually uses (each record its own gzip member,
+concatenated — readable member-by-member so a split can start at any
+member boundary), plain multi-record files, HTTP response payload
+splitting (status line + headers vs body, Content-Type extraction),
+and the standard record types (warcinfo / request / response /
+metadata / resource / conversion / revisit).
+
+Spark surface: ``read_warc`` maps ``(media_id, payload)`` rows to one
+typed row per record via Arrow ``mapInPandas`` — at 100 TB each
+payload is one WARC file (or one split of members) fetched by an
+upstream binary source, and the record relation is what the text
+pipeline (dedup, quality, lang-ID) consumes. Emits payload md5 +
+UTF-8 body text (lossy-replaced) rather than raw bytes, keeping the
+relation shuffle-cheap.
+
+Reference parity: the reference repo moves database rows, not web
+corpora; this extends the LLM-data-pipeline layer it lacks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct  # noqa: F401  (parity with sibling modules)
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+class WarcError(ValueError):
+    """Typed WARC framing error."""
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Concatenated gzip members -> concatenated plaintext (the
+    Common Crawl record-per-member layout)."""
+    out = bytearray()
+    rest = data
+    while rest:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out += d.decompress(rest)
+        except zlib.error as ex:
+            raise WarcError(f"bad gzip member in WARC stream: {ex}") from ex
+        if not d.eof:
+            raise WarcError("WARC gzip stream ends mid-member")
+        rest = d.unused_data
+    return bytes(out)
+
+
+def iter_warc_records(data: bytes):
+    """Yield dicts per WARC record: headers (case-insensitive keyed),
+    content bytes, and the framing offsets. Accepts plain or
+    gzip-membered input."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate trailing CRLFs between records
+        while pos < n and data[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        eol = data.find(b"\r\n", pos)
+        if eol < 0:
+            raise WarcError("WARC version line not terminated")
+        version = data[pos:eol]
+        if not version.startswith(b"WARC/"):
+            raise WarcError(
+                f"expected WARC/1.x version line at {pos}, got "
+                f"{version[:20]!r}"
+            )
+        hdr_end = data.find(b"\r\n\r\n", eol)
+        if hdr_end < 0:
+            raise WarcError("WARC header block not terminated")
+        headers: dict[str, str] = {}
+        for line in data[eol + 2:hdr_end].split(b"\r\n"):
+            if b":" not in line:
+                raise WarcError(f"malformed WARC header line {line[:40]!r}")
+            k, v = line.split(b":", 1)
+            headers[k.strip().decode("ascii", "replace").lower()] = (
+                v.strip().decode("utf-8", "replace")
+            )
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise WarcError("WARC record lacks a valid Content-Length")
+        body_start = hdr_end + 4
+        if body_start + clen > n:
+            raise WarcError("WARC record content truncated")
+        content = data[body_start:body_start + clen]
+        sep = data[body_start + clen:body_start + clen + 4]
+        if sep not in (b"\r\n\r\n", b""):
+            raise WarcError("WARC record separator missing")
+        yield {
+            "version": version.decode("ascii", "replace"),
+            "headers": headers,
+            "content": content,
+        }
+        pos = body_start + clen + 4
+
+
+def _split_http(content: bytes) -> tuple[int | None, str | None, bytes]:
+    """An application/http payload -> (status, content_type, body)."""
+    hdr_end = content.find(b"\r\n\r\n")
+    if hdr_end < 0 or not content.startswith(b"HTTP/"):
+        return None, None, content
+    lines = content[:hdr_end].split(b"\r\n")
+    parts = lines[0].split(None, 2)
+    status = None
+    if len(parts) >= 2 and parts[1].isdigit():
+        status = int(parts[1])
+    ctype = None
+    for line in lines[1:]:
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            if k.strip().lower() == b"content-type":
+                ctype = v.strip().decode("ascii", "replace")
+    return status, ctype, content[hdr_end + 4:]
+
+
+WARC_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("record_idx", LongType()),
+        StructField("warc_type", StringType()),
+        StructField("record_id", StringType()),
+        StructField("target_uri", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("http_status", LongType()),
+        StructField("content_type", StringType()),
+        StructField("body_len", LongType()),
+        StructField("body_md5", StringType()),
+        StructField("body_text", StringType()),
+    ]
+)
+
+
+def read_warc(df: DataFrame, text_limit: int = 1 << 20) -> DataFrame:
+    """(media_id, payload) -> one row per WARC record. For
+    ``application/http`` payloads the HTTP envelope is split off:
+    http_status/content_type come from it and body stats cover the
+    entity body; other payloads pass through whole. body_text is the
+    UTF-8 (errors-replaced) rendering capped at ``text_limit``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                for i, rec in enumerate(iter_warc_records(bytes(raw))):
+                    h = rec["headers"]
+                    content = rec["content"]
+                    status = None
+                    ctype = h.get("content-type")
+                    body = content
+                    if ctype and ctype.split(";")[0].strip() \
+                            == "application/http":
+                        status, ctype, body = _split_http(content)
+                    rows.append((
+                        mid, i, h.get("warc-type"), h.get("warc-record-id"),
+                        h.get("warc-target-uri"), h.get("warc-date"),
+                        status, ctype, len(body),
+                        hashlib.md5(body).hexdigest(),
+                        body[:text_limit].decode("utf-8", "replace"),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, WARC_SCHEMA)
+
+
+# --- writer (fixture generator) ----------------------------------------------
+
+
+def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
+    """Format-faithful WARC 1.0 writer (fixture generator). Each
+    record dict: type, record_id, target_uri (optional), date
+    (optional), content (bytes), content_type (optional), http
+    (optional dict {status, content_type} — wraps content in an HTTP
+    response envelope with the application/http WARC content type)."""
+    out = bytearray()
+    for r in records:
+        content = r["content"]
+        ctype = r.get("content_type")
+        if r.get("http"):
+            status = r["http"].get("status", 200)
+            hct = r["http"].get("content_type", "text/html")
+            content = (
+                f"HTTP/1.1 {status} OK\r\nContent-Type: {hct}\r\n"
+                f"Content-Length: {len(content)}\r\n\r\n"
+            ).encode() + content
+            ctype = "application/http; msgtype=response"
+        hdrs = [f"WARC-Type: {r['type']}",
+                f"WARC-Record-ID: {r['record_id']}"]
+        if r.get("target_uri"):
+            hdrs.append(f"WARC-Target-URI: {r['target_uri']}")
+        if r.get("date"):
+            hdrs.append(f"WARC-Date: {r['date']}")
+        if ctype:
+            hdrs.append(f"Content-Type: {ctype}")
+        hdrs.append(f"Content-Length: {len(content)}")
+        rec = (b"WARC/1.0\r\n" + "\r\n".join(hdrs).encode()
+               + b"\r\n\r\n" + content + b"\r\n\r\n")
+        if gzip_members:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            out += co.compress(rec) + co.flush()
+        else:
+            out += rec
+    return bytes(out)

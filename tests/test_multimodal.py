@@ -1888,3 +1888,79 @@ def test_exif_typed_errors_and_robustness():
                                   "E", ((2, 1), (0, 1), (0, 1))))
     m = parse_exif(insert_app1(jpg, weird))
     assert "gps_lat" not in m and m["gps_lon"] == 2.0
+
+
+# --- WARC (sources/warc.py) ---------------------------------------------------
+
+
+def test_warc_record_walk_plain_and_gzip_members():
+    """The record grammar (version line, CRLF headers, Content-Length
+    framing, double-CRLF separators) parses identically from plain
+    multi-record files and the Common Crawl record-per-gzip-member
+    layout; HTTP response payloads split into status/type/body."""
+    from dolphinbeat_spark.sources.warc import (
+        _split_http, encode_warc, iter_warc_records,
+    )
+
+    recs = [
+        {"type": "warcinfo", "record_id": "<urn:uuid:0>",
+         "content": b"software: test\r\n",
+         "content_type": "application/warc-fields"},
+        {"type": "response", "record_id": "<urn:uuid:1>",
+         "target_uri": "http://a.example/",
+         "date": "2024-01-01T00:00:00Z",
+         "content": b"<html>hello</html>",
+         "http": {"status": 200, "content_type": "text/html"}},
+        {"type": "response", "record_id": "<urn:uuid:2>",
+         "target_uri": "http://b.example/x",
+         "content": b"not found",
+         "http": {"status": 404, "content_type": "text/plain"}},
+    ]
+    for gz in (False, True):
+        got = list(iter_warc_records(encode_warc(recs, gzip_members=gz)))
+        assert [g["headers"]["warc-type"] for g in got] == [
+            "warcinfo", "response", "response"
+        ]
+        assert got[1]["headers"]["warc-target-uri"] == "http://a.example/"
+        st, ct, body = _split_http(got[1]["content"])
+        assert (st, ct, body) == (200, "text/html", b"<html>hello</html>")
+        st, _, body = _split_http(got[2]["content"])
+        assert (st, body) == (404, b"not found")
+        # a non-HTTP payload passes through whole
+        st, ct, body = _split_http(got[0]["content"])
+        assert st is None and body == b"software: test\r\n"
+
+
+def test_warc_typed_errors():
+    import pytest
+
+    from dolphinbeat_spark.sources.warc import (
+        WarcError, encode_warc, iter_warc_records,
+    )
+
+    good = encode_warc([{"type": "resource", "record_id": "<r>",
+                         "content": b"abc"}])
+    with pytest.raises(WarcError, match="version line"):
+        list(iter_warc_records(b"HTTP/1.1 200\r\n\r\n"))
+    with pytest.raises(WarcError, match="not terminated"):
+        list(iter_warc_records(good[:30]))
+    with pytest.raises(WarcError, match="truncated"):
+        list(iter_warc_records(good[:-7]))
+    with pytest.raises(WarcError, match="Content-Length"):
+        list(iter_warc_records(b"WARC/1.0\r\nWARC-Type: x\r\n\r\n"))
+    with pytest.raises(WarcError, match="gzip"):
+        list(iter_warc_records(b"\x1f\x8b" + b"junkjunk"))
+
+
+def test_read_warc_spark(spark):
+    from dolphinbeat_spark.sources.warc import encode_warc, read_warc
+
+    recs = [{"type": "response", "record_id": "<r1>",
+             "target_uri": "http://x/", "content": b"body-bytes",
+             "http": {"status": 200, "content_type": "text/plain"}}]
+    rows = [(6, bytearray(encode_warc(recs, gzip_members=True)))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    (got,) = read_warc(df).collect()
+    assert got.warc_type == "response" and got.http_status == 200
+    assert got.content_type == "text/plain"
+    assert got.body_text == "body-bytes" and got.body_len == 10
