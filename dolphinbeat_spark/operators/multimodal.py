@@ -886,6 +886,10 @@ def decode_media(df: DataFrame, digest: str = "bytes") -> DataFrame:
                     from dolphinbeat_spark.operators.jpeg import decode_jpeg
 
                     fmt, (w, h, px) = "jpeg", decode_jpeg(b)
+                elif b[:4] in (b"II*\x00", b"MM\x00*"):
+                    from dolphinbeat_spark.operators.tiff import decode_tiff
+
+                    fmt, (w, h, px) = "tiff", decode_tiff(b)
                 else:
                     raise NotImplementedError(
                         "media formats beyond PPM/BMP/PNG/GIF/JPEG need "

@@ -1,0 +1,430 @@
+"""TIFF decode from scratch — the public TIFF 6.0 specification.
+
+The scanned-document / scientific-imaging format: baseline TIFF in
+both byte orders with strip organization, uncompressed / PackBits /
+LZW compression (the TIFF LZW variant: MSB-first codes, 9-bit start,
+Clear=256, EOI=257, and the spec's EARLY code-width change at table
+sizes 511/1023/2047 — one code earlier than GIF's LSB-first LZW,
+which operators/multimodal.py implements separately), the horizontal
+differencing predictor, photometric interpretations WhiteIsZero /
+BlackIsZero / RGB / Palette (ColorMap 16-bit entries scaled to
+8-bit), 8- and 16-bit samples, and multi-strip images.
+
+Honest boundaries raise by name: tiled TIFF, planar configuration 2,
+CCITT/JPEG-in-TIFF compression, floating-point samples.
+
+Verification stance (tests/test_multimodal.py): decoder pinned by a
+hand-assembled LZW code stream computed from the spec's own algorithm
+walk-through, independent of the writer, plus writer->decoder
+roundtrips across the compression × predictor × photometric matrix.
+
+At 100 TB the decode runs one-image-per-row inside the same Arrow
+``mapInPandas`` slot as the other codecs
+(operators/multimodal.py::decode_media).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class TiffError(ValueError):
+    """Typed TIFF format error."""
+
+
+_TYPES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # type -> byte size (subset)
+
+
+def _read_ifd_values(data: bytes, end: str, off: int) -> dict[int, list[int]]:
+    """IFD0 -> {tag: [int values]} for the integer types the baseline
+    needs (BYTE/SHORT/LONG; RATIONAL read as num/den pairs)."""
+    if off + 2 > len(data):
+        raise TiffError("IFD offset beyond the payload")
+    (n,) = struct.unpack_from(end + "H", data, off)
+    out: dict[int, list[int]] = {}
+    p = off + 2
+    if p + 12 * n > len(data):
+        raise TiffError("IFD entry table truncated")
+    for _ in range(n):
+        tag, typ, count = struct.unpack_from(end + "HHI", data, p)
+        size = _TYPES.get(typ)
+        if size is None:
+            p += 12
+            continue
+        total = size * count
+        voff = p + 8
+        if total > 4:
+            (voff,) = struct.unpack_from(end + "I", data, p + 8)
+        if voff + total > len(data):
+            raise TiffError(f"tag {tag} value overruns the payload")
+        if typ in (1, 2):
+            vals = list(data[voff:voff + count])
+        elif typ == 3:
+            vals = list(struct.unpack_from(end + "H" * count, data, voff))
+        elif typ == 4:
+            vals = list(struct.unpack_from(end + "I" * count, data, voff))
+        else:  # RATIONAL: flatten num/den
+            vals = list(struct.unpack_from(end + "I" * (2 * count), data,
+                                           voff))
+        out[tag] = vals
+        p += 12
+    return out
+
+
+def tiff_lzw_decode(data: bytes, limit: int) -> bytes:
+    """The TIFF 6.0 LZW variant: MSB-first bit order, 9-bit initial
+    width, ClearCode 256 / EOI 257, dictionary growth with the EARLY
+    width change (at 511/1023/2047 entries, i.e. one code before the
+    table actually fills — TIFF spec §13)."""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    acc = nbits = 0
+    prev: bytes | None = None
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise TiffError("LZW stream ended without EOI")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        if code == 256:  # Clear
+            reset()
+            prev = None
+            continue
+        if code == 257:  # EOI
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise TiffError("LZW first code after clear out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise TiffError(f"LZW code {code} beyond table size {len(table)}")
+        out += entry
+        if len(out) > limit:
+            raise TiffError("LZW output exceeds the declared strip size")
+        prev = entry
+        # EARLY change: width grows one code before the table fills
+        if len(table) in (511, 1023, 2047):
+            width += 1
+    raise TiffError("unreachable")
+
+
+def _packbits_decode(data: bytes, limit: int) -> bytes:
+    out = bytearray()
+    p = 0
+    while p < len(data):
+        n = data[p]
+        p += 1
+        if n == 128:
+            continue
+        if n < 128:
+            if p + n + 1 > len(data):
+                raise TiffError("PackBits literal run truncated")
+            out += data[p:p + n + 1]
+            p += n + 1
+        else:
+            if p >= len(data):
+                raise TiffError("PackBits repeat run truncated")
+            out += bytes([data[p]]) * (257 - n)
+            p += 1
+        if len(out) > limit:
+            raise TiffError("PackBits output exceeds the declared strip size")
+    return bytes(out)
+
+
+def decode_tiff(data: bytes) -> tuple[int, int, np.ndarray]:
+    """TIFF -> (width, height, HxWxC uint8/uint16 array)."""
+    if data[:2] == b"II":
+        end = "<"
+    elif data[:2] == b"MM":
+        end = ">"
+    else:
+        raise TiffError("not a TIFF payload (no II/MM byte order)")
+    (magic,) = struct.unpack_from(end + "H", data, 2)
+    if magic != 42:
+        raise TiffError(f"bad TIFF magic {magic}")
+    (ifd_off,) = struct.unpack_from(end + "I", data, 4)
+    t = _read_ifd_values(data, end, ifd_off)
+
+    def one(tag, default=None):
+        v = t.get(tag)
+        if v is None:
+            if default is None:
+                raise TiffError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    spp = one(277, 1)
+    bits = t.get(258, [8])
+    if len(set(bits)) != 1:
+        raise NotImplementedError("mixed bits-per-sample not supported")
+    depth = bits[0]
+    if depth not in (8, 16):
+        raise NotImplementedError(f"{depth}-bit TIFF samples not supported")
+    comp = one(259, 1)
+    photo = one(262, 1)
+    planar = one(284, 1)
+    predictor = one(317, 1)
+    if planar != 1:
+        raise NotImplementedError("planar configuration 2 not supported")
+    if 0x142 in t or 0x144 in t:  # TileWidth / TileOffsets
+        raise NotImplementedError("tiled TIFF not supported")
+    offsets = t.get(273)
+    counts = t.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise TiffError("TIFF strip offsets/byte-counts missing or unequal")
+    rps = one(278, h)
+    row_bytes = w * spp * (depth // 8)
+    raw = bytearray()
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(data):
+            raise TiffError(f"strip {i} overruns the payload")
+        nrows = min(rps, h - i * rps)
+        if nrows <= 0:
+            raise TiffError("more strips than image rows")
+        limit = nrows * row_bytes
+        chunk = data[off:off + cnt]
+        if comp == 1:
+            dec = chunk
+        elif comp == 5:
+            dec = tiff_lzw_decode(chunk, limit)
+        elif comp == 32773:
+            dec = _packbits_decode(chunk, limit)
+        else:
+            raise NotImplementedError(
+                f"TIFF compression {comp} not supported "
+                "(1/5/32773 = none/LZW/PackBits decode)"
+            )
+        if len(dec) != limit:
+            raise TiffError(
+                f"strip {i} decodes to {len(dec)} bytes, expected {limit}"
+            )
+        raw += dec
+    if depth == 8:
+        px = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+        px = px.astype(np.int32)
+        maxval = 255
+    else:
+        px = np.frombuffer(bytes(raw), end + "u2").reshape(h, w, spp)
+        px = px.astype(np.int64)
+        maxval = 65535
+    if predictor == 2:  # horizontal differencing: per-channel row cumsum
+        px = np.cumsum(px, axis=1) & maxval
+    elif predictor != 1:
+        raise NotImplementedError(f"TIFF predictor {predictor} not supported")
+    if photo == 0:  # WhiteIsZero
+        px = maxval - px
+    elif photo == 3:  # Palette
+        cmap = t.get(320)
+        nc = 1 << depth
+        if not cmap or len(cmap) != 3 * nc:
+            raise TiffError("palette TIFF missing a full ColorMap")
+        if spp != 1:
+            raise TiffError("palette TIFF must have one sample per pixel")
+        lut = np.array(cmap, np.int64).reshape(3, nc).T >> 8  # 16->8 bit
+        px = lut[px.reshape(h, w)]
+        return w, h, px.astype(np.uint8)
+    elif photo == 2:
+        if spp < 3:
+            raise TiffError("RGB TIFF with fewer than 3 samples")
+    elif photo != 1:
+        raise NotImplementedError(
+            f"TIFF photometric interpretation {photo} not supported"
+        )
+    dtype = np.uint8 if depth == 8 else np.uint16
+    return w, h, px.astype(dtype)
+
+
+# --- writer (fixture generator) ----------------------------------------------
+
+
+def tiff_lzw_encode(data: bytes) -> bytes:
+    """Greedy TIFF-LZW writer with the spec's early width change —
+    the encoder mirror for fixtures."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    put(256, width)  # leading Clear, as libtiff writes
+    run = b""
+    for b in data:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        put(table[run], width)
+        table[cand] = nxt
+        nxt += 1
+        if nxt in (512, 1024, 2048):
+            width += 1
+        if nxt == 4094:  # near-full: clear, as the spec recommends
+            put(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+        run = bytes([b])
+    if run:
+        put(table[run], width)
+    put(257, width)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        j = i
+        while j + 1 < n and data[j + 1] == data[j] and j - i < 127:
+            j += 1
+        if j > i:  # repeat run
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+            continue
+        j = i
+        while (j + 1 < n and data[j + 1] != data[j] and j - i < 127):
+            j += 1
+        if j + 1 >= n:
+            j = min(n - 1, i + 127)
+        out.append(j - i)
+        out += data[i:j + 1]
+        i = j + 1
+    return bytes(out)
+
+
+def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 1,
+                depth: int = 8, compression: int = 1, photometric=None,
+                predictor: int = 1, rows_per_strip: int | None = None,
+                byte_order: str = "<",
+                colormap: list[int] | None = None) -> bytes:
+    """Format-faithful baseline TIFF writer (fixture generator).
+    ``pixels``: row-major samples, 1 byte each at depth 8, 2 bytes in
+    ``byte_order`` at depth 16."""
+    end = byte_order
+    if photometric is None:
+        photometric = 2 if spp >= 3 else 1
+    unit = depth // 8
+    if len(pixels) != width * height * spp * unit:
+        raise ValueError("pixel byte count does not match the geometry")
+    rps = rows_per_strip or height
+    row_bytes = width * spp * unit
+    if depth == 8:
+        arr = np.frombuffer(pixels, np.uint8).reshape(height, width, spp)
+        arr = arr.astype(np.int64)
+        maxval = 255
+    else:
+        arr = np.frombuffer(pixels, end + "u2").reshape(height, width, spp)
+        arr = arr.astype(np.int64)
+        maxval = 65535
+    if predictor == 2:
+        arr = np.concatenate(
+            [arr[:, :1], (arr[:, 1:] - arr[:, :-1]) & maxval], axis=1
+        )
+    if depth == 8:
+        body = arr.astype(np.uint8).tobytes()
+    else:
+        body = arr.astype(end + "u2").tobytes()
+    strips = []
+    for r0 in range(0, height, rps):
+        nrows = min(rps, height - r0)
+        chunk = body[r0 * row_bytes:(r0 + nrows) * row_bytes]
+        if compression == 5:
+            chunk = tiff_lzw_encode(chunk)
+        elif compression == 32773:
+            chunk = _packbits_encode(chunk)
+        elif compression != 1:
+            raise ValueError(f"unsupported compression {compression}")
+        strips.append(chunk)
+
+    entries = []  # (tag, type, count, values)
+    entries.append((256, 4, 1, [width]))
+    entries.append((257, 4, 1, [height]))
+    entries.append((258, 3, spp, [depth] * spp))
+    entries.append((259, 3, 1, [compression]))
+    entries.append((262, 3, 1, [photometric]))
+    entries.append((277, 3, 1, [spp]))
+    entries.append((278, 4, 1, [rps]))
+    entries.append((279, 4, len(strips), [len(s) for s in strips]))
+    if predictor != 1:
+        entries.append((317, 3, 1, [predictor]))
+    if colormap is not None:
+        entries.append((320, 3, len(colormap), list(colormap)))
+    entries.append((273, 4, len(strips), [0] * len(strips)))  # patched
+    entries.sort(key=lambda e: e[0])
+
+    n = len(entries)
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n + 4
+    extra = bytearray()
+    table = bytearray()
+    sizes = {3: 2, 4: 4}
+    packed = {}
+    for tag, typ, count, vals in entries:
+        code = "H" if typ == 3 else "I"
+        payload = b"".join(struct.pack(end + code, v) for v in vals)
+        if len(payload) <= 4:
+            packed[tag] = ("inline", None)
+            val = payload + bytes(4 - len(payload))
+        else:
+            packed[tag] = ("extra", data_off + len(extra))
+            val = struct.pack(end + "I", data_off + len(extra))
+            extra += payload
+        table += struct.pack(end + "HHI", tag, typ, count) + val
+    strips_off = data_off + len(extra)
+    # patch StripOffsets now the layout is known
+    offs = []
+    acc_off = strips_off
+    for s in strips:
+        offs.append(acc_off)
+        acc_off += len(s)
+    kind, where = packed[273]
+    payload = b"".join(struct.pack(end + "I", o) for o in offs)
+    table = bytearray(table)
+    for i, (tag, typ, count, vals) in enumerate(entries):
+        if tag != 273:
+            continue
+        base = 12 * i + 8
+        if kind == "inline":
+            table[base:base + 4] = payload + bytes(4 - len(payload))
+        else:
+            extra[where - data_off:where - data_off + len(payload)] = payload
+    order = b"II" if end == "<" else b"MM"
+    out = (order + struct.pack(end + "H", 42)
+           + struct.pack(end + "I", ifd_off)
+           + struct.pack(end + "H", n) + bytes(table)
+           + struct.pack(end + "I", 0) + bytes(extra))
+    assert len(out) == strips_off
+    return out + b"".join(strips)

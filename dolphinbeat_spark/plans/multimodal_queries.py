@@ -1269,6 +1269,59 @@ def warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_warc(media).orderBy("media_id", "record_idx")
 
 
+@register(
+    "mm_decode_tiff",
+    # payload = a REAL baseline TIFF (operators/tiff.py) of the doc's
+    # 96-byte md5 pattern as 8x4 RGB, compression cycling
+    # none/LZW/PackBits with doc_id % 3, the horizontal-differencing
+    # predictor on odd ids, byte order II/MM by parity, and 2-row
+    # strips — decode is lossless, so the oracle is md5(pattern),
+    # identical in shape to mm_decode_png.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 25 = 19
+)
+SELECT media_id,
+       'tiff' AS fmt,
+       CAST(8 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       CAST(list_sum(list_transform(range(1, 97),
+            i -> ord(substr(pattern, CAST(i AS INTEGER), 1)))) AS BIGINT)
+           AS pixel_sum,
+       md5(pattern) AS pixel_md5
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "codec", "tiff"),
+)
+def mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF decode under the oracle gate — the scanned-document /
+    scientific format, with its own LZW dialect (MSB-first, EARLY
+    code-width change; distinct from GIF's LSB-first variant),
+    PackBits, the horizontal-differencing predictor, and multi-strip
+    assembly, all exercised across the spec subset and decoded
+    distributed in the same mapInPandas slot as the other codecs."""
+    import hashlib
+
+    from dolphinbeat_spark.operators.tiff import encode_tiff
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 19)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    comps = (1, 5, 32773)
+    rows = []
+    for i in ids:
+        pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
+        rows.append((i, bytearray(encode_tiff(
+            8, 4, pattern, spp=3, compression=comps[i % 3],
+            predictor=2 if i % 2 else 1, rows_per_strip=2,
+            byte_order="<" if i % 2 == 0 else ">",
+        ))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return M.decode_media(media).orderBy("media_id")
+
+
 # the 89-entry IMA step table + 16-entry index table as SQL array
 # literals (public: IMA RP / RFC 3551 §4.5.1) — the oracle replays the
 # ADPCM recursion itself in a recursive CTE, fully independent of the

@@ -1964,3 +1964,102 @@ def test_read_warc_spark(spark):
     assert got.warc_type == "response" and got.http_status == 200
     assert got.content_type == "text/plain"
     assert got.body_text == "body-bytes" and got.body_len == 10
+
+
+# --- TIFF (operators/tiff.py) -------------------------------------------------
+
+
+def test_tiff_lzw_hand_vector():
+    """The TIFF-LZW decoder reproduces a code stream hand-assembled
+    from the spec's algorithm (MSB-first 9-bit codes): Clear(256),
+    'A'(65), 'B'(66), 258(='AB' just entered), EOI(257) -> 'ABAB' —
+    independent of the repo's encoder."""
+    from dolphinbeat_spark.operators.tiff import tiff_lzw_decode
+
+    assert tiff_lzw_decode(bytes.fromhex("801048502808"), 16) == b"ABAB"
+
+
+def test_tiff_roundtrip_matrix():
+    """Writer->decoder across compression (none/LZW/PackBits) ×
+    predictor (none/horizontal differencing) × photometric
+    (BlackIsZero/WhiteIsZero/RGB/Palette) × byte order × multi-strip,
+    plus 16-bit samples and LZW streams long enough to grow the code
+    width past 9 bits."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(9)
+    for end in ("<", ">"):
+        for comp in (1, 5, 32773):
+            for pred in (1, 2):
+                for spp, photo in ((1, 1), (3, 2), (1, 0)):
+                    want = rng.randint(0, 256, (13, 21, spp), dtype=np.uint8)
+                    enc = encode_tiff(21, 13, want.tobytes(), spp=spp,
+                                      photometric=photo, compression=comp,
+                                      predictor=pred, rows_per_strip=5,
+                                      byte_order=end)
+                    w, h, px = decode_tiff(enc)
+                    show = 255 - want if photo == 0 else want
+                    assert (w, h) == (21, 13) and np.array_equal(px, show)
+    w16 = rng.randint(0, 65536, (7, 9, 1), dtype=np.uint16)
+    for end in ("<", ">"):
+        enc = encode_tiff(9, 7, w16.astype(end + "u2").tobytes(), depth=16,
+                          compression=5, predictor=2, byte_order=end)
+        _, _, px = decode_tiff(enc)
+        assert px.dtype == np.uint16 and np.array_equal(px, w16)
+    cmap = list(rng.randint(0, 65536, 3 * 256))
+    idx = rng.randint(0, 256, (5, 8, 1), dtype=np.uint8)
+    enc = encode_tiff(8, 5, idx.tobytes(), photometric=3, colormap=cmap,
+                      compression=32773)
+    _, _, px = decode_tiff(enc)
+    lut = np.array(cmap).reshape(3, 256).T >> 8
+    assert np.array_equal(px, lut[idx.reshape(5, 8)])
+    big = rng.randint(0, 256, (40, 200, 3), dtype=np.uint8)
+    _, _, px = decode_tiff(encode_tiff(200, 40, big.tobytes(), spp=3,
+                                       compression=5))
+    assert np.array_equal(px, big)
+
+
+def test_tiff_typed_errors_and_honest_boundaries():
+    import pytest
+
+    from dolphinbeat_spark.operators.tiff import (
+        TiffError, decode_tiff, encode_tiff, tiff_lzw_decode,
+    )
+
+    with pytest.raises(TiffError, match="II/MM"):
+        decode_tiff(b"XX\x2a\x00")
+    good = bytearray(encode_tiff(4, 4, bytes(16)))
+    bad = bytearray(good)
+    bad[2] = 43
+    with pytest.raises(TiffError, match="magic"):
+        decode_tiff(bytes(bad))
+    with pytest.raises(TiffError, match="overruns|truncated"):
+        decode_tiff(bytes(good[:30]))
+    # LZW stream without EOI / oversized output are typed
+    with pytest.raises(TiffError, match="EOI"):
+        tiff_lzw_decode(bytes.fromhex("801048"), 100)
+    with pytest.raises(TiffError, match="exceeds"):
+        tiff_lzw_decode(bytes.fromhex("801048502808"), 2)
+    # unsupported compression raises by name
+    comp = bytearray(encode_tiff(4, 4, bytes(16)))
+    i = bytes(comp).find((259).to_bytes(2, "little"))
+    comp[i + 8] = 6  # compression 6 = old-JPEG
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_tiff(bytes(comp))
+
+
+def test_decode_media_sniffs_tiff(spark):
+    import numpy as np
+
+    from dolphinbeat_spark.operators.multimodal import decode_media
+    from dolphinbeat_spark.operators.tiff import encode_tiff
+
+    want = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    rows = [(5, bytearray(encode_tiff(4, 4, want.tobytes(), spp=3,
+                                      compression=5, predictor=2)))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    (got,) = decode_media(df).collect()
+    assert got.fmt == "tiff" and (got.width, got.height) == (4, 4)
+    assert got.pixel_sum == int(want.sum())
