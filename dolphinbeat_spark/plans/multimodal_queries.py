@@ -1322,6 +1322,66 @@ def mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_media(media).orderBy("media_id")
 
 
+@register(
+    "archive_members",
+    # payload = a REAL archive per doc: ZIP for even doc_ids (stored
+    # when doc_id % 4 == 0, deflated otherwise — both CRC-verified on
+    # extraction) and gzipped ustar TAR for odd ones; three members
+    # slice the doc's 96-char md5 pattern (40/30/26). The readers are
+    # cross-pinned against stdlib zipfile/tarfile in pytest; this
+    # spec pins the distributed relation.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id, doc_id AS i,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 25 = 22
+),
+s(member_idx, nm, start, sz) AS (
+  VALUES (0, 'docs/a.txt', 1, 40), (1, 'docs/b.txt', 41, 30),
+         (2, 'meta.json', 71, 26)
+)
+SELECT media_id,
+       CAST(member_idx AS BIGINT) AS member_idx,
+       CASE WHEN i % 2 = 0 THEN 'zip' ELSE 'tar' END AS archive_fmt,
+       nm AS name,
+       CAST(sz AS BIGINT) AS size,
+       md5(substr(pattern, start, sz)) AS member_md5,
+       substr(pattern, start, sz) AS text
+FROM p CROSS JOIN s
+ORDER BY media_id, member_idx
+""",
+    tags=("text", "ingest", "archive"),
+)
+def archive_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive-bundle ingestion under the oracle gate: ZIP central
+    directories (stored + deflated members, CRC-32 verified) and
+    gzipped ustar TARs (header checksums verified) enumerated
+    distributed via Arrow mapInPandas (sources/archives.py) — no
+    driver-side temp files. The member relation (name, size, digest,
+    text) feeds the same downstream stages as warc_records."""
+    import hashlib
+
+    from dolphinbeat_spark.sources.archives import (
+        encode_tar, encode_zip, read_archive,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 22)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
+        members = [("docs/a.txt", pattern[0:40]),
+                   ("docs/b.txt", pattern[40:70]),
+                   ("meta.json", pattern[70:96])]
+        if i % 2 == 0:
+            payload = encode_zip(members, deflate=bool(i % 4))
+        else:
+            payload = encode_tar(members, gzip_wrap=True)
+        rows.append((i, bytearray(payload)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return read_archive(media).orderBy("media_id", "member_idx")
+
+
 # the 89-entry IMA step table + 16-entry index table as SQL array
 # literals (public: IMA RP / RFC 3551 §4.5.1) — the oracle replays the
 # ADPCM recursion itself in a recursive CTE, fully independent of the

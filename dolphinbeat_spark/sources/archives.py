@@ -1,0 +1,254 @@
+"""Archive member readers from scratch — ZIP (APPNOTE.TXT, the
+PKWARE public spec) and POSIX ustar TAR (+ gzip wrapper).
+
+Training datasets ship as archive bundles at least as often as bare
+files; a pipeline needs to enumerate and extract members WITHOUT
+driver-side temp files — each (media_id, payload) row is one archive
+and the member relation comes out of the same Arrow ``mapInPandas``
+slot the codecs use.
+
+ZIP: end-of-central-directory locate (back-scan tolerating a trailing
+comment), central-directory walk (names, method, CRC-32, sizes,
+local-header offsets), local-header re-parse for the actual data
+start, STORED and DEFLATE members (stdlib zlib, raw window), CRC-32
+verification of every extracted member. Zip64 and encrypted members
+raise by name.
+
+TAR: 512-byte ustar headers (octal sizes, checksum verification over
+the space-filled checksum field, name+prefix joining, type flags),
+content padding to block size, the two-zero-block terminator, and
+transparent gzip (.tar.gz) unwrapping.
+
+Reference parity: the reference repo moves database rows; this
+extends the ingest layer of the LLM-data-pipeline side it lacks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+class ArchiveError(ValueError):
+    """Typed archive format error."""
+
+
+def iter_zip_members(data: bytes):
+    """Yield (name, content) per ZIP member via the central
+    directory; CRC-verified."""
+    # EOCD: scan back over ≤64 KiB of trailing comment
+    lo = max(0, len(data) - 65536 - 22)
+    eocd = data.rfind(b"PK\x05\x06", lo)
+    if eocd < 0:
+        raise ArchiveError("ZIP end-of-central-directory not found")
+    ndisk, cddisk, nhere, ntotal, cdsize, cdoff, clen = struct.unpack_from(
+        "<HHHHIIH", data, eocd + 4
+    )
+    if ndisk or cddisk:
+        raise NotImplementedError("multi-disk ZIP not supported")
+    if ntotal == 0xFFFF or cdoff == 0xFFFFFFFF:
+        raise NotImplementedError("Zip64 not supported")
+    pos = cdoff
+    for _ in range(ntotal):
+        if data[pos:pos + 4] != b"PK\x01\x02":
+            raise ArchiveError(f"central directory entry missing at {pos}")
+        (method, crc, csize, usize, nlen, elen, klen) = struct.unpack(
+            "<H I I I H H H",
+            data[pos + 10:pos + 12] + data[pos + 16:pos + 32]
+            + data[pos + 32:pos + 34],
+        )
+        flags = struct.unpack_from("<H", data, pos + 8)[0]
+        (lho,) = struct.unpack_from("<I", data, pos + 42)
+        name = data[pos + 46:pos + 46 + nlen].decode("utf-8", "replace")
+        pos += 46 + nlen + elen + klen
+        if flags & 0x1:
+            raise NotImplementedError(f"encrypted ZIP member {name!r}")
+        if data[lho:lho + 4] != b"PK\x03\x04":
+            raise ArchiveError(f"local header missing for {name!r}")
+        lnlen, lelen = struct.unpack_from("<HH", data, lho + 26)
+        start = lho + 30 + lnlen + lelen
+        raw = data[start:start + csize]
+        if len(raw) != csize:
+            raise ArchiveError(f"member {name!r} data truncated")
+        if method == 0:
+            content = raw
+        elif method == 8:
+            try:
+                content = zlib.decompress(raw, wbits=-15)
+            except zlib.error as ex:
+                raise ArchiveError(
+                    f"member {name!r} fails to inflate: {ex}"
+                ) from ex
+        else:
+            raise NotImplementedError(
+                f"ZIP compression method {method} not supported (0/8)"
+            )
+        if len(content) != usize:
+            raise ArchiveError(
+                f"member {name!r}: {len(content)} bytes, header says {usize}"
+            )
+        if zlib.crc32(content) & 0xFFFFFFFF != crc:
+            raise ArchiveError(f"member {name!r} CRC-32 mismatch")
+        yield name, content
+
+
+def iter_tar_members(data: bytes):
+    """Yield (name, content) per regular file in a (possibly
+    gzipped) ustar TAR."""
+    if data[:2] == b"\x1f\x8b":
+        try:
+            data = zlib.decompress(data, wbits=31)
+        except zlib.error as ex:
+            raise ArchiveError(f"bad gzip wrapper: {ex}") from ex
+    pos = 0
+    while pos + 512 <= len(data):
+        block = data[pos:pos + 512]
+        if block == bytes(512):
+            break  # terminator
+        name = block[0:100].split(b"\x00")[0].decode("utf-8", "replace")
+        try:
+            size = int(block[124:136].split(b"\x00")[0].strip() or b"0", 8)
+        except ValueError:
+            raise ArchiveError(f"bad octal size field at {pos}")
+        want = int(block[148:156].split(b"\x00")[0].strip() or b"0", 8)
+        summed = sum(block[:148]) + 8 * 32 + sum(block[156:])
+        if summed != want:
+            raise ArchiveError(f"tar header checksum mismatch at {pos}")
+        typeflag = block[156:157]
+        prefix = block[345:500].split(b"\x00")[0].decode("utf-8", "replace")
+        if prefix:
+            name = prefix + "/" + name
+        pos += 512
+        content = data[pos:pos + size]
+        if len(content) != size:
+            raise ArchiveError(f"tar member {name!r} content truncated")
+        pos += (size + 511) // 512 * 512
+        if typeflag in (b"0", b"\x00"):
+            yield name, content
+        # directories / links / pax headers: skipped
+
+
+ARCHIVE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("member_idx", LongType()),
+        StructField("archive_fmt", StringType()),
+        StructField("name", StringType()),
+        StructField("size", LongType()),
+        StructField("member_md5", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def read_archive(df: DataFrame, text_limit: int = 1 << 20) -> DataFrame:
+    """(media_id, payload) -> one row per archive member (ZIP or TAR
+    by magic), with size, md5, and a capped UTF-8 text rendering —
+    the member relation stays shuffle-cheap; route the byte range
+    back through the codec ops when a member is binary media."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(raw)
+                if b[:4] == b"PK\x03\x04" or b.rfind(b"PK\x05\x06") >= 0 \
+                        and b[:2] == b"PK":
+                    fmt, members = "zip", iter_zip_members(b)
+                else:
+                    fmt, members = "tar", iter_tar_members(b)
+                for i, (name, content) in enumerate(members):
+                    rows.append((
+                        mid, i, fmt, name, len(content),
+                        hashlib.md5(content).hexdigest(),
+                        content[:text_limit].decode("utf-8", "replace"),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ARCHIVE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, ARCHIVE_SCHEMA)
+
+
+# --- writers (fixture generators) ---------------------------------------------
+
+
+def encode_zip(members: list[tuple[str, bytes]],
+               deflate: bool = True) -> bytes:
+    """Format-faithful ZIP writer (fixture generator)."""
+    out = bytearray()
+    central = bytearray()
+    offsets = []
+    for name, content in members:
+        nb = name.encode()
+        crc = zlib.crc32(content) & 0xFFFFFFFF
+        if deflate:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            raw = co.compress(content) + co.flush()
+            method = 8
+        else:
+            raw, method = content, 0
+        offsets.append(len(out))
+        out += b"PK\x03\x04" + struct.pack(
+            "<HHHHHIIIHH", 20, 0, method, 0, 0, crc, len(raw),
+            len(content), len(nb), 0,
+        ) + nb + raw
+    for (name, content), off in zip(members, offsets):
+        nb = name.encode()
+        crc = zlib.crc32(content) & 0xFFFFFFFF
+        method = 8 if deflate else 0
+        # compressed size from the local record already written
+        (csz,) = struct.unpack_from("<I", out, off + 18)
+        central += b"PK\x01\x02" + struct.pack(
+            "<HHHHHHIIIHHHHHII", 20, 20, 0, method, 0, 0, crc, csz,
+            len(content), len(nb), 0, 0, 0, 0, 0, off,
+        ) + nb
+    cd_off = len(out)
+    out += central
+    out += b"PK\x05\x06" + struct.pack(
+        "<HHHHIIH", 0, 0, len(members), len(members), len(central),
+        cd_off, 0,
+    )
+    return bytes(out)
+
+
+def encode_tar(members: list[tuple[str, bytes]],
+               gzip_wrap: bool = False) -> bytes:
+    """Format-faithful ustar writer (fixture generator)."""
+    out = bytearray()
+    for name, content in members:
+        nb = name.encode()
+        if len(nb) > 100:
+            raise ValueError("tar name longer than 100 bytes")
+        hdr = bytearray(512)
+        hdr[0:len(nb)] = nb
+        hdr[100:108] = b"0000644\x00"
+        hdr[108:116] = b"0000000\x00"
+        hdr[116:124] = b"0000000\x00"
+        hdr[124:136] = f"{len(content):011o}\x00".encode()
+        hdr[136:148] = b"00000000000\x00"
+        hdr[148:156] = b" " * 8
+        hdr[156:157] = b"0"
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        chksum = sum(hdr)
+        hdr[148:156] = f"{chksum:06o}\x00 ".encode()
+        out += hdr + content
+        pad = -len(content) % 512
+        out += bytes(pad)
+    out += bytes(1024)
+    if gzip_wrap:
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return co.compress(bytes(out)) + co.flush()
+    return bytes(out)

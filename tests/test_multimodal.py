@@ -2063,3 +2063,88 @@ def test_decode_media_sniffs_tiff(spark):
     (got,) = decode_media(df).collect()
     assert got.fmt == "tiff" and (got.width, got.height) == (4, 4)
     assert got.pixel_sum == int(want.sum())
+
+
+# --- archives (sources/archives.py) --------------------------------------------
+
+
+def test_archive_readers_cross_checked_with_stdlib():
+    """The from-scratch ZIP/TAR readers and writers interoperate with
+    the stdlib zipfile/tarfile modules in BOTH directions — the
+    strongest independent pin in the tree — across stored+deflated
+    ZIP members and plain+gzipped ustar."""
+    import io
+    import tarfile
+    import zipfile
+
+    from dolphinbeat_spark.sources.archives import (
+        encode_tar, encode_zip, iter_tar_members, iter_zip_members,
+    )
+
+    members = [("a.txt", b"hello world"), ("dir/b.json", b'{"k": 1}' * 40),
+               ("c.bin", bytes(range(256)))]
+    for deflate in (True, False):
+        z = encode_zip(members, deflate=deflate)
+        zf = zipfile.ZipFile(io.BytesIO(z))
+        assert [(i.filename, zf.read(i)) for i in zf.infolist()] == members
+        assert list(iter_zip_members(z)) == members
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for n, c in members:
+            zf.writestr(n, c)
+    assert list(iter_zip_members(buf.getvalue())) == members
+
+    for gz in (False, True):
+        t = encode_tar(members, gzip_wrap=gz)
+        assert list(iter_tar_members(t)) == members
+        tf = tarfile.open(fileobj=io.BytesIO(t), mode="r:gz" if gz else "r")
+        assert [(m.name, tf.extractfile(m).read())
+                for m in tf if m.isfile()] == members
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for n, c in members:
+            ti = tarfile.TarInfo(n)
+            ti.size = len(c)
+            tf.addfile(ti, io.BytesIO(c))
+    assert list(iter_tar_members(buf.getvalue())) == members
+
+
+def test_archive_typed_errors():
+    import pytest
+
+    from dolphinbeat_spark.sources.archives import (
+        ArchiveError, encode_tar, encode_zip, iter_tar_members,
+        iter_zip_members,
+    )
+
+    with pytest.raises(ArchiveError, match="end-of-central"):
+        list(iter_zip_members(b"PK\x03\x04" + bytes(30)))
+    good = bytearray(encode_zip([("x", b"abc")], deflate=False))
+    # flip a STORED content byte: CRC catches it
+    bad = bytearray(good)
+    bad[bytes(good).index(b"abc", 30)] ^= 1
+    with pytest.raises(ArchiveError, match="CRC"):
+        list(iter_zip_members(bytes(bad)))
+    tbad = bytearray(encode_tar([("x", b"abc")]))
+    tbad[150] ^= 1
+    with pytest.raises(ArchiveError, match="checksum"):
+        list(iter_tar_members(bytes(tbad)))
+    with pytest.raises(ArchiveError, match="truncated"):
+        list(iter_tar_members(encode_tar([("x", b"abc" * 200)])[:600]))
+
+
+def test_read_archive_spark(spark):
+    from dolphinbeat_spark.sources.archives import (
+        encode_tar, encode_zip, read_archive,
+    )
+
+    members = [("n1.txt", b"alpha"), ("n2.txt", b"beta-beta")]
+    rows = [
+        (1, bytearray(encode_zip(members))),
+        (2, bytearray(encode_tar(members, gzip_wrap=True))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = read_archive(df).orderBy("media_id", "member_idx").collect()
+    assert [r.archive_fmt for r in got] == ["zip", "zip", "tar", "tar"]
+    assert [r.name for r in got] == ["n1.txt", "n2.txt"] * 2
+    assert [r.text for r in got] == ["alpha", "beta-beta"] * 2
