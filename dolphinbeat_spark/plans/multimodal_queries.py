@@ -1382,6 +1382,78 @@ def archive_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_archive(media).orderBy("media_id", "member_idx")
 
 
+@register(
+    "jsonl_compressed_records",
+    # payload = one JSONL corpus shard per doc, compression cycling
+    # plain/gzip/zstd/bzip2 with doc_id % 4 — the zstd path runs the
+    # FROM-SCRATCH RFC 8878 decoder (operators/zstd_frame.py). Four
+    # records per shard with closed-form id/text; the JSON field
+    # extraction happens in Catalyst (get_json_object), not Python.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id, doc_id AS i,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 27 = 5
+),
+s(line_idx) AS (VALUES (0), (1), (2), (3))
+SELECT media_id,
+       CASE i % 4 WHEN 0 THEN 'plain' WHEN 1 THEN 'gzip'
+                  WHEN 2 THEN 'zstd' ELSE 'bzip2' END AS codec,
+       CAST(line_idx AS BIGINT) AS line_idx,
+       CAST(i * 10 + line_idx AS BIGINT) AS rec_id,
+       substr(pattern, 1 + line_idx * 24, 24) AS text
+FROM p CROSS JOIN s
+ORDER BY media_id, line_idx
+""",
+    tags=("text", "ingest", "jsonl", "zstd"),
+)
+def jsonl_compressed_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-JSONL ingestion under the oracle gate — the
+    .jsonl.zst shard shape bulk text corpora ship in: magic-sniffed
+    decompression (incl. the from-scratch zstd frame decoder) inside
+    the DataFrame plan via Arrow mapInPandas, with the JSON field
+    extraction staying JVM-side in Catalyst (get_json_object)."""
+    import hashlib
+
+    from dolphinbeat_spark.operators.zstd_frame import encode_zstd_store
+    from dolphinbeat_spark.sources.jsonl import read_jsonl
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 27 == 5)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        pattern = hashlib.md5(str(i).encode()).hexdigest() * 3
+        raw = "".join(
+            f'{{"id": {i * 10 + k}, "text": "{pattern[k * 24:k * 24 + 24]}"}}\n'
+            for k in range(4)
+        ).encode()
+        mode = i % 4
+        if mode == 1:
+            import zlib
+
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            payload = co.compress(raw) + co.flush()
+        elif mode == 2:
+            payload = encode_zstd_store(raw)
+        elif mode == 3:
+            import bz2
+
+            payload = bz2.compress(raw)
+        else:
+            payload = raw
+        rows.append((i, bytearray(payload)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return (
+        read_jsonl(media)
+        .select(
+            "media_id", "codec", "line_idx",
+            F.get_json_object("line", "$.id").cast("long").alias("rec_id"),
+            F.get_json_object("line", "$.text").alias("text"),
+        )
+        .orderBy("media_id", "line_idx")
+    )
+
+
 # the 89-entry IMA step table + 16-entry index table as SQL array
 # literals (public: IMA RP / RFC 3551 §4.5.1) — the oracle replays the
 # ADPCM recursion itself in a recursive CTE, fully independent of the

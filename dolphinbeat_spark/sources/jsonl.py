@@ -1,0 +1,101 @@
+"""Compressed-JSONL ingestion — the .jsonl.{zst,gz,bz2,xz} shape bulk
+text corpora actually ship in (The Pile and its descendants are
+zstd-framed JSONL).
+
+Spark reads jsonlines natively FROM FILES, but a pipeline fed binary
+payloads (one corpus shard per row, from an object store or the
+archive/WARC readers in this package) needs the decompress-and-split
+stage inside the DataFrame plan. ``read_jsonl`` sniffs the
+compression by magic — zstd (decoded by the FROM-SCRATCH RFC 8878
+decoder in operators/zstd_frame.py, golden-tested against the
+reference CLI), gzip multi-member, bzip2, xz (stdlib), or plain —
+and emits one row per line via Arrow ``mapInPandas``. JSON parsing
+itself stays in Catalyst (``from_json`` / ``get_json_object``), where
+it is codegen'd and column-pruned.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+class JsonlError(ValueError):
+    """Typed compressed-JSONL framing error."""
+
+
+def decompress_auto(data: bytes) -> tuple[str, bytes]:
+    """Sniff the compression magic -> (codec name, plaintext)."""
+    if data[:4] == b"\x28\xb5\x2f\xfd":
+        from dolphinbeat_spark.operators.zstd_frame import decode_zstd
+
+        return "zstd", decode_zstd(data)
+    if data[:2] == b"\x1f\x8b":
+        out = bytearray()
+        rest = data
+        while rest:
+            d = zlib.decompressobj(wbits=31)
+            try:
+                out += d.decompress(rest)
+            except zlib.error as ex:
+                raise JsonlError(f"bad gzip member: {ex}") from ex
+            if not d.eof:
+                raise JsonlError("gzip stream ends mid-member")
+            rest = d.unused_data
+        return "gzip", bytes(out)
+    if data[:3] == b"BZh":
+        import bz2
+
+        try:
+            return "bzip2", bz2.decompress(data)
+        except OSError as ex:
+            raise JsonlError(f"bad bzip2 stream: {ex}") from ex
+    if data[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        try:
+            return "xz", lzma.decompress(data)
+        except lzma.LZMAError as ex:
+            raise JsonlError(f"bad xz stream: {ex}") from ex
+    return "plain", data
+
+
+JSONL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("codec", StringType()),
+        StructField("line_idx", LongType()),
+        StructField("line", StringType()),
+    ]
+)
+
+
+def read_jsonl(df: DataFrame) -> DataFrame:
+    """(media_id, payload) -> one row per line with the sniffed codec
+    name. A trailing newline yields no empty record; interior blank
+    lines are preserved (they are data errors worth seeing)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                codec, text = decompress_auto(bytes(raw))
+                lines = text.decode("utf-8", "replace").split("\n")
+                if lines and lines[-1] == "":
+                    lines.pop()
+                for i, line in enumerate(lines):
+                    rows.append((mid, codec, i, line))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in JSONL_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, JSONL_SCHEMA)

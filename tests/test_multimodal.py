@@ -2148,3 +2148,56 @@ def test_read_archive_spark(spark):
     assert [r.archive_fmt for r in got] == ["zip", "zip", "tar", "tar"]
     assert [r.name for r in got] == ["n1.txt", "n2.txt"] * 2
     assert [r.text for r in got] == ["alpha", "beta-beta"] * 2
+
+
+# --- compressed JSONL (sources/jsonl.py) ---------------------------------------
+
+
+def test_jsonl_decompress_auto_all_codecs():
+    """Magic sniffing picks the right codec: plain, multi-member
+    gzip, bzip2, xz, and zstd — the last through the from-scratch
+    RFC 8878 decoder, here fed REAL compressed frames from the
+    reference zstd CLI when available, else the store-frame writer."""
+    import bz2
+    import lzma
+    import shutil
+    import subprocess
+    import zlib
+
+    from dolphinbeat_spark.operators.zstd_frame import encode_zstd_store
+    from dolphinbeat_spark.sources.jsonl import JsonlError, decompress_auto
+
+    raw = b'{"a": 1}\n{"a": 2}\n' * 20
+    assert decompress_auto(raw) == ("plain", raw)
+    co1 = zlib.compressobj(6, zlib.DEFLATED, 31)
+    co2 = zlib.compressobj(6, zlib.DEFLATED, 31)
+    half = len(raw) // 2
+    two_members = (co1.compress(raw[:half]) + co1.flush()
+                   + co2.compress(raw[half:]) + co2.flush())
+    assert decompress_auto(two_members) == ("gzip", raw)
+    assert decompress_auto(bz2.compress(raw)) == ("bzip2", raw)
+    assert decompress_auto(lzma.compress(raw)) == ("xz", raw)
+    assert decompress_auto(encode_zstd_store(raw)) == ("zstd", raw)
+    if shutil.which("zstd"):
+        real = subprocess.run(["zstd", "-c", "-19"], input=raw,
+                              capture_output=True, check=True).stdout
+        assert decompress_auto(real) == ("zstd", raw)
+
+    import pytest
+
+    with pytest.raises(JsonlError, match="gzip"):
+        decompress_auto(b"\x1f\x8bgarbage")
+    with pytest.raises(JsonlError, match="bzip2"):
+        decompress_auto(b"BZhgarbage")
+
+
+def test_read_jsonl_spark(spark):
+    from dolphinbeat_spark.operators.zstd_frame import encode_zstd_store
+    from dolphinbeat_spark.sources.jsonl import read_jsonl
+
+    raw = b'{"x": 1}\n\n{"x": 3}\n'  # interior blank line preserved
+    rows = [(7, bytearray(encode_zstd_store(raw)))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = read_jsonl(df).orderBy("line_idx").collect()
+    assert [r.line for r in got] == ['{"x": 1}', "", '{"x": 3}']
+    assert got[0].codec == "zstd"
