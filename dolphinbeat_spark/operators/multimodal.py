@@ -786,6 +786,128 @@ def decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
     )
 
 
+def _f80(b: bytes) -> int:
+    """The 80-bit IEEE 754 extended float AIFF stores its sample rate
+    in (sign 1, exponent 15, EXPLICIT-integer-bit mantissa 64) ->
+    nearest int Hz."""
+    if len(b) != 10:
+        raise ValueError("extended float must be 10 bytes")
+    sign = b[0] >> 7
+    exp = ((b[0] & 0x7F) << 8) | b[1]
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0
+    if exp == 0x7FFF:
+        raise ValueError("non-finite AIFF sample rate")
+    val = mant * 2.0 ** (exp - 16383 - 63)
+    return int(round(-val if sign else val))
+
+
+def encode_aiff(samples: np.ndarray, rate: int, bits: int = 16,
+                compression: bytes | None = None) -> bytes:
+    """Format-faithful AIFF/AIFF-C writer (fixture generator):
+    ``samples`` is (n_frames, channels) int; ``compression`` of
+    b'sowt' writes the little-endian AIFF-C variant."""
+    import struct as _s
+
+    arr = np.asarray(samples, np.int64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    nframes, ch = arr.shape
+    bl = rate.bit_length()
+    f80 = _s.pack(">HQ", 16383 + bl - 1, (rate << (64 - bl))
+                  & 0xFFFFFFFFFFFFFFFF) if rate else bytes(10)
+    inter = arr.reshape(-1)
+    if bits == 8:
+        body = inter.astype(np.int8).tobytes()
+    elif bits == 16:
+        e = "<i2" if compression == b"sowt" else ">i2"
+        body = inter.astype(e).tobytes()
+    elif bits == 24:
+        v = inter.astype(np.int64) & 0xFFFFFF
+        body = b"".join(int(x).to_bytes(3, "big") for x in v)
+    elif bits == 32:
+        body = inter.astype(">i4").tobytes()
+    else:
+        raise ValueError(f"unsupported bit width {bits}")
+    comm = _s.pack(">HIH", ch, nframes, bits) + f80
+    form_type = b"AIFF"
+    if compression:
+        form_type = b"AIFC"
+        comm += compression + b"\x00\x00"  # pstring name: empty, padded
+    ssnd = _s.pack(">II", 0, 0) + body
+    out = bytearray()
+    for cid, cbody in ((b"COMM", comm), (b"SSND", ssnd)):
+        out += cid + _s.pack(">I", len(cbody)) + cbody
+        if len(cbody) & 1:
+            out += b"\x00"
+    return (b"FORM" + _s.pack(">I", 4 + len(out)) + form_type + bytes(out))
+
+
+def decode_aiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Pure-numpy AIFF/AIFF-C decoder (Apple's published IFF audio
+    container — the big-endian sibling of decode_wav): FORM/AIFF
+    chunk walk (odd-length chunks padded per IFF), COMM with the
+    80-bit extended-float sample rate, SSND offset/blockSize header,
+    8-bit SIGNED (unlike WAV) / 16 / 24 / 32-bit big-endian PCM, and
+    AIFF-C with the 'NONE' (big-endian) and 'sowt' (byte-swapped,
+    i.e. little-endian 16-bit) compression types. Anything perceptual
+    raises by name. Same return contract as decode_wav."""
+    import struct as _s
+
+    if len(data) < 12 or data[:4] != b"FORM" or data[8:12] not in (
+        b"AIFF", b"AIFC"
+    ):
+        raise ValueError("not an AIFF payload")
+    aifc = data[8:12] == b"AIFC"
+    pos = 12
+    comm = ssnd = None
+    comp = b"NONE"
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (clen,) = _s.unpack_from(">I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError(f"AIFF chunk {cid!r} truncated")
+        if cid == b"COMM":
+            ch, nframes, bits = _s.unpack_from(">HIH", body, 0)
+            rate = _f80(body[8:18])
+            if aifc:
+                comp = body[18:22]
+            comm = (ch, nframes, bits, rate)
+        elif cid == b"SSND":
+            off, _blk = _s.unpack_from(">II", body, 0)
+            ssnd = body[8 + off:]
+        pos += 8 + clen + (clen & 1)  # IFF pads odd chunks
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM/SSND")
+    ch, nframes, bits, rate = comm
+    if comp not in (b"NONE", b"sowt"):
+        raise NotImplementedError(
+            f"AIFF-C compression {comp!r} not supported (NONE/sowt decode)"
+        )
+    n = nframes * ch
+    if bits == 8:
+        samples = np.frombuffer(ssnd[:n], np.int8)
+    elif bits == 16:
+        e = "<i2" if comp == b"sowt" else ">i2"
+        samples = np.frombuffer(ssnd[:2 * n], e).astype("<i2")
+    elif bits == 24:
+        raw = np.frombuffer(ssnd[:3 * n], np.uint8).reshape(-1, 3)
+        v = ((raw[:, 0].astype(np.int32) << 16)
+             | (raw[:, 1].astype(np.int32) << 8) | raw[:, 2])
+        samples = (v - ((v >> 23) << 24)).astype("<i4")
+    elif bits == 32:
+        samples = np.frombuffer(ssnd[:4 * n], ">i4").astype("<i4")
+    else:
+        raise NotImplementedError(f"{bits}-bit AIFF not supported")
+    if samples.size != n:
+        raise ValueError(
+            f"AIFF sound data holds {samples.size} samples, COMM says {n}"
+        )
+    return rate, ch, n, samples
+
+
 AUDIO_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -824,6 +946,8 @@ def decode_audio(df: DataFrame, digest: str = "bytes") -> DataFrame:
                     from dolphinbeat_spark.operators.flac import decode_flac
 
                     fmt, (rate, ch, n, samples) = "flac", decode_flac(b)
+                elif b[:4] == b"FORM":
+                    fmt, (rate, ch, n, samples) = "aiff", decode_aiff(b)
                 else:
                     fmt, (rate, ch, n, samples) = "wav", decode_wav(b)
                 if samples.dtype.kind == "f":

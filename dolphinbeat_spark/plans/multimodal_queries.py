@@ -1454,6 +1454,56 @@ def jsonl_compressed_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_decode_aiff",
+    # payload = a REAL AIFF (big-endian IFF audio, Apple's published
+    # container): the doc's 96 pattern chars as 8-bit SIGNED PCM
+    # (AIFF's 8-bit is signed, unlike WAV's unsigned — ASCII values
+    # are < 128 so the byte stream equals the pattern), sample rate
+    # 8000 via the 80-bit extended float. Same oracle shape as
+    # mm_decode_wav.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 27 = 11
+)
+SELECT media_id,
+       'aiff' AS fmt,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(96 AS BIGINT) AS n_samples,
+       CAST(96 AS DOUBLE) / 8000 AS duration_s,
+       CAST(list_sum(list_transform(range(1, 97),
+            i -> ord(substr(pattern, CAST(i AS INTEGER), 1)))) AS BIGINT)
+           AS sample_sum,
+       md5(pattern) AS sample_md5
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "audio", "codec", "aiff"),
+)
+def mm_decode_aiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIFF decode under the oracle gate — the big-endian sibling of
+    mm_decode_wav (IFF chunk walk, COMM's 80-bit extended-float
+    sample rate, SSND offset header, signed 8-bit PCM), decoded
+    distributed through the same decode_audio slot as WAV/FLAC."""
+    import hashlib
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.multimodal import encode_aiff
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 27 == 11)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
+        s = np.frombuffer(pattern, np.uint8).astype(np.int64).reshape(-1, 1)
+        rows.append((i, bytearray(encode_aiff(s, 8000, bits=8))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return M.decode_audio(media).orderBy("media_id")
+
+
 # the 89-entry IMA step table + 16-entry index table as SQL array
 # literals (public: IMA RP / RFC 3551 §4.5.1) — the oracle replays the
 # ADPCM recursion itself in a recursive CTE, fully independent of the

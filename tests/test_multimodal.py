@@ -2201,3 +2201,83 @@ def test_read_jsonl_spark(spark):
     got = read_jsonl(df).orderBy("line_idx").collect()
     assert [r.line for r in got] == ['{"x": 1}', "", '{"x": 3}']
     assert got[0].codec == "zstd"
+
+
+# --- AIFF (operators/multimodal.py::decode_aiff) --------------------------------
+
+
+def test_aiff_roundtrip_and_stdlib_crosscheck():
+    """The AIFF decoder handles 8 (SIGNED, unlike WAV) /16/24/32-bit
+    big-endian PCM, the AIFF-C 'sowt' little-endian variant, and the
+    80-bit extended-float sample rate; our writer's output is also
+    read back by the stdlib aifc module (independent reference)."""
+    import io
+    import warnings
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.multimodal import (
+        decode_aiff, encode_aiff,
+    )
+
+    rng = np.random.RandomState(4)
+    for bits in (8, 16, 24, 32):
+        lim = 1 << (bits - 1)
+        s = rng.randint(-lim, lim, (200, 2))
+        rate, ch, n, out = decode_aiff(encode_aiff(s, 44100, bits=bits))
+        assert (rate, ch, n) == (44100, 2, 400)
+        assert np.array_equal(out.astype(np.int64), s.reshape(-1)), bits
+    s = rng.randint(-32768, 32768, (150, 1))
+    rate, _, _, out = decode_aiff(
+        encode_aiff(s, 22050, bits=16, compression=b"sowt")
+    )
+    assert rate == 22050 and np.array_equal(out.astype(np.int64),
+                                            s.reshape(-1))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import aifc
+    s = rng.randint(-32768, 32768, (100, 2))
+    a = aifc.open(io.BytesIO(encode_aiff(s, 48000, bits=16)))
+    assert (a.getframerate(), a.getnchannels(), a.getsampwidth()) \
+        == (48000, 2, 2)
+    got = np.frombuffer(a.readframes(100), ">i2")
+    assert np.array_equal(got.astype(np.int64), s.reshape(-1))
+    for r in (8000, 11025, 44100, 96000, 192000):
+        assert decode_aiff(encode_aiff(np.zeros((4, 1)), r))[0] == r
+
+
+def test_aiff_typed_errors():
+    import numpy as np
+    import pytest
+
+    from dolphinbeat_spark.operators.multimodal import (
+        decode_aiff, encode_aiff,
+    )
+
+    good = bytearray(encode_aiff(np.zeros((8, 1)), 8000))
+    with pytest.raises(ValueError, match="not an AIFF"):
+        decode_aiff(b"RIFF" + bytes(good[4:]))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_aiff(bytes(good[:-3]))
+    # AIFC with a perceptual compression type raises by name
+    ulaw = bytearray(encode_aiff(np.zeros((8, 1)), 8000,
+                                 compression=b"sowt"))
+    i = bytes(ulaw).index(b"sowt")
+    ulaw[i:i + 4] = b"ulaw"
+    with pytest.raises(NotImplementedError, match="ulaw"):
+        decode_aiff(bytes(ulaw))
+
+
+def test_decode_audio_sniffs_aiff(spark):
+    import numpy as np
+
+    from dolphinbeat_spark.operators.multimodal import (
+        decode_audio, encode_aiff,
+    )
+
+    s = np.arange(-50, 50).reshape(-1, 1)
+    rows = [(8, bytearray(encode_aiff(s, 8000, bits=16)))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    (got,) = decode_audio(df).collect()
+    assert got.fmt == "aiff" and got.sample_rate == 8000
+    assert got.n_samples == 100 and got.sample_sum == int(s.sum())
