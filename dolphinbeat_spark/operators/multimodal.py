@@ -1014,6 +1014,10 @@ def decode_media(df: DataFrame, digest: str = "bytes") -> DataFrame:
                     from dolphinbeat_spark.operators.tiff import decode_tiff
 
                     fmt, (w, h, px) = "tiff", decode_tiff(b)
+                elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                    from dolphinbeat_spark.operators.webp import decode_webp
+
+                    fmt, (w, h, px) = "webp", decode_webp(b)
                 else:
                     raise NotImplementedError(
                         "media formats beyond PPM/BMP/PNG/GIF/JPEG need "

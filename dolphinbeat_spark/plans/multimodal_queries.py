@@ -1504,6 +1504,62 @@ def mm_decode_aiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_audio(media).orderBy("media_id")
 
 
+@register(
+    "mm_decode_webp",
+    # payload = a REAL lossless WebP (VP8L) whose 8x3 RGBA pixels are
+    # the doc's 96-byte md5 pattern; the coding shape cycles with
+    # doc_id % 5 through literals / LZ77 / color cache /
+    # subtract-green / predictor-mode-7, so every decoder path runs
+    # across the spec subset. Decode is lossless: oracle =
+    # md5(pattern), the mm_decode_png shape.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 27 = 17
+)
+SELECT media_id,
+       'webp' AS fmt,
+       CAST(8 AS BIGINT) AS width,
+       CAST(3 AS BIGINT) AS height,
+       CAST(list_sum(list_transform(range(1, 97),
+            i -> ord(substr(pattern, CAST(i AS INTEGER), 1)))) AS BIGINT)
+           AS pixel_sum,
+       md5(pattern) AS pixel_md5
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "codec", "webp"),
+)
+def mm_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP LOSSLESS (VP8L) decode under the oracle gate — the #2
+    wild-web image format's losslessly-decodable profile, from
+    scratch (operators/webp.py: canonical prefix codes, LZ77 with the
+    2D distance map, color cache, and the four inverse transforms).
+    The lossy VP8 profile raises by name (DCT boolean arithmetic
+    needs codec libraries). Decoded distributed in the same
+    mapInPandas slot as the other codecs."""
+    import hashlib
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.webp import encode_webp_lossless
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 27 == 17)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    shapes = (dict(), dict(lz77_min=4), dict(use_cache_bits=4),
+              dict(subtract_green=True), dict(predictor=(7, 3)))
+    rows = []
+    for i in ids:
+        pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
+        rgba = np.frombuffer(pattern, np.uint8).reshape(3, 8, 4)
+        rows.append((i, bytearray(
+            encode_webp_lossless(rgba, **shapes[i % 5])
+        )))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return M.decode_media(media).orderBy("media_id")
+
+
 # the 89-entry IMA step table + 16-entry index table as SQL array
 # literals (public: IMA RP / RFC 3551 §4.5.1) — the oracle replays the
 # ADPCM recursion itself in a recursive CTE, fully independent of the

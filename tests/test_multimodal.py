@@ -2281,3 +2281,156 @@ def test_decode_audio_sniffs_aiff(spark):
     (got,) = decode_audio(df).collect()
     assert got.fmt == "aiff" and got.sample_rate == 8000
     assert got.n_samples == 100 and got.sample_sum == int(s.sum())
+
+
+# --- WebP lossless (operators/webp.py) ------------------------------------------
+
+
+def test_vp8l_hand_assembled_vector():
+    """A 2x1 VP8L stream assembled bit by bit from the spec text with
+    an in-test LSB writer (independent of the repo's encoder): header
+    fields, simple-form prefix codes (1- and 2-symbol), and literal
+    pixel decode with single-symbol alpha consuming zero bits."""
+    import struct
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.webp import decode_webp
+
+    bits = []
+
+    def put(v, n):
+        for i in range(n):
+            bits.append((v >> i) & 1)
+
+    def put_simple2(a, b):
+        put(1, 1)  # simple code
+        put(1, 1)  # 2 symbols
+        put(1, 1)  # 8-bit first symbol
+        put(a, 8)
+        put(b, 8)
+
+    def put_simple1(s):
+        put(1, 1)
+        put(0, 1)
+        put(1, 1)
+        put(s, 8)
+
+    put(1, 14)   # width - 1
+    put(0, 14)   # height - 1
+    put(0, 1)    # alpha hint
+    put(0, 3)    # version
+    put(0, 1)    # no transforms
+    put(0, 1)    # no color cache
+    put(0, 1)    # no meta prefix image
+    put_simple2(2, 5)   # green: symbols {2, 5}, 1 bit each
+    put_simple2(1, 4)   # red
+    put_simple2(3, 6)   # blue
+    put_simple1(255)    # alpha: single symbol, zero bits per use
+    put_simple1(0)      # distance: unused but mandatory
+    # P1 = (r1 g2 b3 a255): green 2 -> code 0, red 1 -> 0, blue 3 -> 0
+    put(0, 1); put(0, 1); put(0, 1)
+    # P2 = (r4 g5 b6): all the second (code 1) symbols
+    put(1, 1); put(1, 1); put(1, 1)
+    payload = bytearray(b"\x2f")
+    acc = 0
+    for i, b in enumerate(bits):
+        acc |= b << (i % 8)
+        if i % 8 == 7:
+            payload.append(acc)
+            acc = 0
+    if len(bits) % 8:
+        payload.append(acc)
+    riff = b"VP8L" + struct.pack("<I", len(payload)) + bytes(payload)
+    if len(payload) & 1:
+        riff += b"\x00"
+    stream = b"RIFF" + struct.pack("<I", 4 + len(riff)) + b"WEBP" + riff
+    w, h, px = decode_webp(stream)
+    assert (w, h) == (2, 1)
+    assert np.array_equal(
+        px, np.array([[[1, 2, 3, 255], [4, 5, 6, 255]]], np.uint8)
+    )
+
+
+def test_vp8l_roundtrip_matrix():
+    """Writer->decoder across literals, LZ77 runs (dist-1 and
+    dist-width through the neighbor map), color cache hits, ALL 14
+    predictor modes, the color transform, subtract-green, palettes at
+    every packing width (<=2/4/16/256 colors), and stacked
+    transforms."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.webp import (
+        decode_webp, encode_webp_lossless,
+    )
+
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 256, (9, 13, 4), dtype=np.uint8)
+    img[3:6, :, :] = img[2:3, :, :]
+    img[7, 4:11] = img[7, 3]
+    for kw in (dict(), dict(lz77_min=4), dict(use_cache_bits=4),
+               dict(use_cache_bits=6, lz77_min=5),
+               dict(subtract_green=True),
+               dict(subtract_green=True, use_cache_bits=3, lz77_min=4)):
+        w, h, out = decode_webp(encode_webp_lossless(img, **kw))
+        assert (w, h) == (13, 9) and np.array_equal(out, img), kw
+    for mode in range(14):
+        _, _, out = decode_webp(encode_webp_lossless(img,
+                                                     predictor=(mode, 3)))
+        assert np.array_equal(out, img), ("predictor", mode)
+    for cte in ((0x10, 0x20, 0x30, 2), (0xF0, 0x85, 0x7F, 4)):
+        _, _, out = decode_webp(encode_webp_lossless(img, color=cte))
+        assert np.array_equal(out, img), ("color", cte)
+    for nc in (2, 4, 13, 200):
+        pal_img = rng.randint(0, 256, (nc, 4), dtype=np.uint8)[
+            rng.randint(0, nc, (11, 23))
+        ]
+        _, _, out = decode_webp(encode_webp_lossless(pal_img, palette=True))
+        assert np.array_equal(out, pal_img), ("palette", nc)
+    _, _, out = decode_webp(encode_webp_lossless(
+        img, predictor=(7, 3), subtract_green=True, use_cache_bits=4,
+        lz77_min=6,
+    ))
+    assert np.array_equal(out, img)
+
+
+def test_webp_typed_errors_and_lossy_boundary():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dolphinbeat_spark.operators.webp import (
+        WebpError, decode_webp, encode_webp_lossless,
+    )
+
+    img = np.zeros((2, 2, 4), np.uint8)
+    good = bytearray(encode_webp_lossless(img))
+    with pytest.raises(WebpError, match="RIFF/WEBP"):
+        decode_webp(b"RIFX" + bytes(good[4:]))
+    # lossy VP8 raises by name
+    lossy = bytearray(good)
+    i = bytes(lossy).index(b"VP8L")
+    lossy[i:i + 4] = b"VP8 "
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_webp(bytes(lossy))
+    bad_sig = bytearray(good)
+    bad_sig[i + 8] = 0x30  # VP8L signature byte
+    with pytest.raises(WebpError, match="signature"):
+        decode_webp(bytes(bad_sig))
+    with pytest.raises(WebpError, match="truncated"):
+        decode_webp(bytes(good[:-4]) if len(good) > 24 else bytes(good[:20]))
+
+
+def test_decode_media_sniffs_webp(spark):
+    import numpy as np
+
+    from dolphinbeat_spark.operators.multimodal import decode_media
+    from dolphinbeat_spark.operators.webp import encode_webp_lossless
+
+    want = np.arange(4 * 6 * 4, dtype=np.uint8).reshape(4, 6, 4) % 250
+    rows = [(3, bytearray(encode_webp_lossless(want, subtract_green=True)))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    (got,) = decode_media(df).collect()
+    assert got.fmt == "webp" and (got.width, got.height) == (6, 4)
+    assert got.pixel_sum == int(want.sum())
