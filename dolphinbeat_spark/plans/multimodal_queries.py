@@ -1560,6 +1560,87 @@ def mm_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_media(media).orderBy("media_id")
 
 
+@register(
+    "mm_video_nal_units",
+    # payload = a REAL H.264 Annex-B elementary stream per doc:
+    # SPS (640x480 baseline — the demux PARSES it: Exp-Golomb,
+    # profile, crop -> sps_width/height), PPS, an IDR slice and two
+    # non-IDR slices whose payloads slice the doc's md5 pattern.
+    # SPS/PPS NAL digests are constants embedded verbatim (their
+    # bytes are fixed); slice digests are hdr-byte hex + pattern hex
+    # (digest='hex'; ASCII payloads need no emulation prevention).
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 27 = 22
+),
+s(nal_idx, nal_type, type_name, ref_idc, keyf, nb, hdr, start, sz) AS (
+  VALUES (2, 5, 'idr',   3, TRUE,  31, '65', 1, 30),
+         (3, 1, 'slice', 2, FALSE, 25, '41', 31, 24),
+         (4, 1, 'slice', 2, FALSE, 19, '41', 55, 18)
+)
+SELECT media_id, CAST(nal_idx AS BIGINT) AS nal_idx,
+       CAST(nal_type AS BIGINT) AS nal_type, type_name,
+       CAST(ref_idc AS BIGINT) AS ref_idc, keyf AS is_keyframe,
+       CAST(nb AS BIGINT) AS nal_bytes,
+       md5(hdr || lower(hex(substr(pattern, start, sz)))) AS nal_md5,
+       CAST(NULL AS BIGINT) AS sps_width,
+       CAST(NULL AS BIGINT) AS sps_height
+FROM p CROSS JOIN s
+UNION ALL
+SELECT media_id, 0, 7, 'sps', 3, FALSE, 9,
+       'c89ddc75477c5484cb65cd3c234112f2',
+       640, 480
+FROM p
+UNION ALL
+SELECT media_id, 1, 8, 'pps', 3, FALSE, 3,
+       '41f594f9cfc1cb73eae852e244a7541f',
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM p
+ORDER BY media_id, nal_idx
+""",
+    tags=("multimodal", "video", "demux", "h264"),
+)
+def mm_video_nal_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264 Annex-B NAL demux under the oracle gate
+    (operators/h264_demux.py): start-code splitting, NAL header
+    classification (IDR keyframe flagging — the frame-sampling cut
+    points), and a REAL SPS parse (Exp-Golomb, cropping) that
+    recovers the coded pixel dimensions from the raw bitstream.
+    Slice-data decode (CABAC/CAVLC) stays honestly stubbed."""
+    import hashlib
+
+    from dolphinbeat_spark.operators.h264_demux import (
+        build_annexb, build_sps, nal_units,
+    )
+
+    sps = build_sps(40, 30)  # 640x480 baseline
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 27 == 22)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
+        stream = build_annexb([
+            (7, 3, sps),
+            (8, 3, b"\x12\x34"),
+            (5, 3, pattern[0:30]),
+            (1, 2, pattern[30:54]),
+            (1, 2, pattern[54:72]),
+        ])
+        rows.append((i, bytearray(stream)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return (
+        nal_units(media, digest="hex")
+        .select(
+            "media_id", "nal_idx", "nal_type", "type_name", "ref_idc",
+            "is_keyframe", "nal_bytes", "nal_md5", "sps_width",
+            "sps_height",
+        )
+        .orderBy("media_id", "nal_idx")
+    )
+
+
 # the 89-entry IMA step table + 16-entry index table as SQL array
 # literals (public: IMA RP / RFC 3551 §4.5.1) — the oracle replays the
 # ADPCM recursion itself in a recursive CTE, fully independent of the
