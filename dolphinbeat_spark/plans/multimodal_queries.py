@@ -1641,6 +1641,89 @@ def mm_video_nal_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "subtitle_cues",
+    # payload = a real subtitle file per doc: SRT for even doc_ids
+    # (comma millisecond separator, index lines, CRLF) and WebVTT for
+    # odd (header, NOTE block, cue identifiers, dot separator). Three
+    # cues slice the doc's md5 pattern; the first carries <i> markup
+    # the reader strips into the clean-text column. Timings are
+    # closed-form in (doc_id, cue).
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id, doc_id AS i,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 27 = 24
+),
+s(cue_idx, start_off, sz) AS (
+  VALUES (1, 1, 30), (2, 31, 24), (3, 55, 20)
+)
+SELECT media_id,
+       CASE WHEN i % 2 = 0 THEN 'srt' ELSE 'vtt' END AS fmt,
+       CAST(cue_idx AS BIGINT) AS cue_idx,
+       CAST((i % 50) * 1000 + cue_idx * 5000 AS BIGINT) AS start_ms,
+       CAST((i % 50) * 1000 + cue_idx * 5000 + 2500 + cue_idx * 100
+            AS BIGINT) AS end_ms,
+       CAST((i % 50) * 1000 + cue_idx * 5000 AS DOUBLE) / 1000 AS start_s,
+       CAST(2500 + cue_idx * 100 AS BIGINT) AS duration_ms,
+       CASE WHEN cue_idx = 1
+            THEN '<i>' || substr(pattern, start_off, sz) || '</i>'
+            ELSE substr(pattern, start_off, sz) END AS raw_text,
+       substr(pattern, start_off, sz) AS text
+FROM p CROSS JOIN s
+ORDER BY media_id, cue_idx
+""",
+    tags=("text", "ingest", "subtitles", "multimodal"),
+)
+def subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle-cue ingestion under the oracle gate — how video
+    becomes text training data: SRT and WebVTT parsed distributed
+    (sources/subtitles.py), emitting per-cue time spans (the join key
+    against the demuxers' frame timestamps) plus raw and
+    markup-stripped text."""
+    import hashlib
+
+    from dolphinbeat_spark.sources.subtitles import read_subtitles
+
+    def ts_srt(ms):
+        return (f"{ms // 3600000:02d}:{ms // 60000 % 60:02d}:"
+                f"{ms // 1000 % 60:02d},{ms % 1000:03d}")
+
+    def ts_vtt(ms):
+        return (f"{ms // 3600000:02d}:{ms // 60000 % 60:02d}:"
+                f"{ms // 1000 % 60:02d}.{ms % 1000:03d}")
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 27 == 24)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    spans = [(1, 0, 30), (2, 30, 24), (3, 54, 20)]
+    rows = []
+    for i in ids:
+        pattern = hashlib.md5(str(i).encode()).hexdigest() * 3
+        cues = []
+        for k, off, sz in spans:
+            start = (i % 50) * 1000 + k * 5000
+            end = start + 2500 + k * 100
+            body = pattern[off:off + sz]
+            if k == 1:
+                body = f"<i>{body}</i>"
+            cues.append((k, start, end, body))
+        if i % 2 == 0:
+            doc = "\r\n\r\n".join(
+                f"{k}\r\n{ts_srt(s)} --> {ts_srt(e)}\r\n{b}"
+                for k, s, e, b in cues
+            ) + "\r\n"
+        else:
+            blocks = ["WEBVTT", "NOTE synthetic fixture"]
+            blocks += [
+                f"cue-{k}\n{ts_vtt(s)} --> {ts_vtt(e)}\n{b}"
+                for k, s, e, b in cues
+            ]
+            doc = "\n\n".join(blocks) + "\n"
+        rows.append((i, bytearray(doc.encode())))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return read_subtitles(media).orderBy("media_id", "cue_idx")
+
+
 # the 89-entry IMA step table + 16-entry index table as SQL array
 # literals (public: IMA RP / RFC 3551 §4.5.1) — the oracle replays the
 # ADPCM recursion itself in a recursive CTE, fully independent of the

@@ -2507,3 +2507,65 @@ def test_nal_units_spark(spark):
     assert [r.is_keyframe for r in got] == [False, False, True, False]
     assert (got[0].sps_width, got[0].sps_height) == (128, 96)
     assert got[2].nal_bytes == 15
+
+
+# --- subtitles (sources/subtitles.py) -------------------------------------------
+
+
+def test_subtitle_parsers():
+    """SRT (index lines, comma millis, CRLF, BOM) and WebVTT (header,
+    NOTE blocks, cue identifiers, optional hour field) parse to the
+    same cue shape; markup strips to clean text."""
+    from dolphinbeat_spark.sources.subtitles import (
+        parse_srt, parse_vtt, strip_markup,
+    )
+
+    srt = ("1\r\n00:00:01,000 --> 00:00:04,250\r\nHello <i>world</i>\r\n"
+           "\r\n2\r\n00:00:05,500 --> 00:01:02,750\r\nLine one\r\n"
+           "Line two\r\n")
+    cues = parse_srt("﻿" + srt)
+    assert [(c["start_ms"], c["end_ms"]) for c in cues] == [
+        (1000, 4250), (5500, 62750)
+    ]
+    assert cues[1]["text"] == "Line one\nLine two"
+    assert strip_markup(cues[0]["text"]) == "Hello world"
+
+    vtt = ("WEBVTT\n\nNOTE a comment\n\nintro\n"
+           "00:01.000 --> 00:04.000\n<v Ann>Hi there\n\n"
+           "01:00:00.500 --> 01:00:02.000\nhour field\n")
+    cues = parse_vtt(vtt)
+    assert cues[0]["start_ms"] == 1000
+    assert strip_markup(cues[0]["text"]) == "Hi there"
+    assert cues[1]["start_ms"] == 3600500
+
+
+def test_subtitle_typed_errors():
+    import pytest
+
+    from dolphinbeat_spark.sources.subtitles import (
+        SubtitleError, parse_srt, parse_vtt,
+    )
+
+    with pytest.raises(SubtitleError, match="WEBVTT header"):
+        parse_vtt("not vtt")
+    with pytest.raises(SubtitleError, match="timing line"):
+        parse_srt("1\nnot a time\ntext")
+    with pytest.raises(SubtitleError, match="no SRT cues"):
+        parse_srt("   ")
+    with pytest.raises(SubtitleError, match="timing line"):
+        parse_vtt("WEBVTT\n\nident-only\nstill no arrow")
+
+
+def test_read_subtitles_spark(spark):
+    from dolphinbeat_spark.sources.subtitles import read_subtitles
+
+    srt = b"1\n00:00:02,000 --> 00:00:03,500\n<b>Bold</b> cue\n"
+    vtt = b"WEBVTT\n\n00:05.000 --> 00:06.000\nplain\n"
+    df = spark.createDataFrame(
+        [(1, bytearray(srt)), (2, bytearray(vtt))],
+        "media_id long, payload binary",
+    )
+    got = read_subtitles(df).orderBy("media_id").collect()
+    assert [r.fmt for r in got] == ["srt", "vtt"]
+    assert got[0].text == "Bold cue" and got[0].raw_text == "<b>Bold</b> cue"
+    assert got[0].start_s == 2.0 and got[1].duration_ms == 1000
