@@ -176,23 +176,118 @@ def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
     return header + info + rows
 
 
+def _bmp_rle_decode(data: bytes, w: int, h: int, four_bit: bool
+                    ) -> np.ndarray:
+    """BI_RLE8 / BI_RLE4 (the Windows BMP spec): encoded runs,
+    escapes (0 end-of-line, 1 end-of-bitmap, 2 position delta),
+    word-aligned absolute runs; 4-bit mode alternates nibbles.
+    Returns the (h, w) palette-index grid in BOTTOM-UP row order."""
+    out = np.zeros((h, w), np.uint8)
+    x = y = 0
+    p = 0
+    while p + 1 < len(data):
+        n, v = data[p], data[p + 1]
+        p += 2
+        if n:  # encoded run
+            if four_bit:
+                vals = [(v >> 4, v & 0x0F)[k & 1] for k in range(n)]
+            else:
+                vals = [v] * n
+            if y >= h or x + n > w:
+                raise ValueError("BMP RLE run overflows the row")
+            out[y, x:x + n] = vals
+            x += n
+            continue
+        if v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return out
+        elif v == 2:  # delta
+            if p + 2 > len(data):
+                raise ValueError("BMP RLE delta truncated")
+            x += data[p]
+            y += data[p + 1]
+            p += 2
+        else:  # absolute mode: v literal pixels, word-aligned
+            count = v
+            nbytes = ((count + 1) // 2 if four_bit else count)
+            pad = (nbytes & 1)
+            if p + nbytes + pad > len(data):
+                raise ValueError("BMP RLE absolute run truncated")
+            if four_bit:
+                vals = []
+                for k in range(count):
+                    b = data[p + (k >> 1)]
+                    vals.append(b >> 4 if k % 2 == 0 else b & 0x0F)
+            else:
+                vals = list(data[p:p + count])
+            if y >= h or x + count > w:
+                raise ValueError("BMP RLE absolute run overflows the row")
+            out[y, x:x + count] = vals
+            x += count
+            p += nbytes + pad
+    raise ValueError("BMP RLE stream missing the end-of-bitmap escape")
+
+
 def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
-    """24-bit BI_RGB BMP → (width, height, HxWx3 uint8 RGB array).
-    Handles bottom-up (positive height) and top-down (negative) layouts
-    and row padding."""
+    """BMP → (width, height, HxWx3 uint8 RGB array). BI_RGB at
+    1/4/8-bit (palette), 24-bit and 32-bit (alpha byte dropped — BMP
+    alpha is historically junk), plus BI_RLE8/BI_RLE4 run-length
+    palette images. Handles bottom-up (positive height) and top-down
+    (negative) layouts, row padding, and truncated-palette
+    ``biClrUsed``. BI_BITFIELDS and embedded PNG/JPEG raise by
+    name."""
     magic, _, _, _, off = struct.unpack_from("<2sIHHI", data, 0)
     if magic != b"BM":
         raise ValueError("not a BMP payload")
-    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
-    if bpp != 24 or comp != 0:
-        raise NotImplementedError(f"only 24-bit BI_RGB BMP supported (bpp={bpp}, comp={comp})")
+    hsz, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    clr_used = struct.unpack_from("<I", data, 46)[0] if hsz >= 40 else 0
     top_down, h = h < 0, abs(h)
-    stride = (w * 3 + 3) // 4 * 4
-    rows = np.frombuffer(data, np.uint8, count=stride * h, offset=off)
-    px = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-    if not top_down:
-        px = px[::-1]
-    return w, h, px[:, :, ::-1]  # BGR → RGB
+    if comp not in (0, 1, 2):
+        raise NotImplementedError(
+            f"BMP compression {comp} not supported (BI_RGB/RLE8/RLE4)"
+        )
+    if bpp in (1, 4, 8):
+        ncolors = clr_used or (1 << bpp)
+        pal_off = 14 + hsz
+        quads = np.frombuffer(data, np.uint8, count=4 * ncolors,
+                              offset=pal_off).reshape(-1, 4)
+        pal = quads[:, :3][:, ::-1]  # BGRA quads -> RGB
+        if comp in (1, 2):
+            if (comp == 1) != (bpp == 8):
+                raise ValueError(
+                    f"BI_RLE{'8' if comp == 1 else '4'} with bpp={bpp}"
+                )
+            if top_down:
+                raise ValueError("RLE BMP cannot be top-down")
+            idx = _bmp_rle_decode(data[off:], w, h, comp == 2)[::-1]
+        else:
+            stride = ((w * bpp + 7) // 8 + 3) // 4 * 4
+            rows = np.frombuffer(data, np.uint8, count=stride * h,
+                                 offset=off).reshape(h, stride)
+            if bpp == 8:
+                idx = rows[:, :w].copy()
+            else:
+                bits = np.unpackbits(rows, axis=1)
+                spp = bits[:, :w * bpp].reshape(h, w, bpp)
+                weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.uint8)
+                idx = (spp * weights).sum(axis=2).astype(np.uint8)
+            if not top_down:
+                idx = idx[::-1]
+        if int(idx.max(initial=0)) >= ncolors:
+            raise ValueError("BMP palette index beyond the color table")
+        return w, h, pal[idx]
+    if bpp in (24, 32):
+        if comp != 0:
+            raise ValueError(f"RLE is palette-only (bpp={bpp})")
+        unit = bpp // 8
+        stride = (w * unit + 3) // 4 * 4
+        rows = np.frombuffer(data, np.uint8, count=stride * h, offset=off)
+        px = rows.reshape(h, stride)[:, :w * unit].reshape(h, w, unit)
+        if not top_down:
+            px = px[::-1]
+        return w, h, px[:, :, 2::-1]  # BGR(A) -> RGB, alpha dropped
+    raise NotImplementedError(f"{bpp}-bit BMP not supported")
 
 
 # ---------------------------------------------------------------------------

@@ -1724,6 +1724,66 @@ def subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_subtitles(media).orderBy("media_id", "cue_idx")
 
 
+@register(
+    "mm_decode_bmp_rle",
+    # payload = an 8-bit palette BMP compressed with BI_RLE8: the
+    # palette is the grayscale identity (entry i = (i,i,i)) and the
+    # indices are the doc's 96 pattern chars laid out 8x12 bottom-up,
+    # each row one absolute-mode run — so the decoded RGB stream is
+    # every pattern char tripled, which the oracle rebuilds directly.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 29 = 13
+)
+SELECT media_id,
+       'bmp' AS fmt,
+       CAST(12 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(3 * list_sum(list_transform(range(1, 97),
+            i -> ord(substr(pattern, CAST(i AS INTEGER), 1)))) AS BIGINT)
+           AS pixel_sum,
+       md5(string_agg(r, '' ORDER BY i)) AS pixel_md5
+FROM p, LATERAL (
+  SELECT i, repeat(substr(pattern, CAST(i AS INTEGER), 1), 3) AS r
+  FROM range(1, 97) t(i)
+)
+GROUP BY media_id, pattern
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "codec", "bmp", "rle"),
+)
+def mm_decode_bmp_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length BMP decode under the oracle gate — the classic
+    Windows palette + BI_RLE8 shape (absolute runs, EOL/EOB escapes,
+    bottom-up order), previously a named refusal (only 24-bit BI_RGB
+    decoded). Grayscale-identity palette makes the decoded relation
+    closed-form."""
+    import hashlib
+    import struct
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 13)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    rows = []
+    for i in ids:
+        pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
+        grid = [pattern[y * 12:(y + 1) * 12] for y in range(8)]
+        rle = bytearray()
+        for y in range(7, -1, -1):  # bottom-up rows, absolute runs
+            rle += bytes([0, 12]) + grid[y]  # 12 is even: no pad
+            rle += bytes([0, 0])             # end of line
+        rle += bytes([0, 1])                 # end of bitmap
+        info = struct.pack("<IiiHHIIiiII", 40, 12, 8, 1, 8, 1,
+                           len(rle), 0, 0, 256, 0)
+        off = 14 + 40 + len(pal)
+        hdr = struct.pack("<2sIHHI", b"BM", off + len(rle), 0, 0, off)
+        rows.append((i, bytearray(hdr + info + pal + bytes(rle))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return M.decode_media(media).orderBy("media_id")
+
+
 # the 89-entry IMA step table + 16-entry index table as SQL array
 # literals (public: IMA RP / RFC 3551 §4.5.1) — the oracle replays the
 # ADPCM recursion itself in a recursive CTE, fully independent of the

@@ -2569,3 +2569,89 @@ def test_read_subtitles_spark(spark):
     assert [r.fmt for r in got] == ["srt", "vtt"]
     assert got[0].text == "Bold cue" and got[0].raw_text == "<b>Bold</b> cue"
     assert got[0].start_s == 2.0 and got[1].duration_ms == 1000
+
+
+def test_bmp_palette_rle_and_wide_shapes():
+    """The widened BMP decoder: 1/4/8-bit palette images (biClrUsed
+    honored), BI_RLE8 and BI_RLE4 (encoded runs, absolute word-aligned
+    runs, EOL/EOB/delta escapes), 32-bit BGRA (alpha dropped), and
+    top-down layouts — hand-built structures, spec-vector pinned."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dolphinbeat_spark.operators.multimodal import decode_bmp
+
+    def build(w, h, bpp, comp, pal, body, top_down=False):
+        hh = -h if top_down else h
+        info = struct.pack("<IiiHHIIiiII", 40, w, hh, 1, bpp, comp,
+                           len(body), 0, 0, len(pal) // 4, 0)
+        off = 14 + 40 + len(pal)
+        hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+        return hdr + info + pal + body
+
+    rng = np.random.RandomState(6)
+    cols = rng.randint(0, 256, (256, 3), dtype=np.uint8)
+    pal = b"".join(bytes([c[2], c[1], c[0], 0]) for c in cols)
+
+    # 8-bit palette bottom-up with row padding
+    idx = rng.randint(0, 256, (4, 6), dtype=np.uint8)
+    stride = (6 + 3) // 4 * 4
+    body = b"".join(idx[y].tobytes() + bytes(stride - 6)
+                    for y in range(3, -1, -1))
+    _, _, px = decode_bmp(build(6, 4, 8, 0, pal, body))
+    assert np.array_equal(px, cols[idx])
+
+    # 4-bit packed with padding bits
+    idx4 = rng.randint(0, 16, (4, 9), dtype=np.uint8)
+    rows = []
+    for y in range(3, -1, -1):
+        packed = bytearray()
+        for k in range(0, 9, 2):
+            hi = idx4[y, k] << 4
+            lo = idx4[y, k + 1] if k + 1 < 9 else 0
+            packed.append(hi | lo)
+        while len(packed) % 4:
+            packed.append(0)
+        rows.append(bytes(packed))
+    _, _, px = decode_bmp(build(9, 4, 4, 0, pal[:64], b"".join(rows)))
+    assert np.array_equal(px, cols[:16][idx4])
+
+    # RLE8: run + EOL, absolute + run, run + delta, final run, EOB
+    rle = bytes([6, 5, 0, 0, 0, 3, 1, 2, 3, 0, 3, 9, 0, 0,
+                 2, 7, 0, 2, 2, 1, 2, 8, 0, 1])
+    _, _, px = decode_bmp(build(6, 4, 8, 1, pal, rle))
+    exp = np.zeros((4, 6), np.uint8)
+    exp[0] = [5] * 6
+    exp[1] = [1, 2, 3, 9, 9, 9]
+    exp[2, 0:2] = 7
+    exp[3, 4:6] = 8
+    assert np.array_equal(px, cols[exp[::-1]])
+
+    # RLE4: alternating-nibble run + absolute run
+    rle4 = bytes([5, 0x12, 0, 0, 0, 3, 0x34, 0x50, 0, 1])
+    _, _, px = decode_bmp(build(5, 2, 4, 2, pal[:64], rle4))
+    exp = np.array([[1, 2, 1, 2, 1], [3, 4, 5, 0, 0]], np.uint8)
+    assert np.array_equal(px, cols[:16][exp[::-1]])
+
+    # 32-bit BGRA (alpha dropped) + top-down 8-bit
+    b32 = b"".join(bytes([1, 2, 3, 99]) for _ in range(8))
+    _, _, px = decode_bmp(build(4, 2, 32, 0, b"", b32))
+    assert np.array_equal(px[0, 0], [3, 2, 1])
+    idx = rng.randint(0, 256, (3, 4), dtype=np.uint8)
+    body = b"".join(idx[y].tobytes() for y in range(3))
+    _, _, px = decode_bmp(build(4, 3, 8, 0, pal, body, top_down=True))
+    assert np.array_equal(px, cols[idx])
+
+    # typed errors and named boundaries
+    with pytest.raises(NotImplementedError, match="compression 3"):
+        decode_bmp(build(4, 2, 32, 3, b"", b32))
+    with pytest.raises(ValueError, match="overflows"):
+        decode_bmp(build(2, 2, 8, 1, pal, bytes([9, 1, 0, 1])))
+    with pytest.raises(ValueError, match="end-of-bitmap"):
+        decode_bmp(build(6, 4, 8, 1, pal, bytes([2, 5, 0, 0])))
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 16, 0, 0, 0, 0, 0, 0)
+        decode_bmp(struct.pack("<2sIHHI", b"BM", 70, 0, 0, 54) + info
+                   + bytes(16))
