@@ -1784,6 +1784,65 @@ def mm_decode_bmp_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_media(media).orderBy("media_id")
 
 
+@register(
+    "mm_id3_extract",
+    # payload = a real MP3 (two MPEG frames) led by a real ID3v2 tag
+    # — version 2.3 for even doc_ids (plain frame sizes) and 2.4 for
+    # odd (syncsafe sizes, TDRC date), text encoding cycling
+    # latin-1/UTF-8. Fields are closed-form in doc_id; the oracle
+    # recomputes them directly — audio's mm_exif_extract.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id, doc_id AS i
+  FROM documents WHERE doc_id % 29 = 18
+)
+SELECT media_id,
+       CASE WHEN i % 2 = 0 THEN '2.3' ELSE '2.4' END AS version,
+       'Track ' || CAST(i % 97 AS VARCHAR) AS title,
+       'Artist ' || CAST(i % 13 AS VARCHAR) AS artist,
+       'Album ' || CAST(i % 7 AS VARCHAR) AS album,
+       CAST(1990 + i % 35 AS VARCHAR) AS date,
+       CAST(1 + i % 20 AS VARCHAR) || '/20' AS track,
+       'Genre' || CAST(i % 5 AS VARCHAR) AS genre,
+       'c-' || CAST(i % 11 AS VARCHAR) AS comment
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "audio", "metadata", "id3"),
+)
+def mm_id3_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 tag extraction under the oracle gate — audio's EXIF:
+    title/artist/album/date/track/genre/comment parsed from real
+    v2.3 and v2.4 tag structures leading real MPEG frames
+    (operators/id3.py), distributed via Arrow mapInPandas. These are
+    the dedup/filter keys an audio pipeline joins on; strip_id3 is
+    the matching redaction op (pinned in pytest to leave the MPEG
+    frames byte-identical)."""
+    from dolphinbeat_spark.operators.id3 import encode_id3, id3_extract
+    from dolphinbeat_spark.operators.mp3_demux import encode_mp3_frames
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 18)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        ver = 3 if i % 2 == 0 else 4
+        frames = {
+            "TIT2": f"Track {i % 97}",
+            "TPE1": f"Artist {i % 13}",
+            "TALB": f"Album {i % 7}",
+            ("TYER" if ver == 3 else "TDRC"): str(1990 + i % 35),
+            "TRCK": f"{1 + i % 20}/20",
+            "TCON": f"Genre{i % 5}",
+        }
+        tag = encode_id3(frames, version=ver, comment=f"c-{i % 11}",
+                         encoding=0 if i % 4 < 2 else 3)
+        rows.append((i, bytearray(
+            encode_mp3_frames(2, b"xy", id3v2=tag)
+        )))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return id3_extract(media).orderBy("media_id")
+
+
 # the 89-entry IMA step table + 16-entry index table as SQL array
 # literals (public: IMA RP / RFC 3551 §4.5.1) — the oracle replays the
 # ADPCM recursion itself in a recursive CTE, fully independent of the

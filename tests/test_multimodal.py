@@ -2655,3 +2655,75 @@ def test_bmp_palette_rle_and_wide_shapes():
         info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 16, 0, 0, 0, 0, 0, 0)
         decode_bmp(struct.pack("<2sIHHI", b"BM", 70, 0, 0, 54) + info
                    + bytes(16))
+
+
+# --- ID3v2 (operators/id3.py) ---------------------------------------------------
+
+
+def test_id3_versions_encodings_and_strip():
+    """v2.3 (plain sizes) and v2.4 (syncsafe sizes, TDRC) tags parse
+    across all four text encodings; whole-tag unsynchronisation
+    round-trips; strip_id3 removes v2 + v1 tags while the MPEG frames
+    stay byte-identical (the audio twin of EXIF redaction)."""
+    from dolphinbeat_spark.operators.id3 import (
+        encode_id3, parse_id3, strip_id3,
+    )
+    from dolphinbeat_spark.operators.mp3_demux import (
+        encode_mp3_frames, parse_mp3,
+    )
+
+    frames = {"TIT2": "Sömé Títle", "TPE1": "Artist 人", "TALB": "Album",
+              "TYER": "2023", "TRCK": "3/12", "TCON": "Jazz"}
+    for ver in (3, 4):
+        for enc in (0, 1, 2, 3):
+            use = dict(frames)
+            if enc == 0:
+                use["TPE1"] = "Artist"  # latin-1 can't carry CJK
+            tag = encode_id3(use, version=ver, comment="a cömment",
+                             encoding=enc)
+            m = parse_id3(tag)
+            assert m["version"] == f"2.{ver}"
+            assert m["title"] == use["TIT2"], (ver, enc)
+            assert m["artist"] == use["TPE1"], (ver, enc)
+            assert m["comment"] == "a cömment", (ver, enc)
+            assert m["date"] == "2023" and m["track"] == "3/12"
+    assert parse_id3(encode_id3({"TIT2": "ÿÿÿ"}, unsync=True,
+                                encoding=3))["title"] == "ÿÿÿ"
+    assert parse_id3(encode_id3({"TDRC": "2024-05-01"},
+                                version=4))["date"] == "2024-05-01"
+
+    mp3 = encode_mp3_frames(2, b"zz", id3v2=encode_id3(frames),
+                            id3v1=True)
+    (t,) = parse_mp3(mp3)
+    clean = strip_id3(mp3)
+    assert clean[:2] == b"\xff\xfb" and parse_id3(clean) == {}
+    (t2,) = parse_mp3(clean)
+    assert [mp3[o:o + s] for _, _, o, s in t["samples"]] == \
+        [clean[o:o + s] for _, _, o, s in t2["samples"]]
+
+
+def test_id3_typed_errors():
+    import pytest
+
+    from dolphinbeat_spark.operators.id3 import Id3Error, parse_id3
+
+    with pytest.raises(Id3Error, match="2.5 not supported"):
+        parse_id3(b"ID3\x05\x00\x00\x00\x00\x00\x00")
+    with pytest.raises(Id3Error, match="truncated"):
+        parse_id3(b"ID3\x03\x00\x00\x00\x00\x01\x00" + bytes(4))
+    with pytest.raises(Id3Error, match="syncsafe"):
+        parse_id3(b"ID3\x03\x00\x00\x80\x00\x00\x00")
+    assert parse_id3(b"not a tag") == {}
+
+
+def test_id3_extract_spark(spark):
+    from dolphinbeat_spark.operators.id3 import encode_id3, id3_extract
+    from dolphinbeat_spark.operators.mp3_demux import encode_mp3_frames
+
+    tag = encode_id3({"TIT2": "Hello", "TPE1": "World"}, version=4)
+    rows = [(1, bytearray(encode_mp3_frames(1, b"q", id3v2=tag))),
+            (2, bytearray(encode_mp3_frames(1, b"q")))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = id3_extract(df).orderBy("media_id").collect()
+    assert got[0].title == "Hello" and got[0].version == "2.4"
+    assert got[1].title is None and got[1].version is None
