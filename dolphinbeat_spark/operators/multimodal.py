@@ -1113,6 +1113,8 @@ def decode_media(df: DataFrame, digest: str = "bytes") -> DataFrame:
                     from dolphinbeat_spark.operators.webp import decode_webp
 
                     fmt, (w, h, px) = "webp", decode_webp(b)
+                elif b[:4] == b"\x00\x00\x01\x00":
+                    fmt, (w, h, px) = "ico", decode_ico(b)
                 else:
                     raise NotImplementedError(
                         "media formats beyond PPM/BMP/PNG/GIF/JPEG need "
@@ -1306,6 +1308,52 @@ def encode_gif(width: int, height: int, indices: bytes) -> bytes:
     gct = bytes(v for i in range(256) for v in (i, i, i))
     img = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
     return hdr + gct + img + bytes([mcs]) + bytes(blocks) + b"\x3b"
+
+
+def decode_ico(data: bytes) -> tuple[int, int, np.ndarray]:
+    """ICO (favicon) → the LARGEST contained image, decoded. Each
+    directory entry is either an embedded PNG (sniffed by magic —
+    the modern high-res layout) or a headerless DIB whose
+    BITMAPINFOHEADER declares DOUBLED height (XOR color rows + the
+    1-bit AND transparency mask, which is dropped — output is RGB):
+    decoded by wrapping the DIB in a synthetic BMP file header with
+    the height patched back to the image half, reusing decode_bmp's
+    full palette/RLE/depth matrix."""
+    if len(data) < 6 or data[:4] != b"\x00\x00\x01\x00":
+        raise ValueError("not an ICO payload")
+    (count,) = struct.unpack_from("<H", data, 4)
+    if count == 0:
+        raise ValueError("ICO with no images")
+    best = None
+    for i in range(count):
+        e = 6 + 16 * i
+        if e + 16 > len(data):
+            raise ValueError("ICO directory truncated")
+        w, h = data[e] or 256, data[e + 1] or 256
+        size, off = struct.unpack_from("<II", data, e + 8)
+        if off + size > len(data):
+            raise ValueError(f"ICO entry {i} overruns the payload")
+        if best is None or w * h > best[0] * best[1]:
+            best = (w, h, off, size)
+    _, _, off, size = best
+    blob = data[off:off + size]
+    if blob[:8] == _PNG_SIG:
+        return decode_png(blob)
+    # headerless DIB: patch the doubled height, wrap in a BM header
+    if len(blob) < 40:
+        raise ValueError("ICO DIB truncated")
+    hsz, w, h2 = struct.unpack_from("<Iii", blob, 0)
+    if hsz != 40:
+        raise ValueError(f"ICO DIB header size {hsz} unsupported")
+    h = h2 // 2
+    bpp, comp = struct.unpack_from("<HI", blob, 14)
+    clr_used = struct.unpack_from("<I", blob, 32)[0]
+    ncolors = clr_used or ((1 << bpp) if bpp <= 8 else 0)
+    pix_off = 14 + 40 + 4 * ncolors
+    patched = bytearray(blob)
+    patched[8:12] = struct.pack("<i", h)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + len(blob), 0, 0, pix_off)
+    return decode_bmp(hdr + bytes(patched))
 
 
 def decode_gif(data: bytes) -> tuple[int, int, np.ndarray]:

@@ -1843,6 +1843,66 @@ def mm_id3_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return id3_extract(media).orderBy("media_id")
 
 
+@register(
+    "mm_decode_ico",
+    # payload = a REAL two-entry ICO: a 2x2 classic DIB decoy and the
+    # 8x4 PNG (the doc's 96-byte md5 pattern) the largest-entry rule
+    # must pick — same closed form as mm_decode_png.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 29 = 22
+)
+SELECT media_id,
+       'ico' AS fmt,
+       CAST(8 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       CAST(list_sum(list_transform(range(1, 97),
+            i -> ord(substr(pattern, CAST(i AS INTEGER), 1)))) AS BIGINT)
+           AS pixel_sum,
+       md5(pattern) AS pixel_md5
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "codec", "ico"),
+)
+def mm_decode_ico(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICO (favicon) decode under the oracle gate: directory walk,
+    largest-entry selection, and both embedded layouts (PNG by magic,
+    classic doubled-height DIB via the BMP matrix) through the same
+    decode_media slot."""
+    import hashlib
+    import struct
+
+    from dolphinbeat_spark.operators.multimodal import encode_png
+
+    def build_ico(entries):
+        out = bytearray(b"\x00\x00\x01\x00"
+                        + struct.pack("<H", len(entries)))
+        off = 6 + 16 * len(entries)
+        for w, h, blob in entries:
+            out += bytes([w % 256, h % 256, 0, 0])
+            out += struct.pack("<HHII", 1, 32, len(blob), off)
+            off += len(blob)
+        for _, _, blob in entries:
+            out += blob
+        return bytes(out)
+
+    dib = (struct.pack("<IiiHHIIiiII", 40, 2, 4, 1, 24, 0, 0, 0, 0, 0, 0)
+           + bytes(16) + bytes(8))  # 2x2 black + AND mask
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 22)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
+        png = encode_png(8, 4, pattern, color_type=2,
+                         row_filters=[0, 1, 2, 3])
+        rows.append((i, bytearray(build_ico([(2, 2, dib), (8, 4, png)]))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return M.decode_media(media).orderBy("media_id")
+
+
 # the 89-entry IMA step table + 16-entry index table as SQL array
 # literals (public: IMA RP / RFC 3551 §4.5.1) — the oracle replays the
 # ADPCM recursion itself in a recursive CTE, fully independent of the

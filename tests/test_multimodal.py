@@ -2727,3 +2727,45 @@ def test_id3_extract_spark(spark):
     got = id3_extract(df).orderBy("media_id").collect()
     assert got[0].title == "Hello" and got[0].version == "2.4"
     assert got[1].title is None and got[1].version is None
+
+
+def test_ico_decode_both_entry_kinds():
+    """ICO entries decode whether they embed a PNG (modern) or a
+    headerless doubled-height DIB (classic, AND mask dropped); the
+    largest entry wins."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dolphinbeat_spark.operators.multimodal import decode_ico, encode_png
+
+    def build_ico(entries):
+        out = bytearray(b"\x00\x00\x01\x00"
+                        + struct.pack("<H", len(entries)))
+        off = 6 + 16 * len(entries)
+        for w, h, blob in entries:
+            out += bytes([w % 256, h % 256, 0, 0])
+            out += struct.pack("<HHII", 1, 32, len(blob), off)
+            off += len(blob)
+        for _, _, blob in entries:
+            out += blob
+        return bytes(out)
+
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+    png = encode_png(32, 32, img.tobytes(), color_type=2)
+    dibpx = rng.randint(0, 256, (2, 4, 3), dtype=np.uint8)
+    stride = (4 * 3 + 3) // 4 * 4
+    body = b"".join(dibpx[y][:, ::-1].tobytes() + bytes(stride - 12)
+                    for y in (1, 0))
+    dib = struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 24, 0, 0, 0, 0, 0, 0) \
+        + body + bytes(8)  # AND mask rows
+    w, h, px = decode_ico(build_ico([(4, 2, dib), (32, 32, png)]))
+    assert (w, h) == (32, 32) and np.array_equal(px, img)
+    w, h, px = decode_ico(build_ico([(4, 2, dib)]))
+    assert (w, h) == (4, 2) and np.array_equal(px, dibpx)
+    with pytest.raises(ValueError, match="not an ICO"):
+        decode_ico(b"\x00\x00\x02\x00")
+    with pytest.raises(ValueError, match="overruns"):
+        decode_ico(build_ico([(4, 2, dib)])[:-5])
