@@ -2769,3 +2769,80 @@ def test_ico_decode_both_entry_kinds():
         decode_ico(b"\x00\x00\x02\x00")
     with pytest.raises(ValueError, match="overruns"):
         decode_ico(build_ico([(4, 2, dib)])[:-5])
+
+
+def test_fuzz_all_new_decoders_raise_typed_errors_only():
+    """Hostile-bytes property for every round-9 decoder/demuxer: a
+    random byte-flipped stream either decodes or raises the typed
+    family (ValueError subclasses / NotImplementedError) — never a
+    foreign IndexError/KeyError/struct.error that would kill an
+    executor mid-batch at 100 TB."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.flac import decode_flac, encode_flac
+    from dolphinbeat_spark.operators.h264_demux import (
+        build_annexb, build_sps, ebsp_to_rbsp, parse_sps, split_annexb,
+    )
+    from dolphinbeat_spark.operators.id3 import encode_id3, parse_id3
+    from dolphinbeat_spark.operators.mkv_demux import encode_mkv, parse_mkv
+    from dolphinbeat_spark.operators.mp3_demux import (
+        encode_mp3_frames, parse_mp3,
+    )
+    from dolphinbeat_spark.operators.ogg_demux import encode_ogg, parse_ogg
+    from dolphinbeat_spark.operators.tiff import decode_tiff, encode_tiff
+    from dolphinbeat_spark.operators.webp import (
+        decode_webp, encode_webp_lossless,
+    )
+    from dolphinbeat_spark.sources.archives import (
+        encode_tar, encode_zip, iter_tar_members, iter_zip_members,
+    )
+    from dolphinbeat_spark.sources.warc import encode_warc, iter_warc_records
+
+    rng = np.random.RandomState(0)
+    t = np.arange(400)
+    s = (900 * np.sin(t / 9)).astype(np.int64)[:, None]
+    img = np.arange(5 * 7 * 4, dtype=np.uint8).reshape(5, 7, 4)
+
+    def h264(b):
+        for off, sz in split_annexb(b):
+            if b[off] & 0x1F == 7:
+                parse_sps(ebsp_to_rbsp(b[off:off + sz]))
+
+    cases = [
+        ("flac", encode_flac(s, 8000, block_size=192), decode_flac),
+        ("mkv", encode_mkv([{"track_id": 1, "handler": "vide",
+                             "codec": "V_VP9",
+                             "samples": [bytes([i]) * 9 for i in range(5)],
+                             "deltas": [40] * 5}]), parse_mkv),
+        ("ogg", encode_ogg([{"serial": 5,
+                             "packets": [b"abc" * 9, b"de" * 40]}]),
+         parse_ogg),
+        ("mp3", encode_mp3_frames(2, b"xyz"), parse_mp3),
+        ("tiff", encode_tiff(9, 6, bytes(range(162)), spp=3,
+                             compression=5, predictor=2), decode_tiff),
+        ("webp", encode_webp_lossless(img, use_cache_bits=3, lz77_min=4),
+         decode_webp),
+        ("zip", encode_zip([("a", b"hello" * 8)]),
+         lambda b: list(iter_zip_members(b))),
+        ("tar", encode_tar([("a", b"hello" * 8)], gzip_wrap=True),
+         lambda b: list(iter_tar_members(b))),
+        ("warc", encode_warc([{"type": "response", "record_id": "<r>",
+                               "content": b"x" * 40,
+                               "http": {"status": 200}}],
+                             gzip_members=True),
+         lambda b: list(iter_warc_records(b))),
+        ("h264", build_annexb([(7, 3, build_sps(4, 3)),
+                               (5, 3, b"idr" * 7)]), h264),
+        ("id3", encode_id3({"TIT2": "t", "TPE1": "p"}, comment="c"),
+         parse_id3),
+    ]
+    for name, good, decode in cases:
+        for _ in range(120):
+            mut = bytearray(good)
+            for _ in range(int(rng.randint(1, 4))):
+                mut[int(rng.randint(0, len(mut)))] ^= int(rng.randint(1, 256))
+            try:
+                decode(bytes(mut))
+            except (ValueError, NotImplementedError):
+                pass  # the typed family — what executors can catch
+            # anything else propagates and fails the test, by name
