@@ -106,15 +106,22 @@ def _walk_jpeg_app1(data: bytes) -> bytes | None:
     if data[:2] != b"\xff\xd8":
         raise ExifError("not a JPEG payload")
     pos = 2
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ExifError(f"JPEG marker walk lost sync at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 2 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            break
         marker = data[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
         if marker in (0xDA, 0xD9):  # scan / EOI: no EXIF past here
             return None
+        if pos + 4 > len(data):
+            raise ExifError("truncated segment header")
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         if marker == 0xE1 and data[pos + 4:pos + 10] == b"Exif\x00\x00":
             return data[pos + 10:pos + 2 + seglen]
@@ -208,6 +215,14 @@ def strip_metadata(data: bytes) -> bytes:
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ExifError(f"JPEG marker walk lost sync at {pos}")
+        # T.81 B.1.1.2 fill bytes: 0xFF padding before the marker byte
+        # is legal; the marker is the first non-0xFF. The padding is
+        # dropped from the output (it carries nothing), which keeps the
+        # functional segments and entropy stream byte-identical.
+        while pos + 2 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            break
         marker = data[pos + 1]
         if marker == 0xD9 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
             out += data[pos:pos + 2]
@@ -216,6 +231,8 @@ def strip_metadata(data: bytes) -> bytes:
         if marker == 0xDA:
             out += data[pos:]  # scan header + entropy data to EOI
             break
+        if pos + 4 > len(data):
+            raise ExifError("truncated segment header")
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         if not (0xE0 <= marker <= 0xEF or marker == 0xFE):
             out += data[pos:pos + 2 + seglen]

@@ -670,8 +670,9 @@ def _execute(literals: bytes, seqs, out: bytearray, st: _FrameState,
     for ll, ml, offset_value in seqs:
         if len(out) + ll + ml > cap:
             raise ZstdError(
-                f"decompressed output exceeds cap {cap} mid-block "
-                "(declared size lied or no cap given)"
+                f"decompressed output exceeds cap {cap} mid-block — "
+                "either a hostile frame or a payload larger than the "
+                "default MAX_WINDOW cap (pass max_output= to raise it)"
             )
         if lit_pos + ll > len(literals):
             raise ZstdError("sequence literal length exceeds literals")
@@ -731,7 +732,13 @@ def decode_zstd(data: bytes, max_output: int | None = None) -> bytes:
     skipped). ``max_output`` caps the decompressed size — callers that
     know the declared uncompressed size (the binlog
     TRANSACTION_PAYLOAD carries it) should pass it so a hostile frame
-    cannot balloon executor memory."""
+    cannot balloon executor memory.
+
+    When ``max_output`` is None, a DEFAULT cap of ``MAX_WINDOW``
+    (128 MiB) applies to the total decompressed output: valid payloads
+    larger than that fail with a "default output cap" error naming
+    this parameter, not a message blaming the input. Pass an explicit
+    ``max_output`` to decode larger payloads."""
     out_all = bytearray()
     pos = 0
     n = len(data)
@@ -797,6 +804,7 @@ def decode_zstd(data: bytes, max_output: int | None = None) -> bytes:
             raise ZstdError(
                 f"window size {window_size} exceeds the {MAX_WINDOW} guard"
             )
+        cap_is_default = max_output is None
         cap = max_output if max_output is not None else MAX_WINDOW
         st = _FrameState()
         frame_out = bytearray()
@@ -829,9 +837,15 @@ def decode_zstd(data: bytes, max_output: int | None = None) -> bytes:
             else:
                 raise ZstdError("reserved block type 3")
             if len(frame_out) + len(out_all) > cap:
+                if cap_is_default:
+                    raise ZstdError(
+                        f"decompressed output exceeds the default "
+                        f"{cap}-byte cap (MAX_WINDOW) — pass "
+                        "max_output= to decode_zstd for larger payloads"
+                    )
                 raise ZstdError(
-                    f"decompressed output exceeds cap {cap} "
-                    "(declared size lied or no cap given)"
+                    f"decompressed output exceeds max_output={cap} "
+                    "(declared size lied)"
                 )
             if last:
                 break

@@ -71,14 +71,24 @@ def _assert_full_images(winners: DataFrame, value_cols: list[str]) -> None:
     omits a declared value column. One bounded job over the batch's
     winners (limit-1 probe, no full materialization)."""
     probe = winners.filter(F.col("op_type") != "delete")
+    # A NULL after map on a non-delete winner must fail the gate too:
+    # map_contains_key(NULL, c) is NULL, ~NULL is NULL, and the filter
+    # lambda would drop every column — coalesce to an empty map so all
+    # declared columns report missing instead of none.
+    after_map = F.coalesce(
+        F.col("after"), F.from_json(F.lit("{}"), "map<string,string>")
+    )
     missing = F.array_sort(
         F.filter(
             F.array(*[F.lit(c) for c in value_cols]),
-            lambda c: ~F.map_contains_key(F.col("after"), c),
+            lambda c: ~F.map_contains_key(after_map, c),
         )
     )
     bad = (
-        probe.select(missing.alias("__missing"), F.map_keys("after").alias("__have"))
+        probe.select(
+            missing.alias("__missing"),
+            F.map_keys(after_map).alias("__have"),
+        )
         .filter(F.size("__missing") > 0)
         .limit(1)
         .collect()

@@ -547,6 +547,21 @@ def test_full_mode_guard_raises_on_partial_after_image(spark, tmp_path):
         apply_batch(spark, batch, str(tmp_path / "s"), ["id"], ["name", "bal"])
 
 
+def test_full_mode_guard_raises_on_null_after_map(spark, tmp_path):
+    """An upsert winner whose entire after map is NULL must fail the
+    FULL-mode gate (map_contains_key(NULL, c) is NULL, which the
+    filter lambda would silently drop — every value column would be
+    written as NULL), not slip through."""
+    from dolphinbeat_spark.sinks.apply_changes import PartialRowImageError
+    import pytest
+
+    batch = _mdf(spark, [
+        ("insert", "b.000001", 1, None, None, None, None),
+    ])
+    with pytest.raises(PartialRowImageError, match="name"):
+        apply_batch(spark, batch, str(tmp_path / "s"), ["id"], ["name", "bal"])
+
+
 def test_full_mode_guard_accepts_present_and_null(spark, tmp_path):
     # NULL stays IN the map ("" + null flag) — distinct from absent;
     # the guard must not confuse the two

@@ -1890,6 +1890,38 @@ def test_exif_typed_errors_and_robustness():
     assert "gps_lat" not in m and m["gps_lon"] == 2.0
 
 
+def test_exif_fill_bytes_and_truncated_header():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker: both marker walks must skip them (a real camera JPEG with
+    padding previously mis-read a bogus seglen), and a JPEG truncated
+    mid-segment-header must raise the typed ExifError, not a raw
+    struct.error."""
+    import numpy as np
+    import pytest
+
+    from dolphinbeat_spark.operators.exif import (
+        ExifError, encode_exif_app1, parse_exif, strip_metadata,
+    )
+    from dolphinbeat_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    jpg = encode_jpeg(16, 8, bytes([90]) * 128, gray=True)
+    want_px = decode_jpeg(jpg)[2]
+    app1 = encode_exif_app1(make="PadCam", orientation=3)
+    # fill bytes before the APP1 marker AND before the next segment
+    padded = jpg[:2] + b"\xff\xff\xff" + app1 + b"\xff" + jpg[2:]
+    m = parse_exif(padded)
+    assert m["make"] == "PadCam" and m["orientation"] == 3
+    clean = strip_metadata(padded)
+    assert parse_exif(clean) == {}
+    assert np.array_equal(decode_jpeg(clean)[2], want_px)
+    # truncated mid-header: typed error from both walks
+    trunc = jpg[:2] + b"\xff\xe1\x00"
+    with pytest.raises(ExifError, match="truncated segment header"):
+        parse_exif(trunc)
+    with pytest.raises(ExifError, match="truncated segment header"):
+        strip_metadata(trunc)
+
+
 # --- WARC (sources/warc.py) ---------------------------------------------------
 
 

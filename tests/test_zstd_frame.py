@@ -211,8 +211,30 @@ def test_malformed_and_hostile_payloads():
     # output cap: a frame that inflates past max_output must raise,
     # not allocate
     big = encode_zstd_store(b"A" * 10_000)
-    with pytest.raises(ZstdError, match="cap"):
+    with pytest.raises(ZstdError, match="max_output=100"):
         decode_zstd(big, max_output=100)
+
+
+def test_default_cap_names_itself_and_is_raisable():
+    """With max_output=None a DEFAULT 128 MiB cap applies; a perfectly
+    valid payload above it must fail with an error naming the default
+    cap and the max_output= escape hatch (not a message blaming the
+    input), and passing an explicit max_output must decode it."""
+    from dolphinbeat_spark.operators.zstd_frame import MAX_WINDOW
+
+    # non-single-segment frame, tiny window descriptor, no FCS; body =
+    # RLE blocks of 1 MiB each until just past MAX_WINDOW
+    n_blocks = MAX_WINDOW // (1 << 20) + 1
+    parts = [struct.pack("<IBB", 0xFD2FB528, 0, 0)]
+    for i in range(n_blocks):
+        last = 1 if i == n_blocks - 1 else 0
+        bh = last | (1 << 1) | ((1 << 20) << 3)
+        parts.append(bh.to_bytes(3, "little") + b"Z")
+    frame = b"".join(parts)
+    with pytest.raises(ZstdError, match="default.*max_output"):
+        decode_zstd(frame)
+    got = decode_zstd(frame, max_output=MAX_WINDOW + (1 << 20))
+    assert len(got) == n_blocks * (1 << 20) and set(got) == {ord("Z")}
 
 
 def test_hostile_window_guard():
