@@ -1216,7 +1216,8 @@ SELECT media_id, CAST(record_idx AS BIGINT) AS record_idx,
            AS content_type,
        CAST(sz AS BIGINT) AS body_len,
        md5(substr(pattern, start, sz)) AS body_md5,
-       substr(pattern, start, sz) AS body_text
+       substr(pattern, start, sz) AS body_text,
+       'utf-8' AS charset
 FROM p CROSS JOIN s
 UNION ALL
 SELECT media_id, 0, 'warcinfo',
@@ -1224,7 +1225,8 @@ SELECT media_id, 0, 'warcinfo',
        printf('2024-01-%02dT00:00:00Z', 1 + i % 28), NULL,
        'application/warc-fields', 23,
        md5('software: dolphinbeat' || chr(13) || chr(10)),
-       'software: dolphinbeat' || chr(13) || chr(10)
+       'software: dolphinbeat' || chr(13) || chr(10),
+       'utf-8' AS charset
 FROM p
 ORDER BY media_id, record_idx
 """,
@@ -1267,6 +1269,62 @@ def warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     media = spark.createDataFrame(rows, "media_id long, payload binary")
     return read_warc(media).orderBy("media_id", "record_idx")
+
+
+@register(
+    "warc_charset_decode",
+    # payload = the COMMITTED fixture tests/fixtures/charset.warc
+    # (tools/make_charset_fixture.py): five HTTP responses covering
+    # every rung of the WHATWG charset precedence — cp1252 labeled
+    # iso-8859-1 (the € / — bytes are cp1252-only), Shift_JIS found
+    # only by <meta charset> prescan, a UTF-8 BOM beating a LYING
+    # iso-8859-1 header, undeclared cp1252 via the windows-1252
+    # fallback, and GBK under its gb2312 superset label. The oracle
+    # pins the decoded text verbatim: before charset handling every
+    # non-ASCII char here came back U+FFFD.
+    oracle="""
+SELECT *
+FROM (VALUES
+  (0::BIGINT, 0::BIGINT, 200::BIGINT, 'text/html; charset=iso-8859-1',
+   'Café naïve — résumé €9', 'windows-1252'),
+  (0::BIGINT, 1::BIGINT, 200::BIGINT, 'text/html',
+   '<html><head><meta charset="shift_jis"></head><body><p>こんにちは世界。日本語のページ。</p></body></html>',
+   'shift_jis'),
+  (0::BIGINT, 2::BIGINT, 200::BIGINT, 'text/html; charset=iso-8859-1',
+   'BOM wins: héllo résumé', 'utf-8'),
+  (0::BIGINT, 3::BIGINT, 200::BIGINT, 'text/html',
+   'déjà vu, 10€ œuvre', 'windows-1252'),
+  (0::BIGINT, 4::BIGINT, 200::BIGINT, 'text/html; charset=gb2312',
+   '<html><body><p>你好，世界。中文页面。</p></body></html>', 'gbk')
+) AS t(media_id, record_idx, http_status, content_type, body_text, charset)
+ORDER BY record_idx
+""",
+    tags=("text", "ingest", "warc", "charset"),
+)
+def warc_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-aware WARC body decode under the oracle gate
+    (sources/charset.py): BOM → transport ``charset=`` param → meta
+    prescan → strict UTF-8 → windows-1252 fallback, with WHATWG label
+    normalization (latin-1→cp1252, shift_jis→cp932, gb2312→gbk).
+    Reads the committed legacy-encoding fixture — independent of
+    sf_dir, like the cdc_binlog_* replay specs."""
+    from pathlib import Path
+
+    from dolphinbeat_spark.sources.warc import read_warc
+
+    raw = (
+        Path(__file__).resolve().parents[2]
+        / "tests" / "fixtures" / "charset.warc"
+    ).read_bytes()
+    media = spark.createDataFrame(
+        [(0, bytearray(raw))], "media_id long, payload binary"
+    )
+    return (
+        read_warc(media)
+        .select("media_id", "record_idx", "http_status", "content_type",
+                "body_text", "charset")
+        .orderBy("record_idx")
+    )
 
 
 @register(

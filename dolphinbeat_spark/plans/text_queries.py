@@ -345,6 +345,190 @@ def pipeline_training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "text_html_extract",
+    # each document is wrapped in a REAL HTML page (built JVM-side by
+    # concat — comment, head/title with entities, style + script with
+    # embedded fake tags, heading, two <p> blocks, a nav div with two
+    # anchors incl. a '>' inside a quoted href, a noscript subtree);
+    # operators/html.py extracts title/visible text/link signals and
+    # the oracle reconstructs all of them in closed form. Template
+    # constants: 2 links, 'nav one'+'nav two' = 14 anchor chars.
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS body
+  FROM documents
+), e AS (
+  SELECT doc_id,
+         'Doc ' || i || ' & Co' AS title,
+         'Doc ' || i || chr(10) || body || chr(10) ||
+         'tail <' || i || '>!' || chr(10) || 'nav one | nav two' AS text
+  FROM t
+)
+SELECT doc_id, title, text,
+       2::BIGINT AS n_links,
+       14::BIGINT AS link_text_chars,
+       CAST(length(text) AS BIGINT) AS text_chars,
+       CAST(14 AS DOUBLE) / length(text) AS link_density
+FROM e
+ORDER BY doc_id
+""",
+    tags=("text", "html", "ingest"),
+    bench=True,
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction under the oracle gate — the operator that
+    turns raw web pages into pipeline-ready text
+    (operators/html.py::html_extract, Arrow mapInPandas, map-only):
+    comments/doctype dropped, script/style raw-text skipped (embedded
+    '<p>' strings never leak), head invisible except the RCDATA title,
+    entity decode, block-element newline rules, whitespace collapse,
+    and the anchor-density boilerplate signals. The page template is
+    built JVM-side around each document's text; the oracle replays
+    every output column in closed form."""
+    from dolphinbeat_spark.operators.html import html_extract
+
+    d = load(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("<!DOCTYPE html><!-- hidden "), i,
+        F.lit(' --><html><head><meta charset="utf-8"><title>Doc '), i,
+        F.lit(" &amp; Co</title><style>p{color:red}</style>"
+              '<script>var s="<p>leak</p>";</script></head><body><h1>Doc '),
+        i,
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><p>tail &lt;"), i,
+        F.lit('&gt;&#33;</p><div><a href="/p?a>b">nav one</a> | '
+              "<a href='/q'>nav two</a></div>"
+              "<noscript>js off</noscript></body></html>"),
+    )
+    pages = d.select("doc_id", page.alias("html"))
+    return html_extract(pages).orderBy("doc_id")
+
+
+@register(
+    "pipeline_warc_html_quality",
+    # the end-to-end raw-web-corpus path: WARC file (one per doc,
+    # bounded subset) -> HTTP envelope split -> status/content-type
+    # gates -> HTML->text extraction -> token/stopword/lang-ID/link-
+    # density quality gates. Record layout per doc: [0] text/html 200
+    # (the page), [1] text/plain 200 (content-type-gated out),
+    # [2] text/html 404 (status-gated out). The oracle rebuilds the
+    # extracted text in closed form and replays every gate.
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS body
+  FROM documents WHERE doc_id % 20 = 3
+), e AS (
+  SELECT doc_id,
+         'Doc ' || i || ' & Co' AS title,
+         'Doc ' || i || chr(10) || body || chr(10) ||
+         'tail <' || i || '>!' || chr(10) || 'nav one | nav two' AS text
+  FROM t
+), s AS (
+  SELECT doc_id, title, text,
+         {", ".join(f'{expr} AS score_{lang}' for lang, expr in sorted(_LANG_SCORE_SQL.items()))}
+  FROM e
+), g AS (
+  SELECT doc_id, title,
+         len({_TOKENS_SQL}) AS n_tokens,
+         len(list_filter({_TOKENS_SQL}, x -> x IN ({_STOP_SQL}))) AS n_stop,
+         CAST(14 AS DOUBLE) / length(text) AS link_density,
+         {_lang_case_sql()} AS pred_lang
+  FROM s
+)
+SELECT doc_id, title, n_tokens, n_stop, pred_lang, link_density,
+       CASE WHEN n_tokens >= 20
+             AND CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.6
+             AND pred_lang = 'en'
+             AND link_density <= 0.5
+            THEN 1 ELSE 0 END AS kept
+FROM g
+ORDER BY doc_id
+""",
+    tags=("text", "html", "pipeline", "warc", "quality", "langid"),
+)
+def pipeline_warc_html_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite raw-web path a 100 TB training pipeline runs on
+    every crawled page: WARC ingest (sources/warc.py) → HTTP
+    status/content-type gates (Catalyst filters) → HTML→text
+    extraction (operators/html.py) → quality gates (token count,
+    stopword band, lang-ID argmax, link density — all pure Catalyst
+    over the extracted text). The WARC payloads are built driver-side
+    over a bounded doc subset (encode-side fixture glue, as in
+    warc_records — the operator chain under test runs distributed);
+    at scale the payload column is the raw crawl bytes."""
+    from dolphinbeat_spark.operators.html import html_extract
+    from dolphinbeat_spark.sources.warc import encode_warc, read_warc
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 3)
+    docs = [(r["doc_id"], r["text"]) for r in
+            d.select("doc_id", "text").collect()]
+    rows = []
+    for did, text in sorted(docs):
+        i = str(did)
+        page = (
+            f"<!DOCTYPE html><!-- hidden {i} --><html><head>"
+            f'<meta charset="utf-8"><title>Doc {i} &amp; Co</title>'
+            "<style>p{color:red}</style>"
+            '<script>var s="<p>leak</p>";</script></head>'
+            f"<body><h1>Doc {i}</h1><p>{text}</p>"
+            f"<p>tail &lt;{i}&gt;&#33;</p>"
+            '<div><a href="/p?a>b">nav one</a> | '
+            "<a href='/q'>nav two</a></div>"
+            "<noscript>js off</noscript></body></html>"
+        )
+        date = "2024-03-01T00:00:00Z"
+        recs = [
+            {"type": "response", "record_id": f"<urn:uuid:{i}-h>",
+             "target_uri": f"http://ex.com/{i}", "date": date,
+             "content": page.encode(),
+             "http": {"status": 200, "content_type": "text/html"}},
+            {"type": "response", "record_id": f"<urn:uuid:{i}-t>",
+             "target_uri": f"http://ex.com/{i}/robots.txt", "date": date,
+             "content": b"User-agent: *\r\n",
+             "http": {"status": 200, "content_type": "text/plain"}},
+            {"type": "response", "record_id": f"<urn:uuid:{i}-x>",
+             "target_uri": f"http://ex.com/{i}/gone", "date": date,
+             "content": b"<html><body>404</body></html>",
+             "http": {"status": 404, "content_type": "text/html"}},
+        ]
+        rows.append((did, bytearray(encode_warc(recs,
+                                                gzip_members=bool(did % 2)))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    pages = (
+        read_warc(media)
+        .filter((F.col("http_status") == 200)
+                & F.col("content_type").startswith("text/html"))
+        .select("media_id", "body_text")
+    )
+    ext = html_extract(pages, id_col="media_id", html_col="body_text")
+    toks = ext.select(
+        "doc_id", "title", "link_density",
+        T.tokens("text").alias("__toks"), F.col("text").alias("__text"),
+    )
+    n_tokens = F.size("__toks").cast("bigint")
+    stop_arr = F.array(*[F.lit(s) for s in T.STOPWORDS])
+    n_stop = F.size(
+        F.filter("__toks", lambda t: F.array_contains(stop_arr, t))
+    ).cast("bigint")
+    ratio = n_stop.cast("double") / n_tokens
+    kept = F.when(
+        (n_tokens >= 20) & (ratio >= 0.01) & (ratio <= 0.6)
+        & (T.lang_predict(F.col("__text")) == "en")
+        & (F.col("link_density") <= 0.5),
+        1,
+    ).otherwise(0)
+    return toks.select(
+        "doc_id", "title",
+        n_tokens.alias("n_tokens"), n_stop.alias("n_stop"),
+        T.lang_predict(F.col("__text")).alias("pred_lang"),
+        "link_density", kept.alias("kept"),
+    ).orderBy("doc_id")
+
+
+@register(
     "text_chunking",
     oracle=rf"""
 WITH t AS (

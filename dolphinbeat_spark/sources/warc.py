@@ -148,6 +148,7 @@ WARC_SCHEMA = StructType(
         StructField("body_len", LongType()),
         StructField("body_md5", StringType()),
         StructField("body_text", StringType()),
+        StructField("charset", StringType()),
     ]
 )
 
@@ -157,7 +158,14 @@ def read_warc(df: DataFrame, text_limit: int = 1 << 20) -> DataFrame:
     ``application/http`` payloads the HTTP envelope is split off:
     http_status/content_type come from it and body stats cover the
     entity body; other payloads pass through whole. body_text is the
-    UTF-8 (errors-replaced) rendering capped at ``text_limit``."""
+    charset-aware rendering capped at ``text_limit`` characters:
+    sources/charset.py applies the WHATWG precedence (BOM → transport
+    ``charset=`` param → ``<meta charset>`` prescan → strict UTF-8 →
+    windows-1252 fallback), and the ``charset`` column reports the
+    encoding actually used — legacy-encoded pages (latin-1-labeled
+    cp1252, Shift_JIS, GBK, …) round-trip exactly instead of turning
+    into U+FFFD soup that poisons downstream dedup hashes."""
+    from dolphinbeat_spark.sources.charset import detect_and_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -172,12 +180,13 @@ def read_warc(df: DataFrame, text_limit: int = 1 << 20) -> DataFrame:
                     if ctype and ctype.split(";")[0].strip() \
                             == "application/http":
                         status, ctype, body = _split_http(content)
+                    text, charset = detect_and_decode(body, ctype)
                     rows.append((
                         mid, i, h.get("warc-type"), h.get("warc-record-id"),
                         h.get("warc-target-uri"), h.get("warc-date"),
                         status, ctype, len(body),
                         hashlib.md5(body).hexdigest(),
-                        body[:text_limit].decode("utf-8", "replace"),
+                        text[:text_limit], charset,
                     ))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in WARC_SCHEMA.fields]
