@@ -1381,6 +1381,57 @@ def mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "archive_zip64_members",
+    # payload = the COMMITTED forced-Zip64 fixture
+    # tests/fixtures/zip64.zip (tools/make_zip64_fixture.py —
+    # stdlib-zipfile-verified at generation): maxed 32-bit central-
+    # directory fields resolved via 0x0001 extras, EOCD64 record +
+    # locator. Non-ASCII member bytes are pinned by md5 (hex-digest
+    # contract), names/sizes verbatim. Pre-fix the reader raised
+    # 'Zip64 not supported' on exactly these bundles.
+    oracle="""
+SELECT *
+FROM (VALUES
+  (0::BIGINT, 0::BIGINT, 'docs/readme.txt', 25::BIGINT,
+   'f4b7b8590d812753e5347186b565c6aa'),
+  (0::BIGINT, 1::BIGINT, 'data/shard-00.jsonl', 102::BIGINT,
+   'db4f726720166aa049fb96e44aa296d7'),
+  (0::BIGINT, 2::BIGINT, 'data/shard-01.jsonl', 108::BIGINT,
+   'ffb0459e60b1047b00c3dca7df6f5349'),
+  (0::BIGINT, 3::BIGINT, 'bin/pattern.bin', 256::BIGINT,
+   'e2c865db4162bed963bfaa9ef6ac18f0'),
+  (0::BIGINT, 4::BIGINT, 'empty.txt', 0::BIGINT,
+   'd41d8cd98f00b204e9800998ecf8427e')
+) AS t(media_id, member_idx, name, size, member_md5)
+ORDER BY member_idx
+""",
+    tags=("text", "ingest", "archive", "zip64"),
+)
+def archive_zip64_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zip64 member enumeration under the oracle gate
+    (sources/archives.py): EOCD64 locator/record walk + 0x0001
+    extended-information extras, CRC-verified extraction — the
+    archive shape every >4 GiB training-data bundle has. Reads the
+    committed fixture, independent of sf_dir."""
+    from pathlib import Path
+
+    from dolphinbeat_spark.sources.archives import read_archive
+
+    raw = (
+        Path(__file__).resolve().parents[2]
+        / "tests" / "fixtures" / "zip64.zip"
+    ).read_bytes()
+    media = spark.createDataFrame(
+        [(0, bytearray(raw))], "media_id long, payload binary"
+    )
+    return (
+        read_archive(media)
+        .select("media_id", "member_idx", "name", "size", "member_md5")
+        .orderBy("member_idx")
+    )
+
+
+@register(
     "archive_members",
     # payload = a REAL archive per doc: ZIP for even doc_ids (stored
     # when doc_id % 4 == 0, deflated otherwise — both CRC-verified on

@@ -11,8 +11,10 @@ ZIP: end-of-central-directory locate (back-scan tolerating a trailing
 comment), central-directory walk (names, method, CRC-32, sizes,
 local-header offsets), local-header re-parse for the actual data
 start, STORED and DEFLATE members (stdlib zlib, raw window), CRC-32
-verification of every extracted member. Zip64 and encrypted members
-raise by name.
+verification of every extracted member, and Zip64 (EOCD64 locator +
+record, 0x0001 extended-information extras — bundles over 4 GiB or
+65 535 members are routine at 100 TB scale). Encrypted members raise
+by name.
 
 TAR: 512-byte ustar headers (octal sizes, checksum verification over
 the space-filled checksum field, name+prefix joining, type flags),
@@ -44,9 +46,50 @@ class ArchiveError(ValueError):
     """Typed archive format error."""
 
 
+def _zip64_extra(extra: bytes, usize: int, csize: int, lho: int,
+                 name: str) -> tuple[int, int, int]:
+    """Resolve 0xFFFFFFFF-maxed central-directory fields from the
+    Zip64 extended-information extra field (APPNOTE 4.5.3, header ID
+    0x0001): 8-byte values appear in the fixed order usize, csize,
+    lho, disk — but ONLY for the fields that were maxed."""
+    p = 0
+    while p + 4 <= len(extra):
+        (hid, hsz) = struct.unpack_from("<HH", extra, p)
+        body = extra[p + 4:p + 4 + hsz]
+        p += 4 + hsz
+        if hid != 0x0001:
+            continue
+        q = 0
+        if usize == 0xFFFFFFFF:
+            if q + 8 > len(body):
+                raise ArchiveError(f"member {name!r}: Zip64 extra truncated")
+            (usize,) = struct.unpack_from("<Q", body, q)
+            q += 8
+        if csize == 0xFFFFFFFF:
+            if q + 8 > len(body):
+                raise ArchiveError(f"member {name!r}: Zip64 extra truncated")
+            (csize,) = struct.unpack_from("<Q", body, q)
+            q += 8
+        if lho == 0xFFFFFFFF:
+            if q + 8 > len(body):
+                raise ArchiveError(f"member {name!r}: Zip64 extra truncated")
+            (lho,) = struct.unpack_from("<Q", body, q)
+            q += 8
+        return usize, csize, lho
+    if 0xFFFFFFFF in (usize, csize, lho):
+        raise ArchiveError(
+            f"member {name!r}: maxed central-directory field without a "
+            "Zip64 extended-information extra"
+        )
+    return usize, csize, lho
+
+
 def iter_zip_members(data: bytes):
     """Yield (name, content) per ZIP member via the central
-    directory; CRC-verified."""
+    directory; CRC-verified. Zip64 (APPNOTE 4.3.14/4.3.15: EOCD64
+    locator + record, 0x0001 extended-information extras) is handled
+    transparently — dataset bundles over 4 GiB or 65 535 members are
+    routine at 100 TB scale."""
     # EOCD: scan back over ≤64 KiB of trailing comment
     lo = max(0, len(data) - 65536 - 22)
     eocd = data.rfind(b"PK\x05\x06", lo)
@@ -55,10 +98,22 @@ def iter_zip_members(data: bytes):
     ndisk, cddisk, nhere, ntotal, cdsize, cdoff, clen = struct.unpack_from(
         "<HHHHIIH", data, eocd + 4
     )
+    # Zip64 EOCD locator sits immediately before the EOCD (4.3.15)
+    if eocd >= 20 and data[eocd - 20:eocd - 16] == b"PK\x06\x07":
+        locdisk, e64off, totdisks = struct.unpack_from(
+            "<IQI", data, eocd - 16
+        )
+        if e64off + 56 > len(data) or data[e64off:e64off + 4] != b"PK\x06\x06":
+            raise ArchiveError("Zip64 EOCD record missing at locator offset")
+        (ndisk, cddisk, nhere, ntotal, cdsize, cdoff) = struct.unpack_from(
+            "<IIQQQQ", data, e64off + 16
+        )
+    elif ntotal == 0xFFFF or cdoff == 0xFFFFFFFF or cdsize == 0xFFFFFFFF:
+        raise ArchiveError(
+            "EOCD fields are Zip64-maxed but no Zip64 EOCD locator found"
+        )
     if ndisk or cddisk:
         raise NotImplementedError("multi-disk ZIP not supported")
-    if ntotal == 0xFFFF or cdoff == 0xFFFFFFFF:
-        raise NotImplementedError("Zip64 not supported")
     pos = cdoff
     for _ in range(ntotal):
         if data[pos:pos + 4] != b"PK\x01\x02":
@@ -71,6 +126,9 @@ def iter_zip_members(data: bytes):
         flags = struct.unpack_from("<H", data, pos + 8)[0]
         (lho,) = struct.unpack_from("<I", data, pos + 42)
         name = data[pos + 46:pos + 46 + nlen].decode("utf-8", "replace")
+        if 0xFFFFFFFF in (usize, csize, lho):
+            extra = data[pos + 46 + nlen:pos + 46 + nlen + elen]
+            usize, csize, lho = _zip64_extra(extra, usize, csize, lho, name)
         pos += 46 + nlen + elen + klen
         if flags & 0x1:
             raise NotImplementedError(f"encrypted ZIP member {name!r}")
@@ -185,11 +243,17 @@ def read_archive(df: DataFrame, text_limit: int = 1 << 20) -> DataFrame:
 
 
 def encode_zip(members: list[tuple[str, bytes]],
-               deflate: bool = True) -> bytes:
-    """Format-faithful ZIP writer (fixture generator)."""
+               deflate: bool = True, zip64: bool = False) -> bytes:
+    """Format-faithful ZIP writer (fixture generator). ``zip64=True``
+    forces the full Zip64 layout regardless of actual sizes — maxed
+    32-bit fields with 0x0001 extended-information extras, a Zip64
+    EOCD record, and its locator (APPNOTE 4.3.14/4.3.15, 4.5.3) — the
+    shape a >4 GiB or >65 535-member bundle has in the wild, testable
+    without writing 4 GiB."""
     out = bytearray()
     central = bytearray()
     offsets = []
+    sizes = []
     for name, content in members:
         nb = name.encode()
         crc = zlib.crc32(content) & 0xFFFFFFFF
@@ -200,26 +264,55 @@ def encode_zip(members: list[tuple[str, bytes]],
         else:
             raw, method = content, 0
         offsets.append(len(out))
-        out += b"PK\x03\x04" + struct.pack(
-            "<HHHHHIIIHH", 20, 0, method, 0, 0, crc, len(raw),
-            len(content), len(nb), 0,
-        ) + nb + raw
-    for (name, content), off in zip(members, offsets):
+        sizes.append(len(raw))
+        if zip64:
+            extra = b"\x01\x00\x10\x00" + struct.pack(
+                "<QQ", len(content), len(raw)
+            )
+            out += b"PK\x03\x04" + struct.pack(
+                "<HHHHHIIIHH", 45, 0, method, 0, 0, crc,
+                0xFFFFFFFF, 0xFFFFFFFF, len(nb), len(extra),
+            ) + nb + extra + raw
+        else:
+            out += b"PK\x03\x04" + struct.pack(
+                "<HHHHHIIIHH", 20, 0, method, 0, 0, crc, len(raw),
+                len(content), len(nb), 0,
+            ) + nb + raw
+    for (name, content), off, csz in zip(members, offsets, sizes):
         nb = name.encode()
         crc = zlib.crc32(content) & 0xFFFFFFFF
         method = 8 if deflate else 0
-        # compressed size from the local record already written
-        (csz,) = struct.unpack_from("<I", out, off + 18)
-        central += b"PK\x01\x02" + struct.pack(
-            "<HHHHHHIIIHHHHHII", 20, 20, 0, method, 0, 0, crc, csz,
-            len(content), len(nb), 0, 0, 0, 0, 0, off,
-        ) + nb
+        if zip64:
+            extra = b"\x01\x00\x18\x00" + struct.pack(
+                "<QQQ", len(content), csz, off
+            )
+            central += b"PK\x01\x02" + struct.pack(
+                "<HHHHHHIIIHHHHHII", 45, 45, 0, method, 0, 0, crc,
+                0xFFFFFFFF, 0xFFFFFFFF, len(nb), len(extra), 0, 0, 0, 0,
+                0xFFFFFFFF,
+            ) + nb + extra
+        else:
+            central += b"PK\x01\x02" + struct.pack(
+                "<HHHHHHIIIHHHHHII", 20, 20, 0, method, 0, 0, crc, csz,
+                len(content), len(nb), 0, 0, 0, 0, 0, off,
+            ) + nb
     cd_off = len(out)
     out += central
-    out += b"PK\x05\x06" + struct.pack(
-        "<HHHHIIH", 0, 0, len(members), len(members), len(central),
-        cd_off, 0,
-    )
+    if zip64:
+        e64_off = len(out)
+        out += b"PK\x06\x06" + struct.pack(
+            "<QHHIIQQQQ", 44, 45, 45, 0, 0, len(members), len(members),
+            len(central), cd_off,
+        )
+        out += b"PK\x06\x07" + struct.pack("<IQI", 0, e64_off, 1)
+        out += b"PK\x05\x06" + struct.pack(
+            "<HHHHIIH", 0, 0, 0xFFFF, 0xFFFF, 0xFFFFFFFF, 0xFFFFFFFF, 0,
+        )
+    else:
+        out += b"PK\x05\x06" + struct.pack(
+            "<HHHHIIH", 0, 0, len(members), len(members), len(central),
+            cd_off, 0,
+        )
     return bytes(out)
 
 
