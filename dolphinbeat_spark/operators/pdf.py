@@ -1,0 +1,938 @@
+"""PDF text extraction from scratch — the ISO 32000-1 (PDF 1.7)
+subset a training-data pipeline needs, with no PDF libraries.
+
+PDF is a top-3 document format in web-scale corpora; a pipeline that
+cannot pull text out of one loses the whole document modality. This
+module implements the honest read-side subset per the PUBLIC spec:
+
+- COS object syntax (§7.3): numbers, booleans, null, literal strings
+  with all escapes + balanced parens, hex strings, names with ``#xx``
+  escapes, arrays, dictionaries, indirect references, comments;
+- classic cross-reference tables (§7.5.4) with subsections and /Prev
+  chains, AND cross-reference streams (§7.5.8: /W field widths,
+  /Index, type 0/1/2 entries) — including hybrid files via /XRefStm;
+- object streams (§7.5.7: /N, /First, offset pairs);
+- stream filters (§7.4): FlateDecode (stdlib zlib) with the PNG
+  predictors 10–15 of /DecodeParms (Sub/Up/Average/Paeth — xref
+  streams in the wild are almost always Up-predicted),
+  ASCIIHexDecode, ASCII85Decode, RunLengthDecode; LZWDecode,
+  DCTDecode, JPXDecode, CCITTFaxDecode raise by name;
+- the page tree (§7.7.3): /Pages recursion with /Resources
+  inheritance and cycle guards; per-page /Contents concatenation;
+- the text-showing subset of content streams (§9.4): BT/ET, Tj, TJ,
+  ' and ", with line assembly from Td/TD/T*/Tm — a TJ kerning
+  adjustment ≤ -180/1000 em emits a space (the standard
+  word-gap heuristic every extractor applies);
+- the standard-font assumption: show-string bytes decode as Latin-1
+  (the Standard-14 / simple-font case). A /Subtype /Type0 font in the
+  page resources raises by name — composite CMap text is a genuinely
+  different decoder;
+- /Encrypt in the trailer raises by name (§7.6 encryption);
+- document metadata: /Info Title/Author when present.
+
+Writer mirror ``encode_pdf`` generates format-faithful fixtures:
+classic-xref/plain, FlateDecode, and xref-stream + object-stream
+layouts (with a real Up predictor on the xref stream), so the reader
+is exercised on every structural variant it claims.
+
+Spark surface: ``pdf_extract`` — one page per row via Arrow
+``mapInPandas`` (map-only; at 100 TB each payload is one fetched PDF
+and the page relation feeds the text pipeline).
+
+Reference parity: the reference repo (CDC row mover) has no document
+modality; this extends the LLM-pipeline ingest layer per SURVEY §7.
+"""
+
+from __future__ import annotations
+
+import base64
+import re
+import zlib
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+class PdfError(ValueError):
+    """Typed PDF structure error."""
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Name(str):
+    """A PDF name (/Foo) — distinct from a decoded string."""
+
+    __slots__ = ()
+
+
+@dataclass(frozen=True)
+class _Ref:
+    num: int
+    gen: int
+
+
+# --- COS object parsing ------------------------------------------------------
+
+
+def _skip_ws(data: bytes, pos: int) -> int:
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c in _WS:
+            pos += 1
+        elif c == 0x25:  # % comment to EOL
+            while pos < n and data[pos] not in (0x0A, 0x0D):
+                pos += 1
+        else:
+            break
+    return pos
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_REF_RE = re.compile(rb"[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R(?![a-zA-Z0-9])")
+_KEYWORD_RE = re.compile(rb"[A-Za-z'\"*]+")
+
+
+def _parse_name(data: bytes, pos: int) -> tuple[_Name, int]:
+    # pos at '/'
+    pos += 1
+    out = bytearray()
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c in _WS or c in _DELIM:
+            break
+        if c == 0x23 and pos + 2 < n:  # #xx escape
+            try:
+                out.append(int(data[pos + 1:pos + 3], 16))
+                pos += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        pos += 1
+    return _Name(out.decode("latin-1")), pos
+
+
+def _parse_literal_string(data: bytes, pos: int) -> tuple[bytes, int]:
+    # pos at '('
+    pos += 1
+    out = bytearray()
+    depth = 1
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c == 0x5C:  # backslash
+            if pos + 1 >= n:
+                break
+            e = data[pos + 1]
+            if e in b"nrtbf()\\":
+                out += {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b",
+                        0x66: b"\f", 0x28: b"(", 0x29: b")",
+                        0x5C: b"\\"}[e]
+                pos += 2
+            elif 0x30 <= e <= 0x37:  # octal, 1-3 digits
+                j = pos + 1
+                oct_s = b""
+                while j < n and len(oct_s) < 3 and 0x30 <= data[j] <= 0x37:
+                    oct_s += data[j:j + 1]
+                    j += 1
+                out.append(int(oct_s, 8) & 0xFF)
+                pos = j
+            elif e in (0x0A, 0x0D):  # line continuation
+                pos += 2
+                if e == 0x0D and pos < n and data[pos] == 0x0A:
+                    pos += 1
+            else:  # lone backslash: dropped per spec
+                pos += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            pos += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), pos + 1
+            out.append(c)
+            pos += 1
+        else:
+            out.append(c)
+            pos += 1
+    raise PdfError("unterminated literal string")
+
+
+def _parse_hex_string(data: bytes, pos: int) -> tuple[bytes, int]:
+    # pos at '<' (single)
+    end = data.find(b">", pos + 1)
+    if end < 0:
+        raise PdfError("unterminated hex string")
+    hx = re.sub(rb"[\x00\t\n\x0c\r ]", b"", data[pos + 1:end])
+    if len(hx) % 2:
+        hx += b"0"  # odd final digit: implied 0 (§7.3.4.3)
+    try:
+        return bytes.fromhex(hx.decode("ascii")), end + 1
+    except (ValueError, UnicodeDecodeError) as ex:
+        raise PdfError(f"bad hex string: {ex}") from ex
+
+
+def _parse_object(data: bytes, pos: int):
+    """One COS object at ``pos`` -> (obj, new_pos). Collapses
+    ``n g R`` into :class:`_Ref`."""
+    pos = _skip_ws(data, pos)
+    n = len(data)
+    if pos >= n:
+        raise PdfError("unexpected end of data")
+    c = data[pos]
+    if c == 0x2F:  # /
+        return _parse_name(data, pos)
+    if c == 0x28:  # (
+        return _parse_literal_string(data, pos)
+    if c == 0x3C:  # < or <<
+        if data[pos:pos + 2] == b"<<":
+            d: dict = {}
+            pos += 2
+            while True:
+                pos = _skip_ws(data, pos)
+                if data[pos:pos + 2] == b">>":
+                    return d, pos + 2
+                if pos >= n:
+                    raise PdfError("unterminated dictionary")
+                key, pos = _parse_object(data, pos)
+                if not isinstance(key, _Name):
+                    raise PdfError(f"dictionary key is not a name: {key!r}")
+                val, pos = _parse_object(data, pos)
+                d[str(key)] = val
+        return _parse_hex_string(data, pos)
+    if c == 0x5B:  # [
+        arr: list = []
+        pos += 1
+        while True:
+            pos = _skip_ws(data, pos)
+            if pos >= n:
+                raise PdfError("unterminated array")
+            if data[pos] == 0x5D:
+                return arr, pos + 1
+            item, pos = _parse_object(data, pos)
+            arr.append(item)
+    m = _NUM_RE.match(data, pos)
+    if m:
+        tok = m.group(0)
+        pos2 = m.end()
+        if b"." not in tok:
+            rm = _REF_RE.match(data, pos2)
+            if rm:
+                return _Ref(int(tok), int(rm.group(1))), rm.end()
+            return int(tok), pos2
+        return float(tok), pos2
+    km = _KEYWORD_RE.match(data, pos)
+    if km:
+        kw = km.group(0)
+        if kw == b"true":
+            return True, km.end()
+        if kw == b"false":
+            return False, km.end()
+        if kw == b"null":
+            return None, km.end()
+        raise PdfError(f"unexpected keyword {kw[:16]!r} at {pos}")
+    raise PdfError(f"unparseable byte {data[pos:pos + 1]!r} at {pos}")
+
+
+# --- filters -----------------------------------------------------------------
+
+
+def _png_predictor(raw: bytes, columns: int, colors: int = 1,
+                   bpc: int = 8) -> bytes:
+    """PNG row predictors 10-15 (/Predictor >= 10): per-row filter
+    byte then Sub/Up/Average/Paeth reconstruction — identical to the
+    PNG spec the operators/multimodal.py decoder implements."""
+    bpp = max((colors * bpc + 7) // 8, 1)
+    stride = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytes(stride)
+    pos = 0
+    while pos < len(raw):
+        ftype = raw[pos]
+        row = bytearray(raw[pos + 1:pos + 1 + stride])
+        if len(row) < stride:
+            raise PdfError("predictor row truncated")
+        pos += 1 + stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                cc = prev[i - bpp] if i >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise PdfError(f"unknown predictor row filter {ftype}")
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+def _rle_decode(raw: bytes) -> bytes:
+    """RunLengthDecode (§7.4.5)."""
+    out = bytearray()
+    pos = 0
+    while pos < len(raw):
+        l = raw[pos]
+        if l == 128:
+            break
+        if l < 128:
+            out += raw[pos + 1:pos + 2 + l]
+            pos += 2 + l
+        else:
+            if pos + 1 >= len(raw):
+                raise PdfError("RunLength run truncated")
+            out += raw[pos + 1:pos + 2] * (257 - l)
+            pos += 2
+    return bytes(out)
+
+
+_UNSUPPORTED_FILTERS = frozenset((
+    "LZWDecode", "DCTDecode", "JPXDecode", "CCITTFaxDecode",
+    "JBIG2Decode", "Crypt",
+))
+
+
+def _apply_filters(raw: bytes, filt, parms) -> bytes:
+    if not isinstance(raw, (bytes, bytearray)):
+        raise PdfError("stream carries no data")
+    filters = [filt] if not isinstance(filt, list) else filt
+    parms_list = parms if isinstance(parms, list) else [parms]
+    for i, f in enumerate(filters):
+        if f is None:
+            continue
+        name = str(f)
+        p = parms_list[i] if i < len(parms_list) else None
+        p = p or {}
+        if name == "FlateDecode":
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as ex:
+                raise PdfError(f"FlateDecode failed: {ex}") from ex
+        elif name == "ASCIIHexDecode":
+            body = raw.split(b">")[0]
+            hx = re.sub(rb"[\x00\t\n\x0c\r ]", b"", body)
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                raw = bytes.fromhex(hx.decode("ascii"))
+            except (ValueError, UnicodeDecodeError) as ex:
+                raise PdfError(f"ASCIIHexDecode failed: {ex}") from ex
+        elif name == "ASCII85Decode":
+            body = raw.split(b"~>")[0]
+            body = re.sub(rb"[\x00\t\n\x0c\r ]", b"", body)
+            try:
+                raw = base64.a85decode(body)
+            except ValueError as ex:
+                raise PdfError(f"ASCII85Decode failed: {ex}") from ex
+        elif name == "RunLengthDecode":
+            raw = _rle_decode(raw)
+        elif name in _UNSUPPORTED_FILTERS:
+            raise NotImplementedError(
+                f"PDF filter {name} not supported (text-extraction "
+                "subset: Flate/ASCIIHex/ASCII85/RunLength)"
+            )
+        else:
+            raise PdfError(f"unknown PDF filter {name}")
+        pred = p.get("Predictor", 1) if isinstance(p, dict) else 1
+        if isinstance(pred, int) and pred >= 10:
+            raw = _png_predictor(
+                raw, int(p.get("Columns", 1)), int(p.get("Colors", 1)),
+                int(p.get("BitsPerComponent", 8)),
+            )
+        elif pred not in (1, None):
+            raise PdfError(f"unsupported predictor {pred}")
+    return raw
+
+
+# --- document ----------------------------------------------------------------
+
+
+class PdfDocument:
+    """Parsed xref map + lazy object loader over one PDF byte string."""
+
+    def __init__(self, data: bytes):
+        if not data.startswith(b"%PDF-"):
+            raise PdfError("missing %PDF- header")
+        self.data = data
+        self.trailer: dict = {}
+        #: obj num -> ("n", byte_offset) | ("o", objstm_num, idx)
+        self.xref: dict[int, tuple] = {}
+        self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, list] = {}
+        self._load_xref_chain()
+        if "Encrypt" in self.trailer:
+            raise NotImplementedError(
+                "encrypted PDF (/Encrypt) not supported"
+            )
+
+    # -- xref walk --
+    def _load_xref_chain(self) -> None:
+        tail = self.data[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref[\x00\t\n\x0c\r ]+(\d+)", tail):
+            pass
+        if m is None:
+            raise PdfError("startxref not found")
+        offset = int(m.group(1))
+        seen = set()
+        while offset is not None:
+            if offset in seen or offset >= len(self.data):
+                raise PdfError("cyclic or out-of-range xref chain")
+            seen.add(offset)
+            offset = self._load_xref_section(offset)
+
+    def _load_xref_section(self, offset: int) -> int | None:
+        pos = _skip_ws(self.data, offset)
+        if self.data[pos:pos + 4] == b"xref":
+            trailer = self._load_xref_table(pos + 4)
+        else:
+            trailer = self._load_xref_stream(pos)
+        for k, v in trailer.items():
+            self.trailer.setdefault(k, v)  # newest section wins
+        # hybrid-reference file: the classic table's trailer points at
+        # an additional xref STREAM carrying the objstm entries
+        if "XRefStm" in trailer:
+            self._load_xref_section(int(trailer["XRefStm"]))
+        prev = trailer.get("Prev")
+        return int(prev) if prev is not None else None
+
+    def _load_xref_table(self, pos: int) -> dict:
+        data = self.data
+        while True:
+            pos = _skip_ws(data, pos)
+            if data[pos:pos + 7] == b"trailer":
+                t, _ = _parse_object(data, pos + 7)
+                if not isinstance(t, dict):
+                    raise PdfError("trailer is not a dictionary")
+                return t
+            m = re.match(rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)", data[pos:pos + 40])
+            if not m:
+                raise PdfError(f"bad xref subsection header at {pos}")
+            start, count = int(m.group(1)), int(m.group(2))
+            pos = _skip_ws(data, pos + m.end())
+            for i in range(count):
+                ent = data[pos:pos + 20]
+                em = re.match(rb"(\d{10})[\x00\t\n\x0c\r ](\d{5})[\x00\t\n\x0c\r ]([nf])", ent)
+                if not em:
+                    raise PdfError(f"bad xref entry at {pos}")
+                if em.group(3) == b"n":
+                    self.xref.setdefault(start + i, ("n", int(em.group(1))))
+                pos += 20
+
+    def _load_xref_stream(self, pos: int) -> dict:
+        num, sdict, raw = self._parse_indirect_at(pos)
+        if raw is None or not isinstance(sdict, dict) \
+                or str(sdict.get("Type", "")) != "XRef":
+            raise PdfError("expected an /XRef stream at xref offset")
+        content = _apply_filters(
+            raw, sdict.get("Filter"), sdict.get("DecodeParms")
+        )
+        w = [int(x) for x in sdict.get("W", [])]
+        if len(w) != 3:
+            raise PdfError(f"bad /W in xref stream: {w}")
+        size = int(sdict["Size"])
+        index = [int(x) for x in sdict.get("Index", [0, size])]
+        rowlen = sum(w)
+        p = 0
+        for si in range(0, len(index), 2):
+            start, count = index[si], index[si + 1]
+            for i in range(count):
+                if p + rowlen > len(content):
+                    raise PdfError("xref stream data truncated")
+                fields = []
+                for width in w:
+                    fields.append(
+                        int.from_bytes(content[p:p + width], "big")
+                        if width else None
+                    )
+                    p += width
+                ftype = fields[0] if w[0] else 1
+                if ftype == 1:
+                    self.xref.setdefault(start + i, ("n", fields[1]))
+                elif ftype == 2:
+                    self.xref.setdefault(
+                        start + i, ("o", fields[1], fields[2])
+                    )
+                # type 0 (free): skipped
+        return sdict
+
+    # -- object loading --
+    def _parse_indirect_at(self, pos: int):
+        """``num gen obj`` at pos -> (num, obj, stream_bytes|None);
+        for non-stream objects stream_bytes is None and obj is the
+        value."""
+        data = self.data
+        m = re.match(
+            rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+obj",
+            data[pos:pos + 40],
+        )
+        if not m:
+            raise PdfError(f"indirect object header missing at {pos}")
+        num = int(m.group(1))
+        obj, p2 = _parse_object(data, pos + m.end())
+        p2 = _skip_ws(data, p2)
+        if data[p2:p2 + 6] == b"stream":
+            if not isinstance(obj, dict):
+                raise PdfError("stream keyword after a non-dictionary")
+            p2 += 6
+            if data[p2:p2 + 2] == b"\r\n":
+                p2 += 2
+            elif data[p2:p2 + 1] in (b"\n", b"\r"):
+                p2 += 1
+            length = self.resolve(obj.get("Length"))
+            if not isinstance(length, int):
+                raise PdfError("stream /Length missing or unresolvable")
+            raw = data[p2:p2 + length]
+            if len(raw) != length:
+                raise PdfError("stream data truncated")
+            return num, obj, raw
+        return num, obj, None
+
+    def get_object(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        ent = self.xref.get(num)
+        if ent is None:
+            return None  # per spec: missing object is null
+        if ent[0] == "n":
+            got_num, obj, raw = self._parse_indirect_at(ent[1])
+            if got_num != num:
+                raise PdfError(
+                    f"xref points object {num} at object {got_num}"
+                )
+            val = ("stream", obj, raw) if raw is not None else obj
+        else:
+            _, stm_num, idx = ent
+            val = self._objstm_object(stm_num, idx)
+        self._cache[num] = val
+        return val
+
+    def _objstm_object(self, stm_num: int, idx: int):
+        objs = self._objstm_cache.get(stm_num)
+        if objs is None:
+            stm = self.get_object(stm_num)
+            if not (isinstance(stm, tuple) and stm[0] == "stream"):
+                raise PdfError(f"object stream {stm_num} is not a stream")
+            sdict, raw = stm[1], stm[2]
+            if str(sdict.get("Type", "")) != "ObjStm":
+                raise PdfError(f"object {stm_num} is not /Type /ObjStm")
+            content = _apply_filters(
+                raw, sdict.get("Filter"), sdict.get("DecodeParms")
+            )
+            n_objs = int(self.resolve(sdict["N"]))
+            first = int(self.resolve(sdict["First"]))
+            pairs = []
+            p = 0
+            for _ in range(n_objs):
+                onum, p = _parse_object(content, p)
+                ooff, p = _parse_object(content, p)
+                pairs.append((int(onum), int(ooff)))
+            objs = []
+            for onum, ooff in pairs:
+                val, _ = _parse_object(content, first + ooff)
+                objs.append(val)
+            self._objstm_cache[stm_num] = objs
+        if idx >= len(objs):
+            raise PdfError(f"object-stream index {idx} out of range")
+        return objs[idx]
+
+    def resolve(self, obj, depth: int = 0):
+        while isinstance(obj, _Ref):
+            if depth > 32:
+                raise PdfError("reference chain too deep")
+            obj = self.get_object(obj.num)
+            depth += 1
+        return obj
+
+    def stream_data(self, obj) -> bytes:
+        obj = self.resolve(obj)
+        if not (isinstance(obj, tuple) and obj[0] == "stream"):
+            raise PdfError("expected a stream object")
+        sdict, raw = obj[1], obj[2]
+        return _apply_filters(
+            raw, self.resolve(sdict.get("Filter")),
+            self.resolve(sdict.get("DecodeParms")),
+        )
+
+    # -- page tree --
+    def pages(self) -> list[tuple[dict, dict]]:
+        """Depth-first page list -> [(page_dict, inherited_resources)]."""
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            raise PdfError("trailer /Root missing or not a dictionary")
+        top = self.resolve(root.get("Pages"))
+        out: list[tuple[dict, dict]] = []
+        seen: set[int] = set()
+
+        def walk(node, resources, depth):
+            if depth > 64:
+                raise PdfError("page tree too deep")
+            node = self.resolve(node)
+            if isinstance(node, tuple) and node[0] == "stream":
+                raise PdfError("stream object in the page tree")
+            if not isinstance(node, dict):
+                raise PdfError("page tree node is not a dictionary")
+            nid = id(node)
+            if nid in seen:
+                raise PdfError("cycle in the page tree")
+            seen.add(nid)
+            res = self.resolve(node.get("Resources")) or resources
+            t = str(node.get("Type", ""))
+            if t == "Page" or ("Kids" not in node and t != "Pages"):
+                out.append((node, res if isinstance(res, dict) else {}))
+                return
+            for kid in self.resolve(node.get("Kids")) or []:
+                walk(kid, res, depth + 1)
+
+        walk(top, {}, 0)
+        return out
+
+
+# --- content-stream text interpreter -----------------------------------------
+
+
+def _check_fonts(doc: PdfDocument, resources: dict) -> None:
+    fonts = doc.resolve(resources.get("Font")) if resources else None
+    if not isinstance(fonts, dict):
+        return
+    for fname, fobj in fonts.items():
+        f = doc.resolve(fobj)
+        if isinstance(f, dict) and str(f.get("Subtype", "")) == "Type0":
+            raise NotImplementedError(
+                f"Type0/CMap composite font {fname!r}: multi-byte text "
+                "decode not supported (standard-font subset)"
+            )
+
+
+def _extract_page_text(doc: PdfDocument, content: bytes) -> str:
+    """Run the text-showing operators over one page's content."""
+    lines: list[list[str]] = [[]]
+
+    def show(b: bytes) -> None:
+        lines[-1].append(b.decode("latin-1"))
+
+    def newline() -> None:
+        if lines[-1]:
+            lines.append([])
+
+    operands: list = []
+    pos = 0
+    n = len(content)
+    while pos < n:
+        pos = _skip_ws(content, pos)
+        if pos >= n:
+            break
+        c = content[pos]
+        if c == 0x2F or c == 0x28 or c == 0x3C or c == 0x5B or \
+                _NUM_RE.match(content, pos):
+            try:
+                obj, pos = _parse_object(content, pos)
+            except PdfError:
+                pos += 1  # tolerate junk operands in wild streams
+                continue
+            operands.append(obj)
+            continue
+        km = _KEYWORD_RE.match(content, pos)
+        if not km:
+            pos += 1
+            continue
+        op = km.group(0)
+        pos = km.end()
+        if op == b"BT":
+            newline()
+        elif op in (b"Td", b"TD"):
+            if len(operands) >= 2 and operands[-1] != 0:
+                newline()
+        elif op in (b"T*", b"Tm"):
+            newline()
+        elif op == b"Tj":
+            if operands and isinstance(operands[-1], bytes):
+                show(operands[-1])
+        elif op == b"'":
+            newline()
+            if operands and isinstance(operands[-1], bytes):
+                show(operands[-1])
+        elif op == b'"':
+            newline()
+            if operands and isinstance(operands[-1], bytes):
+                show(operands[-1])
+        elif op == b"TJ":
+            if operands and isinstance(operands[-1], list):
+                for item in operands[-1]:
+                    if isinstance(item, bytes):
+                        show(item)
+                    elif isinstance(item, (int, float)) and item <= -180:
+                        lines[-1].append(" ")  # word-gap kerning
+        operands = []
+    return "\n".join(
+        "".join(parts).strip() for parts in lines if "".join(parts).strip()
+    )
+
+
+@dataclass
+class PdfText:
+    """Result of :func:`extract_pdf_text`."""
+
+    n_pages: int
+    pages: list[str]
+    title: str | None = None
+    author: str | None = None
+    text: str = field(init=False)
+
+    def __post_init__(self):
+        self.text = "\n\n".join(p for p in self.pages if p)
+
+
+def _info_str(doc: PdfDocument, info, key: str) -> str | None:
+    if not isinstance(info, dict) or key not in info:
+        return None
+    v = doc.resolve(info[key])
+    if not isinstance(v, bytes):
+        return None
+    if v.startswith(b"\xfe\xff"):  # UTF-16BE text string (§7.9.2.2)
+        return v[2:].decode("utf-16-be", "replace")
+    return v.decode("latin-1")  # PDFDocEncoding ~ Latin-1 subset
+
+
+def extract_pdf_text(data: bytes) -> PdfText:
+    """PDF bytes -> per-page extracted text + metadata. Raises
+    :class:`PdfError` on structural corruption and
+    ``NotImplementedError`` (by name) on encryption, Type0/CMap
+    fonts, and unsupported filters."""
+    doc = PdfDocument(data)
+    pages_out: list[str] = []
+    for page, resources in doc.pages():
+        _check_fonts(doc, resources)
+        contents = doc.resolve(page.get("Contents"))
+        if contents is None:
+            pages_out.append("")
+            continue
+        parts = contents if isinstance(contents, list) else [contents]
+        blob = b"\n".join(doc.stream_data(p) for p in parts)
+        pages_out.append(_extract_page_text(doc, blob))
+    info = doc.resolve(doc.trailer.get("Info"))
+    return PdfText(
+        n_pages=len(pages_out),
+        pages=pages_out,
+        title=_info_str(doc, info, "Title"),
+        author=_info_str(doc, info, "Author"),
+    )
+
+
+PDF_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("page_idx", LongType()),
+        StructField("n_pages", LongType()),
+        StructField("title", StringType()),
+        StructField("page_text", StringType()),
+    ]
+)
+
+
+def pdf_extract(df: DataFrame) -> DataFrame:
+    """(media_id, payload) -> one row per PDF page via Arrow
+    ``mapInPandas`` (map-only). The page relation is what the text
+    pipeline consumes; document metadata repeats per page."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                d = extract_pdf_text(bytes(raw))
+                for i, page in enumerate(d.pages):
+                    rows.append((mid, i, d.n_pages, d.title, page))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PDF_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, PDF_SCHEMA)
+
+
+# --- writer (fixture generator) ----------------------------------------------
+
+
+def _esc(s: str) -> bytes:
+    return (
+        s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+        .encode("latin-1")
+    )
+
+
+def encode_pdf(pages: list[list[str]], title: str | None = None,
+               flate: bool = True, xref_stream: bool = False,
+               use_tj_array: bool = False) -> bytes:
+    """Format-faithful PDF writer (fixture generator). ``pages`` is a
+    list of pages, each a list of text lines. Layout variants:
+    classic xref table (default) or cross-reference stream + object
+    stream (``xref_stream=True``, with a real /Predictor 12 Up filter
+    on the xref stream — the wild-file norm); content streams plain
+    or FlateDecode; ``use_tj_array`` shows each line as a TJ array
+    with a -250 word-gap kern between the first two words."""
+    objs: dict[int, bytes] = {}
+    n_pages = len(pages)
+    font_num = 3 + 2 * n_pages
+    info_num = font_num + 1
+    kids = b" ".join(b"%d 0 R" % (3 + 2 * i) for i in range(n_pages))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d"
+        b" /Resources << /Font << /F1 %d 0 R >> >> >>" % (n_pages, font_num)
+    )
+    streams: dict[int, tuple[bytes, bytes]] = {}  # num -> (dict, data)
+    for i, lines in enumerate(pages):
+        pnum, cnum = 3 + 2 * i, 4 + 2 * i
+        objs[pnum] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents %d 0 R >>" % cnum
+        )
+        ops = [b"BT /F1 12 Tf 14 TL 72 720 Td"]
+        for j, line in enumerate(lines):
+            if j > 0:
+                ops.append(b"T*")
+            if use_tj_array and " " in line:
+                first, rest = line.split(" ", 1)
+                ops.append(
+                    b"[(" + _esc(first) + b") -250 (" + _esc(rest)
+                    + b")] TJ"
+                )
+            else:
+                ops.append(b"(" + _esc(line) + b") Tj")
+        ops.append(b"ET")
+        content = b" ".join(ops)
+        if flate:
+            streams[cnum] = (b"/Filter /FlateDecode", zlib.compress(content))
+        else:
+            streams[cnum] = (b"", content)
+    objs[font_num] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    if title is not None:
+        objs[info_num] = b"<< /Title (" + _esc(title) + b") >>"
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+
+    def write_obj(num: int, body: bytes, stream: bytes | None = None):
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body)
+        if stream is not None:
+            out.extend(b"\nstream\n")
+            out.extend(stream)
+            out.extend(b"\nendstream")
+        out.extend(b"\nendobj\n")
+
+    if not xref_stream:
+        for num in sorted(objs):
+            write_obj(num, objs[num])
+        for num, (fdict, data) in sorted(streams.items()):
+            write_obj(
+                num, b"<< %s /Length %d >>" % (fdict, len(data)), data
+            )
+        max_num = max(list(objs) + list(streams))
+        xref_off = len(out)
+        out.extend(b"xref\n0 %d\n" % (max_num + 1))
+        out.extend(b"0000000000 65535 f \n")
+        for num in range(1, max_num + 1):
+            out.extend(b"%010d 00000 n \n" % offsets.get(num, 0))
+        trailer = b"<< /Size %d /Root 1 0 R" % (max_num + 1)
+        if title is not None:
+            trailer += b" /Info %d 0 R" % info_num
+        trailer += b" >>"
+        out.extend(b"trailer\n" + trailer + b"\n")
+    else:
+        # non-stream objects ride in ONE object stream; content
+        # streams and the xref stream stay top-level (§7.5.7)
+        stm_num = info_num + 1
+        xref_num = stm_num + 1
+        inner = bytearray()
+        pairs = []
+        for num in sorted(objs):
+            pairs.append((num, len(inner)))
+            inner.extend(objs[num])
+            inner.extend(b" ")
+        header = b" ".join(b"%d %d" % p for p in pairs) + b" "
+        objstm_payload = header + bytes(inner)
+        comp = zlib.compress(objstm_payload)
+        offsets[stm_num] = len(out)
+        out.extend(b"%d 0 obj\n" % stm_num)
+        out.extend(
+            b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode "
+            b"/Length %d >>\nstream\n" % (len(pairs), len(header), len(comp))
+        )
+        out.extend(comp)
+        out.extend(b"\nendstream\nendobj\n")
+        for num, (fdict, data) in sorted(streams.items()):
+            write_obj(
+                num, b"<< %s /Length %d >>" % (fdict, len(data)), data
+            )
+        size = xref_num + 1
+        # xref stream rows: W = [1 4 2], Up-predicted (Predictor 12)
+        rows = []
+        for num in range(size):
+            if num == 0:
+                rows.append(bytes([0]) + (0).to_bytes(4, "big")
+                            + (65535).to_bytes(2, "big"))
+            elif num in offsets:
+                rows.append(bytes([1]) + offsets[num].to_bytes(4, "big")
+                            + (0).to_bytes(2, "big"))
+            elif num in objs:  # lives in the object stream
+                idx = [p[0] for p in pairs].index(num)
+                rows.append(bytes([2]) + stm_num.to_bytes(4, "big")
+                            + idx.to_bytes(2, "big"))
+            else:
+                rows.append(bytes(7))
+        # xref stream offset row for itself gets patched below
+        xref_off = len(out)
+        rows[xref_num] = (bytes([1]) + xref_off.to_bytes(4, "big")
+                          + (0).to_bytes(2, "big"))
+        stride = 7
+        pred = bytearray()
+        prev = bytes(stride)
+        for r in rows:
+            pred.append(2)  # Up filter
+            pred.extend(((r[i] - prev[i]) & 0xFF) for i in range(stride))
+            prev = r
+        comp = zlib.compress(bytes(pred))
+        trailer_bits = b"/Root 1 0 R"
+        if title is not None:
+            trailer_bits += b" /Info %d 0 R" % info_num
+        out.extend(b"%d 0 obj\n" % xref_num)
+        out.extend(
+            b"<< /Type /XRef /Size %d /W [1 4 2] /Index [0 %d] "
+            b"/Filter /FlateDecode /DecodeParms << /Predictor 12 "
+            b"/Columns 7 >> /Length %d %s >>\nstream\n"
+            % (size, size, len(comp), trailer_bits)
+        )
+        out.extend(comp)
+        out.extend(b"\nendstream\nendobj\n")
+    out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_off)
+    return bytes(out)

@@ -1381,6 +1381,65 @@ def mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_pdf_extract_text",
+    # payload = a REAL two-page PDF per doc (operators/pdf.py): lines
+    # derived from the doc's first 10 tokens plus parenthesized /
+    # backslashed literals (escape coverage), /Info /Title set. The
+    # layout cycles per doc_id: classic xref table vs xref stream +
+    # object stream (with a real Up predictor), Tj vs TJ arrays with
+    # a -250 word-gap kern. The oracle rebuilds every page's text in
+    # closed form from the same token slices.
+    oracle=r"""
+WITH p AS (
+  SELECT doc_id AS media_id, CAST(doc_id AS VARCHAR) AS i,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE doc_id % 25 = 6
+), pg(page_idx) AS (VALUES (0), (1))
+SELECT media_id, CAST(page_idx AS BIGINT) AS page_idx,
+       2::BIGINT AS n_pages,
+       'Doc ' || i || ' & Co' AS title,
+       CASE page_idx
+         WHEN 0 THEN 'Doc ' || i || ' (report)' || chr(10)
+                     || array_to_string(list_slice(toks, 1, 5), ' ')
+         ELSE array_to_string(list_slice(toks, 6, 10), ' ') || chr(10)
+                     || 'end \ of doc ' || i
+       END AS page_text
+FROM p CROSS JOIN pg
+ORDER BY media_id, page_idx
+""",
+    tags=("multimodal", "decode", "pdf", "text", "ingest"),
+)
+def mm_pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction under the oracle gate (operators/pdf.py —
+    ISO 32000-1 subset: COS syntax, classic + stream xref, object
+    streams, FlateDecode with PNG predictors, page tree, BT/ET + Tj/
+    TJ/Td/T* with the word-gap kern rule, Latin-1 standard-font
+    decode). The PDFs are built driver-side over a bounded doc subset
+    (encode-side fixture glue, as in the sibling mm_decode_* specs);
+    the extraction under test runs distributed via Arrow
+    mapInPandas."""
+    from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_extract
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 6)
+    docs = sorted((r["doc_id"], r["text"]) for r in
+                  d.select("doc_id", "text").collect())
+    rows = []
+    for did, text in docs:
+        toks = text.strip().split()
+        pages = [
+            [f"Doc {did} (report)", " ".join(toks[0:5])],
+            [" ".join(toks[5:10]), f"end \\ of doc {did}"],
+        ]
+        pdf = encode_pdf(
+            pages, title=f"Doc {did} & Co", flate=True,
+            xref_stream=bool(did % 2), use_tj_array=did % 3 == 0,
+        )
+        rows.append((did, bytearray(pdf)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return pdf_extract(media).orderBy("media_id", "page_idx")
+
+
+@register(
     "archive_zip64_members",
     # payload = the COMMITTED forced-Zip64 fixture
     # tests/fixtures/zip64.zip (tools/make_zip64_fixture.py —

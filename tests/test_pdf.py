@@ -1,0 +1,235 @@
+"""PDF text extraction (operators/pdf.py) — ISO 32000-1 subset:
+COS syntax, classic + stream xref, object streams, filters, page
+tree, text operators, typed boundaries."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from dolphinbeat_spark.operators.pdf import (
+    PdfError,
+    encode_pdf,
+    extract_pdf_text,
+    pdf_extract,
+)
+
+
+PAGES = [
+    ["hello world", "line two (with) parens", "third \\ line"],
+    ["page two only line"],
+]
+
+
+def test_pdf_roundtrip_all_layouts():
+    """Classic xref vs xref-stream+objstm, plain vs FlateDecode,
+    Tj vs TJ arrays (with the -250 word-gap kern) all extract the
+    same text."""
+    for xref_stream in (False, True):
+        for flate in (False, True):
+            for tj in (False, True):
+                pdf = encode_pdf(PAGES, title="My Doc", flate=flate,
+                                 xref_stream=xref_stream, use_tj_array=tj)
+                d = extract_pdf_text(pdf)
+                assert d.n_pages == 2 and d.title == "My Doc"
+                assert d.pages[0] == (
+                    "hello world\nline two (with) parens\nthird \\ line"
+                )
+                assert d.pages[1] == "page two only line"
+                assert d.text == d.pages[0] + "\n\n" + d.pages[1]
+
+
+def _hand_pdf() -> bytes:
+    """A minimal PDF assembled object-by-object WITHOUT the writer
+    mirror — byte offsets computed by straight concatenation — so the
+    reader is pinned against an independent construction (the spec's
+    own Annex-style example shape)."""
+    header = b"%PDF-1.4\n"
+    bodies = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 /Resources "
+        b"<< /Font << /F1 5 0 R >> >> >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n",
+        b"4 0 obj << /Length 73 >> stream\n"
+        b"BT /F1 24 Tf 100 700 Td (Hand) Tj 0 -30 Td (\\110i \\(u\\)) Tj "
+        b"<41424321> Tj ET\nendstream endobj\n",
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> "
+        b"endobj\n",
+    ]
+    out = bytearray(header)
+    offsets = []
+    for b in bodies:
+        offsets.append(len(out))
+        out += b
+    xref_off = len(out)
+    out += b"xref\n0 6\n0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer << /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF" % xref_off
+    return bytes(out)
+
+
+def test_pdf_hand_assembled_independent_pin():
+    """Octal escapes (\\110 = H), escaped parens, a hex string show,
+    vertical Td line split — from a byte layout the writer mirror
+    never produced."""
+    d = extract_pdf_text(_hand_pdf())
+    assert d.n_pages == 1
+    assert d.pages[0] == "Hand\nHi (u)ABC!"
+
+
+def test_pdf_incremental_update_prev_chain():
+    """An appended incremental update (new trailer with /Prev) must
+    win for the objects it redefines — the newest xref section is
+    authoritative."""
+    base = encode_pdf([["original text"]], flate=False)
+    start_old = int(base.rsplit(b"startxref\n", 1)[1].split(b"\n")[0])
+    # object 4 is the page's content stream in the writer layout
+    new_content = b"BT /F1 12 Tf 72 720 Td (updated text) Tj ET"
+    upd = bytearray(base)
+    off4 = len(upd)
+    upd += (b"4 0 obj\n<<  /Length %d >>\nstream\n" % len(new_content)
+            + new_content + b"\nendstream\nendobj\n")
+    xref_off = len(upd)
+    upd += b"xref\n4 1\n%010d 00000 n \n" % off4
+    upd += (b"trailer << /Size 6 /Root 1 0 R /Prev %d >>\n"
+            b"startxref\n%d\n%%%%EOF" % (start_old, xref_off))
+    d = extract_pdf_text(bytes(upd))
+    assert d.pages == ["updated text"]
+
+
+def test_pdf_filters_ascii_and_runlength():
+    base = encode_pdf([["filter me"]], flate=False)
+    # locate the plain content stream and re-encode it three ways
+    content = b"BT /F1 12 Tf 14 TL 72 720 Td (filter me) Tj ET"
+    assert content in base
+
+    def swap(filt_name: bytes, enc: bytes) -> bytes:
+        old = (b"<<  /Length %d >>\nstream\n" % len(content)) + content
+        new = (b"<< /Filter /%s /Length %d >>\nstream\n"
+               % (filt_name, len(enc))) + enc
+        out = base.replace(old, new)
+        assert out != base, "stream not found for re-encoding"
+        # fix the startxref: offsets after the swap shift — rebuild via
+        # a fresh parse is overkill; instead keep lengths identical by
+        # padding is fragile, so just rewrite the xref offsets wholesale
+        return _rebuild_classic_xref(out)
+
+    import base64 as b64
+
+    hexenc = content.hex().encode() + b">"
+    a85 = b64.a85encode(content) + b"~>"
+    rle = bytearray()
+    for i in range(0, len(content), 100):
+        chunk = content[i:i + 100]
+        rle += bytes([len(chunk) - 1]) + chunk
+    rle += bytes([128])
+    for name, enc in ((b"ASCIIHexDecode", hexenc),
+                      (b"ASCII85Decode", a85),
+                      (b"RunLengthDecode", bytes(rle))):
+        d = extract_pdf_text(swap(name, enc))
+        assert d.pages == ["filter me"], name
+
+
+def _rebuild_classic_xref(pdf: bytes) -> bytes:
+    """Recompute a classic xref table after object bytes moved (test
+    helper — scans `N 0 obj` headers)."""
+    import re
+
+    offsets = {}
+    for m in re.finditer(rb"(?m)^(\d+) 0 obj", pdf):
+        offsets[int(m.group(1))] = m.start()
+    body_end = pdf.index(b"xref\n0 ")
+    size = max(offsets) + 1
+    out = bytearray(pdf[:body_end])
+    xref_off = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % size
+    for num in range(1, size):
+        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+    trailer = pdf[pdf.index(b"trailer"):pdf.index(b"startxref")]
+    out += trailer
+    out += b"startxref\n%d\n%%%%EOF" % xref_off
+    return bytes(out)
+
+
+def test_pdf_typed_boundaries_by_name():
+    # encryption
+    enc = encode_pdf([["x"]], flate=False).replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 5 0 R"
+    )
+    with pytest.raises(NotImplementedError, match="[Ee]ncrypt"):
+        extract_pdf_text(_rebuild_classic_xref_noop(enc))
+    # Type0 font
+    t0 = encode_pdf([["x"]], flate=False).replace(
+        b"/Subtype /Type1", b"/Subtype /Type0"
+    )
+    with pytest.raises(NotImplementedError, match="Type0"):
+        extract_pdf_text(t0)
+    # LZW filter named
+    lzw = encode_pdf([["x"]], flate=False).replace(
+        b"<<  /Length", b"<< /Filter /LZWDecode /Length"
+    )
+    with pytest.raises(NotImplementedError, match="LZWDecode"):
+        extract_pdf_text(_rebuild_classic_xref(lzw))
+    # structural errors are typed
+    with pytest.raises(PdfError, match="%PDF-"):
+        extract_pdf_text(b"not a pdf")
+    with pytest.raises(PdfError, match="startxref"):
+        extract_pdf_text(b"%PDF-1.4\njunk")
+
+
+def _rebuild_classic_xref_noop(pdf: bytes) -> bytes:
+    # /Encrypt edit keeps object offsets identical except the trailer,
+    # which sits after the xref — no rebuild needed
+    return pdf
+
+
+def test_pdf_utf16_title_and_empty_page():
+    pdf = encode_pdf([[]], title="plain")
+    d = extract_pdf_text(pdf)
+    assert d.n_pages == 1 and d.pages == [""] and d.text == ""
+    # UTF-16BE info string with BOM (§7.9.2.2)
+    base = encode_pdf([["x"]], title="AB", flate=False)
+    u16 = "Tïtle ✓".encode("utf-16-be")
+    esc = u16.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+    swapped = base.replace(b"(AB)", b"(\xfe\xff" + esc + b")")
+    d2 = extract_pdf_text(_rebuild_classic_xref(swapped))
+    assert d2.title == "Tïtle ✓"
+
+
+def test_pdf_hostile_bytes_typed_errors():
+    """120 random bit flips per layout: decode either succeeds or
+    raises the typed family — never a foreign exception that would
+    kill an executor mid-batch."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    for xs in (False, True):
+        good = encode_pdf(PAGES, title="T", flate=True, xref_stream=xs)
+        for _ in range(120):
+            data = bytearray(good)
+            i = int(rng.randint(0, len(data)))
+            data[i] ^= 1 << int(rng.randint(0, 8))
+            try:
+                extract_pdf_text(bytes(data))
+            except (PdfError, NotImplementedError):
+                pass
+            except RecursionError:  # pragma: no cover
+                pytest.fail("unbounded recursion on corrupted PDF")
+            except Exception as ex:  # pragma: no cover
+                pytest.fail(f"untyped crash on corrupted PDF: {ex!r}")
+
+
+def test_pdf_extract_spark(spark):
+    rows = [
+        (1, bytearray(encode_pdf(PAGES, title="Doc1"))),
+        (2, bytearray(encode_pdf([["solo"]], xref_stream=True))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = sorted(pdf_extract(df).collect(),
+                 key=lambda r: (r.media_id, r.page_idx))
+    assert [(r.media_id, r.page_idx, r.n_pages) for r in got] == [
+        (1, 0, 2), (1, 1, 2), (2, 0, 1),
+    ]
+    assert got[0].title == "Doc1" and got[2].page_text == "solo"
