@@ -8,10 +8,13 @@ sizes 511/1023/2047 — one code earlier than GIF's LSB-first LZW,
 which operators/multimodal.py implements separately), the horizontal
 differencing predictor, photometric interpretations WhiteIsZero /
 BlackIsZero / RGB / Palette (ColorMap 16-bit entries scaled to
-8-bit), 8- and 16-bit samples, and multi-strip images.
+8-bit), 8- and 16-bit samples, multi-strip images, TILED organization
+(§15: TileWidth/TileLength/TileOffsets walk with edge-tile cropping —
+satellite/scan imagery is predominantly tiled), and planar
+configuration 2 (§14: per-plane strips/tiles, plane-major order).
 
-Honest boundaries raise by name: tiled TIFF, planar configuration 2,
-CCITT/JPEG-in-TIFF compression, floating-point samples.
+Honest boundaries raise by name: CCITT/JPEG-in-TIFF compression,
+floating-point samples.
 
 Verification stance (tests/test_multimodal.py): decoder pinned by a
 hand-assembled LZW code stream computed from the spec's own algorithm
@@ -151,8 +154,31 @@ def _packbits_decode(data: bytes, limit: int) -> bytes:
     return bytes(out)
 
 
+def _decode_chunk(chunk: bytes, comp: int, limit: int, what: str) -> bytes:
+    """One strip/tile through the declared compression; exact size."""
+    if comp == 1:
+        dec = chunk
+    elif comp == 5:
+        dec = tiff_lzw_decode(chunk, limit)
+    elif comp == 32773:
+        dec = _packbits_decode(chunk, limit)
+    else:
+        raise NotImplementedError(
+            f"TIFF compression {comp} not supported "
+            "(1/5/32773 = none/LZW/PackBits decode)"
+        )
+    if len(dec) != limit:
+        raise TiffError(
+            f"{what} decodes to {len(dec)} bytes, expected {limit}"
+        )
+    return dec
+
+
 def decode_tiff(data: bytes) -> tuple[int, int, np.ndarray]:
-    """TIFF -> (width, height, HxWxC uint8/uint16 array)."""
+    """TIFF -> (width, height, HxWxC uint8/uint16 array). Handles
+    strip AND tile organization (TIFF 6.0 §15 — satellite/scan
+    imagery is predominantly tiled) and both planar configurations
+    (chunky and per-plane separate, §14)."""
     if data[:2] == b"II":
         end = "<"
     elif data[:2] == b"MM":
@@ -174,7 +200,11 @@ def decode_tiff(data: bytes) -> tuple[int, int, np.ndarray]:
         return v[0]
 
     w, h = one(256), one(257)
+    if w <= 0 or h <= 0:
+        raise TiffError(f"bad TIFF geometry {w}x{h}")
     spp = one(277, 1)
+    if w * h * max(spp, 1) > (1 << 29):  # hostile-header allocation guard
+        raise TiffError(f"TIFF geometry {w}x{h}x{spp} exceeds the decode cap")
     bits = t.get(258, [8])
     if len(set(bits)) != 1:
         raise NotImplementedError("mixed bits-per-sample not supported")
@@ -185,53 +215,87 @@ def decode_tiff(data: bytes) -> tuple[int, int, np.ndarray]:
     photo = one(262, 1)
     planar = one(284, 1)
     predictor = one(317, 1)
-    if planar != 1:
-        raise NotImplementedError("planar configuration 2 not supported")
-    if 0x142 in t or 0x144 in t:  # TileWidth / TileOffsets
-        raise NotImplementedError("tiled TIFF not supported")
-    offsets = t.get(273)
-    counts = t.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise TiffError("TIFF strip offsets/byte-counts missing or unequal")
-    rps = one(278, h)
-    row_bytes = w * spp * (depth // 8)
-    raw = bytearray()
-    for i, (off, cnt) in enumerate(zip(offsets, counts)):
-        if off + cnt > len(data):
-            raise TiffError(f"strip {i} overruns the payload")
-        nrows = min(rps, h - i * rps)
-        if nrows <= 0:
-            raise TiffError("more strips than image rows")
-        limit = nrows * row_bytes
-        chunk = data[off:off + cnt]
-        if comp == 1:
-            dec = chunk
-        elif comp == 5:
-            dec = tiff_lzw_decode(chunk, limit)
-        elif comp == 32773:
-            dec = _packbits_decode(chunk, limit)
-        else:
-            raise NotImplementedError(
-                f"TIFF compression {comp} not supported "
-                "(1/5/32773 = none/LZW/PackBits decode)"
-            )
-        if len(dec) != limit:
-            raise TiffError(
-                f"strip {i} decodes to {len(dec)} bytes, expected {limit}"
-            )
-        raw += dec
-    if depth == 8:
-        px = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
-        px = px.astype(np.int32)
-        maxval = 255
-    else:
-        px = np.frombuffer(bytes(raw), end + "u2").reshape(h, w, spp)
-        px = px.astype(np.int64)
-        maxval = 65535
-    if predictor == 2:  # horizontal differencing: per-channel row cumsum
-        px = np.cumsum(px, axis=1) & maxval
-    elif predictor != 1:
+    if planar not in (1, 2):
+        raise TiffError(f"bad planar configuration {planar}")
+    if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} not supported")
+    unit = depth // 8
+    dt = np.uint8 if depth == 8 else end + "u2"
+    work = np.int32 if depth == 8 else np.int64
+    maxval = (1 << depth) - 1
+    planes = spp if planar == 2 else 1
+    ch = 1 if planar == 2 else spp  # interleaved samples per segment
+
+    def undiff(a: np.ndarray) -> np.ndarray:
+        # horizontal differencing restarts at every segment row start
+        return np.cumsum(a, axis=1) & maxval if predictor == 2 else a
+
+    px = np.zeros((h, w, spp), dtype=work)
+    if 322 in t or 324 in t:  # TileWidth / TileOffsets: tiled (§15)
+        tw, th = one(322), one(323)
+        if tw <= 0 or th <= 0:
+            raise TiffError(f"bad tile geometry {tw}x{th}")
+        toffs, tcnts = t.get(324), t.get(325)
+        if not toffs or not tcnts or len(toffs) != len(tcnts):
+            raise TiffError("tile offsets/byte-counts missing or unequal")
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        if len(toffs) != across * down * planes:
+            raise TiffError(
+                f"{len(toffs)} tiles, geometry wants {across * down * planes}"
+            )
+        limit = tw * th * ch * unit
+        i = 0
+        for plane in range(planes):
+            for ty in range(down):
+                for tx in range(across):
+                    off, cnt = toffs[i], tcnts[i]
+                    if off + cnt > len(data):
+                        raise TiffError(f"tile {i} overruns the payload")
+                    dec = _decode_chunk(
+                        data[off:off + cnt], comp, limit, f"tile {i}"
+                    )
+                    tile = np.frombuffer(dec, dt).reshape(th, tw, ch)
+                    tile = undiff(tile.astype(work))
+                    y0, x0 = ty * th, tx * tw
+                    ny, nx = min(th, h - y0), min(tw, w - x0)
+                    dst = px[y0:y0 + ny, x0:x0 + nx]
+                    if planar == 2:
+                        dst[:, :, plane] = tile[:ny, :nx, 0]
+                    else:
+                        dst[:, :, :] = tile[:ny, :nx]
+                    i += 1
+    else:  # strips
+        offsets = t.get(273)
+        counts = t.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise TiffError(
+                "TIFF strip offsets/byte-counts missing or unequal"
+            )
+        rps = one(278, h)
+        if rps <= 0:
+            raise TiffError(f"bad RowsPerStrip {rps}")
+        per_plane = (h + rps - 1) // rps
+        if len(offsets) != per_plane * planes:
+            raise TiffError(
+                f"{len(offsets)} strips, geometry wants {per_plane * planes}"
+            )
+        row_bytes = w * ch * unit
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            plane, si = divmod(i, per_plane)
+            if off + cnt > len(data):
+                raise TiffError(f"strip {i} overruns the payload")
+            nrows = min(rps, h - si * rps)
+            dec = _decode_chunk(
+                data[off:off + cnt], comp, nrows * row_bytes, f"strip {i}"
+            )
+            seg = np.frombuffer(dec, dt).reshape(nrows, w, ch)
+            seg = undiff(seg.astype(work))
+            y0 = si * rps
+            if planar == 2:
+                px[y0:y0 + nrows, :, plane] = seg[:, :, 0]
+            else:
+                px[y0:y0 + nrows] = seg
     if photo == 0:  # WhiteIsZero
         px = maxval - px
     elif photo == 3:  # Palette
@@ -329,18 +393,23 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 1,
                 depth: int = 8, compression: int = 1, photometric=None,
                 predictor: int = 1, rows_per_strip: int | None = None,
                 byte_order: str = "<",
-                colormap: list[int] | None = None) -> bytes:
+                colormap: list[int] | None = None,
+                planar: int = 1,
+                tile: tuple[int, int] | None = None) -> bytes:
     """Format-faithful baseline TIFF writer (fixture generator).
     ``pixels``: row-major samples, 1 byte each at depth 8, 2 bytes in
-    ``byte_order`` at depth 16."""
+    ``byte_order`` at depth 16. ``tile=(tw, th)`` switches to tiled
+    organization (§15, zero-padded edge tiles); ``planar=2`` writes
+    per-plane segments in plane-major order (§14)."""
     end = byte_order
     if photometric is None:
         photometric = 2 if spp >= 3 else 1
     unit = depth // 8
     if len(pixels) != width * height * spp * unit:
         raise ValueError("pixel byte count does not match the geometry")
+    if planar not in (1, 2):
+        raise ValueError(f"bad planar configuration {planar}")
     rps = rows_per_strip or height
-    row_bytes = width * spp * unit
     if depth == 8:
         arr = np.frombuffer(pixels, np.uint8).reshape(height, width, spp)
         arr = arr.astype(np.int64)
@@ -349,25 +418,46 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 1,
         arr = np.frombuffer(pixels, end + "u2").reshape(height, width, spp)
         arr = arr.astype(np.int64)
         maxval = 65535
-    if predictor == 2:
-        arr = np.concatenate(
-            [arr[:, :1], (arr[:, 1:] - arr[:, :-1]) & maxval], axis=1
-        )
-    if depth == 8:
-        body = arr.astype(np.uint8).tobytes()
-    else:
-        body = arr.astype(end + "u2").tobytes()
-    strips = []
-    for r0 in range(0, height, rps):
-        nrows = min(rps, height - r0)
-        chunk = body[r0 * row_bytes:(r0 + nrows) * row_bytes]
+
+    def pack(a: np.ndarray) -> bytes:
+        if predictor == 2:  # differencing restarts per segment row
+            a = np.concatenate(
+                [a[:, :1], (a[:, 1:] - a[:, :-1]) & maxval], axis=1
+            )
+        if depth == 8:
+            return a.astype(np.uint8).tobytes()
+        return a.astype(end + "u2").tobytes()
+
+    def compress(chunk: bytes) -> bytes:
         if compression == 5:
-            chunk = tiff_lzw_encode(chunk)
-        elif compression == 32773:
-            chunk = _packbits_encode(chunk)
-        elif compression != 1:
+            return tiff_lzw_encode(chunk)
+        if compression == 32773:
+            return _packbits_encode(chunk)
+        if compression != 1:
             raise ValueError(f"unsupported compression {compression}")
-        strips.append(chunk)
+        return chunk
+
+    plane_arrs = (
+        [arr[:, :, p:p + 1] for p in range(spp)] if planar == 2 else [arr]
+    )
+    strips = []
+    if tile is not None:
+        tw, th = tile
+        across = (width + tw - 1) // tw
+        down = (height + th - 1) // th
+        for pa in plane_arrs:
+            padded = np.zeros((down * th, across * tw, pa.shape[2]),
+                              dtype=np.int64)
+            padded[:height, :width] = pa
+            for ty in range(down):
+                for tx in range(across):
+                    t_arr = padded[ty * th:(ty + 1) * th,
+                                   tx * tw:(tx + 1) * tw]
+                    strips.append(compress(pack(t_arr)))
+    else:
+        for pa in plane_arrs:
+            for r0 in range(0, height, rps):
+                strips.append(compress(pack(pa[r0:r0 + rps])))
 
     entries = []  # (tag, type, count, values)
     entries.append((256, 4, 1, [width]))
@@ -376,13 +466,21 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 1,
     entries.append((259, 3, 1, [compression]))
     entries.append((262, 3, 1, [photometric]))
     entries.append((277, 3, 1, [spp]))
-    entries.append((278, 4, 1, [rps]))
-    entries.append((279, 4, len(strips), [len(s) for s in strips]))
+    if planar != 1:
+        entries.append((284, 3, 1, [planar]))
+    if tile is not None:
+        entries.append((322, 4, 1, [tile[0]]))
+        entries.append((323, 4, 1, [tile[1]]))
+        entries.append((325, 4, len(strips), [len(s) for s in strips]))
+        entries.append((324, 4, len(strips), [0] * len(strips)))  # patched
+    else:
+        entries.append((278, 4, 1, [rps]))
+        entries.append((279, 4, len(strips), [len(s) for s in strips]))
+        entries.append((273, 4, len(strips), [0] * len(strips)))  # patched
     if predictor != 1:
         entries.append((317, 3, 1, [predictor]))
     if colormap is not None:
         entries.append((320, 3, len(colormap), list(colormap)))
-    entries.append((273, 4, len(strips), [0] * len(strips)))  # patched
     entries.sort(key=lambda e: e[0])
 
     n = len(entries)
@@ -404,17 +502,18 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 1,
             extra += payload
         table += struct.pack(end + "HHI", tag, typ, count) + val
     strips_off = data_off + len(extra)
-    # patch StripOffsets now the layout is known
+    # patch StripOffsets/TileOffsets now the layout is known
+    off_tag = 324 if tile is not None else 273
     offs = []
     acc_off = strips_off
     for s in strips:
         offs.append(acc_off)
         acc_off += len(s)
-    kind, where = packed[273]
+    kind, where = packed[off_tag]
     payload = b"".join(struct.pack(end + "I", o) for o in offs)
     table = bytearray(table)
     for i, (tag, typ, count, vals) in enumerate(entries):
-        if tag != 273:
+        if tag != off_tag:
             continue
         base = 12 * i + 8
         if kind == "inline":

@@ -1381,6 +1381,61 @@ def mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_decode_tiff_tiled",
+    # payload = a REAL TILED TIFF (TIFF 6.0 §15) of the doc's 96-byte
+    # md5 pattern as 8x4 RGB with 3x3 tiles — 3 across x 2 down with
+    # BOTH edge dimensions cropped — planar configuration 2 on odd
+    # doc_ids (per-plane tiles, plane-major), compression cycling
+    # none/LZW/PackBits, predictor on odd ids (differencing restarts
+    # per TILE row, not per image row). Decode is lossless, so the
+    # oracle is md5(pattern), same shape as mm_decode_tiff.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 25 = 21
+)
+SELECT media_id,
+       'tiff' AS fmt,
+       CAST(8 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       CAST(list_sum(list_transform(range(1, 97),
+            i -> ord(substr(pattern, CAST(i AS INTEGER), 1)))) AS BIGINT)
+           AS pixel_sum,
+       md5(pattern) AS pixel_md5
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "codec", "tiff", "tiled"),
+)
+def mm_decode_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiled-TIFF decode under the oracle gate — the organization
+    satellite/scan imagery actually ships (TileWidth/TileLength/
+    TileOffsets walk, zero-padded edge tiles cropped, per-tile
+    predictor restart) plus planar configuration 2 (per-plane
+    segments, plane-major) — closing the r9 NotImplementedError
+    boundary at operators/tiff.py."""
+    import hashlib
+
+    from dolphinbeat_spark.operators.tiff import encode_tiff
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 21)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    comps = (1, 5, 32773)
+    rows = []
+    for i in ids:
+        pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
+        rows.append((i, bytearray(encode_tiff(
+            8, 4, pattern, spp=3, compression=comps[i % 3],
+            predictor=2 if i % 2 else 1, tile=(3, 3),
+            planar=2 if i % 2 else 1,
+            byte_order="<" if i % 2 == 0 else ">",
+        ))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return M.decode_media(media).orderBy("media_id")
+
+
+@register(
     "mm_pdf_extract_text",
     # payload = a REAL two-page PDF per doc (operators/pdf.py): lines
     # derived from the doc's first 10 tokens plus parenthesized /

@@ -2053,6 +2053,63 @@ def test_tiff_roundtrip_matrix():
     assert np.array_equal(px, big)
 
 
+def test_tiff_tiled_and_planar_roundtrip():
+    """Tiled organization (§15: edge tiles cropped in BOTH dimensions,
+    per-tile predictor restart) × planar configuration 2 (per-plane
+    segments, plane-major) × compression × byte order, incl. 16-bit —
+    closing the r9 boundary."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(17)
+    want = rng.randint(0, 256, (13, 20, 3), dtype=np.uint8)
+    for comp in (1, 5, 32773):
+        for pred in (1, 2):
+            for planar in (1, 2):
+                for tile in (None, (8, 8), (16, 4)):
+                    for end in ("<", ">"):
+                        enc = encode_tiff(
+                            20, 13, want.tobytes(), spp=3, compression=comp,
+                            predictor=pred, planar=planar, tile=tile,
+                            rows_per_strip=5, byte_order=end,
+                        )
+                        w, h, px = decode_tiff(enc)
+                        assert (w, h) == (20, 13) and np.array_equal(px, want)
+    w16 = rng.randint(0, 65536, (10, 9, 1), dtype=np.uint16)
+    for end in ("<", ">"):
+        enc = encode_tiff(9, 10, w16.astype(end + "u2").tobytes(), depth=16,
+                          compression=5, predictor=2, tile=(4, 4),
+                          byte_order=end)
+        _, _, px = decode_tiff(enc)
+        assert px.dtype == np.uint16 and np.array_equal(px, w16)
+
+
+def test_tiff_tiled_hostile_bytes():
+    """Bit flips on a tiled planar-2 TIFF raise the typed family or
+    decode benignly — never a foreign exception."""
+    import numpy as np
+    import pytest
+
+    from dolphinbeat_spark.operators.tiff import TiffError, decode_tiff, encode_tiff
+
+    good = encode_tiff(20, 13, bytes(range(13 * 20 * 3 % 256)) * 0
+                       + bytes((i * 7) % 256 for i in range(13 * 20 * 3)),
+                       spp=3, compression=5, predictor=2, planar=2,
+                       tile=(8, 8))
+    rng = np.random.RandomState(31)
+    for _ in range(120):
+        data = bytearray(good)
+        i = int(rng.randint(0, len(data)))
+        data[i] ^= 1 << int(rng.randint(0, 8))
+        try:
+            decode_tiff(bytes(data))
+        except (TiffError, NotImplementedError):
+            pass
+        except Exception as ex:  # pragma: no cover
+            pytest.fail(f"untyped crash on corrupted tiled TIFF: {ex!r}")
+
+
 def test_tiff_typed_errors_and_honest_boundaries():
     import pytest
 
