@@ -682,15 +682,28 @@ def demux_media(df: DataFrame, every: int = 1,
                     if handler is not None and tr["handler"] != handler:
                         continue
                     ts = tr["timescale"] or 1
+                    # Ogg packets spanning pages carry a fragment map;
+                    # everything else is a contiguous byte range
+                    frag_map = tr.get("fragments") or {}
                     for (idx, dts, off, size) in tr["samples"]:
                         if idx % every:
                             continue
-                        if off + size > len(b):
+                        parts = frag_map.get(idx)
+                        if parts is not None:
+                            for (fo, fs) in parts:
+                                if fo + fs > len(b):
+                                    raise Mp4Error(
+                                        f"sample {idx} fragment {fo}+{fs} "
+                                        f"exceeds payload ({len(b)})"
+                                    )
+                            sb = b"".join(b[fo:fo + fs] for fo, fs in parts)
+                        elif off + size > len(b):
                             raise Mp4Error(
                                 f"sample {idx} byte range {off}+{size} "
                                 f"exceeds payload ({len(b)})"
                             )
-                        sb = b[off:off + size]
+                        else:
+                            sb = b[off:off + size]
                         rows.append(
                             (
                                 mid, tr["track_id"], tr["handler"],

@@ -15,10 +15,17 @@ the identification header's rate).
 
 Per-packet rows carry the ENCLOSING PAGE's granule position (that is
 what the container stores — per RFC 3533 granules mark the last
-finished sample of a page; per-packet times need codec decode).
-Packets spanning pages raise by name: the demux contract is
-contiguous byte ranges (md5-able without reassembly), and a spanning
-packet has none.
+finished sample of a page; per-packet times need codec decode; a page
+where no packet completes carries granule -1 per the spec).
+
+Packets SPANNING pages (a 255 lace at page end continues on the next
+page, continuation flag set) are reassembled: real Vorbis
+comment/setup headers routinely exceed one page, so wild ``.ogg``
+files hit this on stream open. A spanning packet's sample row carries
+the FIRST fragment's offset and the TOTAL reassembled size, and the
+track dict gains a ``fragments`` map {sample_idx: [(off, size), …]}
+that ``demux_media`` uses to md5 the reassembled bytes — contiguous
+packets (the overwhelming majority) stay plain byte ranges.
 
 Emits the parse_mp4/parse_mkv track-dict shape, dispatched on the
 payload magic by ``demux_media`` (operators/mp4_demux.py).
@@ -67,12 +74,15 @@ _CODECS = [
 def parse_ogg(data: bytes) -> list[dict]:
     """Ogg -> the parse_mp4/parse_mkv track-dict shape: one track per
     stream serial, samples = [(idx, page_granule, byte_off, size)]
-    per packet."""
+    per packet. Packets spanning pages are reassembled; their
+    fragment ranges land in the track's ``fragments`` map (see the
+    module docstring)."""
     if data[:4] != b"OggS":
         raise OggError("not an Ogg stream (missing OggS capture)")
     pos = 0
     tracks: dict[int, dict] = {}
-    pending: dict[int, int] = {}  # serial -> continued-packet bytes seen
+    #: serial -> [(off, size), …] fragments of the packet in flight
+    pending: dict[int, list[tuple[int, int]]] = {}
     seqs: dict[int, int] = {}
     while pos < len(data):
         if data[pos:pos + 4] != b"OggS":
@@ -124,24 +134,21 @@ def parse_ogg(data: bytes) -> list[dict]:
                 "continuation flag"
             )
         off = body_start
-        run = pending.pop(serial, 0)
-        run_start = off - run if run else None
-        for i, lace in enumerate(segtab):
-            if run == 0:
-                run_start = off
+        frags = pending.pop(serial, [])
+        run_start = off
+        run = 0
+        for lace in segtab:
             run += lace
             off += lace
             if lace < 255:  # packet complete
-                if run_start is None:
-                    run_start = off
-                if (htype & 0x01) and run_start < body_start:
-                    raise NotImplementedError(
-                        "Ogg packet spanning pages not supported (no "
-                        "contiguous byte range to demux)"
-                    )
+                parts = list(frags)
+                if run or not parts:  # this page's contribution
+                    parts.append((run_start, run))
+                frags = []
+                total = sum(sz for _, sz in parts)
                 if t["_first"]:
                     t["_first"] = False
-                    head = data[run_start:run_start + run]
+                    head = b"".join(data[o:o + s] for o, s in parts)
                     for magic, name, ts in _CODECS:
                         if head[:len(magic)] == magic:
                             t["codec"] = name
@@ -154,12 +161,16 @@ def parse_ogg(data: bytes) -> list[dict]:
                             break
                     else:
                         t["codec"] = "unknown"
-                t["samples"].append(
-                    (len(t["samples"]), granule, run_start, run)
-                )
+                idx = len(t["samples"])
+                t["samples"].append((idx, granule, parts[0][0], total))
+                if len(parts) > 1:  # spanned pages: fragment map
+                    t.setdefault("fragments", {})[idx] = parts
                 run = 0
+                run_start = off
         if run:  # unterminated: packet continues on the next page
-            pending[serial] = run
+            frags.append((run_start, run))
+        if frags:
+            pending[serial] = frags
         pos = body_start + body_len
     if pending:
         raise OggError("Ogg stream ends inside a continued packet")
@@ -173,46 +184,77 @@ def parse_ogg(data: bytes) -> list[dict]:
 # --- encoder (fixture generator) --------------------------------------------
 
 
-def encode_ogg(streams: list[dict], packets_per_page: int = 3) -> bytes:
+def encode_ogg(streams: list[dict], packets_per_page: int = 3,
+               max_laces_per_page: int = 255) -> bytes:
     """Format-faithful Ogg writer (fixture generator). Each stream
-    dict: serial, packets (list of bytes), granules (one per PAGE,
-    same length as the resulting page count or computed as the
-    running packet count), optional codec_head (prepended as its own
-    BOS packet). Pages carry ``packets_per_page`` packets each;
-    lacing emits 255-runs with the terminating 0 for exact
-    multiples."""
+    dict: serial, packets (list of bytes), granules (one per packet
+    GROUP of ``packets_per_page``, or computed as the running packet
+    count), optional codec_head (prepended as its own BOS packet).
+    Lacing emits 255-runs with the terminating 0 for exact multiples.
+
+    A group whose lacing exceeds ``max_laces_per_page`` (or the hard
+    255 page cap) SPLITS across pages with the continuation flag —
+    the RFC 3533 spanning-packet layout real Vorbis headers produce;
+    lower the cap to force spanning with small fixtures. Pages where
+    no packet completes carry granule -1 per the spec; the group's
+    granule rides on its final page."""
+    if not 1 <= max_laces_per_page <= 255:
+        raise ValueError("max_laces_per_page must be in 1..255")
     out = bytearray()
     for st in streams:
         serial = st["serial"]
         packets = list(st["packets"])
         if st.get("codec_head"):
             packets.insert(0, st["codec_head"])
-        npages = (len(packets) + packets_per_page - 1) // packets_per_page
+        ngroups = (len(packets) + packets_per_page - 1) // packets_per_page
         granules = st.get("granules") or [
-            (i + 1) * packets_per_page for i in range(npages)
+            (i + 1) * packets_per_page for i in range(ngroups)
         ]
-        if len(granules) != npages:
-            raise ValueError("granules must have one entry per page")
-        for pi in range(npages):
-            group = packets[pi * packets_per_page:(pi + 1) * packets_per_page]
-            htype = 0x02 if pi == 0 else 0
-            if pi == npages - 1:
-                htype |= 0x04
-            segtab = bytearray()
+        if len(granules) != ngroups:
+            raise ValueError("granules must have one entry per packet group")
+        # flatten each group into lace values, then paginate
+        pages: list[tuple[bytearray, bytearray, bool, bool, int]] = []
+        # (segtab, body, continued_in, completes_a_packet, granule)
+        for gi in range(ngroups):
+            group = packets[gi * packets_per_page:(gi + 1) * packets_per_page]
+            seg = bytearray()
             body = bytearray()
+            continued_in = False
+            completes = False
+
+            def flush(cont_next: bool):
+                nonlocal seg, body, continued_in, completes
+                pages.append((seg, body, continued_in, completes,
+                              granules[gi]))
+                seg, body = bytearray(), bytearray()
+                continued_in = cont_next
+                completes = False
+
             for pk in group:
-                n = len(pk)
-                while n >= 255:
-                    segtab.append(255)
-                    n -= 255
-                segtab.append(n)  # includes the terminating 0 case
-                body += pk
-            if len(segtab) > 255:
-                raise ValueError("too many lacing values for one page")
+                laces = [255] * (len(pk) // 255) + [len(pk) % 255]
+                consumed = 0
+                for li, lace in enumerate(laces):
+                    if len(seg) >= max_laces_per_page:
+                        flush(cont_next=li > 0)
+                    seg.append(lace)
+                    body += pk[consumed:consumed + lace]
+                    consumed += lace
+                    if lace < 255:
+                        completes = True
+            flush(cont_next=False)
+        # fix granules: only the LAST page of each group carries the
+        # group granule; handled above via completes/cont flags — now
+        # emit with stream-wide sequence numbers and BOS/EOS flags
+        for pi, (seg, body, cont_in, completes, gran) in enumerate(pages):
+            htype = 0x01 if cont_in else 0
+            if pi == 0:
+                htype |= 0x02
+            if pi == len(pages) - 1:
+                htype |= 0x04
+            g = gran if completes else -1
             hdr = bytearray(b"OggS") + bytes([0, htype])
-            hdr += struct.pack("<qIIIB", granules[pi], serial, pi, 0,
-                               len(segtab))
-            hdr += segtab
+            hdr += struct.pack("<qIIIB", g, serial, pi, 0, len(seg))
+            hdr += seg
             page = hdr + body
             crc = _ogg_crc(bytes(page))
             page[22:26] = struct.pack("<I", crc)

@@ -1051,6 +1051,59 @@ def mm_audio_demux_ogg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_ogg_spanning_packets",
+    # payload = the COMMITTED fixture tests/fixtures/spanning.ogg
+    # (tools/make_ogg_spanning_fixture.py): an Opus stream whose
+    # 1201-byte middle packet SPANS two pages at a 3-lace page cap
+    # (laces [255,255,255] + [255,181]; the no-completion page carries
+    # granule -1 per RFC 3533) — the layout real Vorbis headers
+    # produce, a r9 NotImplementedError boundary. The oracle pins the
+    # md5 of each packet's hex rendering, computed over the
+    # REASSEMBLED fragments.
+    oracle="""
+SELECT *
+FROM (VALUES
+  (0::BIGINT, 11::BIGINT, 'soun', 'opus', 0::BIGINT, 960::BIGINT,
+   960::DOUBLE / 48000, 19::BIGINT,
+   'b9c977a77d966bd59b40cec1d5d25d4d'),
+  (0::BIGINT, 11::BIGINT, 'soun', 'opus', 1::BIGINT, 1920::BIGINT,
+   1920::DOUBLE / 48000, 1201::BIGINT,
+   'f719f1cf8cbad46826e9348d721249be'),
+  (0::BIGINT, 11::BIGINT, 'soun', 'opus', 2::BIGINT, 2880::BIGINT,
+   2880::DOUBLE / 48000, 17::BIGINT,
+   '043839cc15313ee4d02dd8f329c1d132')
+) AS t(media_id, track_id, handler, codec, sample_idx, dts, dts_s,
+       sample_bytes, sample_md5)
+ORDER BY sample_idx
+""",
+    tags=("multimodal", "audio", "demux", "ogg", "spanning"),
+)
+def mm_ogg_spanning_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg spanning-packet reassembly under the oracle gate
+    (operators/ogg_demux.py): continuation-flag pages reassemble into
+    one packet whose demux row carries the total size and the md5 of
+    the stitched bytes. Reads the committed multi-page fixture,
+    independent of sf_dir."""
+    from pathlib import Path
+
+    from dolphinbeat_spark.operators.mp4_demux import demux_media
+
+    raw = (
+        Path(__file__).resolve().parents[2]
+        / "tests" / "fixtures" / "spanning.ogg"
+    ).read_bytes()
+    media = spark.createDataFrame(
+        [(0, bytearray(raw))], "media_id long, payload binary"
+    )
+    return (
+        demux_media(media, digest="hex")
+        .select("media_id", "track_id", "handler", "codec", "sample_idx",
+                "dts", "dts_s", "sample_bytes", "sample_md5")
+        .orderBy("sample_idx")
+    )
+
+
+@register(
     "mm_exif_extract",
     # payload = a real JPEG carrying a real APP1 Exif segment (TIFF
     # IFD chain, operators/exif.py::encode_exif_app1, byte order

@@ -1779,11 +1779,15 @@ def test_ogg_typed_errors_and_spanning_packets():
         pg[22:26] = struct.pack("<I", _ogg_crc(bytes(pg)))
         return bytes(pg)
 
-    # a packet spanning two pages: honest NotImplementedError
-    spanning = (page(0x02, 0, [255], b"a" * 255)
-                + page(0x05, 1, [45], b"a" * 45))
-    with pytest.raises(NotImplementedError, match="spanning"):
-        parse_ogg(spanning)
+    # a packet spanning two pages reassembles (was a r9 boundary)
+    spanning = (page(0x02, 0, [255], b"a" * 255, granule=-1)
+                + page(0x05, 1, [45], b"b" * 45, granule=7))
+    (ts,) = parse_ogg(spanning)
+    (idx, g, off, sz) = ts["samples"][0]
+    assert (idx, g, sz) == (0, 7, 300)
+    parts = ts["fragments"][0]
+    assert b"".join(spanning[o:o + s] for o, s in parts) == \
+        b"a" * 255 + b"b" * 45
     # sequence gap
     gap = page(0x02, 0, [1], b"x") + page(0x04, 2, [1], b"y")
     with pytest.raises(OggError, match="sequence gap"):
@@ -1799,6 +1803,86 @@ def test_ogg_typed_errors_and_spanning_packets():
     # stream ends mid-packet
     with pytest.raises(OggError, match="ends inside"):
         parse_ogg(page(0x02, 0, [255], b"a" * 255))
+
+
+def test_ogg_spanning_reassembly_paths():
+    """The three wild spanning shapes: a >65025-byte packet (MUST span
+    even at the 255-lace page cap), a multi-page packet under a forced
+    small lace cap (3+ fragments), and a BOS identification packet
+    that itself spans (the real Vorbis-header case) — plus granule -1
+    on no-completion pages and hostile-bytes typing."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dolphinbeat_spark.operators.ogg_demux import (
+        OggError, encode_ogg, parse_ogg,
+    )
+
+    vhead = b"\x01vorbis" + bytes(5) + struct.pack("<I", 44100) + bytes(8)
+    huge = bytes((i * 31) % 256 for i in range(70000))
+    ogg = encode_ogg([{"serial": 9, "packets": [huge],
+                       "codec_head": vhead}], packets_per_page=1)
+    (t,) = parse_ogg(ogg)
+    assert t["codec"] == "vorbis" and t["timescale"] == 44100
+    _, _, _, sz = t["samples"][1]
+    parts = t["fragments"][1]
+    assert sz == 70000 and len(parts) == 2
+    assert b"".join(ogg[o:o + s] for o, s in parts) == huge
+
+    big = bytes(range(256)) * 3  # 768 B -> 4+ fragments at lace cap 2
+    ogg2 = encode_ogg(
+        [{"serial": 7, "packets": [big, b"tail"], "codec_head": b"xx"}],
+        packets_per_page=1, max_laces_per_page=2,
+    )
+    (t2,) = parse_ogg(ogg2)
+    _, _, off1, sz1 = t2["samples"][1]
+    assert sz1 == len(big)
+    assert b"".join(ogg2[o:o + s] for o, s in t2["fragments"][1]) == big
+    _, _, off2, sz2 = t2["samples"][2]
+    assert ogg2[off2:off2 + sz2] == b"tail" and 2 not in t2.get("fragments", {})
+
+    bighead = b"\x01vorbis" + bytes(5) + struct.pack("<I", 22050) + bytes(900)
+    ogg3 = encode_ogg([{"serial": 3, "packets": [b"x"],
+                        "codec_head": bighead}],
+                      packets_per_page=1, max_laces_per_page=2)
+    (t3,) = parse_ogg(ogg3)
+    assert t3["codec"] == "vorbis" and t3["timescale"] == 22050
+
+    rng = np.random.RandomState(41)
+    for _ in range(120):
+        data = bytearray(ogg2)
+        i = int(rng.randint(0, len(data)))
+        data[i] ^= 1 << int(rng.randint(0, 8))
+        try:
+            parse_ogg(bytes(data))
+        except (OggError, NotImplementedError):
+            pass
+        except Exception as ex:  # pragma: no cover
+            pytest.fail(f"untyped crash on corrupted spanning Ogg: {ex!r}")
+
+
+def test_demux_media_reassembles_spanning_ogg(spark):
+    """demux_media md5s the REASSEMBLED bytes of a spanning packet
+    (fragment map), with sample_bytes = total size and byte_offset =
+    first fragment."""
+    import hashlib
+
+    from dolphinbeat_spark.operators.mp4_demux import demux_media
+    from dolphinbeat_spark.operators.ogg_demux import encode_ogg
+
+    head = b"OpusHead" + bytes([1, 1]) + bytes(9)
+    big = bytes((i * 13) % 256 for i in range(600))
+    rows = [(4, bytearray(encode_ogg(
+        [{"serial": 3, "packets": [big, b"after"], "codec_head": head}],
+        packets_per_page=1, max_laces_per_page=2,
+    )))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.sample_idx: r for r in demux_media(df).collect()}
+    assert got[1].sample_bytes == 600
+    assert got[1].sample_md5 == hashlib.md5(big).hexdigest()
+    assert got[2].sample_md5 == hashlib.md5(b"after").hexdigest()
 
 
 def test_demux_media_sniffs_ogg(spark):
