@@ -1311,14 +1311,16 @@ def encode_gif(width: int, height: int, indices: bytes) -> bytes:
 
 
 def decode_ico(data: bytes) -> tuple[int, int, np.ndarray]:
-    """ICO (favicon) → the LARGEST contained image, decoded. Each
-    directory entry is either an embedded PNG (sniffed by magic —
-    the modern high-res layout) or a headerless DIB whose
-    BITMAPINFOHEADER declares DOUBLED height (XOR color rows + the
-    1-bit AND transparency mask, which is dropped — output is RGB):
-    decoded by wrapping the DIB in a synthetic BMP file header with
-    the height patched back to the image half, reusing decode_bmp's
-    full palette/RLE/depth matrix."""
+    """ICO (favicon) → the LARGEST contained image as HxWx4 RGBA.
+    Each directory entry is either an embedded PNG (sniffed by magic
+    — the modern high-res layout; missing channels normalized to
+    RGBA) or a headerless DIB whose BITMAPINFOHEADER declares DOUBLED
+    height: XOR color rows (decoded by wrapping the DIB in a
+    synthetic BMP header with the height patched back, reusing
+    decode_bmp's full palette/RLE/depth matrix) followed by the 1-bit
+    AND transparency mask, which becomes the alpha plane (mask bit 1
+    = transparent) — so favicon dedup never hashes away transparency
+    differences. A truncated/absent mask degrades to opaque."""
     if len(data) < 6 or data[:4] != b"\x00\x00\x01\x00":
         raise ValueError("not an ICO payload")
     (count,) = struct.unpack_from("<H", data, 4)
@@ -1337,8 +1339,28 @@ def decode_ico(data: bytes) -> tuple[int, int, np.ndarray]:
             best = (w, h, off, size)
     _, _, off, size = best
     blob = data[off:off + size]
+
+    def rgba(w: int, h: int, px: np.ndarray,
+             alpha: np.ndarray | None) -> tuple[int, int, np.ndarray]:
+        full = 65535 if px.dtype.itemsize > 1 else 255
+        c = px.shape[2]
+        if c == 1:  # gray
+            px = np.repeat(px, 3, axis=2)
+        elif c == 2:  # gray + alpha
+            alpha = px[:, :, 1:]
+            px = np.repeat(px[:, :, :1], 3, axis=2)
+        elif c == 4:  # alpha already present wins over the AND mask
+            alpha = px[:, :, 3:]
+            px = px[:, :, :3]
+        if alpha is None:
+            alpha = np.full((h, w, 1), full, dtype=px.dtype)
+        return w, h, np.concatenate(
+            [px, alpha.astype(px.dtype)], axis=2
+        )
+
     if blob[:8] == _PNG_SIG:
-        return decode_png(blob)
+        w, h, px = decode_png(blob)
+        return rgba(w, h, px, None)
     # headerless DIB: patch the doubled height, wrap in a BM header
     if len(blob) < 40:
         raise ValueError("ICO DIB truncated")
@@ -1353,7 +1375,23 @@ def decode_ico(data: bytes) -> tuple[int, int, np.ndarray]:
     patched = bytearray(blob)
     patched[8:12] = struct.pack("<i", h)
     hdr = struct.pack("<2sIHHI", b"BM", 14 + len(blob), 0, 0, pix_off)
-    return decode_bmp(hdr + bytes(patched))
+    w, h, px = decode_bmp(hdr + bytes(patched))
+    # the AND mask: 1-bit rows padded to 32-bit boundaries, bottom-up,
+    # AFTER the XOR rows (only reachable for uncompressed DIBs — RLE
+    # sizes vary, and wild RLE icons are essentially extinct)
+    alpha = None
+    if comp == 0 and bpp in (1, 4, 8, 16, 24, 32):
+        xor_stride = (w * bpp + 31) // 32 * 4
+        mask_off = pix_off - 14 + xor_stride * h
+        mask_stride = (w + 31) // 32 * 4
+        if mask_off + mask_stride * h <= len(blob):
+            rows = np.frombuffer(
+                blob, np.uint8, count=mask_stride * h, offset=mask_off
+            ).reshape(h, mask_stride)
+            bits = np.unpackbits(rows, axis=1)[:, :w]  # MSB-first
+            alpha = np.where(bits[::-1], 0, 255).astype(np.uint8)
+            alpha = alpha.reshape(h, w, 1)
+    return rgba(w, h, px, alpha)
 
 
 def decode_gif(data: bytes) -> tuple[int, int, np.ndarray]:

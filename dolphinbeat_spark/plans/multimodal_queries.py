@@ -2123,7 +2123,10 @@ def mm_id3_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_decode_ico",
     # payload = a REAL two-entry ICO: a 2x2 classic DIB decoy and the
     # 8x4 PNG (the doc's 96-byte md5 pattern) the largest-entry rule
-    # must pick — same closed form as mm_decode_png.
+    # must pick. ICO decode is ALWAYS RGBA (r10: the AND mask is the
+    # alpha plane; an opaque PNG normalizes to A=255), so the oracle
+    # interleaves each RGB triplet with FF and pins md5 of the hex
+    # rendering (digest='hex': alpha bytes are non-ASCII).
     oracle="""
 WITH p AS (
   SELECT doc_id AS media_id,
@@ -2135,9 +2138,11 @@ SELECT media_id,
        CAST(8 AS BIGINT) AS width,
        CAST(4 AS BIGINT) AS height,
        CAST(list_sum(list_transform(range(1, 97),
-            i -> ord(substr(pattern, CAST(i AS INTEGER), 1)))) AS BIGINT)
-           AS pixel_sum,
-       md5(pattern) AS pixel_md5
+            i -> ord(substr(pattern, CAST(i AS INTEGER), 1))))
+            + 32 * 255 AS BIGINT) AS pixel_sum,
+       md5(lower(list_aggregate(list_transform(range(0, 32),
+            j -> hex(substr(pattern, CAST(3 * j + 1 AS INTEGER), 3))
+                 || 'FF'), 'string_agg', ''))) AS pixel_md5
 FROM p
 ORDER BY media_id
 """,
@@ -2147,7 +2152,7 @@ def mm_decode_ico(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ICO (favicon) decode under the oracle gate: directory walk,
     largest-entry selection, and both embedded layouts (PNG by magic,
     classic doubled-height DIB via the BMP matrix) through the same
-    decode_media slot."""
+    decode_media slot — RGBA output, opaque alpha normalized in."""
     import hashlib
     import struct
 
@@ -2176,7 +2181,76 @@ def mm_decode_ico(spark: SparkSession, sf_dir: str) -> DataFrame:
                          row_filters=[0, 1, 2, 3])
         rows.append((i, bytearray(build_ico([(2, 2, dib), (8, 4, png)]))))
     media = spark.createDataFrame(rows, "media_id long, payload binary")
-    return M.decode_media(media).orderBy("media_id")
+    return M.decode_media(media, digest="hex").orderBy("media_id")
+
+
+@register(
+    "mm_decode_ico_mask",
+    # payload = a single-entry classic-DIB ICO: a 4x4 24-bit XOR image
+    # from the doc pattern's first 48 bytes, followed by a REAL 1-bit
+    # AND mask making pixel (r,c) transparent iff (r+c) is even — the
+    # checkerboard every masked favicon reduces to. The oracle
+    # rebuilds the RGBA byte stream (alpha 00/FF per the mask) and
+    # pins md5 of its hex rendering; pre-r10 the mask was dropped and
+    # two icons differing only in transparency hashed identically.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 29 = 13
+)
+SELECT media_id,
+       'ico' AS fmt,
+       CAST(4 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       CAST(list_sum(list_transform(range(1, 49),
+            i -> ord(substr(pattern, CAST(i AS INTEGER), 1))))
+            + 8 * 255 AS BIGINT) AS pixel_sum,
+       md5(lower(list_aggregate(list_transform(range(0, 16),
+            j -> hex(substr(pattern, CAST(3 * j + 1 AS INTEGER), 3))
+                 || CASE WHEN ((j // 4) + (j % 4)) % 2 = 0
+                         THEN '00' ELSE 'FF' END),
+            'string_agg', ''))) AS pixel_md5
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "codec", "ico", "alpha"),
+)
+def mm_decode_ico_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICO AND-mask transparency under the oracle gate: the 1-bit
+    mask rows (32-bit-padded, bottom-up, after the XOR rows) become
+    the alpha plane — closing the r9 verdict's item 7."""
+    import hashlib
+    import struct
+
+    def build_ico(blob, w, h):
+        out = bytearray(b"\x00\x00\x01\x00" + struct.pack("<H", 1))
+        out += bytes([w % 256, h % 256, 0, 0])
+        out += struct.pack("<HHII", 1, 32, len(blob), 6 + 16)
+        return bytes(out) + blob
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 13)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
+        rgb = pattern[:48]
+        # XOR rows: bottom-up, BGR; 4px * 3B = 12B row, 4-byte aligned
+        xor = b"".join(
+            b"".join(rgb[(r * 4 + c) * 3:(r * 4 + c) * 3 + 3][::-1]
+                     for c in range(4))
+            for r in (3, 2, 1, 0)
+        )
+        # AND mask: bit 1 = transparent at (r+c) even; bottom-up rows
+        mask = b"".join(
+            bytes([0xA0 if r % 2 == 0 else 0x50, 0, 0, 0])
+            for r in (3, 2, 1, 0)
+        )
+        dib = struct.pack("<IiiHHIIiiII", 40, 4, 8, 1, 24,
+                          0, 0, 0, 0, 0, 0) + xor + mask
+        rows.append((i, bytearray(build_ico(dib, 4, 4))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return M.decode_media(media, digest="hex").orderBy("media_id")
 
 
 # the 89-entry IMA step table + 16-entry index table as SQL array

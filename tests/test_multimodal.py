@@ -2966,8 +2966,10 @@ def test_id3_extract_spark(spark):
 
 def test_ico_decode_both_entry_kinds():
     """ICO entries decode whether they embed a PNG (modern) or a
-    headerless doubled-height DIB (classic, AND mask dropped); the
-    largest entry wins."""
+    headerless doubled-height DIB (classic); output is ALWAYS RGBA —
+    the 1-bit AND mask becomes the alpha plane (bit 1 = transparent),
+    so favicon dedup keeps transparency differences; the largest
+    entry wins."""
     import struct
 
     import numpy as np
@@ -2994,12 +2996,30 @@ def test_ico_decode_both_entry_kinds():
     stride = (4 * 3 + 3) // 4 * 4
     body = b"".join(dibpx[y][:, ::-1].tobytes() + bytes(stride - 12)
                     for y in (1, 0))
+    # AND mask: row 0 of the IMAGE = 0b1010.... (px 0 and 2
+    # transparent), row 1 opaque; rows stored bottom-up, 4-byte stride
+    mask = bytes([0x00, 0, 0, 0]) + bytes([0xA0, 0, 0, 0])
     dib = struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 24, 0, 0, 0, 0, 0, 0) \
-        + body + bytes(8)  # AND mask rows
+        + body + mask
     w, h, px = decode_ico(build_ico([(4, 2, dib), (32, 32, png)]))
-    assert (w, h) == (32, 32) and np.array_equal(px, img)
+    assert (w, h) == (32, 32) and px.shape == (32, 32, 4)
+    assert np.array_equal(px[:, :, :3], img)
+    assert np.all(px[:, :, 3] == 255)  # opaque PNG normalizes to A=255
     w, h, px = decode_ico(build_ico([(4, 2, dib)]))
-    assert (w, h) == (4, 2) and np.array_equal(px, dibpx)
+    assert (w, h) == (4, 2) and px.shape == (2, 4, 4)
+    assert np.array_equal(px[:, :, :3], dibpx)
+    assert px[0, :, 3].tolist() == [0, 255, 0, 255]  # masked row
+    assert px[1, :, 3].tolist() == [255] * 4
+    # an RGBA PNG entry keeps its own alpha
+    rgba = rng.randint(0, 256, (8, 8, 4), dtype=np.uint8)
+    png4 = encode_png(8, 8, rgba.tobytes(), color_type=6)
+    w, h, px = decode_ico(build_ico([(8, 8, png4)]))
+    assert np.array_equal(px, rgba)
+    # a mask-less (truncated-mask) DIB degrades to opaque
+    nomask = struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 24, 0, 0, 0, 0, 0, 0) \
+        + body
+    _, _, px = decode_ico(build_ico([(4, 2, nomask)]))
+    assert np.all(px[:, :, 3] == 255)
     with pytest.raises(ValueError, match="not an ICO"):
         decode_ico(b"\x00\x00\x02\x00")
     with pytest.raises(ValueError, match="overruns"):
