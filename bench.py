@@ -356,7 +356,8 @@ def sf1_section(spark, sf_dir: str, specs) -> dict:
 
 
 def sf100_section(spark, sf_dir: str, specs) -> dict:
-    """Opt-in (SPARK_GRAFT_BENCH_SF100=1) 100× scale probe — the
+    """100× scale probe (default-on since r10; SPARK_GRAFT_SKIP_SF100=1
+    skips) — the
     BASELINE.md §C one-off folded into the bench so the evidence is a
     shipped artifact instead of a manually-transcribed row. Times the
     _SCALE_SET queries best-of-2 against a cached 100× key-shifted
@@ -506,13 +507,17 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001 - evidence, not a gate
             sf1 = {"error": f"{type(ex).__name__}: {ex}"}
 
-    if os.environ.get("SPARK_GRAFT_BENCH_SF100") == "1":
+    # default-ON since r10 so the 100x fingerprints live in the
+    # driver's own BENCH artifact; SPARK_GRAFT_SKIP_SF100=1 skips
+    # (SPARK_GRAFT_BENCH_SF100=1 still force-enables for back-compat)
+    if os.environ.get("SPARK_GRAFT_SKIP_SF100") == "1" and \
+            os.environ.get("SPARK_GRAFT_BENCH_SF100") != "1":
+        sf100 = {"skipped": True}
+    else:
         try:
             sf100 = sf100_section(spark, sf_dir, specs)
         except Exception as ex:  # noqa: BLE001 - evidence, not a gate
             sf100 = {"error": f"{type(ex).__name__}: {ex}"}
-    else:
-        sf100 = {"skipped": True}
 
     total = round(sum(timings.values()), 3)
     # round-over-round comparability: new bench specs added in later

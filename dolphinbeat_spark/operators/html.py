@@ -107,8 +107,12 @@ class HtmlDoc:
         return self.link_text_chars / max(self.text_chars, 1)
 
 
-def _find_ci(haystack: str, needle: str, start: int) -> int:
-    return haystack.lower().find(needle, start)
+def _find_ci(haystack_lower: str, needle: str, start: int) -> int:
+    """Case-insensitive find over a PRE-LOWERED haystack — lowering is
+    done once per document in html_to_text, not per raw-text element
+    (a page with k script tags would otherwise lowercase the whole
+    document k times: quadratic on real pages)."""
+    return haystack_lower.find(needle, start)
 
 
 def _scan_tag(html: str, pos: int) -> tuple[str | None, bool, bool, int]:
@@ -146,6 +150,7 @@ def html_to_text(html: str) -> HtmlDoc:
     """Extract title + visible text + link signals from an HTML
     string. See the module docstring for the exact rules."""
     n = len(html)
+    html_lower = html.lower()  # once: raw-text close-tag scans are CI
     pos = 0
     lines: list[list[str]] = [[]]  # current line is lines[-1]
     title_parts: list[str] = []
@@ -195,14 +200,14 @@ def html_to_text(html: str) -> HtmlDoc:
             continue
         pos = after
         if not closing and name in RAW_TEXT_TAGS and not self_closing:
-            close = _find_ci(html, f"</{name}", pos)
+            close = _find_ci(html_lower, f"</{name}", pos)
             if close < 0:
                 break  # raw text to EOF
             gt = html.find(">", close)
             pos = n if gt < 0 else gt + 1
             continue
         if not closing and name == "title" and not self_closing:
-            close = _find_ci(html, "</title", pos)
+            close = _find_ci(html_lower, "</title", pos)
             raw = html[pos:] if close < 0 else html[pos:close]
             title_parts.append(raw)
             if close < 0:

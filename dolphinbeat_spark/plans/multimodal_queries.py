@@ -1548,6 +1548,63 @@ def mm_pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_archive_pdf_text",
+    # the bundled-corpus decode chain: each doc ships as a ZIP
+    # (forced-Zip64 on odd ids) holding notes.txt + doc.pdf; the
+    # pipeline enumerates members in BINARY mode, routes *.pdf
+    # payloads into the PDF text extractor, and emits per-page text —
+    # exactly how a tar/zip-of-PDFs corpus flows at 100 TB. The
+    # oracle rebuilds the single page's text from token slices.
+    oracle=r"""
+WITH p AS (
+  SELECT doc_id AS media_id, CAST(doc_id AS VARCHAR) AS i,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE doc_id % 25 = 11
+)
+SELECT media_id, 0::BIGINT AS page_idx, 1::BIGINT AS n_pages,
+       'Bundle ' || i AS title,
+       'Doc ' || i || ' from bundle' || chr(10)
+         || array_to_string(list_slice(toks, 1, 6), ' ') || chr(10)
+         || array_to_string(list_slice(toks, 7, 10), ' ') AS page_text
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "pdf", "archive", "pipeline", "ingest"),
+)
+def pipeline_archive_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive→PDF decode chain under the oracle gate: read_archive
+    in binary mode (member bytes as payload) → Catalyst name filter →
+    pdf_extract — two Arrow stages with a JVM filter between, no
+    driver round-trip of member bytes. ZIPs cycle classic/Zip64 and
+    the PDFs cycle classic/stream xref per doc parity."""
+    from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_extract
+    from dolphinbeat_spark.sources.archives import encode_zip, read_archive
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 11)
+    docs = sorted((r["doc_id"], r["text"]) for r in
+                  d.select("doc_id", "text").collect())
+    rows = []
+    for did, text in docs:
+        toks = text.strip().split()
+        pdf = encode_pdf(
+            [[f"Doc {did} from bundle", " ".join(toks[0:6]),
+              " ".join(toks[6:10])]],
+            title=f"Bundle {did}", xref_stream=bool(did % 2),
+        )
+        z = encode_zip(
+            [("notes.txt", b"not a pdf"), ("doc.pdf", pdf)],
+            zip64=bool(did % 2),
+        )
+        rows.append((did, bytearray(z)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    members = read_archive(media, binary=True)
+    pdfs = members.filter(F.col("name").endswith(".pdf")).select(
+        "media_id", "payload"
+    )
+    return pdf_extract(pdfs).orderBy("media_id", "page_idx")
+
+
+@register(
     "archive_zip64_members",
     # payload = the COMMITTED forced-Zip64 fixture
     # tests/fixtures/zip64.zip (tools/make_zip64_fixture.py —

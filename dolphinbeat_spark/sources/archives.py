@@ -35,6 +35,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -209,12 +210,32 @@ ARCHIVE_SCHEMA = StructType(
     ]
 )
 
+ARCHIVE_BINARY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("member_idx", LongType()),
+        StructField("archive_fmt", StringType()),
+        StructField("name", StringType()),
+        StructField("size", LongType()),
+        StructField("member_md5", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
 
-def read_archive(df: DataFrame, text_limit: int = 1 << 20) -> DataFrame:
+
+def read_archive(df: DataFrame, text_limit: int = 1 << 20,
+                 binary: bool = False) -> DataFrame:
     """(media_id, payload) -> one row per archive member (ZIP or TAR
-    by magic), with size, md5, and a capped UTF-8 text rendering —
-    the member relation stays shuffle-cheap; route the byte range
-    back through the codec ops when a member is binary media."""
+    by magic), with size and md5. Default mode renders members as a
+    capped UTF-8 ``text`` column — shuffle-cheap, for text corpora.
+    ``binary=True`` emits the member BYTES as ``payload`` instead —
+    the decode-chain mode: the member relation feeds straight into
+    the codec operators (pdf_extract / decode_media / demux_media),
+    which is how a bundled corpus (tar of PDFs, zip of images)
+    actually flows at 100 TB. Rows stay one-member-each, so Spark can
+    repartition the decode stage independently of archive boundaries."""
+
+    schema = ARCHIVE_BINARY_SCHEMA if binary else ARCHIVE_SCHEMA
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -227,16 +248,19 @@ def read_archive(df: DataFrame, text_limit: int = 1 << 20) -> DataFrame:
                 else:
                     fmt, members = "tar", iter_tar_members(b)
                 for i, (name, content) in enumerate(members):
+                    tail = (
+                        bytearray(content) if binary
+                        else content[:text_limit].decode("utf-8", "replace")
+                    )
                     rows.append((
                         mid, i, fmt, name, len(content),
-                        hashlib.md5(content).hexdigest(),
-                        content[:text_limit].decode("utf-8", "replace"),
+                        hashlib.md5(content).hexdigest(), tail,
                     ))
             yield pd.DataFrame(
-                rows, columns=[f.name for f in ARCHIVE_SCHEMA.fields]
+                rows, columns=[f.name for f in schema.fields]
             )
 
-    return df.mapInPandas(batches, ARCHIVE_SCHEMA)
+    return df.mapInPandas(batches, schema)
 
 
 # --- writers (fixture generators) ---------------------------------------------

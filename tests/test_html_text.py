@@ -96,6 +96,35 @@ def test_html_attributes_quote_aware():
     assert d.text == "kept"
 
 
+def test_html_hostile_text_never_raises():
+    """The extractor's contract on wild HTML is total: ANY string in,
+    extraction out — no exception may escape (a 100 TB ingest job must
+    not die on tag soup). 300 random mutations of a real page plus
+    pathological constructions."""
+    import random
+
+    base = (
+        '<!DOCTYPE html><html><head><title>T</title><script>x="<p>"'
+        "</script></head><body><p>hello &amp; world</p>"
+        "<a href='/x'>link</a><ul><li>a<li>b</ul></body></html>"
+    )
+    rng = random.Random(13)
+    alphabet = "<>/&#;!\"'= abAB\x00 \U0001F600"
+    for _ in range(300):
+        s = list(base)
+        for _ in range(rng.randint(1, 8)):
+            i = rng.randrange(len(s))
+            s[i] = rng.choice(alphabet)
+        d = html_to_text("".join(s))
+        assert isinstance(d.text, str) and 0.0 <= d.link_density <= 1.0
+    # pathological shapes
+    for evil in ("<" * 5000, "&" * 5000, "<!--" * 100, "<script>" * 50,
+                 "<a " * 1000, "\udcff<p>lone surrogate</p>",
+                 "<p" + " x='y'" * 2000, "&#xFFFFFFFFF;</p>"):
+        d = html_to_text(evil)
+        assert isinstance(d.text, str)
+
+
 def test_html_extract_spark(spark):
     rows = [
         (1, "<html><head><title>A</title></head><body><p>one</p>"
