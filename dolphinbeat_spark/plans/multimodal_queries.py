@@ -1548,6 +1548,99 @@ def mm_pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_crawl_mixed_media",
+    # a real crawl is not all HTML: each doc's WARC carries an HTML
+    # 200 response AND an application/pdf 200 response. The pipeline
+    # reads the WARC TWICE from the same payload column — text mode
+    # (charset-decoded) routes text/html bodies into the HTML
+    # extractor; binary mode routes application/pdf bodies into the
+    # PDF extractor — and unions the per-document text. The oracle
+    # rebuilds both sides from token slices.
+    oracle=r"""
+WITH p AS (
+  SELECT doc_id AS media_id, CAST(doc_id AS VARCHAR) AS i,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE doc_id % 25 = 17
+)
+SELECT media_id, 'html' AS kind, 'Page ' || i AS title,
+       'Crawl doc ' || i || chr(10)
+         || array_to_string(list_slice(toks, 1, 5), ' ') AS text
+FROM p
+UNION ALL
+SELECT media_id, 'pdf', 'Attachment ' || i,
+       'PDF doc ' || i || chr(10)
+         || array_to_string(list_slice(toks, 6, 10), ' ')
+FROM p
+ORDER BY media_id, kind
+""",
+    tags=("multimodal", "pdf", "html", "warc", "pipeline", "ingest"),
+)
+def pipeline_crawl_mixed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-media crawl ingestion under the oracle gate: one WARC,
+    two content types, two decode paths — read_warc text mode →
+    html_extract for text/html, read_warc binary mode → pdf_extract
+    for application/pdf — unioned into a per-document text relation.
+    This is the actual shape of a Common Crawl segment (HTML + PDF +
+    images interleaved) flowing into the text pipeline."""
+    from dolphinbeat_spark.operators.html import html_extract
+    from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_extract
+    from dolphinbeat_spark.sources.warc import encode_warc, read_warc
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 17)
+    docs = sorted((r["doc_id"], r["text"]) for r in
+                  d.select("doc_id", "text").collect())
+    rows = []
+    for did, text in docs:
+        toks = text.strip().split()
+        page = (
+            f"<html><head><title>Page {did}</title></head>"
+            f"<body><h1>Crawl doc {did}</h1>"
+            f"<p>{' '.join(toks[0:5])}</p></body></html>"
+        )
+        pdf = encode_pdf(
+            [[f"PDF doc {did}", " ".join(toks[5:10])]],
+            title=f"Attachment {did}", xref_stream=bool(did % 2),
+        )
+        date = "2024-04-01T00:00:00Z"
+        recs = [
+            {"type": "response", "record_id": f"<urn:uuid:{did}-h>",
+             "target_uri": f"http://ex.com/{did}", "date": date,
+             "content": page.encode(),
+             "http": {"status": 200, "content_type": "text/html"}},
+            {"type": "response", "record_id": f"<urn:uuid:{did}-p>",
+             "target_uri": f"http://ex.com/{did}/doc.pdf", "date": date,
+             "content": pdf,
+             "http": {"status": 200, "content_type": "application/pdf"}},
+        ]
+        rows.append((did, bytearray(encode_warc(recs,
+                                                gzip_members=bool(did % 2)))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    html_side = (
+        read_warc(media)
+        .filter((F.col("http_status") == 200)
+                & F.col("content_type").startswith("text/html"))
+        .select("media_id", "body_text")
+    )
+    html_out = html_extract(
+        html_side, id_col="media_id", html_col="body_text"
+    ).select(
+        F.col("doc_id").alias("media_id"), F.lit("html").alias("kind"),
+        "title", "text",
+    )
+    pdf_side = (
+        read_warc(media, binary=True)
+        .filter((F.col("http_status") == 200)
+                & (F.col("content_type") == "application/pdf"))
+        .select("media_id", F.col("body").alias("payload"))
+    )
+    pdf_out = pdf_extract(pdf_side).select(
+        "media_id", F.lit("pdf").alias("kind"), "title",
+        F.col("page_text").alias("text"),
+    )
+    return html_out.unionByName(pdf_out).orderBy("media_id", "kind")
+
+
+@register(
     "pipeline_archive_pdf_text",
     # the bundled-corpus decode chain: each doc ships as a ZIP
     # (forced-Zip64 on odd ids) holding notes.txt + doc.pdf; the

@@ -35,6 +35,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -152,8 +153,25 @@ WARC_SCHEMA = StructType(
     ]
 )
 
+WARC_BINARY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("record_idx", LongType()),
+        StructField("warc_type", StringType()),
+        StructField("record_id", StringType()),
+        StructField("target_uri", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("http_status", LongType()),
+        StructField("content_type", StringType()),
+        StructField("body_len", LongType()),
+        StructField("body_md5", StringType()),
+        StructField("body", BinaryType()),
+    ]
+)
 
-def read_warc(df: DataFrame, text_limit: int = 1 << 20) -> DataFrame:
+
+def read_warc(df: DataFrame, text_limit: int = 1 << 20,
+              binary: bool = False) -> DataFrame:
     """(media_id, payload) -> one row per WARC record. For
     ``application/http`` payloads the HTTP envelope is split off:
     http_status/content_type come from it and body stats cover the
@@ -164,8 +182,16 @@ def read_warc(df: DataFrame, text_limit: int = 1 << 20) -> DataFrame:
     windows-1252 fallback), and the ``charset`` column reports the
     encoding actually used — legacy-encoded pages (latin-1-labeled
     cp1252, Shift_JIS, GBK, …) round-trip exactly instead of turning
-    into U+FFFD soup that poisons downstream dedup hashes."""
+    into U+FFFD soup that poisons downstream dedup hashes.
+
+    ``binary=True`` emits the raw entity-body BYTES as ``body``
+    instead (no charset decode) — the decode-chain mode for the
+    non-text share of a crawl: PDF responses route into pdf_extract,
+    image responses into decode_media, exactly as archive members do
+    via read_archive(binary=True)."""
     from dolphinbeat_spark.sources.charset import detect_and_decode
+
+    schema = WARC_BINARY_SCHEMA if binary else WARC_SCHEMA
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -180,19 +206,22 @@ def read_warc(df: DataFrame, text_limit: int = 1 << 20) -> DataFrame:
                     if ctype and ctype.split(";")[0].strip() \
                             == "application/http":
                         status, ctype, body = _split_http(content)
-                    text, charset = detect_and_decode(body, ctype)
-                    rows.append((
+                    base = (
                         mid, i, h.get("warc-type"), h.get("warc-record-id"),
                         h.get("warc-target-uri"), h.get("warc-date"),
                         status, ctype, len(body),
                         hashlib.md5(body).hexdigest(),
-                        text[:text_limit], charset,
-                    ))
+                    )
+                    if binary:
+                        rows.append(base + (bytearray(body),))
+                    else:
+                        text, charset = detect_and_decode(body, ctype)
+                        rows.append(base + (text[:text_limit], charset))
             yield pd.DataFrame(
-                rows, columns=[f.name for f in WARC_SCHEMA.fields]
+                rows, columns=[f.name for f in schema.fields]
             )
 
-    return df.mapInPandas(batches, WARC_SCHEMA)
+    return df.mapInPandas(batches, schema)
 
 
 # --- writer (fixture generator) ----------------------------------------------
