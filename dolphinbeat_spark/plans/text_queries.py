@@ -529,6 +529,80 @@ def pipeline_warc_html_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_url_canonicalize",
+    # three URL shapes per doc exercise every canonicalization rule:
+    # [0] uppercase scheme/host + default :80 + tracking params mixed
+    #     with real ones + fragment, on a second-level public suffix
+    #     (.co.uk -> 3-label registrable domain)
+    # [1] default :443 + empty path + all-tracking query (drops to
+    #     '' -> bare '/')
+    # [2] userinfo + NON-default port (kept) + params that must keep
+    #     their order.
+    # The oracle states the expected outputs in closed form from the
+    # same template pieces.
+    oracle="""
+WITH p AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+         CAST(doc_id % 5 AS VARCHAR) AS m
+  FROM documents WHERE doc_id % 10 = 4
+), v(k) AS (VALUES (0), (1), (2))
+SELECT doc_id, CAST(k AS BIGINT) AS variant,
+       CASE k
+         WHEN 0 THEN 'http://www.site' || m || '.co.uk/A/' || i
+                     || '?q=' || i || '&keep=1'
+         WHEN 1 THEN 'https://blog.example' || m || '.com/'
+         ELSE 'https://cdn.host' || m || '.io:8443/x%20y?b=2&a=1'
+       END AS canonical,
+       CASE k
+         WHEN 0 THEN 'www.site' || m || '.co.uk'
+         WHEN 1 THEN 'blog.example' || m || '.com'
+         ELSE 'cdn.host' || m || '.io'
+       END AS host,
+       CASE k
+         WHEN 0 THEN 'site' || m || '.co.uk'
+         WHEN 1 THEN 'example' || m || '.com'
+         ELSE 'host' || m || '.io'
+       END AS domain
+FROM p CROSS JOIN v
+ORDER BY doc_id, variant
+""",
+    tags=("text", "url", "ingest"),
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization under the oracle gate (operators/urls.py,
+    pure Catalyst — zero Python in the row path): lowercased scheme/
+    host, userinfo + fragment dropped, default ports stripped,
+    tracking parameters scrubbed with order preserved, empty path →
+    '/', plus the registrable-domain (eTLD+1) key with second-level
+    public suffixes — the identity/quota keys a crawl pipeline groups
+    and dedups on. Map-only at any scale."""
+    from dolphinbeat_spark.operators import urls as U
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 4)
+    i = F.col("doc_id").cast("string")
+    m = (F.col("doc_id") % 5).cast("string")
+    shapes = F.array(
+        F.concat(F.lit("HTTP://WWW.Site"), m, F.lit(".CO.UK:80/A/"), i,
+                 F.lit("?utm_source=news&q="), i,
+                 F.lit("&fbclid=x&keep=1#top")),
+        F.concat(F.lit("https://Blog.Example"), m,
+                 F.lit(".com:443?gclid=1")),
+        F.concat(F.lit("https://user:pw@cdn.Host"), m,
+                 F.lit(".io:8443/x%20y?b=2&a=1")),
+    )
+    exploded = d.select(
+        "doc_id", F.posexplode(shapes).alias("variant", "url")
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("variant").cast("bigint").alias("variant"),
+        U.canonical_url("url").alias("canonical"),
+        U.url_host("url").alias("host"),
+        U.registrable_domain("url").alias("domain"),
+    ).orderBy("doc_id", "variant")
+
+
+@register(
     "text_chunking",
     oracle=rf"""
 WITH t AS (
