@@ -54,6 +54,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -82,6 +83,8 @@ INVISIBLE_TAGS = frozenset(("noscript", "template", "svg", "iframe", "object"))
 
 _WS_RE = re.compile("[\\s\u00a0]+")  # \s is Unicode-aware, NBSP explicit for readers
 _NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9-]*")
+#: matched against the LOWERED raw meta-tag slice
+_META_ROBOTS_RE = re.compile(r"""name\s*=\s*["']?\s*robots\b""")
 
 
 def _collapse(s: str) -> str:
@@ -91,12 +94,20 @@ def _collapse(s: str) -> str:
 
 @dataclass
 class HtmlDoc:
-    """Result of :func:`html_to_text`."""
+    """Result of :func:`html_to_text`. ``lines`` carries the per-line
+    decomposition [(line_text, line_link_chars), …] — line_link_chars
+    is the collapsed length of the line's anchor-text segments, the
+    jusText-style per-line boilerplate signal (a nav/footer line is
+    mostly links; body prose is not). ``robots_noindex`` is True when
+    a ``<meta name=robots>`` in the head declares ``noindex`` — pages
+    a compliant corpus pipeline must drop."""
 
     title: str | None
     text: str
     n_links: int
     link_text_chars: int
+    lines: list[tuple[str, int]] = None  # type: ignore[assignment]
+    robots_noindex: bool = False
 
     @property
     def text_chars(self) -> int:
@@ -152,20 +163,22 @@ def html_to_text(html: str) -> HtmlDoc:
     n = len(html)
     html_lower = html.lower()  # once: raw-text close-tag scans are CI
     pos = 0
-    lines: list[list[str]] = [[]]  # current line is lines[-1]
+    #: current line is lines[-1]; each part is (text, was_inside_link)
+    lines: list[list[tuple[str, bool]]] = [[]]
     title_parts: list[str] = []
     in_head = False
     invis_depth = 0
     a_depth = 0
     n_links = 0
     link_text_chars = 0
+    robots_noindex = False
     link_buf: list[str] = []
 
     def emit(raw: str) -> None:
         if in_head or invis_depth > 0 or not raw:
             return
         decoded = _htmllib.unescape(raw)
-        lines[-1].append(decoded)
+        lines[-1].append((decoded, a_depth > 0))
         if a_depth > 0:
             link_buf.append(decoded)
 
@@ -215,6 +228,12 @@ def html_to_text(html: str) -> HtmlDoc:
             gt = html.find(">", close)
             pos = n if gt < 0 else gt + 1
             continue
+        if name == "meta" and not closing and not robots_noindex:
+            # robots directive sniff on the raw tag slice (HTML §4.2.5)
+            tag = html_lower[lt:after]
+            if _META_ROBOTS_RE.search(tag) and "noindex" in tag:
+                robots_noindex = True
+            continue
         if name in INVISIBLE_TAGS:
             if self_closing:
                 continue
@@ -239,15 +258,21 @@ def html_to_text(html: str) -> HtmlDoc:
             brk()
 
     close_link()
-    out_lines = [
-        collapsed for parts in lines if (collapsed := _collapse("".join(parts)))
-    ]
+    out_lines: list[tuple[str, int]] = []
+    for parts in lines:
+        collapsed = _collapse("".join(t for t, _ in parts))
+        if not collapsed:
+            continue
+        in_link = _collapse("".join(t for t, il in parts if il))
+        out_lines.append((collapsed, len(in_link)))
     title = _collapse(_htmllib.unescape("".join(title_parts))) or None
     return HtmlDoc(
         title=title,
-        text="\n".join(out_lines),
+        text="\n".join(t for t, _ in out_lines),
         n_links=n_links,
         link_text_chars=link_text_chars,
+        lines=out_lines,
+        robots_noindex=robots_noindex,
     )
 
 
@@ -260,6 +285,18 @@ HTML_SCHEMA = StructType(
         StructField("link_text_chars", LongType()),
         StructField("text_chars", LongType()),
         StructField("link_density", DoubleType()),
+        StructField("robots_noindex", BooleanType()),
+    ]
+)
+
+HTML_LINES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("line_idx", LongType()),
+        StructField("line_text", StringType()),
+        StructField("line_chars", LongType()),
+        StructField("line_link_chars", LongType()),
+        StructField("line_link_density", DoubleType()),
     ]
 )
 
@@ -279,10 +316,36 @@ def html_extract(
                 d = html_to_text(h if isinstance(h, str) else str(h))
                 rows.append((
                     did, d.title, d.text, d.n_links, d.link_text_chars,
-                    d.text_chars, d.link_density,
+                    d.text_chars, d.link_density, d.robots_noindex,
                 ))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in HTML_SCHEMA.fields]
             )
 
     return df.mapInPandas(batches, HTML_SCHEMA)
+
+
+def html_extract_lines(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """(id, html) -> one row per visible LINE with the jusText-style
+    per-line link-density signal — the unit boilerplate removal
+    operates on (a nav/footer line is mostly anchor text; prose is
+    not). Map-only Arrow ``mapInPandas``; the downstream keep/drop
+    gate is a pure-Catalyst filter over these columns."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, h in zip(pdf[id_col], pdf[html_col]):
+                d = html_to_text(h if isinstance(h, str) else str(h))
+                for i, (text, link_chars) in enumerate(d.lines):
+                    rows.append((
+                        did, i, text, len(text), link_chars,
+                        link_chars / max(len(text), 1),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in HTML_LINES_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, HTML_LINES_SCHEMA)

@@ -369,7 +369,8 @@ SELECT doc_id, title, text,
        2::BIGINT AS n_links,
        14::BIGINT AS link_text_chars,
        CAST(length(text) AS BIGINT) AS text_chars,
-       CAST(14 AS DOUBLE) / length(text) AS link_density
+       CAST(14 AS DOUBLE) / length(text) AS link_density,
+       (doc_id % 2 = 1) AS robots_noindex
 FROM e
 ORDER BY doc_id
 """,
@@ -390,9 +391,14 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     i = F.col("doc_id").cast("string")
+    robots = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.lit('<meta name="robots" content="noindex, nofollow">'),
+    ).otherwise(F.lit(""))
     page = F.concat(
         F.lit("<!DOCTYPE html><!-- hidden "), i,
-        F.lit(' --><html><head><meta charset="utf-8"><title>Doc '), i,
+        F.lit(' --><html><head><meta charset="utf-8">'), robots,
+        F.lit("<title>Doc "), i,
         F.lit(" &amp; Co</title><style>p{color:red}</style>"
               '<script>var s="<p>leak</p>";</script></head><body><h1>Doc '),
         i,
@@ -526,6 +532,70 @@ def pipeline_warc_html_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.lang_predict(F.col("__text")).alias("pred_lang"),
         "link_density", kept.alias("kept"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_html_boilerplate",
+    # four known lines per page: [0] a nav bar that is ~76% anchor
+    # text (dropped), [1] the document body (kept), [2] a 2-char
+    # stub (dropped by the length gate), [3] prose with an inline
+    # link at ~27% density (kept) — the jusText-style line-level
+    # keep/drop every extractor runs after tag stripping. The oracle
+    # states every line's text/chars/link-chars/density/kept verdict
+    # in closed form.
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS body
+  FROM documents WHERE doc_id % 20 = 7
+), l AS (
+  SELECT doc_id, 0 AS line_idx,
+         'Home | About Us | Contact' AS line_text, 19 AS link_chars
+  FROM t
+  UNION ALL SELECT doc_id, 1, body, 0 FROM t
+  UNION ALL SELECT doc_id, 2, 'ok', 0 FROM t
+  UNION ALL SELECT doc_id, 3,
+         'Read the full story at our archive today', 11 FROM t
+)
+SELECT doc_id, CAST(line_idx AS BIGINT) AS line_idx, line_text,
+       CAST(length(line_text) AS BIGINT) AS line_chars,
+       CAST(link_chars AS BIGINT) AS line_link_chars,
+       CAST(link_chars AS DOUBLE) / length(line_text)
+           AS line_link_density,
+       CASE WHEN CAST(link_chars AS DOUBLE) / length(line_text) <= 0.5
+             AND length(line_text) >= 15 THEN 1 ELSE 0 END AS kept
+FROM l
+ORDER BY doc_id, line_idx
+""",
+    tags=("text", "html", "boilerplate", "quality"),
+)
+def text_html_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate classification under the oracle gate
+    (operators/html.py::html_extract_lines): per visible line, the
+    collapsed anchor-text share — nav/footer lines are mostly links,
+    prose is not — with the keep/drop gate (link density ≤ 0.5 AND
+    ≥ 15 chars) as a pure-Catalyst filter over the line relation.
+    Page built JVM-side around each document's text; extraction runs
+    distributed (Arrow mapInPandas, map-only)."""
+    from dolphinbeat_spark.operators.html import html_extract_lines
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 7)
+    page = F.concat(
+        F.lit("<html><body><div><a href='/'>Home</a> | "
+              "<a href='/about'>About Us</a> | "
+              "<a href='/contact'>Contact</a></div><p>"),
+        F.col("text"),
+        F.lit("</p><p>ok</p><p>Read the full story at "
+              "<a href='/x'>our archive</a> today</p></body></html>"),
+    )
+    pages = d.select("doc_id", page.alias("html"))
+    lines = html_extract_lines(pages)
+    kept = F.when(
+        (F.col("line_link_density") <= 0.5) & (F.col("line_chars") >= 15), 1
+    ).otherwise(0)
+    return lines.select(
+        "doc_id", "line_idx", "line_text", "line_chars",
+        "line_link_chars", "line_link_density", kept.alias("kept"),
+    ).orderBy("doc_id", "line_idx")
 
 
 @register(

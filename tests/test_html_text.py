@@ -96,6 +96,43 @@ def test_html_attributes_quote_aware():
     assert d.text == "kept"
 
 
+def test_html_per_line_link_signals_and_robots():
+    """Per-line decomposition carries the jusText-style link-chars
+    signal (nav line mostly links, prose not), and a robots noindex
+    meta in the head is surfaced."""
+    h = (
+        '<html><head><meta name="ROBOTS" content="NOINDEX, nofollow">'
+        "</head><body>"
+        "<div><a href='/'>Home</a> | <a href='/a'>About Us</a></div>"
+        "<p>plain prose line with no links here</p>"
+        "<p>read <a href='/x'>the archive</a> now</p></body></html>"
+    )
+    d = html_to_text(h)
+    assert d.robots_noindex is True
+    assert d.lines == [
+        ("Home | About Us", len("Home") + len("About Us")),
+        ("plain prose line with no links here", 0),
+        ("read the archive now", len("the archive")),
+    ]
+    d2 = html_to_text("<p>no meta at all</p>")
+    assert d2.robots_noindex is False and d2.lines == [("no meta at all", 0)]
+    # meta name=description does not trip the sniff
+    d3 = html_to_text('<meta name="description" content="noindex word">x')
+    assert d3.robots_noindex is False
+
+
+def test_html_extract_lines_spark(spark):
+    from dolphinbeat_spark.operators.html import html_extract_lines
+
+    rows = [(1, "<div><a href='/'>Nav One</a></div><p>body text here</p>")]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = html_extract_lines(df).orderBy("line_idx").collect()
+    assert [(r.line_idx, r.line_text, r.line_link_chars) for r in got] == [
+        (0, "Nav One", 7), (1, "body text here", 0),
+    ]
+    assert got[0].line_link_density == 1.0 and got[1].line_link_density == 0.0
+
+
 def test_html_hostile_text_never_raises():
     """The extractor's contract on wild HTML is total: ANY string in,
     extraction out — no exception may escape (a 100 TB ingest job must
