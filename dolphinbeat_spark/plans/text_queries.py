@@ -599,6 +599,58 @@ def text_html_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_unicode_normalize",
+    # each doc's text is dirtied with the real-world failure modes:
+    # a zero-width space, a decomposed e+COMBINING ACUTE, a BEL
+    # control, an NBSP, and a BOM. The oracle REPLAYS the cleaning
+    # (DuckDB ships nfc_normalize; the drop class and NBSP mapping
+    # are regexp/replace) rather than just stating the answer — two
+    # independent NFC implementations must agree.
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         text || chr(8203) || ' cafe' || chr(769) || chr(7)
+              || ' x' || chr(160) || 'y' || chr(65279) AS dirty
+  FROM documents WHERE doc_id % 10 = 6
+), n AS (
+  SELECT doc_id, nfc_normalize(dirty) AS nfc FROM t
+), c AS (
+  SELECT doc_id, nfc,
+         regexp_replace(nfc,
+           '[\x{200B}-\x{200D}\x{FEFF}\x{00}-\x{08}\x{0B}-\x{1F}\x{7F}-\x{9F}]',
+           '', 'g') AS dropped
+  FROM n
+)
+SELECT doc_id,
+       replace(dropped, chr(160), ' ') AS clean_text,
+       CAST(length(dropped) AS BIGINT) AS n_chars,
+       CAST(length(nfc) - length(dropped) AS BIGINT) AS n_removed
+FROM c
+ORDER BY doc_id
+""",
+    tags=("text", "unicode", "normalize", "quality"),
+)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization + invisible/control cleaning under
+    the oracle gate (operators/textnorm.py): rendered-identical byte
+    sequences must hash identically or dedup silently fails.
+    Python's unicodedata NFC is replayed by DuckDB's independent
+    nfc_normalize — cross-implementation agreement is the check.
+    Arrow mapInPandas, map-only."""
+    from dolphinbeat_spark.operators.textnorm import normalize_text
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 6)
+    # ZWSP + ' cafe' + COMBINING ACUTE + BEL + ' x' + NBSP + 'y' + BOM
+    dirty = F.concat(
+        F.col("text"),
+        F.lit("\u200b cafe\u0301\x07 x\u00a0y\ufeff"),
+    )
+    return normalize_text(
+        d.select("doc_id", dirty.alias("text"))
+    ).orderBy("doc_id")
+
+
+@register(
     "text_url_canonicalize",
     # three URL shapes per doc exercise every canonicalization rule:
     # [0] uppercase scheme/host + default :80 + tracking params mixed

@@ -176,6 +176,31 @@ def test_html_extract_spark(spark):
     assert got[2].link_density == 0.0
 
 
+def test_unicode_clean_text():
+    """NFC composition, invisible/control drops, NBSP mapping, and
+    the removal count (operators/textnorm.py)."""
+    from dolphinbeat_spark.operators.textnorm import clean_text
+
+    dirty = "éx​y\x07z  w﻿\ttab\nnl"
+    cleaned, removed = clean_text(dirty)
+    assert cleaned == "éxyz  w\ttab\nnl"  # tab/newline KEPT
+    assert removed == 3  # ZWSP + BEL + BOM
+    assert clean_text("plain ascii") == ("plain ascii", 0)
+    # already-NFC input is a fixpoint
+    assert clean_text(cleaned) == (cleaned, 0)
+
+
+def test_normalize_text_spark(spark):
+    from dolphinbeat_spark.operators.textnorm import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "a​b é")], "doc_id long, text string"
+    )
+    (row,) = normalize_text(df).collect()
+    assert row.clean_text == "ab é"
+    assert row.n_chars == 4 and row.n_removed == 1
+
+
 # --- charset -------------------------------------------------------------------
 
 
