@@ -104,3 +104,49 @@ def test_windowed_agg_resume_across_runs(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_html_extract_stream_equals_batch(spark, tmp_path):
+    """The HTML->text extractor (r10's raw-web bridge) runs inside
+    Structured Streaming micro-batches (mapInPandas is stream-capable)
+    and emits exactly the batch relation — so the WARC->HTML->quality
+    path can run continuously over a live crawl drop."""
+    from dolphinbeat_spark.operators.html import html_extract
+
+    d = load(spark, SF_DIR, "documents").limit(64)
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>T</title></head><body><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"), F.col("text"),
+            F.lit("</p><a href='/n'>next</a></body></html>"),
+        ).alias("html"),
+    )
+    src = str(tmp_path / "pages")
+    pages.repartition(4).write.parquet(src)
+
+    batch = {r["doc_id"]: r for r in
+             html_extract(spark.read.parquet(src)).collect()}
+
+    stream = html_extract(
+        spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("html_parity")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckp_html"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["doc_id"]: r for r in
+           spark.sql("SELECT * FROM html_parity").collect()}
+    assert len(got) == len(batch) == 64
+    for k in batch:
+        assert got[k].asDict() == batch[k].asDict(), k
+    sample = batch[min(batch)]
+    assert sample.title == "T" and sample.n_links == 1
