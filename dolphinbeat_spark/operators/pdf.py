@@ -15,7 +15,9 @@ module implements the honest read-side subset per the PUBLIC spec:
 - stream filters (§7.4): FlateDecode (stdlib zlib) with the PNG
   predictors 10–15 of /DecodeParms (Sub/Up/Average/Paeth — xref
   streams in the wild are almost always Up-predicted),
-  ASCIIHexDecode, ASCII85Decode, RunLengthDecode; LZWDecode,
+  ASCIIHexDecode, ASCII85Decode, RunLengthDecode, and LZWDecode
+  (§7.4.4 is the TIFF 6.0 LZW dialect — MSB-first, early code-width
+  change — reused from operators/tiff.py; /EarlyChange 0 raises);
   DCTDecode, JPXDecode, CCITTFaxDecode raise by name;
 - the page tree (§7.7.3): /Pages recursion with /Resources
   inheritance and cycle guards; per-page /Contents concatenation;
@@ -314,9 +316,11 @@ def _rle_decode(raw: bytes) -> bytes:
 
 
 _UNSUPPORTED_FILTERS = frozenset((
-    "LZWDecode", "DCTDecode", "JPXDecode", "CCITTFaxDecode",
-    "JBIG2Decode", "Crypt",
+    "DCTDecode", "JPXDecode", "CCITTFaxDecode", "JBIG2Decode", "Crypt",
 ))
+
+#: LZW output cap — text/xref streams, not media (hostile-frame guard)
+_LZW_CAP = 1 << 26
 
 
 def _apply_filters(raw: bytes, filt, parms) -> bytes:
@@ -353,6 +357,25 @@ def _apply_filters(raw: bytes, filt, parms) -> bytes:
                 raise PdfError(f"ASCII85Decode failed: {ex}") from ex
         elif name == "RunLengthDecode":
             raw = _rle_decode(raw)
+        elif name == "LZWDecode":
+            # §7.4.4: the PDF LZW variant IS the TIFF 6.0 dialect the
+            # engine already implements from scratch (MSB-first, 9-bit
+            # start, Clear=256/EOD=257, EARLY code-width change) —
+            # /EarlyChange 0 is the one legal divergence and raises
+            from dolphinbeat_spark.operators.tiff import (
+                TiffError,
+                tiff_lzw_decode,
+            )
+
+            if isinstance(p, dict) and p.get("EarlyChange", 1) == 0:
+                raise NotImplementedError(
+                    "LZWDecode with /EarlyChange 0 not supported "
+                    "(the TIFF-dialect early change is implemented)"
+                )
+            try:
+                raw = tiff_lzw_decode(raw, _LZW_CAP)
+            except TiffError as ex:
+                raise PdfError(f"LZWDecode failed: {ex}") from ex
         elif name in _UNSUPPORTED_FILTERS:
             raise NotImplementedError(
                 f"PDF filter {name} not supported (text-extraction "

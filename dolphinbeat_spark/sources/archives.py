@@ -19,7 +19,8 @@ by name.
 TAR: 512-byte ustar headers (octal sizes, checksum verification over
 the space-filled checksum field, name+prefix joining, type flags),
 content padding to block size, the two-zero-block terminator, and
-transparent gzip (.tar.gz) unwrapping.
+transparent gzip / bzip2 / xz (.tar.gz / .tar.bz2 / .tar.xz)
+unwrapping by magic.
 
 Reference parity: the reference repo moves database rows; this
 extends the ingest layer of the LLM-data-pipeline side it lacks.
@@ -163,13 +164,29 @@ def iter_zip_members(data: bytes):
 
 
 def iter_tar_members(data: bytes):
-    """Yield (name, content) per regular file in a (possibly
-    gzipped) ustar TAR."""
+    """Yield (name, content) per regular file in a ustar TAR, with
+    transparent compression unwrap by magic: gzip (.tar.gz), bzip2
+    (.tar.bz2) and xz (.tar.xz) — the three wrappers dataset bundles
+    actually ship in (all stdlib decompressors)."""
     if data[:2] == b"\x1f\x8b":
         try:
             data = zlib.decompress(data, wbits=31)
         except zlib.error as ex:
             raise ArchiveError(f"bad gzip wrapper: {ex}") from ex
+    elif data[:3] == b"BZh":
+        import bz2
+
+        try:
+            data = bz2.decompress(data)
+        except (OSError, ValueError) as ex:
+            raise ArchiveError(f"bad bzip2 wrapper: {ex}") from ex
+    elif data[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        try:
+            data = lzma.decompress(data)
+        except lzma.LZMAError as ex:
+            raise ArchiveError(f"bad xz wrapper: {ex}") from ex
     pos = 0
     while pos + 512 <= len(data):
         block = data[pos:pos + 512]

@@ -2282,6 +2282,40 @@ def test_archive_readers_cross_checked_with_stdlib():
     assert list(iter_tar_members(buf.getvalue())) == members
 
 
+def test_archive_tar_bz2_xz_wrappers():
+    """tar.bz2 / tar.xz unwrap by magic, cross-pinned against stdlib
+    tarfile writing the compressed form; hostile wrappers raise the
+    typed error."""
+    import bz2
+    import io
+    import lzma
+    import tarfile
+
+    import pytest
+
+    from dolphinbeat_spark.sources.archives import (
+        ArchiveError, encode_tar, iter_tar_members,
+    )
+
+    members = [("a.txt", b"alpha"), ("d/b.bin", bytes(range(64)) * 3)]
+    plain = encode_tar(members)
+    assert list(iter_tar_members(bz2.compress(plain))) == members
+    assert list(iter_tar_members(lzma.compress(plain))) == members
+    # independent writer: stdlib tarfile in w:bz2 / w:xz modes
+    for mode in ("w:bz2", "w:xz"):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode=mode) as tf:
+            for n, c in members:
+                ti = tarfile.TarInfo(n)
+                ti.size = len(c)
+                tf.addfile(ti, io.BytesIO(c))
+        assert list(iter_tar_members(buf.getvalue())) == members, mode
+    with pytest.raises(ArchiveError, match="bzip2"):
+        list(iter_tar_members(b"BZh9" + b"\x00" * 40))
+    with pytest.raises(ArchiveError, match="xz"):
+        list(iter_tar_members(b"\xfd7zXZ\x00" + b"\x00" * 40))
+
+
 def test_archive_zip64():
     """Zip64 (EOCD64 locator+record, 0x0001 extras): the from-scratch
     reader decodes a forced-Zip64 file, the stdlib zipfile reads our

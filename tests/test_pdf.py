@@ -118,6 +118,8 @@ def test_pdf_filters_ascii_and_runlength():
 
     import base64 as b64
 
+    from dolphinbeat_spark.operators.tiff import tiff_lzw_encode
+
     hexenc = content.hex().encode() + b">"
     a85 = b64.a85encode(content) + b"~>"
     rle = bytearray()
@@ -127,7 +129,8 @@ def test_pdf_filters_ascii_and_runlength():
     rle += bytes([128])
     for name, enc in ((b"ASCIIHexDecode", hexenc),
                       (b"ASCII85Decode", a85),
-                      (b"RunLengthDecode", bytes(rle))):
+                      (b"RunLengthDecode", bytes(rle)),
+                      (b"LZWDecode", tiff_lzw_encode(content))):
         d = extract_pdf_text(swap(name, enc))
         assert d.pages == ["filter me"], name
 
@@ -166,12 +169,19 @@ def test_pdf_typed_boundaries_by_name():
     )
     with pytest.raises(NotImplementedError, match="Type0"):
         extract_pdf_text(t0)
-    # LZW filter named
-    lzw = encode_pdf([["x"]], flate=False).replace(
-        b"<<  /Length", b"<< /Filter /LZWDecode /Length"
+    # DCT filter named
+    dct = encode_pdf([["x"]], flate=False).replace(
+        b"<<  /Length", b"<< /Filter /DCTDecode /Length"
     )
-    with pytest.raises(NotImplementedError, match="LZWDecode"):
-        extract_pdf_text(_rebuild_classic_xref(lzw))
+    with pytest.raises(NotImplementedError, match="DCTDecode"):
+        extract_pdf_text(_rebuild_classic_xref(dct))
+    # LZW with EarlyChange 0 raises by name (the dialect divergence)
+    lzw0 = encode_pdf([["x"]], flate=False).replace(
+        b"<<  /Length",
+        b"<< /Filter /LZWDecode /DecodeParms << /EarlyChange 0 >> /Length",
+    )
+    with pytest.raises(NotImplementedError, match="EarlyChange"):
+        extract_pdf_text(_rebuild_classic_xref(lzw0))
     # structural errors are typed
     with pytest.raises(PdfError, match="%PDF-"):
         extract_pdf_text(b"not a pdf")
