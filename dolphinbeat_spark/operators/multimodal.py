@@ -231,11 +231,13 @@ def _bmp_rle_decode(data: bytes, w: int, h: int, four_bit: bool
 
 def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
     """BMP → (width, height, HxWx3 uint8 RGB array). BI_RGB at
-    1/4/8-bit (palette), 24-bit and 32-bit (alpha byte dropped — BMP
-    alpha is historically junk), plus BI_RLE8/BI_RLE4 run-length
-    palette images. Handles bottom-up (positive height) and top-down
-    (negative) layouts, row padding, and truncated-palette
-    ``biClrUsed``. BI_BITFIELDS and embedded PNG/JPEG raise by
+    1/4/8-bit (palette), 16-bit (the 5-5-5 default), 24-bit and
+    32-bit (alpha byte dropped — BMP alpha is historically junk),
+    BI_RLE8/BI_RLE4 run-length palette images, and BI_BITFIELDS with
+    arbitrary 16/32-bit channel masks (5-6-5 et al., exact
+    round-half-up 8-bit expansion). Handles bottom-up (positive
+    height) and top-down (negative) layouts, row padding, and
+    truncated-palette ``biClrUsed``. Embedded PNG/JPEG raise by
     name."""
     magic, _, _, _, off = struct.unpack_from("<2sIHHI", data, 0)
     if magic != b"BM":
@@ -243,10 +245,43 @@ def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
     hsz, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
     clr_used = struct.unpack_from("<I", data, 46)[0] if hsz >= 40 else 0
     top_down, h = h < 0, abs(h)
-    if comp not in (0, 1, 2):
+    if comp not in (0, 1, 2, 3):
         raise NotImplementedError(
-            f"BMP compression {comp} not supported (BI_RGB/RLE8/RLE4)"
+            f"BMP compression {comp} not supported "
+            "(BI_RGB/RLE8/RLE4/BITFIELDS)"
         )
+    if bpp == 16 or comp == 3:
+        # BI_BITFIELDS (and the 16-bit BI_RGB default 5-5-5): channel
+        # masks follow the 40-byte header (same file offset in the
+        # V4/V5 headers, whose mask FIELDS start at struct offset 40);
+        # each channel is (pixel & mask) >> trailing_zeros, scaled to
+        # 8-bit with exact round-half-up; the alpha mask is dropped
+        # like the 32-bit BI_RGB alpha byte
+        if comp == 3:
+            if bpp not in (16, 32):
+                raise ValueError(f"BI_BITFIELDS with bpp={bpp}")
+            r_m, g_m, b_m = struct.unpack_from("<III", data, 14 + 40)
+        else:
+            r_m, g_m, b_m = 0x7C00, 0x03E0, 0x001F
+        unit = bpp // 8
+        stride = (w * unit + 3) // 4 * 4
+        rows = np.frombuffer(data, np.uint8, count=stride * h,
+                             offset=off).reshape(h, stride)
+        raw = rows[:, :w * unit].reshape(h, w, unit).astype(np.uint64)
+        val = sum(raw[:, :, i] << (8 * i) for i in range(unit))
+        chans = []
+        for m in (r_m, g_m, b_m):
+            if m == 0:
+                chans.append(np.zeros((h, w), np.uint8))
+                continue
+            shift = (m & -m).bit_length() - 1
+            maxv = m >> shift
+            v = (val & m) >> shift
+            chans.append(((v * 255 + maxv // 2) // maxv).astype(np.uint8))
+        px = np.stack(chans, axis=2)
+        if not top_down:
+            px = px[::-1]
+        return w, h, px
     if bpp in (1, 4, 8):
         ncolors = clr_used or (1 << bpp)
         pal_off = 14 + hsz

@@ -2270,6 +2270,77 @@ def mm_id3_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_decode_bmp16",
+    # payload = a REAL 16-bit BI_BITFIELDS 5-6-5 BMP (r10: the
+    # high-color format BI_RGB 5-5-5 defaults and arbitrary masks
+    # generalize): 8x4 pixels whose 5/6/5 channel values derive from
+    # the doc's 96-byte md5 pattern; the oracle replays the exact
+    # round-half-up 8-bit expansion (v*255 + max/2) // max per pixel
+    # and pins the md5 of the hex-rendered RGB stream.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 29 = 5
+), px AS (
+  SELECT media_id, j,
+         (ord(substr(pattern, CAST(3*j+1 AS INTEGER), 1)) % 32) AS r5,
+         (ord(substr(pattern, CAST(3*j+2 AS INTEGER), 1)) % 64) AS g6,
+         (ord(substr(pattern, CAST(3*j+3 AS INTEGER), 1)) % 32) AS b5
+  FROM p, unnest(range(0, 32)) AS t(j)
+), e AS (
+  SELECT media_id, j,
+         (r5 * 255 + 15) // 31 AS r8,
+         (g6 * 255 + 31) // 63 AS g8,
+         (b5 * 255 + 15) // 31 AS b8
+  FROM px
+)
+SELECT media_id, 'bmp' AS fmt,
+       CAST(8 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+       CAST(SUM(r8 + g8 + b8) AS BIGINT) AS pixel_sum,
+       md5(string_agg(printf('%02x%02x%02x', r8, g8, b8), ''
+           ORDER BY j)) AS pixel_md5
+FROM e
+GROUP BY media_id
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "codec", "bmp", "bitfields"),
+)
+def mm_decode_bmp16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit BI_BITFIELDS BMP decode under the oracle gate —
+    closing the r9 named boundary: channel masks with trailing-zero
+    shifts and the exact integer 8-bit expansion, through the same
+    decode_media slot (digest='hex': expanded bytes are non-ASCII)."""
+    import hashlib
+    import struct
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 5)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
+        vals = []
+        for j in range(32):
+            r5 = pattern[3 * j] % 32
+            g6 = pattern[3 * j + 1] % 64
+            b5 = pattern[3 * j + 2] % 32
+            vals.append((r5 << 11) | (g6 << 5) | b5)
+        # 8 px/row * 2 B = 16 B rows (4-byte aligned), bottom-up
+        body = b"".join(
+            b"".join(struct.pack("<H", v) for v in vals[y * 8:(y + 1) * 8])
+            for y in (3, 2, 1, 0)
+        )
+        info = struct.pack("<IiiHHIIiiII", 40, 8, 4, 1, 16, 3,
+                           len(body), 0, 0, 0, 0)
+        masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+        off = 14 + 40 + 12
+        hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+        rows.append((i, bytearray(hdr + info + masks + body)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return M.decode_media(media, digest="hex").orderBy("media_id")
+
+
+@register(
     "mm_decode_ico",
     # payload = a REAL two-entry ICO: a 2x2 classic DIB decoy and the
     # 8x4 PNG (the doc's 96-byte md5 pattern) the largest-entry rule

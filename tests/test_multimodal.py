@@ -2840,6 +2840,68 @@ def test_read_subtitles_spark(spark):
     assert got[0].start_s == 2.0 and got[1].duration_ms == 1000
 
 
+def test_bmp_16bit_and_bitfields():
+    """16-bit BI_RGB (the 5-5-5 default), BI_BITFIELDS 5-6-5 and
+    32-bit 10-10-10 masks — hand-built structures; channel expansion
+    is the exact round-half-up 255*v/maxv."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dolphinbeat_spark.operators.multimodal import decode_bmp
+
+    def build(w, h, bpp, comp, masks, body):
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, comp,
+                           len(body), 0, 0, 0, 0)
+        extra = b"".join(struct.pack("<I", m) for m in masks)
+        off = 14 + 40 + len(extra)
+        hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+        return hdr + info + extra + body
+
+    def scale(v, maxv):
+        return (v * 255 + maxv // 2) // maxv
+
+    rng = np.random.RandomState(12)
+    # 16-bit default 5-5-5, 3x2 bottom-up, rows padded to 4 bytes
+    rgb555 = rng.randint(0, 32, (2, 3, 3), dtype=np.uint16)
+    rows = []
+    for y in (1, 0):
+        vals = (rgb555[y, :, 0].astype(np.uint16) << 10) \
+            | (rgb555[y, :, 1] << 5) | rgb555[y, :, 2]
+        rows.append(vals.astype("<u2").tobytes() + bytes(2))
+    w, h, px = decode_bmp(build(3, 2, 16, 0, [], b"".join(rows)))
+    assert (w, h) == (3, 2)
+    for y in range(2):
+        for x in range(3):
+            want = [int(scale(int(c), 31)) for c in rgb555[y, x]]
+            assert px[y, x].tolist() == want, (x, y)
+
+    # BI_BITFIELDS 5-6-5
+    r5, g6, b5 = 17, 40, 9
+    val = (r5 << 11) | (g6 << 5) | b5
+    body = struct.pack("<H", val) + bytes(2)
+    _, _, px = decode_bmp(
+        build(1, 1, 16, 3, [0xF800, 0x07E0, 0x001F], body)
+    )
+    assert px[0, 0].tolist() == [scale(r5, 31), scale(g6, 63), scale(b5, 31)]
+
+    # 32-bit BITFIELDS 10-10-10 (alpha bits dropped)
+    r, g, b = 700, 13, 1023
+    val = (r << 20) | (g << 10) | b
+    body = struct.pack("<I", val)
+    _, _, px = decode_bmp(build(
+        1, 1, 32, 3, [0x3FF00000, 0x000FFC00, 0x000003FF], body
+    ))
+    assert px[0, 0].tolist() == [
+        scale(r, 1023), scale(g, 1023), scale(b, 1023)
+    ]
+
+    # BITFIELDS with a palette bpp is invalid
+    with pytest.raises(ValueError, match="BI_BITFIELDS"):
+        decode_bmp(build(1, 1, 8, 3, [0, 0, 0], b"\x00" * 4))
+
+
 def test_bmp_palette_rle_and_wide_shapes():
     """The widened BMP decoder: 1/4/8-bit palette images (biClrUsed
     honored), BI_RLE8 and BI_RLE4 (encoded runs, absolute word-aligned
@@ -2913,15 +2975,18 @@ def test_bmp_palette_rle_and_wide_shapes():
     _, _, px = decode_bmp(build(4, 3, 8, 0, pal, body, top_down=True))
     assert np.array_equal(px, cols[idx])
 
-    # typed errors and named boundaries
-    with pytest.raises(NotImplementedError, match="compression 3"):
-        decode_bmp(build(4, 2, 32, 3, b"", b32))
+    # typed errors and named boundaries (BI_BITFIELDS decodes since
+    # r10 — see test_bmp_16bit_and_bitfields; BI_JPEG still raises)
+    with pytest.raises(NotImplementedError, match="compression 4"):
+        decode_bmp(build(4, 2, 32, 4, b"", b32))
     with pytest.raises(ValueError, match="overflows"):
         decode_bmp(build(2, 2, 8, 1, pal, bytes([9, 1, 0, 1])))
     with pytest.raises(ValueError, match="end-of-bitmap"):
         decode_bmp(build(6, 4, 8, 1, pal, bytes([2, 5, 0, 0])))
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 16, 0, 0, 0, 0, 0, 0)
+    # 16-bit decodes since r10 (5-5-5 default) — the boundary moved to
+    # odd depths
+    with pytest.raises(NotImplementedError, match="48-bit"):
+        info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 48, 0, 0, 0, 0, 0, 0)
         decode_bmp(struct.pack("<2sIHHI", b"BM", 70, 0, 0, 54) + info
                    + bytes(16))
 
