@@ -22,10 +22,16 @@ Scope (decode only — the engine never needs to write zstd):
   for all three codes, repeat-offset history incl. the
   litLength==0 corner, overlapping match copies
 - skippable frames (0x184D2A5?) are skipped per spec
+- dictionaries (RFC 8878 §5, r10): formatted dictionaries (magic
+  0xEC30A437 — entropy tables seed the treeless/repeat modes, the 3
+  initial repeat offsets replace 1/4/8, content prefixes the match
+  window) AND raw content dictionaries; golden-tested against the
+  reference CLI's ``--train`` output at levels 1/7/19
+  (tests/fixtures/zstd/dict/, tools/make_zstd_dict_fixtures.py)
 
-Not in scope, loud by name: dictionaries (Dictionary_ID != 0) and
-window sizes above ``MAX_WINDOW`` (a 100 TB-job guard: a hostile
-frame header must not make an executor allocate gigabytes).
+Not in scope, loud by name: window sizes above ``MAX_WINDOW`` (a
+100 TB-job guard: a hostile frame header must not make an executor
+allocate gigabytes).
 
 Reference parity note: the reference engine gets zstd from a Go
 library; this decoder plus `sources/binlog_file.py`'s
@@ -727,7 +733,64 @@ def _decode_block(block: bytes, st: _FrameState, out: bytearray,
 # --- frame -----------------------------------------------------------------
 
 
-def decode_zstd(data: bytes, max_output: int | None = None) -> bytes:
+DICT_MAGIC = 0xEC30A437
+
+
+class ZstdDictionary:
+    """A parsed zstd dictionary (RFC 8878 §5): entropy tables that
+    seed the frame's treeless/repeat modes, the three initial repeat
+    offsets, and the content that prefixes the match window. A blob
+    without the dictionary magic is a RAW CONTENT dictionary (id 0,
+    window prefix only) per the reference implementation."""
+
+    __slots__ = ("dict_id", "content", "huff", "ll", "of", "ml", "reps")
+
+    def __init__(self, dict_id, content, huff, ll, of, ml, reps):
+        self.dict_id = dict_id
+        self.content = content
+        self.huff = huff
+        self.ll = ll
+        self.of = of
+        self.ml = ml
+        self.reps = reps
+
+
+def parse_zstd_dictionary(data: bytes) -> ZstdDictionary:
+    """Parse a dictionary blob. Formatted layout (magic 0xEC30A437):
+    magic(4) dict_id(4), entropy tables in the order Huffman-literals
+    / OF / ML / LL (same descriptions as compressed blocks), the three
+    4-byte little-endian initial repeat offsets, then content."""
+    data = bytes(data)
+    if len(data) < 8 or int.from_bytes(data[:4], "little") != DICT_MAGIC:
+        return ZstdDictionary(0, data, None, None, None, None, [1, 4, 8])
+    did = int.from_bytes(data[4:8], "little")
+    pos = 8
+    try:
+        huff, used = _read_huffman(data[pos:])
+        pos += used
+        al, counts, used = _read_fse_counts(data[pos:], 31, _OF_MAX_LOG)
+        of = _FseTable(al, counts)
+        pos += used
+        al, counts, used = _read_fse_counts(data[pos:], 52, _ML_MAX_LOG)
+        ml = _FseTable(al, counts)
+        pos += used
+        al, counts, used = _read_fse_counts(data[pos:], 35, _LL_MAX_LOG)
+        ll = _FseTable(al, counts)
+        pos += used
+    except ZstdError as ex:
+        raise ZstdError(f"bad dictionary entropy tables: {ex}") from ex
+    if pos + 12 > len(data):
+        raise ZstdError("dictionary truncated before repeat offsets")
+    reps = [int.from_bytes(data[pos + 4 * i:pos + 4 * i + 4], "little")
+            for i in range(3)]
+    pos += 12
+    if any(r == 0 for r in reps):
+        raise ZstdError(f"dictionary repeat offset is zero: {reps}")
+    return ZstdDictionary(did, data[pos:], huff, ll, of, ml, reps)
+
+
+def decode_zstd(data: bytes, max_output: int | None = None,
+                dictionary: bytes | ZstdDictionary | None = None) -> bytes:
     """Decode a zstd payload (one or more frames, skippable frames
     skipped). ``max_output`` caps the decompressed size — callers that
     know the declared uncompressed size (the binlog
@@ -738,7 +801,16 @@ def decode_zstd(data: bytes, max_output: int | None = None) -> bytes:
     (128 MiB) applies to the total decompressed output: valid payloads
     larger than that fail with a "default output cap" error naming
     this parameter, not a message blaming the input. Pass an explicit
-    ``max_output`` to decode larger payloads."""
+    ``max_output`` to decode larger payloads.
+
+    ``dictionary`` enables dictionary frames (RFC 8878 §5): entropy
+    tables seed each frame's treeless-literals/repeat-FSE state, the
+    dictionary's repeat offsets replace the 1/4/8 defaults, and its
+    content prefixes the match window (stripped from the output).
+    Pass raw dictionary bytes (parsed once here) or a pre-parsed
+    :class:`ZstdDictionary` when decoding many frames."""
+    if dictionary is not None and not isinstance(dictionary, ZstdDictionary):
+        dictionary = parse_zstd_dictionary(dictionary)
     out_all = bytearray()
     pos = 0
     n = len(data)
@@ -780,13 +852,19 @@ def decode_zstd(data: bytes, max_output: int | None = None) -> bytes:
             base = 1 << (10 + exponent)
             window_size = base + (base // 8) * mantissa
         did_len = (0, 1, 2, 4)[did_flag]
+        did = 0
         if did_len:
             did = int.from_bytes(data[pos:pos + did_len], "little")
             pos += did_len
-            if did != 0:
+        if did != 0:
+            if dictionary is None:
                 raise ZstdError(
-                    f"dictionary {did} required — dictionaries are not "
-                    "supported by this decoder"
+                    f"frame requires dictionary {did} — pass dictionary="
+                )
+            if dictionary.dict_id not in (0, did):
+                raise ZstdError(
+                    f"frame requires dictionary {did}, got "
+                    f"{dictionary.dict_id}"
                 )
         fcs_len = (0, 2, 4, 8)[fcs_flag] if not single_segment else \
             (1, 2, 4, 8)[fcs_flag]
@@ -807,7 +885,17 @@ def decode_zstd(data: bytes, max_output: int | None = None) -> bytes:
         cap_is_default = max_output is None
         cap = max_output if max_output is not None else MAX_WINDOW
         st = _FrameState()
-        frame_out = bytearray()
+        prefix_len = 0
+        if dictionary is not None:
+            st.huff = dictionary.huff
+            st.ll, st.of, st.ml = (dictionary.ll, dictionary.of,
+                                   dictionary.ml)
+            st.reps = list(dictionary.reps)
+            prefix_len = len(dictionary.content)
+            frame_out = bytearray(dictionary.content)
+        else:
+            frame_out = bytearray()
+        cap += prefix_len  # the window prefix is stripped, not output
         while True:
             if n - pos < 3:
                 raise ZstdError("truncated block header")
@@ -849,6 +937,9 @@ def decode_zstd(data: bytes, max_output: int | None = None) -> bytes:
                 )
             if last:
                 break
+        if prefix_len:
+            del frame_out[:prefix_len]  # window prefix is not output
+            cap -= prefix_len
         if content_size is not None and len(frame_out) != content_size:
             raise ZstdError(
                 f"frame declared {content_size} bytes, decoded "

@@ -237,6 +237,87 @@ def test_default_cap_names_itself_and_is_raisable():
     assert len(got) == n_blocks * (1 << 20) and set(got) == {ord("Z")}
 
 
+def test_dictionary_frames_cli_goldens():
+    """Dictionary decompression (RFC 8878 §5) against REAL zstd-CLI
+    goldens (tools/make_zstd_dict_fixtures.py): a --train'ed formatted
+    dictionary (entropy-table seeding + window prefix) at levels 19
+    and 1, a raw content dictionary, id-mismatch and missing-dict
+    typed errors, and plain frames decoding unchanged with a
+    dictionary supplied."""
+    from dolphinbeat_spark.operators.zstd_frame import (
+        parse_zstd_dictionary,
+    )
+
+    ddir = FIXDIR / "dict"
+    if not ddir.exists():
+        pytest.skip("dict fixtures not committed yet")
+    trained = parse_zstd_dictionary((ddir / "trained.dict").read_bytes())
+    assert trained.dict_id != 0 and trained.huff is not None
+    assert trained.ll is not None and len(trained.content) > 1000
+    for name, dict_blob in (
+        ("s07", trained), ("s23", trained),
+        ("s11", (ddir / "raw.dict").read_bytes()),
+    ):
+        want = (ddir / f"{name}.json").read_bytes()
+        got = decode_zstd((ddir / f"{name}.zst").read_bytes(),
+                          max_output=len(want) + 16, dictionary=dict_blob)
+        assert got == want, name
+    raw = parse_zstd_dictionary((ddir / "raw.dict").read_bytes())
+    assert raw.dict_id == 0 and raw.huff is None
+    # missing / mismatched dictionary: typed, names the id
+    with pytest.raises(ZstdError, match="requires dictionary"):
+        decode_zstd((ddir / "s07.zst").read_bytes(), max_output=1000)
+    trained.dict_id = 42
+    with pytest.raises(ZstdError, match="got 42"):
+        decode_zstd((ddir / "s07.zst").read_bytes(), max_output=1000,
+                    dictionary=trained)
+    # a did-less frame decodes identically with a dictionary supplied
+    plain = encode_zstd_store(b"no dict needed")
+    assert decode_zstd(plain, max_output=100,
+                       dictionary=raw) == b"no dict needed"
+
+
+def test_dictionary_hostile_bytes():
+    """Bit flips across dictionary blob AND compressed frame raise
+    the typed family or decode benignly — never a foreign exception."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.zstd_frame import (
+        parse_zstd_dictionary,
+    )
+
+    ddir = FIXDIR / "dict"
+    if not ddir.exists():
+        pytest.skip("dict fixtures not committed yet")
+    dict_blob = (ddir / "trained.dict").read_bytes()
+    comp = (ddir / "s07.zst").read_bytes()
+    want = (ddir / "s07.json").read_bytes()
+    rng = np.random.RandomState(29)
+    for _ in range(60):  # flip in the dictionary
+        d = bytearray(dict_blob)
+        i = int(rng.randint(0, len(d)))
+        d[i] ^= 1 << int(rng.randint(0, 8))
+        try:
+            pd_ = parse_zstd_dictionary(bytes(d))
+            decode_zstd(comp, max_output=1000, dictionary=pd_)
+        except ZstdError:
+            pass
+        except Exception as ex:  # pragma: no cover
+            pytest.fail(f"untyped crash on corrupted dictionary: {ex!r}")
+    for _ in range(60):  # flip in the frame
+        c = bytearray(comp)
+        i = int(rng.randint(0, len(c)))
+        c[i] ^= 1 << int(rng.randint(0, 8))
+        try:
+            got = decode_zstd(bytes(c), max_output=1000,
+                              dictionary=dict_blob)
+            assert got == want, "corruption must raise, not misdecode"
+        except ZstdError:
+            pass
+        except Exception as ex:  # pragma: no cover
+            pytest.fail(f"untyped crash on corrupted dict frame: {ex!r}")
+
+
 def test_hostile_window_guard():
     # window descriptor demanding an exabyte must be refused up front
     hdr = struct.pack("<IBB", 0xFD2FB528, 0, 0xFF)
