@@ -1548,6 +1548,62 @@ def mm_pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jsonl_dict_shards",
+    # payload = the COMMITTED dictionary-compressed JSONL shards
+    # (tests/fixtures/zstd/dict/shard*.jsonl.zst, reference-CLI
+    # -9 -D trained.dict): the layout small-document corpora actually
+    # ship in — a shared --train'ed dictionary slashes per-shard
+    # overhead, and a reader without dictionary support cannot open
+    # the corpus at all (r9 boundary, closed in r10). JSON field
+    # extraction stays JVM-side (get_json_object); the oracle pins
+    # every extracted field.
+    oracle="""
+SELECT *
+FROM (VALUES
+  (0::BIGINT, 0::BIGINT, 0::BIGINT, 'charlie bravo foxtrot alpha echo charlie alpha echo'),
+  (0::BIGINT, 1::BIGINT, 1::BIGINT, 'alpha delta alpha alpha delta golf alpha bravo'),
+  (0::BIGINT, 2::BIGINT, 2::BIGINT, 'foxtrot hotel echo delta hotel alpha golf charlie'),
+  (0::BIGINT, 3::BIGINT, 3::BIGINT, 'bravo alpha charlie golf bravo echo foxtrot charlie'),
+  (1::BIGINT, 0::BIGINT, 4::BIGINT, 'echo alpha alpha bravo foxtrot delta charlie echo'),
+  (1::BIGINT, 1::BIGINT, 5::BIGINT, 'delta charlie golf foxtrot bravo echo echo hotel'),
+  (1::BIGINT, 2::BIGINT, 6::BIGINT, 'foxtrot charlie hotel alpha delta golf bravo delta'),
+  (1::BIGINT, 3::BIGINT, 7::BIGINT, 'alpha foxtrot golf echo hotel charlie foxtrot echo'),
+  (2::BIGINT, 0::BIGINT, 8::BIGINT, 'echo delta golf hotel delta foxtrot alpha foxtrot'),
+  (2::BIGINT, 1::BIGINT, 9::BIGINT, 'foxtrot hotel golf charlie delta foxtrot alpha delta'),
+  (2::BIGINT, 2::BIGINT, 10::BIGINT, 'bravo alpha alpha golf bravo bravo delta golf'),
+  (2::BIGINT, 3::BIGINT, 11::BIGINT, 'alpha delta echo hotel golf golf charlie delta')
+) AS t(media_id, line_idx, doc, payload)
+ORDER BY media_id, line_idx
+""",
+    tags=("text", "ingest", "jsonl", "zstd", "dictionary"),
+)
+def jsonl_dict_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-compressed JSONL shard ingestion under the oracle
+    gate: read_jsonl(zstd_dict=…) parses the --train'ed dictionary
+    ONCE driver-side and every shard decodes through the from-scratch
+    RFC 8878 §5 dictionary path (entropy seeding, repeat offsets,
+    window prefix). Reads committed fixtures, independent of
+    sf_dir."""
+    from pathlib import Path
+
+    from dolphinbeat_spark.sources.jsonl import read_jsonl
+
+    ddir = (Path(__file__).resolve().parents[2]
+            / "tests" / "fixtures" / "zstd" / "dict")
+    rows = [
+        (i, bytearray((ddir / f"shard{i}.jsonl.zst").read_bytes()))
+        for i in range(3)
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    lines = read_jsonl(media, zstd_dict=(ddir / "trained.dict").read_bytes())
+    return lines.select(
+        "media_id", "line_idx",
+        F.get_json_object("line", "$.doc").cast("bigint").alias("doc"),
+        F.get_json_object("line", "$.payload").alias("payload"),
+    ).orderBy("media_id", "line_idx")
+
+
+@register(
     "pipeline_crawl_mixed_media",
     # a real crawl is not all HTML: each doc's WARC carries an HTML
     # 200 response AND an application/pdf 200 response. The pipeline

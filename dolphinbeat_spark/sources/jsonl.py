@@ -33,12 +33,17 @@ class JsonlError(ValueError):
     """Typed compressed-JSONL framing error."""
 
 
-def decompress_auto(data: bytes) -> tuple[str, bytes]:
-    """Sniff the compression magic -> (codec name, plaintext)."""
+def decompress_auto(data: bytes,
+                    zstd_dict=None) -> tuple[str, bytes]:
+    """Sniff the compression magic -> (codec name, plaintext).
+    ``zstd_dict`` (raw bytes or a parsed ZstdDictionary) enables
+    dictionary-compressed zstd shards — the layout small-document
+    corpora actually ship in (a shared --train'ed dictionary slashes
+    per-shard overhead)."""
     if data[:4] == b"\x28\xb5\x2f\xfd":
         from dolphinbeat_spark.operators.zstd_frame import decode_zstd
 
-        return "zstd", decode_zstd(data)
+        return "zstd", decode_zstd(data, dictionary=zstd_dict)
     if data[:2] == b"\x1f\x8b":
         out = bytearray()
         rest = data
@@ -79,16 +84,25 @@ JSONL_SCHEMA = StructType(
 )
 
 
-def read_jsonl(df: DataFrame) -> DataFrame:
+def read_jsonl(df: DataFrame, zstd_dict: bytes | None = None) -> DataFrame:
     """(media_id, payload) -> one row per line with the sniffed codec
     name. A trailing newline yields no empty record; interior blank
-    lines are preserved (they are data errors worth seeing)."""
+    lines are preserved (they are data errors worth seeing).
+    ``zstd_dict`` decodes dictionary-compressed shards; the blob is
+    parsed ONCE on the driver and broadcast by closure capture, so
+    executors skip per-row dictionary parsing."""
+    if zstd_dict is not None:
+        from dolphinbeat_spark.operators.zstd_frame import (
+            parse_zstd_dictionary,
+        )
+
+        zstd_dict = parse_zstd_dictionary(zstd_dict)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, raw in zip(pdf["media_id"], pdf["payload"]):
-                codec, text = decompress_auto(bytes(raw))
+                codec, text = decompress_auto(bytes(raw), zstd_dict)
                 lines = text.decode("utf-8", "replace").split("\n")
                 if lines and lines[-1] == "":
                     lines.pop()

@@ -65,5 +65,25 @@ if __name__ == "__main__":
                  "-q", "-f"],
                 check=True, capture_output=True,
             )
+    # dictionary-compressed JSONL shards for the jsonl_dict_shards
+    # oracle spec: 3 shards x 4 deterministic lines, -D trained.dict
+    rng = random.Random(7)
+    with tempfile.TemporaryDirectory() as td:
+        tdp = pathlib.Path(td)
+        for i in range(3):
+            lines = []
+            for j in range(4):
+                doc = {"doc": i * 4 + j, "type": "event",
+                       "payload": " ".join(rng.choices(WORDS, k=8))}
+                lines.append(str(doc).replace("'", '"'))
+            blob = ("\n".join(lines) + "\n").encode()
+            (OUT / f"shard{i}.jsonl").write_bytes(blob)
+            (tdp / f"shard{i}.jsonl").write_bytes(blob)
+            subprocess.run(
+                ["zstd", "-9", "-D", str(OUT / "trained.dict"),
+                 str(tdp / f"shard{i}.jsonl"),
+                 "-o", str(OUT / f"shard{i}.jsonl.zst"), "-q", "-f"],
+                check=True, capture_output=True,
+            )
     for p in sorted(OUT.iterdir()):
         print(p.name, p.stat().st_size)
