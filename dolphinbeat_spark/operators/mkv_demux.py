@@ -12,8 +12,12 @@ signed-delta sizes) — each demuxed frame yields its absolute byte
 range + md5, the same contract as parse_mp4 so ``demux_media``
 dispatches on the payload magic.
 
-Honest boundaries raise by name: unknown-size Clusters (live-streamed
-WebM needs resync heuristics), encrypted/compressed blocks
+Unknown-size Clusters (r10) — the live-streamed WebM layout where the
+muxer cannot know the cluster size up front — are recovered per RFC
+8794 §6.3: the cluster's length-prefixed children are walked until a
+Segment-level ID (next Cluster / Cues / Tags / …) or the parent end.
+
+Honest boundaries raise by name: encrypted/compressed blocks
 (ContentEncodings), and — as with MP4 — codec BITSTREAM decode
 (VP9/AV1/Opus need libraries this container doesn't have; byte-range
 extraction is the real 100 TB primitive).
@@ -91,20 +95,62 @@ def _uint(data: bytes, s: int, e: int) -> int:
     return v
 
 
+#: Segment-level element IDs — the appearance of any of these ends an
+#: unknown-size Cluster (RFC 8794 §6.3: an unknown-size master element
+#: ends at the first element that is not a valid descendant)
+_TOP_LEVEL_IDS = frozenset((
+    0x1F43B675,  # Cluster
+    0x1549A966,  # Info
+    0x1654AE6B,  # Tracks
+    0x1C53BB6B,  # Cues
+    0x1254C367,  # Tags
+    0x1043A770,  # Chapters
+    0x1941A469,  # Attachments
+    0x114D9B74,  # SeekHead
+))
+
+
+def _unknown_cluster_end(data: bytes, start: int, limit: int) -> int:
+    """Scan an unknown-size Cluster's length-prefixed children until a
+    Segment-level ID or the parent end — the live-streamed WebM layout
+    where the muxer cannot know the cluster size up front."""
+    pos = start
+    while pos < limit:
+        eid, w1 = _vint(data, pos, True)
+        if eid in _TOP_LEVEL_IDS:
+            return pos
+        size, w2 = _vint(data, pos + w1, False)
+        if size is None:
+            raise MkvError(
+                f"unknown-size element {eid:#x} inside an unknown-size "
+                "Cluster"
+            )
+        nxt = pos + w1 + w2 + size
+        if nxt > limit:
+            raise MkvError(
+                f"EBML element {eid:#x} at {pos} overruns its parent"
+            )
+        pos = nxt
+    return limit
+
+
 def _children(data: bytes, start: int, end: int):
     """Iterate (element_id, body_start, body_end) over a master
-    element's children; every child must declare its size."""
+    element's children. Every child must declare its size, EXCEPT an
+    unknown-size Cluster, whose end is recovered by scanning to the
+    next Segment-level ID (the live-streamed WebM case)."""
     pos = start
     while pos < end:
         eid, w1 = _vint(data, pos, True)
         size, w2 = _vint(data, pos + w1, False)
+        body = pos + w1 + w2
         if size is None:
             if eid == _CLUSTER:
-                raise NotImplementedError(
-                    "unknown-size Cluster (live-streamed WebM) not supported"
-                )
+                cend = _unknown_cluster_end(data, body, end)
+                yield eid, body, cend
+                pos = cend
+                continue
             raise MkvError(f"unknown-size EBML element {eid:#x} at {pos}")
-        body = pos + w1 + w2
         if body + size > end:
             raise MkvError(
                 f"EBML element {eid:#x} at {pos} overruns its parent"
@@ -332,7 +378,8 @@ def _enc_lace_sizes(sizes: list[int], mode: str) -> bytes:
 
 def encode_mkv(tracks: list[dict], timestamp_scale: int = 1_000_000,
                doc_type: str = "webm", cluster_frames: int = 4,
-               block_group: bool = False) -> bytes:
+               block_group: bool = False,
+               unknown_size_clusters: bool = False) -> bytes:
     """Format-faithful Matroska/WebM writer — the fixture generator
     for :func:`parse_mkv`. Each track dict: handler ('vide'/'soun'),
     codec (CodecID string), samples (list of bytes), deltas (ticks per
@@ -395,7 +442,11 @@ def encode_mkv(tracks: list[dict], timestamp_scale: int = 1_000_000,
                 body += _elem(_BLOCK_GROUP, _elem(_BLOCK, payload))
             else:
                 body += _elem(_SIMPLE_BLOCK, payload)
-        clusters += _elem(_CLUSTER, body)
+        if unknown_size_clusters:
+            # all-ones 1-byte size vint = unknown size (live muxing)
+            clusters += _enc_id(_CLUSTER) + b"\xff" + body
+        else:
+            clusters += _elem(_CLUSTER, body)
 
     info = _elem(_INFO, _elem(_TIMESTAMP_SCALE, _enc_uint(timestamp_scale)))
     header = _elem(_EBML_HEADER, _elem(_DOCTYPE, doc_type.encode("ascii")))

@@ -1610,17 +1610,50 @@ def test_mkv_typed_errors():
         parse_mkv(bytes(bad_doc))
     with pytest.raises(MkvError, match="truncated|overruns"):
         parse_mkv(v[:40])
-    # unknown-size Cluster: size byte -> 0xFF (all ones, 1-byte VINT)
+    # unknown-size Cluster (size byte -> 0xFF, the live-WebM layout)
+    # DECODES since r10: the scan recovers the cluster end at the
+    # parent boundary and yields the identical sample relation
     unk = bytearray(v)
     cpos = v.index(bytes.fromhex("1F43B675"))
     unk[cpos + 4] = 0xFF
-    with pytest.raises(NotImplementedError, match="unknown-size Cluster"):
-        parse_mkv(bytes(unk))
+    (want_t,) = parse_mkv(v)
+    (got_t,) = parse_mkv(bytes(unk))
+    assert got_t["samples"] == want_t["samples"]
     # block referencing an absent track: track VINT 0x81 -> 0x82
     ghost = bytearray(v)
     ghost[-6] = 0x82
     with pytest.raises(MkvError, match="unknown track"):
         parse_mkv(bytes(ghost))
+
+
+def test_mkv_unknown_size_clusters_multi():
+    """Multiple unknown-size Clusters back-to-back (each terminated by
+    the NEXT cluster's Segment-level ID, the last by the parent end) —
+    the live-streamed WebM layout — parse identically to the sized
+    form; an unknown-size element INSIDE such a cluster is typed."""
+    import pytest
+
+    from dolphinbeat_spark.operators.mkv_demux import (
+        MkvError, encode_mkv, parse_mkv,
+    )
+
+    tracks = [{"track_id": 1, "handler": "soun", "codec": "A_OPUS",
+               "samples": [bytes([i]) * (10 + i) for i in range(9)],
+               "deltas": [20] * 9}]
+    sized = encode_mkv(tracks, cluster_frames=3)
+    unk = encode_mkv(tracks, cluster_frames=3, unknown_size_clusters=True)
+    assert unk != sized and b"\x1f\x43\xb6\x75\xff" in unk
+    (a,) = parse_mkv(sized)
+    (b,) = parse_mkv(unk)
+    assert [s[:2] + (s[3],) for s in a["samples"]] == \
+        [s[:2] + (s[3],) for s in b["samples"]]  # offsets differ by layout
+    assert len(b["samples"]) == 9
+    # nested unknown-size element inside an unknown-size cluster: typed
+    i = unk.index(b"\x1f\x43\xb6\x75\xff") + 5
+    bad = bytearray(unk)
+    bad[i + 1] = 0xFF  # first child's size vint -> unknown
+    with pytest.raises(MkvError, match="inside an unknown-size"):
+        parse_mkv(bytes(bad))
 
 
 def test_demux_media_sniffs_mkv(spark):
