@@ -15,8 +15,11 @@ parse), channel modes — plus ID3v2 prefix skip (syncsafe size,
 footer flag) and the ID3v1 128-byte trailer. Frame length per the
 published formula (samples/8 * bitrate / samplerate + padding;
 Layer I in 4-byte slots). VBR streams demux naturally since every
-header is read independently. Free-format bitrate (index 0) raises
-by name (its frame length is encoder-defined).
+header is read independently. Free-format bitrate (index 0, r10):
+the stream-constant frame length is discovered from the distance to
+the next sync with identical version/layer/rate fields (ISO 11172-3
+§2.4.2.3 — the length is encoder-defined but constant); a
+single-frame free stream raises by name (undiscoverable).
 
 Emits the same track-dict shape as parse_mp4/parse_mkv, so
 ``demux_media`` dispatches on the payload magic; dts is in SAMPLES
@@ -64,6 +67,33 @@ def _id3v2_size(data: bytes) -> int:
     return 10 + size + footer
 
 
+#: free-format discovery scan cap — no real frame is this long
+_FREE_MAX_SCAN = 1 << 16
+
+
+def _free_format_length(data: bytes, pos: int, b1: int, sr_bits: int,
+                        padding: int, slot: int) -> int:
+    """Distance from this free-format frame's sync to the NEXT sync
+    whose version/layer/bitrate=0/samplerate fields match, minus this
+    frame's padding slot — the stream-constant base frame length."""
+    limit = min(len(data) - 3, pos + _FREE_MAX_SCAN)
+    p = pos + 4
+    while p < limit:
+        p = data.find(b"\xff", p, limit)
+        if p < 0:
+            break
+        if (data[p + 1] == b1 and (data[p + 2] >> 4) == 0
+                and (data[p + 2] & 0x0C) == sr_bits):
+            base = p - pos - padding * slot
+            if base >= 4 * slot:
+                return base
+        p += 1
+    raise Mp3Error(
+        "free-format stream: no second matching sync within "
+        f"{_FREE_MAX_SCAN} bytes — frame length undiscoverable"
+    )
+
+
 def parse_mp3(data: bytes) -> list[dict]:
     """MP3 -> the parse_mp4/parse_mkv track-dict shape: one 'soun'
     track, samples = [(idx, dts_in_samples, byte_off, frame_size)]
@@ -75,6 +105,7 @@ def parse_mp3(data: bytes) -> list[dict]:
         raise Mp3Error("MP3 payload is only an ID3 tag")
     samples = []
     stream = None  # (version_code, layer, samplerate)
+    free_base = None  # free-format slot length (without padding)
     dts = 0
     idx = 0
     while pos < len(data):
@@ -95,23 +126,33 @@ def parse_mp3(data: bytes) -> list[dict]:
         br_idx = (b2 >> 4) & 0xF
         if br_idx == 15:
             raise Mp3Error("invalid bitrate index 1111")
-        if br_idx == 0:
-            raise NotImplementedError(
-                "free-format MPEG audio (bitrate index 0) not supported"
-            )
         sr_idx = (b2 >> 2) & 3
         if sr_idx == 3:
             raise Mp3Error("reserved sample rate index")
         mpeg1 = vcode == 3
-        bitrate = _BITRATES[(mpeg1, layer)][br_idx - 1] * 1000
         samplerate = _RATES[vcode][sr_idx]
         padding = (b2 >> 1) & 1
+        slot = 4 if layer == 1 else 1
         if layer == 1:
             spf = 384
-            frame_len = (12 * bitrate // samplerate + padding) * 4
         else:
             spf = 1152 if (layer == 2 or mpeg1) else 576
-            frame_len = spf // 8 * bitrate // samplerate + padding
+        if br_idx == 0:
+            # free format (ISO 11172-3 §2.4.2.3): a constant bitrate
+            # outside the table — the frame length is CONSTANT for
+            # the stream and must be discovered from the distance to
+            # the next sync with identical version/layer/rate fields
+            if free_base is None:
+                free_base = _free_format_length(
+                    data, pos, b1, b2 & 0x0C, padding, slot
+                )
+            frame_len = free_base + padding * slot
+        else:
+            bitrate = _BITRATES[(mpeg1, layer)][br_idx - 1] * 1000
+            if layer == 1:
+                frame_len = (12 * bitrate // samplerate + padding) * 4
+            else:
+                frame_len = spf // 8 * bitrate // samplerate + padding
         if frame_len < 4 or pos + frame_len > len(data):
             raise Mp3Error(
                 f"frame at {pos} ({frame_len} bytes) overruns the payload"
@@ -144,20 +185,30 @@ def encode_mp3_frames(n_frames: int, fill: bytes, version: str = "1",
                       layer: int = 3, bitrate_idx: int = 9,
                       samplerate_idx: int = 0, paddings=None,
                       id3v2: bytes | None = None,
-                      id3v1: bool = False) -> bytes:
+                      id3v1: bool = False,
+                      free_frame_len: int | None = None) -> bytes:
     """Format-faithful MPEG-audio frame writer (fixture generator):
     headers per the published matrix, frame bodies drawn round-robin
     from ``fill``. ``paddings`` optionally sets the padding bit per
-    frame (exercises per-frame length changes, the VBR mechanism)."""
+    frame (exercises per-frame length changes, the VBR mechanism).
+    ``bitrate_idx=0`` + ``free_frame_len`` writes a FREE-FORMAT stream
+    (constant off-table frame length; padding adds a slot)."""
     vcode = {"2.5": 0, "2": 2, "1": 3}[version]
     mpeg1 = vcode == 3
-    bitrate = _BITRATES[(mpeg1, layer)][bitrate_idx - 1] * 1000
+    if bitrate_idx == 0:
+        if free_frame_len is None:
+            raise ValueError("bitrate_idx=0 needs free_frame_len")
+        bitrate = None
+    else:
+        bitrate = _BITRATES[(mpeg1, layer)][bitrate_idx - 1] * 1000
     samplerate = _RATES[vcode][samplerate_idx]
     out = bytearray(id3v2 or b"")
     fp = 0
     for i in range(n_frames):
         padding = int(paddings[i]) if paddings else 0
-        if layer == 1:
+        if bitrate is None:
+            frame_len = free_frame_len + padding * (4 if layer == 1 else 1)
+        elif layer == 1:
             frame_len = (12 * bitrate // samplerate + padding) * 4
         else:
             spf = 1152 if (layer == 2 or mpeg1) else 576

@@ -1604,6 +1604,56 @@ def jsonl_dict_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_charset_html_extract",
+    # charset decode -> HTML extraction end-to-end over the committed
+    # legacy-encoding fixture: the Shift_JIS and GBK pages must come
+    # out as clean CJK text (tags stripped), and the cp1252/BOM/
+    # fallback bodies (tagless) pass through the extractor verbatim —
+    # proving the U+FFFD-free decode actually FEEDS the text layer,
+    # not just a column.
+    oracle="""
+SELECT *
+FROM (VALUES
+  (0::BIGINT, 'windows-1252', 'Café naïve — résumé €9'),
+  (1::BIGINT, 'shift_jis', 'こんにちは世界。日本語のページ。'),
+  (2::BIGINT, 'utf-8', 'BOM wins: héllo résumé'),
+  (3::BIGINT, 'windows-1252', 'déjà vu, 10€ œuvre'),
+  (4::BIGINT, 'gbk', '你好，世界。中文页面。')
+) AS t(doc_id, charset, text)
+ORDER BY doc_id
+""",
+    tags=("text", "html", "charset", "pipeline", "ingest"),
+)
+def pipeline_charset_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-aware decode feeding HTML extraction (the two r10
+    bridge stages composed): read_warc's WHATWG-decoded bodies →
+    html_extract → clean text, over the committed cp1252/Shift_JIS/
+    BOM/fallback/GBK fixture. Independent of sf_dir."""
+    from pathlib import Path
+
+    from dolphinbeat_spark.operators.html import html_extract
+    from dolphinbeat_spark.sources.warc import read_warc
+
+    raw = (
+        Path(__file__).resolve().parents[2]
+        / "tests" / "fixtures" / "charset.warc"
+    ).read_bytes()
+    media = spark.createDataFrame(
+        [(0, bytearray(raw))], "media_id long, payload binary"
+    )
+    recs = read_warc(media).select(
+        "record_idx", "charset", "body_text"
+    )
+    ext = html_extract(recs, id_col="record_idx", html_col="body_text")
+    return (
+        ext.join(recs.select("record_idx", "charset"),
+                 ext.doc_id == F.col("record_idx"))
+        .select("doc_id", "charset", "text")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "pipeline_crawl_mixed_media",
     # a real crawl is not all HTML: each doc's WARC carries an HTML
     # 200 response AND an application/pdf 200 response. The pipeline

@@ -1721,9 +1721,11 @@ def test_mp3_typed_errors():
         parse_mp3(bytes(20))
     with pytest.raises(Mp3Error, match="overruns"):
         parse_mp3(bytes(good[:100]))
+    # first frame marked free-format but the next sync has a tabled
+    # bitrate: the constant free length is undiscoverable -> typed
     free = bytearray(good)
     free[2] &= 0x0F  # bitrate index 0
-    with pytest.raises(NotImplementedError, match="free-format"):
+    with pytest.raises(Mp3Error, match="free-format"):
         parse_mp3(bytes(free))
     badsr = bytearray(good)
     badsr[2] |= 0x0C  # sample rate index 11
@@ -1736,6 +1738,38 @@ def test_mp3_typed_errors():
         parse_mp3(bytes(mixed))
     with pytest.raises(Mp3Error, match="only an ID3 tag"):
         parse_mp3(b"ID3\x04\x00\x00\x00\x00\x00\x00")
+
+
+def test_mp3_free_format():
+    """Free-format streams (bitrate index 0, ISO 11172-3 §2.4.2.3):
+    the constant off-table frame length is discovered from the
+    distance to the next matching sync, padding adds a slot, and a
+    single-frame stream raises by name — closing the r9 boundary."""
+    import pytest
+
+    from dolphinbeat_spark.operators.mp3_demux import (
+        Mp3Error, encode_mp3_frames, parse_mp3,
+    )
+
+    blob = encode_mp3_frames(5, b"xyz", bitrate_idx=0, free_frame_len=300)
+    (t,) = parse_mp3(blob)
+    assert [s[3] for s in t["samples"]] == [300] * 5
+    assert t["codec"] == "mpeg1-layer3" and t["timescale"] == 44100
+    # per-frame padding (incl. a PADDED FIRST frame: discovery must
+    # subtract the padding slot)
+    blob2 = encode_mp3_frames(4, b"q", bitrate_idx=0, free_frame_len=250,
+                              paddings=[1, 0, 1, 0])
+    (t2,) = parse_mp3(blob2)
+    assert [s[3] for s in t2["samples"]] == [251, 250, 251, 250]
+    # Layer I free format: 4-byte slots
+    blob3 = encode_mp3_frames(3, b"L", layer=1, bitrate_idx=0,
+                              free_frame_len=320, paddings=[0, 1, 0])
+    (t3,) = parse_mp3(blob3)
+    assert [s[3] for s in t3["samples"]] == [320, 324, 320]
+    # a lone free frame cannot determine its own length
+    with pytest.raises(Mp3Error, match="undiscoverable"):
+        parse_mp3(encode_mp3_frames(1, b"a", bitrate_idx=0,
+                                    free_frame_len=200))
 
 
 def test_demux_media_sniffs_mp3(spark):
