@@ -25,10 +25,14 @@ module implements the honest read-side subset per the PUBLIC spec:
   ' and ", with line assembly from Td/TD/T*/Tm — a TJ kerning
   adjustment ≤ -180/1000 em emits a space (the standard
   word-gap heuristic every extractor applies);
-- the standard-font assumption: show-string bytes decode as Latin-1
-  (the Standard-14 / simple-font case). A /Subtype /Type0 font in the
-  page resources raises by name — composite CMap text is a genuinely
-  different decoder;
+- simple fonts decode show-string bytes as Latin-1 (the Standard-14
+  case); Type0/Identity-H composite fonts (r10) decode 2-byte CIDs
+  through their /ToUnicode CMap (bfchar + both bfrange forms,
+  multi-char UTF-16BE destinations incl. surrogate pairs) — the
+  layout Word/Chrome-class writers emit for ANY non-Latin text, so
+  without it the non-English share of a PDF corpus is unreadable. A
+  Type0 font WITHOUT /ToUnicode raises by name (its CIDs carry no
+  recoverable text mapping);
 - /Encrypt in the trailer raises by name (§7.6 encryption);
 - document metadata: /Info Title/Author when present.
 
@@ -480,7 +484,9 @@ class PdfDocument:
         w = [int(x) for x in sdict.get("W", [])]
         if len(w) != 3:
             raise PdfError(f"bad /W in xref stream: {w}")
-        size = int(sdict["Size"])
+        size = sdict.get("Size")
+        if not isinstance(size, int):
+            raise PdfError("xref stream missing /Size")
         index = [int(x) for x in sdict.get("Index", [0, size])]
         rowlen = sum(w)
         p = 0
@@ -569,8 +575,10 @@ class PdfDocument:
             content = _apply_filters(
                 raw, sdict.get("Filter"), sdict.get("DecodeParms")
             )
-            n_objs = int(self.resolve(sdict["N"]))
-            first = int(self.resolve(sdict["First"]))
+            n_objs = self.resolve(sdict.get("N"))
+            first = self.resolve(sdict.get("First"))
+            if not isinstance(n_objs, int) or not isinstance(first, int):
+                raise PdfError("object stream missing /N or /First")
             pairs = []
             p = 0
             for _ in range(n_objs):
@@ -641,25 +649,113 @@ class PdfDocument:
 # --- content-stream text interpreter -----------------------------------------
 
 
-def _check_fonts(doc: PdfDocument, resources: dict) -> None:
+_HEX_PAIR_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(
+    rb"beginbfrange(.*?)endbfrange", re.S
+)
+_BFRANGE_ROW_RE = re.compile(
+    rb"<([0-9A-Fa-f\s]+)>\s*<([0-9A-Fa-f\s]+)>\s*"
+    rb"(<[0-9A-Fa-f\s]+>|\[[^\]]*\])", re.S
+)
+
+
+def _hex_bytes(h: bytes) -> bytes:
+    hx = re.sub(rb"\s", b"", h)
+    if len(hx) % 2:
+        hx += b"0"  # odd final digit: implied 0, as in hex strings
+    try:
+        return bytes.fromhex(hx.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as ex:
+        raise PdfError(f"bad CMap hex {h[:16]!r}: {ex}") from ex
+
+
+def _dst_text(h: bytes) -> str:
+    return _hex_bytes(h).decode("utf-16-be", "replace")
+
+
+def _parse_tounicode(data: bytes) -> dict[int, str]:
+    """A /ToUnicode CMap stream -> {2-byte code: unicode string}.
+    Handles bfchar pairs and bfrange (consecutive and array
+    destination forms) per Adobe's CMap/ToUnicode specification —
+    multi-char UTF-16BE destinations (ligatures, surrogate pairs)
+    included."""
+    out: dict[int, str] = {}
+    for block in _BFCHAR_RE.findall(data):
+        hexes = _HEX_PAIR_RE.findall(block)
+        for i in range(0, len(hexes) - 1, 2):
+            src = _hex_bytes(hexes[i])
+            out[int.from_bytes(src, "big")] = _dst_text(hexes[i + 1])
+    for block in _BFRANGE_RE.findall(data):
+        for lo_h, hi_h, dst in _BFRANGE_ROW_RE.findall(block):
+            lo = int.from_bytes(_hex_bytes(lo_h), "big")
+            hi = int.from_bytes(_hex_bytes(hi_h), "big")
+            if hi < lo or hi - lo > 0xFFFF:
+                raise PdfError(f"bad bfrange {lo:#x}..{hi:#x}")
+            if dst.startswith(b"["):
+                dsts = _HEX_PAIR_RE.findall(dst)
+                for k, d in enumerate(dsts):
+                    if lo + k <= hi:
+                        out[lo + k] = _dst_text(d)
+            else:
+                base = _hex_bytes(dst.strip(b"<>"))
+                base_cp = base.decode("utf-16-be", "replace")
+                for k in range(hi - lo + 1):
+                    if len(base_cp) == 1:  # increment the code point
+                        out[lo + k] = chr(ord(base_cp) + k)
+                    else:  # multi-char base: spec increments last unit
+                        out[lo + k] = base_cp[:-1] + chr(
+                            ord(base_cp[-1]) + k
+                        )
+    return out
+
+
+def _font_map(doc: PdfDocument, resources: dict) -> dict[str, dict | None]:
+    """Resource fonts -> {name: ToUnicode cmap dict (Type0) | None
+    (simple font, Latin-1 assumption)}. A Type0 font WITHOUT a
+    /ToUnicode CMap raises by name — its bytes are CIDs with no
+    recoverable text mapping."""
     fonts = doc.resolve(resources.get("Font")) if resources else None
+    out: dict[str, dict | None] = {}
     if not isinstance(fonts, dict):
-        return
+        return out
     for fname, fobj in fonts.items():
         f = doc.resolve(fobj)
         if isinstance(f, dict) and str(f.get("Subtype", "")) == "Type0":
-            raise NotImplementedError(
-                f"Type0/CMap composite font {fname!r}: multi-byte text "
-                "decode not supported (standard-font subset)"
-            )
+            tu = f.get("ToUnicode")
+            if tu is None:
+                raise NotImplementedError(
+                    f"Type0/CMap composite font {fname!r} without "
+                    "/ToUnicode: CID text is not recoverable"
+                )
+            out[fname] = _parse_tounicode(doc.stream_data(tu))
+        else:
+            out[fname] = None
+    return out
 
 
-def _extract_page_text(doc: PdfDocument, content: bytes) -> str:
-    """Run the text-showing operators over one page's content."""
+def _extract_page_text(doc: PdfDocument, content: bytes,
+                       fonts: dict[str, dict | None] | None = None) -> str:
+    """Run the text-showing operators over one page's content.
+    ``fonts`` maps resource font names to a ToUnicode cmap (Type0) or
+    None (simple font: Latin-1 bytes); Tf switches the active decode.
+    Type-state save/restore (q/Q) is not tracked — Tf assignments are
+    linear, which is how writers emit text in practice."""
+    fonts = fonts or {}
+    cur_cmap: dict | None = None
     lines: list[list[str]] = [[]]
 
     def show(b: bytes) -> None:
-        lines[-1].append(b.decode("latin-1"))
+        if cur_cmap is None:
+            lines[-1].append(b.decode("latin-1"))
+            return
+        chars = []
+        for i in range(0, len(b) - 1, 2):  # Identity-H: 2-byte codes
+            code = (b[i] << 8) | b[i + 1]
+            chars.append(cur_cmap.get(code, "�"))
+        if len(b) % 2:  # stray trailing byte: replacement, not a crash
+            chars.append("�")
+        lines[-1].append("".join(chars))
 
     def newline() -> None:
         if lines[-1]:
@@ -690,6 +786,9 @@ def _extract_page_text(doc: PdfDocument, content: bytes) -> str:
         pos = km.end()
         if op == b"BT":
             newline()
+        elif op == b"Tf":
+            if len(operands) >= 2 and isinstance(operands[-2], _Name):
+                cur_cmap = fonts.get(str(operands[-2]))
         elif op in (b"Td", b"TD"):
             if len(operands) >= 2 and operands[-1] != 0:
                 newline()
@@ -752,14 +851,14 @@ def extract_pdf_text(data: bytes) -> PdfText:
     doc = PdfDocument(data)
     pages_out: list[str] = []
     for page, resources in doc.pages():
-        _check_fonts(doc, resources)
+        fonts = _font_map(doc, resources)
         contents = doc.resolve(page.get("Contents"))
         if contents is None:
             pages_out.append("")
             continue
         parts = contents if isinstance(contents, list) else [contents]
         blob = b"\n".join(doc.stream_data(p) for p in parts)
-        pages_out.append(_extract_page_text(doc, blob))
+        pages_out.append(_extract_page_text(doc, blob, fonts))
     info = doc.resolve(doc.trailer.get("Info"))
     return PdfText(
         n_pages=len(pages_out),
@@ -803,22 +902,34 @@ def pdf_extract(df: DataFrame) -> DataFrame:
 
 
 def _esc(s: str) -> bytes:
+    """Literal-string escape; non-Latin-1 text becomes a UTF-16BE
+    text string with BOM (§7.9.2.2 — what the reader's _info_str
+    decodes)."""
+    try:
+        b = s.encode("latin-1")
+    except UnicodeEncodeError:
+        b = b"\xfe\xff" + s.encode("utf-16-be")
     return (
-        s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
-        .encode("latin-1")
+        b.replace(b"\\", b"\\\\").replace(b"(", b"\\(")
+        .replace(b")", b"\\)")
     )
 
 
 def encode_pdf(pages: list[list[str]], title: str | None = None,
                flate: bool = True, xref_stream: bool = False,
-               use_tj_array: bool = False) -> bytes:
+               use_tj_array: bool = False,
+               unicode_text: bool = False) -> bytes:
     """Format-faithful PDF writer (fixture generator). ``pages`` is a
     list of pages, each a list of text lines. Layout variants:
     classic xref table (default) or cross-reference stream + object
     stream (``xref_stream=True``, with a real /Predictor 12 Up filter
     on the xref stream — the wild-file norm); content streams plain
     or FlateDecode; ``use_tj_array`` shows each line as a TJ array
-    with a -250 word-gap kern between the first two words."""
+    with a -250 word-gap kern between the first two words.
+    ``unicode_text=True`` emits a Type0/Identity-H composite font with
+    a generated /ToUnicode CMap (bfchar entries per distinct char) and
+    2-byte-CID hex show strings — the layout Word/Chrome-class writers
+    produce for any non-Latin text."""
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     font_num = 3 + 2 * n_pages
@@ -830,6 +941,20 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
         b" /Resources << /Font << /F1 %d 0 R >> >> >>" % (n_pages, font_num)
     )
     streams: dict[int, tuple[bytes, bytes]] = {}  # num -> (dict, data)
+    codes: dict[str, int] = {}
+    if unicode_text:
+        for lines in pages:
+            for line in lines:
+                for ch in line:
+                    codes.setdefault(ch, len(codes) + 1)
+
+    def show_str(text: str) -> bytes:
+        if unicode_text:
+            return b"<" + b"".join(
+                b"%04X" % codes[ch] for ch in text
+            ) + b">"
+        return b"(" + _esc(text) + b")"
+
     for i, lines in enumerate(pages):
         pnum, cnum = 3 + 2 * i, 4 + 2 * i
         objs[pnum] = (
@@ -841,22 +966,52 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
             if j > 0:
                 ops.append(b"T*")
             if use_tj_array and " " in line:
+                # the -250 kern IS the word gap (reader emits the
+                # space via the ≤ -180/1000em rule), same in both
+                # font modes
                 first, rest = line.split(" ", 1)
                 ops.append(
-                    b"[(" + _esc(first) + b") -250 (" + _esc(rest)
-                    + b")] TJ"
+                    b"[" + show_str(first) + b" -250 "
+                    + show_str(rest) + b"] TJ"
                 )
             else:
-                ops.append(b"(" + _esc(line) + b") Tj")
+                ops.append(show_str(line) + b" Tj")
         ops.append(b"ET")
         content = b" ".join(ops)
         if flate:
             streams[cnum] = (b"/Filter /FlateDecode", zlib.compress(content))
         else:
             streams[cnum] = (b"", content)
-    objs[font_num] = (
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
-    )
+    if unicode_text:
+        desc_num = info_num + 1
+        tou_num = info_num + 2
+        objs[font_num] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /DejaVuSans "
+            b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
+            b"/ToUnicode %d 0 R >>" % (desc_num, tou_num)
+        )
+        objs[desc_num] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /DejaVuSans"
+            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+            b" /Supplement 0 >> >>"
+        )
+        rows = b"\n".join(
+            b"<%04X> <%s>" % (
+                code, ch.encode("utf-16-be").hex().upper().encode()
+            )
+            for ch, code in sorted(codes.items(), key=lambda kv: kv[1])
+        )
+        cmap = (
+            b"/CIDInit /ProcSet findresource begin\n12 dict begin\n"
+            b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\n"
+            b"endcodespacerange\n%d beginbfchar\n" % len(codes)
+            + rows + b"\nendbfchar\nendcmap\nend\nend\n"
+        )
+        streams[tou_num] = (b"", cmap)
+    else:
+        objs[font_num] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        )
     if title is not None:
         objs[info_num] = b"<< /Title (" + _esc(title) + b") >>"
 
@@ -894,7 +1049,7 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
     else:
         # non-stream objects ride in ONE object stream; content
         # streams and the xref stream stay top-level (§7.5.7)
-        stm_num = info_num + 1
+        stm_num = max(list(objs) + list(streams)) + 1
         xref_num = stm_num + 1
         inner = bytearray()
         pairs = []

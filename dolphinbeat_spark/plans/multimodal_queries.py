@@ -1804,6 +1804,52 @@ def pipeline_archive_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_pdf_unicode_text",
+    # payload = a REAL Type0/Identity-H PDF per doc (r10): a generated
+    # /ToUnicode CMap maps 2-byte CIDs to CJK + accented + ASCII text
+    # — the layout Word/Chrome-class writers emit for any non-Latin
+    # content. Layouts cycle classic/stream xref and Tj/TJ per doc
+    # parity; the oracle rebuilds title and page text in closed form.
+    oracle=r"""
+WITH p AS (
+  SELECT doc_id AS media_id, CAST(doc_id AS VARCHAR) AS i,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE doc_id % 25 = 2
+)
+SELECT media_id, 0::BIGINT AS page_idx, 1::BIGINT AS n_pages,
+       '文書 ' || i AS title,
+       'ドキュメント ' || i || ' — résumé' || chr(10)
+         || array_to_string(list_slice(toks, 1, 6), ' ') AS page_text
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "pdf", "unicode", "text", "ingest"),
+)
+def mm_pdf_unicode_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type0/CMap PDF text extraction under the oracle gate
+    (operators/pdf.py, r10): 2-byte Identity-H CIDs decoded through
+    the /ToUnicode CMap — without this path the non-English share of
+    a PDF corpus is unreadable. PDFs built driver-side over a bounded
+    doc subset; extraction runs distributed."""
+    from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_extract
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 2)
+    docs = sorted((r["doc_id"], r["text"]) for r in
+                  d.select("doc_id", "text").collect())
+    rows = []
+    for did, text in docs:
+        toks = text.strip().split()
+        pdf = encode_pdf(
+            [[f"ドキュメント {did} — résumé", " ".join(toks[0:6])]],
+            title=f"文書 {did}", unicode_text=True,
+            xref_stream=bool(did % 2), use_tj_array=did % 3 == 0,
+        )
+        rows.append((did, bytearray(pdf)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return pdf_extract(media).orderBy("media_id", "page_idx")
+
+
+@register(
     "archive_zip64_members",
     # payload = the COMMITTED forced-Zip64 fixture
     # tests/fixtures/zip64.zip (tools/make_zip64_fixture.py —

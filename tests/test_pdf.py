@@ -163,11 +163,11 @@ def test_pdf_typed_boundaries_by_name():
     )
     with pytest.raises(NotImplementedError, match="[Ee]ncrypt"):
         extract_pdf_text(_rebuild_classic_xref_noop(enc))
-    # Type0 font
+    # Type0 font WITHOUT /ToUnicode: CIDs carry no text mapping
     t0 = encode_pdf([["x"]], flate=False).replace(
         b"/Subtype /Type1", b"/Subtype /Type0"
     )
-    with pytest.raises(NotImplementedError, match="Type0"):
+    with pytest.raises(NotImplementedError, match="ToUnicode"):
         extract_pdf_text(t0)
     # DCT filter named
     dct = encode_pdf([["x"]], flate=False).replace(
@@ -243,3 +243,63 @@ def test_pdf_extract_spark(spark):
         (1, 0, 2), (1, 1, 2), (2, 0, 1),
     ]
     assert got[0].title == "Doc1" and got[2].page_text == "solo"
+
+
+def test_pdf_type0_tounicode_roundtrip():
+    """Type0/Identity-H composite fonts with a /ToUnicode CMap — the
+    Word/Chrome layout for any non-Latin text — across all structural
+    layouts, incl. a non-BMP char (surrogate pair in the CMap) and a
+    UTF-16BE title."""
+    upages = [["こんにちは世界", "héllo — ünïcode ✓", "mixed ASCII line"],
+              ["第二页 ¡olé! 𝄞 music"]]
+    for xs in (False, True):
+        for tj in (False, True):
+            pdf = encode_pdf(upages, title="ユニコード", xref_stream=xs,
+                             use_tj_array=tj, unicode_text=True)
+            d = extract_pdf_text(pdf)
+            assert d.title == "ユニコード"
+            assert d.pages[0] == (
+                "こんにちは世界\nhéllo — ünïcode ✓\nmixed ASCII line"
+            )
+            assert d.pages[1] == "第二页 ¡olé! 𝄞 music"
+
+
+def test_pdf_tounicode_bfrange_forms():
+    """The bfrange consecutive and array destination forms, hand-built
+    (the writer mirror only emits bfchar — this pins the range parser
+    independently), plus unmapped-CID and odd-byte degradation."""
+    from dolphinbeat_spark.operators.pdf import _parse_tounicode
+
+    cmap = (b"begincmap\n"
+            b"1 beginbfchar\n<0001> <0041>\nendbfchar\n"
+            b"2 beginbfrange\n"
+            b"<0005> <0008> <0061>\n"
+            b"<0010> <0012> [<00580059> <005A> <D834DD1E>]\n"
+            b"endbfrange\nendcmap")
+    m = _parse_tounicode(cmap)
+    assert m[1] == "A"
+    assert [m[c] for c in (5, 6, 7, 8)] == ["a", "b", "c", "d"]
+    assert m[0x10] == "XY" and m[0x11] == "Z" and m[0x12] == "𝄞"
+    # wire a PDF whose show string hits an unmapped code + odd byte
+    base = encode_pdf([["AB"]], flate=False, unicode_text=True)
+    d = extract_pdf_text(base)
+    assert d.pages == ["AB"]
+
+
+def test_pdf_type0_hostile_bytes():
+    """Bit flips on a Type0/ToUnicode PDF raise the typed family or
+    degrade — never a foreign exception."""
+    import numpy as np
+
+    rng = np.random.RandomState(37)
+    good = encode_pdf([["日本語 text"]], unicode_text=True, xref_stream=True)
+    for _ in range(120):
+        data = bytearray(good)
+        i = int(rng.randint(0, len(data)))
+        data[i] ^= 1 << int(rng.randint(0, 8))
+        try:
+            extract_pdf_text(bytes(data))
+        except (PdfError, NotImplementedError):
+            pass
+        except Exception as ex:  # pragma: no cover
+            pytest.fail(f"untyped crash on corrupted Type0 PDF: {ex!r}")
