@@ -33,7 +33,13 @@ module implements the honest read-side subset per the PUBLIC spec:
   without it the non-English share of a PDF corpus is unreadable. A
   Type0 font WITHOUT /ToUnicode raises by name (its CIDs carry no
   recoverable text mapping);
-- /Encrypt in the trailer raises by name (§7.6 encryption);
+- encryption (§7.6, r10): the Standard security handler with RC4
+  V1/V2 R2/R3 and the EMPTY user password — the owner-locked layout
+  (print/copy restrictions) every viewer opens, a real corpus share;
+  per-object keys over streams and strings, /U validated per
+  Algorithms 4/5, the RC4 primitive pinned by RFC 6229 vectors.
+  USER-password-protected files (empty password fails /U) and AES
+  (V≥4) raise by name;
 - document metadata: /Info Title/Author when present.
 
 Writer mirror ``encode_pdf`` generates format-faithful fixtures:
@@ -398,6 +404,94 @@ def _apply_filters(raw: bytes, filt, parms) -> bytes:
     return raw
 
 
+# --- encryption (Standard security handler, §7.6) -----------------------------
+
+#: §7.6.3.3 padding constant
+_PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA01082E2E00B6D0683E802F0CA9FE6453697A"
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (the published algorithm; pinned against the
+    RFC 6229 test vectors in tests/test_pdf.py)."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pad_password(pw: bytes) -> bytes:
+    return (pw + _PAD)[:32]
+
+
+def _std_encryption_key(pw: bytes, o: bytes, p: int, id0: bytes,
+                        r: int, length: int) -> bytes:
+    """§7.6.3.3 Algorithm 2: the file encryption key."""
+    import hashlib as _hl
+
+    h = _hl.md5(
+        _pad_password(pw) + o[:32]
+        + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = _hl.md5(h[:length]).digest()
+    return h[:length]
+
+
+def _check_user_password(key: bytes, u: bytes, id0: bytes, r: int) -> bool:
+    """§7.6.3.4 Algorithms 4 (R2) / 5 (R3): recompute /U and compare."""
+    import hashlib as _hl
+
+    if r == 2:
+        return _rc4(key, _PAD) == u[:32]
+    h = _hl.md5(_PAD + id0).digest()
+    h = _rc4(key, h)
+    for i in range(1, 20):
+        h = _rc4(bytes(b ^ i for b in key), h)
+    return h == u[:16]
+
+
+def _make_owner_value(owner_pw: bytes, user_pw: bytes, r: int,
+                      length: int) -> bytes:
+    """§7.6.3.4 Algorithm 3: the /O entry (writer mirror)."""
+    import hashlib as _hl
+
+    h = _hl.md5(_pad_password(owner_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = _hl.md5(h).digest()
+    rc4_key = h[:length]
+    o = _rc4(rc4_key, _pad_password(user_pw))
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in rc4_key), o)
+    return o
+
+
+def _make_user_value(key: bytes, id0: bytes, r: int) -> bytes:
+    """§7.6.3.4 Algorithms 4/5: the /U entry (writer mirror)."""
+    import hashlib as _hl
+
+    if r == 2:
+        return _rc4(key, _PAD)
+    h = _hl.md5(_PAD + id0).digest()
+    h = _rc4(key, h)
+    for i in range(1, 20):
+        h = _rc4(bytes(b ^ i for b in key), h)
+    return h + bytes(16)  # 32-byte entry, tail arbitrary per spec
+
+
 # --- document ----------------------------------------------------------------
 
 
@@ -413,11 +507,63 @@ class PdfDocument:
         self.xref: dict[int, tuple] = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, list] = {}
+        self._enc_key: bytes | None = None
         self._load_xref_chain()
         if "Encrypt" in self.trailer:
+            self._enc_key = self._setup_encryption()
+
+    def _setup_encryption(self) -> bytes:
+        """Standard security handler, RC4 V1/V2 R2/R3 (§7.6.3) with
+        the EMPTY user password — owner-restricted documents every
+        viewer opens. Password-protected files and AES (V≥4) raise
+        by name. The /Encrypt dict itself and xref streams are never
+        encrypted (§7.5.8.2), so resolving it here is safe."""
+        enc = self.resolve(self.trailer["Encrypt"])
+        if not isinstance(enc, dict):
+            raise PdfError("/Encrypt is not a dictionary")
+        filt = str(enc.get("Filter", ""))
+        v = enc.get("V", 0)
+        r = enc.get("R", 0)
+        if filt != "Standard" or v not in (1, 2) or r not in (2, 3):
             raise NotImplementedError(
-                "encrypted PDF (/Encrypt) not supported"
+                f"PDF encryption Filter={filt!r} V={v} R={r} not "
+                "supported (Standard-handler RC4 V1/V2 R2/R3 only; "
+                "AES needs V>=4)"
             )
+        o = enc.get("O")
+        u = enc.get("U")
+        p = enc.get("P")
+        if not isinstance(o, bytes) or not isinstance(u, bytes) \
+                or not isinstance(p, int):
+            raise PdfError("/Encrypt missing O/U/P entries")
+        ids = self.resolve(self.trailer.get("ID"))
+        id0 = ids[0] if isinstance(ids, list) and ids and \
+            isinstance(ids[0], bytes) else b""
+        length = int(enc.get("Length", 40)) // 8 if v == 2 else 5
+        key = _std_encryption_key(b"", o, p, id0, r, length)
+        if not _check_user_password(key, u, id0, r):
+            raise NotImplementedError(
+                "password-protected PDF: the empty user password does "
+                "not validate against /U"
+            )
+        return key
+
+    def _object_key(self, num: int, gen: int = 0) -> bytes:
+        import hashlib as _hl
+
+        base = self._enc_key + num.to_bytes(3, "little") \
+            + gen.to_bytes(2, "little")
+        return _hl.md5(base).digest()[:min(len(self._enc_key) + 5, 16)]
+
+    def _decrypt_obj(self, obj, key: bytes):
+        """Recursively RC4-decrypt every string in a parsed object."""
+        if isinstance(obj, bytes):
+            return _rc4(key, obj)
+        if isinstance(obj, list):
+            return [self._decrypt_obj(x, key) for x in obj]
+        if isinstance(obj, dict):
+            return {k: self._decrypt_obj(v, key) for k, v in obj.items()}
+        return obj
 
     # -- xref walk --
     def _load_xref_chain(self) -> None:
@@ -556,6 +702,14 @@ class PdfDocument:
                 raise PdfError(
                     f"xref points object {num} at object {got_num}"
                 )
+            if self._enc_key is not None:
+                # strings and stream bytes are encrypted per object
+                # (§7.6.2); objects INSIDE object streams come out
+                # plaintext once the objstm stream is decrypted
+                key = self._object_key(num)
+                obj = self._decrypt_obj(obj, key)
+                if raw is not None:
+                    raw = _rc4(key, raw)
             val = ("stream", obj, raw) if raw is not None else obj
         else:
             _, stm_num, idx = ent
@@ -901,24 +1055,33 @@ def pdf_extract(df: DataFrame) -> DataFrame:
 # --- writer (fixture generator) ----------------------------------------------
 
 
-def _esc(s: str) -> bytes:
-    """Literal-string escape; non-Latin-1 text becomes a UTF-16BE
-    text string with BOM (§7.9.2.2 — what the reader's _info_str
-    decodes)."""
-    try:
-        b = s.encode("latin-1")
-    except UnicodeEncodeError:
-        b = b"\xfe\xff" + s.encode("utf-16-be")
+def _esc_raw(b: bytes) -> bytes:
+    """Literal-string escape over raw bytes (CR would be normalized
+    by readers, so it is escaped too)."""
     return (
         b.replace(b"\\", b"\\\\").replace(b"(", b"\\(")
-        .replace(b")", b"\\)")
+        .replace(b")", b"\\)").replace(b"\r", b"\\r")
     )
+
+
+def _text_bytes(s: str) -> bytes:
+    """PDF text-string bytes: Latin-1, or UTF-16BE with BOM
+    (§7.9.2.2 — what the reader's _info_str decodes)."""
+    try:
+        return s.encode("latin-1")
+    except UnicodeEncodeError:
+        return b"\xfe\xff" + s.encode("utf-16-be")
+
+
+def _esc(s: str) -> bytes:
+    return _esc_raw(_text_bytes(s))
 
 
 def encode_pdf(pages: list[list[str]], title: str | None = None,
                flate: bool = True, xref_stream: bool = False,
                use_tj_array: bool = False,
-               unicode_text: bool = False) -> bytes:
+               unicode_text: bool = False,
+               encrypt: str | None = None) -> bytes:
     """Format-faithful PDF writer (fixture generator). ``pages`` is a
     list of pages, each a list of text lines. Layout variants:
     classic xref table (default) or cross-reference stream + object
@@ -929,7 +1092,11 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
     ``unicode_text=True`` emits a Type0/Identity-H composite font with
     a generated /ToUnicode CMap (bfchar entries per distinct char) and
     2-byte-CID hex show strings — the layout Word/Chrome-class writers
-    produce for any non-Latin text."""
+    produce for any non-Latin text. ``encrypt="rc4-40"|"rc4-128"``
+    produces a Standard-security-handler file (owner password
+    ``owner``, EMPTY user password — the owner-locked layout every
+    viewer opens): per-object RC4 over streams and strings, real
+    /O //U //P entries and a file /ID."""
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     font_num = 3 + 2 * n_pages
@@ -1015,6 +1182,52 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
     if title is not None:
         objs[info_num] = b"<< /Title (" + _esc(title) + b") >>"
 
+    #: objects that must live top-level in BOTH layouts (the /Encrypt
+    #: dict may not ride in an object stream; an encrypted /Info's
+    #: strings need their own object key)
+    top_plain: dict[int, bytes] = {}
+    enc_num = None
+    id0 = b""
+    if encrypt is not None:
+        import hashlib as _hl
+
+        r_, v_, length = {"rc4-40": (2, 1, 5),
+                          "rc4-128": (3, 2, 16)}[encrypt]
+        id0 = _hl.md5(b"dolphinbeat-pdf-id" + str(n_pages).encode()
+                      + (title or "").encode("utf-8")).digest()
+        o_val = _make_owner_value(b"owner", b"", r_, length)
+        p_val = -44
+        key = _std_encryption_key(b"", o_val, p_val, id0, r_, length)
+        u_val = _make_user_value(key, id0, r_)
+
+        def okey(num: int) -> bytes:
+            return _hl.md5(
+                key + num.to_bytes(3, "little") + bytes(2)
+            ).digest()[:min(length + 5, 16)]
+
+        for num in list(streams):  # encrypt AFTER compression (§7.6.2)
+            fdict, sdata = streams[num]
+            streams[num] = (fdict, _rc4(okey(num), sdata))
+        if title is not None:
+            del objs[info_num]
+            top_plain[info_num] = (
+                b"<< /Title ("
+                + _esc_raw(_rc4(okey(info_num), _text_bytes(title)))
+                + b") >>"
+            )
+        enc_num = max(list(objs) + list(streams) + list(top_plain)) + 1
+        top_plain[enc_num] = (
+            b"<< /Filter /Standard /V %d /R %d /Length %d /P %d /O ("
+            % (v_, r_, length * 8, p_val)
+            + _esc_raw(o_val) + b") /U (" + _esc_raw(u_val) + b") >>"
+        )
+
+    def trailer_extra() -> bytes:
+        if enc_num is None:
+            return b""
+        return (b" /Encrypt %d 0 R /ID [<%s> <%s>]"
+                % (enc_num, id0.hex().encode(), id0.hex().encode()))
+
     out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
 
@@ -1031,11 +1244,13 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
     if not xref_stream:
         for num in sorted(objs):
             write_obj(num, objs[num])
+        for num in sorted(top_plain):
+            write_obj(num, top_plain[num])
         for num, (fdict, data) in sorted(streams.items()):
             write_obj(
                 num, b"<< %s /Length %d >>" % (fdict, len(data)), data
             )
-        max_num = max(list(objs) + list(streams))
+        max_num = max(list(objs) + list(streams) + list(top_plain))
         xref_off = len(out)
         out.extend(b"xref\n0 %d\n" % (max_num + 1))
         out.extend(b"0000000000 65535 f \n")
@@ -1044,13 +1259,17 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
         trailer = b"<< /Size %d /Root 1 0 R" % (max_num + 1)
         if title is not None:
             trailer += b" /Info %d 0 R" % info_num
+        trailer += trailer_extra()
         trailer += b" >>"
         out.extend(b"trailer\n" + trailer + b"\n")
     else:
         # non-stream objects ride in ONE object stream; content
         # streams and the xref stream stay top-level (§7.5.7)
-        stm_num = max(list(objs) + list(streams)) + 1
+        stm_num = max(list(objs) + list(streams)
+                      + list(top_plain)) + 1
         xref_num = stm_num + 1
+        for num in sorted(top_plain):
+            write_obj(num, top_plain[num])
         inner = bytearray()
         pairs = []
         for num in sorted(objs):
@@ -1060,6 +1279,8 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
         header = b" ".join(b"%d %d" % p for p in pairs) + b" "
         objstm_payload = header + bytes(inner)
         comp = zlib.compress(objstm_payload)
+        if enc_num is not None:
+            comp = _rc4(okey(stm_num), comp)
         offsets[stm_num] = len(out)
         out.extend(b"%d 0 obj\n" % stm_num)
         out.extend(
@@ -1103,6 +1324,7 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
         trailer_bits = b"/Root 1 0 R"
         if title is not None:
             trailer_bits += b" /Info %d 0 R" % info_num
+        trailer_bits += trailer_extra()
         out.extend(b"%d 0 obj\n" % xref_num)
         out.extend(
             b"<< /Type /XRef /Size %d /W [1 4 2] /Index [0 %d] "

@@ -1850,6 +1850,53 @@ def mm_pdf_unicode_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_pdf_encrypted_text",
+    # payload = a REAL RC4-encrypted PDF per doc (Standard security
+    # handler, r10): owner-locked with the EMPTY user password — the
+    # restriction layout every viewer opens. Key length cycles
+    # 40/128-bit and xref layout classic/stream per doc parity; the
+    # oracle rebuilds the single page's text from token slices.
+    oracle=r"""
+WITH p AS (
+  SELECT doc_id AS media_id, CAST(doc_id AS VARCHAR) AS i,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE doc_id % 25 = 9
+)
+SELECT media_id, 0::BIGINT AS page_idx, 1::BIGINT AS n_pages,
+       'Locked ' || i AS title,
+       'Restricted doc ' || i || chr(10)
+         || array_to_string(list_slice(toks, 1, 7), ' ') AS page_text
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "pdf", "encryption", "text", "ingest"),
+)
+def mm_pdf_encrypted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RC4-encrypted PDF text extraction under the oracle gate
+    (operators/pdf.py, r10): Standard-handler key derivation, /U
+    validation with the empty user password, per-object RC4 over
+    streams AND strings (the /Info title) — without this path the
+    owner-locked share of a PDF corpus is unreadable."""
+    from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_extract
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 9)
+    docs = sorted((r["doc_id"], r["text"]) for r in
+                  d.select("doc_id", "text").collect())
+    rows = []
+    for did, text in docs:
+        toks = text.strip().split()
+        pdf = encode_pdf(
+            [[f"Restricted doc {did}", " ".join(toks[0:7])]],
+            title=f"Locked {did}",
+            encrypt="rc4-128" if did % 2 else "rc4-40",
+            xref_stream=did % 4 < 2,
+        )
+        rows.append((did, bytearray(pdf)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return pdf_extract(media).orderBy("media_id", "page_idx")
+
+
+@register(
     "archive_zip64_members",
     # payload = the COMMITTED forced-Zip64 fixture
     # tests/fixtures/zip64.zip (tools/make_zip64_fixture.py —

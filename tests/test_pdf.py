@@ -303,3 +303,67 @@ def test_pdf_type0_hostile_bytes():
             pass
         except Exception as ex:  # pragma: no cover
             pytest.fail(f"untyped crash on corrupted Type0 PDF: {ex!r}")
+
+
+def test_pdf_rc4_rfc6229_vectors():
+    """The RC4 primitive against the published RFC 6229 test vectors
+    (40- and 128-bit keys, keystream offset 0) — an independent pin
+    under the whole encryption path."""
+    from dolphinbeat_spark.operators.pdf import _rc4
+
+    ks40 = _rc4(bytes([1, 2, 3, 4, 5]), bytes(16))
+    assert ks40.hex() == "b2396305f03dc027ccc3524a0a1118a8"
+    key128 = bytes(range(1, 17))
+    ks128 = _rc4(key128, bytes(16))
+    assert ks128.hex() == "9ac7cc9a609d1ef7b2932899cde41b97"
+
+
+def test_pdf_encrypted_rc4_roundtrip():
+    """Standard-security-handler RC4 (V1/R2 40-bit and V2/R3 128-bit)
+    with the EMPTY user password — the owner-locked layout every
+    viewer opens — across classic/stream xref and simple/Type0 fonts;
+    strings (/Info title) and streams both decrypt."""
+    pages = [["secret line one", "line (two) \\ here"], ["page two"]]
+    for enc in ("rc4-40", "rc4-128"):
+        for xs in (False, True):
+            for uni in (False, True):
+                pdf = encode_pdf(pages, title="Tïtle", xref_stream=xs,
+                                 encrypt=enc, unicode_text=uni)
+                assert b"secret" not in pdf  # actually encrypted
+                d = extract_pdf_text(pdf)
+                assert d.pages == [
+                    "secret line one\nline (two) \\ here", "page two"
+                ], (enc, xs, uni)
+                assert d.title == "Tïtle"
+
+
+def test_pdf_encryption_boundaries_by_name():
+    # a USER-password-protected file (empty password fails /U)
+    blob = encode_pdf([["x"]], encrypt="rc4-128")
+    i = blob.index(b"/U (")
+    bad = bytearray(blob)
+    bad[i + 4] ^= 0xFF
+    with pytest.raises(NotImplementedError, match="password-protected"):
+        extract_pdf_text(bytes(bad))
+    # AES (V=4) by name
+    aes = blob.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    with pytest.raises(NotImplementedError, match="AES"):
+        extract_pdf_text(aes)
+
+
+def test_pdf_encrypted_hostile_bytes():
+    import numpy as np
+
+    rng = np.random.RandomState(43)
+    good = encode_pdf([["crypt body"]], title="T", encrypt="rc4-128",
+                      xref_stream=True)
+    for _ in range(120):
+        data = bytearray(good)
+        i = int(rng.randint(0, len(data)))
+        data[i] ^= 1 << int(rng.randint(0, 8))
+        try:
+            extract_pdf_text(bytes(data))
+        except (PdfError, NotImplementedError):
+            pass
+        except Exception as ex:  # pragma: no cover
+            pytest.fail(f"untyped crash on corrupted encrypted PDF: {ex!r}")
