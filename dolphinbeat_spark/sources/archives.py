@@ -11,10 +11,12 @@ ZIP: end-of-central-directory locate (back-scan tolerating a trailing
 comment), central-directory walk (names, method, CRC-32, sizes,
 local-header offsets), local-header re-parse for the actual data
 start, STORED and DEFLATE members (stdlib zlib, raw window), CRC-32
-verification of every extracted member, and Zip64 (EOCD64 locator +
+verification of every extracted member, Zip64 (EOCD64 locator +
 record, 0x0001 extended-information extras — bundles over 4 GiB or
-65 535 members are routine at 100 TB scale). Encrypted members raise
-by name.
+65 535 members are routine at 100 TB scale), and traditional
+ZipCrypto decryption with a supplied password (APPNOTE 6.1 — the
+password-protected bundle format; wrong passwords fail loudly on the
+crypto-header check byte). AES-encrypted members raise by name.
 
 TAR: 512-byte ustar headers (octal sizes, checksum verification over
 the space-filled checksum field, name+prefix joining, type flags),
@@ -46,6 +48,51 @@ from pyspark.sql.types import (
 
 class ArchiveError(ValueError):
     """Typed archive format error."""
+
+
+_CRC_TABLE = [0] * 256
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0xEDB88320 if _c & 1 else _c >> 1
+    _CRC_TABLE[_i] = _c
+
+
+class _ZipCrypto:
+    """The traditional PKWARE stream cipher (APPNOTE 6.1) — weak by
+    modern standards but still the format password-protected dataset
+    bundles ship in (stdlib ``zipfile`` reads it too, which is the
+    cross-check in tests)."""
+
+    def __init__(self, password: bytes):
+        self.k0, self.k1, self.k2 = 0x12345678, 0x23456789, 0x34567890
+        for b in password:
+            self._update(b)
+
+    def _update(self, b: int) -> None:
+        self.k0 = (self.k0 >> 8) ^ _CRC_TABLE[(self.k0 ^ b) & 0xFF]
+        self.k1 = ((self.k1 + (self.k0 & 0xFF)) * 134775813 + 1) \
+            & 0xFFFFFFFF
+        self.k2 = (self.k2 >> 8) ^ _CRC_TABLE[
+            (self.k2 ^ (self.k1 >> 24)) & 0xFF
+        ]
+
+    def decrypt(self, data: bytes) -> bytes:
+        out = bytearray(len(data))
+        for i, c in enumerate(data):
+            t = (self.k2 | 2) & 0xFFFF
+            p = c ^ ((t * (t ^ 1)) >> 8) & 0xFF
+            out[i] = p
+            self._update(p)
+        return bytes(out)
+
+    def encrypt(self, data: bytes) -> bytes:
+        out = bytearray(len(data))
+        for i, p in enumerate(data):
+            t = (self.k2 | 2) & 0xFFFF
+            out[i] = p ^ ((t * (t ^ 1)) >> 8) & 0xFF
+            self._update(p)
+        return bytes(out)
 
 
 def _zip64_extra(extra: bytes, usize: int, csize: int, lho: int,
@@ -86,12 +133,15 @@ def _zip64_extra(extra: bytes, usize: int, csize: int, lho: int,
     return usize, csize, lho
 
 
-def iter_zip_members(data: bytes):
+def iter_zip_members(data: bytes, password: bytes | None = None):
     """Yield (name, content) per ZIP member via the central
     directory; CRC-verified. Zip64 (APPNOTE 4.3.14/4.3.15: EOCD64
     locator + record, 0x0001 extended-information extras) is handled
     transparently — dataset bundles over 4 GiB or 65 535 members are
-    routine at 100 TB scale."""
+    routine at 100 TB scale. ``password`` decrypts traditional
+    ZipCrypto members (APPNOTE 6.1, the password-protected bundle
+    format; the 12-byte crypto header's check byte catches a wrong
+    password before CRC); AES-encrypted members raise by name."""
     # EOCD: scan back over ≤64 KiB of trailing comment
     lo = max(0, len(data) - 65536 - 22)
     eocd = data.rfind(b"PK\x05\x06", lo)
@@ -132,8 +182,11 @@ def iter_zip_members(data: bytes):
             extra = data[pos + 46 + nlen:pos + 46 + nlen + elen]
             usize, csize, lho = _zip64_extra(extra, usize, csize, lho, name)
         pos += 46 + nlen + elen + klen
-        if flags & 0x1:
-            raise NotImplementedError(f"encrypted ZIP member {name!r}")
+        if flags & 0x1 and password is None:
+            raise NotImplementedError(
+                f"encrypted ZIP member {name!r} (pass password= for "
+                "traditional ZipCrypto; AES-encrypted ZIP unsupported)"
+            )
         if data[lho:lho + 4] != b"PK\x03\x04":
             raise ArchiveError(f"local header missing for {name!r}")
         lnlen, lelen = struct.unpack_from("<HH", data, lho + 26)
@@ -141,6 +194,25 @@ def iter_zip_members(data: bytes):
         raw = data[start:start + csize]
         if len(raw) != csize:
             raise ArchiveError(f"member {name!r} data truncated")
+        if flags & 0x1:
+            if method == 99 or b"\x01\x99" in \
+                    data[pos - elen - klen:pos - klen]:
+                raise NotImplementedError(
+                    f"AES-encrypted ZIP member {name!r} not supported"
+                )
+            if len(raw) < 12:
+                raise ArchiveError(f"member {name!r} lacks a crypto header")
+            zc = _ZipCrypto(password)
+            hdr = zc.decrypt(raw[:12])
+            # APPNOTE 6.1.6: last header byte checks the CRC high byte
+            # (or the DOS-time high byte when bit 3 defers the CRC)
+            want = data[lho + 11] if flags & 0x8 else (crc >> 24) & 0xFF
+            if hdr[11] != want:
+                raise ArchiveError(
+                    f"member {name!r}: wrong password (crypto header "
+                    "check failed)"
+                )
+            raw = zc.decrypt(raw[12:])
         if method == 0:
             content = raw
         elif method == 8:
@@ -284,13 +356,16 @@ def read_archive(df: DataFrame, text_limit: int = 1 << 20,
 
 
 def encode_zip(members: list[tuple[str, bytes]],
-               deflate: bool = True, zip64: bool = False) -> bytes:
+               deflate: bool = True, zip64: bool = False,
+               password: bytes | None = None) -> bytes:
     """Format-faithful ZIP writer (fixture generator). ``zip64=True``
     forces the full Zip64 layout regardless of actual sizes — maxed
     32-bit fields with 0x0001 extended-information extras, a Zip64
     EOCD record, and its locator (APPNOTE 4.3.14/4.3.15, 4.5.3) — the
     shape a >4 GiB or >65 535-member bundle has in the wild, testable
-    without writing 4 GiB."""
+    without writing 4 GiB. ``password`` writes traditional-ZipCrypto
+    members (deterministic 12-byte crypto headers, check byte = CRC
+    high byte)."""
     out = bytearray()
     central = bytearray()
     offsets = []
@@ -304,6 +379,14 @@ def encode_zip(members: list[tuple[str, bytes]],
             method = 8
         else:
             raw, method = content, 0
+        flags = 0
+        if password is not None:
+            zc = _ZipCrypto(password)
+            hdr = bytes(
+                [(7 * len(offsets) + i) % 251 for i in range(11)]
+            ) + bytes([(crc >> 24) & 0xFF])
+            raw = zc.encrypt(hdr) + zc.encrypt(raw)
+            flags = 1
         offsets.append(len(out))
         sizes.append(len(raw))
         if zip64:
@@ -311,14 +394,15 @@ def encode_zip(members: list[tuple[str, bytes]],
                 "<QQ", len(content), len(raw)
             )
             out += b"PK\x03\x04" + struct.pack(
-                "<HHHHHIIIHH", 45, 0, method, 0, 0, crc,
+                "<HHHHHIIIHH", 45, flags, method, 0, 0, crc,
                 0xFFFFFFFF, 0xFFFFFFFF, len(nb), len(extra),
             ) + nb + extra + raw
         else:
             out += b"PK\x03\x04" + struct.pack(
-                "<HHHHHIIIHH", 20, 0, method, 0, 0, crc, len(raw),
+                "<HHHHHIIIHH", 20, flags, method, 0, 0, crc, len(raw),
                 len(content), len(nb), 0,
             ) + nb + raw
+    cflags = 1 if password is not None else 0
     for (name, content), off, csz in zip(members, offsets, sizes):
         nb = name.encode()
         crc = zlib.crc32(content) & 0xFFFFFFFF
@@ -328,14 +412,14 @@ def encode_zip(members: list[tuple[str, bytes]],
                 "<QQQ", len(content), csz, off
             )
             central += b"PK\x01\x02" + struct.pack(
-                "<HHHHHHIIIHHHHHII", 45, 45, 0, method, 0, 0, crc,
+                "<HHHHHHIIIHHHHHII", 45, 45, cflags, method, 0, 0, crc,
                 0xFFFFFFFF, 0xFFFFFFFF, len(nb), len(extra), 0, 0, 0, 0,
                 0xFFFFFFFF,
             ) + nb + extra
         else:
             central += b"PK\x01\x02" + struct.pack(
-                "<HHHHHHIIIHHHHHII", 20, 20, 0, method, 0, 0, crc, csz,
-                len(content), len(nb), 0, 0, 0, 0, 0, off,
+                "<HHHHHHIIIHHHHHII", 20, 20, cflags, method, 0, 0, crc,
+                csz, len(content), len(nb), 0, 0, 0, 0, 0, off,
             ) + nb
     cd_off = len(out)
     out += central

@@ -2383,6 +2383,40 @@ def test_archive_tar_bz2_xz_wrappers():
         list(iter_tar_members(b"\xfd7zXZ\x00" + b"\x00" * 40))
 
 
+def test_archive_zipcrypto():
+    """Traditional ZipCrypto (APPNOTE 6.1) with a supplied password:
+    round-trips across deflate/stored and classic/Zip64 layouts, the
+    stdlib zipfile reads our encrypted output (independent
+    implementation agrees on the cipher), wrong passwords fail on the
+    crypto-header check byte, and no-password keeps the honest typed
+    boundary."""
+    import io
+    import zipfile
+
+    import pytest
+
+    from dolphinbeat_spark.sources.archives import (
+        ArchiveError, encode_zip, iter_zip_members,
+    )
+
+    members = [("a.txt", b"alpha secret"), ("b/c.bin", bytes(range(200)))]
+    for deflate in (True, False):
+        for z64 in (False, True):
+            z = encode_zip(members, deflate=deflate, zip64=z64,
+                           password=b"hunter2")
+            got = list(iter_zip_members(z, password=b"hunter2"))
+            assert got == members, (deflate, z64)
+            zf = zipfile.ZipFile(io.BytesIO(z))
+            zf.setpassword(b"hunter2")
+            assert [(i.filename, zf.read(i))
+                    for i in zf.infolist()] == members, (deflate, z64)
+    z = encode_zip(members, password=b"hunter2")
+    with pytest.raises(ArchiveError, match="wrong password"):
+        list(iter_zip_members(z, password=b"letmein"))
+    with pytest.raises(NotImplementedError, match="password="):
+        list(iter_zip_members(z))
+
+
 def test_archive_zip64():
     """Zip64 (EOCD64 locator+record, 0x0001 extras): the from-scratch
     reader decodes a forced-Zip64 file, the stdlib zipfile reads our
