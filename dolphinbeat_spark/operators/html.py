@@ -219,7 +219,11 @@ def html_to_text(html: str) -> HtmlDoc:
             gt = html.find(">", close)
             pos = n if gt < 0 else gt + 1
             continue
-        if not closing and name == "title" and not self_closing:
+        if (not closing and name == "title" and not self_closing
+                and invis_depth == 0):
+            # invis_depth guard: an SVG accessibility <title> inside an
+            # invisible subtree is NOT the page title (its content is
+            # also suppressed by emit() below)
             close = _find_ci(html_lower, "</title", pos)
             raw = html[pos:] if close < 0 else html[pos:close]
             title_parts.append(raw)

@@ -71,6 +71,24 @@ def _id3v2_size(data: bytes) -> int:
 _FREE_MAX_SCAN = 1 << 16
 
 
+def _third_sync_ok(data: bytes, second: int, b1: int, sr_bits: int,
+                   base: int, slot: int) -> bool:
+    """Confirm the candidate base length by locating a THIRD matching
+    sync one frame past the second — a coincidental 0xFF pattern
+    inside the first frame's audio data fails this check.  A stream
+    that ends before a third frame could exist is accepted (two-frame
+    streams are legal)."""
+    pad2 = (data[second + 2] >> 1) & 1
+    third = second + base + pad2 * slot
+    if third + 4 > len(data):
+        return True  # stream too short for a third frame
+    if data[third:third + 3] == b"TAG" and len(data) - third == 128:
+        return True  # two frames + ID3v1 trailer
+    return (data[third] == 0xFF and data[third + 1] == b1
+            and (data[third + 2] >> 4) == 0
+            and (data[third + 2] & 0x0C) == sr_bits)
+
+
 def _free_format_length(data: bytes, pos: int, b1: int, sr_bits: int,
                         padding: int, slot: int) -> int:
     """Distance from this free-format frame's sync to the NEXT sync
@@ -85,7 +103,8 @@ def _free_format_length(data: bytes, pos: int, b1: int, sr_bits: int,
         if (data[p + 1] == b1 and (data[p + 2] >> 4) == 0
                 and (data[p + 2] & 0x0C) == sr_bits):
             base = p - pos - padding * slot
-            if base >= 4 * slot:
+            if base >= 4 * slot and _third_sync_ok(
+                    data, p, b1, sr_bits, base, slot):
                 return base
         p += 1
     raise Mp3Error(

@@ -620,7 +620,7 @@ class PdfDocument:
                 pos += 20
 
     def _load_xref_stream(self, pos: int) -> dict:
-        num, sdict, raw = self._parse_indirect_at(pos)
+        num, _gen, sdict, raw = self._parse_indirect_at(pos)
         if raw is None or not isinstance(sdict, dict) \
                 or str(sdict.get("Type", "")) != "XRef":
             raise PdfError("expected an /XRef stream at xref offset")
@@ -660,9 +660,10 @@ class PdfDocument:
 
     # -- object loading --
     def _parse_indirect_at(self, pos: int):
-        """``num gen obj`` at pos -> (num, obj, stream_bytes|None);
+        """``num gen obj`` at pos -> (num, gen, obj, stream_bytes|None);
         for non-stream objects stream_bytes is None and obj is the
-        value."""
+        value.  The generation number participates in the per-object
+        decryption key (Algorithm 1, §7.6.2), so it is carried out."""
         data = self.data
         m = re.match(
             rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+obj",
@@ -671,6 +672,7 @@ class PdfDocument:
         if not m:
             raise PdfError(f"indirect object header missing at {pos}")
         num = int(m.group(1))
+        gen = int(m.group(2))
         obj, p2 = _parse_object(data, pos + m.end())
         p2 = _skip_ws(data, p2)
         if data[p2:p2 + 6] == b"stream":
@@ -687,8 +689,8 @@ class PdfDocument:
             raw = data[p2:p2 + length]
             if len(raw) != length:
                 raise PdfError("stream data truncated")
-            return num, obj, raw
-        return num, obj, None
+            return num, gen, obj, raw
+        return num, gen, obj, None
 
     def get_object(self, num: int):
         if num in self._cache:
@@ -697,7 +699,7 @@ class PdfDocument:
         if ent is None:
             return None  # per spec: missing object is null
         if ent[0] == "n":
-            got_num, obj, raw = self._parse_indirect_at(ent[1])
+            got_num, gen, obj, raw = self._parse_indirect_at(ent[1])
             if got_num != num:
                 raise PdfError(
                     f"xref points object {num} at object {got_num}"
@@ -706,7 +708,7 @@ class PdfDocument:
                 # strings and stream bytes are encrypted per object
                 # (§7.6.2); objects INSIDE object streams come out
                 # plaintext once the objstm stream is decrypted
-                key = self._object_key(num)
+                key = self._object_key(num, gen)
                 obj = self._decrypt_obj(obj, key)
                 if raw is not None:
                     raw = _rc4(key, raw)
@@ -1081,7 +1083,8 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
                flate: bool = True, xref_stream: bool = False,
                use_tj_array: bool = False,
                unicode_text: bool = False,
-               encrypt: str | None = None) -> bytes:
+               encrypt: str | None = None,
+               info_gen: int = 0) -> bytes:
     """Format-faithful PDF writer (fixture generator). ``pages`` is a
     list of pages, each a list of text lines. Layout variants:
     classic xref table (default) or cross-reference stream + object
@@ -1096,7 +1099,12 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
     produces a Standard-security-handler file (owner password
     ``owner``, EMPTY user password — the owner-locked layout every
     viewer opens): per-object RC4 over streams and strings, real
-    /O //U //P entries and a file /ID."""
+    /O //U //P entries and a file /ID. ``info_gen`` writes the /Info
+    object (and its xref entry / trailer reference) at that generation
+    number — exercises the per-object key's gen bytes (Algorithm 1);
+    classic-xref layout only."""
+    if info_gen and (xref_stream or title is None):
+        raise ValueError("info_gen needs classic xref + a title")
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     font_num = 3 + 2 * n_pages
@@ -1200,9 +1208,10 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
         key = _std_encryption_key(b"", o_val, p_val, id0, r_, length)
         u_val = _make_user_value(key, id0, r_)
 
-        def okey(num: int) -> bytes:
+        def okey(num: int, gen: int = 0) -> bytes:
             return _hl.md5(
-                key + num.to_bytes(3, "little") + bytes(2)
+                key + num.to_bytes(3, "little")
+                + gen.to_bytes(2, "little")
             ).digest()[:min(length + 5, 16)]
 
         for num in list(streams):  # encrypt AFTER compression (§7.6.2)
@@ -1212,7 +1221,8 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
             del objs[info_num]
             top_plain[info_num] = (
                 b"<< /Title ("
-                + _esc_raw(_rc4(okey(info_num), _text_bytes(title)))
+                + _esc_raw(_rc4(okey(info_num, info_gen),
+                                _text_bytes(title)))
                 + b") >>"
             )
         enc_num = max(list(objs) + list(streams) + list(top_plain)) + 1
@@ -1231,9 +1241,11 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
     out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
 
+    gens: dict[int, int] = {info_num: info_gen} if info_gen else {}
+
     def write_obj(num: int, body: bytes, stream: bytes | None = None):
         offsets[num] = len(out)
-        out.extend(b"%d 0 obj\n" % num)
+        out.extend(b"%d %d obj\n" % (num, gens.get(num, 0)))
         out.extend(body)
         if stream is not None:
             out.extend(b"\nstream\n")
@@ -1255,10 +1267,11 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
         out.extend(b"xref\n0 %d\n" % (max_num + 1))
         out.extend(b"0000000000 65535 f \n")
         for num in range(1, max_num + 1):
-            out.extend(b"%010d 00000 n \n" % offsets.get(num, 0))
+            out.extend(b"%010d %05d n \n"
+                       % (offsets.get(num, 0), gens.get(num, 0)))
         trailer = b"<< /Size %d /Root 1 0 R" % (max_num + 1)
         if title is not None:
-            trailer += b" /Info %d 0 R" % info_num
+            trailer += b" /Info %d %d R" % (info_num, info_gen)
         trailer += trailer_extra()
         trailer += b" >>"
         out.extend(b"trailer\n" + trailer + b"\n")

@@ -70,7 +70,22 @@ def url_authority(url: Column | str) -> Column:
 
 
 def url_host(url: Column | str) -> Column:
-    return F.element_at(F.split(url_authority(url), ":"), 1)
+    """Host from the authority. Bracketed IPv6 literals (RFC 3986
+    §3.2.2, ``[::1]:8080``) keep their brackets and never split on
+    the colons inside them."""
+    auth = url_authority(url)
+    bracket = F.regexp_extract(auth, r"^(\[[^\]]*\])", 1)
+    return F.when(bracket != "", bracket).otherwise(
+        F.element_at(F.split(auth, ":"), 1)
+    )
+
+
+def url_port(url: Column | str) -> Column:
+    """Explicit port as a string, NULL when absent; IPv6-bracket
+    aware."""
+    auth = url_authority(url)
+    port = F.regexp_extract(auth, r"^(?:\[[^\]]*\]|[^:]*):(\d+)$", 1)
+    return F.when(port == "", F.lit(None)).otherwise(port)
 
 
 def url_path(url: Column | str) -> Column:
@@ -103,11 +118,8 @@ def canonical_url(url: Column | str) -> Column:
     stripped, fragment gone, tracking params scrubbed, empty path →
     '/'. Non-URL strings canonicalize to NULL (no scheme match)."""
     scheme = url_scheme(url)
-    auth = url_authority(url)
     host = url_host(url)
-    # try_element_at: ANSI mode throws on out-of-bounds element_at,
-    # and most authorities have no port
-    port = F.try_element_at(F.split(auth, ":"), F.lit(2))
+    port = url_port(url)
     default = ((scheme == "http") & (port == "80")) | (
         (scheme == "https") & (port == "443")
     )

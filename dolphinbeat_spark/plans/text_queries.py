@@ -660,6 +660,8 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     #     '' -> bare '/')
     # [2] userinfo + NON-default port (kept) + params that must keep
     #     their order.
+    # [3] bracketed IPv6 literal host with a port — the colons inside
+    #     the brackets must not split the host (RFC 3986 §3.2.2).
     # The oracle states the expected outputs in closed form from the
     # same template pieces.
     oracle="""
@@ -667,23 +669,26 @@ WITH p AS (
   SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
          CAST(doc_id % 5 AS VARCHAR) AS m
   FROM documents WHERE doc_id % 10 = 4
-), v(k) AS (VALUES (0), (1), (2))
+), v(k) AS (VALUES (0), (1), (2), (3))
 SELECT doc_id, CAST(k AS BIGINT) AS variant,
        CASE k
          WHEN 0 THEN 'http://www.site' || m || '.co.uk/A/' || i
                      || '?q=' || i || '&keep=1'
          WHEN 1 THEN 'https://blog.example' || m || '.com/'
-         ELSE 'https://cdn.host' || m || '.io:8443/x%20y?b=2&a=1'
+         WHEN 2 THEN 'https://cdn.host' || m || '.io:8443/x%20y?b=2&a=1'
+         ELSE 'http://[2001:db8::' || m || ']:8080/p?x=' || i
        END AS canonical,
        CASE k
          WHEN 0 THEN 'www.site' || m || '.co.uk'
          WHEN 1 THEN 'blog.example' || m || '.com'
-         ELSE 'cdn.host' || m || '.io'
+         WHEN 2 THEN 'cdn.host' || m || '.io'
+         ELSE '[2001:db8::' || m || ']'
        END AS host,
        CASE k
          WHEN 0 THEN 'site' || m || '.co.uk'
          WHEN 1 THEN 'example' || m || '.com'
-         ELSE 'host' || m || '.io'
+         WHEN 2 THEN 'host' || m || '.io'
+         ELSE '[2001:db8::' || m || ']'
        END AS domain
 FROM p CROSS JOIN v
 ORDER BY doc_id, variant
@@ -711,6 +716,8 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit(".com:443?gclid=1")),
         F.concat(F.lit("https://user:pw@cdn.Host"), m,
                  F.lit(".io:8443/x%20y?b=2&a=1")),
+        F.concat(F.lit("HTTP://[2001:DB8::"), m,
+                 F.lit("]:8080/p?x="), i, F.lit("#frag")),
     )
     exploded = d.select(
         "doc_id", F.posexplode(shapes).alias("variant", "url")

@@ -133,6 +133,20 @@ def _zip64_extra(extra: bytes, usize: int, csize: int, lho: int,
     return usize, csize, lho
 
 
+def _has_aes_extra(extra: bytes) -> bool:
+    """True when the extra field carries a WinZip AE-x record
+    (APPNOTE-adjacent header ID 0x9901).  Walked as (id, size)
+    records like ``_zip64_extra`` — a substring scan would
+    false-positive on unrelated payload bytes."""
+    p = 0
+    while p + 4 <= len(extra):
+        (hid, hsz) = struct.unpack_from("<HH", extra, p)
+        if hid == 0x9901:
+            return True
+        p += 4 + hsz
+    return False
+
+
 def iter_zip_members(data: bytes, password: bytes | None = None):
     """Yield (name, content) per ZIP member via the central
     directory; CRC-verified. Zip64 (APPNOTE 4.3.14/4.3.15: EOCD64
@@ -195,8 +209,8 @@ def iter_zip_members(data: bytes, password: bytes | None = None):
         if len(raw) != csize:
             raise ArchiveError(f"member {name!r} data truncated")
         if flags & 0x1:
-            if method == 99 or b"\x01\x99" in \
-                    data[pos - elen - klen:pos - klen]:
+            if method == 99 or _has_aes_extra(
+                    data[pos - elen - klen:pos - klen]):
                 raise NotImplementedError(
                     f"AES-encrypted ZIP member {name!r} not supported"
                 )

@@ -78,6 +78,21 @@ def test_html_head_invisible_but_title_captured():
     assert d2.title == "T2" and d2.text == "vis2"
 
 
+def test_html_svg_title_not_page_title():
+    """An SVG accessibility <title> inside <body> is NOT the page
+    title (r10 ADVICE: the invisible-subtree depth check must run
+    before the title capture)."""
+    d = html_to_text(
+        "<head><title>Real Title</title></head><body>"
+        "<svg><title>icon label</title><circle r='1'/></svg>text</body>"
+    )
+    assert d.title == "Real Title"
+    assert d.text == "text"
+    # no page-level <title> at all: svg title must not fill in
+    d2 = html_to_text("<body><svg><title>nope</title></svg>vis</body>")
+    assert d2.title is None and d2.text == "vis"
+
+
 def test_html_tag_soup_degrades():
     # literal '<' (not a tag), unterminated comment, unterminated tag
     assert html_to_text("x < 3 and y > 2").text == "x < 3 and y > 2"

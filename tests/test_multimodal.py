@@ -1770,6 +1770,23 @@ def test_mp3_free_format():
     with pytest.raises(Mp3Error, match="undiscoverable"):
         parse_mp3(encode_mp3_frames(1, b"a", bitrate_idx=0,
                                     free_frame_len=200))
+    # a COINCIDENTAL sync-looking byte pattern inside the first
+    # frame's audio data must not lock a wrong length: discovery now
+    # demands a third matching sync one frame past the candidate
+    # (r10 ADVICE finding)
+    fake = bytearray(encode_mp3_frames(3, b"\x00", bitrate_idx=0,
+                                       free_frame_len=300))
+    fake[100:104] = b"\xff\xfb\x00\x00"  # matches ver/layer/rate, br=0
+    (tf,) = parse_mp3(bytes(fake))
+    assert [s[3] for s in tf["samples"]] == [300] * 3
+    # two-frame streams stay legal (no third frame to confirm with)
+    (t2f,) = parse_mp3(encode_mp3_frames(2, b"w", bitrate_idx=0,
+                                         free_frame_len=280))
+    assert [s[3] for s in t2f["samples"]] == [280, 280]
+    # ... and with an ID3v1 trailer after the second frame
+    (t2t,) = parse_mp3(encode_mp3_frames(2, b"w", bitrate_idx=0,
+                                         free_frame_len=280, id3v1=True))
+    assert [s[3] for s in t2t["samples"]] == [280, 280]
 
 
 def test_demux_media_sniffs_mp3(spark):
@@ -2415,6 +2432,48 @@ def test_archive_zipcrypto():
         list(iter_zip_members(z, password=b"letmein"))
     with pytest.raises(NotImplementedError, match="password="):
         list(iter_zip_members(z))
+
+
+def test_archive_zip_aes_detection_by_header_id():
+    """AES detection walks the extra field as (id, size) records: an
+    unrelated extra whose PAYLOAD contains the bytes 01 99 must not
+    reject a valid ZipCrypto member, while a real 0x9901 AE-x record
+    still raises by name (r10 ADVICE finding)."""
+    import struct
+
+    import pytest
+
+    from dolphinbeat_spark.sources.archives import (
+        encode_zip, iter_zip_members,
+    )
+
+    def _with_cd_extra(z: bytes, extra: bytes) -> bytes:
+        # splice an extra field into the FIRST central-directory
+        # entry; cdoff/ntotal stay valid (extras live inside entries)
+        cd = z.find(b"PK\x01\x02")
+        assert cd >= 0
+        (nlen, elen, klen) = struct.unpack_from("<HHH", z, cd + 28)
+        assert elen == 0
+        out = bytearray(z)
+        struct.pack_into("<H", out, cd + 30, len(extra))
+        insert_at = cd + 46 + nlen
+        out[insert_at:insert_at] = extra
+        # EOCD cd-size grows by len(extra)
+        eocd = bytes(out).rfind(b"PK\x05\x06")
+        (cdsize,) = struct.unpack_from("<I", out, eocd + 12)
+        struct.pack_into("<I", out, eocd + 12, cdsize + len(extra))
+        return bytes(out)
+
+    members = [("x.txt", b"payload with entropy 123")]
+    z = encode_zip(members, password=b"pw")
+    # benign extra (0x5455 ext-timestamp) whose payload CONTAINS 01 99
+    benign = struct.pack("<HH", 0x5455, 5) + b"\x03\x01\x99\x00\x00"
+    got = list(iter_zip_members(_with_cd_extra(z, benign), password=b"pw"))
+    assert got == members
+    # a genuine 0x9901 AE-x record still raises by name
+    aes = struct.pack("<HH", 0x9901, 7) + b"\x02\x00AE\x03\x08\x00"
+    with pytest.raises(NotImplementedError, match="AES"):
+        list(iter_zip_members(_with_cd_extra(z, aes), password=b"pw"))
 
 
 def test_archive_zip64():

@@ -337,6 +337,22 @@ def test_pdf_encrypted_rc4_roundtrip():
                 assert d.title == "Tïtle"
 
 
+def test_pdf_encrypted_object_generation_in_key():
+    """Per-object decryption keys take the GENERATION bytes too
+    (Algorithm 1, §7.6.2): an encrypted /Info at generation 1
+    decrypts to the real title, not garbage (r10 ADVICE finding)."""
+    for enc in ("rc4-40", "rc4-128"):
+        pdf = encode_pdf([["body text"]], title="GenOne Tïtle",
+                         encrypt=enc, info_gen=1)
+        assert b"GenOne" not in pdf
+        d = extract_pdf_text(pdf)
+        assert d.title == "GenOne Tïtle", enc
+        assert d.pages == ["body text"]
+    # unencrypted generation-1 objects keep working too
+    d = extract_pdf_text(encode_pdf([["plain"]], title="T", info_gen=1))
+    assert d.title == "T" and d.pages == ["plain"]
+
+
 def test_pdf_encryption_boundaries_by_name():
     # a USER-password-protected file (empty password fails /U)
     blob = encode_pdf([["x"]], encrypt="rc4-128")

@@ -47,6 +47,32 @@ def test_registrable_domain(spark):
     assert got == list(cases.values())
 
 
+def test_ipv6_literal_hosts(spark):
+    """Bracketed IPv6 authorities keep the brackets and never split on
+    the colons inside (RFC 3986 §3.2.2) — r10 ADVICE finding."""
+    host_cases = {
+        "http://[::1]:8080/p": "[::1]",
+        "http://[2001:db8::1]/x": "[2001:db8::1]",
+        "HTTP://[2001:DB8::A]:80/y": "[2001:db8::a]",
+        "https://u@[::1]:444/z": "[::1]",
+    }
+    got = _run(spark, list(host_cases), U.url_host)
+    assert got == list(host_cases.values())
+    canon_cases = {
+        # non-default port kept
+        "http://[::1]:8080/p?a=1": "http://[::1]:8080/p?a=1",
+        # default port stripped even behind brackets
+        "HTTP://[2001:DB8::A]:80/y": "http://[2001:db8::a]/y",
+        # no port, empty path
+        "https://[::1]?utm_source=x": "https://[::1]/",
+    }
+    got = _run(spark, list(canon_cases), U.canonical_url)
+    assert got == list(canon_cases.values())
+    # registrable_domain passes IPv6 literals through unchanged
+    assert _run(spark, ["http://[::1]:8080/"], U.registrable_domain) \
+        == ["[::1]"]
+
+
 def test_url_parts(spark):
     url = "HTTPS://u@WWW.Ex.org:444/p/q?a=1&utm_id=9#frag"
     df = spark.createDataFrame([(url,)], "url string")
