@@ -1267,6 +1267,7 @@ SELECT media_id, CAST(record_idx AS BIGINT) AS record_idx,
        CAST(status AS BIGINT) AS http_status,
        CASE record_idx WHEN 1 THEN 'text/html' ELSE 'text/plain' END
            AS content_type,
+       CAST(NULL AS VARCHAR) AS http_encoding,
        CAST(sz AS BIGINT) AS body_len,
        md5(substr(pattern, start, sz)) AS body_md5,
        substr(pattern, start, sz) AS body_text,
@@ -1276,7 +1277,7 @@ UNION ALL
 SELECT media_id, 0, 'warcinfo',
        '<urn:uuid:' || CAST(i AS VARCHAR) || '-0>', NULL,
        printf('2024-01-%02dT00:00:00Z', 1 + i % 28), NULL,
-       'application/warc-fields', 23,
+       'application/warc-fields', CAST(NULL AS VARCHAR), 23,
        md5('software: dolphinbeat' || chr(13) || chr(10)),
        'software: dolphinbeat' || chr(13) || chr(10),
        'utf-8' AS charset
@@ -1377,6 +1378,86 @@ def warc_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "record_idx", "http_status", "content_type",
                 "body_text", "charset")
         .orderBy("record_idx")
+    )
+
+
+@register(
+    "warc_content_encoding",
+    # Six HTTP responses per doc exercise every supported body coding
+    # (RFC 9110 §8.4 / RFC 9112 §7.1): identity, Content-Encoding gzip,
+    # deflate in BOTH wild forms (zlib-wrapped per spec and raw-deflate
+    # as misconfigured servers send), Transfer-Encoding chunked (with a
+    # chunk extension and a trailer field), and chunked OVER gzip. The
+    # oracle pins the decoded text, length, digest and the applied
+    # coding list in closed form from the same pattern pieces — before
+    # this path existed, variants 1-5 flowed compressed bytes into
+    # body_text.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id, CAST(doc_id AS VARCHAR) AS i,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 25 = 9
+),
+s(record_idx, enc, start, sz) AS (
+  VALUES (0, NULL, 1, 40), (1, 'gzip', 1, 60), (2, 'deflate', 11, 40),
+         (3, 'deflate', 21, 60), (4, 'chunked', 1, 96),
+         (5, 'gzip,chunked', 31, 60)
+)
+SELECT media_id, CAST(record_idx AS BIGINT) AS record_idx,
+       200::BIGINT AS http_status, 'text/plain' AS content_type,
+       enc AS http_encoding,
+       CAST(sz AS BIGINT) AS body_len,
+       md5(substr(pattern, start, sz)) AS body_md5,
+       substr(pattern, start, sz) AS body_text,
+       'utf-8' AS charset
+FROM p CROSS JOIN s
+ORDER BY media_id, record_idx
+""",
+    tags=("text", "ingest", "warc", "http"),
+)
+def warc_content_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP body decoding inside WARC response records
+    (sources/warc.py::_split_http): Transfer-Encoding chunked framing
+    removed, Content-/Transfer-Encoding gzip & deflate (both zlib and
+    raw forms) inflated BEFORE charset detection, with the applied
+    coding list surfaced as ``http_encoding``. Wild WARCs (wget/
+    warcprox/Heritrix captures, older Common Crawl) store the raw HTTP
+    payload — without this, a gzip'd response's body_text is binary
+    garbage that poisons dedup hashes and quality gates downstream.
+    Unsupported codings (br, zstd) raise by name."""
+    import hashlib
+
+    from dolphinbeat_spark.sources.warc import encode_warc, read_warc
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 9)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        pat = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
+        mk = lambda n, body, **http: {  # noqa: E731
+            "type": "response", "record_id": f"<urn:uuid:{i}-{n}>",
+            "target_uri": f"http://ex.com/{i}/{n}", "content": body,
+            "http": {"status": 200, "content_type": "text/plain", **http},
+        }
+        recs = [
+            mk(0, pat[0:40]),
+            mk(1, pat[0:60], content_encoding="gzip"),
+            mk(2, pat[10:50], content_encoding="deflate"),
+            mk(3, pat[20:80], content_encoding="deflate",
+               raw_deflate=True),
+            mk(4, pat[0:96], chunked=True),
+            mk(5, pat[30:90], content_encoding="gzip", chunked=True),
+        ]
+        rows.append(
+            (i, bytearray(encode_warc(recs, gzip_members=bool(i % 2))))
+        )
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return (
+        read_warc(media)
+        .select("media_id", "record_idx", "http_status", "content_type",
+                "http_encoding", "body_len", "body_md5", "body_text",
+                "charset")
+        .orderBy("media_id", "record_idx")
     )
 
 

@@ -415,12 +415,15 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pipeline_warc_html_quality",
     # the end-to-end raw-web-corpus path: WARC file (one per doc,
-    # bounded subset) -> HTTP envelope split -> status/content-type
-    # gates -> HTML->text extraction -> token/stopword/lang-ID/link-
-    # density quality gates. Record layout per doc: [0] text/html 200
-    # (the page), [1] text/plain 200 (content-type-gated out),
-    # [2] text/html 404 (status-gated out). The oracle rebuilds the
-    # extracted text in closed form and replays every gate.
+    # bounded subset) -> HTTP envelope split (incl. Content-Encoding
+    # gzip/deflate inflate + chunked Transfer-Encoding removal — the
+    # page responses ride compressed, cycling coding by doc parity)
+    # -> status/content-type gates -> HTML->text extraction ->
+    # token/stopword/lang-ID/link-density quality gates. Record layout
+    # per doc: [0] text/html 200 (the page), [1] text/plain 200
+    # (content-type-gated out), [2] text/html 404 (status-gated out).
+    # The oracle rebuilds the extracted text in closed form and
+    # replays every gate — identical whatever the wire coding.
     oracle=rf"""
 WITH t AS (
   SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
@@ -490,7 +493,12 @@ def pipeline_warc_html_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"type": "response", "record_id": f"<urn:uuid:{i}-h>",
              "target_uri": f"http://ex.com/{i}", "date": date,
              "content": page.encode(),
-             "http": {"status": 200, "content_type": "text/html"}},
+             # real crawls store the compressed wire bytes: cycle the
+             # coding per doc; the decoded relation must be identical
+             "http": {"status": 200, "content_type": "text/html",
+                      "content_encoding":
+                          ("gzip" if did % 2 else "deflate"),
+                      "chunked": did % 3 == 0}},
             {"type": "response", "record_id": f"<urn:uuid:{i}-t>",
              "target_uri": f"http://ex.com/{i}/robots.txt", "date": date,
              "content": b"User-agent: *\r\n",

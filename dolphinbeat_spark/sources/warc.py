@@ -117,23 +117,117 @@ def iter_warc_records(data: bytes):
         pos = body_start + clen + 4
 
 
-def _split_http(content: bytes) -> tuple[int | None, str | None, bytes]:
-    """An application/http payload -> (status, content_type, body)."""
+def _dechunk(body: bytes) -> bytes:
+    """Remove RFC 9112 §7.1 chunked transfer framing: hex-size line
+    (chunk extensions after ';' ignored), CRLF, data, CRLF, …, a
+    0-size terminator, then an optional trailer section. Truncation
+    raises a typed WarcError — wild captures cut mid-chunk."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise WarcError("chunked body: size line not terminated")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise WarcError(
+                f"chunked body: bad chunk size {size_tok[:20]!r}"
+            ) from None
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)  # trailer section (if any) is framing
+        if pos + size > n:
+            raise WarcError("chunked body: chunk data truncated")
+        out += body[pos:pos + size]
+        pos += size
+        if body[pos:pos + 2] != b"\r\n":
+            raise WarcError("chunked body: chunk data not CRLF-terminated")
+        pos += 2
+
+
+def _inflate_coding(coding: str, body: bytes) -> bytes:
+    """Apply ONE reversed content/transfer coding (RFC 9110 §8.4):
+    gzip/x-gzip via the gzip wrapper, deflate tolerating both the
+    spec'd zlib wrapper and the raw-deflate form common in the wild
+    (the dual-window probe every browser ships). Unsupported codings
+    (br, zstd, compress) raise by name."""
+    if coding in ("gzip", "x-gzip"):
+        try:
+            return zlib.decompress(body, wbits=31)
+        except zlib.error as ex:
+            raise WarcError(f"gzip HTTP body fails to inflate: {ex}") from ex
+    if coding == "deflate":
+        try:
+            return zlib.decompress(body, wbits=15)
+        except zlib.error:
+            try:
+                return zlib.decompress(body, wbits=-15)
+            except zlib.error as ex:
+                raise WarcError(
+                    f"deflate HTTP body fails to inflate: {ex}"
+                ) from ex
+    raise NotImplementedError(
+        f"HTTP content coding {coding!r} not supported (gzip/deflate/"
+        "chunked/identity; br and zstd need external codecs)"
+    )
+
+
+def _split_http(content: bytes) -> tuple[
+        int | None, str | None, bytes, str | None]:
+    """An application/http payload -> (status, content_type, body,
+    encodings_applied). Transfer-Encoding chunked framing is removed
+    and Content-/Transfer-Encoding content codings (gzip, x-gzip,
+    deflate) are inflated — wild WARCs (wget/warcprox/Heritrix, older
+    Common Crawl) store the raw HTTP payload, so without this a
+    gzip'd response flows as binary garbage into the charset detector
+    and every downstream gate. ``encodings_applied`` is the
+    comma-joined coding list actually undone (wire order), None when
+    the body was identity."""
     hdr_end = content.find(b"\r\n\r\n")
     if hdr_end < 0 or not content.startswith(b"HTTP/"):
-        return None, None, content
+        return None, None, content, None
     lines = content[:hdr_end].split(b"\r\n")
     parts = lines[0].split(None, 2)
     status = None
     if len(parts) >= 2 and parts[1].isdigit():
         status = int(parts[1])
     ctype = None
+    te: list[str] = []
+    ce: list[str] = []
     for line in lines[1:]:
-        if b":" in line:
-            k, v = line.split(b":", 1)
-            if k.strip().lower() == b"content-type":
-                ctype = v.strip().decode("ascii", "replace")
-    return status, ctype, content[hdr_end + 4:]
+        if b":" not in line:
+            continue
+        k, v = line.split(b":", 1)
+        key = k.strip().lower()
+        if key == b"content-type":
+            ctype = v.strip().decode("ascii", "replace")
+        elif key == b"transfer-encoding":
+            te += [t.strip().lower() for t in
+                   v.decode("ascii", "replace").split(",") if t.strip()]
+        elif key == b"content-encoding":
+            ce += [t.strip().lower() for t in
+                   v.decode("ascii", "replace").split(",") if t.strip()]
+    body = content[hdr_end + 4:]
+    # codings were applied in list order (TE after CE), so undo in
+    # reverse: TE right-to-left (chunked is always outermost per RFC
+    # 9112 §6.1), then CE right-to-left
+    applied: list[str] = []
+    for coding in reversed(te):
+        if coding == "identity":
+            continue
+        body = _dechunk(body) if coding == "chunked" \
+            else _inflate_coding(coding, body)
+        applied.append(coding)
+    for coding in reversed(ce):
+        if coding == "identity":
+            continue
+        body = _inflate_coding(coding, body)
+        applied.append(coding)
+    applied.reverse()  # report in wire order
+    return status, ctype, body, ",".join(applied) or None
 
 
 WARC_SCHEMA = StructType(
@@ -146,6 +240,7 @@ WARC_SCHEMA = StructType(
         StructField("warc_date", StringType()),
         StructField("http_status", LongType()),
         StructField("content_type", StringType()),
+        StructField("http_encoding", StringType()),
         StructField("body_len", LongType()),
         StructField("body_md5", StringType()),
         StructField("body_text", StringType()),
@@ -163,6 +258,7 @@ WARC_BINARY_SCHEMA = StructType(
         StructField("warc_date", StringType()),
         StructField("http_status", LongType()),
         StructField("content_type", StringType()),
+        StructField("http_encoding", StringType()),
         StructField("body_len", LongType()),
         StructField("body_md5", StringType()),
         StructField("body", BinaryType()),
@@ -203,13 +299,14 @@ def read_warc(df: DataFrame, text_limit: int = 1 << 20,
                     status = None
                     ctype = h.get("content-type")
                     body = content
+                    henc = None
                     if ctype and ctype.split(";")[0].strip() \
                             == "application/http":
-                        status, ctype, body = _split_http(content)
+                        status, ctype, body, henc = _split_http(content)
                     base = (
                         mid, i, h.get("warc-type"), h.get("warc-record-id"),
                         h.get("warc-target-uri"), h.get("warc-date"),
-                        status, ctype, len(body),
+                        status, ctype, henc, len(body),
                         hashlib.md5(body).hexdigest(),
                     )
                     if binary:
@@ -231,8 +328,13 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
     """Format-faithful WARC 1.0 writer (fixture generator). Each
     record dict: type, record_id, target_uri (optional), date
     (optional), content (bytes), content_type (optional), http
-    (optional dict {status, content_type} — wraps content in an HTTP
-    response envelope with the application/http WARC content type)."""
+    (optional dict {status, content_type, content_encoding, chunked,
+    raw_deflate, extra_headers} — wraps content in an HTTP response
+    envelope with the application/http WARC content type;
+    ``content_encoding`` gzip/deflate compresses the entity body and
+    stamps the header (``raw_deflate=True`` writes the wrapper-less
+    wild-server form), ``chunked=True`` applies chunked transfer
+    framing outermost and stamps Transfer-Encoding)."""
     out = bytearray()
     for r in records:
         content = r["content"]
@@ -240,10 +342,40 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
         if r.get("http"):
             status = r["http"].get("status", 200)
             hct = r["http"].get("content_type", "text/html")
-            content = (
-                f"HTTP/1.1 {status} OK\r\nContent-Type: {hct}\r\n"
-                f"Content-Length: {len(content)}\r\n\r\n"
-            ).encode() + content
+            body = content
+            hdrs_http = [f"HTTP/1.1 {status} OK",
+                         f"Content-Type: {hct}"]
+            cenc = r["http"].get("content_encoding")
+            if cenc == "gzip":
+                co = zlib.compressobj(6, zlib.DEFLATED, 31)
+                body = co.compress(body) + co.flush()
+                hdrs_http.append("Content-Encoding: gzip")
+            elif cenc == "deflate":
+                if r["http"].get("raw_deflate"):
+                    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+                    body = co.compress(body) + co.flush()
+                else:
+                    body = zlib.compress(body)
+                hdrs_http.append("Content-Encoding: deflate")
+            elif cenc is not None:
+                raise ValueError(f"encode_warc: unsupported coding {cenc}")
+            for eh in r["http"].get("extra_headers", ()):
+                hdrs_http.append(eh)
+            if r["http"].get("chunked"):
+                hdrs_http.append("Transfer-Encoding: chunked")
+                chunked = bytearray()
+                csz = r["http"].get("chunk_size", 17)
+                for off in range(0, len(body), csz):
+                    part = body[off:off + csz]
+                    chunked += b"%x" % len(part)
+                    if off == 0:  # a chunk extension, ignored by readers
+                        chunked += b";ext=1"
+                    chunked += b"\r\n" + part + b"\r\n"
+                chunked += b"0\r\nX-Trailer: t\r\n\r\n"
+                body = bytes(chunked)
+            else:
+                hdrs_http.append(f"Content-Length: {len(body)}")
+            content = ("\r\n".join(hdrs_http) + "\r\n\r\n").encode() + body
             ctype = "application/http; msgtype=response"
         hdrs = [f"WARC-Type: {r['type']}",
                 f"WARC-Record-ID: {r['record_id']}"]

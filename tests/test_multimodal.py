@@ -2122,13 +2122,100 @@ def test_warc_record_walk_plain_and_gzip_members():
             "warcinfo", "response", "response"
         ]
         assert got[1]["headers"]["warc-target-uri"] == "http://a.example/"
-        st, ct, body = _split_http(got[1]["content"])
+        st, ct, body, enc = _split_http(got[1]["content"])
         assert (st, ct, body) == (200, "text/html", b"<html>hello</html>")
-        st, _, body = _split_http(got[2]["content"])
+        assert enc is None
+        st, _, body, _ = _split_http(got[2]["content"])
         assert (st, body) == (404, b"not found")
         # a non-HTTP payload passes through whole
-        st, ct, body = _split_http(got[0]["content"])
+        st, ct, body, _ = _split_http(got[0]["content"])
         assert st is None and body == b"software: test\r\n"
+
+
+def test_warc_http_body_decoding():
+    """HTTP Content-/Transfer-Encoding inside WARC response payloads
+    (RFC 9110 §8.4, RFC 9112 §7.1): gzip, both deflate wire forms,
+    chunked framing (with chunk extensions + trailer fields), and
+    stacked gzip-then-chunked all inflate back to the exact entity
+    body; the applied coding list is surfaced. Wild crawls store raw
+    HTTP bytes — pre-fix these bodies flowed through compressed."""
+    import zlib as _z
+
+    from dolphinbeat_spark.sources.warc import (
+        _split_http, encode_warc, iter_warc_records,
+    )
+
+    body = b"entity body 0123456789 " * 9  # > one chunk
+    variants = [
+        ({}, None),
+        ({"content_encoding": "gzip"}, "gzip"),
+        ({"content_encoding": "deflate"}, "deflate"),
+        ({"content_encoding": "deflate", "raw_deflate": True}, "deflate"),
+        ({"chunked": True}, "chunked"),
+        ({"content_encoding": "gzip", "chunked": True}, "gzip,chunked"),
+    ]
+    recs = [
+        {"type": "response", "record_id": f"<urn:uuid:{n}>",
+         "target_uri": f"http://x/{n}", "content": body,
+         "http": {"status": 200, "content_type": "text/plain", **http}}
+        for n, (http, _) in enumerate(variants)
+    ]
+    got = list(iter_warc_records(encode_warc(recs)))
+    for rec, (_, want_enc) in zip(got, variants):
+        st, ct, out, enc = _split_http(rec["content"])
+        assert (st, ct) == (200, "text/plain")
+        assert out == body and enc == want_enc
+    # the wire bytes really were compressed/chunked
+    assert body not in got[1]["content"]
+    assert b"\r\n0\r\n" in got[4]["content"]
+    # Transfer-Encoding: gzip, chunked in ONE header (RFC 9112 §6.1)
+    co = _z.compressobj(6, _z.DEFLATED, 31)
+    gz = co.compress(body) + co.flush()
+    chunked = b"%x\r\n" % len(gz) + gz + b"\r\n0\r\n\r\n"
+    raw = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+           b"Transfer-Encoding: gzip, chunked\r\n\r\n" + chunked)
+    st, ct, out, enc = _split_http(raw)
+    assert out == body and enc == "gzip,chunked"
+
+
+def test_warc_http_body_decoding_hostile():
+    """Hostile wire bytes stay typed: truncated chunk, bad chunk-size
+    line, corrupt gzip/deflate bodies raise WarcError; brotli raises
+    NotImplementedError BY NAME; a lying HTTP Content-Length does not
+    crash (the WARC record length governs)."""
+    import pytest
+
+    from dolphinbeat_spark.sources.warc import WarcError, _split_http
+
+    def http(hdrs: bytes, body: bytes) -> bytes:
+        return b"HTTP/1.1 200 OK\r\n" + hdrs + b"\r\n\r\n" + body
+
+    with pytest.raises(WarcError, match="chunk data truncated"):
+        _split_http(http(b"Transfer-Encoding: chunked",
+                         b"ff\r\nshort"))
+    with pytest.raises(WarcError, match="size line"):
+        _split_http(http(b"Transfer-Encoding: chunked", b"5 no crlf"))
+    with pytest.raises(WarcError, match="bad chunk size"):
+        _split_http(http(b"Transfer-Encoding: chunked", b"xyz\r\nab\r\n"))
+    with pytest.raises(WarcError, match="CRLF-terminated"):
+        _split_http(http(b"Transfer-Encoding: chunked",
+                         b"2\r\nabXX0\r\n\r\n"))
+    with pytest.raises(WarcError, match="gzip.*inflate"):
+        _split_http(http(b"Content-Encoding: gzip", b"not gzip at all"))
+    with pytest.raises(WarcError, match="deflate.*inflate"):
+        _split_http(http(b"Content-Encoding: deflate", b"\x00\x01garbage"))
+    with pytest.raises(NotImplementedError, match="br"):
+        _split_http(http(b"Content-Encoding: br", b"whatever"))
+    with pytest.raises(NotImplementedError, match="zstd"):
+        _split_http(http(b"Content-Encoding: zstd", b"whatever"))
+    # lying Content-Length: body is what the WARC record framed
+    st, _, out, enc = _split_http(
+        http(b"Content-Length: 99999", b"actual short body"))
+    assert st == 200 and out == b"actual short body" and enc is None
+    # Content-Encoding: identity is a no-op, reported as none
+    st, _, out, enc = _split_http(
+        http(b"Content-Encoding: identity", b"plain"))
+    assert out == b"plain" and enc is None
 
 
 def test_warc_typed_errors():
