@@ -17,10 +17,17 @@ muxer cannot know the cluster size up front — are recovered per RFC
 8794 §6.3: the cluster's length-prefixed children are walked until a
 Segment-level ID (next Cluster / Cues / Tags / …) or the parent end.
 
-Honest boundaries raise by name: encrypted/compressed blocks
-(ContentEncodings), and — as with MP4 — codec BITSTREAM decode
-(VP9/AV1/Opus need libraries this container doesn't have; byte-range
-extraction is the real 100 TB primitive).
+ContentEncodings (r11, RFC 9559 §ContentEncoding): zlib and bzlib
+block compression (both stdlib) and the header-stripping variant
+(ContentCompAlgo 3 — the common real-world form: a constant per-track
+prefix removed at mux time) are undone per track, multiple encodings
+reversed in descending ContentEncodingOrder; decoded frame bytes ride
+a per-track ``decoded`` map beside the stored byte ranges (the same
+side-channel shape as Ogg's ``fragments``). Honest boundaries raise
+by name: block ENCRYPTION, lzo1x compression, non-block scopes, and —
+as with MP4 — codec BITSTREAM decode (VP9/AV1/Opus need libraries
+this container doesn't have; byte-range extraction is the real 100 TB
+primitive).
 
 Reference parity: the reference repo has no media handling at all;
 this extends the multimodal decode path it lacks. At 100 TB the demux
@@ -51,6 +58,14 @@ _TRACK_NUMBER = 0xD7
 _TRACK_TYPE = 0x83
 _CODEC_ID = 0x86
 _CONTENT_ENCODINGS = 0x6D80
+_CONTENT_ENCODING = 0x6240
+_CE_ORDER = 0x5031
+_CE_SCOPE = 0x5032
+_CE_TYPE = 0x5033
+_CE_COMPRESSION = 0x5034
+_CE_ENCRYPTION = 0x5035
+_CE_COMP_ALGO = 0x4254
+_CE_COMP_SETTINGS = 0x4255
 _CLUSTER = 0x1F43B675
 _CLUSTER_TS = 0xE7
 _SIMPLE_BLOCK = 0xA3
@@ -159,9 +174,86 @@ def _children(data: bytes, start: int, end: int):
         pos = body + size
 
 
+def _parse_content_encodings(data: bytes, s: int, e: int) -> list[dict]:
+    """ContentEncodings -> [{order, algo, settings}] sorted in
+    DESCENDING order (the decode order: the spec applies encodings in
+    ascending ContentEncodingOrder at mux time). Block encryption,
+    lzo1x and non-block scopes raise by name."""
+    encs: list[dict] = []
+    for eid, cs, ce in _children(data, s, e):
+        if eid != _CONTENT_ENCODING:
+            continue
+        order, scope, etype = 0, 1, 0
+        algo, settings = None, b""
+        for ceid, ics, ice in _children(data, cs, ce):
+            if ceid == _CE_ORDER:
+                order = _uint(data, ics, ice)
+            elif ceid == _CE_SCOPE:
+                scope = _uint(data, ics, ice)
+            elif ceid == _CE_TYPE:
+                etype = _uint(data, ics, ice)
+            elif ceid == _CE_ENCRYPTION:
+                etype = 1
+            elif ceid == _CE_COMPRESSION:
+                algo = 0  # zlib is the ContentCompAlgo default
+                for aeid, acs, ace in _children(data, ics, ice):
+                    if aeid == _CE_COMP_ALGO:
+                        algo = _uint(data, acs, ace)
+                    elif aeid == _CE_COMP_SETTINGS:
+                        settings = data[acs:ace]
+        if etype == 1:
+            raise NotImplementedError(
+                "encrypted Matroska blocks (ContentEncryption) not "
+                "supported"
+            )
+        if scope != 1:
+            raise NotImplementedError(
+                f"ContentEncodingScope {scope} not supported (all-block "
+                "scope 1 only)"
+            )
+        if algo is None:
+            raise MkvError("ContentEncoding without ContentCompression")
+        if algo == 2:
+            raise NotImplementedError(
+                "lzo1x Matroska block compression not supported "
+                "(zlib/bzlib/header-stripping)"
+            )
+        if algo not in (0, 1, 3):
+            raise MkvError(f"unknown ContentCompAlgo {algo}")
+        encs.append({"order": order, "algo": algo, "settings": settings})
+    encs.sort(key=lambda d: -d["order"])
+    return encs
+
+
+def _decode_content(frame: bytes, encs: list[dict]) -> bytes:
+    """Undo a track's ContentEncodings over one frame's stored bytes."""
+    import bz2
+    import zlib
+
+    for enc in encs:
+        if enc["algo"] == 0:
+            try:
+                frame = zlib.decompress(frame)
+            except zlib.error as ex:
+                raise MkvError(
+                    f"zlib-compressed block fails to inflate: {ex}"
+                ) from ex
+        elif enc["algo"] == 1:
+            try:
+                frame = bz2.decompress(frame)
+            except (OSError, ValueError) as ex:
+                raise MkvError(
+                    f"bzlib-compressed block fails to decompress: {ex}"
+                ) from ex
+        else:  # 3: header stripping — re-prepend the stripped prefix
+            frame = enc["settings"] + frame
+    return frame
+
+
 def _parse_track_entry(data: bytes, s: int, e: int) -> dict:
     num = ttype = None
     codec = ""
+    encs: list[dict] = []
     for eid, cs, ce in _children(data, s, e):
         if eid == _TRACK_NUMBER:
             num = _uint(data, cs, ce)
@@ -170,16 +262,14 @@ def _parse_track_entry(data: bytes, s: int, e: int) -> dict:
         elif eid == _CODEC_ID:
             codec = data[cs:ce].decode("ascii", "replace")
         elif eid == _CONTENT_ENCODINGS:
-            raise NotImplementedError(
-                "encrypted/compressed Matroska blocks (ContentEncodings) "
-                "not supported"
-            )
+            encs = _parse_content_encodings(data, cs, ce)
     if num is None or ttype is None:
         raise MkvError("TrackEntry missing TrackNumber/TrackType")
     return {
         "track_id": num,
         "handler": _HANDLERS.get(ttype, f"{ttype:#x}"),
         "codec": codec,
+        "content_encodings": encs,
         "samples": [],
     }
 
@@ -314,7 +404,12 @@ def parse_mkv(data: bytes) -> list[dict]:
         t = tracks.get(tracknum)
         if t is None:
             raise MkvError(f"Block references unknown track {tracknum}")
-        t["samples"].append((len(t["samples"]), ts, off, sz))
+        idx = len(t["samples"])
+        if t["content_encodings"]:
+            t.setdefault("decoded", {})[idx] = _decode_content(
+                data[off:off + sz], t["content_encodings"]
+            )
+        t["samples"].append((idx, ts, off, sz))
     out = []
     for num in sorted(tracks):
         t = tracks[num]
@@ -385,13 +480,47 @@ def encode_mkv(tracks: list[dict], timestamp_scale: int = 1_000_000,
     codec (CodecID string), samples (list of bytes), deltas (ticks per
     sample), optional lacing (None/'xiph'/'fixed'/'ebml' — groups
     ``cluster_frames`` samples into one laced block sharing the first
-    sample's timestamp, the lossy-but-spec-true lacing contract)."""
+    sample's timestamp, the lossy-but-spec-true lacing contract),
+    optional compression (('zlib'|'bzlib'|'strip', settings_bytes) —
+    writes a ContentEncodings element and stores each sample
+    transformed; 'strip' removes the settings prefix every sample must
+    start with, the ContentCompAlgo-3 layout)."""
+    import bz2
+    import zlib as _zlib
+
     rev = {v: k for k, v in _HANDLERS.items()}
     tr_elems = b""
+    tracks = [dict(t) for t in tracks]  # samples get transformed below
     for t in tracks:
         body = _elem(_TRACK_NUMBER, _enc_uint(t["track_id"]))
         body += _elem(_TRACK_TYPE, _enc_uint(rev[t["handler"]]))
         body += _elem(_CODEC_ID, t["codec"].encode("ascii"))
+        comp = t.get("compression")
+        if comp is not None:
+            algo_name, settings = comp
+            algo = {"zlib": 0, "bzlib": 1, "strip": 3}[algo_name]
+            if algo == 0:
+                t["samples"] = [_zlib.compress(s) for s in t["samples"]]
+            elif algo == 1:
+                t["samples"] = [bz2.compress(s) for s in t["samples"]]
+            else:
+                for s in t["samples"]:
+                    if not s.startswith(settings):
+                        raise ValueError(
+                            "header-stripping compression: a sample "
+                            "does not start with the settings prefix"
+                        )
+                t["samples"] = [s[len(settings):] for s in t["samples"]]
+            comp_body = _elem(_CE_COMP_ALGO, _enc_uint(algo))
+            if algo == 3:
+                comp_body += _elem(_CE_COMP_SETTINGS, settings)
+            body += _elem(_CONTENT_ENCODINGS, _elem(
+                _CONTENT_ENCODING,
+                _elem(_CE_ORDER, _enc_uint(0))
+                + _elem(_CE_SCOPE, _enc_uint(1))
+                + _elem(_CE_TYPE, _enc_uint(0))
+                + _elem(_CE_COMPRESSION, comp_body),
+            ))
         tr_elems += _elem(_TRACK_ENTRY, body)
 
     # per-track (dts, sample) streams -> merged cluster sequence: one

@@ -683,13 +683,21 @@ def demux_media(df: DataFrame, every: int = 1,
                         continue
                     ts = tr["timescale"] or 1
                     # Ogg packets spanning pages carry a fragment map;
+                    # Matroska ContentEncodings carry decoded bytes;
                     # everything else is a contiguous byte range
                     frag_map = tr.get("fragments") or {}
+                    decoded_map = tr.get("decoded") or {}
                     for (idx, dts, off, size) in tr["samples"]:
                         if idx % every:
                             continue
+                        dec = decoded_map.get(idx)
                         parts = frag_map.get(idx)
-                        if parts is not None:
+                        if dec is not None:
+                            # size reports the DECODED frame length —
+                            # what a downstream decode stage consumes
+                            sb = dec
+                            size = len(dec)
+                        elif parts is not None:
                             for (fo, fs) in parts:
                                 if fo + fs > len(b):
                                     raise Mp4Error(

@@ -58,6 +58,7 @@ modality; this extends the LLM-pipeline ingest layer per SURVEY §7.
 from __future__ import annotations
 
 import base64
+import hashlib
 import re
 import zlib
 from dataclasses import dataclass, field
@@ -66,6 +67,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -1054,6 +1056,153 @@ def pdf_extract(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, PDF_SCHEMA)
 
 
+# --- embedded images (XObject /Image) -----------------------------------------
+
+
+@dataclass
+class PdfImage:
+    """One decoded image XObject from :func:`extract_pdf_images`."""
+
+    page_idx: int
+    name: str
+    width: int
+    height: int
+    n_components: int
+    img_filter: str | None
+    pixels: bytes  # row-major uint8 samples, n_components per pixel
+
+
+def extract_pdf_images(data: bytes) -> list[PdfImage]:
+    """PDF bytes -> decoded embedded images (XObject /Subtype /Image,
+    §8.9.5), page order then resource-name order. DCTDecode payloads
+    decode through the engine's own from-scratch JPEG decoder
+    (operators/jpeg.py — baseline/progressive/arithmetic), so the
+    scanned-document share of a PDF corpus is reachable; Flate/LZW/
+    ASCIIHex/ASCII85/RunLength sample streams decode via the common
+    filter chain (8-bit DeviceGray/RGB/CMYK). JPX/JBIG2/CCITT images
+    and sub-8-bit sample layouts raise by name; inline images (BI/ID/
+    EI, §8.9.7) are out of scope of the XObject walk."""
+    from dolphinbeat_spark.operators.jpeg import JpegError, decode_jpeg
+
+    doc = PdfDocument(data)
+    out: list[PdfImage] = []
+    for pidx, (page, resources) in enumerate(doc.pages()):
+        xobjs = doc.resolve(resources.get("XObject")) if resources else None
+        if not isinstance(xobjs, dict):
+            continue
+        for name in sorted(xobjs):
+            x = doc.resolve(xobjs[name])
+            if not (isinstance(x, tuple) and x[0] == "stream"):
+                continue
+            sdict, raw = x[1], x[2]
+            if str(sdict.get("Subtype", "")) != "Image":
+                continue
+            width = doc.resolve(sdict.get("Width"))
+            height = doc.resolve(sdict.get("Height"))
+            if not isinstance(width, int) or not isinstance(height, int):
+                raise PdfError(f"image {name!r} lacks /Width or /Height")
+            if doc.resolve(sdict.get("ImageMask")) is True:
+                raise NotImplementedError(
+                    f"PDF image {name!r}: /ImageMask stencils not supported"
+                )
+            filt = doc.resolve(sdict.get("Filter"))
+            parms = doc.resolve(sdict.get("DecodeParms"))
+            filters = filt if isinstance(filt, list) else [filt]
+            parms_list = parms if isinstance(parms, list) else [parms]
+            last = str(filters[-1]) if filters and filters[-1] is not None \
+                else None
+            if last == "DCTDecode":
+                pre = raw if len(filters) <= 1 else _apply_filters(
+                    raw, filters[:-1], parms_list[:-1]
+                )
+                try:
+                    w, h, arr = decode_jpeg(bytes(pre))
+                except JpegError as ex:
+                    raise PdfError(
+                        f"DCTDecode image {name!r}: {ex}"
+                    ) from ex
+                if (w, h) != (width, height):
+                    raise PdfError(
+                        f"image {name!r}: JPEG is {w}x{h}, dictionary "
+                        f"says {width}x{height}"
+                    )
+                ncomp = 1 if arr.ndim == 2 else int(arr.shape[2])
+                out.append(PdfImage(pidx, str(name), width, height,
+                                    ncomp, "DCTDecode", arr.tobytes()))
+                continue
+            if last in ("JPXDecode", "JBIG2Decode", "CCITTFaxDecode"):
+                raise NotImplementedError(
+                    f"PDF image filter {last} not supported (DCTDecode "
+                    "via the in-repo JPEG decoder, plus raw Flate/LZW/"
+                    "ASCII/RunLength sample streams)"
+                )
+            content = _apply_filters(raw, filters, parms_list)
+            bpc = doc.resolve(sdict.get("BitsPerComponent", 8))
+            if bpc != 8:
+                raise NotImplementedError(
+                    f"PDF image {name!r}: {bpc}-bit samples not "
+                    "supported (8-bit only)"
+                )
+            cs = str(doc.resolve(sdict.get("ColorSpace", "")))
+            ncomp = {"DeviceGray": 1, "DeviceRGB": 3,
+                     "DeviceCMYK": 4}.get(cs)
+            if ncomp is None:
+                raise NotImplementedError(
+                    f"PDF image colorspace {cs!r} not supported "
+                    "(DeviceGray/DeviceRGB/DeviceCMYK)"
+                )
+            if len(content) != width * height * ncomp:
+                raise PdfError(
+                    f"image {name!r}: {len(content)} sample bytes for "
+                    f"{width}x{height}x{ncomp}"
+                )
+            out.append(PdfImage(pidx, str(name), width, height,
+                                ncomp, last, bytes(content)))
+    return out
+
+
+PDF_IMAGE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("page_idx", LongType()),
+        StructField("img_name", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_components", LongType()),
+        StructField("img_filter", StringType()),
+        StructField("pixel_sum", LongType()),
+        StructField("pixel_md5", StringType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def pdf_images(df: DataFrame) -> DataFrame:
+    """(media_id, payload) -> one row per embedded PDF image via Arrow
+    ``mapInPandas`` (map-only, same distribution slot as pdf_extract /
+    decode_media): decoded pixel bytes + digest/sum, ready for the
+    multimodal feature stage. At 100 TB the payload column is the raw
+    PDF bytes of a crawl's application/pdf share."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                for im in extract_pdf_images(bytes(raw)):
+                    rows.append((
+                        mid, im.page_idx, im.name, im.width, im.height,
+                        im.n_components, im.img_filter,
+                        int(sum(im.pixels)),
+                        hashlib.md5(im.pixels).hexdigest(),
+                        bytearray(im.pixels),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PDF_IMAGE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, PDF_IMAGE_SCHEMA)
+
+
 # --- writer (fixture generator) ----------------------------------------------
 
 
@@ -1084,7 +1233,8 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
                use_tj_array: bool = False,
                unicode_text: bool = False,
                encrypt: str | None = None,
-               info_gen: int = 0) -> bytes:
+               info_gen: int = 0,
+               images: list[list[tuple]] | None = None) -> bytes:
     """Format-faithful PDF writer (fixture generator). ``pages`` is a
     list of pages, each a list of text lines. Layout variants:
     classic xref table (default) or cross-reference stream + object
@@ -1102,13 +1252,27 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
     /O //U //P entries and a file /ID. ``info_gen`` writes the /Info
     object (and its xref entry / trailer reference) at that generation
     number — exercises the per-object key's gen bytes (Algorithm 1);
-    classic-xref layout only."""
+    classic-xref layout only. ``images`` embeds image XObjects: one
+    list per page of ``(kind, width, height, n_components, payload)``
+    tuples — kind ``"jpeg"`` stores the payload under /DCTDecode,
+    ``"raw"`` Flate-compresses 8-bit samples — painted after the text
+    with a Do operator each."""
     if info_gen and (xref_stream or title is None):
         raise ValueError("info_gen needs classic xref + a title")
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     font_num = 3 + 2 * n_pages
     info_num = font_num + 1
+    imgs = images if images is not None else [[] for _ in pages]
+    if len(imgs) != n_pages:
+        raise ValueError("images must have one entry list per page")
+    img_base = info_num + 3  # clear of the optional desc/tou objects
+    img_refs = []  # (resource name, object number) flattened
+    k = 0
+    for i, page_imgs in enumerate(imgs):
+        for j in range(len(page_imgs)):
+            img_refs.append((f"Im{i}_{j}", img_base + k))
+            k += 1
     kids = b" ".join(b"%d 0 R" % (3 + 2 * i) for i in range(n_pages))
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objs[2] = (
@@ -1130,11 +1294,29 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
             ) + b">"
         return b"(" + _esc(text) + b")"
 
+    ref_by_page: dict[int, list[tuple[str, int]]] = {}
+    for nm, num in img_refs:
+        ref_by_page.setdefault(int(nm[2:].split("_")[0]), []).append(
+            (nm, num)
+        )
     for i, lines in enumerate(pages):
         pnum, cnum = 3 + 2 * i, 4 + 2 * i
+        # pages WITH images carry their own full Resources (a page
+        # /Resources REPLACES the inherited one, §7.8.3 — so Font
+        # rides along); pages without inherit the shared dict
+        res_frag = b""
+        if ref_by_page.get(i):
+            xobj = b" ".join(
+                b"/%s %d 0 R" % (nm.encode(), num)
+                for nm, num in ref_by_page[i]
+            )
+            res_frag = (
+                b" /Resources << /Font << /F1 %d 0 R >> /XObject << "
+                % font_num + xobj + b" >> >>"
+            )
         objs[pnum] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Contents %d 0 R >>" % cnum
+            b"/Contents %d 0 R" % cnum + res_frag + b" >>"
         )
         ops = [b"BT /F1 12 Tf 14 TL 72 720 Td"]
         for j, line in enumerate(lines):
@@ -1152,11 +1334,40 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
             else:
                 ops.append(show_str(line) + b" Tj")
         ops.append(b"ET")
+        for j, spec in enumerate(imgs[i]):
+            _, iw, ih, _, _ = spec
+            ops.append(
+                b"q %d 0 0 %d 72 %d cm /Im%d_%d Do Q"
+                % (iw, ih, 600 - 20 * j, i, j)
+            )
         content = b" ".join(ops)
         if flate:
             streams[cnum] = (b"/Filter /FlateDecode", zlib.compress(content))
         else:
             streams[cnum] = (b"", content)
+    k = 0
+    for i, page_imgs in enumerate(imgs):
+        for spec in page_imgs:
+            kind, iw, ih, ncomp, payload = spec
+            num = img_base + k
+            k += 1
+            cs = {1: b"/DeviceGray", 3: b"/DeviceRGB",
+                  4: b"/DeviceCMYK"}[ncomp]
+            common = (
+                b"/Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace %s /BitsPerComponent 8" % (iw, ih, cs)
+            )
+            if kind == "jpeg":
+                streams[num] = (common + b" /Filter /DCTDecode", payload)
+            elif kind == "raw":
+                if len(payload) != iw * ih * ncomp:
+                    raise ValueError("raw image payload size mismatch")
+                streams[num] = (
+                    common + b" /Filter /FlateDecode",
+                    zlib.compress(payload),
+                )
+            else:
+                raise ValueError(f"unknown image kind {kind!r}")
     if unicode_text:
         desc_num = info_num + 1
         tou_num = info_num + 2

@@ -908,6 +908,84 @@ def mm_video_demux_mkv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_video_demux_mkv_compressed",
+    # same frame partition as mm_video_demux_mkv, but the track rides
+    # a ContentEncodings element (RFC 9559) with the compression algo
+    # cycling by doc_id % 3: zlib (ContentCompAlgo 0), bzlib (1), and
+    # header-stripping (3, settings = the frame's shared 2-byte prefix
+    # — only possible because every pattern slice here is hex text, so
+    # the fixture prepends a constant 'h:' marker). The STORED block
+    # bytes differ per algo; the decoded relation is byte-identical to
+    # the closed form — proving the demuxer actually undoes the
+    # coding. Pre-r11 all of these raised 'ContentEncodings not
+    # supported'.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 21 = 2
+),
+s(sample_idx, start, sz) AS (
+  VALUES (0, 1, 10), (1, 11, 20), (2, 31, 14),
+         (3, 45, 16), (4, 61, 16), (5, 77, 20)
+)
+SELECT media_id,
+       CAST(1 AS BIGINT) AS track_id,
+       'vide' AS handler,
+       'V_RAW' AS codec,
+       CAST(sample_idx AS BIGINT) AS sample_idx,
+       CAST(sample_idx * 40 AS BIGINT) AS dts,
+       CAST(sample_idx * 40 AS DOUBLE) / 1000 AS dts_s,
+       CAST(sz + 2 AS BIGINT) AS sample_bytes,
+       md5('h:' || substr(pattern, start, sz)) AS sample_md5
+FROM p CROSS JOIN s
+ORDER BY media_id, sample_idx
+""",
+    tags=("multimodal", "video", "demux", "webm", "compression"),
+)
+def mm_video_demux_mkv_compressed(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Matroska ContentEncodings under the oracle gate (r11,
+    operators/mkv_demux.py): zlib/bzlib block compression and the
+    header-stripping variant undone per track at demux, decoded frame
+    bytes surfaced through the same demux_media Arrow slot — a real
+    .mkv share stops erroring at demux. Encryption and lzo1x still
+    raise by name (pytest pins)."""
+    import hashlib
+
+    from dolphinbeat_spark.operators.mkv_demux import encode_mkv
+    from dolphinbeat_spark.operators.mp4_demux import demux_media
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 21 == 2)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    sizes = [10, 20, 14, 16, 16, 20]
+    comps = [("zlib", b""), ("bzlib", b""), ("strip", b"h:")]
+    rows = []
+    for i in ids:
+        pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
+        vid, pos = [], 0
+        for sz in sizes:
+            vid.append(b"h:" + pattern[pos:pos + sz])
+            pos += sz
+        payload = encode_mkv(
+            [{"track_id": 1, "handler": "vide", "codec": "V_RAW",
+              "samples": vid, "deltas": [40] * 6,
+              "compression": comps[i % 3]}],
+            cluster_frames=3, block_group=bool(i % 2),
+        )
+        rows.append((i, bytearray(payload)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return (
+        demux_media(media, handler="vide")
+        .select(
+            "media_id", "track_id", "handler", "codec", "sample_idx",
+            "dts", "dts_s", "sample_bytes", "sample_md5",
+        )
+        .orderBy("media_id", "sample_idx")
+    )
+
+
+@register(
     "mm_audio_demux_mp3",
     # payload = a REAL MPEG-1 Layer III frame sequence (128 kbit/s,
     # 44.1 kHz, alternating padding bit -> 417/418-byte frames, the
@@ -1349,7 +1427,16 @@ FROM (VALUES
   (0::BIGINT, 3::BIGINT, 200::BIGINT, 'text/html',
    'déjà vu, 10€ œuvre', 'windows-1252'),
   (0::BIGINT, 4::BIGINT, 200::BIGINT, 'text/html; charset=gb2312',
-   '<html><body><p>你好，世界。中文页面。</p></body></html>', 'gbk')
+   '<html><body><p>你好，世界。中文页面。</p></body></html>', 'gbk'),
+  (0::BIGINT, 5::BIGINT, 200::BIGINT, 'text/plain; charset=iso-2022-jp',
+   '日本語テキストです。ISO-2022-JP 版。', 'iso-2022-jp'),
+  (0::BIGINT, 6::BIGINT, 200::BIGINT, 'text/html',
+   '<html><head><meta charset="euc-jp"></head><body><p>こんにちは、EUC-JP のページです。</p></body></html>',
+   'euc-jp'),
+  (0::BIGINT, 7::BIGINT, 200::BIGINT, 'text/html; charset=ks_c_5601-1987',
+   '안녕하세요 세계. 한국어 페이지.', 'euc-kr'),
+  (0::BIGINT, 8::BIGINT, 200::BIGINT, 'text/html; charset=big5',
+   '繁體中文網頁測試。', 'big5')
 ) AS t(media_id, record_idx, http_status, content_type, body_text, charset)
 ORDER BY record_idx
 """,
@@ -1699,7 +1786,11 @@ FROM (VALUES
   (1::BIGINT, 'shift_jis', 'こんにちは世界。日本語のページ。'),
   (2::BIGINT, 'utf-8', 'BOM wins: héllo résumé'),
   (3::BIGINT, 'windows-1252', 'déjà vu, 10€ œuvre'),
-  (4::BIGINT, 'gbk', '你好，世界。中文页面。')
+  (4::BIGINT, 'gbk', '你好，世界。中文页面。'),
+  (5::BIGINT, 'iso-2022-jp', '日本語テキストです。ISO-2022-JP 版。'),
+  (6::BIGINT, 'euc-jp', 'こんにちは、EUC-JP のページです。'),
+  (7::BIGINT, 'euc-kr', '안녕하세요 세계. 한국어 페이지.'),
+  (8::BIGINT, 'big5', '繁體中文網頁測試。')
 ) AS t(doc_id, charset, text)
 ORDER BY doc_id
 """,
@@ -1975,6 +2066,90 @@ def mm_pdf_encrypted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((did, bytearray(pdf)))
     media = spark.createDataFrame(rows, "media_id long, payload binary")
     return pdf_extract(media).orderBy("media_id", "page_idx")
+
+
+@register(
+    "mm_pdf_embedded_images",
+    # payload = a REAL 2-page PDF per doc with embedded image XObjects:
+    # page 0 carries a BASELINE DCTDecode JPEG (the mm_decode_jpeg
+    # flat-gray closed form: v = 2*(ord(first md5 hex char) % 64)
+    # quantizes losslessly, 16x8) plus a Flate-compressed raw
+    # DeviceRGB 4x4 (flat r = 1 + doc_id % 127); page 1 carries the
+    # SAME closed form as a PROGRESSIVE (SOF2) JPEG. Xref layout and
+    # RC4 encryption cycle by doc parity — image streams decrypt like
+    # any other stream. Pre-r11 every one of these payloads raised
+    # 'PDF filter DCTDecode not supported'.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         2 * (ord(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 64) AS v,
+         1 + doc_id % 127 AS r
+  FROM documents WHERE doc_id % 25 = 23
+)
+SELECT media_id, 0::BIGINT AS page_idx, 'Im0_0' AS img_name,
+       16::BIGINT AS width, 8::BIGINT AS height,
+       1::BIGINT AS n_components, 'DCTDecode' AS img_filter,
+       CAST(128 * v AS BIGINT) AS pixel_sum,
+       md5(repeat(chr(CAST(v AS INTEGER)), 128)) AS pixel_md5
+FROM p
+UNION ALL
+SELECT media_id, 0::BIGINT, 'Im0_1', 4::BIGINT, 4::BIGINT, 3::BIGINT,
+       'FlateDecode', CAST(48 * r AS BIGINT),
+       md5(repeat(chr(CAST(r AS INTEGER)), 48))
+FROM p
+UNION ALL
+SELECT media_id, 1::BIGINT, 'Im1_0', 16::BIGINT, 8::BIGINT, 1::BIGINT,
+       'DCTDecode', CAST(128 * v AS BIGINT),
+       md5(repeat(chr(CAST(v AS INTEGER)), 128))
+FROM p
+ORDER BY media_id, page_idx, img_name
+""",
+    tags=("multimodal", "pdf", "decode", "codec", "ingest"),
+)
+def mm_pdf_embedded_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded PDF images under the oracle gate (r11): the XObject
+    /Image walk (operators/pdf.py::extract_pdf_images) routes
+    DCTDecode payloads through the engine's own from-scratch JPEG
+    decoder (baseline AND progressive) and raw Flate sample streams
+    through the common filter chain — the scanned-document share of a
+    PDF corpus becomes reachable for the multimodal path. Arrow
+    mapInPandas, one image per row, map-only at any scale."""
+    import hashlib
+
+    from dolphinbeat_spark.operators.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_images
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 23)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        v = 2 * (ord(hashlib.md5(str(i).encode()).hexdigest()[0]) % 64)
+        r = 1 + i % 127
+        pdf = encode_pdf(
+            [[f"scan page {i}"], ["second page"]],
+            title=f"Scans {i}",
+            xref_stream=bool(i % 2),
+            encrypt="rc4-128" if i % 3 == 0 else None,
+            images=[
+                [("jpeg", 16, 8, 1,
+                  encode_jpeg(16, 8, bytes([v]) * 128, gray=True)),
+                 ("raw", 4, 4, 3, bytes([r]) * 48)],
+                [("jpeg", 16, 8, 1,
+                  encode_jpeg_progressive(16, 8, bytes([v]) * 128,
+                                          gray=True))],
+            ],
+        )
+        rows.append((i, bytearray(pdf)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return (
+        pdf_images(media)
+        .select("media_id", "page_idx", "img_name", "width", "height",
+                "n_components", "img_filter", "pixel_sum", "pixel_md5")
+        .orderBy("media_id", "page_idx", "img_name")
+    )
 
 
 @register(

@@ -82,7 +82,8 @@ _LABELS: dict[str, str] = {
     "big5": "big5", "big5-hkscs": "big5hkscs", "cn-big5": "big5",
     "csbig5": "big5", "x-x-big5": "big5",
     # Korean: every euc-kr label maps to the Windows superset cp949
-    "euc-kr": "cp949", "korean": "cp949", "ks_c_5601-1987": "cp949",
+    "euc-kr": "cp949", "korean": "cp949", "cseuckr": "cp949",
+    "ks_c_5601-1987": "cp949",
     "ks_c_5601-1989": "cp949", "ksc5601": "cp949", "ksc_5601": "cp949",
     "windows-949": "cp949", "csksc56011987": "cp949", "iso-ir-149": "cp949",
     # utf-16

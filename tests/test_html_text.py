@@ -227,9 +227,21 @@ def test_charset_label_table_whatwg_mappings():
     for label in ("Shift_JIS", "sjis", "x-sjis", "ms_kanji"):
         assert normalize_label(label) == "cp932"
     assert normalize_label("GB2312") == "gbk"
-    assert normalize_label("euc-kr") == "cp949"
     assert normalize_label("bogus-charset-999") is None
     assert normalize_label(None) is None
+    # CJK legacy families (r11 breadth): every WHATWG label lands on
+    # the right stdlib codec
+    for label in ("euc-kr", "korean", "ks_c_5601-1987", "ksc5601",
+                  "windows-949", "cseuckr", "iso-ir-149"):
+        assert normalize_label(label) == "cp949", label
+    for label in ("euc-jp", "x-euc-jp", "cseucpkdfmtjapanese"):
+        assert normalize_label(label) == "euc_jp", label
+    for label in ("iso-2022-jp", "csiso2022jp"):
+        assert normalize_label(label) == "iso2022_jp", label
+    for label in ("big5", "cn-big5", "csbig5", "x-x-big5"):
+        assert normalize_label(label) == "big5", label
+    assert normalize_label("big5-hkscs") == "big5hkscs"
+    assert normalize_label("gb18030") == "gb18030"
 
 
 def test_charset_content_type_param():

@@ -1626,6 +1626,74 @@ def test_mkv_typed_errors():
         parse_mkv(bytes(ghost))
 
 
+def test_mkv_content_encodings():
+    """Matroska ContentEncodings (RFC 9559, r11): zlib/bzlib block
+    compression and the header-stripping form round-trip through the
+    decoded-bytes side channel; multiple encodings undo in descending
+    ContentEncodingOrder; encryption/lzo1x/odd scopes raise by name;
+    corrupt compressed payloads stay typed MkvError."""
+    import pytest
+
+    from dolphinbeat_spark.operators.mkv_demux import (
+        _CE_COMP_ALGO, _CE_COMPRESSION, _CE_ENCRYPTION, _CE_ORDER,
+        _CE_SCOPE, _CE_TYPE, _CONTENT_ENCODING,
+        MkvError, _elem, _enc_uint, _parse_content_encodings,
+        encode_mkv, parse_mkv,
+    )
+
+    samples = [b"PFX-frame-%d-" % i + bytes([65 + i]) * 30
+               for i in range(4)]
+    for comp in (("zlib", b""), ("bzlib", b""), ("strip", b"PFX-")):
+        mkv = encode_mkv([{"track_id": 1, "handler": "vide",
+                           "codec": "V_RAW", "samples": list(samples),
+                           "deltas": [40] * 4, "compression": comp}])
+        (t,) = parse_mkv(mkv)
+        assert [t["decoded"][i] for i in range(4)] == samples, comp
+        # the stored bytes in the container are NOT the plain frames
+        if comp[0] != "strip":
+            assert samples[0] not in mkv
+    # plain tracks carry no decoded map
+    (t,) = parse_mkv(encode_mkv([{"track_id": 1, "handler": "vide",
+                                  "codec": "V_RAW",
+                                  "samples": list(samples),
+                                  "deltas": [40] * 4}]))
+    assert "decoded" not in t
+
+    # boundary cases exercised directly on the ContentEncodings parser
+    # with hand-built elements (the encoder never writes them)
+    enc_body = (_elem(_CE_ORDER, _enc_uint(0))
+                + _elem(_CE_SCOPE, _enc_uint(1))
+                + _elem(_CE_TYPE, _enc_uint(1))
+                + _elem(_CE_ENCRYPTION, b""))
+    comp_scope = (_elem(_CE_ORDER, _enc_uint(0))
+                  + _elem(_CE_SCOPE, _enc_uint(2))
+                  + _elem(_CE_COMPRESSION,
+                          _elem(_CE_COMP_ALGO, _enc_uint(0))))
+    lzo = (_elem(_CE_SCOPE, _enc_uint(1))
+           + _elem(_CE_COMPRESSION, _elem(_CE_COMP_ALGO, _enc_uint(2))))
+    for body, exc, pat in (
+        (enc_body, NotImplementedError, "ContentEncryption"),
+        (comp_scope, NotImplementedError, "Scope"),
+        (lzo, NotImplementedError, "lzo1x"),
+    ):
+        blob = _elem(_CONTENT_ENCODING, body)
+        with pytest.raises(exc, match=pat):
+            _parse_content_encodings(blob, 0, len(blob))
+    # corrupt zlib payload inside a compressed track stays typed
+    mkv = encode_mkv([{"track_id": 1, "handler": "vide",
+                       "codec": "V_RAW", "samples": [b"y" * 40],
+                       "deltas": [40], "compression": ("zlib", b"")}])
+    bad = bytearray(mkv)
+    bad[-10] ^= 0xFF  # inside the zlib stream
+    with pytest.raises(MkvError, match="inflate"):
+        parse_mkv(bytes(bad))
+    # header-stripping encode refuses samples without the prefix
+    with pytest.raises(ValueError, match="settings prefix"):
+        encode_mkv([{"track_id": 1, "handler": "vide", "codec": "V_RAW",
+                     "samples": [b"nope"], "deltas": [40],
+                     "compression": ("strip", b"PFX-")}])
+
+
 def test_mkv_unknown_size_clusters_multi():
     """Multiple unknown-size Clusters back-to-back (each terminated by
     the NEXT cluster's Segment-level ID, the last by the parent end) —

@@ -367,6 +367,93 @@ def test_pdf_encryption_boundaries_by_name():
         extract_pdf_text(aes)
 
 
+def test_pdf_embedded_images_roundtrip():
+    """XObject /Image extraction with DCTDecode routed through the
+    in-repo JPEG decoder (r11): baseline + progressive JPEGs and raw
+    Flate sample streams round-trip across classic/stream xref and
+    RC4-encrypted layouts; per-page resource scoping holds (an image
+    on page 0 is not reported for page 1)."""
+    from dolphinbeat_spark.operators.jpeg import (
+        encode_jpeg, encode_jpeg_progressive,
+    )
+    from dolphinbeat_spark.operators.pdf import extract_pdf_images
+
+    v = 84
+    flat = bytes([v]) * 128
+    raw = bytes(range(48))
+    for xs in (False, True):
+        for enc in (None, "rc4-40", "rc4-128"):
+            pdf = encode_pdf(
+                [["page one"], ["page two"]], title="T", xref_stream=xs,
+                encrypt=enc,
+                images=[
+                    [("jpeg", 16, 8, 1, encode_jpeg(16, 8, flat,
+                                                    gray=True)),
+                     ("raw", 4, 4, 3, raw)],
+                    [("jpeg", 16, 8, 1,
+                      encode_jpeg_progressive(16, 8, flat, gray=True))],
+                ],
+            )
+            ims = extract_pdf_images(pdf)
+            assert [(i.page_idx, i.name, i.img_filter) for i in ims] == [
+                (0, "Im0_0", "DCTDecode"), (0, "Im0_1", "FlateDecode"),
+                (1, "Im1_0", "DCTDecode"),
+            ], (xs, enc)
+            assert ims[0].pixels == flat and ims[2].pixels == flat
+            assert ims[1].pixels == raw and ims[1].n_components == 3
+            # text extraction is undisturbed by the image objects
+            assert extract_pdf_text(pdf).pages == ["page one", "page two"]
+    # a PDF with no images yields an empty list
+    assert extract_pdf_images(encode_pdf([["plain"]])) == []
+
+
+def test_pdf_image_boundaries_and_hostile():
+    """Unsupported image layouts raise BY NAME; structural lies stay
+    typed PdfError."""
+    from dolphinbeat_spark.operators.jpeg import encode_jpeg
+    from dolphinbeat_spark.operators.pdf import extract_pdf_images
+
+    jb = encode_jpeg(16, 8, bytes([84]) * 128, gray=True)
+    good = encode_pdf([["x"]], images=[[("jpeg", 16, 8, 1, jb)]])
+    # unsupported image codec by name (JPXDecode is byte-length-equal
+    # to DCTDecode, so the xref offsets stay valid after the swap)
+    bad = good.replace(b"/Filter /DCTDecode", b"/Filter /JPXDecode")
+    with pytest.raises(NotImplementedError, match="JPXDecode"):
+        extract_pdf_images(bad)
+    # dictionary dimensions disagreeing with the JPEG
+    bad = good.replace(b"/Width 16 /Height 8", b"/Width 99 /Height 8")
+    with pytest.raises(PdfError, match="dictionary says"):
+        extract_pdf_images(bad)
+    # raw sample stream with the wrong byte count
+    short = encode_pdf([["x"]], images=[[("raw", 4, 4, 3,
+                                          bytes(48))]])
+    bad = short.replace(b"/Width 4 /Height 4", b"/Width 9 /Height 4")
+    with pytest.raises(PdfError, match="sample bytes"):
+        extract_pdf_images(bad)
+    # garbage DCT payload is a typed PdfError, not a JpegError escape
+    n = good.index(b"\xff\xd8")
+    broken = bytearray(good)
+    broken[n:n + 2] = b"\x00\x00"
+    with pytest.raises((PdfError, NotImplementedError)):
+        extract_pdf_images(bytes(broken))
+
+
+def test_pdf_images_spark(spark):
+    from dolphinbeat_spark.operators.jpeg import encode_jpeg
+    from dolphinbeat_spark.operators.pdf import pdf_images
+
+    flat = bytes([100]) * 128
+    pdf = encode_pdf([["p"]], images=[[("jpeg", 16, 8, 1,
+                                        encode_jpeg(16, 8, flat,
+                                                    gray=True))]])
+    df = spark.createDataFrame([(3, bytearray(pdf))],
+                               "media_id long, payload binary")
+    (row,) = pdf_images(df).collect()
+    assert (row.media_id, row.page_idx, row.img_name) == (3, 0, "Im0_0")
+    assert (row.width, row.height, row.n_components) == (16, 8, 1)
+    assert row.pixel_sum == 128 * 100 and bytes(row.pixels) == flat
+
+
 def test_pdf_encrypted_hostile_bytes():
     import numpy as np
 

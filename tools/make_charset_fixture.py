@@ -12,10 +12,18 @@ precedence chain (sources/charset.py):
   r3  undeclared cp1252 bytes, invalid as UTF-8 (the windows-1252
       fallback rung)
   r4  GBK bytes labeled ``charset=gb2312`` (superset label mapping)
+  r5  ISO-2022-JP bytes labeled ``charset=iso-2022-jp`` (r11 — the
+      escape-sequence encoding: the bytes are pure 7-bit ASCII + ESC,
+      so ONLY the label identifies it; a fallback decode would keep
+      the escape soup)
+  r6  EUC-JP bytes, header silent, ``<meta charset="euc-jp">`` prescan
+  r7  EUC-KR bytes labeled ``charset=ks_c_5601-1987`` (the classic
+      Korean label, mapped to the cp949 Windows superset per spec)
+  r8  Big5 bytes labeled ``charset=big5``
 
 The expected decoded strings are pinned verbatim in the
 ``warc_charset_decode`` oracle (plans/multimodal_queries.py) and in
-tests/test_multimodal.py — regenerate with this script if the record
+tests/test_html_text.py — regenerate with this script if the record
 set changes, then update both pins.
 """
 
@@ -40,6 +48,14 @@ RECORDS = [
     ("déjà vu, 10€ œuvre", "cp1252", "text/html"),
     ('<html><body><p>你好，世界。中文页面。</p></body></html>', "gbk",
      "text/html; charset=gb2312"),
+    ("日本語テキストです。ISO-2022-JP 版。", "iso2022_jp",
+     "text/plain; charset=iso-2022-jp"),
+    ('<html><head><meta charset="euc-jp"></head>'
+     "<body><p>こんにちは、EUC-JP のページです。</p></body></html>", "euc_jp",
+     "text/html"),
+    ("안녕하세요 세계. 한국어 페이지.", "cp949",
+     "text/html; charset=ks_c_5601-1987"),
+    ("繁體中文網頁測試。", "big5", "text/html; charset=big5"),
 ]
 
 
