@@ -1077,11 +1077,14 @@ def extract_pdf_images(data: bytes) -> list[PdfImage]:
     §8.9.5), page order then resource-name order. DCTDecode payloads
     decode through the engine's own from-scratch JPEG decoder
     (operators/jpeg.py — baseline/progressive/arithmetic), so the
-    scanned-document share of a PDF corpus is reachable; Flate/LZW/
-    ASCIIHex/ASCII85/RunLength sample streams decode via the common
-    filter chain (8-bit DeviceGray/RGB/CMYK). JPX/JBIG2/CCITT images
-    and sub-8-bit sample layouts raise by name; inline images (BI/ID/
-    EI, §8.9.7) are out of scope of the XObject walk."""
+    scanned-document share of a PDF corpus is reachable; CCITTFaxDecode
+    payloads decode through the engine's own T.4/T.6 fax codec
+    (operators/ccitt.py — K selects G4/G3-1D/G3-2D, BlackIs1 and
+    EncodedByteAlign honored, 1-bit samples emitted as 0/255 gray);
+    Flate/LZW/ASCIIHex/ASCII85/RunLength sample streams decode via the
+    common filter chain (8-bit DeviceGray/RGB/CMYK). JPX/JBIG2 images
+    and other sub-8-bit sample layouts raise by name; inline images
+    (BI/ID/EI, §8.9.7) are out of scope of the XObject walk."""
     from dolphinbeat_spark.operators.jpeg import JpegError, decode_jpeg
 
     doc = PdfDocument(data)
@@ -1130,10 +1133,50 @@ def extract_pdf_images(data: bytes) -> list[PdfImage]:
                 out.append(PdfImage(pidx, str(name), width, height,
                                     ncomp, "DCTDecode", arr.tobytes()))
                 continue
-            if last in ("JPXDecode", "JBIG2Decode", "CCITTFaxDecode"):
+            if last == "CCITTFaxDecode":
+                import numpy as _np
+
+                from dolphinbeat_spark.operators.ccitt import (
+                    CcittError,
+                    ccitt_decode,
+                )
+
+                pre = raw if len(filters) <= 1 else _apply_filters(
+                    raw, filters[:-1], parms_list[:-1]
+                )
+                p = doc.resolve(parms_list[-1]) if parms_list else None
+                p = p if isinstance(p, dict) else {}
+                k = doc.resolve(p.get("K", 0))
+                cols = doc.resolve(p.get("Columns", 1728))
+                nrows = doc.resolve(p.get("Rows", height))
+                ba = bool(doc.resolve(p.get("EncodedByteAlign", False)))
+                black1 = bool(doc.resolve(p.get("BlackIs1", False)))
+                if (cols, nrows) != (width, height):
+                    raise PdfError(
+                        f"image {name!r}: CCITT parms say {cols}x{nrows},"
+                        f" dictionary says {width}x{height}"
+                    )
+                mode = "g4" if k < 0 else ("g3-2d" if k > 0 else "g3-1d")
+                try:
+                    ink = ccitt_decode(bytes(pre), cols, nrows,
+                                       mode=mode, byte_align=ba)
+                except CcittError as ex:
+                    raise PdfError(
+                        f"CCITTFaxDecode image {name!r}: {ex}"
+                    ) from ex
+                # BlackIs1 picks the decoded bit sense (§7.4.6); the
+                # 1-bit DeviceGray sample then IS the gray level
+                sample_bits = ink if black1 else 1 - ink
+                out.append(PdfImage(
+                    pidx, str(name), width, height, 1, "CCITTFaxDecode",
+                    (sample_bits.astype(_np.uint8) * 255).tobytes(),
+                ))
+                continue
+            if last in ("JPXDecode", "JBIG2Decode"):
                 raise NotImplementedError(
                     f"PDF image filter {last} not supported (DCTDecode "
-                    "via the in-repo JPEG decoder, plus raw Flate/LZW/"
+                    "via the in-repo JPEG decoder, CCITTFaxDecode via "
+                    "the in-repo T.4/T.6 codec, plus raw Flate/LZW/"
                     "ASCII/RunLength sample streams)"
                 )
             content = _apply_filters(raw, filters, parms_list)
@@ -1177,12 +1220,16 @@ PDF_IMAGE_SCHEMA = StructType(
 )
 
 
-def pdf_images(df: DataFrame) -> DataFrame:
+def pdf_images(df: DataFrame, digest: str = "bytes") -> DataFrame:
     """(media_id, payload) -> one row per embedded PDF image via Arrow
     ``mapInPandas`` (map-only, same distribution slot as pdf_extract /
     decode_media): decoded pixel bytes + digest/sum, ready for the
-    multimodal feature stage. At 100 TB the payload column is the raw
-    PDF bytes of a crawl's application/pdf share."""
+    multimodal feature stage. ``digest="hex"`` md5s the lowercase-hex
+    rendering instead (the SQL-oracle contract when pixels carry
+    non-ASCII bytes, e.g. the 0/255 CCITT gray). At 100 TB the payload
+    column is the raw PDF bytes of a crawl's application/pdf share."""
+    if digest not in ("bytes", "hex"):
+        raise ValueError(f"digest must be 'bytes' or 'hex', got {digest!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1193,7 +1240,10 @@ def pdf_images(df: DataFrame) -> DataFrame:
                         mid, im.page_idx, im.name, im.width, im.height,
                         im.n_components, im.img_filter,
                         int(sum(im.pixels)),
-                        hashlib.md5(im.pixels).hexdigest(),
+                        hashlib.md5(
+                            im.pixels if digest == "bytes"
+                            else im.pixels.hex().encode()
+                        ).hexdigest(),
                         bytearray(im.pixels),
                     ))
             yield pd.DataFrame(
@@ -1353,9 +1403,10 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
             k += 1
             cs = {1: b"/DeviceGray", 3: b"/DeviceRGB",
                   4: b"/DeviceCMYK"}[ncomp]
+            bpc = 1 if kind.startswith("ccitt") else 8
             common = (
                 b"/Type /XObject /Subtype /Image /Width %d /Height %d "
-                b"/ColorSpace %s /BitsPerComponent 8" % (iw, ih, cs)
+                b"/ColorSpace %s /BitsPerComponent %d" % (iw, ih, cs, bpc)
             )
             if kind == "jpeg":
                 streams[num] = (common + b" /Filter /DCTDecode", payload)
@@ -1365,6 +1416,24 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
                 streams[num] = (
                     common + b" /Filter /FlateDecode",
                     zlib.compress(payload),
+                )
+            elif kind in ("ccitt-g4", "ccitt-g3", "ccitt-g3-2d"):
+                # payload = one INK byte per pixel (1 = black)
+                import numpy as _np
+
+                from dolphinbeat_spark.operators.ccitt import ccitt_encode
+
+                if ncomp != 1 or len(payload) != iw * ih:
+                    raise ValueError("ccitt image wants 1 ink byte/pixel")
+                ink = _np.frombuffer(payload, _np.uint8).reshape(ih, iw)
+                kk = {"ccitt-g4": -1, "ccitt-g3": 0, "ccitt-g3-2d": 1}[kind]
+                mode = {"ccitt-g4": "g4", "ccitt-g3": "g3-1d",
+                        "ccitt-g3-2d": "g3-2d"}[kind]
+                streams[num] = (
+                    common + b" /Filter /CCITTFaxDecode /DecodeParms "
+                    b"<< /K %d /Columns %d /Rows %d /BlackIs1 false >>"
+                    % (kk, iw, ih),
+                    ccitt_encode(ink, mode=mode),
                 )
             else:
                 raise ValueError(f"unknown image kind {kind!r}")

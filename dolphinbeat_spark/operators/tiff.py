@@ -174,6 +174,67 @@ def _decode_chunk(chunk: bytes, comp: int, limit: int, what: str) -> bytes:
     return dec
 
 
+def _decode_tiff_ccitt(data: bytes, t: dict, w: int, h: int,
+                       one) -> tuple[int, int, np.ndarray]:
+    """CCITT-compressed bilevel TIFF (Compression 2/3/4) -> 8-bit
+    grayscale (black 0 / white 255). Strips restart the coder. T4/T6
+    uncompressed-mode option bits raise by name."""
+    from dolphinbeat_spark.operators.ccitt import CcittError, ccitt_decode
+
+    spp = one(277, 1)
+    depth = t.get(258, [1])[0]
+    if spp != 1 or depth != 1:
+        raise TiffError(
+            f"CCITT TIFF must be 1-bit single-sample, got {depth}-bit "
+            f"x{spp}"
+        )
+    comp = one(259, 1)
+    photo = one(262, 0)  # the fax norm: WhiteIsZero
+    if photo not in (0, 1):
+        raise TiffError(f"CCITT TIFF photometric {photo} is not bilevel")
+    if comp == 2:
+        mode, ba = "mh", False
+    elif comp == 3:
+        opts = one(292, 0)
+        if opts & 2:
+            raise NotImplementedError(
+                "T.4 uncompressed mode (T4Options bit 1) not supported"
+            )
+        mode, ba = ("g3-2d" if opts & 1 else "g3-1d"), bool(opts & 4)
+    else:
+        opts = one(293, 0)
+        if opts & 2:
+            raise NotImplementedError(
+                "T.6 uncompressed mode (T6Options bit 1) not supported"
+            )
+        mode, ba = "g4", False
+    offsets, counts = t.get(273), t.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise TiffError("TIFF strip offsets/byte-counts missing or unequal")
+    rps = one(278, h)
+    if rps <= 0:
+        raise TiffError(f"bad RowsPerStrip {rps}")
+    if len(offsets) != (h + rps - 1) // rps:
+        raise TiffError(
+            f"{len(offsets)} strips, geometry wants {(h + rps - 1) // rps}"
+        )
+    out = np.zeros((h, w), np.uint8)
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(data):
+            raise TiffError(f"strip {si} overruns the payload")
+        nrows = min(rps, h - si * rps)
+        try:
+            blk = ccitt_decode(data[off:off + cnt], w, nrows,
+                               mode=mode, byte_align=ba)
+        except CcittError as ex:
+            raise TiffError(f"CCITT strip {si}: {ex}") from ex
+        out[si * rps:si * rps + nrows] = blk
+    # decompressed bit 1: black under WhiteIsZero, white under
+    # MinIsBlack (rare, but libtiff honors the inversion)
+    gray = (1 - out) * 255 if photo == 0 else out * 255
+    return w, h, gray.astype(np.uint8).reshape(h, w, 1)
+
+
 def decode_tiff(data: bytes) -> tuple[int, int, np.ndarray]:
     """TIFF -> (width, height, HxWxC uint8/uint16 array). Handles
     strip AND tile organization (TIFF 6.0 §15 — satellite/scan
@@ -209,10 +270,12 @@ def decode_tiff(data: bytes) -> tuple[int, int, np.ndarray]:
     if len(set(bits)) != 1:
         raise NotImplementedError("mixed bits-per-sample not supported")
     depth = bits[0]
-    if depth not in (8, 16):
-        raise NotImplementedError(f"{depth}-bit TIFF samples not supported")
     comp = one(259, 1)
     photo = one(262, 1)
+    if comp in (2, 3, 4):  # CCITT bilevel (MH / T.4 / T.6)
+        return _decode_tiff_ccitt(data, t, w, h, one)
+    if depth not in (8, 16):
+        raise NotImplementedError(f"{depth}-bit TIFF samples not supported")
     planar = one(284, 1)
     predictor = one(317, 1)
     if planar not in (1, 2):
@@ -482,13 +545,20 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 1,
     if colormap is not None:
         entries.append((320, 3, len(colormap), list(colormap)))
     entries.sort(key=lambda e: e[0])
+    return _assemble_tiff(entries, strips, end,
+                          off_tag=324 if tile is not None else 273)
 
+
+def _assemble_tiff(entries: list, strips: list[bytes], end: str,
+                   off_tag: int) -> bytes:
+    """IFD + data assembly shared by the fixture writers: ``entries``
+    = (tag, type, count, values) sorted by tag; ``off_tag`` (273/324)
+    gets patched with the final strip/tile offsets."""
     n = len(entries)
     ifd_off = 8
     data_off = ifd_off + 2 + 12 * n + 4
     extra = bytearray()
     table = bytearray()
-    sizes = {3: 2, 4: 4}
     packed = {}
     for tag, typ, count, vals in entries:
         code = "H" if typ == 3 else "I"
@@ -503,7 +573,6 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 1,
         table += struct.pack(end + "HHI", tag, typ, count) + val
     strips_off = data_off + len(extra)
     # patch StripOffsets/TileOffsets now the layout is known
-    off_tag = 324 if tile is not None else 273
     offs = []
     acc_off = strips_off
     for s in strips:
@@ -527,3 +596,52 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 1,
            + struct.pack(end + "I", 0) + bytes(extra))
     assert len(out) == strips_off
     return out + b"".join(strips)
+
+
+def encode_tiff_ccitt(img, compression: int = 4, t4_2d: bool = False,
+                      byte_align: bool = False,
+                      rows_per_strip: int | None = None,
+                      byte_order: str = "<",
+                      photometric: int = 0) -> bytes:
+    """Bilevel CCITT TIFF writer (fixture generator): ``img`` is a
+    (rows, cols) array, nonzero = BLACK ink. ``compression`` 2 (MH) /
+    3 (T.4, ``t4_2d`` selects 2D rows, ``byte_align`` sets T4Options
+    bit 2) / 4 (T.6). Strips restart the coder (ref line resets), per
+    the TIFF 6.0 §2 strip independence rule."""
+    from dolphinbeat_spark.operators.ccitt import ccitt_encode
+
+    if compression not in (2, 3, 4):
+        raise ValueError(f"not a CCITT compression code: {compression}")
+    ink = (np.asarray(img) != 0).astype(np.uint8)
+    h, w = ink.shape
+    # stored bit semantics follow the photometric: under WhiteIsZero
+    # (0, the fax norm) bit 1 = black = the ink; under MinIsBlack the
+    # sense inverts
+    bits = ink if photometric == 0 else 1 - ink
+    if compression == 2:
+        mode, ba = "mh", False
+    elif compression == 3:
+        mode, ba = ("g3-2d" if t4_2d else "g3-1d"), byte_align
+    else:
+        mode, ba = "g4", False
+    end = byte_order
+    rps = rows_per_strip or h
+    strips = [
+        ccitt_encode(bits[r0:r0 + rps], mode=mode, byte_align=ba)
+        for r0 in range(0, h, rps)
+    ]
+    entries = [
+        (256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, 1, [1]),
+        (259, 3, 1, [compression]), (262, 3, 1, [photometric]),
+        (277, 3, 1, [1]), (278, 4, 1, [rps]),
+        (279, 4, len(strips), [len(s) for s in strips]),
+        (273, 4, len(strips), [0] * len(strips)),  # patched
+    ]
+    if compression == 3:
+        entries.append(
+            (292, 4, 1, [(1 if t4_2d else 0) | (4 if byte_align else 0)])
+        )
+    elif compression == 4:
+        entries.append((293, 4, 1, [0]))
+    entries.sort(key=lambda e: e[0])
+    return _assemble_tiff(entries, strips, end, off_tag=273)

@@ -1602,6 +1602,70 @@ def mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_decode_tiff_ccitt",
+    # payload = a REAL CCITT-compressed bilevel TIFF (ITU-T T.4/T.6,
+    # operators/ccitt.py — r11): the doc's 96-char md5 pattern as an
+    # 8x12 fax page, INK where the hex digit is a letter (a-f), with
+    # compression cycling MH / T.4 (2D + byte-aligned EOLs by parity)
+    # / T.6 by doc_id % 3, 5-row strips (the coder restarts per
+    # strip), byte order II/MM and photometric WhiteIsZero/MinIsBlack
+    # by parity (both must yield the identical gray rendering). The
+    # decoded 0/255 gray bytes are pinned via the hex-digest contract
+    # (digest='hex'); the oracle rebuilds the hex rendering with a
+    # translate + replace over the same pattern. Pre-r11 every one of
+    # these raised 'TIFF compression 2/3/4 not supported'.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 25 = 5
+)
+SELECT media_id,
+       'tiff' AS fmt,
+       CAST(8 AS BIGINT) AS width,
+       CAST(12 AS BIGINT) AS height,
+       CAST(255 * length(regexp_replace(pattern, '[a-f]', '', 'g'))
+            AS BIGINT) AS pixel_sum,
+       md5(replace(replace(
+             translate(pattern, '0123456789abcdef', 'wwwwwwwwwwBBBBBB'),
+             'w', 'ff'), 'B', '00')) AS pixel_md5
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "codec", "tiff", "ccitt"),
+)
+def mm_decode_tiff_ccitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCITT Group 3/4 fax decode under the oracle gate (r11): the
+    from-scratch T.4/T.6 codec (published run-length code tables, MH
+    rows, EOL-framed G3 1D/2D with tag bits, G4 MMR against the
+    reference line) behind TIFF Compression 2/3/4 — the
+    scanned-document / fax archive slice becomes decodable in the
+    same mapInPandas slot as every other codec."""
+    import hashlib
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.tiff import encode_tiff_ccitt
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 5)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    comps = (2, 3, 4)
+    rows = []
+    for i in ids:
+        pattern = hashlib.md5(str(i).encode()).hexdigest() * 3
+        ink = np.array([1 if c in "abcdef" else 0 for c in pattern],
+                       np.uint8).reshape(12, 8)
+        rows.append((i, bytearray(encode_tiff_ccitt(
+            ink, compression=comps[i % 3], t4_2d=bool(i % 2),
+            byte_align=i % 4 == 1, rows_per_strip=5,
+            byte_order="<" if i % 2 == 0 else ">",
+            photometric=i % 2,
+        ))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return M.decode_media(media, digest="hex").orderBy("media_id")
+
+
+@register(
     "mm_decode_tiff_tiled",
     # payload = a REAL TILED TIFF (TIFF 6.0 §15) of the doc's 96-byte
     # md5 pattern as 8x4 RGB with 3x3 tiles — 3 across x 2 down with
@@ -2146,6 +2210,70 @@ def mm_pdf_embedded_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = spark.createDataFrame(rows, "media_id long, payload binary")
     return (
         pdf_images(media)
+        .select("media_id", "page_idx", "img_name", "width", "height",
+                "n_components", "img_filter", "pixel_sum", "pixel_md5")
+        .orderBy("media_id", "page_idx", "img_name")
+    )
+
+
+@register(
+    "mm_pdf_ccitt_image",
+    # payload = a PDF per doc embedding a CCITTFaxDecode image XObject
+    # (the scanned-fax layout): the doc's 96-char md5 pattern as an
+    # 8x12 bilevel page, ink where the hex digit is a letter, coded
+    # G4 / G3-1D / G3-2D by doc_id % 3 — the PDF filter delegates to
+    # the same from-scratch T.4/T.6 codec as TIFF Compression 2/3/4.
+    # BlackIs1 defaults false, so ink decodes to gray 0; the 0/255
+    # bytes are pinned via the hex-digest contract, the same closed
+    # form as mm_decode_tiff_ccitt. Pre-r11 these raised
+    # 'PDF filter CCITTFaxDecode not supported'.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 25 = 7
+)
+SELECT media_id, 0::BIGINT AS page_idx, 'Im0_0' AS img_name,
+       CAST(8 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+       1::BIGINT AS n_components, 'CCITTFaxDecode' AS img_filter,
+       CAST(255 * length(regexp_replace(pattern, '[a-f]', '', 'g'))
+            AS BIGINT) AS pixel_sum,
+       md5(replace(replace(
+             translate(pattern, '0123456789abcdef', 'wwwwwwwwwwBBBBBB'),
+             'w', 'ff'), 'B', '00')) AS pixel_md5
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "pdf", "decode", "codec", "ccitt", "ingest"),
+)
+def mm_pdf_ccitt_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF CCITTFaxDecode images under the oracle gate (r11): the
+    filter delegates to the engine's own T.4/T.6 fax codec
+    (operators/ccitt.py), K selecting G4/G3-1D/G3-2D — the
+    scanned-fax share of a PDF corpus decodes beside DCTDecode in the
+    same pdf_images Arrow slot."""
+    import hashlib
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_images
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 7)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    kinds = ("ccitt-g4", "ccitt-g3", "ccitt-g3-2d")
+    rows = []
+    for i in ids:
+        pattern = hashlib.md5(str(i).encode()).hexdigest() * 3
+        ink = np.array([1 if c in "abcdef" else 0 for c in pattern],
+                       np.uint8)
+        pdf = encode_pdf(
+            [[f"fax {i}"]], xref_stream=bool(i % 2),
+            images=[[(kinds[i % 3], 8, 12, 1, ink.tobytes())]],
+        )
+        rows.append((i, bytearray(pdf)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return (
+        pdf_images(media, digest="hex")
         .select("media_id", "page_idx", "img_name", "width", "height",
                 "n_components", "img_filter", "pixel_sum", "pixel_md5")
         .orderBy("media_id", "page_idx", "img_name")
