@@ -12,14 +12,20 @@ COLOR (per-block signed 3.5-fixed-point cross-channel multipliers),
 SUBTRACT-GREEN, and COLOR-INDEXING (palette with sub-byte pixel
 packing for palettes ≤ 16 entries).
 
-The lossy VP8 profile is DCT entropy coding (boolean arithmetic over
-DCT coefficients) — raises by name, same stance as H.264/AAC.
+The LOSSY VP8 profile — the dominant WebP form on the real web —
+decodes too (r11): keyframe DCT entropy coding via the from-scratch
+RFC 6386 implementation in operators/vp8.py, with chroma
+nearest-upsampling + libwebp's published fixed-point BT.601 YUV→RGB,
+and ALPH transparency planes (raw or headerless-VP8L compressed,
+PNG-style prediction filters). Animated WebP raises by name.
 
-Verification (tests/test_multimodal.py): the decoder is pinned by
-hand-assembled bitstreams computed from the spec (prefix-code
-decode, LZ77 copy, cache hit) independent of the encoder, plus
-encoder->decoder roundtrips across literals / LZ77 / color cache /
-subtract-green / palette shapes.
+Verification (tests/test_multimodal.py, tests/test_vp8.py): the
+decoder is pinned by hand-assembled bitstreams computed from the spec
+(prefix-code decode, LZ77 copy, cache hit) independent of the
+encoder, encoder->decoder roundtrips across literals / LZ77 / color
+cache / subtract-green / palette shapes, and for the lossy path a
+REAL libwebp-encoded file from the stdlib test corpus (decoded logo
+alpha shape + coherent chroma tokens).
 
 At 100 TB the decode runs one-image-per-row inside the same Arrow
 ``mapInPandas`` slot as the other codecs
@@ -402,13 +408,98 @@ def _uncolor(img: np.ndarray, data: np.ndarray, shift: int) -> None:
             img[y, x] = (a << 24) | (r << 16) | (g << 8) | b
 
 
+def _yuv_to_rgb(y: np.ndarray, u: np.ndarray,
+                v: np.ndarray) -> np.ndarray:
+    """libwebp's published fixed-point BT.601 limited-range
+    conversion (yuv.h: MultHi Q8 coefficients, +32 >> 6 rounding)."""
+    y = y.astype(np.int32)
+    u = u.astype(np.int32)
+    v = v.astype(np.int32)
+
+    def mh(a, c):
+        return (a * c) >> 8
+
+    r = mh(y, 19077) + mh(v, 26149) - 14234
+    g = mh(y, 19077) - mh(u, 6419) - mh(v, 13320) + 8708
+    b = mh(y, 19077) + mh(u, 33050) - 17685
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip((out + 32) >> 6, 0, 255).astype(np.uint8)
+
+
+def _decode_alpha(body: bytes, w: int, h: int) -> np.ndarray:
+    """The ALPH chunk (WebP container spec): 1-byte header
+    (compression 0 = raw / 1 = headerless VP8L image stream, a
+    prediction filter 0-3, level-reduction preprocessing), then the
+    alpha plane. Alpha rides the GREEN channel in the lossless
+    form."""
+    if not body:
+        raise WebpError("empty ALPH chunk")
+    hdr = body[0]
+    method = hdr & 3
+    filt = (hdr >> 2) & 3
+    pre = (hdr >> 4) & 3
+    if pre:
+        raise NotImplementedError(
+            "ALPH level-reduction preprocessing not supported"
+        )
+    if method == 0:
+        raw = np.frombuffer(body[1:1 + w * h], np.uint8)
+        if raw.size != w * h:
+            raise WebpError("raw ALPH plane truncated")
+        a = raw.reshape(h, w).astype(np.int32)
+    elif method == 1:
+        br = _LsbBits(body[1:])
+        img = _decode_spatial(br, w, h)
+        a = ((img >> 8) & 0xFF).astype(np.int32)
+    else:
+        raise WebpError(f"reserved ALPH compression method {method}")
+    if filt:  # PNG-style prediction filters over the whole plane
+        out = np.zeros((h, w), np.int32)
+        for yy in range(h):
+            for xx in range(w):
+                left = out[yy, xx - 1] if xx else (out[yy - 1, 0]
+                                                   if yy else 0)
+                top = out[yy - 1, xx] if yy else (out[yy, xx - 1]
+                                                  if xx else 0)
+                if filt == 1:
+                    p = left
+                elif filt == 2:
+                    p = top
+                else:
+                    tl = out[yy - 1, xx - 1] if (xx and yy) else \
+                        (left if not yy else top)
+                    p = min(255, max(0, left + top - tl))
+                out[yy, xx] = (a[yy, xx] + p) & 0xFF
+        a = out
+    return a.astype(np.uint8)
+
+
+def _decode_lossy(vp8: bytes, alph: bytes | None) -> tuple[int, int,
+                                                           np.ndarray]:
+    """VP8 keyframe (+ optional ALPH plane) -> (w, h, RGBA): chroma
+    nearest-upsampled, libwebp fixed-point BT.601 to RGB."""
+    from dolphinbeat_spark.operators.vp8 import decode_vp8
+
+    w, h, y, u, v = decode_vp8(vp8)
+    uf = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)[:h, :w]
+    vf = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)[:h, :w]
+    rgb = _yuv_to_rgb(y, uf, vf)
+    a = _decode_alpha(alph, w, h) if alph is not None else \
+        np.full((h, w), 255, np.uint8)
+    return w, h, np.dstack([rgb, a])
+
+
 def decode_webp(data: bytes) -> tuple[int, int, np.ndarray]:
     """WebP -> (width, height, HxWx4 RGBA uint8). Lossless (VP8L)
-    only; VP8 lossy and VP8X-wrapped lossy raise by name."""
+    and LOSSY (VP8 keyframe via operators/vp8.py, r11) both decode,
+    incl. VP8X-wrapped layouts with an ALPH transparency plane;
+    animations (ANMF) raise by name."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise WebpError("not a WebP payload (RIFF/WEBP)")
     pos = 12
     vp8l = None
+    vp8 = None
+    alph = None
     while pos + 8 <= len(data):
         cc = data[pos:pos + 4]
         (clen,) = struct.unpack_from("<I", data, pos + 4)
@@ -419,13 +510,17 @@ def decode_webp(data: bytes) -> tuple[int, int, np.ndarray]:
             vp8l = body
             break
         if cc == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8 DCT entropy coding) not supported; "
-                "lossless VP8L decodes"
-            )
+            vp8 = body
+            break
+        if cc == b"ALPH":
+            alph = body
+        if cc == b"ANMF" or cc == b"ANIM":
+            raise NotImplementedError("animated WebP not supported")
         pos += 8 + clen + (clen & 1)
+    if vp8 is not None:
+        return _decode_lossy(vp8, alph)
     if vp8l is None:
-        raise WebpError("WebP without a VP8L chunk")
+        raise WebpError("WebP without a VP8L or VP8 chunk")
     if not vp8l or vp8l[0] != 0x2F:
         raise WebpError("bad VP8L signature byte")
     br = _LsbBits(vp8l[1:])
@@ -434,7 +529,19 @@ def decode_webp(data: bytes) -> tuple[int, int, np.ndarray]:
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise WebpError("unknown VP8L version")
+    img = _decode_spatial(br, w, h)
+    a = ((img >> 24) & 0xFF).astype(np.uint8)
+    r = ((img >> 16) & 0xFF).astype(np.uint8)
+    g = ((img >> 8) & 0xFF).astype(np.uint8)
+    b = (img & 0xFF).astype(np.uint8)
+    return w, h, np.stack([r, g, b, a], axis=-1)
 
+
+def _decode_spatial(br: _LsbBits, w: int, h: int) -> np.ndarray:
+    """One level-0 spatially-coded VP8L image (spec §4-§6): the
+    transform loop + entropy-coded image + reverse transform
+    application. Shared by the main VP8L image and the headerless
+    ALPH method-1 stream (whose dimensions are implicit)."""
     # transforms, outermost first in the stream; applied in reverse.
     # Color-indexing reduces the coded width (sub-byte pixel packing),
     # so xsize tracks the CURRENT coded width as transforms are read.
@@ -504,11 +611,7 @@ def decode_webp(data: bytes) -> tuple[int, int, np.ndarray]:
                 raise WebpError("palette index beyond the color table")
             img = pal[idx].astype(np.uint32)
 
-    a = ((img >> 24) & 0xFF).astype(np.uint8)
-    r = ((img >> 16) & 0xFF).astype(np.uint8)
-    g = ((img >> 8) & 0xFF).astype(np.uint8)
-    b = (img & 0xFF).astype(np.uint8)
-    return w, h, np.stack([r, g, b, a], axis=-1)
+    return img
 
 
 # --- writer (fixture generator) ----------------------------------------------
@@ -596,6 +699,22 @@ def _lz77_code(v: int) -> tuple[int, int, int]:
     if x >= 3 << e:
         return 2 * e + 3, x - (3 << e), e
     return 2 * e + 2, x - (2 << e), e
+
+
+def encode_webp_vp8(width: int, height: int, mbs: list[dict],
+                    qi: int = 20) -> bytes:
+    """RIFF/WEBP container around a restricted VP8 keyframe
+    (operators/vp8.py::encode_vp8) — the lossy fixture mirror."""
+    from dolphinbeat_spark.operators.vp8 import encode_vp8
+
+    payload = encode_vp8(width, height, mbs, qi=qi)
+    if len(payload) & 1:
+        padded = payload + b"\x00"
+    else:
+        padded = payload
+    chunk = b"VP8 " + struct.pack("<I", len(payload)) + padded
+    return (b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP"
+            + chunk)
 
 
 def encode_webp_lossless(rgba: np.ndarray, use_cache_bits: int = 0,

@@ -2545,8 +2545,8 @@ def mm_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     wild-web image format's losslessly-decodable profile, from
     scratch (operators/webp.py: canonical prefix codes, LZ77 with the
     2D distance map, color cache, and the four inverse transforms).
-    The lossy VP8 profile raises by name (DCT boolean arithmetic
-    needs codec libraries). Decoded distributed in the same
+    The lossy VP8 profile decodes too since r11 — see
+    mm_decode_webp_lossy. Decoded distributed in the same
     mapInPandas slot as the other codecs."""
     import hashlib
 
@@ -2567,6 +2567,95 @@ def mm_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )))
     media = spark.createDataFrame(rows, "media_id long, payload binary")
     return M.decode_media(media).orderBy("media_id")
+
+
+@register(
+    "mm_decode_webp_lossy",
+    # payload = a REAL lossy-WebP VP8 KEYFRAME (RFC 6386, the
+    # from-scratch decoder in operators/vp8.py behind the RIFF
+    # container): one 16x16 macroblock, DC_PRED, a DC-only Y2 block
+    # level Ly and flat chroma DC levels Lu/Lv, quantizer index
+    # cycling 10/20/40 by doc parity. The whole decode chain — boolean
+    # arithmetic coder, token trees, dequant, inverse WHT + DCT, DC
+    # prediction, nearest chroma upsample, libwebp's published
+    # fixed-point BT.601 YUV->RGB — has a CLOSED FORM the oracle
+    # recomputes with integer arithmetic: the dequant table values
+    # (DC_QLOOKUP[10/20/40] = 13/21/37, RFC 6386 §14.1) and the
+    # conversion constants (19077/26149/6419/13320/33050, +32 >> 6)
+    # are stated literally. Pinned against a real libwebp encoding in
+    # tests/test_vp8.py. Pre-r11 every lossy WebP raised by name.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         1 + ord(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 5 AS ly,
+         1 + ord(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) % 4 AS lu,
+         1 + ord(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) % 4 AS lv,
+         CASE doc_id % 3 WHEN 0 THEN 26 WHEN 1 THEN 42 ELSE 74 END
+             AS y2dc,
+         CASE doc_id % 3 WHEN 0 THEN 13 WHEN 1 THEN 21 ELSE 37 END
+             AS uvdc
+  FROM documents WHERE doc_id % 27 = 8
+), yuv AS (
+  SELECT media_id,
+         128 + ((((ly * y2dc + 3) >> 3) + 4) >> 3) AS y,
+         128 + ((lu * uvdc + 4) >> 3) AS u,
+         128 + ((lv * uvdc + 4) >> 3) AS v
+  FROM p
+), rgb AS (
+  SELECT media_id,
+         (((y * 19077) >> 8) + ((v * 26149) >> 8) - 14234 + 32) >> 6
+             AS r,
+         (((y * 19077) >> 8) - ((u * 6419) >> 8) - ((v * 13320) >> 8)
+          + 8708 + 32) >> 6 AS g,
+         (((y * 19077) >> 8) + ((u * 33050) >> 8) - 17685 + 32) >> 6
+             AS b
+  FROM yuv
+)
+SELECT media_id,
+       'webp' AS fmt,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST((r + g + b + 255) * 256 AS BIGINT) AS pixel_sum,
+       md5(repeat(printf('%02x%02x%02xff',
+                         CAST(r AS INTEGER), CAST(g AS INTEGER),
+                         CAST(b AS INTEGER)), 256)) AS pixel_md5
+FROM rgb
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "codec", "webp", "lossy"),
+)
+def mm_decode_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSY WebP (VP8 keyframe) decode under the oracle gate — the
+    dominant WebP form on the real web, closing the r10 boundary:
+    RFC 6386 from scratch (operators/vp8.py — boolean arithmetic
+    coder, keyframe headers, mode/coefficient token trees with the
+    full published probability tables, dequant, exact integer inverse
+    WHT/DCT, intra prediction, both loop filters) behind the RIFF
+    container with libwebp's fixed-point YUV->RGB. Hex-digest
+    contract; same mapInPandas slot as every other codec."""
+    import hashlib
+
+    from dolphinbeat_spark.operators import vp8_tables as VT
+    from dolphinbeat_spark.operators.webp import encode_webp_vp8
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 27 == 8)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    qis = (10, 20, 40)
+    rows = []
+    for i in ids:
+        hx = hashlib.md5(str(i).encode()).hexdigest()
+        ly = 1 + ord(hx[0]) % 5
+        lu = 1 + ord(hx[1]) % 4
+        lv = 1 + ord(hx[2]) % 4
+        mb = {"ymode": VT.DC_PRED, "uvmode": VT.DC_PRED,
+              "y2": [ly] + [0] * 15,
+              "u": [[lu] + [0] * 15 for _ in range(4)],
+              "v": [[lv] + [0] * 15 for _ in range(4)]}
+        rows.append((i, bytearray(
+            encode_webp_vp8(16, 16, [mb], qi=qis[i % 3])
+        )))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return M.decode_media(media, digest="hex").orderBy("media_id")
 
 
 @register(

@@ -2992,11 +2992,14 @@ def test_webp_typed_errors_and_lossy_boundary():
     good = bytearray(encode_webp_lossless(img))
     with pytest.raises(WebpError, match="RIFF/WEBP"):
         decode_webp(b"RIFX" + bytes(good[4:]))
-    # lossy VP8 raises by name
+    # a VP8L payload relabeled as a lossy chunk routes into the VP8
+    # decoder (r11) and fails TYPED there (it is not a key frame)
+    from dolphinbeat_spark.operators.vp8 import Vp8Error
+
     lossy = bytearray(good)
     i = bytes(lossy).index(b"VP8L")
     lossy[i:i + 4] = b"VP8 "
-    with pytest.raises(NotImplementedError, match="lossy"):
+    with pytest.raises((Vp8Error, NotImplementedError)):
         decode_webp(bytes(lossy))
     bad_sig = bytearray(good)
     bad_sig[i + 8] = 0x30  # VP8L signature byte

