@@ -2659,6 +2659,46 @@ def mm_decode_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_decode_webp_real",
+    # payload = the COMMITTED real libwebp encoding
+    # tests/fixtures/golden/python-logo.webp (PSF-licensed CPython
+    # test data): VP8X container, a VP8 lossy keyframe whose 160
+    # bytes of arithmetic-coded DCT tokens exercise the full
+    # DEFAULT_COEFF_PROBS / COEFF_UPDATE_PROBS tables, and an ALPH
+    # transparency plane (headerless VP8L) carrying the Python-logo
+    # silhouette. The oracle pins the decoded relation's stats —
+    # alpha coverage (149 of 256 pixels opaque: the logo), the
+    # premultiplied-black luma, and the full-RGBA digest — as
+    # literals: a single wrong probability-table entry desyncs the
+    # boolean decoder and changes every number. Independent of
+    # sf_dir, like the other committed-fixture specs.
+    oracle="""
+SELECT 0::BIGINT AS media_id, 'webp' AS fmt,
+       16::BIGINT AS width, 16::BIGINT AS height,
+       39075::BIGINT AS pixel_sum,
+       '3be727102534705e71dc2a12a2237520' AS pixel_md5
+""",
+    tags=("multimodal", "decode", "codec", "webp", "lossy", "alpha"),
+)
+def mm_decode_webp_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL libwebp-encoded lossy+alpha WebP through the full r11
+    decode chain (VP8X walk -> RFC 6386 keyframe decode -> fixed-point
+    YUV->RGB -> headerless-VP8L ALPH plane) under the oracle gate —
+    the independent pin for the big VP8 probability tables, inside
+    the driver's correctness window rather than pytest only."""
+    from pathlib import Path
+
+    raw = (
+        Path(__file__).resolve().parents[2]
+        / "tests" / "fixtures" / "golden" / "python-logo.webp"
+    ).read_bytes()
+    media = spark.createDataFrame(
+        [(0, bytearray(raw))], "media_id long, payload binary"
+    )
+    return M.decode_media(media, digest="hex").orderBy("media_id")
+
+
+@register(
     "mm_video_nal_units",
     # payload = a REAL H.264 Annex-B elementary stream per doc:
     # SPS (640x480 baseline — the demux PARSES it: Exp-Golomb,
