@@ -146,12 +146,39 @@ def _dms(val, ref: str) -> float | None:
     return -deg if ref in ("S", "W") else deg
 
 
+def _walk_webp_exif(data: bytes) -> bytes | None:
+    """The EXIF chunk payload of a VP8X-flagged WebP (container
+    spec), or None. Some writers prefix the TIFF block with the JPEG
+    'Exif\\x00\\x00' header — both layouts occur in the wild and both
+    are handled."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ExifError("not a WebP payload")
+    pos = 12
+    while pos + 8 <= len(data):
+        cc = data[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + clen]
+        if len(body) != clen:
+            raise ExifError(f"WebP chunk {cc!r} truncated")
+        if cc == b"EXIF":
+            if body[:6] == b"Exif\x00\x00":
+                body = body[6:]
+            return body
+        pos += 8 + clen + (clen & 1)
+    return None
+
+
 def parse_exif(data: bytes) -> dict:
-    """JPEG bytes -> flat metadata dict (empty if no EXIF): make,
+    """Image bytes -> flat metadata dict (empty if no EXIF): make,
     model, orientation, datetime, datetime_original, iso,
     exposure_time, fnumber, focal_length, gps_lat, gps_lon,
-    gps_altitude — missing fields absent."""
-    tiff = _walk_jpeg_app1(data)
+    gps_altitude — missing fields absent. Dispatches on the payload
+    magic: JPEG APP1 or a WebP EXIF chunk (r11 — the #2 web format
+    carries the same TIFF-IFD block in its container)."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        tiff = _walk_webp_exif(data)
+    else:
+        tiff = _walk_jpeg_app1(data)
     if tiff is None:
         return {}
     if tiff[:2] == b"II":
@@ -202,14 +229,39 @@ def parse_exif(data: bytes) -> dict:
     return out
 
 
+def _strip_webp_metadata(data: bytes) -> bytes:
+    """Drop EXIF/XMP /ICCP chunks from a WebP container; the image
+    chunks (VP8/VP8L/ALPH/ANIM/ANMF) and VP8X pass through
+    byte-for-byte with the VP8X metadata flag bits cleared — the
+    decode is pinned unchanged."""
+    out = bytearray()
+    pos = 12
+    while pos + 8 <= len(data):
+        cc = data[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", data, pos + 4)
+        end = pos + 8 + clen + (clen & 1)
+        if pos + 8 + clen > len(data):
+            raise ExifError(f"WebP chunk {cc!r} truncated")
+        if cc not in (b"EXIF", b"XMP ", b"ICCP"):
+            chunk = bytearray(data[pos:end])
+            if cc == b"VP8X" and clen >= 1:
+                chunk[8] &= ~0x2C  # clear ICC/EXIF/XMP flag bits
+            out += chunk
+        pos = end
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WEBP" + bytes(out)
+
+
 def strip_metadata(data: bytes) -> bytes:
-    """Drop every APPn/COM segment from a JPEG — the conservative
-    PII redaction (GPS can hide in thumbnails and maker notes, so the
-    whole metadata layer goes). The functional segments (DQT/DHT/
-    SOF/SOS/DRI/DAC, restart markers, entropy data) pass through
+    """Drop every metadata segment from a JPEG (APPn/COM) or WebP
+    (EXIF/XMP/ICCP chunks, r11) — the conservative PII redaction (GPS
+    can hide in thumbnails and maker notes, so the whole metadata
+    layer goes). The functional segments (DQT/DHT/SOF/SOS/DRI/DAC,
+    restart markers, entropy data; WebP image chunks) pass through
     byte-for-byte, so the decode is pinned unchanged."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return _strip_webp_metadata(data)
     if data[:2] != b"\xff\xd8":
-        raise ExifError("not a JPEG payload")
+        raise ExifError("not a JPEG or WebP payload")
     out = bytearray(b"\xff\xd8")
     pos = 2
     while pos + 2 <= len(data):

@@ -510,28 +510,57 @@ class PdfDocument:
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, list] = {}
         self._enc_key: bytes | None = None
+        self._enc_aes = False
         self._load_xref_chain()
         if "Encrypt" in self.trailer:
             self._enc_key = self._setup_encryption()
 
     def _setup_encryption(self) -> bytes:
-        """Standard security handler, RC4 V1/V2 R2/R3 (§7.6.3) with
-        the EMPTY user password — owner-restricted documents every
-        viewer opens. Password-protected files and AES (V≥4) raise
-        by name. The /Encrypt dict itself and xref streams are never
-        encrypted (§7.5.8.2), so resolving it here is safe."""
+        """Standard security handler (§7.6.3) with the EMPTY user
+        password — owner-restricted documents every viewer opens:
+        RC4 V1/V2 R2/R3 and AESV2 (V4 R4, AES-128-CBC via the
+        from-scratch FIPS-197 implementation in operators/aes.py,
+        r11). Password-protected files and AESV3 (R5/R6, SHA-256
+        validation) raise by name. The /Encrypt dict itself and xref
+        streams are never encrypted (§7.5.8.2), so resolving it here
+        is safe."""
         enc = self.resolve(self.trailer["Encrypt"])
         if not isinstance(enc, dict):
             raise PdfError("/Encrypt is not a dictionary")
         filt = str(enc.get("Filter", ""))
         v = enc.get("V", 0)
         r = enc.get("R", 0)
-        if filt != "Standard" or v not in (1, 2) or r not in (2, 3):
+        if filt == "Standard" and v == 4 and r == 4:
+            cf = self.resolve(enc.get("CF"))
+            std = self.resolve(cf.get("StdCF")) if isinstance(cf, dict) \
+                else None
+            cfm = str(std.get("CFM", "")) if isinstance(std, dict) else ""
+            if cfm == "AESV2":
+                self._enc_aes = True
+                length = 16
+            elif cfm == "V2":  # V4 container around plain RC4
+                length = int(std.get("Length", 16))
+                if length > 16:
+                    length //= 8  # some writers store bits here
+            else:
+                raise NotImplementedError(
+                    f"PDF crypt filter {cfm!r} not supported "
+                    "(AESV2 and V2/RC4; AESV3 needs R6)"
+                )
+            for slot in ("StmF", "StrF"):
+                if str(enc.get(slot, "Identity")) != "StdCF":
+                    raise NotImplementedError(
+                        f"PDF /{slot} {enc.get(slot)!r} not supported "
+                        "(single StdCF filter only)"
+                    )
+        elif filt != "Standard" or v not in (1, 2) or r not in (2, 3):
             raise NotImplementedError(
                 f"PDF encryption Filter={filt!r} V={v} R={r} not "
-                "supported (Standard-handler RC4 V1/V2 R2/R3 only; "
-                "AES needs V>=4)"
+                "supported (Standard-handler RC4 V1/V2 R2/R3 and "
+                "AESV2 V4 R4; AESV3 R5/R6 unsupported)"
             )
+        else:
+            length = int(enc.get("Length", 40)) // 8 if v == 2 else 5
         o = enc.get("O")
         u = enc.get("U")
         p = enc.get("P")
@@ -541,8 +570,10 @@ class PdfDocument:
         ids = self.resolve(self.trailer.get("ID"))
         id0 = ids[0] if isinstance(ids, list) and ids and \
             isinstance(ids[0], bytes) else b""
-        length = int(enc.get("Length", 40)) // 8 if v == 2 else 5
-        key = _std_encryption_key(b"", o, p, id0, r, length)
+        extra = b""
+        if v == 4 and self.resolve(enc.get("EncryptMetadata")) is False:
+            extra = b"\xff\xff\xff\xff"  # Algorithm 2 step f
+        key = _std_encryption_key(b"", o, p, id0 + extra, r, length)
         if not _check_user_password(key, u, id0, r):
             raise NotImplementedError(
                 "password-protected PDF: the empty user password does "
@@ -555,12 +586,33 @@ class PdfDocument:
 
         base = self._enc_key + num.to_bytes(3, "little") \
             + gen.to_bytes(2, "little")
+        if self._enc_aes:
+            base += b"sAlT"  # §7.6.2 AES salt
         return _hl.md5(base).digest()[:min(len(self._enc_key) + 5, 16)]
 
+    def _decrypt_data(self, key: bytes, data: bytes) -> bytes:
+        """One string/stream through the active cipher: RC4, or
+        AESV2's IV-prefixed AES-128-CBC with PKCS#7 padding."""
+        if not self._enc_aes:
+            return _rc4(key, data)
+        from dolphinbeat_spark.operators.aes import (
+            AesError,
+            aes_cbc_decrypt,
+        )
+
+        if len(data) < 32 or len(data) % 16:
+            raise PdfError(
+                f"AESV2 data length {len(data)} is not IV + blocks"
+            )
+        try:
+            return aes_cbc_decrypt(key, data[:16], data[16:])
+        except AesError as ex:
+            raise PdfError(f"AESV2 decrypt failed: {ex}") from ex
+
     def _decrypt_obj(self, obj, key: bytes):
-        """Recursively RC4-decrypt every string in a parsed object."""
+        """Recursively decrypt every string in a parsed object."""
         if isinstance(obj, bytes):
-            return _rc4(key, obj)
+            return self._decrypt_data(key, obj)
         if isinstance(obj, list):
             return [self._decrypt_obj(x, key) for x in obj]
         if isinstance(obj, dict):
@@ -713,7 +765,7 @@ class PdfDocument:
                 key = self._object_key(num, gen)
                 obj = self._decrypt_obj(obj, key)
                 if raw is not None:
-                    raw = _rc4(key, raw)
+                    raw = self._decrypt_data(key, raw)
             val = ("stream", obj, raw) if raw is not None else obj
         else:
             _, stm_num, idx = ent
@@ -1295,11 +1347,13 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
     ``unicode_text=True`` emits a Type0/Identity-H composite font with
     a generated /ToUnicode CMap (bfchar entries per distinct char) and
     2-byte-CID hex show strings — the layout Word/Chrome-class writers
-    produce for any non-Latin text. ``encrypt="rc4-40"|"rc4-128"``
-    produces a Standard-security-handler file (owner password
-    ``owner``, EMPTY user password — the owner-locked layout every
-    viewer opens): per-object RC4 over streams and strings, real
-    /O //U //P entries and a file /ID. ``info_gen`` writes the /Info
+    produce for any non-Latin text.
+    ``encrypt="rc4-40"|"rc4-128"|"aes-128"`` produces a
+    Standard-security-handler file (owner password ``owner``, EMPTY
+    user password — the owner-locked layout every viewer opens):
+    per-object RC4 — or AESV2 AES-128-CBC with IV-prefixed data and a
+    /CF crypt-filter dictionary (V4 R4, r11) — over streams and
+    strings, real /O //U //P entries and a file /ID. ``info_gen`` writes the /Info
     object (and its xref entry / trailer reference) at that generation
     number — exercises the per-object key's gen bytes (Algorithm 1);
     classic-xref layout only. ``images`` embeds image XObjects: one
@@ -1480,7 +1534,9 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
         import hashlib as _hl
 
         r_, v_, length = {"rc4-40": (2, 1, 5),
-                          "rc4-128": (3, 2, 16)}[encrypt]
+                          "rc4-128": (3, 2, 16),
+                          "aes-128": (4, 4, 16)}[encrypt]
+        use_aes = encrypt == "aes-128"
         id0 = _hl.md5(b"dolphinbeat-pdf-id" + str(n_pages).encode()
                       + (title or "").encode("utf-8")).digest()
         o_val = _make_owner_value(b"owner", b"", r_, length)
@@ -1489,27 +1545,44 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
         u_val = _make_user_value(key, id0, r_)
 
         def okey(num: int, gen: int = 0) -> bytes:
-            return _hl.md5(
-                key + num.to_bytes(3, "little")
-                + gen.to_bytes(2, "little")
-            ).digest()[:min(length + 5, 16)]
+            base = (key + num.to_bytes(3, "little")
+                    + gen.to_bytes(2, "little"))
+            if use_aes:
+                base += b"sAlT"
+            return _hl.md5(base).digest()[:min(length + 5, 16)]
+
+        def crypt(num: int, data: bytes, gen: int = 0) -> bytes:
+            if not use_aes:
+                return _rc4(okey(num, gen), data)
+            from dolphinbeat_spark.operators.aes import aes_cbc_encrypt
+
+            # deterministic per-object IV keeps fixtures reproducible
+            iv = _hl.md5(b"dolphinbeat-iv-%d-%d" % (num, gen)).digest()
+            return iv + aes_cbc_encrypt(okey(num, gen), iv, data)
 
         for num in list(streams):  # encrypt AFTER compression (§7.6.2)
             fdict, sdata = streams[num]
-            streams[num] = (fdict, _rc4(okey(num), sdata))
+            streams[num] = (fdict, crypt(num, sdata))
         if title is not None:
             del objs[info_num]
             top_plain[info_num] = (
                 b"<< /Title ("
-                + _esc_raw(_rc4(okey(info_num, info_gen),
-                                _text_bytes(title)))
+                + _esc_raw(crypt(info_num, _text_bytes(title), info_gen))
                 + b") >>"
             )
         enc_num = max(list(objs) + list(streams) + list(top_plain)) + 1
+        cf_frag = b""
+        if use_aes:
+            cf_frag = (
+                b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+                b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+            )
         top_plain[enc_num] = (
-            b"<< /Filter /Standard /V %d /R %d /Length %d /P %d /O ("
+            b"<< /Filter /Standard /V %d /R %d /Length %d /P %d"
             % (v_, r_, length * 8, p_val)
-            + _esc_raw(o_val) + b") /U (" + _esc_raw(u_val) + b") >>"
+            + cf_frag
+            + b" /O (" + _esc_raw(o_val) + b") /U ("
+            + _esc_raw(u_val) + b") >>"
         )
 
     def trailer_extra() -> bytes:
@@ -1573,7 +1646,7 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
         objstm_payload = header + bytes(inner)
         comp = zlib.compress(objstm_payload)
         if enc_num is not None:
-            comp = _rc4(okey(stm_num), comp)
+            comp = crypt(stm_num, comp)
         offsets[stm_num] = len(out)
         out.extend(b"%d 0 obj\n" % stm_num)
         out.extend(

@@ -976,10 +976,13 @@ def _put_block(be: BoolEnc, probs, block_type: int, first: int,
 
 
 def encode_vp8(width: int, height: int, mbs: list[dict],
-               qi: int = 20) -> bytes:
+               qi: int = 20, filter_level: int = 0,
+               simple_filter: bool = False,
+               sharpness: int = 0) -> bytes:
     """Restricted VP8 keyframe writer — the fixture mirror for
-    :func:`decode_vp8`: one segment, loop filter off, a single token
-    partition, default probabilities. ``mbs`` is raster order, one
+    :func:`decode_vp8`: one segment, a single token partition,
+    default probabilities, selectable loop filter
+    (``filter_level``/``simple_filter``/``sharpness``). ``mbs`` is raster order, one
     dict per macroblock: ymode/uvmode (+ ``sub`` 16-list for B_PRED),
     optional scan-ordered quantized levels ``y2`` (16), ``y`` (16
     lists of 16), ``u``/``v`` (4 lists of 16); omitted blocks are
@@ -993,9 +996,9 @@ def encode_vp8(width: int, height: int, mbs: list[dict],
     be.literal(0, 1)  # color space
     be.literal(0, 1)  # clamping
     be.put(0, 128)    # segmentation disabled
-    be.put(0, 128)    # normal (not simple) loop filter
-    be.literal(0, 6)  # filter level 0 = off
-    be.literal(0, 3)  # sharpness
+    be.put(1 if simple_filter else 0, 128)
+    be.literal(filter_level, 6)
+    be.literal(sharpness, 3)
     be.put(0, 128)    # lf deltas disabled
     be.literal(0, 2)  # log2(token partitions) = 0 -> 1 partition
     be.literal(qi, 7)

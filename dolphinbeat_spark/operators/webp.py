@@ -717,6 +717,28 @@ def encode_webp_vp8(width: int, height: int, mbs: list[dict],
             + chunk)
 
 
+def add_webp_exif(webp: bytes, exif_tiff: bytes,
+                  canvas: tuple[int, int]) -> bytes:
+    """Rewrap a simple VP8/VP8L WebP into the VP8X extended layout
+    carrying an EXIF chunk (container spec: VP8X flags bit 3) — the
+    fixture generator for WebP metadata extraction. ``exif_tiff`` is
+    the raw TIFF-IFD block (no JPEG 'Exif\\x00\\x00' prefix needed;
+    writers emit both layouts and the reader handles both)."""
+    if webp[:4] != b"RIFF" or webp[8:12] != b"WEBP":
+        raise WebpError("not a WebP payload")
+    image_chunks = webp[12:]
+    w, h = canvas
+    vp8x = (b"VP8X" + struct.pack("<I", 10)
+            + bytes([0x08]) + bytes(3)
+            + struct.pack("<I", w - 1)[:3]
+            + struct.pack("<I", h - 1)[:3])
+    exif = b"EXIF" + struct.pack("<I", len(exif_tiff)) + exif_tiff
+    if len(exif_tiff) & 1:
+        exif += b"\x00"
+    body = b"WEBP" + vp8x + image_chunks + exif
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def encode_webp_lossless(rgba: np.ndarray, use_cache_bits: int = 0,
                          lz77_min: int = 0,
                          subtract_green: bool = False,

@@ -1259,6 +1259,84 @@ def mm_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_exif_webp",
+    # payload = a VP8X-wrapped LOSSY WebP (the r11 VP8 keyframe
+    # encoder) carrying an EXIF chunk — the same closed-form TIFF-IFD
+    # camera/GPS fields as mm_exif_extract, now extracted from the #2
+    # web image format's container (WebP container spec, VP8X flags
+    # bit 3). Odd doc_ids prefix the chunk with the JPEG-style
+    # 'Exif\\x00\\x00' header some writers emit; both layouts must
+    # parse identically. Every fourth doc carries no GPS IFD.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id, doc_id AS i
+  FROM documents WHERE doc_id % 25 = 12
+)
+SELECT media_id,
+       'ACME-' || CAST(i % 5 AS VARCHAR) AS make,
+       'M' || CAST(i % 97 AS VARCHAR) AS model,
+       CAST(1 + i % 8 AS BIGINT) AS orientation,
+       printf('2024:%02d:%02d 10:20:30', 1 + i % 12, 1 + i % 28)
+           AS datetime_original,
+       CAST(100 * (1 + i % 8) AS BIGINT) AS iso,
+       CASE WHEN i % 4 = 0 THEN NULL
+            WHEN i % 2 = 1
+            THEN -((i % 90) + ((i * 7) % 60) / 60.0
+                   + ((i * 13) % 60) / 3600.0)
+            ELSE (i % 90) + ((i * 7) % 60) / 60.0
+                 + ((i * 13) % 60) / 3600.0 END AS gps_lat,
+       CASE WHEN i % 4 = 0 THEN NULL
+            WHEN i % 3 = 0
+            THEN -((i % 180) + ((i * 11) % 60) / 60.0
+                   + ((i * 17) % 60) / 3600.0)
+            ELSE (i % 180) + ((i * 11) % 60) / 60.0
+                 + ((i * 17) % 60) / 3600.0 END AS gps_lon,
+       i % 4 != 0 AS has_gps
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "exif", "metadata", "webp"),
+)
+def mm_exif_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF extraction from WebP containers under the oracle gate
+    (r11): the same from-scratch TIFF-IFD parser behind the VP8X EXIF
+    chunk walk — camera identity and GPS PII are exactly the keys/
+    redaction targets a crawl pipeline needs for the WebP share of
+    its images."""
+    from dolphinbeat_spark.operators import vp8_tables as VT
+    from dolphinbeat_spark.operators.exif import encode_exif_app1, exif_extract
+    from dolphinbeat_spark.operators.webp import add_webp_exif, encode_webp_vp8
+
+    mb = {"ymode": VT.DC_PRED, "uvmode": VT.DC_PRED,
+          "y2": [4] + [0] * 15}
+    base = encode_webp_vp8(16, 16, [mb], qi=20)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 12)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        gps = None
+        if i % 4:
+            gps = ("S" if i % 2 else "N",
+                   ((i % 90, 1), ((i * 7) % 60, 1), ((i * 13) % 60, 1)),
+                   "W" if i % 3 == 0 else "E",
+                   ((i % 180, 1), ((i * 11) % 60, 1), ((i * 17) % 60, 1)))
+        app1 = encode_exif_app1(
+            make=f"ACME-{i % 5}", model=f"M{i % 97}",
+            orientation=1 + i % 8,
+            datetime_original=f"2024:{1 + i % 12:02d}:{1 + i % 28:02d} "
+                              "10:20:30",
+            iso=100 * (1 + i % 8), gps=gps,
+            byte_order="<" if i % 2 == 0 else ">",
+        )
+        tiff = app1[10:]  # strip marker + length + 'Exif\x00\x00'
+        if i % 2:
+            tiff = b"Exif\x00\x00" + tiff  # the JPEG-prefixed layout
+        rows.append((i, bytearray(add_webp_exif(base, tiff, (16, 16)))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return exif_extract(media).orderBy("media_id")
+
+
+@register(
     "mm_exif_gps_redact",
     # the redaction gate: strip_metadata drops every APPn/COM segment
     # (GPS hides in thumbnails/maker notes too) and MUST NOT disturb
@@ -1890,6 +1968,119 @@ def pipeline_charset_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "pipeline_crawl_images",
+    # the image share of a crawl end-to-end (r11): each doc's WARC
+    # carries THREE image responses — image/png (lossless pattern),
+    # image/jpeg (flat-gray closed form) and image/webp (LOSSY VP8,
+    # the r11 decoder; this response also rides Content-Encoding gzip
+    # so the r11 HTTP body decode sits in the image path) — read in
+    # BINARY mode, gated on content_type, and decoded through the one
+    # magic-dispatched decode_media slot. The oracle recomputes all
+    # three decodes in closed form (hex-digest contract): the PNG
+    # round-trips its byte pattern, the JPEG reconstructs flat v, the
+    # WebP runs the literal dequant + BT.601 constants.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern,
+         2 * (ord(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 64) AS v,
+         1 + ord(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) % 5 AS ly
+  FROM documents WHERE doc_id % 25 = 16
+), webp_yuv AS (
+  SELECT media_id,
+         128 + ((((ly * 42 + 3) >> 3) + 4) >> 3) AS y, 128 AS u, 128 AS v
+  FROM p
+), webp_rgb AS (
+  SELECT media_id,
+         (((y * 19077) >> 8) + ((v * 26149) >> 8) - 14234 + 32) >> 6 AS r,
+         (((y * 19077) >> 8) - ((u * 6419) >> 8) - ((v * 13320) >> 8)
+          + 8708 + 32) >> 6 AS g,
+         (((y * 19077) >> 8) + ((u * 33050) >> 8) - 17685 + 32) >> 6 AS b
+  FROM webp_yuv
+)
+SELECT p.media_id, 'png' AS fmt, 8::BIGINT AS width, 4::BIGINT AS height,
+       CAST(list_sum(list_transform(range(1, 97),
+            i -> ord(substr(pattern, CAST(i AS INTEGER), 1)))) AS BIGINT)
+           AS pixel_sum,
+       md5(lower(hex(pattern))) AS pixel_md5
+FROM p
+UNION ALL
+SELECT media_id, 'jpeg', 16, 8, CAST(128 * v AS BIGINT),
+       md5(repeat(printf('%02x', CAST(v AS INTEGER)), 128))
+FROM p
+UNION ALL
+SELECT w.media_id, 'webp', 16, 16,
+       CAST((r + g + b + 255) * 256 AS BIGINT),
+       md5(repeat(printf('%02x%02x%02xff', CAST(r AS INTEGER),
+                         CAST(g AS INTEGER), CAST(b AS INTEGER)), 256))
+FROM webp_rgb w
+ORDER BY media_id, fmt
+""",
+    tags=("multimodal", "webp", "jpeg", "png", "warc", "pipeline",
+          "ingest", "lossy"),
+)
+def pipeline_crawl_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl image path under the oracle gate (r11): WARC binary
+    mode → content-type gate → magic-dispatched decode_media, with
+    PNG, JPEG and LOSSY VP8 WebP decoding side by side and one
+    response arriving gzip-compressed on the wire (the r11 HTTP body
+    decode feeding the codec layer). This is what the multimodal
+    share of a Common Crawl segment looks like on its way to feature
+    extraction."""
+    import hashlib
+
+    from dolphinbeat_spark.operators import vp8_tables as VT
+    from dolphinbeat_spark.operators.jpeg import encode_jpeg
+    from dolphinbeat_spark.operators.multimodal import encode_png
+    from dolphinbeat_spark.operators.webp import encode_webp_vp8
+    from dolphinbeat_spark.sources.warc import encode_warc, read_warc
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 16)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        hx = hashlib.md5(str(i).encode()).hexdigest()
+        pattern = (hx * 3).encode("ascii")
+        v = 2 * (ord(hx[0]) % 64)
+        ly = 1 + ord(hx[1]) % 5
+        mb = {"ymode": VT.DC_PRED, "uvmode": VT.DC_PRED,
+              "y2": [ly] + [0] * 15}
+        date = "2024-05-01T00:00:00Z"
+        recs = [
+            {"type": "response", "record_id": f"<urn:uuid:{i}-png>",
+             "target_uri": f"http://ex.com/{i}/a.png", "date": date,
+             "content": encode_png(8, 4, pattern, color_type=2),
+             "http": {"status": 200, "content_type": "image/png"}},
+            {"type": "response", "record_id": f"<urn:uuid:{i}-jpg>",
+             "target_uri": f"http://ex.com/{i}/b.jpg", "date": date,
+             "content": encode_jpeg(16, 8, bytes([v]) * 128, gray=True),
+             "http": {"status": 200, "content_type": "image/jpeg"}},
+            {"type": "response", "record_id": f"<urn:uuid:{i}-webp>",
+             "target_uri": f"http://ex.com/{i}/c.webp", "date": date,
+             "content": encode_webp_vp8(16, 16, [mb], qi=20),
+             "http": {"status": 200, "content_type": "image/webp",
+                      "content_encoding": "gzip"}},
+            {"type": "response", "record_id": f"<urn:uuid:{i}-txt>",
+             "target_uri": f"http://ex.com/{i}/robots.txt", "date": date,
+             "content": b"User-agent: *\r\n",
+             "http": {"status": 200, "content_type": "text/plain"}},
+        ]
+        rows.append((i, bytearray(encode_warc(
+            recs, gzip_members=bool(i % 2)))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    images = (
+        read_warc(media, binary=True)
+        .filter((F.col("http_status") == 200)
+                & F.col("content_type").startswith("image/"))
+        .select("media_id", F.col("body").alias("payload"))
+    )
+    return (
+        M.decode_media(images, digest="hex")
+        .orderBy("media_id", "fmt")
+    )
+
+
+@register(
     "pipeline_crawl_mixed_media",
     # a real crawl is not all HTML: each doc's WARC carries an HTML
     # 200 response AND an application/pdf 200 response. The pipeline
@@ -2389,6 +2580,117 @@ def archive_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((i, bytearray(payload)))
     media = spark.createDataFrame(rows, "media_id long, payload binary")
     return read_archive(media).orderBy("media_id", "member_idx")
+
+
+@register(
+    "archive_aes_members",
+    # payload = a REAL WinZip AE-2 encrypted ZIP per doc (the
+    # from-scratch FIPS-197 AES in operators/aes.py behind AES-CTR +
+    # PBKDF2-HMAC-SHA1 + HMAC-SHA1 authentication): strength cycles
+    # 128/192/256-bit by doc_id % 3, stored/deflate by parity, Zip64
+    # layout every sixth doc. Same member slices as archive_members —
+    # the decrypted relation is byte-identical to the plaintext one.
+    # Pre-r11 AES members raised by name; the AES core is pinned by
+    # FIPS-197/SP 800-38A vectors and a randomized cross-check
+    # against the cryptography package (tests/test_aes_crypto.py).
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id, doc_id AS i,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 25 = 13
+),
+s(member_idx, nm, start, sz) AS (
+  VALUES (0, 'docs/a.txt', 1, 40), (1, 'docs/b.txt', 41, 30),
+         (2, 'meta.json', 71, 26)
+)
+SELECT media_id,
+       CAST(member_idx AS BIGINT) AS member_idx,
+       'zip' AS archive_fmt,
+       nm AS name,
+       CAST(sz AS BIGINT) AS size,
+       md5(substr(pattern, start, sz)) AS member_md5,
+       substr(pattern, start, sz) AS text
+FROM p CROSS JOIN s
+ORDER BY media_id, member_idx
+""",
+    tags=("text", "ingest", "archive", "encryption"),
+)
+def archive_aes_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AES-encrypted ZIP ingestion under the oracle gate (r11,
+    closing the r10 accepted boundary): WinZip AE-2 members decrypt
+    with a supplied password — PBKDF2 key derivation, password
+    verifier, AES-CTR (little-endian counter), HMAC-SHA1
+    authentication BEFORE decompression — inside the same distributed
+    read_archive slot. Encrypted dataset bundles a pipeline holds
+    keys for stop being opaque."""
+    import hashlib
+
+    from dolphinbeat_spark.sources.archives import encode_zip, read_archive
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 13)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
+        members = [("docs/a.txt", pattern[0:40]),
+                   ("docs/b.txt", pattern[40:70]),
+                   ("meta.json", pattern[70:96])]
+        rows.append((i, bytearray(encode_zip(
+            members, deflate=bool(i % 2), zip64=i % 6 == 0,
+            password=b"corpus-key", aes=1 + i % 3,
+        ))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return (
+        read_archive(media, password=b"corpus-key")
+        .orderBy("media_id", "member_idx")
+    )
+
+
+@register(
+    "mm_pdf_aes_text",
+    # payload = a REAL AESV2-encrypted PDF per doc (V4 R4 crypt
+    # filters, §7.6.2): IV-prefixed AES-128-CBC over streams AND
+    # strings with the sAlT per-object key derivation, xref layout
+    # cycling classic/stream. Same closed-form page text as
+    # mm_pdf_encrypted_text — pre-r11 every AES PDF raised by name.
+    oracle=r"""
+WITH p AS (
+  SELECT doc_id AS media_id, CAST(doc_id AS VARCHAR) AS i,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE doc_id % 25 = 15
+)
+SELECT media_id, 0::BIGINT AS page_idx, 1::BIGINT AS n_pages,
+       'Sealed ' || i AS title,
+       'AES doc ' || i || chr(10)
+         || array_to_string(list_slice(toks, 1, 7), ' ') AS page_text
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "pdf", "encryption", "aes", "text", "ingest"),
+)
+def mm_pdf_aes_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AESV2-encrypted PDF text extraction under the oracle gate
+    (r11): the Standard handler's V4 crypt-filter dictionary, the
+    sAlT object keys and IV-prefixed AES-128-CBC (from-scratch
+    FIPS-197 core) — the owner-locked AES share of a PDF corpus
+    becomes readable beside the RC4 one."""
+    from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_extract
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 15)
+    docs = sorted((r["doc_id"], r["text"]) for r in
+                  d.select("doc_id", "text").collect())
+    rows = []
+    for did, text in docs:
+        toks = text.strip().split()
+        pdf = encode_pdf(
+            [[f"AES doc {did}", " ".join(toks[0:7])]],
+            title=f"Sealed {did}",
+            encrypt="aes-128",
+            xref_stream=did % 2 == 0,
+        )
+        rows.append((did, bytearray(pdf)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return pdf_extract(media).orderBy("media_id", "page_idx")
 
 
 @register(

@@ -133,18 +133,69 @@ def _zip64_extra(extra: bytes, usize: int, csize: int, lho: int,
     return usize, csize, lho
 
 
-def _has_aes_extra(extra: bytes) -> bool:
-    """True when the extra field carries a WinZip AE-x record
-    (APPNOTE-adjacent header ID 0x9901).  Walked as (id, size)
-    records like ``_zip64_extra`` — a substring scan would
-    false-positive on unrelated payload bytes."""
+def _aes_extra(extra: bytes) -> tuple[int, int, int] | None:
+    """The WinZip AE-x record (header ID 0x9901) as (vendor_version,
+    strength, actual_method), or None.  Walked as (id, size) records
+    like ``_zip64_extra`` — a substring scan would false-positive on
+    unrelated payload bytes."""
     p = 0
     while p + 4 <= len(extra):
         (hid, hsz) = struct.unpack_from("<HH", extra, p)
         if hid == 0x9901:
-            return True
+            body = extra[p + 4:p + 4 + hsz]
+            if len(body) < 7:
+                raise ArchiveError("AE-x extra record truncated")
+            (ver,) = struct.unpack_from("<H", body, 0)
+            if body[2:4] != b"AE":
+                raise ArchiveError(
+                    f"AE-x extra with bad vendor id {body[2:4]!r}"
+                )
+            strength = body[4]
+            (method,) = struct.unpack_from("<H", body, 5)
+            if ver not in (1, 2):
+                raise ArchiveError(f"unknown AE vendor version {ver}")
+            if strength not in (1, 2, 3):
+                raise ArchiveError(f"unknown AE strength {strength}")
+            return ver, strength, method
         p += 4 + hsz
-    return False
+    return None
+
+
+def _aes_decrypt_member(raw: bytes, password: bytes, strength: int,
+                        name: str) -> bytes:
+    """WinZip AE-x member payload -> compressed bytes (the WinZip
+    AES spec): salt + 2-byte password verifier + AES-CTR data
+    (little-endian counter from 1, no nonce) + 10-byte HMAC-SHA1
+    auth code over the ENCRYPTED bytes. Key material comes from
+    PBKDF2-HMAC-SHA1(password, salt, 1000)."""
+    import hashlib
+    import hmac as _hmac
+
+    from dolphinbeat_spark.operators.aes import aes_ctr
+
+    key_len = 8 * (strength + 1)  # 16/24/32
+    salt_len = key_len // 2       # 8/12/16
+    if len(raw) < salt_len + 2 + 10:
+        raise ArchiveError(f"member {name!r}: AE payload too short")
+    salt = raw[:salt_len]
+    verifier = raw[salt_len:salt_len + 2]
+    body = raw[salt_len + 2:-10]
+    auth = raw[-10:]
+    dk = hashlib.pbkdf2_hmac("sha1", password, salt, 1000,
+                             dklen=2 * key_len + 2)
+    enc_key = dk[:key_len]
+    auth_key = dk[key_len:2 * key_len]
+    if dk[2 * key_len:] != verifier:
+        raise ArchiveError(
+            f"member {name!r}: wrong password (AE verifier mismatch)"
+        )
+    want = _hmac.new(auth_key, body, hashlib.sha1).digest()[:10]
+    if want != auth:
+        raise ArchiveError(
+            f"member {name!r}: AE authentication code mismatch "
+            "(corrupted ciphertext)"
+        )
+    return aes_ctr(enc_key, body, little_endian=True, initial=1)
 
 
 def iter_zip_members(data: bytes, password: bytes | None = None):
@@ -195,11 +246,12 @@ def iter_zip_members(data: bytes, password: bytes | None = None):
         if 0xFFFFFFFF in (usize, csize, lho):
             extra = data[pos + 46 + nlen:pos + 46 + nlen + elen]
             usize, csize, lho = _zip64_extra(extra, usize, csize, lho, name)
+        extra_field = data[pos + 46 + nlen:pos + 46 + nlen + elen]
         pos += 46 + nlen + elen + klen
         if flags & 0x1 and password is None:
             raise NotImplementedError(
                 f"encrypted ZIP member {name!r} (pass password= for "
-                "traditional ZipCrypto; AES-encrypted ZIP unsupported)"
+                "traditional ZipCrypto or WinZip AES)"
             )
         if data[lho:lho + 4] != b"PK\x03\x04":
             raise ArchiveError(f"local header missing for {name!r}")
@@ -209,24 +261,33 @@ def iter_zip_members(data: bytes, password: bytes | None = None):
         if len(raw) != csize:
             raise ArchiveError(f"member {name!r} data truncated")
         if flags & 0x1:
-            if method == 99 or _has_aes_extra(
-                    data[pos - elen - klen:pos - klen]):
-                raise NotImplementedError(
-                    f"AES-encrypted ZIP member {name!r} not supported"
-                )
-            if len(raw) < 12:
-                raise ArchiveError(f"member {name!r} lacks a crypto header")
-            zc = _ZipCrypto(password)
-            hdr = zc.decrypt(raw[:12])
-            # APPNOTE 6.1.6: last header byte checks the CRC high byte
-            # (or the DOS-time high byte when bit 3 defers the CRC)
-            want = data[lho + 11] if flags & 0x8 else (crc >> 24) & 0xFF
-            if hdr[11] != want:
+            ae = _aes_extra(extra_field)
+            if method == 99 and ae is None:
                 raise ArchiveError(
-                    f"member {name!r}: wrong password (crypto header "
-                    "check failed)"
+                    f"member {name!r}: method 99 without an AE-x extra"
                 )
-            raw = zc.decrypt(raw[12:])
+            if ae is not None:
+                ver, strength, method = ae
+                raw = _aes_decrypt_member(raw, password, strength, name)
+                if ver == 2:
+                    crc = None  # AE-2 stores CRC 0 by design
+            else:
+                if len(raw) < 12:
+                    raise ArchiveError(
+                        f"member {name!r} lacks a crypto header"
+                    )
+                zc = _ZipCrypto(password)
+                hdr = zc.decrypt(raw[:12])
+                # APPNOTE 6.1.6: last header byte checks the CRC high
+                # byte (or the DOS-time high byte when bit 3 defers)
+                want = data[lho + 11] if flags & 0x8 \
+                    else (crc >> 24) & 0xFF
+                if hdr[11] != want:
+                    raise ArchiveError(
+                        f"member {name!r}: wrong password (crypto "
+                        "header check failed)"
+                    )
+                raw = zc.decrypt(raw[12:])
         if method == 0:
             content = raw
         elif method == 8:
@@ -244,7 +305,9 @@ def iter_zip_members(data: bytes, password: bytes | None = None):
             raise ArchiveError(
                 f"member {name!r}: {len(content)} bytes, header says {usize}"
             )
-        if zlib.crc32(content) & 0xFFFFFFFF != crc:
+        # AE-2 members store CRC 0 by design (the HMAC authenticated
+        # the ciphertext instead); everything else is CRC-verified
+        if crc is not None and zlib.crc32(content) & 0xFFFFFFFF != crc:
             raise ArchiveError(f"member {name!r} CRC-32 mismatch")
         yield name, content
 
@@ -327,7 +390,8 @@ ARCHIVE_BINARY_SCHEMA = StructType(
 
 
 def read_archive(df: DataFrame, text_limit: int = 1 << 20,
-                 binary: bool = False) -> DataFrame:
+                 binary: bool = False,
+                 password: bytes | None = None) -> DataFrame:
     """(media_id, payload) -> one row per archive member (ZIP or TAR
     by magic), with size and md5. Default mode renders members as a
     capped UTF-8 ``text`` column — shuffle-cheap, for text corpora.
@@ -336,7 +400,9 @@ def read_archive(df: DataFrame, text_limit: int = 1 << 20,
     the codec operators (pdf_extract / decode_media / demux_media),
     which is how a bundled corpus (tar of PDFs, zip of images)
     actually flows at 100 TB. Rows stay one-member-each, so Spark can
-    repartition the decode stage independently of archive boundaries."""
+    repartition the decode stage independently of archive boundaries.
+    ``password`` decrypts protected ZIP members (traditional
+    ZipCrypto or WinZip AE-x AES — r11)."""
 
     schema = ARCHIVE_BINARY_SCHEMA if binary else ARCHIVE_SCHEMA
 
@@ -347,7 +413,8 @@ def read_archive(df: DataFrame, text_limit: int = 1 << 20,
                 b = bytes(raw)
                 if b[:4] == b"PK\x03\x04" or b.rfind(b"PK\x05\x06") >= 0 \
                         and b[:2] == b"PK":
-                    fmt, members = "zip", iter_zip_members(b)
+                    fmt, members = "zip", iter_zip_members(
+                        b, password=password)
                 else:
                     fmt, members = "tar", iter_tar_members(b)
                 for i, (name, content) in enumerate(members):
@@ -371,7 +438,8 @@ def read_archive(df: DataFrame, text_limit: int = 1 << 20,
 
 def encode_zip(members: list[tuple[str, bytes]],
                deflate: bool = True, zip64: bool = False,
-               password: bytes | None = None) -> bytes:
+               password: bytes | None = None,
+               aes: int | None = None) -> bytes:
     """Format-faithful ZIP writer (fixture generator). ``zip64=True``
     forces the full Zip64 layout regardless of actual sizes — maxed
     32-bit fields with 0x0001 extended-information extras, a Zip64
@@ -379,11 +447,16 @@ def encode_zip(members: list[tuple[str, bytes]],
     shape a >4 GiB or >65 535-member bundle has in the wild, testable
     without writing 4 GiB. ``password`` writes traditional-ZipCrypto
     members (deterministic 12-byte crypto headers, check byte = CRC
-    high byte)."""
+    high byte); ``aes`` = 1/2/3 writes WinZip AE-2 members instead
+    (AES-128/192/256-CTR + HMAC-SHA1, method 99 with the 0x9901
+    extra, deterministic per-member salts, stored CRC 0)."""
+    if aes is not None and password is None:
+        raise ValueError("aes members need a password")
     out = bytearray()
     central = bytearray()
     offsets = []
     sizes = []
+    cd_info = []  # (method, crc, ae_extra) per member
     for name, content in members:
         nb = name.encode()
         crc = zlib.crc32(content) & 0xFFFFFFFF
@@ -394,7 +467,30 @@ def encode_zip(members: list[tuple[str, bytes]],
         else:
             raw, method = content, 0
         flags = 0
-        if password is not None:
+        ae_extra = b""
+        if aes is not None:
+            import hashlib
+            import hmac as _hmac
+
+            from dolphinbeat_spark.operators.aes import aes_ctr
+
+            key_len = 8 * (aes + 1)
+            salt = bytes((13 * len(offsets) + i) % 256
+                         for i in range(key_len // 2))
+            dk = hashlib.pbkdf2_hmac("sha1", password, salt, 1000,
+                                     dklen=2 * key_len + 2)
+            body = aes_ctr(dk[:key_len], raw, little_endian=True,
+                           initial=1)
+            mac = _hmac.new(dk[key_len:2 * key_len], body,
+                            hashlib.sha1).digest()[:10]
+            raw = salt + dk[2 * key_len:] + body + mac
+            ae_extra = (b"\x01\x99\x07\x00"
+                        + struct.pack("<H", 2) + b"AE"
+                        + bytes([aes]) + struct.pack("<H", method))
+            method = 99
+            crc = 0  # AE-2 stores CRC 0
+            flags = 1
+        elif password is not None:
             zc = _ZipCrypto(password)
             hdr = bytes(
                 [(7 * len(offsets) + i) % 251 for i in range(11)]
@@ -403,10 +499,11 @@ def encode_zip(members: list[tuple[str, bytes]],
             flags = 1
         offsets.append(len(out))
         sizes.append(len(raw))
+        cd_info.append((method, crc, ae_extra))
         if zip64:
             extra = b"\x01\x00\x10\x00" + struct.pack(
                 "<QQ", len(content), len(raw)
-            )
+            ) + ae_extra
             out += b"PK\x03\x04" + struct.pack(
                 "<HHHHHIIIHH", 45, flags, method, 0, 0, crc,
                 0xFFFFFFFF, 0xFFFFFFFF, len(nb), len(extra),
@@ -414,17 +511,16 @@ def encode_zip(members: list[tuple[str, bytes]],
         else:
             out += b"PK\x03\x04" + struct.pack(
                 "<HHHHHIIIHH", 20, flags, method, 0, 0, crc, len(raw),
-                len(content), len(nb), 0,
-            ) + nb + raw
+                len(content), len(nb), len(ae_extra),
+            ) + nb + ae_extra + raw
     cflags = 1 if password is not None else 0
-    for (name, content), off, csz in zip(members, offsets, sizes):
+    for (name, content), off, csz, (method, crc, ae_extra) in zip(
+            members, offsets, sizes, cd_info):
         nb = name.encode()
-        crc = zlib.crc32(content) & 0xFFFFFFFF
-        method = 8 if deflate else 0
         if zip64:
             extra = b"\x01\x00\x18\x00" + struct.pack(
                 "<QQQ", len(content), csz, off
-            )
+            ) + ae_extra
             central += b"PK\x01\x02" + struct.pack(
                 "<HHHHHHIIIHHHHHII", 45, 45, cflags, method, 0, 0, crc,
                 0xFFFFFFFF, 0xFFFFFFFF, len(nb), len(extra), 0, 0, 0, 0,
@@ -433,8 +529,9 @@ def encode_zip(members: list[tuple[str, bytes]],
         else:
             central += b"PK\x01\x02" + struct.pack(
                 "<HHHHHHIIIHHHHHII", 20, 20, cflags, method, 0, 0, crc,
-                csz, len(content), len(nb), 0, 0, 0, 0, 0, off,
-            ) + nb
+                csz, len(content), len(nb), len(ae_extra), 0, 0, 0, 0,
+                off,
+            ) + nb + ae_extra
     cd_off = len(out)
     out += central
     if zip64:

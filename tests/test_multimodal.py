@@ -2592,14 +2592,16 @@ def test_archive_zipcrypto():
 def test_archive_zip_aes_detection_by_header_id():
     """AES detection walks the extra field as (id, size) records: an
     unrelated extra whose PAYLOAD contains the bytes 01 99 must not
-    reject a valid ZipCrypto member, while a real 0x9901 AE-x record
-    still raises by name (r10 ADVICE finding)."""
+    reroute a valid ZipCrypto member (r10 ADVICE finding), while a
+    real 0x9901 AE-x record routes into the AES path — where a
+    ZipCrypto body fails TYPED on the password verifier (r11: AES is
+    now implemented, so the old raise-by-name became a decrypt)."""
     import struct
 
     import pytest
 
     from dolphinbeat_spark.sources.archives import (
-        encode_zip, iter_zip_members,
+        ArchiveError, encode_zip, iter_zip_members,
     )
 
     def _with_cd_extra(z: bytes, extra: bytes) -> bytes:
@@ -2625,9 +2627,10 @@ def test_archive_zip_aes_detection_by_header_id():
     benign = struct.pack("<HH", 0x5455, 5) + b"\x03\x01\x99\x00\x00"
     got = list(iter_zip_members(_with_cd_extra(z, benign), password=b"pw"))
     assert got == members
-    # a genuine 0x9901 AE-x record still raises by name
+    # a genuine 0x9901 AE-x record routes into the AES decrypt, where
+    # the (actually ZipCrypto) body fails the PBKDF2 verifier typed
     aes = struct.pack("<HH", 0x9901, 7) + b"\x02\x00AE\x03\x08\x00"
-    with pytest.raises(NotImplementedError, match="AES"):
+    with pytest.raises(ArchiveError, match="wrong password|too short"):
         list(iter_zip_members(_with_cd_extra(z, aes), password=b"pw"))
 
 

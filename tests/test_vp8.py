@@ -146,6 +146,36 @@ def test_bpred_and_mode_variety():
     assert diff[:, 0].min() >= 4 and diff[:, 1].min() >= 4
 
 
+def test_loop_filter_paths():
+    """Both loop filters run deterministically and actually smooth
+    soft block edges (normal at hev thresholds 1 and 2, simple), while
+    STRONG edges are preserved — the §15 mask semantics. The real-file
+    canary independently exercises the normal filter at level 12."""
+    y = [None] * 16
+    for i in (0, 5, 10, 15):
+        y[i] = [2, -1, 1] + [0] * 13
+    mb = {"ymode": T.DC_PRED, "uvmode": T.DC_PRED,
+          "y2": [2] + [0] * 15, "y": y,
+          "u": [[1] + [0] * 15] * 4, "v": [[-1] + [0] * 15] * 4}
+    mbs = [dict(mb), dict(mb)]
+    base = decode_vp8(encode_vp8(32, 16, mbs, qi=4))[2]
+    for lvl, simple in ((12, False), (45, False), (20, True)):
+        blob = encode_vp8(32, 16, mbs, qi=4, filter_level=lvl,
+                          simple_filter=simple)
+        Y = decode_vp8(blob)[2]
+        assert (Y == decode_vp8(blob)[2]).all()  # deterministic
+        assert int((Y != base).sum()) > 0, (lvl, simple)
+    # strong edges exceed the filter limits and stay untouched
+    hard = [None] * 16
+    hard[0] = [9, -7, 5] + [0] * 13
+    mbh = {"ymode": T.DC_PRED, "uvmode": T.DC_PRED,
+           "y2": [8] + [0] * 15, "y": hard}
+    b0 = decode_vp8(encode_vp8(16, 16, [mbh], qi=40))[2]
+    b1 = decode_vp8(encode_vp8(16, 16, [mbh], qi=40,
+                               filter_level=12))[2]
+    assert (b0 == b1).all()
+
+
 def test_real_libwebp_file_canary():
     """The committed REAL libwebp encoding: VP8 chunk decodes
     structurally clean through every probability table; the ALPH
@@ -169,6 +199,45 @@ def test_real_libwebp_file_canary():
     # or filter changes behavior)
     assert hashlib.md5(px.tobytes()).hexdigest() == \
         hashlib.md5(decode_webp(data)[2].tobytes()).hexdigest()
+
+
+def test_webp_exif_extract_and_strip():
+    """WebP EXIF chunks (VP8X container, r11): the TIFF-IFD parser
+    reads both the raw and the 'Exif\\x00\\x00'-prefixed layouts;
+    strip_metadata drops EXIF/XMP/ICCP, clears the VP8X flag bits and
+    leaves the decoded pixels byte-identical."""
+    from dolphinbeat_spark.operators.exif import (
+        encode_exif_app1, parse_exif, strip_metadata,
+    )
+    from dolphinbeat_spark.operators.webp import (
+        add_webp_exif, decode_webp, encode_webp_vp8,
+    )
+
+    mb = {"ymode": T.DC_PRED, "uvmode": T.DC_PRED,
+          "y2": [4] + [0] * 15}
+    base = encode_webp_vp8(16, 16, [mb], qi=20)
+    app1 = encode_exif_app1(
+        make="ACME", model="M7", orientation=3,
+        gps=("N", ((10, 1), (20, 1), (30, 1)),
+             "E", ((40, 1), (5, 1), (6, 1))))
+    tiff = app1[10:]
+    for prefixed in (False, True):
+        blob = add_webp_exif(
+            base, (b"Exif\x00\x00" + tiff) if prefixed else tiff,
+            (16, 16))
+        m = parse_exif(blob)
+        assert (m["make"], m["model"], m["orientation"]) == \
+            ("ACME", "M7", 3)
+        assert abs(m["gps_lat"] - (10 + 20 / 60 + 30 / 3600)) < 1e-9
+        stripped = strip_metadata(blob)
+        assert parse_exif(stripped) == {}
+        assert (decode_webp(stripped)[2] == decode_webp(blob)[2]).all()
+        i = stripped.index(b"VP8X")
+        assert stripped[i + 8] & 0x2C == 0
+    # a metadata-free file passes through decode-identically
+    real = _GOLDEN.read_bytes()
+    assert (decode_webp(strip_metadata(real))[2]
+            == decode_webp(real)[2]).all()
 
 
 def test_vp8_typed_errors_and_fuzz():
