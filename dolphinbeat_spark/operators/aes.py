@@ -61,6 +61,16 @@ _RCON = [1]
 while len(_RCON) < 14:
     _RCON.append(_xtime(_RCON[-1]))
 
+# per-factor multiplication tables: MixColumns runs per 16-byte block
+# per round, so byte-wise field multiplies dominate the pure-Python
+# profile — table lookups keep the hot loop allocation-free
+_M2 = bytes(_gmul(i, 2) for i in range(256))
+_M3 = bytes(_gmul(i, 3) for i in range(256))
+_M9 = bytes(_gmul(i, 9) for i in range(256))
+_M11 = bytes(_gmul(i, 11) for i in range(256))
+_M13 = bytes(_gmul(i, 13) for i in range(256))
+_M14 = bytes(_gmul(i, 14) for i in range(256))
+
 
 class AesError(ValueError):
     """Typed AES usage error (bad key/IV/padding sizes)."""
@@ -105,12 +115,12 @@ class AES:
             if rnd != self.nr:
                 t = []
                 for c in range(4):
-                    a = s[4 * c:4 * c + 4]
+                    a0, a1, a2, a3 = s[4 * c:4 * c + 4]
                     t += [
-                        _gmul(a[0], 2) ^ _gmul(a[1], 3) ^ a[2] ^ a[3],
-                        a[0] ^ _gmul(a[1], 2) ^ _gmul(a[2], 3) ^ a[3],
-                        a[0] ^ a[1] ^ _gmul(a[2], 2) ^ _gmul(a[3], 3),
-                        _gmul(a[0], 3) ^ a[1] ^ a[2] ^ _gmul(a[3], 2),
+                        _M2[a0] ^ _M3[a1] ^ a2 ^ a3,
+                        a0 ^ _M2[a1] ^ _M3[a2] ^ a3,
+                        a0 ^ a1 ^ _M2[a2] ^ _M3[a3],
+                        _M3[a0] ^ a1 ^ a2 ^ _M2[a3],
                     ]
                 s = t
             self._add(s, self.rk[rnd])
@@ -129,16 +139,12 @@ class AES:
             if rnd:
                 t = []
                 for c in range(4):
-                    a = s[4 * c:4 * c + 4]
+                    a0, a1, a2, a3 = s[4 * c:4 * c + 4]
                     t += [
-                        _gmul(a[0], 14) ^ _gmul(a[1], 11)
-                        ^ _gmul(a[2], 13) ^ _gmul(a[3], 9),
-                        _gmul(a[0], 9) ^ _gmul(a[1], 14)
-                        ^ _gmul(a[2], 11) ^ _gmul(a[3], 13),
-                        _gmul(a[0], 13) ^ _gmul(a[1], 9)
-                        ^ _gmul(a[2], 14) ^ _gmul(a[3], 11),
-                        _gmul(a[0], 11) ^ _gmul(a[1], 13)
-                        ^ _gmul(a[2], 9) ^ _gmul(a[3], 14),
+                        _M14[a0] ^ _M11[a1] ^ _M13[a2] ^ _M9[a3],
+                        _M9[a0] ^ _M14[a1] ^ _M11[a2] ^ _M13[a3],
+                        _M13[a0] ^ _M9[a1] ^ _M14[a2] ^ _M11[a3],
+                        _M11[a0] ^ _M13[a1] ^ _M9[a2] ^ _M14[a3],
                     ]
                 s = t
         return bytes(s)

@@ -436,6 +436,33 @@ def _pad_password(pw: bytes) -> bytes:
     return (pw + _PAD)[:32]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """PDF 2.0 Algorithm 2.B (R6 password hash): SHA-256 seeded, then
+    ≥64 rounds of AES-128-CBC over 64 repeats with the digest
+    algorithm hopping SHA-256/384/512 by the ciphertext sum mod 3,
+    until round ≥ 64 and the last ciphertext byte ≤ round - 32.
+    Cached: a corpus of same-credential documents derives the same
+    hashes, and ~1 s of pure-Python AES per call must not repeat."""
+    import hashlib as _hl
+
+    from dolphinbeat_spark.operators.aes import aes_cbc_encrypt
+
+    k = _hl.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt(k[:16], k[16:32], k1, add_padding=False)
+        mod = sum(e[:16]) % 3
+        k = (_hl.sha256, _hl.sha384, _hl.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
 def _std_encryption_key(pw: bytes, o: bytes, p: int, id0: bytes,
                         r: int, length: int) -> bytes:
     """§7.6.3.3 Algorithm 2: the file encryption key."""
@@ -511,6 +538,7 @@ class PdfDocument:
         self._objstm_cache: dict[int, list] = {}
         self._enc_key: bytes | None = None
         self._enc_aes = False
+        self._enc_v5 = False
         self._load_xref_chain()
         if "Encrypt" in self.trailer:
             self._enc_key = self._setup_encryption()
@@ -518,10 +546,10 @@ class PdfDocument:
     def _setup_encryption(self) -> bytes:
         """Standard security handler (§7.6.3) with the EMPTY user
         password — owner-restricted documents every viewer opens:
-        RC4 V1/V2 R2/R3 and AESV2 (V4 R4, AES-128-CBC via the
-        from-scratch FIPS-197 implementation in operators/aes.py,
-        r11). Password-protected files and AESV3 (R5/R6, SHA-256
-        validation) raise by name. The /Encrypt dict itself and xref
+        RC4 V1/V2 R2/R3, AESV2 (V4 R4, AES-128-CBC) and AESV3
+        (V5 R5/R6, AES-256 with the Algorithm 2.B iterated hash) via
+        the from-scratch FIPS-197 implementation in operators/aes.py
+        (r11). Password-protected files raise by name. The /Encrypt dict itself and xref
         streams are never encrypted (§7.5.8.2), so resolving it here
         is safe."""
         enc = self.resolve(self.trailer["Encrypt"])
@@ -530,6 +558,8 @@ class PdfDocument:
         filt = str(enc.get("Filter", ""))
         v = enc.get("V", 0)
         r = enc.get("R", 0)
+        if filt == "Standard" and v == 5 and r in (5, 6):
+            return self._setup_encryption_v5(enc, r)
         if filt == "Standard" and v == 4 and r == 4:
             cf = self.resolve(enc.get("CF"))
             std = self.resolve(cf.get("StdCF")) if isinstance(cf, dict) \
@@ -545,7 +575,7 @@ class PdfDocument:
             else:
                 raise NotImplementedError(
                     f"PDF crypt filter {cfm!r} not supported "
-                    "(AESV2 and V2/RC4; AESV3 needs R6)"
+                    "(AESV2 and V2/RC4 under V4; AESV3 under V5)"
                 )
             for slot in ("StmF", "StrF"):
                 if str(enc.get(slot, "Identity")) != "StdCF":
@@ -556,8 +586,8 @@ class PdfDocument:
         elif filt != "Standard" or v not in (1, 2) or r not in (2, 3):
             raise NotImplementedError(
                 f"PDF encryption Filter={filt!r} V={v} R={r} not "
-                "supported (Standard-handler RC4 V1/V2 R2/R3 and "
-                "AESV2 V4 R4; AESV3 R5/R6 unsupported)"
+                "supported (Standard-handler RC4 V1/V2 R2/R3, AESV2 "
+                "V4 R4, AESV3 V5 R5/R6)"
             )
         else:
             length = int(enc.get("Length", 40)) // 8 if v == 2 else 5
@@ -581,9 +611,60 @@ class PdfDocument:
             )
         return key
 
+    def _setup_encryption_v5(self, enc: dict, r: int) -> bytes:
+        """AESV3 (V5 R5/R6, AES-256): validate the EMPTY user password
+        against /U (R6 via the Algorithm 2.B iterated hash, R5 via the
+        deprecated plain SHA-256), then unwrap the file key from /UE
+        with AES-256-CBC (zero IV, no padding). V5 uses the FILE key
+        for every object — no per-object derivation."""
+        import hashlib as _hl
+
+        from dolphinbeat_spark.operators.aes import aes_cbc_decrypt
+
+        cf = self.resolve(enc.get("CF"))
+        std = self.resolve(cf.get("StdCF")) if isinstance(cf, dict) \
+            else None
+        cfm = str(std.get("CFM", "")) if isinstance(std, dict) else ""
+        if cfm != "AESV3":
+            raise NotImplementedError(
+                f"V5 crypt filter {cfm!r} not supported (AESV3 only)"
+            )
+        u = enc.get("U")
+        ue = enc.get("UE")
+        if not isinstance(u, bytes) or len(u) < 48 \
+                or not isinstance(ue, bytes) or len(ue) != 32:
+            raise PdfError("/Encrypt V5 missing 48-byte /U or /UE")
+        vsalt, ksalt = u[32:40], u[40:48]
+
+        def pw_hash(salt: bytes) -> bytes:
+            if r == 6:
+                return _hash_2b(b"", salt, b"")
+            return _hl.sha256(salt).digest()  # R5: sha256(pw + salt)
+
+        if pw_hash(vsalt) != u[:32]:
+            raise NotImplementedError(
+                "password-protected PDF: the empty user password does "
+                "not validate against /U (AESV3)"
+            )
+        key = aes_cbc_decrypt(pw_hash(ksalt), bytes(16), ue,
+                              strip_padding=False)
+        # /Perms sanity when present (AES-256-ECB of the perms block)
+        perms = enc.get("Perms")
+        if isinstance(perms, bytes) and len(perms) == 16:
+            from dolphinbeat_spark.operators.aes import AES
+
+            blk = AES(key).decrypt_block(perms)
+            if blk[9:12] != b"adb":
+                raise PdfError("/Perms block fails to decrypt (bad key)")
+        self._enc_aes = True
+        self._enc_v5 = True
+        return key
+
     def _object_key(self, num: int, gen: int = 0) -> bytes:
         import hashlib as _hl
 
+        if getattr(self, "_enc_v5", False):
+            return self._enc_key  # V5: the file key, no derivation
         base = self._enc_key + num.to_bytes(3, "little") \
             + gen.to_bytes(2, "little")
         if self._enc_aes:
@@ -1535,16 +1616,44 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
 
         r_, v_, length = {"rc4-40": (2, 1, 5),
                           "rc4-128": (3, 2, 16),
-                          "aes-128": (4, 4, 16)}[encrypt]
-        use_aes = encrypt == "aes-128"
+                          "aes-128": (4, 4, 16),
+                          "aes-256": (6, 5, 32)}[encrypt]
+        use_aes = encrypt in ("aes-128", "aes-256")
+        use_v5 = encrypt == "aes-256"
         id0 = _hl.md5(b"dolphinbeat-pdf-id" + str(n_pages).encode()
                       + (title or "").encode("utf-8")).digest()
-        o_val = _make_owner_value(b"owner", b"", r_, length)
         p_val = -44
-        key = _std_encryption_key(b"", o_val, p_val, id0, r_, length)
-        u_val = _make_user_value(key, id0, r_)
+        if use_v5:
+            from dolphinbeat_spark.operators.aes import (
+                AES as _AES,
+                aes_cbc_encrypt as _cbc_enc,
+            )
+
+            # deterministic fixture material (AESV3, PDF 2.0
+            # §7.6.4); CONSTANT salts so the cached Algorithm 2.B
+            # hash is shared across a fixture corpus (the file key
+            # still differs per document via id0)
+            key = _hl.sha256(b"dolphinbeat-filekey" + id0).digest()
+            vsalt = b"dolphvs1"
+            ksalt = b"dolphks1"
+            u_val = _hash_2b(b"", vsalt, b"") + vsalt + ksalt
+            ue_val = _cbc_enc(_hash_2b(b"", ksalt, b""), bytes(16),
+                              key, add_padding=False)
+            ovs, oks = b"dolphvo1", b"dolphko1"
+            o_val = _hash_2b(b"owner", ovs, u_val) + ovs + oks
+            oe_val = _cbc_enc(_hash_2b(b"owner", oks, u_val), bytes(16),
+                              key, add_padding=False)
+            perms = ((p_val & 0xFFFFFFFF).to_bytes(4, "little")
+                     + b"\xff\xff\xff\xffTadb" + id0[:4])
+            perms_val = _AES(key).encrypt_block(perms)
+        else:
+            o_val = _make_owner_value(b"owner", b"", r_, length)
+            key = _std_encryption_key(b"", o_val, p_val, id0, r_, length)
+            u_val = _make_user_value(key, id0, r_)
 
         def okey(num: int, gen: int = 0) -> bytes:
+            if use_v5:
+                return key  # V5 uses the file key for every object
             base = (key + num.to_bytes(3, "little")
                     + gen.to_bytes(2, "little"))
             if use_aes:
@@ -1572,17 +1681,29 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
             )
         enc_num = max(list(objs) + list(streams) + list(top_plain)) + 1
         cf_frag = b""
-        if use_aes:
+        if use_v5:
+            cf_frag = (
+                b" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+                b"/Length 32 >> >> /StmF /StdCF /StrF /StdCF"
+            )
+        elif use_aes:
             cf_frag = (
                 b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
                 b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+            )
+        v5_frag = b""
+        if use_v5:
+            v5_frag = (
+                b" /UE (" + _esc_raw(ue_val) + b") /OE ("
+                + _esc_raw(oe_val) + b") /Perms ("
+                + _esc_raw(perms_val) + b")"
             )
         top_plain[enc_num] = (
             b"<< /Filter /Standard /V %d /R %d /Length %d /P %d"
             % (v_, r_, length * 8, p_val)
             + cf_frag
             + b" /O (" + _esc_raw(o_val) + b") /U ("
-            + _esc_raw(u_val) + b") >>"
+            + _esc_raw(u_val) + b")" + v5_frag + b" >>"
         )
 
     def trailer_extra() -> bytes:

@@ -2648,11 +2648,13 @@ def archive_aes_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_pdf_aes_text",
-    # payload = a REAL AESV2-encrypted PDF per doc (V4 R4 crypt
-    # filters, §7.6.2): IV-prefixed AES-128-CBC over streams AND
-    # strings with the sAlT per-object key derivation, xref layout
-    # cycling classic/stream. Same closed-form page text as
-    # mm_pdf_encrypted_text — pre-r11 every AES PDF raised by name.
+    # payload = a REAL AES-encrypted PDF per doc, the HANDLER cycling
+    # by parity: AESV2 (V4 R4, AES-128-CBC with sAlT object keys) and
+    # AESV3 (V5 R6, AES-256 with the Algorithm 2.B iterated password
+    # hash, /UE file-key unwrap and /Perms verification — the modern
+    # Acrobat-X+ layout); xref layout cycles classic/stream. Same
+    # closed-form page text as mm_pdf_encrypted_text — pre-r11 every
+    # AES PDF raised by name.
     oracle=r"""
 WITH p AS (
   SELECT doc_id AS media_id, CAST(doc_id AS VARCHAR) AS i,
@@ -2669,11 +2671,12 @@ ORDER BY media_id
     tags=("multimodal", "pdf", "encryption", "aes", "text", "ingest"),
 )
 def mm_pdf_aes_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AESV2-encrypted PDF text extraction under the oracle gate
-    (r11): the Standard handler's V4 crypt-filter dictionary, the
-    sAlT object keys and IV-prefixed AES-128-CBC (from-scratch
-    FIPS-197 core) — the owner-locked AES share of a PDF corpus
-    becomes readable beside the RC4 one."""
+    """AES-encrypted PDF text extraction under the oracle gate (r11):
+    AESV2 (V4 crypt filters, sAlT object keys, AES-128-CBC) and AESV3
+    (V5 R6: Algorithm 2.B password hash, /UE key unwrap, /Perms
+    check, AES-256-CBC with the file key) — the owner-locked AES
+    share of a PDF corpus, legacy AND modern, becomes readable beside
+    the RC4 one. FIPS-197 core from scratch."""
     from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_extract
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 15)
@@ -2685,8 +2688,8 @@ def mm_pdf_aes_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = encode_pdf(
             [[f"AES doc {did}", " ".join(toks[0:7])]],
             title=f"Sealed {did}",
-            encrypt="aes-128",
-            xref_stream=did % 2 == 0,
+            encrypt="aes-128" if did % 2 else "aes-256",
+            xref_stream=did % 4 < 2,
         )
         rows.append((did, bytearray(pdf)))
     media = spark.createDataFrame(rows, "media_id long, payload binary")
