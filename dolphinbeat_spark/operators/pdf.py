@@ -1075,6 +1075,15 @@ def _extract_page_text(doc: PdfDocument, content: bytes,
             continue
         op = km.group(0)
         pos = km.end()
+        if op == b"BI":
+            # inline image (§8.9.7): its binary data could fake
+            # string/operator bytes — skip it whole
+            try:
+                _, _, pos = _scan_inline_image(content, pos)
+            except PdfError:
+                pass  # tolerate malformed inline images in wild files
+            operands = []
+            continue
         if op == b"BT":
             newline()
         elif op == b"Tf":
@@ -1205,6 +1214,214 @@ class PdfImage:
     pixels: bytes  # row-major uint8 samples, n_components per pixel
 
 
+def _decode_image_data(doc: "PdfDocument", name: str, raw: bytes,
+                       filters: list, parms_list: list, width, height,
+                       bpc, cs: str, image_mask, pidx: int) -> PdfImage:
+    """Shared image-payload decode for XObject AND inline images:
+    terminal DCTDecode via operators/jpeg, CCITTFaxDecode via
+    operators/ccitt, everything else through the common filter chain
+    as 8-bit samples."""
+    from dolphinbeat_spark.operators.jpeg import JpegError, decode_jpeg
+
+    if not isinstance(width, int) or not isinstance(height, int):
+        raise PdfError(f"image {name!r} lacks /Width or /Height")
+    if image_mask is True:
+        raise NotImplementedError(
+            f"PDF image {name!r}: /ImageMask stencils not supported"
+        )
+    last = str(filters[-1]) if filters and filters[-1] is not None \
+        else None
+    if last == "DCTDecode":
+        pre = raw if len(filters) <= 1 else _apply_filters(
+            raw, filters[:-1], parms_list[:-1]
+        )
+        try:
+            w, h, arr = decode_jpeg(bytes(pre))
+        except JpegError as ex:
+            raise PdfError(f"DCTDecode image {name!r}: {ex}") from ex
+        if (w, h) != (width, height):
+            raise PdfError(
+                f"image {name!r}: JPEG is {w}x{h}, dictionary "
+                f"says {width}x{height}"
+            )
+        ncomp = 1 if arr.ndim == 2 else int(arr.shape[2])
+        return PdfImage(pidx, name, width, height, ncomp,
+                        "DCTDecode", arr.tobytes())
+    if last == "CCITTFaxDecode":
+        import numpy as _np
+
+        from dolphinbeat_spark.operators.ccitt import (
+            CcittError,
+            ccitt_decode,
+        )
+
+        pre = raw if len(filters) <= 1 else _apply_filters(
+            raw, filters[:-1], parms_list[:-1]
+        )
+        p = doc.resolve(parms_list[-1]) if parms_list else None
+        p = p if isinstance(p, dict) else {}
+        k = doc.resolve(p.get("K", 0))
+        cols = doc.resolve(p.get("Columns", 1728))
+        nrows = doc.resolve(p.get("Rows", height))
+        ba = bool(doc.resolve(p.get("EncodedByteAlign", False)))
+        black1 = bool(doc.resolve(p.get("BlackIs1", False)))
+        if (cols, nrows) != (width, height):
+            raise PdfError(
+                f"image {name!r}: CCITT parms say {cols}x{nrows},"
+                f" dictionary says {width}x{height}"
+            )
+        mode = "g4" if k < 0 else ("g3-2d" if k > 0 else "g3-1d")
+        try:
+            ink = ccitt_decode(bytes(pre), cols, nrows,
+                               mode=mode, byte_align=ba)
+        except CcittError as ex:
+            raise PdfError(
+                f"CCITTFaxDecode image {name!r}: {ex}"
+            ) from ex
+        # BlackIs1 picks the decoded bit sense (§7.4.6); the 1-bit
+        # DeviceGray sample then IS the gray level
+        sample_bits = ink if black1 else 1 - ink
+        return PdfImage(
+            pidx, name, width, height, 1, "CCITTFaxDecode",
+            (sample_bits.astype(_np.uint8) * 255).tobytes(),
+        )
+    if last in ("JPXDecode", "JBIG2Decode"):
+        raise NotImplementedError(
+            f"PDF image filter {last} not supported (DCTDecode "
+            "via the in-repo JPEG decoder, CCITTFaxDecode via "
+            "the in-repo T.4/T.6 codec, plus raw Flate/LZW/"
+            "ASCII/RunLength sample streams)"
+        )
+    content = _apply_filters(raw, filters, parms_list)
+    if bpc != 8:
+        raise NotImplementedError(
+            f"PDF image {name!r}: {bpc}-bit samples not "
+            "supported (8-bit only)"
+        )
+    ncomp = {"DeviceGray": 1, "DeviceRGB": 3,
+             "DeviceCMYK": 4}.get(cs)
+    if ncomp is None:
+        raise NotImplementedError(
+            f"PDF image colorspace {cs!r} not supported "
+            "(DeviceGray/DeviceRGB/DeviceCMYK)"
+        )
+    if len(content) != width * height * ncomp:
+        raise PdfError(
+            f"image {name!r}: {len(content)} sample bytes for "
+            f"{width}x{height}x{ncomp}"
+        )
+    return PdfImage(pidx, name, width, height, ncomp, last,
+                    bytes(content))
+
+
+#: §8.9.7 abbreviated inline-image keys / filters / colorspaces
+_INLINE_KEYS = {"W": "Width", "H": "Height", "BPC": "BitsPerComponent",
+                "CS": "ColorSpace", "F": "Filter", "DP": "DecodeParms",
+                "IM": "ImageMask", "D": "Decode", "I": "Interpolate"}
+_INLINE_FILTERS = {"AHx": "ASCIIHexDecode", "A85": "ASCII85Decode",
+                   "LZW": "LZWDecode", "Fl": "FlateDecode",
+                   "RL": "RunLengthDecode", "CCF": "CCITTFaxDecode",
+                   "DCT": "DCTDecode"}
+_INLINE_CS = {"G": "DeviceGray", "RGB": "DeviceRGB", "CMYK": "DeviceCMYK",
+              "I": "Indexed"}
+_WS_EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)")
+
+
+def _scan_inline_image(content: bytes, pos: int):
+    """Parse one inline image starting just after its ``BI`` keyword:
+    -> (expanded dict, data bytes, position after EI)."""
+    d: dict = {}
+    while True:
+        pos = _skip_ws(content, pos)
+        if content[pos:pos + 2] == b"ID" and (
+                pos + 2 >= len(content) or content[pos + 2] in _WS):
+            pos += 3  # ID + exactly one whitespace byte (§8.9.7)
+            break
+        key, pos = _parse_object(content, pos)
+        if not isinstance(key, _Name):
+            raise PdfError(f"inline image key is not a name: {key!r}")
+        val, pos = _parse_object(content, pos)
+        d[_INLINE_KEYS.get(str(key), str(key))] = val
+    filt = d.get("Filter")
+    filters = filt if isinstance(filt, list) else (
+        [filt] if filt is not None else [])
+    filters = [_Name(_INLINE_FILTERS.get(str(f), str(f)))
+               for f in filters if f is not None]
+    d["Filter"] = filters
+    cs = d.get("ColorSpace")
+    if cs is not None:
+        d["ColorSpace"] = _INLINE_CS.get(str(cs), str(cs))
+    if not filters:
+        # unfiltered: the data length is exact from the geometry
+        w, h = d.get("Width"), d.get("Height")
+        bpc = d.get("BitsPerComponent", 8)
+        ncomp = {"DeviceGray": 1, "DeviceRGB": 3,
+                 "DeviceCMYK": 4}.get(d.get("ColorSpace", ""), 1)
+        if not isinstance(w, int) or not isinstance(h, int):
+            raise PdfError("inline image lacks /W or /H")
+        nbytes = h * ((w * bpc * ncomp + 7) // 8)
+        data = content[pos:pos + nbytes]
+        if len(data) != nbytes:
+            raise PdfError("inline image data truncated")
+        pos += nbytes
+        m = _WS_EI_RE.search(content, pos - 1, pos + 4)
+        if m is None:
+            raise PdfError("inline image: EI delimiter missing")
+        return d, data, m.end()
+    # filtered: scan for the whitespace-delimited EI (the §8.9.7
+    # heuristic every reader applies — filter data is self-sizing)
+    m = _WS_EI_RE.search(content, pos)
+    if m is None:
+        raise PdfError("inline image: EI delimiter missing")
+    return d, content[pos:m.start()], m.end()
+
+
+def _find_inline_images(content: bytes):
+    """Yield (dict, data) per inline image in a content stream, using
+    the same operator tokenization as the text extractor so a BI
+    inside a string/comment is never misread."""
+    pos = 0
+    n = len(content)
+    while pos < n:
+        pos = _skip_ws(content, pos)
+        if pos >= n:
+            break
+        c = content[pos]
+        if c == 0x25:  # comment
+            e = content.find(b"\n", pos)
+            pos = n if e < 0 else e + 1
+            continue
+        if c == 0x2F or c == 0x28 or c == 0x3C or c == 0x5B or \
+                _NUM_RE.match(content, pos):
+            try:
+                _, pos = _parse_object(content, pos)
+            except PdfError:
+                pos += 1
+            continue
+        km = _KEYWORD_RE.match(content, pos)
+        if not km:
+            pos += 1
+            continue
+        if km.group(0) == b"BI":
+            d, data, pos = _scan_inline_image(content, km.end())
+            yield d, data
+        else:
+            pos = km.end()
+
+
+def _decode_inline_image(doc: "PdfDocument", d: dict, data: bytes,
+                         pidx: int, idx: int) -> PdfImage:
+    filters = d.get("Filter") or [None]
+    parms = d.get("DecodeParms")
+    parms_list = parms if isinstance(parms, list) else [parms]
+    return _decode_image_data(
+        doc, f"BI{idx}", data, filters, parms_list,
+        d.get("Width"), d.get("Height"), d.get("BitsPerComponent", 8),
+        str(d.get("ColorSpace", "DeviceGray")), d.get("ImageMask"),
+        pidx,
+    )
+
+
 def extract_pdf_images(data: bytes) -> list[PdfImage]:
     """PDF bytes -> decoded embedded images (XObject /Subtype /Image,
     §8.9.5), page order then resource-name order. DCTDecode payloads
@@ -1215,125 +1432,42 @@ def extract_pdf_images(data: bytes) -> list[PdfImage]:
     (operators/ccitt.py — K selects G4/G3-1D/G3-2D, BlackIs1 and
     EncodedByteAlign honored, 1-bit samples emitted as 0/255 gray);
     Flate/LZW/ASCIIHex/ASCII85/RunLength sample streams decode via the
-    common filter chain (8-bit DeviceGray/RGB/CMYK). JPX/JBIG2 images
-    and other sub-8-bit sample layouts raise by name; inline images
-    (BI/ID/EI, §8.9.7) are out of scope of the XObject walk."""
-    from dolphinbeat_spark.operators.jpeg import JpegError, decode_jpeg
-
+    common filter chain (8-bit DeviceGray/RGB/CMYK). INLINE images
+    (BI/ID/EI, §8.9.7 — the layout scanned faxes and small graphics
+    actually use) decode through the same paths with the abbreviated
+    key/filter/colorspace names expanded (r11). JPX/JBIG2 images and
+    other sub-8-bit sample layouts raise by name."""
     doc = PdfDocument(data)
     out: list[PdfImage] = []
     for pidx, (page, resources) in enumerate(doc.pages()):
         xobjs = doc.resolve(resources.get("XObject")) if resources else None
-        if not isinstance(xobjs, dict):
-            continue
-        for name in sorted(xobjs):
-            x = doc.resolve(xobjs[name])
-            if not (isinstance(x, tuple) and x[0] == "stream"):
-                continue
-            sdict, raw = x[1], x[2]
-            if str(sdict.get("Subtype", "")) != "Image":
-                continue
-            width = doc.resolve(sdict.get("Width"))
-            height = doc.resolve(sdict.get("Height"))
-            if not isinstance(width, int) or not isinstance(height, int):
-                raise PdfError(f"image {name!r} lacks /Width or /Height")
-            if doc.resolve(sdict.get("ImageMask")) is True:
-                raise NotImplementedError(
-                    f"PDF image {name!r}: /ImageMask stencils not supported"
-                )
-            filt = doc.resolve(sdict.get("Filter"))
-            parms = doc.resolve(sdict.get("DecodeParms"))
-            filters = filt if isinstance(filt, list) else [filt]
-            parms_list = parms if isinstance(parms, list) else [parms]
-            last = str(filters[-1]) if filters and filters[-1] is not None \
-                else None
-            if last == "DCTDecode":
-                pre = raw if len(filters) <= 1 else _apply_filters(
-                    raw, filters[:-1], parms_list[:-1]
-                )
-                try:
-                    w, h, arr = decode_jpeg(bytes(pre))
-                except JpegError as ex:
-                    raise PdfError(
-                        f"DCTDecode image {name!r}: {ex}"
-                    ) from ex
-                if (w, h) != (width, height):
-                    raise PdfError(
-                        f"image {name!r}: JPEG is {w}x{h}, dictionary "
-                        f"says {width}x{height}"
-                    )
-                ncomp = 1 if arr.ndim == 2 else int(arr.shape[2])
-                out.append(PdfImage(pidx, str(name), width, height,
-                                    ncomp, "DCTDecode", arr.tobytes()))
-                continue
-            if last == "CCITTFaxDecode":
-                import numpy as _np
-
-                from dolphinbeat_spark.operators.ccitt import (
-                    CcittError,
-                    ccitt_decode,
-                )
-
-                pre = raw if len(filters) <= 1 else _apply_filters(
-                    raw, filters[:-1], parms_list[:-1]
-                )
-                p = doc.resolve(parms_list[-1]) if parms_list else None
-                p = p if isinstance(p, dict) else {}
-                k = doc.resolve(p.get("K", 0))
-                cols = doc.resolve(p.get("Columns", 1728))
-                nrows = doc.resolve(p.get("Rows", height))
-                ba = bool(doc.resolve(p.get("EncodedByteAlign", False)))
-                black1 = bool(doc.resolve(p.get("BlackIs1", False)))
-                if (cols, nrows) != (width, height):
-                    raise PdfError(
-                        f"image {name!r}: CCITT parms say {cols}x{nrows},"
-                        f" dictionary says {width}x{height}"
-                    )
-                mode = "g4" if k < 0 else ("g3-2d" if k > 0 else "g3-1d")
-                try:
-                    ink = ccitt_decode(bytes(pre), cols, nrows,
-                                       mode=mode, byte_align=ba)
-                except CcittError as ex:
-                    raise PdfError(
-                        f"CCITTFaxDecode image {name!r}: {ex}"
-                    ) from ex
-                # BlackIs1 picks the decoded bit sense (§7.4.6); the
-                # 1-bit DeviceGray sample then IS the gray level
-                sample_bits = ink if black1 else 1 - ink
-                out.append(PdfImage(
-                    pidx, str(name), width, height, 1, "CCITTFaxDecode",
-                    (sample_bits.astype(_np.uint8) * 255).tobytes(),
+        if isinstance(xobjs, dict):
+            for name in sorted(xobjs):
+                x = doc.resolve(xobjs[name])
+                if not (isinstance(x, tuple) and x[0] == "stream"):
+                    continue
+                sdict, raw = x[1], x[2]
+                if str(sdict.get("Subtype", "")) != "Image":
+                    continue
+                filt = doc.resolve(sdict.get("Filter"))
+                parms = doc.resolve(sdict.get("DecodeParms"))
+                filters = filt if isinstance(filt, list) else [filt]
+                parms_list = parms if isinstance(parms, list) else [parms]
+                out.append(_decode_image_data(
+                    doc, str(name), raw, filters, parms_list,
+                    doc.resolve(sdict.get("Width")),
+                    doc.resolve(sdict.get("Height")),
+                    doc.resolve(sdict.get("BitsPerComponent", 8)),
+                    str(doc.resolve(sdict.get("ColorSpace", ""))),
+                    doc.resolve(sdict.get("ImageMask")), pidx,
                 ))
-                continue
-            if last in ("JPXDecode", "JBIG2Decode"):
-                raise NotImplementedError(
-                    f"PDF image filter {last} not supported (DCTDecode "
-                    "via the in-repo JPEG decoder, CCITTFaxDecode via "
-                    "the in-repo T.4/T.6 codec, plus raw Flate/LZW/"
-                    "ASCII/RunLength sample streams)"
-                )
-            content = _apply_filters(raw, filters, parms_list)
-            bpc = doc.resolve(sdict.get("BitsPerComponent", 8))
-            if bpc != 8:
-                raise NotImplementedError(
-                    f"PDF image {name!r}: {bpc}-bit samples not "
-                    "supported (8-bit only)"
-                )
-            cs = str(doc.resolve(sdict.get("ColorSpace", "")))
-            ncomp = {"DeviceGray": 1, "DeviceRGB": 3,
-                     "DeviceCMYK": 4}.get(cs)
-            if ncomp is None:
-                raise NotImplementedError(
-                    f"PDF image colorspace {cs!r} not supported "
-                    "(DeviceGray/DeviceRGB/DeviceCMYK)"
-                )
-            if len(content) != width * height * ncomp:
-                raise PdfError(
-                    f"image {name!r}: {len(content)} sample bytes for "
-                    f"{width}x{height}x{ncomp}"
-                )
-            out.append(PdfImage(pidx, str(name), width, height,
-                                ncomp, last, bytes(content)))
+        # inline images (BI/ID/EI, §8.9.7) in the content stream(s)
+        contents = doc.resolve(page.get("Contents"))
+        parts = contents if isinstance(contents, list) else \
+            ([contents] if contents is not None else [])
+        blob = b"\n".join(doc.stream_data(pt) for pt in parts)
+        for j, (idict, idata) in enumerate(_find_inline_images(blob)):
+            out.append(_decode_inline_image(doc, idict, idata, pidx, j))
     return out
 
 
@@ -1411,6 +1545,36 @@ def _esc(s: str) -> bytes:
     return _esc_raw(_text_bytes(s))
 
 
+def _inline_image_ops(kind: str, iw: int, ih: int, ncomp: int,
+                      payload: bytes) -> bytes:
+    """BI/ID/EI operator bytes for one inline image (§8.9.7,
+    abbreviated names as real writers emit them). ``payload``
+    semantics per kind: 'inline-raw' = samples, 'inline-jpeg' = JPEG
+    bytes, 'inline-ccitt-g4' = one INK byte per pixel."""
+    cs = {1: b"/G", 3: b"/RGB", 4: b"/CMYK"}[ncomp]
+    if kind == "inline-raw":
+        head = b"BI /W %d /H %d /CS %s /BPC 8 ID " % (iw, ih, cs)
+        if len(payload) != iw * ih * ncomp:
+            raise ValueError("inline raw payload size mismatch")
+        return head + payload + b" EI"
+    if kind == "inline-jpeg":
+        head = (b"BI /W %d /H %d /CS %s /BPC 8 /F /DCT ID "
+                % (iw, ih, cs))
+        return head + payload + b" EI"
+    if kind == "inline-ccitt-g4":
+        import numpy as _np
+
+        from dolphinbeat_spark.operators.ccitt import ccitt_encode
+
+        if ncomp != 1 or len(payload) != iw * ih:
+            raise ValueError("inline ccitt wants 1 ink byte/pixel")
+        ink = _np.frombuffer(payload, _np.uint8).reshape(ih, iw)
+        head = (b"BI /W %d /H %d /CS /G /BPC 1 /F /CCF /DP "
+                b"<< /K -1 /Columns %d /Rows %d >> ID " % (iw, ih, iw, ih))
+        return head + ccitt_encode(ink, mode="g4") + b" EI"
+    raise ValueError(f"unknown inline image kind {kind!r}")
+
+
 def encode_pdf(pages: list[list[str]], title: str | None = None,
                flate: bool = True, xref_stream: bool = False,
                use_tj_array: bool = False,
@@ -1452,10 +1616,12 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
     if len(imgs) != n_pages:
         raise ValueError("images must have one entry list per page")
     img_base = info_num + 3  # clear of the optional desc/tou objects
-    img_refs = []  # (resource name, object number) flattened
+    img_refs = []  # (resource name, object number) for XObject kinds
     k = 0
     for i, page_imgs in enumerate(imgs):
-        for j in range(len(page_imgs)):
+        for j, spec in enumerate(page_imgs):
+            if spec[0].startswith("inline-"):
+                continue  # inline images live IN the content stream
             img_refs.append((f"Im{i}_{j}", img_base + k))
             k += 1
     kids = b" ".join(b"%d 0 R" % (3 + 2 * i) for i in range(n_pages))
@@ -1520,11 +1686,18 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
                 ops.append(show_str(line) + b" Tj")
         ops.append(b"ET")
         for j, spec in enumerate(imgs[i]):
-            _, iw, ih, _, _ = spec
-            ops.append(
-                b"q %d 0 0 %d 72 %d cm /Im%d_%d Do Q"
-                % (iw, ih, 600 - 20 * j, i, j)
-            )
+            kind, iw, ih, incomp, ipayload = spec
+            if kind.startswith("inline-"):
+                ops.append(
+                    b"q %d 0 0 %d 72 %d cm " % (iw, ih, 600 - 20 * j)
+                    + _inline_image_ops(kind, iw, ih, incomp, ipayload)
+                    + b" Q"
+                )
+            else:
+                ops.append(
+                    b"q %d 0 0 %d 72 %d cm /Im%d_%d Do Q"
+                    % (iw, ih, 600 - 20 * j, i, j)
+                )
         content = b" ".join(ops)
         if flate:
             streams[cnum] = (b"/Filter /FlateDecode", zlib.compress(content))
@@ -1534,6 +1707,8 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
     for i, page_imgs in enumerate(imgs):
         for spec in page_imgs:
             kind, iw, ih, ncomp, payload = spec
+            if kind.startswith("inline-"):
+                continue
             num = img_base + k
             k += 1
             cs = {1: b"/DeviceGray", 3: b"/DeviceRGB",

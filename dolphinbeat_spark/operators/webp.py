@@ -990,3 +990,144 @@ def encode_webp_lossless(rgba: np.ndarray, use_cache_bits: int = 0,
     if len(payload) & 1:
         riff += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(riff)) + b"WEBP" + riff
+
+
+# --- animated WebP (ANIM/ANMF) -------------------------------------------------
+
+
+def webp_anim_frames(data: bytes) -> list[dict]:
+    """Animated WebP -> one dict per ANMF frame: frame_idx, x, y,
+    width, height, duration_ms, dispose, blend, and the decoded RGBA
+    pixels (container spec: 24-bit LE minus-one geometry fields, the
+    sub-chunks are a normal ALPH?+VP8/VP8L still image). This is the
+    frame-sampling primitive for the animated share of a crawl —
+    compositing onto the canvas is a presentation concern left to the
+    consumer, like video players past demux."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise WebpError("not a WebP payload (RIFF/WEBP)")
+    pos = 12
+    frames: list[dict] = []
+    saw_anim = False
+    while pos + 8 <= len(data):
+        cc = data[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + clen]
+        if len(body) != clen:
+            raise WebpError(f"WebP chunk {cc!r} truncated")
+        if cc == b"ANIM":
+            saw_anim = True
+        elif cc == b"ANMF":
+            if len(body) < 16:
+                raise WebpError("ANMF header truncated")
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            sub = b"RIFF" + struct.pack("<I", 4 + len(body) - 16) \
+                + b"WEBP" + body[16:]
+            w, h, px = decode_webp(sub)
+            if (w, h) != (fw, fh):
+                raise WebpError(
+                    f"ANMF frame {len(frames)}: image is {w}x{h}, "
+                    f"header says {fw}x{fh}"
+                )
+            frames.append({
+                "frame_idx": len(frames), "x": fx, "y": fy,
+                "width": fw, "height": fh, "duration_ms": dur,
+                "dispose": flags & 1, "blend": (flags >> 1) & 1,
+                "rgba": px,
+            })
+        pos += 8 + clen + (clen & 1)
+    if not saw_anim and not frames:
+        raise WebpError("WebP without ANIM/ANMF chunks is not animated")
+    return frames
+
+
+def encode_webp_anim(frames: list[dict], canvas: tuple[int, int],
+                     loop_count: int = 0,
+                     bgcolor: int = 0) -> bytes:
+    """Animated-WebP writer (fixture mirror): each frame dict carries
+    x, y, duration_ms and EITHER ``vp8`` (a bare VP8 chunk payload
+    from encode_vp8) or ``rgba`` (lossless-coded via
+    encode_webp_lossless)."""
+    body = bytearray()
+    w, h = canvas
+    vp8x = (b"VP8X" + struct.pack("<I", 10)
+            + bytes([0x02]) + bytes(3)      # animation flag
+            + struct.pack("<I", w - 1)[:3]
+            + struct.pack("<I", h - 1)[:3])
+    body += vp8x
+    body += (b"ANIM" + struct.pack("<I", 6)
+             + struct.pack("<I", bgcolor)
+             + struct.pack("<H", loop_count))
+    for fr in frames:
+        if "vp8" in fr:
+            payload = fr["vp8"]
+            chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+            if len(payload) & 1:
+                chunk += b"\x00"
+            fw = struct.unpack_from("<H", payload, 6)[0] & 0x3FFF
+            fh = struct.unpack_from("<H", payload, 8)[0] & 0x3FFF
+        else:
+            sub = encode_webp_lossless(fr["rgba"])
+            chunk = sub[12:]  # the VP8L chunk with header
+            fh, fw = fr["rgba"].shape[:2]
+        if fr.get("x", 0) % 2 or fr.get("y", 0) % 2:
+            raise ValueError("ANMF offsets must be even")
+        hdr = (int(fr.get("x", 0) // 2).to_bytes(3, "little")
+               + int(fr.get("y", 0) // 2).to_bytes(3, "little")
+               + (fw - 1).to_bytes(3, "little")
+               + (fh - 1).to_bytes(3, "little")
+               + int(fr.get("duration_ms", 100)).to_bytes(3, "little")
+               + bytes([fr.get("dispose", 0) | (fr.get("blend", 0) << 1)]))
+        anmf = hdr + chunk
+        body += b"ANMF" + struct.pack("<I", len(anmf)) + anmf
+        if len(anmf) & 1:
+            body += b"\x00"
+    return (b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP"
+            + bytes(body))
+
+
+def webp_anim_demux(df):
+    """(media_id, payload) -> one row per animated-WebP frame via
+    Arrow ``mapInPandas`` (map-only): geometry, timing, blend/dispose
+    flags, decoded-pixel stats (hex-digest contract). The animated
+    share of a crawl becomes frame rows the multimodal stages consume,
+    exactly like demux_media does for video containers."""
+    import hashlib
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    import pandas as pd
+
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("x", LongType()),
+        StructField("y", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("blend", LongType()),
+        StructField("pixel_sum", LongType()),
+    ])
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                for fr in webp_anim_frames(bytes(raw)):
+                    px = fr["rgba"]
+                    rows.append((
+                        mid, fr["frame_idx"], fr["x"], fr["y"],
+                        fr["width"], fr["height"], fr["duration_ms"],
+                        fr["blend"],
+                        int(px.astype(np.int64).sum()),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return df.mapInPandas(batches, schema)

@@ -2472,6 +2472,92 @@ def mm_pdf_ccitt_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_pdf_inline_images",
+    # payload = a PDF per doc whose images are INLINE (BI/ID/EI,
+    # §8.9.7 — the layout scanned faxes and small graphics actually
+    # use, with abbreviated key/filter/colorspace names): page 0
+    # carries an unfiltered raw DeviceRGB 4x4 (flat r = 1 + doc_id %
+    # 127) and a /DCT-filtered flat-gray JPEG (the mm_decode_jpeg
+    # closed form), page 1 a /CCF (CCITT G4) bilevel block over the
+    # md5-letter pattern. Encryption and xref layout cycle by parity —
+    # inline data rides inside the (encrypted) content stream. Raw +
+    # JPEG rows use the byte-digest contract (values < 128); the
+    # 0/255 CCITT row is reported via pixel_sum only (md5 pinned in
+    # the hex-contract twin mm_pdf_ccitt_image).
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         2 * (ord(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 64) AS v,
+         1 + doc_id % 127 AS r,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 25 = 18
+)
+SELECT media_id, 0::BIGINT AS page_idx, 'BI0' AS img_name,
+       4::BIGINT AS width, 4::BIGINT AS height, 3::BIGINT AS n_components,
+       CAST(NULL AS VARCHAR) AS img_filter,
+       CAST(48 * r AS BIGINT) AS pixel_sum
+FROM p
+UNION ALL
+SELECT media_id, 0::BIGINT, 'BI1', 16::BIGINT, 8::BIGINT, 1::BIGINT,
+       'DCTDecode', CAST(128 * v AS BIGINT)
+FROM p
+UNION ALL
+SELECT media_id, 1::BIGINT, 'BI0', 8::BIGINT, 12::BIGINT, 1::BIGINT,
+       'CCITTFaxDecode',
+       CAST(255 * length(regexp_replace(pattern, '[a-f]', '', 'g'))
+            AS BIGINT)
+FROM p
+ORDER BY media_id, page_idx, img_name
+""",
+    tags=("multimodal", "pdf", "decode", "codec", "inline", "ingest"),
+)
+def mm_pdf_inline_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INLINE PDF images under the oracle gate (r11): the BI/ID/EI
+    walk with abbreviated names expanded routes through the same
+    decode paths as XObjects — raw samples, /DCT via the in-repo JPEG
+    decoder, /CCF via the in-repo T.4/T.6 codec — and the binary
+    inline data is skipped cleanly by the TEXT extractor (it would
+    otherwise fake string bytes). Encrypted content streams decrypt
+    before the scan."""
+    import hashlib
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.jpeg import encode_jpeg
+    from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_images
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 18)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    encs = (None, "rc4-128", "aes-128")
+    rows = []
+    for i in ids:
+        hx = hashlib.md5(str(i).encode()).hexdigest()
+        v = 2 * (ord(hx[0]) % 64)
+        r = 1 + i % 127
+        ink = np.array([1 if c in "abcdef" else 0 for c in hx * 3],
+                       np.uint8)
+        pdf = encode_pdf(
+            [[f"inline page {i}"], ["second"]],
+            xref_stream=bool(i % 2), encrypt=encs[i % 3],
+            title="T" if i % 3 else None,
+            images=[
+                [("inline-raw", 4, 4, 3, bytes([r]) * 48),
+                 ("inline-jpeg", 16, 8, 1,
+                  encode_jpeg(16, 8, bytes([v]) * 128, gray=True))],
+                [("inline-ccitt-g4", 8, 12, 1, ink.tobytes())],
+            ],
+        )
+        rows.append((i, bytearray(pdf)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return (
+        pdf_images(media)
+        .select("media_id", "page_idx", "img_name", "width", "height",
+                "n_components", "img_filter", "pixel_sum")
+        .orderBy("media_id", "page_idx", "img_name")
+    )
+
+
+@register(
     "archive_zip64_members",
     # payload = the COMMITTED forced-Zip64 fixture
     # tests/fixtures/zip64.zip (tools/make_zip64_fixture.py —
@@ -3001,6 +3087,92 @@ def mm_decode_webp_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(0, bytearray(raw))], "media_id long, payload binary"
     )
     return M.decode_media(media, digest="hex").orderBy("media_id")
+
+
+@register(
+    "mm_webp_anim_frames",
+    # payload = a REAL animated WebP per doc (VP8X animation flag +
+    # ANIM + ANMF chunks): two lossy VP8 keyframes (the closed-form
+    # flat DC frames, levels from the doc's md5) at different canvas
+    # offsets/durations, then a LOSSLESS frame carrying the doc's
+    # 96-byte pattern as 8x3 RGBA — the demux decodes each frame
+    # through the matching still-image path and the oracle recomputes
+    # geometry, timing and pixel sums in closed form. Pre-r11
+    # animated WebP raised by name.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         1 + ord(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 5 AS l0,
+         1 + ord(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) % 5 AS l1,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 25 = 20
+), f01 AS (
+  SELECT media_id, k, CASE k WHEN 0 THEN l0 ELSE l1 END AS ly
+  FROM p CROSS JOIN (VALUES (0), (1)) AS v(k)
+), yuv AS (
+  SELECT media_id, k,
+         128 + ((((ly * 42 + 3) >> 3) + 4) >> 3) AS y, 128 AS u, 128 AS v
+  FROM f01
+), rgb AS (
+  SELECT media_id, k,
+         (((y * 19077) >> 8) + ((v * 26149) >> 8) - 14234 + 32) >> 6 AS r,
+         (((y * 19077) >> 8) - ((u * 6419) >> 8) - ((v * 13320) >> 8)
+          + 8708 + 32) >> 6 AS g,
+         (((y * 19077) >> 8) + ((u * 33050) >> 8) - 17685 + 32) >> 6 AS b
+  FROM yuv
+)
+SELECT media_id, CAST(k AS BIGINT) AS frame_idx,
+       CAST(k * 16 AS BIGINT) AS x, 0::BIGINT AS y,
+       16::BIGINT AS width, 16::BIGINT AS height,
+       CAST(40 * (k + 1) AS BIGINT) AS duration_ms,
+       CAST(k AS BIGINT) AS blend,
+       CAST((r + g + b + 255) * 256 AS BIGINT) AS pixel_sum
+FROM rgb
+UNION ALL
+SELECT media_id, 2, 4, 2, 8, 3, 120, 0,
+       CAST(list_sum(list_transform(range(1, 97),
+            i -> ord(substr(pattern, CAST(i AS INTEGER), 1)))) AS BIGINT)
+FROM p
+ORDER BY media_id, frame_idx
+""",
+    tags=("multimodal", "webp", "animation", "demux", "lossy"),
+)
+def mm_webp_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-WebP frame demux under the oracle gate (r11): ANMF
+    frames decode through the matching still paths (lossy VP8 and
+    VP8L both appear in one animation here) with canvas geometry,
+    durations and blend flags surfaced — the animated share of a
+    crawl becomes frame rows, like demux_media's video samples."""
+    import hashlib
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators import vp8_tables as VT
+    from dolphinbeat_spark.operators.vp8 import encode_vp8
+    from dolphinbeat_spark.operators.webp import (
+        encode_webp_anim,
+        webp_anim_demux,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 20)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        hx = hashlib.md5(str(i).encode()).hexdigest()
+        mk = lambda ly: encode_vp8(  # noqa: E731
+            16, 16, [{"ymode": VT.DC_PRED, "uvmode": VT.DC_PRED,
+                      "y2": [ly] + [0] * 15}], qi=20)
+        rgba = np.frombuffer((hx * 3).encode(), np.uint8).reshape(3, 8, 4)
+        anim = encode_webp_anim(
+            [{"vp8": mk(1 + ord(hx[0]) % 5), "duration_ms": 40},
+             {"vp8": mk(1 + ord(hx[1]) % 5), "x": 16, "duration_ms": 80,
+              "blend": 1},
+             {"rgba": rgba, "x": 4, "y": 2, "duration_ms": 120}],
+            canvas=(32, 16),
+        )
+        rows.append((i, bytearray(anim)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return webp_anim_demux(media).orderBy("media_id", "frame_idx")
 
 
 @register(

@@ -438,6 +438,52 @@ def test_pdf_image_boundaries_and_hostile():
         extract_pdf_images(bytes(broken))
 
 
+def test_pdf_inline_images():
+    """BI/ID/EI inline images (§8.9.7, r11): abbreviated names expand
+    into the same decode paths as XObjects; the binary data is
+    skipped cleanly by the TEXT extractor (it carries bytes that fake
+    strings/operators); encrypted content streams decrypt before the
+    scan; malformed inline data stays typed."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.jpeg import encode_jpeg
+    from dolphinbeat_spark.operators.pdf import extract_pdf_images
+
+    rng = np.random.RandomState(3)
+    raw = bytes(range(48))
+    jb = encode_jpeg(16, 8, bytes([84]) * 128, gray=True)
+    ink = (rng.random_sample((12, 40)) < 0.3).astype(np.uint8)
+    for xs in (False, True):
+        for enc in (None, "rc4-128", "aes-128", "aes-256"):
+            pdf = encode_pdf(
+                [["text with (parens) kept"], ["page two"]], title="T",
+                xref_stream=xs, encrypt=enc,
+                images=[[("inline-raw", 4, 4, 3, raw),
+                         ("inline-jpeg", 16, 8, 1, jb)],
+                        [("inline-ccitt-g4", 40, 12, 1,
+                          ink.tobytes())]])
+            d = extract_pdf_text(pdf)
+            assert d.pages == ["text with (parens) kept", "page two"], \
+                (xs, enc)
+            ims = extract_pdf_images(pdf)
+            assert [(i.page_idx, i.name, i.img_filter) for i in ims] \
+                == [(0, "BI0", None), (0, "BI1", "DCTDecode"),
+                    (1, "BI0", "CCITTFaxDecode")], (xs, enc)
+            assert ims[0].pixels == raw
+            assert ims[1].pixels == bytes([84]) * 128
+            got = np.frombuffer(ims[2].pixels, np.uint8).reshape(12, 40)
+            assert ((got == 0) == (ink == 1)).all()
+    # truncated inline data -> typed
+    good = encode_pdf([["x"]],
+                      images=[[("inline-raw", 4, 4, 3, raw)]],
+                      flate=False)
+    cut = good.index(b"BI /W")
+    broken = good[:cut + 20]  # mid-dict truncation inside the stream
+    # (the content stream's /Length now lies -> typed either way)
+    with pytest.raises(PdfError):
+        extract_pdf_images(broken)
+
+
 def test_pdf_images_spark(spark):
     from dolphinbeat_spark.operators.jpeg import encode_jpeg
     from dolphinbeat_spark.operators.pdf import pdf_images

@@ -240,6 +240,57 @@ def test_webp_exif_extract_and_strip():
             == decode_webp(real)[2]).all()
 
 
+def test_webp_anim_frames():
+    """Animated WebP (VP8X/ANIM/ANMF, r11): frames demux with canvas
+    geometry, durations and flags; lossy VP8 and lossless VP8L frames
+    decode through their matching still paths in ONE animation; the
+    still-image decode_webp keeps raising by name on animations."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.webp import (
+        WebpError, decode_webp, encode_webp_anim, webp_anim_frames,
+    )
+
+    def mk(ly):
+        return encode_vp8(16, 16, [{"ymode": T.DC_PRED,
+                                    "uvmode": T.DC_PRED,
+                                    "y2": [ly] + [0] * 15}], qi=20)
+
+    rgba = (np.arange(8 * 8 * 4, dtype=np.uint8).reshape(8, 8, 4) % 250)
+    anim = encode_webp_anim(
+        [{"vp8": mk(3), "duration_ms": 40},
+         {"vp8": mk(6), "x": 16, "duration_ms": 80, "dispose": 1},
+         {"rgba": rgba, "x": 4, "y": 2, "duration_ms": 120, "blend": 1}],
+        canvas=(32, 16))
+    frames = webp_anim_frames(anim)
+    assert [(f["x"], f["y"], f["width"], f["height"], f["duration_ms"],
+             f["dispose"], f["blend"]) for f in frames] == [
+        (0, 0, 16, 16, 40, 0, 0), (16, 0, 16, 16, 80, 1, 0),
+        (4, 2, 8, 8, 120, 0, 1)]
+    assert (frames[2]["rgba"] == rgba).all()
+    # flat lossy frames: one distinct RGB each, full alpha
+    for fr, ly in ((frames[0], 3), (frames[1], 6)):
+        y = 128 + ((((ly * 42) + 3 >> 3) + 4) >> 3)
+        assert len(np.unique(fr["rgba"][:, :, 0])) == 1
+        assert (fr["rgba"][:, :, 3] == 255).all()
+    with pytest.raises(NotImplementedError, match="animated"):
+        decode_webp(anim)
+    from dolphinbeat_spark.operators.webp import encode_webp_vp8
+
+    still = encode_webp_vp8(16, 16, [{"ymode": T.DC_PRED,
+                                      "uvmode": T.DC_PRED}])
+    with pytest.raises(WebpError, match="not animated"):
+        webp_anim_frames(still)
+    # truncated ANMF header stays typed
+    bad = bytearray(anim)
+    i = anim.index(b"ANMF")
+    import struct as _st
+
+    _st.pack_into("<I", bad, i + 4, 5)
+    with pytest.raises(WebpError):
+        webp_anim_frames(bytes(bad))
+
+
 def test_vp8_typed_errors_and_fuzz():
     from dolphinbeat_spark.operators.webp import WebpError, decode_webp
 
