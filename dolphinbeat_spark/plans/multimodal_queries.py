@@ -1548,15 +1548,18 @@ def warc_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "warc_content_encoding",
-    # Six HTTP responses per doc exercise every supported body coding
+    # Nine HTTP responses per doc exercise every supported body coding
     # (RFC 9110 §8.4 / RFC 9112 §7.1): identity, Content-Encoding gzip,
     # deflate in BOTH wild forms (zlib-wrapped per spec and raw-deflate
     # as misconfigured servers send), Transfer-Encoding chunked (with a
-    # chunk extension and a trailer field), and chunked OVER gzip. The
-    # oracle pins the decoded text, length, digest and the applied
-    # coding list in closed form from the same pattern pieces — before
-    # this path existed, variants 1-5 flowed compressed bytes into
-    # body_text.
+    # chunk extension and a trailer field), chunked OVER gzip,
+    # MULTI-MEMBER gzip (RFC 1952 §2.2 — r12: a single zlib.decompress
+    # silently truncated to the first member), zstd (RFC 8878 through
+    # the in-repo frame decoder, r12), and a bare-LF HTTP envelope
+    # (r12: sloppy servers terminate headers with \n\n; pre-fix the
+    # whole header block flowed into body_text). The oracle pins the
+    # decoded text, length, digest and the applied coding list in
+    # closed form from the same pattern pieces.
     oracle="""
 WITH p AS (
   SELECT doc_id AS media_id, CAST(doc_id AS VARCHAR) AS i,
@@ -1566,7 +1569,8 @@ WITH p AS (
 s(record_idx, enc, start, sz) AS (
   VALUES (0, NULL, 1, 40), (1, 'gzip', 1, 60), (2, 'deflate', 11, 40),
          (3, 'deflate', 21, 60), (4, 'chunked', 1, 96),
-         (5, 'gzip,chunked', 31, 60)
+         (5, 'gzip,chunked', 31, 60), (6, 'gzip', 41, 50),
+         (7, 'zstd', 5, 72), (8, NULL, 61, 30)
 )
 SELECT media_id, CAST(record_idx AS BIGINT) AS record_idx,
        200::BIGINT AS http_status, 'text/plain' AS content_type,
@@ -1589,7 +1593,10 @@ def warc_content_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     warcprox/Heritrix captures, older Common Crawl) store the raw HTTP
     payload — without this, a gzip'd response's body_text is binary
     garbage that poisons dedup hashes and quality gates downstream.
-    Unsupported codings (br, zstd) raise by name."""
+    r12 adds multi-member gzip (all members decode, trailing garbage
+    raises typed), zstd via the in-repo RFC 8878 decoder, and bare-LF
+    envelope tolerance; br raises by name and is contained per
+    response as ``unresolved:br``."""
     import hashlib
 
     from dolphinbeat_spark.sources.warc import encode_warc, read_warc
@@ -1612,6 +1619,9 @@ def warc_content_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
                raw_deflate=True),
             mk(4, pat[0:96], chunked=True),
             mk(5, pat[30:90], content_encoding="gzip", chunked=True),
+            mk(6, pat[40:90], content_encoding="gzip", gzip_parts=3),
+            mk(7, pat[4:76], content_encoding="zstd"),
+            mk(8, pat[60:90], bare_lf=True),
         ]
         rows.append(
             (i, bytearray(encode_warc(recs, gzip_members=bool(i % 2))))
@@ -1622,6 +1632,71 @@ def warc_content_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "record_idx", "http_status", "content_type",
                 "http_encoding", "body_len", "body_md5", "body_text",
                 "charset")
+        .orderBy("media_id", "record_idx")
+    )
+
+
+@register(
+    "pipeline_warc_capture",
+    # Each payload is three WARC response records where record 1 is
+    # CORRUPT (its Content-Length claims 999999 bytes that aren't
+    # there — the classic truncated-capture shape). errors="capture"
+    # must isolate it: records 0 and 2 flow with their exact bodies,
+    # record 1 becomes one error-only row (all-null fields, error
+    # set). The oracle pins the good bodies and the error-row
+    # positions in closed form; strict mode raising on the same bytes
+    # is pinned by tests/test_multimodal.py.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 25 = 3
+),
+s(record_idx, ok, start, sz) AS (
+  VALUES (0, TRUE, 1, 40), (1, FALSE, NULL, NULL), (2, TRUE, 41, 56)
+)
+SELECT media_id, CAST(record_idx AS BIGINT) AS record_idx,
+       CAST(CASE WHEN ok THEN 200 END AS BIGINT) AS http_status,
+       CASE WHEN ok THEN substr(pattern, start, sz) END AS body_text,
+       NOT ok AS is_error
+FROM p CROSS JOIN s
+ORDER BY media_id, record_idx
+""",
+    tags=("text", "ingest", "warc", "errors"),
+)
+def pipeline_warc_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-record error isolation for wild crawls
+    (sources/warc.py::read_warc errors="capture"): at 100 TB corrupt
+    records are a statistical certainty, and one truncated capture
+    must cost ONE row, not a 1 GB segment's task. The corrupt record
+    parses as "content truncated" and the reader resyncs on the next
+    ``\\r\\n\\r\\nWARC/`` boundary, so the record after it still
+    flows with its exact body."""
+    import hashlib
+
+    from dolphinbeat_spark.sources.warc import encode_warc, read_warc
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 3)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        pat = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
+        mk = lambda n, body: {  # noqa: E731
+            "type": "response", "record_id": f"<urn:uuid:{i}-{n}>",
+            "target_uri": f"http://ex.com/{i}/{n}", "content": body,
+            "http": {"status": 200, "content_type": "text/plain"},
+        }
+        bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Record-ID: <urn:uuid:bad>\r\n"
+               b"Content-Length: 999999\r\n\r\ntruncated!\r\n\r\n")
+        payload = (encode_warc([mk(0, pat[0:40])]) + bad
+                   + encode_warc([mk(2, pat[40:96])]))
+        rows.append((i, bytearray(payload)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return (
+        read_warc(media, errors="capture")
+        .select("media_id", "record_idx", "http_status", "body_text",
+                F.col("error").isNotNull().alias("is_error"))
         .orderBy("media_id", "record_idx")
     )
 

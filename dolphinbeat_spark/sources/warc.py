@@ -64,12 +64,72 @@ def _gunzip_members(data: bytes) -> bytes:
     return bytes(out)
 
 
-def iter_warc_records(data: bytes):
+def _parse_record(data: bytes, pos: int) -> tuple[dict, int]:
+    """Parse ONE record at ``pos`` -> (record dict, next pos).
+    Raises WarcError on any framing violation."""
+    n = len(data)
+    eol = data.find(b"\r\n", pos)
+    if eol < 0:
+        raise WarcError("WARC version line not terminated")
+    version = data[pos:eol]
+    if not version.startswith(b"WARC/"):
+        raise WarcError(
+            f"expected WARC/1.x version line at {pos}, got "
+            f"{version[:20]!r}"
+        )
+    hdr_end = data.find(b"\r\n\r\n", eol)
+    if hdr_end < 0:
+        raise WarcError("WARC header block not terminated")
+    headers: dict[str, str] = {}
+    for line in data[eol + 2:hdr_end].split(b"\r\n"):
+        if b":" not in line:
+            raise WarcError(f"malformed WARC header line {line[:40]!r}")
+        k, v = line.split(b":", 1)
+        headers[k.strip().decode("ascii", "replace").lower()] = (
+            v.strip().decode("utf-8", "replace")
+        )
+    try:
+        clen = int(headers["content-length"])
+    except (KeyError, ValueError):
+        raise WarcError("WARC record lacks a valid Content-Length")
+    body_start = hdr_end + 4
+    if body_start + clen > n:
+        raise WarcError("WARC record content truncated")
+    content = data[body_start:body_start + clen]
+    sep = data[body_start + clen:body_start + clen + 4]
+    if sep not in (b"\r\n\r\n", b""):
+        raise WarcError("WARC record separator missing")
+    return {
+        "version": version.decode("ascii", "replace"),
+        "headers": headers,
+        "content": content,
+    }, body_start + clen + 4
+
+
+def iter_warc_records(data: bytes, errors: str = "strict"):
     """Yield dicts per WARC record: headers (case-insensitive keyed),
     content bytes, and the framing offsets. Accepts plain or
-    gzip-membered input."""
+    gzip-membered input.
+
+    ``errors="capture"`` isolates per-RECORD framing failures: instead
+    of the exception killing the whole payload (and at scale the whole
+    1 GB segment's Spark task — corrupt records are a statistical
+    certainty in wild crawls, not an anomaly), a ``{"error": msg}``
+    dict is yielded and the parser RESYNCS at the next
+    ``\\r\\n\\r\\nWARC/`` boundary, so the good records before and
+    after a corrupt one still flow. The default stays strict — right
+    for fixtures and format debugging."""
+    if errors not in ("strict", "capture"):
+        raise ValueError(f"errors={errors!r}: expected strict|capture")
+    capture = errors == "capture"
     if data[:2] == b"\x1f\x8b":
-        data = _gunzip_members(data)
+        try:
+            data = _gunzip_members(data)
+        except WarcError as ex:
+            if not capture:
+                raise
+            data, _ = _gunzip_members_salvage(data)
+            yield {"error": f"{ex} (salvaged {len(data)} plaintext bytes)"}
     pos = 0
     n = len(data)
     while pos < n:
@@ -78,43 +138,44 @@ def iter_warc_records(data: bytes):
             pos += 2
         if pos >= n:
             break
-        eol = data.find(b"\r\n", pos)
-        if eol < 0:
-            raise WarcError("WARC version line not terminated")
-        version = data[pos:eol]
-        if not version.startswith(b"WARC/"):
-            raise WarcError(
-                f"expected WARC/1.x version line at {pos}, got "
-                f"{version[:20]!r}"
-            )
-        hdr_end = data.find(b"\r\n\r\n", eol)
-        if hdr_end < 0:
-            raise WarcError("WARC header block not terminated")
-        headers: dict[str, str] = {}
-        for line in data[eol + 2:hdr_end].split(b"\r\n"):
-            if b":" not in line:
-                raise WarcError(f"malformed WARC header line {line[:40]!r}")
-            k, v = line.split(b":", 1)
-            headers[k.strip().decode("ascii", "replace").lower()] = (
-                v.strip().decode("utf-8", "replace")
-            )
         try:
-            clen = int(headers["content-length"])
-        except (KeyError, ValueError):
-            raise WarcError("WARC record lacks a valid Content-Length")
-        body_start = hdr_end + 4
-        if body_start + clen > n:
-            raise WarcError("WARC record content truncated")
-        content = data[body_start:body_start + clen]
-        sep = data[body_start + clen:body_start + clen + 4]
-        if sep not in (b"\r\n\r\n", b""):
-            raise WarcError("WARC record separator missing")
-        yield {
-            "version": version.decode("ascii", "replace"),
-            "headers": headers,
-            "content": content,
-        }
-        pos = body_start + clen + 4
+            rec, pos = _parse_record(data, pos)
+        except WarcError as ex:
+            if not capture:
+                raise
+            yield {"error": str(ex)}
+            nxt = data.find(b"\r\n\r\nWARC/", pos)
+            if nxt < 0:
+                break
+            pos = nxt + 4
+            continue
+        yield rec
+
+
+def _gunzip_members_salvage(data: bytes) -> tuple[bytes, bool]:
+    """Best-effort member walk for capture mode: decode every gzip
+    member that inflates cleanly, resyncing on the next 1f8b magic
+    after a bad one. Returns (plaintext, any_member_failed)."""
+    out = bytearray()
+    rest = data
+    failed = False
+    while rest:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(rest)
+        except zlib.error:
+            failed = True
+            nxt = rest.find(b"\x1f\x8b", 2)
+            if nxt < 0:
+                break
+            rest = rest[nxt:]
+            continue
+        if not d.eof:
+            failed = True
+            break
+        out += chunk
+        rest = d.unused_data
+    return bytes(out), failed
 
 
 def _dechunk(body: bytes) -> bytes:
@@ -150,15 +211,35 @@ def _dechunk(body: bytes) -> bytes:
 
 def _inflate_coding(coding: str, body: bytes) -> bytes:
     """Apply ONE reversed content/transfer coding (RFC 9110 §8.4):
-    gzip/x-gzip via the gzip wrapper, deflate tolerating both the
-    spec'd zlib wrapper and the raw-deflate form common in the wild
-    (the dual-window probe every browser ships). Unsupported codings
-    (br, zstd, compress) raise by name."""
+    gzip/x-gzip via the gzip wrapper — looping over CONCATENATED
+    members, since multi-member gzip is a legal coding (RFC 1952 §2.2
+    via RFC 9110 §8.4.1.3; curl/browsers decode all members) and a
+    single ``zlib.decompress`` silently truncates to the first member
+    — deflate tolerating both the spec'd zlib wrapper and the
+    raw-deflate form common in the wild (the dual-window probe every
+    browser ships), zstd through the in-repo RFC 8878 decoder
+    (operators/zstd_frame.py, the same path JSONL/binlog use).
+    Non-gzip trailing bytes after a gzip member raise typed — that is
+    corruption, not a member."""
     if coding in ("gzip", "x-gzip"):
-        try:
-            return zlib.decompress(body, wbits=31)
-        except zlib.error as ex:
-            raise WarcError(f"gzip HTTP body fails to inflate: {ex}") from ex
+        out = bytearray()
+        rest = body
+        while rest:
+            if rest[:2] != b"\x1f\x8b":
+                raise WarcError(
+                    "gzip HTTP body has non-gzip trailing bytes "
+                    f"({rest[:8]!r}) after {len(out)} decoded"
+                )
+            d = zlib.decompressobj(wbits=31)
+            try:
+                out += d.decompress(rest)
+            except zlib.error as ex:
+                raise WarcError(
+                    f"gzip HTTP body fails to inflate: {ex}") from ex
+            if not d.eof:
+                raise WarcError("gzip HTTP body ends mid-member")
+            rest = d.unused_data
+        return bytes(out)
     if coding == "deflate":
         try:
             return zlib.decompress(body, wbits=15)
@@ -169,27 +250,54 @@ def _inflate_coding(coding: str, body: bytes) -> bytes:
                 raise WarcError(
                     f"deflate HTTP body fails to inflate: {ex}"
                 ) from ex
+    if coding == "zstd":
+        from dolphinbeat_spark.operators.zstd_frame import (
+            ZstdError, decode_zstd,
+        )
+        try:
+            return decode_zstd(body)
+        except ZstdError as ex:
+            raise WarcError(f"zstd HTTP body fails to decode: {ex}") from ex
     raise NotImplementedError(
-        f"HTTP content coding {coding!r} not supported (gzip/deflate/"
-        "chunked/identity; br and zstd need external codecs)"
+        f"HTTP content coding {coding!r} not supported "
+        "(gzip/deflate/zstd/chunked/identity; br needs RFC 7932)"
     )
 
 
-def _split_http(content: bytes) -> tuple[
+def _split_http(content: bytes, strict: bool = True) -> tuple[
         int | None, str | None, bytes, str | None]:
     """An application/http payload -> (status, content_type, body,
     encodings_applied). Transfer-Encoding chunked framing is removed
     and Content-/Transfer-Encoding content codings (gzip, x-gzip,
-    deflate) are inflated — wild WARCs (wget/warcprox/Heritrix, older
-    Common Crawl) store the raw HTTP payload, so without this a
+    deflate, zstd) are inflated — wild WARCs (wget/warcprox/Heritrix,
+    older Common Crawl) store the raw HTTP payload, so without this a
     gzip'd response flows as binary garbage into the charset detector
     and every downstream gate. ``encodings_applied`` is the
     comma-joined coding list actually undone (wire order), None when
-    the body was identity."""
-    hdr_end = content.find(b"\r\n\r\n")
+    the body was identity.
+
+    Bare-LF envelopes (sloppy servers/proxies terminate headers with
+    ``\\n\\n``) split on the lenient ``\\r?\\n`` grammar RFC 9112
+    §2.2 tells parsers they MAY accept — otherwise the whole header
+    block flows into body_text and poisons token stats and shingles.
+
+    ``strict=False`` contains coding failures per RESPONSE: an
+    unsupported (br) or corrupt coded body falls back to the raw
+    entity bytes with ``encodings_applied`` set to
+    ``"unresolved:<declared list>"`` instead of raising — one bad
+    response must not poison a 1 GB WARC segment."""
+    crlf_end = content.find(b"\r\n\r\n")
+    lf_end = content.find(b"\n\n")
+    # earliest terminator wins: LF-only headers may precede a binary
+    # body that happens to contain \r\n\r\n
+    if crlf_end >= 0 and (lf_end < 0 or crlf_end <= lf_end):
+        hdr_end, sep_len = crlf_end, 4
+    else:
+        hdr_end, sep_len = lf_end, 2
     if hdr_end < 0 or not content.startswith(b"HTTP/"):
         return None, None, content, None
-    lines = content[:hdr_end].split(b"\r\n")
+    lines = [ln[:-1] if ln.endswith(b"\r") else ln
+             for ln in content[:hdr_end].split(b"\n")]
     parts = lines[0].split(None, 2)
     status = None
     if len(parts) >= 2 and parts[1].isdigit():
@@ -210,22 +318,29 @@ def _split_http(content: bytes) -> tuple[
         elif key == b"content-encoding":
             ce += [t.strip().lower() for t in
                    v.decode("ascii", "replace").split(",") if t.strip()]
-    body = content[hdr_end + 4:]
+    raw_body = content[hdr_end + sep_len:]
     # codings were applied in list order (TE after CE), so undo in
     # reverse: TE right-to-left (chunked is always outermost per RFC
     # 9112 §6.1), then CE right-to-left
     applied: list[str] = []
-    for coding in reversed(te):
-        if coding == "identity":
-            continue
-        body = _dechunk(body) if coding == "chunked" \
-            else _inflate_coding(coding, body)
-        applied.append(coding)
-    for coding in reversed(ce):
-        if coding == "identity":
-            continue
-        body = _inflate_coding(coding, body)
-        applied.append(coding)
+    body = raw_body
+    try:
+        for coding in reversed(te):
+            if coding == "identity":
+                continue
+            body = _dechunk(body) if coding == "chunked" \
+                else _inflate_coding(coding, body)
+            applied.append(coding)
+        for coding in reversed(ce):
+            if coding == "identity":
+                continue
+            body = _inflate_coding(coding, body)
+            applied.append(coding)
+    except (WarcError, NotImplementedError):
+        if strict:
+            raise
+        declared = ",".join(c for c in te + ce if c != "identity")
+        return status, ctype, raw_body, f"unresolved:{declared}"
     applied.reverse()  # report in wire order
     return status, ctype, body, ",".join(applied) or None
 
@@ -267,7 +382,7 @@ WARC_BINARY_SCHEMA = StructType(
 
 
 def read_warc(df: DataFrame, text_limit: int = 1 << 20,
-              binary: bool = False) -> DataFrame:
+              binary: bool = False, errors: str = "strict") -> DataFrame:
     """(media_id, payload) -> one row per WARC record. For
     ``application/http`` payloads the HTTP envelope is split off:
     http_status/content_type come from it and body stats cover the
@@ -284,16 +399,44 @@ def read_warc(df: DataFrame, text_limit: int = 1 << 20,
     instead (no charset decode) — the decode-chain mode for the
     non-text share of a crawl: PDF responses route into pdf_extract,
     image responses into decode_media, exactly as archive members do
-    via read_archive(binary=True)."""
+    via read_archive(binary=True).
+
+    HTTP coding failures are contained per RESPONSE in every mode: an
+    unsupported (br) or corrupt (truncated gzip, bad chunk framing)
+    coded body falls back to the raw entity bytes with
+    ``http_encoding = "unresolved:<declared list>"`` — the record
+    flows (no data loss, downstream can filter on the marker) instead
+    of one bad response killing the whole WARC payload's task.
+
+    ``errors="capture"`` additionally isolates per-record WARC
+    FRAMING failures: the output schema gains an ``error`` string
+    column (null on good rows); a corrupt record becomes one
+    error-only row (all fields null but media_id/record_idx/error)
+    and the parser resyncs, so the other records in the payload still
+    flow. The default stays strict — one corrupt record raises, the
+    right behavior for fixtures and format debugging; capture is the
+    wild-crawl mode."""
     from dolphinbeat_spark.sources.charset import detect_and_decode
 
     schema = WARC_BINARY_SCHEMA if binary else WARC_SCHEMA
+    capture = errors == "capture"
+    if capture:
+        schema = StructType(
+            schema.fields + [StructField("error", StringType())])
+    elif errors != "strict":
+        raise ValueError(f"errors={errors!r}: expected strict|capture")
+    ncols = len(schema.fields)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, raw in zip(pdf["media_id"], pdf["payload"]):
-                for i, rec in enumerate(iter_warc_records(bytes(raw))):
+                for i, rec in enumerate(
+                        iter_warc_records(bytes(raw), errors=errors)):
+                    if "error" in rec:  # capture mode only
+                        rows.append((mid, i) + (None,) * (ncols - 3)
+                                    + (rec["error"],))
+                        continue
                     h = rec["headers"]
                     content = rec["content"]
                     status = None
@@ -302,7 +445,8 @@ def read_warc(df: DataFrame, text_limit: int = 1 << 20,
                     henc = None
                     if ctype and ctype.split(";")[0].strip() \
                             == "application/http":
-                        status, ctype, body, henc = _split_http(content)
+                        status, ctype, body, henc = _split_http(
+                            content, strict=False)
                     base = (
                         mid, i, h.get("warc-type"), h.get("warc-record-id"),
                         h.get("warc-target-uri"), h.get("warc-date"),
@@ -310,10 +454,11 @@ def read_warc(df: DataFrame, text_limit: int = 1 << 20,
                         hashlib.md5(body).hexdigest(),
                     )
                     if binary:
-                        rows.append(base + (bytearray(body),))
+                        base = base + (bytearray(body),)
                     else:
                         text, charset = detect_and_decode(body, ctype)
-                        rows.append(base + (text[:text_limit], charset))
+                        base = base + (text[:text_limit], charset)
+                    rows.append((base + (None,)) if capture else base)
             yield pd.DataFrame(
                 rows, columns=[f.name for f in schema.fields]
             )
@@ -331,10 +476,14 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
     (optional dict {status, content_type, content_encoding, chunked,
     raw_deflate, extra_headers} — wraps content in an HTTP response
     envelope with the application/http WARC content type;
-    ``content_encoding`` gzip/deflate compresses the entity body and
-    stamps the header (``raw_deflate=True`` writes the wrapper-less
-    wild-server form), ``chunked=True`` applies chunked transfer
-    framing outermost and stamps Transfer-Encoding)."""
+    ``content_encoding`` gzip/deflate/zstd compresses the entity body
+    and stamps the header (``raw_deflate=True`` writes the
+    wrapper-less wild-server form; ``gzip_parts=N`` writes the body
+    as N concatenated gzip MEMBERS, the legal RFC 1952 multi-member
+    form), ``chunked=True`` applies chunked transfer framing
+    outermost and stamps Transfer-Encoding, ``bare_lf=True`` writes
+    the HTTP envelope with LF-only line endings as sloppy
+    servers/proxies do)."""
     out = bytearray()
     for r in records:
         content = r["content"]
@@ -347,9 +496,22 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
                          f"Content-Type: {hct}"]
             cenc = r["http"].get("content_encoding")
             if cenc == "gzip":
-                co = zlib.compressobj(6, zlib.DEFLATED, 31)
-                body = co.compress(body) + co.flush()
+                parts = r["http"].get("gzip_parts", 1)
+                step = max(1, -(-len(body) // parts))
+                pieces = [body[o:o + step]
+                          for o in range(0, len(body), step)] or [b""]
+                gz = bytearray()
+                for piece in pieces:
+                    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+                    gz += co.compress(piece) + co.flush()
+                body = bytes(gz)
                 hdrs_http.append("Content-Encoding: gzip")
+            elif cenc == "zstd":
+                from dolphinbeat_spark.operators.zstd_frame import (
+                    encode_zstd_store,
+                )
+                body = encode_zstd_store(body)
+                hdrs_http.append("Content-Encoding: zstd")
             elif cenc == "deflate":
                 if r["http"].get("raw_deflate"):
                     co = zlib.compressobj(6, zlib.DEFLATED, -15)
@@ -375,7 +537,8 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
                 body = bytes(chunked)
             else:
                 hdrs_http.append(f"Content-Length: {len(body)}")
-            content = ("\r\n".join(hdrs_http) + "\r\n\r\n").encode() + body
+            nl = "\n" if r["http"].get("bare_lf") else "\r\n"
+            content = (nl.join(hdrs_http) + nl * 2).encode() + body
             ctype = "application/http; msgtype=response"
         hdrs = [f"WARC-Type: {r['type']}",
                 f"WARC-Record-ID: {r['record_id']}"]

@@ -2221,6 +2221,13 @@ def test_warc_http_body_decoding():
         ({"content_encoding": "deflate", "raw_deflate": True}, "deflate"),
         ({"chunked": True}, "chunked"),
         ({"content_encoding": "gzip", "chunked": True}, "gzip,chunked"),
+        # multi-member gzip (RFC 1952 §2.2): members concatenate
+        ({"content_encoding": "gzip", "gzip_parts": 3}, "gzip"),
+        # zstd (RFC 8878) through the in-repo frame decoder
+        ({"content_encoding": "zstd"}, "zstd"),
+        # LF-only envelope from a sloppy server
+        ({"bare_lf": True}, None),
+        ({"content_encoding": "gzip", "bare_lf": True}, "gzip"),
     ]
     recs = [
         {"type": "response", "record_id": f"<urn:uuid:{n}>",
@@ -2268,14 +2275,32 @@ def test_warc_http_body_decoding_hostile():
     with pytest.raises(WarcError, match="CRLF-terminated"):
         _split_http(http(b"Transfer-Encoding: chunked",
                          b"2\r\nabXX0\r\n\r\n"))
-    with pytest.raises(WarcError, match="gzip.*inflate"):
+    with pytest.raises(WarcError, match="gzip"):
         _split_http(http(b"Content-Encoding: gzip", b"not gzip at all"))
     with pytest.raises(WarcError, match="deflate.*inflate"):
         _split_http(http(b"Content-Encoding: deflate", b"\x00\x01garbage"))
     with pytest.raises(NotImplementedError, match="br"):
         _split_http(http(b"Content-Encoding: br", b"whatever"))
-    with pytest.raises(NotImplementedError, match="zstd"):
-        _split_http(http(b"Content-Encoding: zstd", b"whatever"))
+    with pytest.raises(WarcError, match="zstd"):
+        _split_http(http(b"Content-Encoding: zstd", b"\x00bad frame"))
+    # trailing garbage after a valid gzip member is corruption, not a
+    # member — silently ignoring it hides data loss
+    import zlib as _z2
+    co = _z2.compressobj(6, _z2.DEFLATED, 31)
+    gz_ok = co.compress(b"hello ") + co.flush()
+    with pytest.raises(WarcError, match="trailing"):
+        _split_http(http(b"Content-Encoding: gzip", gz_ok + b"JUNK"))
+    # truncated mid-member raises (was silently empty pre-r12)
+    with pytest.raises(WarcError, match="mid-member"):
+        _split_http(http(b"Content-Encoding: gzip", gz_ok[:-4]))
+    # strict=False containment: raw bytes flow with the unresolved
+    # coding marked — one br response must not kill a WARC segment
+    st, ct, out, enc = _split_http(
+        http(b"Content-Encoding: br", b"whatever"), strict=False)
+    assert (st, out, enc) == (200, b"whatever", "unresolved:br")
+    st, _, out, enc = _split_http(
+        http(b"Transfer-Encoding: chunked", b"ff\r\nshort"), strict=False)
+    assert out == b"ff\r\nshort" and enc == "unresolved:chunked"
     # lying Content-Length: body is what the WARC record framed
     st, _, out, enc = _split_http(
         http(b"Content-Length: 99999", b"actual short body"))
@@ -2319,6 +2344,84 @@ def test_read_warc_spark(spark):
     assert got.warc_type == "response" and got.http_status == 200
     assert got.content_type == "text/plain"
     assert got.body_text == "body-bytes" and got.body_len == 10
+
+
+def test_warc_capture_mode_isolates_corrupt_record(spark):
+    """errors="capture": one corrupt record among three becomes one
+    error row and the OTHER records still flow (resync on the next
+    \\r\\n\\r\\nWARC/ boundary); strict mode still raises. At 100 TB
+    a corrupt record per segment is a statistical certainty — one must
+    not kill a 1 GB segment's task."""
+    import pytest
+
+    from dolphinbeat_spark.sources.warc import (
+        WarcError, encode_warc, iter_warc_records, read_warc,
+    )
+
+    def rec(n, body):
+        return {"type": "response", "record_id": f"<urn:uuid:{n}>",
+                "target_uri": f"http://x/{n}", "content": body,
+                "http": {"status": 200, "content_type": "text/plain"}}
+
+    r0 = encode_warc([rec(0, b"first-ok")])
+    # corrupt record 1: its Content-Length claims bytes that aren't
+    # there — the truncated-capture shape
+    r1 = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+          b"WARC-Record-ID: <urn:uuid:bad>\r\n"
+          b"Content-Length: 999999\r\n\r\nsecond-corrupt\r\n\r\n")
+    r2 = encode_warc([rec(2, b"third-ok")])
+    payload = r0 + r1 + r2
+    with pytest.raises(WarcError):
+        list(iter_warc_records(payload))
+    got = list(iter_warc_records(payload, errors="capture"))
+    bodies = [g["content"][-9:] for g in got if "error" not in g]
+    assert any(b"first-ok" in b for b in bodies)
+    assert any(b"third-ok" in b for b in bodies)
+    assert sum("error" in g for g in got) >= 1
+    # Spark surface: error column, good rows flow, nulls elsewhere
+    df = spark.createDataFrame([(9, bytearray(payload))],
+                               "media_id long, payload binary")
+    with pytest.raises(Exception):
+        read_warc(df).collect()
+    rows = read_warc(df, errors="capture").collect()
+    ok = [r for r in rows if r.error is None]
+    bad = [r for r in rows if r.error is not None]
+    assert len(bad) >= 1 and bad[0].body_text is None
+    assert sorted(r.body_text for r in ok) == ["first-ok", "third-ok"]
+    # capture over gzip members: a corrupt MEMBER salvages the rest
+    gz = bytearray(encode_warc([rec(0, b"m-one"), rec(1, b"m-two"),
+                                rec(2, b"m-three")], gzip_members=True))
+    gz[12] ^= 0xFF  # corrupt inside member 0's deflate stream
+    with pytest.raises(WarcError):
+        list(iter_warc_records(bytes(gz)))
+    got = list(iter_warc_records(bytes(gz), errors="capture"))
+    salvaged = b"".join(g["content"] for g in got if "error" not in g)
+    assert b"m-two" in salvaged and b"m-three" in salvaged
+    assert sum("error" in g for g in got) >= 1
+
+
+def test_read_warc_unresolved_coding_flows(spark):
+    """ADVICE r11: a br-coded response (ubiquitous in crawls) must not
+    fail the whole WARC payload — read_warc contains the coding
+    failure, emits the RAW entity bytes, and marks http_encoding
+    "unresolved:br" so downstream can filter."""
+    from dolphinbeat_spark.sources.warc import encode_warc, read_warc
+
+    raw_http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                b"Content-Encoding: br\r\n\r\n\x1b\x03\x00whatever")
+    recs = [
+        {"type": "response", "record_id": "<a>", "content": b"plain-ok",
+         "http": {"status": 200, "content_type": "text/plain"}},
+        {"type": "response", "record_id": "<b>", "content": raw_http,
+         "content_type": "application/http; msgtype=response"},
+    ]
+    df = spark.createDataFrame(
+        [(3, bytearray(encode_warc(recs)))], "media_id long, payload binary")
+    rows = {r.record_id: r for r in read_warc(df).collect()}
+    assert rows["<a>"].body_text == "plain-ok"
+    assert rows["<b>"].http_encoding == "unresolved:br"
+    assert rows["<b>"].http_status == 200
+    assert rows["<b>"].body_len == len(b"\x1b\x03\x00whatever")
 
 
 # --- TIFF (operators/tiff.py) -------------------------------------------------
