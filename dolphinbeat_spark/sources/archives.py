@@ -198,7 +198,8 @@ def _aes_decrypt_member(raw: bytes, password: bytes, strength: int,
     return aes_ctr(enc_key, body, little_endian=True, initial=1)
 
 
-def iter_zip_members(data: bytes, password: bytes | None = None):
+def iter_zip_members(data: bytes, password: bytes | None = None,
+                     errors: str = "strict"):
     """Yield (name, content) per ZIP member via the central
     directory; CRC-verified. Zip64 (APPNOTE 4.3.14/4.3.15: EOCD64
     locator + record, 0x0001 extended-information extras) is handled
@@ -206,48 +207,17 @@ def iter_zip_members(data: bytes, password: bytes | None = None):
     routine at 100 TB scale. ``password`` decrypts traditional
     ZipCrypto members (APPNOTE 6.1, the password-protected bundle
     format; the 12-byte crypto header's check byte catches a wrong
-    password before CRC); AES-encrypted members raise by name."""
-    # EOCD: scan back over ≤64 KiB of trailing comment
-    lo = max(0, len(data) - 65536 - 22)
-    eocd = data.rfind(b"PK\x05\x06", lo)
-    if eocd < 0:
-        raise ArchiveError("ZIP end-of-central-directory not found")
-    ndisk, cddisk, nhere, ntotal, cdsize, cdoff, clen = struct.unpack_from(
-        "<HHHHIIH", data, eocd + 4
-    )
-    # Zip64 EOCD locator sits immediately before the EOCD (4.3.15)
-    if eocd >= 20 and data[eocd - 20:eocd - 16] == b"PK\x06\x07":
-        locdisk, e64off, totdisks = struct.unpack_from(
-            "<IQI", data, eocd - 16
-        )
-        if e64off + 56 > len(data) or data[e64off:e64off + 4] != b"PK\x06\x06":
-            raise ArchiveError("Zip64 EOCD record missing at locator offset")
-        (ndisk, cddisk, nhere, ntotal, cdsize, cdoff) = struct.unpack_from(
-            "<IIQQQQ", data, e64off + 16
-        )
-    elif ntotal == 0xFFFF or cdoff == 0xFFFFFFFF or cdsize == 0xFFFFFFFF:
-        raise ArchiveError(
-            "EOCD fields are Zip64-maxed but no Zip64 EOCD locator found"
-        )
-    if ndisk or cddisk:
-        raise NotImplementedError("multi-disk ZIP not supported")
-    pos = cdoff
-    for _ in range(ntotal):
-        if data[pos:pos + 4] != b"PK\x01\x02":
-            raise ArchiveError(f"central directory entry missing at {pos}")
-        (method, crc, csize, usize, nlen, elen, klen) = struct.unpack(
-            "<H I I I H H H",
-            data[pos + 10:pos + 12] + data[pos + 16:pos + 32]
-            + data[pos + 32:pos + 34],
-        )
-        flags = struct.unpack_from("<H", data, pos + 8)[0]
-        (lho,) = struct.unpack_from("<I", data, pos + 42)
-        name = data[pos + 46:pos + 46 + nlen].decode("utf-8", "replace")
-        if 0xFFFFFFFF in (usize, csize, lho):
-            extra = data[pos + 46 + nlen:pos + 46 + nlen + elen]
-            usize, csize, lho = _zip64_extra(extra, usize, csize, lho, name)
-        extra_field = data[pos + 46 + nlen:pos + 46 + nlen + elen]
-        pos += 46 + nlen + elen + klen
+    password before CRC); AES-encrypted members raise by name.
+
+    ``errors="capture"`` yields (name, content, error) 3-tuples and
+    isolates per-MEMBER failures (truncated data, CRC mismatch,
+    unsupported method, wrong password): the central directory drives
+    iteration, so one bad member costs one error tuple, not the
+    archive. Directory-level failures still end iteration with one
+    error tuple."""
+    capture = errors == "capture"
+    def _decode_member(name, flags, method, crc, csize, usize, lho,
+                       extra_field):
         if flags & 0x1 and password is None:
             raise NotImplementedError(
                 f"encrypted ZIP member {name!r} (pass password= for "
@@ -309,33 +279,121 @@ def iter_zip_members(data: bytes, password: bytes | None = None):
         # the ciphertext instead); everything else is CRC-verified
         if crc is not None and zlib.crc32(content) & 0xFFFFFFFF != crc:
             raise ArchiveError(f"member {name!r} CRC-32 mismatch")
-        yield name, content
+        return content
+
+    try:
+        # EOCD: scan back over ≤64 KiB of trailing comment
+        lo = max(0, len(data) - 65536 - 22)
+        eocd = data.rfind(b"PK\x05\x06", lo)
+        if eocd < 0:
+            raise ArchiveError("ZIP end-of-central-directory not found")
+        ndisk, cddisk, nhere, ntotal, cdsize, cdoff, clen = \
+            struct.unpack_from("<HHHHIIH", data, eocd + 4)
+        # Zip64 EOCD locator sits immediately before the EOCD (4.3.15)
+        if eocd >= 20 and data[eocd - 20:eocd - 16] == b"PK\x06\x07":
+            locdisk, e64off, totdisks = struct.unpack_from(
+                "<IQI", data, eocd - 16
+            )
+            if e64off + 56 > len(data) \
+                    or data[e64off:e64off + 4] != b"PK\x06\x06":
+                raise ArchiveError(
+                    "Zip64 EOCD record missing at locator offset")
+            (ndisk, cddisk, nhere, ntotal, cdsize, cdoff) = \
+                struct.unpack_from("<IIQQQQ", data, e64off + 16)
+        elif ntotal == 0xFFFF or cdoff == 0xFFFFFFFF or cdsize == 0xFFFFFFFF:
+            raise ArchiveError(
+                "EOCD fields are Zip64-maxed but no Zip64 EOCD locator found"
+            )
+        if ndisk or cddisk:
+            raise NotImplementedError("multi-disk ZIP not supported")
+    except (ArchiveError, NotImplementedError) as ex:
+        if not capture:
+            raise
+        yield None, None, str(ex)
+        return
+    pos = cdoff
+    for _ in range(ntotal):
+        name = None
+        try:
+            if data[pos:pos + 4] != b"PK\x01\x02":
+                raise ArchiveError(
+                    f"central directory entry missing at {pos}")
+            (method, crc, csize, usize, nlen, elen, klen) = struct.unpack(
+                "<H I I I H H H",
+                data[pos + 10:pos + 12] + data[pos + 16:pos + 32]
+                + data[pos + 32:pos + 34],
+            )
+            flags = struct.unpack_from("<H", data, pos + 8)[0]
+            (lho,) = struct.unpack_from("<I", data, pos + 42)
+            name = data[pos + 46:pos + 46 + nlen].decode("utf-8", "replace")
+            if 0xFFFFFFFF in (usize, csize, lho):
+                extra = data[pos + 46 + nlen:pos + 46 + nlen + elen]
+                usize, csize, lho = _zip64_extra(
+                    extra, usize, csize, lho, name)
+            extra_field = data[pos + 46 + nlen:pos + 46 + nlen + elen]
+        except (ArchiveError, NotImplementedError, struct.error) as ex:
+            # the central directory itself is unwalkable past here
+            if not capture:
+                raise
+            yield name, None, str(ex)
+            return
+        pos += 46 + nlen + elen + klen
+        try:
+            content = _decode_member(name, flags, method, crc, csize,
+                                     usize, lho, extra_field)
+        except (ArchiveError, NotImplementedError) as ex:
+            if not capture:
+                raise
+            yield name, None, str(ex)
+            continue
+        yield (name, content, None) if capture else (name, content)
 
 
-def iter_tar_members(data: bytes):
+def iter_tar_members(data: bytes, errors: str = "strict"):
     """Yield (name, content) per regular file in a ustar TAR, with
     transparent compression unwrap by magic: gzip (.tar.gz), bzip2
     (.tar.bz2) and xz (.tar.xz) — the three wrappers dataset bundles
-    actually ship in (all stdlib decompressors)."""
-    if data[:2] == b"\x1f\x8b":
-        try:
-            data = zlib.decompress(data, wbits=31)
-        except zlib.error as ex:
-            raise ArchiveError(f"bad gzip wrapper: {ex}") from ex
-    elif data[:3] == b"BZh":
-        import bz2
+    actually ship in (all stdlib decompressors).
 
-        try:
-            data = bz2.decompress(data)
-        except (OSError, ValueError) as ex:
-            raise ArchiveError(f"bad bzip2 wrapper: {ex}") from ex
-    elif data[:6] == b"\xfd7zXZ\x00":
-        import lzma
+    ``errors="capture"`` yields (name, content, error) 3-tuples; a
+    corrupt header (bad checksum/size field) costs one error tuple
+    and the walk RESYNCS by scanning forward one 512-byte block at a
+    time for the next header whose checksum verifies — TAR framing is
+    sequential, so this is the only recovery that exists."""
+    capture = errors == "capture"
+    try:
+        if data[:2] == b"\x1f\x8b":
+            try:
+                data = zlib.decompress(data, wbits=31)
+            except zlib.error as ex:
+                raise ArchiveError(f"bad gzip wrapper: {ex}") from ex
+        elif data[:3] == b"BZh":
+            import bz2
 
+            try:
+                data = bz2.decompress(data)
+            except (OSError, ValueError) as ex:
+                raise ArchiveError(f"bad bzip2 wrapper: {ex}") from ex
+        elif data[:6] == b"\xfd7zXZ\x00":
+            import lzma
+
+            try:
+                data = lzma.decompress(data)
+            except lzma.LZMAError as ex:
+                raise ArchiveError(f"bad xz wrapper: {ex}") from ex
+    except ArchiveError as ex:
+        if not capture:
+            raise
+        yield None, None, str(ex)
+        return
+
+    def _hdr_ok(block: bytes) -> bool:
         try:
-            data = lzma.decompress(data)
-        except lzma.LZMAError as ex:
-            raise ArchiveError(f"bad xz wrapper: {ex}") from ex
+            want = int(block[148:156].split(b"\x00")[0].strip() or b"0", 8)
+        except ValueError:
+            return False
+        return sum(block[:148]) + 8 * 32 + sum(block[156:]) == want
+
     pos = 0
     while pos + 512 <= len(data):
         block = data[pos:pos + 512]
@@ -343,13 +401,28 @@ def iter_tar_members(data: bytes):
             break  # terminator
         name = block[0:100].split(b"\x00")[0].decode("utf-8", "replace")
         try:
-            size = int(block[124:136].split(b"\x00")[0].strip() or b"0", 8)
-        except ValueError:
-            raise ArchiveError(f"bad octal size field at {pos}")
-        want = int(block[148:156].split(b"\x00")[0].strip() or b"0", 8)
-        summed = sum(block[:148]) + 8 * 32 + sum(block[156:])
-        if summed != want:
-            raise ArchiveError(f"tar header checksum mismatch at {pos}")
+            try:
+                size = int(
+                    block[124:136].split(b"\x00")[0].strip() or b"0", 8)
+            except ValueError:
+                raise ArchiveError(f"bad octal size field at {pos}") \
+                    from None
+            want = int(block[148:156].split(b"\x00")[0].strip() or b"0", 8)
+            summed = sum(block[:148]) + 8 * 32 + sum(block[156:])
+            if summed != want:
+                raise ArchiveError(f"tar header checksum mismatch at {pos}")
+        except ArchiveError as ex:
+            if not capture:
+                raise
+            yield name or None, None, str(ex)
+            # resync: scan block-by-block for the next valid header
+            pos += 512
+            while pos + 512 <= len(data):
+                nxt = data[pos:pos + 512]
+                if nxt == bytes(512) or _hdr_ok(nxt):
+                    break
+                pos += 512
+            continue
         typeflag = block[156:157]
         prefix = block[345:500].split(b"\x00")[0].decode("utf-8", "replace")
         if prefix:
@@ -357,10 +430,13 @@ def iter_tar_members(data: bytes):
         pos += 512
         content = data[pos:pos + size]
         if len(content) != size:
+            if capture:
+                yield name, None, f"tar member {name!r} content truncated"
+                return
             raise ArchiveError(f"tar member {name!r} content truncated")
         pos += (size + 511) // 512 * 512
         if typeflag in (b"0", b"\x00"):
-            yield name, content
+            yield (name, content, None) if capture else (name, content)
         # directories / links / pax headers: skipped
 
 
@@ -391,7 +467,8 @@ ARCHIVE_BINARY_SCHEMA = StructType(
 
 def read_archive(df: DataFrame, text_limit: int = 1 << 20,
                  binary: bool = False,
-                 password: bytes | None = None) -> DataFrame:
+                 password: bytes | None = None,
+                 errors: str = "strict") -> DataFrame:
     """(media_id, payload) -> one row per archive member (ZIP or TAR
     by magic), with size and md5. Default mode renders members as a
     capped UTF-8 ``text`` column — shuffle-cheap, for text corpora.
@@ -402,9 +479,21 @@ def read_archive(df: DataFrame, text_limit: int = 1 << 20,
     actually flows at 100 TB. Rows stay one-member-each, so Spark can
     repartition the decode stage independently of archive boundaries.
     ``password`` decrypts protected ZIP members (traditional
-    ZipCrypto or WinZip AE-x AES — r11)."""
+    ZipCrypto or WinZip AE-x AES — r11).
+
+    ``errors="capture"`` (r12) isolates per-MEMBER failures for wild
+    bundles: the output schema gains an ``error`` string column (null
+    on good rows); a corrupt member (CRC mismatch, truncated, bad tar
+    header) becomes one error row and the remaining members still
+    flow. Default stays strict — one corrupt member raises."""
 
     schema = ARCHIVE_BINARY_SCHEMA if binary else ARCHIVE_SCHEMA
+    capture = errors == "capture"
+    if capture:
+        schema = StructType(
+            schema.fields + [StructField("error", StringType())])
+    elif errors != "strict":
+        raise ValueError(f"errors={errors!r}: expected strict|capture")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -414,18 +503,27 @@ def read_archive(df: DataFrame, text_limit: int = 1 << 20,
                 if b[:4] == b"PK\x03\x04" or b.rfind(b"PK\x05\x06") >= 0 \
                         and b[:2] == b"PK":
                     fmt, members = "zip", iter_zip_members(
-                        b, password=password)
+                        b, password=password, errors=errors)
                 else:
-                    fmt, members = "tar", iter_tar_members(b)
-                for i, (name, content) in enumerate(members):
+                    fmt, members = "tar", iter_tar_members(b, errors=errors)
+                for i, member in enumerate(members):
+                    if capture:
+                        name, content, err = member
+                        if err is not None:
+                            rows.append((mid, i, fmt, name, None, None,
+                                         None, err))
+                            continue
+                    else:
+                        name, content = member
                     tail = (
                         bytearray(content) if binary
                         else content[:text_limit].decode("utf-8", "replace")
                     )
-                    rows.append((
+                    row = (
                         mid, i, fmt, name, len(content),
                         hashlib.md5(content).hexdigest(), tail,
-                    ))
+                    )
+                    rows.append((row + (None,)) if capture else row)
             yield pd.DataFrame(
                 rows, columns=[f.name for f in schema.fields]
             )

@@ -2840,6 +2840,53 @@ def test_read_archive_spark(spark):
     assert [r.text for r in got] == ["alpha", "beta-beta"] * 2
 
 
+def test_archive_capture_mode_isolates_corrupt_member(spark):
+    """errors="capture" on read_archive: one corrupt member (flipped
+    STORED byte → CRC mismatch in ZIP; corrupted header checksum in
+    TAR) costs ONE error row; the other members still flow. Strict
+    mode still raises on the same bytes."""
+    import pytest
+
+    from dolphinbeat_spark.sources.archives import (
+        ArchiveError, encode_tar, encode_zip, iter_tar_members,
+        iter_zip_members, read_archive,
+    )
+
+    members = [("a.txt", b"alpha"), ("b.txt", b"bravo"), ("c.txt", b"charlie")]
+    zbad = bytearray(encode_zip(members, deflate=False))
+    zbad[bytes(zbad).index(b"bravo", 30)] ^= 1  # corrupt member b only
+    with pytest.raises(ArchiveError, match="CRC"):
+        list(iter_zip_members(bytes(zbad)))
+    got = list(iter_zip_members(bytes(zbad), errors="capture"))
+    assert [(n, c) for n, c, e in got if e is None] == [
+        ("a.txt", b"alpha"), ("c.txt", b"charlie")]
+    assert [n for n, c, e in got if e is not None] == ["b.txt"]
+
+    tbad = bytearray(encode_tar(members))
+    # corrupt member b's HEADER checksum (header 2 starts at block 2:
+    # a=512 hdr + 512 data, so b's header is at offset 1024)
+    tbad[1024 + 150] ^= 1
+    with pytest.raises(ArchiveError, match="checksum"):
+        list(iter_tar_members(bytes(tbad)))
+    got = list(iter_tar_members(bytes(tbad), errors="capture"))
+    ok = [(n, c) for n, c, e in got if e is None]
+    assert ("a.txt", b"alpha") in ok and ("c.txt", b"charlie") in ok
+    assert sum(e is not None for _, _, e in got) == 1
+
+    # Spark surface: error column; good rows flow with null error
+    df = spark.createDataFrame(
+        [(1, bytearray(zbad)), (2, bytearray(tbad))],
+        "media_id long, payload binary")
+    with pytest.raises(Exception):
+        read_archive(df).collect()
+    rows = read_archive(df, errors="capture").collect()
+    ok = [r for r in rows if r.error is None]
+    bad = [r for r in rows if r.error is not None]
+    assert sorted(r.text for r in ok) == ["alpha", "alpha", "charlie",
+                                          "charlie"]
+    assert len(bad) == 2 and all(r.size is None for r in bad)
+
+
 # --- compressed JSONL (sources/jsonl.py) ---------------------------------------
 
 
