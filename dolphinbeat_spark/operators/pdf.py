@@ -681,6 +681,11 @@ class PdfDocument:
             aes_cbc_decrypt,
         )
 
+        # wild AES-encrypted PDFs commonly store empty strings () as
+        # zero length rather than IV + one padding block; an IV-only
+        # 16-byte payload is the other observed empty-string shape
+        if len(data) == 0 or len(data) == 16:
+            return b""
         if len(data) < 32 or len(data) % 16:
             raise PdfError(
                 f"AESV2 data length {len(data)} is not IV + blocks"
@@ -1081,7 +1086,12 @@ def _extract_page_text(doc: PdfDocument, content: bytes,
             try:
                 _, _, pos = _scan_inline_image(content, pos)
             except PdfError:
-                pass  # tolerate malformed inline images in wild files
+                # malformed inline image in a wild file: resume AFTER
+                # the next whitespace-delimited EI so the binary
+                # payload is not re-tokenized as operators (it would
+                # leak garbage bytes into extracted text)
+                m = _WS_EI_RE.search(content, pos)
+                pos = m.end() if m else len(content)
             operands = []
             continue
         if op == b"BT":

@@ -17,7 +17,10 @@ decodes too (r11): keyframe DCT entropy coding via the from-scratch
 RFC 6386 implementation in operators/vp8.py, with chroma
 nearest-upsampling + libwebp's published fixed-point BT.601 YUV→RGB,
 and ALPH transparency planes (raw or headerless-VP8L compressed,
-PNG-style prediction filters). Animated WebP raises by name.
+PNG-style prediction filters). Animated WebP: ``decode_webp`` on a
+single image raises by name, but ``webp_anim_frames`` /
+``webp_anim_demux`` (r11, below) demux ANMF frames with their
+placement/timing metadata.
 
 Verification (tests/test_multimodal.py, tests/test_vp8.py): the
 decoder is pinned by hand-assembled bitstreams computed from the spec
@@ -493,7 +496,15 @@ def decode_webp(data: bytes) -> tuple[int, int, np.ndarray]:
     """WebP -> (width, height, HxWx4 RGBA uint8). Lossless (VP8L)
     and LOSSY (VP8 keyframe via operators/vp8.py, r11) both decode,
     incl. VP8X-wrapped layouts with an ALPH transparency plane;
-    animations (ANMF) raise by name."""
+    animations (ANMF) raise by name here — use webp_anim_frames for
+    the demux.
+
+    DOCUMENTED DEVIATION (lossy path): chroma is upsampled
+    nearest-neighbor ("simple" mode) while libwebp defaults to fancy
+    upsampling, so decoded RGB can differ from libwebp output at
+    chroma edges even though the YUV planes and the fixed-point
+    BT.601 conversion are exact. Oracles pinning this decoder's RGB
+    output pin THIS upsampler, not libwebp's."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise WebpError("not a WebP payload (RIFF/WEBP)")
     pos = 12

@@ -484,6 +484,42 @@ def test_pdf_inline_images():
         extract_pdf_images(broken)
 
 
+def test_pdf_aes_empty_string_shapes():
+    """ADVICE r11: wild AES-encrypted PDFs store empty strings () as
+    ZERO bytes (not IV + padding block), and some writers emit
+    IV-only 16-byte payloads — both must decrypt to b'' instead of
+    raising; the < 32-byte guard still rejects other short shapes."""
+    from dolphinbeat_spark.operators.pdf import PdfDocument, encode_pdf
+
+    doc = PdfDocument(encode_pdf([["x"]], title="T", encrypt="aes-128"))
+    key = bytes(range(16))
+    assert doc._decrypt_data(key, b"") == b""
+    assert doc._decrypt_data(key, bytes(16)) == b""
+    with pytest.raises(PdfError, match="IV \\+ blocks"):
+        doc._decrypt_data(key, bytes(17))
+    with pytest.raises(PdfError, match="IV \\+ blocks"):
+        doc._decrypt_data(key, bytes(31))
+
+
+def test_pdf_malformed_inline_image_no_text_leak():
+    """ADVICE r11: when the inline-image dict is malformed, the text
+    extractor must NOT re-tokenize the binary payload as content
+    operators (the payload here fakes a (LEAK) Tj show) — it resumes
+    after the next whitespace-delimited EI."""
+    from dolphinbeat_spark.operators.pdf import encode_pdf
+
+    payload = b"(LEAK) Tj " + b"A" * 38  # 48 bytes = 4x4 RGB
+    good = encode_pdf([["before image"]], flate=False,
+                      images=[[("inline-raw", 4, 4, 3, payload)]])
+    assert extract_pdf_text(good).pages == ["before image"]
+    # corrupt the dict, SAME byte length so /Length stays truthful
+    assert b"/W 4" in good
+    broken = good.replace(b"/W 4", b"/W ]")
+    d = extract_pdf_text(broken)
+    assert d.pages == ["before image"]
+    assert "LEAK" not in " ".join(d.pages)
+
+
 def test_pdf_images_spark(spark):
     from dolphinbeat_spark.operators.jpeg import encode_jpeg
     from dolphinbeat_spark.operators.pdf import pdf_images
