@@ -1,0 +1,715 @@
+"""Brotli (RFC 7932) decoder from scratch — the largest remaining
+wild-web HTTP content coding (``Content-Encoding: br`` covers a large
+share of HTTPS responses), closing the r11 boundary at
+sources/warc.py so a crawl's br-coded responses decode through the
+same in-repo path as gzip/deflate/zstd.
+
+Covered, §ref'd to RFC 7932:
+- §9.1 stream header (WBITS window-size code, 10..24),
+- §9.2 meta-block headers: last/empty, metadata blocks (skipped),
+  uncompressed blocks (byte-aligned copy), and the full compressed
+  header (block-type/count codes for the three categories, NPOSTFIX/
+  NDIRECT, literal context modes, context maps, prefix-code arrays),
+- §3 prefix codes: simple (1..4 symbols, tree-select) and complex
+  (the fixed code-length code read in §3.5 order with HSKIP, repeat
+  codes 16/17 with the accumulating repeat rule, 32768-unit space
+  accounting, completeness enforced),
+- §6 context maps: RLEMAX zero-run codes + inverse move-to-front,
+- §7.1 literal context modes LSB6/MSB6/UTF8/Signed (UTF8 lookup
+  tables recovered from the reference library's context table and
+  committed as generated literals — brotli_transforms.py; the Signed
+  quantization is closed-form here),
+- §5 insert&copy commands: the 704-symbol alphabet's cell layout,
+  insert/copy length codes with extra bits (bases GENERATED from the
+  extra-bit ladder so they cannot be mistranscribed),
+- §4 distances: the 16 short codes against the 4-slot ring buffer
+  (initial 4,11,15,16), NDIRECT direct codes, and the
+  NPOSTFIX/hcode/lcode long-distance form; ring buffer updated only
+  for non-zero codes that stay inside the window,
+- §8 static dictionary: the 122,784-byte Appendix A data
+  (brotli_dict.bin, sha256-pinned) addressed by copy length with the
+  word-count geometry hardcoded from §8, plus the 121 Appendix B word
+  transforms (prefix/suffix + identity/omit-first/omit-last/ferment)
+  with the UTF-8-aware ferment uppercasing pseudocode.
+
+Verification (tests/test_brotli.py): golden fixtures produced by the
+REFERENCE encoder (brotlicffi over libbrotlienc, see
+tools/make_brotli_fixtures.py) across qualities 0/5/9/11 and text/
+binary/repetitive shapes — quality 11 exercises the static
+dictionary, transforms, context maps and all three block-switch
+categories; hand-assembled header vectors pin the bit grammar
+independently of any encoder; hostile-bytes tests keep corruption
+typed (BrotliError).
+
+Scale: decode runs inside Arrow ``mapInPandas`` batches one
+response-body-per-row (sources/warc.py) — the distribution story is
+partition-parallel like every other codec in this repo. Pure-Python
+throughput is fixture-scale; the boundary is documented, not hidden.
+
+Reference parity note: the reference repo (a CDC router) has no HTTP
+layer; this extends the LLM-pipeline ingestion path it lacks.
+"""
+
+from __future__ import annotations
+
+import os
+
+__all__ = ["BrotliError", "decode_brotli"]
+
+
+class BrotliError(ValueError):
+    """Typed brotli bitstream error."""
+
+
+# --- static tables -----------------------------------------------------------
+
+# §8: number of dictionary words per copy length is 1 << NDBITS[len]
+_NDBITS = [0, 0, 0, 0, 10, 10, 11, 11, 10, 10, 10, 10, 10, 9, 9, 8,
+           7, 7, 8, 7, 7, 6, 6, 5, 5]
+_DICT_OFFSETS = [0]
+for _l in range(25):
+    _DICT_OFFSETS.append(_DICT_OFFSETS[-1]
+                         + (_l * (1 << _NDBITS[_l]) if _NDBITS[_l] else 0))
+
+_DICT_PATH = os.path.join(os.path.dirname(__file__), "brotli_dict.bin")
+_DICT: bytes | None = None
+
+
+def _dictionary() -> bytes:
+    global _DICT
+    if _DICT is None:
+        with open(_DICT_PATH, "rb") as f:
+            _DICT = f.read()
+        if len(_DICT) != _DICT_OFFSETS[25]:
+            raise BrotliError(
+                f"static dictionary is {len(_DICT)} bytes, "
+                f"RFC 7932 Appendix A defines {_DICT_OFFSETS[25]}"
+            )
+    return _DICT
+
+
+# §3.5: the fixed prefix code for code-length code lengths, as a
+# 4-bit LSB-first peek table (symbol lengths 0:2 1:4 2:3 3:2 4:2 5:4)
+_CLCL_LEN = (2, 2, 2, 3, 2, 2, 2, 4, 2, 2, 2, 3, 2, 2, 2, 4)
+_CLCL_VAL = (0, 4, 3, 2, 0, 4, 3, 1, 0, 4, 3, 2, 0, 4, 3, 5)
+_CL_ORDER = (1, 2, 3, 4, 0, 5, 17, 6, 16, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _ladder(first_base: int, extras: tuple[int, ...]) -> list[int]:
+    """Generate the base-value ladder from the extra-bit list (each
+    base = previous base + 2^previous-extra) — the §5/§6 tables are
+    self-consistent this way, so transcription can't drift."""
+    bases = [first_base]
+    for e in extras[:-1]:
+        bases.append(bases[-1] + (1 << e))
+    return bases
+
+
+_INSERT_EXTRA = (0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5,
+                 6, 7, 8, 9, 10, 12, 14, 24)
+_INSERT_BASE = _ladder(0, _INSERT_EXTRA)
+_COPY_EXTRA = (0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4,
+               5, 5, 6, 7, 8, 9, 10, 24)
+_COPY_BASE = _ladder(2, _COPY_EXTRA)
+_BLOCK_EXTRA = (2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5,
+                6, 6, 7, 8, 9, 10, 11, 12, 13, 24)
+_BLOCK_BASE = _ladder(1, _BLOCK_EXTRA)
+
+# §5: cell layout of the 704-symbol insert-and-copy alphabet for
+# cmd >= 128 (cells of 64; cmd < 128 is the implicit-distance-0
+# region with insert range 0 and copy range 0/8)
+_INS_RANGE = (0, 0, 8, 8, 0, 16, 8, 16, 16)
+_CPY_RANGE = (0, 8, 0, 8, 16, 0, 16, 8, 16)
+
+# §4: short distance codes 0..15 -> (ring index offset, delta)
+_SHORT_IDX = (3, 2, 1, 0, 3, 3, 3, 3, 3, 3, 2, 2, 2, 2, 2, 2)
+_SHORT_DELTA = (0, 0, 0, 0, -1, 1, -2, 2, -3, 3, -1, 1, -2, 2, -3, 3)
+
+
+def _lut2(b: int) -> int:
+    """§7.1 Signed context quantization (closed form)."""
+    return (0 if b == 0 else 1 if b < 16 else 2 if b < 64
+            else 3 if b < 128 else 4 if b < 192 else 5 if b < 240
+            else 6 if b < 255 else 7)
+
+
+_LUT2 = bytes(_lut2(b) for b in range(256))
+
+
+# --- bit reader (LSB-first) --------------------------------------------------
+
+
+class _Bits:
+    __slots__ = ("data", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.nbits = len(data) * 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > self.nbits:
+            raise BrotliError("bitstream overrun")
+        byte = self.pos >> 3
+        chunk = int.from_bytes(self.data[byte:byte + (n + 14) // 8 + 1],
+                               "little")
+        v = (chunk >> (self.pos & 7)) & ((1 << n) - 1)
+        self.pos += n
+        return v
+
+    def peek(self, n: int) -> int:
+        byte = self.pos >> 3
+        chunk = int.from_bytes(self.data[byte:byte + (n + 14) // 8 + 1],
+                               "little")
+        return (chunk >> (self.pos & 7)) & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        if self.pos + n > self.nbits:
+            raise BrotliError("bitstream overrun")
+        self.pos += n
+
+    def align(self) -> None:
+        pad = -self.pos & 7
+        if pad and self.read(pad):
+            raise BrotliError("non-zero bits in byte-alignment padding")
+
+
+# --- prefix codes ------------------------------------------------------------
+
+
+def _bitrev(v: int, n: int) -> int:
+    r = 0
+    for _ in range(n):
+        r = (r << 1) | (v & 1)
+        v >>= 1
+    return r
+
+
+def _build_code(lengths: list[int]):
+    """Canonical prefix code -> flat LSB-first peek table
+    (maxbits, table[sym,len]); (0, sym) for a single-symbol code
+    (reads consume nothing). Incomplete/over-subscribed codes raise —
+    §3.2 requires completeness."""
+    nz = [(ln, s) for s, ln in enumerate(lengths) if ln]
+    if not nz:
+        raise BrotliError("prefix code with no symbols")
+    if len(nz) == 1:
+        return 0, nz[0][1]
+    maxlen = max(ln for ln, _ in nz)
+    if maxlen > 15:
+        raise BrotliError("prefix code length > 15")
+    count = [0] * (maxlen + 1)
+    for ln, _ in nz:
+        count[ln] += 1
+    if sum(c << (maxlen - ln) for ln, c in enumerate(count) if ln) \
+            != 1 << maxlen:
+        raise BrotliError("prefix code is not complete")
+    next_code = [0] * (maxlen + 1)
+    code = 0
+    for ln in range(1, maxlen + 1):
+        code = (code + count[ln - 1]) << 1
+        next_code[ln] = code
+    table = [(0, 0)] * (1 << maxlen)
+    for ln, sym in sorted(nz, key=lambda t: (t[0], t[1])):
+        c = next_code[ln]
+        next_code[ln] += 1
+        rev = _bitrev(c, ln)
+        entry = (sym, ln)
+        for i in range(rev, 1 << maxlen, 1 << ln):
+            table[i] = entry
+    return maxlen, table
+
+
+def _read_sym(br: _Bits, code) -> int:
+    maxbits, table = code
+    if maxbits == 0:
+        return table
+    sym, ln = table[br.peek(maxbits)]
+    br.skip(ln)
+    return sym
+
+
+def _read_prefix_code(br: _Bits, alphabet_size: int):
+    """§3.4/§3.5: simple or complex prefix-code description."""
+    hskip = br.read(2)
+    if hskip == 1:
+        abits = max(1, (alphabet_size - 1).bit_length())
+        nsym = br.read(2) + 1
+        syms = []
+        for _ in range(nsym):
+            s = br.read(abits)
+            if s >= alphabet_size:
+                raise BrotliError(f"simple-code symbol {s} out of alphabet")
+            if s in syms:
+                raise BrotliError("simple code with duplicate symbol")
+            syms.append(s)
+        lengths = [0] * alphabet_size
+        if nsym == 1:
+            return 0, syms[0]
+        if nsym == 2:
+            syms.sort()
+            lengths[syms[0]] = lengths[syms[1]] = 1
+        elif nsym == 3:
+            if syms[1] > syms[2]:
+                syms[1], syms[2] = syms[2], syms[1]
+            lengths[syms[0]] = 1
+            lengths[syms[1]] = lengths[syms[2]] = 2
+        else:
+            if br.read(1):  # tree-select: depth (1,2,3,3)
+                if syms[2] > syms[3]:
+                    syms[2], syms[3] = syms[3], syms[2]
+                lengths[syms[0]] = 1
+                lengths[syms[1]] = 2
+                lengths[syms[2]] = lengths[syms[3]] = 3
+            else:
+                syms.sort()
+                for s in syms:
+                    lengths[s] = 2
+        return _build_code(lengths)
+    # complex form: code lengths for the code-length code, in
+    # §3.5 order starting at HSKIP
+    cl_lens = [0] * 18
+    space = 32
+    num_codes = 0
+    for i in range(hskip, 18):
+        idx = br.peek(4)
+        br.skip(_CLCL_LEN[idx])
+        v = _CLCL_VAL[idx]
+        cl_lens[_CL_ORDER[i]] = v
+        if v:
+            space -= 32 >> v
+            num_codes += 1
+            if space <= 0:
+                break
+    if num_codes != 1 and space != 0:
+        raise BrotliError("code-length code is not complete")
+    cl_code = _build_code(cl_lens) if num_codes > 1 else \
+        (0, cl_lens.index(next(x for x in cl_lens if x)))
+    lengths = [0] * alphabet_size
+    space = 32768
+    i = 0
+    prev_nz = 8  # §3.5: previous non-zero length starts at 8
+    repeat = 0
+    rep_sym = -1
+    while i < alphabet_size and space > 0:
+        sym = _read_sym(br, cl_code)
+        if sym < 16:
+            lengths[i] = sym
+            i += 1
+            if sym:
+                prev_nz = sym
+                space -= 32768 >> sym
+            rep_sym = -1
+            repeat = 0
+        else:
+            extra = 2 if sym == 16 else 3
+            new_len = prev_nz if sym == 16 else 0
+            if rep_sym != sym:
+                repeat = 0
+                rep_sym = sym
+            old = repeat
+            if repeat:
+                repeat = (repeat - 2) << extra
+            repeat += br.read(extra) + 3
+            n_new = repeat - old
+            if i + n_new > alphabet_size:
+                raise BrotliError("repeat code overruns the alphabet")
+            for _ in range(n_new):
+                lengths[i] = new_len
+                i += 1
+            if new_len:
+                space -= n_new * (32768 >> new_len)
+    if space < 0:
+        raise BrotliError("prefix code over-subscribed")
+    if space > 0:
+        raise BrotliError("prefix code under-subscribed")
+    return _build_code(lengths)
+
+
+# --- header pieces -----------------------------------------------------------
+
+
+def _read_wbits(br: _Bits) -> int:
+    """§9.1 window-size code -> WBITS in 10..24 (16 on a single 0)."""
+    if not br.read(1):
+        return 16
+    n = br.read(3)
+    if n:
+        return 17 + n
+    n = br.read(3)
+    if n == 1:
+        raise BrotliError("invalid window-size code")
+    return 8 + n if n else 17
+
+
+def _varlen_uint8(br: _Bits) -> int:
+    """§9.2 variable-length 0..255 (block-type counts, NTREES)."""
+    if not br.read(1):
+        return 0
+    n = br.read(3)
+    if n == 0:
+        return 1
+    return br.read(n) + (1 << n)
+
+
+def _read_block_count(br: _Bits, code) -> int:
+    sym = _read_sym(br, code)
+    return _BLOCK_BASE[sym] + br.read(_BLOCK_EXTRA[sym])
+
+
+def _read_context_map(br: _Bits, n_trees: int, size: int) -> list[int]:
+    """§7.3: zero-run RLE + prefix code + optional inverse MTF."""
+    rlemax = (br.read(4) + 1) if br.read(1) else 0
+    code = _read_prefix_code(br, rlemax + n_trees)
+    cmap = [0] * size
+    i = 0
+    while i < size:
+        sym = _read_sym(br, code)
+        if sym == 0:
+            i += 1
+        elif sym <= rlemax:
+            reps = (1 << sym) + br.read(sym)
+            if i + reps > size:
+                raise BrotliError("context-map zero run overruns the map")
+            i += reps
+        else:
+            v = sym - rlemax
+            if v >= n_trees:
+                raise BrotliError("context-map value out of range")
+            cmap[i] = v
+            i += 1
+    if br.read(1):  # IMTF
+        mtf = list(range(256))
+        for j in range(size):
+            v = cmap[j]
+            cmap[j] = mtf[v]
+            if v:
+                mtf.insert(0, mtf.pop(v))
+    return cmap
+
+
+class _Blocks:
+    """Per-category (L/I/D) block-switch state (§6)."""
+
+    __slots__ = ("n", "btype", "prev", "count", "type_code", "count_code")
+
+    def __init__(self, br: _Bits):
+        self.n = _varlen_uint8(br) + 1
+        self.btype = 0
+        self.prev = 1
+        if self.n >= 2:
+            self.type_code = _read_prefix_code(br, self.n + 2)
+            self.count_code = _read_prefix_code(br, 26)
+            self.count = _read_block_count(br, self.count_code)
+        else:
+            self.type_code = self.count_code = None
+            self.count = 1 << 62
+
+    def switch(self, br: _Bits) -> None:
+        sym = _read_sym(br, self.type_code)
+        if sym == 0:
+            new = self.prev
+        elif sym == 1:
+            new = (self.btype + 1) % self.n
+        else:
+            new = sym - 2
+        self.prev = self.btype
+        self.btype = new
+        self.count = _read_block_count(br, self.count_code)
+
+
+# --- dictionary transforms ---------------------------------------------------
+
+
+def _ferment(word: bytes, all_scalars: bool) -> bytes:
+    """§8 UPPERCASE_FIRST / UPPERCASE_ALL over UTF-8-ish bytes."""
+    w = bytearray(word)
+    i = 0
+    while i < len(w):
+        c = w[i]
+        if c < 192:
+            if 97 <= c <= 122:
+                w[i] ^= 32
+            i += 1
+        elif c < 224:
+            if i + 1 < len(w):
+                w[i + 1] ^= 32
+            i += 2
+        else:
+            if i + 2 < len(w):
+                w[i + 2] ^= 5
+            i += 3
+        if not all_scalars:
+            break
+    return bytes(w)
+
+
+def _transform_word(word: bytes, t_id: int) -> bytes:
+    from dolphinbeat_spark.operators.brotli_transforms import TRANSFORMS
+    prefix, kind, param, suffix = TRANSFORMS[t_id]
+    if kind == "identity":
+        core = word
+    elif kind == "omit_first":
+        core = word[param:]
+    elif kind == "omit_last":
+        core = word[:len(word) - param]
+    elif kind == "uppercase_first":
+        core = _ferment(word, False)
+    else:  # uppercase_all
+        core = _ferment(word, True)
+    return prefix + core + suffix
+
+
+# --- decoder -----------------------------------------------------------------
+
+
+def decode_brotli(data: bytes, max_output: int | None = None) -> bytes:
+    """Decode one brotli stream -> plaintext bytes. ``max_output``
+    bounds the inflated size (zip-bomb guard for untrusted crawls)."""
+    br = _Bits(bytes(data))
+    wbits = _read_wbits(br)
+    window = (1 << wbits) - 16
+    out = bytearray()
+    dist_rb = [16, 15, 11, 4]
+    rb_idx = 0
+
+    def check_cap() -> None:
+        if max_output is not None and len(out) > max_output:
+            raise BrotliError(
+                f"output exceeds max_output={max_output}"
+            )
+
+    while True:
+        islast = br.read(1)
+        if islast and br.read(1):  # ISLASTEMPTY
+            break
+        mnib = br.read(2)
+        if mnib == 3:
+            # metadata meta-block (§9.2): byte-aligned skip
+            if islast:
+                raise BrotliError("metadata meta-block flagged ISLAST")
+            if br.read(1):
+                raise BrotliError("metadata reserved bit set")
+            mskipbytes = br.read(2)
+            skip = 0
+            for k in range(mskipbytes):
+                b = br.read(8)
+                if k + 1 == mskipbytes and mskipbytes > 1 and b == 0:
+                    raise BrotliError("metadata length has a zero top byte")
+                skip |= b << (8 * k)
+            if mskipbytes:
+                skip += 1
+            br.align()
+            if br.pos + 8 * skip > br.nbits:
+                raise BrotliError("metadata skip overruns the stream")
+            br.pos += 8 * skip
+            continue
+        nibbles = 4 + mnib
+        mlen = br.read(4 * nibbles)
+        if nibbles > 4 and (mlen >> (4 * (nibbles - 1))) == 0:
+            raise BrotliError("non-minimal MNIBBLES encoding")
+        mlen += 1
+        if not islast and br.read(1):  # ISUNCOMPRESSED
+            br.align()
+            byte = br.pos >> 3
+            if byte + mlen > len(br.data):
+                raise BrotliError("uncompressed meta-block truncated")
+            out += br.data[byte:byte + mlen]
+            br.pos += 8 * mlen
+            check_cap()
+            continue
+
+        bs_l = _Blocks(br)
+        bs_i = _Blocks(br)
+        bs_d = _Blocks(br)
+        npostfix = br.read(2)
+        ndirect = br.read(4) << npostfix
+        postfix_mask = (1 << npostfix) - 1
+        cmodes = [br.read(2) for _ in range(bs_l.n)]
+        ntreesl = _varlen_uint8(br) + 1
+        cmap_l = _read_context_map(br, ntreesl, 64 * bs_l.n) \
+            if ntreesl >= 2 else [0] * (64 * bs_l.n)
+        ntreesd = _varlen_uint8(br) + 1
+        cmap_d = _read_context_map(br, ntreesd, 4 * bs_d.n) \
+            if ntreesd >= 2 else [0] * (4 * bs_d.n)
+        lit_codes = [_read_prefix_code(br, 256) for _ in range(ntreesl)]
+        cmd_codes = [_read_prefix_code(br, 704) for _ in range(bs_i.n)]
+        dist_alpha = 16 + ndirect + (48 << npostfix)
+        dist_codes = [_read_prefix_code(br, dist_alpha)
+                      for _ in range(ntreesd)]
+
+        mpos = 0
+        while mpos < mlen:
+            if bs_i.count == 0:
+                bs_i.switch(br)
+            bs_i.count -= 1
+            cmd = _read_sym(br, cmd_codes[bs_i.btype])
+            if cmd < 128:
+                cell = cmd >> 6  # 0 or 1: implicit distance-0 region
+                ins_code = (cmd >> 3) & 7
+                cpy_code = (8 if cell else 0) + (cmd & 7)
+                implicit = True
+            else:
+                cell = (cmd >> 6) - 2
+                ins_code = _INS_RANGE[cell] + ((cmd >> 3) & 7)
+                cpy_code = _CPY_RANGE[cell] + (cmd & 7)
+                implicit = False
+            insert_len = _INSERT_BASE[ins_code] \
+                + br.read(_INSERT_EXTRA[ins_code])
+            copy_len = _COPY_BASE[cpy_code] + br.read(_COPY_EXTRA[cpy_code])
+            if insert_len:
+                if mpos + insert_len > mlen:
+                    raise BrotliError("insert length overruns meta-block")
+                for _ in range(insert_len):
+                    if bs_l.count == 0:
+                        bs_l.switch(br)
+                    bs_l.count -= 1
+                    mode = cmodes[bs_l.btype]
+                    p1 = out[-1] if out else 0
+                    p2 = out[-2] if len(out) >= 2 else 0
+                    if mode == 0:
+                        ctx = p1 & 0x3F
+                    elif mode == 1:
+                        ctx = p1 >> 2
+                    elif mode == 2:
+                        ctx = _U8L0[p1] | _U8L1[p2]
+                    else:
+                        ctx = (_LUT2[p1] << 3) | _LUT2[p2]
+                    tree = lit_codes[cmap_l[(bs_l.btype << 6) + ctx]]
+                    out.append(_read_sym(br, tree))
+                mpos += insert_len
+                check_cap()
+            if mpos >= mlen:
+                break  # §9.2: trailing copy part of the last command
+            max_dist = min(len(out), window)
+            if implicit:
+                distance = dist_rb[(rb_idx + 3) & 3]
+            else:
+                if bs_d.count == 0:
+                    bs_d.switch(br)
+                bs_d.count -= 1
+                ctx_d = min(copy_len - 2, 3)
+                dcode = _read_sym(
+                    br, dist_codes[cmap_d[(bs_d.btype << 2) + ctx_d]])
+                if dcode < 16:
+                    if dcode < 4:
+                        distance = dist_rb[(rb_idx + _SHORT_IDX[dcode]) & 3]
+                    else:
+                        distance = dist_rb[(rb_idx + _SHORT_IDX[dcode]) & 3] \
+                            + _SHORT_DELTA[dcode]
+                    if distance <= 0:
+                        raise BrotliError("short distance code yields <= 0")
+                elif dcode < 16 + ndirect:
+                    distance = dcode - 16 + 1
+                else:
+                    base = dcode - ndirect - 16
+                    ndistbits = 1 + (base >> (npostfix + 1))
+                    hcode = base >> npostfix
+                    lcode = base & postfix_mask
+                    offset = ((2 + (hcode & 1)) << ndistbits) - 4
+                    distance = ((offset + br.read(ndistbits)) << npostfix) \
+                        + lcode + ndirect + 1
+                if dcode != 0 and distance <= max_dist:
+                    dist_rb[rb_idx & 3] = distance
+                    rb_idx += 1
+            if distance <= max_dist:
+                if mpos + copy_len > mlen:
+                    raise BrotliError("copy length overruns meta-block")
+                if distance >= copy_len:
+                    start = len(out) - distance
+                    out += out[start:start + copy_len]
+                else:
+                    pat = bytes(out[len(out) - distance:])
+                    out += (pat * (copy_len // distance + 1))[:copy_len]
+                mpos += copy_len
+            else:
+                # §8 static dictionary reference
+                if not 4 <= copy_len <= 24 or _NDBITS[copy_len] == 0:
+                    raise BrotliError(
+                        f"dictionary reference with copy length {copy_len}"
+                    )
+                word_id = distance - max_dist - 1
+                ndbits = _NDBITS[copy_len]
+                index = word_id & ((1 << ndbits) - 1)
+                t_id = word_id >> ndbits
+                if t_id >= 121:
+                    raise BrotliError(
+                        f"dictionary transform id {t_id} out of range")
+                off = _DICT_OFFSETS[copy_len] + index * copy_len
+                word = _dictionary()[off:off + copy_len]
+                piece = _transform_word(word, t_id)
+                if mpos + len(piece) > mlen:
+                    raise BrotliError(
+                        "dictionary word overruns meta-block")
+                out += piece
+                mpos += len(piece)
+            check_cap()
+        if islast:
+            break
+    # §9.1: the unused bits of the final byte must be zero
+    pad = -br.pos & 7
+    if pad and br.read(pad):
+        raise BrotliError("non-zero padding after the last meta-block")
+    if br.pos != br.nbits:
+        raise BrotliError(
+            f"{(br.nbits - br.pos) // 8} trailing bytes after the stream"
+        )
+    return bytes(out)
+
+
+def encode_brotli_store(data: bytes) -> bytes:
+    """Minimal VALID brotli writer using uncompressed meta-blocks
+    only (§9.2 ISUNCOMPRESSED) — the format's store mode, analogous
+    to zlib level 0 / encode_zstd_store. Used by tests and fixture
+    writers to produce real streams without an external encoder; any
+    conformant decoder (including :func:`decode_brotli`) reads it."""
+    bits: list[int] = []
+
+    def w(v: int, n: int) -> None:
+        for i in range(n):
+            bits.append((v >> i) & 1)
+
+    def flush() -> bytes:
+        while len(bits) % 8:
+            bits.append(0)
+        ba = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j, bit in enumerate(bits[i:i + 8]):
+                b |= bit << j
+            ba.append(b)
+        del bits[:]
+        return bytes(ba)
+
+    out = bytearray()
+    w(0, 1)  # WBITS = 16
+    pos = 0
+    max_block = 1 << 24  # 6 nibbles
+    while pos < len(data):
+        chunk = data[pos:pos + max_block]
+        pos += len(chunk)
+        w(0, 1)  # ISLAST = 0 (uncompressed blocks cannot be last)
+        v = len(chunk) - 1
+        # minimal MNIBBLES (§9.2: a zero top nibble is an error)
+        nib = 4 if v < (1 << 16) else 5 if v < (1 << 20) else 6
+        w(nib - 4, 2)
+        w(v, 4 * nib)
+        w(1, 1)  # ISUNCOMPRESSED
+        out += flush()
+        out += chunk
+    w(1, 1)  # ISLAST
+    w(1, 1)  # ISLASTEMPTY
+    out += flush()
+    return bytes(out)
+
+
+def _load_utf8_luts() -> tuple[bytes, bytes]:
+    from dolphinbeat_spark.operators.brotli_transforms import (
+        UTF8_LUT0, UTF8_LUT1,
+    )
+    return UTF8_LUT0, UTF8_LUT1
+
+
+_U8L0, _U8L1 = _load_utf8_luts()

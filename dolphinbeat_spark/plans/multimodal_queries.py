@@ -1548,18 +1548,20 @@ def warc_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "warc_content_encoding",
-    # Nine HTTP responses per doc exercise every supported body coding
+    # Ten HTTP responses per doc exercise every supported body coding
     # (RFC 9110 §8.4 / RFC 9112 §7.1): identity, Content-Encoding gzip,
     # deflate in BOTH wild forms (zlib-wrapped per spec and raw-deflate
     # as misconfigured servers send), Transfer-Encoding chunked (with a
     # chunk extension and a trailer field), chunked OVER gzip,
     # MULTI-MEMBER gzip (RFC 1952 §2.2 — r12: a single zlib.decompress
     # silently truncated to the first member), zstd (RFC 8878 through
-    # the in-repo frame decoder, r12), and a bare-LF HTTP envelope
+    # the in-repo frame decoder, r12), a bare-LF HTTP envelope
     # (r12: sloppy servers terminate headers with \n\n; pre-fix the
-    # whole header block flowed into body_text). The oracle pins the
-    # decoded text, length, digest and the applied coding list in
-    # closed form from the same pattern pieces.
+    # whole header block flowed into body_text), and brotli (r12:
+    # from-scratch RFC 7932 decoder, operators/brotli.py — the largest
+    # wild-web coding). The oracle pins the decoded text, length,
+    # digest and the applied coding list in closed form from the same
+    # pattern pieces.
     oracle="""
 WITH p AS (
   SELECT doc_id AS media_id, CAST(doc_id AS VARCHAR) AS i,
@@ -1570,7 +1572,7 @@ s(record_idx, enc, start, sz) AS (
   VALUES (0, NULL, 1, 40), (1, 'gzip', 1, 60), (2, 'deflate', 11, 40),
          (3, 'deflate', 21, 60), (4, 'chunked', 1, 96),
          (5, 'gzip,chunked', 31, 60), (6, 'gzip', 41, 50),
-         (7, 'zstd', 5, 72), (8, NULL, 61, 30)
+         (7, 'zstd', 5, 72), (8, NULL, 61, 30), (9, 'br', 13, 66)
 )
 SELECT media_id, CAST(record_idx AS BIGINT) AS record_idx,
        200::BIGINT AS http_status, 'text/plain' AS content_type,
@@ -1594,9 +1596,10 @@ def warc_content_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload — without this, a gzip'd response's body_text is binary
     garbage that poisons dedup hashes and quality gates downstream.
     r12 adds multi-member gzip (all members decode, trailing garbage
-    raises typed), zstd via the in-repo RFC 8878 decoder, and bare-LF
-    envelope tolerance; br raises by name and is contained per
-    response as ``unresolved:br``."""
+    raises typed), zstd via the in-repo RFC 8878 decoder, brotli via
+    the in-repo from-scratch RFC 7932 decoder (operators/brotli.py),
+    and bare-LF envelope tolerance; genuinely unsupported or corrupt
+    codings are contained per response as ``unresolved:<coding>``."""
     import hashlib
 
     from dolphinbeat_spark.sources.warc import encode_warc, read_warc
@@ -1622,6 +1625,7 @@ def warc_content_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             mk(6, pat[40:90], content_encoding="gzip", gzip_parts=3),
             mk(7, pat[4:76], content_encoding="zstd"),
             mk(8, pat[60:90], bare_lf=True),
+            mk(9, pat[12:78], content_encoding="br"),
         ]
         rows.append(
             (i, bytearray(encode_warc(recs, gzip_members=bool(i % 2))))

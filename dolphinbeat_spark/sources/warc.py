@@ -218,7 +218,9 @@ def _inflate_coding(coding: str, body: bytes) -> bytes:
     — deflate tolerating both the spec'd zlib wrapper and the
     raw-deflate form common in the wild (the dual-window probe every
     browser ships), zstd through the in-repo RFC 8878 decoder
-    (operators/zstd_frame.py, the same path JSONL/binlog use).
+    (operators/zstd_frame.py, the same path JSONL/binlog use), and br
+    through the in-repo from-scratch RFC 7932 decoder
+    (operators/brotli.py, r12 — the largest wild-web coding).
     Non-gzip trailing bytes after a gzip member raise typed — that is
     corruption, not a member."""
     if coding in ("gzip", "x-gzip"):
@@ -258,9 +260,17 @@ def _inflate_coding(coding: str, body: bytes) -> bytes:
             return decode_zstd(body)
         except ZstdError as ex:
             raise WarcError(f"zstd HTTP body fails to decode: {ex}") from ex
+    if coding == "br":
+        from dolphinbeat_spark.operators.brotli import (
+            BrotliError, decode_brotli,
+        )
+        try:
+            return decode_brotli(body)
+        except BrotliError as ex:
+            raise WarcError(f"br HTTP body fails to decode: {ex}") from ex
     raise NotImplementedError(
         f"HTTP content coding {coding!r} not supported "
-        "(gzip/deflate/zstd/chunked/identity; br needs RFC 7932)"
+        "(gzip/deflate/br/zstd/chunked/identity)"
     )
 
 
@@ -282,8 +292,8 @@ def _split_http(content: bytes, strict: bool = True) -> tuple[
     block flows into body_text and poisons token stats and shingles.
 
     ``strict=False`` contains coding failures per RESPONSE: an
-    unsupported (br) or corrupt coded body falls back to the raw
-    entity bytes with ``encodings_applied`` set to
+    unsupported (compress/unknown) or corrupt coded body falls back
+    to the raw entity bytes with ``encodings_applied`` set to
     ``"unresolved:<declared list>"`` instead of raising — one bad
     response must not poison a 1 GB WARC segment."""
     crlf_end = content.find(b"\r\n\r\n")
@@ -402,8 +412,8 @@ def read_warc(df: DataFrame, text_limit: int = 1 << 20,
     via read_archive(binary=True).
 
     HTTP coding failures are contained per RESPONSE in every mode: an
-    unsupported (br) or corrupt (truncated gzip, bad chunk framing)
-    coded body falls back to the raw entity bytes with
+    unsupported or corrupt (truncated gzip, bad chunk framing, bad
+    brotli) coded body falls back to the raw entity bytes with
     ``http_encoding = "unresolved:<declared list>"`` — the record
     flows (no data loss, downstream can filter on the marker) instead
     of one bad response killing the whole WARC payload's task.
@@ -512,6 +522,12 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
                 )
                 body = encode_zstd_store(body)
                 hdrs_http.append("Content-Encoding: zstd")
+            elif cenc == "br":
+                from dolphinbeat_spark.operators.brotli import (
+                    encode_brotli_store,
+                )
+                body = encode_brotli_store(body)
+                hdrs_http.append("Content-Encoding: br")
             elif cenc == "deflate":
                 if r["http"].get("raw_deflate"):
                     co = zlib.compressobj(6, zlib.DEFLATED, -15)

@@ -2225,6 +2225,8 @@ def test_warc_http_body_decoding():
         ({"content_encoding": "gzip", "gzip_parts": 3}, "gzip"),
         # zstd (RFC 8878) through the in-repo frame decoder
         ({"content_encoding": "zstd"}, "zstd"),
+        # brotli (RFC 7932) through the in-repo from-scratch decoder
+        ({"content_encoding": "br"}, "br"),
         # LF-only envelope from a sloppy server
         ({"bare_lf": True}, None),
         ({"content_encoding": "gzip", "bare_lf": True}, "gzip"),
@@ -2279,8 +2281,10 @@ def test_warc_http_body_decoding_hostile():
         _split_http(http(b"Content-Encoding: gzip", b"not gzip at all"))
     with pytest.raises(WarcError, match="deflate.*inflate"):
         _split_http(http(b"Content-Encoding: deflate", b"\x00\x01garbage"))
-    with pytest.raises(NotImplementedError, match="br"):
-        _split_http(http(b"Content-Encoding: br", b"whatever"))
+    with pytest.raises(WarcError, match="br"):
+        _split_http(http(b"Content-Encoding: br", b"\x11corrupt br!"))
+    with pytest.raises(NotImplementedError, match="compress"):
+        _split_http(http(b"Content-Encoding: compress", b"whatever"))
     with pytest.raises(WarcError, match="zstd"):
         _split_http(http(b"Content-Encoding: zstd", b"\x00bad frame"))
     # trailing garbage after a valid gzip member is corruption, not a
