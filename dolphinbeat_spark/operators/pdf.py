@@ -1224,21 +1224,43 @@ class PdfImage:
     pixels: bytes  # row-major uint8 samples, n_components per pixel
 
 
+def _unpack_rows(content: bytes, width: int, height: int, bpc: int,
+                 ncomp: int, name: str):
+    """§8.9.5.2 sample unpacking: MSB-first sub-byte samples with
+    each ROW padded to a byte boundary -> uint8 array (height,
+    width*ncomp) of RAW sample values (unscaled)."""
+    import numpy as np
+
+    row_bytes = (width * ncomp * bpc + 7) // 8
+    if len(content) != row_bytes * height:
+        raise PdfError(
+            f"image {name!r}: {len(content)} sample bytes for "
+            f"{width}x{height}x{ncomp} at {bpc} bpc"
+        )
+    a = np.frombuffer(bytes(content), np.uint8).reshape(height, row_bytes)
+    if bpc == 8:
+        return a[:, :width * ncomp]
+    bits = np.unpackbits(a, axis=1)
+    weights = (1 << np.arange(bpc - 1, -1, -1)).astype(np.uint8)
+    vals = bits.reshape(height, -1, bpc) @ weights
+    return vals[:, :width * ncomp].astype(np.uint8)
+
+
 def _decode_image_data(doc: "PdfDocument", name: str, raw: bytes,
                        filters: list, parms_list: list, width, height,
-                       bpc, cs: str, image_mask, pidx: int) -> PdfImage:
+                       bpc, cs, image_mask, pidx: int,
+                       decode=None) -> PdfImage:
     """Shared image-payload decode for XObject AND inline images:
     terminal DCTDecode via operators/jpeg, CCITTFaxDecode via
-    operators/ccitt, everything else through the common filter chain
-    as 8-bit samples."""
+    operators/ccitt, everything else through the common filter chain.
+    r12: Indexed palettes (array colorspace with string/stream
+    lookup), sub-8-bit (1/2/4) sample rows with §8.9.5.2 MSB-first
+    row-padded unpacking, and /ImageMask stencils (emitted as 0/255
+    gray honoring a reversed /Decode [1 0])."""
     from dolphinbeat_spark.operators.jpeg import JpegError, decode_jpeg
 
     if not isinstance(width, int) or not isinstance(height, int):
         raise PdfError(f"image {name!r} lacks /Width or /Height")
-    if image_mask is True:
-        raise NotImplementedError(
-            f"PDF image {name!r}: /ImageMask stencils not supported"
-        )
     last = str(filters[-1]) if filters and filters[-1] is not None \
         else None
     if last == "DCTDecode":
@@ -1303,25 +1325,89 @@ def _decode_image_data(doc: "PdfDocument", name: str, raw: bytes,
             "ASCII/RunLength sample streams)"
         )
     content = _apply_filters(raw, filters, parms_list)
-    if bpc != 8:
+    import numpy as np
+
+    if image_mask is True:
+        # §8.9.6.2 stencil: 1 bit per sample by definition; /Decode
+        # [0 1] (default) paints where the sample is 0 — emit the
+        # painted bits as black (0) on white (255) gray
+        if bpc not in (1, None):
+            raise PdfError(
+                f"image mask {name!r} declares {bpc} bits per component"
+            )
+        bits = _unpack_rows(content, width, height, 1, 1, name)
+        dec = doc.resolve(decode) if decode is not None else None
+        if isinstance(dec, list) and len(dec) == 2 \
+                and [float(doc.resolve(v)) for v in dec] == [1.0, 0.0]:
+            bits = 1 - bits
+        return PdfImage(pidx, name, width, height, 1, last,
+                        (bits * 255).astype(np.uint8).tobytes())
+    if bpc not in (1, 2, 4, 8):
         raise NotImplementedError(
             f"PDF image {name!r}: {bpc}-bit samples not "
-            "supported (8-bit only)"
+            "supported (1/2/4/8)"
         )
+    cs = doc.resolve(cs)
+    if isinstance(cs, list) and cs and str(cs[0]) in ("Indexed", "I"):
+        # §8.6.6.3 [/Indexed base hival lookup]
+        if len(cs) != 4:
+            raise PdfError(f"image {name!r}: malformed Indexed colorspace")
+        base = doc.resolve(cs[1])
+        hival = doc.resolve(cs[2])
+        lookup = doc.resolve(cs[3])
+        bn = {"DeviceGray": 1, "DeviceRGB": 3, "DeviceCMYK": 4,
+              "G": 1, "RGB": 3, "CMYK": 4}.get(str(base))
+        if bn is None:
+            raise NotImplementedError(
+                f"image {name!r}: Indexed base colorspace {base!r} "
+                "not supported (device colorspaces only)"
+            )
+        if isinstance(lookup, tuple) and lookup[0] == "stream":
+            lookup = doc.stream_data(lookup)
+        if not isinstance(lookup, (bytes, bytearray)):
+            raise PdfError(
+                f"image {name!r}: Indexed lookup is not a string/stream"
+            )
+        if not isinstance(hival, int) or hival < 0 or hival > 255:
+            raise PdfError(f"image {name!r}: bad Indexed hival {hival!r}")
+        if len(lookup) < (hival + 1) * bn:
+            raise PdfError(
+                f"image {name!r}: Indexed lookup has {len(lookup)} "
+                f"bytes for hival {hival} x {bn}"
+            )
+        idx = _unpack_rows(content, width, height, bpc, 1, name)
+        palette = np.frombuffer(
+            bytes(lookup[:(hival + 1) * bn]), np.uint8
+        ).reshape(hival + 1, bn)
+        # §8.6.6.3: out-of-range index values use the nearest bound
+        pixels = palette[np.minimum(idx, hival)]
+        return PdfImage(pidx, name, width, height, bn, last,
+                        pixels.tobytes())
     ncomp = {"DeviceGray": 1, "DeviceRGB": 3,
-             "DeviceCMYK": 4}.get(cs)
+             "DeviceCMYK": 4}.get(str(cs))
     if ncomp is None:
         raise NotImplementedError(
             f"PDF image colorspace {cs!r} not supported "
-            "(DeviceGray/DeviceRGB/DeviceCMYK)"
+            "(DeviceGray/DeviceRGB/DeviceCMYK/Indexed)"
         )
-    if len(content) != width * height * ncomp:
-        raise PdfError(
-            f"image {name!r}: {len(content)} sample bytes for "
-            f"{width}x{height}x{ncomp}"
+    if bpc == 8:
+        if len(content) != width * height * ncomp:
+            raise PdfError(
+                f"image {name!r}: {len(content)} sample bytes for "
+                f"{width}x{height}x{ncomp}"
+            )
+        return PdfImage(pidx, name, width, height, ncomp, last,
+                        bytes(content))
+    if ncomp != 1:
+        raise NotImplementedError(
+            f"image {name!r}: {bpc}-bit samples only supported for "
+            "single-component colorspaces"
         )
-    return PdfImage(pidx, name, width, height, ncomp, last,
-                    bytes(content))
+    vals = _unpack_rows(content, width, height, bpc, 1, name)
+    # exact §8.9.5.2 expansion to 8-bit: x * 255/(2^bpc - 1)
+    scale = 255 // ((1 << bpc) - 1)
+    return PdfImage(pidx, name, width, height, 1, last,
+                    (vals * scale).astype(np.uint8).tobytes())
 
 
 #: §8.9.7 abbreviated inline-image keys / filters / colorspaces
@@ -1359,14 +1445,24 @@ def _scan_inline_image(content: bytes, pos: int):
                for f in filters if f is not None]
     d["Filter"] = filters
     cs = d.get("ColorSpace")
-    if cs is not None:
+    if isinstance(cs, list):
+        # inline Indexed: [/I base hival lookup] with abbreviated
+        # names inside — expand them, keep the array shape
+        d["ColorSpace"] = [
+            _Name(_INLINE_CS.get(str(x), str(x)))
+            if isinstance(x, _Name) else x for x in cs
+        ]
+    elif cs is not None:
         d["ColorSpace"] = _INLINE_CS.get(str(cs), str(cs))
     if not filters:
         # unfiltered: the data length is exact from the geometry
         w, h = d.get("Width"), d.get("Height")
         bpc = d.get("BitsPerComponent", 8)
-        ncomp = {"DeviceGray": 1, "DeviceRGB": 3,
-                 "DeviceCMYK": 4}.get(d.get("ColorSpace", ""), 1)
+        csv = d.get("ColorSpace", "")
+        # Indexed (array form) and ImageMask carry ONE component
+        ncomp = 1 if isinstance(csv, list) else {
+            "DeviceGray": 1, "DeviceRGB": 3, "DeviceCMYK": 4,
+        }.get(str(csv), 1)
         if not isinstance(w, int) or not isinstance(h, int):
             raise PdfError("inline image lacks /W or /H")
         nbytes = h * ((w * bpc * ncomp + 7) // 8)
@@ -1427,8 +1523,8 @@ def _decode_inline_image(doc: "PdfDocument", d: dict, data: bytes,
     return _decode_image_data(
         doc, f"BI{idx}", data, filters, parms_list,
         d.get("Width"), d.get("Height"), d.get("BitsPerComponent", 8),
-        str(d.get("ColorSpace", "DeviceGray")), d.get("ImageMask"),
-        pidx,
+        d.get("ColorSpace", "DeviceGray"), d.get("ImageMask"),
+        pidx, decode=d.get("Decode"),
     )
 
 
@@ -1442,11 +1538,15 @@ def extract_pdf_images(data: bytes) -> list[PdfImage]:
     (operators/ccitt.py — K selects G4/G3-1D/G3-2D, BlackIs1 and
     EncodedByteAlign honored, 1-bit samples emitted as 0/255 gray);
     Flate/LZW/ASCIIHex/ASCII85/RunLength sample streams decode via the
-    common filter chain (8-bit DeviceGray/RGB/CMYK). INLINE images
-    (BI/ID/EI, §8.9.7 — the layout scanned faxes and small graphics
-    actually use) decode through the same paths with the abbreviated
-    key/filter/colorspace names expanded (r11). JPX/JBIG2 images and
-    other sub-8-bit sample layouts raise by name."""
+    common filter chain: 8-bit DeviceGray/RGB/CMYK, plus (r12)
+    Indexed palettes (§8.6.6.3, string or stream lookups, out-of-range
+    indices clamped), 1/2/4-bit sample rows with §8.9.5.2 MSB-first
+    row-padded unpacking and the exact 255/(2^bpc-1) gray expansion,
+    and /ImageMask stencils as 0/255 gray honoring /Decode [1 0].
+    INLINE images (BI/ID/EI, §8.9.7 — the layout scanned faxes and
+    small graphics actually use) decode through the same paths with
+    the abbreviated key/filter/colorspace names expanded (r11).
+    JPX/JBIG2 images and 16-bit samples raise by name."""
     doc = PdfDocument(data)
     out: list[PdfImage] = []
     for pidx, (page, resources) in enumerate(doc.pages()):
@@ -1468,8 +1568,9 @@ def extract_pdf_images(data: bytes) -> list[PdfImage]:
                     doc.resolve(sdict.get("Width")),
                     doc.resolve(sdict.get("Height")),
                     doc.resolve(sdict.get("BitsPerComponent", 8)),
-                    str(doc.resolve(sdict.get("ColorSpace", ""))),
+                    doc.resolve(sdict.get("ColorSpace", "")),
                     doc.resolve(sdict.get("ImageMask")), pidx,
+                    decode=doc.resolve(sdict.get("Decode")),
                 ))
         # inline images (BI/ID/EI, §8.9.7) in the content stream(s)
         contents = doc.resolve(page.get("Contents"))
@@ -1555,6 +1656,24 @@ def _esc(s: str) -> bytes:
     return _esc_raw(_text_bytes(s))
 
 
+def _pack_rows(vals: bytes, w: int, h: int, bpc: int) -> bytes:
+    """One byte per sample -> §8.9.5.2 MSB-first packed rows, each
+    row padded to a byte boundary (fixture-writer mirror of
+    _unpack_rows)."""
+    import numpy as np
+
+    a = np.frombuffer(vals, np.uint8).reshape(h, w)
+    if bpc == 8:
+        return a.tobytes()
+    bits = ((a[:, :, None] >> np.arange(bpc - 1, -1, -1)) & 1) \
+        .reshape(h, -1).astype(np.uint8)
+    pad = -bits.shape[1] % 8
+    if pad:
+        bits = np.concatenate(
+            [bits, np.zeros((h, pad), np.uint8)], axis=1)
+    return np.packbits(bits, axis=1).tobytes()
+
+
 def _inline_image_ops(kind: str, iw: int, ih: int, ncomp: int,
                       payload: bytes) -> bytes:
     """BI/ID/EI operator bytes for one inline image (§8.9.7,
@@ -1582,6 +1701,20 @@ def _inline_image_ops(kind: str, iw: int, ih: int, ncomp: int,
         head = (b"BI /W %d /H %d /CS /G /BPC 1 /F /CCF /DP "
                 b"<< /K -1 /Columns %d /Rows %d >> ID " % (iw, ih, iw, ih))
         return head + ccitt_encode(ink, mode="g4") + b" EI"
+    if kind == "inline-indexed":
+        # payload = (bpc, palette bytes, one index byte per pixel)
+        bpc_i, palette, idx = payload
+        hival = len(palette) // ncomp - 1
+        base = {1: b"/G", 3: b"/RGB", 4: b"/CMYK"}[ncomp]
+        head = (b"BI /W %d /H %d /CS [/I %s %d <%s>] /BPC %d ID "
+                % (iw, ih, base, hival, palette.hex().encode(), bpc_i))
+        return head + _pack_rows(idx, iw, ih, bpc_i) + b" EI"
+    if kind == "inline-mask":
+        # payload = (one 0/1 byte per pixel, reverse_decode)
+        bits, reverse = payload
+        dec = b"/D [1 0] " if reverse else b""
+        head = b"BI /W %d /H %d /IM true /BPC 1 %sID " % (iw, ih, dec)
+        return head + _pack_rows(bits, iw, ih, 1) + b" EI"
     raise ValueError(f"unknown inline image kind {kind!r}")
 
 
@@ -1714,6 +1847,7 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
         else:
             streams[cnum] = (b"", content)
     k = 0
+    n_lookups = 0
     for i, page_imgs in enumerate(imgs):
         for spec in page_imgs:
             kind, iw, ih, ncomp, payload = spec
@@ -1754,6 +1888,46 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
                     b"<< /K %d /Columns %d /Rows %d /BlackIs1 false >>"
                     % (kk, iw, ih),
                     ccitt_encode(ink, mode=mode),
+                )
+            elif kind == "indexed":
+                # payload = (bpc, palette bytes, index byte/pixel);
+                # ncomp is the BASE colorspace's component count. The
+                # lookup rides in its OWN stream object (the wild
+                # layout, and under encryption only stream/string
+                # OBJECTS get crypted — a hex string inline in the
+                # dict would be double-handled)
+                bpc_i, palette, idx = payload
+                hival = len(palette) // ncomp - 1
+                lk = img_base + len(img_refs) + n_lookups
+                n_lookups += 1
+                streams[lk] = (b"", palette)
+                streams[num] = (
+                    b"/Type /XObject /Subtype /Image /Width %d "
+                    b"/Height %d /ColorSpace [/Indexed %s %d %d 0 R] "
+                    b"/BitsPerComponent %d /Filter /FlateDecode"
+                    % (iw, ih, cs, hival, lk, bpc_i),
+                    zlib.compress(_pack_rows(idx, iw, ih, bpc_i)),
+                )
+            elif kind == "gray-sub":
+                # payload = (bpc, one sample byte per pixel)
+                bpc_s, vals = payload
+                streams[num] = (
+                    b"/Type /XObject /Subtype /Image /Width %d "
+                    b"/Height %d /ColorSpace /DeviceGray "
+                    b"/BitsPerComponent %d /Filter /FlateDecode"
+                    % (iw, ih, bpc_s),
+                    zlib.compress(_pack_rows(vals, iw, ih, bpc_s)),
+                )
+            elif kind == "mask":
+                # payload = (one 0/1 byte per pixel, reverse_decode);
+                # §8.9.6.2: ImageMask has no ColorSpace entry
+                bits, reverse = payload
+                dec = b" /Decode [1 0]" if reverse else b""
+                streams[num] = (
+                    b"/Type /XObject /Subtype /Image /Width %d "
+                    b"/Height %d /ImageMask true /BitsPerComponent 1%s "
+                    b"/Filter /FlateDecode" % (iw, ih, dec),
+                    zlib.compress(_pack_rows(bits, iw, ih, 1)),
                 )
             else:
                 raise ValueError(f"unknown image kind {kind!r}")

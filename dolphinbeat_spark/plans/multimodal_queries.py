@@ -1706,6 +1706,101 @@ def pipeline_warc_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_pdf_indexed_images",
+    # Four images per doc over the 96-char md5 pattern (ASCII hex
+    # chars, so palette bytes stay printable): a 4-bit INDEXED
+    # XObject (palette = pattern[0:48] as 16 RGB entries, index i =
+    # ord(char_i) % 16 — expanded pixels are palette triplets), the
+    # SAME image inline (BI/ID/EI with [/I /RGB hival <...>] and
+    # unfiltered sub-byte rows), a 2-bit DeviceGray XObject with the
+    # exact 85x expansion, and an /ImageMask stencil whose /Decode
+    # sense flips by doc parity. Digests use the hex-rendered
+    # contract (mask/gray pixels are non-ASCII bytes). Pre-r12 all
+    # four raised by name.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id, doc_id % 2 AS rev,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 25 = 8
+),
+ex AS (
+  SELECT media_id, rev, pattern,
+         lower(hex(array_to_string(list_transform(range(1, 97),
+             i -> substr(pattern,
+                  ((ord(substr(pattern, CAST(i AS INTEGER), 1)) % 16)
+                   * 3) + 1, 3)), ''))) AS indexed_hex,
+         array_to_string(list_transform(range(1, 97),
+             i -> CASE ord(substr(pattern, CAST(i AS INTEGER), 1)) % 4
+                  WHEN 0 THEN '00' WHEN 1 THEN '55'
+                  WHEN 2 THEN 'aa' ELSE 'ff' END), '') AS gray_hex,
+         array_to_string(list_transform(range(1, 97),
+             i -> CASE WHEN (ord(substr(pattern, CAST(i AS INTEGER), 1))
+                             % 2 = 1) != (rev = 1)
+                  THEN 'ff' ELSE '00' END), '') AS mask_hex
+  FROM p
+)
+SELECT media_id, 0::BIGINT AS page_idx, 'BI0' AS img_name,
+       12::BIGINT AS width, 8::BIGINT AS height,
+       3::BIGINT AS n_components, NULL AS img_filter,
+       md5(indexed_hex) AS pixel_md5
+FROM ex
+UNION ALL
+SELECT media_id, 0::BIGINT, 'Im0_0', 12::BIGINT, 8::BIGINT, 3::BIGINT,
+       'FlateDecode', md5(indexed_hex) FROM ex
+UNION ALL
+SELECT media_id, 0::BIGINT, 'Im0_1', 12::BIGINT, 8::BIGINT, 1::BIGINT,
+       'FlateDecode', md5(gray_hex) FROM ex
+UNION ALL
+SELECT media_id, 0::BIGINT, 'Im0_2', 12::BIGINT, 8::BIGINT, 1::BIGINT,
+       'FlateDecode', md5(mask_hex) FROM ex
+ORDER BY media_id, img_name
+""",
+    tags=("multimodal", "pdf", "decode", "codec", "ingest"),
+)
+def mm_pdf_indexed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 PDF image tail (operators/pdf.py::_decode_image_data):
+    Indexed palettes (§8.6.6.3 — stream lookups, clamped indices),
+    sub-8-bit sample rows with the §8.9.5.2 MSB-first row-padded
+    unpacking (borrowing the TIFF bit logic's semantics), and
+    /ImageMask stencils emitted as 0/255 gray honoring /Decode [1 0]
+    — palette-indexed and 1-bit images are common in real scanned
+    PDFs outside CCITT/JBIG2. XObject and inline forms both decode;
+    xref layout and RC4 encryption cycle by doc parity."""
+    import hashlib
+
+    from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_images
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 8)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        pat = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
+        palette = pat[0:48]
+        idx = bytes(b % 16 for b in pat)
+        gray = bytes(b % 4 for b in pat)
+        bits = bytes(b % 2 for b in pat)
+        pdf = encode_pdf(
+            [[f"images {i}"]], title=f"Indexed {i}",
+            xref_stream=bool(i % 2),
+            encrypt="rc4-128" if i % 3 == 0 else None,
+            images=[[
+                ("indexed", 12, 8, 3, (4, palette, idx)),
+                ("gray-sub", 12, 8, 1, (2, gray)),
+                ("mask", 12, 8, 1, (bits, bool(i % 2))),
+                ("inline-indexed", 12, 8, 3, (4, palette, idx)),
+            ]],
+        )
+        rows.append((i, bytearray(pdf)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return (
+        pdf_images(media, digest="hex")
+        .select("media_id", "page_idx", "img_name", "width", "height",
+                "n_components", "img_filter", "pixel_md5")
+        .orderBy("media_id", "img_name")
+    )
+
+
+@register(
     "mm_decode_tiff",
     # payload = a REAL baseline TIFF (operators/tiff.py) of the doc's
     # 96-byte md5 pattern as 8x4 RGB, compression cycling

@@ -520,6 +520,66 @@ def test_pdf_malformed_inline_image_no_text_leak():
     assert "LEAK" not in " ".join(d.pages)
 
 
+def test_pdf_indexed_sub8_and_mask_images():
+    """r12: Indexed palettes (array colorspace, string and stream
+    lookups, 4-bit and 8-bit indices), sub-8-bit DeviceGray with the
+    exact 255/(2^bpc-1) expansion, and /ImageMask stencils as 0/255
+    gray honoring /Decode [1 0] — as XObjects AND inline images,
+    across encryption and xref layouts."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.pdf import extract_pdf_images
+
+    rng = np.random.RandomState(5)
+    palette = bytes(rng.randint(0, 256, 16 * 3, dtype=np.uint8))
+    idx4 = bytes(rng.randint(0, 16, 7 * 5, dtype=np.uint8))
+    gray2 = bytes(rng.randint(0, 4, 9 * 4, dtype=np.uint8))
+    bits = bytes(rng.randint(0, 2, 10 * 6, dtype=np.uint8))
+    pal = np.frombuffer(palette, np.uint8).reshape(16, 3)
+    want_idx4 = pal[np.frombuffer(idx4, np.uint8)].tobytes()
+    want_gray2 = (np.frombuffer(gray2, np.uint8) * 85).tobytes()
+    want_mask = (np.frombuffer(bits, np.uint8) * 255).tobytes()
+    want_maskr = ((1 - np.frombuffer(bits, np.uint8)) * 255).tobytes()
+    for xs in (False, True):
+        for enc in (None, "rc4-128", "aes-128"):
+            pdf = encode_pdf([["x"]], title="T", xref_stream=xs,
+                             encrypt=enc, images=[[
+                                 ("indexed", 7, 5, 3, (4, palette, idx4)),
+                                 ("gray-sub", 9, 4, 1, (2, gray2)),
+                                 ("mask", 10, 6, 1, (bits, False)),
+                                 ("mask", 10, 6, 1, (bits, True)),
+                                 ("inline-indexed", 7, 5, 3,
+                                  (4, palette, idx4)),
+                                 ("inline-mask", 10, 6, 1, (bits, False)),
+                             ]])
+            ims = extract_pdf_images(pdf)
+            got = [(i.n_components, i.pixels) for i in ims]
+            assert got == [(3, want_idx4), (1, want_gray2),
+                           (1, want_mask), (1, want_maskr),
+                           (3, want_idx4), (1, want_mask)], (xs, enc)
+    # out-of-range index clamps to hival (§8.6.6.3)
+    small_pal = bytes(range(12))  # hival 3, RGB
+    hot = bytes([0, 3, 7, 255])  # 7 and 255 clamp to entry 3
+    pdf = encode_pdf([["x"]], images=[[
+        ("indexed", 4, 1, 3, (8, small_pal, hot))]])
+    (im,) = extract_pdf_images(pdf)
+    lut = np.frombuffer(small_pal, np.uint8).reshape(4, 3)
+    assert im.pixels == lut[[0, 3, 3, 3]].tobytes()
+    # hostile: hival claiming more entries than the lookup holds,
+    # unsupported 16-bit samples
+    good = encode_pdf([["x"]], images=[[
+        ("indexed", 4, 1, 3, (8, small_pal, hot))]], flate=False)
+    assert b"/Indexed /DeviceRGB 3" in good
+    short = good.replace(b"/Indexed /DeviceRGB 3",
+                         b"/Indexed /DeviceRGB 9")
+    with pytest.raises(PdfError, match="lookup"):
+        extract_pdf_images(short)
+    bad_bpc = good.replace(b"/BitsPerComponent 8",
+                           b"/BitsPerComponent 16")
+    with pytest.raises((PdfError, NotImplementedError)):
+        extract_pdf_images(bad_bpc)
+
+
 def test_pdf_images_spark(spark):
     from dolphinbeat_spark.operators.jpeg import encode_jpeg
     from dolphinbeat_spark.operators.pdf import pdf_images
