@@ -18,9 +18,12 @@ RFC 6386 implementation in operators/vp8.py, with chroma
 nearest-upsampling + libwebp's published fixed-point BT.601 YUV→RGB,
 and ALPH transparency planes (raw or headerless-VP8L compressed,
 PNG-style prediction filters). Animated WebP: ``decode_webp`` on a
-single image raises by name, but ``webp_anim_frames`` /
-``webp_anim_demux`` (r11, below) demux ANMF frames with their
-placement/timing metadata.
+single image raises by name; ``webp_anim_frames`` /
+``webp_anim_demux`` (r11) demux ANMF frames with their
+placement/timing metadata, and ``webp_anim_composite`` /
+``webp_anim_canvas`` (r12) assemble the full per-frame canvases
+(background color, blend methods, dispose-to-background) per the
+container spec.
 
 Verification (tests/test_multimodal.py, tests/test_vp8.py): the
 decoder is pinned by hand-assembled bitstreams computed from the spec
@@ -1136,6 +1139,135 @@ def webp_anim_demux(df):
                         fr["width"], fr["height"], fr["duration_ms"],
                         fr["blend"],
                         int(px.astype(np.int64).sum()),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return df.mapInPandas(batches, schema)
+
+
+def webp_anim_composite(data: bytes) -> tuple[int, int, list[dict]]:
+    """Animated WebP -> (canvas_w, canvas_h, [frame dicts with the
+    FULL composited canvas]), per the container spec's (RFC 9649)
+    canvas assembly: the canvas starts as the ANIM background color,
+    each frame is placed at its (x, y) rectangle with its BLEND
+    method (0 = alpha-blend over the canvas with the spec's
+    source-over formula, 1 = overwrite the rectangle), and a frame's
+    DISPOSE method 1 fills ITS rectangle with the background color
+    before the next frame is placed. r12 — closes the r11 boundary
+    where ANMF frames were decoded but not composited, so
+    frame-sampling an animation yields presentable canvases, not
+    patches.
+
+    Alpha blending uses the spec's real-arithmetic source-over
+    formula rounded to nearest (documented deviation: libwebp's demux
+    uses its own integer approximation; oracles pin THIS formula).
+    Each output dict: frame_idx, duration_ms, canvas (HxWx4 RGBA)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise WebpError("not a WebP payload (RIFF/WEBP)")
+    cw = ch = None
+    bg = (0, 0, 0, 0)
+    pos = 12
+    while pos + 8 <= len(data):
+        cc = data[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + clen]
+        if len(body) != clen:
+            raise WebpError(f"WebP chunk {cc!r} truncated")
+        if cc == b"VP8X":
+            if clen < 10:
+                raise WebpError("VP8X chunk truncated")
+            cw = int.from_bytes(body[4:7], "little") + 1
+            ch = int.from_bytes(body[7:10], "little") + 1
+        elif cc == b"ANIM":
+            if clen < 6:
+                raise WebpError("ANIM chunk truncated")
+            # spec: 32-bit background color in B,G,R,A byte order
+            bg = (body[2], body[1], body[0], body[3])
+        pos += 8 + clen + (clen & 1)
+    if cw is None:
+        raise WebpError("animated WebP lacks a VP8X canvas size")
+    frames = webp_anim_frames(data)
+    canvas = np.empty((ch, cw, 4), np.uint8)
+    canvas[:, :] = bg
+    out: list[dict] = []
+    prev_rect = None
+    prev_dispose = 0
+    for fr in frames:
+        if prev_dispose == 1 and prev_rect is not None:
+            px0, py0, pw, phh = prev_rect
+            canvas[py0:py0 + phh, px0:px0 + pw] = bg
+        x, y, w, h = fr["x"], fr["y"], fr["width"], fr["height"]
+        if x + w > cw or y + h > ch:
+            raise WebpError(
+                f"ANMF frame {fr['frame_idx']} rectangle "
+                f"{w}x{h}@{x},{y} exceeds the {cw}x{ch} canvas"
+            )
+        src = fr["rgba"].astype(np.float64)
+        if fr["blend"] == 1:
+            canvas[y:y + h, x:x + w] = fr["rgba"]
+        else:
+            dst = canvas[y:y + h, x:x + w].astype(np.float64)
+            a_s = src[:, :, 3:4] / 255.0
+            a_d = dst[:, :, 3:4] / 255.0
+            a_o = a_s + a_d * (1.0 - a_s)
+            rgb = np.where(
+                a_o > 0,
+                (src[:, :, :3] * a_s + dst[:, :, :3] * a_d * (1.0 - a_s))
+                / np.where(a_o > 0, a_o, 1.0),
+                0.0,
+            )
+            blended = np.concatenate([rgb, a_o * 255.0], axis=2)
+            canvas[y:y + h, x:x + w] = \
+                np.rint(blended).clip(0, 255).astype(np.uint8)
+        out.append({
+            "frame_idx": fr["frame_idx"],
+            "duration_ms": fr["duration_ms"],
+            "canvas": canvas.copy(),
+        })
+        prev_rect = (x, y, w, h)
+        prev_dispose = fr["dispose"]
+    return cw, ch, out
+
+
+def webp_anim_canvas(df):
+    """(media_id, payload) -> one row per COMPOSITED animation frame
+    via Arrow ``mapInPandas`` (map-only): full-canvas geometry,
+    timing, and the canvas digest under the hex contract (RGBA bytes
+    are non-ASCII). This is what mm_frame_sample-style sampling
+    consumes for the animated share of a crawl — canvases, not
+    patches."""
+    import hashlib
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    import pandas as pd
+
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("canvas_w", LongType()),
+        StructField("canvas_h", LongType()),
+        StructField("canvas_sum", LongType()),
+        StructField("canvas_md5", StringType()),
+    ])
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                cw, ch, frames = webp_anim_composite(bytes(raw))
+                for fr in frames:
+                    cv = fr["canvas"]
+                    rows.append((
+                        mid, fr["frame_idx"], fr["duration_ms"], cw, ch,
+                        int(cv.astype(np.int64).sum()),
+                        hashlib.md5(
+                            cv.tobytes().hex().encode()).hexdigest(),
                     ))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in schema.fields]

@@ -3350,6 +3350,107 @@ def mm_webp_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_webp_anim_decode",
+    # payload = a REAL animated WebP per doc: canvas 8x6 with an
+    # opaque background color from the doc's md5 chars, three
+    # LOSSLESS frames — full-canvas solid c1, a 4x2 rect of c2 at
+    # (2,2) with DISPOSE-to-background, a 2x2 rect of c3 at (0,0)
+    # with blend=1. The operator composites the full canvas per the
+    # container spec (RFC 9649): frame 2's canvas must show c1
+    # everywhere EXCEPT frame 1's rect restored to the BACKGROUND
+    # color and frame 2's own rect — the oracle rebuilds each canvas
+    # pixel-by-pixel from the coordinates in closed form (hex-digest
+    # contract; colors are md5-char bytes with alpha 0xff). Pre-r12
+    # frames were decoded but never composited.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern,
+         CAST(40 + doc_id % 60 AS BIGINT) AS dur
+  FROM documents WHERE doc_id % 25 = 10
+), c AS (
+  SELECT media_id, dur,
+         lower(hex(substr(pattern, 1, 3))) || 'ff' AS bg,
+         lower(hex(substr(pattern, 4, 3))) || 'ff' AS c1,
+         lower(hex(substr(pattern, 7, 3))) || 'ff' AS c2,
+         lower(hex(substr(pattern, 10, 3))) || 'ff' AS c3
+  FROM p
+), f(frame_idx) AS (VALUES (0), (1), (2)),
+px AS (
+  SELECT media_id, dur, frame_idx,
+         md5(array_to_string(list_transform(range(0, 48), i ->
+           CASE
+             WHEN frame_idx = 0 THEN c1
+             WHEN frame_idx = 1 THEN
+               CASE WHEN (i % 8) BETWEEN 2 AND 5
+                         AND (i // 8) BETWEEN 2 AND 3
+                    THEN c2 ELSE c1 END
+             ELSE
+               CASE WHEN (i % 8) <= 1 AND (i // 8) <= 1 THEN c3
+                    WHEN (i % 8) BETWEEN 2 AND 5
+                         AND (i // 8) BETWEEN 2 AND 3 THEN bg
+                    ELSE c1 END
+           END), '')) AS canvas_md5
+  FROM c CROSS JOIN f
+)
+SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(dur + frame_idx AS BIGINT) AS duration_ms,
+       8::BIGINT AS canvas_w, 6::BIGINT AS canvas_h, canvas_md5
+FROM px
+ORDER BY media_id, frame_idx
+""",
+    tags=("multimodal", "webp", "animation", "decode"),
+)
+def mm_webp_anim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 animated-WebP COMPOSITING under the oracle gate
+    (operators/webp.py::webp_anim_composite): ANMF frames decode
+    through the still paths and assemble onto the canvas —
+    background-color initialization, blend methods, and
+    dispose-to-background per the container spec — so frame-sampling
+    an animation yields presentable canvases, not patches. Arrow
+    mapInPandas, map-only at any scale."""
+    import hashlib
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.webp import (
+        encode_webp_anim,
+        webp_anim_canvas,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 10)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+
+    def solid(w, h, rgb):
+        a = np.empty((h, w, 4), np.uint8)
+        a[:, :] = rgb + (255,)
+        return a
+
+    rows = []
+    for i in ids:
+        pat = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
+        bg, c1, c2, c3 = (tuple(pat[k:k + 3]) for k in (0, 3, 6, 9))
+        bg_int = (bg[2] | bg[1] << 8 | bg[0] << 16 | 255 << 24)
+        dur = 40 + i % 60
+        anim = encode_webp_anim(
+            [{"rgba": solid(8, 6, c1), "duration_ms": dur},
+             {"rgba": solid(4, 2, c2), "x": 2, "y": 2,
+              "duration_ms": dur + 1, "dispose": 1},
+             {"rgba": solid(2, 2, c3), "duration_ms": dur + 2,
+              "blend": 1}],
+            canvas=(8, 6), bgcolor=bg_int,
+        )
+        rows.append((i, bytearray(anim)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return (
+        webp_anim_canvas(media)
+        .select("media_id", "frame_idx", "duration_ms", "canvas_w",
+                "canvas_h", "canvas_md5")
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+@register(
     "mm_video_nal_units",
     # payload = a REAL H.264 Annex-B elementary stream per doc:
     # SPS (640x480 baseline — the demux PARSES it: Exp-Golomb,

@@ -291,6 +291,64 @@ def test_webp_anim_frames():
         webp_anim_frames(bytes(bad))
 
 
+def test_webp_anim_composite():
+    """r12 canvas assembly per the container spec: background-color
+    initialization, overwrite placement of opaque frames,
+    dispose-to-background restoring a frame's rectangle, blend=1
+    overwrite semantics, and the source-over alpha blend formula on a
+    hand-computed pixel."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.webp import (
+        WebpError, encode_webp_anim, webp_anim_composite,
+    )
+
+    def solid(w, h, rgba):
+        a = np.empty((h, w, 4), np.uint8)
+        a[:, :] = rgba
+        return a
+
+    bg = (10, 20, 30, 255)  # r,g,b,a
+    bg_int = bg[2] | bg[1] << 8 | bg[0] << 16 | bg[3] << 24  # BGRA field
+    c1, c2, c3 = (100, 0, 0, 255), (0, 150, 0, 255), (0, 0, 200, 255)
+    anim = encode_webp_anim(
+        [{"rgba": solid(8, 6, c1), "duration_ms": 40},
+         {"rgba": solid(4, 2, c2), "x": 2, "y": 2, "duration_ms": 50,
+          "dispose": 1},
+         {"rgba": solid(2, 2, c3), "duration_ms": 60, "blend": 1}],
+        canvas=(8, 6), bgcolor=bg_int)
+    cw, ch, frames = webp_anim_composite(anim)
+    assert (cw, ch) == (8, 6)
+    assert [f["duration_ms"] for f in frames] == [40, 50, 60]
+    f0, f1, f2 = (f["canvas"] for f in frames)
+    assert (f0 == c1).all()
+    assert (f1[2:4, 2:6] == c2).all()
+    assert (f1[0:2, :] == c1).all()
+    # frame 1 disposed to background before frame 2; frame 2 overwrote
+    # its own 2x2 rect at (0,0)
+    assert (f2[2:4, 2:6] == bg).all()
+    assert (f2[0:2, 0:2] == c3).all()
+    assert (f2[4:6, :] == c1).all()
+    # alpha blend (blend=0): semi-transparent red over opaque c1;
+    # hand-computed: a_s=128/255, out = (255*a_s + 100*1*(1-a_s)) / 1
+    semi = solid(2, 2, (255, 0, 0, 128))
+    anim2 = encode_webp_anim(
+        [{"rgba": solid(4, 4, c1), "duration_ms": 10},
+         {"rgba": semi, "duration_ms": 10}],
+        canvas=(4, 4), bgcolor=bg_int)
+    _, _, fr2 = webp_anim_composite(anim2)
+    a_s = 128 / 255
+    want_r = round(255 * a_s + 100 * (1 - a_s))
+    px = fr2[1]["canvas"][0, 0]
+    assert tuple(px) == (want_r, 0, 0, 255), px
+    # frame rectangle exceeding the canvas stays typed
+    bad = encode_webp_anim(
+        [{"rgba": solid(4, 4, c1), "x": 6, "duration_ms": 10}],
+        canvas=(8, 6), bgcolor=0)
+    with pytest.raises(WebpError, match="exceeds"):
+        webp_anim_composite(bad)
+
+
 def test_vp8_typed_errors_and_fuzz():
     from dolphinbeat_spark.operators.webp import WebpError, decode_webp
 
