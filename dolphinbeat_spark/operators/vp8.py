@@ -20,10 +20,20 @@ Covered, all per the RFC's reference listings:
   high-edge-variance logic and macroblock/subblock variants (§15).
 
 The encoder mirror writes real keyframes (restricted: one segment, no
-probability updates) — fixtures for the oracle specs; a REAL
-libwebp-encoded file from the stdlib test corpus pins the big
-probability tables independently (a single wrong entry desyncs the
-boolean decoder partway through the frame).
+probability updates) — fixtures for the oracle specs. The decoder is
+CONFORMANCE-PINNED against the reference library (r12): four
+committed libwebp-encoded goldens decode to BIT-EXACT YUV planes
+(tests/fixtures/golden/vp8_conformance_pins.json), the big
+probability tables are verified byte-for-byte against the reference
+library's copies (tools/check_vp8_tables.py — which caught the r11
+transcription's one-band shift of the coefficient table and the
+libwebp-vs-RFC bmode enum permutation), and
+tools/vp8_conformance.py decodes ~200 streams (libwebp-encoded
+corpus + own-encoder targeted mode/filter streams) bit-exactly.
+Self-referential roundtrips alone proved insufficient: encoder and
+decoder shared three mirrored bugs (tables, sub-block mode context,
+sub-block filter hev semantics) that only the external differential
+exposed.
 
 Interframes (golden/altref reference buffers, motion compensation)
 raise by name — a web image corpus carries still keyframes.
@@ -570,7 +580,11 @@ class _LoopFilter:
                 else:
                     _mb_filter(flat, pos, stride)
             else:
-                _filter_common(flat, None, pos, stride, not hev)
+                # §15.2 subblock_filter: common_adjust(use_outer_taps
+                # = hev); the outer p1/q1 half-step applies only
+                # WITHOUT hev (r12 fix — the args were inverted,
+                # caught by the libwebp differential harness)
+                _filter_common(flat, None, pos, stride, hev)
 
     def filter_mb(self, y, u, v, mb_x, mb_y, has_coeffs: bool,
                   is_bpred: bool) -> None:
@@ -755,7 +769,15 @@ def decode_vp8(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray,
                 sub = []
                 for r in range(4):
                     for c in range(4):
-                        above_m = above_sub[mb_x][c]
+                        # §11.3: the above context for rows > 0 is the
+                        # sub-block directly above WITHIN this MB (r12
+                        # fix — caught by the bright-natural libwebp
+                        # golden; the old code reused the above-MB's
+                        # bottom row for all four rows, and the
+                        # encoder mirrored it so roundtrips stayed
+                        # green)
+                        above_m = above_sub[mb_x][c] if r == 0 \
+                            else sub[(r - 1) * 4 + c]
                         left_m = left_sub[r] if c == 0 else sub[r * 4 + c - 1]
                         m = bd.tree(
                             T.BMODE_TREE,
@@ -1025,7 +1047,10 @@ def encode_vp8(width: int, height: int, mbs: list[dict],
                 sub = mb["sub"]
                 for r in range(4):
                     for c in range(4):
-                        above_m = above_sub[mb_x][c]
+                        # §11.3 within-MB above context (r12 fix,
+                        # mirrors the decoder)
+                        above_m = above_sub[mb_x][c] if r == 0 \
+                            else sub[(r - 1) * 4 + c]
                         left_m = left_sub[r] if c == 0 \
                             else sub[r * 4 + c - 1]
                         be.tree(T.BMODE_TREE,

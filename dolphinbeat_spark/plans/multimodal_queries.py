@@ -3231,17 +3231,20 @@ def mm_decode_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bytes of arithmetic-coded DCT tokens exercise the full
     # DEFAULT_COEFF_PROBS / COEFF_UPDATE_PROBS tables, and an ALPH
     # transparency plane (headerless VP8L) carrying the Python-logo
-    # silhouette. The oracle pins the decoded relation's stats —
-    # alpha coverage (149 of 256 pixels opaque: the logo), the
-    # premultiplied-black luma, and the full-RGBA digest — as
-    # literals: a single wrong probability-table entry desyncs the
-    # boolean decoder and changes every number. Independent of
-    # sf_dir, like the other committed-fixture specs.
+    # silhouette. The oracle pins the decoded relation's stats as
+    # literals — r12: the pinned values are the decode whose YUV
+    # planes are BIT-EXACT against libwebp's own WebPDecodeYUV (the
+    # r11 literals pinned a wrong decode: the probability tables were
+    # mistranscribed; tools/check_vp8_tables.py now verifies them
+    # against the reference library and four conformance goldens pin
+    # the planes in tests/test_vp8.py). RGBA uses the documented
+    # simple chroma upsampler. Independent of sf_dir, like the other
+    # committed-fixture specs.
     oracle="""
 SELECT 0::BIGINT AS media_id, 'webp' AS fmt,
        16::BIGINT AS width, 16::BIGINT AS height,
-       39075::BIGINT AS pixel_sum,
-       '3be727102534705e71dc2a12a2237520' AS pixel_md5
+       110138::BIGINT AS pixel_sum,
+       '0544f1e4a10f64c3b86f2bb57d6ee54b' AS pixel_md5
 """,
     tags=("multimodal", "decode", "codec", "webp", "lossy", "alpha"),
 )

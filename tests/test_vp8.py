@@ -185,6 +185,12 @@ def test_real_libwebp_file_canary():
 
     from dolphinbeat_spark.operators.webp import decode_webp
 
+    import struct
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.vp8 import decode_vp8
+
     data = _GOLDEN.read_bytes()
     w, h, px = decode_webp(data)
     assert (w, h) == (16, 16) and px.shape == (16, 16, 4)
@@ -193,12 +199,26 @@ def test_real_libwebp_file_canary():
     assert a[0, 0] < 32 and a[15, 15] < 32
     assert a[2, 6] > 200 and a[8, 2] > 200 and a[13, 8] > 200
     assert 100 < float(a.mean()) < 200
-    # luma is premultiplied black; chroma carries real DCT tokens
-    assert px[:, :, :3].max() <= 16
-    # regression pin of the full decode (fails loudly if any table
-    # or filter changes behavior)
-    assert hashlib.md5(px.tobytes()).hexdigest() == \
-        hashlib.md5(decode_webp(data)[2].tobytes()).hexdigest()
+    # r12: the VP8 chunk's YUV planes are BIT-EXACT against
+    # libwebp's own WebPDecodeYUV output (pins computed externally;
+    # the r11 assertion that luma was near-black was itself an
+    # artifact of the mistranscribed tables — the true luma has
+    # mean ~98.9, max 230)
+    pos = 12
+    vp8 = None
+    while pos + 8 <= len(data):
+        cc = data[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", data, pos + 4)
+        if cc == b"VP8 ":
+            vp8 = data[pos + 8:pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+    _, _, y, u, v = decode_vp8(vp8)
+    assert abs(float(y.mean()) - 98.8828125) < 1e-9 and y.max() == 230
+    assert hashlib.sha256(y.tobytes()).hexdigest().startswith(
+        "0e4516f7a73e1abf")
+    assert hashlib.sha256(u.tobytes()).hexdigest().startswith(
+        "288e64e65b3f321c")
+    assert np.unique(y).size > 30  # real DCT content, not flat
 
 
 def test_webp_exif_extract_and_strip():
@@ -289,6 +309,53 @@ def test_webp_anim_frames():
     _st.pack_into("<I", bad, i + 4, 5)
     with pytest.raises(WebpError):
         webp_anim_frames(bytes(bad))
+
+
+def test_vp8_libwebp_conformance_goldens():
+    """r12 REAL-libwebp conformance pins: four committed files
+    encoded by the system libwebp (tools/make_vp8_golden.py) —
+    bright natural content (the r11 real-file pin was premultiplied
+    near-black, so luma/chroma reconstruction was only
+    self-referentially pinned), heavy noise at q10, a q90 random walk
+    (loop-filter detail), and an odd non-MB-multiple size. The
+    decoded Y/U/V planes must match libwebp's OWN WebPDecodeYUV
+    output BIT-EXACTLY (sha256 pins computed externally by the tool);
+    YUV is the contract because only the chroma UPSAMPLING deviates
+    (simple vs fancy, documented at decode_webp).
+
+    This corpus caught three r11 bugs: the big probability tables
+    mistranscribed (incl. a one-band shift of the whole coefficient
+    table and libwebp's permuted-vs-RFC bmode enum), the within-MB
+    above context for sub-block modes, and inverted hev semantics in
+    the sub-block loop filter (dev-time battery: 75/75 libwebp
+    encodes across qualities/sizes decode bit-exactly)."""
+    import hashlib
+    import json
+    import os
+    import struct
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.vp8 import decode_vp8
+
+    gold = os.path.join(os.path.dirname(__file__), "fixtures", "golden")
+    with open(os.path.join(gold, "vp8_conformance_pins.json")) as f:
+        pins = json.load(f)
+    assert len(pins) >= 4
+    for name, pin in sorted(pins.items()):
+        with open(os.path.join(gold, f"{name}.webp"), "rb") as f:
+            data = f.read()
+        assert data[:4] == b"RIFF" and data[8:16] == b"WEBPVP8 "
+        (clen,) = struct.unpack_from("<I", data, 16)
+        w, h, y, u, v = decode_vp8(data[20:20 + clen])
+        assert (w, h) == (pin["width"], pin["height"]), name
+        assert abs(y.mean() - pin["mean_luma"]) < 0.05, name
+        for plane, key in ((y, "y_sha256"), (u, "u_sha256"),
+                           (v, "v_sha256")):
+            got = hashlib.sha256(plane.tobytes()).hexdigest()
+            assert got == pin[key], (name, key)
+    # the bright case specifically pins the bright-DC half
+    assert pins["bright-natural"]["mean_luma"] > 150
 
 
 def test_webp_anim_composite():
