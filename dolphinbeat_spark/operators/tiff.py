@@ -282,6 +282,12 @@ def decode_tiff(data: bytes) -> tuple[int, int, np.ndarray]:
         raise TiffError(f"bad planar configuration {planar}")
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} not supported")
+    if comp != 5:
+        # TIFF 6.0 §14 defines Predictor FOR LZW; the reference
+        # reader ignores the tag for other codecs (wild files carry
+        # stray Predictor=2 next to PackBits) — match it (r12,
+        # caught by the libtiff differential harness)
+        predictor = 1
     unit = depth // 8
     dt = np.uint8 if depth == 8 else end + "u2"
     work = np.int32 if depth == 8 else np.int64
@@ -481,6 +487,12 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 1,
         arr = np.frombuffer(pixels, end + "u2").reshape(height, width, spp)
         arr = arr.astype(np.int64)
         maxval = 65535
+
+    if predictor == 2 and compression != 5:
+        raise ValueError(
+            "Predictor=2 is defined for LZW only (TIFF 6.0 §14); "
+            "readers ignore it for other codecs"
+        )
 
     def pack(a: np.ndarray) -> bytes:
         if predictor == 2:  # differencing restarts per segment row

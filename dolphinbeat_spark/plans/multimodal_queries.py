@@ -1846,7 +1846,9 @@ def mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
         pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
         rows.append((i, bytearray(encode_tiff(
             8, 4, pattern, spp=3, compression=comps[i % 3],
-            predictor=2 if i % 2 else 1, rows_per_strip=2,
+            # Predictor is LZW-only (TIFF 6.0 §14, r12 libtiff
+            # conformance): pair it with compression 5 alone
+            predictor=2 if comps[i % 3] == 5 else 1, rows_per_strip=2,
             byte_order="<" if i % 2 == 0 else ">",
         ))))
     media = spark.createDataFrame(rows, "media_id long, payload binary")
@@ -1964,7 +1966,7 @@ def mm_decode_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
         pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
         rows.append((i, bytearray(encode_tiff(
             8, 4, pattern, spp=3, compression=comps[i % 3],
-            predictor=2 if i % 2 else 1, tile=(3, 3),
+            predictor=2 if comps[i % 3] == 5 else 1, tile=(3, 3),
             planar=2 if i % 2 else 1,
             byte_order="<" if i % 2 == 0 else ">",
         ))))
