@@ -1,4 +1,11 @@
-/* Golden-fixture harness for arithmetic-coded JPEG (T.81 Annex D/F).
+/* Golden-fixture harness for arithmetic-coded JPEG (T.81 Annex D/F)
+ * plus (r12) Huffman-layer conformance modes:
+ *   encode_huff / encode_huff_prog  W H GRAY|RGB [ri]
+ *       baseline (Annex K tables) / progressive HUFFMAN encodes
+ *   decode                          < JPEG > raw decoded samples
+ *       libjpeg's decoded pixels — the tolerance-based contract for
+ *       tools/jpeg_conformance.py (IDCTs legally differ by a count
+ *       or two; an entropy desync differs catastrophically).
  *
  * Drives the system libjpeg (the reference implementation of the
  * public spec) to produce ground truth for the from-scratch QM-coder
@@ -36,7 +43,8 @@ static unsigned char *read_all(FILE *f, unsigned long *n) {
   return buf;
 }
 
-static int do_encode(int w, int h, int rgb, int ri, int prog) {
+static int do_encode(int w, int h, int rgb, int ri, int prog,
+                     int huff) {
   struct jpeg_compress_struct cinfo;
   struct jpeg_error_mgr jerr;
   unsigned long inlen, outlen = 0;
@@ -56,7 +64,17 @@ static int do_encode(int w, int h, int rgb, int ri, int prog) {
   cinfo.input_components = rgb ? 3 : 1;
   cinfo.in_color_space = rgb ? JCS_RGB : JCS_GRAYSCALE;
   jpeg_set_defaults(&cinfo);
-  cinfo.arith_code = TRUE;          /* the point of the exercise */
+  cinfo.arith_code = huff ? FALSE : TRUE;
+  if (huff && rgb) {
+    /* conformance contract is pre-upsampling: force 4:4:4 so the
+     * pixel compare is not dominated by the decoder's documented
+     * simple-vs-fancy chroma upsampling policy */
+    int ci;
+    for (ci = 0; ci < cinfo.num_components; ci++) {
+      cinfo.comp_info[ci].h_samp_factor = 1;
+      cinfo.comp_info[ci].v_samp_factor = 1;
+    }
+  }
   cinfo.optimize_coding = FALSE;
   cinfo.restart_interval = ri;
   if (prog)                         /* SOF10: libjpeg's standard script */
@@ -107,15 +125,42 @@ static int do_coefs(void) {
   return 0;
 }
 
+static int do_decode(void) {
+  struct jpeg_decompress_struct cinfo;
+  struct jpeg_error_mgr jerr;
+  unsigned long inlen;
+  unsigned char *data = read_all(stdin, &inlen);
+  JSAMPROW row;
+  unsigned char *buf;
+  cinfo.err = jpeg_std_error(&jerr);
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, inlen);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) die("bad header");
+  jpeg_start_decompress(&cinfo);
+  buf = malloc((size_t)cinfo.output_width * cinfo.output_components);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    row = buf;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+    fwrite(buf, 1,
+           (size_t)cinfo.output_width * cinfo.output_components, stdout);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
 int main(int argc, char **argv) {
-  if (argc >= 4 && (!strcmp(argv[1], "encode") ||
-                    !strcmp(argv[1], "encode_prog")))
+  if (argc >= 4 && (!strncmp(argv[1], "encode", 6)))
     return do_encode(atoi(argv[2]), atoi(argv[3]),
                      argc > 4 && !strcmp(argv[4], "RGB"),
                      argc > 5 ? atoi(argv[5]) : 0,
-                     !strcmp(argv[1], "encode_prog"));
+                     strstr(argv[1], "_prog") != NULL,
+                     strstr(argv[1], "huff") != NULL);
   if (argc >= 2 && !strcmp(argv[1], "coefs"))
     return do_coefs();
-  die("usage: encode|encode_prog W H GRAY|RGB [ri] | coefs");
+  if (argc >= 2 && !strcmp(argv[1], "decode"))
+    return do_decode();
+  die("usage: encode|encode_prog|encode_huff|encode_huff_prog "
+      "W H GRAY|RGB [ri] | coefs | decode");
   return 2;
 }
