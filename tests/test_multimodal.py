@@ -2428,6 +2428,53 @@ def test_read_warc_unresolved_coding_flows(spark):
     assert rows["<b>"].body_len == len(b"\x1b\x03\x00whatever")
 
 
+def test_conformance_fixtures_external_authors():
+    """r12 external-conformance regression pins that run WITHOUT the
+    system libraries: committed giflib-AUTHORED GIFs must decode to
+    the pinned index arrays (the palette is the gray identity), and
+    committed libjpeg-AUTHORED Huffman JPEGs (baseline + progressive,
+    gray + RGB, one with restart intervals) must decode within the
+    IDCT tolerance of libjpeg's OWN decoded samples (committed as
+    .ref). Authored by tools/make_conformance_fixtures.py; the
+    expected values come from the third-party implementations only —
+    the full matrices live in tools/{gif,jpeg,tiff,png}_conformance.py
+    (dev-time, 0 failures at r12)."""
+    import hashlib
+    import json
+    import os
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.jpeg import decode_jpeg
+    from dolphinbeat_spark.operators.multimodal import decode_gif
+
+    d = os.path.join(os.path.dirname(__file__), "fixtures", "golden",
+                     "conformance")
+    with open(os.path.join(d, "conformance_pins.json")) as f:
+        pins = json.load(f)
+    assert len(pins["gif"]) >= 2 and len(pins["jpeg"]) >= 4
+    for name, pin in pins["gif"].items():
+        with open(os.path.join(d, f"{name}.gif"), "rb") as f:
+            blob = f.read()
+        w, h, px = decode_gif(blob)
+        assert (w, h) == (pin["width"], pin["height"]), name
+        # gray-identity palette: channel 0 IS the index array
+        assert (px[:, :, 0] == px[:, :, 1]).all()
+        got = hashlib.sha256(px[:, :, 0].tobytes()).hexdigest()
+        assert got == pin["index_sha256"], name
+    for name, pin in pins["jpeg"].items():
+        with open(os.path.join(d, f"{name}.jpg"), "rb") as f:
+            blob = f.read()
+        with open(os.path.join(d, f"{name}.ref"), "rb") as f:
+            ref = np.frombuffer(f.read(), np.uint8)
+        w, h, px = decode_jpeg(blob)
+        assert (w, h) == (pin["width"], pin["height"]), name
+        ref = ref.reshape(h, w, pin["channels"]).reshape(px.shape)
+        diff = np.abs(px.astype(int) - ref.astype(int))
+        assert diff.max() <= 3 and diff.mean() <= 0.5, \
+            (name, diff.max(), diff.mean())
+
+
 # --- TIFF (operators/tiff.py) -------------------------------------------------
 
 
