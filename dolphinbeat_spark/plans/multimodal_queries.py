@@ -1548,7 +1548,8 @@ def warc_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "warc_content_encoding",
-    # Ten HTTP responses per doc exercise every supported body coding
+    # Eleven HTTP responses per doc exercise every supported body
+    # coding
     # (RFC 9110 §8.4 / RFC 9112 §7.1): identity, Content-Encoding gzip,
     # deflate in BOTH wild forms (zlib-wrapped per spec and raw-deflate
     # as misconfigured servers send), Transfer-Encoding chunked (with a
@@ -1557,9 +1558,11 @@ def warc_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # silently truncated to the first member), zstd (RFC 8878 through
     # the in-repo frame decoder, r12), a bare-LF HTTP envelope
     # (r12: sloppy servers terminate headers with \n\n; pre-fix the
-    # whole header block flowed into body_text), and brotli (r12:
+    # whole header block flowed into body_text), brotli (r12:
     # from-scratch RFC 7932 decoder, operators/brotli.py — the largest
-    # wild-web coding). The oracle pins the decoded text, length,
+    # wild-web coding), and Unix compress (r12: from-scratch .Z LZW
+    # validated against the system uncompress — the last registered
+    # RFC 9110 coding). The oracle pins the decoded text, length,
     # digest and the applied coding list in closed form from the same
     # pattern pieces.
     oracle="""
@@ -1572,7 +1575,8 @@ s(record_idx, enc, start, sz) AS (
   VALUES (0, NULL, 1, 40), (1, 'gzip', 1, 60), (2, 'deflate', 11, 40),
          (3, 'deflate', 21, 60), (4, 'chunked', 1, 96),
          (5, 'gzip,chunked', 31, 60), (6, 'gzip', 41, 50),
-         (7, 'zstd', 5, 72), (8, NULL, 61, 30), (9, 'br', 13, 66)
+         (7, 'zstd', 5, 72), (8, NULL, 61, 30), (9, 'br', 13, 66),
+         (10, 'compress', 17, 48)
 )
 SELECT media_id, CAST(record_idx AS BIGINT) AS record_idx,
        200::BIGINT AS http_status, 'text/plain' AS content_type,
@@ -1626,6 +1630,7 @@ def warc_content_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             mk(7, pat[4:76], content_encoding="zstd"),
             mk(8, pat[60:90], bare_lf=True),
             mk(9, pat[12:78], content_encoding="br"),
+            mk(10, pat[16:64], content_encoding="compress"),
         ]
         rows.append(
             (i, bytearray(encode_warc(recs, gzip_members=bool(i % 2))))

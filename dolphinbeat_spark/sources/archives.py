@@ -381,6 +381,17 @@ def iter_tar_members(data: bytes, errors: str = "strict"):
                 data = lzma.decompress(data)
             except lzma.LZMAError as ex:
                 raise ArchiveError(f"bad xz wrapper: {ex}") from ex
+        elif data[:2] == b"\x1f\x9d":
+            # tar.Z — the pre-gzip archive wrapper (r12)
+            from dolphinbeat_spark.operators.lzw_z import (
+                ZCompressError, decode_z,
+            )
+
+            try:
+                data = decode_z(data)
+            except ZCompressError as ex:
+                raise ArchiveError(
+                    f"bad compress (.Z) wrapper: {ex}") from ex
     except ArchiveError as ex:
         if not capture:
             raise

@@ -71,6 +71,17 @@ def decompress_auto(data: bytes,
             return "xz", lzma.decompress(data)
         except lzma.LZMAError as ex:
             raise JsonlError(f"bad xz stream: {ex}") from ex
+    if data[:2] == b"\x1f\x9d":
+        # Unix compress (.Z) — legacy corpora still ship it (r12,
+        # from-scratch LZW validated against the system uncompress)
+        from dolphinbeat_spark.operators.lzw_z import (
+            ZCompressError, decode_z,
+        )
+
+        try:
+            return "compress", decode_z(data)
+        except ZCompressError as ex:
+            raise JsonlError(f"bad compress (.Z) stream: {ex}") from ex
     return "plain", data
 
 

@@ -268,9 +268,18 @@ def _inflate_coding(coding: str, body: bytes) -> bytes:
             return decode_brotli(body)
         except BrotliError as ex:
             raise WarcError(f"br HTTP body fails to decode: {ex}") from ex
+    if coding in ("compress", "x-compress"):
+        from dolphinbeat_spark.operators.lzw_z import (
+            ZCompressError, decode_z,
+        )
+        try:
+            return decode_z(body)
+        except ZCompressError as ex:
+            raise WarcError(
+                f"compress HTTP body fails to decode: {ex}") from ex
     raise NotImplementedError(
         f"HTTP content coding {coding!r} not supported "
-        "(gzip/deflate/br/zstd/chunked/identity)"
+        "(gzip/deflate/br/zstd/compress/chunked/identity)"
     )
 
 
@@ -528,6 +537,10 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
                 )
                 body = encode_brotli_store(body)
                 hdrs_http.append("Content-Encoding: br")
+            elif cenc == "compress":
+                from dolphinbeat_spark.operators.lzw_z import encode_z
+                body = encode_z(body)
+                hdrs_http.append("Content-Encoding: compress")
             elif cenc == "deflate":
                 if r["http"].get("raw_deflate"):
                     co = zlib.compressobj(6, zlib.DEFLATED, -15)

@@ -2428,6 +2428,76 @@ def test_read_warc_unresolved_coding_flows(spark):
     assert rows["<b>"].body_len == len(b"\x1b\x03\x00whatever")
 
 
+def test_unix_compress_lzw_z():
+    """Unix compress (.Z) from scratch (r12, operators/lzw_z.py):
+    encoder output is decompressed byte-identically by the SYSTEM
+    gzip/uncompress (the living .Z reader) across inputs that cross
+    every code-width boundary; the decoder roundtrips, enforces the
+    bomb guard, and stays typed on hostile bytes. Wired as HTTP
+    Content-Encoding: compress, the 1F 9D magic in JSONL sniffing,
+    and the tar.Z wrapper."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.lzw_z import (
+        ZCompressError, decode_z, encode_z,
+    )
+
+    rng = np.random.RandomState(0)
+    cases = [b"", b"a", b"hello hello hello", b"ab" * 4000,
+             bytes(rng.randint(0, 256, 60000, dtype=np.uint8).tolist()),
+             b"the quick brown fox " * 8000]
+    gzip_cli = shutil.which("gzip")
+    for maxbits in (10, 12, 16):
+        for d in cases:
+            z = encode_z(d, maxbits=maxbits)
+            assert decode_z(z) == d
+            if gzip_cli:  # external pin: the de-facto .Z reader
+                with tempfile.NamedTemporaryFile(suffix=".Z") as f:
+                    f.write(z)
+                    f.flush()
+                    r = subprocess.run([gzip_cli, "-dc", f.name],
+                                       capture_output=True)
+                assert r.returncode == 0 and r.stdout == d, \
+                    (maxbits, len(d))
+    # CLEAR code resets the dictionary (hand-built: block-mode header
+    # + 9-bit codes 'a','b',CLEAR,'c' LSB-first)
+    bits = 0
+    acc = 0
+    buf = bytearray()
+    for code in (97, 98, 256, 99):
+        acc |= code << bits
+        bits += 9
+        while bits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        buf.append(acc & 0xFF)
+    assert decode_z(b"\x1f\x9d\x90" + bytes(buf)) == b"abc"
+    # hostile: bad magic, reserved flags, out-of-range code, bomb cap
+    with pytest.raises(ZCompressError, match="1F 9D"):
+        decode_z(b"\x1f\x8bxx")
+    with pytest.raises(ZCompressError, match="reserved"):
+        decode_z(b"\x1f\x9d\xd0abc")
+    with pytest.raises(ZCompressError, match="beyond"):
+        decode_z(b"\x1f\x9d\x90\xff\xff\xff")
+    with pytest.raises(ZCompressError, match="max_output"):
+        decode_z(encode_z(b"x" * 10000), max_output=9999)
+    # ingestion wiring: JSONL sniffing and the tar.Z wrapper
+    from dolphinbeat_spark.sources.archives import (
+        encode_tar, iter_tar_members,
+    )
+    from dolphinbeat_spark.sources.jsonl import decompress_auto
+    raw = b'{"a": 1}\n{"a": 2}\n' * 50
+    assert decompress_auto(encode_z(raw)) == ("compress", raw)
+    tz = encode_z(encode_tar([("x.txt", b"member data")]))
+    assert list(iter_tar_members(tz)) == [("x.txt", b"member data")]
+
+
 def test_conformance_fixtures_external_authors():
     """r12 external-conformance regression pins that run WITHOUT the
     system libraries: committed giflib-AUTHORED GIFs must decode to
