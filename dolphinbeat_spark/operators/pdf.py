@@ -1342,12 +1342,41 @@ def _decode_image_data(doc: "PdfDocument", name: str, raw: bytes,
             bits = 1 - bits
         return PdfImage(pidx, name, width, height, 1, last,
                         (bits * 255).astype(np.uint8).tobytes())
-    if bpc not in (1, 2, 4, 8):
+    if bpc not in (1, 2, 4, 8, 16):
         raise NotImplementedError(
             f"PDF image {name!r}: {bpc}-bit samples not "
-            "supported (1/2/4/8)"
+            "supported (1/2/4/8/16)"
         )
     cs = doc.resolve(cs)
+    if isinstance(cs, list) and cs and str(cs[0]) == "ICCBased":
+        # §8.6.5.5: the ICC profile's /N names the component count;
+        # the profile itself is presentation (we emit device samples
+        # like every extraction pipeline does)
+        if len(cs) < 2:
+            raise PdfError(f"image {name!r}: ICCBased without a stream")
+        icc = doc.resolve(cs[1])
+        n = doc.resolve(icc[1].get("N")) if isinstance(icc, tuple) \
+            and icc[0] == "stream" else None
+        cs = {1: "DeviceGray", 3: "DeviceRGB", 4: "DeviceCMYK"}.get(n)
+        if cs is None:
+            raise PdfError(f"image {name!r}: ICCBased /N {n!r} invalid")
+    if bpc == 16:
+        # §8.9.5.2 allows 16-bit samples; emit the high byte (what
+        # 8-bit rendering pipelines use)
+        ncomp16 = {"DeviceGray": 1, "DeviceRGB": 3,
+                   "DeviceCMYK": 4}.get(str(cs))
+        if ncomp16 is None:
+            raise NotImplementedError(
+                f"image {name!r}: 16-bit samples only for device "
+                "colorspaces"
+            )
+        if len(content) != width * height * ncomp16 * 2:
+            raise PdfError(
+                f"image {name!r}: {len(content)} bytes for 16-bit "
+                f"{width}x{height}x{ncomp16}"
+            )
+        hi = bytes(content)[0::2]
+        return PdfImage(pidx, name, width, height, ncomp16, last, hi)
     if isinstance(cs, list) and cs and str(cs[0]) in ("Indexed", "I"):
         # §8.6.6.3 [/Indexed base hival lookup]
         if len(cs) != 4:
@@ -1546,7 +1575,9 @@ def extract_pdf_images(data: bytes) -> list[PdfImage]:
     INLINE images (BI/ID/EI, §8.9.7 — the layout scanned faxes and
     small graphics actually use) decode through the same paths with
     the abbreviated key/filter/colorspace names expanded (r11).
-    JPX/JBIG2 images and 16-bit samples raise by name."""
+    ICCBased colorspaces map to their /N device equivalent and
+    16-bit samples emit the high byte (r12, the 8-bit rendering
+    convention). JPX/JBIG2 images raise by name."""
     doc = PdfDocument(data)
     out: list[PdfImage] = []
     for pidx, (page, resources) in enumerate(doc.pages()):
@@ -1907,6 +1938,33 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
                     b"/BitsPerComponent %d /Filter /FlateDecode"
                     % (iw, ih, cs, hival, lk, bpc_i),
                     zlib.compress(_pack_rows(idx, iw, ih, bpc_i)),
+                )
+            elif kind == "raw16":
+                # payload = big-endian 16-bit samples
+                if len(payload) != iw * ih * ncomp * 2:
+                    raise ValueError("raw16 payload size mismatch")
+                streams[num] = (
+                    b"/Type /XObject /Subtype /Image /Width %d "
+                    b"/Height %d /ColorSpace %s /BitsPerComponent 16 "
+                    b"/Filter /FlateDecode" % (iw, ih, cs),
+                    zlib.compress(payload),
+                )
+            elif kind == "icc":
+                # payload = 8-bit samples; ColorSpace = [/ICCBased
+                # stream] whose /N carries the component count (the
+                # profile body is a placeholder — extraction treats
+                # ICC as presentation, §8.6.5.5)
+                if len(payload) != iw * ih * ncomp:
+                    raise ValueError("icc payload size mismatch")
+                lk = img_base + len(img_refs) + n_lookups
+                n_lookups += 1
+                streams[lk] = (b"/N %d" % ncomp, b"fake-icc-profile")
+                streams[num] = (
+                    b"/Type /XObject /Subtype /Image /Width %d "
+                    b"/Height %d /ColorSpace [/ICCBased %d 0 R] "
+                    b"/BitsPerComponent 8 /Filter /FlateDecode"
+                    % (iw, ih, lk),
+                    zlib.compress(payload),
                 )
             elif kind == "gray-sub":
                 # payload = (bpc, one sample byte per pixel)

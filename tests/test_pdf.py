@@ -580,6 +580,35 @@ def test_pdf_indexed_sub8_and_mask_images():
         extract_pdf_images(bad_bpc)
 
 
+def test_pdf_icc_and_16bit_images():
+    """r12: ICCBased colorspaces (§8.6.5.5 — /N picks the device
+    equivalent; the profile is presentation) and 16-bit samples
+    (high byte emitted, the 8-bit rendering convention) — both are
+    common in wild print-oriented PDFs."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.pdf import extract_pdf_images
+
+    rng = np.random.RandomState(8)
+    v16 = rng.randint(0, 65536, (5, 7, 1), dtype=np.uint16)
+    rgb = rng.randint(0, 256, (6, 9, 3), dtype=np.uint8)
+    for enc in (None, "rc4-128"):
+        pdf = encode_pdf([["x"]], title="T", encrypt=enc, images=[[
+            ("raw16", 7, 5, 1, v16.astype(">u2").tobytes()),
+            ("icc", 9, 6, 3, rgb.tobytes()),
+        ]])
+        a, b = extract_pdf_images(pdf)
+        assert a.pixels == (v16 >> 8).astype(np.uint8).tobytes()
+        assert (a.n_components, a.width, a.height) == (1, 7, 5)
+        assert b.pixels == rgb.tobytes() and b.n_components == 3
+    # hostile: ICCBased with an out-of-range /N stays typed
+    good = encode_pdf([["x"]], images=[[("icc", 9, 6, 3,
+                                         rgb.tobytes())]], flate=False)
+    bad = good.replace(b"/N 3", b"/N 7")
+    with pytest.raises(PdfError, match="ICCBased"):
+        extract_pdf_images(bad)
+
+
 def test_pdf_images_spark(spark):
     from dolphinbeat_spark.operators.jpeg import encode_jpeg
     from dolphinbeat_spark.operators.pdf import pdf_images
