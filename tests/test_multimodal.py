@@ -2283,8 +2283,11 @@ def test_warc_http_body_decoding_hostile():
         _split_http(http(b"Content-Encoding: deflate", b"\x00\x01garbage"))
     with pytest.raises(WarcError, match="br"):
         _split_http(http(b"Content-Encoding: br", b"\x11corrupt br!"))
-    with pytest.raises(NotImplementedError, match="compress"):
-        _split_http(http(b"Content-Encoding: compress", b"whatever"))
+    with pytest.raises(WarcError, match="compress"):
+        _split_http(http(b"Content-Encoding: compress", b"not 1F 9D"))
+    # every REGISTERED coding now decodes; unknown labels raise by name
+    with pytest.raises(NotImplementedError, match="x-zaphod"):
+        _split_http(http(b"Content-Encoding: x-zaphod", b"whatever"))
     with pytest.raises(WarcError, match="zstd"):
         _split_http(http(b"Content-Encoding: zstd", b"\x00bad frame"))
     # trailing garbage after a valid gzip member is corruption, not a
