@@ -1711,6 +1711,73 @@ def pipeline_warc_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "warc_unresolved_coding",
+    # Two responses per doc: a normal gzip one, and one declaring the
+    # UNKNOWN coding x-custom over raw ASCII (the reversed pattern
+    # slice, so "not decoded" is visible in the value). The r11
+    # ADVICE containment contract, pinned in the driver's correctness
+    # window: the unknown coding must NOT kill the payload — the raw
+    # entity bytes flow with http_encoding = 'unresolved:x-custom'.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 25 = 24
+)
+SELECT media_id, 0::BIGINT AS record_idx, 'gzip' AS http_encoding,
+       substr(pattern, 1, 40) AS body_text
+FROM p
+UNION ALL
+SELECT media_id, 1::BIGINT, 'unresolved:x-custom',
+       reverse(substr(pattern, 41, 40))
+FROM p
+ORDER BY media_id, record_idx
+""",
+    tags=("text", "ingest", "warc", "errors"),
+)
+def warc_unresolved_coding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-response coding containment
+    (sources/warc.py::_split_http strict=False): a response declaring
+    a coding the engine does not implement flows through as RAW
+    entity bytes with the declared list surfaced as
+    ``unresolved:<coding>`` — at 100 TB one exotic response must cost
+    one marked row, not a segment's task. The sibling gzip record in
+    the same payload proves decoding still happens where it can."""
+    import hashlib
+
+    from dolphinbeat_spark.sources.warc import encode_warc, read_warc
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 24)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        pat = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
+        good = {
+            "type": "response", "record_id": f"<urn:uuid:{i}-0>",
+            "target_uri": f"http://ex.com/{i}/0", "content": pat[0:40],
+            "http": {"status": 200, "content_type": "text/plain",
+                     "content_encoding": "gzip"},
+        }
+        raw_body = pat[40:80][::-1]
+        envelope = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                    b"Content-Encoding: x-custom\r\n\r\n" + raw_body)
+        exotic = {
+            "type": "response", "record_id": f"<urn:uuid:{i}-1>",
+            "target_uri": f"http://ex.com/{i}/1", "content": envelope,
+            "content_type": "application/http; msgtype=response",
+        }
+        rows.append(
+            (i, bytearray(encode_warc([good, exotic],
+                                      gzip_members=bool(i % 2)))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return (
+        read_warc(media)
+        .select("media_id", "record_idx", "http_encoding", "body_text")
+        .orderBy("media_id", "record_idx")
+    )
+
+
+@register(
     "mm_pdf_indexed_images",
     # Four images per doc over the 96-char md5 pattern (ASCII hex
     # chars, so palette bytes stay printable): a 4-bit INDEXED
@@ -2966,10 +3033,13 @@ def mm_pdf_aes_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "jsonl_compressed_records",
     # payload = one JSONL corpus shard per doc, compression cycling
-    # plain/gzip/zstd/bzip2 with doc_id % 4 — the zstd path runs the
-    # FROM-SCRATCH RFC 8878 decoder (operators/zstd_frame.py). Four
-    # records per shard with closed-form id/text; the JSON field
-    # extraction happens in Catalyst (get_json_object), not Python.
+    # plain/gzip/zstd/bzip2/xz/compress with doc_id % 6 — the zstd
+    # path runs the FROM-SCRATCH RFC 8878 decoder
+    # (operators/zstd_frame.py) and the compress (.Z) path the r12
+    # from-scratch LZW validated against the system uncompress
+    # (operators/lzw_z.py). Four records per shard with closed-form
+    # id/text; the JSON field extraction happens in Catalyst
+    # (get_json_object), not Python.
     oracle="""
 WITH p AS (
   SELECT doc_id AS media_id, doc_id AS i,
@@ -2978,8 +3048,9 @@ WITH p AS (
 ),
 s(line_idx) AS (VALUES (0), (1), (2), (3))
 SELECT media_id,
-       CASE i % 4 WHEN 0 THEN 'plain' WHEN 1 THEN 'gzip'
-                  WHEN 2 THEN 'zstd' ELSE 'bzip2' END AS codec,
+       CASE i % 6 WHEN 0 THEN 'plain' WHEN 1 THEN 'gzip'
+                  WHEN 2 THEN 'zstd' WHEN 3 THEN 'bzip2'
+                  WHEN 4 THEN 'xz' ELSE 'compress' END AS codec,
        CAST(line_idx AS BIGINT) AS line_idx,
        CAST(i * 10 + line_idx AS BIGINT) AS rec_id,
        substr(pattern, 1 + line_idx * 24, 24) AS text
@@ -3008,7 +3079,7 @@ def jsonl_compressed_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             f'{{"id": {i * 10 + k}, "text": "{pattern[k * 24:k * 24 + 24]}"}}\n'
             for k in range(4)
         ).encode()
-        mode = i % 4
+        mode = i % 6
         if mode == 1:
             import zlib
 
@@ -3020,6 +3091,14 @@ def jsonl_compressed_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             import bz2
 
             payload = bz2.compress(raw)
+        elif mode == 4:
+            import lzma
+
+            payload = lzma.compress(raw)
+        elif mode == 5:
+            from dolphinbeat_spark.operators.lzw_z import encode_z
+
+            payload = encode_z(raw)
         else:
             payload = raw
         rows.append((i, bytearray(payload)))
