@@ -126,6 +126,31 @@ def test_brotli_hostile_bytes_stay_typed():
         decode_brotli(bytes([0x40, 0x00, 0x10]) + b"he")
 
 
+def test_brotli_bitflip_fuzz_stays_typed():
+    """Bit flips over a REAL quality-11 stream (dictionary + context
+    maps + block switching all live): every corruption either raises
+    BrotliError or decodes to SOMETHING under the output cap — never
+    a foreign IndexError/KeyError, never a hang (the house hostile-
+    bytes standard; 600-flip dev sweep ran clean, this keeps a
+    fast pinned subset)."""
+    import numpy as np
+
+    with open(os.path.join(FIX, "english_q11.br"), "rb") as f:
+        good = f.read()
+    rng = np.random.RandomState(7)
+    typed = decoded = 0
+    for _ in range(120):
+        b = bytearray(good)
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randint(0, len(b))] ^= 1 << rng.randint(0, 8)
+        try:
+            decode_brotli(bytes(b), max_output=2_000_000)
+            decoded += 1
+        except BrotliError:
+            typed += 1
+    assert typed + decoded == 120 and typed > 50
+
+
 def test_brotli_max_output_guard():
     blob = encode_brotli_store(b"x" * 10000)
     assert len(decode_brotli(blob, max_output=10000)) == 10000

@@ -2499,6 +2499,16 @@ def test_unix_compress_lzw_z():
     assert decompress_auto(encode_z(raw)) == ("compress", raw)
     tz = encode_z(encode_tar([("x.txt", b"member data")]))
     assert list(iter_tar_members(tz)) == [("x.txt", b"member data")]
+    # bit-flip fuzz: corruption stays typed, never a foreign exception
+    rng2 = np.random.RandomState(3)
+    good = encode_z(b"the quick brown fox " * 500)
+    for _ in range(150):
+        b = bytearray(good)
+        b[rng2.randint(0, len(b))] ^= 1 << rng2.randint(0, 8)
+        try:
+            decode_z(bytes(b), max_output=1_000_000)
+        except ZCompressError:
+            pass
 
 
 def test_conformance_fixtures_external_authors():
