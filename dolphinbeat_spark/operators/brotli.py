@@ -475,8 +475,12 @@ def decode_brotli(data: bytes, max_output: int | None = None) -> bytes:
     dist_rb = [16, 15, 11, 4]
     rb_idx = 0
 
-    def check_cap() -> None:
-        if max_output is not None and len(out) > max_output:
+    def check_cap(pending: int = 0) -> None:
+        # pre-check with the PENDING length (r13, ADVICE): the cap
+        # bounds peak memory, not just final size — a ~16.7 MB insert
+        # run or 16 MB uncompressed meta-block must raise BEFORE it
+        # materializes, not after
+        if max_output is not None and len(out) + pending > max_output:
             raise BrotliError(
                 f"output exceeds max_output={max_output}"
             )
@@ -516,9 +520,9 @@ def decode_brotli(data: bytes, max_output: int | None = None) -> bytes:
             byte = br.pos >> 3
             if byte + mlen > len(br.data):
                 raise BrotliError("uncompressed meta-block truncated")
+            check_cap(mlen)
             out += br.data[byte:byte + mlen]
             br.pos += 8 * mlen
-            check_cap()
             continue
 
         bs_l = _Blocks(br)
@@ -562,6 +566,7 @@ def decode_brotli(data: bytes, max_output: int | None = None) -> bytes:
             if insert_len:
                 if mpos + insert_len > mlen:
                     raise BrotliError("insert length overruns meta-block")
+                check_cap(insert_len)
                 for _ in range(insert_len):
                     if bs_l.count == 0:
                         bs_l.switch(br)
@@ -580,7 +585,6 @@ def decode_brotli(data: bytes, max_output: int | None = None) -> bytes:
                     tree = lit_codes[cmap_l[(bs_l.btype << 6) + ctx]]
                     out.append(_read_sym(br, tree))
                 mpos += insert_len
-                check_cap()
             if mpos >= mlen:
                 break  # §9.2: trailing copy part of the last command
             max_dist = min(len(out), window)
@@ -617,6 +621,7 @@ def decode_brotli(data: bytes, max_output: int | None = None) -> bytes:
             if distance <= max_dist:
                 if mpos + copy_len > mlen:
                     raise BrotliError("copy length overruns meta-block")
+                check_cap(copy_len)
                 if distance >= copy_len:
                     start = len(out) - distance
                     out += out[start:start + copy_len]
@@ -643,9 +648,9 @@ def decode_brotli(data: bytes, max_output: int | None = None) -> bytes:
                 if mpos + len(piece) > mlen:
                     raise BrotliError(
                         "dictionary word overruns meta-block")
+                check_cap(len(piece))
                 out += piece
                 mpos += len(piece)
-            check_cap()
         if islast:
             break
     # §9.1: the unused bits of the final byte must be zero

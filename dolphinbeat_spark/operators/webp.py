@@ -1147,9 +1147,9 @@ def webp_anim_demux(df):
     return df.mapInPandas(batches, schema)
 
 
-def webp_anim_composite(data: bytes) -> tuple[int, int, list[dict]]:
-    """Animated WebP -> (canvas_w, canvas_h, [frame dicts with the
-    FULL composited canvas]), per the container spec's (RFC 9649)
+def webp_anim_composite(data: bytes) -> tuple[int, int, "Iterator[dict]"]:
+    """Animated WebP -> (canvas_w, canvas_h, GENERATOR of frame dicts
+    with the FULL composited canvas), per the container spec's (RFC 9649)
     canvas assembly: the canvas starts as the ANIM background color,
     each frame is placed at its (x, y) rectangle with its BLEND
     method (0 = alpha-blend over the canvas with the spec's
@@ -1163,7 +1163,15 @@ def webp_anim_composite(data: bytes) -> tuple[int, int, list[dict]]:
     Alpha blending uses the spec's real-arithmetic source-over
     formula rounded to nearest (documented deviation: libwebp's demux
     uses its own integer approximation; oracles pin THIS formula).
-    Each output dict: frame_idx, duration_ms, canvas (HxWx4 RGBA)."""
+    Each output dict: frame_idx, duration_ms, canvas (HxWx4 RGBA).
+
+    Frames are YIELDED one composited canvas at a time (r13, ADVICE):
+    memory stays O(canvas_area), not O(n_frames × canvas_area) — a
+    wild animation with hundreds of frames at a large canvas streams
+    through a consumer (webp_anim_canvas hashes one canvas per row)
+    without holding every copy simultaneously. Container parsing and
+    geometry validation happen EAGERLY (errors raise at call time);
+    only per-frame compositing is lazy."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise WebpError("not a WebP payload (RIFF/WEBP)")
     cw = ch = None
@@ -1189,46 +1197,52 @@ def webp_anim_composite(data: bytes) -> tuple[int, int, list[dict]]:
     if cw is None:
         raise WebpError("animated WebP lacks a VP8X canvas size")
     frames = webp_anim_frames(data)
-    canvas = np.empty((ch, cw, 4), np.uint8)
-    canvas[:, :] = bg
-    out: list[dict] = []
-    prev_rect = None
-    prev_dispose = 0
+    # validate geometry eagerly so callers get typed errors at call
+    # time, before consuming the lazy composite
     for fr in frames:
-        if prev_dispose == 1 and prev_rect is not None:
-            px0, py0, pw, phh = prev_rect
-            canvas[py0:py0 + phh, px0:px0 + pw] = bg
         x, y, w, h = fr["x"], fr["y"], fr["width"], fr["height"]
         if x + w > cw or y + h > ch:
             raise WebpError(
                 f"ANMF frame {fr['frame_idx']} rectangle "
                 f"{w}x{h}@{x},{y} exceeds the {cw}x{ch} canvas"
             )
-        src = fr["rgba"].astype(np.float64)
-        if fr["blend"] == 1:
-            canvas[y:y + h, x:x + w] = fr["rgba"]
-        else:
-            dst = canvas[y:y + h, x:x + w].astype(np.float64)
-            a_s = src[:, :, 3:4] / 255.0
-            a_d = dst[:, :, 3:4] / 255.0
-            a_o = a_s + a_d * (1.0 - a_s)
-            rgb = np.where(
-                a_o > 0,
-                (src[:, :, :3] * a_s + dst[:, :, :3] * a_d * (1.0 - a_s))
-                / np.where(a_o > 0, a_o, 1.0),
-                0.0,
-            )
-            blended = np.concatenate([rgb, a_o * 255.0], axis=2)
-            canvas[y:y + h, x:x + w] = \
-                np.rint(blended).clip(0, 255).astype(np.uint8)
-        out.append({
-            "frame_idx": fr["frame_idx"],
-            "duration_ms": fr["duration_ms"],
-            "canvas": canvas.copy(),
-        })
-        prev_rect = (x, y, w, h)
-        prev_dispose = fr["dispose"]
-    return cw, ch, out
+
+    def composite():
+        canvas = np.empty((ch, cw, 4), np.uint8)
+        canvas[:, :] = bg
+        prev_rect = None
+        prev_dispose = 0
+        for fr in frames:
+            if prev_dispose == 1 and prev_rect is not None:
+                px0, py0, pw, phh = prev_rect
+                canvas[py0:py0 + phh, px0:px0 + pw] = bg
+            x, y, w, h = fr["x"], fr["y"], fr["width"], fr["height"]
+            src = fr["rgba"].astype(np.float64)
+            if fr["blend"] == 1:
+                canvas[y:y + h, x:x + w] = fr["rgba"]
+            else:
+                dst = canvas[y:y + h, x:x + w].astype(np.float64)
+                a_s = src[:, :, 3:4] / 255.0
+                a_d = dst[:, :, 3:4] / 255.0
+                a_o = a_s + a_d * (1.0 - a_s)
+                rgb = np.where(
+                    a_o > 0,
+                    (src[:, :, :3] * a_s + dst[:, :, :3] * a_d * (1.0 - a_s))
+                    / np.where(a_o > 0, a_o, 1.0),
+                    0.0,
+                )
+                blended = np.concatenate([rgb, a_o * 255.0], axis=2)
+                canvas[y:y + h, x:x + w] = \
+                    np.rint(blended).clip(0, 255).astype(np.uint8)
+            yield {
+                "frame_idx": fr["frame_idx"],
+                "duration_ms": fr["duration_ms"],
+                "canvas": canvas.copy(),
+            }
+            prev_rect = (x, y, w, h)
+            prev_dispose = fr["dispose"]
+
+    return cw, ch, composite()
 
 
 def webp_anim_canvas(df):

@@ -261,12 +261,20 @@ def iter_zip_members(data: bytes, password: bytes | None = None,
         if method == 0:
             content = raw
         elif method == 8:
+            # bounded at the DECLARED size + 1 (r13 zip-bomb guard): a
+            # crafted stream claiming a small usize must not inflate
+            # to gigabytes before the size check below sees it
+            d = zlib.decompressobj(wbits=-15)
             try:
-                content = zlib.decompress(raw, wbits=-15)
+                content = d.decompress(raw, usize + 1)
             except zlib.error as ex:
                 raise ArchiveError(
                     f"member {name!r} fails to inflate: {ex}"
                 ) from ex
+            if len(content) <= usize and not d.eof:
+                raise ArchiveError(
+                    f"member {name!r} fails to inflate: incomplete "
+                    "deflate stream")
         else:
             raise NotImplementedError(
                 f"ZIP compression method {method} not supported (0/8)"
@@ -349,7 +357,8 @@ def iter_zip_members(data: bytes, password: bytes | None = None,
         yield (name, content, None) if capture else (name, content)
 
 
-def iter_tar_members(data: bytes, errors: str = "strict"):
+def iter_tar_members(data: bytes, errors: str = "strict",
+                     max_inflate: int | None = None):
     """Yield (name, content) per regular file in a ustar TAR, with
     transparent compression unwrap by magic: gzip (.tar.gz), bzip2
     (.tar.bz2) and xz (.tar.xz) — the three wrappers dataset bundles
@@ -361,25 +370,26 @@ def iter_tar_members(data: bytes, errors: str = "strict"):
     time for the next header whose checksum verifies — TAR framing is
     sequential, so this is the only recovery that exists."""
     capture = errors == "capture"
+    from dolphinbeat_spark.sources.inflate import (
+        InflateError, bz2_capped, gzip_multi_capped, inflation_cap,
+        xz_capped,
+    )
+    cap = inflation_cap(len(data), max_inflate)
     try:
         if data[:2] == b"\x1f\x8b":
             try:
-                data = zlib.decompress(data, wbits=31)
-            except zlib.error as ex:
+                data = gzip_multi_capped(data, cap)
+            except InflateError as ex:
                 raise ArchiveError(f"bad gzip wrapper: {ex}") from ex
         elif data[:3] == b"BZh":
-            import bz2
-
             try:
-                data = bz2.decompress(data)
-            except (OSError, ValueError) as ex:
+                data = bz2_capped(data, cap)
+            except InflateError as ex:
                 raise ArchiveError(f"bad bzip2 wrapper: {ex}") from ex
         elif data[:6] == b"\xfd7zXZ\x00":
-            import lzma
-
             try:
-                data = lzma.decompress(data)
-            except lzma.LZMAError as ex:
+                data = xz_capped(data, cap)
+            except InflateError as ex:
                 raise ArchiveError(f"bad xz wrapper: {ex}") from ex
         elif data[:2] == b"\x1f\x9d":
             # tar.Z — the pre-gzip archive wrapper (r12)
@@ -388,7 +398,7 @@ def iter_tar_members(data: bytes, errors: str = "strict"):
             )
 
             try:
-                data = decode_z(data)
+                data = decode_z(data, max_output=cap)
             except ZCompressError as ex:
                 raise ArchiveError(
                     f"bad compress (.Z) wrapper: {ex}") from ex
@@ -479,7 +489,8 @@ ARCHIVE_BINARY_SCHEMA = StructType(
 def read_archive(df: DataFrame, text_limit: int = 1 << 20,
                  binary: bool = False,
                  password: bytes | None = None,
-                 errors: str = "strict") -> DataFrame:
+                 errors: str = "strict",
+                 max_inflate: int | None = None) -> DataFrame:
     """(media_id, payload) -> one row per archive member (ZIP or TAR
     by magic), with size and md5. Default mode renders members as a
     capped UTF-8 ``text`` column — shuffle-cheap, for text corpora.
@@ -496,7 +507,12 @@ def read_archive(df: DataFrame, text_limit: int = 1 << 20,
     bundles: the output schema gains an ``error`` string column (null
     on good rows); a corrupt member (CRC mismatch, truncated, bad tar
     header) becomes one error row and the remaining members still
-    flow. Default stays strict — one corrupt member raises."""
+    flow. Default stays strict — one corrupt member raises.
+
+    ``max_inflate`` caps tar-wrapper decompression (gz/bz2/xz/.Z) at
+    an absolute byte count; default is sources/inflate.py's dynamic
+    zip-bomb guard (r13). ZIP deflate members are always bounded at
+    their declared uncompressed size."""
 
     schema = ARCHIVE_BINARY_SCHEMA if binary else ARCHIVE_SCHEMA
     capture = errors == "capture"
@@ -516,7 +532,8 @@ def read_archive(df: DataFrame, text_limit: int = 1 << 20,
                     fmt, members = "zip", iter_zip_members(
                         b, password=password, errors=errors)
                 else:
-                    fmt, members = "tar", iter_tar_members(b, errors=errors)
+                    fmt, members = "tar", iter_tar_members(
+                        b, errors=errors, max_inflate=max_inflate)
                 for i, member in enumerate(members):
                     if capture:
                         name, content, err = member

@@ -33,44 +33,40 @@ class JsonlError(ValueError):
     """Typed compressed-JSONL framing error."""
 
 
-def decompress_auto(data: bytes,
-                    zstd_dict=None) -> tuple[str, bytes]:
+def decompress_auto(data: bytes, zstd_dict=None,
+                    max_inflate: int | None = None) -> tuple[str, bytes]:
     """Sniff the compression magic -> (codec name, plaintext).
     ``zstd_dict`` (raw bytes or a parsed ZstdDictionary) enables
     dictionary-compressed zstd shards — the layout small-document
     corpora actually ship in (a shared --train'ed dictionary slashes
-    per-shard overhead)."""
+    per-shard overhead). Every codec is inflation-capped at
+    ``max_inflate`` or sources/inflate.py's dynamic zip-bomb default
+    (r13, ADVICE): overruns raise the typed JsonlError."""
+    from dolphinbeat_spark.sources.inflate import (
+        InflateError, bz2_capped, gzip_multi_capped, inflation_cap,
+        xz_capped,
+    )
+    cap = inflation_cap(len(data), max_inflate)
     if data[:4] == b"\x28\xb5\x2f\xfd":
         from dolphinbeat_spark.operators.zstd_frame import decode_zstd
 
-        return "zstd", decode_zstd(data, dictionary=zstd_dict)
+        return "zstd", decode_zstd(data, dictionary=zstd_dict,
+                                   max_output=cap)
     if data[:2] == b"\x1f\x8b":
-        out = bytearray()
-        rest = data
-        while rest:
-            d = zlib.decompressobj(wbits=31)
-            try:
-                out += d.decompress(rest)
-            except zlib.error as ex:
-                raise JsonlError(f"bad gzip member: {ex}") from ex
-            if not d.eof:
-                raise JsonlError("gzip stream ends mid-member")
-            rest = d.unused_data
-        return "gzip", bytes(out)
+        try:
+            return "gzip", gzip_multi_capped(data, cap)
+        except InflateError as ex:
+            raise JsonlError(f"gzip shard: {ex}") from ex
     if data[:3] == b"BZh":
-        import bz2
-
         try:
-            return "bzip2", bz2.decompress(data)
-        except OSError as ex:
-            raise JsonlError(f"bad bzip2 stream: {ex}") from ex
+            return "bzip2", bz2_capped(data, cap)
+        except InflateError as ex:
+            raise JsonlError(f"bzip2 shard: {ex}") from ex
     if data[:6] == b"\xfd7zXZ\x00":
-        import lzma
-
         try:
-            return "xz", lzma.decompress(data)
-        except lzma.LZMAError as ex:
-            raise JsonlError(f"bad xz stream: {ex}") from ex
+            return "xz", xz_capped(data, cap)
+        except InflateError as ex:
+            raise JsonlError(f"xz shard: {ex}") from ex
     if data[:2] == b"\x1f\x9d":
         # Unix compress (.Z) — legacy corpora still ship it (r12,
         # from-scratch LZW validated against the system uncompress)
@@ -79,7 +75,7 @@ def decompress_auto(data: bytes,
         )
 
         try:
-            return "compress", decode_z(data)
+            return "compress", decode_z(data, max_output=cap)
         except ZCompressError as ex:
             raise JsonlError(f"bad compress (.Z) stream: {ex}") from ex
     return "plain", data
@@ -95,7 +91,8 @@ JSONL_SCHEMA = StructType(
 )
 
 
-def read_jsonl(df: DataFrame, zstd_dict: bytes | None = None) -> DataFrame:
+def read_jsonl(df: DataFrame, zstd_dict: bytes | None = None,
+               max_inflate: int | None = None) -> DataFrame:
     """(media_id, payload) -> one row per line with the sniffed codec
     name. A trailing newline yields no empty record; interior blank
     lines are preserved (they are data errors worth seeing).
@@ -113,7 +110,8 @@ def read_jsonl(df: DataFrame, zstd_dict: bytes | None = None) -> DataFrame:
         for pdf in it:
             rows = []
             for mid, raw in zip(pdf["media_id"], pdf["payload"]):
-                codec, text = decompress_auto(bytes(raw), zstd_dict)
+                codec, text = decompress_auto(bytes(raw), zstd_dict,
+                                              max_inflate=max_inflate)
                 lines = text.decode("utf-8", "replace").split("\n")
                 if lines and lines[-1] == "":
                     lines.pop()

@@ -47,21 +47,19 @@ class WarcError(ValueError):
     """Typed WARC framing error."""
 
 
-def _gunzip_members(data: bytes) -> bytes:
+def _gunzip_members(data: bytes,
+                    max_inflate: int | None = None) -> bytes:
     """Concatenated gzip members -> concatenated plaintext (the
-    Common Crawl record-per-member layout)."""
-    out = bytearray()
-    rest = data
-    while rest:
-        d = zlib.decompressobj(wbits=31)
-        try:
-            out += d.decompress(rest)
-        except zlib.error as ex:
-            raise WarcError(f"bad gzip member in WARC stream: {ex}") from ex
-        if not d.eof:
-            raise WarcError("WARC gzip stream ends mid-member")
-        rest = d.unused_data
-    return bytes(out)
+    Common Crawl record-per-member layout), inflation-capped
+    (sources/inflate.py dynamic default — r13 zip-bomb guard)."""
+    from dolphinbeat_spark.sources.inflate import (
+        InflateError, gzip_multi_capped, inflation_cap,
+    )
+    try:
+        return gzip_multi_capped(
+            data, inflation_cap(len(data), max_inflate))
+    except InflateError as ex:
+        raise WarcError(f"WARC gzip stream: {ex}") from ex
 
 
 def _parse_record(data: bytes, pos: int) -> tuple[dict, int]:
@@ -106,7 +104,8 @@ def _parse_record(data: bytes, pos: int) -> tuple[dict, int]:
     }, body_start + clen + 4
 
 
-def iter_warc_records(data: bytes, errors: str = "strict"):
+def iter_warc_records(data: bytes, errors: str = "strict",
+                      max_inflate: int | None = None):
     """Yield dicts per WARC record: headers (case-insensitive keyed),
     content bytes, and the framing offsets. Accepts plain or
     gzip-membered input.
@@ -124,7 +123,7 @@ def iter_warc_records(data: bytes, errors: str = "strict"):
     capture = errors == "capture"
     if data[:2] == b"\x1f\x8b":
         try:
-            data = _gunzip_members(data)
+            data = _gunzip_members(data, max_inflate)
         except WarcError as ex:
             if not capture:
                 raise
@@ -209,7 +208,8 @@ def _dechunk(body: bytes) -> bytes:
         pos += 2
 
 
-def _inflate_coding(coding: str, body: bytes) -> bytes:
+def _inflate_coding(coding: str, body: bytes,
+                    max_inflate: int | None = None) -> bytes:
     """Apply ONE reversed content/transfer coding (RFC 9110 §8.4):
     gzip/x-gzip via the gzip wrapper — looping over CONCATENATED
     members, since multi-member gzip is a legal coding (RFC 1952 §2.2
@@ -222,42 +222,35 @@ def _inflate_coding(coding: str, body: bytes) -> bytes:
     through the in-repo from-scratch RFC 7932 decoder
     (operators/brotli.py, r12 — the largest wild-web coding).
     Non-gzip trailing bytes after a gzip member raise typed — that is
-    corruption, not a member."""
+    corruption, not a member.
+
+    EVERY coding is inflation-capped (r13, ADVICE): a crafted body
+    must not inflate to gigabytes inside one Arrow batch. The cap is
+    ``max_inflate`` or sources/inflate.py's dynamic default
+    (max(64 MiB, 256 × body size)); overruns raise WarcError, so the
+    strict=False / capture containment modes absorb bombs per-record
+    like any other corruption."""
+    from dolphinbeat_spark.sources.inflate import (
+        InflateError, bz2_capped, deflate_capped, gzip_multi_capped,
+        inflation_cap,
+    )
+    cap = inflation_cap(len(body), max_inflate)
     if coding in ("gzip", "x-gzip"):
-        out = bytearray()
-        rest = body
-        while rest:
-            if rest[:2] != b"\x1f\x8b":
-                raise WarcError(
-                    "gzip HTTP body has non-gzip trailing bytes "
-                    f"({rest[:8]!r}) after {len(out)} decoded"
-                )
-            d = zlib.decompressobj(wbits=31)
-            try:
-                out += d.decompress(rest)
-            except zlib.error as ex:
-                raise WarcError(
-                    f"gzip HTTP body fails to inflate: {ex}") from ex
-            if not d.eof:
-                raise WarcError("gzip HTTP body ends mid-member")
-            rest = d.unused_data
-        return bytes(out)
+        try:
+            return gzip_multi_capped(body, cap)
+        except InflateError as ex:
+            raise WarcError(f"gzip HTTP body: {ex}") from ex
     if coding == "deflate":
         try:
-            return zlib.decompress(body, wbits=15)
-        except zlib.error:
-            try:
-                return zlib.decompress(body, wbits=-15)
-            except zlib.error as ex:
-                raise WarcError(
-                    f"deflate HTTP body fails to inflate: {ex}"
-                ) from ex
+            return deflate_capped(body, cap)
+        except InflateError as ex:
+            raise WarcError(f"deflate HTTP body: {ex}") from ex
     if coding == "zstd":
         from dolphinbeat_spark.operators.zstd_frame import (
             ZstdError, decode_zstd,
         )
         try:
-            return decode_zstd(body)
+            return decode_zstd(body, max_output=cap)
         except ZstdError as ex:
             raise WarcError(f"zstd HTTP body fails to decode: {ex}") from ex
     if coding == "br":
@@ -265,7 +258,7 @@ def _inflate_coding(coding: str, body: bytes) -> bytes:
             BrotliError, decode_brotli,
         )
         try:
-            return decode_brotli(body)
+            return decode_brotli(body, max_output=cap)
         except BrotliError as ex:
             raise WarcError(f"br HTTP body fails to decode: {ex}") from ex
     if coding in ("compress", "x-compress"):
@@ -273,7 +266,7 @@ def _inflate_coding(coding: str, body: bytes) -> bytes:
             ZCompressError, decode_z,
         )
         try:
-            return decode_z(body)
+            return decode_z(body, max_output=cap)
         except ZCompressError as ex:
             raise WarcError(
                 f"compress HTTP body fails to decode: {ex}") from ex
@@ -283,7 +276,8 @@ def _inflate_coding(coding: str, body: bytes) -> bytes:
     )
 
 
-def _split_http(content: bytes, strict: bool = True) -> tuple[
+def _split_http(content: bytes, strict: bool = True,
+                max_inflate: int | None = None) -> tuple[
         int | None, str | None, bytes, str | None]:
     """An application/http payload -> (status, content_type, body,
     encodings_applied). Transfer-Encoding chunked framing is removed
@@ -348,12 +342,12 @@ def _split_http(content: bytes, strict: bool = True) -> tuple[
             if coding == "identity":
                 continue
             body = _dechunk(body) if coding == "chunked" \
-                else _inflate_coding(coding, body)
+                else _inflate_coding(coding, body, max_inflate)
             applied.append(coding)
         for coding in reversed(ce):
             if coding == "identity":
                 continue
-            body = _inflate_coding(coding, body)
+            body = _inflate_coding(coding, body, max_inflate)
             applied.append(coding)
     except (WarcError, NotImplementedError):
         if strict:
@@ -401,7 +395,8 @@ WARC_BINARY_SCHEMA = StructType(
 
 
 def read_warc(df: DataFrame, text_limit: int = 1 << 20,
-              binary: bool = False, errors: str = "strict") -> DataFrame:
+              binary: bool = False, errors: str = "strict",
+              max_inflate: int | None = None) -> DataFrame:
     """(media_id, payload) -> one row per WARC record. For
     ``application/http`` payloads the HTTP envelope is split off:
     http_status/content_type come from it and body stats cover the
@@ -434,7 +429,13 @@ def read_warc(df: DataFrame, text_limit: int = 1 << 20,
     and the parser resyncs, so the other records in the payload still
     flow. The default stays strict — one corrupt record raises, the
     right behavior for fixtures and format debugging; capture is the
-    wild-crawl mode."""
+    wild-crawl mode.
+
+    ``max_inflate`` caps EVERY decompression (the WARC gzip-member
+    layer and each HTTP content coding) — default is the dynamic
+    zip-bomb guard in sources/inflate.py (max(64 MiB, 256 × the
+    compressed size)); an overrun is contained exactly like corrupt
+    data (unresolved marker / capture row), never an executor OOM."""
     from dolphinbeat_spark.sources.charset import detect_and_decode
 
     schema = WARC_BINARY_SCHEMA if binary else WARC_SCHEMA
@@ -451,7 +452,8 @@ def read_warc(df: DataFrame, text_limit: int = 1 << 20,
             rows = []
             for mid, raw in zip(pdf["media_id"], pdf["payload"]):
                 for i, rec in enumerate(
-                        iter_warc_records(bytes(raw), errors=errors)):
+                        iter_warc_records(bytes(raw), errors=errors,
+                                          max_inflate=max_inflate)):
                     if "error" in rec:  # capture mode only
                         rows.append((mid, i) + (None,) * (ncols - 3)
                                     + (rec["error"],))
@@ -465,7 +467,8 @@ def read_warc(df: DataFrame, text_limit: int = 1 << 20,
                     if ctype and ctype.split(";")[0].strip() \
                             == "application/http":
                         status, ctype, body, henc = _split_http(
-                            content, strict=False)
+                            content, strict=False,
+                            max_inflate=max_inflate)
                     base = (
                         mid, i, h.get("warc-type"), h.get("warc-record-id"),
                         h.get("warc-target-uri"), h.get("warc-date"),

@@ -156,3 +156,17 @@ def test_brotli_max_output_guard():
     assert len(decode_brotli(blob, max_output=10000)) == 10000
     with pytest.raises(BrotliError, match="max_output"):
         decode_brotli(blob, max_output=9999)
+    # the cap bounds PEAK memory (r13, ADVICE): every compressed
+    # command (insert run / copy / dictionary word / uncompressed
+    # block) pre-checks its pending length against the budget, so a
+    # tiny cap raises on the golden streams' very first command too
+    for br_path in sorted(glob.glob(os.path.join(FIX, "*.br")))[:4]:
+        with open(br_path, "rb") as f:
+            comp = f.read()
+        with open(br_path[:-3] + ".raw", "rb") as f:
+            want_len = len(f.read())
+        if want_len <= 1:
+            continue
+        with pytest.raises(BrotliError, match="max_output"):
+            decode_brotli(comp, max_output=1)
+        assert len(decode_brotli(comp, max_output=want_len)) == want_len

@@ -2339,6 +2339,81 @@ def test_warc_typed_errors():
         list(iter_warc_records(b"\x1f\x8b" + b"junkjunk"))
 
 
+def test_inflation_caps_zip_bomb_guard():
+    """r13 (ADVICE): every untrusted decompression path — HTTP coded
+    bodies, JSONL shards, tar wrappers, ZIP deflate members — is
+    inflation-capped, so a small crafted payload cannot inflate to
+    gigabytes inside one Arrow batch; overruns raise each reader's
+    OWN typed error so capture/strict=False containment absorbs them
+    like any other corruption."""
+    import gzip as G
+
+    import pytest
+
+    from dolphinbeat_spark.sources.inflate import (
+        InflateError, inflation_cap,
+    )
+
+    # dynamic default: floor for small inputs, ratio-scaled for big
+    assert inflation_cap(100) == 64 << 20
+    assert inflation_cap(1 << 20) == 256 << 20
+    assert inflation_cap(100, 5) == 5
+
+    bomb = G.compress(b"\x00" * (8 << 20))  # ~8 KiB -> 8 MiB
+
+    # WARC HTTP body: explicit cap raises WarcError...
+    from dolphinbeat_spark.sources.warc import WarcError, _split_http
+    http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + bomb)
+    with pytest.raises(WarcError, match="cap"):
+        _split_http(http, max_inflate=1 << 20)
+    # ...and strict=False contains it as an unresolved coding
+    st, _, body, enc = _split_http(http, strict=False,
+                                   max_inflate=1 << 20)
+    assert body == bomb and enc == "unresolved:gzip"
+    # under the cap it inflates normally
+    _, _, body, enc = _split_http(http)
+    assert len(body) == 8 << 20 and enc == "gzip"
+
+    # JSONL shard
+    from dolphinbeat_spark.sources.jsonl import (
+        JsonlError, decompress_auto,
+    )
+    with pytest.raises(JsonlError, match="cap"):
+        decompress_auto(bomb, max_inflate=1 << 20)
+    assert decompress_auto(bomb)[0] == "gzip"
+
+    # tar wrapper
+    from dolphinbeat_spark.sources.archives import (
+        ArchiveError, encode_tar, iter_tar_members,
+    )
+    tgz = G.compress(encode_tar([("big.bin", b"\x00" * (4 << 20))]))
+    with pytest.raises(ArchiveError, match="cap"):
+        list(iter_tar_members(tgz, max_inflate=1 << 20))
+    assert list(iter_tar_members(tgz, max_inflate=8 << 20)) \
+        == [("big.bin", b"\x00" * (4 << 20))]
+
+    # ZIP deflate member lying about its uncompressed size: bounded at
+    # the declared size, typed error, never a giant materialization
+    import struct as st_
+    import zlib as z_
+    from dolphinbeat_spark.sources.archives import iter_zip_members
+    big = b"\x00" * (4 << 20)
+    comp = z_.compress(big)[2:-4]  # raw deflate
+    name = b"lie.bin"
+    crc = z_.crc32(big) & 0xFFFFFFFF
+    lho = (b"PK\x03\x04" + st_.pack("<HHHHHIII", 20, 0, 8, 0, 0, crc,
+                                    len(comp), 10)  # usize LIES: 10
+           + st_.pack("<HH", len(name), 0) + name)
+    cd = (b"PK\x01\x02" + st_.pack("<HHHHHHIIIHHHHHII", 20, 20, 0, 8,
+                                   0, 0, crc, len(comp), 10,
+                                   len(name), 0, 0, 0, 0, 0, 0) + name)
+    zdata = lho + comp
+    eocd = (b"PK\x05\x06" + st_.pack("<HHHHIIH", 0, 0, 1, 1, len(cd),
+                                     len(zdata), 0))
+    with pytest.raises(ArchiveError, match="lie.bin"):
+        list(iter_zip_members(zdata + cd + eocd))
+
+
 def test_read_warc_spark(spark):
     from dolphinbeat_spark.sources.warc import encode_warc, read_warc
 
@@ -2466,21 +2541,61 @@ def test_unix_compress_lzw_z():
                                        capture_output=True)
                 assert r.returncode == 0 and r.stdout == d, \
                     (maxbits, len(d))
-    # CLEAR code resets the dictionary (hand-built: block-mode header
-    # + 9-bit codes 'a','b',CLEAR,'c' LSB-first)
+    # CLEAR code resets the dictionary and carries the historical
+    # 8-code group padding (r13, ADVICE): hand-built block-mode stream
+    # with 9-bit codes 'a','b',CLEAR, zero-pad to the 72-bit group
+    # boundary, then 'c' — exactly what compress 4.0's output() emits
     bits = 0
     acc = 0
     buf = bytearray()
-    for code in (97, 98, 256, 99):
+    pos = 0
+    for code in (97, 98, 256):
         acc |= code << bits
         bits += 9
+        pos += 9
         while bits >= 8:
             buf.append(acc & 0xFF)
             acc >>= 8
             bits -= 8
+    pad = (-pos) % 72  # flush the partial 8-code group, zero-padded
+    bits += pad
+    pos += pad
+    while bits >= 8:
+        buf.append(acc & 0xFF)
+        acc >>= 8
+        bits -= 8
+    acc |= 99 << bits
+    bits += 9
+    while bits >= 8:
+        buf.append(acc & 0xFF)
+        acc >>= 8
+        bits -= 8
     if bits:
         buf.append(acc & 0xFF)
     assert decode_z(b"\x1f\x9d\x90" + bytes(buf)) == b"abc"
+    # adaptive-CLEAR corpus at unaligned group offsets, pinned against
+    # the SYSTEM gzip -d (unlzw lineage — the living .Z reader): the
+    # decoder's CLEAR resync must agree with it byte-for-byte
+    rng3 = np.random.RandomState(13)
+    clear_cases = [
+        (b"abcd " * 3000, 7, 16),
+        (b"abcd " * 3000, 100, 12),
+        (bytes(rng3.randint(0, 256, 40000, dtype=np.uint8).tolist()),
+         1000, 16),
+        (b"ab" * 2000 + bytes(rng3.randint(0, 256, 20000,
+                                           dtype=np.uint8).tolist()),
+         333, 10),
+    ]
+    for d, every, maxbits in clear_cases:
+        z = encode_z(d, maxbits=maxbits, clear_every=every)
+        assert decode_z(z) == d, (every, maxbits)
+        if gzip_cli:
+            with tempfile.NamedTemporaryFile(suffix=".Z") as f:
+                f.write(z)
+                f.flush()
+                r = subprocess.run([gzip_cli, "-dc", f.name],
+                                   capture_output=True)
+            assert r.returncode == 0 and r.stdout == d, (every, maxbits)
     # hostile: bad magic, reserved flags, out-of-range code, bomb cap
     with pytest.raises(ZCompressError, match="1F 9D"):
         decode_z(b"\x1f\x8bxx")

@@ -385,6 +385,11 @@ def test_webp_anim_composite():
          {"rgba": solid(2, 2, c3), "duration_ms": 60, "blend": 1}],
         canvas=(8, 6), bgcolor=bg_int)
     cw, ch, frames = webp_anim_composite(anim)
+    # r13 (ADVICE): frames is a GENERATOR — memory is one canvas at
+    # a time, not O(n_frames * canvas_area)
+    import types
+    assert isinstance(frames, types.GeneratorType)
+    frames = list(frames)
     assert (cw, ch) == (8, 6)
     assert [f["duration_ms"] for f in frames] == [40, 50, 60]
     f0, f1, f2 = (f["canvas"] for f in frames)
@@ -404,6 +409,7 @@ def test_webp_anim_composite():
          {"rgba": semi, "duration_ms": 10}],
         canvas=(4, 4), bgcolor=bg_int)
     _, _, fr2 = webp_anim_composite(anim2)
+    fr2 = list(fr2)
     a_s = 128 / 255
     want_r = round(255 * a_s + 100 * (1 - a_s))
     px = fr2[1]["canvas"][0, 0]
