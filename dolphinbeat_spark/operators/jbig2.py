@@ -1,0 +1,656 @@
+"""JBIG2 (ITU-T T.88) from scratch — the MQ arithmetic coder and
+generic-region decoding for the embedded-in-PDF profile
+(``JBIG2Decode`` filter with ``/JBIG2Globals``), closing the largest
+remaining scanned-document boundary after r11's CCITT work: JBIG2 is
+the other half of the bilevel world (next to CCITT G3/G4), and
+scanned-PDF corpora use it heavily because it compresses ~2-5×
+tighter than G4.
+
+Covered (r13):
+- the **MQ arithmetic decoder and encoder** (T.88 Annex E, the same
+  coder JPEG 2000 shares): 47-state Qe table, BYTEIN/BYTEOUT with
+  0xFF stuffing, INITDEC/INITENC/FLUSH. Pinned against the SPEC'S OWN
+  published test sequence (T.88 Annex H.2: the 32-byte input whose
+  encoding is the published 30-byte stream) — the
+  third-implementation evidence for this environment, where no
+  jbig2dec/Pillow exists (per the r12 conformance lesson:
+  self-roundtrips alone are not evidence);
+- **generic region decoding** (T.88 §6.2): templates GB0-GB3 with
+  arbitrary AT pixel placement at the spec's FIXED context bit
+  positions (a real stream's non-nominal AT must land on the same
+  state indices the encoder used), and TPGDON typical-prediction
+  with the per-template pseudo-contexts (0x9B25/0x0795/0xE5/0x195);
+- **MMR generic regions** (flags bit 0): T.6 payload routed through
+  the in-repo CCITT decoder (operators/ccitt.py, mode="g4") — JBIG2
+  MMR *is* T.6;
+- the **embedded segment layer**: segment headers (short and long
+  referred-to forms), page information (type 48, incl. the
+  unknown-height striped form grown by end-of-stripe), immediate /
+  immediate-lossless / intermediate generic regions (36/38/39),
+  end-of-stripe/page/file (50/49/51), external combination operators
+  (OR/AND/XOR/XNOR/REPLACE), and the PDF two-stream arrangement
+  (globals segments first, then the page stream);
+- an **encoder mirror** (generic region, embedded profile) for
+  fixtures and roundtrip/fuzz pinning.
+
+Named boundaries (fail loud, fuzz-pinned): symbol dictionaries and
+text regions (types 0, 4-7 — the halftone/refinement family 16-43
+likewise), unknown-length generic regions (0xFFFFFFFF data length),
+and file-header (non-embedded) streams. Generic regions are the
+profile PDF producers emit for scanned IMAGES; symbol/text is the
+OCR-ish re-encoding path, a documented stretch.
+
+Bitmaps are (rows, cols) uint8 with 1 = BLACK ink, matching
+operators/ccitt.py; the photometric mapping is the caller's
+(pdf.py inverts to its 0=black gray convention).
+
+Scale note: decodes run per-payload inside the same Arrow
+``mapInPandas`` slot as every other codec here — partition-parallel
+across a crawl; ``max_pixels`` bounds hostile region declarations.
+
+Reference parity: the reference repo has no media layer; this
+extends the multimodal decode surface per SURVEY §7.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "Jbig2Error", "decode_jbig2_embedded", "encode_jbig2_generic",
+    "decode_generic_region", "MQDecoder", "MQEncoder",
+]
+
+
+class Jbig2Error(ValueError):
+    """Typed JBIG2 (T.88) format error."""
+
+
+# T.88 Table E.1 — Qe values and state transitions.
+# (Qe, NMPS, NLPS, SWITCH)
+_QE = [
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0),
+    (0x0AC1, 4, 12, 0), (0x0521, 5, 29, 0), (0x0221, 38, 33, 0),
+    (0x5601, 7, 6, 1), (0x5401, 8, 14, 0), (0x4801, 9, 14, 0),
+    (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1),
+    (0x5401, 16, 14, 0), (0x5101, 17, 15, 0), (0x4801, 18, 16, 0),
+    (0x3801, 19, 17, 0), (0x3401, 20, 18, 0), (0x3001, 21, 19, 0),
+    (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0),
+    (0x1401, 28, 25, 0), (0x1201, 29, 26, 0), (0x1101, 30, 27, 0),
+    (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0), (0x08A1, 33, 30, 0),
+    (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0),
+    (0x0085, 40, 37, 0), (0x0049, 41, 38, 0), (0x0025, 42, 39, 0),
+    (0x0015, 43, 40, 0), (0x0009, 44, 41, 0), (0x0005, 45, 42, 0),
+    (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+]
+
+
+class MQDecoder:
+    """T.88 Annex E MQ arithmetic decoder. Context state lives in the
+    caller-owned ``icx``/``mps`` arrays (one adaptive slot per
+    context index), so one decoder can serve several context sets.
+    Reads beyond the stream return 0xFF bytes per E.3.4's marker
+    semantics (1-bits feed in), which is how terminated segments
+    drain."""
+
+    __slots__ = ("data", "n", "bp", "c", "a", "ct")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.n = len(data)
+        # INITDEC (E.3.5)
+        self.bp = 0
+        self.c = self._byte(0) << 16
+        self._bytein()
+        self.c = (self.c << 7) & 0xFFFFFFFF
+        self.ct -= 7
+        self.a = 0x8000
+
+    def _byte(self, i: int) -> int:
+        return self.data[i] if i < self.n else 0xFF
+
+    def _bytein(self) -> None:
+        # E.3.4: 0xFF stuffing — after an 0xFF byte only 7 bits enter,
+        # and a following byte > 0x8F means "past the end": feed 1s
+        if self._byte(self.bp) == 0xFF:
+            if self._byte(self.bp + 1) > 0x8F:
+                self.c += 0xFF00
+                self.ct = 8
+            else:
+                self.bp += 1
+                self.c += self._byte(self.bp) << 9
+                self.ct = 7
+        else:
+            self.bp += 1
+            self.c += self._byte(self.bp) << 8
+            self.ct = 8
+
+    def decode(self, icx: list, mps: list, cx: int) -> int:
+        """DECODE (E.3.2) with MPS/LPS conditional exchange."""
+        i = icx[cx]
+        qe, nmps, nlps, switch = _QE[i]
+        self.a -= qe
+        if (self.c >> 16) < qe:
+            # LPS exchange path (E.3.2 figure: chigh < Qe)
+            if self.a < qe:
+                d = mps[cx]
+                icx[cx] = nmps
+            else:
+                d = 1 - mps[cx]
+                if switch:
+                    mps[cx] = 1 - mps[cx]
+                icx[cx] = nlps
+            self.a = qe
+        else:
+            self.c = (self.c - (qe << 16)) & 0xFFFFFFFF
+            if self.a & 0x8000:
+                return mps[cx]
+            if self.a < qe:
+                d = 1 - mps[cx]
+                if switch:
+                    mps[cx] = 1 - mps[cx]
+                icx[cx] = nlps
+            else:
+                d = mps[cx]
+                icx[cx] = nmps
+        # RENORMD (E.3.3)
+        while True:
+            if self.ct == 0:
+                self._bytein()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+        return d
+
+
+class MQEncoder:
+    """T.88 Annex E MQ arithmetic encoder (the fixture mirror)."""
+
+    __slots__ = ("out", "c", "a", "ct")
+
+    def __init__(self):
+        self.out = bytearray()
+        # INITENC (E.3.6)
+        self.c = 0
+        self.a = 0x8000
+        self.ct = 12
+
+    def encode(self, icx: list, mps: list, cx: int, d: int) -> None:
+        i = icx[cx]
+        qe, nmps, nlps, switch = _QE[i]
+        if d == mps[cx]:  # CODEMPS (E.3.7)
+            self.a -= qe
+            if self.a & 0x8000:
+                self.c += qe
+                return
+            if self.a < qe:
+                self.a = qe
+            else:
+                self.c += qe
+            icx[cx] = nmps
+        else:  # CODELPS
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if switch:
+                mps[cx] = 1 - mps[cx]
+            icx[cx] = nlps
+        # RENORME
+        while True:
+            if self.ct == 0:
+                self._byteout()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c <<= 1
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+
+    def _byteout(self) -> None:
+        # E.3.7 BYTEOUT with carry propagation and 0xFF stuffing
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append((self.c >> 20) & 0xFF)
+            self.c &= 0xFFFFF
+            self.ct = 7
+            return
+        if self.c < 0x8000000:
+            self.out.append((self.c >> 19) & 0xFF)
+            self.c &= 0x7FFFF
+            self.ct = 8
+            return
+        # carry into the previous byte (a carry before any byte is
+        # emitted propagates into the discarded BPST-1 position)
+        if self.out:
+            self.out[-1] += 1
+            if self.out[-1] == 0xFF:
+                self.c &= 0x7FFFFFF
+                self.out.append((self.c >> 20) & 0xFF)
+                self.c &= 0xFFFFF
+                self.ct = 7
+                return
+        self.c &= 0x7FFFFFF
+        self.out.append((self.c >> 19) & 0xFF)
+        self.c &= 0x7FFFF
+        self.ct = 8
+
+    def flush(self) -> bytes:
+        # E.3.8 FLUSH: SETBITS (set as many low 1-bits as fit inside
+        # the final interval [C, C+A)), two byteouts, 0xFF 0xAC
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= self.ct
+        self._byteout()
+        if not self.out or self.out[-1] != 0xFF:
+            self.out.append(0xFF)
+        self.out.append(0xAC)
+        return bytes(self.out)
+
+
+# Generic-region context templates (T.88 §6.2.5.3, figures 4-7), as
+# FIXED bit positions (LSB-relative): (dx, dy, bit) for the static
+# pixels; AT slots listed separately with their nominal positions and
+# their fixed bit indices. Matching the spec's bit packing matters
+# for two reasons: the TPGDON pseudo-contexts below are absolute
+# values under this packing, and a real stream with NON-nominal AT
+# pixels keeps the AT contribution at the same bit slot.
+_TEMPLATES = {
+    0: {
+        "fixed": [(-1, 0, 0), (-2, 0, 1), (-3, 0, 2), (-4, 0, 3),
+                  (2, -1, 5), (1, -1, 6), (0, -1, 7), (-1, -1, 8),
+                  (-2, -1, 9),
+                  (1, -2, 12), (0, -2, 13), (-1, -2, 14)],
+        "at": [((3, -1), 4), ((-3, -1), 10), ((2, -2), 11),
+               ((-2, -2), 15)],
+        "pseudo": 0x9B25,
+    },
+    1: {
+        "fixed": [(-1, 0, 0), (-2, 0, 1), (-3, 0, 2),
+                  (2, -1, 4), (1, -1, 5), (0, -1, 6), (-1, -1, 7),
+                  (-2, -1, 8),
+                  (2, -2, 9), (1, -2, 10), (0, -2, 11), (-1, -2, 12)],
+        "at": [((3, -1), 3)],
+        "pseudo": 0x0795,
+    },
+    2: {
+        "fixed": [(-1, 0, 0), (-2, 0, 1),
+                  (1, -1, 3), (0, -1, 4), (-1, -1, 5), (-2, -1, 6),
+                  (1, -2, 7), (0, -2, 8), (-1, -2, 9)],
+        "at": [((2, -1), 2)],
+        "pseudo": 0x00E5,
+    },
+    3: {
+        "fixed": [(-1, 0, 0), (-2, 0, 1), (-3, 0, 2), (-4, 0, 3),
+                  (1, -1, 5), (0, -1, 6), (-1, -1, 7), (-2, -1, 8),
+                  (-3, -1, 9)],
+        "at": [((2, -1), 4)],
+        "pseudo": 0x0195,
+    },
+}
+
+
+def _template_offsets(template: int,
+                      at: list[tuple[int, int]]) -> list[tuple]:
+    spec = _TEMPLATES[template]
+    if len(at) != len(spec["at"]):
+        raise Jbig2Error(
+            f"template {template} needs {len(spec['at'])} AT pixels, "
+            f"got {len(at)}")
+    offs = list(spec["fixed"])
+    for (ax, ay), (_, bit) in zip(at, spec["at"]):
+        if ay > 0 or (ay == 0 and ax >= 0):
+            raise Jbig2Error(
+                f"AT pixel ({ax},{ay}) is not strictly before the "
+                "current pixel in raster order")
+        offs.append((ax, ay, bit))
+    return offs
+
+
+def decode_generic_region(data: bytes, width: int, height: int,
+                          template: int = 0,
+                          at: list[tuple[int, int]] | None = None,
+                          tpgdon: bool = False,
+                          mmr: bool = False,
+                          decoder: "MQDecoder | None" = None,
+                          icx: list | None = None,
+                          mps: list | None = None) -> np.ndarray:
+    """One generic region -> (height, width) uint8 bitmap, 1 = black
+    (T.88 §6.2). ``mmr=True`` routes the payload through the in-repo
+    T.6 decoder instead of arithmetic coding. A caller running
+    several regions in one arithmetic context (T.88 allows it within
+    a page stream only via retained intermediates — rare) can pass
+    its own decoder/state arrays."""
+    if mmr:
+        from dolphinbeat_spark.operators.ccitt import (
+            CcittError, ccitt_decode,
+        )
+        try:
+            return ccitt_decode(data, width, height, mode="g4")
+        except CcittError as ex:
+            raise Jbig2Error(f"MMR generic region: {ex}") from ex
+    if template not in _TEMPLATES:
+        raise Jbig2Error(f"generic template {template} outside 0..3")
+    if at is None:
+        at = [a for a, _ in _TEMPLATES[template]["at"]]
+    offs = _template_offsets(template, at)
+    pseudo = _TEMPLATES[template]["pseudo"]
+    pad_top = max(-dy for _, dy, _ in offs)
+    pad_l = max(max(-dx for dx, _, _ in offs), 0)
+    pad_r = max(max(dx for dx, _, _ in offs), 0)
+    bmp = np.zeros((height + pad_top, width + pad_l + pad_r), np.uint8)
+    if decoder is None:
+        decoder = MQDecoder(data)
+    nstates = 1 << (max(b for _, _, b in offs) + 1)
+    if icx is None:
+        icx = [0] * nstates
+        mps = [0] * nstates
+    dec = decoder.decode
+    # column offsets rebased to the padded array (rows use yy + dy
+    # directly: yy already carries pad_top), hoisted for the hot loop
+    offp = [(dx + pad_l, dy, bit) for dx, dy, bit in offs]
+    ltp = 0
+    for y in range(height):
+        if tpgdon:
+            if dec(icx, mps, pseudo):
+                ltp ^= 1
+            if ltp:
+                if y:
+                    bmp[y + pad_top - 1 + 1] = bmp[y + pad_top - 1]
+                continue
+        yy = y + pad_top
+        row = bmp[yy]
+        for x in range(width):
+            ctx = 0
+            for dx, dy, bit in offp:
+                if bmp[yy + dy, x + dx]:
+                    ctx |= 1 << bit
+            row[x + pad_l] = dec(icx, mps, ctx)
+    return bmp[pad_top:, pad_l:width + pad_l].copy()
+
+
+def _encode_generic_region(bmp: np.ndarray, template: int = 0,
+                           tpgdon: bool = False) -> bytes:
+    """Mirror of decode_generic_region (nominal AT, arithmetic
+    coding) for fixtures."""
+    height, width = bmp.shape
+    at = [a for a, _ in _TEMPLATES[template]["at"]]
+    offs = _template_offsets(template, at)
+    pseudo = _TEMPLATES[template]["pseudo"]
+    pad_top = max(-dy for _, dy, _ in offs)
+    pad_l = max(max(-dx for dx, _, _ in offs), 0)
+    pad_r = max(max(dx for dx, _, _ in offs), 0)
+    padded = np.zeros((height + pad_top, width + pad_l + pad_r),
+                      np.uint8)
+    nstates = 1 << (max(b for _, _, b in offs) + 1)
+    icx = [0] * nstates
+    mps = [0] * nstates
+    enc = MQEncoder()
+    offp = [(dx + pad_l, dy, bit) for dx, dy, bit in offs]
+    ltp = 0
+    for y in range(height):
+        yy = y + pad_top
+        if tpgdon:
+            typical = y > 0 and bool(
+                (bmp[y] == bmp[y - 1]).all()) or (y == 0 and not
+                                                  bmp[y].any())
+            # SLTP flips LTP whenever the typicality CHANGES
+            sltp = 1 if typical != bool(ltp) else 0
+            enc.encode(icx, mps, pseudo, sltp)
+            if sltp:
+                ltp ^= 1
+            if ltp:
+                padded[yy] = padded[yy - 1] if y else 0
+                continue
+        for x in range(width):
+            ctx = 0
+            for dx, dy, bit in offp:
+                if padded[yy + dy, x + dx]:
+                    ctx |= 1 << bit
+            bit_v = int(bmp[y, x] & 1)
+            enc.encode(icx, mps, ctx, bit_v)
+            padded[yy, x + pad_l] = bit_v
+    return enc.flush()
+
+
+# ---------------------------------------------------------------
+# Embedded segment layer
+
+
+_COMB_OPS = {0: "or", 1: "and", 2: "xor", 3: "xnor", 4: "replace"}
+
+
+def _parse_segment_header(data: bytes, pos: int) -> tuple[dict, int]:
+    n = len(data)
+    if pos + 11 > n:
+        raise Jbig2Error("JBIG2 segment header truncated")
+    number, flags = struct.unpack_from(">IB", data, pos)
+    pos += 5
+    seg_type = flags & 0x3F
+    page_assoc_4 = bool(flags & 0x40)
+    rts = data[pos]
+    count = rts >> 5
+    if count == 7:
+        count = struct.unpack_from(">I", data, pos)[0] & 0x1FFFFFFF
+        pos += 4 + (count + 8) // 8  # retain-bit array
+    else:
+        pos += 1
+    ref_size = 1 if number <= 256 else (2 if number <= 65536 else 4)
+    refs = []
+    for _ in range(count):
+        if pos + ref_size > n:
+            raise Jbig2Error("JBIG2 referred-to list truncated")
+        refs.append(int.from_bytes(data[pos:pos + ref_size], "big"))
+        pos += ref_size
+    if page_assoc_4:
+        if pos + 4 > n:
+            raise Jbig2Error("JBIG2 page association truncated")
+        page = struct.unpack_from(">I", data, pos)[0]
+        pos += 4
+    else:
+        if pos >= n:
+            raise Jbig2Error("JBIG2 page association truncated")
+        page = data[pos]
+        pos += 1
+    if pos + 4 > n:
+        raise Jbig2Error("JBIG2 data length truncated")
+    length = struct.unpack_from(">I", data, pos)[0]
+    pos += 4
+    if length == 0xFFFFFFFF:
+        raise NotImplementedError(
+            "JBIG2 unknown-length segment (0xFFFFFFFF) not supported")
+    if pos + length > n:
+        raise Jbig2Error(
+            f"JBIG2 segment {number} data truncated "
+            f"({length} declared, {n - pos} left)")
+    return {
+        "number": number, "type": seg_type, "refs": refs,
+        "page": page, "data": data[pos:pos + length],
+    }, pos + length
+
+
+def iter_jbig2_segments(data: bytes):
+    """Walk an embedded-profile (headerless) segment stream."""
+    if data[:8] == b"\x97JB2\r\n\x1a\n":
+        raise NotImplementedError(
+            "JBIG2 file-header (sequential file) organisation not "
+            "supported; the embedded/PDF profile is")
+    pos = 0
+    while pos < len(data):
+        seg, pos = _parse_segment_header(data, pos)
+        yield seg
+
+
+def _parse_region_info(d: bytes) -> dict:
+    if len(d) < 17:
+        raise Jbig2Error("region segment information truncated")
+    w, h, x, y = struct.unpack_from(">IIII", d, 0)
+    comb = d[16] & 0x07
+    if comb not in _COMB_OPS:
+        raise Jbig2Error(f"external combination operator {comb}")
+    return {"w": w, "h": h, "x": x, "y": y, "comb": comb}
+
+
+def decode_jbig2_embedded(data: bytes,
+                          globals_data: bytes | None = None,
+                          max_pixels: int = 1 << 26) -> np.ndarray:
+    """Embedded-profile JBIG2 (the PDF ``JBIG2Decode`` arrangement:
+    optional globals stream + page stream) -> (H, W) uint8 bitmap of
+    the first page, 1 = black. ``max_pixels`` bounds hostile page /
+    region declarations (decode cost is per-pixel)."""
+    segments = []
+    if globals_data:
+        segments += list(iter_jbig2_segments(globals_data))
+    segments += list(iter_jbig2_segments(data))
+
+    page = None
+    page_h_known = True
+    page_default = 0
+    max_y_seen = 0
+    for seg in segments:
+        t = seg["type"]
+        d = seg["data"]
+        if t == 48:  # page information
+            if len(d) < 19:
+                raise Jbig2Error("page information segment truncated")
+            pw, ph = struct.unpack_from(">II", d, 0)
+            flags = d[16]
+            page_default = (flags >> 2) & 1
+            if ph == 0xFFFFFFFF:
+                page_h_known = False
+                ph = 0  # grown by stripes / region extents
+            if pw * max(ph, 1) > max_pixels:
+                raise Jbig2Error(
+                    f"page {pw}x{ph} exceeds max_pixels={max_pixels}")
+            page = np.full((ph, pw), page_default, np.uint8)
+        elif t in (36, 38, 39):  # generic region
+            info = _parse_region_info(d)
+            if len(d) < 18:
+                raise Jbig2Error("generic region segment truncated")
+            gflags = d[17]
+            mmr = gflags & 1
+            template = (gflags >> 1) & 3
+            tpgdon = bool(gflags & 8)
+            pos = 18
+            at = []
+            if not mmr:
+                n_at = 4 if template == 0 else 1
+                if len(d) < pos + 2 * n_at:
+                    raise Jbig2Error("generic region AT pixels truncated")
+                for _ in range(n_at):
+                    ax = int.from_bytes(d[pos:pos + 1], "big",
+                                        signed=True)
+                    ay = int.from_bytes(d[pos + 1:pos + 2], "big",
+                                        signed=True)
+                    at.append((ax, ay))
+                    pos += 2
+            w, h = info["w"], info["h"]
+            if w * h > max_pixels:
+                raise Jbig2Error(
+                    f"region {w}x{h} exceeds max_pixels={max_pixels}")
+            region = decode_generic_region(
+                d[pos:], w, h, template=template, at=at or None,
+                tpgdon=tpgdon, mmr=bool(mmr))
+            if page is None:
+                raise Jbig2Error(
+                    "region segment before any page information")
+            y1, x1 = info["y"], info["x"]
+            if not page_h_known and y1 + h > page.shape[0]:
+                grow = np.full((y1 + h - page.shape[0], page.shape[1]),
+                               page_default, np.uint8)
+                if (y1 + h) * page.shape[1] > max_pixels:
+                    raise Jbig2Error(
+                        f"striped page grows past max_pixels="
+                        f"{max_pixels}")
+                page = np.vstack([page, grow])
+            if y1 + h > page.shape[0] or x1 + w > page.shape[1]:
+                raise Jbig2Error(
+                    f"region {w}x{h}@{x1},{y1} exceeds the "
+                    f"{page.shape[1]}x{page.shape[0]} page")
+            dst = page[y1:y1 + h, x1:x1 + w]
+            op = _COMB_OPS[info["comb"]]
+            if op == "or":
+                dst |= region
+            elif op == "and":
+                dst &= region
+            elif op == "xor":
+                dst ^= region
+            elif op == "xnor":
+                dst[:] = 1 - (dst ^ region)
+            else:
+                dst[:] = region
+            max_y_seen = max(max_y_seen, y1 + h)
+        elif t == 50:  # end of stripe
+            if len(d) >= 4:
+                max_y_seen = max(
+                    max_y_seen, struct.unpack_from(">I", d, 0)[0] + 1)
+        elif t in (49, 51):  # end of page / file
+            continue
+        elif t in (52, 62):  # profiles / extension: skippable
+            continue
+        elif t == 0 or 4 <= t <= 7:
+            raise NotImplementedError(
+                "JBIG2 symbol-dictionary/text-region segments (types "
+                "0, 4-7) not supported — generic-region profile only")
+        elif 16 <= t <= 43:
+            raise NotImplementedError(
+                f"JBIG2 segment type {t} (pattern/halftone/refinement "
+                "family) not supported — generic-region profile only")
+        else:
+            raise Jbig2Error(f"unknown JBIG2 segment type {t}")
+    if page is None:
+        raise Jbig2Error("JBIG2 stream has no page information segment")
+    if not page_h_known and max_y_seen:
+        page = page[:max_y_seen]
+    return page
+
+
+def encode_jbig2_generic(bmp: np.ndarray, template: int = 0,
+                         tpgdon: bool = False,
+                         split_stripes: int | None = None) -> bytes:
+    """Bitmap -> embedded-profile JBIG2 stream (page info + one
+    immediate generic region per stripe + end-of-page): the fixture
+    generator for the decoder's tests and pdf.py's. ``split_stripes``
+    emits the page as N horizontal bands composed with OR, exercising
+    the multi-region page-composition path."""
+    bmp = (np.asarray(bmp) & 1).astype(np.uint8)
+    h, w = bmp.shape
+    segs = []
+    num = 0
+
+    def seg(seg_type: int, payload: bytes, page: int = 1) -> None:
+        nonlocal num
+        hdr = struct.pack(">IB", num, seg_type) + b"\x00" \
+            + bytes([page]) + struct.pack(">I", len(payload))
+        segs.append(hdr + payload)
+        num += 1
+
+    seg(48, struct.pack(">IIIIBH", w, h, 0, 0, 0, 0))
+    bands = split_stripes or 1
+    rows_per = (h + bands - 1) // bands
+    for b in range(bands):
+        y0 = b * rows_per
+        band = bmp[y0:y0 + rows_per]
+        if band.size == 0:
+            continue
+        at = [a for a, _ in _TEMPLATES[template]["at"]]
+        at_bytes = b"".join(
+            ax.to_bytes(1, "big", signed=True)
+            + ay.to_bytes(1, "big", signed=True) for ax, ay in at)
+        body = struct.pack(">IIIIB", w, band.shape[0], 0, y0, 0) \
+            + bytes([(template << 1) | (8 if tpgdon else 0)]) \
+            + at_bytes \
+            + _encode_generic_region(band, template, tpgdon)
+        seg(38, body)
+    seg(49, b"")
+    return b"".join(segs)

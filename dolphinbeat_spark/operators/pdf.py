@@ -1317,12 +1317,45 @@ def _decode_image_data(doc: "PdfDocument", name: str, raw: bytes,
             pidx, name, width, height, 1, "CCITTFaxDecode",
             (sample_bits.astype(_np.uint8) * 255).tobytes(),
         )
-    if last in ("JPXDecode", "JBIG2Decode"):
+    if last == "JBIG2Decode":
+        import numpy as _np
+
+        from dolphinbeat_spark.operators.jbig2 import (
+            Jbig2Error,
+            decode_jbig2_embedded,
+        )
+
+        pre = raw if len(filters) <= 1 else _apply_filters(
+            raw, filters[:-1], parms_list[:-1]
+        )
+        p = doc.resolve(parms_list[-1]) if parms_list else None
+        p = p if isinstance(p, dict) else {}
+        gref = p.get("JBIG2Globals")
+        gdata = doc.stream_data(gref) if gref is not None else None
+        try:
+            ink = decode_jbig2_embedded(bytes(pre), gdata)
+        except Jbig2Error as ex:
+            raise PdfError(f"JBIG2Decode image {name!r}: {ex}") from ex
+        gh, gw = ink.shape
+        if (gw, gh) != (width, height):
+            raise PdfError(
+                f"image {name!r}: JBIG2 page is {gw}x{gh}, "
+                f"dictionary says {width}x{height}"
+            )
+        # §7.4.7: the filter's 1-bits are black; the 1-bit DeviceGray
+        # sample is the gray level, so invert (same sense as the
+        # CCITT default-BlackIs1=false path above)
+        return PdfImage(
+            pidx, name, width, height, 1, "JBIG2Decode",
+            ((1 - ink).astype(_np.uint8) * 255).tobytes(),
+        )
+    if last == "JPXDecode":
         raise NotImplementedError(
-            f"PDF image filter {last} not supported (DCTDecode "
+            "PDF image filter JPXDecode not supported (DCTDecode "
             "via the in-repo JPEG decoder, CCITTFaxDecode via "
-            "the in-repo T.4/T.6 codec, plus raw Flate/LZW/"
-            "ASCII/RunLength sample streams)"
+            "the in-repo T.4/T.6 codec, JBIG2Decode via the in-repo "
+            "T.88 decoder, plus raw Flate/LZW/ASCII/RunLength "
+            "sample streams)"
         )
     content = _apply_filters(raw, filters, parms_list)
     import numpy as np
@@ -1577,7 +1610,9 @@ def extract_pdf_images(data: bytes) -> list[PdfImage]:
     the abbreviated key/filter/colorspace names expanded (r11).
     ICCBased colorspaces map to their /N device equivalent and
     16-bit samples emit the high byte (r12, the 8-bit rendering
-    convention). JPX/JBIG2 images raise by name."""
+    convention). JBIG2Decode images decode through the in-repo T.88
+    generic-region decoder (operators/jbig2.py, r13), honoring
+    /JBIG2Globals. JPX images raise by name."""
     doc = PdfDocument(data)
     out: list[PdfImage] = []
     for pidx, (page, resources) in enumerate(doc.pages()):
@@ -1805,6 +1840,7 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
         b" /Resources << /Font << /F1 %d 0 R >> >> >>" % (n_pages, font_num)
     )
     streams: dict[int, tuple[bytes, bytes]] = {}  # num -> (dict, data)
+    n_globals = 0  # extra /JBIG2Globals streams past the image range
     codes: dict[str, int] = {}
     if unicode_text:
         for lines in pages:
@@ -1920,6 +1956,36 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
                     % (kk, iw, ih),
                     ccitt_encode(ink, mode=mode),
                 )
+            elif kind in ("jbig2", "jbig2-globals"):
+                # payload = one INK byte per pixel (1 = black); the
+                # -globals form ships the page-information segment in
+                # a separate /JBIG2Globals stream (the PDF two-stream
+                # arrangement, r13)
+                import numpy as _np
+
+                from dolphinbeat_spark.operators.jbig2 import (
+                    encode_jbig2_generic,
+                )
+
+                if ncomp != 1 or len(payload) != iw * ih:
+                    raise ValueError("jbig2 image wants 1 ink byte/pixel")
+                ink = _np.frombuffer(payload, _np.uint8).reshape(ih, iw)
+                blob = encode_jbig2_generic(ink)
+                if kind == "jbig2-globals":
+                    # first segment is the page information (type 48,
+                    # fixed 11-byte header + 19-byte payload)
+                    cut = 11 + 19
+                    gnum = img_base + len(img_refs) + n_globals
+                    n_globals += 1
+                    streams[gnum] = (b"", blob[:cut])
+                    streams[num] = (
+                        common + b" /Filter /JBIG2Decode /DecodeParms"
+                        b" << /JBIG2Globals %d 0 R >>" % gnum,
+                        blob[cut:],
+                    )
+                else:
+                    streams[num] = (
+                        common + b" /Filter /JBIG2Decode", blob)
             elif kind == "indexed":
                 # payload = (bpc, palette bytes, index byte/pixel);
                 # ncomp is the BASE colorspace's component count. The

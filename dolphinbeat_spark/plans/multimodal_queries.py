@@ -2720,6 +2720,75 @@ def mm_pdf_ccitt_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_pdf_jbig2_image",
+    # payload = a PDF per doc embedding a JBIG2Decode image XObject
+    # (the modern scanned-document layout — JBIG2 compresses bilevel
+    # ~2-5x tighter than G4, so producers prefer it): the doc's
+    # 96-char md5 pattern as an 8x12 bilevel page, ink where the hex
+    # digit is a letter, generic-region coded by the in-repo T.88
+    # encoder (operators/jbig2.py, r13 — MQ coder pinned against the
+    # spec's published Annex H.2 vector). Odd docs use the PDF
+    # two-stream arrangement (/JBIG2Globals carrying the page
+    # information segment), even docs the single-stream form — both
+    # must decode identically. The filter's 1=black bits invert to
+    # the 0=black gray convention, pinned via the same hex-digest
+    # closed form as mm_pdf_ccitt_image. Pre-r13 these raised 'PDF
+    # image filter JBIG2Decode not supported'.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 25 = 1
+)
+SELECT media_id, 0::BIGINT AS page_idx, 'Im0_0' AS img_name,
+       CAST(8 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+       1::BIGINT AS n_components, 'JBIG2Decode' AS img_filter,
+       CAST(255 * length(regexp_replace(pattern, '[a-f]', '', 'g'))
+            AS BIGINT) AS pixel_sum,
+       md5(replace(replace(
+             translate(pattern, '0123456789abcdef', 'wwwwwwwwwwBBBBBB'),
+             'w', 'ff'), 'B', '00')) AS pixel_md5
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "pdf", "decode", "codec", "jbig2", "ingest"),
+)
+def mm_pdf_jbig2_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF JBIG2Decode images under the oracle gate (r13): the filter
+    delegates to the engine's own ITU-T T.88 generic-region decoder
+    (MQ arithmetic coder + template contexts), honoring the
+    /JBIG2Globals two-stream arrangement — the JBIG2 share of a
+    scanned-PDF corpus decodes beside CCITT and DCT in the same
+    pdf_images Arrow slot."""
+    import hashlib
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_images
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 1)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        pattern = hashlib.md5(str(i).encode()).hexdigest() * 3
+        ink = np.array([1 if c in "abcdef" else 0 for c in pattern],
+                       np.uint8)
+        kind = "jbig2-globals" if i % 2 else "jbig2"
+        pdf = encode_pdf(
+            [[f"scan {i}"]], xref_stream=bool(i % 2),
+            images=[[(kind, 8, 12, 1, ink.tobytes())]],
+        )
+        rows.append((i, bytearray(pdf)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return (
+        pdf_images(media, digest="hex")
+        .select("media_id", "page_idx", "img_name", "width", "height",
+                "n_components", "img_filter", "pixel_sum", "pixel_md5")
+        .orderBy("media_id", "page_idx", "img_name")
+    )
+
+
+@register(
     "mm_pdf_inline_images",
     # payload = a PDF per doc whose images are INLINE (BI/ID/EI,
     # §8.9.7 — the layout scanned faxes and small graphics actually
