@@ -31,8 +31,11 @@ module implements the honest read-side subset per the PUBLIC spec:
   multi-char UTF-16BE destinations incl. surrogate pairs) — the
   layout Word/Chrome-class writers emit for ANY non-Latin text, so
   without it the non-English share of a PDF corpus is unreadable. A
-  Type0 font WITHOUT /ToUnicode raises by name (its CIDs carry no
-  recoverable text mapping);
+  Type0 font WITHOUT /ToUnicode recovers its text through the
+  embedded TrueType font's own cmap table inverted via /CIDToGIDMap
+  (r13, operators/truetype.py — the CJK non-Adobe-toolchain layout);
+  only predefined non-Identity CMaps, CFF-only /FontFile3, and
+  fonts with nothing embedded still raise by name;
 - encryption (§7.6, r10): the Standard security handler with RC4
   V1/V2 R2/R3 and the EMPTY user password — the owner-locked layout
   (print/copy restrictions) every viewer opens, a real corpus share;
@@ -1006,11 +1009,70 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
     return out
 
 
+def _type0_cmap_from_font(doc: PdfDocument, f: dict,
+                          fname: str) -> dict[int, str]:
+    """A Type0 font WITHOUT /ToUnicode -> {2-byte code: unicode} via
+    the embedded TrueType font's own cmap (r13): invert the font's
+    code-point->glyph table through /CIDToGIDMap. This is how CJK
+    PDFs from non-Adobe toolchains (which routinely omit /ToUnicode)
+    keep their text recoverable. Boundaries stay named: non-Identity
+    /Encoding CMaps, CFF-only fonts (/FontFile3, no cmap table), and
+    fonts embedding nothing at all."""
+    from dolphinbeat_spark.operators.truetype import (
+        TrueTypeError, parse_ttf_cmap,
+    )
+
+    enc = str(doc.resolve(f.get("Encoding", "")))
+    if enc not in ("Identity-H", "Identity-V"):
+        raise NotImplementedError(
+            f"Type0 font {fname!r} without /ToUnicode uses the "
+            f"predefined CMap {enc!r}: only Identity-H/V code->CID "
+            "mapping is supported"
+        )
+    dfs = doc.resolve(f.get("DescendantFonts"))
+    df = doc.resolve(dfs[0]) if isinstance(dfs, list) and dfs else None
+    fd = doc.resolve(df.get("FontDescriptor")) \
+        if isinstance(df, dict) else None
+    ff2 = fd.get("FontFile2") if isinstance(fd, dict) else None
+    if ff2 is None:
+        kind = "a CFF /FontFile3 (no cmap table)" \
+            if isinstance(fd, dict) and "FontFile3" in fd \
+            else "no embedded font"
+        raise NotImplementedError(
+            f"Type0/CMap composite font {fname!r} without /ToUnicode "
+            f"and with {kind}: CID text is not recoverable"
+        )
+    try:
+        fwd = parse_ttf_cmap(doc.stream_data(ff2))
+    except TrueTypeError as ex:
+        raise PdfError(
+            f"Type0 font {fname!r} embedded TrueType: {ex}") from ex
+    # invert glyph -> code point; the smallest code point wins so the
+    # recovery is deterministic when several map to one glyph
+    rev: dict[int, int] = {}
+    for cp in sorted(fwd, reverse=True):
+        rev[fwd[cp]] = cp
+    c2g = doc.resolve(df.get("CIDToGIDMap", "Identity"))
+    if isinstance(c2g, tuple) and c2g and c2g[0] == "stream":
+        gm = doc.stream_data(df.get("CIDToGIDMap"))
+        return {
+            cid: chr(rev[gid])
+            for cid in range(len(gm) // 2)
+            if (gid := (gm[2 * cid] << 8) | gm[2 * cid + 1]) in rev
+        }
+    if str(c2g) != "Identity":
+        raise PdfError(
+            f"Type0 font {fname!r}: /CIDToGIDMap {c2g!r} is neither "
+            "Identity nor a stream")
+    return {gid: chr(cp) for gid, cp in rev.items()}
+
+
 def _font_map(doc: PdfDocument, resources: dict) -> dict[str, dict | None]:
     """Resource fonts -> {name: ToUnicode cmap dict (Type0) | None
     (simple font, Latin-1 assumption)}. A Type0 font WITHOUT a
-    /ToUnicode CMap raises by name — its bytes are CIDs with no
-    recoverable text mapping."""
+    /ToUnicode CMap falls back to the embedded TrueType font's own
+    cmap (r13, _type0_cmap_from_font); only when no embedded mapping
+    exists does it raise by name."""
     fonts = doc.resolve(resources.get("Font")) if resources else None
     out: dict[str, dict | None] = {}
     if not isinstance(fonts, dict):
@@ -1020,11 +1082,9 @@ def _font_map(doc: PdfDocument, resources: dict) -> dict[str, dict | None]:
         if isinstance(f, dict) and str(f.get("Subtype", "")) == "Type0":
             tu = f.get("ToUnicode")
             if tu is None:
-                raise NotImplementedError(
-                    f"Type0/CMap composite font {fname!r} without "
-                    "/ToUnicode: CID text is not recoverable"
-                )
-            out[fname] = _parse_tounicode(doc.stream_data(tu))
+                out[fname] = _type0_cmap_from_font(doc, f, fname)
+            else:
+                out[fname] = _parse_tounicode(doc.stream_data(tu))
         else:
             out[fname] = None
     return out
@@ -2055,7 +2115,51 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
                 )
             else:
                 raise ValueError(f"unknown image kind {kind!r}")
-    if unicode_text:
+    if unicode_text in ("fontcmap", "fontcmap-gidmap"):
+        # r13: a Type0 font WITHOUT /ToUnicode — text is recoverable
+        # only through the embedded TrueType font's own cmap (the
+        # non-Adobe CJK-toolchain layout). "fontcmap" uses
+        # /CIDToGIDMap /Identity; "-gidmap" ships a real CIDToGIDMap
+        # stream with gid = cid + 7 so the indirection is exercised.
+        from dolphinbeat_spark.operators.truetype import (
+            encode_minimal_ttf,
+        )
+
+        desc_num = info_num + 1
+        fd_num = info_num + 2
+        ff_num = img_base + len(img_refs) + n_globals
+        n_globals += 1
+        shift = 7 if unicode_text == "fontcmap-gidmap" else 0
+        streams[ff_num] = (b"", encode_minimal_ttf(
+            {ord(ch): code + shift for ch, code in codes.items()}))
+        if shift:
+            gid_num = img_base + len(img_refs) + n_globals
+            n_globals += 1
+            max_cid = max(codes.values())
+            gm = bytearray(2 * (max_cid + 1))
+            for code in codes.values():
+                gm[2 * code:2 * code + 2] = \
+                    (code + shift).to_bytes(2, "big")
+            streams[gid_num] = (b"", bytes(gm))
+            c2g = b"%d 0 R" % gid_num
+        else:
+            c2g = b"/Identity"
+        objs[font_num] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /DejaVuSans "
+            b"/Encoding /Identity-H /DescendantFonts [%d 0 R] >>"
+            % desc_num
+        )
+        objs[desc_num] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /DejaVuSans"
+            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+            b" /Supplement 0 >> /CIDToGIDMap " + c2g +
+            b" /FontDescriptor %d 0 R >>" % fd_num
+        )
+        objs[fd_num] = (
+            b"<< /Type /FontDescriptor /FontName /DejaVuSans /Flags 4"
+            b" /FontFile2 %d 0 R >>" % ff_num
+        )
+    elif unicode_text:
         desc_num = info_num + 1
         tou_num = info_num + 2
         objs[font_num] = (
@@ -2155,6 +2259,19 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
         for num in list(streams):  # encrypt AFTER compression (§7.6.2)
             fdict, sdata = streams[num]
             streams[num] = (fdict, crypt(num, sdata))
+        if unicode_text in ("fontcmap", "fontcmap-gidmap"):
+            # the reader RESOLVES the descendant font in this mode, so
+            # its CIDSystemInfo strings must be really encrypted
+            # (§7.6.2 covers every string object)
+            objs[desc_num] = (
+                b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont"
+                b" /DejaVuSans /CIDSystemInfo << /Registry ("
+                + _esc_raw(crypt(desc_num, b"Adobe"))
+                + b") /Ordering ("
+                + _esc_raw(crypt(desc_num, b"Identity"))
+                + b") /Supplement 0 >> /CIDToGIDMap " + c2g
+                + b" /FontDescriptor %d 0 R >>" % fd_num
+            )
         if title is not None:
             del objs[info_num]
             top_plain[info_num] = (

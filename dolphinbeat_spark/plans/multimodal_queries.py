@@ -2525,6 +2525,55 @@ def mm_pdf_unicode_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_pdf_type0_fontcmap",
+    # payload = a Type0/Identity-H PDF per doc WITHOUT /ToUnicode
+    # (r13): the non-Adobe CJK-toolchain layout, where text is only
+    # recoverable by inverting the embedded TrueType font's own cmap
+    # table through /CIDToGIDMap (operators/truetype.py). Docs cycle
+    # the /Identity map and a REAL CIDToGIDMap stream (gid = cid + 7)
+    # plus classic/stream xref; the oracle rebuilds the CJK + token
+    # page text in closed form. Pre-r13 these raised 'Type0 ...
+    # without /ToUnicode'.
+    oracle=r"""
+WITH p AS (
+  SELECT doc_id AS media_id, CAST(doc_id AS VARCHAR) AS i,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE doc_id % 25 = 12
+)
+SELECT media_id, 0::BIGINT AS page_idx, 1::BIGINT AS n_pages,
+       CAST(NULL AS VARCHAR) AS title,
+       '无映射字体 ' || i || chr(10)
+         || array_to_string(list_slice(toks, 1, 6), ' ') AS page_text
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "pdf", "unicode", "text", "fontcmap", "ingest"),
+)
+def mm_pdf_type0_fontcmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type0-without-/ToUnicode PDF text under the oracle gate (r13):
+    CIDs recover through the embedded TrueType cmap inverted via
+    /CIDToGIDMap — the multilingual-corpus share that non-Adobe
+    writers produce. PDFs built driver-side over a bounded doc
+    subset; extraction runs distributed."""
+    from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_extract
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 12)
+    docs = sorted((r["doc_id"], r["text"]) for r in
+                  d.select("doc_id", "text").collect())
+    rows = []
+    for did, text in docs:
+        toks = text.strip().split()
+        pdf = encode_pdf(
+            [[f"无映射字体 {did}", " ".join(toks[0:6])]],
+            unicode_text="fontcmap-gidmap" if did % 2 else "fontcmap",
+            xref_stream=did % 4 < 2,
+        )
+        rows.append((did, bytearray(pdf)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return pdf_extract(media).orderBy("media_id", "page_idx")
+
+
+@register(
     "mm_pdf_encrypted_text",
     # payload = a REAL RC4-encrypted PDF per doc (Standard security
     # handler, r10): owner-locked with the EMPTY user password — the

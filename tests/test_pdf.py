@@ -264,6 +264,83 @@ def test_pdf_type0_tounicode_roundtrip():
             assert d.pages[1] == "第二页 ¡olé! 𝄞 music"
 
 
+def test_pdf_type0_without_tounicode_fontcmap():
+    """Type0 WITHOUT /ToUnicode (r13): text recovers through the
+    embedded TrueType font's own cmap inverted via /CIDToGIDMap —
+    both the /Identity form and a real CIDToGIDMap stream, across
+    encryption and xref layouts; the named boundaries (predefined
+    CMap, no embedded font) still raise."""
+    upages = [["中文测试 CJK", "ascii line"], ["кириллица"]]
+    want = ["中文测试 CJK\nascii line", "кириллица"]
+    for mode in ("fontcmap", "fontcmap-gidmap"):
+        for enc in (None, "rc4-128", "aes-256"):
+            for xs in (False, True):
+                pdf = encode_pdf(upages, unicode_text=mode,
+                                 encrypt=enc, xref_stream=xs)
+                assert b"/ToUnicode" not in pdf or enc is not None
+                d = extract_pdf_text(pdf)
+                assert d.pages == want, (mode, enc, xs)
+    # named boundaries: predefined CMap encoding / no embedded font
+    pdf = encode_pdf(upages, unicode_text="fontcmap")
+    bad = pdf.replace(b"/Encoding /Identity-H",
+                      b"/Encoding /UniGB-UCS2H")  # same byte length
+    with pytest.raises(NotImplementedError, match="predefined CMap"):
+        extract_pdf_text(bad)
+    bad = pdf.replace(b"/FontFile2", b"/FontFileX")
+    with pytest.raises(NotImplementedError, match="no embedded font"):
+        extract_pdf_text(bad)
+
+
+def test_ttf_cmap_parser_real_system_fonts():
+    """parse_ttf_cmap against REAL TrueType files (DejaVu, shipped
+    with the OS) — the third-implementation pin for the sfnt/cmap
+    walk: fonts produced by an independent toolchain must parse, map
+    ASCII sensibly, and invert consistently."""
+    import glob
+
+    from dolphinbeat_spark.operators.truetype import parse_ttf_cmap
+
+    fonts = sorted(glob.glob("/usr/share/fonts/**/*.ttf",
+                             recursive=True))
+    if not fonts:
+        pytest.skip("no system TrueType fonts in this container")
+    for path in fonts[:6]:
+        with open(path, "rb") as f:
+            cm = parse_ttf_cmap(f.read())
+        assert len(cm) > 50, path
+        # every printable-ASCII letter a real text font covers maps
+        # to a nonzero glyph, and distinct letters map distinctly
+        gids = [cm[c] for c in range(0x41, 0x5B) if c in cm]
+        assert gids and all(g > 0 for g in gids), path
+        assert len(set(gids)) == len(gids), path
+
+
+def test_ttf_cmap_fixture_roundtrip_and_hostile():
+    from dolphinbeat_spark.operators.truetype import (
+        TrueTypeError, encode_minimal_ttf, parse_ttf_cmap,
+    )
+
+    m = {ord("A"): 34, ord("あ"): 500, 0x4E2D: 1200, ord(" "): 3}
+    for fmt in (4, 12):
+        assert parse_ttf_cmap(encode_minimal_ttf(m, fmt=fmt)) == m
+    m2 = {0x1F600: 900, 0x1F601: 901, ord("x"): 5}
+    assert parse_ttf_cmap(encode_minimal_ttf(m2, fmt=12)) == m2
+    with pytest.raises(TrueTypeError, match="not an sfnt"):
+        parse_ttf_cmap(b"nope" + bytes(20))
+    with pytest.raises(TrueTypeError, match="no cmap"):
+        parse_ttf_cmap(b"\x00\x01\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00")
+    import numpy as np
+    rng = np.random.RandomState(11)
+    good = encode_minimal_ttf(m)
+    for _ in range(150):
+        b = bytearray(good)
+        b[rng.randint(0, len(b))] ^= 1 << rng.randint(0, 8)
+        try:
+            parse_ttf_cmap(bytes(b))
+        except TrueTypeError:
+            pass
+
+
 def test_pdf_tounicode_bfrange_forms():
     """The bfrange consecutive and array destination forms, hand-built
     (the writer mirror only emits bfchar — this pins the range parser
