@@ -13,13 +13,21 @@ BlackIsZero / RGB / Palette (ColorMap 16-bit entries scaled to
 satellite/scan imagery is predominantly tiled), and planar
 configuration 2 (§14: per-plane strips/tiles, plane-major order).
 
-Honest boundaries raise by name: CCITT/JPEG-in-TIFF compression,
-floating-point samples.
+Bilevel CCITT TIFF (Compression 2/3/4 = MH/T.4/T.6) decodes via
+operators/ccitt.py (r11), and new-style JPEG-in-TIFF (Compression 7,
+TechNote 2 — scanned/archival TIFFs use it heavily) via
+operators/jpeg.py with the shared JPEGTables tag honored (r13), in
+strip and tile organization. Honest boundaries raise by name:
+old-style JPEG (Compression 6, withdrawn), floating-point samples.
 
-Verification stance (tests/test_multimodal.py): decoder pinned by a
-hand-assembled LZW code stream computed from the spec's own algorithm
-walk-through, independent of the writer, plus writer->decoder
-roundtrips across the compression × predictor × photometric matrix.
+Verification stance (tests/test_multimodal.py +
+tools/tiff_conformance.py): decoder pinned by a hand-assembled LZW
+code stream computed from the spec's own algorithm walk-through,
+independent of the writer; writer->decoder roundtrips across the
+compression × predictor × photometric matrix; and the system libtiff
+as the third implementation over the full matrix (incl. CCITT and
+JPEG-in-TIFF, where agreement is within ±1 gray level of libjpeg's
+IDCT).
 
 At 100 TB the decode runs one-image-per-row inside the same Arrow
 ``mapInPandas`` slot as the other codecs
@@ -37,7 +45,7 @@ class TiffError(ValueError):
     """Typed TIFF format error."""
 
 
-_TYPES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # type -> byte size (subset)
+_TYPES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1}  # type -> size
 
 
 def _read_ifd_values(data: bytes, end: str, off: int) -> dict[int, list[int]]:
@@ -62,7 +70,7 @@ def _read_ifd_values(data: bytes, end: str, off: int) -> dict[int, list[int]]:
             (voff,) = struct.unpack_from(end + "I", data, p + 8)
         if voff + total > len(data):
             raise TiffError(f"tag {tag} value overruns the payload")
-        if typ in (1, 2):
+        if typ in (1, 2, 6, 7):  # BYTE/ASCII/SBYTE/UNDEFINED
             vals = list(data[voff:voff + count])
         elif typ == 3:
             vals = list(struct.unpack_from(end + "H" * count, data, voff))
@@ -235,6 +243,103 @@ def _decode_tiff_ccitt(data: bytes, t: dict, w: int, h: int,
     return w, h, gray.astype(np.uint8).reshape(h, w, 1)
 
 
+def _merge_jpegtables(tables: bytes, strip: bytes, what: str) -> bytes:
+    """TIFF TechNote 2: an abbreviated strip/tile stream + the shared
+    JPEGTables blob -> one standalone JPEG (tables spliced between
+    the strip's SOI and its frame markers)."""
+    if strip[:2] != b"\xff\xd8":
+        raise TiffError(f"{what} JPEG stream lacks SOI")
+    if tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9":
+        raise TiffError("JPEGTables blob is not SOI .. EOI framed")
+    return b"\xff\xd8" + tables[2:-2] + strip[2:]
+
+
+def _decode_tiff_jpeg(data: bytes, t: dict, w: int, h: int,
+                      one) -> tuple[int, int, np.ndarray]:
+    """JPEG-in-TIFF (Compression 7, the TechNote 2 'new-style' JPEG
+    scanned/archival TIFFs use) -> 8-bit pixels via the in-repo JPEG
+    decoder (operators/jpeg.py — the same reuse as r11's
+    DCTDecode-in-PDF). Strips/tiles are independent JPEG streams,
+    abbreviated against the shared JPEGTables tag (347) when
+    present; MCU-padded segment edges crop to the declared
+    geometry."""
+    from dolphinbeat_spark.operators.jpeg import JpegError, decode_jpeg
+
+    spp = one(277, 1)
+    depth = t.get(258, [8])[0]
+    photo = one(262, 6)
+    if depth != 8:
+        raise TiffError(f"JPEG TIFF must be 8-bit, got {depth}")
+    if spp not in (1, 3):
+        raise TiffError(f"JPEG TIFF wants 1 or 3 samples, got {spp}")
+    if photo not in (1, 2, 6):
+        raise NotImplementedError(
+            f"JPEG TIFF photometric {photo} not supported "
+            "(1/2/6 = gray/RGB/YCbCr; the decoder emits RGB)")
+    if one(284, 1) != 1:
+        raise NotImplementedError(
+            "JPEG TIFF planar configuration 2 not supported")
+    tables = bytes(t[347]) if 347 in t else None
+
+    def one_jpeg(chunk: bytes, cw: int, chh: int, what: str):
+        blob = _merge_jpegtables(tables, chunk, what) if tables \
+            else chunk
+        try:
+            jw, jh, arr = decode_jpeg(blob)
+        except JpegError as ex:
+            raise TiffError(f"{what}: {ex}") from ex
+        if arr.shape[2] != spp:
+            raise TiffError(
+                f"{what} decodes {arr.shape[2]} components, "
+                f"TIFF says {spp}")
+        # writers pad segments to MCU multiples: crop, never stretch
+        if jw < cw or jh < chh:
+            raise TiffError(
+                f"{what} is {jw}x{jh}, geometry wants {cw}x{chh}")
+        return arr[:chh, :cw]
+
+    px = np.zeros((h, w, spp), np.uint8)
+    if 322 in t or 323 in t:  # tiled
+        tw, th = one(322), one(323)
+        if not tw or not th:
+            raise TiffError("tile geometry tags missing")
+        offsets, counts = t.get(324), t.get(325)
+        tx = (w + tw - 1) // tw
+        ty = (h + th - 1) // th
+        if not offsets or len(offsets) != tx * ty \
+                or len(counts or []) != tx * ty:
+            raise TiffError(
+                f"{len(offsets or [])} tiles, geometry wants {tx * ty}")
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(data):
+                raise TiffError(f"tile {i} overruns the payload")
+            y0 = (i // tx) * th
+            x0 = (i % tx) * tw
+            cw = min(tw, w - x0)
+            chh = min(th, h - y0)
+            px[y0:y0 + chh, x0:x0 + cw] = one_jpeg(
+                data[off:off + cnt], cw, chh, f"tile {i}")
+    else:
+        offsets, counts = t.get(273), t.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise TiffError(
+                "TIFF strip offsets/byte-counts missing or unequal")
+        rps = one(278, h)
+        if rps <= 0:
+            raise TiffError(f"bad RowsPerStrip {rps}")
+        if len(offsets) != (h + rps - 1) // rps:
+            raise TiffError(
+                f"{len(offsets)} strips, geometry wants "
+                f"{(h + rps - 1) // rps}")
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(data):
+                raise TiffError(f"strip {si} overruns the payload")
+            nrows = min(rps, h - si * rps)
+            px[si * rps:si * rps + nrows] = one_jpeg(
+                data[off:off + cnt], w, nrows, f"strip {si}")
+    return w, h, px
+
+
 def decode_tiff(data: bytes) -> tuple[int, int, np.ndarray]:
     """TIFF -> (width, height, HxWxC uint8/uint16 array). Handles
     strip AND tile organization (TIFF 6.0 §15 — satellite/scan
@@ -254,7 +359,7 @@ def decode_tiff(data: bytes) -> tuple[int, int, np.ndarray]:
 
     def one(tag, default=None):
         v = t.get(tag)
-        if v is None:
+        if not v:  # absent OR a corrupt zero-count entry
             if default is None:
                 raise TiffError(f"TIFF missing required tag {tag}")
             return default
@@ -274,6 +379,12 @@ def decode_tiff(data: bytes) -> tuple[int, int, np.ndarray]:
     photo = one(262, 1)
     if comp in (2, 3, 4):  # CCITT bilevel (MH / T.4 / T.6)
         return _decode_tiff_ccitt(data, t, w, h, one)
+    if comp == 7:  # new-style JPEG (TechNote 2)
+        return _decode_tiff_jpeg(data, t, w, h, one)
+    if comp == 6:
+        raise NotImplementedError(
+            "TIFF old-style JPEG compression 6 (withdrawn by "
+            "TechNote 2) not supported; new-style compression 7 is")
     if depth not in (8, 16):
         raise NotImplementedError(f"{depth}-bit TIFF samples not supported")
     planar = one(284, 1)
@@ -573,8 +684,11 @@ def _assemble_tiff(entries: list, strips: list[bytes], end: str,
     table = bytearray()
     packed = {}
     for tag, typ, count, vals in entries:
-        code = "H" if typ == 3 else "I"
-        payload = b"".join(struct.pack(end + code, v) for v in vals)
+        if typ in (1, 7):  # BYTE / UNDEFINED
+            payload = bytes(vals)
+        else:
+            code = "H" if typ == 3 else "I"
+            payload = b"".join(struct.pack(end + code, v) for v in vals)
         if len(payload) <= 4:
             packed[tag] = ("inline", None)
             val = payload + bytes(4 - len(payload))
@@ -657,3 +771,110 @@ def encode_tiff_ccitt(img, compression: int = 4, t4_2d: bool = False,
         entries.append((293, 4, 1, [0]))
     entries.sort(key=lambda e: e[0])
     return _assemble_tiff(entries, strips, end, off_tag=273)
+
+
+def _split_jpeg_tables(blob: bytes) -> tuple[bytes, bytes]:
+    """One standalone JPEG -> (JPEGTables blob, abbreviated stream):
+    DQT/DHT segments move into an SOI..EOI tables stream (TechNote 2
+    layout), everything else stays."""
+    tables = bytearray(b"\xff\xd8")
+    rest = bytearray(b"\xff\xd8")
+    pos = 2
+    n = len(blob)
+    while pos + 4 <= n:
+        if blob[pos] != 0xFF:
+            raise ValueError("marker walk desync in JPEG splitter")
+        marker = blob[pos + 1]
+        if marker == 0xD9:
+            rest += blob[pos:]
+            break
+        (seglen,) = struct.unpack_from(">H", blob, pos + 2)
+        seg = blob[pos:pos + 2 + seglen]
+        if marker in (0xDB, 0xC4):  # DQT / DHT
+            tables += seg
+        else:
+            rest += seg
+        pos += 2 + seglen
+        if marker == 0xDA:  # SOS: entropy data runs to EOI
+            rest += blob[pos:]
+            break
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(rest)
+
+
+def encode_tiff_jpeg(width: int, height: int, pixels: bytes,
+                     gray: bool = False,
+                     rows_per_strip: int | None = None,
+                     tiles: tuple[int, int] | None = None,
+                     split_tables: bool = False,
+                     subsample: str = "444",
+                     byte_order: str = "<") -> bytes:
+    """JPEG-in-TIFF writer (Compression 7 fixture generator): each
+    strip — or each tile with ``tiles=(tw, th)`` — is its own JPEG
+    from the in-repo encoder; ``split_tables`` moves the shared
+    DQT/DHT segments into the JPEGTables tag (the abbreviated-stream
+    layout real writers emit)."""
+    from dolphinbeat_spark.operators.jpeg import encode_jpeg
+
+    spp = 1 if gray else 3
+    if len(pixels) != width * height * spp:
+        raise ValueError("pixel payload size mismatch")
+    px = np.frombuffer(pixels, np.uint8).reshape(height, width, spp)
+    end = byte_order
+    photometric = 1 if gray else 6  # JPEG stores YCbCr for color
+
+    def jpeg_of(block: np.ndarray) -> bytes:
+        bh, bw = block.shape[:2]
+        return encode_jpeg(bw, bh, block.tobytes(), gray=gray,
+                           subsample=subsample)
+
+    chunks: list[bytes] = []
+    if tiles:
+        tw, th = tiles
+        for y0 in range(0, height, th):
+            for x0 in range(0, width, tw):
+                # tiles are FULL size; edge tiles pad by replication
+                block = px[y0:y0 + th, x0:x0 + tw]
+                pad_y = th - block.shape[0]
+                pad_x = tw - block.shape[1]
+                if pad_y or pad_x:
+                    block = np.pad(block,
+                                   ((0, pad_y), (0, pad_x), (0, 0)),
+                                   mode="edge")
+                chunks.append(jpeg_of(block))
+    else:
+        rps = rows_per_strip or height
+        for r0 in range(0, height, rps):
+            chunks.append(jpeg_of(px[r0:r0 + rps]))
+    tables_blob = None
+    if split_tables:
+        splits = [_split_jpeg_tables(c) for c in chunks]
+        tables_blob = splits[0][0]
+        if any(t != tables_blob for t, _ in splits):
+            raise ValueError("strips disagree on their JPEG tables")
+        chunks = [r for _, r in splits]
+    entries = [
+        (256, 4, 1, [width]), (257, 4, 1, [height]),
+        (258, 3, spp, [8] * spp), (259, 3, 1, [7]),
+        (262, 3, 1, [photometric]), (277, 3, 1, [spp]),
+    ]
+    if tiles:
+        tw, th = tiles
+        entries += [
+            (322, 4, 1, [tw]), (323, 4, 1, [th]),
+            (325, 4, len(chunks), [len(c) for c in chunks]),
+            (324, 4, len(chunks), [0] * len(chunks)),  # patched
+        ]
+        off_tag = 324
+    else:
+        rps = rows_per_strip or height
+        entries += [
+            (278, 4, 1, [rps]),
+            (279, 4, len(chunks), [len(c) for c in chunks]),
+            (273, 4, len(chunks), [0] * len(chunks)),  # patched
+        ]
+        off_tag = 273
+    if tables_blob is not None:
+        entries.append((347, 7, len(tables_blob), list(tables_blob)))
+    entries.sort(key=lambda e: e[0])
+    return _assemble_tiff(entries, chunks, end, off_tag=off_tag)

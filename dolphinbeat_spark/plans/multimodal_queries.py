@@ -1992,6 +1992,72 @@ def mm_decode_tiff_ccitt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_decode_tiff_jpeg",
+    # payload = a REAL JPEG-in-TIFF (Compression 7, TechNote 2 — the
+    # scanned/archival layout, r13): an 8x12 gray page of three
+    # 4-row FLAT strips, each its own JPEG through the in-repo
+    # encoder, abbreviated against the shared JPEGTables tag on odd
+    # docs. Strip values come from the doc md5's first three hex
+    # digits as v = 16*digit + 8 — EVEN values, so the flat DC
+    # coefficient quantizes exactly (Annex K DC step 16 divides
+    # (v-128)*8) and the lossy codec roundtrips these bytes
+    # bit-exactly, giving the oracle a closed form over decoded
+    # pixels. Byte order cycles II/MM. Pre-r13 these raised 'TIFF
+    # compression 7 not supported'. libtiff agreement is pinned in
+    # tools/tiff_conformance.py (within ±1 of libjpeg's IDCT).
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id, md5(CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents WHERE doc_id % 25 = 0
+), v AS (
+  SELECT media_id,
+         16*(strpos('0123456789abcdef', substr(hx, 1, 1))-1)+8 AS v0,
+         16*(strpos('0123456789abcdef', substr(hx, 2, 1))-1)+8 AS v1,
+         16*(strpos('0123456789abcdef', substr(hx, 3, 1))-1)+8 AS v2
+  FROM p
+)
+SELECT media_id, 'tiff' AS fmt,
+       CAST(8 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+       CAST(32 * (v0 + v1 + v2) AS BIGINT) AS pixel_sum,
+       md5(repeat(printf('%02x', v0), 32)
+           || repeat(printf('%02x', v1), 32)
+           || repeat(printf('%02x', v2), 32)) AS pixel_md5
+FROM v
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "codec", "tiff", "jpeg"),
+)
+def mm_decode_tiff_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG-in-TIFF (Compression 7) decode under the oracle gate
+    (r13): strip/tile payloads route through the in-repo JPEG
+    decoder with the JPEGTables abbreviated-stream layout honored —
+    the same near-zero-cost reuse as r11's DCTDecode-in-PDF, closing
+    the scanned/archival TIFF share."""
+    import hashlib
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.tiff import encode_tiff_jpeg
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    hexd = "0123456789abcdef"
+    for i in ids:
+        hx = hashlib.md5(str(i).encode()).hexdigest()
+        vs = [16 * hexd.index(c) + 8 for c in hx[:3]]
+        px = np.concatenate(
+            [np.full((4, 8, 1), v, np.uint8) for v in vs])
+        rows.append((i, bytearray(encode_tiff_jpeg(
+            8, 12, px.tobytes(), gray=True, rows_per_strip=4,
+            split_tables=bool(i % 2),
+            byte_order="<" if i % 2 == 0 else ">",
+        ))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return M.decode_media(media, digest="hex").orderBy("media_id")
+
+
+@register(
     "mm_decode_tiff_tiled",
     # payload = a REAL TILED TIFF (TIFF 6.0 §15) of the doc's 96-byte
     # md5 pattern as 8x4 RGB with 3x3 tiles — 3 across x 2 down with

@@ -2787,6 +2787,59 @@ def test_tiff_tiled_hostile_bytes():
             pytest.fail(f"untyped crash on corrupted tiled TIFF: {ex!r}")
 
 
+def test_tiff_jpeg_compression7():
+    """JPEG-in-TIFF (Compression 7, r13): strips and tiles route
+    through the in-repo JPEG decoder; the JPEGTables abbreviated
+    layout merges; flat even-valued strips roundtrip EXACTLY (the DC
+    quantization closed form the oracle spec leans on); gradient
+    content stays within codec tolerance; hostile bytes stay typed.
+    libtiff agreement is pinned separately in
+    tools/tiff_conformance.py."""
+    import numpy as np
+    import pytest
+
+    from dolphinbeat_spark.operators.tiff import (
+        TiffError, decode_tiff, encode_tiff_jpeg,
+    )
+
+    # exact: flat strips with even values
+    px = np.concatenate([np.full((4, 8, 1), v, np.uint8)
+                         for v in (8, 248, 120)])
+    for split in (False, True):
+        for bo in ("<", ">"):
+            blob = encode_tiff_jpeg(8, 12, px.tobytes(), gray=True,
+                                    rows_per_strip=4,
+                                    split_tables=split, byte_order=bo)
+            w, h, arr = decode_tiff(blob)
+            assert (w, h) == (8, 12) and (arr == px).all(), (split, bo)
+    # tolerance: smooth gradients, gray + RGB, strips + tiles
+    yy, xx = np.mgrid[0:33, 0:50]
+    for gray in (True, False):
+        c = 1 if gray else 3
+        g = np.zeros((33, 50, c), np.uint8)
+        for k in range(c):
+            g[:, :, k] = (20 + xx * 2 + yy + k * 30).clip(0, 255)
+        for kw in ({"rows_per_strip": 8, "split_tables": True},
+                   {"tiles": (16, 16)},
+                   {"subsample": "420"}):
+            blob = encode_tiff_jpeg(50, 33, g.tobytes(), gray=gray, **kw)
+            w, h, arr = decode_tiff(blob)
+            err = np.abs(arr.astype(int) - g.astype(int)).max()
+            assert (w, h) == (50, 33) and err <= 10, (gray, kw, err)
+    # hostile: corrupt strip data stays typed
+    blob = bytearray(encode_tiff_jpeg(8, 12, px.tobytes(), gray=True,
+                                      rows_per_strip=4,
+                                      split_tables=True))
+    rng = np.random.RandomState(21)
+    for _ in range(120):
+        b = bytearray(blob)
+        b[rng.randint(0, len(b))] ^= 1 << rng.randint(0, 8)
+        try:
+            decode_tiff(bytes(b))
+        except (TiffError, NotImplementedError):
+            pass
+
+
 def test_tiff_typed_errors_and_honest_boundaries():
     import pytest
 

@@ -33,6 +33,7 @@ from dolphinbeat_spark.operators.tiff import (  # noqa: E402
     decode_tiff,
     encode_tiff,
     encode_tiff_ccitt,
+    encode_tiff_jpeg,
 )
 
 
@@ -90,7 +91,7 @@ def main() -> None:
     rng = np.random.RandomState(7)
     fails = total = 0
 
-    def run(name, blob, w, h, want_rgb):
+    def run(name, blob, w, h, want_rgb, tol=0):
         nonlocal fails, total
         total += 1
         ref = libtiff_rgba(lib, blob, w, h)
@@ -98,8 +99,8 @@ def main() -> None:
             print(f"FAIL {name}: libtiff refused the file")
             fails += 1
             return
-        if not (ref[:, :, :3] == want_rgb).all():
-            d = np.abs(ref[:, :, :3].astype(int) - want_rgb.astype(int))
+        d = np.abs(ref[:, :, :3].astype(int) - want_rgb.astype(int))
+        if d.max() > tol:
             print(f"FAIL {name}: libtiff maxdiff {d.max()} "
                   f"({(d > 0).mean():.1%} px)")
             fails += 1
@@ -168,6 +169,30 @@ def main() -> None:
             assert (px == want).all(), f"self ccitt {comp} {kw}"
             run(f"ccitt{comp}{kw}t{trial}", enc, 64, 24,
                 to_rgb(px, 0))
+
+    # --- JPEG-in-TIFF (Compression 7, r13) ----------------------------------
+    # Lossy codec: libtiff decodes through libjpeg, we decode through
+    # the in-repo JPEG decoder (itself IDCT-pinned vs libjpeg), so the
+    # two decodes of the SAME file must agree within ±1 gray level.
+    yy, xx = np.mgrid[0:33, 0:50]
+    for gray in (True, False):
+        c = 1 if gray else 3
+        px_in = np.zeros((33, 50, c), np.uint8)
+        for k in range(c):
+            px_in[:, :, k] = (20 + xx * 2 + yy + k * 30).clip(0, 255)
+        for tag, kw in (
+                ("plain", {}),
+                ("strips", {"rows_per_strip": 8}),
+                ("tables", {"rows_per_strip": 8, "split_tables": True}),
+                ("tiled", {"tiles": (16, 16)}),
+                ("tiledtab", {"tiles": (16, 16), "split_tables": True}),
+                ("sub420", {"subsample": "420", "split_tables": True}),
+        ):
+            enc = encode_tiff_jpeg(50, 33, px_in.tobytes(), gray=gray,
+                                   **kw)
+            _, _, mine = decode_tiff(enc)
+            mine3 = np.repeat(mine, 3, axis=2) if c == 1 else mine
+            run(f"jpeg-{tag}-gray{gray}", enc, 50, 33, mine3, tol=1)
 
     print(f"{total} files, {fails} failures")
     sys.exit(1 if fails else 0)
