@@ -1427,7 +1427,10 @@ SELECT media_id, CAST(record_idx AS BIGINT) AS record_idx,
        CAST(sz AS BIGINT) AS body_len,
        md5(substr(pattern, start, sz)) AS body_md5,
        substr(pattern, start, sz) AS body_text,
-       'utf-8' AS charset
+       'utf-8' AS charset,
+       CAST(NULL AS VARCHAR) AS payload_digest,
+       CAST(NULL AS VARCHAR) AS refers_to,
+       CAST(NULL AS VARCHAR) AS refers_to_uri
 FROM p CROSS JOIN s
 UNION ALL
 SELECT media_id, 0, 'warcinfo',
@@ -1436,7 +1439,9 @@ SELECT media_id, 0, 'warcinfo',
        'application/warc-fields', CAST(NULL AS VARCHAR), 23,
        md5('software: dolphinbeat' || chr(13) || chr(10)),
        'software: dolphinbeat' || chr(13) || chr(10),
-       'utf-8' AS charset
+       'utf-8' AS charset,
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR)
 FROM p
 ORDER BY media_id, record_idx
 """,
@@ -1708,6 +1713,108 @@ def pipeline_warc_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("error").isNotNull().alias("is_error"))
         .orderBy("media_id", "record_idx")
     )
+
+
+@register(
+    "warc_revisit_dedup",
+    # payload = a WARC per doc holding one response (the original
+    # fetch, WARC-Payload-Digest stamped) and two REVISIT records
+    # (identical-payload-digest profile, pointing at the original via
+    # WARC-Refers-To / WARC-Refers-To-Target-URI, empty body) — how
+    # Common Crawl marks duplicate fetches so consumers can dedup
+    # WITHOUT refetching. The query joins revisits to their originals
+    # on (media_id, payload_digest) and emits the deduped fetch set:
+    # every fetch resolved to its canonical URI with a duplicate
+    # flag. Pre-r13 read_warc dropped these headers, so the crawl's
+    # own dedup markers could not join.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id, doc_id AS i,
+         'md5:' || md5(substr(repeat(md5(CAST(doc_id AS VARCHAR)), 3),
+                              1, 40)) AS dg
+  FROM documents WHERE doc_id % 25 = 8
+)
+SELECT media_id,
+       'http://ex.com/' || CAST(i AS VARCHAR) || '/orig' AS fetch_uri,
+       'http://ex.com/' || CAST(i AS VARCHAR) || '/orig'
+           AS canonical_uri,
+       dg AS payload_digest,
+       CAST(NULL AS VARCHAR) AS refers_to,
+       FALSE AS is_duplicate
+FROM p
+UNION ALL
+SELECT media_id,
+       'http://mirror' || CAST(m.n AS VARCHAR) || '.com/'
+           || CAST(i AS VARCHAR) AS fetch_uri,
+       'http://ex.com/' || CAST(i AS VARCHAR) || '/orig',
+       dg,
+       '<urn:uuid:' || CAST(i AS VARCHAR) || '-1>',
+       TRUE
+FROM p CROSS JOIN (VALUES (1), (2)) AS m(n)
+ORDER BY media_id, fetch_uri
+""",
+    tags=("text", "ingest", "warc", "dedup"),
+)
+def warc_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit records as a dedup signal (r13): the crawl's OWN
+    duplicate markers (WARC-Payload-Digest / WARC-Refers-To, the
+    Common Crawl identical-payload-digest profile) join revisit
+    fetches back to their originals — the standard contract for
+    deduplicating a crawl without hashing any payload bytes. At
+    100 TB this is a plain shuffle hash join on the digest column;
+    nothing touches body text."""
+    import hashlib
+
+    from dolphinbeat_spark.sources.warc import encode_warc, read_warc
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 8)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    rows = []
+    for i in ids:
+        pattern = hashlib.md5(str(i).encode()).hexdigest() * 3
+        body = pattern[:40].encode()
+        dg = "md5:" + hashlib.md5(body).hexdigest()
+        orig_uri = f"http://ex.com/{i}/orig"
+        recs = [
+            {"type": "response", "record_id": f"<urn:uuid:{i}-1>",
+             "target_uri": orig_uri, "content": body,
+             "http": {"status": 200, "content_type": "text/plain"},
+             "warc_headers": {"WARC-Payload-Digest": dg}},
+        ]
+        for n in (1, 2):
+            recs.append({
+                "type": "revisit",
+                "record_id": f"<urn:uuid:{i}-{n + 1}>",
+                "target_uri": f"http://mirror{n}.com/{i}",
+                "content": b"",
+                "warc_headers": {
+                    "WARC-Payload-Digest": dg,
+                    "WARC-Refers-To": f"<urn:uuid:{i}-1>",
+                    "WARC-Refers-To-Target-URI": orig_uri,
+                    "WARC-Profile": "http://netpreserve.org/warc/1.1/"
+                                    "revisit/identical-payload-digest",
+                }})
+        rows.append((i, bytearray(encode_warc(
+            recs, gzip_members=bool(i % 2)))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    df = read_warc(media)
+    resp = (df.filter(F.col("warc_type") == "response")
+            .select("media_id", "payload_digest",
+                    F.col("target_uri").alias("canonical_uri")))
+    rev = (df.filter(F.col("warc_type") == "revisit")
+           .select("media_id",
+                   F.col("target_uri").alias("fetch_uri"),
+                   "payload_digest", "refers_to"))
+    dup = (rev.join(resp, ["media_id", "payload_digest"])
+           .select("media_id", "fetch_uri", "canonical_uri",
+                   "payload_digest", "refers_to",
+                   F.lit(True).alias("is_duplicate")))
+    orig = resp.select(
+        "media_id", F.col("canonical_uri").alias("fetch_uri"),
+        "canonical_uri", "payload_digest",
+        F.lit(None).cast("string").alias("refers_to"),
+        F.lit(False).alias("is_duplicate"))
+    return dup.unionByName(orig).orderBy("media_id", "fetch_uri")
 
 
 @register(

@@ -373,6 +373,9 @@ WARC_SCHEMA = StructType(
         StructField("body_md5", StringType()),
         StructField("body_text", StringType()),
         StructField("charset", StringType()),
+        StructField("payload_digest", StringType()),
+        StructField("refers_to", StringType()),
+        StructField("refers_to_uri", StringType()),
     ]
 )
 
@@ -390,6 +393,9 @@ WARC_BINARY_SCHEMA = StructType(
         StructField("body_len", LongType()),
         StructField("body_md5", StringType()),
         StructField("body", BinaryType()),
+        StructField("payload_digest", StringType()),
+        StructField("refers_to", StringType()),
+        StructField("refers_to_uri", StringType()),
     ]
 )
 
@@ -480,6 +486,12 @@ def read_warc(df: DataFrame, text_limit: int = 1 << 20,
                     else:
                         text, charset = detect_and_decode(body, ctype)
                         base = base + (text[:text_limit], charset)
+                    # the crawl's OWN dedup markers (r13): revisit
+                    # records carry the original fetch's digest and
+                    # id — how Common Crawl marks duplicate fetches
+                    base = base + (h.get("warc-payload-digest"),
+                                   h.get("warc-refers-to"),
+                                   h.get("warc-refers-to-target-uri"))
                     rows.append((base + (None,)) if capture else base)
             yield pd.DataFrame(
                 rows, columns=[f.name for f in schema.fields]
@@ -578,6 +590,8 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
             hdrs.append(f"WARC-Target-URI: {r['target_uri']}")
         if r.get("date"):
             hdrs.append(f"WARC-Date: {r['date']}")
+        for k, v in (r.get("warc_headers") or {}).items():
+            hdrs.append(f"{k}: {v}")
         if ctype:
             hdrs.append(f"Content-Type: {ctype}")
         hdrs.append(f"Content-Length: {len(content)}")

@@ -2428,6 +2428,53 @@ def test_read_warc_spark(spark):
     assert got.body_text == "body-bytes" and got.body_len == 10
 
 
+def test_warc_revisit_dedup_columns(spark):
+    """r13: WARC revisit records surface the crawl's own dedup
+    markers (WARC-Payload-Digest / WARC-Refers-To /
+    WARC-Refers-To-Target-URI) as columns — joinable against the
+    original fetch — and capture mode keeps emitting them while
+    isolating a corrupt record in the same payload."""
+    import hashlib
+
+    from dolphinbeat_spark.sources.warc import encode_warc, read_warc
+
+    body = b"the original payload bytes"
+    dg = "md5:" + hashlib.md5(body).hexdigest()
+    recs = [
+        {"type": "response", "record_id": "<urn:a-1>",
+         "target_uri": "http://x/orig", "content": body,
+         "http": {"status": 200, "content_type": "text/plain"},
+         "warc_headers": {"WARC-Payload-Digest": dg}},
+        {"type": "revisit", "record_id": "<urn:a-2>",
+         "target_uri": "http://mirror/x", "content": b"",
+         "warc_headers": {
+             "WARC-Payload-Digest": dg,
+             "WARC-Refers-To": "<urn:a-1>",
+             "WARC-Refers-To-Target-URI": "http://x/orig"}},
+    ]
+    blob = encode_warc(recs)
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "media_id long, payload binary")
+    rows = {r.warc_type: r for r in read_warc(df).collect()}
+    assert rows["response"].payload_digest == dg
+    assert rows["response"].refers_to is None
+    rv = rows["revisit"]
+    assert (rv.payload_digest, rv.refers_to, rv.refers_to_uri) \
+        == (dg, "<urn:a-1>", "http://x/orig")
+    # capture-mode interplay: corrupt record between the two; the
+    # revisit columns still flow on the surviving rows
+    sep = blob.index(b"WARC/1.0", 10)
+    corrupt = blob[:sep] + b"WARC/1.0\r\nbroken\r\n\r\n" + blob[sep:]
+    df2 = spark.createDataFrame([(2, bytearray(corrupt))],
+                                "media_id long, payload binary")
+    got = read_warc(df2, errors="capture").collect()
+    errs = [r for r in got if r.error is not None]
+    good = {r.warc_type: r for r in got if r.error is None}
+    assert len(errs) == 1 and len(good) == 2
+    assert good["revisit"].refers_to == "<urn:a-1>"
+    assert good["revisit"].payload_digest == dg
+
+
 def test_warc_capture_mode_isolates_corrupt_record(spark):
     """errors="capture": one corrupt record among three becomes one
     error row and the OTHER records still flow (resync on the next
