@@ -14,10 +14,12 @@ packing for palettes ≤ 16 entries).
 
 The LOSSY VP8 profile — the dominant WebP form on the real web —
 decodes too (r11): keyframe DCT entropy coding via the from-scratch
-RFC 6386 implementation in operators/vp8.py, with chroma
-nearest-upsampling + libwebp's published fixed-point BT.601 YUV→RGB,
-and ALPH transparency planes (raw or headerless-VP8L compressed,
-PNG-style prediction filters). Animated WebP: ``decode_webp`` on a
+RFC 6386 implementation in operators/vp8.py, with FANCY chroma
+upsampling (the libwebp default) + the fixed-point BT.601 YUV→RGB
+with truncating VP8Clip8 — bit-exact against WebPDecodeRGBA over the
+196-stream conformance corpus since r13 — and ALPH transparency
+planes (raw or headerless-VP8L compressed, PNG-style prediction
+filters). Animated WebP: ``decode_webp`` on a
 single image raises by name; ``webp_anim_frames`` /
 ``webp_anim_demux`` (r11) demux ANMF frames with their
 placement/timing metadata, and ``webp_anim_composite`` /
@@ -417,7 +419,10 @@ def _uncolor(img: np.ndarray, data: np.ndarray, shift: int) -> None:
 def _yuv_to_rgb(y: np.ndarray, u: np.ndarray,
                 v: np.ndarray) -> np.ndarray:
     """libwebp's published fixed-point BT.601 limited-range
-    conversion (yuv.h: MultHi Q8 coefficients, +32 >> 6 rounding)."""
+    conversion (yuv.h: MultHi Q8 coefficients, VP8Clip8's TRUNCATING
+    >> 6 — r13: the former +32 rounding was a one-count deviation
+    from libwebp; the conformance harness now pins full RGB output
+    bit-exactly against WebPDecodeRGBA)."""
     y = y.astype(np.int32)
     u = u.astype(np.int32)
     v = v.astype(np.int32)
@@ -429,7 +434,49 @@ def _yuv_to_rgb(y: np.ndarray, u: np.ndarray,
     g = mh(y, 19077) - mh(u, 6419) - mh(v, 13320) + 8708
     b = mh(y, 19077) + mh(u, 33050) - 17685
     out = np.stack([r, g, b], axis=-1)
-    return np.clip((out + 32) >> 6, 0, 255).astype(np.uint8)
+    return np.clip(out >> 6, 0, 255).astype(np.uint8)
+
+
+def _fancy_upsample(plane: np.ndarray, h: int, w: int) -> np.ndarray:
+    """libwebp's FANCY chroma upsampler (upsampling.c, r13): each
+    output pixel blends its four nearest chroma samples with
+    (9, 3, 3, 1)/16 weights through the library's exact staged
+    integer rounding ((tl+3t+3l+c+8)>>3, then (diag+nearest)>>1);
+    edge rows/columns collapse to the one-sided (3a+b+2)>>2 form.
+    Bit-exact against WebPDecodeRGBA over the conformance corpus."""
+    ch, cw = plane.shape
+    u = plane.astype(np.int32)
+    out = np.empty((h, w), np.int32)
+
+    def pair(top, cur):
+        tr = np.empty(w, np.int32)
+        br = np.empty(w, np.int32)
+        tr[0] = (3 * top[0] + cur[0] + 2) >> 2
+        br[0] = (3 * cur[0] + top[0] + 2) >> 2
+        if cw > 1:
+            tl, t = top[:-1], top[1:]
+            left, c = cur[:-1], cur[1:]
+            avg = tl + t + left + c + 8
+            d12 = (avg + 2 * (t + left)) >> 3
+            d03 = (avg + 2 * (tl + c)) >> 3
+            tr[1:2 * cw - 2:2] = (d12 + tl) >> 1
+            tr[2:2 * cw - 1:2] = (d03 + t) >> 1
+            br[1:2 * cw - 2:2] = (d03 + left) >> 1
+            br[2:2 * cw - 1:2] = (d12 + c) >> 1
+        if w % 2 == 0:
+            tr[w - 1] = (3 * top[-1] + cur[-1] + 2) >> 2
+            br[w - 1] = (3 * cur[-1] + top[-1] + 2) >> 2
+        return tr, br
+
+    out[0] = pair(u[0], u[0])[0]
+    for j in range(1, ch):
+        tr, br = pair(u[j - 1], u[j])
+        out[2 * j - 1] = tr
+        if 2 * j < h:
+            out[2 * j] = br
+    if h % 2 == 0 and h > 1:
+        out[h - 1] = pair(u[ch - 1], u[ch - 1])[0]
+    return out.astype(np.uint8)
 
 
 def _decode_alpha(body: bytes, w: int, h: int) -> np.ndarray:
@@ -483,12 +530,13 @@ def _decode_alpha(body: bytes, w: int, h: int) -> np.ndarray:
 def _decode_lossy(vp8: bytes, alph: bytes | None) -> tuple[int, int,
                                                            np.ndarray]:
     """VP8 keyframe (+ optional ALPH plane) -> (w, h, RGBA): chroma
-    nearest-upsampled, libwebp fixed-point BT.601 to RGB."""
+    FANCY-upsampled (libwebp default), fixed-point BT.601 to RGB —
+    bit-exact against WebPDecodeRGBA since r13."""
     from dolphinbeat_spark.operators.vp8 import decode_vp8
 
     w, h, y, u, v = decode_vp8(vp8)
-    uf = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)[:h, :w]
-    vf = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)[:h, :w]
+    uf = _fancy_upsample(u, h, w)
+    vf = _fancy_upsample(v, h, w)
     rgb = _yuv_to_rgb(y, uf, vf)
     a = _decode_alpha(alph, w, h) if alph is not None else \
         np.full((h, w), 255, np.uint8)
@@ -502,12 +550,11 @@ def decode_webp(data: bytes) -> tuple[int, int, np.ndarray]:
     animations (ANMF) raise by name here — use webp_anim_frames for
     the demux.
 
-    DOCUMENTED DEVIATION (lossy path): chroma is upsampled
-    nearest-neighbor ("simple" mode) while libwebp defaults to fancy
-    upsampling, so decoded RGB can differ from libwebp output at
-    chroma edges even though the YUV planes and the fixed-point
-    BT.601 conversion are exact. Oracles pinning this decoder's RGB
-    output pin THIS upsampler, not libwebp's."""
+    The lossy path is BIT-EXACT against libwebp end-to-end since
+    r13: fancy chroma upsampling (the library default) and the
+    truncating VP8Clip8 conversion match WebPDecodeRGBA byte-for-byte
+    over the 196-stream conformance corpus (tools/vp8_conformance.py
+    compares RGB, not just YUV planes)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise WebpError("not a WebP payload (RIFF/WEBP)")
     pos = 12

@@ -2413,10 +2413,10 @@ WITH p AS (
   FROM p
 ), webp_rgb AS (
   SELECT media_id,
-         (((y * 19077) >> 8) + ((v * 26149) >> 8) - 14234 + 32) >> 6 AS r,
+         (((y * 19077) >> 8) + ((v * 26149) >> 8) - 14234) >> 6 AS r,
          (((y * 19077) >> 8) - ((u * 6419) >> 8) - ((v * 13320) >> 8)
-          + 8708 + 32) >> 6 AS g,
-         (((y * 19077) >> 8) + ((u * 33050) >> 8) - 17685 + 32) >> 6 AS b
+          + 8708) >> 6 AS g,
+         (((y * 19077) >> 8) + ((u * 33050) >> 8) - 17685) >> 6 AS b
   FROM webp_yuv
 )
 SELECT p.media_id, 'png' AS fmt, 8::BIGINT AS width, 4::BIGINT AS height,
@@ -3519,12 +3519,14 @@ def mm_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # level Ly and flat chroma DC levels Lu/Lv, quantizer index
     # cycling 10/20/40 by doc parity. The whole decode chain — boolean
     # arithmetic coder, token trees, dequant, inverse WHT + DCT, DC
-    # prediction, nearest chroma upsample, libwebp's published
+    # prediction, fancy chroma upsample (flat-invariant), libwebp's
     # fixed-point BT.601 YUV->RGB — has a CLOSED FORM the oracle
     # recomputes with integer arithmetic: the dequant table values
     # (DC_QLOOKUP[10/20/40] = 13/21/37, RFC 6386 §14.1) and the
-    # conversion constants (19077/26149/6419/13320/33050, +32 >> 6)
-    # are stated literally. Pinned against a real libwebp encoding in
+    # conversion constants (19077/26149/6419/13320/33050 with the
+    # truncating VP8Clip8 >> 6 — r13) are stated literally. Flat
+    # chroma is invariant under the fancy upsampler, so the closed
+    # form survives the r13 upsampling change untouched. Pinned against a real libwebp encoding in
     # tests/test_vp8.py. Pre-r11 every lossy WebP raised by name.
     oracle="""
 WITH p AS (
@@ -3545,11 +3547,11 @@ WITH p AS (
   FROM p
 ), rgb AS (
   SELECT media_id,
-         (((y * 19077) >> 8) + ((v * 26149) >> 8) - 14234 + 32) >> 6
+         (((y * 19077) >> 8) + ((v * 26149) >> 8) - 14234) >> 6
              AS r,
          (((y * 19077) >> 8) - ((u * 6419) >> 8) - ((v * 13320) >> 8)
-          + 8708 + 32) >> 6 AS g,
-         (((y * 19077) >> 8) + ((u * 33050) >> 8) - 17685 + 32) >> 6
+          + 8708) >> 6 AS g,
+         (((y * 19077) >> 8) + ((u * 33050) >> 8) - 17685) >> 6
              AS b
   FROM yuv
 )
@@ -3614,14 +3616,16 @@ def mm_decode_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r11 literals pinned a wrong decode: the probability tables were
     # mistranscribed; tools/check_vp8_tables.py now verifies them
     # against the reference library and four conformance goldens pin
-    # the planes in tests/test_vp8.py). RGBA uses the documented
-    # simple chroma upsampler. Independent of sf_dir, like the other
-    # committed-fixture specs.
+    # the planes in tests/test_vp8.py). r13: the pinned RGBA is
+    # BIT-EXACT against libwebp's own WebPDecodeRGBA — fancy chroma
+    # upsampling plus the truncating VP8Clip8 conversion close the
+    # former simple-upsampler deviation. Independent of sf_dir, like
+    # the other committed-fixture specs.
     oracle="""
 SELECT 0::BIGINT AS media_id, 'webp' AS fmt,
        16::BIGINT AS width, 16::BIGINT AS height,
-       110138::BIGINT AS pixel_sum,
-       '0544f1e4a10f64c3b86f2bb57d6ee54b' AS pixel_md5
+       109897::BIGINT AS pixel_sum,
+       '9771c5fe39692a9bbbcdda3e53a73eae' AS pixel_md5
 """,
     tags=("multimodal", "decode", "codec", "webp", "lossy", "alpha"),
 )
@@ -3669,10 +3673,10 @@ WITH p AS (
   FROM f01
 ), rgb AS (
   SELECT media_id, k,
-         (((y * 19077) >> 8) + ((v * 26149) >> 8) - 14234 + 32) >> 6 AS r,
+         (((y * 19077) >> 8) + ((v * 26149) >> 8) - 14234) >> 6 AS r,
          (((y * 19077) >> 8) - ((u * 6419) >> 8) - ((v * 13320) >> 8)
-          + 8708 + 32) >> 6 AS g,
-         (((y * 19077) >> 8) + ((u * 33050) >> 8) - 17685 + 32) >> 6 AS b
+          + 8708) >> 6 AS g,
+         (((y * 19077) >> 8) + ((u * 33050) >> 8) - 17685) >> 6 AS b
   FROM yuv
 )
 SELECT media_id, CAST(k AS BIGINT) AS frame_idx,

@@ -485,7 +485,8 @@ def test_lossy_webp_container_and_decode_media(spark):
         return (a * c) >> 8
 
     def clip8(x):
-        return max(0, min(255, (x + 32) >> 6))
+        # libwebp VP8Clip8: truncating >> 6 (r13)
+        return max(0, min(255, x >> 6))
 
     r = clip8(mh(y, 19077) + mh(v, 26149) - 14234)
     g = clip8(mh(y, 19077) - mh(u, 6419) - mh(v, 13320) + 8708)

@@ -1,8 +1,9 @@
 #!/usr/bin/env python3
 """VP8 decoder conformance harness against the system libwebp: every
-stream is decoded by BOTH decoders and the YUV planes must match
-BIT-EXACTLY (YUV because only the chroma upsampler deviates by
-design). Two stream sources:
+stream is decoded by BOTH decoders and the YUV planes AND the full
+RGB renderings must match BIT-EXACTLY (RGB since r13: fancy chroma
+upsampling + the truncating VP8Clip8 conversion close the former
+simple-upsampler deviation). Two stream sources:
 
 1. libwebp ENCODES a corpus spanning flats, gradients, random walks
    and noise across qualities 10..99 and sizes incl. odd
@@ -52,7 +53,19 @@ def _lib():
         ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
     ]
     lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
     return lib
+
+
+def ref_rgba(lib, blob: bytes, w: int, h: int):
+    wd = ctypes.c_int()
+    hd = ctypes.c_int()
+    p = lib.WebPDecodeRGBA(blob, ctypes.c_size_t(len(blob)),
+                           ctypes.byref(wd), ctypes.byref(hd))
+    if not p:
+        return None
+    return np.frombuffer(ctypes.string_at(p, w * h * 4),
+                         np.uint8).reshape(h, w, 4)
 
 
 def ref_yuv(lib, blob: bytes, w: int, h: int):
@@ -86,7 +99,10 @@ def wrap(vp8: bytes) -> bytes:
 
 
 def check(lib, name: str, vp8: bytes, w: int, h: int) -> bool:
-    r = ref_yuv(lib, wrap(vp8), w, h)
+    from dolphinbeat_spark.operators.webp import decode_webp
+
+    blob = wrap(vp8)
+    r = ref_yuv(lib, blob, w, h)
     if r is None:
         print(f"FAIL {name}: libwebp refused the stream")
         return False
@@ -99,6 +115,18 @@ def check(lib, name: str, vp8: bytes, w: int, h: int) -> bool:
           for a, b in zip(r, (y, u, v))]
     if any(ds):
         print(f"FAIL {name}: Y={ds[0]} U={ds[1]} V={ds[2]}")
+        return False
+    # full RGB rendering (r13): fancy upsampler + VP8Clip8 must make
+    # the container decode byte-identical to WebPDecodeRGBA
+    ref = ref_rgba(lib, blob, w, h)
+    if ref is None:
+        print(f"FAIL {name}: libwebp RGBA refused the stream")
+        return False
+    _, _, mine = decode_webp(blob)
+    if not (mine == ref).all():
+        d = np.abs(mine.astype(int) - ref.astype(int))
+        print(f"FAIL {name}: RGBA maxdiff {d.max()} "
+              f"({(d > 0).mean():.2%} px)")
         return False
     return True
 
