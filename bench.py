@@ -279,6 +279,104 @@ _SCALE_SET = (
 )
 
 
+def codec_throughput_section(spark) -> dict:
+    """Per-family decode bandwidth (r13): MB/s of INPUT bytes through
+    each codec's distributed decode path over a fixed synthetic
+    corpus at 32-way saturation — the one multimodal number the
+    wall-clock specs hide (their corpora are tiny; per-core decode
+    cost never shows). One payload per family is encoded once and
+    replicated N times (throughput, not variety — the conformance
+    harnesses own correctness variety), N sized so each timed pass
+    runs ~1-2 s saturated. Steady state = 1 warm-up + best of 2."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.html import html_extract
+    from dolphinbeat_spark.operators.jpeg import encode_jpeg
+    from dolphinbeat_spark.operators.multimodal import (
+        decode_media, encode_png,
+    )
+    from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_extract
+    from dolphinbeat_spark.operators.tiff import encode_tiff
+
+    yy, xx = np.mgrid[0:128, 0:128]
+    img = np.dstack([(xx + yy) % 256, (xx * 3) % 256,
+                     (yy * 5) % 256]).astype(np.uint8)
+    small = img[:64, :64]
+
+    fams: dict[str, tuple[bytes, int, str, dict]] = {}
+    fams["jpeg"] = (encode_jpeg(128, 128, img.tobytes()), 2048,
+                    "media", {"px": 128 * 128})
+    fams["png"] = (encode_png(128, 128, img.tobytes()), 4096,
+                   "media", {"px": 128 * 128})
+    fams["tiff_lzw"] = (
+        encode_tiff(64, 64, small.tobytes(), spp=3, compression=5,
+                    predictor=2), 128, "media", {"px": 64 * 64})
+    try:  # libwebp encodes the lossy stream (ctypes, like the
+        # conformance harness); our decoder is the one timed
+        import ctypes
+        import ctypes.util
+        lib = ctypes.CDLL(ctypes.util.find_library("webp")
+                          or "libwebp.so.7")
+        lib.WebPEncodeRGB.restype = ctypes.c_size_t
+        lib.WebPEncodeRGB.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ]
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        n = lib.WebPEncodeRGB(img.tobytes(), 128, 128, 384, 75.0,
+                              ctypes.byref(out))
+        fams["webp_vp8"] = (ctypes.string_at(out, n), 512, "media",
+                            {"px": 128 * 128})
+    except OSError:
+        pass
+    fams["pdf_text"] = (
+        encode_pdf([[f"line {i} of synthetic page text with several "
+                     "words of filler" for i in range(40)]
+                    for _ in range(3)]), 2048, "pdf", {"pages": 3})
+    html = ("<html><head><title>t</title></head><body>" + "".join(
+        f"<p>paragraph {i} with <b>bold</b> runs, <i>italics</i> and "
+        f"<a href='/l{i}'>links</a> plus enough prose to look like a "
+        "crawled page body of ordinary length</p>"
+        for i in range(400)) + "</body></html>")
+    fams["html"] = (html.encode(), 1024, "html", {})
+
+    out_sec: dict[str, dict] = {}
+    for fam, (payload, n, kind, extra) in fams.items():
+        rows = [(i, bytearray(payload)) for i in range(n)]
+        df = spark.createDataFrame(
+            rows, "media_id long, payload binary").repartition(32)
+        if kind == "media":
+            plan = decode_media(df)
+        elif kind == "pdf":
+            plan = pdf_extract(df)
+        else:
+            plan = html_extract(
+                df.selectExpr("media_id AS doc_id",
+                              "CAST(payload AS STRING) AS html"))
+        best = None
+        for i in range(3):
+            t0 = time.time()
+            plan.write.format("noop").mode("overwrite").save()
+            took = time.time() - t0
+            if i > 0:
+                best = took if best is None else min(best, took)
+        mb = n * len(payload) / 1e6
+        row = {
+            "n_items": n,
+            "mb_in": round(mb, 2),
+            "sec": round(best, 3),
+            "mb_per_s": round(mb / best, 2),
+            "items_per_s": round(n / best, 1),
+        }
+        if "px" in extra:
+            row["mpx_per_s"] = round(n * extra["px"] / best / 1e6, 2)
+        if "pages" in extra:
+            row["pages_per_s"] = round(n * extra["pages"] / best, 1)
+        out_sec[fam] = row
+    return out_sec
+
+
 def _jvm_gc_ms(spark) -> int:
     """Cumulative driver-JVM GC time (ms) across all collectors — in
     local mode the driver JVM IS the executor, so per-run deltas
@@ -498,6 +596,11 @@ def main() -> None:
     except Exception as ex:  # noqa: BLE001 - evidence, not a gate
         binlog_backfill = {"error": f"{type(ex).__name__}: {ex}"}
 
+    try:
+        codec_throughput = codec_throughput_section(spark)
+    except Exception as ex:  # noqa: BLE001 - evidence, not a gate
+        codec_throughput = {"error": f"{type(ex).__name__}: {ex}"}
+
     # sf0.1 -> sf1 scale evidence (never fails the bench)
     if os.environ.get("SPARK_GRAFT_SKIP_SF1") == "1":
         sf1 = {"skipped": True}
@@ -552,6 +655,7 @@ def main() -> None:
         "stream": stream,
         "binlog_decode": binlog_decode,
         "binlog_backfill": binlog_backfill,
+        "codec_throughput": codec_throughput,
         "sf1": sf1,
         "sf100": sf100,
         "sf": sf,
