@@ -23,6 +23,15 @@ Covered (r13):
 - **MMR generic regions** (flags bit 0): T.6 payload routed through
   the in-repo CCITT decoder (operators/ccitt.py, mode="g4") — JBIG2
   MMR *is* T.6;
+- **symbol dictionaries and text regions** (§6.5/§6.4, arithmetic
+  profile — the scanned-TEXT layout jbig2enc/LuraDocument emit):
+  Annex A arithmetic integer decoding (IADH/IADW/IAEX/IADT/IAFS/
+  IADS/IAIT context trees + fixed-length IAID), height-class symbol
+  decoding sharing one coder and one GB context set per segment,
+  export-run flags, strip-based instance placement with all four
+  reference corners, both orientations (TRANSPOSED), SBDSOFFSET and
+  the strip CURT form, symbols composed with the region SBCOMBOP,
+  and symbol accumulation across referred dictionary chains;
 - the **embedded segment layer**: segment headers (short and long
   referred-to forms), page information (type 48, incl. the
   unknown-height striped form grown by end-of-stripe), immediate /
@@ -30,15 +39,20 @@ Covered (r13):
   end-of-stripe/page/file (50/49/51), external combination operators
   (OR/AND/XOR/XNOR/REPLACE), and the PDF two-stream arrangement
   (globals segments first, then the page stream);
-- an **encoder mirror** (generic region, embedded profile) for
-  fixtures and roundtrip/fuzz pinning.
+- **encoder mirrors** (generic region, symbol dictionary + text
+  region) for fixtures and roundtrip/fuzz pinning.
 
-Named boundaries (fail loud, fuzz-pinned): symbol dictionaries and
-text regions (types 0, 4-7 — the halftone/refinement family 16-43
-likewise), unknown-length generic regions (0xFFFFFFFF data length),
-and file-header (non-embedded) streams. Generic regions are the
-profile PDF producers emit for scanned IMAGES; symbol/text is the
-OCR-ish re-encoding path, a documented stretch.
+Named boundaries (fail loud, fuzz-pinned): Huffman-coded symbol
+dictionaries / text regions (SDHUFF/SBHUFF — wild encoders emit the
+arithmetic form), refinement/aggregate coding (SDREFAGG/SBREFINE and
+the refinement family 40-43), pattern/halftone segments (16-23),
+intermediate text regions (type 4, retained auxiliary buffers),
+unknown-length generic regions (0xFFFFFFFF data length), and
+file-header (non-embedded) streams. Conformance caveat: no jbig2dec
+exists in this container, so the symbol/text layer is pinned by the
+spec's own H.2 MQ vector, geometry-invariant roundtrips across every
+corner × orientation, and hostile fuzz — the generic-region layer
+carries the published-vector pin for the shared coder.
 
 Bitmaps are (rows, cols) uint8 with 1 = BLACK ink, matching
 operators/ccitt.py; the photometric mapping is the caller's
@@ -423,6 +437,98 @@ def _encode_generic_region(bmp: np.ndarray, template: int = 0,
     return enc.flush()
 
 
+class _IntCtx:
+    """Adaptive context state for ONE arithmetic integer procedure
+    (T.88 Annex A: IADH, IADW, IAEX, IAAI, IADT, IAFS, IADS, IAIT
+    each own a 512-slot tree indexed by PREV)."""
+
+    __slots__ = ("icx", "mps")
+
+    def __init__(self, size: int = 512):
+        self.icx = [0] * size
+        self.mps = [0] * size
+
+
+_INT_RANGES = ((2, 0), (4, 4), (6, 20), (8, 84), (12, 340),
+               (32, 4436))
+
+
+def _decode_int(dec: MQDecoder, ctx: _IntCtx) -> int | None:
+    """T.88 A.2 arithmetic integer decoding. None = OOB."""
+    prev = 1
+
+    def bit() -> int:
+        nonlocal prev
+        b = dec.decode(ctx.icx, ctx.mps, prev)
+        prev = ((prev << 1) | b) if prev < 256             else ((((prev << 1) | b) & 511) | 256)
+        return b
+
+    s = bit()
+    for i, (nbits, offset) in enumerate(_INT_RANGES):
+        if i == len(_INT_RANGES) - 1 or not bit():
+            v = 0
+            for _ in range(nbits):
+                v = (v << 1) | bit()
+            v += offset
+            break
+    if s and v == 0:
+        return None  # OOB
+    return -v if s else v
+
+
+def _encode_int(enc: MQEncoder, ctx: _IntCtx,
+                value: int | None) -> None:
+    """Mirror of _decode_int; ``None`` encodes OOB (S=1, V=0)."""
+    prev = 1
+
+    def bit(b: int) -> None:
+        nonlocal prev
+        enc.encode(ctx.icx, ctx.mps, prev, b)
+        prev = ((prev << 1) | b) if prev < 256             else ((((prev << 1) | b) & 511) | 256)
+
+    if value is None:
+        s, v = 1, 0
+    else:
+        s = 1 if value < 0 else 0
+        v = -value if value < 0 else value
+    bit(s)
+    for i, (nbits, offset) in enumerate(_INT_RANGES):
+        top = offset + (1 << nbits)
+        last = i == len(_INT_RANGES) - 1
+        if v < top or last:
+            if not last:
+                bit(0)
+            rem = v - offset
+            for k in range(nbits - 1, -1, -1):
+                bit((rem >> k) & 1)
+            return
+        bit(1)
+
+
+def _decode_iaid(dec: MQDecoder, ctx: _IntCtx, code_len: int) -> int:
+    """T.88 A.3 IAID: fixed-length symbol-id decoding through a
+    (1 << (code_len + 1))-slot PREV tree."""
+    prev = 1
+    for _ in range(code_len):
+        b = dec.decode(ctx.icx, ctx.mps, prev)
+        prev = (prev << 1) | b
+    return prev - (1 << code_len)
+
+
+def _encode_iaid(enc: MQEncoder, ctx: _IntCtx, code_len: int,
+                 value: int) -> None:
+    prev = 1
+    v = value + (1 << code_len)
+    for k in range(code_len - 1, -1, -1):
+        b = (v >> k) & 1
+        enc.encode(ctx.icx, ctx.mps, prev, b)
+        prev = (prev << 1) | b
+
+
+def _sym_code_len(n_syms: int) -> int:
+    return max(1, (n_syms - 1).bit_length()) if n_syms > 1 else 0
+
+
 # ---------------------------------------------------------------
 # Embedded segment layer
 
@@ -501,6 +607,253 @@ def _parse_region_info(d: bytes) -> dict:
     return {"w": w, "h": h, "x": x, "y": y, "comb": comb}
 
 
+def _decode_symbol_dict(d: bytes, input_syms: list,
+                        max_pixels: int = 1 << 26) -> list:
+    """Symbol dictionary segment (T.88 §6.5/§7.4.3, arithmetic
+    profile) -> the exported symbol list. Height classes decode as
+    IADH/IADW delta chains; each new symbol is a generic region
+    sharing ONE arithmetic decoder and ONE GB context set across the
+    whole segment. Huffman-coded and refinement-aggregate
+    dictionaries raise by name."""
+    if len(d) < 2:
+        raise Jbig2Error("symbol dictionary flags truncated")
+    flags = struct.unpack_from(">H", d, 0)[0]
+    sdhuff = flags & 1
+    sdrefagg = (flags >> 1) & 1
+    ctx_used = (flags >> 8) & 1
+    template = (flags >> 10) & 3
+    if sdhuff:
+        raise NotImplementedError(
+            "JBIG2 Huffman-coded symbol dictionary (SDHUFF=1) not "
+            "supported — arithmetic profile only")
+    if sdrefagg:
+        raise NotImplementedError(
+            "JBIG2 refinement/aggregate symbol coding (SDREFAGG=1) "
+            "not supported")
+    if ctx_used:
+        raise NotImplementedError(
+            "JBIG2 imported bitmap coding contexts (segment flag bit "
+            "8) not supported")
+    pos = 2
+    n_at = 4 if template == 0 else 1
+    at = []
+    for _ in range(n_at):
+        if pos + 2 > len(d):
+            raise Jbig2Error("symbol dictionary AT pixels truncated")
+        at.append((int.from_bytes(d[pos:pos + 1], "big", signed=True),
+                   int.from_bytes(d[pos + 1:pos + 2], "big",
+                                  signed=True)))
+        pos += 2
+    if pos + 8 > len(d):
+        raise Jbig2Error("symbol dictionary counts truncated")
+    n_ex, n_new = struct.unpack_from(">II", d, pos)
+    pos += 8
+    if n_new > 1 << 20 or n_ex > 1 << 20:
+        raise Jbig2Error(
+            f"symbol dictionary declares {n_new} new / {n_ex} "
+            "exported symbols")
+    dec = MQDecoder(d[pos:])
+    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    offs = _template_offsets(template, at)
+    nstates = 1 << (max(b for _, _, b in offs) + 1)
+    gb_icx = [0] * nstates
+    gb_mps = [0] * nstates
+    new_syms: list = []
+    hc_height = 0
+    area = 0
+    classes = 0
+    while len(new_syms) < n_new:
+        classes += 1
+        if classes > n_new + 64:  # empty-height-class spin guard
+            raise Jbig2Error(
+                "symbol dictionary height classes never reach "
+                "SDNUMNEWSYMS")
+        dh = _decode_int(dec, iadh)
+        if dh is None:
+            raise Jbig2Error("OOB height-class delta in symbol "
+                             "dictionary")
+        hc_height += dh
+        if hc_height <= 0 or hc_height > 1 << 14:
+            raise Jbig2Error(f"symbol height class {hc_height}")
+        sym_width = 0
+        while True:
+            dw = _decode_int(dec, iadw)
+            if dw is None:
+                break  # end of height class
+            sym_width += dw
+            if sym_width <= 0 or sym_width > 1 << 14:
+                raise Jbig2Error(f"symbol width {sym_width}")
+            if len(new_syms) >= n_new:
+                raise Jbig2Error(
+                    "height class continues past SDNUMNEWSYMS")
+            area += sym_width * hc_height
+            if area > max_pixels:  # hostile-header decode-cost guard
+                raise Jbig2Error(
+                    f"symbol dictionary exceeds max_pixels="
+                    f"{max_pixels}")
+            new_syms.append(decode_generic_region(
+                b"", sym_width, hc_height, template=template, at=at,
+                decoder=dec, icx=gb_icx, mps=gb_mps))
+    # export flags (§6.5.10): alternating no-export/export runs over
+    # input symbols followed by new symbols
+    pool = list(input_syms) + new_syms
+    exported: list = []
+    i = 0
+    exflag = 0
+    runs = 0
+    while i < len(pool):
+        run = _decode_int(dec, iaex)
+        if run is None or run < 0:
+            raise Jbig2Error("bad export run in symbol dictionary")
+        runs += 1
+        if runs > 2 * len(pool) + 2:  # zero-length-run spin guard
+            raise Jbig2Error(
+                "export runs fail to cover the symbol pool")
+        if exflag:
+            exported.extend(pool[i:i + run])
+        i += run
+        exflag ^= 1
+    if len(exported) != n_ex:
+        raise Jbig2Error(
+            f"symbol dictionary exports {len(exported)}, declared "
+            f"{n_ex}")
+    return exported
+
+
+def _decode_text_region(d: bytes, syms: list,
+                        max_pixels: int = 1 << 26) -> tuple[dict,
+                                                            np.ndarray]:
+    """Text region segment (T.88 §6.4/§7.4.4, arithmetic profile) ->
+    (region info, bitmap). Strip decoding with IADT/IAFS/IADS/IAIT
+    and IAID symbol ids; all four reference corners and the
+    transposed orientation compose with the region's SBCOMBOP.
+    Huffman symbol codes and refinement raise by name."""
+    info = _parse_region_info(d)
+    if len(d) < 19:
+        raise Jbig2Error("text region flags truncated")
+    flags = struct.unpack_from(">H", d, 17)[0]
+    sbhuff = flags & 1
+    sbrefine = (flags >> 1) & 1
+    log_strips = (flags >> 2) & 3
+    ref_corner = (flags >> 4) & 3
+    transposed = (flags >> 6) & 1
+    comb_op = (flags >> 7) & 3
+    def_pixel = (flags >> 9) & 1
+    ds_offset = (flags >> 10) & 0x1F
+    if ds_offset > 15:
+        ds_offset -= 32  # signed 5-bit
+    if sbhuff:
+        raise NotImplementedError(
+            "JBIG2 Huffman-coded text region (SBHUFF=1) not supported "
+            "— arithmetic profile only")
+    if sbrefine:
+        raise NotImplementedError(
+            "JBIG2 refined text region (SBREFINE=1) not supported")
+    pos = 19
+    if pos + 4 > len(d):
+        raise Jbig2Error("text region instance count truncated")
+    (n_instances,) = struct.unpack_from(">I", d, pos)
+    pos += 4
+    if n_instances > 1 << 22:
+        raise Jbig2Error(f"text region declares {n_instances} "
+                         "instances")
+    if not syms:
+        raise Jbig2Error("text region with no symbols in scope")
+    if info["w"] * info["h"] > max_pixels:
+        raise Jbig2Error(
+            f"text region {info['w']}x{info['h']} exceeds "
+            f"max_pixels={max_pixels}")
+    strips = 1 << log_strips
+    code_len = _sym_code_len(len(syms))
+    dec = MQDecoder(d[pos:])
+    iadt, iafs, iads, iait = (_IntCtx(), _IntCtx(), _IntCtx(),
+                              _IntCtx())
+    iaid = _IntCtx(1 << (code_len + 1))
+    w, h = info["w"], info["h"]
+    bmp = np.full((h, w), def_pixel, np.uint8)
+
+    def draw(sym: np.ndarray, x: int, y: int) -> None:
+        sh, sw = sym.shape
+        x0, y0 = max(x, 0), max(y, 0)
+        x1, y1 = min(x + sw, w), min(y + sh, h)
+        if x0 >= x1 or y0 >= y1:
+            return
+        dst = bmp[y0:y1, x0:x1]
+        src = sym[y0 - y:y1 - y, x0 - x:x1 - x]
+        if comb_op == 0:
+            dst |= src
+        elif comb_op == 1:
+            dst &= src
+        elif comb_op == 2:
+            dst ^= src
+        else:
+            dst[:] = 1 - (dst ^ src)
+
+    dt0 = _decode_int(dec, iadt)
+    if dt0 is None:
+        raise Jbig2Error("OOB initial DT in text region")
+    strip_t = -dt0 * strips
+    first_s = 0
+    n_done = 0
+    while n_done < n_instances:
+        dt = _decode_int(dec, iadt)
+        if dt is None:
+            raise Jbig2Error("OOB strip DT in text region")
+        strip_t += dt * strips
+        first = True
+        cur_s = 0
+        while True:
+            if first:
+                dfs = _decode_int(dec, iafs)
+                if dfs is None:
+                    raise Jbig2Error("OOB first-S in text region")
+                first_s += dfs
+                cur_s = first_s
+                first = False
+            else:
+                ids = _decode_int(dec, iads)
+                if ids is None:
+                    break  # end of strip
+                cur_s += ids + ds_offset
+            if n_done >= n_instances:
+                raise Jbig2Error(
+                    "text region strip continues past "
+                    "SBNUMINSTANCES")
+            cur_t = _decode_int(dec, iait) if strips > 1 else 0
+            if cur_t is None:
+                raise Jbig2Error("OOB CURT in text region")
+            t = strip_t + cur_t
+            sid = _decode_iaid(dec, iaid, code_len)
+            if sid >= len(syms):
+                raise Jbig2Error(
+                    f"symbol id {sid} outside the {len(syms)}-symbol "
+                    "dictionary scope")
+            sym = syms[sid]
+            sh, sw = sym.shape
+            if not transposed:
+                if ref_corner in (2, 3):  # BOTTOMRIGHT / TOPRIGHT
+                    cur_s += sw - 1
+                    x = cur_s - sw + 1
+                else:
+                    x = cur_s
+                y = t if ref_corner in (1, 3) else t - sh + 1
+                draw(sym, x, y)
+                if ref_corner in (0, 1):  # LEFT corners advance after
+                    cur_s += sw - 1
+            else:
+                if ref_corner in (0, 2):  # BOTTOM corners
+                    cur_s += sh - 1
+                    y = cur_s - sh + 1
+                else:
+                    y = cur_s
+                x = t if ref_corner in (0, 1) else t - sw + 1
+                draw(sym, x, y)
+                if ref_corner in (1, 3):  # TOP corners advance after
+                    cur_s += sh - 1
+            n_done += 1
+    return info, bmp
+
+
 def decode_jbig2_embedded(data: bytes,
                           globals_data: bytes | None = None,
                           max_pixels: int = 1 << 26) -> np.ndarray:
@@ -517,6 +870,40 @@ def decode_jbig2_embedded(data: bytes,
     page_h_known = True
     page_default = 0
     max_y_seen = 0
+    sym_store: dict[int, list] = {}  # segment number -> exported syms
+
+    def compose(info: dict, region: np.ndarray) -> None:
+        nonlocal page, max_y_seen
+        if page is None:
+            raise Jbig2Error(
+                "region segment before any page information")
+        h, w = region.shape
+        y1, x1 = info["y"], info["x"]
+        if not page_h_known and y1 + h > page.shape[0]:
+            grow = np.full((y1 + h - page.shape[0], page.shape[1]),
+                           page_default, np.uint8)
+            if (y1 + h) * page.shape[1] > max_pixels:
+                raise Jbig2Error(
+                    f"striped page grows past max_pixels={max_pixels}")
+            page = np.vstack([page, grow])
+        if y1 + h > page.shape[0] or x1 + w > page.shape[1]:
+            raise Jbig2Error(
+                f"region {w}x{h}@{x1},{y1} exceeds the "
+                f"{page.shape[1]}x{page.shape[0]} page")
+        dst = page[y1:y1 + h, x1:x1 + w]
+        op = _COMB_OPS[info["comb"]]
+        if op == "or":
+            dst |= region
+        elif op == "and":
+            dst &= region
+        elif op == "xor":
+            dst ^= region
+        elif op == "xnor":
+            dst[:] = 1 - (dst ^ region)
+        else:
+            dst[:] = region
+        max_y_seen = max(max_y_seen, y1 + h)
+
     for seg in segments:
         t = seg["type"]
         d = seg["data"]
@@ -561,35 +948,23 @@ def decode_jbig2_embedded(data: bytes,
             region = decode_generic_region(
                 d[pos:], w, h, template=template, at=at or None,
                 tpgdon=tpgdon, mmr=bool(mmr))
-            if page is None:
-                raise Jbig2Error(
-                    "region segment before any page information")
-            y1, x1 = info["y"], info["x"]
-            if not page_h_known and y1 + h > page.shape[0]:
-                grow = np.full((y1 + h - page.shape[0], page.shape[1]),
-                               page_default, np.uint8)
-                if (y1 + h) * page.shape[1] > max_pixels:
-                    raise Jbig2Error(
-                        f"striped page grows past max_pixels="
-                        f"{max_pixels}")
-                page = np.vstack([page, grow])
-            if y1 + h > page.shape[0] or x1 + w > page.shape[1]:
-                raise Jbig2Error(
-                    f"region {w}x{h}@{x1},{y1} exceeds the "
-                    f"{page.shape[1]}x{page.shape[0]} page")
-            dst = page[y1:y1 + h, x1:x1 + w]
-            op = _COMB_OPS[info["comb"]]
-            if op == "or":
-                dst |= region
-            elif op == "and":
-                dst &= region
-            elif op == "xor":
-                dst ^= region
-            elif op == "xnor":
-                dst[:] = 1 - (dst ^ region)
-            else:
-                dst[:] = region
-            max_y_seen = max(max_y_seen, y1 + h)
+            compose(info, region)
+        elif t == 0:  # symbol dictionary
+            inputs = [sym for r in seg["refs"]
+                      for sym in sym_store.get(r, [])]
+            sym_store[seg["number"]] = _decode_symbol_dict(
+                d, inputs, max_pixels=max_pixels)
+        elif t in (6, 7):  # immediate (lossless) text region
+            syms = [sym for r in seg["refs"]
+                    for sym in sym_store.get(r, [])]
+            info, region = _decode_text_region(
+                d, syms, max_pixels=max_pixels)
+            compose(info, region)
+        elif t == 4:
+            raise NotImplementedError(
+                "JBIG2 intermediate text region (type 4, retained "
+                "auxiliary buffers) not supported — immediate text "
+                "regions (6/7) are")
         elif t == 50:  # end of stripe
             if len(d) >= 4:
                 max_y_seen = max(
@@ -598,14 +973,13 @@ def decode_jbig2_embedded(data: bytes,
             continue
         elif t in (52, 62):  # profiles / extension: skippable
             continue
-        elif t == 0 or 4 <= t <= 7:
-            raise NotImplementedError(
-                "JBIG2 symbol-dictionary/text-region segments (types "
-                "0, 4-7) not supported — generic-region profile only")
+        elif t == 5:
+            raise Jbig2Error("reserved JBIG2 segment type 5")
         elif 16 <= t <= 43:
             raise NotImplementedError(
                 f"JBIG2 segment type {t} (pattern/halftone/refinement "
-                "family) not supported — generic-region profile only")
+                "family) not supported — generic/symbol/text profile "
+                "only")
         else:
             raise Jbig2Error(f"unknown JBIG2 segment type {t}")
     if page is None:
@@ -652,5 +1026,160 @@ def encode_jbig2_generic(bmp: np.ndarray, template: int = 0,
             + at_bytes \
             + _encode_generic_region(band, template, tpgdon)
         seg(38, body)
+    seg(49, b"")
+    return b"".join(segs)
+
+
+def _encode_symbol_dict_payload(syms: list) -> bytes:
+    """Symbols (sorted by height class) -> arithmetic symbol
+    dictionary segment payload exporting all of them, mirroring
+    _decode_symbol_dict."""
+    template = 0
+    at = [a for a, _ in _TEMPLATES[template]["at"]]
+    flags = template << 10  # SDHUFF=0 SDREFAGG=0
+    out = bytearray(struct.pack(">H", flags))
+    for ax, ay in at:
+        out += ax.to_bytes(1, "big", signed=True)
+        out += ay.to_bytes(1, "big", signed=True)
+    out += struct.pack(">II", len(syms), len(syms))
+    enc = MQEncoder()
+    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    offs = _template_offsets(template, at)
+    nstates = 1 << (max(b for _, _, b in offs) + 1)
+    gb_icx = [0] * nstates
+    gb_mps = [0] * nstates
+    pad_top = max(-dy for _, dy, _ in offs)
+    pad_l = max(max(-dx for dx, _, _ in offs), 0)
+    pad_r = max(max(dx for dx, _, _ in offs), 0)
+    offp = [(dx + pad_l, dy, bit) for dx, dy, bit in offs]
+
+    def encode_bitmap(bmp: np.ndarray) -> None:
+        hh, ww = bmp.shape
+        padded = np.zeros((hh + pad_top, ww + pad_l + pad_r), np.uint8)
+        for y in range(hh):
+            yy = y + pad_top
+            for x in range(ww):
+                ctx = 0
+                for dx, dy, bit in offp:
+                    if padded[yy + dy, x + dx]:
+                        ctx |= 1 << bit
+                b = int(bmp[y, x] & 1)
+                enc.encode(gb_icx, gb_mps, ctx, b)
+                padded[yy, x + pad_l] = b
+
+    hc_height = 0
+    i = 0
+    while i < len(syms):
+        h = syms[i].shape[0]
+        _encode_int(enc, iadh, h - hc_height)
+        hc_height = h
+        sym_width = 0
+        while i < len(syms) and syms[i].shape[0] == h:
+            w = syms[i].shape[1]
+            _encode_int(enc, iadw, w - sym_width)
+            sym_width = w
+            encode_bitmap(syms[i])
+            i += 1
+        _encode_int(enc, iadw, None)  # OOB: end of height class
+    _encode_int(enc, iaex, 0)          # run of 0 non-exported
+    _encode_int(enc, iaex, len(syms))  # export everything
+    return bytes(out) + enc.flush()
+
+
+def encode_jbig2_text(symbols: list, instances: list,
+                      page_size: tuple[int, int] | None = None,
+                      ref_corner: int = 1,
+                      transposed: bool = False) -> bytes:
+    """Embedded-profile JBIG2 page built from a symbol dictionary +
+    one immediate text region (the scanned-TEXT layout jbig2enc
+    emits): ``symbols`` is a list of (h, w) ink bitmaps, ``instances``
+    a list of (symbol_index, x, y) placements (top-left coordinates).
+    ``ref_corner`` (0 BL / 1 TL / 2 BR / 3 TR) and ``transposed``
+    pick the wire form — the GEOMETRY stays (x, y) regardless, so a
+    decoded page must match the same raster for every corner. The
+    fixture mirror for _decode_text_region / _decode_symbol_dict."""
+    symbols = [(np.asarray(b) & 1).astype(np.uint8) for b in symbols]
+    order = sorted(range(len(symbols)),
+                   key=lambda i: (symbols[i].shape[0],
+                                  symbols[i].shape[1], i))
+    dict_syms = [symbols[i] for i in order]
+    remap = {orig: new for new, orig in enumerate(order)}
+    if page_size is None:
+        pw = max(x + symbols[sid].shape[1] for sid, x, _ in instances)
+        ph = max(y + symbols[sid].shape[0] for sid, _, y in instances)
+    else:
+        pw, ph = page_size
+    code_len = _sym_code_len(len(dict_syms))
+
+    enc = MQEncoder()
+    iadt, iafs, iads, iait = (_IntCtx(), _IntCtx(), _IntCtx(),
+                              _IntCtx())
+    del iait  # SBSTRIPS == 1: CURT never coded
+    iaid = _IntCtx(1 << (code_len + 1))
+
+    # wire S/T per the reference-corner definition: the corner pixel
+    # of the placed symbol, S along the strip axis
+    def s_t(sid: int, x: int, y: int) -> tuple[int, int]:
+        hh, ww = symbols[sid].shape
+        if not transposed:
+            sx = x + ww - 1 if ref_corner in (2, 3) else x
+            ty = y if ref_corner in (1, 3) else y + hh - 1
+            return sx, ty
+        sy = y + hh - 1 if ref_corner in (0, 2) else y
+        tx = x if ref_corner in (0, 1) else x + ww - 1
+        return sy, tx
+
+    wire = sorted(
+        ((s_t(sid, x, y), sid) for sid, x, y in instances),
+        key=lambda e: (e[0][1], e[0][0]))
+    _encode_int(enc, iadt, 0)  # STRIPT starts at 0
+    strip_t = 0
+    first_s = 0
+    i = 0
+    n = len(wire)
+    while i < n:
+        t = wire[i][0][1]
+        _encode_int(enc, iadt, t - strip_t)
+        strip_t = t
+        first = True
+        cur_s = 0
+        while i < n and wire[i][0][1] == t:
+            (s_val, _), sid = wire[i]
+            hh, ww = symbols[sid].shape
+            adv = (ww if not transposed else hh) - 1
+            # the decoder pre-advances CURS by adv for right/bottom
+            # corners BEFORE drawing, so the coded value targets
+            # c0 = S - pre, and its post-symbol CURS is c0 + adv
+            pre = adv if (not transposed and ref_corner in (2, 3)) \
+                or (transposed and ref_corner in (0, 2)) else 0
+            c0 = s_val - pre
+            if first:
+                _encode_int(enc, iafs, c0 - first_s)
+                first_s = c0
+                first = False
+            else:
+                _encode_int(enc, iads, c0 - cur_s)
+            _encode_iaid(enc, iaid, code_len, remap[sid])
+            cur_s = c0 + adv
+            i += 1
+        _encode_int(enc, iads, None)  # OOB: end of strip
+    data = enc.flush()
+
+    flags = (ref_corner << 4) | ((1 if transposed else 0) << 6)
+    body = struct.pack(">IIIIB", pw, ph, 0, 0, 0)         + struct.pack(">H", flags)         + struct.pack(">I", n) + data
+
+    segs = []
+    num = 0
+
+    def seg(seg_type: int, payload: bytes, refs=()) -> None:
+        nonlocal num
+        ref_blob = bytes([len(refs) << 5])             + b"".join(r.to_bytes(1, "big") for r in refs)
+        hdr = struct.pack(">IB", num, seg_type) + ref_blob             + b"\x01" + struct.pack(">I", len(payload))
+        segs.append(hdr + payload)
+        num += 1
+
+    seg(48, struct.pack(">IIIIBH", pw, ph, 0, 0, 0, 0))
+    seg(0, _encode_symbol_dict_payload(dict_syms))
+    seg(6, body, refs=(1,))
     seg(49, b"")
     return b"".join(segs)

@@ -2046,6 +2046,11 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
                 else:
                     streams[num] = (
                         common + b" /Filter /JBIG2Decode", blob)
+            elif kind == "jbig2-raw":
+                # payload = a pre-built embedded-profile JBIG2 stream
+                # (e.g. symbol/text coded via encode_jbig2_text)
+                streams[num] = (
+                    common + b" /Filter /JBIG2Decode", payload)
             elif kind == "indexed":
                 # payload = (bpc, palette bytes, index byte/pixel);
                 # ncomp is the BASE colorspace's component count. The

@@ -3011,6 +3011,95 @@ def mm_pdf_jbig2_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_pdf_jbig2_text",
+    # payload = a PDF per doc whose image is a SYMBOL/TEXT-coded
+    # JBIG2 page (T.88 §6.4/§6.5 arithmetic profile — the
+    # scanned-text layout jbig2enc emits, r13 stretch): a two-glyph
+    # dictionary (2x2 solid block, 1x2 top bar — two height classes)
+    # placed over a 16x24 canvas from the doc's 96-char md5 pattern:
+    # letters a-c stamp the solid glyph at (2c, 2r), d-f the top bar,
+    # digits stay background. Reference corner and orientation cycle
+    # by doc parity (the wire S/T form changes; the geometry must
+    # not). The oracle rebuilds the 24 gray rows in closed form: row
+    # 2r maps a-f -> '0000' and digits -> 'ffff'; row 2r+1 maps only
+    # a-c -> '0000'.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 25 = 4
+), rows_hex AS (
+  SELECT media_id,
+         string_agg(
+           replace(replace(replace(translate(
+             substr(pattern, 1 + 8 * (r // 2), 8),
+             '0123456789abcdef', 'wwwwwwwwwwBBBTTT'),
+             'w', 'ffff'), 'B', '0000'),
+             'T', CASE WHEN r % 2 = 0 THEN '0000' ELSE 'ffff' END),
+           '' ORDER BY r) AS hexpx
+  FROM p, generate_series(0, 23) AS g(r)
+  GROUP BY media_id
+)
+SELECT p.media_id, 0::BIGINT AS page_idx, 'Im0_0' AS img_name,
+       CAST(16 AS BIGINT) AS width, CAST(24 AS BIGINT) AS height,
+       1::BIGINT AS n_components, 'JBIG2Decode' AS img_filter,
+       CAST(255 * (4 * length(regexp_replace(pattern, '[a-f]', '',
+                                             'g'))
+                   + 2 * length(regexp_replace(pattern, '[^d-f]', '',
+                                               'g')))
+            AS BIGINT) AS pixel_sum,
+       md5(hexpx) AS pixel_md5
+FROM p JOIN rows_hex USING (media_id)
+ORDER BY media_id
+""",
+    tags=("multimodal", "pdf", "decode", "codec", "jbig2", "text",
+          "ingest"),
+)
+def mm_pdf_jbig2_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbol/text-coded JBIG2 in PDFs under the oracle gate (r13):
+    the arithmetic integer procedures, height-class symbol
+    dictionary, and strip-based text region placement — the profile
+    that makes real scanned-TEXT PDFs decodable, not just scanned
+    images."""
+    import hashlib
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.jbig2 import encode_jbig2_text
+    from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_images
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 4)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    solid = np.ones((2, 2), np.uint8)
+    topbar = np.ones((1, 2), np.uint8)
+    rows = []
+    for i in ids:
+        pattern = hashlib.md5(str(i).encode()).hexdigest() * 3
+        inst = []
+        for idx, c in enumerate(pattern):
+            r, col = divmod(idx, 8)
+            if c in "abc":
+                inst.append((0, 2 * col, 2 * r))
+            elif c in "def":
+                inst.append((1, 2 * col, 2 * r))
+        blob = encode_jbig2_text(
+            [solid, topbar], inst, page_size=(16, 24),
+            ref_corner=i % 4, transposed=bool((i // 4) % 2))
+        pdf = encode_pdf(
+            [[f"ocr {i}"]], xref_stream=bool(i % 2),
+            images=[[("jbig2-raw", 16, 24, 1, blob)]],
+        )
+        rows.append((i, bytearray(pdf)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return (
+        pdf_images(media, digest="hex")
+        .select("media_id", "page_idx", "img_name", "width", "height",
+                "n_components", "img_filter", "pixel_sum", "pixel_md5")
+        .orderBy("media_id", "page_idx", "img_name")
+    )
+
+
+@register(
     "mm_pdf_inline_images",
     # payload = a PDF per doc whose images are INLINE (BI/ID/EI,
     # §8.9.7 — the layout scanned faxes and small graphics actually
