@@ -310,7 +310,7 @@ def codec_throughput_section(spark) -> dict:
                    "media", {"px": 128 * 128})
     fams["tiff_lzw"] = (
         encode_tiff(64, 64, small.tobytes(), spp=3, compression=5,
-                    predictor=2), 128, "media", {"px": 64 * 64})
+                    predictor=2), 1024, "media", {"px": 64 * 64})
     try:  # libwebp encodes the lossy stream (ctypes, like the
         # conformance harness); our decoder is the one timed
         import ctypes

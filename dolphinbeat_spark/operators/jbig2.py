@@ -42,17 +42,25 @@ Covered (r13):
 - **encoder mirrors** (generic region, symbol dictionary + text
   region) for fixtures and roundtrip/fuzz pinning.
 
+- **generic refinement** (§6.3, r13): both GRTEMPLATE forms at the
+  reference decoder's fixed context layout, TPGRON typical
+  prediction, immediate refinement region segments (41/42) refining
+  the page content in place, SDREFAGG single-instance aggregate
+  symbol coding, and SBREFINE per-instance text touch-ups (incl.
+  size-changing RDW/RDH with the §6.4.11 floor offset).
+
 Named boundaries (fail loud, fuzz-pinned): Huffman-coded symbol
 dictionaries / text regions (SDHUFF/SBHUFF — wild encoders emit the
-arithmetic form), refinement/aggregate coding (SDREFAGG/SBREFINE and
-the refinement family 40-43), pattern/halftone segments (16-23),
-intermediate text regions (type 4, retained auxiliary buffers),
-unknown-length generic regions (0xFFFFFFFF data length), and
-file-header (non-embedded) streams. Conformance caveat: no jbig2dec
-exists in this container, so the symbol/text layer is pinned by the
-spec's own H.2 MQ vector, geometry-invariant roundtrips across every
-corner × orientation, and hostile fuzz — the generic-region layer
-carries the published-vector pin for the shared coder.
+arithmetic form), multi-instance aggregation (REFAGGNINST > 1, a
+recursive text region), pattern/halftone segments (16-23),
+intermediate regions (types 4/36/40 retained-buffer forms beyond
+36's inline decode), unknown-length generic regions (0xFFFFFFFF data
+length), and file-header (non-embedded) streams. Conformance caveat:
+no jbig2dec exists in this container, so the symbol/text/refinement
+layers are pinned by the spec's own H.2 MQ vector,
+geometry-invariant roundtrips across every corner × orientation, and
+hostile fuzz — the generic-region layer carries the published-vector
+pin for the shared coder.
 
 Bitmaps are (rows, cols) uint8 with 1 = BLACK ink, matching
 operators/ccitt.py; the photometric mapping is the caller's
@@ -529,6 +537,166 @@ def _sym_code_len(n_syms: int) -> int:
     return max(1, (n_syms - 1).bit_length()) if n_syms > 1 else 0
 
 
+# Generic refinement region templates (T.88 §6.3.5.3), as fixed bit
+# positions mirroring the published reference decoder's layout:
+# (is_ref, dx, dy, bit). GRTEMPLATE 0 carries two AT pixels (A1 in
+# the current bitmap at nominal (-1,-1), A2 in the reference at
+# nominal (-1,-1)); GRTEMPLATE 1 has none.
+_REF_TEMPLATES = {
+    0: {
+        "cur": [(-1, 0, 0), (1, -1, 1), (0, -1, 2)],
+        "ref": [(1, 1, 4), (0, 1, 5), (-1, 1, 6), (1, 0, 8),
+                (0, 0, 9), (-1, 0, 10), (1, -1, 11), (0, -1, 12)],
+        "at_cur": ((-1, -1), 3),
+        "at_ref": ((-1, -1), 7),
+        "pseudo": 0x0100,
+    },
+    1: {
+        "cur": [(-1, 0, 0), (1, -1, 1), (0, -1, 2), (-1, -1, 3)],
+        "ref": [(1, 1, 4), (0, 1, 5), (1, 0, 6), (0, 0, 7),
+                (-1, 0, 8), (0, -1, 9)],
+        "at_cur": None,
+        "at_ref": None,
+        "pseudo": 0x0080,
+    },
+}
+
+
+def _refinement_offsets(template: int, at):
+    spec = _REF_TEMPLATES[template]
+    cur = list(spec["cur"])
+    ref = list(spec["ref"])
+    if template == 0:
+        a1 = at[0] if at else spec["at_cur"][0]
+        a2 = at[1] if at and len(at) > 1 else spec["at_ref"][0]
+        cur.append((a1[0], a1[1], spec["at_cur"][1]))
+        ref.append((a2[0], a2[1], spec["at_ref"][1]))
+    elif at:
+        raise Jbig2Error("refinement template 1 takes no AT pixels")
+    return cur, ref, spec["pseudo"]
+
+
+def decode_refinement_region(width: int, height: int,
+                             reference: np.ndarray,
+                             dx: int = 0, dy: int = 0,
+                             template: int = 0,
+                             at=None, tpgron: bool = False,
+                             decoder: "MQDecoder | None" = None,
+                             data: bytes = b"",
+                             icx: list | None = None,
+                             mps: list | None = None) -> np.ndarray:
+    """Generic refinement region (T.88 §6.3): decode a bitmap against
+    ``reference`` shifted by (dx, dy) — current-bitmap and
+    reference-bitmap neighborhoods feed one context. TPGRON typical
+    prediction skips pixels whose shifted reference 3x3 neighborhood
+    is uniform. Conformance caveat (module docstring): pinned by
+    mirror roundtrips and fuzz; no third implementation in this
+    container."""
+    if template not in _REF_TEMPLATES:
+        raise Jbig2Error(f"refinement template {template} outside 0..1")
+    cur_offs, ref_offs, pseudo = _refinement_offsets(template, at)
+    if decoder is None:
+        decoder = MQDecoder(data)
+    if icx is None:
+        icx = [0] * 8192
+        mps = [0] * 8192
+    rh, rw = reference.shape
+    out = np.zeros((height, width), np.uint8)
+    dec = decoder.decode
+
+    def refpx(yy: int, xx: int) -> int:
+        return int(reference[yy, xx])             if 0 <= yy < rh and 0 <= xx < rw else 0
+
+    ltp = 0
+    for y in range(height):
+        if tpgron:
+            if dec(icx, mps, pseudo):
+                ltp ^= 1
+        ry = y - dy
+        for x in range(width):
+            rx = x - dx
+            if ltp:
+                # §6.3.5.6: uniform shifted 3x3 reference wins
+                s = sum(refpx(ry + j, rx + i)
+                        for j in (-1, 0, 1) for i in (-1, 0, 1))
+                if s == 0:
+                    continue
+                if s == 9:
+                    out[y, x] = 1
+                    continue
+            ctx = 0
+            for ox, oy, bit in cur_offs:
+                xx, yy = x + ox, y + oy
+                if 0 <= yy < height and 0 <= xx < width \
+                        and out[yy, xx]:
+                    ctx |= 1 << bit
+            for ox, oy, bit in ref_offs:
+                if refpx(ry + oy, rx + ox):
+                    ctx |= 1 << bit
+            out[y, x] = dec(icx, mps, ctx)
+    return out
+
+
+def _encode_refinement_region(bmp: np.ndarray, reference: np.ndarray,
+                              dx: int = 0, dy: int = 0,
+                              template: int = 0,
+                              tpgron: bool = False,
+                              encoder: "MQEncoder | None" = None,
+                              icx: list | None = None,
+                              mps: list | None = None) -> bytes | None:
+    """Mirror of decode_refinement_region. Returns the flushed bytes
+    when it owns the encoder, else None (caller flushes)."""
+    cur_offs, ref_offs, pseudo = _refinement_offsets(template, None)
+    own = encoder is None
+    if own:
+        encoder = MQEncoder()
+    if icx is None:
+        icx = [0] * 8192
+        mps = [0] * 8192
+    height, width = bmp.shape
+    rh, rw = reference.shape
+
+    def refpx(yy: int, xx: int) -> int:
+        return int(reference[yy, xx]) \
+            if 0 <= yy < rh and 0 <= xx < rw else 0
+
+    ltp = 0
+    for y in range(height):
+        ry = y - dy
+        if tpgron:
+            # a row is "typical" when every pixel with a uniform
+            # shifted reference neighborhood equals that value
+            typical = True
+            for x in range(width):
+                rx = x - dx
+                s = sum(refpx(ry + j, rx + i)
+                        for j in (-1, 0, 1) for i in (-1, 0, 1))
+                if (s == 0 and bmp[y, x]) or (s == 9 and not bmp[y, x]):
+                    typical = False
+                    break
+            sltp = 1 if typical != bool(ltp) else 0
+            encoder.encode(icx, mps, pseudo, sltp)
+            ltp ^= sltp
+        for x in range(width):
+            rx = x - dx
+            if ltp:
+                s = sum(refpx(ry + j, rx + i)
+                        for j in (-1, 0, 1) for i in (-1, 0, 1))
+                if s in (0, 9):
+                    continue
+            ctx = 0
+            for ox, oy, bit in cur_offs:
+                xx, yy = x + ox, y + oy
+                if 0 <= yy < height and 0 <= xx < width \
+                        and bmp[yy, xx]:
+                    ctx |= 1 << bit
+            for ox, oy, bit in ref_offs:
+                if refpx(ry + oy, rx + ox):
+                    ctx |= 1 << bit
+            encoder.encode(icx, mps, ctx, int(bmp[y, x]))
+    return encoder.flush() if own else None
+
+
 # ---------------------------------------------------------------
 # Embedded segment layer
 
@@ -622,14 +790,11 @@ def _decode_symbol_dict(d: bytes, input_syms: list,
     sdrefagg = (flags >> 1) & 1
     ctx_used = (flags >> 8) & 1
     template = (flags >> 10) & 3
+    rtemplate = (flags >> 12) & 1
     if sdhuff:
         raise NotImplementedError(
             "JBIG2 Huffman-coded symbol dictionary (SDHUFF=1) not "
             "supported — arithmetic profile only")
-    if sdrefagg:
-        raise NotImplementedError(
-            "JBIG2 refinement/aggregate symbol coding (SDREFAGG=1) "
-            "not supported")
     if ctx_used:
         raise NotImplementedError(
             "JBIG2 imported bitmap coding contexts (segment flag bit "
@@ -644,6 +809,18 @@ def _decode_symbol_dict(d: bytes, input_syms: list,
                    int.from_bytes(d[pos + 1:pos + 2], "big",
                                   signed=True)))
         pos += 2
+    rat = None
+    if sdrefagg and rtemplate == 0:
+        rat = []
+        for _ in range(2):
+            if pos + 2 > len(d):
+                raise Jbig2Error(
+                    "symbol dictionary refinement AT truncated")
+            rat.append((int.from_bytes(d[pos:pos + 1], "big",
+                                       signed=True),
+                        int.from_bytes(d[pos + 1:pos + 2], "big",
+                                       signed=True)))
+            pos += 2
     if pos + 8 > len(d):
         raise Jbig2Error("symbol dictionary counts truncated")
     n_ex, n_new = struct.unpack_from(">II", d, pos)
@@ -654,10 +831,15 @@ def _decode_symbol_dict(d: bytes, input_syms: list,
             "exported symbols")
     dec = MQDecoder(d[pos:])
     iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    iaai, iardx, iardy = _IntCtx(), _IntCtx(), _IntCtx()
+    code_len = _sym_code_len(len(input_syms) + n_new)
+    iaid = _IntCtx(1 << (code_len + 1))
     offs = _template_offsets(template, at)
     nstates = 1 << (max(b for _, _, b in offs) + 1)
     gb_icx = [0] * nstates
     gb_mps = [0] * nstates
+    gr_icx = [0] * 8192
+    gr_mps = [0] * 8192
     new_syms: list = []
     hc_height = 0
     area = 0
@@ -691,9 +873,38 @@ def _decode_symbol_dict(d: bytes, input_syms: list,
                 raise Jbig2Error(
                     f"symbol dictionary exceeds max_pixels="
                     f"{max_pixels}")
-            new_syms.append(decode_generic_region(
-                b"", sym_width, hc_height, template=template, at=at,
-                decoder=dec, icx=gb_icx, mps=gb_mps))
+            if sdrefagg:
+                # §6.5.8.2 refinement/aggregate coding (r13): the
+                # single-instance form refines an already-decoded
+                # symbol; multi-instance aggregates recurse into a
+                # text region and stay a named boundary
+                n_inst = _decode_int(dec, iaai)
+                if n_inst is None or n_inst < 1:
+                    raise Jbig2Error(
+                        f"bad aggregate instance count {n_inst}")
+                if n_inst != 1:
+                    raise NotImplementedError(
+                        "JBIG2 multi-instance symbol aggregation "
+                        "(REFAGGNINST > 1, recursive text region) "
+                        "not supported")
+                sid = _decode_iaid(dec, iaid, code_len)
+                pool0 = input_syms + new_syms
+                if sid >= len(pool0):
+                    raise Jbig2Error(
+                        f"aggregate refers to symbol {sid} of "
+                        f"{len(pool0)}")
+                rdx = _decode_int(dec, iardx)
+                rdy = _decode_int(dec, iardy)
+                if rdx is None or rdy is None:
+                    raise Jbig2Error("OOB RDX/RDY in aggregate")
+                new_syms.append(decode_refinement_region(
+                    sym_width, hc_height, pool0[sid], rdx, rdy,
+                    template=rtemplate, at=rat, decoder=dec,
+                    icx=gr_icx, mps=gr_mps))
+            else:
+                new_syms.append(decode_generic_region(
+                    b"", sym_width, hc_height, template=template,
+                    at=at, decoder=dec, icx=gb_icx, mps=gb_mps))
     # export flags (§6.5.10): alternating no-export/export runs over
     # input symbols followed by new symbols
     pool = list(input_syms) + new_syms
@@ -742,14 +953,23 @@ def _decode_text_region(d: bytes, syms: list,
     ds_offset = (flags >> 10) & 0x1F
     if ds_offset > 15:
         ds_offset -= 32  # signed 5-bit
+    rtemplate = (flags >> 15) & 1
     if sbhuff:
         raise NotImplementedError(
             "JBIG2 Huffman-coded text region (SBHUFF=1) not supported "
             "— arithmetic profile only")
-    if sbrefine:
-        raise NotImplementedError(
-            "JBIG2 refined text region (SBREFINE=1) not supported")
     pos = 19
+    rat = None
+    if sbrefine and rtemplate == 0:
+        rat = []
+        for _ in range(2):
+            if pos + 2 > len(d):
+                raise Jbig2Error("text region refinement AT truncated")
+            rat.append((int.from_bytes(d[pos:pos + 1], "big",
+                                       signed=True),
+                        int.from_bytes(d[pos + 1:pos + 2], "big",
+                                       signed=True)))
+            pos += 2
     if pos + 4 > len(d):
         raise Jbig2Error("text region instance count truncated")
     (n_instances,) = struct.unpack_from(">I", d, pos)
@@ -768,7 +988,11 @@ def _decode_text_region(d: bytes, syms: list,
     dec = MQDecoder(d[pos:])
     iadt, iafs, iads, iait = (_IntCtx(), _IntCtx(), _IntCtx(),
                               _IntCtx())
+    iari, iardw, iardh = _IntCtx(), _IntCtx(), _IntCtx()
+    iardx, iardy = _IntCtx(), _IntCtx()
     iaid = _IntCtx(1 << (code_len + 1))
+    gr_icx = [0] * 8192
+    gr_mps = [0] * 8192
     w, h = info["w"], info["h"]
     bmp = np.full((h, w), def_pixel, np.uint8)
 
@@ -829,6 +1053,28 @@ def _decode_text_region(d: bytes, syms: list,
                     f"symbol id {sid} outside the {len(syms)}-symbol "
                     "dictionary scope")
             sym = syms[sid]
+            if sbrefine:
+                ri = _decode_int(dec, iari)
+                if ri is None:
+                    raise Jbig2Error("OOB RI in refined text region")
+                if ri:
+                    rdw = _decode_int(dec, iardw)
+                    rdh = _decode_int(dec, iardh)
+                    rdx = _decode_int(dec, iardx)
+                    rdy = _decode_int(dec, iardy)
+                    if None in (rdw, rdh, rdx, rdy):
+                        raise Jbig2Error(
+                            "OOB refinement deltas in text region")
+                    wi = sym.shape[1] + rdw
+                    hi = sym.shape[0] + rdh
+                    if wi <= 0 or hi <= 0 or wi * hi > max_pixels:
+                        raise Jbig2Error(
+                            f"refined instance {wi}x{hi} out of range")
+                    # §6.4.11: reference offset floors the size delta
+                    sym = decode_refinement_region(
+                        wi, hi, sym, (rdw >> 1) + rdx,
+                        (rdh >> 1) + rdy, template=rtemplate, at=rat,
+                        decoder=dec, icx=gr_icx, mps=gr_mps)
             sh, sw = sym.shape
             if not transposed:
                 if ref_corner in (2, 3):  # BOTTOMRIGHT / TOPRIGHT
@@ -965,6 +1211,50 @@ def decode_jbig2_embedded(data: bytes,
                 "JBIG2 intermediate text region (type 4, retained "
                 "auxiliary buffers) not supported — immediate text "
                 "regions (6/7) are")
+        elif t in (41, 42):  # immediate (lossless) refinement region
+            info = _parse_region_info(d)
+            if len(d) < 18:
+                raise Jbig2Error("refinement region segment truncated")
+            rflags = d[17]
+            rtmpl = rflags & 1
+            tpgron = bool(rflags & 2)
+            pos = 18
+            rat = None
+            if rtmpl == 0:
+                if len(d) < pos + 4:
+                    raise Jbig2Error("refinement region AT truncated")
+                rat = []
+                for _ in range(2):
+                    rat.append((int.from_bytes(d[pos:pos + 1], "big",
+                                               signed=True),
+                                int.from_bytes(d[pos + 1:pos + 2],
+                                               "big", signed=True)))
+                    pos += 2
+            w, h = info["w"], info["h"]
+            if w * h > max_pixels:
+                raise Jbig2Error(
+                    f"refinement region {w}x{h} exceeds max_pixels="
+                    f"{max_pixels}")
+            if page is None:
+                raise Jbig2Error(
+                    "refinement region before any page information")
+            y1, x1 = info["y"], info["x"]
+            if y1 + h > page.shape[0] or x1 + w > page.shape[1]:
+                raise Jbig2Error(
+                    f"refinement region {w}x{h}@{x1},{y1} exceeds "
+                    "the page")
+            # §6.3.2: the reference is the page's current content
+            # under the region rectangle
+            reference = page[y1:y1 + h, x1:x1 + w].copy()
+            region = decode_refinement_region(
+                w, h, reference, 0, 0, template=rtmpl, at=rat,
+                tpgron=tpgron, data=d[pos:])
+            compose(info, region)
+        elif t == 40:
+            raise NotImplementedError(
+                "JBIG2 intermediate refinement region (type 40, "
+                "retained auxiliary buffers) not supported — "
+                "immediate refinement regions (41/42) are")
         elif t == 50:  # end of stripe
             if len(d) >= 4:
                 max_y_seen = max(
@@ -1030,20 +1320,36 @@ def encode_jbig2_generic(bmp: np.ndarray, template: int = 0,
     return b"".join(segs)
 
 
-def _encode_symbol_dict_payload(syms: list) -> bytes:
+def _encode_symbol_dict_payload(syms: list, refagg_refs=None,
+                                input_syms: list = ()) -> bytes:
     """Symbols (sorted by height class) -> arithmetic symbol
     dictionary segment payload exporting all of them, mirroring
-    _decode_symbol_dict."""
+    _decode_symbol_dict. ``refagg_refs`` switches the dictionary to
+    SDREFAGG=1 single-instance aggregate coding: entry i gives the
+    pool index (input symbols first, then this dict's own new
+    symbols) whose bitmap symbol i refines; ``input_syms`` are the
+    referred dictionaries' exported bitmaps (needed both for the
+    IAID code length and as refinement references)."""
     template = 0
     at = [a for a, _ in _TEMPLATES[template]["at"]]
-    flags = template << 10  # SDHUFF=0 SDREFAGG=0
+    refagg = refagg_refs is not None
+    flags = (template << 10) | (2 if refagg else 0)
     out = bytearray(struct.pack(">H", flags))
     for ax, ay in at:
         out += ax.to_bytes(1, "big", signed=True)
         out += ay.to_bytes(1, "big", signed=True)
+    if refagg:  # SDRTEMPLATE=0: two refinement AT pairs (nominal)
+        out += b"\xff\xff\xff\xff"
     out += struct.pack(">II", len(syms), len(syms))
     enc = MQEncoder()
     iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    iaai, iardx, iardy = _IntCtx(), _IntCtx(), _IntCtx()
+    n_input = len(input_syms)
+    code_len = _sym_code_len(n_input + len(syms))
+    iaid = _IntCtx(1 << (code_len + 1))
+    gr_icx = [0] * 8192
+    gr_mps = [0] * 8192
+    pool = list(input_syms) + list(syms)
     offs = _template_offsets(template, at)
     nstates = 1 << (max(b for _, _, b in offs) + 1)
     gb_icx = [0] * nstates
@@ -1078,12 +1384,56 @@ def _encode_symbol_dict_payload(syms: list) -> bytes:
             w = syms[i].shape[1]
             _encode_int(enc, iadw, w - sym_width)
             sym_width = w
-            encode_bitmap(syms[i])
+            if refagg:
+                ref_idx = refagg_refs[i]
+                _encode_int(enc, iaai, 1)
+                _encode_iaid(enc, iaid, code_len, ref_idx)
+                _encode_int(enc, iardx, 0)
+                _encode_int(enc, iardy, 0)
+                # pool = input symbols then new: callers refine only
+                # already-available bitmaps
+                ref_bmp = pool[ref_idx]
+                _encode_refinement_region(
+                    syms[i], ref_bmp, 0, 0, template=0,
+                    encoder=enc, icx=gr_icx, mps=gr_mps)
+            else:
+                encode_bitmap(syms[i])
             i += 1
         _encode_int(enc, iadw, None)  # OOB: end of height class
-    _encode_int(enc, iaex, 0)          # run of 0 non-exported
-    _encode_int(enc, iaex, len(syms))  # export everything
+    _encode_int(enc, iaex, n_input)    # skip the imported symbols
+    _encode_int(enc, iaex, len(syms))  # export this dict's own
     return bytes(out) + enc.flush()
+
+
+def encode_jbig2_refined(base: np.ndarray,
+                         refined: np.ndarray,
+                         template: int = 0,
+                         tpgron: bool = False) -> bytes:
+    """Embedded-profile page: a generic region carrying ``base``,
+    then an immediate refinement region (type 41) REPLACE-composing
+    ``refined`` against the page content — the progressive/touch-up
+    layout (T.88 §6.3). Fixture mirror for the segment 41/42 path."""
+    base = (np.asarray(base) & 1).astype(np.uint8)
+    refined = (np.asarray(refined) & 1).astype(np.uint8)
+    if base.shape != refined.shape:
+        raise ValueError("refinement fixture wants matching shapes")
+    h, w = base.shape
+    generic = encode_jbig2_generic(base)
+    # strip the end-of-page segment (last 11 bytes: empty payload)
+    body = generic[:-11]
+    rflags = bytes([(template & 1) | (2 if tpgron else 0)])
+    rat = b"\xff\xff\xff\xff" if template == 0 else b""
+    payload = struct.pack(">IIIIB", w, h, 0, 0, 4) \
+        + rflags + rat \
+        + _encode_refinement_region(refined, base, 0, 0,
+                                    template=template, tpgron=tpgron)
+    num = generic[:4]  # reuse numbering space: next free = 2
+    seg41 = struct.pack(">IB", 2, 41) + b"\x00\x01" \
+        + struct.pack(">I", len(payload)) + payload
+    seg49 = struct.pack(">IB", 3, 49) + b"\x00\x01" \
+        + struct.pack(">I", 0)
+    del num
+    return body + seg41 + seg49
 
 
 def encode_jbig2_text(symbols: list, instances: list,
@@ -1093,20 +1443,35 @@ def encode_jbig2_text(symbols: list, instances: list,
     """Embedded-profile JBIG2 page built from a symbol dictionary +
     one immediate text region (the scanned-TEXT layout jbig2enc
     emits): ``symbols`` is a list of (h, w) ink bitmaps, ``instances``
-    a list of (symbol_index, x, y) placements (top-left coordinates).
+    a list of (symbol_index, x, y) placements (top-left coordinates)
+    — or (symbol_index, x, y, refined_bitmap) entries, which switch
+    the region to SBREFINE=1 and code that instance as a refinement
+    of its symbol (the per-instance touch-up form).
     ``ref_corner`` (0 BL / 1 TL / 2 BR / 3 TR) and ``transposed``
     pick the wire form — the GEOMETRY stays (x, y) regardless, so a
     decoded page must match the same raster for every corner. The
     fixture mirror for _decode_text_region / _decode_symbol_dict."""
     symbols = [(np.asarray(b) & 1).astype(np.uint8) for b in symbols]
+    instances = [
+        (inst[0], inst[1], inst[2],
+         (np.asarray(inst[3]) & 1).astype(np.uint8)
+         if len(inst) > 3 and inst[3] is not None else None)
+        for inst in instances]
+    sbrefine = any(r is not None for _, _, _, r in instances)
     order = sorted(range(len(symbols)),
                    key=lambda i: (symbols[i].shape[0],
                                   symbols[i].shape[1], i))
     dict_syms = [symbols[i] for i in order]
     remap = {orig: new for new, orig in enumerate(order)}
+    def eff(inst):
+        sid, _, _, r = inst
+        return r if r is not None else symbols[sid]
+
     if page_size is None:
-        pw = max(x + symbols[sid].shape[1] for sid, x, _ in instances)
-        ph = max(y + symbols[sid].shape[0] for sid, _, y in instances)
+        pw = max(x + eff(i_).shape[1] for i_ in instances
+                 for _, x, _, _ in [i_])
+        ph = max(y + eff(i_).shape[0] for i_ in instances
+                 for _, _, y, _ in [i_])
     else:
         pw, ph = page_size
     code_len = _sym_code_len(len(dict_syms))
@@ -1115,12 +1480,17 @@ def encode_jbig2_text(symbols: list, instances: list,
     iadt, iafs, iads, iait = (_IntCtx(), _IntCtx(), _IntCtx(),
                               _IntCtx())
     del iait  # SBSTRIPS == 1: CURT never coded
+    iari, iardw, iardh = _IntCtx(), _IntCtx(), _IntCtx()
+    iardx, iardy = _IntCtx(), _IntCtx()
+    gr_icx = [0] * 8192
+    gr_mps = [0] * 8192
     iaid = _IntCtx(1 << (code_len + 1))
 
     # wire S/T per the reference-corner definition: the corner pixel
-    # of the placed symbol, S along the strip axis
-    def s_t(sid: int, x: int, y: int) -> tuple[int, int]:
-        hh, ww = symbols[sid].shape
+    # of the placed (possibly refined) bitmap, S along the strip axis
+    def s_t(inst) -> tuple[int, int]:
+        _, x, y, _ = inst
+        hh, ww = eff(inst).shape
         if not transposed:
             sx = x + ww - 1 if ref_corner in (2, 3) else x
             ty = y if ref_corner in (1, 3) else y + hh - 1
@@ -1130,7 +1500,7 @@ def encode_jbig2_text(symbols: list, instances: list,
         return sy, tx
 
     wire = sorted(
-        ((s_t(sid, x, y), sid) for sid, x, y in instances),
+        ((s_t(inst), inst) for inst in instances),
         key=lambda e: (e[0][1], e[0][0]))
     _encode_int(enc, iadt, 0)  # STRIPT starts at 0
     strip_t = 0
@@ -1144,8 +1514,9 @@ def encode_jbig2_text(symbols: list, instances: list,
         first = True
         cur_s = 0
         while i < n and wire[i][0][1] == t:
-            (s_val, _), sid = wire[i]
-            hh, ww = symbols[sid].shape
+            (s_val, _), inst = wire[i]
+            sid = inst[0]
+            hh, ww = eff(inst).shape
             adv = (ww if not transposed else hh) - 1
             # the decoder pre-advances CURS by adv for right/bottom
             # corners BEFORE drawing, so the coded value targets
@@ -1160,13 +1531,35 @@ def encode_jbig2_text(symbols: list, instances: list,
             else:
                 _encode_int(enc, iads, c0 - cur_s)
             _encode_iaid(enc, iaid, code_len, remap[sid])
+            if sbrefine:
+                refined = inst[3]
+                if refined is None:
+                    _encode_int(enc, iari, 0)
+                else:
+                    _encode_int(enc, iari, 1)
+                    sym = symbols[sid]
+                    rdw = refined.shape[1] - sym.shape[1]
+                    rdh = refined.shape[0] - sym.shape[0]
+                    # pick RDX/RDY so the decoder's reference offset
+                    # (rd>>1) + rdx lands at the refined origin
+                    _encode_int(enc, iardw, rdw)
+                    _encode_int(enc, iardh, rdh)
+                    _encode_int(enc, iardx, -(rdw >> 1))
+                    _encode_int(enc, iardy, -(rdh >> 1))
+                    _encode_refinement_region(
+                        refined, sym, 0, 0, template=0,
+                        encoder=enc, icx=gr_icx, mps=gr_mps)
             cur_s = c0 + adv
             i += 1
         _encode_int(enc, iads, None)  # OOB: end of strip
     data = enc.flush()
 
-    flags = (ref_corner << 4) | ((1 if transposed else 0) << 6)
-    body = struct.pack(">IIIIB", pw, ph, 0, 0, 0)         + struct.pack(">H", flags)         + struct.pack(">I", n) + data
+    flags = (ref_corner << 4) | ((1 if transposed else 0) << 6) \
+        | (2 if sbrefine else 0)
+    rat = b"\xff\xff\xff\xff" if sbrefine else b""
+    body = struct.pack(">IIIIB", pw, ph, 0, 0, 0) \
+        + struct.pack(">H", flags) + rat \
+        + struct.pack(">I", n) + data
 
     segs = []
     num = 0

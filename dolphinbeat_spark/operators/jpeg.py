@@ -245,7 +245,11 @@ class _BitReader:
                 )
             else:
                 raise JpegError(f"unexpected marker FF{nxt:02X} inside scan")
-        self.acc = (self.acc << 8) | b
+        # mask consumed bits before shifting: stale high bits are
+        # never read but make acc a growing bignum — O(scan length)
+        # per shift, quadratic over a long restart-free scan (caught
+        # by the r13 codec-throughput bench)
+        self.acc = ((self.acc & ((1 << self.n) - 1)) << 8) | b
         self.n += 8
 
     def restart(self, expected: int) -> None:

@@ -102,39 +102,50 @@ def tiff_lzw_decode(data: bytes, limit: int) -> bytes:
     acc = nbits = 0
     prev: bytes | None = None
     pos = 0
+    n = len(data)
+    tlen = len(table)
+    outlen = 0
     while True:
         while nbits < width:
-            if pos >= len(data):
+            if pos >= n:
                 raise TiffError("LZW stream ended without EOI")
             acc = (acc << 8) | data[pos]
             pos += 1
             nbits += 8
         nbits -= width
-        code = (acc >> nbits) & ((1 << width) - 1)
+        code = acc >> nbits
+        # mask the consumed bits out — an unmasked accumulator grows
+        # into a bignum and turns every shift O(stream length) (the
+        # r13 codec-throughput bench caught this at 0.12 MB/s)
+        acc &= (1 << nbits) - 1
         if code == 256:  # Clear
             reset()
+            tlen = len(table)
             prev = None
             continue
         if code == 257:  # EOI
             return bytes(out)
         if prev is None:
-            if code >= len(table):
+            if code >= tlen:
                 raise TiffError("LZW first code after clear out of range")
             entry = table[code]
-        elif code < len(table):
+        elif code < tlen:
             entry = table[code]
             table.append(prev + entry[:1])
-        elif code == len(table):  # KwKwK
+            tlen += 1
+        elif code == tlen:  # KwKwK
             entry = prev + prev[:1]
             table.append(entry)
+            tlen += 1
         else:
-            raise TiffError(f"LZW code {code} beyond table size {len(table)}")
+            raise TiffError(f"LZW code {code} beyond table size {tlen}")
         out += entry
-        if len(out) > limit:
+        outlen += len(entry)
+        if outlen > limit:
             raise TiffError("LZW output exceeds the declared strip size")
         prev = entry
         # EARLY change: width grows one code before the table fills
-        if len(table) in (511, 1023, 2047):
+        if tlen == 511 or tlen == 1023 or tlen == 2047:
             width += 1
     raise TiffError("unreachable")
 

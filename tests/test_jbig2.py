@@ -271,12 +271,16 @@ def test_symbol_dict_chain_and_boundaries():
     tr_idx = next(i for i, sp in enumerate(spans) if sp[3]["type"] == 6)
     with pytest.raises(NotImplementedError, match="SDHUFF"):
         decode_jbig2_embedded(flip(sd_idx, 1, 1))
-    with pytest.raises(NotImplementedError, match="SDREFAGG"):
-        decode_jbig2_embedded(flip(sd_idx, 1, 2))
     with pytest.raises(NotImplementedError, match="SBHUFF"):
         decode_jbig2_embedded(flip(tr_idx, 17 + 1, 1))
-    with pytest.raises(NotImplementedError, match="SBREFINE"):
-        decode_jbig2_embedded(flip(tr_idx, 17 + 1, 2))
+    # SDREFAGG/SBREFINE are SUPPORTED since r13 — a bare flag flip
+    # turns the payload into garbage under the other coding, which
+    # must stay typed, not crash
+    for bad in (flip(sd_idx, 1, 2), flip(tr_idx, 17 + 1, 2)):
+        try:
+            decode_jbig2_embedded(bad, max_pixels=1 << 16)
+        except (Jbig2Error, NotImplementedError):
+            pass
     # fuzz the full symbol/text stream: typed or correct, never
     # foreign
     syms = [(rng.rand(6, 4) < 0.5).astype(np.uint8) for _ in range(3)]
@@ -356,3 +360,90 @@ def test_symbol_dict_chain_and_boundaries():
     got = decode_jbig2_embedded(stream)
     assert got[0:2, 0:2].all()            # s1 at (0,0)
     assert (got[0:2, 3:6] == s2).all()    # s2 at (3,0)
+
+
+def test_refinement_regions_and_refagg():
+    """Generic refinement (T.88 §6.3, r13): both templates x TPGRON
+    roundtrip with shifts; refinement region segments (41) refine the
+    page content in place; SDREFAGG single-instance dictionaries and
+    SBREFINE per-instance touch-ups decode; multi-instance
+    aggregation raises by name."""
+    import struct as st
+
+    from dolphinbeat_spark.operators.jbig2 import (
+        _decode_symbol_dict, _encode_refinement_region,
+        _encode_symbol_dict_payload, decode_refinement_region,
+        encode_jbig2_refined, encode_jbig2_text,
+    )
+
+    rng = np.random.RandomState(3)
+    for trial in range(12):
+        h, w = rng.randint(1, 24), rng.randint(1, 24)
+        ref = (rng.rand(h, w) < 0.5).astype(np.uint8)
+        bmp = ref.copy()
+        for _ in range(rng.randint(0, 6)):
+            bmp[rng.randint(h), rng.randint(w)] ^= 1
+        dx, dy = rng.randint(-2, 3), rng.randint(-2, 3)
+        for tmpl in (0, 1):
+            for tp in (False, True):
+                blob = _encode_refinement_region(bmp, ref, dx, dy,
+                                                 tmpl, tp)
+                got = decode_refinement_region(
+                    w, h, ref, dx, dy, tmpl, tpgron=tp, data=blob)
+                assert (got == bmp).all(), (trial, tmpl, tp)
+    # segment 41 refining the page
+    base = (rng.rand(20, 30) < 0.4).astype(np.uint8)
+    refined = base.copy()
+    for _ in range(12):
+        refined[rng.randint(20), rng.randint(30)] ^= 1
+    for tmpl in (0, 1):
+        for tp in (False, True):
+            got = decode_jbig2_embedded(
+                encode_jbig2_refined(base, refined, tmpl, tp))
+            assert (got == refined).all(), (tmpl, tp)
+    # SDREFAGG: a dict whose new symbols refine imported + own ones
+    a = np.zeros((5, 5), np.uint8)
+    a[1:4, 1:4] = 1
+    b = a.copy()
+    b[2, 2] = 0
+    d = _encode_symbol_dict_payload([b], refagg_refs=[0],
+                                    input_syms=[a])
+    (got_b,) = _decode_symbol_dict(d, [a])
+    assert (got_b == b).all()
+    # SBREFINE: mixed plain/refined instances, incl. a size change
+    sym = np.zeros((6, 5), np.uint8)
+    sym[1:5, 1:4] = 1
+    r1 = sym.copy()
+    r1[2, 2] = 0
+    r2 = np.zeros((7, 6), np.uint8)
+    r2[1:6, 1:5] = 1
+    inst = [(0, 1, 1, None), (0, 8, 1, r1), (0, 15, 1, r2),
+            (0, 1, 10, None)]
+    blob = encode_jbig2_text([sym], inst)
+    got = decode_jbig2_embedded(blob)
+    want = np.zeros(got.shape, np.uint8)
+    for sid, x, y, r in inst:
+        bb = r if r is not None else sym
+        want[y:y + bb.shape[0], x:x + bb.shape[1]] |= bb
+    assert (got == want).all()
+    for rc in (0, 2, 3):
+        for tr_ in (False, True):
+            g = decode_jbig2_embedded(encode_jbig2_text(
+                [sym], inst, ref_corner=rc, transposed=tr_))
+            assert (g == want).all(), (rc, tr_)
+    # REFAGGNINST > 1 raises by name: craft a refagg dict whose IAAI
+    # value is 2 by re-encoding with a patched instance count
+    from dolphinbeat_spark.operators.jbig2 import (
+        MQEncoder, _IntCtx, _encode_int,
+    )
+    enc = MQEncoder()
+    iadh, iadw = _IntCtx(), _IntCtx()
+    iaai = _IntCtx()
+    _encode_int(enc, iadh, 5)
+    _encode_int(enc, iadw, 5)
+    _encode_int(enc, iaai, 2)  # multi-instance aggregate
+    payload = (st.pack(">H", 2) + b"\x03\xff\xfd\xff\x02\xfe"
+               + b"\xfe\xff" + b"\xff\xff\xff\xff"
+               + st.pack(">II", 1, 1) + enc.flush())
+    with pytest.raises(NotImplementedError, match="REFAGGNINST"):
+        _decode_symbol_dict(payload, [])
