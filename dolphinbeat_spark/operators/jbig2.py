@@ -42,6 +42,12 @@ Covered (r13):
 - **encoder mirrors** (generic region, symbol dictionary + text
   region) for fixtures and roundtrip/fuzz pinning.
 
+- **pattern dictionaries and halftone regions** (§6.7/§6.6, r13):
+  collective-bitmap pattern decode with the fixed (-HDPW, 0) AT
+  placement, Annex C gray-scale images (Gray-coded bitplanes MSB
+  first through one shared arithmetic stream), and the skewed
+  1/256-pixel fixed-point grid stamping with all combination
+  operators;
 - **generic refinement** (§6.3, r13): both GRTEMPLATE forms at the
   reference decoder's fixed context layout, TPGRON typical
   prediction, immediate refinement region segments (41/42) refining
@@ -52,10 +58,10 @@ Covered (r13):
 Named boundaries (fail loud, fuzz-pinned): Huffman-coded symbol
 dictionaries / text regions (SDHUFF/SBHUFF — wild encoders emit the
 arithmetic form), multi-instance aggregation (REFAGGNINST > 1, a
-recursive text region), pattern/halftone segments (16-23),
-intermediate regions (types 4/36/40 retained-buffer forms beyond
-36's inline decode), unknown-length generic regions (0xFFFFFFFF data
-length), and file-header (non-embedded) streams. Conformance caveat:
+recursive text region), MMR-coded pattern/halftone forms and
+HENABLESKIP, intermediate regions (types 4/20/40 retained-buffer
+forms beyond 36's inline decode), unknown-length generic regions
+(0xFFFFFFFF data length), and file-header (non-embedded) streams. Conformance caveat:
 no jbig2dec exists in this container, so the symbol/text/refinement
 layers are pinned by the spec's own H.2 MQ vector,
 geometry-invariant roundtrips across every corner × orientation, and
@@ -402,11 +408,15 @@ def decode_generic_region(data: bytes, width: int, height: int,
 
 
 def _encode_generic_region(bmp: np.ndarray, template: int = 0,
-                           tpgdon: bool = False) -> bytes:
-    """Mirror of decode_generic_region (nominal AT, arithmetic
-    coding) for fixtures."""
+                           tpgdon: bool = False,
+                           at: list | None = None) -> bytes:
+    """Mirror of decode_generic_region (arithmetic coding) for
+    fixtures; ``at`` overrides the nominal AT placement (the pattern
+    dictionary and grayscale-plane forms use fixed non-nominal
+    positions)."""
     height, width = bmp.shape
-    at = [a for a, _ in _TEMPLATES[template]["at"]]
+    if at is None:
+        at = [a for a, _ in _TEMPLATES[template]["at"]]
     offs = _template_offsets(template, at)
     pseudo = _TEMPLATES[template]["pseudo"]
     pad_top = max(-dy for _, dy, _ in offs)
@@ -1100,6 +1110,139 @@ def _decode_text_region(d: bytes, syms: list,
     return info, bmp
 
 
+def _decode_pattern_dict(d: bytes,
+                         max_pixels: int = 1 << 26) -> list:
+    """Pattern dictionary segment (T.88 §6.7/§7.4.4): one collective
+    generic region of (GRAYMAX+1) side-by-side HDPW x HDPH cells,
+    split into the pattern list. MMR-coded dictionaries raise by
+    name."""
+    if len(d) < 7:
+        raise Jbig2Error("pattern dictionary header truncated")
+    flags = d[0]
+    hdmmr = flags & 1
+    template = (flags >> 1) & 3
+    hdpw, hdph = d[1], d[2]
+    (graymax,) = struct.unpack_from(">I", d, 3)
+    if hdmmr:
+        raise NotImplementedError(
+            "JBIG2 MMR-coded pattern dictionary (HDMMR=1) not "
+            "supported — arithmetic form only")
+    if not hdpw or not hdph:
+        raise Jbig2Error(f"pattern cell {hdpw}x{hdph}")
+    if graymax > 1 << 16:
+        raise Jbig2Error(f"pattern dictionary GRAYMAX {graymax}")
+    total_w = (graymax + 1) * hdpw
+    if total_w * hdph > max_pixels:
+        raise Jbig2Error(
+            f"pattern dictionary {total_w}x{hdph} exceeds "
+            f"max_pixels={max_pixels}")
+    # §6.7.5: fixed AT placement, A1 keyed to the cell width
+    at = [(-hdpw, 0), (-3, -1), (2, -2), (-2, -2)]
+    if template:
+        at = at[:1]
+    collective = decode_generic_region(
+        d[7:], total_w, hdph, template=template, at=at)
+    return [collective[:, k * hdpw:(k + 1) * hdpw].copy()
+            for k in range(graymax + 1)]
+
+
+def _decode_halftone_region(d: bytes, patterns: list,
+                            max_pixels: int = 1 << 26) -> tuple[dict,
+                                                                np.ndarray]:
+    """Halftone region segment (T.88 §6.6): Annex C gray-scale image
+    decoding (Gray-coded bitplanes through one shared arithmetic
+    stream, MSB first) rendered by stamping each grid cell's pattern
+    at the skewed fixed-point grid position. HENABLESKIP and MMR
+    forms raise by name."""
+    info = _parse_region_info(d)
+    if len(d) < 18:
+        raise Jbig2Error("halftone region segment truncated")
+    flags = d[17]
+    hmmr = flags & 1
+    template = (flags >> 1) & 3
+    enable_skip = (flags >> 3) & 1
+    comb_op = (flags >> 4) & 7
+    def_pixel = (flags >> 7) & 1
+    if hmmr:
+        raise NotImplementedError(
+            "JBIG2 MMR-coded halftone region (HMMR=1) not supported "
+            "— arithmetic form only")
+    if enable_skip:
+        raise NotImplementedError(
+            "JBIG2 halftone skip decoding (HENABLESKIP=1) not "
+            "supported")
+    if len(d) < 18 + 16 + 4:
+        raise Jbig2Error("halftone grid parameters truncated")
+    hgw, hgh, hgx, hgy = struct.unpack_from(">IIii", d, 18)
+    hrx, hry = struct.unpack_from(">HH", d, 34)
+    if not patterns:
+        raise Jbig2Error("halftone region with no pattern dictionary")
+    if hgw * hgh > max_pixels:
+        raise Jbig2Error(
+            f"halftone grid {hgw}x{hgh} exceeds max_pixels="
+            f"{max_pixels}")
+    w, h = info["w"], info["h"]
+    if w * h > max_pixels:
+        raise Jbig2Error(
+            f"halftone region {w}x{h} exceeds max_pixels="
+            f"{max_pixels}")
+    n_pats = len(patterns)
+    bpp = max(1, (n_pats - 1).bit_length())
+    # Annex C.5: bitplanes MSB-first through ONE arithmetic stream
+    # sharing the GB contexts; grayscale AT placement per §C.5
+    at = [(template <= 1 and 3 or 2, -1), (-3, -1), (2, -2), (-2, -2)]
+    if template:
+        at = at[:1]
+    dec = MQDecoder(d[38:])
+    offs = _template_offsets(template, at)
+    nstates = 1 << (max(b for _, _, b in offs) + 1)
+    gb_icx = [0] * nstates
+    gb_mps = [0] * nstates
+    planes = [decode_generic_region(
+        b"", hgw, hgh, template=template, at=at, decoder=dec,
+        icx=gb_icx, mps=gb_mps) for _ in range(bpp)]
+    # Gray decode: bit J = plane_J XOR bit_{J+1}, J from MSB down
+    gray = planes[0].astype(np.int32)  # planes[0] is the MSB
+    vals = gray.copy()
+    prev = gray
+    for j in range(1, bpp):
+        bit = planes[j] ^ prev
+        vals = (vals << 1) | bit
+        prev = bit
+    if int(vals.max(initial=0)) >= n_pats:
+        raise Jbig2Error(
+            f"halftone gray value {int(vals.max())} outside the "
+            f"{n_pats}-pattern dictionary")
+    ph, pw = patterns[0].shape
+    bmp = np.full((h, w), def_pixel, np.uint8)
+
+    def stamp(pat: np.ndarray, x: int, y: int) -> None:
+        x0, y0 = max(x, 0), max(y, 0)
+        x1, y1 = min(x + pw, w), min(y + ph, h)
+        if x0 >= x1 or y0 >= y1:
+            return
+        dst = bmp[y0:y1, x0:x1]
+        src = pat[y0 - y:y1 - y, x0 - x:x1 - x]
+        if comb_op == 0:
+            dst |= src
+        elif comb_op == 1:
+            dst &= src
+        elif comb_op == 2:
+            dst ^= src
+        elif comb_op == 3:
+            dst[:] = 1 - (dst ^ src)
+        else:
+            dst[:] = src
+
+    # §6.6.5.1: skewed grid at 1/256-pixel fixed point
+    for mg in range(hgh):
+        for ng in range(hgw):
+            x = (hgx + mg * hry + ng * hrx) >> 8
+            y = (hgy + mg * hrx - ng * hry) >> 8
+            stamp(patterns[int(vals[mg, ng])], x, y)
+    return info, bmp
+
+
 def decode_jbig2_embedded(data: bytes,
                           globals_data: bytes | None = None,
                           max_pixels: int = 1 << 26) -> np.ndarray:
@@ -1265,11 +1408,23 @@ def decode_jbig2_embedded(data: bytes,
             continue
         elif t == 5:
             raise Jbig2Error("reserved JBIG2 segment type 5")
+        elif t == 16:  # pattern dictionary
+            sym_store[seg["number"]] = _decode_pattern_dict(
+                d, max_pixels=max_pixels)
+        elif t in (22, 23):  # immediate (lossless) halftone region
+            pats = [p for r in seg["refs"]
+                    for p in sym_store.get(r, [])]
+            info, region = _decode_halftone_region(
+                d, pats, max_pixels=max_pixels)
+            compose(info, region)
+        elif t == 20:
+            raise NotImplementedError(
+                "JBIG2 intermediate halftone region (type 20, "
+                "retained auxiliary buffers) not supported — "
+                "immediate halftone regions (22/23) are")
         elif 16 <= t <= 43:
             raise NotImplementedError(
-                f"JBIG2 segment type {t} (pattern/halftone/refinement "
-                "family) not supported — generic/symbol/text profile "
-                "only")
+                f"JBIG2 segment type {t} not supported")
         else:
             raise Jbig2Error(f"unknown JBIG2 segment type {t}")
     if page is None:
@@ -1434,6 +1589,83 @@ def encode_jbig2_refined(base: np.ndarray,
         + struct.pack(">I", 0)
     del num
     return body + seg41 + seg49
+
+
+def encode_jbig2_halftone(gray: np.ndarray,
+                          patterns: list) -> bytes:
+    """Embedded-profile page: pattern dictionary (type 16) + one
+    immediate halftone region (type 22) stamping ``patterns[v]`` per
+    grid cell of the (HGH, HGW) ``gray`` value array — unskewed grid
+    at the patterns' pitch. Fixture mirror for _decode_pattern_dict /
+    _decode_halftone_region (square patterns: the grid pitch HRX
+    drives both axes)."""
+    patterns = [(np.asarray(p) & 1).astype(np.uint8) for p in patterns]
+    gray = np.asarray(gray, np.int64)
+    ph, pw = patterns[0].shape
+    if ph != pw:
+        raise ValueError("halftone fixture wants square patterns")
+    if any(p.shape != (ph, pw) for p in patterns):
+        raise ValueError("patterns must share one cell size")
+    if int(gray.max(initial=0)) >= len(patterns):
+        raise ValueError("gray value outside the pattern dictionary")
+    hgh, hgw = gray.shape
+    w, h = hgw * pw, hgh * ph
+    # pattern dictionary: collective bitmap, A1 = (-HDPW, 0)
+    collective = np.concatenate(patterns, axis=1)
+    pd_at = [(-pw, 0), (-3, -1), (2, -2), (-2, -2)]
+    pd_payload = bytes([0]) + bytes([pw, ph]) \
+        + struct.pack(">I", len(patterns) - 1) \
+        + _encode_generic_region(collective, template=0, at=pd_at)
+    # halftone region: Gray-coded bitplanes MSB-first, one stream
+    bpp = max(1, (len(patterns) - 1).bit_length())
+    gs_at = [(3, -1), (-3, -1), (2, -2), (-2, -2)]
+    offs = _template_offsets(0, gs_at)
+    nstates = 1 << (max(b for _, _, b in offs) + 1)
+    gb_icx = [0] * nstates
+    gb_mps = [0] * nstates
+    enc = MQEncoder()
+    pad_top = max(-dy for _, dy, _ in offs)
+    pad_l = max(max(-dx for dx, _, _ in offs), 0)
+    pad_r = max(max(dx for dx, _, _ in offs), 0)
+    offp = [(dx + pad_l, dy, bit) for dx, dy, bit in offs]
+
+    def encode_plane(plane: np.ndarray) -> None:
+        padded = np.zeros((hgh + pad_top, hgw + pad_l + pad_r),
+                          np.uint8)
+        for y in range(hgh):
+            yy = y + pad_top
+            for x in range(hgw):
+                ctx = 0
+                for dx, dy, bit in offp:
+                    if padded[yy + dy, x + dx]:
+                        ctx |= 1 << bit
+                b = int(plane[y, x])
+                enc.encode(gb_icx, gb_mps, ctx, b)
+                padded[yy, x + pad_l] = b
+
+    prev = np.zeros_like(gray)
+    for j in range(bpp - 1, -1, -1):  # MSB first
+        bit = (gray >> j) & 1
+        encode_plane((bit ^ prev).astype(np.uint8))
+        prev = bit
+    ht_payload = struct.pack(">IIIIB", w, h, 0, 0, 0) \
+        + bytes([0]) \
+        + struct.pack(">IIii", hgw, hgh, 0, 0) \
+        + struct.pack(">HH", pw << 8, 0) \
+        + enc.flush()
+
+    segs = []
+
+    def seg(num, seg_type, payload, refs=()):
+        ref_blob = bytes([len(refs) << 5]) + bytes(refs)
+        return (struct.pack(">IB", num, seg_type) + ref_blob
+                + b"\x01" + struct.pack(">I", len(payload)) + payload)
+
+    segs.append(seg(0, 48, struct.pack(">IIIIBH", w, h, 0, 0, 0, 0)))
+    segs.append(seg(1, 16, pd_payload))
+    segs.append(seg(2, 22, ht_payload, refs=(1,)))
+    segs.append(seg(3, 49, b""))
+    return b"".join(segs)
 
 
 def encode_jbig2_text(symbols: list, instances: list,

@@ -447,3 +447,62 @@ def test_refinement_regions_and_refagg():
                + st.pack(">II", 1, 1) + enc.flush())
     with pytest.raises(NotImplementedError, match="REFAGGNINST"):
         _decode_symbol_dict(payload, [])
+
+
+def test_pattern_dict_and_halftone_region():
+    """Pattern dictionary + halftone region (r13): Gray-coded
+    bitplane grayscale images stamp density patterns per grid cell
+    across 1/2/3-bit depths; MMR/skip/intermediate forms raise by
+    name; bit-flip fuzz stays typed."""
+    from dolphinbeat_spark.operators.jbig2 import (
+        encode_jbig2_halftone,
+    )
+
+    rng = np.random.RandomState(12)
+    for npat, cell in ((2, 3), (4, 4), (7, 3)):
+        pats = []
+        for lvl in range(npat):
+            p = np.zeros((cell, cell), np.uint8)
+            p.flat[:lvl + 1] = 1
+            pats.append(p)
+        gray = rng.randint(0, npat, (6, 9))
+        got = decode_jbig2_embedded(encode_jbig2_halftone(gray, pats))
+        want = np.zeros((6 * cell, 9 * cell), np.uint8)
+        for mg in range(6):
+            for ng in range(9):
+                want[mg * cell:(mg + 1) * cell,
+                     ng * cell:(ng + 1) * cell] = pats[gray[mg, ng]]
+        assert got.shape == want.shape and (got == want).all(), npat
+    # boundary flags raise by name (flip HDMMR / HMMR / HENABLESKIP)
+    from dolphinbeat_spark.operators.jbig2 import _parse_segment_header
+    pats = [np.zeros((3, 3), np.uint8), np.ones((3, 3), np.uint8)]
+    blob = encode_jbig2_halftone(rng.randint(0, 2, (4, 4)), pats)
+    spans = []
+    pos = 0
+    while pos < len(blob):
+        seg_, nxt = _parse_segment_header(blob, pos)
+        spans.append((nxt - len(seg_["data"]), seg_))
+        pos = nxt
+    pd_off = next(o for o, sp in spans if sp["type"] == 16)
+    ht_off = next(o for o, sp in spans if sp["type"] == 22)
+    b = bytearray(blob)
+    b[pd_off] |= 1  # HDMMR
+    with pytest.raises(NotImplementedError, match="HDMMR"):
+        decode_jbig2_embedded(bytes(b))
+    b = bytearray(blob)
+    b[ht_off + 17] |= 1  # HMMR
+    with pytest.raises(NotImplementedError, match="HMMR"):
+        decode_jbig2_embedded(bytes(b))
+    b = bytearray(blob)
+    b[ht_off + 17] |= 8  # HENABLESKIP
+    with pytest.raises(NotImplementedError, match="HENABLESKIP"):
+        decode_jbig2_embedded(bytes(b))
+    # fuzz
+    for _ in range(200):
+        b = bytearray(blob)
+        b[rng.randint(0, len(b))] ^= 1 << rng.randint(0, 8)
+        try:
+            out = decode_jbig2_embedded(bytes(b), max_pixels=1 << 16)
+            assert out.size <= 1 << 16
+        except (Jbig2Error, NotImplementedError):
+            pass
