@@ -1108,6 +1108,40 @@ def decode_audio(df: DataFrame, digest: str = "bytes") -> DataFrame:
     return df.mapInPandas(batches, AUDIO_SCHEMA)
 
 
+def sniff_decode_image(b: bytes) -> tuple[str, int, int, np.ndarray]:
+    """Magic-sniff one image payload -> (fmt, w, h, pixel array) via
+    the from-scratch codecs — the shared decode slot behind
+    decode_media and operators/imagehash.py."""
+    if b[:2] == b"P6":
+        fmt, (w, h, px) = "ppm", decode_ppm(b)
+    elif b[:2] == b"BM":
+        fmt, (w, h, px) = "bmp", decode_bmp(b)
+    elif b[:8] == _PNG_SIG:
+        fmt, (w, h, px) = "png", decode_png(b)
+    elif b[:4] == b"GIF8":
+        fmt, (w, h, px) = "gif", decode_gif(b)
+    elif b[:2] == b"\xff\xd8":
+        from dolphinbeat_spark.operators.jpeg import decode_jpeg
+
+        fmt, (w, h, px) = "jpeg", decode_jpeg(b)
+    elif b[:4] in (b"II*\x00", b"MM\x00*"):
+        from dolphinbeat_spark.operators.tiff import decode_tiff
+
+        fmt, (w, h, px) = "tiff", decode_tiff(b)
+    elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from dolphinbeat_spark.operators.webp import decode_webp
+
+        fmt, (w, h, px) = "webp", decode_webp(b)
+    elif b[:4] == b"\x00\x00\x01\x00":
+        fmt, (w, h, px) = "ico", decode_ico(b)
+    else:
+        raise NotImplementedError(
+            "media formats beyond PPM/BMP/PNG/GIF/JPEG need "
+            "codec libraries not present in this environment"
+        )
+    return fmt, w, h, px
+
+
 def decode_media(df: DataFrame, digest: str = "bytes") -> DataFrame:
     """REAL media decode: sniffs the payload magic and decodes actual
     pixel data with the from-scratch codecs (PPM, BMP, PNG, GIF,
@@ -1127,34 +1161,7 @@ def decode_media(df: DataFrame, digest: str = "bytes") -> DataFrame:
         for pdf in it:
             rows = []
             for mid, raw in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(raw)
-                if b[:2] == b"P6":
-                    fmt, (w, h, px) = "ppm", decode_ppm(b)
-                elif b[:2] == b"BM":
-                    fmt, (w, h, px) = "bmp", decode_bmp(b)
-                elif b[:8] == _PNG_SIG:
-                    fmt, (w, h, px) = "png", decode_png(b)
-                elif b[:4] == b"GIF8":
-                    fmt, (w, h, px) = "gif", decode_gif(b)
-                elif b[:2] == b"\xff\xd8":
-                    from dolphinbeat_spark.operators.jpeg import decode_jpeg
-
-                    fmt, (w, h, px) = "jpeg", decode_jpeg(b)
-                elif b[:4] in (b"II*\x00", b"MM\x00*"):
-                    from dolphinbeat_spark.operators.tiff import decode_tiff
-
-                    fmt, (w, h, px) = "tiff", decode_tiff(b)
-                elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
-                    from dolphinbeat_spark.operators.webp import decode_webp
-
-                    fmt, (w, h, px) = "webp", decode_webp(b)
-                elif b[:4] == b"\x00\x00\x01\x00":
-                    fmt, (w, h, px) = "ico", decode_ico(b)
-                else:
-                    raise NotImplementedError(
-                        "media formats beyond PPM/BMP/PNG/GIF/JPEG need "
-                        "codec libraries not present in this environment"
-                    )
+                fmt, w, h, px = sniff_decode_image(bytes(raw))
                 px = np.ascontiguousarray(px)
                 if px.dtype.itemsize > 1:  # explicit LE for the digest
                     px = px.astype(px.dtype.newbyteorder("<"))

@@ -2389,6 +2389,108 @@ def pipeline_charset_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "mm_image_dhash_neardup",
+    # IMAGE near-duplicate detection (r13, operators/imagehash.py):
+    # per doc, TWO images — a 45x40 PNG whose 9x8 grid of 5px blocks
+    # carries gray 16*d+8 from the doc md5's first 72 hex digits, and
+    # a BMP re-encode of the pattern with ONE digit flipped (char 5
+    # -> 'f'/'0'), i.e. a near-dup within 2 dHash bits. The pipeline
+    # decodes via the shared codec sniff, computes the 64-bit
+    # difference hash, and joins near-dups through the banded Hamming
+    # LSH (4 x 16-bit bands -> candidates, exact bit_count filter).
+    # Block sizes divide exactly, so the area-mean grid IS the digit
+    # grid and the oracle rebuilds both hashes in closed form
+    # (comparisons are monotone in the hex digit), then reproduces
+    # the SAME banded-candidate contract over all pairs.
+    oracle="""
+WITH p AS (
+  SELECT doc_id, repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 25 = 17
+), imgs AS (
+  SELECT doc_id, 2 * doc_id AS media_id, pattern FROM p
+  UNION ALL
+  SELECT doc_id, 2 * doc_id + 1,
+         substr(pattern, 1, 4)
+           || CASE WHEN substr(pattern, 5, 1) = 'f' THEN '0'
+                   ELSE 'f' END
+           || substr(pattern, 6)
+  FROM p
+), bits AS (
+  SELECT media_id, r, c,
+         CASE WHEN strpos('0123456789abcdef',
+                          substr(pattern, r * 9 + c + 2, 1))
+                 > strpos('0123456789abcdef',
+                          substr(pattern, r * 9 + c + 1, 1))
+              THEN 1 ELSE 0 END AS bit
+  FROM imgs, generate_series(0, 7) g1(r), generate_series(0, 7) g2(c)
+), hashes AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN bit = 0 THEN 0
+                       WHEN r = 0 AND c = 0
+                         THEN -9223372036854775808
+                       ELSE (CAST(1 AS BIGINT)
+                             << (63 - (r * 8 + c))) END)
+              AS BIGINT) AS dhash
+  FROM bits GROUP BY media_id
+)
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT)
+           AS hamming_dist
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE (((a.dhash >> 0) & 65535) = ((b.dhash >> 0) & 65535)
+    OR ((a.dhash >> 16) & 65535) = ((b.dhash >> 16) & 65535)
+    OR ((a.dhash >> 32) & 65535) = ((b.dhash >> 32) & 65535)
+    OR ((a.dhash >> 48) & 65535) = ((b.dhash >> 48) & 65535))
+  AND bit_count(xor(a.dhash, b.dhash)) <= 4
+ORDER BY media_a, media_b
+""",
+    tags=("multimodal", "dedup", "image", "lsh", "codec"),
+)
+def mm_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup under the oracle gate (r13): the
+    crawl's image share dedups by 64-bit difference hash + banded
+    Hamming LSH — decode and hash share one Arrow pass, candidates
+    come from a shuffle join on 16-bit band values (never
+    all-pairs), and the exact bit_count filter runs JVM-side. PNG
+    and BMP re-encodes of the same pixels collide exactly; the
+    planted one-digit variants sit within 2 bits."""
+    import hashlib
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.imagehash import (
+        dhash_near_dup_pairs, image_dhash,
+    )
+    from dolphinbeat_spark.operators.multimodal import (
+        encode_bmp, encode_png,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 17)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    hexd = "0123456789abcdef"
+    rows = []
+    for i in ids:
+        pattern = hashlib.md5(str(i).encode()).hexdigest() * 3
+        variant = (pattern[:4]
+                   + ("0" if pattern[4] == "f" else "f")
+                   + pattern[5:])
+        for mid, pat, enc in ((2 * i, pattern, encode_png),
+                              (2 * i + 1, variant, encode_bmp)):
+            vals = np.array([16 * hexd.index(ch) + 8
+                             for ch in pat[:72]],
+                            np.uint8).reshape(8, 9)
+            img = np.repeat(np.repeat(vals, 5, 0), 5, 1)
+            rgb = np.dstack([img] * 3).tobytes()
+            rows.append((mid, bytearray(enc(45, 40, rgb))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = dhash_near_dup_pairs(image_dhash(media), max_dist=4)
+    return (pairs.select("media_a", "media_b",
+                         F.col("hamming_dist").cast("long")
+                         .alias("hamming_dist"))
+            .orderBy("media_a", "media_b"))
+
+
+@register(
     "pipeline_crawl_images",
     # the image share of a crawl end-to-end (r11): each doc's WARC
     # carries THREE image responses — image/png (lossless pattern),
