@@ -2491,6 +2491,111 @@ def mm_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_audio_fp_neardup",
+    # AUDIO near-duplicate detection (r13, operators/audiofp.py —
+    # the sibling of mm_image_dhash_neardup): per doc, a 16-bit mono
+    # WAV whose 65 windows of 80 samples hold constant amplitude
+    # 100*(digit+1) from the doc md5's first 65 hex digits, and a
+    # FLAC re-encode at 2x VOLUME with ONE digit flipped (char 3 ->
+    # 'f'/'0'): the loudness-contour fingerprint is volume- and
+    # container-invariant, so the planted pair sits within 2 Hamming
+    # bits and the SAME banded-LSH join as the image path finds it.
+    # Window comparisons are monotone in the digit, so the oracle
+    # rebuilds both fingerprints in closed form and reproduces the
+    # band-candidate contract.
+    oracle="""
+WITH p AS (
+  SELECT doc_id, repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 25 = 19
+), clips AS (
+  SELECT doc_id, 2 * doc_id AS media_id, pattern FROM p
+  UNION ALL
+  SELECT doc_id, 2 * doc_id + 1,
+         substr(pattern, 1, 2)
+           || CASE WHEN substr(pattern, 3, 1) = 'f' THEN '0'
+                   ELSE 'f' END
+           || substr(pattern, 4)
+  FROM p
+), bits AS (
+  SELECT media_id, k,
+         CASE WHEN strpos('0123456789abcdef',
+                          substr(pattern, k + 2, 1))
+                 > strpos('0123456789abcdef',
+                          substr(pattern, k + 1, 1))
+              THEN 1 ELSE 0 END AS bit
+  FROM clips, generate_series(0, 63) g(k)
+), fps AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN bit = 0 THEN 0
+                       WHEN k = 0 THEN -9223372036854775808
+                       ELSE (CAST(1 AS BIGINT) << (63 - k)) END)
+              AS BIGINT) AS fp
+  FROM bits GROUP BY media_id
+)
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming_dist
+FROM fps a JOIN fps b ON a.media_id < b.media_id
+WHERE (((a.fp >> 0) & 65535) = ((b.fp >> 0) & 65535)
+    OR ((a.fp >> 16) & 65535) = ((b.fp >> 16) & 65535)
+    OR ((a.fp >> 32) & 65535) = ((b.fp >> 32) & 65535)
+    OR ((a.fp >> 48) & 65535) = ((b.fp >> 48) & 65535))
+  AND bit_count(xor(a.fp, b.fp)) <= 4
+ORDER BY media_a, media_b
+""",
+    tags=("multimodal", "dedup", "audio", "lsh", "codec"),
+)
+def mm_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup dedup under the oracle gate (r13): the
+    loudness-contour fingerprint over decoded WAV/FLAC samples feeds
+    the SAME hash-agnostic banded Hamming join as the image path —
+    one 8-byte value per clip into a band-keyed shuffle, duplicates
+    across container and volume changes land within 2 bits."""
+    import hashlib
+    import struct as st
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.audiofp import audio_fingerprint
+    from dolphinbeat_spark.operators.flac import encode_flac
+    from dolphinbeat_spark.operators.imagehash import (
+        dhash_near_dup_pairs,
+    )
+
+    def wav16(sig: np.ndarray) -> bytes:
+        data = sig.astype(np.int16).tobytes()
+        return (b"RIFF" + st.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + st.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                    16000, 2, 16)
+                + b"data" + st.pack("<I", len(data)) + data)
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 19)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    hexd = "0123456789abcdef"
+    rows = []
+    for i in ids:
+        pattern = hashlib.md5(str(i).encode()).hexdigest() * 3
+        variant = (pattern[:2]
+                   + ("0" if pattern[2] == "f" else "f")
+                   + pattern[3:])
+        base = np.repeat(
+            np.array([100 * (hexd.index(c) + 1)
+                      for c in pattern[:65]]), 80)
+        var = np.repeat(
+            np.array([100 * (hexd.index(c) + 1)
+                      for c in variant[:65]]), 80) * 2
+        rows.append((2 * i, bytearray(wav16(base))))
+        rows.append((2 * i + 1, bytearray(
+            encode_flac(var.astype(np.int16).reshape(-1, 1), 8000))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = dhash_near_dup_pairs(audio_fingerprint(media), max_dist=4,
+                                 hash_col="fingerprint")
+    return (pairs.select("media_a", "media_b",
+                         F.col("hamming_dist").cast("long")
+                         .alias("hamming_dist"))
+            .orderBy("media_a", "media_b"))
+
+
+@register(
     "pipeline_crawl_images",
     # the image share of a crawl end-to-end (r11): each doc's WARC
     # carries THREE image responses — image/png (lossless pattern),
