@@ -2491,6 +2491,129 @@ def mm_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_image_dedup_clusters",
+    # The FULL image-dedup pipeline (r13): perceptual hashes ->
+    # banded Hamming pairs -> connected components -> canonical
+    # keeper per cluster. Per doc, THREE block-grid images: the base
+    # pattern, a one-digit variant (char 5), and a two-digit variant
+    # (chars 5+13) — a chain whose pairwise distances are <= 2/2/4,
+    # so all three land in one cluster whose canonical id is the
+    # smallest media_id. Components run via the large-star/small-star
+    # operator (operators/dedup.py — O(log^2) shuffle rounds at
+    # 100 TB); the oracle rebuilds the hashes and banded pairs in
+    # closed form and takes the transitive closure with a recursive
+    # CTE.
+    oracle="""
+WITH RECURSIVE p AS (
+  SELECT doc_id, repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 25 = 23
+), imgs AS (
+  SELECT doc_id, 10 * doc_id AS media_id, pattern FROM p
+  UNION ALL
+  SELECT doc_id, 10 * doc_id + 1,
+         substr(pattern, 1, 4)
+           || CASE WHEN substr(pattern, 5, 1) = 'f' THEN '0'
+                   ELSE 'f' END || substr(pattern, 6)
+  FROM p
+  UNION ALL
+  SELECT doc_id, 10 * doc_id + 2,
+         substr(pattern, 1, 4)
+           || CASE WHEN substr(pattern, 5, 1) = 'f' THEN '0'
+                   ELSE 'f' END || substr(pattern, 6, 7)
+           || CASE WHEN substr(pattern, 13, 1) = 'f' THEN '0'
+                   ELSE 'f' END || substr(pattern, 14)
+  FROM p
+), bits AS (
+  SELECT media_id, r, c,
+         CASE WHEN strpos('0123456789abcdef',
+                          substr(pattern, r * 9 + c + 2, 1))
+                 > strpos('0123456789abcdef',
+                          substr(pattern, r * 9 + c + 1, 1))
+              THEN 1 ELSE 0 END AS bit
+  FROM imgs, generate_series(0, 7) g1(r), generate_series(0, 7) g2(c)
+), hashes AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN bit = 0 THEN 0
+                       WHEN r = 0 AND c = 0
+                         THEN -9223372036854775808
+                       ELSE (CAST(1 AS BIGINT)
+                             << (63 - (r * 8 + c))) END)
+              AS BIGINT) AS dhash
+  FROM bits GROUP BY media_id
+), pairs AS (
+  SELECT a.media_id AS ma, b.media_id AS mb
+  FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+  WHERE (((a.dhash >> 0) & 65535) = ((b.dhash >> 0) & 65535)
+      OR ((a.dhash >> 16) & 65535) = ((b.dhash >> 16) & 65535)
+      OR ((a.dhash >> 32) & 65535) = ((b.dhash >> 32) & 65535)
+      OR ((a.dhash >> 48) & 65535) = ((b.dhash >> 48) & 65535))
+    AND bit_count(xor(a.dhash, b.dhash)) <= 4
+), edges AS (
+  SELECT ma AS src, mb AS dst FROM pairs
+  UNION SELECT mb, ma FROM pairs
+), reach AS (
+  SELECT src AS node, dst AS other FROM edges
+  UNION
+  SELECT e.src, r.other FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node,
+       least(node, min(other)) AS cluster_id,
+       node = least(node, min(other)) AS is_canonical
+FROM reach GROUP BY node
+ORDER BY node
+""",
+    tags=("multimodal", "dedup", "image", "lsh", "clusters", "codec"),
+)
+def mm_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image dedup under the oracle gate (r13): decode ->
+    dHash -> banded Hamming pairs -> large-star/small-star connected
+    components -> canonical keeper per duplicate cluster. The whole
+    chain is the contract a 100 TB crawl runs to keep ONE copy of
+    each recurring image."""
+    import hashlib
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.dedup import (
+        connected_components_star,
+    )
+    from dolphinbeat_spark.operators.imagehash import (
+        dhash_near_dup_pairs, image_dhash,
+    )
+    from dolphinbeat_spark.operators.multimodal import encode_png
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 23)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    hexd = "0123456789abcdef"
+
+    def flip(p: str, pos: int) -> str:
+        return (p[:pos] + ("0" if p[pos] == "f" else "f")
+                + p[pos + 1:])
+
+    rows = []
+    for i in ids:
+        pattern = hashlib.md5(str(i).encode()).hexdigest() * 3
+        variants = [pattern, flip(pattern, 4),
+                    flip(flip(pattern, 4), 12)]
+        for k, pat in enumerate(variants):
+            vals = np.array([16 * hexd.index(ch) + 8
+                             for ch in pat[:72]],
+                            np.uint8).reshape(8, 9)
+            img = np.repeat(np.repeat(vals, 5, 0), 5, 1)
+            rows.append((10 * i + k, bytearray(
+                encode_png(45, 40, np.dstack([img] * 3).tobytes()))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = dhash_near_dup_pairs(image_dhash(media), max_dist=4)
+    cc = connected_components_star(pairs, id_a="media_a",
+                                   id_b="media_b")
+    return (cc.select(F.col("node"),
+                      F.col("cluster_id"),
+                      (F.col("node") == F.col("cluster_id"))
+                      .alias("is_canonical"))
+            .orderBy("node"))
+
+
+@register(
     "mm_audio_fp_neardup",
     # AUDIO near-duplicate detection (r13, operators/audiofp.py —
     # the sibling of mm_image_dhash_neardup): per doc, a 16-bit mono
