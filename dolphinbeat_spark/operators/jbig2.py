@@ -58,8 +58,9 @@ Covered (r13):
 Named boundaries (fail loud, fuzz-pinned): Huffman-coded symbol
 dictionaries / text regions (SDHUFF/SBHUFF — wild encoders emit the
 arithmetic form), multi-instance aggregation (REFAGGNINST > 1, a
-recursive text region), MMR-coded pattern/halftone forms and
-HENABLESKIP, intermediate regions (types 4/20/40 retained-buffer
+recursive text region), MMR-coded halftone BITPLANES and
+HENABLESKIP (MMR pattern dictionaries decode via the T.6 codec),
+intermediate regions (types 4/20/40 retained-buffer
 forms beyond 36's inline decode), unknown-length generic regions
 (0xFFFFFFFF data length), and file-header (non-embedded) streams. Conformance caveat:
 no jbig2dec exists in this container, so the symbol/text/refinement
@@ -1113,9 +1114,10 @@ def _decode_text_region(d: bytes, syms: list,
 def _decode_pattern_dict(d: bytes,
                          max_pixels: int = 1 << 26) -> list:
     """Pattern dictionary segment (T.88 §6.7/§7.4.4): one collective
-    generic region of (GRAYMAX+1) side-by-side HDPW x HDPH cells,
-    split into the pattern list. MMR-coded dictionaries raise by
-    name."""
+    region of (GRAYMAX+1) side-by-side HDPW x HDPH cells — arithmetic
+    (fixed AT, A1 keyed to the cell width) or MMR (HDMMR=1, one T.6
+    stream through the in-repo CCITT codec) — split into the pattern
+    list."""
     if len(d) < 7:
         raise Jbig2Error("pattern dictionary header truncated")
     flags = d[0]
@@ -1123,10 +1125,6 @@ def _decode_pattern_dict(d: bytes,
     template = (flags >> 1) & 3
     hdpw, hdph = d[1], d[2]
     (graymax,) = struct.unpack_from(">I", d, 3)
-    if hdmmr:
-        raise NotImplementedError(
-            "JBIG2 MMR-coded pattern dictionary (HDMMR=1) not "
-            "supported — arithmetic form only")
     if not hdpw or not hdph:
         raise Jbig2Error(f"pattern cell {hdpw}x{hdph}")
     if graymax > 1 << 16:
@@ -1136,12 +1134,18 @@ def _decode_pattern_dict(d: bytes,
         raise Jbig2Error(
             f"pattern dictionary {total_w}x{hdph} exceeds "
             f"max_pixels={max_pixels}")
-    # §6.7.5: fixed AT placement, A1 keyed to the cell width
-    at = [(-hdpw, 0), (-3, -1), (2, -2), (-2, -2)]
-    if template:
-        at = at[:1]
-    collective = decode_generic_region(
-        d[7:], total_w, hdph, template=template, at=at)
+    if hdmmr:
+        # §6.7.5: the collective bitmap is one MMR (T.6) stream —
+        # the fax-pipeline form, through the in-repo CCITT codec
+        collective = decode_generic_region(
+            d[7:], total_w, hdph, mmr=True)
+    else:
+        # §6.7.5: fixed AT placement, A1 keyed to the cell width
+        at = [(-hdpw, 0), (-3, -1), (2, -2), (-2, -2)]
+        if template:
+            at = at[:1]
+        collective = decode_generic_region(
+            d[7:], total_w, hdph, template=template, at=at)
     return [collective[:, k * hdpw:(k + 1) * hdpw].copy()
             for k in range(graymax + 1)]
 
@@ -1592,7 +1596,8 @@ def encode_jbig2_refined(base: np.ndarray,
 
 
 def encode_jbig2_halftone(gray: np.ndarray,
-                          patterns: list) -> bytes:
+                          patterns: list,
+                          mmr_patterns: bool = False) -> bytes:
     """Embedded-profile page: pattern dictionary (type 16) + one
     immediate halftone region (type 22) stamping ``patterns[v]`` per
     grid cell of the (HGH, HGW) ``gray`` value array — unskewed grid
@@ -1610,12 +1615,20 @@ def encode_jbig2_halftone(gray: np.ndarray,
         raise ValueError("gray value outside the pattern dictionary")
     hgh, hgw = gray.shape
     w, h = hgw * pw, hgh * ph
-    # pattern dictionary: collective bitmap, A1 = (-HDPW, 0)
+    # pattern dictionary: collective bitmap, A1 = (-HDPW, 0); the
+    # MMR form routes through the in-repo T.6 encoder (HDMMR=1)
     collective = np.concatenate(patterns, axis=1)
-    pd_at = [(-pw, 0), (-3, -1), (2, -2), (-2, -2)]
-    pd_payload = bytes([0]) + bytes([pw, ph]) \
-        + struct.pack(">I", len(patterns) - 1) \
-        + _encode_generic_region(collective, template=0, at=pd_at)
+    if mmr_patterns:
+        from dolphinbeat_spark.operators.ccitt import ccitt_encode
+        pd_body = ccitt_encode(collective, mode="g4")
+        pd_flags = 1
+    else:
+        pd_at = [(-pw, 0), (-3, -1), (2, -2), (-2, -2)]
+        pd_body = _encode_generic_region(collective, template=0,
+                                         at=pd_at)
+        pd_flags = 0
+    pd_payload = bytes([pd_flags]) + bytes([pw, ph]) \
+        + struct.pack(">I", len(patterns) - 1) + pd_body
     # halftone region: Gray-coded bitplanes MSB-first, one stream
     bpp = max(1, (len(patterns) - 1).bit_length())
     gs_at = [(3, -1), (-3, -1), (2, -2), (-2, -2)]

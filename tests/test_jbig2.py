@@ -485,10 +485,18 @@ def test_pattern_dict_and_halftone_region():
         pos = nxt
     pd_off = next(o for o, sp in spans if sp["type"] == 16)
     ht_off = next(o for o, sp in spans if sp["type"] == 22)
-    b = bytearray(blob)
-    b[pd_off] |= 1  # HDMMR
-    with pytest.raises(NotImplementedError, match="HDMMR"):
-        decode_jbig2_embedded(bytes(b))
+    # HDMMR pattern dictionaries are SUPPORTED (r13): the MMR form
+    # roundtrips through the in-repo T.6 codec
+    rng_g = np.random.RandomState(1)
+    gmm = rng_g.randint(0, 2, (4, 4))
+    got = decode_jbig2_embedded(
+        encode_jbig2_halftone(gmm, pats, mmr_patterns=True))
+    want_mm = np.zeros((12, 12), np.uint8)
+    for mg in range(4):
+        for ng in range(4):
+            want_mm[mg * 3:(mg + 1) * 3,
+                    ng * 3:(ng + 1) * 3] = pats[gmm[mg, ng]]
+    assert (got == want_mm).all()
     b = bytearray(blob)
     b[ht_off + 17] |= 1  # HMMR
     with pytest.raises(NotImplementedError, match="HMMR"):

@@ -265,3 +265,102 @@ def test_short_doc_shingles_empty_not_crash(spark):
         df, "doc_id", "text", (F.col("doc_id") == 1), k=3
     ).collect()
     assert [r["train_doc_id"] for r in got] == [3]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 1)),
+                min_size=1, max_size=800))
+def test_mq_coder_roundtrip_property(seq):
+    """T.88 MQ coder (r13): ANY multi-context decision sequence
+    roundtrips through encode -> flush -> decode — the
+    property-based widening of the spec's H.2 vector pin."""
+    from dolphinbeat_spark.operators.jbig2 import MQDecoder, MQEncoder
+
+    enc = MQEncoder()
+    icx, mps = [0] * 16, [0] * 16
+    for cx, d in seq:
+        enc.encode(icx, mps, cx, d)
+    blob = enc.flush()
+    dec = MQDecoder(blob)
+    icx, mps = [0] * 16, [0] * 16
+    assert [dec.decode(icx, mps, cx) for cx, _ in seq] \
+        == [d for _, d in seq]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(st.none(),
+                          st.integers(-(1 << 31), (1 << 31) - 1)),
+                min_size=1, max_size=300))
+def test_jbig2_int_coder_roundtrip_property(vals):
+    """T.88 Annex A arithmetic integers (r13): every 32-bit value and
+    OOB roundtrips through one adaptive context."""
+    from dolphinbeat_spark.operators.jbig2 import (
+        MQDecoder, MQEncoder, _IntCtx, _decode_int, _encode_int,
+    )
+
+    enc = MQEncoder()
+    ctx = _IntCtx()
+    for v in vals:
+        _encode_int(enc, ctx, v)
+    dec = MQDecoder(enc.flush())
+    ctx = _IntCtx()
+    assert [_decode_int(dec, ctx) for _ in vals] == vals
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.data_too_large])
+@given(st.binary(min_size=0, max_size=20000),
+       st.sampled_from([None, 7, 100, 900]),
+       st.sampled_from([10, 12, 16]))
+def test_compress_z_roundtrip_property(data, clear_every, maxbits):
+    """compress(1) .Z (r13): arbitrary bytes roundtrip through the
+    writer (incl. adaptive CLEAR emission with the historical group
+    padding) and the padding-aware reader."""
+    from dolphinbeat_spark.operators.lzw_z import decode_z, encode_z
+
+    z = encode_z(data, maxbits=maxbits, clear_every=clear_every)
+    assert decode_z(z) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=5000), min_size=1,
+                max_size=4))
+def test_gzip_multi_capped_property(parts):
+    """sources/inflate.py (r13): concatenated gzip members roundtrip
+    under a generous cap; a cap below the total inflated size always
+    raises the typed error, never over-produces."""
+    import zlib
+
+    from dolphinbeat_spark.sources.inflate import (
+        InflateError, gzip_multi_capped,
+    )
+
+    blob = b""
+    total = 0
+    for p in parts:
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        blob += co.compress(p) + co.flush()
+        total += len(p)
+    want = b"".join(parts)
+    assert gzip_multi_capped(blob, total + 1) == want
+    if total > 0:
+        with pytest.raises(InflateError):
+            gzip_multi_capped(blob, total - 1)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 200), min_size=72, max_size=72),
+       st.integers(1, 55))
+def test_dhash64_brightness_invariance_property(vals, shift):
+    """operators/imagehash.py (r13): the difference hash is invariant
+    under any non-saturating brightness shift and 2x upscaling, for
+    ANY block image."""
+    import numpy as np
+
+    from dolphinbeat_spark.operators.imagehash import dhash64
+
+    grid = np.array(vals, np.int32).reshape(8, 9)
+    img = np.repeat(np.repeat(grid, 5, 0), 5, 1)
+    h = dhash64(img)
+    assert dhash64(img + shift) == h
+    assert dhash64(np.repeat(np.repeat(img, 2, 0), 2, 1)) == h
