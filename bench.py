@@ -326,8 +326,11 @@ def codec_throughput_section(spark) -> dict:
         out = ctypes.POINTER(ctypes.c_uint8)()
         n = lib.WebPEncodeRGB(img.tobytes(), 128, 128, 384, 75.0,
                               ctypes.byref(out))
-        fams["webp_vp8"] = (ctypes.string_at(out, n), 512, "media",
-                            {"px": 128 * 128})
+        payload = ctypes.string_at(out, n)
+        lib.WebPFree.restype = None
+        lib.WebPFree.argtypes = [ctypes.c_void_p]
+        lib.WebPFree(out)  # libwebp allocates; caller must free
+        fams["webp_vp8"] = (payload, 512, "media", {"px": 128 * 128})
     except OSError:
         pass
     fams["pdf_text"] = (

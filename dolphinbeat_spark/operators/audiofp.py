@@ -42,6 +42,13 @@ __all__ = ["audio_fingerprint64", "audio_fingerprint"]
 def audio_fingerprint64(samples: np.ndarray, windows: int = 65) -> int:
     """Sample array (n,) or (n, channels) -> signed 64-bit loudness
     contour hash (module docstring)."""
+    if not 2 <= windows <= 65:
+        # windows-1 comparison bits must fit the signed 64-bit
+        # LongType fingerprint column; >65 would overflow at write
+        # time, <2 yields no comparisons at all.
+        raise ValueError(
+            f"audio_fingerprint64 windows must be in [2, 65] so the "
+            f"{windows - 1}-bit contour fits a signed 64-bit column")
     a = np.asarray(samples, np.float64)
     if a.ndim == 2:
         a = a.mean(axis=1)

@@ -42,10 +42,21 @@ def _u32(d: bytes, o: int) -> int:
     return struct.unpack_from(">I", d, o)[0]
 
 
+# Hard ceiling on the total mapping size a hostile font can force.
+# Fonts arrive from untrusted PDFs (pdf.py _type0_cmap_from_font), so
+# the expansion cap mirrors jbig2.max_pixels / inflate's caps: a real
+# pan-Unicode font (Noto-class) maps ~6e4 glyphs; 2^20 entries is
+# ~16x any legitimate font while a crafted format-12 table could
+# otherwise demand ~10^12 dict insertions from a ~1 MB payload.
+MAX_CMAP_MAPPINGS = 1 << 20
+
+
 def parse_ttf_cmap(data: bytes) -> dict[int, int]:
     """sfnt bytes -> {unicode code point: glyph id} from the best
     Unicode cmap subtable (preference order in the module
-    docstring). Raises typed when no Unicode subtable exists."""
+    docstring). Raises typed when no Unicode subtable exists or the
+    mapping would exceed ``MAX_CMAP_MAPPINGS`` entries (hostile-font
+    expansion cap)."""
     if len(data) < 12:
         raise TrueTypeError("sfnt header truncated")
     tag = data[:4]
@@ -91,6 +102,8 @@ def parse_ttf_cmap(data: bytes) -> dict[int, int]:
         raise TrueTypeError("cmap subtable offset out of range")
     fmt = _u16(data, sub)
     out: dict[int, int] = {}
+    work = 0  # total code points scanned — overlapping segments
+    # dedup in `out`, so the cap must count iterations, not entries
     if fmt == 4:
         seg_x2 = _u16(data, sub + 6)
         segs = seg_x2 // 2
@@ -108,6 +121,11 @@ def parse_ttf_cmap(data: bytes) -> dict[int, int]:
             if start > end:
                 raise TrueTypeError(
                     f"cmap format 4 segment {i}: start > end")
+            work += end - start + 1
+            if work > MAX_CMAP_MAPPINGS:
+                raise TrueTypeError(
+                    f"cmap format 4 mapping exceeds "
+                    f"{MAX_CMAP_MAPPINGS} entries (hostile-font cap)")
             for c in range(start, end + 1):
                 if c == 0xFFFF:
                     continue
@@ -144,6 +162,11 @@ def parse_ttf_cmap(data: bytes) -> dict[int, int]:
             if c1 < c0 or c1 - c0 > 0x10FFFF:
                 raise TrueTypeError(
                     f"cmap format 12 group {g}: bad range")
+            work += c1 - c0 + 1
+            if work > MAX_CMAP_MAPPINGS:
+                raise TrueTypeError(
+                    f"cmap format 12 mapping exceeds "
+                    f"{MAX_CMAP_MAPPINGS} entries (hostile-font cap)")
             for k in range(c1 - c0 + 1):
                 out[c0 + k] = g0 + k
     else:

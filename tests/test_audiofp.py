@@ -45,6 +45,12 @@ def test_audio_fingerprint_closed_form_and_invariances():
         np.repeat(rng.randint(1, 16, 65) * 100, 80)) != fp
     with pytest.raises(ValueError, match="non-empty"):
         audio_fingerprint64(np.zeros(0))
+    # windows-1 bits must fit the signed 64-bit fingerprint column
+    for bad in (0, 1, 66, 128):
+        with pytest.raises(ValueError, match=r"\[2, 65\]"):
+            audio_fingerprint64(np.ones(100), windows=bad)
+    assert audio_fingerprint64(np.arange(1, 9, dtype=float),
+                               windows=2) == 1
 
 
 def test_audio_fingerprint_spark_and_pairs(spark):

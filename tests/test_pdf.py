@@ -341,6 +341,47 @@ def test_ttf_cmap_fixture_roundtrip_and_hostile():
             pass
 
 
+def test_ttf_cmap_hostile_expansion_capped():
+    """A crafted cmap demanding >2^20 total mappings raises instead
+    of hanging/OOMing the executor: format 12 with wide groups (tiny
+    payload, ~10^9 implied entries) and format 4 with maximal
+    segments, both reachable from untrusted PDFs."""
+    import struct
+
+    from dolphinbeat_spark.operators.truetype import (
+        MAX_CMAP_MAPPINGS, TrueTypeError, parse_ttf_cmap,
+    )
+    from dolphinbeat_spark.operators.truetype import _sfnt
+
+    # format 12: two groups of ~0x10FFFF code points each
+    groups = [(0, 0x10FFFE, 1), (0x110000, 0x21FFFE, 1)]
+    sub = struct.pack(">HHIII", 12, 0, 16 + 12 * len(groups), 0,
+                      len(groups)) + b"".join(
+        struct.pack(">III", a, b, g) for a, b, g in groups)
+    cmap = struct.pack(">HHHHI", 0, 1, 3, 10, 12) + sub
+    with pytest.raises(TrueTypeError, match="hostile-font cap"):
+        parse_ttf_cmap(_sfnt([(b"cmap", cmap)]))
+
+    # format 4: 17 overlapping full-BMP segments imply
+    # 17 * 0xFFFF = 1,114,095 > 2^20 mapping iterations
+    wide = [(0, 0xFFFE)] * 17
+    n = len(wide) + 1
+    seg_x2 = 2 * n
+    ends = b"".join(struct.pack(">H", b) for _, b in wide) \
+        + struct.pack(">H", 0xFFFF)
+    starts = b"".join(struct.pack(">H", a) for a, _ in wide) \
+        + struct.pack(">H", 0xFFFF)
+    deltas = struct.pack(">H", 1) * n
+    ranges = struct.pack(">H", 0) * n
+    length = 16 + 4 * seg_x2
+    sub4 = struct.pack(">HHHHHHH", 4, length, 0, seg_x2, 0, 0, 0) \
+        + ends + b"\x00\x00" + starts + deltas + ranges
+    cmap4 = struct.pack(">HHHHI", 0, 1, 3, 1, 12) + sub4
+    with pytest.raises(TrueTypeError, match="hostile-font cap"):
+        parse_ttf_cmap(_sfnt([(b"cmap", cmap4)]))
+    assert MAX_CMAP_MAPPINGS == 1 << 20
+
+
 def test_pdf_tounicode_bfrange_forms():
     """The bfrange consecutive and array destination forms, hand-built
     (the writer mirror only emits bfchar — this pins the range parser
