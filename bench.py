@@ -344,19 +344,17 @@ def codec_throughput_section(spark) -> dict:
         for i in range(400)) + "</body></html>")
     fams["html"] = (html.encode(), 1024, "html", {})
 
-    out_sec: dict[str, dict] = {}
-    for fam, (payload, n, kind, extra) in fams.items():
-        rows = [(i, bytearray(payload)) for i in range(n)]
-        df = spark.createDataFrame(
-            rows, "media_id long, payload binary").repartition(32)
-        if kind == "media":
-            plan = decode_media(df)
-        elif kind == "pdf":
-            plan = pdf_extract(df)
-        else:
-            plan = html_extract(
-                df.selectExpr("media_id AS doc_id",
-                              "CAST(payload AS STRING) AS html"))
+    from dolphinbeat_spark.operators.native_codecs import (
+        native_formats_active,
+    )
+
+    native_active = native_formats_active()
+    # formats with an active native plug also time the pure path
+    # (native=False) at the original item count — the native run gets
+    # a larger corpus so its wall stays measurable
+    _NATIVE_FAM = {"jpeg": "jpeg", "webp_vp8": "webp", "tiff_lzw": "tiff"}
+
+    def _timed(plan, n, payload, extra) -> dict:
         best = None
         for i in range(3):
             t0 = time.time()
@@ -376,6 +374,41 @@ def codec_throughput_section(spark) -> dict:
             row["mpx_per_s"] = round(n * extra["px"] / best / 1e6, 2)
         if "pages" in extra:
             row["pages_per_s"] = round(n * extra["pages"] / best, 1)
+        return row
+
+    from pyspark.sql import functions as F
+
+    def _corpus(payload: bytes, n: int):
+        # literal-payload corpus: the bytes ride in the PLAN once, not
+        # in n driver-serialized task rows (n*64 native corpora were
+        # shipping 11 MB tasks)
+        return spark.range(0, n, 1, 32).select(
+            F.col("id").alias("media_id"),
+            F.lit(bytearray(payload)).alias("payload"))
+
+    out_sec: dict[str, dict] = {"native_active": native_active}
+    for fam, (payload, n, kind, extra) in fams.items():
+        plugged = native_active.get(_NATIVE_FAM.get(fam, ""), False)
+        n_run = n * 16 if plugged else n  # native is ~2 orders faster
+        df = _corpus(payload, n_run)
+        if kind == "media":
+            plan = decode_media(df)
+        elif kind == "pdf":
+            plan = pdf_extract(df)
+        else:
+            plan = html_extract(
+                df.selectExpr("media_id AS doc_id",
+                              "CAST(payload AS STRING) AS html"))
+        row = _timed(plan, n_run, payload, extra)
+        row["native"] = plugged
+        if plugged:
+            # the from-scratch decoder stays the differential oracle:
+            # record its wall on the original (pure-sized) corpus
+            pure = _timed(decode_media(_corpus(payload, n), native=False),
+                          n, payload, extra)
+            row["pure"] = pure
+            row["native_speedup"] = round(
+                row["mb_per_s"] / pure["mb_per_s"], 1)
         out_sec[fam] = row
     return out_sec
 

@@ -911,7 +911,12 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     up = []
     for si, (ci, _, _) in enumerate(scan):
         _, _, hs, vs = comps[ci]
-        pl = planes[si]
+        # T.81 F.2.1.5: IDCT output is clamped to the sample range
+        # BEFORE upsampling/color conversion (libjpeg's range-limit
+        # table does the same) — without this, out-of-gamut component
+        # overshoot on noisy blocks leaks through the color matrix at
+        # up to ~30 counts vs a conformant decoder (r14)
+        pl = np.clip(np.round(planes[si]), 0, maxval)
         if vs < vmax:
             pl = np.repeat(pl, vmax // vs, axis=0)
         if hs < hmax:
@@ -1222,6 +1227,9 @@ class _ProgState:
                     pl[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
                         _DCT_M.T @ nat.reshape(8, 8) @ _DCT_M + level
                     )
+            # same T.81 F.2.1.5 sample-range clamp as the sequential
+            # path (see _decode_jpeg) before upsample/color transform
+            pl = np.clip(np.round(pl), 0, maxval)
             if vs < self.vmax:
                 pl = np.repeat(pl, self.vmax // vs, axis=0)
             if hs < self.hmax:

@@ -1108,10 +1108,26 @@ def decode_audio(df: DataFrame, digest: str = "bytes") -> DataFrame:
     return df.mapInPandas(batches, AUDIO_SCHEMA)
 
 
-def sniff_decode_image(b: bytes) -> tuple[str, int, int, np.ndarray]:
-    """Magic-sniff one image payload -> (fmt, w, h, pixel array) via
-    the from-scratch codecs — the shared decode slot behind
-    decode_media and operators/imagehash.py."""
+def sniff_decode_image(
+    b: bytes, native: bool | None = None,
+) -> tuple[str, int, int, np.ndarray]:
+    """Magic-sniff one image payload -> (fmt, w, h, pixel array) —
+    the shared decode slot behind decode_media and
+    operators/imagehash.py.
+
+    JPEG/WebP/TIFF prefer the NATIVE decoders
+    (operators/native_codecs.py: libjpeg-turbo shim / libwebp /
+    libtiff, 100-1000x the pure-Python throughput) and fall back to
+    the from-scratch codecs when the library is absent or the payload
+    is outside the plug's bit-exact scope. WebP and in-scope TIFF are
+    bit-identical across the two paths; JPEG agrees within the +-3
+    IDCT tolerance (exact on DC-only blocks) — the differential is
+    pinned by tests/test_native_codecs.py. ``native=False`` forces
+    the pure path (conformance oracles, md5-pinned fixtures);
+    ``native=None`` follows env ``SPARK_GRAFT_NATIVE_CODECS``
+    (default auto)."""
+    from dolphinbeat_spark.operators import native_codecs as _nc
+
     if b[:2] == b"P6":
         fmt, (w, h, px) = "ppm", decode_ppm(b)
     elif b[:2] == b"BM":
@@ -1121,17 +1137,26 @@ def sniff_decode_image(b: bytes) -> tuple[str, int, int, np.ndarray]:
     elif b[:4] == b"GIF8":
         fmt, (w, h, px) = "gif", decode_gif(b)
     elif b[:2] == b"\xff\xd8":
-        from dolphinbeat_spark.operators.jpeg import decode_jpeg
+        got = _nc.maybe_decode("jpeg", b, native)
+        if got is None:
+            from dolphinbeat_spark.operators.jpeg import decode_jpeg
 
-        fmt, (w, h, px) = "jpeg", decode_jpeg(b)
+            got = decode_jpeg(b)
+        fmt, (w, h, px) = "jpeg", got
     elif b[:4] in (b"II*\x00", b"MM\x00*"):
-        from dolphinbeat_spark.operators.tiff import decode_tiff
+        got = _nc.maybe_decode("tiff", b, native)
+        if got is None:
+            from dolphinbeat_spark.operators.tiff import decode_tiff
 
-        fmt, (w, h, px) = "tiff", decode_tiff(b)
+            got = decode_tiff(b)
+        fmt, (w, h, px) = "tiff", got
     elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
-        from dolphinbeat_spark.operators.webp import decode_webp
+        got = _nc.maybe_decode("webp", b, native)
+        if got is None:
+            from dolphinbeat_spark.operators.webp import decode_webp
 
-        fmt, (w, h, px) = "webp", decode_webp(b)
+            got = decode_webp(b)
+        fmt, (w, h, px) = "webp", got
     elif b[:4] == b"\x00\x00\x01\x00":
         fmt, (w, h, px) = "ico", decode_ico(b)
     else:
@@ -1142,7 +1167,9 @@ def sniff_decode_image(b: bytes) -> tuple[str, int, int, np.ndarray]:
     return fmt, w, h, px
 
 
-def decode_media(df: DataFrame, digest: str = "bytes") -> DataFrame:
+def decode_media(
+    df: DataFrame, digest: str = "bytes", native: bool | None = None,
+) -> DataFrame:
     """REAL media decode: sniffs the payload magic and decodes actual
     pixel data with the from-scratch codecs (PPM, BMP, PNG, GIF,
     baseline/extended/progressive JPEG incl. 12-bit), emitting
@@ -1153,7 +1180,12 @@ def decode_media(df: DataFrame, digest: str = "bytes") -> DataFrame:
     ``digest="hex"`` md5s the lowercase-hex rendering of the decoded
     little-endian sample bytes instead of the raw bytes — the form a
     SQL oracle can recompute when samples are wider than one byte
-    (12-bit JPEG → uint16; DuckDB's md5 takes VARCHAR only)."""
+    (12-bit JPEG → uint16; DuckDB's md5 takes VARCHAR only).
+
+    ``native`` threads through to :func:`sniff_decode_image`: None
+    (default) prefers the native libjpeg/libwebp/libtiff plugs with
+    pure-Python fallback; False forces the from-scratch decoders
+    (the conformance-oracle path)."""
     if digest not in ("bytes", "hex"):
         raise ValueError(f"digest must be 'bytes' or 'hex', got {digest!r}")
 
@@ -1161,7 +1193,7 @@ def decode_media(df: DataFrame, digest: str = "bytes") -> DataFrame:
         for pdf in it:
             rows = []
             for mid, raw in zip(pdf["media_id"], pdf["payload"]):
-                fmt, w, h, px = sniff_decode_image(bytes(raw))
+                fmt, w, h, px = sniff_decode_image(bytes(raw), native)
                 px = np.ascontiguousarray(px)
                 if px.dtype.itemsize > 1:  # explicit LE for the digest
                     px = px.astype(px.dtype.newbyteorder("<"))

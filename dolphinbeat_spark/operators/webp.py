@@ -96,13 +96,17 @@ class _Prefix:
         counts = [0] * (maxlen + 1)
         for ln, _ in nonzero:
             counts[ln] += 1
-        # over-subscription check (complete codes not strictly
-        # enforced by the spec reader, but reject impossible ones)
+        # Kraft check both ways: over-subscribed codes are ambiguous,
+        # INCOMPLETE ones are spec-invalid and libwebp's
+        # BuildHuffmanTable rejects them (r14: matching that strictness
+        # is what exposed the encoder emitting incomplete flat codes)
         total = 0
         for ln in range(1, maxlen + 1):
             total = (total << 1) + counts[ln]
             if total > (1 << ln):
                 raise WebpError("over-subscribed prefix code")
+        if total != 1 << maxlen:
+            raise WebpError("incomplete prefix code (Kraft sum < 1)")
         self.counts = counts
         self.symbols = [s for ln, s in sorted(nonzero)]
 
@@ -725,17 +729,43 @@ def _put_code(bw: _LsbWriter, code: int, ln: int) -> None:
 
 
 def _write_flat_code(bw: _LsbWriter, n_symbols: int, length: int):
-    """Write a prefix code where EVERY symbol of the alphabet has the
-    same code length, via a single-symbol code-length code (which
-    consumes no bits per length — the compact way to say 'all equal').
+    """Write a COMPLETE prefix code covering the whole alphabet.
+
+    When ``n_symbols == 2**length`` every symbol gets the same length
+    through a single-symbol code-length code (zero bits per symbol).
+    Otherwise a flat code would be Kraft-incomplete — libwebp's
+    BuildHuffmanTable rejects incomplete codes (r14: every stream
+    this encoder produced for a non-power-of-two alphabet, i.e. the
+    green and distance codes, failed to decode in libwebp; our
+    decoder was too lax to notice) — so the first ``2**length -
+    n_symbols`` symbols are promoted to ``length - 1`` bits, which
+    closes the Kraft sum exactly. The two lengths are declared
+    through a 2-symbol code-length code at one bit per symbol.
     Returns the symbol->(code, len) map."""
+    if not 0 < n_symbols <= 1 << length:
+        raise ValueError(
+            f"flat code: {n_symbols} symbols do not fit {length} bits")
+    short = (1 << length) - n_symbols  # symbols promoted to length-1
+    if short >= n_symbols or (short and length < 2):
+        raise ValueError(
+            f"flat code: alphabet {n_symbols} needs length "
+            f"{(n_symbols - 1).bit_length()}, got {length}")
     bw.write(0, 1)           # normal (not simple) code
     bw.write(15, 4)          # 19 code-length codes present
+    if short == 0:
+        for sym in _CLC_ORDER:
+            bw.write(1 if sym == length else 0, 3)
+        bw.write(0, 1)       # no explicit max-symbol
+        # single-symbol CLC: `length` n_symbols times with zero bits
+        return _canonical_codes([length] * n_symbols)
     for sym in _CLC_ORDER:
-        bw.write(1 if sym == length else 0, 3)
+        bw.write(1 if sym in (length - 1, length) else 0, 3)
     bw.write(0, 1)           # no explicit max-symbol
-    # single-symbol CLC emits `length` n_symbols times with zero bits
-    return _canonical_codes([length] * n_symbols)
+    # 2-symbol CLC, canonical: the smaller length-symbol codes as 0
+    for s in range(n_symbols):
+        bw.write(0 if s < short else 1, 1)
+    return _canonical_codes(
+        [length - 1] * short + [length] * (n_symbols - short))
 
 
 def _write_single_code(bw: _LsbWriter, symbol: int):
