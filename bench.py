@@ -278,6 +278,20 @@ _SCALE_SET = (
     "q1_pricing_summary",
 )
 
+# sf100 wall-clock ceilings (sec) from the BASELINE.md r10-r13
+# captures; a best-of-2 above its ceiling triggers an automatic
+# FRESH-PROCESS re-run (tools/isolated_probe.py) recorded under
+# sf100.isolated — the r10 "JVM-tail / host phase" attribution
+# (54 s isolated vs 81 s in-bench, identical plans) becomes an
+# artifact row instead of a narrative whenever it recurs.
+_SF100_ENVELOPE = {
+    "pipeline_training_data_filter": 90.0,
+    "dedup_minhash_signatures": 24.0,
+    "events_rollup_cascade": 9.0,
+    "q5_local_supplier_volume": 15.0,
+    "q1_pricing_summary": 104.0,
+}
+
 
 def codec_throughput_section(spark) -> dict:
     """Per-family decode bandwidth (r13): MB/s of INPUT bytes through
@@ -529,7 +543,27 @@ def sf100_section(spark, sf_dir: str, specs) -> dict:
             )
         queries[name] = min(r["sec"] for r in runs)
         runs_all[name] = runs
-    return {
+
+    # self-proving attribution: any above-envelope wall re-runs in a
+    # FRESH driver process (new JVM, no bench tail state)
+    isolated: dict[str, dict] = {}
+    for name, sec in queries.items():
+        cap = _SF100_ENVELOPE.get(name)
+        if cap is None or sec <= cap:
+            continue
+        import subprocess
+        probe = Path(__file__).resolve().parent / "tools" / "isolated_probe.py"
+        try:
+            out = subprocess.run(
+                [sys.executable, str(probe), name, dest, sf_dir],
+                capture_output=True, text=True, timeout=1800, check=True)
+            isolated[name] = json.loads(out.stdout.strip().splitlines()[-1])
+            isolated[name]["in_bench_sec"] = sec
+            isolated[name]["envelope_sec"] = cap
+        except (subprocess.SubprocessError, ValueError, IndexError) as ex:
+            isolated[name] = {"error": f"{type(ex).__name__}: {ex}",
+                              "in_bench_sec": sec, "envelope_sec": cap}
+    section = {
         "factor": 100,
         "built": built,
         "build_sec": build_sec,
@@ -540,6 +574,9 @@ def sf100_section(spark, sf_dir: str, specs) -> dict:
         "n_plan_drift": sum(1 for d in drift.values() if not d["same_plan_shape"]),
         "plan_drift": drift,
     }
+    if isolated:
+        section["isolated"] = isolated
+    return section
 
 
 # a shipped-bench precondition, not advice: three rounds of artifacts

@@ -36,7 +36,18 @@ sub-block filter hev semantics) that only the external differential
 exposed.
 
 Interframes (golden/altref reference buffers, motion compensation)
-raise by name — a web image corpus carries still keyframes.
+raise by name — and this is NOT a coverage gap for a web image
+corpus: the WebP container never carries them. Every ANMF animation
+frame's payload is a complete still VP8/VP8L bitstream (WebP
+container spec, "Animation" section — inter-frame compression is
+achieved by coding only the changed RECTANGLE plus blend/dispose
+compositing, which webp_anim_composite implements), and the
+reference decoder enforces it: libwebp's VP8 frame-header parser
+rejects any non-keyframe with the literal error "Not a key frame."
+(visible in the system libwebp.so.7 string table). VP8 interframes
+exist only in WebM/video streams, which are out of scope for an
+image decode slot (mkv_demux surfaces them as opaque track
+payloads).
 Output is the coded YUV 4:2:0 (BT.601) sample planes; RGB conversion
 policy belongs to the consumer (webp.py upsamples + converts).
 """
@@ -631,8 +642,11 @@ def decode_vp8(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray,
     tag = data[0] | (data[1] << 8) | (data[2] << 16)
     if tag & 1:
         raise NotImplementedError(
-            "VP8 interframe (reference-buffer prediction) not "
-            "supported; web still images are key frames"
+            "VP8 interframe: the WebP container never carries one "
+            "(ANMF animation frames are each a complete keyframe "
+            "over the changed rectangle; libwebp likewise rejects "
+            "non-keyframes with 'Not a key frame.') — only WebM "
+            "video streams code interframes"
         )
     version = (tag >> 1) & 7
     if version > 3:

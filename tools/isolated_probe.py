@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Fresh-process re-run of ONE bench spec against a scaled replica —
+the self-proving half of the sf100 attribution story (r14).
+
+Since r10 the occasional above-envelope sf100 wall (q1 especially)
+has been attributed to in-bench JVM tail state: the r10 isolation
+study measured 54 s fresh-process vs 81 s in-bench on identical
+plans, but that study lived in BASELINE.md prose, not in the shipped
+artifact. This script IS the isolation: a brand-new driver JVM, one
+warm-up + best-of-2 timed runs, plan fingerprint compared against
+the reference sf_dir, one JSON line on stdout. bench.py invokes it
+automatically for any sf100 spec whose best-of-2 exceeds its
+documented envelope and records the result under
+``sf100.isolated[<spec>]`` — the attribution becomes measurable in
+BENCH_r{N}.json itself instead of a three-round-old narrative.
+
+Usage: python tools/isolated_probe.py <spec> <scaled_dir> <sf_dir>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    spec_name, scaled_dir, sf_dir = sys.argv[1:4]
+    from dolphinbeat_spark.plans.registry import all_specs
+    from dolphinbeat_spark.session import get_spark
+    from tools.scale_testdata import plan_fingerprint
+
+    spark = get_spark("isolated-probe")
+    fn = all_specs()[spec_name].fn
+    same_plan = plan_fingerprint(fn(spark, sf_dir)) == plan_fingerprint(
+        fn(spark, scaled_dir))
+    runs = []
+    for _ in range(3):  # 1 warm-up + best-of-2, matching sf100_section
+        t0 = time.time()
+        fn(spark, scaled_dir).write.format("noop").mode("overwrite").save()
+        runs.append(round(time.time() - t0, 3))
+    print(json.dumps({
+        "spec": spec_name,
+        "sec": min(runs[1:]),
+        "runs": runs,
+        "same_plan_shape": same_plan,
+        "load1": round(os.getloadavg()[0], 2),
+        "fresh_process": True,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
