@@ -32,10 +32,16 @@ module implements the honest read-side subset per the PUBLIC spec:
   layout Word/Chrome-class writers emit for ANY non-Latin text, so
   without it the non-English share of a PDF corpus is unreadable. A
   Type0 font WITHOUT /ToUnicode recovers its text through the
-  embedded TrueType font's own cmap table inverted via /CIDToGIDMap
-  (r13, operators/truetype.py — the CJK non-Adobe-toolchain layout);
-  only predefined non-Identity CMaps, CFF-only /FontFile3, and
-  fonts with nothing embedded still raise by name;
+  embedded font's own tables: a TrueType /FontFile2 cmap inverted
+  via /CIDToGIDMap (r13, operators/truetype.py) or a non-CID CFF
+  /FontFile3's charset glyph names through the Adobe Glyph List
+  (r14, operators/cff.py — CID == GID per §9.7.4.2). Predefined
+  CJK CMap encodings (GBK-EUC / RKSJ / EUC / B5 / UHC / Uni*-UCS2 /
+  UTF16 families, r14) decode their show strings with the code
+  space's own charset codec — the code->CID tables are a glyph
+  concern, not a text one. Only CID-keyed CFF (no glyph names),
+  unrecognized CMap names, and fonts with nothing embedded still
+  raise by name;
 - encryption (§7.6, r10): the Standard security handler with RC4
   V1/V2 R2/R3 and the EMPTY user password — the owner-locked layout
   (print/copy restrictions) every viewer opens, a real corpus share;
@@ -1009,15 +1015,60 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
     return out
 
 
+#: predefined CMap -> Python codec for TEXT recovery (r14). For text
+#: extraction the published code->CID tables are unnecessary: each
+#: legacy CMap's CODE SPACE is a standard character set the show
+#: strings are literally encoded in (Adobe CMap resources name their
+#: source charsets), so decoding the bytes with that codec IS the
+#: code->unicode mapping; the CID step only matters for glyph lookup.
+#: The Uni*-UCS2/UTF16 families make the identity explicit: their
+#: codes ARE UTF-16BE units. Keys are base names; -H/-V strip first.
+_PREDEFINED_CMAP_CODECS: dict[str, str] = {
+    # Japanese (Adobe-Japan1)
+    "90ms-RKSJ": "shift_jis", "90msp-RKSJ": "shift_jis",
+    "90pv-RKSJ": "shift_jis", "83pv-RKSJ": "shift_jis",
+    "Ext-RKSJ": "shift_jis", "Add-RKSJ": "shift_jis",
+    "EUC": "euc_jp",
+    "UniJIS-UCS2": "utf_16_be", "UniJIS-UCS2-HW": "utf_16_be",
+    "UniJIS-UTF16": "utf_16_be", "UniJIS2004-UTF16": "utf_16_be",
+    # Simplified Chinese (Adobe-GB1)
+    "GB-EUC": "gb2312", "GBpc-EUC": "gb2312",
+    "GBK-EUC": "gbk", "GBKp-EUC": "gbk", "GBK2K": "gb18030",
+    "UniGB-UCS2": "utf_16_be", "UniGB-UTF16": "utf_16_be",
+    # Traditional Chinese (Adobe-CNS1)
+    "B5pc": "big5", "ETen-B5": "big5", "ETenms-B5": "big5",
+    "HKscs-B5": "big5hkscs",
+    "UniCNS-UCS2": "utf_16_be", "UniCNS-UTF16": "utf_16_be",
+    # Korean (Adobe-Korea1/KR)
+    "KSC-EUC": "euc_kr", "KSCms-UHC": "cp949",
+    "KSCms-UHC-HW": "cp949",
+    "UniKS-UCS2": "utf_16_be", "UniKS-UTF16": "utf_16_be",
+}
+
+
+def _predefined_cmap_codec(enc: str) -> str | None:
+    """CMap name -> codec (module table), stripping the writing-mode
+    suffix; None when the name is not a known predefined CMap."""
+    base = enc
+    if base.endswith(("-H", "-V")):
+        base = base[:-2]
+    return _PREDEFINED_CMAP_CODECS.get(base)
+
+
 def _type0_cmap_from_font(doc: PdfDocument, f: dict,
                           fname: str) -> dict[int, str]:
     """A Type0 font WITHOUT /ToUnicode -> {2-byte code: unicode} via
-    the embedded TrueType font's own cmap (r13): invert the font's
-    code-point->glyph table through /CIDToGIDMap. This is how CJK
-    PDFs from non-Adobe toolchains (which routinely omit /ToUnicode)
-    keep their text recoverable. Boundaries stay named: non-Identity
-    /Encoding CMaps, CFF-only fonts (/FontFile3, no cmap table), and
-    fonts embedding nothing at all."""
+    the embedded font's own tables: a TrueType /FontFile2's cmap
+    inverted through /CIDToGIDMap (r13), or a CFF /FontFile3's
+    charset glyph names resolved through the Adobe Glyph List (r14 —
+    for a non-CID-keyed CFF the CIDs double as GIDs, PDF 32000-1
+    §9.7.4.2). This is how CJK/Latin-subset PDFs from non-Adobe
+    toolchains (which routinely omit /ToUnicode) keep their text
+    recoverable. Boundaries stay named: CID-keyed CFF (glyphs carry
+    no names; unicode needs the registry's published CID->Unicode
+    resources) and fonts embedding nothing at all. Predefined
+    non-Identity CMaps never reach here (_font_map decodes their
+    show strings with the code space's own codec)."""
     from dolphinbeat_spark.operators.truetype import (
         TrueTypeError, parse_ttf_cmap,
     )
@@ -1026,21 +1077,41 @@ def _type0_cmap_from_font(doc: PdfDocument, f: dict,
     if enc not in ("Identity-H", "Identity-V"):
         raise NotImplementedError(
             f"Type0 font {fname!r} without /ToUnicode uses the "
-            f"predefined CMap {enc!r}: only Identity-H/V code->CID "
-            "mapping is supported"
+            f"unrecognized CMap {enc!r}: only Identity-H/V and the "
+            "predefined CJK CMap families are supported"
         )
     dfs = doc.resolve(f.get("DescendantFonts"))
     df = doc.resolve(dfs[0]) if isinstance(dfs, list) and dfs else None
     fd = doc.resolve(df.get("FontDescriptor")) \
         if isinstance(df, dict) else None
     ff2 = fd.get("FontFile2") if isinstance(fd, dict) else None
+    ff3 = fd.get("FontFile3") if isinstance(fd, dict) else None
+    if ff2 is None and ff3 is not None:
+        from dolphinbeat_spark.operators.cff import (
+            CffError, glyph_name_to_unicode, parse_cff,
+        )
+
+        try:
+            cff = parse_cff(doc.stream_data(ff3))
+        except CffError as ex:
+            raise PdfError(
+                f"Type0 font {fname!r} embedded CFF: {ex}") from ex
+        if cff.is_cid:
+            raise NotImplementedError(
+                f"Type0 font {fname!r} without /ToUnicode embeds a "
+                "CID-keyed CFF: its glyphs carry no names, so "
+                "unicode needs the registry's CID->Unicode resources"
+            )
+        out: dict[int, str] = {}
+        for gid in range(1, cff.n_glyphs):  # CID == GID (§9.7.4.2)
+            u = glyph_name_to_unicode(cff.glyph_name(gid))
+            if u is not None:
+                out[gid] = u
+        return out
     if ff2 is None:
-        kind = "a CFF /FontFile3 (no cmap table)" \
-            if isinstance(fd, dict) and "FontFile3" in fd \
-            else "no embedded font"
         raise NotImplementedError(
             f"Type0/CMap composite font {fname!r} without /ToUnicode "
-            f"and with {kind}: CID text is not recoverable"
+            "and with no embedded font: CID text is not recoverable"
         )
     try:
         fwd = parse_ttf_cmap(doc.stream_data(ff2))
@@ -1067,24 +1138,34 @@ def _type0_cmap_from_font(doc: PdfDocument, f: dict,
     return {gid: chr(cp) for gid, cp in rev.items()}
 
 
-def _font_map(doc: PdfDocument, resources: dict) -> dict[str, dict | None]:
-    """Resource fonts -> {name: ToUnicode cmap dict (Type0) | None
-    (simple font, Latin-1 assumption)}. A Type0 font WITHOUT a
-    /ToUnicode CMap falls back to the embedded TrueType font's own
-    cmap (r13, _type0_cmap_from_font); only when no embedded mapping
+def _font_map(
+    doc: PdfDocument, resources: dict,
+) -> dict[str, dict | str | None]:
+    """Resource fonts -> {name: decode rule}: a ToUnicode cmap dict
+    (Type0), a CODEC NAME string (Type0 with a predefined CJK CMap
+    and no /ToUnicode — the show strings are literally in that
+    charset, r14), or None (simple font, Latin-1 assumption). A
+    Type0 font WITHOUT /ToUnicode and with Identity encoding falls
+    back to the embedded font's own tables (TrueType cmap r13 / CFF
+    charset r14, _type0_cmap_from_font); only when no recovery path
     exists does it raise by name."""
     fonts = doc.resolve(resources.get("Font")) if resources else None
-    out: dict[str, dict | None] = {}
+    out: dict[str, dict | str | None] = {}
     if not isinstance(fonts, dict):
         return out
     for fname, fobj in fonts.items():
         f = doc.resolve(fobj)
         if isinstance(f, dict) and str(f.get("Subtype", "")) == "Type0":
             tu = f.get("ToUnicode")
-            if tu is None:
-                out[fname] = _type0_cmap_from_font(doc, f, fname)
-            else:
+            if tu is not None:
                 out[fname] = _parse_tounicode(doc.stream_data(tu))
+                continue
+            codec = _predefined_cmap_codec(
+                str(doc.resolve(f.get("Encoding", ""))))
+            if codec is not None:
+                out[fname] = codec
+            else:
+                out[fname] = _type0_cmap_from_font(doc, f, fname)
         else:
             out[fname] = None
     return out
@@ -1098,12 +1179,18 @@ def _extract_page_text(doc: PdfDocument, content: bytes,
     Type-state save/restore (q/Q) is not tracked — Tf assignments are
     linear, which is how writers emit text in practice."""
     fonts = fonts or {}
-    cur_cmap: dict | None = None
+    cur_cmap: dict | str | None = None
     lines: list[list[str]] = [[]]
 
     def show(b: bytes) -> None:
         if cur_cmap is None:
             lines[-1].append(b.decode("latin-1"))
+            return
+        if isinstance(cur_cmap, str):
+            # predefined CJK CMap: the show string IS text in the
+            # CMap's code-space charset (variable-length codes come
+            # free with the codec's own segmentation)
+            lines[-1].append(b.decode(cur_cmap, errors="replace"))
             return
         chars = []
         for i in range(0, len(b) - 1, 2):  # Identity-H: 2-byte codes
@@ -1908,7 +1995,19 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
                 for ch in line:
                     codes.setdefault(ch, len(codes) + 1)
 
+    cmap_codec = None
+    if isinstance(unicode_text, str) and unicode_text.startswith("cmap:"):
+        cmap_codec = _predefined_cmap_codec(unicode_text[5:])
+        if cmap_codec is None:
+            raise ValueError(
+                f"unknown predefined CMap {unicode_text[5:]!r}")
+
     def show_str(text: str) -> bytes:
+        if cmap_codec is not None:
+            # predefined-CMap mode: the show string is the text in
+            # the CMap's code-space charset
+            return b"<" + text.encode(cmap_codec).hex().upper().encode() \
+                + b">"
         if unicode_text:
             return b"<" + b"".join(
                 b"%04X" % codes[ch] for ch in text
@@ -2120,7 +2219,52 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
                 )
             else:
                 raise ValueError(f"unknown image kind {kind!r}")
-    if unicode_text in ("fontcmap", "fontcmap-gidmap"):
+    if unicode_text == "cff":
+        # r14: a Type0 font WITHOUT /ToUnicode embedding a NON-CID
+        # CFF (/FontFile3 /CIDFontType0C) — text is recoverable only
+        # through the CFF charset's glyph names (CID == GID for a
+        # non-CID CFF, PDF 32000-1 §9.7.4.2). Codes are assigned
+        # densely from 1 in appearance order, so GID(=1+rank) == CID.
+        from dolphinbeat_spark.operators.cff import encode_minimal_cff
+
+        desc_num = info_num + 1
+        fd_num = info_num + 2
+        ff_num = img_base + len(img_refs) + n_globals
+        n_globals += 1
+        streams[ff_num] = (b"/Subtype /CIDFontType0C", encode_minimal_cff(
+            {code: ch for ch, code in codes.items()}))
+        objs[font_num] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /DolphinbeatCFF "
+            b"/Encoding /Identity-H /DescendantFonts [%d 0 R] >>"
+            % desc_num
+        )
+        objs[desc_num] = (
+            b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont"
+            b" /DolphinbeatCFF /CIDSystemInfo << /Registry (Adobe)"
+            b" /Ordering (Identity) /Supplement 0 >>"
+            b" /FontDescriptor %d 0 R >>" % fd_num
+        )
+        objs[fd_num] = (
+            b"<< /Type /FontDescriptor /FontName /DolphinbeatCFF"
+            b" /Flags 4 /FontFile3 %d 0 R >>" % ff_num
+        )
+    elif cmap_codec is not None:
+        # r14: a Type0 font with a PREDEFINED CJK CMap encoding and
+        # no /ToUnicode — the show strings are in the CMap's code
+        # space (Shift-JIS/EUC/GBK/Big5/UHC/UCS2); no embedded font
+        # is needed for text recovery.
+        desc_num = info_num + 1
+        objs[font_num] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Dolphinbeat"
+            b" /Encoding /" + unicode_text[5:].encode() +
+            b" /DescendantFonts [%d 0 R] >>" % desc_num
+        )
+        objs[desc_num] = (
+            b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont"
+            b" /Dolphinbeat /CIDSystemInfo << /Registry (Adobe)"
+            b" /Ordering (Japan1) /Supplement 7 >> >>"
+        )
+    elif unicode_text in ("fontcmap", "fontcmap-gidmap"):
         # r13: a Type0 font WITHOUT /ToUnicode — text is recoverable
         # only through the embedded TrueType font's own cmap (the
         # non-Adobe CJK-toolchain layout). "fontcmap" uses
@@ -2276,6 +2420,16 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
                 + _esc_raw(crypt(desc_num, b"Identity"))
                 + b") /Supplement 0 >> /CIDToGIDMap " + c2g
                 + b" /FontDescriptor %d 0 R >>" % fd_num
+            )
+        elif unicode_text == "cff":
+            objs[desc_num] = (
+                b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont"
+                b" /DolphinbeatCFF /CIDSystemInfo << /Registry ("
+                + _esc_raw(crypt(desc_num, b"Adobe"))
+                + b") /Ordering ("
+                + _esc_raw(crypt(desc_num, b"Identity"))
+                + b") /Supplement 0 >>"
+                b" /FontDescriptor %d 0 R >>" % fd_num
             )
         if title is not None:
             del objs[info_num]

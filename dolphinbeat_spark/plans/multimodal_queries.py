@@ -3077,6 +3077,120 @@ def mm_pdf_type0_fontcmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_pdf_type0_cff",
+    # payload = a Type0/Identity-H PDF per doc WITHOUT /ToUnicode
+    # whose descendant embeds a NON-CID CFF via /FontFile3
+    # /CIDFontType0C (r14): the OTHER common wild embedding next to
+    # r13's TrueType path. Text recovers through the CFF charset's
+    # glyph names resolved by the Adobe Glyph List (CID == GID for a
+    # non-CID CFF, PDF 32000-1 §9.7.4.2; operators/cff.py). Docs
+    # cycle classic/stream xref; the oracle rebuilds the CJK + token
+    # page text in closed form. Pre-r14 these raised 'CFF /FontFile3
+    # (no cmap table)'.
+    oracle=r"""
+WITH p AS (
+  SELECT doc_id AS media_id, CAST(doc_id AS VARCHAR) AS i,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE doc_id % 29 = 5
+)
+SELECT media_id, 0::BIGINT AS page_idx, 1::BIGINT AS n_pages,
+       CAST(NULL AS VARCHAR) AS title,
+       'CFF嵌入 ' || i || chr(10)
+         || array_to_string(list_slice(toks, 1, 6), ' ') AS page_text
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "pdf", "unicode", "text", "cff", "ingest"),
+)
+def mm_pdf_type0_cff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type0-without-/ToUnicode PDF text where the embedded font is a
+    non-CID CFF (r14): CIDs double as GIDs, the charset names the
+    glyphs, the AGL names the code points — the CFF half of the
+    embedded-font recovery surface. PDFs built driver-side over a
+    bounded doc subset; extraction runs distributed."""
+    from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_extract
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 5)
+    docs = sorted((r["doc_id"], r["text"]) for r in
+                  d.select("doc_id", "text").collect())
+    rows = []
+    for did, text in docs:
+        toks = text.strip().split()
+        pdf = encode_pdf(
+            [[f"CFF嵌入 {did}", " ".join(toks[0:6])]],
+            unicode_text="cff",
+            xref_stream=did % 2 == 0,
+        )
+        rows.append((did, bytearray(pdf)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return pdf_extract(media).orderBy("media_id", "page_idx")
+
+
+#: (cmap name, CJK prefix) cycled by doc parity — one script family
+#: per Adobe registry, all four predefined-CMap code spaces
+_CMAP_CYCLE = (
+    ("GBK-EUC-H", "中文文档"),
+    ("90ms-RKSJ-H", "日本語文書"),
+    ("KSCms-UHC-H", "한국어 문서"),
+    ("UniCNS-UCS2-H", "繁體文件"),
+)
+
+
+@register(
+    "mm_pdf_predefined_cmap",
+    # payload = a Type0 PDF per doc using a PREDEFINED CJK CMap
+    # encoding (GBK-EUC-H / 90ms-RKSJ-H / KSCms-UHC-H /
+    # UniCNS-UCS2-H, cycled) and NO /ToUnicode (r14): the
+    # Acrobat-era CJK layout. Text recovery needs no Adobe tables —
+    # each CMap's code space IS a standard charset (GBK / Shift-JIS
+    # / UHC / UTF-16BE), so decoding the show bytes with that codec
+    # is the code->unicode mapping (the code->CID step only matters
+    # for glyph lookup). Oracle rebuilds the prefix + tokens in
+    # closed form. Pre-r14 these raised 'predefined CMap ... only
+    # Identity-H/V'.
+    oracle=r"""
+WITH p AS (
+  SELECT doc_id AS media_id, CAST(doc_id AS VARCHAR) AS i,
+         CASE doc_id % 4 WHEN 0 THEN '中文文档' WHEN 1 THEN '日本語文書'
+              WHEN 2 THEN '한국어 문서' ELSE '繁體文件' END AS prefix,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE doc_id % 29 = 11
+)
+SELECT media_id, 0::BIGINT AS page_idx, 1::BIGINT AS n_pages,
+       CAST(NULL AS VARCHAR) AS title,
+       prefix || ' ' || i || chr(10)
+         || array_to_string(list_slice(toks, 1, 6), ' ') AS page_text
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "pdf", "unicode", "text", "cmap", "ingest"),
+)
+def mm_pdf_predefined_cmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predefined-CJK-CMap PDF text under the oracle gate (r14): all
+    four Adobe registry code spaces decode through their native
+    charset codecs — no CID tables shipped or needed for text. PDFs
+    built driver-side over a bounded doc subset; extraction runs
+    distributed."""
+    from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_extract
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 11)
+    docs = sorted((r["doc_id"], r["text"]) for r in
+                  d.select("doc_id", "text").collect())
+    rows = []
+    for did, text in docs:
+        toks = text.strip().split()
+        cmap, prefix = _CMAP_CYCLE[did % 4]
+        pdf = encode_pdf(
+            [[f"{prefix} {did}", " ".join(toks[0:6])]],
+            unicode_text=f"cmap:{cmap}",
+            xref_stream=did % 2 == 1,
+        )
+        rows.append((did, bytearray(pdf)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return pdf_extract(media).orderBy("media_id", "page_idx")
+
+
+@register(
     "mm_pdf_encrypted_text",
     # payload = a REAL RC4-encrypted PDF per doc (Standard security
     # handler, r10): owner-locked with the EMPTY user password — the

