@@ -55,9 +55,18 @@ Covered (r13):
   symbol coding, and SBREFINE per-instance text touch-ups (incl.
   size-changing RDW/RDH with the §6.4.11 floor offset).
 
-Named boundaries (fail loud, fuzz-pinned): Huffman-coded symbol
-dictionaries / text regions (SDHUFF/SBHUFF — wild encoders emit the
-arithmetic form), multi-instance aggregation (REFAGGNINST > 1, a
+- **Huffman profile** (T.88 Annex B, r14): standard tables B.1-B.15
+  (transcription pinned structurally at import: canonical prefix
+  assignment + contiguous range tiling), custom code-table segments
+  (type 53), SDHUFF=1 symbol dictionaries with raw (BMSIZE=0) and
+  MMR collective bitmaps split by width chains, and SBHUFF=1 text
+  regions with the §7.4.4.4.1 runcoded symbol-ID prefix table — the
+  ancient-Xerox-class encoder family.
+
+Named boundaries (fail loud, fuzz-pinned): Huffman + refinement
+combinations (SDHUFF&SDREFAGG, SBHUFF&SBREFINE — the arithmetic
+refinement layer covers wild touch-ups),
+multi-instance aggregation (REFAGGNINST > 1, a
 recursive text region), MMR-coded halftone BITPLANES and
 HENABLESKIP (MMR pattern dictionaries decode via the T.6 codec),
 intermediate regions (types 4/20/40 retained-buffer
@@ -715,6 +724,300 @@ def _encode_refinement_region(bmp: np.ndarray, reference: np.ndarray,
 _COMB_OPS = {0: "or", 1: "and", 2: "xor", 3: "xnor", 4: "replace"}
 
 
+# --- Huffman profile (T.88 Annex B, §6.5.5/§6.4 SDHUFF/SBHUFF, r14) --------
+
+
+class _MsbReader:
+    """MSB-first bit reader over a segment payload (Huffman-coded
+    segments; the arithmetic profile uses MQDecoder instead)."""
+
+    __slots__ = ("data", "bitpos")
+
+    def __init__(self, data: bytes, byte_pos: int = 0):
+        self.data = data
+        self.bitpos = byte_pos * 8
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.bitpos >> 3
+            if byte >= len(self.data):
+                raise Jbig2Error("Huffman bitstream truncated")
+            v = (v << 1) | ((self.data[byte] >> (7 - (self.bitpos & 7)))
+                            & 1)
+            self.bitpos += 1
+        return v
+
+    def byte_align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+    def byte_pos(self) -> int:
+        return (self.bitpos + 7) >> 3
+
+
+class _MsbWriter:
+    """MSB-first bit writer (fixture mirror of _MsbReader)."""
+
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                self.acc = 0
+                self.nbits = 0
+
+    def byte_align(self) -> None:
+        if self.nbits:
+            self.out.append(self.acc << (8 - self.nbits))
+            self.acc = 0
+            self.nbits = 0
+
+    def getvalue(self) -> bytes:
+        self.byte_align()
+        return bytes(self.out)
+
+
+class _HuffTable:
+    """One T.88 Annex-B Huffman table: lines of (prefix length,
+    range length, range low, kind) with kind in {"n" (normal), "l"
+    (lower range, value = low - offset), "o" (out of band)}. Prefix
+    codes are assigned canonically per B.3: ascending prefix length,
+    table order within one length. Decode returns the integer value
+    or None for OOB; encode is the fixture mirror."""
+
+    __slots__ = ("lines", "by_code", "max_len", "oob")
+
+    def __init__(self, lines):
+        self.lines = [
+            ln if len(ln) == 4 else (*ln, "n") for ln in lines
+            if ln[0] > 0
+        ]
+        if not self.lines:
+            raise Jbig2Error("Huffman table with no coded lines")
+        self.max_len = max(ln[0] for ln in self.lines)
+        if self.max_len > 32:
+            raise Jbig2Error(f"Huffman prefix length {self.max_len}")
+        self.by_code: dict[tuple[int, int], tuple] = {}
+        code = 0
+        for length in range(1, self.max_len + 1):
+            code <<= 1 if length > 1 else 0
+            for ln in self.lines:
+                if ln[0] == length:
+                    if code >= 1 << length:
+                        raise Jbig2Error(
+                            "over-subscribed Huffman table")
+                    self.by_code[(length, code)] = ln
+                    code += 1
+        self.oob = any(ln[3] == "o" for ln in self.lines)
+
+    def decode(self, r: _MsbReader) -> int | None:
+        length = 0
+        code = 0
+        while length < self.max_len:
+            code = (code << 1) | r.read(1)
+            length += 1
+            ln = self.by_code.get((length, code))
+            if ln is not None:
+                preflen, rangelen, low, kind = ln
+                del preflen
+                if kind == "o":
+                    return None
+                if kind == "l":
+                    return low - r.read(rangelen)
+                return low + r.read(rangelen)
+        raise Jbig2Error("invalid Huffman prefix code")
+
+    # --- fixture-mirror emission ---
+
+    def _code_of(self, target) -> tuple[int, int]:
+        for (length, code), ln in self.by_code.items():
+            if ln is target:
+                return length, code
+        raise Jbig2Error("line has no assigned code")  # pragma: no cover
+
+    def encode(self, w: _MsbWriter, value: int) -> None:
+        for ln in self.lines:
+            preflen, rangelen, low, kind = ln
+            if kind == "n" and low <= value < low + (1 << rangelen):
+                length, code = self._code_of(ln)
+                w.write(code, length)
+                w.write(value - low, rangelen)
+                return
+        for ln in self.lines:  # lower range as a fallback
+            preflen, rangelen, low, kind = ln
+            if kind == "l" and value <= low:
+                length, code = self._code_of(ln)
+                w.write(code, length)
+                w.write(low - value, rangelen)
+                return
+        raise Jbig2Error(f"value {value} outside the Huffman table")
+
+    def encode_oob(self, w: _MsbWriter) -> None:
+        for ln in self.lines:
+            if ln[3] == "o":
+                length, code = self._code_of(ln)
+                w.write(code, length)
+                return
+        raise Jbig2Error("table has no OOB code")
+
+
+#: T.88 Annex B standard tables B.1-B.15 as (preflen, rangelen,
+#: rangelow[, kind]) lines. Transcription is pinned structurally at
+#: import: canonical assignment must not over-subscribe, and every
+#: table's normal ranges must tile contiguously (each line starts
+#: where the previous one's range ends) — the property the published
+#: tables all share, which catches range-column transposition errors.
+_STD_TABLE_LINES = {
+    1: [(1, 4, 0), (2, 8, 16), (3, 16, 272), (3, 32, 65808)],
+    2: [(1, 0, 0), (2, 0, 1), (3, 0, 2), (4, 3, 3), (5, 6, 11),
+        (6, 32, 75), (6, 0, 0, "o")],
+    3: [(8, 8, -256), (1, 0, 0), (2, 0, 1), (3, 0, 2), (4, 3, 3),
+        (5, 6, 11), (8, 32, -257, "l"), (7, 32, 75), (6, 0, 0, "o")],
+    4: [(1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 3, 4), (5, 6, 12),
+        (5, 32, 76)],
+    5: [(7, 8, -255), (1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 3, 4),
+        (5, 6, 12), (7, 32, -256, "l"), (6, 32, 76)],
+    6: [(5, 10, -2048), (4, 9, -1024), (4, 8, -512), (4, 7, -256),
+        (5, 6, -128), (5, 5, -64), (4, 5, -32), (2, 7, 0),
+        (3, 7, 128), (3, 8, 256), (4, 9, 512), (4, 10, 1024),
+        (6, 32, -2049, "l"), (6, 32, 2048)],
+    7: [(4, 9, -1024), (3, 8, -512), (4, 7, -256), (5, 6, -128),
+        (5, 5, -64), (4, 5, -32), (4, 5, 0), (5, 5, 32), (5, 6, 64),
+        (4, 7, 128), (3, 8, 256), (3, 9, 512), (3, 10, 1024),
+        (5, 32, -1025, "l"), (5, 32, 2048)],
+    8: [(8, 3, -15), (9, 1, -7), (8, 1, -5), (9, 0, -3), (7, 0, -2),
+        (4, 0, -1), (2, 1, 0), (5, 0, 2), (6, 0, 3), (3, 4, 4),
+        (6, 1, 20), (4, 4, 22), (4, 5, 38), (5, 6, 70), (5, 7, 134),
+        (6, 7, 262), (7, 8, 390), (6, 10, 646), (9, 32, -16, "l"),
+        (9, 32, 1670), (2, 0, 0, "o")],
+    9: [(8, 4, -31), (9, 2, -15), (8, 2, -11), (9, 1, -7), (7, 1, -5),
+        (4, 1, -3), (3, 1, -1), (3, 1, 1), (5, 1, 3), (6, 1, 5),
+        (3, 5, 7), (6, 2, 39), (4, 5, 43), (4, 6, 75), (5, 7, 139),
+        (5, 8, 267), (6, 8, 523), (7, 9, 779), (6, 11, 1291),
+        (9, 32, -32, "l"), (9, 32, 3339), (2, 0, 0, "o")],
+    10: [(7, 4, -21), (8, 0, -5), (7, 0, -4), (5, 0, -3), (2, 2, -2),
+         (5, 0, 2), (6, 0, 3), (7, 0, 4), (8, 0, 5), (2, 6, 6),
+         (5, 5, 70), (6, 5, 102), (7, 6, 134), (8, 7, 198),
+         (8, 8, 326), (8, 9, 582), (8, 10, 1094), (7, 11, 2118),
+         (8, 32, -22, "l"), (8, 32, 4166), (2, 0, 0, "o")],
+    11: [(1, 0, 1), (2, 1, 2), (4, 0, 4), (4, 1, 5), (5, 1, 7),
+         (5, 2, 9), (6, 2, 13), (7, 2, 17), (7, 3, 21), (7, 4, 29),
+         (7, 5, 45), (7, 6, 77), (7, 32, 141)],
+    12: [(1, 0, 1), (2, 0, 2), (3, 1, 3), (5, 0, 5), (5, 1, 6),
+         (6, 1, 8), (7, 0, 10), (7, 1, 11), (7, 2, 13), (7, 3, 17),
+         (7, 4, 25), (8, 5, 41), (8, 32, 73)],
+    13: [(1, 0, 1), (3, 0, 2), (4, 0, 3), (5, 0, 4), (4, 1, 5),
+         (3, 3, 7), (6, 1, 15), (6, 2, 17), (6, 3, 21), (6, 4, 29),
+         (6, 5, 45), (7, 6, 77), (7, 32, 141)],
+    14: [(3, 0, -2), (3, 0, -1), (1, 0, 0), (3, 0, 1), (3, 0, 2)],
+    15: [(7, 4, -24), (6, 2, -8), (5, 1, -4), (4, 0, -2), (3, 0, -1),
+         (1, 0, 0), (3, 0, 1), (4, 0, 2), (5, 1, 3), (6, 2, 5),
+         (7, 4, 9), (7, 32, -25, "l"), (7, 32, 25)],
+}
+
+_STD_TABLE_CACHE: dict[int, _HuffTable] = {}
+
+
+def _std_table(n: int) -> _HuffTable:
+    t = _STD_TABLE_CACHE.get(n)
+    if t is None:
+        t = _STD_TABLE_CACHE[n] = _HuffTable(_STD_TABLE_LINES[n])
+    return t
+
+
+def _check_std_tables() -> None:
+    """Import-time structural pin of the Annex-B transcription: every
+    table must assign prefix codes without over-subscription (the
+    _HuffTable constructor raises) and its normal ranges must tile
+    contiguously from the lowest bound up to the 32-bit upper line."""
+    for n, lines in _STD_TABLE_LINES.items():
+        _std_table(n)
+        normals = sorted(
+            (ln for ln in lines if len(ln) == 3),
+            key=lambda ln: ln[2])
+        for a, b in zip(normals, normals[1:]):
+            if b[1] == 32:  # the upper line starts where coverage ends
+                expected = a[2] + (1 << a[1]) if a[1] < 32 else None
+                if expected is not None and b[2] != expected:
+                    raise AssertionError(
+                        f"table B.{n}: upper line at {b[2]}, "
+                        f"coverage ends at {expected}")
+                continue
+            if a[2] + (1 << a[1]) != b[2]:
+                raise AssertionError(
+                    f"table B.{n}: range gap between {a} and {b}")
+
+
+_check_std_tables()
+
+
+def _parse_table_segment(d: bytes) -> _HuffTable:
+    """Custom code-table segment (type 53, T.88 §7.4.13 / B.2)."""
+    if len(d) < 9:
+        raise Jbig2Error("code table segment truncated")
+    flags = d[0]
+    htoob = flags & 1
+    htps = ((flags >> 1) & 7) + 1
+    htrs = ((flags >> 4) & 7) + 1
+    low, high = struct.unpack_from(">ii", d, 1)
+    if high <= low:
+        raise Jbig2Error(f"code table range [{low}, {high}) empty")
+    r = _MsbReader(d, 9)
+    lines = []
+    cur = low
+    while cur < high:
+        preflen = r.read(htps)
+        rangelen = r.read(htrs)
+        if rangelen > 32:
+            raise Jbig2Error(f"code table range length {rangelen}")
+        lines.append((preflen, rangelen, cur, "n"))
+        if (1 << rangelen) > high - cur and rangelen == 32:
+            break
+        cur += 1 << rangelen
+    lines.append((r.read(htps), 32, low - 1, "l"))
+    lines.append((r.read(htps), 32, high, "n"))
+    if htoob:
+        lines.append((r.read(htps), 0, 0, "o"))
+    return _HuffTable(lines)
+
+
+def _encode_table_segment(lines, htoob: bool = False,
+                          lower_preflen: int = 0,
+                          upper_preflen: int | None = None,
+                          oob_preflen: int = 0) -> bytes:
+    """Fixture mirror of _parse_table_segment: normal lines
+    (preflen, rangelen, rangelow) must tile contiguously; the upper
+    line defaults to the table's own last 32-bit entry."""
+    normals = [ln for ln in lines if len(ln) == 3 or ln[3] == "n"]
+    normals = sorted(normals, key=lambda ln: ln[2])
+    body = [ln for ln in normals if ln[1] < 32]
+    upper = [ln for ln in normals if ln[1] == 32]
+    low = body[0][2]
+    high = body[-1][2] + (1 << body[-1][1])
+    htps = max(4, max(ln[0] for ln in lines).bit_length())
+    htrs = 6
+    w = _MsbWriter()
+    for ln in body:
+        w.write(ln[0], htps)
+        w.write(ln[1], htrs)
+    if upper_preflen is None:
+        upper_preflen = upper[0][0] if upper else 0
+    w.write(lower_preflen, htps)
+    w.write(upper_preflen, htps)
+    if htoob:
+        w.write(oob_preflen, htps)
+    flags = (1 if htoob else 0) | ((htps - 1) << 1) | ((htrs - 1) << 4)
+    return bytes([flags]) + struct.pack(">ii", low, high) + w.getvalue()
+
+
 def _parse_segment_header(data: bytes, pos: int) -> tuple[dict, int]:
     n = len(data)
     if pos + 11 > n:
@@ -786,14 +1089,163 @@ def _parse_region_info(d: bytes) -> dict:
     return {"w": w, "h": h, "x": x, "y": y, "comb": comb}
 
 
+def _export_runs(read_run, pool: list, n_ex: int) -> list:
+    """§6.5.10 export flags: alternating no-export/export runs over
+    input symbols followed by new symbols (shared by the arithmetic
+    and Huffman profiles; ``read_run`` hides the coder)."""
+    exported: list = []
+    i = 0
+    exflag = 0
+    runs = 0
+    while i < len(pool):
+        run = read_run()
+        if run is None or run < 0:
+            raise Jbig2Error("bad export run in symbol dictionary")
+        runs += 1
+        if runs > 2 * len(pool) + 2:  # zero-length-run spin guard
+            raise Jbig2Error(
+                "export runs fail to cover the symbol pool")
+        if exflag:
+            exported.extend(pool[i:i + run])
+        i += run
+        exflag ^= 1
+    if len(exported) != n_ex:
+        raise Jbig2Error(
+            f"symbol dictionary exports {len(exported)}, declared "
+            f"{n_ex}")
+    return exported
+
+
+def _decode_symbol_dict_huffman(d: bytes, flags: int, input_syms: list,
+                                tables: list,
+                                max_pixels: int) -> list:
+    """SDHUFF=1 symbol dictionary (T.88 §6.5.5/§7.4.3.1.1, r14):
+    heights/widths decode as Huffman delta chains (standard tables
+    B.4/B.5 and B.2/B.3, or referred custom table segments) and each
+    height class's symbols arrive as ONE collective bitmap — raw
+    (BMSIZE=0, byte-aligned rows) or MMR-coded (the T.6 payload
+    routed through operators/ccitt.py) — split by the decoded
+    widths. SDHUFF+SDREFAGG (Huffman refinement/aggregation) stays a
+    named boundary."""
+    if (flags >> 1) & 1:
+        raise NotImplementedError(
+            "JBIG2 Huffman symbol dictionary with refinement/"
+            "aggregation (SDHUFF=1 & SDREFAGG=1) not supported")
+    if (flags >> 8) & 1:
+        raise NotImplementedError(
+            "JBIG2 imported bitmap coding contexts (segment flag bit "
+            "8) not supported")
+    dh_sel = (flags >> 2) & 3
+    dw_sel = (flags >> 4) & 3
+    bm_sel = (flags >> 6) & 1
+    ti = iter(tables)
+
+    def pick(sel, std: dict, what: str) -> _HuffTable:
+        if sel in std:
+            return _std_table(std[sel])
+        try:
+            return next(ti)
+        except StopIteration:
+            raise Jbig2Error(
+                f"symbol dictionary selects a custom {what} table "
+                "but refers to no more table segments") from None
+
+    dh_tab = pick(dh_sel, {0: 4, 1: 5}, "DH") if dh_sel != 2 else None
+    if dh_tab is None:
+        raise Jbig2Error("reserved SDHUFFDH value 2")
+    dw_tab = pick(dw_sel, {0: 2, 1: 3}, "DW") if dw_sel != 2 else None
+    if dw_tab is None:
+        raise Jbig2Error("reserved SDHUFFDW value 2")
+    bm_tab = pick(bm_sel, {0: 1}, "BMSIZE")
+    ex_tab = _std_table(1)
+    pos = 2  # SDHUFF reads no AT pixels (§7.4.3.1.2)
+    if pos + 8 > len(d):
+        raise Jbig2Error("symbol dictionary counts truncated")
+    n_ex, n_new = struct.unpack_from(">II", d, pos)
+    pos += 8
+    if n_new > 1 << 20 or n_ex > 1 << 20:
+        raise Jbig2Error(
+            f"symbol dictionary declares {n_new} new / {n_ex} "
+            "exported symbols")
+    r = _MsbReader(d, pos)
+    new_syms: list = []
+    hc_height = 0
+    area = 0
+    classes = 0
+    while len(new_syms) < n_new:
+        classes += 1
+        if classes > n_new + 64:
+            raise Jbig2Error(
+                "symbol dictionary height classes never reach "
+                "SDNUMNEWSYMS")
+        dh = dh_tab.decode(r)
+        if dh is None:
+            raise Jbig2Error("OOB height-class delta in symbol "
+                             "dictionary")
+        hc_height += dh
+        if hc_height <= 0 or hc_height > 1 << 14:
+            raise Jbig2Error(f"symbol height class {hc_height}")
+        sym_width = 0
+        widths: list[int] = []
+        while True:
+            dw = dw_tab.decode(r)
+            if dw is None:
+                break  # end of height class
+            sym_width += dw
+            if sym_width <= 0 or sym_width > 1 << 14:
+                raise Jbig2Error(f"symbol width {sym_width}")
+            if len(new_syms) + len(widths) >= n_new:
+                raise Jbig2Error(
+                    "height class continues past SDNUMNEWSYMS")
+            area += sym_width * hc_height
+            if area > max_pixels:
+                raise Jbig2Error(
+                    f"symbol dictionary exceeds max_pixels="
+                    f"{max_pixels}")
+            widths.append(sym_width)
+        if not widths:
+            continue
+        tot = sum(widths)
+        bmsize = bm_tab.decode(r)
+        if bmsize is None or bmsize < 0:
+            raise Jbig2Error("bad collective-bitmap BMSIZE")
+        r.byte_align()
+        start = r.byte_pos()
+        if bmsize == 0:
+            # §6.5.9: uncompressed, each row padded to a byte
+            rowbytes = (tot + 7) // 8
+            need = rowbytes * hc_height
+            if start + need > len(d):
+                raise Jbig2Error("raw collective bitmap truncated")
+            raw = np.frombuffer(
+                d[start:start + need], np.uint8
+            ).reshape(hc_height, rowbytes)
+            collective = np.unpackbits(raw, axis=1)[:, :tot]
+            r.bitpos = (start + need) * 8
+        else:
+            if start + bmsize > len(d):
+                raise Jbig2Error("MMR collective bitmap truncated")
+            collective = decode_generic_region(
+                d[start:start + bmsize], tot, hc_height, mmr=True)
+            r.bitpos = (start + bmsize) * 8
+        x = 0
+        for wd in widths:
+            new_syms.append(
+                np.ascontiguousarray(collective[:, x:x + wd]))
+            x += wd
+    pool = list(input_syms) + new_syms
+    return _export_runs(lambda: ex_tab.decode(r), pool, n_ex)
+
+
 def _decode_symbol_dict(d: bytes, input_syms: list,
-                        max_pixels: int = 1 << 26) -> list:
-    """Symbol dictionary segment (T.88 §6.5/§7.4.3, arithmetic
-    profile) -> the exported symbol list. Height classes decode as
+                        max_pixels: int = 1 << 26,
+                        tables: list | None = None) -> list:
+    """Symbol dictionary segment (T.88 §6.5/§7.4.3) -> the exported
+    symbol list. Arithmetic profile: height classes decode as
     IADH/IADW delta chains; each new symbol is a generic region
     sharing ONE arithmetic decoder and ONE GB context set across the
-    whole segment. Huffman-coded and refinement-aggregate
-    dictionaries raise by name."""
+    whole segment. SDHUFF=1 routes to the Huffman profile (r14);
+    Huffman+refinement-aggregate dictionaries raise by name."""
     if len(d) < 2:
         raise Jbig2Error("symbol dictionary flags truncated")
     flags = struct.unpack_from(">H", d, 0)[0]
@@ -803,9 +1255,8 @@ def _decode_symbol_dict(d: bytes, input_syms: list,
     template = (flags >> 10) & 3
     rtemplate = (flags >> 12) & 1
     if sdhuff:
-        raise NotImplementedError(
-            "JBIG2 Huffman-coded symbol dictionary (SDHUFF=1) not "
-            "supported — arithmetic profile only")
+        return _decode_symbol_dict_huffman(
+            d, flags, input_syms, tables or [], max_pixels)
     if ctx_used:
         raise NotImplementedError(
             "JBIG2 imported bitmap coding contexts (segment flag bit "
@@ -916,40 +1367,113 @@ def _decode_symbol_dict(d: bytes, input_syms: list,
                 new_syms.append(decode_generic_region(
                     b"", sym_width, hc_height, template=template,
                     at=at, decoder=dec, icx=gb_icx, mps=gb_mps))
-    # export flags (§6.5.10): alternating no-export/export runs over
-    # input symbols followed by new symbols
     pool = list(input_syms) + new_syms
-    exported: list = []
-    i = 0
-    exflag = 0
-    runs = 0
-    while i < len(pool):
-        run = _decode_int(dec, iaex)
-        if run is None or run < 0:
-            raise Jbig2Error("bad export run in symbol dictionary")
-        runs += 1
-        if runs > 2 * len(pool) + 2:  # zero-length-run spin guard
-            raise Jbig2Error(
-                "export runs fail to cover the symbol pool")
-        if exflag:
-            exported.extend(pool[i:i + run])
-        i += run
-        exflag ^= 1
-    if len(exported) != n_ex:
-        raise Jbig2Error(
-            f"symbol dictionary exports {len(exported)}, declared "
-            f"{n_ex}")
-    return exported
+    return _export_runs(lambda: _decode_int(dec, iaex), pool, n_ex)
+
+
+def _decode_text_instances(info, syms, n_instances, strips, ds_offset,
+                           ref_corner, transposed, comb_op, def_pixel,
+                           read_dt, read_fs, read_ds, read_curt,
+                           read_id, refine) -> np.ndarray:
+    """§6.4.5 strip decoding, shared by the arithmetic and Huffman
+    profiles — the callbacks hide the coder; geometry (all four
+    reference corners × orientation × SBCOMBOP) is identical."""
+    w, h = info["w"], info["h"]
+    bmp = np.full((h, w), def_pixel, np.uint8)
+
+    def draw(sym: np.ndarray, x: int, y: int) -> None:
+        sh, sw = sym.shape
+        x0, y0 = max(x, 0), max(y, 0)
+        x1, y1 = min(x + sw, w), min(y + sh, h)
+        if x0 >= x1 or y0 >= y1:
+            return
+        dst = bmp[y0:y1, x0:x1]
+        src = sym[y0 - y:y1 - y, x0 - x:x1 - x]
+        if comb_op == 0:
+            dst |= src
+        elif comb_op == 1:
+            dst &= src
+        elif comb_op == 2:
+            dst ^= src
+        else:
+            dst[:] = 1 - (dst ^ src)
+
+    dt0 = read_dt()
+    if dt0 is None:
+        raise Jbig2Error("OOB initial DT in text region")
+    strip_t = -dt0 * strips
+    first_s = 0
+    n_done = 0
+    while n_done < n_instances:
+        dt = read_dt()
+        if dt is None:
+            raise Jbig2Error("OOB strip DT in text region")
+        strip_t += dt * strips
+        first = True
+        cur_s = 0
+        while True:
+            if first:
+                dfs = read_fs()
+                if dfs is None:
+                    raise Jbig2Error("OOB first-S in text region")
+                first_s += dfs
+                cur_s = first_s
+                first = False
+            else:
+                ids = read_ds()
+                if ids is None:
+                    break  # end of strip
+                cur_s += ids + ds_offset
+            if n_done >= n_instances:
+                raise Jbig2Error(
+                    "text region strip continues past "
+                    "SBNUMINSTANCES")
+            cur_t = read_curt() if strips > 1 else 0
+            if cur_t is None:
+                raise Jbig2Error("OOB CURT in text region")
+            t = strip_t + cur_t
+            sid = read_id()
+            if sid >= len(syms):
+                raise Jbig2Error(
+                    f"symbol id {sid} outside the {len(syms)}-symbol "
+                    "dictionary scope")
+            sym = refine(syms[sid])
+            sh, sw = sym.shape
+            if not transposed:
+                if ref_corner in (2, 3):  # BOTTOMRIGHT / TOPRIGHT
+                    cur_s += sw - 1
+                    x = cur_s - sw + 1
+                else:
+                    x = cur_s
+                y = t if ref_corner in (1, 3) else t - sh + 1
+                draw(sym, x, y)
+                if ref_corner in (0, 1):  # LEFT corners advance after
+                    cur_s += sw - 1
+            else:
+                if ref_corner in (0, 2):  # BOTTOM corners
+                    cur_s += sh - 1
+                    y = cur_s - sh + 1
+                else:
+                    y = cur_s
+                x = t if ref_corner in (0, 1) else t - sw + 1
+                draw(sym, x, y)
+                if ref_corner in (1, 3):  # TOP corners advance after
+                    cur_s += sh - 1
+            n_done += 1
+    return bmp
 
 
 def _decode_text_region(d: bytes, syms: list,
-                        max_pixels: int = 1 << 26) -> tuple[dict,
-                                                            np.ndarray]:
-    """Text region segment (T.88 §6.4/§7.4.4, arithmetic profile) ->
-    (region info, bitmap). Strip decoding with IADT/IAFS/IADS/IAIT
-    and IAID symbol ids; all four reference corners and the
-    transposed orientation compose with the region's SBCOMBOP.
-    Huffman symbol codes and refinement raise by name."""
+                        max_pixels: int = 1 << 26,
+                        tables: list | None = None) -> tuple[dict,
+                                                             np.ndarray]:
+    """Text region segment (T.88 §6.4/§7.4.4) -> (region info,
+    bitmap). Arithmetic profile: IADT/IAFS/IADS/IAIT with IAID
+    symbol ids. SBHUFF=1 (r14): standard/custom Huffman tables for
+    the deltas and the §7.4.4.4.1 runcoded symbol-ID prefix table.
+    All four reference corners and the transposed orientation
+    compose with the region's SBCOMBOP. Huffman+refinement raises by
+    name."""
     info = _parse_region_info(d)
     if len(d) < 19:
         raise Jbig2Error("text region flags truncated")
@@ -966,9 +1490,8 @@ def _decode_text_region(d: bytes, syms: list,
         ds_offset -= 32  # signed 5-bit
     rtemplate = (flags >> 15) & 1
     if sbhuff:
-        raise NotImplementedError(
-            "JBIG2 Huffman-coded text region (SBHUFF=1) not supported "
-            "— arithmetic profile only")
+        return _decode_text_region_huffman(
+            d, syms, info, flags, tables or [], max_pixels)
     pos = 19
     rat = None
     if sbrefine and rtemplate == 0:
@@ -1004,110 +1527,147 @@ def _decode_text_region(d: bytes, syms: list,
     iaid = _IntCtx(1 << (code_len + 1))
     gr_icx = [0] * 8192
     gr_mps = [0] * 8192
-    w, h = info["w"], info["h"]
-    bmp = np.full((h, w), def_pixel, np.uint8)
 
-    def draw(sym: np.ndarray, x: int, y: int) -> None:
-        sh, sw = sym.shape
-        x0, y0 = max(x, 0), max(y, 0)
-        x1, y1 = min(x + sw, w), min(y + sh, h)
-        if x0 >= x1 or y0 >= y1:
-            return
-        dst = bmp[y0:y1, x0:x1]
-        src = sym[y0 - y:y1 - y, x0 - x:x1 - x]
-        if comb_op == 0:
-            dst |= src
-        elif comb_op == 1:
-            dst &= src
-        elif comb_op == 2:
-            dst ^= src
+    def refine(sym: np.ndarray) -> np.ndarray:
+        if not sbrefine:
+            return sym
+        ri = _decode_int(dec, iari)
+        if ri is None:
+            raise Jbig2Error("OOB RI in refined text region")
+        if not ri:
+            return sym
+        rdw = _decode_int(dec, iardw)
+        rdh = _decode_int(dec, iardh)
+        rdx = _decode_int(dec, iardx)
+        rdy = _decode_int(dec, iardy)
+        if None in (rdw, rdh, rdx, rdy):
+            raise Jbig2Error("OOB refinement deltas in text region")
+        wi = sym.shape[1] + rdw
+        hi = sym.shape[0] + rdh
+        if wi <= 0 or hi <= 0 or wi * hi > max_pixels:
+            raise Jbig2Error(
+                f"refined instance {wi}x{hi} out of range")
+        # §6.4.11: reference offset floors the size delta
+        return decode_refinement_region(
+            wi, hi, sym, (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+            template=rtemplate, at=rat, decoder=dec,
+            icx=gr_icx, mps=gr_mps)
+
+    bmp = _decode_text_instances(
+        info, syms, n_instances, strips, ds_offset, ref_corner,
+        transposed, comb_op, def_pixel,
+        read_dt=lambda: _decode_int(dec, iadt),
+        read_fs=lambda: _decode_int(dec, iafs),
+        read_ds=lambda: _decode_int(dec, iads),
+        read_curt=lambda: _decode_int(dec, iait),
+        read_id=lambda: _decode_iaid(dec, iaid, code_len),
+        refine=refine)
+    return info, bmp
+
+
+def _decode_text_region_huffman(d: bytes, syms: list, info: dict,
+                                flags: int, tables: list,
+                                max_pixels: int) -> tuple[dict,
+                                                          np.ndarray]:
+    """SBHUFF=1 text region (T.88 §7.4.4.1.1 + §7.4.4.4.1, r14):
+    delta fields read standard/custom Huffman tables; symbol IDs
+    read the per-region runcoded prefix table (35 runcodes, repeat
+    semantics, then byte alignment); CURT reads log2(SBSTRIPS) raw
+    bits. Huffman+refinement (SBREFINE=1) stays a named boundary."""
+    sbrefine = (flags >> 1) & 1
+    log_strips = (flags >> 2) & 3
+    ref_corner = (flags >> 4) & 3
+    transposed = (flags >> 6) & 1
+    comb_op = (flags >> 7) & 3
+    def_pixel = (flags >> 9) & 1
+    ds_offset = (flags >> 10) & 0x1F
+    if ds_offset > 15:
+        ds_offset -= 32
+    if sbrefine:
+        raise NotImplementedError(
+            "JBIG2 Huffman text region with refinement (SBHUFF=1 & "
+            "SBREFINE=1) not supported")
+    if len(d) < 21:
+        raise Jbig2Error("text region Huffman flags truncated")
+    hflags = struct.unpack_from(">H", d, 19)[0]
+    fs_sel = hflags & 3
+    ds_sel = (hflags >> 2) & 3
+    dt_sel = (hflags >> 4) & 3
+    pos = 21
+    ti = iter(tables)
+
+    def pick(sel, std: dict, what: str) -> _HuffTable:
+        if sel in std:
+            return _std_table(std[sel])
+        if sel == 3:
+            try:
+                return next(ti)
+            except StopIteration:
+                raise Jbig2Error(
+                    f"text region selects a custom {what} table but "
+                    "refers to no more table segments") from None
+        raise Jbig2Error(f"reserved {what} table selector {sel}")
+
+    fs_tab = pick(fs_sel, {0: 6, 1: 7}, "FS")
+    ds_tab = pick(ds_sel, {0: 8, 1: 9, 2: 10}, "DS")
+    dt_tab = pick(dt_sel, {0: 11, 1: 12, 2: 13}, "DT")
+    if pos + 4 > len(d):
+        raise Jbig2Error("text region instance count truncated")
+    (n_instances,) = struct.unpack_from(">I", d, pos)
+    pos += 4
+    if n_instances > 1 << 22:
+        raise Jbig2Error(f"text region declares {n_instances} "
+                         "instances")
+    if not syms:
+        raise Jbig2Error("text region with no symbols in scope")
+    if info["w"] * info["h"] > max_pixels:
+        raise Jbig2Error(
+            f"text region {info['w']}x{info['h']} exceeds "
+            f"max_pixels={max_pixels}")
+    r = _MsbReader(d, pos)
+    # §7.4.4.4.1: runcoded symbol-ID code lengths
+    runlens = [r.read(4) for _ in range(35)]
+    run_tab = _HuffTable(
+        [(ln, 0, i) for i, ln in enumerate(runlens) if ln])
+    lens: list[int] = []
+    prev = 0
+    while len(lens) < len(syms):
+        code = run_tab.decode(r)
+        if code is None or code > 34:
+            raise Jbig2Error(f"bad symbol-ID runcode {code}")
+        if code < 32:
+            lens.append(code)
+            prev = code
+        elif code == 32:
+            if not lens:
+                raise Jbig2Error("runcode 32 with no previous length")
+            lens.extend([prev] * (r.read(2) + 3))
+        elif code == 33:
+            lens.extend([0] * (r.read(3) + 3))
         else:
-            dst[:] = 1 - (dst ^ src)
+            lens.extend([0] * (r.read(7) + 11))
+    if len(lens) > len(syms):
+        raise Jbig2Error("symbol-ID length runs overrun SBNUMSYMS")
+    id_tab = _HuffTable(
+        [(ln, 0, i) for i, ln in enumerate(lens) if ln])
+    r.byte_align()
+    strips = 1 << log_strips
 
-    dt0 = _decode_int(dec, iadt)
-    if dt0 is None:
-        raise Jbig2Error("OOB initial DT in text region")
-    strip_t = -dt0 * strips
-    first_s = 0
-    n_done = 0
-    while n_done < n_instances:
-        dt = _decode_int(dec, iadt)
-        if dt is None:
-            raise Jbig2Error("OOB strip DT in text region")
-        strip_t += dt * strips
-        first = True
-        cur_s = 0
-        while True:
-            if first:
-                dfs = _decode_int(dec, iafs)
-                if dfs is None:
-                    raise Jbig2Error("OOB first-S in text region")
-                first_s += dfs
-                cur_s = first_s
-                first = False
-            else:
-                ids = _decode_int(dec, iads)
-                if ids is None:
-                    break  # end of strip
-                cur_s += ids + ds_offset
-            if n_done >= n_instances:
-                raise Jbig2Error(
-                    "text region strip continues past "
-                    "SBNUMINSTANCES")
-            cur_t = _decode_int(dec, iait) if strips > 1 else 0
-            if cur_t is None:
-                raise Jbig2Error("OOB CURT in text region")
-            t = strip_t + cur_t
-            sid = _decode_iaid(dec, iaid, code_len)
-            if sid >= len(syms):
-                raise Jbig2Error(
-                    f"symbol id {sid} outside the {len(syms)}-symbol "
-                    "dictionary scope")
-            sym = syms[sid]
-            if sbrefine:
-                ri = _decode_int(dec, iari)
-                if ri is None:
-                    raise Jbig2Error("OOB RI in refined text region")
-                if ri:
-                    rdw = _decode_int(dec, iardw)
-                    rdh = _decode_int(dec, iardh)
-                    rdx = _decode_int(dec, iardx)
-                    rdy = _decode_int(dec, iardy)
-                    if None in (rdw, rdh, rdx, rdy):
-                        raise Jbig2Error(
-                            "OOB refinement deltas in text region")
-                    wi = sym.shape[1] + rdw
-                    hi = sym.shape[0] + rdh
-                    if wi <= 0 or hi <= 0 or wi * hi > max_pixels:
-                        raise Jbig2Error(
-                            f"refined instance {wi}x{hi} out of range")
-                    # §6.4.11: reference offset floors the size delta
-                    sym = decode_refinement_region(
-                        wi, hi, sym, (rdw >> 1) + rdx,
-                        (rdh >> 1) + rdy, template=rtemplate, at=rat,
-                        decoder=dec, icx=gr_icx, mps=gr_mps)
-            sh, sw = sym.shape
-            if not transposed:
-                if ref_corner in (2, 3):  # BOTTOMRIGHT / TOPRIGHT
-                    cur_s += sw - 1
-                    x = cur_s - sw + 1
-                else:
-                    x = cur_s
-                y = t if ref_corner in (1, 3) else t - sh + 1
-                draw(sym, x, y)
-                if ref_corner in (0, 1):  # LEFT corners advance after
-                    cur_s += sw - 1
-            else:
-                if ref_corner in (0, 2):  # BOTTOM corners
-                    cur_s += sh - 1
-                    y = cur_s - sh + 1
-                else:
-                    y = cur_s
-                x = t if ref_corner in (0, 1) else t - sw + 1
-                draw(sym, x, y)
-                if ref_corner in (1, 3):  # TOP corners advance after
-                    cur_s += sh - 1
-            n_done += 1
+    def read_id() -> int:
+        sid = id_tab.decode(r)
+        if sid is None:
+            raise Jbig2Error("OOB symbol id")
+        return sid
+
+    bmp = _decode_text_instances(
+        info, syms, n_instances, strips, ds_offset, ref_corner,
+        transposed, comb_op, def_pixel,
+        read_dt=lambda: dt_tab.decode(r),
+        read_fs=lambda: fs_tab.decode(r),
+        read_ds=lambda: ds_tab.decode(r),
+        read_curt=lambda: r.read(log_strips),
+        read_id=read_id,
+        refine=lambda sym: sym)
     return info, bmp
 
 
@@ -1264,6 +1824,7 @@ def decode_jbig2_embedded(data: bytes,
     page_default = 0
     max_y_seen = 0
     sym_store: dict[int, list] = {}  # segment number -> exported syms
+    table_store: dict[int, _HuffTable] = {}  # -> custom code tables
 
     def compose(info: dict, region: np.ndarray) -> None:
         nonlocal page, max_y_seen
@@ -1345,14 +1906,20 @@ def decode_jbig2_embedded(data: bytes,
         elif t == 0:  # symbol dictionary
             inputs = [sym for r in seg["refs"]
                       for sym in sym_store.get(r, [])]
+            tabs = [table_store[r] for r in seg["refs"]
+                    if r in table_store]
             sym_store[seg["number"]] = _decode_symbol_dict(
-                d, inputs, max_pixels=max_pixels)
+                d, inputs, max_pixels=max_pixels, tables=tabs)
         elif t in (6, 7):  # immediate (lossless) text region
             syms = [sym for r in seg["refs"]
                     for sym in sym_store.get(r, [])]
+            tabs = [table_store[r] for r in seg["refs"]
+                    if r in table_store]
             info, region = _decode_text_region(
-                d, syms, max_pixels=max_pixels)
+                d, syms, max_pixels=max_pixels, tables=tabs)
             compose(info, region)
+        elif t == 53:  # custom Huffman code table
+            table_store[seg["number"]] = _parse_table_segment(d)
         elif t == 4:
             raise NotImplementedError(
                 "JBIG2 intermediate text region (type 4, retained "
@@ -1819,5 +2386,158 @@ def encode_jbig2_text(symbols: list, instances: list,
     seg(48, struct.pack(">IIIIBH", pw, ph, 0, 0, 0, 0))
     seg(0, _encode_symbol_dict_payload(dict_syms))
     seg(6, body, refs=(1,))
+    seg(49, b"")
+    return b"".join(segs)
+
+
+def encode_jbig2_text_huffman(symbols: list, instances: list,
+                              page_size: tuple[int, int] | None = None,
+                              ref_corner: int = 1,
+                              transposed: bool = False,
+                              mmr_collective: bool = False,
+                              custom_dt: bool = False) -> bytes:
+    """Embedded-profile JBIG2 page in the HUFFMAN profile (r14): the
+    SDHUFF=1 symbol dictionary ships each height class as a
+    collective bitmap (raw BMSIZE=0 rows, or one T.6/MMR stream with
+    ``mmr_collective=True``) keyed by B.4/B.2 delta chains, and the
+    SBHUFF=1 text region codes deltas with B.6/B.8/B.11 plus the
+    §7.4.4.4.1 runcoded symbol-ID prefix table. ``custom_dt=True``
+    ships DT as a CUSTOM code-table segment (type 53) replicating
+    B.11, exercising the referred-table path. The ancient-Xerox-class
+    layout; fixture mirror for _decode_symbol_dict_huffman /
+    _decode_text_region_huffman."""
+    symbols = [(np.asarray(b) & 1).astype(np.uint8) for b in symbols]
+    order = sorted(range(len(symbols)),
+                   key=lambda i: (symbols[i].shape[0],
+                                  symbols[i].shape[1], i))
+    dict_syms = [symbols[i] for i in order]
+    remap = {orig: new for new, orig in enumerate(order)}
+    if page_size is None:
+        pw = max(x + symbols[s].shape[1] for s, x, _ in instances)
+        ph = max(y + symbols[s].shape[0] for s, _, y in instances)
+    else:
+        pw, ph = page_size
+
+    # --- symbol dictionary payload (SDHUFF=1) ---
+    dh_tab, dw_tab, bm_tab, ex_tab = (_std_table(4), _std_table(2),
+                                      _std_table(1), _std_table(1))
+    out = bytearray(struct.pack(">H", 1))  # SDHUFF, std tables, T0
+    out += struct.pack(">II", len(dict_syms), len(dict_syms))
+    w = _MsbWriter()
+    hc_height = 0
+    i = 0
+    while i < len(dict_syms):
+        h = dict_syms[i].shape[0]
+        dh_tab.encode(w, h - hc_height)
+        hc_height = h
+        sym_width = 0
+        cls = []
+        while i < len(dict_syms) and dict_syms[i].shape[0] == h:
+            wd = dict_syms[i].shape[1]
+            dw_tab.encode(w, wd - sym_width)
+            sym_width = wd
+            cls.append(dict_syms[i])
+            i += 1
+        dw_tab.encode_oob(w)  # end of height class
+        collective = np.concatenate(cls, axis=1)
+        if mmr_collective:
+            from dolphinbeat_spark.operators.ccitt import ccitt_encode
+
+            blob = ccitt_encode(collective, mode="g4")
+            bm_tab.encode(w, len(blob))
+            w.byte_align()
+            for byte in blob:
+                w.write(byte, 8)
+        else:
+            bm_tab.encode(w, 0)  # BMSIZE=0: raw, byte-aligned rows
+            w.byte_align()
+            packed = np.packbits(collective, axis=1)
+            for byte in packed.reshape(-1):
+                w.write(int(byte), 8)
+    ex_tab.encode(w, 0)               # no-export run (no inputs)
+    ex_tab.encode(w, len(dict_syms))  # export this dict's own
+    dict_payload = bytes(out) + w.getvalue()
+
+    # --- text region payload (SBHUFF=1) ---
+    n_syms = len(dict_syms)
+    id_len = max(1, (n_syms - 1).bit_length())
+    fs_tab, ds_tab = _std_table(6), _std_table(8)
+    dt_tab = _std_table(11)
+    w = _MsbWriter()
+    for rc in range(35):  # runcode lengths: only `id_len` is used
+        w.write(1 if rc == id_len else 0, 4)
+    for _ in range(n_syms):  # every symbol id is `id_len` bits
+        w.write(0, 1)  # the single runcode's 1-bit prefix
+    w.byte_align()
+
+    def s_t(inst) -> tuple[int, int]:
+        sid, x, y = inst
+        hh, ww = symbols[sid].shape
+        if not transposed:
+            sx = x + ww - 1 if ref_corner in (2, 3) else x
+            ty = y if ref_corner in (1, 3) else y + hh - 1
+            return sx, ty
+        sy = y + hh - 1 if ref_corner in (0, 2) else y
+        tx = x if ref_corner in (0, 1) else x + ww - 1
+        return sy, tx
+
+    wire = sorted(((s_t(inst), inst) for inst in instances),
+                  key=lambda e: (e[0][1], e[0][0]))
+    dt_tab.encode(w, 1)  # STRIPT = -1 (B.11 codes 1+; first dt adds back)
+    strip_t = -1
+    first_s = 0
+    i = 0
+    n = len(wire)
+    while i < n:
+        t = wire[i][0][1]
+        dt_tab.encode(w, t - strip_t)
+        strip_t = t
+        first = True
+        cur_s = 0
+        while i < n and wire[i][0][1] == t:
+            (s_val, _), inst = wire[i]
+            sid, _, _ = inst
+            hh, ww = symbols[sid].shape
+            adv = (ww if not transposed else hh) - 1
+            pre = adv if (not transposed and ref_corner in (2, 3)) \
+                or (transposed and ref_corner in (0, 2)) else 0
+            c0 = s_val - pre
+            if first:
+                fs_tab.encode(w, c0 - first_s)
+                first_s = c0
+                first = False
+            else:
+                ds_tab.encode(w, c0 - cur_s)
+            w.write(remap[sid], id_len)
+            cur_s = c0 + adv
+            i += 1
+        ds_tab.encode_oob(w)  # end of strip
+    data = w.getvalue()
+
+    flags = 1 | (ref_corner << 4) | ((1 if transposed else 0) << 6)
+    hflags = (3 << 4) if custom_dt else 0  # DT: custom vs B.11
+    body = struct.pack(">IIIIB", pw, ph, 0, 0, 0) \
+        + struct.pack(">H", flags) + struct.pack(">H", hflags) \
+        + struct.pack(">I", n) + data
+
+    segs = []
+    num = 0
+
+    def seg(seg_type: int, payload: bytes, refs=()) -> None:
+        nonlocal num
+        ref_blob = bytes([len(refs) << 5]) \
+            + b"".join(r.to_bytes(1, "big") for r in refs)
+        hdr = struct.pack(">IB", num, seg_type) + ref_blob \
+            + b"\x01" + struct.pack(">I", len(payload))
+        segs.append(hdr + payload)
+        num += 1
+
+    seg(48, struct.pack(">IIIIBH", pw, ph, 0, 0, 0, 0))
+    seg(0, dict_payload)
+    if custom_dt:
+        seg(53, _encode_table_segment(_STD_TABLE_LINES[11]))
+        seg(6, body, refs=(1, 2))
+    else:
+        seg(6, body, refs=(1,))
     seg(49, b"")
     return b"".join(segs)

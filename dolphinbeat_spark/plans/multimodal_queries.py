@@ -3544,6 +3544,96 @@ def mm_pdf_jbig2_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_pdf_jbig2_huffman",
+    # payload = the mm_pdf_jbig2_text layout re-coded in the HUFFMAN
+    # profile (T.88 Annex B, r14 — the ancient-Xerox-class encoder
+    # output): SDHUFF=1 symbol dictionary with raw OR MMR collective
+    # bitmaps (cycled by parity), SBHUFF=1 text region with the
+    # runcoded symbol-ID table, and every fourth doc shipping DT as
+    # a CUSTOM code-table segment (type 53). Same canvas/glyph
+    # construction as the arithmetic twin, so the oracle is the same
+    # closed form — the RASTER must be profile-invariant.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 29 = 17
+), rows_hex AS (
+  SELECT media_id,
+         string_agg(
+           replace(replace(replace(translate(
+             substr(pattern, 1 + 8 * (r // 2), 8),
+             '0123456789abcdef', 'wwwwwwwwwwBBBTTT'),
+             'w', 'ffff'), 'B', '0000'),
+             'T', CASE WHEN r % 2 = 0 THEN '0000' ELSE 'ffff' END),
+           '' ORDER BY r) AS hexpx
+  FROM p, generate_series(0, 23) AS g(r)
+  GROUP BY media_id
+)
+SELECT p.media_id, 0::BIGINT AS page_idx, 'Im0_0' AS img_name,
+       CAST(16 AS BIGINT) AS width, CAST(24 AS BIGINT) AS height,
+       1::BIGINT AS n_components, 'JBIG2Decode' AS img_filter,
+       CAST(255 * (4 * length(regexp_replace(pattern, '[a-f]', '',
+                                             'g'))
+                   + 2 * length(regexp_replace(pattern, '[^d-f]', '',
+                                               'g')))
+            AS BIGINT) AS pixel_sum,
+       md5(hexpx) AS pixel_md5
+FROM p JOIN rows_hex USING (media_id)
+ORDER BY media_id
+""",
+    tags=("multimodal", "pdf", "decode", "codec", "jbig2", "huffman",
+          "ingest"),
+)
+def mm_pdf_jbig2_huffman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huffman-profile JBIG2 in PDFs under the oracle gate (r14):
+    Annex-B standard + custom code tables, collective-bitmap symbol
+    dictionaries (raw and MMR), runcoded symbol-ID prefix tables —
+    the other wild JBIG2 encoder family next to r13's arithmetic
+    profile, raster-identical by construction."""
+    import hashlib
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.jbig2 import (
+        encode_jbig2_text_huffman,
+    )
+    from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_images
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 17)
+    ids = sorted(r[0] for r in d.select("doc_id").collect())
+    solid = np.ones((2, 2), np.uint8)
+    topbar = np.ones((1, 2), np.uint8)
+    rows = []
+    for i in ids:
+        pattern = hashlib.md5(str(i).encode()).hexdigest() * 3
+        inst = []
+        for idx, c in enumerate(pattern):
+            r, col = divmod(idx, 8)
+            if c in "abc":
+                inst.append((0, 2 * col, 2 * r))
+            elif c in "def":
+                inst.append((1, 2 * col, 2 * r))
+        blob = encode_jbig2_text_huffman(
+            [solid, topbar], inst, page_size=(16, 24),
+            ref_corner=i % 4,
+            mmr_collective=bool((i // 4) % 2),
+            custom_dt=i % 8 < 2)
+        pdf = encode_pdf(
+            [[f"huff {i}"]], xref_stream=bool(i % 2),
+            images=[[("jbig2-raw", 16, 24, 1, blob)]],
+        )
+        rows.append((i, bytearray(pdf)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return (
+        pdf_images(media, digest="hex")
+        .select("media_id", "page_idx", "img_name", "width", "height",
+                "n_components", "img_filter", "pixel_sum", "pixel_md5")
+        .orderBy("media_id", "page_idx", "img_name")
+    )
+
+
+@register(
     "mm_pdf_inline_images",
     # payload = a PDF per doc whose images are INLINE (BI/ID/EI,
     # §8.9.7 — the layout scanned faxes and small graphics actually

@@ -269,10 +269,12 @@ def test_symbol_dict_chain_and_boundaries():
         return bytes(b)
     sd_idx = next(i for i, sp in enumerate(spans) if sp[3]["type"] == 0)
     tr_idx = next(i for i, sp in enumerate(spans) if sp[3]["type"] == 6)
-    with pytest.raises(NotImplementedError, match="SDHUFF"):
-        decode_jbig2_embedded(flip(sd_idx, 1, 1))
-    with pytest.raises(NotImplementedError, match="SBHUFF"):
-        decode_jbig2_embedded(flip(tr_idx, 17 + 1, 1))
+    # r14: SDHUFF/SBHUFF DECODE now — a bare flag flip reinterprets
+    # the arithmetic payload as Huffman garbage, which must stay
+    # typed (Jbig2Error), never crash untyped
+    for mutated in (flip(sd_idx, 1, 1), flip(tr_idx, 17 + 1, 1)):
+        with pytest.raises((Jbig2Error, NotImplementedError)):
+            decode_jbig2_embedded(mutated)
     # SDREFAGG/SBREFINE are SUPPORTED since r13 — a bare flag flip
     # turns the payload into garbage under the other coding, which
     # must stay typed, not crash
@@ -507,6 +509,106 @@ def test_pattern_dict_and_halftone_region():
         decode_jbig2_embedded(bytes(b))
     # fuzz
     for _ in range(200):
+        b = bytearray(blob)
+        b[rng.randint(0, len(b))] ^= 1 << rng.randint(0, 8)
+        try:
+            out = decode_jbig2_embedded(bytes(b), max_pixels=1 << 16)
+            assert out.size <= 1 << 16
+        except (Jbig2Error, NotImplementedError):
+            pass
+
+
+def test_huffman_standard_tables_and_custom_segment():
+    """Annex-B tables: every standard table roundtrips encode->decode
+    over range-edge samples incl. lower/OOB lines; a custom table
+    segment replicating B.11 decodes identically to B.11."""
+    from dolphinbeat_spark.operators.jbig2 import (
+        _MsbReader, _MsbWriter, _STD_TABLE_LINES, _encode_table_segment,
+        _parse_table_segment, _std_table,
+    )
+
+    for n, lines in _STD_TABLE_LINES.items():
+        t = _std_table(n)
+        vals = []
+        for ln in lines:
+            if len(ln) == 3:
+                lo = ln[2]
+                vals += [lo, lo + ((1 << ln[1]) - 1 if ln[1] < 32
+                                   else 1000)]
+            elif ln[3] == "l":
+                vals += [ln[2], ln[2] - 500]
+        w = _MsbWriter()
+        for v in vals:
+            t.encode(w, v)
+        if t.oob:
+            t.encode_oob(w)
+        r = _MsbReader(w.getvalue())
+        assert [t.decode(r) for _ in vals] == vals, f"B.{n}"
+        if t.oob:
+            assert t.decode(r) is None
+    seg = _encode_table_segment(_STD_TABLE_LINES[11])
+    t, t11 = _parse_table_segment(seg), _std_table(11)
+    w = _MsbWriter()
+    for v in (1, 2, 17, 141, 99999):
+        t.encode(w, v)
+    r = _MsbReader(w.getvalue())
+    assert [t11.decode(r) for _ in range(5)] == [1, 2, 17, 141, 99999]
+
+
+def test_huffman_profile_matches_arithmetic_raster():
+    """The SDHUFF/SBHUFF encoder mirror decodes to the SAME page
+    raster as the arithmetic profile across collective forms
+    (raw/MMR), custom DT table segments, and all corner/orientation
+    wire forms."""
+    rng = np.random.RandomState(4)
+    symbols = [rng.randint(0, 2, (6, 5), dtype=np.uint8),
+               rng.randint(0, 2, (6, 9), dtype=np.uint8),
+               rng.randint(0, 2, (8, 4), dtype=np.uint8),
+               np.ones((3, 3), np.uint8)]
+    instances = [(0, 2, 1), (1, 10, 1), (2, 24, 0), (3, 31, 4),
+                 (0, 40, 2), (1, 2, 12), (3, 15, 14), (2, 25, 11)]
+    from dolphinbeat_spark.operators.jbig2 import (
+        encode_jbig2_text, encode_jbig2_text_huffman,
+    )
+
+    want = decode_jbig2_embedded(encode_jbig2_text(
+        symbols, [(s, x, y, None) for s, x, y in instances],
+        page_size=(48, 20)))
+
+    for mmr in (False, True):
+        for cdt in (False, True):
+            got = decode_jbig2_embedded(encode_jbig2_text_huffman(
+                symbols, instances, page_size=(48, 20),
+                mmr_collective=mmr, custom_dt=cdt))
+            assert np.array_equal(got, want), (mmr, cdt)
+    for rc in range(4):
+        for tr in (False, True):
+            got = decode_jbig2_embedded(encode_jbig2_text_huffman(
+                symbols, instances, page_size=(48, 20),
+                ref_corner=rc, transposed=tr))
+            assert np.array_equal(got, want), (rc, tr)
+
+
+def test_huffman_profile_boundaries_and_fuzz():
+    from dolphinbeat_spark.operators.jbig2 import (
+        encode_jbig2_text_huffman,
+    )
+
+    symbols = [np.ones((2, 2), np.uint8), np.ones((1, 2), np.uint8)]
+    instances = [(0, 0, 0), (1, 4, 1), (0, 8, 3)]
+    blob = encode_jbig2_text_huffman(symbols, instances,
+                                     page_size=(12, 6))
+    # SDHUFF + SDREFAGG raises by name: the dictionary payload opens
+    # with flags 0x0001 then n_ex=2, n_new=2 — a unique needle
+    needle = b"\x00\x01\x00\x00\x00\x02\x00\x00\x00\x02"
+    sd_off = blob.index(needle)
+    b = bytearray(blob)
+    b[sd_off + 1] |= 2  # set SDREFAGG alongside SDHUFF
+    with pytest.raises(NotImplementedError, match="SDREFAGG"):
+        decode_jbig2_embedded(bytes(b))
+    # fuzz: corrupted huffman streams stay typed
+    rng = np.random.RandomState(23)
+    for _ in range(250):
         b = bytearray(blob)
         b[rng.randint(0, len(b))] ^= 1 << rng.randint(0, 8)
         try:
