@@ -15,7 +15,10 @@ from pyspark.sql import functions as F
 
 from dolphinbeat_spark.catalog import load
 from dolphinbeat_spark.operators.filters import table_matches
-from dolphinbeat_spark.plans.registry import register
+from dolphinbeat_spark.plans.registry import (
+    materialize_bounded,
+    register,
+)
 
 # event_type → op_type mapping used by the synthetic change stream
 _OP_CASE_SQL = """CASE event_type
@@ -965,11 +968,10 @@ def cdc_incremental_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
                 batch, vp, view, batch_id=i, base=_base_as_of(env, cuts[i + 1])
             )
         out = read_agg_view(spark, vp, view)
-        schema = out.schema
-        rows = out.collect()
+        out = materialize_bounded(out)  # pin before the dir vanishes
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, schema).orderBy("etype")
+    return out.orderBy("etype")
 
 
 # --- recorded-binlog type tail (S4 file parser: ENUM/SET/BIT/GEOMETRY,
@@ -1096,11 +1098,10 @@ def cdc_incremental_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.select(
             "etype", "n_rows", F.col("distinct_k").cast("bigint").alias("distinct_k")
         )
-        schema = out.schema
-        rows = out.collect()
+        out = materialize_bounded(out)  # pin before the dir vanishes
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, schema).orderBy("etype")
+    return out.orderBy("etype")
 
 
 @register(
@@ -1186,11 +1187,10 @@ def cdc_partial_json_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = read_snapshot(spark, snap).select(
             F.col("user_id").cast("bigint").alias("user_id"), "doc"
         )
-        schema = out.schema
-        rows = out.collect()
+        out = materialize_bounded(out)  # pin before the dir vanishes
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, schema).orderBy("user_id")
+    return out.orderBy("user_id")
 
 
 _MINIMAL_ORACLE = """
@@ -1433,11 +1433,10 @@ def cdc_apply_minimal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = read_snapshot(spark, snap).select(
             F.col("id").cast("int").alias("id"), "name", "bal", "memo"
         )
-        schema = out.schema
-        rows = out.collect()
+        out = materialize_bounded(out)  # pin before the dir vanishes
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, schema).orderBy("id")
+    return out.orderBy("id")
 
 
 @register(

@@ -18,7 +18,10 @@ from dolphinbeat_spark.operators.text import tokens as T_tokens
 from dolphinbeat_spark.operators.text import (
     word_shingles_from_tokens as T_word_shingles_from_tokens,
 )
-from dolphinbeat_spark.plans.registry import register
+from dolphinbeat_spark.plans.registry import (
+    materialize_bounded,
+    register,
+)
 
 NUM_PERM = 32
 BANDS = 8
@@ -779,11 +782,10 @@ def _stream_verified_decisions(spark: SparkSession, sf_dir: str):
         )
         q.awaitTermination()
         decisions = near_dup_admitted_verified(spark.read.parquet(out), threshold=0.5)
-        schema = decisions.schema
-        rows = decisions.collect()
+        decisions = materialize_bounded(decisions)  # pin before rmtree
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return decisions
 
 
 @register(

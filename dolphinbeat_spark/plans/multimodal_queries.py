@@ -19,6 +19,62 @@ from dolphinbeat_spark.operators import multimodal as M
 from dolphinbeat_spark.plans.registry import register
 
 
+def fixture_media(df: DataFrame, build, with_text: bool = False,
+                  extra_cols: tuple = ()) -> DataFrame:
+    """Fixture payloads built IN EXECUTORS (r14 hygiene): one Arrow
+    ``mapInPandas`` pass turns each bounded doc row into (media_id,
+    payload) via ``build(doc_id[, text, *extra]) -> bytes`` — the
+    old driver-side ``collect()`` + per-row loop is gone, so fixture
+    construction scales with the cluster exactly like the decode
+    stage it feeds (and the build cost shows up in the right place:
+    the executors)."""
+    import pandas as pd
+
+    cols = ["doc_id"] + (["text"] if with_text else []) \
+        + list(extra_cols)
+
+    def batches(it):
+        for pdf in it:
+            payloads = [
+                bytearray(build(*t))
+                for t in pdf[cols].itertuples(index=False)
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "payload": payloads,
+            })
+
+    return df.select(*cols).mapInPandas(
+        batches, "media_id long, payload binary")
+
+
+def fixture_media_multi(df: DataFrame, build_many,
+                        with_text: bool = False) -> DataFrame:
+    """Like :func:`fixture_media` but ``build_many(doc_id[, text])
+    -> list[(media_id, payload)]`` — for specs that derive SEVERAL
+    media rows per document (variant pairs, multi-record archives).
+    Same executor-side contract: no driver loop, no collect."""
+    import pandas as pd
+
+    cols = ["doc_id", "text"] if with_text else ["doc_id"]
+
+    def batches(it):
+        for pdf in it:
+            mids: list[int] = []
+            pays: list[bytearray] = []
+            for t in pdf[cols].itertuples(index=False):
+                for mid, pay in build_many(*t):
+                    mids.append(int(mid))
+                    pays.append(bytearray(pay))
+            yield pd.DataFrame({
+                "media_id": pd.array(mids, dtype="int64"),
+                "payload": pays,
+            })
+
+    return df.select(*cols).mapInPandas(
+        batches, "media_id long, payload binary")
+
+
 @register(
     "mm_binary_metadata",
     oracle="""
@@ -273,15 +329,15 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.multimodal import encode_png
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 3)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build_many(i):
+        rows = []
         pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode("ascii")
         rows.append(
             (i, bytearray(encode_png(8, 4, pattern, color_type=2,
                                      row_filters=[0, 1, 2, 3])))
         )
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return rows
+    media = fixture_media_multi(d, build_many)
     return M.decode_media(media).orderBy("media_id")
 
 
@@ -325,12 +381,10 @@ def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.multimodal import encode_gif
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 5)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build(i):
         pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode("ascii")
-        rows.append((i, bytearray(encode_gif(12, 8, pattern))))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (encode_gif(12, 8, pattern))
+    media = fixture_media(d, build)
     return M.decode_media(media).orderBy("media_id")
 
 
@@ -378,15 +432,15 @@ def mm_decode_wav_stereo16(spark: SparkSession, sf_dir: str) -> DataFrame:
     int16 stream must match the oracle's independent per-sample
     recomputation from the same pattern."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 4)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
     import hashlib
 
     hdr = bytes.fromhex(_WAV16_HDR_HEX)
-    for i in ids:
+    def build_many(i):
+        rows = []
         pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode("ascii")
         rows.append((i, bytearray(hdr + pattern)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return rows
+    media = fixture_media_multi(d, build_many)
     return M.decode_audio(media).orderBy("media_id")
 
 
@@ -429,12 +483,10 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.jpeg import encode_jpeg
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 19 == 7)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build(i):
         v = 2 * (ord(hashlib.md5(str(i).encode()).hexdigest()[0]) % 64)
-        rows.append((i, bytearray(encode_jpeg(16, 8, bytes([v]) * 128, gray=True))))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (encode_jpeg(16, 8, bytes([v]) * 128, gray=True))
+    media = fixture_media(d, build)
     return M.decode_media(media).orderBy("media_id")
 
 
@@ -476,14 +528,14 @@ def mm_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.jpeg import encode_jpeg_progressive
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 19 == 11)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build_many(i):
+        rows = []
         v = 2 * (ord(hashlib.md5(str(i).encode()).hexdigest()[0]) % 64)
         rows.append(
             (i, bytearray(encode_jpeg_progressive(16, 8, bytes([v]) * 128, gray=True)))
         )
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return rows
+    media = fixture_media_multi(d, build_many)
     return M.decode_media(media).orderBy("media_id")
 
 
@@ -527,16 +579,16 @@ def mm_decode_jpeg_dri(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 19 == 3)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build_many(i):
+        rows = []
         v = 2 * (ord(hashlib.md5(str(i).encode()).hexdigest()[0]) % 64)
         enc = encode_jpeg if i % 2 == 0 else encode_jpeg_progressive
         rows.append(
             (i, bytearray(enc(16, 8, bytes([v]) * 128, gray=True,
                               restart_interval=1)))
         )
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return rows
+    media = fixture_media_multi(d, build_many)
     return M.decode_media(media).orderBy("media_id")
 
 
@@ -580,9 +632,8 @@ def mm_decode_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.jpeg_arith import encode_jpeg_arith
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 19 == 15)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build_many(i):
+        rows = []
         v = 2 * (ord(hashlib.md5(str(i).encode()).hexdigest()[0]) % 64)
         rows.append(
             (i, bytearray(encode_jpeg_arith(
@@ -590,7 +641,8 @@ def mm_decode_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
                 restart_interval=1 if i % 2 else 0,
             )))
         )
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return rows
+    media = fixture_media_multi(d, build_many)
     return M.decode_media(media).orderBy("media_id")
 
 
@@ -633,9 +685,8 @@ def mm_decode_jpeg_arith_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 19 == 16)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build_many(i):
+        rows = []
         v = 2 * (ord(hashlib.md5(str(i).encode()).hexdigest()[1]) % 64)
         rows.append(
             (i, bytearray(encode_jpeg_arith_progressive(
@@ -643,7 +694,8 @@ def mm_decode_jpeg_arith_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
                 restart_interval=1 if i % 2 else 0,
             )))
         )
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return rows
+    media = fixture_media_multi(d, build_many)
     return M.decode_media(media).orderBy("media_id")
 
 
@@ -687,9 +739,8 @@ def mm_decode_png16(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.multimodal import encode_png
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 23 == 7)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build_many(i):
+        rows = []
         base = i % 9973
         v = (base * 131 + np.arange(128) * 7919) % 65536
         raw = v.astype(">u2").tobytes()
@@ -699,7 +750,8 @@ def mm_decode_png16(spark: SparkSession, sf_dir: str) -> DataFrame:
                 row_filters=int(i % 5), interlace=bool(i % 2),
             )))
         )
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return rows
+    media = fixture_media_multi(d, build_many)
     return M.decode_media(media, digest="hex").orderBy("media_id")
 
 
@@ -742,9 +794,8 @@ def mm_decode_png_lowdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.multimodal import encode_png
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 23 == 11)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build_many(i):
+        rows = []
         dep = {0: 1, 1: 2, 2: 4}[i % 3]
         base = i % 251
         vals = ((base + np.arange(114)) % (1 << dep)).astype(np.uint8)
@@ -754,7 +805,8 @@ def mm_decode_png_lowdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 row_filters=int(i % 5),
             )))
         )
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return rows
+    media = fixture_media_multi(d, build_many)
     return M.decode_media(media, digest="hex").orderBy("media_id")
 
 
@@ -809,10 +861,9 @@ def mm_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.flac import encode_flac
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 21 == 5)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
     modes = (None, "left-side", "right-side", "mid-side")
-    rows = []
-    for i in ids:
+    def build_many(i):
+        rows = []
         base = i % 997
         t = np.arange(240)
         left = ((base + 37 * t) % 4001) - 2000
@@ -823,7 +874,8 @@ def mm_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
                 stereo_mode=modes[i % 4], partition_order=int(i % 3),
             )))
         )
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return rows
+    media = fixture_media_multi(d, build_many)
     return M.decode_audio(media, digest="hex").orderBy("media_id")
 
 
@@ -876,10 +928,8 @@ def mm_video_demux_mkv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.mp4_demux import demux_media
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 21 == 12)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
     sizes = [10, 20, 14, 16, 16, 20]
-    rows = []
-    for i in ids:
+    def build(i):
         pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
         vid, pos = [], 0
         for sz in sizes:
@@ -895,8 +945,8 @@ def mm_video_demux_mkv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             cluster_frames=3, block_group=bool(i % 2),
         )
-        rows.append((i, bytearray(payload)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (payload)
+    media = fixture_media(d, build)
     return (
         demux_media(media, handler="vide")
         .select(
@@ -957,11 +1007,9 @@ def mm_video_demux_mkv_compressed(spark: SparkSession,
     from dolphinbeat_spark.operators.mp4_demux import demux_media
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 21 == 2)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
     sizes = [10, 20, 14, 16, 16, 20]
     comps = [("zlib", b""), ("bzlib", b""), ("strip", b"h:")]
-    rows = []
-    for i in ids:
+    def build(i):
         pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
         vid, pos = [], 0
         for sz in sizes:
@@ -973,8 +1021,8 @@ def mm_video_demux_mkv_compressed(spark: SparkSession,
               "compression": comps[i % 3]}],
             cluster_frames=3, block_group=bool(i % 2),
         )
-        rows.append((i, bytearray(payload)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (payload)
+    media = fixture_media(d, build)
     return (
         demux_media(media, handler="vide")
         .select(
@@ -1033,14 +1081,12 @@ def mm_audio_demux_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.mp4_demux import demux_media
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 21 == 15)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build(i):
         pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
-        rows.append((i, bytearray(
+        return (
             encode_mp3_frames(3, pattern, paddings=[0, 1, 0])
-        )))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        )
+    media = fixture_media(d, build)
     return (
         demux_media(media, digest="hex")
         .select(
@@ -1105,19 +1151,17 @@ def mm_audio_demux_ogg(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = bytes.fromhex("4f707573486561640102000080bb0000000000")
     sizes = [10, 20, 14, 16, 16]
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 21 == 18)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build(i):
         pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
         pkts, pos = [], 0
         for sz in sizes:
             pkts.append(pattern[pos:pos + sz])
             pos += sz
-        rows.append((i, bytearray(encode_ogg(
+        return (encode_ogg(
             [{"serial": 1, "packets": pkts, "codec_head": head,
               "granules": [960, 2880]}]
-        ))))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        ))
+    media = fixture_media(d, build)
     return (
         demux_media(media, digest="hex")
         .select(
@@ -1236,9 +1280,7 @@ def mm_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     jpg = encode_jpeg(16, 8, bytes([130]) * 128, gray=True)
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 4)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build(i):
         gps = None
         if i % 4:
             gps = ("S" if i % 2 else "N",
@@ -1253,8 +1295,8 @@ def mm_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             iso=100 * (1 + i % 8), gps=gps,
             byte_order="<" if i % 2 == 0 else ">",
         )
-        rows.append((i, bytearray(insert_app1(jpg, app1))))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (insert_app1(jpg, app1))
+    media = fixture_media(d, build)
     return exif_extract(media).orderBy("media_id")
 
 
@@ -1311,9 +1353,7 @@ def mm_exif_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
           "y2": [4] + [0] * 15}
     base = encode_webp_vp8(16, 16, [mb], qi=20)
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 12)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build(i):
         gps = None
         if i % 4:
             gps = ("S" if i % 2 else "N",
@@ -1331,8 +1371,8 @@ def mm_exif_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiff = app1[10:]  # strip marker + length + 'Exif\x00\x00'
         if i % 2:
             tiff = b"Exif\x00\x00" + tiff  # the JPEG-prefixed layout
-        rows.append((i, bytearray(add_webp_exif(base, tiff, (16, 16)))))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (add_webp_exif(base, tiff, (16, 16)))
+    media = fixture_media(d, build)
     return exif_extract(media).orderBy("media_id")
 
 
@@ -1375,17 +1415,15 @@ def mm_exif_gps_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.jpeg import encode_jpeg
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 9)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build(i):
         v = 2 * (ord(hashlib.md5(str(i).encode()).hexdigest()[2]) % 64)
         jpg = encode_jpeg(16, 8, bytes([v]) * 128, gray=True)
         app1 = encode_exif_app1(
             make="ACME", gps=("N", ((1, 1), (2, 1), (3, 1)),
                               "E", ((4, 1), (5, 1), (6, 1))),
         )
-        rows.append((i, bytearray(insert_app1(jpg, app1))))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (insert_app1(jpg, app1))
+    media = fixture_media(d, build)
     clean = strip_metadata_df(media)
     meta = exif_extract(clean).select("media_id", "has_gps")
     pixels = M.decode_media(clean)
@@ -1461,9 +1499,8 @@ def warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.sources.warc import encode_warc, read_warc
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 14)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build_many(i):
+        rows = []
         pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
         date = f"2024-01-{1 + i % 28:02d}T00:00:00Z"
         recs = [
@@ -1482,7 +1519,8 @@ def warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (i, bytearray(encode_warc(recs, gzip_members=bool(i % 2))))
         )
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return rows
+    media = fixture_media_multi(d, build_many)
     return read_warc(media).orderBy("media_id", "record_idx")
 
 
@@ -1614,9 +1652,8 @@ def warc_content_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.sources.warc import encode_warc, read_warc
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 9)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build_many(i):
+        rows = []
         pat = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
         mk = lambda n, body, **http: {  # noqa: E731
             "type": "response", "record_id": f"<urn:uuid:{i}-{n}>",
@@ -1640,7 +1677,8 @@ def warc_content_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (i, bytearray(encode_warc(recs, gzip_members=bool(i % 2))))
         )
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return rows
+    media = fixture_media_multi(d, build_many)
     return (
         read_warc(media)
         .select("media_id", "record_idx", "http_status", "content_type",
@@ -1691,9 +1729,7 @@ def pipeline_warc_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.sources.warc import encode_warc, read_warc
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 3)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build(i):
         pat = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
         mk = lambda n, body: {  # noqa: E731
             "type": "response", "record_id": f"<urn:uuid:{i}-{n}>",
@@ -1705,8 +1741,8 @@ def pipeline_warc_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
                b"Content-Length: 999999\r\n\r\ntruncated!\r\n\r\n")
         payload = (encode_warc([mk(0, pat[0:40])]) + bad
                    + encode_warc([mk(2, pat[40:96])]))
-        rows.append((i, bytearray(payload)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (payload)
+    media = fixture_media(d, build)
     return (
         read_warc(media, errors="capture")
         .select("media_id", "record_idx", "http_status", "body_text",
@@ -1768,9 +1804,7 @@ def warc_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.sources.warc import encode_warc, read_warc
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 8)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build(i):
         pattern = hashlib.md5(str(i).encode()).hexdigest() * 3
         body = pattern[:40].encode()
         dg = "md5:" + hashlib.md5(body).hexdigest()
@@ -1794,9 +1828,9 @@ def warc_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "WARC-Profile": "http://netpreserve.org/warc/1.1/"
                                     "revisit/identical-payload-digest",
                 }})
-        rows.append((i, bytearray(encode_warc(
-            recs, gzip_members=bool(i % 2)))))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (encode_warc(
+            recs, gzip_members=bool(i % 2)))
+    media = fixture_media(d, build)
     df = read_warc(media)
     resp = (df.filter(F.col("warc_type") == "response")
             .select("media_id", "payload_digest",
@@ -1855,9 +1889,8 @@ def warc_unresolved_coding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.sources.warc import encode_warc, read_warc
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 24)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build_many(i):
+        rows = []
         pat = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
         good = {
             "type": "response", "record_id": f"<urn:uuid:{i}-0>",
@@ -1876,7 +1909,8 @@ def warc_unresolved_coding(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (i, bytearray(encode_warc([good, exotic],
                                       gzip_members=bool(i % 2)))))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return rows
+    media = fixture_media_multi(d, build_many)
     return (
         read_warc(media)
         .select("media_id", "record_idx", "http_encoding", "body_text")
@@ -1950,9 +1984,7 @@ def mm_pdf_indexed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_images
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 8)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build(i):
         pat = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
         palette = pat[0:48]
         idx = bytes(b % 16 for b in pat)
@@ -1969,8 +2001,8 @@ def mm_pdf_indexed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("inline-indexed", 12, 8, 3, (4, palette, idx)),
             ]],
         )
-        rows.append((i, bytearray(pdf)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (pdf)
+    media = fixture_media(d, build)
     return (
         pdf_images(media, digest="hex")
         .select("media_id", "page_idx", "img_name", "width", "height",
@@ -2018,10 +2050,9 @@ def mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.tiff import encode_tiff
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 19)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
     comps = (1, 5, 32773)
-    rows = []
-    for i in ids:
+    def build_many(i):
+        rows = []
         pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
         rows.append((i, bytearray(encode_tiff(
             8, 4, pattern, spp=3, compression=comps[i % 3],
@@ -2030,7 +2061,8 @@ def mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
             predictor=2 if comps[i % 3] == 5 else 1, rows_per_strip=2,
             byte_order="<" if i % 2 == 0 else ">",
         ))))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return rows
+    media = fixture_media_multi(d, build_many)
     return M.decode_media(media).orderBy("media_id")
 
 
@@ -2081,10 +2113,9 @@ def mm_decode_tiff_ccitt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.tiff import encode_tiff_ccitt
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 5)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
     comps = (2, 3, 4)
-    rows = []
-    for i in ids:
+    def build_many(i):
+        rows = []
         pattern = hashlib.md5(str(i).encode()).hexdigest() * 3
         ink = np.array([1 if c in "abcdef" else 0 for c in pattern],
                        np.uint8).reshape(12, 8)
@@ -2094,7 +2125,8 @@ def mm_decode_tiff_ccitt(spark: SparkSession, sf_dir: str) -> DataFrame:
             byte_order="<" if i % 2 == 0 else ">",
             photometric=i % 2,
         ))))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return rows
+    media = fixture_media_multi(d, build_many)
     return M.decode_media(media, digest="hex").orderBy("media_id")
 
 
@@ -2147,10 +2179,9 @@ def mm_decode_tiff_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.tiff import encode_tiff_jpeg
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
     hexd = "0123456789abcdef"
-    for i in ids:
+    def build_many(i):
+        rows = []
         hx = hashlib.md5(str(i).encode()).hexdigest()
         vs = [16 * hexd.index(c) + 8 for c in hx[:3]]
         px = np.concatenate(
@@ -2160,7 +2191,8 @@ def mm_decode_tiff_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             split_tables=bool(i % 2),
             byte_order="<" if i % 2 == 0 else ">",
         ))))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return rows
+    media = fixture_media_multi(d, build_many)
     return M.decode_media(media, digest="hex").orderBy("media_id")
 
 
@@ -2204,18 +2236,16 @@ def mm_decode_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.tiff import encode_tiff
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 21)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
     comps = (1, 5, 32773)
-    rows = []
-    for i in ids:
+    def build(i):
         pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
-        rows.append((i, bytearray(encode_tiff(
+        return (encode_tiff(
             8, 4, pattern, spp=3, compression=comps[i % 3],
             predictor=2 if comps[i % 3] == 5 else 1, tile=(3, 3),
             planar=2 if i % 2 else 1,
             byte_order="<" if i % 2 == 0 else ">",
-        ))))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        ))
+    media = fixture_media(d, build)
     return M.decode_media(media).orderBy("media_id")
 
 
@@ -2260,10 +2290,7 @@ def mm_pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_extract
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 6)
-    docs = sorted((r["doc_id"], r["text"]) for r in
-                  d.select("doc_id", "text").collect())
-    rows = []
-    for did, text in docs:
+    def build(did, text):
         toks = text.strip().split()
         pages = [
             [f"Doc {did} (report)", " ".join(toks[0:5])],
@@ -2273,8 +2300,8 @@ def mm_pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             pages, title=f"Doc {did} & Co", flate=True,
             xref_stream=bool(did % 2), use_tj_array=did % 3 == 0,
         )
-        rows.append((did, bytearray(pdf)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (pdf)
+    media = fixture_media(d, build, with_text=True)
     return pdf_extract(media).orderBy("media_id", "page_idx")
 
 
@@ -2466,10 +2493,9 @@ def mm_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 17)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
     hexd = "0123456789abcdef"
-    rows = []
-    for i in ids:
+    def build_many(i):
+        rows = []
         pattern = hashlib.md5(str(i).encode()).hexdigest() * 3
         variant = (pattern[:4]
                    + ("0" if pattern[4] == "f" else "f")
@@ -2482,7 +2508,8 @@ def mm_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             img = np.repeat(np.repeat(vals, 5, 0), 5, 1)
             rgb = np.dstack([img] * 3).tobytes()
             rows.append((mid, bytearray(enc(45, 40, rgb))))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return rows
+    media = fixture_media_multi(d, build_many)
     pairs = dhash_near_dup_pairs(image_dhash(media), max_dist=4)
     return (pairs.select("media_a", "media_b",
                          F.col("hamming_dist").cast("long")
@@ -2583,15 +2610,14 @@ def mm_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.multimodal import encode_png
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 23)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
     hexd = "0123456789abcdef"
 
     def flip(p: str, pos: int) -> str:
         return (p[:pos] + ("0" if p[pos] == "f" else "f")
                 + p[pos + 1:])
 
-    rows = []
-    for i in ids:
+    def build_many(i):
+        rows = []
         pattern = hashlib.md5(str(i).encode()).hexdigest() * 3
         variants = [pattern, flip(pattern, 4),
                     flip(flip(pattern, 4), 12)]
@@ -2602,7 +2628,8 @@ def mm_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             img = np.repeat(np.repeat(vals, 5, 0), 5, 1)
             rows.append((10 * i + k, bytearray(
                 encode_png(45, 40, np.dstack([img] * 3).tobytes()))))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return rows
+    media = fixture_media_multi(d, build_many)
     pairs = dhash_near_dup_pairs(image_dhash(media), max_dist=4)
     cc = connected_components_star(pairs, id_a="media_a",
                                    id_b="media_b")
@@ -2692,10 +2719,9 @@ def mm_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + b"data" + st.pack("<I", len(data)) + data)
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 19)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
     hexd = "0123456789abcdef"
-    rows = []
-    for i in ids:
+    def build_many(i):
+        rows = []
         pattern = hashlib.md5(str(i).encode()).hexdigest() * 3
         variant = (pattern[:2]
                    + ("0" if pattern[2] == "f" else "f")
@@ -2709,7 +2735,8 @@ def mm_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((2 * i, bytearray(wav16(base))))
         rows.append((2 * i + 1, bytearray(
             encode_flac(var.astype(np.int16).reshape(-1, 1), 8000))))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return rows
+    media = fixture_media_multi(d, build_many)
     pairs = dhash_near_dup_pairs(audio_fingerprint(media), max_dist=4,
                                  hash_col="fingerprint")
     return (pairs.select("media_a", "media_b",
@@ -2787,9 +2814,7 @@ def pipeline_crawl_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.sources.warc import encode_warc, read_warc
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 16)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build(i):
         hx = hashlib.md5(str(i).encode()).hexdigest()
         pattern = (hx * 3).encode("ascii")
         v = 2 * (ord(hx[0]) % 64)
@@ -2816,9 +2841,9 @@ def pipeline_crawl_images(spark: SparkSession, sf_dir: str) -> DataFrame:
              "content": b"User-agent: *\r\n",
              "http": {"status": 200, "content_type": "text/plain"}},
         ]
-        rows.append((i, bytearray(encode_warc(
-            recs, gzip_members=bool(i % 2)))))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (encode_warc(
+            recs, gzip_members=bool(i % 2)))
+    media = fixture_media(d, build)
     images = (
         read_warc(media, binary=True)
         .filter((F.col("http_status") == 200)
@@ -2871,10 +2896,7 @@ def pipeline_crawl_mixed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.sources.warc import encode_warc, read_warc
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 17)
-    docs = sorted((r["doc_id"], r["text"]) for r in
-                  d.select("doc_id", "text").collect())
-    rows = []
-    for did, text in docs:
+    def build(did, text):
         toks = text.strip().split()
         page = (
             f"<html><head><title>Page {did}</title></head>"
@@ -2896,9 +2918,9 @@ def pipeline_crawl_mixed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
              "content": pdf,
              "http": {"status": 200, "content_type": "application/pdf"}},
         ]
-        rows.append((did, bytearray(encode_warc(recs,
-                                                gzip_members=bool(did % 2)))))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (encode_warc(recs,
+                                                gzip_members=bool(did % 2)))
+    media = fixture_media(d, build, with_text=True)
     html_side = (
         read_warc(media)
         .filter((F.col("http_status") == 200)
@@ -2958,10 +2980,7 @@ def pipeline_archive_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.sources.archives import encode_zip, read_archive
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 11)
-    docs = sorted((r["doc_id"], r["text"]) for r in
-                  d.select("doc_id", "text").collect())
-    rows = []
-    for did, text in docs:
+    def build(did, text):
         toks = text.strip().split()
         pdf = encode_pdf(
             [[f"Doc {did} from bundle", " ".join(toks[0:6]),
@@ -2972,8 +2991,8 @@ def pipeline_archive_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             [("notes.txt", b"not a pdf"), ("doc.pdf", pdf)],
             zip64=bool(did % 2),
         )
-        rows.append((did, bytearray(z)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (z)
+    media = fixture_media(d, build, with_text=True)
     members = read_archive(media, binary=True)
     pdfs = members.filter(F.col("name").endswith(".pdf")).select(
         "media_id", "payload"
@@ -3012,18 +3031,15 @@ def mm_pdf_unicode_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_extract
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 2)
-    docs = sorted((r["doc_id"], r["text"]) for r in
-                  d.select("doc_id", "text").collect())
-    rows = []
-    for did, text in docs:
+    def build(did, text):
         toks = text.strip().split()
         pdf = encode_pdf(
             [[f"ドキュメント {did} — résumé", " ".join(toks[0:6])]],
             title=f"文書 {did}", unicode_text=True,
             xref_stream=bool(did % 2), use_tj_array=did % 3 == 0,
         )
-        rows.append((did, bytearray(pdf)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (pdf)
+    media = fixture_media(d, build, with_text=True)
     return pdf_extract(media).orderBy("media_id", "page_idx")
 
 
@@ -3061,18 +3077,15 @@ def mm_pdf_type0_fontcmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_extract
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 12)
-    docs = sorted((r["doc_id"], r["text"]) for r in
-                  d.select("doc_id", "text").collect())
-    rows = []
-    for did, text in docs:
+    def build(did, text):
         toks = text.strip().split()
         pdf = encode_pdf(
             [[f"无映射字体 {did}", " ".join(toks[0:6])]],
             unicode_text="fontcmap-gidmap" if did % 2 else "fontcmap",
             xref_stream=did % 4 < 2,
         )
-        rows.append((did, bytearray(pdf)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (pdf)
+    media = fixture_media(d, build, with_text=True)
     return pdf_extract(media).orderBy("media_id", "page_idx")
 
 
@@ -3111,18 +3124,15 @@ def mm_pdf_type0_cff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_extract
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 5)
-    docs = sorted((r["doc_id"], r["text"]) for r in
-                  d.select("doc_id", "text").collect())
-    rows = []
-    for did, text in docs:
+    def build(did, text):
         toks = text.strip().split()
         pdf = encode_pdf(
             [[f"CFF嵌入 {did}", " ".join(toks[0:6])]],
             unicode_text="cff",
             xref_stream=did % 2 == 0,
         )
-        rows.append((did, bytearray(pdf)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (pdf)
+    media = fixture_media(d, build, with_text=True)
     return pdf_extract(media).orderBy("media_id", "page_idx")
 
 
@@ -3174,10 +3184,7 @@ def mm_pdf_predefined_cmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_extract
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 11)
-    docs = sorted((r["doc_id"], r["text"]) for r in
-                  d.select("doc_id", "text").collect())
-    rows = []
-    for did, text in docs:
+    def build(did, text):
         toks = text.strip().split()
         cmap, prefix = _CMAP_CYCLE[did % 4]
         pdf = encode_pdf(
@@ -3185,8 +3192,8 @@ def mm_pdf_predefined_cmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             unicode_text=f"cmap:{cmap}",
             xref_stream=did % 2 == 1,
         )
-        rows.append((did, bytearray(pdf)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (pdf)
+    media = fixture_media(d, build, with_text=True)
     return pdf_extract(media).orderBy("media_id", "page_idx")
 
 
@@ -3221,10 +3228,7 @@ def mm_pdf_encrypted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_extract
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 9)
-    docs = sorted((r["doc_id"], r["text"]) for r in
-                  d.select("doc_id", "text").collect())
-    rows = []
-    for did, text in docs:
+    def build(did, text):
         toks = text.strip().split()
         pdf = encode_pdf(
             [[f"Restricted doc {did}", " ".join(toks[0:7])]],
@@ -3232,8 +3236,8 @@ def mm_pdf_encrypted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             encrypt="rc4-128" if did % 2 else "rc4-40",
             xref_stream=did % 4 < 2,
         )
-        rows.append((did, bytearray(pdf)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (pdf)
+    media = fixture_media(d, build, with_text=True)
     return pdf_extract(media).orderBy("media_id", "page_idx")
 
 
@@ -3292,9 +3296,7 @@ def mm_pdf_embedded_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_images
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 23)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build(i):
         v = 2 * (ord(hashlib.md5(str(i).encode()).hexdigest()[0]) % 64)
         r = 1 + i % 127
         pdf = encode_pdf(
@@ -3311,8 +3313,8 @@ def mm_pdf_embedded_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           gray=True))],
             ],
         )
-        rows.append((i, bytearray(pdf)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (pdf)
+    media = fixture_media(d, build)
     return (
         pdf_images(media)
         .select("media_id", "page_idx", "img_name", "width", "height",
@@ -3364,10 +3366,8 @@ def mm_pdf_ccitt_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_images
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 7)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
     kinds = ("ccitt-g4", "ccitt-g3", "ccitt-g3-2d")
-    rows = []
-    for i in ids:
+    def build(i):
         pattern = hashlib.md5(str(i).encode()).hexdigest() * 3
         ink = np.array([1 if c in "abcdef" else 0 for c in pattern],
                        np.uint8)
@@ -3375,8 +3375,8 @@ def mm_pdf_ccitt_image(spark: SparkSession, sf_dir: str) -> DataFrame:
             [[f"fax {i}"]], xref_stream=bool(i % 2),
             images=[[(kinds[i % 3], 8, 12, 1, ink.tobytes())]],
         )
-        rows.append((i, bytearray(pdf)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (pdf)
+    media = fixture_media(d, build)
     return (
         pdf_images(media, digest="hex")
         .select("media_id", "page_idx", "img_name", "width", "height",
@@ -3433,9 +3433,7 @@ def mm_pdf_jbig2_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_images
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 1)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build(i):
         pattern = hashlib.md5(str(i).encode()).hexdigest() * 3
         ink = np.array([1 if c in "abcdef" else 0 for c in pattern],
                        np.uint8)
@@ -3444,8 +3442,8 @@ def mm_pdf_jbig2_image(spark: SparkSession, sf_dir: str) -> DataFrame:
             [[f"scan {i}"]], xref_stream=bool(i % 2),
             images=[[(kind, 8, 12, 1, ink.tobytes())]],
         )
-        rows.append((i, bytearray(pdf)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (pdf)
+    media = fixture_media(d, build)
     return (
         pdf_images(media, digest="hex")
         .select("media_id", "page_idx", "img_name", "width", "height",
@@ -3513,11 +3511,9 @@ def mm_pdf_jbig2_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_images
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 4)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
     solid = np.ones((2, 2), np.uint8)
     topbar = np.ones((1, 2), np.uint8)
-    rows = []
-    for i in ids:
+    def build(i):
         pattern = hashlib.md5(str(i).encode()).hexdigest() * 3
         inst = []
         for idx, c in enumerate(pattern):
@@ -3533,8 +3529,8 @@ def mm_pdf_jbig2_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             [[f"ocr {i}"]], xref_stream=bool(i % 2),
             images=[[("jbig2-raw", 16, 24, 1, blob)]],
         )
-        rows.append((i, bytearray(pdf)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (pdf)
+    media = fixture_media(d, build)
     return (
         pdf_images(media, digest="hex")
         .select("media_id", "page_idx", "img_name", "width", "height",
@@ -3601,11 +3597,9 @@ def mm_pdf_jbig2_huffman(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_images
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 17)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
     solid = np.ones((2, 2), np.uint8)
     topbar = np.ones((1, 2), np.uint8)
-    rows = []
-    for i in ids:
+    def build(i):
         pattern = hashlib.md5(str(i).encode()).hexdigest() * 3
         inst = []
         for idx, c in enumerate(pattern):
@@ -3623,8 +3617,8 @@ def mm_pdf_jbig2_huffman(spark: SparkSession, sf_dir: str) -> DataFrame:
             [[f"huff {i}"]], xref_stream=bool(i % 2),
             images=[[("jbig2-raw", 16, 24, 1, blob)]],
         )
-        rows.append((i, bytearray(pdf)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (pdf)
+    media = fixture_media(d, build)
     return (
         pdf_images(media, digest="hex")
         .select("media_id", "page_idx", "img_name", "width", "height",
@@ -3689,10 +3683,8 @@ def mm_pdf_inline_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_images
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 18)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
     encs = (None, "rc4-128", "aes-128")
-    rows = []
-    for i in ids:
+    def build(i):
         hx = hashlib.md5(str(i).encode()).hexdigest()
         v = 2 * (ord(hx[0]) % 64)
         r = 1 + i % 127
@@ -3709,8 +3701,8 @@ def mm_pdf_inline_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [("inline-ccitt-g4", 8, 12, 1, ink.tobytes())],
             ],
         )
-        rows.append((i, bytearray(pdf)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (pdf)
+    media = fixture_media(d, build)
     return (
         pdf_images(media)
         .select("media_id", "page_idx", "img_name", "width", "height",
@@ -3814,9 +3806,8 @@ def archive_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 22)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build_many(i):
+        rows = []
         pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
         members = [("docs/a.txt", pattern[0:40]),
                    ("docs/b.txt", pattern[40:70]),
@@ -3826,7 +3817,8 @@ def archive_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             payload = encode_tar(members, gzip_wrap=True)
         rows.append((i, bytearray(payload)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return rows
+    media = fixture_media_multi(d, build_many)
     return read_archive(media).orderBy("media_id", "member_idx")
 
 
@@ -3876,9 +3868,8 @@ def archive_aes_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.sources.archives import encode_zip, read_archive
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 13)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build_many(i):
+        rows = []
         pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
         members = [("docs/a.txt", pattern[0:40]),
                    ("docs/b.txt", pattern[40:70]),
@@ -3887,7 +3878,8 @@ def archive_aes_members(spark: SparkSession, sf_dir: str) -> DataFrame:
             members, deflate=bool(i % 2), zip64=i % 6 == 0,
             password=b"corpus-key", aes=1 + i % 3,
         ))))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return rows
+    media = fixture_media_multi(d, build_many)
     return (
         read_archive(media, password=b"corpus-key")
         .orderBy("media_id", "member_idx")
@@ -3928,10 +3920,7 @@ def mm_pdf_aes_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_extract
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 15)
-    docs = sorted((r["doc_id"], r["text"]) for r in
-                  d.select("doc_id", "text").collect())
-    rows = []
-    for did, text in docs:
+    def build(did, text):
         toks = text.strip().split()
         pdf = encode_pdf(
             [[f"AES doc {did}", " ".join(toks[0:7])]],
@@ -3939,8 +3928,8 @@ def mm_pdf_aes_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             encrypt="aes-128" if did % 2 else "aes-256",
             xref_stream=did % 4 < 2,
         )
-        rows.append((did, bytearray(pdf)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (pdf)
+    media = fixture_media(d, build, with_text=True)
     return pdf_extract(media).orderBy("media_id", "page_idx")
 
 
@@ -3985,9 +3974,7 @@ def jsonl_compressed_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.sources.jsonl import read_jsonl
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 27 == 5)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build(i):
         pattern = hashlib.md5(str(i).encode()).hexdigest() * 3
         raw = "".join(
             f'{{"id": {i * 10 + k}, "text": "{pattern[k * 24:k * 24 + 24]}"}}\n'
@@ -4015,8 +4002,8 @@ def jsonl_compressed_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             payload = encode_z(raw)
         else:
             payload = raw
-        rows.append((i, bytearray(payload)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (payload)
+    media = fixture_media(d, build)
     return (
         read_jsonl(media)
         .select(
@@ -4068,13 +4055,11 @@ def mm_decode_aiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.multimodal import encode_aiff
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 27 == 11)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build(i):
         pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
         s = np.frombuffer(pattern, np.uint8).astype(np.int64).reshape(-1, 1)
-        rows.append((i, bytearray(encode_aiff(s, 8000, bits=8))))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (encode_aiff(s, 8000, bits=8))
+    media = fixture_media(d, build)
     return M.decode_audio(media).orderBy("media_id")
 
 
@@ -4120,17 +4105,15 @@ def mm_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.webp import encode_webp_lossless
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 27 == 17)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
     shapes = (dict(), dict(lz77_min=4), dict(use_cache_bits=4),
               dict(subtract_green=True), dict(predictor=(7, 3)))
-    rows = []
-    for i in ids:
+    def build(i):
         pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
         rgba = np.frombuffer(pattern, np.uint8).reshape(3, 8, 4)
-        rows.append((i, bytearray(
+        return (
             encode_webp_lossless(rgba, **shapes[i % 5])
-        )))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        )
+    media = fixture_media(d, build)
     return M.decode_media(media).orderBy("media_id")
 
 
@@ -4206,10 +4189,8 @@ def mm_decode_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.webp import encode_webp_vp8
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 27 == 8)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
     qis = (10, 20, 40)
-    rows = []
-    for i in ids:
+    def build(i):
         hx = hashlib.md5(str(i).encode()).hexdigest()
         ly = 1 + ord(hx[0]) % 5
         lu = 1 + ord(hx[1]) % 4
@@ -4218,10 +4199,10 @@ def mm_decode_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
               "y2": [ly] + [0] * 15,
               "u": [[lu] + [0] * 15 for _ in range(4)],
               "v": [[lv] + [0] * 15 for _ in range(4)]}
-        rows.append((i, bytearray(
+        return (
             encode_webp_vp8(16, 16, [mb], qi=qis[i % 3])
-        )))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        )
+    media = fixture_media(d, build)
     return M.decode_media(media, digest="hex").orderBy("media_id")
 
 
@@ -4336,9 +4317,7 @@ def mm_webp_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 20)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build(i):
         hx = hashlib.md5(str(i).encode()).hexdigest()
         mk = lambda ly: encode_vp8(  # noqa: E731
             16, 16, [{"ymode": VT.DC_PRED, "uvmode": VT.DC_PRED,
@@ -4351,8 +4330,8 @@ def mm_webp_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
              {"rgba": rgba, "x": 4, "y": 2, "duration_ms": 120}],
             canvas=(32, 16),
         )
-        rows.append((i, bytearray(anim)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (anim)
+    media = fixture_media(d, build)
     return webp_anim_demux(media).orderBy("media_id", "frame_idx")
 
 
@@ -4426,15 +4405,13 @@ def mm_webp_anim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 10)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
 
     def solid(w, h, rgb):
         a = np.empty((h, w, 4), np.uint8)
         a[:, :] = rgb + (255,)
         return a
 
-    rows = []
-    for i in ids:
+    def build(i):
         pat = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
         bg, c1, c2, c3 = (tuple(pat[k:k + 3]) for k in (0, 3, 6, 9))
         bg_int = (bg[2] | bg[1] << 8 | bg[0] << 16 | 255 << 24)
@@ -4447,8 +4424,8 @@ def mm_webp_anim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
               "blend": 1}],
             canvas=(8, 6), bgcolor=bg_int,
         )
-        rows.append((i, bytearray(anim)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (anim)
+    media = fixture_media(d, build)
     return (
         webp_anim_canvas(media)
         .select("media_id", "frame_idx", "duration_ms", "canvas_w",
@@ -4514,9 +4491,7 @@ def mm_video_nal_units(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sps = build_sps(40, 30)  # 640x480 baseline
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 27 == 22)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build(i):
         pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
         stream = build_annexb([
             (7, 3, sps),
@@ -4525,8 +4500,8 @@ def mm_video_nal_units(spark: SparkSession, sf_dir: str) -> DataFrame:
             (1, 2, pattern[30:54]),
             (1, 2, pattern[54:72]),
         ])
-        rows.append((i, bytearray(stream)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (stream)
+    media = fixture_media(d, build)
     return (
         nal_units(media, digest="hex")
         .select(
@@ -4591,10 +4566,8 @@ def subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{ms // 1000 % 60:02d}.{ms % 1000:03d}")
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 27 == 24)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
     spans = [(1, 0, 30), (2, 30, 24), (3, 54, 20)]
-    rows = []
-    for i in ids:
+    def build(i):
         pattern = hashlib.md5(str(i).encode()).hexdigest() * 3
         cues = []
         for k, off, sz in spans:
@@ -4616,8 +4589,8 @@ def subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for k, s, e, b in cues
             ]
             doc = "\n\n".join(blocks) + "\n"
-        rows.append((i, bytearray(doc.encode())))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (doc.encode())
+    media = fixture_media(d, build)
     return read_subtitles(media).orderBy("media_id", "cue_idx")
 
 
@@ -4661,10 +4634,9 @@ def mm_decode_bmp_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
     import struct
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 13)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
     pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
-    rows = []
-    for i in ids:
+    def build_many(i):
+        rows = []
         pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
         grid = [pattern[y * 12:(y + 1) * 12] for y in range(8)]
         rle = bytearray()
@@ -4677,7 +4649,8 @@ def mm_decode_bmp_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
         off = 14 + 40 + len(pal)
         hdr = struct.pack("<2sIHHI", b"BM", off + len(rle), 0, 0, off)
         rows.append((i, bytearray(hdr + info + pal + bytes(rle))))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return rows
+    media = fixture_media_multi(d, build_many)
     return M.decode_media(media).orderBy("media_id")
 
 
@@ -4719,9 +4692,7 @@ def mm_id3_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.mp3_demux import encode_mp3_frames
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 18)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build(i):
         ver = 3 if i % 2 == 0 else 4
         frames = {
             "TIT2": f"Track {i % 97}",
@@ -4733,10 +4704,10 @@ def mm_id3_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         tag = encode_id3(frames, version=ver, comment=f"c-{i % 11}",
                          encoding=0 if i % 4 < 2 else 3)
-        rows.append((i, bytearray(
+        return (
             encode_mp3_frames(2, b"xy", id3v2=tag)
-        )))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        )
+    media = fixture_media(d, build)
     return id3_extract(media).orderBy("media_id")
 
 
@@ -4786,9 +4757,8 @@ def mm_decode_bmp16(spark: SparkSession, sf_dir: str) -> DataFrame:
     import struct
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 5)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build_many(i):
+        rows = []
         pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
         vals = []
         for j in range(32):
@@ -4807,7 +4777,8 @@ def mm_decode_bmp16(spark: SparkSession, sf_dir: str) -> DataFrame:
         off = 14 + 40 + 12
         hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
         rows.append((i, bytearray(hdr + info + masks + body)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return rows
+    media = fixture_media_multi(d, build_many)
     return M.decode_media(media, digest="hex").orderBy("media_id")
 
 
@@ -4865,14 +4836,12 @@ def mm_decode_ico(spark: SparkSession, sf_dir: str) -> DataFrame:
     dib = (struct.pack("<IiiHHIIiiII", 40, 2, 4, 1, 24, 0, 0, 0, 0, 0, 0)
            + bytes(16) + bytes(8))  # 2x2 black + AND mask
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 22)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build(i):
         pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
         png = encode_png(8, 4, pattern, color_type=2,
                          row_filters=[0, 1, 2, 3])
-        rows.append((i, bytearray(build_ico([(2, 2, dib), (8, 4, png)]))))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (build_ico([(2, 2, dib), (8, 4, png)]))
+    media = fixture_media(d, build)
     return M.decode_media(media, digest="hex").orderBy("media_id")
 
 
@@ -4922,9 +4891,8 @@ def mm_decode_ico_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         return bytes(out) + blob
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 13)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build_many(i):
+        rows = []
         pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
         rgb = pattern[:48]
         # XOR rows: bottom-up, BGR; 4px * 3B = 12B row, 4-byte aligned
@@ -4941,7 +4909,8 @@ def mm_decode_ico_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         dib = struct.pack("<IiiHHIIiiII", 40, 4, 8, 1, 24,
                           0, 0, 0, 0, 0, 0) + xor + mask
         rows.append((i, bytearray(build_ico(dib, 4, 4))))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return rows
+    media = fixture_media_multi(d, build_many)
     return M.decode_media(media, digest="hex").orderBy("media_id")
 
 
@@ -5032,9 +5001,7 @@ def mm_decode_wav_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     import struct
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 23 == 6)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build(i):
         hx = hashlib.md5(str(i).encode()).hexdigest()
         nibbles = [int(c, 16) for c in hx]
         p0 = nibbles[0] * 256 - 2048
@@ -5049,8 +5016,8 @@ def mm_decode_wav_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", 20) + block
         )
-        rows.append((i, bytearray(wavb)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (wavb)
+    media = fixture_media(d, build)
     return M.decode_audio(media, digest="hex").orderBy("media_id")
 
 
@@ -5102,10 +5069,8 @@ def mm_video_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.mp4_demux import demux_media, encode_mp4
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 21 == 8)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
     sizes = [10, 20, 14, 16, 16, 20]
-    rows = []
-    for i in ids:
+    def build(i):
         pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
         vid, pos = [], 0
         for sz in sizes:
@@ -5122,8 +5087,8 @@ def mm_video_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "chunk_sizes": [2, 2]},
             ]
         )
-        rows.append((i, bytearray(payload)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (payload)
+    media = fixture_media(d, build)
     return (
         demux_media(media, handler="vide")
         .select(
@@ -5177,10 +5142,8 @@ def mm_video_demux_fragmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.mp4_demux import demux_media, encode_mp4
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 27 == 11)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
     sizes = [10, 20, 14, 16, 16, 20]
-    rows = []
-    for i in ids:
+    def build(i):
         pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
         vid, pos = [], 0
         for sz in sizes:
@@ -5194,8 +5157,8 @@ def mm_video_demux_fragmented(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             fragments=2,
         )
-        rows.append((i, bytearray(payload)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (payload)
+    media = fixture_media(d, build)
     return (
         demux_media(media, handler="vide")
         .select(
@@ -5249,14 +5212,12 @@ def mm_decode_jpeg12(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dolphinbeat_spark.operators.jpeg import encode_jpeg
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 9)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
-    rows = []
-    for i in ids:
+    def build(i):
         v = 2048 + 2 * ((ord(hashlib.md5(str(i).encode()).hexdigest()[0]) % 64) - 32)
         px = np.full(16 * 8, v, dtype="<u2").tobytes()
-        rows.append((i, bytearray(encode_jpeg(16, 8, px, gray=True,
-                                              precision=12))))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (encode_jpeg(16, 8, px, gray=True,
+                                              precision=12))
+    media = fixture_media(d, build)
     return M.decode_media(media, digest="hex").orderBy("media_id")
 
 
@@ -5316,16 +5277,14 @@ def mm_decode_wav_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     import struct
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 31 == 12)
-    ids = sorted(r[0] for r in d.select("doc_id").collect())
     fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
-    rows = []
-    for i in ids:
+    def build(i):
         pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3).encode()
         wavb = (
             b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 96) + b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", 96) + pattern
         )
-        rows.append((i, bytearray(wavb)))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return (wavb)
+    media = fixture_media(d, build)
     return M.decode_audio(media, digest="hex").orderBy("media_id")

@@ -38,6 +38,21 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
+def materialize_bounded(df: DataFrame) -> DataFrame:
+    """Pin a BOUNDED spec result executor-side before its backing
+    temp files disappear (r14 hygiene): persist + count caches every
+    partition in the cluster (spilling to executor disk, never
+    dropped) instead of the old collect()+createDataFrame driver
+    round-trip. For the streaming specs that round-trip micro-batch
+    output through a temp dir this keeps the data distributed end to
+    end; result sets are spec-bounded, so the cache cost is noise."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
+
+
 def register(
     name: str,
     oracle: str | None,

@@ -464,18 +464,17 @@ def pipeline_warc_html_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     status/content-type gates (Catalyst filters) → HTML→text
     extraction (operators/html.py) → quality gates (token count,
     stopword band, lang-ID argmax, link density — all pure Catalyst
-    over the extracted text). The WARC payloads are built driver-side
-    over a bounded doc subset (encode-side fixture glue, as in
-    warc_records — the operator chain under test runs distributed);
+    over the extracted text). The WARC payloads are built IN
+    EXECUTORS over a bounded doc subset (fixture_media, r14 hygiene);
     at scale the payload column is the raw crawl bytes."""
     from dolphinbeat_spark.operators.html import html_extract
     from dolphinbeat_spark.sources.warc import encode_warc, read_warc
 
+    from dolphinbeat_spark.plans.multimodal_queries import fixture_media
+
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 3)
-    docs = [(r["doc_id"], r["text"]) for r in
-            d.select("doc_id", "text").collect()]
-    rows = []
-    for did, text in sorted(docs):
+
+    def build(did, text):
         i = str(did)
         page = (
             f"<!DOCTYPE html><!-- hidden {i} --><html><head>"
@@ -508,9 +507,9 @@ def pipeline_warc_html_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
              "content": b"<html><body>404</body></html>",
              "http": {"status": 404, "content_type": "text/html"}},
         ]
-        rows.append((did, bytearray(encode_warc(recs,
-                                                gzip_members=bool(did % 2)))))
-    media = spark.createDataFrame(rows, "media_id long, payload binary")
+        return encode_warc(recs, gzip_members=bool(did % 2))
+
+    media = fixture_media(d, build, with_text=True)
     pages = (
         read_warc(media)
         .filter((F.col("http_status") == 200)
