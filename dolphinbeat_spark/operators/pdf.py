@@ -18,7 +18,10 @@ module implements the honest read-side subset per the PUBLIC spec:
   ASCIIHexDecode, ASCII85Decode, RunLengthDecode, and LZWDecode
   (§7.4.4 is the TIFF 6.0 LZW dialect — MSB-first, early code-width
   change — reused from operators/tiff.py; /EarlyChange 0 raises);
-  DCTDecode, JPXDecode, CCITTFaxDecode raise by name;
+  DCTDecode/JPXDecode/CCITTFaxDecode/JBIG2Decode are TERMINAL image
+  filters decoded by the in-repo codecs on the image surface
+  (operators/jpeg, jpx — r14, ccitt, jbig2) and raise by name only
+  on the text-stream path where pixel filters cannot appear;
 - the page tree (§7.7.3): /Pages recursion with /Resources
   inheritance and cycle guards; per-page /Contents concatenation;
 - the text-showing subset of content streams (§9.4): BT/ET, Tj, TJ,
@@ -1497,13 +1500,25 @@ def _decode_image_data(doc: "PdfDocument", name: str, raw: bytes,
             ((1 - ink).astype(_np.uint8) * 255).tobytes(),
         )
     if last == "JPXDecode":
-        raise NotImplementedError(
-            "PDF image filter JPXDecode not supported (DCTDecode "
-            "via the in-repo JPEG decoder, CCITTFaxDecode via "
-            "the in-repo T.4/T.6 codec, JBIG2Decode via the in-repo "
-            "T.88 decoder, plus raw Flate/LZW/ASCII/RunLength "
-            "sample streams)"
+        from dolphinbeat_spark.operators.jpx import JpxError, decode_jpx
+
+        pre = raw if len(filters) <= 1 else _apply_filters(
+            raw, filters[:-1], parms_list[:-1]
         )
+        try:
+            w, h, arr = decode_jpx(bytes(pre))
+        except JpxError as ex:
+            raise PdfError(f"JPXDecode image {name!r}: {ex}") from ex
+        if (w, h) != (width, height):
+            raise PdfError(
+                f"image {name!r}: JPX is {w}x{h}, dictionary "
+                f"says {width}x{height}"
+            )
+        # §7.4.9: the JPX codestream's own geometry wins; component
+        # count comes from the decoded image
+        return PdfImage(pidx, name, width, height,
+                        int(arr.shape[2]), "JPXDecode",
+                        arr.tobytes())
     content = _apply_filters(raw, filters, parms_list)
     import numpy as np
 
@@ -1759,7 +1774,9 @@ def extract_pdf_images(data: bytes) -> list[PdfImage]:
     16-bit samples emit the high byte (r12, the 8-bit rendering
     convention). JBIG2Decode images decode through the in-repo T.88
     generic-region decoder (operators/jbig2.py, r13), honoring
-    /JBIG2Globals. JPX images raise by name."""
+    /JBIG2Globals. JPXDecode images decode through the in-repo
+    reversible Part-1 JPEG 2000 decoder (operators/jpx.py, r14);
+    its named boundaries (9/7 irreversible, multi-tile) surface."""
     doc = PdfDocument(data)
     out: list[PdfImage] = []
     for pidx, (page, resources) in enumerate(doc.pages()):
@@ -2090,6 +2107,9 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
             )
             if kind == "jpeg":
                 streams[num] = (common + b" /Filter /DCTDecode", payload)
+            elif kind == "jpx":
+                # payload = a ready JPEG 2000 codestream / JP2 file
+                streams[num] = (common + b" /Filter /JPXDecode", payload)
             elif kind == "raw":
                 if len(payload) != iw * ih * ncomp:
                     raise ValueError("raw image payload size mismatch")

@@ -3628,6 +3628,67 @@ def mm_pdf_jbig2_huffman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_pdf_jpx_image",
+    # payload = a PDF per doc whose image XObject is a REAL JPEG 2000
+    # codestream (/JPXDecode — the last named PDF image filter, r14):
+    # the from-scratch reversible Part-1 path (5/3 DWT, MQ Tier-1,
+    # tag-tree packet headers) over the 12x8 ASCII md5 pattern. Docs
+    # cycle the JP2 box wrapper vs raw codestream, SOP/EPH markers,
+    # segmentation symbols and progression order — the raster is
+    # lossless, so the oracle recomputes the pattern sum/md5 exactly.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 29 = 23
+)
+SELECT media_id, 0::BIGINT AS page_idx, 'Im0_0' AS img_name,
+       CAST(12 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       1::BIGINT AS n_components, 'JPXDecode' AS img_filter,
+       CAST(list_sum(list_transform(range(1, 97),
+            i -> ord(substr(pattern, CAST(i AS INTEGER), 1))))
+            AS BIGINT) AS pixel_sum,
+       md5(pattern) AS pixel_md5
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "pdf", "decode", "codec", "jpx", "ingest"),
+)
+def mm_pdf_jpx_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG 2000 images in PDFs under the oracle gate (r14):
+    operators/jpx.py's reversible Part-1 decode — DWT 5/3, RCT-less
+    gray path, MQ Tier-1, tag-tree packets — through the shared
+    /JPXDecode image surface, bit-exact by reversibility."""
+    import hashlib
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.jpx import encode_jpx
+    from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_images
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 23)
+
+    def build(i):
+        pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3) \
+            .encode("ascii")
+        img = np.frombuffer(pattern, np.uint8).reshape(8, 12)
+        cs = encode_jpx(
+            img, levels=2, progression=i % 5,
+            sop=bool(i % 3 == 1), eph=bool(i % 3 == 1),
+            segsym=bool(i % 3 == 2), jp2=bool(i % 2))
+        return encode_pdf([[f"jpx {i}"]], xref_stream=bool(i % 2),
+                          images=[[("jpx", 12, 8, 1, cs)]])
+
+    media = fixture_media(d, build)
+    return (
+        pdf_images(media)
+        .select("media_id", "page_idx", "img_name", "width", "height",
+                "n_components", "img_filter", "pixel_sum", "pixel_md5")
+        .orderBy("media_id", "page_idx", "img_name")
+    )
+
+
+@register(
     "mm_pdf_inline_images",
     # payload = a PDF per doc whose images are INLINE (BI/ID/EI,
     # §8.9.7 — the layout scanned faxes and small graphics actually

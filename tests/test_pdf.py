@@ -536,10 +536,11 @@ def test_pdf_image_boundaries_and_hostile():
 
     jb = encode_jpeg(16, 8, bytes([84]) * 128, gray=True)
     good = encode_pdf([["x"]], images=[[("jpeg", 16, 8, 1, jb)]])
-    # unsupported image codec by name (JPXDecode is byte-length-equal
-    # to DCTDecode, so the xref offsets stay valid after the swap)
+    # r14: JPXDecode DECODES now (operators/jpx.py); relabeling a
+    # JPEG payload as JPX must fail TYPED (not an SOC codestream),
+    # never untyped (byte-length-equal swap keeps xref offsets valid)
     bad = good.replace(b"/Filter /DCTDecode", b"/Filter /JPXDecode")
-    with pytest.raises(NotImplementedError, match="JPXDecode"):
+    with pytest.raises(PdfError, match="JPXDecode"):
         extract_pdf_images(bad)
     # dictionary dimensions disagreeing with the JPEG
     bad = good.replace(b"/Width 16 /Height 8", b"/Width 99 /Height 8")
