@@ -1153,7 +1153,7 @@ def _font_map(
     charset r14, _type0_cmap_from_font); only when no recovery path
     exists does it raise by name."""
     fonts = doc.resolve(resources.get("Font")) if resources else None
-    out: dict[str, dict | str | None] = {}
+    out: dict[str, dict | str | tuple | None] = {}
     if not isinstance(fonts, dict):
         return out
     for fname, fobj in fonts.items():
@@ -1169,9 +1169,62 @@ def _font_map(
                 out[fname] = codec
             else:
                 out[fname] = _type0_cmap_from_font(doc, f, fname)
+        elif isinstance(f, dict):
+            out[fname] = _simple_font_decode(doc, f)
         else:
             out[fname] = None
     return out
+
+
+#: simple-font base encodings -> 1-byte Python codecs (§9.6.6 + D.2;
+#: WinAnsi IS cp1252 and MacRoman IS mac_roman for the printable set)
+_SIMPLE_BASE_CODECS = {
+    "WinAnsiEncoding": "cp1252",
+    "MacRomanEncoding": "mac_roman",
+    "StandardEncoding": "latin-1",  # close enough for the ASCII run;
+    # non-ASCII Standard-Encoding glyphs come via /Differences in
+    # practice (writers emit explicit Differences for those)
+    "PDFDocEncoding": "latin-1",
+}
+
+
+def _simple_font_decode(doc: PdfDocument, f: dict):
+    """Simple (1-byte) font -> decode rule (r14): a /ToUnicode CMap
+    if present (1-byte codes), else the /Encoding entry — a base
+    codec name (WinAnsi = cp1252, MacRoman = mac_roman) and/or a
+    /Differences array resolved through the Adobe Glyph List
+    (operators/cff.py) — the TeX-class custom-encoding layout.
+    None keeps the Latin-1 default."""
+    tu = f.get("ToUnicode")
+    if tu is not None:
+        cmap = _parse_tounicode(doc.stream_data(tu))
+        return ("diff", cmap, "latin-1")
+    enc = doc.resolve(f.get("Encoding"))
+    if enc is None:
+        return None
+    if not isinstance(enc, dict):
+        codec = _SIMPLE_BASE_CODECS.get(str(enc))
+        return codec if codec != "latin-1" else None
+    from dolphinbeat_spark.operators.cff import glyph_name_to_unicode
+
+    base = _SIMPLE_BASE_CODECS.get(
+        str(doc.resolve(enc.get("BaseEncoding", ""))), "latin-1")
+    diffs = doc.resolve(enc.get("Differences"))
+    table: dict[int, str] = {}
+    if isinstance(diffs, list):
+        code = 0
+        for item in diffs:
+            item = doc.resolve(item)
+            if isinstance(item, (int, float)):
+                code = int(item)
+            else:
+                u = glyph_name_to_unicode(str(item))
+                if u is not None:
+                    table[code] = u
+                code += 1
+    if not table and base == "latin-1":
+        return None
+    return ("diff", table, base)
 
 
 def _extract_page_text(doc: PdfDocument, content: bytes,
@@ -1190,10 +1243,19 @@ def _extract_page_text(doc: PdfDocument, content: bytes,
             lines[-1].append(b.decode("latin-1"))
             return
         if isinstance(cur_cmap, str):
-            # predefined CJK CMap: the show string IS text in the
-            # CMap's code-space charset (variable-length codes come
-            # free with the codec's own segmentation)
+            # predefined CJK CMap or 1-byte base codec: the show
+            # string IS text in that charset (variable-length codes
+            # come free with the codec's own segmentation)
             lines[-1].append(b.decode(cur_cmap, errors="replace"))
+            return
+        if isinstance(cur_cmap, tuple):
+            # simple font with /Differences (and/or a 1-byte
+            # /ToUnicode): per-byte table lookup over a base codec
+            _, table, base = cur_cmap
+            lines[-1].append("".join(
+                table.get(code) or bytes([code]).decode(
+                    base, errors="replace")
+                for code in b))
             return
         chars = []
         for i in range(0, len(b) - 1, 2):  # Identity-H: 2-byte codes
@@ -2018,8 +2080,23 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
         if cmap_codec is None:
             raise ValueError(
                 f"unknown predefined CMap {unicode_text[5:]!r}")
+    diff_codes: dict[str, int] = {}
+    if unicode_text == "differences":
+        # simple font + /Differences: non-Latin-1-identity chars get
+        # codes from 128 up, named per the Adobe Glyph List
+        for lines in pages:
+            for line in lines:
+                for ch in line:
+                    if ord(ch) > 126 and ch not in diff_codes:
+                        diff_codes[ch] = 128 + len(diff_codes)
+        if len(diff_codes) > 128:
+            raise ValueError("differences mode holds <= 128 chars")
 
     def show_str(text: str) -> bytes:
+        if unicode_text == "differences":
+            return b"<" + bytes(
+                diff_codes.get(ch, ord(ch)) for ch in text
+            ).hex().upper().encode() + b">"
         if cmap_codec is not None:
             # predefined-CMap mode: the show string is the text in
             # the CMap's code-space charset
@@ -2283,6 +2360,24 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
             b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont"
             b" /Dolphinbeat /CIDSystemInfo << /Registry (Adobe)"
             b" /Ordering (Japan1) /Supplement 7 >> >>"
+        )
+    elif unicode_text == "differences":
+        # r14: a SIMPLE font with a custom /Encoding — /Differences
+        # over a WinAnsi base (the TeX-toolchain layout); glyph names
+        # per the Adobe Glyph List (agl names where they exist, the
+        # productive uniXXXX form otherwise)
+        from dolphinbeat_spark.operators.cff import _AGL
+
+        agl_rev = {v: k for k, v in _AGL.items()}
+        diffs = []
+        for ch, code in sorted(diff_codes.items(), key=lambda kv: kv[1]):
+            name = agl_rev.get(ch, "uni%04X" % ord(ch))
+            diffs.append(b"%d /%s" % (code, name.encode("ascii")))
+        objs[font_num] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding << /Type /Encoding /BaseEncoding"
+            b" /WinAnsiEncoding /Differences [" + b" ".join(diffs)
+            + b"] >> >>"
         )
     elif unicode_text in ("fontcmap", "fontcmap-gidmap"):
         # r13: a Type0 font WITHOUT /ToUnicode — text is recoverable

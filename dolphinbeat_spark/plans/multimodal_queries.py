@@ -3628,6 +3628,50 @@ def mm_pdf_jbig2_huffman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_pdf_simple_font_diff",
+    # payload = a PDF per doc whose SIMPLE (Type1) font carries a
+    # custom /Encoding: /Differences over a WinAnsi base — the
+    # TeX-toolchain layout (r14). Accented/punctuation glyphs ride
+    # as codes >= 128 named per the Adobe Glyph List; pre-r14 these
+    # extracted as Latin-1 garbage. Oracle rebuilds the text in
+    # closed form.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id, CAST(doc_id AS VARCHAR) AS i,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE doc_id % 31 = 7
+)
+SELECT media_id, 0::BIGINT AS page_idx, 1::BIGINT AS n_pages,
+       CAST(NULL AS VARCHAR) AS title,
+       'tëx—fönt «' || i || '»' || chr(10)
+         || array_to_string(list_slice(toks, 1, 6), ' ') AS page_text
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "pdf", "text", "encoding", "ingest"),
+)
+def mm_pdf_simple_font_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-font /Differences text under the oracle gate (r14):
+    per-code glyph names resolve through the AGL (operators/cff.py's
+    table + productive forms) over a WinAnsi base codec — the custom
+    encodings TeX-class writers emit."""
+    from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_extract
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 31 == 7)
+
+    def build(did, text):
+        toks = text.strip().split()
+        return encode_pdf(
+            [[f"tëx—fönt «{did}»", " ".join(toks[0:6])]],
+            unicode_text="differences",
+            xref_stream=did % 2 == 0,
+        )
+
+    media = fixture_media(d, build, with_text=True)
+    return pdf_extract(media).orderBy("media_id", "page_idx")
+
+
+@register(
     "mm_pdf_jpx_image",
     # payload = a PDF per doc whose image XObject is a REAL JPEG 2000
     # codestream (/JPXDecode — the last named PDF image filter, r14):

@@ -890,3 +890,25 @@ def test_pdf_predefined_cmap_text_recovery():
     bad = pdf.replace(b"/GBK-EUC-H", b"/Zapf-Dings")
     with pytest.raises(NotImplementedError, match="unrecognized CMap"):
         extract_pdf_text(bad)
+
+
+def test_pdf_simple_font_differences_and_base_encodings():
+    """Simple fonts with custom /Encoding (r14): /Differences names
+    resolve via the AGL over a WinAnsi base; base-encoding-only
+    fonts decode through their codec; ToUnicode on a simple font
+    wins. Pre-r14 all of these extracted as Latin-1 garbage."""
+    txt = ["Héllo wörld — «tex» style", "plain ascii line"]
+    for xs in (False, True):
+        pdf = encode_pdf([txt], unicode_text="differences",
+                         xref_stream=xs)
+        assert extract_pdf_text(pdf).pages == ["\n".join(txt)]
+    # encrypted: the Encoding dict rides in the clear (not a string)
+    pdf = encode_pdf([txt], title="T", unicode_text="differences",
+                     encrypt="rc4-128")
+    assert extract_pdf_text(pdf).pages == ["\n".join(txt)]
+    # unmapped glyph names fall back to the base codec, not a crash
+    # (same-length name swap keeps the xref offsets valid; code 128
+    # under the WinAnsi base is the euro sign)
+    pdf = encode_pdf([["aéb"]], unicode_text="differences")
+    bad = pdf.replace(b"/eacute", b"/qqqqqq")
+    assert extract_pdf_text(bad).pages == ["a€b"]
