@@ -41,6 +41,7 @@ __all__ = [
     "CffFont",
     "parse_cff",
     "glyph_name_to_unicode",
+    "cid_latin_slice",
     "encode_minimal_cff",
     "STANDARD_STRINGS",
 ]
@@ -367,6 +368,41 @@ class CffFont:
             raise CffError(f"GID {gid} out of range")
         return self.sid_str(self.charset[gid])
 
+    def ros_strings(self) -> tuple[str, str, int] | None:
+        """ROS operands -> (registry, ordering, supplement) with the
+        two SIDs resolved through the String INDEX."""
+        if self.ros is None:
+            return None
+        reg, orde, sup = self.ros
+        return (self.sid_str(int(reg)), self.sid_str(int(orde)),
+                int(sup))
+
+
+#: Published Latin slices of the Adobe CJK character collections
+#: (Adobe Tech Notes 5078/5079/5080/5093 + the Adobe-KR spec): in
+#: each ordering the low CIDs are the proportional ASCII run, CID 1 =
+#: space. Japan1/GB1/Korea1/KR assign CIDs 1..95 to U+0020..U+007E;
+#: CNS1 agrees on the 1..94 prefix (its top of slice diverges, so the
+#: conservative prefix is used). These are the only ALGORITHMIC
+#: CID->Unicode ranges; the CJK blocks need the registry's full UCS2
+#:  CMap resources and stay a named boundary.
+_CID_LATIN_SLICES = {
+    "Japan1": 95, "GB1": 95, "Korea1": 95, "KR": 95, "CNS1": 94,
+}
+
+
+def cid_latin_slice(ros: tuple[str, str, int] | None) \
+        -> dict[int, str] | None:
+    """(registry, ordering, supplement) -> {CID: unicode} for the
+    ordering's published ASCII slice, or None when the ordering
+    carries no algorithmic mapping (Adobe-Identity / unknown)."""
+    if ros is None or ros[0] != "Adobe":
+        return None
+    n = _CID_LATIN_SLICES.get(ros[1])
+    if n is None:
+        return None
+    return {1 + i: chr(0x20 + i) for i in range(n)}
+
 
 MAX_GLYPHS = 1 << 16  # CFF GIDs/SIDs are 16-bit by construction
 
@@ -531,16 +567,17 @@ def _dict_int(v: int) -> bytes:
 
 def encode_minimal_cff(mapping: dict[int, str],
                        cid_keyed: bool = False,
-                       standard_names: bool = False) -> bytes:
+                       standard_names: bool = False,
+                       ros: tuple[str, str, int] | None = None) -> bytes:
     """Fixture mirror. ``mapping``: {code/CID: unicode char}, one
     glyph per entry (GID = 1 + rank of the key).
 
     non-CID: glyph names are ``uniXXXX`` custom strings (or AGL
     standard names with ``standard_names=True`` where one exists),
     charset format 0, encoding format 0 over the low-byte codes.
-    CID-keyed: ROS (Adobe-Identity-0), charset format 0 mapping
-    GID -> CID, FDArray/FDSelect present so real parsers accept it.
-    CharStrings are minimal Type2 ``endchar`` bodies."""
+    CID-keyed: ROS (``ros`` or Adobe-Identity-0), charset format 0
+    mapping GID -> CID, FDArray/FDSelect present so real parsers
+    accept it. CharStrings are minimal Type2 ``endchar`` bodies."""
     keys = sorted(mapping)
     n_glyphs = len(keys) + 1
     charstrings = _index([b"\x0e"] * n_glyphs)
@@ -557,8 +594,11 @@ def encode_minimal_cff(mapping: dict[int, str],
         return 391 + custom.index(b)
 
     if cid_keyed:
-        reg = intern("Adobe")
-        orde = intern("Identity")
+        if ros is None:
+            ros = ("Adobe", "Identity", 0)
+        reg = intern(ros[0])
+        orde = intern(ros[1])
+        ros_sup = int(ros[2])
         charset_sids = keys  # CID per glyph
     else:
         names = []
@@ -588,7 +628,7 @@ def encode_minimal_cff(mapping: dict[int, str],
                  priv_off) -> bytes:
         d = b""
         if cid_keyed:
-            d += _dict_int(reg) + _dict_int(orde) + _dict_int(0) \
+            d += _dict_int(reg) + _dict_int(orde) + _dict_int(ros_sup) \
                 + b"\x0c\x1e"  # ROS
         d += _dict_int(chs_off) + b"\x0f"          # charset
         if not cid_keyed:

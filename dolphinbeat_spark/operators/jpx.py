@@ -1,19 +1,26 @@
 """JPEG 2000 (JPX / ISO 15444-1, ITU T.800) decode from scratch —
-the REVERSIBLE Part-1 profile PDF's last named image filter needs
-(r14): /JPXDecode streams carry either a raw codestream or a JP2 box
-wrapper, and the dominant wild encoder output (OpenJPEG-class
-archival scans, lossless mode) is exactly this subset.
+the Part-1 profiles PDF's last named image filter needs: /JPXDecode
+streams carry either a raw codestream or a JP2 box wrapper. r14
+landed the REVERSIBLE 5/3 path (OpenJPEG-class archival scans,
+lossless mode); r15 adds the IRREVERSIBLE 9/7 path (scalar
+quantization styles 1 derived / 2 expounded, ICT) — the dominant
+wild form for photographic PDFs.
 
 Covered:
 - JP2 signature/ftyp box walk down to the ``jp2c`` codestream box,
   or a bare SOC..EOC codestream;
 - main header: SIZ (single tile, no subsampling), COD (progression
-  orders LRCP/RLCP/RPCL/PCRL/CPRL with default whole-resolution
-  precincts, 1..N quality layers, decomposition levels, code-block
-  geometry, optional SOP/EPH markers, segmentation symbols), QCD
-  (style 0 "no quantization" — the reversible form), COC/QCC
-  per-component overrides, COM/TLM/PLT skipped;
-- packet decoding (B.10): inclusion + zero-bitplane TAG TREES, the
+  orders LRCP/RLCP/RPCL/PCRL/CPRL in spec packet order — the layer
+  loop sits innermost for RPCL/PCRL/CPRL — with default
+  whole-resolution precincts, 1..N quality layers, decomposition
+  levels, code-block geometry, optional SOP/EPH markers,
+  segmentation symbols), QCD styles 0/1/2, COC/QCC per-component
+  overrides THREADED through decode (per-component levels,
+  code-block geometry, transform, quantization — a COC that changes
+  a component's level count reshapes its packet sequence per
+  B.12.1.3), COM/TLM/PLT skipped;
+- packet decoding (B.10): inclusion + zero-bitplane TAG TREES (the
+  inclusion trees incremental across quality layers), the
   coding-pass count codeword, Lblock length signaling, header bit
   stuffing, SOP/EPH handling;
 - Tier-1 (Annex D): the three-pass (significance / refinement /
@@ -23,13 +30,17 @@ Covered:
   run-length mode, optional segmentation symbols. The MQ coder is
   operators/jbig2's (T.88 Annex E == T.800 Annex C, one shared
   published coder, pinned there by the spec's own test vector);
-- inverse 5/3 reversible DWT (lifting, symmetric extension, any
-  geometry), reversible color transform (RCT), DC level shift.
+- inverse 5/3 reversible DWT (integer lifting, symmetric extension,
+  any geometry) + RCT for transform 1; inverse 9/7 irreversible DWT
+  (float lifting per F.4.8.2 with the K / 1/K descaling), scalar
+  dequantization (E.1.1.2, midpoint reconstruction r=0.5, derived
+  exponents per eq E-5) + ICT for transform 0; DC level shift.
 
-Named boundaries (fail loud): the 9/7 irreversible path (Qcd style
-1/2, COD transformation 0 — lossy wild files), multiple tiles /
-tile-parts, component subsampling, POC progression changes, ROI
-(RGN), and the bypass/termall/reset/causal code-block styles.
+Named boundaries (fail loud): multiple tiles / tile-parts, component
+subsampling, POC progression changes, ROI (RGN), PPM/PPT packed
+headers, and the bypass/termall/reset/causal code-block styles.
+Typed-error boundary: decode_jpx re-raises every parser failure mode
+as JpxError (hostile-input posture, same as cff.parse_cff).
 
 Conformance caveat: no OpenJPEG/Kakadu exists in this container, so
 the Tier-1 layer is pinned by the shared MQ coder's published
@@ -606,6 +617,85 @@ def _fdwt53_2d(img: np.ndarray):
     return ll, hl, lh, hh
 
 
+# ---------------------------------------------------- 9/7 lifting DWT
+
+# T.800 F.4.8.1 lifting constants (irreversible CDF 9/7).  After the
+# four lifting steps the low branch carries DC gain K and the high
+# branch Nyquist gain 2/K; the F-12/F-13 scaling (high x K, low x 1/K)
+# lands the nominal per-band ranges Table E.1 assumes (LL gain 0,
+# HL/LH gain 1, HH gain 2).
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _reflect(idx: np.ndarray, n: int) -> np.ndarray:
+    """Whole-sample symmetric extension for +/-1 neighbors."""
+    return (n - 1) - np.abs((n - 1) - np.abs(idx))
+
+
+def _idwt97_1d(low: np.ndarray, high: np.ndarray) -> np.ndarray:
+    """Inverse 1D 9/7 along axis 0 (T.800 F.4.8.2): descale, then the
+    four lifting steps in reverse with subtraction."""
+    le, he = low.shape[0], high.shape[0]
+    n = le + he
+    if n == 1:
+        return (low.astype(np.float64) if le
+                else high.astype(np.float64) * 0.5)
+    y = np.zeros((n,) + low.shape[1:], np.float64)
+    y[0::2] = low * _K97
+    y[1::2] = high * (1.0 / _K97)
+    for coef, parity in ((_D97, 0), (_G97, 1), (_B97, 0), (_A97, 1)):
+        idx = np.arange(parity, n, 2)
+        y[idx] -= coef * (y[_reflect(idx - 1, n)]
+                          + y[_reflect(idx + 1, n)])
+    return y
+
+
+def _fdwt97_1d(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    n = x.shape[0]
+    if n == 1:
+        return x.astype(np.float64), x[:0].astype(np.float64)
+    y = x.astype(np.float64).copy()
+    for coef, parity in ((_A97, 1), (_B97, 0), (_G97, 1), (_D97, 0)):
+        idx = np.arange(parity, n, 2)
+        y[idx] += coef * (y[_reflect(idx - 1, n)]
+                          + y[_reflect(idx + 1, n)])
+    return y[0::2] * (1.0 / _K97), y[1::2] * _K97
+
+
+def _idwt97_2d(ll, hl, lh, hh) -> np.ndarray:
+    left = _idwt97_1d(ll, lh)
+    right = _idwt97_1d(hl, hh)
+    return _idwt97_1d(left.T, right.T).T
+
+
+def _fdwt97_2d(img: np.ndarray):
+    low, high = _fdwt97_1d(img.T)
+    low, high = low.T, high.T
+    ll, lh = _fdwt97_1d(low)
+    hl, hh = _fdwt97_1d(high)
+    return ll, hl, lh, hh
+
+
+# irreversible component transform (T.800 G.2/G.3) — the 9/7
+# counterpart of the RCT; float in, float out
+def _ict_forward(r, g, b):
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _ict_inverse(y, cb, cr):
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return r, g, b
+
+
 # ----------------------------------------------------- codestream I/O
 
 def _band_dims(w: int, h: int, level: int, band: str) -> tuple[int, int]:
@@ -626,34 +716,44 @@ def _cblk_grid(bw: int, bh: int, cw: int, ch: int) -> tuple[int, int]:
         (bh + ch - 1) // ch if bh else 0
 
 
-def _packet_order(progression: int, layers: int, levels: int,
-                  ncomps: int):
-    """(layer, resolution, component) triples in progression order —
-    one precinct per (r, c), so the precinct loop is implicit."""
+def _packet_order(progression: int, layers: int,
+                  levels_list: list[int] | tuple[int, ...]):
+    """(layer, resolution, component) triples in progression order
+    (B.12: LRCP / RLCP / RPCL / PCRL / CPRL) — one precinct per
+    (r, c), so the position loop is implicit and the spec's layer
+    position holds: RPCL is r,p,c,l and PCRL/CPRL put the layer
+    innermost after c/r.  `levels_list` is per-component (COC can
+    lower a component's decomposition count; packets only exist for
+    resolutions the component has, B.12.1.3)."""
+    ncomps = len(levels_list)
+    max_r = max(levels_list) + 1
     if progression == 0:  # LRCP
         for layer in range(layers):
-            for r in range(levels + 1):
+            for r in range(max_r):
                 for c in range(ncomps):
-                    yield layer, r, c
+                    if r <= levels_list[c]:
+                        yield layer, r, c
     elif progression == 1:  # RLCP
-        for r in range(levels + 1):
+        for r in range(max_r):
             for layer in range(layers):
                 for c in range(ncomps):
-                    yield layer, r, c
-    elif progression == 2:  # RPCL
-        for r in range(levels + 1):
-            for layer in range(layers):
-                for c in range(ncomps):
-                    yield layer, r, c
-    elif progression == 3:  # PCRL (single precinct/position)
-        for layer in range(layers):
+                    if r <= levels_list[c]:
+                        yield layer, r, c
+    elif progression == 2:  # RPCL: r, p, c, l
+        for r in range(max_r):
             for c in range(ncomps):
-                for r in range(levels + 1):
-                    yield layer, r, c
-    elif progression == 4:  # CPRL
+                if r <= levels_list[c]:
+                    for layer in range(layers):
+                        yield layer, r, c
+    elif progression == 3:  # PCRL: p, c, r, l
         for c in range(ncomps):
-            for layer in range(layers):
-                for r in range(levels + 1):
+            for r in range(levels_list[c] + 1):
+                for layer in range(layers):
+                    yield layer, r, c
+    elif progression == 4:  # CPRL: c, p, r, l
+        for c in range(ncomps):
+            for r in range(levels_list[c] + 1):
+                for layer in range(layers):
                     yield layer, r, c
     else:
         raise JpxError(f"reserved progression order {progression}")
@@ -668,7 +768,25 @@ def _res_bands(r: int, levels: int):
 
 def decode_jpx(data: bytes,
                max_pixels: int = 1 << 26) -> tuple[int, int, np.ndarray]:
-    """JPX/JP2/raw-codestream bytes -> (w, h, HxWxC uint8/uint16)."""
+    """JPX/JP2/raw-codestream bytes -> (w, h, HxWxC uint8/uint16).
+
+    Typed-error boundary: every malformed-stream failure mode inside
+    the parser (short reads, bad indices, struct underruns on bodies
+    whose length field still matched) re-raises as JpxError so
+    callers' ``except JpxError`` holds on hostile input; named
+    NotImplementedError boundaries pass through untouched."""
+    try:
+        return _decode(data, max_pixels)
+    except (JpxError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, ValueError, OverflowError,
+            ZeroDivisionError, struct.error) as ex:
+        raise JpxError(
+            f"malformed JPEG 2000 stream: {type(ex).__name__}: {ex}"
+        ) from ex
+
+
+def _decode(data: bytes, max_pixels: int) -> tuple[int, int, np.ndarray]:
     cs = _find_codestream(data)
     if cs[:4] != b"\xff\x4f\xff\x51":
         raise JpxError("codestream does not open with SOC+SIZ")
@@ -676,6 +794,16 @@ def decode_jpx(data: bytes,
     siz = cod = qcd = None
     tile_data = None
     coc: dict[int, dict] = {}
+    qcc: dict[int, dict] = {}
+
+    def comp_index(body: bytes) -> tuple[int, bytes]:
+        # Ccoc/Cqcc is 1 byte when Csiz < 257, else 2 (A.6.2/A.6.5)
+        if siz is None:
+            raise JpxError("COC/QCC before SIZ")
+        if siz["ncomps"] < 257:
+            return body[0], body[1:]
+        return struct.unpack_from(">H", body, 0)[0], body[2:]
+
     while pos + 4 <= len(cs):
         marker, ln = struct.unpack_from(">HH", cs, pos)
         if marker == 0xFF93:  # SOD: data runs to EOC
@@ -688,13 +816,13 @@ def decode_jpx(data: bytes,
         elif marker == 0xFF52:
             cod = _parse_cod(body)
         elif marker == 0xFF53:
-            c = body[0] if siz and siz["ncomps"] < 257 else body[0]
-            coc[c] = _parse_cod(body[1:], is_coc=True)
+            c, rest = comp_index(body)
+            coc[c] = _parse_cod(rest, is_coc=True)
         elif marker == 0xFF5C:
             qcd = _parse_qcd(body)
         elif marker == 0xFF5D:
-            pass  # QCC: per-component quantization — reversible path
-            # reads only guard bits/exponents from QCD; tolerated
+            c, rest = comp_index(body)
+            qcc[c] = _parse_qcd(rest)
         elif marker in (0xFF60, 0xFF61):
             raise NotImplementedError(
                 "JPX packed packet headers (PPM/PPT) not supported")
@@ -725,7 +853,7 @@ def decode_jpx(data: bytes,
         pos += 2 + ln
     if siz is None or cod is None or qcd is None or tile_data is None:
         raise JpxError("codestream missing SIZ/COD/QCD/tile data")
-    return _decode_tile(siz, cod, qcd, tile_data, max_pixels)
+    return _decode_tile(siz, cod, qcd, coc, qcc, tile_data, max_pixels)
 
 
 def _find_codestream(data: bytes) -> bytes:
@@ -796,10 +924,9 @@ def _parse_cod(b: bytes, is_coc: bool = False) -> dict:
             f"JPX code-block style {style:#04x} (bypass/reset/"
             "termall/causal/predictable) not supported")
     out["segsym"] = bool(style & 0x20)
-    if out["transform"] != 1:
-        raise NotImplementedError(
-            "JPX irreversible 9/7 wavelet not supported — the "
-            "reversible 5/3 Part-1 path is")
+    if out["transform"] not in (0, 1):
+        raise JpxError(
+            f"reserved wavelet transformation {out['transform']}")
     if out["precincts_defined"]:
         pps = list(b[pos + 5:])
         if any(p != 0xFF and ((p & 0xF) < 15 or (p >> 4) < 15)
@@ -813,26 +940,72 @@ def _parse_cod(b: bytes, is_coc: bool = False) -> dict:
 
 
 def _parse_qcd(b: bytes) -> dict:
+    """QCD/QCC body -> quantization params (A.6.4/A.6.5, E.1):
+    style 0 = no quantization (reversible; 8-bit exponents), style 1 =
+    scalar derived (one 16-bit (exp, mant) pair, other bands derived
+    per E-5), style 2 = scalar expounded (one pair per subband)."""
     sqcd = b[0]
     style = sqcd & 0x1F
     guard = sqcd >> 5
-    if style != 0:
-        raise NotImplementedError(
-            "JPX quantized (irreversible) QCD styles not supported — "
-            "reversible style 0 is")
-    exps = [v >> 3 for v in b[1:]]
-    return {"guard": guard, "exps": exps}
+    if style == 0:
+        return {"style": 0, "guard": guard,
+                "pairs": [(v >> 3, 0) for v in b[1:]]}
+    if style in (1, 2):
+        n = (len(b) - 1) // 2
+        if n < 1 or (len(b) - 1) % 2:
+            raise JpxError("QCD style 1/2 body is not 16-bit pairs")
+        pairs = []
+        for i in range(n):
+            v, = struct.unpack_from(">H", b, 1 + 2 * i)
+            pairs.append((v >> 11, v & 0x7FF))
+        return {"style": style, "guard": guard, "pairs": pairs}
+    raise JpxError(f"reserved quantization style {style}")
 
 
-def _decode_tile(siz, cod, qcd, tdata: bytes,
+_BAND_GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+
+
+def _qparams(q: dict, r: int, band: str) -> tuple[int, int]:
+    """-> (epsilon_b, mu_b) for the subband at resolution r (E.1.1;
+    derived style: eps_b = eps_0 - (r - 1) for r >= 1, eq E-5)."""
+    if q["style"] == 1:
+        e0, m0 = q["pairs"][0]
+        return (e0 if r == 0 else max(e0 - (r - 1), 0)), m0
+    idx = 0 if r == 0 else 1 + 3 * (r - 1) + ("HL", "LH", "HH").index(band)
+    pairs = q["pairs"]
+    if not pairs:
+        return 8, 0
+    return pairs[idx] if idx < len(pairs) else pairs[-1]
+
+
+def _merge_coc(cod: dict, ov: dict) -> dict:
+    """COD defaults + a COC override (A.6.2: COC carries only the
+    per-component SPcod tail — levels, code-block geometry, style,
+    transform; progression/layers/MCT/SOP/EPH stay with COD)."""
+    out = dict(cod)
+    for k in ("levels", "xcb", "ycb", "transform", "segsym"):
+        out[k] = ov[k]
+    return out
+
+
+def _decode_tile(siz, cod, qcd, coc, qcc, tdata: bytes,
                  max_pixels: int) -> tuple[int, int, np.ndarray]:
     w, h, nc = siz["w"], siz["h"], siz["ncomps"]
-    levels = cod["levels"]
     layers = cod["layers"]
-    cw, ch = 1 << cod["xcb"], 1 << cod["ycb"]
-    segsym = cod["segsym"]
-    guard = qcd["guard"]
-    exps = qcd["exps"]
+    ccod = [(_merge_coc(cod, coc[c]) if c in coc else cod)
+            for c in range(nc)]
+    cq = [qcc.get(c, qcd) for c in range(nc)]
+    for c in range(nc):
+        t, qs = ccod[c]["transform"], cq[c]["style"]
+        if t == 1 and qs != 0:
+            raise JpxError(
+                "quantized QCD/QCC style with the reversible 5/3 "
+                "transform")
+        if t == 0 and qs == 0:
+            raise JpxError(
+                "no-quantization QCD/QCC style with the irreversible "
+                "9/7 transform")
+    levels_list = [ccod[c]["levels"] for c in range(nc)]
 
     # per-component, per-band coefficient arrays + codeblock registry
     bands: dict[tuple[int, int, str], np.ndarray] = {}
@@ -840,6 +1013,8 @@ def _decode_tile(siz, cod, qcd, tdata: bytes,
     incl_trees: dict[tuple, _TagTree] = {}
     zbp_trees: dict[tuple, _TagTree] = {}
     for c in range(nc):
+        levels = levels_list[c]
+        cw, ch = 1 << ccod[c]["xcb"], 1 << ccod[c]["ycb"]
         for r in range(levels + 1):
             for band, lvl in _res_bands(r, levels):
                 bw, bh = _band_dims(w, h, lvl, band)
@@ -855,18 +1030,11 @@ def _decode_tile(siz, cod, qcd, tdata: bytes,
                             "npasses": 0, "zbp": 0, "segments": [],
                         }
 
-    # band index -> QCD exponent position (B.12.3: LL, then per
-    # resolution HL, LH, HH)
-    def band_exp(r: int, band: str) -> int:
-        if r == 0:
-            idx = 0
-        else:
-            idx = 1 + 3 * (r - 1) + ("HL", "LH", "HH").index(band)
-        return exps[idx] if idx < len(exps) else exps[-1] if exps else 8
-
     pos = 0
     for layer, r, c in _packet_order(cod["progression"], layers,
-                                     levels, nc):
+                                     levels_list):
+        levels = levels_list[c]
+        cw, ch = 1 << ccod[c]["xcb"], 1 << ccod[c]["ycb"]
         if cod["sop"]:
             if tdata[pos:pos + 2] == b"\xff\x91":
                 pos += 6  # SOP marker segment (fixed length 4 + 2)
@@ -922,37 +1090,67 @@ def _decode_tile(siz, cod, qcd, tdata: bytes,
     for (c, r, band, cx, cy), cb in cblks.items():
         if not cb["included"] or cb["npasses"] == 0:
             continue
+        levels = levels_list[c]
+        cw, ch = 1 << ccod[c]["xcb"], 1 << ccod[c]["ycb"]
         _, lvl = next((bn, lv) for bn, lv in _res_bands(r, levels)
                       if bn == band)
         bw, bh = _band_dims(w, h, lvl, band)
         x0, y0 = cx * cw, cy * ch
         ww = min(cw, bw - x0)
         hh = min(ch, bh - y0)
-        mb = guard + band_exp(r, band) - 1
+        eps, _mu = _qparams(cq[c], r, band)
+        mb = cq[c]["guard"] + eps - 1
         numbps = mb - cb["zbp"]
         if numbps < 0:
             raise JpxError("zero-bitplane count exceeds Mb")
         if numbps == 0:
             continue
         coefs = _t1_decode(b"".join(cb["segments"]), hh, ww, band,
-                           numbps, cb["npasses"], segsym)
+                           numbps, cb["npasses"], ccod[c]["segsym"])
         bands[(c, r, band)][y0:y0 + hh, x0:x0 + ww] = coefs
 
-    # inverse DWT per component
+    # inverse DWT per component: integer 5/3 for transform 1,
+    # dequantize (E.1.1.2, midpoint r=0.5) + float 9/7 for transform 0
     comps_out = []
     for c in range(nc):
-        cur = bands[(c, 0, "LL")]
-        for r in range(1, levels + 1):
-            cur = _idwt53_2d(cur, bands[(c, r, "HL")],
-                             bands[(c, r, "LH")], bands[(c, r, "HH")])
+        levels = levels_list[c]
+        depth = siz["comps"][c]["depth"]
+        if ccod[c]["transform"] == 1:
+            cur = bands[(c, 0, "LL")]
+            for r in range(1, levels + 1):
+                cur = _idwt53_2d(cur, bands[(c, r, "HL")],
+                                 bands[(c, r, "LH")],
+                                 bands[(c, r, "HH")])
+        else:
+            def deq(r: int, band: str) -> np.ndarray:
+                eps, mu = _qparams(cq[c], r, band)
+                delta = (2.0 ** (depth + _BAND_GAIN[band] - eps)
+                         * (1.0 + mu / 2048.0))
+                q = bands[(c, r, band)]
+                return np.where(
+                    q == 0, 0.0,
+                    np.sign(q) * (np.abs(q) + 0.5) * delta)
+            cur = deq(0, "LL")
+            for r in range(1, levels + 1):
+                cur = _idwt97_2d(cur, deq(r, "HL"), deq(r, "LH"),
+                                 deq(r, "HH"))
         comps_out.append(cur[:h, :w])
 
-    if cod.get("mct") and nc >= 3:  # inverse RCT (reversible)
-        y0, cb_, cr_ = comps_out[0], comps_out[1], comps_out[2]
-        g = y0 - ((cb_ + cr_) >> 2)
-        comps_out[0] = cr_ + g
-        comps_out[1] = g
-        comps_out[2] = cb_ + g
+    if cod.get("mct") and nc >= 3:
+        tset = {ccod[c]["transform"] for c in range(3)}
+        if len(tset) != 1:
+            raise NotImplementedError(
+                "JPX MCT over components with mixed COC wavelet "
+                "transforms not supported")
+        if tset == {1}:  # inverse RCT (reversible)
+            y0, cb_, cr_ = comps_out[0], comps_out[1], comps_out[2]
+            g = y0 - ((cb_ + cr_) >> 2)
+            comps_out[0] = cr_ + g
+            comps_out[1] = g
+            comps_out[2] = cb_ + g
+        else:  # inverse ICT (irreversible)
+            comps_out[0], comps_out[1], comps_out[2] = _ict_inverse(
+                comps_out[0], comps_out[1], comps_out[2])
 
     planes = []
     depth = siz["comps"][0]["depth"]
@@ -960,6 +1158,8 @@ def _decode_tile(siz, cod, qcd, tdata: bytes,
     for c in range(nc):
         info = siz["comps"][c]
         vals = comps_out[c]
+        if vals.dtype != np.int64:
+            vals = np.rint(vals).astype(np.int64)
         if not info["signed"]:
             vals = vals + (1 << (info["depth"] - 1))
         planes.append(np.clip(vals, 0, (1 << info["depth"]) - 1))
@@ -969,55 +1169,124 @@ def _decode_tile(siz, cod, qcd, tdata: bytes,
 
 # ------------------------------------------------------ encoder mirror
 
+def _enc_qpairs(qstyle: int, depth: int, levels: int) -> list:
+    """Fixture-mirror quantization signalling: style 0 = reversible
+    ranging exponents (R_b), style 1 = derived from (depth, 0), style
+    2 = expounded with eps_b = R_b, mu = 0 (step size 1.0)."""
+    if qstyle == 1:
+        return [(depth, 0)]
+    pairs = []
+    for r in range(levels + 1):
+        for band, _ in _res_bands(r, levels):
+            pairs.append((depth + _BAND_GAIN[band], 0))
+    return pairs
+
+
+def _qcx_body(qstyle: int, guard: int, pairs: list) -> bytes:
+    body = bytes([(guard << 5) | qstyle])
+    if qstyle == 0:
+        return body + bytes((e << 3) for e, _ in pairs)
+    return body + b"".join(struct.pack(">H", (e << 11) | m)
+                           for e, m in pairs)
+
+
 def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
                progression: int = 0, cblk_exp: tuple[int, int] = (6, 6),
                sop: bool = False, eph: bool = False,
-               segsym: bool = False, jp2: bool = False) -> bytes:
-    """Image -> reversible Part-1 codestream (fixture mirror): one
-    tile, one quality layer, 5/3 transform, all coding passes
-    included. ``jp2=True`` wraps the codestream in the JP2 box
-    signature/ftyp/jp2h/jp2c layout."""
+               segsym: bool = False, jp2: bool = False,
+               transform: int = 1, qstyle: int | None = None,
+               layers: int = 1, coc: dict | None = None,
+               qcc: dict | None = None) -> bytes:
+    """Image -> Part-1 codestream (fixture mirror): one tile, 5/3
+    reversible (``transform=1``, lossless) or 9/7 irreversible
+    (``transform=0`` with quantization style 1 derived / 2 expounded,
+    near-lossless step sizes). ``layers`` > 1 spreads code-blocks
+    across quality layers ((cx+cy) mod layers picks each block's
+    layer; every block's passes travel whole in its layer), which
+    exercises the decoder's incremental inclusion tag trees on the
+    spec packet order. ``coc``/``qcc`` emit per-component COC/QCC
+    overrides: ``coc={c: {"levels": int, "cblk_exp": (a, b)}}``,
+    ``qcc={c: qstyle}``. ``jp2=True`` wraps the codestream in the JP2
+    box signature/ftyp/jp2h/jp2c layout."""
     px = np.asarray(px)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, nc = px.shape
     depth = 8 if px.dtype == np.uint8 else 16
-    comps = [px[:, :, c].astype(np.int64) - (1 << (depth - 1))
-             for c in range(nc)]
-    if mct:
-        if nc < 3:
-            raise JpxError("RCT needs 3 components")
-        r_, g_, b_ = comps[0], comps[1], comps[2]
-        yy = (r_ + 2 * g_ + b_) >> 2
-        comps[0], comps[1], comps[2] = yy, b_ - g_, r_ - g_
+    if transform not in (0, 1):
+        raise JpxError("transform must be 0 (9/7) or 1 (5/3)")
+    if qstyle is None:
+        qstyle = 0 if transform == 1 else 2
+    if (qstyle == 0) != (transform == 1):
+        raise JpxError("qstyle 0 pairs with 5/3, styles 1/2 with 9/7")
+    coc = coc or {}
+    qcc = qcc or {}
 
     cw_exp, ch_exp = cblk_exp
-    cw, ch = 1 << cw_exp, 1 << ch_exp
     guard = 2
+    levels_list = [coc.get(c, {}).get("levels", levels)
+                   for c in range(nc)]
+    cblk_list = [coc.get(c, {}).get("cblk_exp", (cw_exp, ch_exp))
+                 for c in range(nc)]
+    qstyle_list = [qcc.get(c, qstyle) for c in range(nc)]
+    qpairs_list = [_enc_qpairs(qstyle_list[c], depth, levels_list[c])
+                   for c in range(nc)]
 
-    # forward DWT
+    if transform == 1:
+        comps = [px[:, :, c].astype(np.int64) - (1 << (depth - 1))
+                 for c in range(nc)]
+        if mct:
+            if nc < 3:
+                raise JpxError("RCT needs 3 components")
+            r_, g_, b_ = comps[0], comps[1], comps[2]
+            yy = (r_ + 2 * g_ + b_) >> 2
+            comps[0], comps[1], comps[2] = yy, b_ - g_, r_ - g_
+    else:
+        comps = [px[:, :, c].astype(np.float64) - (1 << (depth - 1))
+                 for c in range(nc)]
+        if mct:
+            if nc < 3:
+                raise JpxError("ICT needs 3 components")
+            comps[0], comps[1], comps[2] = _ict_forward(
+                comps[0], comps[1], comps[2])
+
+    # forward DWT (+ quantization on the irreversible path)
     bands: dict[tuple[int, int, str], np.ndarray] = {}
     for c in range(nc):
+        lv = levels_list[c]
         cur = comps[c]
-        for r in range(levels, 0, -1):
-            ll, hl, lh, hh = _fdwt53_2d(cur)
-            bands[(c, r, "HL")] = hl
-            bands[(c, r, "LH")] = lh
-            bands[(c, r, "HH")] = hh
+        raw: dict[tuple[int, str], np.ndarray] = {}
+        for r in range(lv, 0, -1):
+            if transform == 1:
+                ll, hl, lh, hh = _fdwt53_2d(cur)
+            else:
+                ll, hl, lh, hh = _fdwt97_2d(cur)
+            raw[(r, "HL")], raw[(r, "LH")], raw[(r, "HH")] = hl, lh, hh
             cur = ll
-        bands[(c, 0, "LL")] = cur
-
-    def band_exp(r: int, band: str) -> int:
-        # nominal range: depth + analysis gain (T.800 E.1.1)
-        gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[band]
-        return depth + gain
+        raw[(0, "LL")] = cur
+        q = {"style": qstyle_list[c], "guard": guard,
+             "pairs": qpairs_list[c]}
+        for (r, band), arr in raw.items():
+            if transform == 1:
+                bands[(c, r, band)] = arr
+            else:
+                eps, mu = _qparams(q, r, band)
+                delta = (2.0 ** (depth + _BAND_GAIN[band] - eps)
+                         * (1.0 + mu / 2048.0))
+                bands[(c, r, band)] = (
+                    np.sign(arr)
+                    * np.floor(np.abs(arr) / delta)).astype(np.int64)
 
     # Tier-1 encode every codeblock
     enc_blocks: dict[tuple, tuple[bytes, int, int]] = {}
     for (c, r, band), arr in bands.items():
+        cw, ch = 1 << cblk_list[c][0], 1 << cblk_list[c][1]
         bh, bw = arr.shape
         gx, gy = _cblk_grid(bw, bh, cw, ch)
-        mb = guard + band_exp(r, band) - 1
+        q = {"style": qstyle_list[c], "guard": guard,
+             "pairs": qpairs_list[c]}
+        eps, _mu = _qparams(q, r, band)
+        mb = guard + eps - 1
         for cy in range(gy):
             for cx in range(gx):
                 blk = arr[cy * ch:(cy + 1) * ch, cx * cw:(cx + 1) * cw]
@@ -1027,47 +1296,78 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
                 enc_blocks[(c, r, band, cx, cy)] = (data, numbps,
                                                     npasses)
 
-    # packets: single layer
+    # persistent per-band tag trees + node values (multi-layer safe)
+    incl_trees: dict[tuple, _TagTree] = {}
+    zbp_trees: dict[tuple, _TagTree] = {}
+    incl_vals: dict[tuple, dict] = {}
+    zbp_vals: dict[tuple, dict] = {}
+    zbp_grids: dict[tuple, np.ndarray] = {}
+    for (c, r, band), arr in bands.items():
+        cw, ch = 1 << cblk_list[c][0], 1 << cblk_list[c][1]
+        bh, bw = arr.shape
+        gx, gy = _cblk_grid(bw, bh, cw, ch)
+        if not (gx and gy):
+            continue
+        q = {"style": qstyle_list[c], "guard": guard,
+             "pairs": qpairs_list[c]}
+        eps, _mu = _qparams(q, r, band)
+        mb = guard + eps - 1
+        numbps_grid = np.zeros((gy, gx), np.int64)
+        layer_grid = np.zeros((gy, gx), np.int64)
+        for cy in range(gy):
+            for cx in range(gx):
+                numbps_grid[cy, cx] = enc_blocks[(c, r, band, cx, cy)][1]
+                layer_grid[cy, cx] = (cx + cy) % layers
+        zbp_grids[(c, r, band)] = mb - numbps_grid
+        incl_trees[(c, r, band)] = _TagTree(gx, gy)
+        zbp_trees[(c, r, band)] = _TagTree(gx, gy)
+        incl_vals[(c, r, band)] = _TagTree.node_values(layer_grid)
+        zbp_vals[(c, r, band)] = _TagTree.node_values(
+            zbp_grids[(c, r, band)])
+
+    # packets
     body = bytearray()
-    for layer, r, c in _packet_order(progression, 1, levels, nc):
+    done: set[tuple] = set()
+    nsop = 0
+    for layer, r, c in _packet_order(progression, layers, levels_list):
+        lv = levels_list[c]
         if sop:
-            body += struct.pack(">HHH", 0xFF91, 4, 0)
+            body += struct.pack(">HHH", 0xFF91, 4, nsop & 0xFFFF)
+            nsop += 1
         hw = _HdrWriter()
         hw.bit(1)  # non-empty
         payload = bytearray()
-        for band, lvl in _res_bands(r, levels):
+        for band, _lvl in _res_bands(r, lv):
             arr = bands[(c, r, band)]
+            cw, ch = 1 << cblk_list[c][0], 1 << cblk_list[c][1]
             bh, bw = arr.shape
             gx, gy = _cblk_grid(bw, bh, cw, ch)
             if not (gx and gy):
                 continue
-            mb = guard + band_exp(r, band) - 1
-            numbps_grid = np.zeros((gy, gx), np.int64)
+            incl = incl_trees[(c, r, band)]
+            zt = zbp_trees[(c, r, band)]
+            ivals = incl_vals[(c, r, band)]
+            zvals = zbp_vals[(c, r, band)]
+            zgrid = zbp_grids[(c, r, band)]
             for cy in range(gy):
                 for cx in range(gx):
-                    numbps_grid[cy, cx] = enc_blocks[
-                        (c, r, band, cx, cy)][1]
-            zbp_grid = mb - numbps_grid
-            incl = _TagTree(gx, gy)
-            zbp = _TagTree(gx, gy)
-            incl_vals = _TagTree.node_values(
-                np.zeros((gy, gx), np.int64))  # all in layer 0
-            zbp_vals = _TagTree.node_values(zbp_grid)
-            for cy in range(gy):
-                for cx in range(gx):
-                    data, numbps, npasses = enc_blocks[
-                        (c, r, band, cx, cy)]
-                    incl.encode(hw, cx, cy, 1, incl_vals)
-                    zt = zbp
+                    key = (c, r, band, cx, cy)
+                    if key in done:
+                        hw.bit(0)  # included before; nothing new here
+                        continue
+                    incl.encode(hw, cx, cy, layer + 1, ivals)
+                    if (cx + cy) % layers > layer:
+                        continue  # first inclusion is a later layer
+                    data, numbps, npasses = enc_blocks[key]
                     # zero-bitplane tree: encode until leaf resolves
                     t = 1
                     while True:
                         before = zt.done[0][cy, cx]
-                        zt.encode(hw, cx, cy, t, zbp_vals)
+                        zt.encode(hw, cx, cy, t, zvals)
                         if zt.done[0][cy, cx]:
                             break
                         if before == zt.done[0][cy, cx] \
-                                and t > int(zbp_grid[cy, cx]) + 2:
+                                and t > int(zgrid[cy, cx]) + 2:
                             raise JpxError(
                                 "zbp tag tree failed to resolve")
                         t += 1
@@ -1082,6 +1382,7 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
                     hw.bit(0)
                     hw.bits(len(data), nbits)
                     payload += data
+                    done.add(key)
         body += hw.getvalue()
         if eph:
             body += b"\xff\x92"
@@ -1093,20 +1394,29 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
         + b"".join(bytes([depth - 1, 1, 1]) for _ in range(nc))
     scod = (2 if sop else 0) | (4 if eph else 0)
     cod = struct.pack(">HH", 0xFF52, 12) + bytes([
-        scod, progression]) + struct.pack(">H", 1) + bytes([
+        scod, progression]) + struct.pack(">H", layers) + bytes([
             1 if mct else 0, levels, cw_exp - 2, ch_exp - 2,
-            0x20 if segsym else 0, 1])
-    n_exp = 1 + 3 * levels
-    qcd = struct.pack(">HH", 0xFF5C, 3 + n_exp) \
-        + bytes([guard << 5])
-    exps = []
-    for r in range(levels + 1):
-        for band, _ in _res_bands(r, levels):
-            exps.append(band_exp(r, band) << 3)
-    qcd += bytes(exps)
+            0x20 if segsym else 0, transform])
+    markers = siz + cod
+    for c in sorted(coc):
+        spcoc = bytes([levels_list[c], cblk_list[c][0] - 2,
+                       cblk_list[c][1] - 2, 0x20 if segsym else 0,
+                       transform])
+        cbody = bytes([c, 0]) + spcoc  # Ccoc (nc < 257) + Scoc
+        markers += struct.pack(">HH", 0xFF53, 2 + len(cbody)) + cbody
+    markers += struct.pack(">HH", 0xFF5C, 2 + len(
+        _qcx_body(qstyle, guard, _enc_qpairs(qstyle, depth, levels)))) \
+        + _qcx_body(qstyle, guard, _enc_qpairs(qstyle, depth, levels))
+    # a COC that changes a component's decomposition count needs its
+    # own subband exponent list — emit a QCC alongside explicit ones
+    for c in sorted(set(qcc) | {c for c in range(nc)
+                                if levels_list[c] != levels}):
+        qbody = bytes([c]) + _qcx_body(qstyle_list[c], guard,
+                                       qpairs_list[c])
+        markers += struct.pack(">HH", 0xFF5D, 2 + len(qbody)) + qbody
     sot = struct.pack(">HHHIBB", 0xFF90, 10, 0, 12 + len(body) + 2,
                       0, 1)
-    cs = (b"\xff\x4f" + siz + cod + qcd + sot + b"\xff\x93"
+    cs = (b"\xff\x4f" + markers + sot + b"\xff\x93"
           + bytes(body) + b"\xff\xd9")
     if not jp2:
         return cs

@@ -131,8 +131,12 @@ def decode_webp_native(data: bytes) -> tuple[int, int, np.ndarray]:
     if lib is None:
         raise NativeUnavailable(f"libwebp not loadable: {_webp_err}")
     # Animations must keep raising by name through the pure path (the
-    # still-image API would decode only the canvas/first frame).
-    if b"ANIM" in data[:64] or b"ANMF" in data[:64]:
+    # still-image API would decode only the canvas/first frame). The
+    # VP8X feature flags byte (RIFF+12 "VP8X", flags at offset 20,
+    # animation bit 0x02) is authoritative — a leading ICCP/EXIF chunk
+    # can push the ANIM/ANMF chunks arbitrarily far into the file, so
+    # a fixed-prefix substring scan misses them.
+    if len(data) >= 21 and data[12:16] == b"VP8X" and data[20] & 0x02:
         raise NativeUnsupported("animated WebP: pure path demuxes")
     w, h = ctypes.c_int(), ctypes.c_int()
     if not lib.WebPGetInfo(data, len(data), ctypes.byref(w), ctypes.byref(h)):

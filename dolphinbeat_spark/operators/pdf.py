@@ -1091,7 +1091,8 @@ def _type0_cmap_from_font(doc: PdfDocument, f: dict,
     ff3 = fd.get("FontFile3") if isinstance(fd, dict) else None
     if ff2 is None and ff3 is not None:
         from dolphinbeat_spark.operators.cff import (
-            CffError, glyph_name_to_unicode, parse_cff,
+            CffError, cid_latin_slice, glyph_name_to_unicode,
+            parse_cff,
         )
 
         try:
@@ -1100,11 +1101,23 @@ def _type0_cmap_from_font(doc: PdfDocument, f: dict,
             raise PdfError(
                 f"Type0 font {fname!r} embedded CFF: {ex}") from ex
         if cff.is_cid:
-            raise NotImplementedError(
-                f"Type0 font {fname!r} without /ToUnicode embeds a "
-                "CID-keyed CFF: its glyphs carry no names, so "
-                "unicode needs the registry's CID->Unicode resources"
-            )
+            # r15: a CID-keyed CFF names no glyphs, but its ROS names
+            # the character collection — the published orderings
+            # (Adobe-Japan1/GB1/CNS1/Korea1/KR) assign their low CIDs
+            # algorithmically to ASCII, so that slice recovers (via
+            # Identity-H, code == CID). The CJK blocks need the
+            # registry's full UCS2 CMap resources: a show code past
+            # the slice stays unmapped, and Adobe-Identity ROS (CIDs
+            # are font-private) keeps the named raise.
+            lat = cid_latin_slice(cff.ros_strings())
+            if lat is None:
+                raise NotImplementedError(
+                    f"Type0 font {fname!r} without /ToUnicode embeds "
+                    "a CID-keyed CFF with an Adobe-Identity/unknown "
+                    "ROS: CIDs are font-private, so unicode is not "
+                    "recoverable"
+                )
+            return lat
         out: dict[int, str] = {}
         for gid in range(1, cff.n_glyphs):  # CID == GID (§9.7.4.2)
             u = glyph_name_to_unicode(cff.glyph_name(gid))
@@ -1562,6 +1575,8 @@ def _decode_image_data(doc: "PdfDocument", name: str, raw: bytes,
             ((1 - ink).astype(_np.uint8) * 255).tobytes(),
         )
     if last == "JPXDecode":
+        import numpy as _np
+
         from dolphinbeat_spark.operators.jpx import JpxError, decode_jpx
 
         pre = raw if len(filters) <= 1 else _apply_filters(
@@ -1577,7 +1592,12 @@ def _decode_image_data(doc: "PdfDocument", name: str, raw: bytes,
                 f"says {width}x{height}"
             )
         # §7.4.9: the JPX codestream's own geometry wins; component
-        # count comes from the decoded image
+        # count comes from the decoded image. PdfImage.pixels is
+        # row-major uint8 samples by contract — 9-16-bit JPX
+        # components come back as uint16, so mirror the raw-path
+        # convention (r12): keep the high byte.
+        if arr.dtype == _np.uint16:
+            arr = (arr >> 8).astype(_np.uint8)
         return PdfImage(pidx, name, width, height,
                         int(arr.shape[2]), "JPXDecode",
                         arr.tobytes())
@@ -2068,7 +2088,18 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
     streams: dict[int, tuple[bytes, bytes]] = {}  # num -> (dict, data)
     n_globals = 0  # extra /JBIG2Globals streams past the image range
     codes: dict[str, int] = {}
-    if unicode_text:
+    if unicode_text == "cff-cid":
+        # CID-keyed CFF mode: codes ARE Adobe-Japan1 CIDs, and the
+        # algorithmic slice is the ASCII run (CID = ord - 0x20 + 1)
+        for lines in pages:
+            for line in lines:
+                for ch in line:
+                    if not 0x20 <= ord(ch) <= 0x7E:
+                        raise ValueError(
+                            "cff-cid fixture text must stay in the "
+                            "ordering's ASCII slice")
+                    codes.setdefault(ch, ord(ch) - 0x20 + 1)
+    elif unicode_text:
         for lines in pages:
             for line in lines:
                 for ch in line:
@@ -2316,30 +2347,38 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
                 )
             else:
                 raise ValueError(f"unknown image kind {kind!r}")
-    if unicode_text == "cff":
+    if unicode_text in ("cff", "cff-cid"):
         # r14: a Type0 font WITHOUT /ToUnicode embedding a NON-CID
         # CFF (/FontFile3 /CIDFontType0C) — text is recoverable only
         # through the CFF charset's glyph names (CID == GID for a
         # non-CID CFF, PDF 32000-1 §9.7.4.2). Codes are assigned
         # densely from 1 in appearance order, so GID(=1+rank) == CID.
+        # r15 "cff-cid": a CID-KEYED CFF with ROS Adobe-Japan1-7 —
+        # no glyph names at all; recovery rides the ordering's
+        # published ASCII slice (codes are the real Japan1 CIDs).
         from dolphinbeat_spark.operators.cff import encode_minimal_cff
 
+        is_cid_fixture = unicode_text == "cff-cid"
         desc_num = info_num + 1
         fd_num = info_num + 2
         ff_num = img_base + len(img_refs) + n_globals
         n_globals += 1
         streams[ff_num] = (b"/Subtype /CIDFontType0C", encode_minimal_cff(
-            {code: ch for ch, code in codes.items()}))
+            {code: ch for ch, code in codes.items()},
+            cid_keyed=is_cid_fixture,
+            ros=("Adobe", "Japan1", 7) if is_cid_fixture else None))
         objs[font_num] = (
             b"<< /Type /Font /Subtype /Type0 /BaseFont /DolphinbeatCFF "
             b"/Encoding /Identity-H /DescendantFonts [%d 0 R] >>"
             % desc_num
         )
+        ordering = b"Japan1" if is_cid_fixture else b"Identity"
+        supplement = b"7" if is_cid_fixture else b"0"
         objs[desc_num] = (
             b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont"
             b" /DolphinbeatCFF /CIDSystemInfo << /Registry (Adobe)"
-            b" /Ordering (Identity) /Supplement 0 >>"
-            b" /FontDescriptor %d 0 R >>" % fd_num
+            b" /Ordering (" + ordering + b") /Supplement " + supplement
+            + b" >> /FontDescriptor %d 0 R >>" % fd_num
         )
         objs[fd_num] = (
             b"<< /Type /FontDescriptor /FontName /DolphinbeatCFF"
@@ -2536,15 +2575,19 @@ def encode_pdf(pages: list[list[str]], title: str | None = None,
                 + b") /Supplement 0 >> /CIDToGIDMap " + c2g
                 + b" /FontDescriptor %d 0 R >>" % fd_num
             )
-        elif unicode_text == "cff":
+        elif unicode_text in ("cff", "cff-cid"):
             objs[desc_num] = (
                 b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont"
                 b" /DolphinbeatCFF /CIDSystemInfo << /Registry ("
                 + _esc_raw(crypt(desc_num, b"Adobe"))
                 + b") /Ordering ("
-                + _esc_raw(crypt(desc_num, b"Identity"))
-                + b") /Supplement 0 >>"
-                b" /FontDescriptor %d 0 R >>" % fd_num
+                + _esc_raw(crypt(
+                    desc_num,
+                    b"Japan1" if unicode_text == "cff-cid"
+                    else b"Identity"))
+                + b") /Supplement "
+                + (b"7" if unicode_text == "cff-cid" else b"0")
+                + b" >> /FontDescriptor %d 0 R >>" % fd_num
             )
         if title is not None:
             del objs[info_num]

@@ -3136,6 +3136,56 @@ def mm_pdf_type0_cff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_extract(media).orderBy("media_id", "page_idx")
 
 
+@register(
+    "mm_pdf_cid_cff",
+    # payload = a Type0/Identity-H PDF per doc WITHOUT /ToUnicode
+    # whose descendant embeds a CID-KEYED CFF (/FontFile3, ROS
+    # Adobe-Japan1-7) — the last embedded-font recovery gap from r14
+    # (r15): the glyphs carry NO names, so the charset/AGL route is
+    # closed; recovery rides the ordering's PUBLISHED algorithmic
+    # ASCII slice (Adobe-Japan1 CIDs 1..95 = U+0020..U+007E, Tech
+    # Note 5078) — via Identity-H the show codes ARE those CIDs. The
+    # fixture text stays inside the slice; CJK CIDs would need the
+    # registry's full UCS2 CMaps and remain a named boundary
+    # (Adobe-Identity ROS still raises by name). Docs cycle
+    # classic/stream xref; the oracle rebuilds the page text in
+    # closed form.
+    oracle=r"""
+SELECT doc_id AS media_id, 0::BIGINT AS page_idx,
+       1::BIGINT AS n_pages, CAST(NULL AS VARCHAR) AS title,
+       'CID slice ' || CAST(doc_id AS VARCHAR) || chr(10)
+         || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS page_text
+FROM documents WHERE doc_id % 29 = 20
+ORDER BY media_id
+""",
+    tags=("multimodal", "pdf", "unicode", "text", "cff", "cid",
+          "ingest"),
+)
+def mm_pdf_cid_cff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CID-keyed-CFF PDF text under the oracle gate (r15): ROS-driven
+    recovery through the published Adobe-Japan1 ASCII slice
+    (operators/cff.py cid_latin_slice) — the CFF half of the Type0
+    surface that r14 left as a named boundary. PDFs built in
+    executors over a bounded doc subset; extraction runs
+    distributed."""
+    import hashlib
+
+    from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_extract
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 20)
+
+    def build(did):
+        tok = hashlib.md5(str(did).encode()).hexdigest()[:16]
+        return encode_pdf(
+            [[f"CID slice {did}", tok]],
+            unicode_text="cff-cid",
+            xref_stream=did % 2 == 0,
+        )
+
+    media = fixture_media(d, build)
+    return pdf_extract(media).orderBy("media_id", "page_idx")
+
+
 #: (cmap name, CJK prefix) cycled by doc parity — one script family
 #: per Adobe registry, all four predefined-CMap code spaces
 _CMAP_CYCLE = (
@@ -3729,6 +3779,95 @@ def mm_pdf_jpx_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "page_idx", "img_name", "width", "height",
                 "n_components", "img_filter", "pixel_sum", "pixel_md5")
         .orderBy("media_id", "page_idx", "img_name")
+    )
+
+
+@register(
+    "mm_pdf_jpx_lossy",
+    # payload = a PDF per doc embedding a LOSSY (9/7 irreversible)
+    # JPEG 2000 image of the md5-letter pattern — the dominant wild
+    # JPX form for photographic PDFs (r15): scalar quantization style
+    # cycles derived(1)/expounded(2) by doc parity, progression and
+    # quality-layer count cycle too. Lossy float DWT has no closed
+    # integer form, so the contract is the encoder-mirror roundtrip
+    # with the DOCUMENTED tolerance (the r14 JPX posture — no
+    # OpenJPEG in env): the Spark side decodes through the full PDF
+    # /JPXDecode path, recomputes the source pattern from media_id
+    # and reports whether max |err| lands inside the per-style bound
+    # (16 derived / 6 expounded at these fixture step sizes); the
+    # oracle states the metadata and the bound literally.
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(12 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       1::BIGINT AS n_components, 'JPXDecode' AS img_filter,
+       TRUE AS within_tolerance
+FROM documents WHERE doc_id % 31 = 17
+ORDER BY media_id
+""",
+    tags=("multimodal", "pdf", "decode", "codec", "jpx", "lossy",
+          "ingest"),
+)
+def mm_pdf_jpx_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irreversible JPEG 2000 in PDFs under the oracle gate (r15):
+    operators/jpx.py's 9/7 float-lifting path — scalar dequantization
+    styles 1/2 (T.800 E.1), midpoint reconstruction, spec packet
+    order with multi-layer inclusion — through the shared /JPXDecode
+    surface, tolerance-pinned against the recomputed source."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from dolphinbeat_spark.operators.jpx import encode_jpx
+    from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_images
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 31 == 17)
+
+    def build(i):
+        pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3) \
+            .encode("ascii")
+        img = np.frombuffer(pattern, np.uint8).reshape(8, 12)
+        cs = encode_jpx(
+            img, levels=2, transform=0,
+            qstyle=1 if i % 2 else 2, progression=i % 5,
+            layers=1 + i % 2, jp2=bool(i % 3 == 0))
+        return encode_pdf([[f"jpx lossy {i}"]],
+                          images=[[("jpx", 12, 8, 1, cs)]])
+
+    def err_batches(it):
+        for pdf in it:
+            errs = []
+            for m, p in zip(pdf["media_id"], pdf["pixels"]):
+                pattern = (hashlib.md5(str(int(m)).encode())
+                           .hexdigest() * 3).encode("ascii")
+                src = np.frombuffer(pattern, np.uint8).astype(np.int64)
+                got = np.frombuffer(bytes(p), np.uint8).astype(np.int64)
+                errs.append(int(np.abs(got - src).max())
+                            if got.size == src.size else 255)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": pdf["width"], "height": pdf["height"],
+                "n_components": pdf["n_components"],
+                "img_filter": pdf["img_filter"],
+                "max_err": pd.array(errs, dtype="int32"),
+            })
+
+    media = fixture_media(d, build)
+    imgs = pdf_images(media).select(
+        "media_id", "width", "height", "n_components", "img_filter",
+        "pixels")
+    scored = imgs.mapInPandas(
+        err_batches,
+        "media_id long, width long, height long, n_components long, "
+        "img_filter string, max_err int")
+    tol = F.when(F.col("media_id") % 2 == 1, F.lit(16)).otherwise(
+        F.lit(6))
+    return (
+        scored
+        .select("media_id", "width", "height", "n_components",
+                "img_filter",
+                (F.col("max_err") <= tol).alias("within_tolerance"))
+        .orderBy("media_id")
     )
 
 

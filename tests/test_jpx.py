@@ -72,17 +72,19 @@ def test_jpx_named_boundaries():
     rng = np.random.RandomState(4)
     img = rng.randint(0, 256, (8, 8), dtype=np.uint8)
     cs = bytearray(J.encode_jpx(img, levels=1))
-    # irreversible 9/7: COD transformation byte flips to 0
+    # transform/quantization style mismatches are typed errors now
+    # that both paths exist (9/7 landed in r15): flipping the COD
+    # transformation byte to 0 against a style-0 QCD must raise
     cod_at = bytes(cs).find(b"\xff\x52")
     bad = bytearray(cs)
     bad[cod_at + 4 + 9] = 0  # SPcod transformation
-    with pytest.raises(NotImplementedError, match="9/7"):
+    with pytest.raises(J.JpxError, match="no-quantization"):
         J.decode_jpx(bytes(bad))
-    # quantized QCD style
+    # and a quantized QCD style against the reversible 5/3 transform
     qcd_at = bytes(cs).find(b"\xff\x5c")
     bad = bytearray(cs)
     bad[qcd_at + 4] |= 2
-    with pytest.raises(NotImplementedError, match="quantized"):
+    with pytest.raises(J.JpxError, match="reversible 5/3"):
         J.decode_jpx(bytes(bad))
     # bypass code-block style
     bad = bytearray(cs)
@@ -93,20 +95,175 @@ def test_jpx_named_boundaries():
         J.decode_jpx(b"\x00" * 16)
 
 
+def test_jpx_typed_error_wrapper():
+    """Malformed streams whose marker length fields still match must
+    come back as JpxError, never a foreign struct/Index/Key error
+    (the r15 ADVICE case: Lsiz shortened below the fixed SIZ body)."""
+    rng = np.random.RandomState(40)
+    img = rng.randint(0, 256, (8, 8), dtype=np.uint8)
+    good = J.encode_jpx(img, levels=1)
+    siz_at = good.find(b"\xff\x51")
+    # shrink Lsiz so _parse_siz struct-underruns on a matching body
+    bad = bytearray(good)
+    bad[siz_at + 2:siz_at + 4] = (20).to_bytes(2, "big")
+    with pytest.raises(J.JpxError, match="malformed"):
+        J.decode_jpx(bytes(bad))
+    # truncate mid-tile: typed, whatever the failing layer
+    with pytest.raises((J.JpxError, NotImplementedError)):
+        J.decode_jpx(good[: len(good) // 2])
+
+
+def test_dwt97_perfect_reconstruction():
+    rng = np.random.RandomState(41)
+    for h, w in [(1, 1), (1, 7), (7, 1), (8, 8), (9, 13), (16, 5),
+                 (31, 33), (2, 2), (3, 2)]:
+        x = rng.randn(h, w) * 1000
+        back = J._idwt97_2d(*J._fdwt97_2d(x))
+        assert np.allclose(back, x, atol=1e-8), (h, w)
+    # DC gain 1 on the low branch, Nyquist gain 2 on the high branch
+    # (Table E.1's nominal ranges: LL 0, HL/LH 1, HH 2)
+    const = np.full((64,), 100.0)
+    low, high = J._fdwt97_1d(const)
+    assert np.allclose(low, 100.0) and np.allclose(high, 0.0)
+    nyq = np.where(np.arange(64) % 2 == 0, 1.0, -1.0)
+    low, high = J._fdwt97_1d(nyq)
+    assert abs(abs(high[2]) - 2.0) < 1e-6 and abs(low[2]) < 1e-6
+
+
+def test_jpx_lossy_matrix():
+    """9/7 + scalar quantization: derived and expounded styles across
+    progressions, MCT (ICT), layers, 16-bit, odd geometry — bounded
+    error for the near-lossless fixture step sizes."""
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, (37, 45, 3), dtype=np.uint8)
+    for prog in range(5):
+        for qs in (1, 2):
+            cs = J.encode_jpx(img, levels=2, mct=True, transform=0,
+                              qstyle=qs, progression=prog)
+            w, h, px = J.decode_jpx(cs)
+            err = np.abs(px.astype(int) - img.astype(int)).max()
+            assert err <= (16 if qs == 1 else 6), (prog, qs, err)
+    # multi-layer lossy on the spec packet order
+    for prog in (0, 2, 3, 4):
+        cs = J.encode_jpx(img, levels=2, transform=0, mct=True,
+                          progression=prog, layers=2, cblk_exp=(4, 4))
+        px = J.decode_jpx(cs)[2]
+        assert np.abs(px.astype(int) - img.astype(int)).max() <= 6
+    # 16-bit grayscale
+    g16 = rng.randint(0, 65536, (9, 9), dtype=np.uint16)
+    px = J.decode_jpx(J.encode_jpx(g16, levels=2, transform=0))[2]
+    assert px.dtype == np.uint16
+    assert np.abs(px[:, :, 0].astype(int) - g16.astype(int)).max() <= 4
+    # odd geometries
+    for hh, ww in [(1, 1), (1, 7), (8, 8), (9, 13), (2, 2), (31, 33)]:
+        im = rng.randint(0, 256, (hh, ww), dtype=np.uint8)
+        px = J.decode_jpx(J.encode_jpx(im, levels=2, transform=0))[2]
+        assert np.abs(px[:, :, 0].astype(int)
+                      - im.astype(int)).max() <= 6, (hh, ww)
+    # smooth content should be near-transparent (PSNR sanity)
+    yy, xx = np.mgrid[0:64, 0:80]
+    smooth = np.dstack([
+        128 + 60 * np.sin(xx / 9) + 40 * np.cos(yy / 7),
+        128 + 50 * np.sin((xx + yy) / 11),
+        128 + 70 * np.cos(xx / 13),
+    ]).clip(0, 255).astype(np.uint8)
+    px = J.decode_jpx(J.encode_jpx(smooth, levels=3, mct=True,
+                                   transform=0, qstyle=2))[2]
+    mse = ((px.astype(float) - smooth.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255 ** 2 / max(mse, 1e-12)) > 40
+
+
+def test_jpx_coc_qcc_threading():
+    """COC/QCC are applied, not just parsed (the r15 ADVICE case):
+    per-component code-block geometry, decomposition levels (which
+    reshape that component's packet sequence), and quantization."""
+    rng = np.random.RandomState(43)
+    img = rng.randint(0, 256, (37, 45, 3), dtype=np.uint8)
+    cs = J.encode_jpx(img, levels=2,
+                      coc={1: {"levels": 3, "cblk_exp": (4, 5)}})
+    assert np.array_equal(J.decode_jpx(cs)[2], img)
+    for prog in range(5):
+        cs = J.encode_jpx(img, levels=2, progression=prog,
+                          coc={0: {"levels": 1}, 2: {"levels": 4}})
+        assert np.array_equal(J.decode_jpx(cs)[2], img), prog
+    # a COC override must CHANGE the decode (guards against a decoder
+    # that ignores COC): same packets parsed with the wrong code-block
+    # size either fail or mis-decode, so strip the COC and compare
+    cs = J.encode_jpx(img[:, :, 0], levels=2,
+                      coc={0: {"cblk_exp": (4, 4)}})
+    coc_at = cs.find(b"\xff\x53")
+    ln = int.from_bytes(cs[coc_at + 2:coc_at + 4], "big")
+    stripped = cs[:coc_at] + cs[coc_at + 2 + ln:]
+    try:
+        px = J.decode_jpx(stripped)[2]
+        assert not np.array_equal(px[:, :, 0], img[:, :, 0])
+    except (J.JpxError, NotImplementedError):
+        pass
+    # QCC: per-component quantization style on the lossy path
+    cs = J.encode_jpx(img, levels=2, transform=0, qstyle=2,
+                      qcc={1: 1})
+    px = J.decode_jpx(cs)[2]
+    err = np.abs(px.astype(int) - img.astype(int))
+    assert err[:, :, 0].max() <= 6 and err[:, :, 2].max() <= 6
+    assert err[:, :, 1].max() <= 16
+
+
+def test_jpx_packet_order_spec_pin():
+    """B.12 packet sequences, pinned directly (the encoder shares the
+    generator, so roundtrips alone cannot catch a wrong loop order):
+    RPCL keeps the layer loop innermost after r,c; PCRL/CPRL after
+    c,r (one precinct per (r, c) makes the position loop implicit)."""
+    two = [1, 1]  # two components, one decomposition level
+    got = list(J._packet_order(2, 2, two))  # RPCL
+    assert got == [(0, 0, 0), (1, 0, 0), (0, 0, 1), (1, 0, 1),
+                   (0, 1, 0), (1, 1, 0), (0, 1, 1), (1, 1, 1)]
+    for prog in (3, 4):  # PCRL / CPRL agree under a single precinct
+        got = list(J._packet_order(prog, 2, two))
+        assert got == [(0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0),
+                       (0, 0, 1), (1, 0, 1), (0, 1, 1), (1, 1, 1)]
+    # LRCP/RLCP keep their documented layer positions
+    assert list(J._packet_order(0, 2, [0]))[:2] == [(0, 0, 0),
+                                                    (1, 0, 0)]
+    assert list(J._packet_order(1, 2, [1])) == [
+        (0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0)]
+    # per-component levels: packets exist only for resolutions the
+    # component has (B.12.1.3)
+    got = list(J._packet_order(0, 1, [0, 1]))
+    assert got == [(0, 0, 0), (0, 0, 1), (0, 1, 1)]
+
+
+def test_jpx_multilayer_reversible_matrix():
+    rng = np.random.RandomState(44)
+    img = rng.randint(0, 256, (37, 45, 3), dtype=np.uint8)
+    for prog in range(5):
+        for lay in (2, 3):
+            cs = J.encode_jpx(img, levels=2, progression=prog,
+                              layers=lay, cblk_exp=(4, 4))
+            assert np.array_equal(J.decode_jpx(cs)[2], img), (prog,
+                                                              lay)
+
+
 def test_jpx_hostile_fuzz():
     rng = np.random.RandomState(5)
     img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
-    good = J.encode_jpx(img, levels=2, mct=True, jp2=True)
-    for _ in range(250):
-        b = bytearray(good)
-        b[int(rng.randint(0, len(b)))] ^= 1 << int(rng.randint(0, 8))
-        try:
-            w, h, px = J.decode_jpx(bytes(b), max_pixels=1 << 16)
-            assert px.size <= (1 << 16) * 4
-        except (J.JpxError, NotImplementedError):
-            pass
-        except Exception as ex:  # pragma: no cover
-            pytest.fail(f"untyped crash on corrupted JPX: {ex!r}")
+    seeds = [
+        J.encode_jpx(img, levels=2, mct=True, jp2=True),
+        J.encode_jpx(img, levels=2, mct=True, transform=0, qstyle=2),
+        J.encode_jpx(img, levels=1, transform=0, qstyle=1, layers=2),
+        J.encode_jpx(img, levels=2, coc={1: {"cblk_exp": (4, 4)}}),
+    ]
+    for good in seeds:
+        for _ in range(250):
+            b = bytearray(good)
+            b[int(rng.randint(0, len(b)))] ^= 1 << int(
+                rng.randint(0, 8))
+            try:
+                w, h, px = J.decode_jpx(bytes(b), max_pixels=1 << 16)
+                assert px.size <= (1 << 16) * 4
+            except (J.JpxError, NotImplementedError):
+                pass
+            except Exception as ex:  # pragma: no cover
+                pytest.fail(f"untyped crash on corrupted JPX: {ex!r}")
 
 
 def test_pdf_jpxdecode_integration():
@@ -129,6 +286,20 @@ def test_pdf_jpxdecode_integration():
     pdf = encode_pdf([["x"]], images=[[("jpx", 99, 16, 3, cs)]])
     with pytest.raises(PdfError, match="dictionary"):
         extract_pdf_images(pdf)
+    # lossy 9/7 JPX inside a PDF
+    cs = J.encode_jpx(img, levels=2, mct=True, transform=0, qstyle=2)
+    pdf = encode_pdf([["jpx"]], images=[[("jpx", 24, 16, 3, cs)]])
+    (im,) = extract_pdf_images(pdf)
+    got = np.frombuffer(bytes(im.pixels), np.uint8).reshape(16, 24, 3)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 6
+    # 16-bit JPX: PdfImage.pixels must stay uint8 (high byte), the
+    # module's r12 convention — not 2 native-endian bytes per sample
+    g16 = (rng.randint(0, 256, (8, 8)).astype(np.uint16) << 8) | 0x12
+    cs = J.encode_jpx(g16, levels=1)
+    pdf = encode_pdf([["g"]], images=[[("jpx", 8, 8, 1, cs)]])
+    (im,) = extract_pdf_images(pdf)
+    assert len(bytes(im.pixels)) == 64
+    assert bytes(im.pixels) == (g16 >> 8).astype(np.uint8).tobytes()
 
 
 def test_jpx_pdf_spark(spark):

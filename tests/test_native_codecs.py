@@ -171,6 +171,18 @@ def test_webp_native_animation_falls_back_by_name():
     anim = encode_webp_anim(
         [{"rgba": rgba, "x": 0, "y": 0, "duration": 10}], (8, 8))
     assert NC.maybe_decode("webp", anim) is None
+    # a big leading ICCP chunk pushes ANIM/ANMF far past any fixed
+    # prefix window — detection must key on the VP8X animation flag
+    # (offset 20 bit 0x02), not a substring scan (r15 ADVICE)
+    import struct
+
+    iccp = b"ICCP" + struct.pack("<I", 256) + b"\x00" * 256
+    riff_len = int.from_bytes(anim[4:8], "little") + len(iccp)
+    spread = (anim[:4] + struct.pack("<I", riff_len) + anim[8:30]
+              + iccp + anim[30:])
+    assert spread[12:16] == b"VP8X" and spread[20] & 0x02
+    assert b"ANIM" not in spread[:64]
+    assert NC.maybe_decode("webp", spread) is None
 
 
 # ------------------------------------------------------------------ TIFF

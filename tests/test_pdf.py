@@ -864,6 +864,46 @@ def test_pdf_type0_cff_cid_keyed_raises_by_name():
     assert parse_cff(cid).is_cid
 
 
+def test_pdf_cid_keyed_cff_latin_slice_recovery():
+    """r15: a CID-keyed CFF with a REGISTRY ROS (Adobe-Japan1)
+    recovers text through the ordering's published ASCII slice
+    (CIDs 1..95 = U+0020..U+007E); Adobe-Identity keeps the named
+    raise (test above). Both xref layouts + an encrypted variant."""
+    txt = ["CID slice 42", "hello ~ world!"]
+    for xref in (False, True):
+        pdf = encode_pdf([txt], unicode_text="cff-cid",
+                         xref_stream=xref)
+        assert extract_pdf_text(pdf).pages == ["\n".join(txt)]
+    pdf = encode_pdf([txt], title="T", unicode_text="cff-cid",
+                     encrypt="aes-128")
+    assert extract_pdf_text(pdf).pages == ["\n".join(txt)]
+    # fixture guard: text outside the slice is rejected at build time
+    with pytest.raises(ValueError, match="ASCII slice"):
+        encode_pdf([["日本語"]], unicode_text="cff-cid")
+
+
+def test_cff_cid_latin_slice_table():
+    """cid_latin_slice: the published orderings map, Identity and
+    foreign registries return None, CNS1 stops at the conservative
+    1..94 prefix."""
+    from dolphinbeat_spark.operators.cff import (
+        cid_latin_slice, encode_minimal_cff, parse_cff,
+    )
+
+    for orde in ("Japan1", "GB1", "Korea1", "KR"):
+        m = cid_latin_slice(("Adobe", orde, 6))
+        assert len(m) == 95 and m[1] == " " and m[95] == "~"
+    m = cid_latin_slice(("Adobe", "CNS1", 1))
+    assert len(m) == 94 and m[94] == "}"
+    assert cid_latin_slice(("Adobe", "Identity", 0)) is None
+    assert cid_latin_slice(("NotAdobe", "Japan1", 0)) is None
+    assert cid_latin_slice(None) is None
+    # ros_strings resolves the SIDs through the String INDEX
+    f = parse_cff(encode_minimal_cff({1: " "}, cid_keyed=True,
+                                     ros=("Adobe", "GB1", 5)))
+    assert f.ros_strings() == ("Adobe", "GB1", 5)
+
+
 def test_pdf_predefined_cmap_text_recovery():
     """Predefined CJK CMaps: show strings decode via the code
     space's own charset codec — all four registries + UCS2/UTF16."""
