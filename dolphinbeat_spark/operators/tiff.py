@@ -14,11 +14,16 @@ satellite/scan imagery is predominantly tiled), and planar
 configuration 2 (§14: per-plane strips/tiles, plane-major order).
 
 Bilevel CCITT TIFF (Compression 2/3/4 = MH/T.4/T.6) decodes via
-operators/ccitt.py (r11), and new-style JPEG-in-TIFF (Compression 7,
+operators/ccitt.py (r11), new-style JPEG-in-TIFF (Compression 7,
 TechNote 2 — scanned/archival TIFFs use it heavily) via
 operators/jpeg.py with the shared JPEGTables tag honored (r13), in
-strip and tile organization. Honest boundaries raise by name:
-old-style JPEG (Compression 6, withdrawn), floating-point samples.
+strip and tile organization, and OLD-style JPEG (Compression 6,
+TIFF 6.0 §22, withdrawn but alive in scanner/early-digicam output)
+in both wild layouts — the embedded interchange stream (513/514) and
+the raw-table tags (519/520/521) with bare entropy strips rebuilt
+into standalone JPEGs (r15). Honest boundaries raise by name:
+floating-point samples, §22 lossless proc 14, §22 subsampled-YCbCr
+tables form.
 
 Verification stance (tests/test_multimodal.py +
 tools/tiff_conformance.py): decoder pinned by a hand-assembled LZW
@@ -351,6 +356,132 @@ def _decode_tiff_jpeg(data: bytes, t: dict, w: int, h: int,
     return w, h, px
 
 
+def _decode_tiff_ojpeg(data: bytes, t: dict, w: int, h: int,
+                       one) -> tuple[int, int, np.ndarray]:
+    """Old-style JPEG-in-TIFF (Compression 6, TIFF 6.0 §22 —
+    withdrawn by TechNote 2 but alive in scanner/early-digicam
+    output). Two wild layouts:
+
+    1. JPEGInterchangeFormat (513) + ...Length (514): a COMPLETE
+       SOI..EOI interchange stream embedded in the file — the
+       dominant form; decode it directly.
+    2. the raw-tables form: JPEGQTables (519) points at 64-byte
+       quantization tables, JPEGDC/ACTables (520/521) at DHT payloads
+       (16 counts + values, no Tc/Th byte), one pointer per
+       component; strips carry BARE entropy-coded data. Rebuild a
+       standalone baseline JPEG per strip (SOI + DQT/DHT + SOF0 +
+       optional DRI from JPEGRestartInterval 515 + SOS + data + EOI)
+       and decode with the shared operators/jpeg.py path.
+
+    Named boundaries: JPEGProc != 1 (lossless proc 14), planar
+    configuration 2, subsampled YCbCr in the tables form (the
+    interchange form carries its own sampling factors and is fully
+    covered by the JPEG decoder)."""
+    from dolphinbeat_spark.operators.jpeg import JpegError, decode_jpeg
+
+    spp = one(277, 1)
+    if one(284, 1) != 1:
+        raise NotImplementedError(
+            "old-style JPEG TIFF planar configuration 2 not supported")
+
+    if 513 in t:  # layout 1: embedded interchange stream
+        off = one(513)
+        ln = one(514, len(data) - off)
+        if off + ln > len(data) or off < 0:
+            raise TiffError("JPEGInterchangeFormat overruns the payload")
+        blob = data[off:off + ln]
+        if blob[:2] != b"\xff\xd8":
+            raise TiffError("JPEGInterchangeFormat stream lacks SOI")
+        try:
+            jw, jh, arr = decode_jpeg(blob)
+        except JpegError as ex:
+            raise TiffError(f"old-style JPEG stream: {ex}") from ex
+        if jw < w or jh < h:
+            raise TiffError(
+                f"old-style JPEG is {jw}x{jh}, geometry wants {w}x{h}")
+        return w, h, arr[:h, :w]
+
+    if 519 not in t or 520 not in t or 521 not in t:
+        raise NotImplementedError(
+            "old-style JPEG TIFF without JPEGInterchangeFormat needs "
+            "the JPEGQTables/JPEGDCTables/JPEGACTables form")
+    if one(512, 1) != 1:
+        raise NotImplementedError(
+            f"old-style JPEG proc {one(512)} (lossless) not supported"
+            " — baseline proc 1 is")
+    photo = one(262, 6)
+    if photo == 6:
+        sub = t.get(530, [2, 2])  # YCbCrSubSampling defaults to 2,2
+        if list(sub) != [1, 1]:
+            raise NotImplementedError(
+                "old-style JPEG tables form with subsampled YCbCr "
+                f"{list(sub)} not supported; [1, 1] is")
+    elif photo != 1:
+        raise NotImplementedError(
+            f"old-style JPEG tables form photometric {photo} not "
+            "supported (1 gray / 6 YCbCr are; the shared JPEG decoder "
+            "color-converts 3-component scans as YCbCr)")
+    if len(t[519]) < spp or len(t[520]) < spp or len(t[521]) < spp:
+        raise TiffError("old-style JPEG table pointer count < SamplesPerPixel")
+
+    def qtable(i: int) -> bytes:
+        off = t[519][i]
+        if off + 64 > len(data):
+            raise TiffError(f"JPEGQTables[{i}] overruns the payload")
+        return bytes([0 << 4 | i]) + data[off:off + 64]
+
+    def htable(tag: int, cls: int, i: int) -> bytes:
+        off = t[tag][i]
+        if off + 16 > len(data):
+            raise TiffError(f"DHT pointer [{i}] overruns the payload")
+        counts = data[off:off + 16]
+        n = sum(counts)
+        if off + 16 + n > len(data):
+            raise TiffError(f"DHT values [{i}] overrun the payload")
+        return bytes([cls << 4 | i]) + data[off:off + 16 + n]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    tables = b"".join(seg(0xFFDB, qtable(i)) for i in range(spp))
+    tables += b"".join(seg(0xFFC4, htable(520, 0, i)) for i in range(spp))
+    tables += b"".join(seg(0xFFC4, htable(521, 1, i)) for i in range(spp))
+    ri = one(515, 0)
+    if ri:
+        tables += seg(0xFFDD, struct.pack(">H", ri))
+
+    offsets, counts = t.get(273), t.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise TiffError("TIFF strip offsets/byte-counts missing or unequal")
+    rps = one(278, h)
+    if rps <= 0 or len(offsets) != (h + rps - 1) // rps:
+        raise TiffError(
+            f"{len(offsets)} strips, geometry wants {(h + rps - 1) // rps}")
+
+    px = np.zeros((h, w, spp), np.uint8)
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(data):
+            raise TiffError(f"strip {si} overruns the payload")
+        nrows = min(rps, h - si * rps)
+        sof = struct.pack(">BHHB", 8, nrows, w, spp) + b"".join(
+            bytes([i + 1, 0x11, i]) for i in range(spp))
+        sos = bytes([spp]) + b"".join(
+            bytes([i + 1, i << 4 | i]) for i in range(spp)) \
+            + bytes([0, 63, 0])
+        blob = (b"\xff\xd8" + tables + seg(0xFFC0, sof)
+                + seg(0xFFDA, sos) + data[off:off + cnt] + b"\xff\xd9")
+        try:
+            jw, jh, arr = decode_jpeg(blob)
+        except JpegError as ex:
+            raise TiffError(f"old-style JPEG strip {si}: {ex}") from ex
+        if arr.shape[2] != spp or jw < w or jh < nrows:
+            raise TiffError(
+                f"strip {si} decodes {jw}x{jh}x{arr.shape[2]}, "
+                f"geometry wants {w}x{nrows}x{spp}")
+        px[si * rps:si * rps + nrows] = arr[:nrows, :w]
+    return w, h, px
+
+
 def decode_tiff(data: bytes) -> tuple[int, int, np.ndarray]:
     """TIFF -> (width, height, HxWxC uint8/uint16 array). Handles
     strip AND tile organization (TIFF 6.0 §15 — satellite/scan
@@ -392,10 +523,8 @@ def decode_tiff(data: bytes) -> tuple[int, int, np.ndarray]:
         return _decode_tiff_ccitt(data, t, w, h, one)
     if comp == 7:  # new-style JPEG (TechNote 2)
         return _decode_tiff_jpeg(data, t, w, h, one)
-    if comp == 6:
-        raise NotImplementedError(
-            "TIFF old-style JPEG compression 6 (withdrawn by "
-            "TechNote 2) not supported; new-style compression 7 is")
+    if comp == 6:  # old-style JPEG (TIFF 6.0 §22, withdrawn) — r15
+        return _decode_tiff_ojpeg(data, t, w, h, one)
     if depth not in (8, 16):
         raise NotImplementedError(f"{depth}-bit TIFF samples not supported")
     planar = one(284, 1)
@@ -709,23 +838,30 @@ def _assemble_tiff(entries: list, strips: list[bytes], end: str,
             extra += payload
         table += struct.pack(end + "HHI", tag, typ, count) + val
     strips_off = data_off + len(extra)
-    # patch StripOffsets/TileOffsets now the layout is known
+    # patch offset tags now the layout is known. ``off_tag`` is a
+    # single tag covering every chunk (273/324), or a {tag: [chunk
+    # index, ...]} map when several tags point into the data area
+    # (the old-style-JPEG writer patches 273 + 519/520/521 at once)
     offs = []
     acc_off = strips_off
     for s in strips:
         offs.append(acc_off)
         acc_off += len(s)
-    kind, where = packed[off_tag]
-    payload = b"".join(struct.pack(end + "I", o) for o in offs)
+    off_map = off_tag if isinstance(off_tag, dict) \
+        else {off_tag: list(range(len(strips)))}
     table = bytearray(table)
-    for i, (tag, typ, count, vals) in enumerate(entries):
-        if tag != off_tag:
-            continue
-        base = 12 * i + 8
-        if kind == "inline":
-            table[base:base + 4] = payload + bytes(4 - len(payload))
-        else:
-            extra[where - data_off:where - data_off + len(payload)] = payload
+    for otag, idxs in off_map.items():
+        kind, where = packed[otag]
+        payload = b"".join(struct.pack(end + "I", offs[i]) for i in idxs)
+        for i, (tag, typ, count, vals) in enumerate(entries):
+            if tag != otag:
+                continue
+            base = 12 * i + 8
+            if kind == "inline":
+                table[base:base + 4] = payload + bytes(4 - len(payload))
+            else:
+                extra[where - data_off:where - data_off + len(payload)] \
+                    = payload
     order = b"II" if end == "<" else b"MM"
     out = (order + struct.pack(end + "H", 42)
            + struct.pack(end + "I", ifd_off)
@@ -889,3 +1025,119 @@ def encode_tiff_jpeg(width: int, height: int, pixels: bytes,
         entries.append((347, 7, len(tables_blob), list(tables_blob)))
     entries.sort(key=lambda e: e[0])
     return _assemble_tiff(entries, chunks, end, off_tag=off_tag)
+
+
+def _split_jpeg_stream(blob: bytes) -> dict:
+    """Walk a baseline JPEG's markers -> {``q``: [64-byte tables],
+    ``dc``/``ac``: [DHT payloads without Tc/Th], ``entropy``: the
+    SOS-to-EOI scan bytes, ``ri``: restart interval} — the pieces the
+    old-style tables form stores behind separate tags."""
+    out: dict = {"q": [], "dc": [], "ac": [], "entropy": b"", "ri": 0}
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    i = 2
+    while i + 4 <= len(blob):
+        if blob[i] != 0xFF:
+            raise ValueError(f"bad marker alignment at {i}")
+        marker = blob[i + 1]
+        (ln,) = struct.unpack_from(">H", blob, i + 2)
+        body = blob[i + 4:i + 2 + ln]
+        if marker == 0xDB:  # DQT: one or more (PqTq + 64) runs
+            p = 0
+            while p < len(body):
+                if body[p] >> 4 != 0:
+                    raise ValueError("16-bit DQT in an 8-bit fixture")
+                out["q"].append(body[p + 1:p + 65])
+                p += 65
+        elif marker == 0xC4:  # DHT: one or more (TcTh + 16 + n) runs
+            p = 0
+            while p < len(body):
+                n = sum(body[p + 1:p + 17])
+                (out["dc"] if body[p] >> 4 == 0 else out["ac"]) \
+                    .append(body[p + 1:p + 17 + n])
+                p += 17 + n
+        elif marker == 0xDD:
+            (out["ri"],) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            out["entropy"] = blob[i + 2 + ln:-2]  # to EOI
+            return out
+        i += 2 + ln
+    raise ValueError("JPEG stream without SOS")
+
+
+def encode_tiff_ojpeg(width: int, height: int, pixels: bytes,
+                      gray: bool = False, layout: str = "interchange",
+                      rows_per_strip: int | None = None,
+                      byte_order: str = "<") -> bytes:
+    """Old-style JPEG TIFF writer (fixture mirror of
+    _decode_tiff_ojpeg): ``layout="interchange"`` embeds one complete
+    SOI..EOI stream behind JPEGInterchangeFormat/Length (513/514);
+    ``layout="tables"`` splits per-strip baseline JPEGs into the §22
+    raw-table tags (512 proc, 519/520/521 pointers, bare entropy
+    strips, 530=[1,1] for color). ``pixels``: gray 1 byte/px or RGB 3
+    bytes/px, same contract as operators/jpeg.encode_jpeg."""
+    from dolphinbeat_spark.operators.jpeg import encode_jpeg
+
+    end = byte_order
+    spp = 1 if gray else 3
+    photometric = 1 if gray else 6
+    base = [
+        (256, 4, 1, [width]), (257, 4, 1, [height]),
+        (258, 3, spp, [8] * spp), (259, 3, 1, [6]),
+        (262, 3, 1, [photometric]), (277, 3, 1, [spp]),
+    ]
+    if layout == "interchange":
+        blob = encode_jpeg(width, height, pixels, gray=gray)
+        entries = base + [
+            (513, 4, 1, [0]),  # patched
+            (514, 4, 1, [len(blob)]),
+        ]
+        entries.sort(key=lambda e: e[0])
+        return _assemble_tiff(entries, [blob], end, off_tag={513: [0]})
+    if layout != "tables":
+        raise ValueError(f"layout must be interchange or tables, got {layout!r}")
+
+    rps = rows_per_strip or height
+    unit = spp
+    strips_px = [
+        pixels[r0 * width * unit:(r0 + min(rps, height - r0)) * width * unit]
+        for r0 in range(0, height, rps)
+    ]
+    split0 = None
+    entropy: list[bytes] = []
+    for r0, spx in zip(range(0, height, rps), strips_px):
+        nrows = min(rps, height - r0)
+        s = _split_jpeg_stream(encode_jpeg(width, nrows, spx, gray=gray))
+        if split0 is None:
+            split0 = s
+        entropy.append(s["entropy"])
+    # chunks: entropy strips first, then q tables, then dc, then ac —
+    # the offset map routes each tag at its chunk indices. Annex K
+    # writers reuse the luma table for chroma; §22 wants ONE pointer
+    # per component, so duplicate the last table out to spp.
+    def upto(lst: list[bytes]) -> list[bytes]:
+        return [bytes(lst[min(i, len(lst) - 1)]) for i in range(spp)]
+
+    q, dc, ac = upto(split0["q"]), upto(split0["dc"]), upto(split0["ac"])
+    chunks = entropy + q + dc + ac
+    nq0 = len(entropy)
+    entries = base + [
+        (278, 4, 1, [rps]),
+        (279, 4, len(entropy), [len(c) for c in entropy]),
+        (273, 4, len(entropy), [0] * len(entropy)),  # patched
+        (512, 3, 1, [1]),
+        (519, 4, spp, [0] * spp),  # patched
+        (520, 4, spp, [0] * spp),  # patched
+        (521, 4, spp, [0] * spp),  # patched
+    ]
+    if not gray:
+        entries.append((530, 3, 2, [1, 1]))
+    entries.sort(key=lambda e: e[0])
+    return _assemble_tiff(
+        entries, chunks, end,
+        off_tag={
+            273: list(range(len(entropy))),
+            519: list(range(nq0, nq0 + spp)),
+            520: list(range(nq0 + spp, nq0 + 2 * spp)),
+            521: list(range(nq0 + 2 * spp, nq0 + 3 * spp)),
+        })

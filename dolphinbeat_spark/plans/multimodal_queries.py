@@ -2172,6 +2172,63 @@ def mm_decode_tiff_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder with the JPEGTables abbreviated-stream layout honored —
     the same near-zero-cost reuse as r11's DCTDecode-in-PDF, closing
     the scanned/archival TIFF share."""
+    return _mm_decode_tiff_jpeg_impl(spark, sf_dir)
+
+
+@register(
+    "mm_tiff_ojpeg",
+    # payload = an OLD-STYLE JPEG TIFF (Compression 6, TIFF 6.0 §22 —
+    # withdrawn by TechNote 2 yet alive in scanner/early-digicam
+    # output; r15 verdict task #8): a 16x8 flat-gray page, value
+    # v = 16*digit + 8 (the DC step 16 divides (v-128)*8, so the
+    # lossy codec roundtrips EXACTLY — the mm_decode_tiff_jpeg closed
+    # form). Docs cycle BOTH wild layouts: even = the embedded
+    # interchange stream (JPEGInterchangeFormat 513/514), odd = the
+    # raw-tables form (JPEGProc 512, JPEGQ/DC/ACTables 519/520/521
+    # pointing at bare table bytes, strips of bare entropy data that
+    # the decoder rebuilds into standalone JPEGs). Byte order cycles
+    # II/MM by doc_id % 4. Pre-r15 these raised 'old-style JPEG
+    # compression 6 not supported'.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         16*(strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))-1)+8 AS v
+  FROM documents WHERE doc_id % 31 = 21
+)
+SELECT media_id, 'tiff' AS fmt,
+       CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       CAST(128 * v AS BIGINT) AS pixel_sum,
+       md5(repeat(printf('%02x', v), 128)) AS pixel_md5
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "codec", "tiff", "jpeg", "ojpeg"),
+)
+def mm_tiff_ojpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Old-style JPEG TIFF (Compression 6) decode under the oracle
+    gate (r15): both §22 layouts — the embedded interchange stream
+    and the raw-table tags with bare entropy strips — through the
+    shared decode_media slot and the in-repo JPEG decoder."""
+    import hashlib
+
+    from dolphinbeat_spark.operators.tiff import encode_tiff_ojpeg
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 31 == 21)
+
+    def build(i):
+        hx = hashlib.md5(str(i).encode()).hexdigest()
+        v = 16 * int(hx[0], 16) + 8
+        return encode_tiff_ojpeg(
+            16, 8, bytes([v]) * 128, gray=True,
+            layout="tables" if i % 2 else "interchange",
+            byte_order=">" if i % 4 >= 2 else "<")
+
+    media = fixture_media(d, build)
+    return M.decode_media(media, digest="hex").orderBy("media_id")
+
+
+def _mm_decode_tiff_jpeg_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     import numpy as np
@@ -2852,6 +2909,86 @@ def pipeline_crawl_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         M.decode_media(images, digest="hex")
+        .orderBy("media_id", "fmt")
+    )
+
+
+@register(
+    "pipeline_image_decode_wall",
+    # r15 (verdict task #6): image decode as a FIRST-CLASS bench
+    # wall — the codec_throughput section measures per-family MB/s on
+    # synthetic batches, but nothing in the bench set exercised
+    # decode_media end-to-end at sf scale with non-trivial pixel
+    # counts (the correctness specs use tiny fixtures, so their walls
+    # are all overhead). Each doc contributes a 128x128 JPEG (flat
+    # gray, closed form), a 128x128 grayscale PNG (md5-letter
+    # pattern) and a 128x128 lossy VP8 WebP (flat: only MB(0,0)
+    # carries a Y2 DC, DC_PRED propagates it — verified exact) — 16
+    # distinct variants keyed by doc_id % 16, LRU-cached per worker
+    # so fixture encode cost is bounded and the measured wall is the
+    # DECODE path. ~7.5k images / ~370 Mpx at sf0.1.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id % 16 AS VARCHAR)), 512) AS pattern,
+         2 * ((doc_id % 16) * 7 % 64) AS v,
+         1 + (doc_id % 16) % 5 AS ly
+  FROM documents WHERE doc_id % 2 = 0
+), webp_yuv AS (
+  SELECT media_id,
+         128 + ((((ly * 42 + 3) >> 3) + 4) >> 3) AS y, 128 AS u, 128 AS v
+  FROM p
+), webp_rgb AS (
+  SELECT media_id,
+         (((y * 19077) >> 8) + ((v * 26149) >> 8) - 14234) >> 6 AS r,
+         (((y * 19077) >> 8) - ((u * 6419) >> 8) - ((v * 13320) >> 8)
+          + 8708) >> 6 AS g,
+         (((y * 19077) >> 8) + ((u * 33050) >> 8) - 17685) >> 6 AS b
+  FROM webp_yuv
+)
+SELECT p.media_id, 'jpeg' AS fmt, 128::BIGINT AS width,
+       128::BIGINT AS height, CAST(16384 * v AS BIGINT) AS pixel_sum,
+       md5(repeat(printf('%02x', CAST(v AS INTEGER)), 16384))
+           AS pixel_md5
+FROM p
+UNION ALL
+SELECT media_id, 'png', 128, 128,
+       CAST(32 * list_sum(list_transform(range(1, 33),
+            i -> ord(substr(pattern, CAST(i AS INTEGER), 1)))) * 16
+            AS BIGINT),
+       md5(lower(hex(pattern)))
+FROM p
+UNION ALL
+SELECT w.media_id, 'webp', 128, 128,
+       CAST((r + g + b + 255) * 16384 AS BIGINT),
+       md5(repeat(printf('%02x%02x%02xff', CAST(r AS INTEGER),
+                         CAST(g AS INTEGER), CAST(b AS INTEGER)),
+                  16384))
+FROM webp_rgb w
+ORDER BY media_id, fmt
+""",
+    tags=("multimodal", "decode", "codec", "jpeg", "png", "webp",
+          "bench", "lossy"),
+    bench=True,
+)
+def pipeline_image_decode_wall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_media wall-clock at sf scale (r15): three real codecs
+    per doc at 128x128 through the one magic-dispatched decode slot
+    (native plugs active where loadable, pure fallback otherwise) —
+    the round-over-round image-decode number the codec_throughput
+    bandwidth section cannot provide."""
+    from dolphinbeat_spark.plans.multimodal_fixture_cache import (
+        decode_wall_payloads,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+
+    def build_many(i):
+        return [(i, pay) for pay in decode_wall_payloads(i % 16)]
+
+    media = fixture_media_multi(d, build_many)
+    return (
+        M.decode_media(media, digest="hex")
         .orderBy("media_id", "fmt")
     )
 

@@ -83,6 +83,75 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q1_pricing_summary_cents",
+    # same relation as q1_pricing_summary — the EXPERIMENT (r15,
+    # verdict task #5) is the aggregation representation: all four
+    # money aggregates run on scaled INTEGERS (cents / basis points)
+    # with a single decimal rescale at the end, instead of decimal
+    # partial aggregates. If the normalized sf100 wall drops
+    # materially vs q1, the decimal path was the memory-bandwidth
+    # bottleneck; if not, the q1 canary is host-bound. Results are
+    # identical (2-decimal inputs are exact in cents), so the oracle
+    # is q1's verbatim.
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(18,8)) * (1 + CAST(l_tax AS DECIMAL(12,4)))), 2) AS DOUBLE) AS sum_charge,
+       CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+       CAST(CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    tags=("relational", "aggregate", "experiment"),
+    bench=True,
+)
+def q1_pricing_summary_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q1 with LONG (cents / basis-point) partial aggregates: the
+    2-decimal money columns are exact as scaled integers, so
+    sum(price_c*(100-disc_bp)) == 10^4 * sum(price*(1-disc)) etc.,
+    and one decimal rescale after the (4-group) aggregation restores
+    the q1 output exactly. Per-row terms stay far inside int64
+    (price_c <= ~10^7, *100*110 ~ 10^11; the whole-table sum at sf100
+    is ~2.5e18 < 2^63 — ANSI mode would raise loudly, not corrupt,
+    beyond that)."""
+    li = load(spark, sf_dir, "lineitem", widen=True)
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("long")
+    tax_bp = F.round(F.col("l_tax") * 100).cast("long")
+    n = F.count(F.lit(1))
+
+    def rescale(sumcol, pow10: int, name: str):
+        return F.round(
+            sumcol.cast("decimal(38,6)") / F.lit(10 ** pow10), 2
+        ).cast("double").alias(name)
+
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rescale(F.sum(qty_c), 2, "sum_qty"),
+            rescale(F.sum(price_c), 2, "sum_base_price"),
+            rescale(F.sum(price_c * (100 - disc_bp)), 4,
+                    "sum_disc_price"),
+            rescale(F.sum(price_c * (100 - disc_bp) * (100 + tax_bp)),
+                    6, "sum_charge"),
+            (F.round(F.sum(qty_c).cast("decimal(38,6)") / 100, 2)
+             .cast("double") / n).alias("avg_qty"),
+            (F.round(F.sum(disc_bp).cast("decimal(38,6)") / 100, 2)
+             .cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
     "q3_shipping_priority",
     oracle="""
 SELECT l.l_orderkey,

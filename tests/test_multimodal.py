@@ -2911,9 +2911,73 @@ def test_tiff_typed_errors_and_honest_boundaries():
     # unsupported compression raises by name
     comp = bytearray(encode_tiff(4, 4, bytes(16)))
     i = bytes(comp).find((259).to_bytes(2, "little"))
-    comp[i + 8] = 6  # compression 6 = old-JPEG
+    comp[i + 8] = 9  # compression 9 (undefined)
     with pytest.raises(NotImplementedError, match="compression"):
         decode_tiff(bytes(comp))
+    # compression 6 decodes since r15, but a compression-6 file
+    # without either §22 layout still raises by name
+    comp[i + 8] = 6
+    with pytest.raises(NotImplementedError, match="JPEGQTables"):
+        decode_tiff(bytes(comp))
+
+
+def test_tiff_ojpeg_compression6():
+    """Old-style JPEG (Compression 6, r15): both §22 layouts across
+    byte orders; flat v = 16d+8 roundtrips exactly (the compression-7
+    closed form); multi-strip tables form matches the direct JPEG
+    roundtrip; hostile fuzz stays typed."""
+    import numpy as np
+    import pytest
+
+    from dolphinbeat_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from dolphinbeat_spark.operators.tiff import (
+        TiffError, decode_tiff, encode_tiff_ojpeg,
+    )
+
+    for layout in ("interchange", "tables"):
+        for end in ("<", ">"):
+            for d in (0, 7, 15):
+                v = 16 * d + 8
+                t = encode_tiff_ojpeg(16, 8, bytes([v]) * 128,
+                                      gray=True, layout=layout,
+                                      byte_order=end)
+                w, h, px = decode_tiff(t)
+                assert (w, h) == (16, 8) and (px == v).all(), \
+                    (layout, end, v)
+    # RGB both layouts (flat chroma, small IDCT tolerance)
+    for layout in ("interchange", "tables"):
+        t = encode_tiff_ojpeg(16, 16, bytes([100, 150, 200]) * 256,
+                              layout=layout)
+        px = decode_tiff(t)[2]
+        assert np.abs(px.astype(int)
+                      - np.array([100, 150, 200])).max() <= 2
+    # multi-strip tables form == the direct JPEG roundtrip per strip
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (24, 16), dtype=np.uint8)
+    t = encode_tiff_ojpeg(16, 24, img.tobytes(), gray=True,
+                          layout="tables", rows_per_strip=8)
+    got = decode_tiff(t)[2][:, :, 0]
+    want = np.vstack([
+        decode_jpeg(encode_jpeg(16, 8, img[r:r + 8].tobytes(),
+                                gray=True))[2][:, :, 0]
+        for r in range(0, 24, 8)
+    ])
+    assert np.array_equal(got, want)
+    # hostile fuzz over both layouts stays typed
+    seeds = [encode_tiff_ojpeg(8, 8, bytes(64), gray=True,
+                               layout=lo) for lo in ("interchange",
+                                                     "tables")]
+    for good in seeds:
+        for _ in range(150):
+            b = bytearray(good)
+            b[int(rng.randint(0, len(b)))] ^= 1 << int(
+                rng.randint(0, 8))
+            try:
+                decode_tiff(bytes(b))
+            except (TiffError, NotImplementedError):
+                pass
+            except Exception as ex:  # pragma: no cover
+                pytest.fail(f"untyped crash on corrupt OJPEG: {ex!r}")
 
 
 def test_decode_media_sniffs_tiff(spark):
