@@ -36,7 +36,14 @@ Covered:
   dequantization (E.1.1.2, midpoint reconstruction r=0.5, derived
   exponents per eq E-5) + ICT for transform 0; DC level shift.
 
-Named boundaries (fail loud): multiple tiles / tile-parts, component
+Multi-tile codestreams decode since r15: raster-order SOT segments
+with tile-parts joined by TPsot, per-tile packet/T1/DWT runs stitched
+onto the canvas — for tile grids whose pitch is a multiple of
+2^levels (the wild power-of-two grids: 256/512/1024), where per-tile
+0-anchored lifting coincides with T.800's absolute-coordinate
+anchoring. Unaligned grids raise by name.
+
+Named boundaries (fail loud): unaligned tile grids, component
 subsampling, POC progression changes, ROI (RGN), PPM/PPT packed
 headers, and the bypass/termall/reset/causal code-block styles.
 Typed-error boundary: decode_jpx re-raises every parser failure mode
@@ -792,7 +799,7 @@ def _decode(data: bytes, max_pixels: int) -> tuple[int, int, np.ndarray]:
         raise JpxError("codestream does not open with SOC+SIZ")
     pos = 2
     siz = cod = qcd = None
-    tile_data = None
+    tile_parts: dict[int, list[tuple[int, bytes]]] = {}
     coc: dict[int, dict] = {}
     qcc: dict[int, dict] = {}
 
@@ -837,23 +844,62 @@ def _decode(data: bytes, max_pixels: int) -> tuple[int, int, np.ndarray]:
         elif marker == 0xFF90:  # SOT
             isot, = struct.unpack_from(">H", body, 0)
             psot, = struct.unpack_from(">I", body, 2)
-            tpsot, tnsot = body[6], body[7]
-            if isot != 0 or tpsot != 0 or tnsot not in (0, 1):
-                raise NotImplementedError(
-                    "JPX multiple tiles / tile-parts not supported")
+            tpsot = body[6]
             sod_at = pos + 2 + ln
             if cs[sod_at:sod_at + 2] != b"\xff\x93":
                 raise JpxError("SOT not followed by SOD")
             end = pos + psot if psot else len(cs) - 2
-            tile_data = cs[sod_at + 2:end]
+            if end > len(cs) or end <= sod_at:
+                raise JpxError("SOT Psot overruns the codestream")
+            tile_parts.setdefault(isot, []).append(
+                (tpsot, cs[sod_at + 2:end]))
             pos = end
             continue
         elif marker == 0xFFD9:
             break
         pos += 2 + ln
-    if siz is None or cod is None or qcd is None or tile_data is None:
+    if siz is None or cod is None or qcd is None or not tile_parts:
         raise JpxError("codestream missing SIZ/COD/QCD/tile data")
-    return _decode_tile(siz, cod, qcd, coc, qcc, tile_data, max_pixels)
+
+    w, h, nc = siz["w"], siz["h"], siz["ncomps"]
+    xt, yt = siz["xt"], siz["yt"]
+    ntx = (w + xt - 1) // xt
+    nty = (h + yt - 1) // yt
+    ntiles = ntx * nty
+    if any(i >= ntiles for i in tile_parts):
+        raise JpxError("SOT tile index beyond the SIZ tile grid")
+    if len(tile_parts) != ntiles:
+        raise JpxError(
+            f"{len(tile_parts)} tiles present, grid wants {ntiles}")
+    if ntiles == 1:
+        tdata = b"".join(d for _, d in sorted(tile_parts[0]))
+        return _decode_tile(siz, cod, qcd, coc, qcc, tdata, max_pixels)
+
+    # multiple tiles (r15): T.800 anchors the DWT at ABSOLUTE image
+    # coordinates, so per-tile 0-anchored decode is exact only when
+    # every tile origin is even at every decomposition level — i.e.
+    # the tile size is a multiple of 2^levels (the wild power-of-two
+    # tile grids: 256/512/1024). Other grids raise by name.
+    max_levels = max([cod["levels"]] + [o["levels"] for o in coc.values()])
+    if xt % (1 << max_levels) or yt % (1 << max_levels):
+        raise NotImplementedError(
+            f"JPX tile grid {xt}x{yt} not a multiple of 2^levels "
+            f"(2^{max_levels}) — unaligned tile anchoring not "
+            "supported")
+    canvas = None
+    for i in range(ntiles):
+        tx, ty = i % ntx, i // ntx
+        tw = min(xt, w - tx * xt)
+        th = min(yt, h - ty * yt)
+        tsiz = dict(siz)
+        tsiz["w"], tsiz["h"] = tw, th
+        tdata = b"".join(d for _, d in sorted(tile_parts[i]))
+        _, _, px = _decode_tile(tsiz, cod, qcd, coc, qcc, tdata,
+                                max_pixels)
+        if canvas is None:
+            canvas = np.zeros((h, w, px.shape[2]), px.dtype)
+        canvas[ty * yt:ty * yt + th, tx * xt:tx * xt + tw] = px
+    return w, h, canvas
 
 
 def _find_codestream(data: bytes) -> bytes:
@@ -885,11 +931,13 @@ def _parse_siz(b: bytes, max_pixels: int) -> dict:
     del rsiz
     if xo or yo or xto or yto:
         raise NotImplementedError("JPX image/tile offsets not supported")
-    if xt < xs or yt < ys:
-        raise NotImplementedError("JPX multiple tiles not supported")
     w, h = xs, ys
+    if xt <= 0 or yt <= 0:
+        raise JpxError("JPX tile size must be positive")
     if w * h * max(nc, 1) > max_pixels:
         raise JpxError(f"JPX geometry {w}x{h}x{nc} exceeds the cap")
+    if ((w + xt - 1) // xt) * ((h + yt - 1) // yt) > 4096:
+        raise JpxError("JPX tile grid exceeds the decode cap")
     comps = []
     for c in range(nc):
         ssiz, xr, yr = b[36 + 3 * c], b[37 + 3 * c], b[38 + 3 * c]
@@ -900,7 +948,8 @@ def _parse_siz(b: bytes, max_pixels: int) -> dict:
                       "signed": bool(ssiz & 0x80)})
         if comps[-1]["depth"] > 16:
             raise NotImplementedError("JPX depths beyond 16 bits")
-    return {"w": w, "h": h, "ncomps": nc, "comps": comps}
+    return {"w": w, "h": h, "xt": min(xt, w), "yt": min(yt, h),
+            "ncomps": nc, "comps": comps}
 
 
 def _parse_cod(b: bytes, is_coc: bool = False) -> dict:
@@ -1196,7 +1245,9 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
                segsym: bool = False, jp2: bool = False,
                transform: int = 1, qstyle: int | None = None,
                layers: int = 1, coc: dict | None = None,
-               qcc: dict | None = None) -> bytes:
+               qcc: dict | None = None,
+               tile: tuple[int, int] | None = None,
+               tile_parts: int = 1) -> bytes:
     """Image -> Part-1 codestream (fixture mirror): one tile, 5/3
     reversible (``transform=1``, lossless) or 9/7 irreversible
     (``transform=0`` with quantization style 1 derived / 2 expounded,
@@ -1206,8 +1257,13 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
     exercises the decoder's incremental inclusion tag trees on the
     spec packet order. ``coc``/``qcc`` emit per-component COC/QCC
     overrides: ``coc={c: {"levels": int, "cblk_exp": (a, b)}}``,
-    ``qcc={c: qstyle}``. ``jp2=True`` wraps the codestream in the JP2
-    box signature/ftyp/jp2h/jp2c layout."""
+    ``qcc={c: qstyle}``. ``tile=(xt, yt)`` writes a MULTI-TILE
+    codestream (raster-order SOT segments; sizes must be multiples of
+    2^levels so per-tile anchoring matches the decoder's supported
+    grid); ``tile_parts`` > 1 splits each tile's data into that many
+    SOT tile-parts at byte boundaries (the decoder joins by TPsot).
+    ``jp2=True`` wraps the codestream in the JP2 box
+    signature/ftyp/jp2h/jp2c layout."""
     px = np.asarray(px)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -1232,165 +1288,169 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
     qpairs_list = [_enc_qpairs(qstyle_list[c], depth, levels_list[c])
                    for c in range(nc)]
 
-    if transform == 1:
-        comps = [px[:, :, c].astype(np.int64) - (1 << (depth - 1))
-                 for c in range(nc)]
-        if mct:
-            if nc < 3:
-                raise JpxError("RCT needs 3 components")
-            r_, g_, b_ = comps[0], comps[1], comps[2]
-            yy = (r_ + 2 * g_ + b_) >> 2
-            comps[0], comps[1], comps[2] = yy, b_ - g_, r_ - g_
-    else:
-        comps = [px[:, :, c].astype(np.float64) - (1 << (depth - 1))
-                 for c in range(nc)]
-        if mct:
-            if nc < 3:
-                raise JpxError("ICT needs 3 components")
-            comps[0], comps[1], comps[2] = _ict_forward(
-                comps[0], comps[1], comps[2])
+    def tile_body(pxt: np.ndarray) -> bytes:
+        h, w = pxt.shape[0], pxt.shape[1]
+        if transform == 1:
+            comps = [pxt[:, :, c].astype(np.int64) - (1 << (depth - 1))
+                     for c in range(nc)]
+            if mct:
+                if nc < 3:
+                    raise JpxError("RCT needs 3 components")
+                r_, g_, b_ = comps[0], comps[1], comps[2]
+                yy = (r_ + 2 * g_ + b_) >> 2
+                comps[0], comps[1], comps[2] = yy, b_ - g_, r_ - g_
+        else:
+            comps = [pxt[:, :, c].astype(np.float64) - (1 << (depth - 1))
+                     for c in range(nc)]
+            if mct:
+                if nc < 3:
+                    raise JpxError("ICT needs 3 components")
+                comps[0], comps[1], comps[2] = _ict_forward(
+                    comps[0], comps[1], comps[2])
 
-    # forward DWT (+ quantization on the irreversible path)
-    bands: dict[tuple[int, int, str], np.ndarray] = {}
-    for c in range(nc):
-        lv = levels_list[c]
-        cur = comps[c]
-        raw: dict[tuple[int, str], np.ndarray] = {}
-        for r in range(lv, 0, -1):
-            if transform == 1:
-                ll, hl, lh, hh = _fdwt53_2d(cur)
-            else:
-                ll, hl, lh, hh = _fdwt97_2d(cur)
-            raw[(r, "HL")], raw[(r, "LH")], raw[(r, "HH")] = hl, lh, hh
-            cur = ll
-        raw[(0, "LL")] = cur
-        q = {"style": qstyle_list[c], "guard": guard,
-             "pairs": qpairs_list[c]}
-        for (r, band), arr in raw.items():
-            if transform == 1:
-                bands[(c, r, band)] = arr
-            else:
-                eps, mu = _qparams(q, r, band)
-                delta = (2.0 ** (depth + _BAND_GAIN[band] - eps)
-                         * (1.0 + mu / 2048.0))
-                bands[(c, r, band)] = (
-                    np.sign(arr)
-                    * np.floor(np.abs(arr) / delta)).astype(np.int64)
+        # forward DWT (+ quantization on the irreversible path)
+        bands: dict[tuple[int, int, str], np.ndarray] = {}
+        for c in range(nc):
+            lv = levels_list[c]
+            cur = comps[c]
+            raw: dict[tuple[int, str], np.ndarray] = {}
+            for r in range(lv, 0, -1):
+                if transform == 1:
+                    ll, hl, lh, hh = _fdwt53_2d(cur)
+                else:
+                    ll, hl, lh, hh = _fdwt97_2d(cur)
+                raw[(r, "HL")], raw[(r, "LH")], raw[(r, "HH")] = hl, lh, hh
+                cur = ll
+            raw[(0, "LL")] = cur
+            q = {"style": qstyle_list[c], "guard": guard,
+                 "pairs": qpairs_list[c]}
+            for (r, band), arr in raw.items():
+                if transform == 1:
+                    bands[(c, r, band)] = arr
+                else:
+                    eps, mu = _qparams(q, r, band)
+                    delta = (2.0 ** (depth + _BAND_GAIN[band] - eps)
+                             * (1.0 + mu / 2048.0))
+                    bands[(c, r, band)] = (
+                        np.sign(arr)
+                        * np.floor(np.abs(arr) / delta)).astype(np.int64)
 
-    # Tier-1 encode every codeblock
-    enc_blocks: dict[tuple, tuple[bytes, int, int]] = {}
-    for (c, r, band), arr in bands.items():
-        cw, ch = 1 << cblk_list[c][0], 1 << cblk_list[c][1]
-        bh, bw = arr.shape
-        gx, gy = _cblk_grid(bw, bh, cw, ch)
-        q = {"style": qstyle_list[c], "guard": guard,
-             "pairs": qpairs_list[c]}
-        eps, _mu = _qparams(q, r, band)
-        mb = guard + eps - 1
-        for cy in range(gy):
-            for cx in range(gx):
-                blk = arr[cy * ch:(cy + 1) * ch, cx * cw:(cx + 1) * cw]
-                data, numbps, npasses = _t1_encode(blk, band, segsym)
-                if numbps > mb:
-                    raise JpxError("coefficient exceeds Mb range")
-                enc_blocks[(c, r, band, cx, cy)] = (data, numbps,
-                                                    npasses)
+        # Tier-1 encode every codeblock
+        enc_blocks: dict[tuple, tuple[bytes, int, int]] = {}
+        for (c, r, band), arr in bands.items():
+            cw, ch = 1 << cblk_list[c][0], 1 << cblk_list[c][1]
+            bh, bw = arr.shape
+            gx, gy = _cblk_grid(bw, bh, cw, ch)
+            q = {"style": qstyle_list[c], "guard": guard,
+                 "pairs": qpairs_list[c]}
+            eps, _mu = _qparams(q, r, band)
+            mb = guard + eps - 1
+            for cy in range(gy):
+                for cx in range(gx):
+                    blk = arr[cy * ch:(cy + 1) * ch, cx * cw:(cx + 1) * cw]
+                    data, numbps, npasses = _t1_encode(blk, band, segsym)
+                    if numbps > mb:
+                        raise JpxError("coefficient exceeds Mb range")
+                    enc_blocks[(c, r, band, cx, cy)] = (data, numbps,
+                                                        npasses)
 
-    # persistent per-band tag trees + node values (multi-layer safe)
-    incl_trees: dict[tuple, _TagTree] = {}
-    zbp_trees: dict[tuple, _TagTree] = {}
-    incl_vals: dict[tuple, dict] = {}
-    zbp_vals: dict[tuple, dict] = {}
-    zbp_grids: dict[tuple, np.ndarray] = {}
-    for (c, r, band), arr in bands.items():
-        cw, ch = 1 << cblk_list[c][0], 1 << cblk_list[c][1]
-        bh, bw = arr.shape
-        gx, gy = _cblk_grid(bw, bh, cw, ch)
-        if not (gx and gy):
-            continue
-        q = {"style": qstyle_list[c], "guard": guard,
-             "pairs": qpairs_list[c]}
-        eps, _mu = _qparams(q, r, band)
-        mb = guard + eps - 1
-        numbps_grid = np.zeros((gy, gx), np.int64)
-        layer_grid = np.zeros((gy, gx), np.int64)
-        for cy in range(gy):
-            for cx in range(gx):
-                numbps_grid[cy, cx] = enc_blocks[(c, r, band, cx, cy)][1]
-                layer_grid[cy, cx] = (cx + cy) % layers
-        zbp_grids[(c, r, band)] = mb - numbps_grid
-        incl_trees[(c, r, band)] = _TagTree(gx, gy)
-        zbp_trees[(c, r, band)] = _TagTree(gx, gy)
-        incl_vals[(c, r, band)] = _TagTree.node_values(layer_grid)
-        zbp_vals[(c, r, band)] = _TagTree.node_values(
-            zbp_grids[(c, r, band)])
-
-    # packets
-    body = bytearray()
-    done: set[tuple] = set()
-    nsop = 0
-    for layer, r, c in _packet_order(progression, layers, levels_list):
-        lv = levels_list[c]
-        if sop:
-            body += struct.pack(">HHH", 0xFF91, 4, nsop & 0xFFFF)
-            nsop += 1
-        hw = _HdrWriter()
-        hw.bit(1)  # non-empty
-        payload = bytearray()
-        for band, _lvl in _res_bands(r, lv):
-            arr = bands[(c, r, band)]
+        # persistent per-band tag trees + node values (multi-layer safe)
+        incl_trees: dict[tuple, _TagTree] = {}
+        zbp_trees: dict[tuple, _TagTree] = {}
+        incl_vals: dict[tuple, dict] = {}
+        zbp_vals: dict[tuple, dict] = {}
+        zbp_grids: dict[tuple, np.ndarray] = {}
+        for (c, r, band), arr in bands.items():
             cw, ch = 1 << cblk_list[c][0], 1 << cblk_list[c][1]
             bh, bw = arr.shape
             gx, gy = _cblk_grid(bw, bh, cw, ch)
             if not (gx and gy):
                 continue
-            incl = incl_trees[(c, r, band)]
-            zt = zbp_trees[(c, r, band)]
-            ivals = incl_vals[(c, r, band)]
-            zvals = zbp_vals[(c, r, band)]
-            zgrid = zbp_grids[(c, r, band)]
+            q = {"style": qstyle_list[c], "guard": guard,
+                 "pairs": qpairs_list[c]}
+            eps, _mu = _qparams(q, r, band)
+            mb = guard + eps - 1
+            numbps_grid = np.zeros((gy, gx), np.int64)
+            layer_grid = np.zeros((gy, gx), np.int64)
             for cy in range(gy):
                 for cx in range(gx):
-                    key = (c, r, band, cx, cy)
-                    if key in done:
-                        hw.bit(0)  # included before; nothing new here
-                        continue
-                    incl.encode(hw, cx, cy, layer + 1, ivals)
-                    if (cx + cy) % layers > layer:
-                        continue  # first inclusion is a later layer
-                    data, numbps, npasses = enc_blocks[key]
-                    # zero-bitplane tree: encode until leaf resolves
-                    t = 1
-                    while True:
-                        before = zt.done[0][cy, cx]
-                        zt.encode(hw, cx, cy, t, zvals)
-                        if zt.done[0][cy, cx]:
-                            break
-                        if before == zt.done[0][cy, cx] \
-                                and t > int(zgrid[cy, cx]) + 2:
-                            raise JpxError(
-                                "zbp tag tree failed to resolve")
-                        t += 1
-                    _write_npasses(hw, max(npasses, 1))
-                    # lblock stays 3 unless the segment needs more
-                    nbits = 3 + int(math.log2(max(npasses, 1)))
-                    if len(data) >= 1 << nbits:
-                        extra = (len(data).bit_length()) - nbits
-                        for _ in range(extra):
-                            hw.bit(1)
-                        nbits += extra
-                    hw.bit(0)
-                    hw.bits(len(data), nbits)
-                    payload += data
-                    done.add(key)
-        body += hw.getvalue()
-        if eph:
-            body += b"\xff\x92"
-        body += payload
+                    numbps_grid[cy, cx] = enc_blocks[(c, r, band, cx, cy)][1]
+                    layer_grid[cy, cx] = (cx + cy) % layers
+            zbp_grids[(c, r, band)] = mb - numbps_grid
+            incl_trees[(c, r, band)] = _TagTree(gx, gy)
+            zbp_trees[(c, r, band)] = _TagTree(gx, gy)
+            incl_vals[(c, r, band)] = _TagTree.node_values(layer_grid)
+            zbp_vals[(c, r, band)] = _TagTree.node_values(
+                zbp_grids[(c, r, band)])
+
+        # packets
+        body = bytearray()
+        done: set[tuple] = set()
+        nsop = 0
+        for layer, r, c in _packet_order(progression, layers, levels_list):
+            lv = levels_list[c]
+            if sop:
+                body += struct.pack(">HHH", 0xFF91, 4, nsop & 0xFFFF)
+                nsop += 1
+            hw = _HdrWriter()
+            hw.bit(1)  # non-empty
+            payload = bytearray()
+            for band, _lvl in _res_bands(r, lv):
+                arr = bands[(c, r, band)]
+                cw, ch = 1 << cblk_list[c][0], 1 << cblk_list[c][1]
+                bh, bw = arr.shape
+                gx, gy = _cblk_grid(bw, bh, cw, ch)
+                if not (gx and gy):
+                    continue
+                incl = incl_trees[(c, r, band)]
+                zt = zbp_trees[(c, r, band)]
+                ivals = incl_vals[(c, r, band)]
+                zvals = zbp_vals[(c, r, band)]
+                zgrid = zbp_grids[(c, r, band)]
+                for cy in range(gy):
+                    for cx in range(gx):
+                        key = (c, r, band, cx, cy)
+                        if key in done:
+                            hw.bit(0)  # included before; nothing new here
+                            continue
+                        incl.encode(hw, cx, cy, layer + 1, ivals)
+                        if (cx + cy) % layers > layer:
+                            continue  # first inclusion is a later layer
+                        data, numbps, npasses = enc_blocks[key]
+                        # zero-bitplane tree: encode until leaf resolves
+                        t = 1
+                        while True:
+                            before = zt.done[0][cy, cx]
+                            zt.encode(hw, cx, cy, t, zvals)
+                            if zt.done[0][cy, cx]:
+                                break
+                            if before == zt.done[0][cy, cx] \
+                                    and t > int(zgrid[cy, cx]) + 2:
+                                raise JpxError(
+                                    "zbp tag tree failed to resolve")
+                            t += 1
+                        _write_npasses(hw, max(npasses, 1))
+                        # lblock stays 3 unless the segment needs more
+                        nbits = 3 + int(math.log2(max(npasses, 1)))
+                        if len(data) >= 1 << nbits:
+                            extra = (len(data).bit_length()) - nbits
+                            for _ in range(extra):
+                                hw.bit(1)
+                            nbits += extra
+                        hw.bit(0)
+                        hw.bits(len(data), nbits)
+                        payload += data
+                        done.add(key)
+            body += hw.getvalue()
+            if eph:
+                body += b"\xff\x92"
+            body += payload
+        return bytes(body)
 
     # markers
+    xt, yt = tile if tile is not None else (w, h)
     siz = struct.pack(">HH", 0xFF51, 38 + 3 * nc) + struct.pack(
-        ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, nc) \
+        ">HIIIIIIIIH", 0, w, h, 0, 0, xt, yt, 0, 0, nc) \
         + b"".join(bytes([depth - 1, 1, 1]) for _ in range(nc))
     scod = (2 if sop else 0) | (4 if eph else 0)
     cod = struct.pack(">HH", 0xFF52, 12) + bytes([
@@ -1414,10 +1474,21 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
         qbody = bytes([c]) + _qcx_body(qstyle_list[c], guard,
                                        qpairs_list[c])
         markers += struct.pack(">HH", 0xFF5D, 2 + len(qbody)) + qbody
-    sot = struct.pack(">HHHIBB", 0xFF90, 10, 0, 12 + len(body) + 2,
-                      0, 1)
-    cs = (b"\xff\x4f" + markers + sot + b"\xff\x93"
-          + bytes(body) + b"\xff\xd9")
+    ntx = (w + xt - 1) // xt
+    nty = (h + yt - 1) // yt
+    stream = bytearray(b"\xff\x4f" + markers)
+    for i in range(ntx * nty):
+        tx, ty = i % ntx, i // ntx
+        body = tile_body(px[ty * yt:ty * yt + yt, tx * xt:tx * xt + xt])
+        n_parts = max(1, min(tile_parts, len(body) or 1))
+        cut = max(1, len(body) // n_parts) if body else 0
+        pieces = [body[k * cut:(k + 1) * cut] for k in range(n_parts - 1)]
+        pieces.append(body[(n_parts - 1) * cut:])
+        for tp, piece in enumerate(pieces):
+            stream += struct.pack(">HHHIBB", 0xFF90, 10, i,
+                                  12 + len(piece) + 2, tp, n_parts)
+            stream += b"\xff\x93" + piece
+    cs = bytes(stream) + b"\xff\xd9"
     if not jp2:
         return cs
     ihdr = struct.pack(">IIHBBBB", h, w, nc, depth - 1, 7, 0, 0)

@@ -3906,7 +3906,10 @@ def mm_pdf_jpx_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         cs = encode_jpx(
             img, levels=2, progression=i % 5,
             sop=bool(i % 3 == 1), eph=bool(i % 3 == 1),
-            segsym=bool(i % 3 == 2), jp2=bool(i % 2))
+            segsym=bool(i % 3 == 2), jp2=bool(i % 2),
+            # r15: a MULTI-TILE share (4x8 grid over the 12x8 page,
+            # 2^levels-aligned pitch) — bit-exact by reversibility
+            tile=(4, 8) if i % 7 == 0 else None)
         return encode_pdf([[f"jpx {i}"]], xref_stream=bool(i % 2),
                           images=[[("jpx", 12, 8, 1, cs)]])
 
@@ -3967,7 +3970,10 @@ def mm_pdf_jpx_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
         cs = encode_jpx(
             img, levels=2, transform=0,
             qstyle=1 if i % 2 else 2, progression=i % 5,
-            layers=1 + i % 2, jp2=bool(i % 3 == 0))
+            layers=1 + i % 2, jp2=bool(i % 3 == 0),
+            # r15: multi-tile + tile-part share on the lossy path
+            tile=(4, 4) if i % 5 == 0 else None,
+            tile_parts=2 if i % 10 == 0 else 1)
         return encode_pdf([[f"jpx lossy {i}"]],
                           images=[[("jpx", 12, 8, 1, cs)]])
 

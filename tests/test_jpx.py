@@ -318,3 +318,47 @@ def test_jpx_pdf_spark(spark):
     for r in pdf_images(df).collect():
         assert bytes(r.pixels) == want[r.media_id]
         assert r.img_filter == "JPXDecode"
+
+
+def test_jpx_multi_tile():
+    """r15 multi-tile: raster SOT grid + tile-parts join, exact on
+    the reversible path (edge tiles included), bounded on the lossy
+    path; unaligned grids and missing tiles fail loud."""
+    rng = np.random.RandomState(45)
+    big = rng.randint(0, 256, (64, 80, 3), dtype=np.uint8)
+    cs = J.encode_jpx(big, levels=2, mct=True, tile=(32, 32))
+    w, h, px = J.decode_jpx(cs)
+    assert (w, h) == (80, 64) and np.array_equal(px, big)
+    # uneven edge tiles (grid pitch aligned, edge tile sizes not)
+    small = rng.randint(0, 256, (50, 70), dtype=np.uint8)
+    cs = J.encode_jpx(small, levels=2, tile=(32, 32), tile_parts=3)
+    assert np.array_equal(J.decode_jpx(cs)[2][:, :, 0], small)
+    # non-power-of-two pitch that is still 2^levels-aligned is fine
+    cs = J.encode_jpx(big, levels=2, tile=(36, 32))
+    assert np.array_equal(J.decode_jpx(cs)[2], big)
+    # lossy multi-tile stays inside the fixture tolerance
+    cs = J.encode_jpx(big, levels=2, mct=True, transform=0,
+                      qstyle=2, tile=(32, 32))
+    assert np.abs(J.decode_jpx(cs)[2].astype(int)
+                  - big.astype(int)).max() <= 6
+    # unaligned grid raises by name (36 % 2^3 != 0)
+    cs = J.encode_jpx(big, levels=3, tile=(36, 32))
+    with pytest.raises(NotImplementedError, match="tile grid"):
+        J.decode_jpx(cs)
+    # a tile missing from the grid is a typed error
+    cs = J.encode_jpx(small, levels=2, tile=(32, 32))
+    second = cs.find(b"\xff\x90", cs.find(b"\xff\x90") + 2)
+    with pytest.raises(J.JpxError, match="tiles present"):
+        J.decode_jpx(cs[:second] + b"\xff\xd9")
+    # hostile fuzz over a tiled stream stays typed
+    good = J.encode_jpx(small[:32, :48], levels=1, tile=(16, 16),
+                        tile_parts=2)
+    for _ in range(250):
+        b = bytearray(good)
+        b[int(rng.randint(0, len(b)))] ^= 1 << int(rng.randint(0, 8))
+        try:
+            J.decode_jpx(bytes(b), max_pixels=1 << 16)
+        except (J.JpxError, NotImplementedError):
+            pass
+        except Exception as ex:  # pragma: no cover
+            pytest.fail(f"untyped crash on corrupted tiled JPX: {ex!r}")
