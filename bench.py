@@ -300,6 +300,26 @@ _SCALE_SET = (
 _CAL_REF = {"python_sec": 0.30, "jvm_sec": 0.65}
 
 
+def _read_cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — the DIRECT hypervisor
+    steal measurement (r15): the molasses phases that inflated three
+    rounds of walls are VM co-tenant steal, which a CPU calibration
+    kernel only samples at two instants; per-run steal deltas mark
+    exactly which walls a phase hit."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(v) for v in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def _steal_pct_since(prev: tuple[int, int]) -> tuple[float, tuple]:
+    cur = _read_cpu_jiffies()
+    dt = cur[1] - prev[1]
+    pct = round(100.0 * (cur[0] - prev[0]) / dt, 2) if dt > 0 else 0.0
+    return pct, cur
+
+
 def _cal_python_kernel() -> float:
     import numpy as np
 
@@ -327,12 +347,15 @@ def calibration_section(spark) -> dict:
     # 2 warmups + best of 5: single warm runs still wobble +-35% on
     # this container (scheduler placement), and a noisy factor is
     # worse than none — min over 5 lands within ~5% run-to-run
+    jiff = _read_cpu_jiffies()
     for _ in range(2):
         _cal_python_kernel()
         _cal_jvm_kernel(spark)
     py = min(_cal_python_kernel() for _ in range(5))
     jvm = min(_cal_jvm_kernel(spark) for _ in range(5))
+    steal, _ = _steal_pct_since(jiff)
     return {
+        "steal_pct": steal,
         "python_sec": round(py, 4),
         "jvm_sec": round(jvm, 4),
         "ref": dict(_CAL_REF),
@@ -549,13 +572,16 @@ def sf1_section(spark, sf_dir: str, specs) -> dict:
             runs = []
             for i in range(4):
                 gc0 = _jvm_gc_ms(spark)
+                jiff = _read_cpu_jiffies()
                 t0 = time.time()
                 fn(spark, dest).write.format("noop").mode("overwrite").save()
+                steal, _ = _steal_pct_since(jiff)
                 runs.append(
                     {
                         "sec": round(time.time() - t0, 3),
                         "gc_ms": _jvm_gc_ms(spark) - gc0,
                         "load1": round(os.getloadavg()[0], 2),
+                        "steal_pct": steal,
                     }
                 )
             queries[name] = min(r["sec"] for r in runs[1:])
@@ -602,13 +628,16 @@ def sf100_section(spark, sf_dir: str, specs, jvm_factor: float = 1.0) -> dict:
         runs = []
         for _ in range(2):  # best-of-2 (cold pass kept visible in runs)
             gc0 = _jvm_gc_ms(spark)
+            jiff = _read_cpu_jiffies()
             t0 = time.time()
             fn(spark, dest).write.format("noop").mode("overwrite").save()
+            steal, _ = _steal_pct_since(jiff)
             runs.append(
                 {
                     "sec": round(time.time() - t0, 3),
                     "gc_ms": _jvm_gc_ms(spark) - gc0,
                     "load1": round(os.getloadavg()[0], 2),
+                    "steal_pct": steal,
                 }
             )
         queries[name] = min(r["sec"] for r in runs)
@@ -728,9 +757,11 @@ def main() -> None:
 
     cold = os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
     timings: dict[str, float] = {}
+    query_steal: dict[str, float] = {}
     for name in sorted(specs):
         runs = 1 if cold else 4
         best = None
+        jiff = _read_cpu_jiffies()
         for i in range(runs):
             t0 = time.time()
             df = specs[name].fn(spark, sf_dir)
@@ -741,6 +772,7 @@ def main() -> None:
             # otherwise-identical idle-machine runs)
             if i > 0:
                 best = took if best is None else min(best, took)
+        query_steal[name], _ = _steal_pct_since(jiff)
         timings[name] = best if best is not None else took
 
     # same steady-state methodology as the queries: the first run pays
@@ -826,6 +858,11 @@ def main() -> None:
         # *_normalized values = raw * jvm_factor (reference-host
         # terms, see _CAL_REF)
         "calibration": {"start": cal_start, "end": cal_end},
+        # hypervisor steal over EACH query's 4-run window (r15: the
+        # direct measurement of the VM co-tenant phases; a wall with
+        # steal_pct >~ 10 was hit by a phase regardless of what the
+        # two-point CPU calibration factors say)
+        "query_steal_pct": query_steal,
         "value_normalized": round(total * jvm_factor, 3),
         "value_comparable_r4_normalized": round(
             comparable * jvm_factor, 3),

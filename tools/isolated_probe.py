@@ -38,15 +38,25 @@ def main() -> None:
     fn = all_specs()[spec_name].fn
     same_plan = plan_fingerprint(fn(spark, sf_dir)) == plan_fingerprint(
         fn(spark, scaled_dir))
+    def steal_jiffies():
+        with open("/proc/stat") as f:
+            vals = [int(v) for v in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+
     runs = []
+    steals = []
     for _ in range(3):  # 1 warm-up + best-of-2, matching sf100_section
+        s0, t0j = steal_jiffies()
         t0 = time.time()
         fn(spark, scaled_dir).write.format("noop").mode("overwrite").save()
+        s1, t1j = steal_jiffies()
         runs.append(round(time.time() - t0, 3))
+        steals.append(round(100.0 * (s1 - s0) / max(t1j - t0j, 1), 2))
     print(json.dumps({
         "spec": spec_name,
         "sec": min(runs[1:]),
         "runs": runs,
+        "steal_pct_per_run": steals,
         "same_plan_shape": same_plan,
         "load1": round(os.getloadavg()[0], 2),
         "fresh_process": True,
