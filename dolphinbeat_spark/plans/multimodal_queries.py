@@ -120,7 +120,15 @@ def mm_feature_extract_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-faithful end to end."""
     d = load(spark, sf_dir, "documents")
     media = M.attach_binary_payload(d, "doc_id", "text")
-    return M.extract_binary_features(media).orderBy("media_id")
+    # explicit exchange + in-partition sort: a global orderBy would
+    # range-sample and run the map-only Arrow chain twice (the r15
+    # decode-wall finding); tiny bounded result, standard total-order
+    # sink boundary
+    return (
+        M.extract_binary_features(media)
+        .repartition(1)
+        .sortWithinPartitions("media_id")
+    )
 
 
 @register(

@@ -409,7 +409,14 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
               "<noscript>js off</noscript></body></html>"),
     )
     pages = d.select("doc_id", page.alias("html"))
-    return html_extract(pages).orderBy("doc_id")
+    # explicit exchange + in-partition sort: a global orderBy would
+    # range-sample and run the map-only Arrow extraction twice (the
+    # r15 decode-wall finding); bounded result, total-order boundary
+    return (
+        html_extract(pages)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
 
 
 @register(
