@@ -723,6 +723,24 @@ def _cblk_grid(bw: int, bh: int, cw: int, ch: int) -> tuple[int, int]:
         (bh + ch - 1) // ch if bh else 0
 
 
+def _cblk_cells(b0: int, bn: int, cs: int) -> list[tuple[int, int]]:
+    """Cut band interval [b0, b0+bn) by the code-block partition
+    anchored at ABSOLUTE multiples of ``cs`` (T.800 B.7: the
+    partition lives in the band coordinate system, origin 0 — not at
+    the tile's band origin). Returns [(band-local offset, extent)]
+    per intersecting cell; an interior tile whose band origin is not
+    a cell multiple gets a partial FIRST cell (r16, ADVICE fix)."""
+    if not bn:
+        return []
+    out = []
+    x, end = b0, b0 + bn
+    while x < end:
+        nxt = min((x // cs + 1) * cs, end)
+        out.append((x - b0, nxt - x))
+        x = nxt
+    return out
+
+
 def _packet_order(progression: int, layers: int,
                   levels_list: list[int] | tuple[int, ...]):
     """(layer, resolution, component) triples in progression order
@@ -886,6 +904,14 @@ def _decode(data: bytes, max_pixels: int) -> tuple[int, int, np.ndarray]:
             f"JPX tile grid {xt}x{yt} not a multiple of 2^levels "
             f"(2^{max_levels}) — unaligned tile anchoring not "
             "supported")
+    # r16 (ADVICE): T.800 additionally anchors the CODE-BLOCK
+    # partition at absolute band coordinates — an interior tile's
+    # band origin tbx0 = k*(xt >> n) need not be a block multiple
+    # (256-pitch tiles, 5 levels, 64-wide blocks -> tbx0 = 8k), so
+    # the tile's first block per band can be partial. _decode_tile
+    # takes the tile origin and cuts its block grid on the absolute
+    # partition (_cblk_cells), so conformant interior tiles decode
+    # exactly; no alignment guard is needed beyond DWT parity.
     canvas = None
     for i in range(ntiles):
         tx, ty = i % ntx, i // ntx
@@ -895,7 +921,7 @@ def _decode(data: bytes, max_pixels: int) -> tuple[int, int, np.ndarray]:
         tsiz["w"], tsiz["h"] = tw, th
         tdata = b"".join(d for _, d in sorted(tile_parts[i]))
         _, _, px = _decode_tile(tsiz, cod, qcd, coc, qcc, tdata,
-                                max_pixels)
+                                max_pixels, org=(tx * xt, ty * yt))
         if canvas is None:
             canvas = np.zeros((h, w, px.shape[2]), px.dtype)
         canvas[ty * yt:ty * yt + th, tx * xt:tx * xt + tw] = px
@@ -1038,8 +1064,11 @@ def _merge_coc(cod: dict, ov: dict) -> dict:
 
 
 def _decode_tile(siz, cod, qcd, coc, qcc, tdata: bytes,
-                 max_pixels: int) -> tuple[int, int, np.ndarray]:
+                 max_pixels: int,
+                 org: tuple[int, int] = (0, 0)
+                 ) -> tuple[int, int, np.ndarray]:
     w, h, nc = siz["w"], siz["h"], siz["ncomps"]
+    tx0, ty0 = org  # absolute canvas origin: anchors the block grid
     layers = cod["layers"]
     ccod = [(_merge_coc(cod, coc[c]) if c in coc else cod)
             for c in range(nc)]
@@ -1058,6 +1087,8 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tdata: bytes,
 
     # per-component, per-band coefficient arrays + codeblock registry
     bands: dict[tuple[int, int, str], np.ndarray] = {}
+    cells: dict[tuple[int, int, str],
+                tuple[list[tuple[int, int]], list[tuple[int, int]]]] = {}
     cblks: dict[tuple, dict] = {}
     incl_trees: dict[tuple, _TagTree] = {}
     zbp_trees: dict[tuple, _TagTree] = {}
@@ -1068,7 +1099,10 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tdata: bytes,
             for band, lvl in _res_bands(r, levels):
                 bw, bh = _band_dims(w, h, lvl, band)
                 bands[(c, r, band)] = np.zeros((bh, bw), np.int64)
-                gx, gy = _cblk_grid(bw, bh, cw, ch)
+                xs = _cblk_cells(tx0 >> lvl, bw, cw)
+                ys = _cblk_cells(ty0 >> lvl, bh, ch)
+                cells[(c, r, band)] = (xs, ys)
+                gx, gy = len(xs), len(ys)
                 if gx and gy:
                     incl_trees[(c, r, band)] = _TagTree(gx, gy)
                     zbp_trees[(c, r, band)] = _TagTree(gx, gy)
@@ -1097,8 +1131,8 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tdata: bytes,
                 pos += 2
             continue
         for band, lvl in _res_bands(r, levels):
-            bw, bh = _band_dims(w, h, lvl, band)
-            gx, gy = _cblk_grid(bw, bh, cw, ch)
+            xs, ys = cells[(c, r, band)]
+            gx, gy = len(xs), len(ys)
             for cy in range(gy):
                 for cx in range(gx):
                     cb = cblks[(c, r, band, cx, cy)]
@@ -1139,14 +1173,9 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tdata: bytes,
     for (c, r, band, cx, cy), cb in cblks.items():
         if not cb["included"] or cb["npasses"] == 0:
             continue
-        levels = levels_list[c]
-        cw, ch = 1 << ccod[c]["xcb"], 1 << ccod[c]["ycb"]
-        _, lvl = next((bn, lv) for bn, lv in _res_bands(r, levels)
-                      if bn == band)
-        bw, bh = _band_dims(w, h, lvl, band)
-        x0, y0 = cx * cw, cy * ch
-        ww = min(cw, bw - x0)
-        hh = min(ch, bh - y0)
+        xs, ys = cells[(c, r, band)]
+        x0, ww = xs[cx]
+        y0, hh = ys[cy]
         eps, _mu = _qparams(cq[c], r, band)
         mb = cq[c]["guard"] + eps - 1
         numbps = mb - cb["zbp"]
@@ -1288,7 +1317,8 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
     qpairs_list = [_enc_qpairs(qstyle_list[c], depth, levels_list[c])
                    for c in range(nc)]
 
-    def tile_body(pxt: np.ndarray) -> bytes:
+    def tile_body(pxt: np.ndarray,
+                  org: tuple[int, int] = (0, 0)) -> bytes:
         h, w = pxt.shape[0], pxt.shape[1]
         if transform == 1:
             comps = [pxt[:, :, c].astype(np.int64) - (1 << (depth - 1))
@@ -1335,19 +1365,28 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
                         np.sign(arr)
                         * np.floor(np.abs(arr) / delta)).astype(np.int64)
 
+        # absolute-anchored block grid per band (mirrors the decoder:
+        # T.800 B.7 anchors the partition at band origin 0, so an
+        # interior tile's first cell can be partial)
+        cells: dict[tuple, tuple[list, list]] = {}
+        for (c, r, band), arr in bands.items():
+            cw, ch = 1 << cblk_list[c][0], 1 << cblk_list[c][1]
+            lvl = levels_list[c] if r == 0 else levels_list[c] - r + 1
+            bh, bw = arr.shape
+            cells[(c, r, band)] = (_cblk_cells(org[0] >> lvl, bw, cw),
+                                   _cblk_cells(org[1] >> lvl, bh, ch))
+
         # Tier-1 encode every codeblock
         enc_blocks: dict[tuple, tuple[bytes, int, int]] = {}
         for (c, r, band), arr in bands.items():
-            cw, ch = 1 << cblk_list[c][0], 1 << cblk_list[c][1]
-            bh, bw = arr.shape
-            gx, gy = _cblk_grid(bw, bh, cw, ch)
+            xs, ys = cells[(c, r, band)]
             q = {"style": qstyle_list[c], "guard": guard,
                  "pairs": qpairs_list[c]}
             eps, _mu = _qparams(q, r, band)
             mb = guard + eps - 1
-            for cy in range(gy):
-                for cx in range(gx):
-                    blk = arr[cy * ch:(cy + 1) * ch, cx * cw:(cx + 1) * cw]
+            for cy, (y0, hh) in enumerate(ys):
+                for cx, (x0, ww) in enumerate(xs):
+                    blk = arr[y0:y0 + hh, x0:x0 + ww]
                     data, numbps, npasses = _t1_encode(blk, band, segsym)
                     if numbps > mb:
                         raise JpxError("coefficient exceeds Mb range")
@@ -1361,9 +1400,8 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
         zbp_vals: dict[tuple, dict] = {}
         zbp_grids: dict[tuple, np.ndarray] = {}
         for (c, r, band), arr in bands.items():
-            cw, ch = 1 << cblk_list[c][0], 1 << cblk_list[c][1]
-            bh, bw = arr.shape
-            gx, gy = _cblk_grid(bw, bh, cw, ch)
+            xs, ys = cells[(c, r, band)]
+            gx, gy = len(xs), len(ys)
             if not (gx and gy):
                 continue
             q = {"style": qstyle_list[c], "guard": guard,
@@ -1396,10 +1434,8 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
             hw.bit(1)  # non-empty
             payload = bytearray()
             for band, _lvl in _res_bands(r, lv):
-                arr = bands[(c, r, band)]
-                cw, ch = 1 << cblk_list[c][0], 1 << cblk_list[c][1]
-                bh, bw = arr.shape
-                gx, gy = _cblk_grid(bw, bh, cw, ch)
+                xs, ys = cells[(c, r, band)]
+                gx, gy = len(xs), len(ys)
                 if not (gx and gy):
                     continue
                 incl = incl_trees[(c, r, band)]
@@ -1479,7 +1515,8 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
     stream = bytearray(b"\xff\x4f" + markers)
     for i in range(ntx * nty):
         tx, ty = i % ntx, i // ntx
-        body = tile_body(px[ty * yt:ty * yt + yt, tx * xt:tx * xt + xt])
+        body = tile_body(px[ty * yt:ty * yt + yt, tx * xt:tx * xt + xt],
+                         org=(tx * xt, ty * yt))
         n_parts = max(1, min(tile_parts, len(body) or 1))
         cut = max(1, len(body) // n_parts) if body else 0
         pieces = [body[k * cut:(k + 1) * cut] for k in range(n_parts - 1)]

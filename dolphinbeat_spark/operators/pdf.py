@@ -1058,6 +1058,17 @@ def _predefined_cmap_codec(enc: str) -> str | None:
     return _PREDEFINED_CMAP_CODECS.get(base)
 
 
+class _PartialCidCmap(dict):
+    """CID→unicode map covering only the ordering's published ASCII
+    slice of a CID-keyed CFF (no /ToUnicode, names unrecoverable past
+    the slice). A show code outside the slice means the page's real
+    text would degrade to replacement-character noise — raise by name
+    instead of silently emitting it (ADVICE r15). CID 0 (.notdef)
+    stays quiet: writers emit it for blank glyphs."""
+
+    collection: str = ""
+
+
 def _type0_cmap_from_font(doc: PdfDocument, f: dict,
                           fname: str) -> dict[int, str]:
     """A Type0 font WITHOUT /ToUnicode -> {2-byte code: unicode} via
@@ -1109,7 +1120,8 @@ def _type0_cmap_from_font(doc: PdfDocument, f: dict,
             # registry's full UCS2 CMap resources: a show code past
             # the slice stays unmapped, and Adobe-Identity ROS (CIDs
             # are font-private) keeps the named raise.
-            lat = cid_latin_slice(cff.ros_strings())
+            ros = cff.ros_strings()
+            lat = cid_latin_slice(ros)
             if lat is None:
                 raise NotImplementedError(
                     f"Type0 font {fname!r} without /ToUnicode embeds "
@@ -1117,7 +1129,9 @@ def _type0_cmap_from_font(doc: PdfDocument, f: dict,
                     "ROS: CIDs are font-private, so unicode is not "
                     "recoverable"
                 )
-            return lat
+            strict = _PartialCidCmap(lat)
+            strict.collection = "-".join(str(x) for x in ros[:2])
+            return strict
         out: dict[int, str] = {}
         for gid in range(1, cff.n_glyphs):  # CID == GID (§9.7.4.2)
             u = glyph_name_to_unicode(cff.glyph_name(gid))
@@ -1273,7 +1287,18 @@ def _extract_page_text(doc: PdfDocument, content: bytes,
         chars = []
         for i in range(0, len(b) - 1, 2):  # Identity-H: 2-byte codes
             code = (b[i] << 8) | b[i + 1]
-            chars.append(cur_cmap.get(code, "�"))
+            u = cur_cmap.get(code)
+            if u is None and code != 0 and \
+                    isinstance(cur_cmap, _PartialCidCmap):
+                raise NotImplementedError(
+                    f"CID {code} of {cur_cmap.collection} is outside "
+                    "the published ASCII slice and the font has no "
+                    "/ToUnicode: CJK text needs the registry's full "
+                    "UCS2 CMap resources")
+            chars.append(u if u is not None else
+                         ("" if code == 0 and
+                          isinstance(cur_cmap, _PartialCidCmap)
+                          else "�"))
         if len(b) % 2:  # stray trailing byte: replacement, not a crash
             chars.append("�")
         lines[-1].append("".join(chars))

@@ -399,6 +399,10 @@ def _decode_tiff_ojpeg(data: bytes, t: dict, w: int, h: int,
         if jw < w or jh < h:
             raise TiffError(
                 f"old-style JPEG is {jw}x{jh}, geometry wants {w}x{h}")
+        if arr.shape[2] != spp:
+            raise TiffError(
+                f"old-style JPEG stream decodes {arr.shape[2]} "
+                f"components, IFD SamplesPerPixel says {spp}")
         return w, h, arr[:h, :w]
 
     if 519 not in t or 520 not in t or 521 not in t:

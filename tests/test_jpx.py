@@ -336,6 +336,23 @@ def test_jpx_multi_tile():
     # non-power-of-two pitch that is still 2^levels-aligned is fine
     cs = J.encode_jpx(big, levels=2, tile=(36, 32))
     assert np.array_equal(J.decode_jpx(cs)[2], big)
+    # r16 (ADVICE): absolute code-block anchoring — interior tiles
+    # whose band origin is NOT a block multiple get a partial first
+    # block (tile 12, level 1 -> origin 6k; 8-wide blocks cut the
+    # 6-wide band of tile 1 into 2+4), unlike the old 0-anchored
+    # grid which emitted one 6-wide block.
+    assert J._cblk_cells(6, 6, 8) == [(0, 2), (2, 4)]
+    assert J._cblk_cells(0, 6, 8) == [(0, 6)]
+    assert J._cblk_cells(64, 32, 64) == [(0, 32)]
+    assert J._cblk_cells(8, 96, 64) == [(0, 56), (56, 40)]
+    tiny = rng.randint(0, 256, (24, 24), dtype=np.uint8)
+    cs = J.encode_jpx(tiny, levels=1, tile=(12, 12), cblk_exp=(3, 3))
+    assert np.array_equal(J.decode_jpx(cs)[2][:, :, 0], tiny)
+    # the wild scanner geometry's shape: pitch >> levels not a block
+    # multiple but DWT-parity aligned still roundtrips exactly
+    med = rng.randint(0, 256, (40, 72), dtype=np.uint8)
+    cs = J.encode_jpx(med, levels=2, tile=(24, 20), cblk_exp=(3, 3))
+    assert np.array_equal(J.decode_jpx(cs)[2][:, :, 0], med)
     # lossy multi-tile stays inside the fixture tolerance
     cs = J.encode_jpx(big, levels=2, mct=True, transform=0,
                       qstyle=2, tile=(32, 32))

@@ -2963,6 +2963,17 @@ def test_tiff_ojpeg_compression6():
         for r in range(0, 24, 8)
     ])
     assert np.array_equal(got, want)
+    # r16 (ADVICE): interchange stream whose component count
+    # contradicts the IFD's SamplesPerPixel raises, mirroring the
+    # tables-form check (RGB stream, IFD patched to say spp=1)
+    t = bytearray(encode_tiff_ojpeg(16, 16,
+                                    bytes([100, 150, 200]) * 256,
+                                    layout="interchange"))
+    i = bytes(t).find((277).to_bytes(2, "little"))
+    assert i > 0 and t[i + 8] == 3
+    t[i + 8] = 1
+    with pytest.raises(TiffError, match="SamplesPerPixel"):
+        decode_tiff(bytes(t))
     # hostile fuzz over both layouts stays typed
     seeds = [encode_tiff_ojpeg(8, 8, bytes(64), gray=True,
                                layout=lo) for lo in ("interchange",

@@ -882,6 +882,33 @@ def test_pdf_cid_keyed_cff_latin_slice_recovery():
         encode_pdf([["日本語"]], unicode_text="cff-cid")
 
 
+def test_pdf_partial_cid_cmap_misses_raise_by_name():
+    """r16 (ADVICE): a show code past the CID-keyed-CFF ASCII slice
+    must raise by name, not degrade to U+FFFD noise — a Japanese PDF
+    without /ToUnicode is unrecoverable, and silent replacement
+    characters would flow downstream as valid text. CID 0 (.notdef)
+    stays quiet."""
+    from dolphinbeat_spark.operators.pdf import (
+        _PartialCidCmap, _extract_page_text,
+    )
+
+    cm = _PartialCidCmap({1: " ", 33: "@", 95: "~"})
+    cm.collection = "Adobe-Japan1"
+    fonts = {"F1": cm}
+    assert _extract_page_text(None, b"BT /F1 12 Tf <0021> Tj ET",
+                              fonts) == "@"
+    # .notdef shows nothing, quietly
+    assert _extract_page_text(None, b"BT /F1 12 Tf <0000 0021> Tj ET",
+                              fonts) == "@"
+    with pytest.raises(NotImplementedError,
+                       match="outside the published ASCII slice"):
+        _extract_page_text(None, b"BT /F1 12 Tf <0100> Tj ET", fonts)
+    # a plain ToUnicode dict (not the partial marker) keeps the
+    # spec's quiet replacement for unmapped codes
+    assert _extract_page_text(None, b"BT /F2 12 Tf <0100> Tj ET",
+                              {"F2": {33: "@"}}) == "�"
+
+
 def test_cff_cid_latin_slice_table():
     """cid_latin_slice: the published orderings map, Identity and
     foreign registries return None, CNS1 stops at the conservative
