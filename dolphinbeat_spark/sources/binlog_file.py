@@ -552,6 +552,91 @@ def _read_row_image_partial(
     return tuple(vals), pos
 
 
+class BinlogEventDecoder:
+    """Incremental event decoder: ONE event's raw bytes per call.
+
+    The network replication stream (COM_BINLOG_DUMP) delivers exactly
+    one event per packet with no file magic, so the cross-event state
+    machine — the FDE's checksum-algorithm declaration and the
+    TABLE_MAP registry rows events reference — lives here;
+    :func:`parse_binlog_events` drives one instance over file bytes
+    and ``sources/repl_client.py`` drives one over socket packets."""
+
+    def __init__(self):
+        self.checksum = 0  # set from the FDE
+        self.tables: dict[int, _TableMap] = {}
+
+    def feed(self, raw: bytes, at: int = 0) -> list:
+        """``raw`` is one complete event (19-byte header + body).
+        Returns the decoded duck-typed events — [] for bookkeeping
+        types a CDC consumer ignores, several for TRANSACTION_PAYLOAD.
+        ``at`` is a caller-side coordinate used only in messages."""
+        if len(raw) < 19:
+            raise BinlogFormatError(f"truncated event at offset {at}")
+        ts, etype, _server_id, esize, log_pos, _flags = struct.unpack_from(
+            "<IBIIIH", raw, 0
+        )
+        if esize < 19 or esize != len(raw):
+            raise BinlogFormatError(f"truncated event at offset {at}")
+        body = raw[19:]
+        if etype == EV_FORMAT_DESCRIPTION:
+            # trailer: [checksum_alg 1B][crc 4B] — written by 5.6.1+
+            # servers only. A 5.1-5.5 archive (the ROWS v1 era this
+            # parser also accepts) has NO trailer, so body[-5] there is
+            # a post-header-length-table byte; gate on the declared
+            # server version like go-mysql's parser does
+            binlog_version = struct.unpack_from("<H", body, 0)[0]
+            if binlog_version != 4:
+                raise BinlogFormatError(
+                    f"unsupported binlog version {binlog_version}")
+            server_version = body[2:52].split(b"\x00", 1)[0].decode(
+                "ascii", "replace")
+            # MariaDB backported binlog checksums in 5.3, so a
+            # "5.5.x-MariaDB" archive DOES carry the trailer even though
+            # the numeric triple is pre-5.6.1 (ADVICE r7 finding)
+            trailer_floor = (
+                (5, 3, 0) if "-MariaDB" in server_version else (5, 6, 1)
+            )
+            self.checksum = (
+                body[-5]
+                if _version_at_least(server_version, trailer_floor)
+                else 0
+            )
+            if self.checksum == 1:
+                (crc,) = struct.unpack_from("<I", raw, esize - 4)
+                if zlib.crc32(raw[: esize - 4]) & 0xFFFFFFFF != crc:
+                    raise BinlogFormatError("FDE CRC mismatch")
+            return []
+        if self.checksum == 1:
+            (crc,) = struct.unpack_from("<I", raw, esize - 4)
+            if zlib.crc32(raw[: esize - 4]) & 0xFFFFFFFF != crc:
+                raise BinlogFormatError(
+                    f"event CRC mismatch at offset {at} (type {etype:#x})"
+                )
+            body = body[:-4]
+
+        # any malformed body from here down must surface as the typed
+        # BinlogFormatError (the loud-failure contract the fuzz test
+        # pins) — reachable when the file was written without CRC32
+        # (5.1-5.5, or binlog_checksum=NONE) so corruption has no
+        # checksum to trip first
+        try:
+            if etype == EV_TRANSACTION_PAYLOAD:
+                return _decode_transaction_payload(
+                    body, ts, _server_id, log_pos, self.tables
+                )
+            ev = _decode_body(etype, ts, _server_id, log_pos, body,
+                              self.tables)
+            return [] if ev is None else [ev]
+        except (BinlogFormatError, NotImplementedError):
+            raise
+        except Exception as ex:
+            raise BinlogFormatError(
+                f"malformed event body at offset {at} "
+                f"(type {etype:#x}): {ex}"
+            ) from ex
+
+
 def parse_binlog_events(data: bytes):
     """Yield duck-typed events from the raw bytes of one binlog file.
 
@@ -563,68 +648,13 @@ def parse_binlog_events(data: bytes):
     if data[:4] != BINLOG_MAGIC:
         raise BinlogFormatError("not a binlog file (bad magic)")
     pos = 4
-    checksum = 0  # set from the FDE
-    tables: dict[int, _TableMap] = {}
+    dec = BinlogEventDecoder()
     while pos + 19 <= len(data):
-        ts, etype, _server_id, esize, log_pos, _flags = struct.unpack_from(
-            "<IBIIIH", data, pos
-        )
+        esize = struct.unpack_from("<I", data, pos + 9)[0]
         if esize < 19 or pos + esize > len(data):
             raise BinlogFormatError(f"truncated event at offset {pos}")
-        body = data[pos + 19:pos + esize]
-        if etype == EV_FORMAT_DESCRIPTION:
-            # trailer: [checksum_alg 1B][crc 4B] — written by 5.6.1+
-            # servers only. A 5.1-5.5 archive (the ROWS v1 era this
-            # parser also accepts) has NO trailer, so body[-5] there is
-            # a post-header-length-table byte; gate on the declared
-            # server version like go-mysql's parser does
-            binlog_version = struct.unpack_from("<H", body, 0)[0]
-            if binlog_version != 4:
-                raise BinlogFormatError(f"unsupported binlog version {binlog_version}")
-            server_version = body[2:52].split(b"\x00", 1)[0].decode("ascii", "replace")
-            # MariaDB backported binlog checksums in 5.3, so a
-            # "5.5.x-MariaDB" archive DOES carry the trailer even though
-            # the numeric triple is pre-5.6.1 (ADVICE r7 finding)
-            trailer_floor = (
-                (5, 3, 0) if "-MariaDB" in server_version else (5, 6, 1)
-            )
-            checksum = body[-5] if _version_at_least(server_version, trailer_floor) else 0
-            if checksum == 1:
-                (crc,) = struct.unpack_from("<I", data, pos + esize - 4)
-                if zlib.crc32(data[pos:pos + esize - 4]) & 0xFFFFFFFF != crc:
-                    raise BinlogFormatError("FDE CRC mismatch")
-            pos += esize
-            continue
-        if checksum == 1:
-            (crc,) = struct.unpack_from("<I", data, pos + esize - 4)
-            if zlib.crc32(data[pos:pos + esize - 4]) & 0xFFFFFFFF != crc:
-                raise BinlogFormatError(
-                    f"event CRC mismatch at offset {pos} (type {etype:#x})"
-                )
-            body = body[:-4]
+        yield from dec.feed(data[pos:pos + esize], at=pos)
         pos += esize
-
-        # any malformed body from here down must surface as the typed
-        # BinlogFormatError (the loud-failure contract the fuzz test
-        # pins) — reachable when the file was written without CRC32
-        # (5.1-5.5, or binlog_checksum=NONE) so corruption has no
-        # checksum to trip first
-        try:
-            if etype == EV_TRANSACTION_PAYLOAD:
-                evs = _decode_transaction_payload(
-                    body, ts, _server_id, log_pos, tables
-                )
-            else:
-                ev = _decode_body(etype, ts, _server_id, log_pos, body, tables)
-                evs = [] if ev is None else [ev]
-        except (BinlogFormatError, NotImplementedError):
-            raise
-        except Exception as ex:
-            raise BinlogFormatError(
-                f"malformed event body at offset {pos - esize} "
-                f"(type {etype:#x}): {ex}"
-            ) from ex
-        yield from evs
 
 
 # TRANSACTION_PAYLOAD TLV field types (WL#3549, public

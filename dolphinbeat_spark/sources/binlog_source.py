@@ -537,15 +537,8 @@ class LiveBinlogStreamReader(SimpleDataSourceStreamReader):
         # matching the reference's start-from-now bootstrap
         if not self.options.get("file") and not self.options.get("gtid_set"):
             runner = self._runner
-            if runner is None and self.options.get("host"):  # pragma: no cover
-                runner = pymysql_query_runner(
-                    {
-                        "host": self.options.get("host", "127.0.0.1"),
-                        "port": int(self.options.get("port", "3306")),
-                        "user": self.options.get("user", ""),
-                        "passwd": self.options.get("password", ""),
-                    }
-                )
+            if runner is None and self.options.get("host"):
+                runner = default_query_runner(self.options)
             if runner is not None:
                 return probe_master_offset(runner).to_json()
         return BinlogOffset(
@@ -798,6 +791,28 @@ def pymysql_query_runner(conn: dict):  # pragma: no cover - needs live MySQL
     return run
 
 
+def default_query_runner(options: dict):
+    """Probe runner from reader options: pymysql when importable,
+    else the in-repo native client (same ``run_query(sql) -> rows``
+    shape — loopback-tested)."""
+    try:
+        import pymysql  # noqa: F401
+    except ImportError:
+        from dolphinbeat_spark.sources.repl_client import (
+            native_query_runner,
+        )
+
+        return native_query_runner(options)
+    return pymysql_query_runner(  # pragma: no cover - needs pymysql
+        {
+            "host": options.get("host", "127.0.0.1"),
+            "port": int(options.get("port", "3306")),
+            "user": options.get("user", ""),
+            "passwd": options.get("password", ""),
+        }
+    )
+
+
 #: MariaDB GTID: domain-server-seq, no colon (canal/gtid.go:21-25 parses
 #: these via ParseMariadbGTIDSet; a MariaDB SET holds ONE current
 #: position per replication domain, not intervals)
@@ -915,12 +930,38 @@ def gtid_set_covers(a: str, b: str) -> bool:
     return all(p in pa.opaque for p in pb.opaque)
 
 
-def live_event_iter(options: dict, offset: BinlogOffset):  # pragma: no cover - needs live MySQL
-    """Construct the real ``pymysqlreplication.BinLogStreamReader``
-    positioned at ``offset`` (gtid set preferred, else file/pos —
-    reference ``canal/sync.go:46-67``). ROW-format is asserted the way
-    the reference does (``canal/canal.go:368-377``) when ``pymysql``
-    can reach the server."""
+def live_event_iter(options: dict, offset: BinlogOffset):
+    """Construct the live event iterator positioned at ``offset``
+    (gtid set preferred, else file/pos — reference
+    ``canal/sync.go:46-67``), asserting ROW format the way the
+    reference does (``canal/canal.go:368-377``).
+
+    Two interchangeable transports (``options['client']``):
+    ``native`` — the in-repo replication client
+    (:mod:`dolphinbeat_spark.sources.repl_client`), exercised
+    end-to-end by the scripted-loopback protocol test;
+    ``pymysqlreplication`` — the public library, when installed.
+    ``auto`` (default) prefers the library and falls back to native,
+    so the engine runs live in environments that ship neither
+    pymysql nor pymysqlreplication."""
+    client = options.get("client", "auto")
+    if client not in ("auto", "native", "pymysqlreplication"):
+        raise ValueError(f"unknown binlog client {client!r}")
+    if client != "pymysqlreplication":
+        try:
+            if client == "native":
+                raise ImportError  # forced native
+            from pymysqlreplication import BinLogStreamReader  # noqa: F401
+        except ImportError:
+            from dolphinbeat_spark.sources.repl_client import (
+                native_event_iter,
+            )
+
+            return native_event_iter(options, offset)
+    return _pymysqlrepl_event_iter(options, offset)
+
+
+def _pymysqlrepl_event_iter(options: dict, offset: BinlogOffset):  # pragma: no cover - needs live MySQL
     from pymysqlreplication import BinLogStreamReader
 
     conn = {
@@ -1232,15 +1273,8 @@ class ArrowBinlogStreamReader(DataSourceStreamReader):
         state["_provider_ready"] = None
         return state
 
-    def _runner(self):  # pragma: no cover - needs live MySQL
-        return pymysql_query_runner(
-            {
-                "host": self.options.get("host", "127.0.0.1"),
-                "port": int(self.options.get("port", "3306")),
-                "user": self.options.get("user", ""),
-                "passwd": self.options.get("password", ""),
-            }
-        )
+    def _runner(self):
+        return default_query_runner(self.options)
 
     def initialOffset(self) -> dict:
         # start-from-now bootstrap: with no explicit coordinates the

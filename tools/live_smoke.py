@@ -16,10 +16,12 @@ Usage:
     [KAFKA_BOOTSTRAP=host:9092]                  \\
     python tools/live_smoke.py
 
-Exits 0 with a skip message when MYSQL_DSN is unset (CI-safe). Needs
-the public `pymysql` + `mysql-replication` packages for the MySQL
-half and `confluent_kafka` for the Kafka half — all import-gated with
-named errors, same posture as the production sources/sinks.
+Exits 0 with a skip message when MYSQL_DSN is unset (CI-safe). The
+MySQL half runs with ZERO extra packages since r16: when `pymysql` is
+absent, statements/probes ride the in-repo native replication client
+(`sources/repl_client.py`, loopback-protocol-tested) — the same
+transport `live_event_iter` auto-selects for the stream itself. The
+Kafka half still needs `confluent_kafka` (import-gated by name).
 
 The MySQL user needs REPLICATION SLAVE, REPLICATION CLIENT and DDL
 rights on the smoke database; binlog_format=ROW and
@@ -75,9 +77,7 @@ def main() -> int:
     try:
         import pymysql
     except ImportError:
-        raise SystemExit(
-            "live smoke needs the public 'pymysql' package "
-            "(pip install pymysql mysql-replication)")
+        pymysql = None  # native client (sources/repl_client) takes over
 
     from dolphinbeat_spark.session import get_spark
     from dolphinbeat_spark.sources.binlog_source import (
@@ -88,10 +88,41 @@ def main() -> int:
     spark = get_spark("live-smoke")
     report: dict = {"scenario": "canal_test.go:50-134", "steps": []}
 
-    conn = pymysql.connect(host=cfg["host"], port=cfg["port"],
-                           user=cfg["user"], passwd=cfg["password"])
-    _mysql_exec(
-        conn,
+    if pymysql is not None:
+        conn = pymysql.connect(host=cfg["host"], port=cfg["port"],
+                               user=cfg["user"], passwd=cfg["password"])
+
+        def exec_stmts(*stmts: str) -> None:
+            _mysql_exec(conn, *stmts)
+
+        def close_conn() -> None:
+            conn.close()
+
+        runner = pymysql_query_runner(
+            {"host": cfg["host"], "port": cfg["port"],
+             "user": cfg["user"], "passwd": cfg["password"]})
+    else:
+        from dolphinbeat_spark.sources.repl_client import (
+            MysqlConn, native_query_runner,
+        )
+
+        nconn = MysqlConn(cfg["host"], cfg["port"], cfg["user"],
+                          cfg["password"]).connect()
+        nconn.query("SET autocommit=1")
+
+        def exec_stmts(*stmts: str) -> None:
+            for st in stmts:
+                nconn.query(st)
+
+        def close_conn() -> None:
+            nconn.close()
+
+        runner = native_query_runner(
+            {"host": cfg["host"], "port": str(cfg["port"]),
+             "user": cfg["user"], "password": cfg["password"]})
+        report["steps"].append("transport=native (pymysql absent)")
+
+    exec_stmts(
         f"CREATE DATABASE IF NOT EXISTS {cfg['db']}",
         f"DROP TABLE IF EXISTS {cfg['db']}.{TABLE}",
         f"CREATE TABLE {cfg['db']}.{TABLE} ("
@@ -109,15 +140,11 @@ def main() -> int:
                                 cfg["password"])
     snap_path = Path(tempfile.mkdtemp(prefix="live_smoke_")) / "schema.json"
     registry.save(str(snap_path))
-    runner = pymysql_query_runner({"host": cfg["host"], "port": cfg["port"],
-                                   "user": cfg["user"],
-                                   "passwd": cfg["password"]})
     start = probe_master_offset(runner)
     report["steps"].append(f"snapshot+probe@{start.file}:{start.pos}")
 
     # 2. the reference scenario: insert -> ALTER -> insert
-    _mysql_exec(
-        conn,
+    exec_stmts(
         f"INSERT INTO {cfg['db']}.{TABLE} (name) VALUES ('before-ddl')",
         f"ALTER TABLE {cfg['db']}.{TABLE} ADD COLUMN score INT DEFAULT 7",
         f"INSERT INTO {cfg['db']}.{TABLE} (name, score)"
@@ -199,8 +226,8 @@ def main() -> int:
     else:
         report["steps"].append("kafka skipped (KAFKA_BOOTSTRAP unset)")
 
-    _mysql_exec(conn, f"DROP TABLE IF EXISTS {cfg['db']}.{TABLE}")
-    conn.close()
+    exec_stmts(f"DROP TABLE IF EXISTS {cfg['db']}.{TABLE}")
+    close_conn()
     report["pass"] = True
     print(json.dumps(report))
     return 0
