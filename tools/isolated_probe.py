@@ -43,6 +43,29 @@ def main() -> None:
             vals = [int(v) for v in f.readline().split()[1:]]
         return (vals[7] if len(vals) > 7 else 0), sum(vals)
 
+    # r16: the probe measures its OWN sustained-saturation window
+    # (bench._CAL_SUSTAINED) right before the timed runs — the factor
+    # bench.py uses to normalize this probe's wall, so the envelope
+    # verdict reflects the host state of THIS process's window, not
+    # the bench process's.
+    from bench import _CAL_SUSTAINED, _cal_sustained_kernel
+    # short warmup: in a fresh JVM the sustained kernel would
+    # otherwise pay executor spin-up + codegen inside its timed
+    # window (~6 s measured), biasing the factor low
+    spark.range(0, 1_000_000_000, 1, 32).selectExpr(
+        "id % 997 AS k", "id % 31 AS v").groupBy("k").agg(
+        {"v": "sum"}).collect()
+    s0, t0j = steal_jiffies()
+    sus_sec = _cal_sustained_kernel(spark)
+    s1, t1j = steal_jiffies()
+    sustained = {
+        "rows": _CAL_SUSTAINED["rows"],
+        "sec": round(sus_sec, 3),
+        "ref_sec": _CAL_SUSTAINED["ref_sec"],
+        "steal_pct": round(100.0 * (s1 - s0) / max(t1j - t0j, 1), 2),
+        "factor": round(_CAL_SUSTAINED["ref_sec"] / sus_sec, 4),
+    }
+
     runs = []
     steals = []
     for _ in range(3):  # 1 warm-up + best-of-2, matching sf100_section
@@ -58,6 +81,7 @@ def main() -> None:
         "runs": runs,
         "steal_pct_per_run": steals,
         "same_plan_shape": same_plan,
+        "sustained": sustained,
         "load1": round(os.getloadavg()[0], 2),
         "fresh_process": True,
     }))
