@@ -1125,19 +1125,24 @@ def _decode_symbol_dict_huffman(d: bytes, flags: int, input_syms: list,
     height class's symbols arrive as ONE collective bitmap — raw
     (BMSIZE=0, byte-aligned rows) or MMR-coded (the T.6 payload
     routed through operators/ccitt.py) — split by the decoded
-    widths. SDHUFF+SDREFAGG (Huffman refinement/aggregation) stays a
-    named boundary."""
-    if (flags >> 1) & 1:
-        raise NotImplementedError(
-            "JBIG2 Huffman symbol dictionary with refinement/"
-            "aggregation (SDHUFF=1 & SDREFAGG=1) not supported")
+    widths. SDHUFF+SDREFAGG (r16): each symbol instead decodes via
+    §6.5.8.2 single-instance refinement — the symbol ID read as
+    SBSYMCODELEN raw bits, RDX/RDY from table B.15, BMSIZE from
+    table B.1, then an arithmetic refinement stream over the next
+    BMSIZE byte-aligned bytes (GR contexts persist across the
+    dictionary; each window gets a fresh MQ decoder). REFAGGNINST >
+    1 (recursive text region) stays a named boundary, same as the
+    arithmetic profile."""
     if (flags >> 8) & 1:
         raise NotImplementedError(
             "JBIG2 imported bitmap coding contexts (segment flag bit "
             "8) not supported")
+    sdrefagg = (flags >> 1) & 1
+    rtemplate = (flags >> 12) & 1
     dh_sel = (flags >> 2) & 3
     dw_sel = (flags >> 4) & 3
     bm_sel = (flags >> 6) & 1
+    agg_sel = (flags >> 7) & 1
     ti = iter(tables)
 
     def pick(sel, std: dict, what: str) -> _HuffTable:
@@ -1157,8 +1162,24 @@ def _decode_symbol_dict_huffman(d: bytes, flags: int, input_syms: list,
     if dw_tab is None:
         raise Jbig2Error("reserved SDHUFFDW value 2")
     bm_tab = pick(bm_sel, {0: 1}, "BMSIZE")
+    agg_tab = pick(agg_sel, {0: 1}, "AGGINST") if sdrefagg else None
     ex_tab = _std_table(1)
-    pos = 2  # SDHUFF reads no AT pixels (§7.4.3.1.2)
+    # §6.5.8.2.2 fixed tables for the refinement fields
+    rd_tab = _std_table(15)
+    rsize_tab = _std_table(1)
+    pos = 2  # SDHUFF reads no generic AT pixels (§7.4.3.1.2)
+    rat = None
+    if sdrefagg and rtemplate == 0:
+        rat = []
+        for _ in range(2):
+            if pos + 2 > len(d):
+                raise Jbig2Error(
+                    "symbol dictionary refinement AT truncated")
+            rat.append((int.from_bytes(d[pos:pos + 1], "big",
+                                       signed=True),
+                        int.from_bytes(d[pos + 1:pos + 2], "big",
+                                       signed=True)))
+            pos += 2
     if pos + 8 > len(d):
         raise Jbig2Error("symbol dictionary counts truncated")
     n_ex, n_new = struct.unpack_from(">II", d, pos)
@@ -1168,6 +1189,9 @@ def _decode_symbol_dict_huffman(d: bytes, flags: int, input_syms: list,
             f"symbol dictionary declares {n_new} new / {n_ex} "
             "exported symbols")
     r = _MsbReader(d, pos)
+    code_len = _sym_code_len(len(input_syms) + n_new)
+    gr_icx = [0] * 8192
+    gr_mps = [0] * 8192
     new_syms: list = []
     hc_height = 0
     area = 0
@@ -1202,8 +1226,45 @@ def _decode_symbol_dict_huffman(d: bytes, flags: int, input_syms: list,
                 raise Jbig2Error(
                     f"symbol dictionary exceeds max_pixels="
                     f"{max_pixels}")
+            if sdrefagg:
+                # §6.5.8.2: refinement/aggregate coding replaces the
+                # collective bitmap — every symbol decodes here
+                n_inst = agg_tab.decode(r)
+                if n_inst is None or n_inst < 1:
+                    raise Jbig2Error(
+                        f"bad aggregate instance count {n_inst}")
+                if n_inst != 1:
+                    raise NotImplementedError(
+                        "JBIG2 multi-instance symbol aggregation "
+                        "(REFAGGNINST > 1, recursive text region) "
+                        "not supported")
+                sid = r.read(code_len)
+                pool0 = input_syms + new_syms
+                if sid >= len(pool0):
+                    raise Jbig2Error(
+                        f"aggregate refers to symbol {sid} of "
+                        f"{len(pool0)}")
+                rdx = rd_tab.decode(r)
+                rdy = rd_tab.decode(r)
+                bmsize = rsize_tab.decode(r)
+                if rdx is None or rdy is None or bmsize is None \
+                        or bmsize <= 0:
+                    raise Jbig2Error(
+                        "bad RDX/RDY/BMSIZE in Huffman aggregate")
+                r.byte_align()
+                start = r.byte_pos()
+                if start + bmsize > len(d):
+                    raise Jbig2Error(
+                        "Huffman aggregate refinement truncated")
+                new_syms.append(decode_refinement_region(
+                    sym_width, hc_height, pool0[sid], rdx, rdy,
+                    template=rtemplate, at=rat,
+                    decoder=MQDecoder(d[start:start + bmsize]),
+                    icx=gr_icx, mps=gr_mps))
+                r.bitpos = (start + bmsize) * 8
+                continue
             widths.append(sym_width)
-        if not widths:
+        if sdrefagg or not widths:
             continue
         tot = sum(widths)
         bmsize = bm_tab.decode(r)
@@ -1573,7 +1634,11 @@ def _decode_text_region_huffman(d: bytes, syms: list, info: dict,
     delta fields read standard/custom Huffman tables; symbol IDs
     read the per-region runcoded prefix table (35 runcodes, repeat
     semantics, then byte alignment); CURT reads log2(SBSTRIPS) raw
-    bits. Huffman+refinement (SBREFINE=1) stays a named boundary."""
+    bits. SBREFINE=1 (r16): RI is one raw bit per instance; a set
+    bit reads RDW/RDH/RDX/RDY from tables B.14/B.15 and BMSIZE from
+    SBHUFFRSIZE, then decodes an arithmetic refinement stream over
+    the next BMSIZE byte-aligned bytes (§6.4.11), GR contexts
+    persisting across the region."""
     sbrefine = (flags >> 1) & 1
     log_strips = (flags >> 2) & 3
     ref_corner = (flags >> 4) & 3
@@ -1583,16 +1648,18 @@ def _decode_text_region_huffman(d: bytes, syms: list, info: dict,
     ds_offset = (flags >> 10) & 0x1F
     if ds_offset > 15:
         ds_offset -= 32
-    if sbrefine:
-        raise NotImplementedError(
-            "JBIG2 Huffman text region with refinement (SBHUFF=1 & "
-            "SBREFINE=1) not supported")
+    rtemplate = (flags >> 15) & 1
     if len(d) < 21:
         raise Jbig2Error("text region Huffman flags truncated")
     hflags = struct.unpack_from(">H", d, 19)[0]
     fs_sel = hflags & 3
     ds_sel = (hflags >> 2) & 3
     dt_sel = (hflags >> 4) & 3
+    rdw_sel = (hflags >> 6) & 3
+    rdh_sel = (hflags >> 8) & 3
+    rdx_sel = (hflags >> 10) & 3
+    rdy_sel = (hflags >> 12) & 3
+    rsize_sel = (hflags >> 14) & 1
     pos = 21
     ti = iter(tables)
 
@@ -1611,6 +1678,24 @@ def _decode_text_region_huffman(d: bytes, syms: list, info: dict,
     fs_tab = pick(fs_sel, {0: 6, 1: 7}, "FS")
     ds_tab = pick(ds_sel, {0: 8, 1: 9, 2: 10}, "DS")
     dt_tab = pick(dt_sel, {0: 11, 1: 12, 2: 13}, "DT")
+    # §7.4.4.1.1 table assignment order continues RDW, RDH, RDX,
+    # RDY, RSIZE even though the fields only decode when SBREFINE=1
+    rdw_tab = pick(rdw_sel, {0: 14, 1: 15}, "RDW") if sbrefine else None
+    rdh_tab = pick(rdh_sel, {0: 14, 1: 15}, "RDH") if sbrefine else None
+    rdx_tab = pick(rdx_sel, {0: 14, 1: 15}, "RDX") if sbrefine else None
+    rdy_tab = pick(rdy_sel, {0: 14, 1: 15}, "RDY") if sbrefine else None
+    rsize_tab = (pick(3 if rsize_sel else 0, {0: 1}, "RSIZE")
+                 if sbrefine else None)
+    rat = None
+    if sbrefine and rtemplate == 0:
+        if pos + 4 > len(d):
+            raise Jbig2Error("text region refinement AT truncated")
+        rat = [(int.from_bytes(d[pos:pos + 1], "big", signed=True),
+                int.from_bytes(d[pos + 1:pos + 2], "big", signed=True)),
+               (int.from_bytes(d[pos + 2:pos + 3], "big", signed=True),
+                int.from_bytes(d[pos + 3:pos + 4], "big",
+                               signed=True))]
+        pos += 4
     if pos + 4 > len(d):
         raise Jbig2Error("text region instance count truncated")
     (n_instances,) = struct.unpack_from(">I", d, pos)
@@ -1659,6 +1744,39 @@ def _decode_text_region_huffman(d: bytes, syms: list, info: dict,
             raise Jbig2Error("OOB symbol id")
         return sid
 
+    gr_icx = [0] * 8192
+    gr_mps = [0] * 8192
+
+    def refine(sym: np.ndarray) -> np.ndarray:
+        if not sbrefine:
+            return sym
+        if not r.read(1):  # RI: one raw bit in the Huffman profile
+            return sym
+        rdw = rdw_tab.decode(r)
+        rdh = rdh_tab.decode(r)
+        rdx = rdx_tab.decode(r)
+        rdy = rdy_tab.decode(r)
+        bmsize = rsize_tab.decode(r)
+        if None in (rdw, rdh, rdx, rdy, bmsize) or bmsize <= 0:
+            raise Jbig2Error(
+                "OOB refinement fields in Huffman text region")
+        wi = sym.shape[1] + rdw
+        hi = sym.shape[0] + rdh
+        if not (0 < wi <= 1 << 14 and 0 < hi <= 1 << 14):
+            raise Jbig2Error(
+                f"refined instance {wi}x{hi} out of range")
+        r.byte_align()
+        start = r.byte_pos()
+        if start + bmsize > len(d):
+            raise Jbig2Error("Huffman text refinement truncated")
+        out = decode_refinement_region(
+            wi, hi, sym, (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+            template=rtemplate, at=rat,
+            decoder=MQDecoder(d[start:start + bmsize]),
+            icx=gr_icx, mps=gr_mps)
+        r.bitpos = (start + bmsize) * 8
+        return out
+
     bmp = _decode_text_instances(
         info, syms, n_instances, strips, ds_offset, ref_corner,
         transposed, comb_op, def_pixel,
@@ -1667,7 +1785,7 @@ def _decode_text_region_huffman(d: bytes, syms: list, info: dict,
         read_ds=lambda: ds_tab.decode(r),
         read_curt=lambda: r.read(log_strips),
         read_id=read_id,
-        refine=lambda sym: sym)
+        refine=refine)
     return info, bmp
 
 
@@ -2395,7 +2513,8 @@ def encode_jbig2_text_huffman(symbols: list, instances: list,
                               ref_corner: int = 1,
                               transposed: bool = False,
                               mmr_collective: bool = False,
-                              custom_dt: bool = False) -> bytes:
+                              custom_dt: bool = False,
+                              refagg: bool = False) -> bytes:
     """Embedded-profile JBIG2 page in the HUFFMAN profile (r14): the
     SDHUFF=1 symbol dictionary ships each height class as a
     collective bitmap (raw BMSIZE=0 rows, or one T.6/MMR stream with
@@ -2403,9 +2522,22 @@ def encode_jbig2_text_huffman(symbols: list, instances: list,
     SBHUFF=1 text region codes deltas with B.6/B.8/B.11 plus the
     §7.4.4.4.1 runcoded symbol-ID prefix table. ``custom_dt=True``
     ships DT as a CUSTOM code-table segment (type 53) replicating
-    B.11, exercising the referred-table path. The ancient-Xerox-class
+    B.11, exercising the referred-table path. ``refagg=True`` (r16)
+    ships TWO dictionaries: a collective base dictionary holding
+    corner-flipped variants, then an SDHUFF+SDREFAGG dictionary
+    whose symbols each decode as a §6.5.8.2 single-instance
+    arithmetic refinement of the imported variant — the Huffman
+    refinement/aggregation form. Instances given as 4-tuples
+    (sid, x, y, refined_bitmap|None) turn on SBREFINE in the text
+    region (RI raw bits + B.15-coded deltas + per-instance
+    arithmetic refinement windows). The ancient-Xerox-class
     layout; fixture mirror for _decode_symbol_dict_huffman /
     _decode_text_region_huffman."""
+    sbrefine = any(len(inst) > 3 and inst[3] is not None
+                   for inst in instances)
+    refined_of = [inst[3] if len(inst) > 3 else None
+                  for inst in instances]
+    instances = [tuple(inst[:3]) for inst in instances]
     symbols = [(np.asarray(b) & 1).astype(np.uint8) for b in symbols]
     order = sorted(range(len(symbols)),
                    key=lambda i: (symbols[i].shape[0],
@@ -2421,48 +2553,107 @@ def encode_jbig2_text_huffman(symbols: list, instances: list,
     # --- symbol dictionary payload (SDHUFF=1) ---
     dh_tab, dw_tab, bm_tab, ex_tab = (_std_table(4), _std_table(2),
                                       _std_table(1), _std_table(1))
-    out = bytearray(struct.pack(">H", 1))  # SDHUFF, std tables, T0
-    out += struct.pack(">II", len(dict_syms), len(dict_syms))
-    w = _MsbWriter()
-    hc_height = 0
-    i = 0
-    while i < len(dict_syms):
-        h = dict_syms[i].shape[0]
-        dh_tab.encode(w, h - hc_height)
-        hc_height = h
-        sym_width = 0
-        cls = []
-        while i < len(dict_syms) and dict_syms[i].shape[0] == h:
-            wd = dict_syms[i].shape[1]
-            dw_tab.encode(w, wd - sym_width)
-            sym_width = wd
-            cls.append(dict_syms[i])
-            i += 1
-        dw_tab.encode_oob(w)  # end of height class
-        collective = np.concatenate(cls, axis=1)
-        if mmr_collective:
-            from dolphinbeat_spark.operators.ccitt import ccitt_encode
 
-            blob = ccitt_encode(collective, mode="g4")
-            bm_tab.encode(w, len(blob))
-            w.byte_align()
-            for byte in blob:
-                w.write(byte, 8)
-        else:
-            bm_tab.encode(w, 0)  # BMSIZE=0: raw, byte-aligned rows
-            w.byte_align()
-            packed = np.packbits(collective, axis=1)
-            for byte in packed.reshape(-1):
-                w.write(int(byte), 8)
-    ex_tab.encode(w, 0)               # no-export run (no inputs)
-    ex_tab.encode(w, len(dict_syms))  # export this dict's own
-    dict_payload = bytes(out) + w.getvalue()
+    def collective_payload(syms_list: list) -> bytes:
+        out = bytearray(struct.pack(">H", 1))  # SDHUFF, std, T0
+        out += struct.pack(">II", len(syms_list), len(syms_list))
+        w = _MsbWriter()
+        hc_height = 0
+        i = 0
+        while i < len(syms_list):
+            h = syms_list[i].shape[0]
+            dh_tab.encode(w, h - hc_height)
+            hc_height = h
+            sym_width = 0
+            cls = []
+            while i < len(syms_list) and syms_list[i].shape[0] == h:
+                wd = syms_list[i].shape[1]
+                dw_tab.encode(w, wd - sym_width)
+                sym_width = wd
+                cls.append(syms_list[i])
+                i += 1
+            dw_tab.encode_oob(w)  # end of height class
+            collective = np.concatenate(cls, axis=1)
+            if mmr_collective:
+                from dolphinbeat_spark.operators.ccitt import ccitt_encode
+
+                blob = ccitt_encode(collective, mode="g4")
+                bm_tab.encode(w, len(blob))
+                w.byte_align()
+                for byte in blob:
+                    w.write(byte, 8)
+            else:
+                bm_tab.encode(w, 0)  # BMSIZE=0: raw, aligned rows
+                w.byte_align()
+                packed = np.packbits(collective, axis=1)
+                for byte in packed.reshape(-1):
+                    w.write(int(byte), 8)
+        ex_tab.encode(w, 0)               # no-export run (no inputs)
+        ex_tab.encode(w, len(syms_list))  # export this dict's own
+        return bytes(out) + w.getvalue()
+
+    def refagg_payload(bases: list, syms_list: list) -> bytes:
+        """SDHUFF=1 & SDREFAGG=1 (§6.5.8.2): symbol i is a
+        single-instance arithmetic refinement of imported base i."""
+        # flags: SDHUFF | SDREFAGG, std tables, SDRTEMPLATE=0
+        out = bytearray(struct.pack(">H", 3))
+        out += b"\xff\xff\xff\xff"  # SDRAT nominal (-1,-1) x2
+        out += struct.pack(">II", len(syms_list), len(syms_list))
+        w = _MsbWriter()
+        agg_tab, rd_tab = _std_table(1), _std_table(15)
+        code_len = _sym_code_len(len(bases) + len(syms_list))
+        gr_icx = [0] * 8192
+        gr_mps = [0] * 8192
+        hc_height = 0
+        i = 0
+        while i < len(syms_list):
+            h = syms_list[i].shape[0]
+            dh_tab.encode(w, h - hc_height)
+            hc_height = h
+            sym_width = 0
+            while i < len(syms_list) and syms_list[i].shape[0] == h:
+                wd = syms_list[i].shape[1]
+                dw_tab.encode(w, wd - sym_width)
+                sym_width = wd
+                # AGGINST=1 (B.1), ID raw bits, RDX/RDY (B.15),
+                # BMSIZE (B.1), byte-aligned refinement window
+                agg_tab.encode(w, 1)
+                w.write(i, code_len)
+                rd_tab.encode(w, 0)
+                rd_tab.encode(w, 0)
+                blob = _encode_refinement_region(
+                    syms_list[i], bases[i], 0, 0, template=0,
+                    icx=gr_icx, mps=gr_mps)
+                bm_tab.encode(w, len(blob))
+                w.byte_align()
+                for byte in blob:
+                    w.write(byte, 8)
+                i += 1
+            dw_tab.encode_oob(w)  # end of height class
+        ex_tab.encode(w, len(bases))      # skip the imported bases
+        ex_tab.encode(w, len(syms_list))  # export the refined set
+        return bytes(out) + w.getvalue()
+
+    if refagg:
+        base_syms = []
+        for s in dict_syms:
+            b = s.copy()
+            b[0, 0] ^= 1  # corner flip: refinement must repair it
+            base_syms.append(b)
+        dict_payload = collective_payload(base_syms)
+        refagg_dict_payload = refagg_payload(base_syms, dict_syms)
+    else:
+        dict_payload = collective_payload(dict_syms)
+        refagg_dict_payload = None
 
     # --- text region payload (SBHUFF=1) ---
     n_syms = len(dict_syms)
     id_len = max(1, (n_syms - 1).bit_length())
     fs_tab, ds_tab = _std_table(6), _std_table(8)
     dt_tab = _std_table(11)
+    rd_tab, rsize_tab = _std_table(15), _std_table(1)
+    gr_icx_r = [0] * 8192
+    gr_mps_r = [0] * 8192
     w = _MsbWriter()
     for rc in range(35):  # runcode lengths: only `id_len` is used
         w.write(1 if rc == id_len else 0, 4)
@@ -2470,9 +2661,13 @@ def encode_jbig2_text_huffman(symbols: list, instances: list,
         w.write(0, 1)  # the single runcode's 1-bit prefix
     w.byte_align()
 
-    def s_t(inst) -> tuple[int, int]:
-        sid, x, y = inst
-        hh, ww = symbols[sid].shape
+    def eff(idx: int) -> np.ndarray:
+        ref = refined_of[idx]
+        return ref if ref is not None else symbols[instances[idx][0]]
+
+    def s_t(idx: int) -> tuple[int, int]:
+        _sid, x, y = instances[idx]
+        hh, ww = eff(idx).shape
         if not transposed:
             sx = x + ww - 1 if ref_corner in (2, 3) else x
             ty = y if ref_corner in (1, 3) else y + hh - 1
@@ -2481,7 +2676,8 @@ def encode_jbig2_text_huffman(symbols: list, instances: list,
         tx = x if ref_corner in (0, 1) else x + ww - 1
         return sy, tx
 
-    wire = sorted(((s_t(inst), inst) for inst in instances),
+    wire = sorted(((s_t(idx), instances[idx], idx)
+                   for idx in range(len(instances))),
                   key=lambda e: (e[0][1], e[0][0]))
     dt_tab.encode(w, 1)  # STRIPT = -1 (B.11 codes 1+; first dt adds back)
     strip_t = -1
@@ -2495,9 +2691,9 @@ def encode_jbig2_text_huffman(symbols: list, instances: list,
         first = True
         cur_s = 0
         while i < n and wire[i][0][1] == t:
-            (s_val, _), inst = wire[i]
+            (s_val, _), inst, idx = wire[i]
             sid, _, _ = inst
-            hh, ww = symbols[sid].shape
+            hh, ww = eff(idx).shape
             adv = (ww if not transposed else hh) - 1
             pre = adv if (not transposed and ref_corner in (2, 3)) \
                 or (transposed and ref_corner in (0, 2)) else 0
@@ -2509,16 +2705,41 @@ def encode_jbig2_text_huffman(symbols: list, instances: list,
             else:
                 ds_tab.encode(w, c0 - cur_s)
             w.write(remap[sid], id_len)
+            if sbrefine:
+                refined = refined_of[idx]
+                if refined is None:
+                    w.write(0, 1)  # RI: raw bit in the Huffman form
+                else:
+                    w.write(1, 1)
+                    sym = symbols[sid]
+                    rdw = refined.shape[1] - sym.shape[1]
+                    rdh = refined.shape[0] - sym.shape[0]
+                    rd_tab.encode(w, rdw)
+                    rd_tab.encode(w, rdh)
+                    rd_tab.encode(w, -(rdw >> 1))
+                    rd_tab.encode(w, -(rdh >> 1))
+                    blob = _encode_refinement_region(
+                        refined, sym, 0, 0, template=0,
+                        icx=gr_icx_r, mps=gr_mps_r)
+                    rsize_tab.encode(w, len(blob))
+                    w.byte_align()
+                    for byte in blob:
+                        w.write(byte, 8)
             cur_s = c0 + adv
             i += 1
         ds_tab.encode_oob(w)  # end of strip
     data = w.getvalue()
 
-    flags = 1 | (ref_corner << 4) | ((1 if transposed else 0) << 6)
+    flags = 1 | (ref_corner << 4) | ((1 if transposed else 0) << 6) \
+        | (2 if sbrefine else 0)
     hflags = (3 << 4) if custom_dt else 0  # DT: custom vs B.11
+    if sbrefine:
+        # RDW/RDH/RDX/RDY read table B.15 (selector 1); RSIZE B.1
+        hflags |= (1 << 6) | (1 << 8) | (1 << 10) | (1 << 12)
+    rat = b"\xff\xff\xff\xff" if sbrefine else b""
     body = struct.pack(">IIIIB", pw, ph, 0, 0, 0) \
         + struct.pack(">H", flags) + struct.pack(">H", hflags) \
-        + struct.pack(">I", n) + data
+        + rat + struct.pack(">I", n) + data
 
     segs = []
     num = 0
@@ -2534,10 +2755,14 @@ def encode_jbig2_text_huffman(symbols: list, instances: list,
 
     seg(48, struct.pack(">IIIIBH", pw, ph, 0, 0, 0, 0))
     seg(0, dict_payload)
+    dict_num = 1
+    if refagg:
+        seg(0, refagg_dict_payload, refs=(1,))
+        dict_num = 2
     if custom_dt:
         seg(53, _encode_table_segment(_STD_TABLE_LINES[11]))
-        seg(6, body, refs=(1, 2))
+        seg(6, body, refs=(dict_num, dict_num + 1))
     else:
-        seg(6, body, refs=(1,))
+        seg(6, body, refs=(dict_num,))
     seg(49, b"")
     return b"".join(segs)

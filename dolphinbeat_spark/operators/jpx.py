@@ -43,9 +43,16 @@ onto the canvas — for tile grids whose pitch is a multiple of
 0-anchored lifting coincides with T.800's absolute-coordinate
 anchoring. Unaligned grids raise by name.
 
+All six A.6.1 code-block styles decode since r16: selective
+arithmetic bypass (raw spp/mrp segments from the 5th bit-plane, D.6
+stuffing), per-pass context reset, termination on every pass (with
+B.10.7.2 per-segment length signaling on the 10/2/1 segment
+structure), vertically causal contexts, predictable termination
+(decode-neutral) and segmentation symbols.
+
 Named boundaries (fail loud): unaligned tile grids, component
 subsampling, POC progression changes, ROI (RGN), PPM/PPT packed
-headers, and the bypass/termall/reset/causal code-block styles.
+headers.
 Typed-error boundary: decode_jpx re-raises every parser failure mode
 as JpxError (hostile-input posture, same as cff.parse_cff).
 
@@ -329,15 +336,150 @@ def _fresh_ctx() -> tuple[list, list]:
     return icx, mps
 
 
+# ------------------------------------- code-block styles (T.800 A.6.1)
+# SPcod/SPcoc style byte, Table A.19: the six coding-style flags.
+_STY_BYPASS = 0x01   # selective arithmetic coding bypass (lazy)
+_STY_RESET = 0x02    # context probabilities reset on pass boundaries
+_STY_TERMALL = 0x04  # termination on each coding pass
+_STY_VSC = 0x08      # vertically causal context formation
+_STY_PTERM = 0x10    # predictable termination (error-resilience only:
+#                      changes how the ENCODER pads terminations, not
+#                      where they fall — a decoder that does not check
+#                      for corruption decodes the stream identically)
+_STY_SEGSYM = 0x20   # segmentation symbols at cleanup-pass ends
+
+
+class _RawDecoder:
+    """T.800 D.6 raw (arithmetic-bypass) codeword-segment reader:
+    MSB-first bits; after an 0xFF byte the next byte carries only 7
+    payload bits (its stuffed MSB is 0), and a byte > 0x8F after an
+    0xFF means the segment has drained — 1-bits feed in from then on,
+    mirroring the MQ coder's E.3.4 marker semantics."""
+
+    __slots__ = ("data", "pos", "c", "ct")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.c = 0
+        self.ct = 0
+
+    def bit(self) -> int:
+        if self.ct == 0:
+            if self.c == 0xFF:
+                nxt = (self.data[self.pos] if self.pos < len(self.data)
+                       else 0xFF)
+                if nxt > 0x8F:
+                    self.c = 0xFF
+                    self.ct = 8
+                else:
+                    self.c = nxt
+                    self.pos += 1
+                    self.ct = 7
+            else:
+                self.c = (self.data[self.pos] if self.pos < len(self.data)
+                          else 0xFF)
+                self.pos += 1
+                self.ct = 8
+        self.ct -= 1
+        return (self.c >> self.ct) & 1
+
+
+class _RawEncoder:
+    """Mirror of _RawDecoder for the fixture encoder: packs bits
+    MSB-first with the D.6 stuffing rule (a byte emitted as 0xFF
+    leaves only 7 slots in the next byte, whose MSB stays 0)."""
+
+    __slots__ = ("out", "acc", "nbits", "nslots")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+        self.nslots = 8
+
+    def bit(self, b: int) -> None:
+        self.acc = (self.acc << 1) | (b & 1)
+        self.nbits += 1
+        if self.nbits == self.nslots:
+            self.out.append(self.acc)
+            self.nslots = 7 if self.acc == 0xFF else 8
+            self.acc = 0
+            self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc << (self.nslots - self.nbits))
+        # B.10.7: a terminated segment must not end in 0xFF. Zero
+        # padding makes that impossible for a partial byte (and a
+        # stuffed 7-slot byte caps at 0x7F); guard the exact-0xFF
+        # full-byte tail anyway.
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0x00)
+        return bytes(self.out)
+
+
+def _pass_plan(numbps: int, style: int):
+    """Yield (kind, plane, is_raw) in coding order: pass 0 is the MSB
+    cleanup, then (spp, mrp, cleanup) per bit-plane. With bypass, the
+    significance and refinement passes switch to raw coding from the
+    fifth most significant bit-plane down (plane + 1 <= numbps - 4,
+    D.6); cleanup passes stay MQ-coded."""
+    plane = numbps - 1
+    yield ("cleanup", plane, False)
+    plane -= 1
+    while plane >= 0:
+        raw = bool(style & _STY_BYPASS) and (plane + 1 <= numbps - 4)
+        yield ("spp", plane, raw)
+        yield ("mrp", plane, raw)
+        yield ("cleanup", plane, False)
+        plane -= 1
+
+
+def _term_after(kind: str, plane: int, numbps: int, style: int) -> bool:
+    """Does a codeword segment end after this pass? (D.4.2 / B.10.7.)
+    termall terminates every pass; bypass terminates the cleanup pass
+    just before the first raw pass and then every mrp/cleanup below
+    it (so raw spp+mrp pairs and MQ cleanups alternate as separate
+    segments)."""
+    if style & _STY_TERMALL:
+        return True
+    if style & _STY_BYPASS:
+        if plane + 1 == numbps - 3 and kind == "cleanup":
+            return True
+        if plane + 1 <= numbps - 4 and kind in ("mrp", "cleanup"):
+            return True
+    return False
+
+
+def _seg_maxpasses(style: int, prev_maxp: int | None) -> int:
+    """Maximum passes the next codeword segment may hold — the
+    packet parser's side of the same termination structure (it must
+    split a contribution's length signaling per segment BEFORE any
+    Tier-1 state exists). The first lazy segment holds the 10
+    MQ-coded passes of the top four bit-planes, then raw (2-pass)
+    and MQ-cleanup (1-pass) segments alternate; the alternation is
+    keyed off the previous segment's capacity."""
+    if style & _STY_TERMALL:
+        return 1
+    if style & _STY_BYPASS:
+        if prev_maxp is None:
+            return 10
+        return 2 if prev_maxp in (1, 10) else 1
+    return 109
+
+
 class _CblkCoder:
     """Shared Tier-1 state machine: the pass structure and context
     computation are identical for decode and encode; the ``bitio``
     closure hides the MQ direction (decode returns the bit, encode
     consumes the known bit and returns it)."""
 
-    def __init__(self, h: int, w: int, band: str, segsym: bool):
+    def __init__(self, h: int, w: int, band: str, segsym: bool,
+                 vsc: bool = False):
         self.h, self.w, self.band = h, w, band
         self.segsym = segsym
+        self.vsc = vsc
         self.sig = np.zeros((h + 2, w + 2), np.int8)   # 1-padded
         self.sgn = np.zeros((h + 2, w + 2), np.int8)   # -1/+1
         self.visited = np.zeros((h, w), bool)
@@ -348,19 +490,25 @@ class _CblkCoder:
     def _nbrs(self, y: int, x: int) -> tuple[int, int, int]:
         s = self.sig
         yy, xx = y + 1, x + 1
+        # vertically causal (D.7): on a stripe's last row the three
+        # southern neighbours (next stripe) read as insignificant
+        below = 0 if (self.vsc and (y & 3) == 3) else 1
         hh = int(s[yy, xx - 1]) + int(s[yy, xx + 1])
-        vv = int(s[yy - 1, xx]) + int(s[yy + 1, xx])
+        vv = int(s[yy - 1, xx]) + below * int(s[yy + 1, xx])
         dd = (int(s[yy - 1, xx - 1]) + int(s[yy - 1, xx + 1])
-              + int(s[yy + 1, xx - 1]) + int(s[yy + 1, xx + 1]))
+              + below * (int(s[yy + 1, xx - 1])
+                         + int(s[yy + 1, xx + 1])))
         return hh, vv, dd
 
     def _sign_ctx(self, y: int, x: int) -> tuple[int, int]:
         s, g = self.sig, self.sgn
         yy, xx = y + 1, x + 1
+        below = 0 if (self.vsc and (y & 3) == 3) else 1
         hc = max(-1, min(1, int(s[yy, xx - 1]) * int(g[yy, xx - 1])
                          + int(s[yy, xx + 1]) * int(g[yy, xx + 1])))
         vc = max(-1, min(1, int(s[yy - 1, xx]) * int(g[yy - 1, xx])
-                         + int(s[yy + 1, xx]) * int(g[yy + 1, xx])))
+                         + below * int(s[yy + 1, xx])
+                         * int(g[yy + 1, xx])))
         if hc == 1:
             return (13, 0) if vc == 1 else ((12, 0) if vc == 0
                                             else (11, 0))
@@ -460,114 +608,141 @@ class _CblkCoder:
                 raise JpxError("segmentation symbol mismatch")
 
 
-def _t1_decode(data: bytes, h: int, w: int, band: str, numbps: int,
-               npasses: int, segsym: bool) -> np.ndarray:
-    """Code-block bytes -> signed coefficients."""
-    cb = _CblkCoder(h, w, band, segsym)
-    dec = MQDecoder(data)
+def _t1_decode(segs: list[tuple[bytes, int]], h: int, w: int,
+               band: str, numbps: int, style: int) -> np.ndarray:
+    """Codeword segments [(bytes, npasses), ...] -> signed
+    coefficients. Each terminated segment gets a fresh coder (MQ for
+    cleanup/plain passes, raw for bypassed spp/mrp); context states
+    persist across segments unless the RESET style re-initialises
+    them at every pass boundary (D.5)."""
+    cb = _CblkCoder(h, w, band, bool(style & _STY_SEGSYM),
+                    vsc=bool(style & _STY_VSC))
+    npasses = sum(n for _, n in segs)
+    seg_iter = iter(segs)
+    cur_data: bytes = b""
+    cur_left = 0
+    dec: MQDecoder | None = None
+    raw: _RawDecoder | None = None
 
     def bitio(ctx, kind, y, x, plane):
+        if raw is not None:
+            b = raw.bit()
+            if kind == "sign":
+                # raw mode codes the sign DIRECTLY (no prediction);
+                # the caller xors with the prediction bit, so cancel
+                # it here to keep one shared pass implementation
+                b ^= cb._sign_ctx(y, x)[1]
+            return b
         return dec.decode(cb.icx, cb.mps, ctx)
 
-    plane = numbps - 1
     p = 0
-    first = True
-    while p < npasses and plane >= 0:
-        if first:
+    for kind, plane, is_raw in _pass_plan(numbps, style):
+        if p >= npasses:
+            break
+        while cur_left == 0:
+            nxt = next(seg_iter, None)
+            if nxt is None:
+                break
+            cur_data, cur_left = nxt
+            dec = raw = None
+        if cur_left == 0:
+            break
+        if dec is None and raw is None:
+            if is_raw:
+                raw = _RawDecoder(cur_data)
+            else:
+                dec = MQDecoder(cur_data)
+        if kind == "cleanup":
             cb.cleanup(bitio, plane)
-            p += 1
-            first = False
-            plane -= 1
-            continue
-        cb.spp(bitio, plane)
+        elif kind == "spp":
+            cb.spp(bitio, plane)
+        else:
+            cb.mrp(bitio, plane)
         p += 1
-        if p >= npasses:
-            break
-        cb.mrp(bitio, plane)
-        p += 1
-        if p >= npasses:
-            break
-        cb.cleanup(bitio, plane)
-        p += 1
-        plane -= 1
+        cur_left -= 1
+        if style & _STY_RESET:
+            cb.icx, cb.mps = _fresh_ctx()
     out = cb.mag * np.where(cb.sgn[1:-1, 1:-1] < 0, -1, 1)
     return out
 
 
 def _t1_encode(coefs: np.ndarray, band: str,
-               segsym: bool) -> tuple[bytes, int, int]:
-    """Signed coefficients -> (bytes, numbps, npasses). All passes of
-    every nonzero bitplane are emitted (single quality layer)."""
+               style: int) -> tuple[list[tuple[bytes, int]], int]:
+    """Signed coefficients -> ([(codeword segment bytes, passes),
+    ...], numbps). All passes of every nonzero bitplane are emitted
+    (single quality layer); the style byte drives bypass/termall/
+    reset/causal/segsym exactly as the decoder consumes them, so the
+    segment list mirrors the decoder's _seg_maxpasses structure."""
     h, w = coefs.shape
     mag_true = np.abs(coefs).astype(np.int64)
     sign_true = (coefs < 0).astype(np.int8)
     numbps = int(mag_true.max()).bit_length()
     if numbps == 0:
-        return b"", 0, 0
-    cb = _CblkCoder(h, w, band, segsym)
-    enc = MQEncoder()
+        return [], 0
+    cb = _CblkCoder(h, w, band, bool(style & _STY_SEGSYM),
+                    vsc=bool(style & _STY_VSC))
+    mq: MQEncoder | None = None
+    rw: _RawEncoder | None = None
+    segs: list[tuple[bytes, int]] = []
+    seg_passes = 0
 
     def bitio(ctx, kind, y, x, plane):
-        if kind == "sig":
-            b = (mag_true[y, x] >> plane) & 1
+        if kind == "sig" or kind == "ref":
+            b = int((mag_true[y, x] >> plane) & 1)
         elif kind == "sign":
-            # the encoder must emit sign ^ xorbit
-            sc, xb = cb._sign_ctx(y, x)
+            _sc, xb = cb._sign_ctx(y, x)
             b = int(sign_true[y, x]) ^ xb
-        elif kind == "ref":
-            b = (mag_true[y, x] >> plane) & 1
         elif kind == "rl":
             b = 0
             for yy in range(y, y + 4):
                 if (mag_true[yy, x] >> plane) & 1:
                     b = 1
+                    # queue the 2 uniform bits locating the first
+                    # significant row of the run
+                    idx = yy - y
+                    bitio.uni_queue.extend([(idx >> 1) & 1, idx & 1])
                     break
         elif kind == "uni":
             b = bitio.uni_queue.pop(0)
         else:  # seg
+            if not bitio.seg_queue:
+                bitio.seg_queue.extend([1, 0, 1, 0])
             b = bitio.seg_queue.pop(0)
-        enc.encode(cb.icx, cb.mps, ctx, b)
+        if rw is not None:
+            if kind == "sign":
+                # raw mode codes the sign unpredicted: cancel the xor
+                rw.bit(b ^ cb._sign_ctx(y, x)[1])
+            else:
+                rw.bit(b)
+        else:
+            mq.encode(cb.icx, cb.mps, ctx, b)
         return b
 
     bitio.uni_queue = []
     bitio.seg_queue = []
 
-    # wrap run-length: when rl fires 1 we must queue the 2 uniform
-    # bits for the first significant row
-    orig_bitio = bitio
-
-    def bitio2(ctx, kind, y, x, plane):
-        if kind == "rl":
-            b = orig_bitio(ctx, kind, y, x, plane)
-            if b:
-                for yy in range(y, y + 4):
-                    if (mag_true[yy, x] >> plane) & 1:
-                        idx = yy - y
-                        orig_bitio.uni_queue.extend(
-                            [(idx >> 1) & 1, idx & 1])
-                        break
-            return b
-        if kind == "seg":
-            if not orig_bitio.seg_queue:
-                orig_bitio.seg_queue.extend([1, 0, 1, 0])
-            return orig_bitio(ctx, kind, y, x, plane)
-        return orig_bitio(ctx, kind, y, x, plane)
-
-    plane = numbps - 1
-    npasses = 0
-    first = True
-    while plane >= 0:
-        if first:
-            cb.cleanup(bitio2, plane)
-            npasses += 1
-            first = False
+    for kind, plane, is_raw in _pass_plan(numbps, style):
+        if mq is None and rw is None:
+            if is_raw:
+                rw = _RawEncoder()
+            else:
+                mq = MQEncoder()
+        if kind == "cleanup":
+            cb.cleanup(bitio, plane)
+        elif kind == "spp":
+            cb.spp(bitio, plane)
         else:
-            cb.spp(bitio2, plane)
-            cb.mrp(bitio2, plane)
-            cb.cleanup(bitio2, plane)
-            npasses += 3
-        plane -= 1
-    return enc.flush(), numbps, npasses
+            cb.mrp(bitio, plane)
+        seg_passes += 1
+        if style & _STY_RESET:
+            cb.icx, cb.mps = _fresh_ctx()
+        if _term_after(kind, plane, numbps, style):
+            segs.append(((mq or rw).flush(), seg_passes))
+            mq = rw = None
+            seg_passes = 0
+    if seg_passes:
+        segs.append(((mq or rw).flush(), seg_passes))
+    return segs, numbps
 
 
 # ---------------------------------------------------- 5/3 lifting DWT
@@ -994,10 +1169,13 @@ def _parse_cod(b: bytes, is_coc: bool = False) -> dict:
     out["ycb"] = (b[pos + 2] & 0xF) + 2
     style = b[pos + 3]
     out["transform"] = b[pos + 4]
-    if style & 0b11111:
+    if style & 0xC0:
         raise NotImplementedError(
-            f"JPX code-block style {style:#04x} (bypass/reset/"
-            "termall/causal/predictable) not supported")
+            f"reserved JPX code-block style bits {style:#04x}")
+    # bypass/reset/termall/causal/predictable (supported since r16);
+    # predictable termination (0x10) only constrains how the encoder
+    # pads terminations — decode is unchanged
+    out["cblk_style"] = style & 0x1F
     out["segsym"] = bool(style & 0x20)
     if out["transform"] not in (0, 1):
         raise JpxError(
@@ -1058,7 +1236,8 @@ def _merge_coc(cod: dict, ov: dict) -> dict:
     per-component SPcod tail — levels, code-block geometry, style,
     transform; progression/layers/MCT/SOP/EPH stay with COD)."""
     out = dict(cod)
-    for k in ("levels", "xcb", "ycb", "transform", "segsym"):
+    for k in ("levels", "xcb", "ycb", "transform", "segsym",
+              "cblk_style"):
         out[k] = ov[k]
     return out
 
@@ -1110,7 +1289,7 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tdata: bytes,
                     for cx in range(gx):
                         cblks[(c, r, band, cx, cy)] = {
                             "included": False, "lblock": 3,
-                            "npasses": 0, "zbp": 0, "segments": [],
+                            "npasses": 0, "zbp": 0, "segs": [],
                         }
 
     pos = 0
@@ -1151,23 +1330,45 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tdata: bytes,
                     npasses = _read_npasses(hr)
                     while hr.bit():
                         cb["lblock"] += 1
-                    nbits = cb["lblock"] + int(math.log2(npasses))
-                    seg_len = hr.bits(nbits)
-                    contribs.append((band, lvl, cx, cy, npasses,
-                                     seg_len))
+                    # B.10.7.2: a contribution spanning several
+                    # terminated codeword segments signals one length
+                    # per segment, each with lblock + floor(log2(that
+                    # segment's new passes)) bits; the split follows
+                    # the same 10/2/1 structure the encoder's
+                    # termination rules produce
+                    sty = ccod[c]["cblk_style"]
+                    chunks = []
+                    rem = npasses
+                    while rem > 0:
+                        if not cb["segs"] or cb["segs"][-1]["passes"] \
+                                >= cb["segs"][-1]["maxp"]:
+                            prev = (cb["segs"][-1]["maxp"]
+                                    if cb["segs"] else None)
+                            cb["segs"].append(
+                                {"maxp": _seg_maxpasses(sty, prev),
+                                 "passes": 0, "data": bytearray()})
+                        seg = cb["segs"][-1]
+                        take = min(seg["maxp"] - seg["passes"], rem)
+                        nbits = cb["lblock"] + int(math.log2(take))
+                        chunks.append((len(cb["segs"]) - 1, take,
+                                       hr.bits(nbits)))
+                        seg["passes"] += take
+                        rem -= take
+                    contribs.append((band, lvl, cx, cy, chunks))
         pos = hr.align()
         if cod["eph"]:
             if tdata[pos:pos + 2] != b"\xff\x92":
                 raise JpxError("missing EPH after packet header")
             pos += 2
-        for band, lvl, cx, cy, npasses, seg_len in contribs:
+        for band, lvl, cx, cy, chunks in contribs:
             cb = cblks[(c, r, band, cx, cy)]
-            seg = tdata[pos:pos + seg_len]
-            if len(seg) != seg_len:
-                raise JpxError("packet body truncated")
-            pos += seg_len
-            cb["segments"].append(seg)
-            cb["npasses"] += npasses
+            for seg_idx, take, seg_len in chunks:
+                chunk = tdata[pos:pos + seg_len]
+                if len(chunk) != seg_len:
+                    raise JpxError("packet body truncated")
+                pos += seg_len
+                cb["segs"][seg_idx]["data"] += chunk
+                cb["npasses"] += take
 
     # Tier-1 decode every included codeblock and scatter into bands
     for (c, r, band, cx, cy), cb in cblks.items():
@@ -1183,8 +1384,11 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tdata: bytes,
             raise JpxError("zero-bitplane count exceeds Mb")
         if numbps == 0:
             continue
-        coefs = _t1_decode(b"".join(cb["segments"]), hh, ww, band,
-                           numbps, cb["npasses"], ccod[c]["segsym"])
+        sty = ccod[c]["cblk_style"] | (
+            _STY_SEGSYM if ccod[c]["segsym"] else 0)
+        coefs = _t1_decode(
+            [(bytes(s["data"]), s["passes"]) for s in cb["segs"]],
+            hh, ww, band, numbps, sty)
         bands[(c, r, band)][y0:y0 + hh, x0:x0 + ww] = coefs
 
     # inverse DWT per component: integer 5/3 for transform 1,
@@ -1276,7 +1480,8 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
                layers: int = 1, coc: dict | None = None,
                qcc: dict | None = None,
                tile: tuple[int, int] | None = None,
-               tile_parts: int = 1) -> bytes:
+               tile_parts: int = 1,
+               cblk_style: int = 0) -> bytes:
     """Image -> Part-1 codestream (fixture mirror): one tile, 5/3
     reversible (``transform=1``, lossless) or 9/7 irreversible
     (``transform=0`` with quantization style 1 derived / 2 expounded,
@@ -1292,7 +1497,10 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
     grid); ``tile_parts`` > 1 splits each tile's data into that many
     SOT tile-parts at byte boundaries (the decoder joins by TPsot).
     ``jp2=True`` wraps the codestream in the JP2 box
-    signature/ftyp/jp2h/jp2c layout."""
+    signature/ftyp/jp2h/jp2c layout. ``cblk_style`` ORs the T.800
+    A.6.1 coding-style flags (0x01 bypass, 0x02 reset, 0x04 termall,
+    0x08 vertically causal, 0x10 predictable termination — accepted
+    but termination padding is the standard flush)."""
     px = np.asarray(px)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -1300,6 +1508,10 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
     depth = 8 if px.dtype == np.uint8 else 16
     if transform not in (0, 1):
         raise JpxError("transform must be 0 (9/7) or 1 (5/3)")
+    if cblk_style & ~0x1F:
+        raise JpxError("cblk_style accepts only the low five "
+                       "A.6.1 flags (segsym has its own parameter)")
+    t1_style = cblk_style | (_STY_SEGSYM if segsym else 0)
     if qstyle is None:
         qstyle = 0 if transform == 1 else 2
     if (qstyle == 0) != (transform == 1):
@@ -1387,11 +1599,11 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
             for cy, (y0, hh) in enumerate(ys):
                 for cx, (x0, ww) in enumerate(xs):
                     blk = arr[y0:y0 + hh, x0:x0 + ww]
-                    data, numbps, npasses = _t1_encode(blk, band, segsym)
+                    seg_list, numbps = _t1_encode(blk, band, t1_style)
                     if numbps > mb:
                         raise JpxError("coefficient exceeds Mb range")
-                    enc_blocks[(c, r, band, cx, cy)] = (data, numbps,
-                                                        npasses)
+                    enc_blocks[(c, r, band, cx, cy)] = (seg_list,
+                                                        numbps)
 
         # persistent per-band tag trees + node values (multi-layer safe)
         incl_trees: dict[tuple, _TagTree] = {}
@@ -1452,7 +1664,7 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
                         incl.encode(hw, cx, cy, layer + 1, ivals)
                         if (cx + cy) % layers > layer:
                             continue  # first inclusion is a later layer
-                        data, numbps, npasses = enc_blocks[key]
+                        seg_list, numbps = enc_blocks[key]
                         # zero-bitplane tree: encode until leaf resolves
                         t = 1
                         while True:
@@ -1465,17 +1677,24 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
                                 raise JpxError(
                                     "zbp tag tree failed to resolve")
                             t += 1
-                        _write_npasses(hw, max(npasses, 1))
-                        # lblock stays 3 unless the segment needs more
-                        nbits = 3 + int(math.log2(max(npasses, 1)))
-                        if len(data) >= 1 << nbits:
-                            extra = (len(data).bit_length()) - nbits
-                            for _ in range(extra):
-                                hw.bit(1)
-                            nbits += extra
+                        if not seg_list:  # all-zero block: 1 empty pass
+                            seg_list = [(b"", 1)]
+                        npasses = sum(np_ for _, np_ in seg_list)
+                        _write_npasses(hw, npasses)
+                        # lblock: smallest value >= 3 that fits EVERY
+                        # segment's length in its own field (B.10.7.2
+                        # signals one length per terminated segment,
+                        # lblock + floor(log2(segment passes)) bits)
+                        lb = 3
+                        for d, np_ in seg_list:
+                            fl = int(math.log2(np_))
+                            lb = max(lb, len(d).bit_length() - fl)
+                        for _ in range(lb - 3):
+                            hw.bit(1)
                         hw.bit(0)
-                        hw.bits(len(data), nbits)
-                        payload += data
+                        for d, np_ in seg_list:
+                            hw.bits(len(d), lb + int(math.log2(np_)))
+                            payload += d
                         done.add(key)
             body += hw.getvalue()
             if eph:
@@ -1489,14 +1708,15 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
         ">HIIIIIIIIH", 0, w, h, 0, 0, xt, yt, 0, 0, nc) \
         + b"".join(bytes([depth - 1, 1, 1]) for _ in range(nc))
     scod = (2 if sop else 0) | (4 if eph else 0)
+    style_byte = (0x20 if segsym else 0) | cblk_style
     cod = struct.pack(">HH", 0xFF52, 12) + bytes([
         scod, progression]) + struct.pack(">H", layers) + bytes([
             1 if mct else 0, levels, cw_exp - 2, ch_exp - 2,
-            0x20 if segsym else 0, transform])
+            style_byte, transform])
     markers = siz + cod
     for c in sorted(coc):
         spcoc = bytes([levels_list[c], cblk_list[c][0] - 2,
-                       cblk_list[c][1] - 2, 0x20 if segsym else 0,
+                       cblk_list[c][1] - 2, style_byte,
                        transform])
         cbody = bytes([c, 0]) + spcoc  # Ccoc (nc < 257) + Scoc
         markers += struct.pack(">HH", 0xFF53, 2 + len(cbody)) + cbody

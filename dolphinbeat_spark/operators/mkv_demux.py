@@ -18,13 +18,14 @@ muxer cannot know the cluster size up front — are recovered per RFC
 Segment-level ID (next Cluster / Cues / Tags / …) or the parent end.
 
 ContentEncodings (r11, RFC 9559 §ContentEncoding): zlib and bzlib
-block compression (both stdlib) and the header-stripping variant
+block compression (both stdlib), lzo1x (r16, the from-scratch
+operators/lzo1x.py codec) and the header-stripping variant
 (ContentCompAlgo 3 — the common real-world form: a constant per-track
 prefix removed at mux time) are undone per track, multiple encodings
 reversed in descending ContentEncodingOrder; decoded frame bytes ride
 a per-track ``decoded`` map beside the stored byte ranges (the same
 side-channel shape as Ogg's ``fragments``). Honest boundaries raise
-by name: block ENCRYPTION, lzo1x compression, non-block scopes, and —
+by name: block ENCRYPTION, non-block scopes, and —
 as with MP4 — codec BITSTREAM decode (VP9/AV1/Opus need libraries
 this container doesn't have; byte-range extraction is the real 100 TB
 primitive).
@@ -177,8 +178,8 @@ def _children(data: bytes, start: int, end: int):
 def _parse_content_encodings(data: bytes, s: int, e: int) -> list[dict]:
     """ContentEncodings -> [{order, algo, settings}] sorted in
     DESCENDING order (the decode order: the spec applies encodings in
-    ascending ContentEncodingOrder at mux time). Block encryption,
-    lzo1x and non-block scopes raise by name."""
+    ascending ContentEncodingOrder at mux time). Block encryption
+    and non-block scopes raise by name."""
     encs: list[dict] = []
     for eid, cs, ce in _children(data, s, e):
         if eid != _CONTENT_ENCODING:
@@ -213,12 +214,7 @@ def _parse_content_encodings(data: bytes, s: int, e: int) -> list[dict]:
             )
         if algo is None:
             raise MkvError("ContentEncoding without ContentCompression")
-        if algo == 2:
-            raise NotImplementedError(
-                "lzo1x Matroska block compression not supported "
-                "(zlib/bzlib/header-stripping)"
-            )
-        if algo not in (0, 1, 3):
+        if algo not in (0, 1, 2, 3):
             raise MkvError(f"unknown ContentCompAlgo {algo}")
         encs.append({"order": order, "algo": algo, "settings": settings})
     encs.sort(key=lambda d: -d["order"])
@@ -244,6 +240,19 @@ def _decode_content(frame: bytes, encs: list[dict]) -> bytes:
             except (OSError, ValueError) as ex:
                 raise MkvError(
                     f"bzlib-compressed block fails to decompress: {ex}"
+                ) from ex
+        elif enc["algo"] == 2:
+            # ContentCompAlgo 2: raw LZO1X blocks, decoded by the
+            # from-scratch operators/lzo1x.py codec (r16)
+            from dolphinbeat_spark.operators.lzo1x import (
+                Lzo1xError, lzo1x_decompress,
+            )
+
+            try:
+                frame = lzo1x_decompress(frame)
+            except Lzo1xError as ex:
+                raise MkvError(
+                    f"lzo1x-compressed block fails to decompress: {ex}"
                 ) from ex
         else:  # 3: header stripping — re-prepend the stripped prefix
             frame = enc["settings"] + frame
@@ -498,11 +507,19 @@ def encode_mkv(tracks: list[dict], timestamp_scale: int = 1_000_000,
         comp = t.get("compression")
         if comp is not None:
             algo_name, settings = comp
-            algo = {"zlib": 0, "bzlib": 1, "strip": 3}[algo_name]
+            algo = {"zlib": 0, "bzlib": 1, "lzo": 2,
+                    "strip": 3}[algo_name]
             if algo == 0:
                 t["samples"] = [_zlib.compress(s) for s in t["samples"]]
             elif algo == 1:
                 t["samples"] = [bz2.compress(s) for s in t["samples"]]
+            elif algo == 2:
+                from dolphinbeat_spark.operators.lzo1x import (
+                    lzo1x_compress,
+                )
+
+                t["samples"] = [lzo1x_compress(s)
+                                for s in t["samples"]]
             else:
                 for s in t["samples"]:
                     if not s.startswith(settings):

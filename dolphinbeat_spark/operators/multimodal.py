@@ -160,6 +160,62 @@ def decode_ppm(data: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, px
 
 
+_PBM_HEADER_RE = re.compile(
+    rb"^P4\s+(?:#[^\n]*\s+)*(\d+)\s+(?:#[^\n]*\s+)*(\d+)\s"
+)
+_PGM_HEADER_RE = re.compile(
+    rb"^P5\s+(?:#[^\n]*\s+)*(\d+)\s+(?:#[^\n]*\s+)*(\d+)\s+"
+    rb"(?:#[^\n]*\s+)*(\d+)\s"
+)
+
+
+def encode_pbm(width: int, height: int, bits: np.ndarray) -> bytes:
+    """Packed bilevel PBM (P4): rows packed MSB-first, each row
+    padded to a byte boundary. 1 = black per the netpbm spec."""
+    bits = (np.asarray(bits) & 1).astype(np.uint8).reshape(height, width)
+    packed = np.packbits(bits, axis=1)
+    return b"P4\n%d %d\n" % (width, height) + packed.tobytes()
+
+
+def encode_pgm(width: int, height: int, gray: bytes) -> bytes:
+    """Binary graymap PGM (P5): ASCII header + raw sample rows."""
+    if len(gray) != width * height:
+        raise ValueError(
+            f"need {width * height} gray bytes, got {len(gray)}")
+    return b"P5\n%d %d\n255\n" % (width, height) + gray
+
+
+def decode_pbm(data: bytes) -> tuple[int, int, np.ndarray]:
+    """PBM (P4, packed) -> (width, height, HxW uint8 of 0/1 bits,
+    1 = black). Comment-tolerant header; rows are packed MSB-first
+    and padded to byte boundaries (r16, the netpbm binary family
+    alongside decode_ppm)."""
+    m = _PBM_HEADER_RE.match(data)
+    if not m:
+        raise ValueError("not a P4 PBM payload")
+    w, h = int(m.group(1)), int(m.group(2))
+    rowbytes = (w + 7) // 8
+    raw = np.frombuffer(data, np.uint8, count=rowbytes * h,
+                        offset=m.end()).reshape(h, rowbytes)
+    return w, h, np.unpackbits(raw, axis=1)[:, :w]
+
+
+def decode_pgm(data: bytes) -> tuple[int, int, np.ndarray]:
+    """PGM (P5, binary) -> (width, height, HxW uint8). Maxval is
+    rescaled to 0..255 like decode_ppm; 16-bit samples raise."""
+    m = _PGM_HEADER_RE.match(data)
+    if not m:
+        raise ValueError("not a P5 PGM payload")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval > 255:
+        raise NotImplementedError("16-bit PGM not supported")
+    px = np.frombuffer(data, np.uint8, count=w * h,
+                       offset=m.end()).reshape(h, w)
+    if maxval != 255:
+        px = (px.astype(np.uint32) * 255 // maxval).astype(np.uint8)
+    return w, h, px
+
+
 def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
     """24-bit uncompressed (BI_RGB) BMP: BITMAPFILEHEADER +
     BITMAPINFOHEADER, rows bottom-up, BGR order, 4-byte row padding."""
@@ -1130,6 +1186,10 @@ def sniff_decode_image(
 
     if b[:2] == b"P6":
         fmt, (w, h, px) = "ppm", decode_ppm(b)
+    elif b[:2] == b"P4":
+        fmt, (w, h, px) = "pbm", decode_pbm(b)
+    elif b[:2] == b"P5":
+        fmt, (w, h, px) = "pgm", decode_pgm(b)
     elif b[:2] == b"BM":
         fmt, (w, h, px) = "bmp", decode_bmp(b)
     elif b[:8] == _PNG_SIG:

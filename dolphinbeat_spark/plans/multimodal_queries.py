@@ -195,6 +195,74 @@ def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_decode_pnm_packed",
+    # payload cycles the remaining netpbm binary family (r16): even
+    # docs get a P4 packed bitmap (32x24 — the md5-pattern's 96 ASCII
+    # bytes ARE the packed rows, 4 bytes per row, MSB-first bits),
+    # odd docs a P5 binary graymap (12x8, samples = pattern bytes).
+    # digest='hex' md5s the lowercase-hex rendering of the decoded
+    # samples, which the oracle rebuilds: '01'/'00' per bit for P4,
+    # two hex digits per sample for P5. pixel_sum doubles as the
+    # bit-count (P4) / ord-sum (P5) check.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 13 = 5
+)
+SELECT media_id,
+       CASE WHEN media_id % 2 = 0 THEN 'pbm' ELSE 'pgm' END AS fmt,
+       CAST(CASE WHEN media_id % 2 = 0 THEN 32 ELSE 12 END
+            AS BIGINT) AS width,
+       CAST(CASE WHEN media_id % 2 = 0 THEN 24 ELSE 8 END
+            AS BIGINT) AS height,
+       CAST(CASE WHEN media_id % 2 = 0 THEN
+         list_sum(list_transform(range(1, 97),
+           i -> bit_count(ord(substr(pattern, CAST(i AS INTEGER),
+                                     1)))))
+       ELSE
+         list_sum(list_transform(range(1, 97),
+           i -> ord(substr(pattern, CAST(i AS INTEGER), 1))))
+       END AS BIGINT) AS pixel_sum,
+       CASE WHEN media_id % 2 = 0 THEN
+         md5(list_aggregate(list_transform(range(1, 97), i ->
+           list_aggregate(list_transform(range(0, 8), j ->
+             CASE WHEN (ord(substr(pattern, CAST(i AS INTEGER), 1))
+                        >> (7 - CAST(j AS INTEGER))) & 1 = 1
+                  THEN '01' ELSE '00' END),
+             'string_agg', '')),
+           'string_agg', ''))
+       ELSE
+         md5(list_aggregate(list_transform(range(1, 97), i ->
+           lpad(lower(to_hex(ord(substr(pattern, CAST(i AS INTEGER),
+                                        1)))), 2, '0')),
+           'string_agg', ''))
+       END AS pixel_md5
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "decode", "codec"),
+)
+def mm_decode_pnm_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 packed-bitmap and P5 binary-graymap decode under the
+    oracle gate (r16): the last netpbm binary forms beside
+    decode_ppm — MSB-first packed rows (operators/multimodal.py::
+    decode_pbm) and raw gray samples (decode_pgm) — through the
+    shared decode_media surface with the hex digest contract."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 5)
+    pattern = F.repeat(F.md5(F.col("doc_id").cast("string")), 3)
+    payload = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("P4\n32 24\n"), pattern),
+    ).otherwise(F.concat(F.lit("P5\n12 8\n255\n"), pattern))
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(payload, "UTF-8").alias("payload"),
+    )
+    return M.decode_media(media, digest="hex").orderBy("media_id")
+
+
+@register(
     "mm_resize_fake",
     # the fake resize is deterministic byte-stride downsampling
     # (b[::s], s = max(1, len//16)); payloads are ASCII so DuckDB
@@ -4027,6 +4095,76 @@ def mm_pdf_jpx_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "img_filter",
                 (F.col("max_err") <= tol).alias("within_tolerance"))
         .orderBy("media_id")
+    )
+
+
+@register(
+    "mm_pdf_jpx_cblk_styles",
+    # payload = a PDF per doc whose /JPXDecode image cycles the six
+    # T.800 A.6.1 code-block coding styles (r16): selective
+    # arithmetic bypass (raw spp/mrp segments with B.10.7.2
+    # per-segment length signaling), per-pass context reset,
+    # termination on every pass, vertically causal contexts,
+    # predictable termination, and their combinations — the wild
+    # styles real encoders (Kakadu -Cmodes, OpenJPEG -M) emit. The
+    # raster stays the lossless 5/3 path, so the oracle recomputes
+    # the md5-letter pattern exactly, style-independent.
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS pattern
+  FROM documents WHERE doc_id % 31 = 11
+)
+SELECT media_id, 0::BIGINT AS page_idx, 'Im0_0' AS img_name,
+       CAST(12 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       1::BIGINT AS n_components, 'JPXDecode' AS img_filter,
+       CAST(list_sum(list_transform(range(1, 97),
+            i -> ord(substr(pattern, CAST(i AS INTEGER), 1))))
+            AS BIGINT) AS pixel_sum,
+       md5(pattern) AS pixel_md5
+FROM p
+ORDER BY media_id
+""",
+    tags=("multimodal", "pdf", "decode", "codec", "jpx", "ingest"),
+)
+def mm_pdf_jpx_cblk_styles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPX code-block coding styles under the oracle gate (r16):
+    operators/jpx.py's bypass/reset/termall/causal/pterm decode —
+    raw codeword segments, segment-split length signaling, per-pass
+    context resets, stripe-causal contexts — through the shared
+    /JPXDecode surface, bit-exact by reversibility."""
+    import hashlib
+
+    import numpy as np
+
+    from dolphinbeat_spark.operators.jpx import encode_jpx
+    from dolphinbeat_spark.operators.pdf import encode_pdf, pdf_images
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 31 == 11)
+
+    # bypass (0x01) in every row so raw segments always decode; the
+    # other flags cycle so each PDF exercises a different combination
+    styles = (0x01, 0x03, 0x05, 0x09, 0x11, 0x07, 0x0D, 0x1F)
+
+    def build(i):
+        pattern = (hashlib.md5(str(i).encode()).hexdigest() * 3) \
+            .encode("ascii")
+        img = np.frombuffer(pattern, np.uint8).reshape(8, 12)
+        cs = encode_jpx(
+            img, levels=2, progression=i % 5,
+            cblk_style=styles[i % len(styles)],
+            segsym=bool(i % 3 == 2), jp2=bool(i % 2),
+            cblk_exp=(4, 4) if i % 5 == 0 else (6, 6))
+        return encode_pdf([[f"jpx styles {i}"]],
+                          xref_stream=bool(i % 2),
+                          images=[[("jpx", 12, 8, 1, cs)]])
+
+    media = fixture_media(d, build)
+    return (
+        pdf_images(media)
+        .select("media_id", "page_idx", "img_name", "width", "height",
+                "n_components", "img_filter", "pixel_sum", "pixel_md5")
+        .orderBy("media_id", "page_idx", "img_name")
     )
 
 

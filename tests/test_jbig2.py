@@ -589,6 +589,59 @@ def test_huffman_profile_matches_arithmetic_raster():
             assert np.array_equal(got, want), (rc, tr)
 
 
+def test_huffman_refinement_aggregation_raster():
+    """SDHUFF+SDREFAGG (r16): the refagg dictionary ships
+    corner-flipped base symbols plus per-symbol arithmetic
+    refinement windows; the decoded page must equal the plain
+    collective-dictionary page (the refinement repairs every flip).
+    SBHUFF+SBREFINE: refined instances replace their glyph with the
+    refinement result, including grown dimensions."""
+    rng = np.random.RandomState(9)
+    symbols = [rng.randint(0, 2, (6, 5), dtype=np.uint8),
+               rng.randint(0, 2, (6, 9), dtype=np.uint8),
+               rng.randint(0, 2, (8, 4), dtype=np.uint8),
+               np.ones((3, 3), np.uint8)]
+    instances = [(0, 2, 1), (1, 10, 1), (2, 24, 0), (3, 31, 4),
+                 (0, 40, 2), (1, 2, 12), (3, 15, 14), (2, 25, 11)]
+    from dolphinbeat_spark.operators.jbig2 import (
+        encode_jbig2_text_huffman,
+    )
+
+    want = decode_jbig2_embedded(encode_jbig2_text_huffman(
+        symbols, instances, page_size=(48, 20)))
+    got = decode_jbig2_embedded(encode_jbig2_text_huffman(
+        symbols, instances, page_size=(48, 20), refagg=True))
+    assert np.array_equal(got, want)
+    # refagg composes with the corner/orientation wire forms
+    for rc, tr in ((0, False), (2, True)):
+        w2 = decode_jbig2_embedded(encode_jbig2_text_huffman(
+            symbols, instances, page_size=(48, 20),
+            ref_corner=rc, transposed=tr))
+        g2 = decode_jbig2_embedded(encode_jbig2_text_huffman(
+            symbols, instances, page_size=(48, 20),
+            ref_corner=rc, transposed=tr, refagg=True))
+        assert np.array_equal(g2, w2), (rc, tr)
+
+    # SBREFINE: instance 1 swaps in an inverted glyph, instance 6 a
+    # GROWN one (rdw=2, rdh=1); expected raster built in numpy
+    alt1 = 1 - symbols[1]
+    alt6 = rng.randint(0, 2, (4, 5), dtype=np.uint8)
+    refined = [(0, 2, 1, None), (1, 10, 1, alt1), (2, 24, 0, None),
+               (3, 31, 4, None), (0, 40, 2, None), (1, 2, 12, None),
+               (3, 15, 14, alt6), (2, 25, 11, None)]
+    got = decode_jbig2_embedded(encode_jbig2_text_huffman(
+        symbols, refined, page_size=(48, 20)))
+    want = np.zeros((20, 48), np.uint8)
+    for sid, x, y, alt in refined:
+        bmp = alt if alt is not None else symbols[sid]
+        want[y:y + bmp.shape[0], x:x + bmp.shape[1]] |= bmp
+    assert np.array_equal(got, want)
+    # both refinement forms at once
+    got = decode_jbig2_embedded(encode_jbig2_text_huffman(
+        symbols, refined, page_size=(48, 20), refagg=True))
+    assert np.array_equal(got, want)
+
+
 def test_huffman_profile_boundaries_and_fuzz():
     from dolphinbeat_spark.operators.jbig2 import (
         encode_jbig2_text_huffman,
@@ -598,14 +651,24 @@ def test_huffman_profile_boundaries_and_fuzz():
     instances = [(0, 0, 0), (1, 4, 1), (0, 8, 3)]
     blob = encode_jbig2_text_huffman(symbols, instances,
                                      page_size=(12, 6))
-    # SDHUFF + SDREFAGG raises by name: the dictionary payload opens
-    # with flags 0x0001 then n_ex=2, n_new=2 — a unique needle
-    needle = b"\x00\x01\x00\x00\x00\x02\x00\x00\x00\x02"
-    sd_off = blob.index(needle)
-    b = bytearray(blob)
-    b[sd_off + 1] |= 2  # set SDREFAGG alongside SDHUFF
-    with pytest.raises(NotImplementedError, match="SDREFAGG"):
-        decode_jbig2_embedded(bytes(b))
+    # multi-instance Huffman aggregation (REFAGGNINST > 1) raises by
+    # name: a hand-built SDHUFF+SDREFAGG dictionary whose first
+    # symbol declares 2 aggregate instances
+    import struct as _struct
+
+    from dolphinbeat_spark.operators import jbig2 as JB
+
+    payload = bytearray(_struct.pack(">H", 3))  # SDHUFF | SDREFAGG
+    payload += b"\xff\xff\xff\xff"              # SDRAT
+    payload += _struct.pack(">II", 1, 1)
+    w = JB._MsbWriter()
+    JB._std_table(4).encode(w, 2)  # DH: height class 2
+    JB._std_table(2).encode(w, 2)  # DW: width 2
+    JB._std_table(1).encode(w, 2)  # REFAGGNINST = 2
+    with pytest.raises(NotImplementedError, match="multi-instance"):
+        JB._decode_symbol_dict(
+            bytes(payload) + w.getvalue(),
+            [np.ones((2, 2), np.uint8)])
     # fuzz: corrupted huffman streams stay typed
     rng = np.random.RandomState(23)
     for _ in range(250):

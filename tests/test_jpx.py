@@ -35,13 +35,63 @@ def test_tier1_roundtrip_all_bands():
                      (1, 1), (2, 17)]:
             coefs = rng.randint(-300, 300, (h, w)).astype(np.int64)
             coefs[rng.rand(h, w) < 0.6] = 0
-            data, numbps, npasses = J._t1_encode(coefs, band, False)
+            segs, numbps = J._t1_encode(coefs, band, 0)
             if numbps == 0:
                 assert not coefs.any()
                 continue
-            got = J._t1_decode(data, h, w, band, numbps, npasses,
-                               False)
+            got = J._t1_decode(segs, h, w, band, numbps, 0)
             assert np.array_equal(got, coefs), (band, h, w)
+
+
+def test_tier1_roundtrip_all_cblk_styles():
+    """Every A.6.1 style combination round-trips at the T1 layer,
+    and every style decodes to the SAME coefficients as style 0 —
+    a cross-path differential (the raw, reset and causal branches
+    share no coder state with the plain MQ path, so a bug in any
+    of them shows as a mismatch against the plain decode)."""
+    rng = np.random.RandomState(7)
+    styles = [0x01, 0x02, 0x04, 0x08, 0x01 | 0x04, 0x01 | 0x02,
+              0x01 | 0x08, 0x02 | 0x04 | 0x08,
+              0x01 | 0x02 | 0x04 | 0x08 | 0x20]
+    for band in ("LL", "HH"):
+        for h, w in [(8, 8), (13, 6), (16, 16), (3, 11)]:
+            # deep bit-planes so bypass actually produces raw passes
+            # (raw coding starts at the 5th most significant plane)
+            coefs = rng.randint(-4000, 4000, (h, w)).astype(np.int64)
+            coefs[rng.rand(h, w) < 0.5] = 0
+            base_segs, numbps = J._t1_encode(coefs, band, 0)
+            assert numbps >= 5, "fixture must reach the bypass planes"
+            base = J._t1_decode(base_segs, h, w, band, numbps, 0)
+            assert np.array_equal(base, coefs)
+            for sty in styles:
+                segs, nb = J._t1_encode(coefs, band, sty)
+                assert nb == numbps
+                if sty & 0x01:
+                    assert len(segs) > 1, "bypass must split segments"
+                got = J._t1_decode(segs, h, w, band, nb, sty)
+                assert np.array_equal(got, coefs), (band, h, w, sty)
+
+
+def test_raw_bitio_stuffing_pins():
+    """D.6 raw segment bit packing pinned byte-for-byte: an 0xFF
+    byte leaves only 7 slots in its successor (stuffed MSB 0)."""
+    enc = J._RawEncoder()
+    for _ in range(8):
+        enc.bit(1)          # fills 0xFF
+    for b in (1, 0, 1, 0, 1, 0, 1):  # 7 bits into the stuffed byte
+        enc.bit(b)
+    out = enc.flush()
+    assert out == bytes([0xFF, 0b1010101]), out.hex()
+    dec = J._RawDecoder(out)
+    assert [dec.bit() for _ in range(8)] == [1] * 8
+    assert [dec.bit() for _ in range(7)] == [1, 0, 1, 0, 1, 0, 1]
+    # draining past the end feeds 1-bits (marker semantics)
+    assert [dec.bit() for _ in range(4)] == [1, 1, 1, 1]
+    # partial tail pads with zeros, MSB-first
+    enc2 = J._RawEncoder()
+    for b in (1, 1, 0):
+        enc2.bit(b)
+    assert enc2.flush() == bytes([0b11000000])
 
 
 def test_jpx_codestream_matrix():
@@ -68,6 +118,46 @@ def test_jpx_codestream_matrix():
         assert np.array_equal(J.decode_jpx(cs)[2], img), lv
 
 
+def test_jpx_codestream_cblk_styles():
+    """Full-codestream matrix over the A.6.1 coding styles: lossless
+    round-trips, and every styled stream decodes IDENTICAL pixels to
+    the plain stream (cross-path differential through the packet
+    parser's per-segment length signaling). 16-bit content reaches
+    numbps ~14 so bypass produces many raw segments per block."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (37, 45, 3), dtype=np.uint8)
+    g16 = rng.randint(0, 65536, (33, 21), dtype=np.uint16)
+    styles = [0x01, 0x02, 0x04, 0x08, 0x10, 0x01 | 0x04,
+              0x01 | 0x02 | 0x08, 0x1F]
+    for sty in styles:
+        cs = J.encode_jpx(img, levels=2, mct=True, cblk_style=sty,
+                          segsym=bool(sty & 0x02))
+        assert np.array_equal(J.decode_jpx(cs)[2], img), hex(sty)
+        cs = J.encode_jpx(g16, levels=3, cblk_style=sty)
+        assert np.array_equal(J.decode_jpx(cs)[2][:, :, 0], g16), \
+            hex(sty)
+    # styles thread through COC overrides and multi-layer packets
+    cs = J.encode_jpx(img, levels=2, cblk_style=0x01, layers=2,
+                      cblk_exp=(4, 4))
+    assert np.array_equal(J.decode_jpx(cs)[2], img)
+    cs = J.encode_jpx(img, levels=2, cblk_style=0x05,
+                      coc={1: {"levels": 3, "cblk_exp": (4, 5)}})
+    assert np.array_equal(J.decode_jpx(cs)[2], img)
+    # multi-tile x bypass (per-tile segment state must not leak)
+    big = rng.randint(0, 256, (64, 96), dtype=np.uint8)
+    cs = J.encode_jpx(big, levels=2, tile=(32, 32), cblk_style=0x01)
+    assert np.array_equal(J.decode_jpx(cs)[2][:, :, 0], big)
+    # 9/7 lossy path under bypass+termall: same tolerance contract
+    # as the plain lossy matrix
+    cs0 = J.encode_jpx(img, levels=2, transform=0, qstyle=2, mct=True)
+    base = J.decode_jpx(cs0)[2]
+    for sty in (0x01, 0x05, 0x0F):
+        cs = J.encode_jpx(img, levels=2, transform=0, qstyle=2,
+                          mct=True, cblk_style=sty)
+        px = J.decode_jpx(cs)[2]
+        assert np.array_equal(px, base), hex(sty)
+
+
 def test_jpx_named_boundaries():
     rng = np.random.RandomState(4)
     img = rng.randint(0, 256, (8, 8), dtype=np.uint8)
@@ -86,10 +176,10 @@ def test_jpx_named_boundaries():
     bad[qcd_at + 4] |= 2
     with pytest.raises(J.JpxError, match="reversible 5/3"):
         J.decode_jpx(bytes(bad))
-    # bypass code-block style
+    # reserved code-block style bits (the six real flags all decode)
     bad = bytearray(cs)
-    bad[cod_at + 4 + 8] |= 1
-    with pytest.raises(NotImplementedError, match="bypass"):
+    bad[cod_at + 4 + 8] |= 0x40
+    with pytest.raises(NotImplementedError, match="reserved"):
         J.decode_jpx(bytes(bad))
     with pytest.raises(J.JpxError, match="SOC"):
         J.decode_jpx(b"\x00" * 16)

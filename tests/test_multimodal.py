@@ -1643,7 +1643,8 @@ def test_mkv_content_encodings():
 
     samples = [b"PFX-frame-%d-" % i + bytes([65 + i]) * 30
                for i in range(4)]
-    for comp in (("zlib", b""), ("bzlib", b""), ("strip", b"PFX-")):
+    for comp in (("zlib", b""), ("bzlib", b""), ("lzo", b""),
+                 ("strip", b"PFX-")):
         mkv = encode_mkv([{"track_id": 1, "handler": "vide",
                            "codec": "V_RAW", "samples": list(samples),
                            "deltas": [40] * 4, "compression": comp}])
@@ -1659,6 +1660,15 @@ def test_mkv_content_encodings():
                                   "deltas": [40] * 4}]))
     assert "decoded" not in t
 
+    # corrupt lzo payload stays typed as well
+    mkv = encode_mkv([{"track_id": 1, "handler": "vide",
+                       "codec": "V_RAW", "samples": [b"z" * 64],
+                       "deltas": [40], "compression": ("lzo", b"")}])
+    bad = bytearray(mkv)
+    bad[-5] ^= 0xFF  # clobber the EOS marker region
+    with pytest.raises(MkvError, match="lzo1x"):
+        parse_mkv(bytes(bad))
+
     # boundary cases exercised directly on the ContentEncodings parser
     # with hand-built elements (the encoder never writes them)
     enc_body = (_elem(_CE_ORDER, _enc_uint(0))
@@ -1669,12 +1679,13 @@ def test_mkv_content_encodings():
                   + _elem(_CE_SCOPE, _enc_uint(2))
                   + _elem(_CE_COMPRESSION,
                           _elem(_CE_COMP_ALGO, _enc_uint(0))))
-    lzo = (_elem(_CE_SCOPE, _enc_uint(1))
-           + _elem(_CE_COMPRESSION, _elem(_CE_COMP_ALGO, _enc_uint(2))))
+    bogus = (_elem(_CE_SCOPE, _enc_uint(1))
+             + _elem(_CE_COMPRESSION,
+                     _elem(_CE_COMP_ALGO, _enc_uint(9))))
     for body, exc, pat in (
         (enc_body, NotImplementedError, "ContentEncryption"),
         (comp_scope, NotImplementedError, "Scope"),
-        (lzo, NotImplementedError, "lzo1x"),
+        (bogus, MkvError, "ContentCompAlgo"),
     ):
         blob = _elem(_CONTENT_ENCODING, body)
         with pytest.raises(exc, match=pat):
@@ -1692,6 +1703,86 @@ def test_mkv_content_encodings():
         encode_mkv([{"track_id": 1, "handler": "vide", "codec": "V_RAW",
                      "samples": [b"nope"], "deltas": [40],
                      "compression": ("strip", b"PFX-")}])
+
+
+def test_lzo1x_codec():
+    """From-scratch LZO1X (r16): roundtrips through the fixture
+    compressor, plus HAND-BUILT byte vectors for every decoder
+    opcode family the compressor never emits — the documented
+    instruction encodings are the pin (no liblzo in this
+    container)."""
+    import numpy as np
+    import pytest
+
+    from dolphinbeat_spark.operators.lzo1x import (
+        Lzo1xError, lzo1x_compress, lzo1x_decompress,
+    )
+
+    EOS = b"\x11\x00\x00"
+    # M2 short form (64..127): 5 literals then copy 3 at distance 4
+    # t = 0b01_0_011_00 = 76, H = 0
+    assert lzo1x_decompress(bytes([22]) + b"abcde"
+                            + bytes([76, 0]) + EOS) == b"abcdebcd"
+    # M2 long form (128..255): 6 literals, copy 5 at distance 6
+    # t = 1_00_101_00 = 0x94, H=0 -> d = 5+1 = 6
+    assert lzo1x_decompress(bytes([23]) + b"uvwxyz"
+                            + bytes([0x94, 0]) + EOS) == \
+        b"uvwxyzuvwxy"
+    # M1 2-byte match: first byte 18 = one literal, state 1; then
+    # opcode 0 (DD=0, SS=0) + H=0 -> d=1, copy 2
+    assert lzo1x_decompress(bytes([18]) + b"a"
+                            + bytes([0, 0]) + EOS) == b"aaa"
+    # trailing-S literals: M2 with S=2 carries 2 literals inline
+    # t = 0b01_0_011_10 = 78 -> d=4, len=3, then "XY"
+    assert lzo1x_decompress(bytes([22]) + b"abcde"
+                            + bytes([78, 0]) + b"XY" + EOS) == \
+        b"abcdebcdXY"
+    # long literal run with extension: t=0, ext=1+0*255 -> 19 bytes
+    lit19 = bytes(range(19))
+    assert lzo1x_decompress(bytes([0, 1]) + lit19 + EOS) == lit19
+    # 3-byte match at 2-3 kB (state 4 after a literal run): 2100
+    # literals, then opcode 0 + H: d = (H<<2) + D + 2049; want
+    # d=2100 -> H=12, D=3 -> t = 0b0000_11_00 = 12
+    body = bytes(275) + bytes(range(200)) * 9 + bytes(25)
+    assert len(body) == 2100
+    # t=0 ext form: 2100 - 18 = 2082 = 8*255 + 42
+    first = bytes([0]) + b"\x00" * 8 + bytes([42]) + body
+    got = lzo1x_decompress(first + bytes([12, 12]) + EOS)
+    assert got == body + body[0:3]
+    # far match (16..31): >16 kB out, then d = 16384 + le>>2
+    big = bytes([0, 0x00]) + b""  # build: ext for 17000 literals
+    # ext value = 17000 - 18 = 16982 = 66*255 + 152
+    ext = b"\x00" * 66 + bytes([152])
+    payload = (b"Qx" * 8500)
+    # t = 16 | H=0<<3 | L=2 -> 18, le = (1 << 2) | 0 -> d = 16385
+    far = lzo1x_decompress(bytes([0]) + ext + payload
+                           + bytes([18, 4, 0]) + EOS)
+    assert far == payload + payload[-16385:-16385 + 4]
+    # version-1 RLE marker raises by name
+    with pytest.raises(NotImplementedError, match="RLE"):
+        lzo1x_decompress(bytes([17, 1]) + EOS)
+    # ...but the bare 3-byte EOS block is the EMPTY payload, not RLE
+    assert lzo1x_decompress(EOS) == b""
+    # typed failures: truncation, bad distance, missing EOS
+    for bad in (b"", bytes([22]) + b"abc",
+                bytes([18]) + b"a" + bytes([0, 200]) + EOS,
+                bytes([20]) + b"abc"):
+        with pytest.raises(Lzo1xError):
+            lzo1x_decompress(bad)
+
+    # compressor roundtrip sweep: repetitive, random, short, binary
+    rng = np.random.RandomState(77)
+    cases = [b"", b"x", b"ab", b"abc", b"abcd" * 100,
+             bytes(rng.randint(0, 256, 5000, dtype=np.uint8)),
+             bytes(rng.randint(0, 4, 9000, dtype=np.uint8)),
+             b"A" * 20000, (b"pattern-" * 3000)[:17003],
+             bytes(rng.randint(0, 256, 3, dtype=np.uint8)),
+             b"PFX-" + bytes(300) + b"PFX-" + bytes(300)]
+    for case in cases:
+        blob = lzo1x_compress(case)
+        assert lzo1x_decompress(blob) == case, len(case)
+    # compression actually compresses the repetitive cases
+    assert len(lzo1x_compress(b"A" * 20000)) < 200
 
 
 def test_mkv_unknown_size_clusters_multi():
