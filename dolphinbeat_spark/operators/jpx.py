@@ -50,9 +50,15 @@ B.10.7.2 per-segment length signaling on the 10/2/1 segment
 structure), vertically causal contexts, predictable termination
 (decode-neutral) and segmentation symbols.
 
+Packed packet headers decode since r16 (B.7/B.8): PPM main-header
+segments split into per-tile-part Nppm chunks, PPT tile-part
+segments concatenated in Zppt order; one persistent header reader
+walks the packed stream (EPH included) while packet bodies and SOP
+stay in the tile bitstream.
+
 Named boundaries (fail loud): unaligned tile grids, component
-subsampling, POC progression changes, ROI (RGN), PPM/PPT packed
-headers.
+subsampling, POC progression changes, ROI (RGN), tile-part
+COD/COC/QCD/QCC overrides.
 Typed-error boundary: decode_jpx re-raises every parser failure mode
 as JpxError (hostile-input posture, same as cff.parse_cff).
 
@@ -995,6 +1001,9 @@ def _decode(data: bytes, max_pixels: int) -> tuple[int, int, np.ndarray]:
     tile_parts: dict[int, list[tuple[int, bytes]]] = {}
     coc: dict[int, dict] = {}
     qcc: dict[int, dict] = {}
+    ppm_store: list[tuple[int, bytes]] = []        # (Zppm, body)
+    ppt_store: dict[int, list[tuple[int, bytes]]] = {}  # tile -> (Zppt, body)
+    sot_order: list[int] = []  # tile-part appearance order (PPM map)
 
     def comp_index(body: bytes) -> tuple[int, bytes]:
         # Ccoc/Cqcc is 1 byte when Csiz < 257, else 2 (A.6.2/A.6.5)
@@ -1023,9 +1032,15 @@ def _decode(data: bytes, max_pixels: int) -> tuple[int, int, np.ndarray]:
         elif marker == 0xFF5D:
             c, rest = comp_index(body)
             qcc[c] = _parse_qcd(rest)
-        elif marker in (0xFF60, 0xFF61):
-            raise NotImplementedError(
-                "JPX packed packet headers (PPM/PPT) not supported")
+        elif marker == 0xFF60:
+            # PPM (r16): packed packet headers, main header form —
+            # Zppm-indexed segments concatenate into (Nppm u32, data)
+            # chunks, one per tile-part in codestream order
+            if not body:
+                raise JpxError("PPM without Zppm index")
+            ppm_store.append((body[0], body[1:]))
+        elif marker == 0xFF61:
+            raise JpxError("PPT marker in the main header")
         elif marker in (0xFF55, 0xFF57, 0xFF58, 0xFF63, 0xFF64):
             pass  # TLM/PLM/PLT/CRG/COM: informational
         elif marker == 0xFF5E:
@@ -1038,14 +1053,48 @@ def _decode(data: bytes, max_pixels: int) -> tuple[int, int, np.ndarray]:
             isot, = struct.unpack_from(">H", body, 0)
             psot, = struct.unpack_from(">I", body, 2)
             tpsot = body[6]
-            sod_at = pos + 2 + ln
-            if cs[sod_at:sod_at + 2] != b"\xff\x93":
-                raise JpxError("SOT not followed by SOD")
+            # tile-part header markers between SOT and SOD (r16):
+            # PPT packed headers and informational PLT/COM decode;
+            # tile-scoped coding-style overrides raise by name
+            hp = pos + 2 + ln
+            while cs[hp:hp + 2] != b"\xff\x93":
+                if hp + 4 > len(cs):
+                    raise JpxError("tile-part header runs off the "
+                                   "codestream without SOD")
+                m2, l2 = struct.unpack_from(">HH", cs, hp)
+                b2 = cs[hp + 4:hp + 2 + l2]
+                if len(b2) != l2 - 2:
+                    raise JpxError(
+                        f"tile-part marker {m2:#06x} truncated")
+                if m2 == 0xFF61:
+                    if not b2:
+                        raise JpxError("PPT without Zppt index")
+                    ppt_store.setdefault(isot, []).append(
+                        (b2[0], b2[1:]))
+                elif m2 in (0xFF58, 0xFF64):  # PLT/COM
+                    pass
+                elif m2 in (0xFF52, 0xFF53, 0xFF5C, 0xFF5D):
+                    raise NotImplementedError(
+                        "JPX tile-part COD/COC/QCD/QCC overrides "
+                        "not supported")
+                elif m2 == 0xFF5E:
+                    raise NotImplementedError(
+                        "JPX RGN (ROI shift) not supported")
+                elif m2 == 0xFF5F:
+                    raise NotImplementedError(
+                        "JPX POC progression-order changes not "
+                        "supported")
+                else:
+                    raise JpxError(
+                        f"unexpected tile-part marker {m2:#06x}")
+                hp += 2 + l2
+            sod_at = hp
             end = pos + psot if psot else len(cs) - 2
             if end > len(cs) or end <= sod_at:
                 raise JpxError("SOT Psot overruns the codestream")
             tile_parts.setdefault(isot, []).append(
                 (tpsot, cs[sod_at + 2:end]))
+            sot_order.append(isot)
             pos = end
             continue
         elif marker == 0xFFD9:
@@ -1064,9 +1113,46 @@ def _decode(data: bytes, max_pixels: int) -> tuple[int, int, np.ndarray]:
     if len(tile_parts) != ntiles:
         raise JpxError(
             f"{len(tile_parts)} tiles present, grid wants {ntiles}")
+
+    # packed-packet-header assembly (r16, B.7/B.8): PPM chunks map
+    # to tile-parts in codestream order; PPT segments concatenate in
+    # Zppt order within their tile. Either form replaces the in-band
+    # packet headers with a per-tile header stream.
+    pph_tiles: dict[int, bytes] | None = None
+    if ppm_store and ppt_store:
+        raise JpxError("codestream mixes PPM and PPT packed headers")
+    if ppm_store:
+        full = b"".join(
+            d for _, d in sorted(ppm_store, key=lambda e: e[0]))
+        chunks = []
+        p2 = 0
+        while p2 < len(full):
+            if p2 + 4 > len(full):
+                raise JpxError("PPM Nppm length truncated")
+            nppm, = struct.unpack_from(">I", full, p2)
+            p2 += 4
+            if p2 + nppm > len(full):
+                raise JpxError("PPM packed-header chunk truncated")
+            chunks.append(full[p2:p2 + nppm])
+            p2 += nppm
+        if len(chunks) != len(sot_order):
+            raise JpxError(
+                f"PPM carries {len(chunks)} tile-part chunks, the "
+                f"codestream has {len(sot_order)} tile-parts")
+        per_tile: dict[int, bytearray] = {}
+        for isot, chunk in zip(sot_order, chunks):
+            per_tile.setdefault(isot, bytearray()).extend(chunk)
+        pph_tiles = {i: bytes(v) for i, v in per_tile.items()}
+    elif ppt_store:
+        pph_tiles = {
+            i: b"".join(d for _, d in sorted(v, key=lambda e: e[0]))
+            for i, v in ppt_store.items()}
+
     if ntiles == 1:
         tdata = b"".join(d for _, d in sorted(tile_parts[0]))
-        return _decode_tile(siz, cod, qcd, coc, qcc, tdata, max_pixels)
+        return _decode_tile(siz, cod, qcd, coc, qcc, tdata, max_pixels,
+                            pph=pph_tiles.get(0, b"")
+                            if pph_tiles is not None else None)
 
     # multiple tiles (r15): T.800 anchors the DWT at ABSOLUTE image
     # coordinates, so per-tile 0-anchored decode is exact only when
@@ -1096,7 +1182,9 @@ def _decode(data: bytes, max_pixels: int) -> tuple[int, int, np.ndarray]:
         tsiz["w"], tsiz["h"] = tw, th
         tdata = b"".join(d for _, d in sorted(tile_parts[i]))
         _, _, px = _decode_tile(tsiz, cod, qcd, coc, qcc, tdata,
-                                max_pixels, org=(tx * xt, ty * yt))
+                                max_pixels, org=(tx * xt, ty * yt),
+                                pph=pph_tiles.get(i, b"")
+                                if pph_tiles is not None else None)
         if canvas is None:
             canvas = np.zeros((h, w, px.shape[2]), px.dtype)
         canvas[ty * yt:ty * yt + th, tx * xt:tx * xt + tw] = px
@@ -1244,7 +1332,8 @@ def _merge_coc(cod: dict, ov: dict) -> dict:
 
 def _decode_tile(siz, cod, qcd, coc, qcc, tdata: bytes,
                  max_pixels: int,
-                 org: tuple[int, int] = (0, 0)
+                 org: tuple[int, int] = (0, 0),
+                 pph: bytes | None = None
                  ) -> tuple[int, int, np.ndarray]:
     w, h, nc = siz["w"], siz["h"], siz["ncomps"]
     tx0, ty0 = org  # absolute canvas origin: anchors the block grid
@@ -1293,6 +1382,28 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tdata: bytes,
                         }
 
     pos = 0
+    # packed packet headers (r16): one persistent reader walks the
+    # PPM/PPT stream — headers (and EPH) live there, while packet
+    # BODIES (and SOP) stay in the tile bitstream at `pos`
+    pph_hr = _HdrReader(pph, 0) if pph is not None else None
+
+    def end_header(hr) -> None:
+        nonlocal pos
+        if pph_hr is None:
+            pos = hr.align()
+            if cod["eph"]:
+                if tdata[pos:pos + 2] != b"\xff\x92":
+                    raise JpxError("missing EPH after packet header")
+                pos += 2
+        else:
+            hend = hr.align()
+            if cod["eph"]:
+                if pph[hend:hend + 2] != b"\xff\x92":
+                    raise JpxError(
+                        "missing EPH in the packed header stream")
+                hr.pos += 2
+            hr.last = 0  # headers are independent byte-aligned units
+
     for layer, r, c in _packet_order(cod["progression"], layers,
                                      levels_list):
         levels = levels_list[c]
@@ -1300,14 +1411,10 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tdata: bytes,
         if cod["sop"]:
             if tdata[pos:pos + 2] == b"\xff\x91":
                 pos += 6  # SOP marker segment (fixed length 4 + 2)
-        hr = _HdrReader(tdata, pos)
+        hr = pph_hr if pph_hr is not None else _HdrReader(tdata, pos)
         contribs = []
         if not hr.bit():  # empty packet
-            pos = hr.align()
-            if cod["eph"]:
-                if tdata[pos:pos + 2] != b"\xff\x92":
-                    raise JpxError("missing EPH after packet header")
-                pos += 2
+            end_header(hr)
             continue
         for band, lvl in _res_bands(r, levels):
             xs, ys = cells[(c, r, band)]
@@ -1355,11 +1462,7 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tdata: bytes,
                         seg["passes"] += take
                         rem -= take
                     contribs.append((band, lvl, cx, cy, chunks))
-        pos = hr.align()
-        if cod["eph"]:
-            if tdata[pos:pos + 2] != b"\xff\x92":
-                raise JpxError("missing EPH after packet header")
-            pos += 2
+        end_header(hr)
         for band, lvl, cx, cy, chunks in contribs:
             cb = cblks[(c, r, band, cx, cy)]
             for seg_idx, take, seg_len in chunks:
@@ -1481,7 +1584,8 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
                qcc: dict | None = None,
                tile: tuple[int, int] | None = None,
                tile_parts: int = 1,
-               cblk_style: int = 0) -> bytes:
+               cblk_style: int = 0,
+               ppt: bool = False, ppm: bool = False) -> bytes:
     """Image -> Part-1 codestream (fixture mirror): one tile, 5/3
     reversible (``transform=1``, lossless) or 9/7 irreversible
     (``transform=0`` with quantization style 1 derived / 2 expounded,
@@ -1500,7 +1604,11 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
     signature/ftyp/jp2h/jp2c layout. ``cblk_style`` ORs the T.800
     A.6.1 coding-style flags (0x01 bypass, 0x02 reset, 0x04 termall,
     0x08 vertically causal, 0x10 predictable termination — accepted
-    but termination padding is the standard flush)."""
+    but termination padding is the standard flush). ``ppt`` moves
+    every packet header (and EPH) into PPT tile-part-header
+    segments; ``ppm`` into main-header PPM segments with per-
+    tile-part Nppm chunks — packet bodies (and SOP) stay in the
+    bitstream (B.7/B.8)."""
     px = np.asarray(px)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -1511,6 +1619,8 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
     if cblk_style & ~0x1F:
         raise JpxError("cblk_style accepts only the low five "
                        "A.6.1 flags (segsym has its own parameter)")
+    if ppt and ppm:
+        raise JpxError("ppt and ppm are mutually exclusive")
     t1_style = cblk_style | (_STY_SEGSYM if segsym else 0)
     if qstyle is None:
         qstyle = 0 if transform == 1 else 2
@@ -1635,6 +1745,7 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
 
         # packets
         body = bytearray()
+        pph_acc = bytearray() if (ppt or ppm) else None
         done: set[tuple] = set()
         nsop = 0
         for layer, r, c in _packet_order(progression, layers, levels_list):
@@ -1696,11 +1807,18 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
                             hw.bits(len(d), lb + int(math.log2(np_)))
                             payload += d
                         done.add(key)
-            body += hw.getvalue()
-            if eph:
-                body += b"\xff\x92"
-            body += payload
-        return bytes(body)
+            if pph_acc is not None:
+                pph_acc += hw.getvalue()
+                if eph:
+                    pph_acc += b"\xff\x92"
+                body += payload
+            else:
+                body += hw.getvalue()
+                if eph:
+                    body += b"\xff\x92"
+                body += payload
+        return bytes(body), (bytes(pph_acc)
+                             if pph_acc is not None else None)
 
     # markers
     xt, yt = tile if tile is not None else (w, h)
@@ -1732,19 +1850,56 @@ def encode_jpx(px: np.ndarray, levels: int = 2, mct: bool = False,
         markers += struct.pack(">HH", 0xFF5D, 2 + len(qbody)) + qbody
     ntx = (w + xt - 1) // xt
     nty = (h + yt - 1) // yt
-    stream = bytearray(b"\xff\x4f" + markers)
+    tiles = []
     for i in range(ntx * nty):
         tx, ty = i % ntx, i // ntx
-        body = tile_body(px[ty * yt:ty * yt + yt, tx * xt:tx * xt + xt],
-                         org=(tx * xt, ty * yt))
+        tiles.append(tile_body(
+            px[ty * yt:ty * yt + yt, tx * xt:tx * xt + xt],
+            org=(tx * xt, ty * yt)))
+    if ppm:
+        # one Nppm chunk per tile-part, codestream order: the whole
+        # tile's headers ride its FIRST part, later parts get
+        # zero-length chunks (B.7)
+        blob = bytearray()
+        for body, tile_pph in tiles:
+            n_parts = max(1, min(tile_parts, len(body) or 1))
+            blob += struct.pack(">I", len(tile_pph)) + tile_pph
+            for _ in range(n_parts - 1):
+                blob += struct.pack(">I", 0)
+        z = 0
+        off = 0
+        while True:
+            chunk = bytes(blob[off:off + 65532])
+            markers += struct.pack(">HH", 0xFF60, 3 + len(chunk)) \
+                + bytes([z]) + chunk
+            off += len(chunk)
+            z += 1
+            if off >= len(blob):
+                break
+    stream = bytearray(b"\xff\x4f" + markers)
+    for i, (body, tile_pph) in enumerate(tiles):
         n_parts = max(1, min(tile_parts, len(body) or 1))
         cut = max(1, len(body) // n_parts) if body else 0
         pieces = [body[k * cut:(k + 1) * cut] for k in range(n_parts - 1)]
         pieces.append(body[(n_parts - 1) * cut:])
         for tp, piece in enumerate(pieces):
+            ppt_seg = b""
+            if ppt and tp == 0:
+                z = 0
+                off = 0
+                while True:
+                    chunk = tile_pph[off:off + 65532]
+                    ppt_seg += struct.pack(
+                        ">HH", 0xFF61, 3 + len(chunk)) \
+                        + bytes([z]) + chunk
+                    off += len(chunk)
+                    z += 1
+                    if off >= len(tile_pph):
+                        break
             stream += struct.pack(">HHHIBB", 0xFF90, 10, i,
-                                  12 + len(piece) + 2, tp, n_parts)
-            stream += b"\xff\x93" + piece
+                                  12 + len(ppt_seg) + len(piece) + 2,
+                                  tp, n_parts)
+            stream += ppt_seg + b"\xff\x93" + piece
     cs = bytes(stream) + b"\xff\xd9"
     if not jp2:
         return cs

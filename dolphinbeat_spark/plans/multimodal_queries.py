@@ -4154,7 +4154,10 @@ def mm_pdf_jpx_cblk_styles(spark: SparkSession, sf_dir: str) -> DataFrame:
             img, levels=2, progression=i % 5,
             cblk_style=styles[i % len(styles)],
             segsym=bool(i % 3 == 2), jp2=bool(i % 2),
-            cblk_exp=(4, 4) if i % 5 == 0 else (6, 6))
+            cblk_exp=(4, 4) if i % 5 == 0 else (6, 6),
+            # r16: a third of the docs move their packet headers
+            # into PPT tile-part / PPM main-header segments
+            ppt=bool(i % 4 == 1), ppm=bool(i % 4 == 2))
         return encode_pdf([[f"jpx styles {i}"]],
                           xref_stream=bool(i % 2),
                           images=[[("jpx", 12, 8, 1, cs)]])

@@ -158,6 +158,54 @@ def test_jpx_codestream_cblk_styles():
         assert np.array_equal(px, base), hex(sty)
 
 
+def test_jpx_packed_packet_headers():
+    """PPM/PPT packed packet headers (B.7/B.8, r16): headers move
+    out of the bitstream into main-header PPM chunks or tile-part
+    PPT segments; every packed stream must decode IDENTICAL pixels
+    to its inline-header twin across progressions, layers, SOP/EPH,
+    multi-tile grids, tile-parts and code-block styles."""
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, (37, 45, 3), dtype=np.uint8)
+    for kw in ({"ppt": True}, {"ppm": True}):
+        for prog in range(5):
+            cs = J.encode_jpx(img, levels=2, mct=True,
+                              progression=prog, **kw)
+            assert np.array_equal(J.decode_jpx(cs)[2], img), (kw, prog)
+        # SOP/EPH: SOP stays in the bitstream, EPH rides the packed
+        # stream; layers exercise multi-contribution tag trees
+        cs = J.encode_jpx(img, levels=2, sop=True, eph=True,
+                          layers=2, cblk_exp=(4, 4), **kw)
+        assert np.array_equal(J.decode_jpx(cs)[2], img), kw
+        # bypass styles: per-segment length chunks ride the packed
+        # header stream
+        cs = J.encode_jpx(img, levels=2, cblk_style=0x01, **kw)
+        assert np.array_equal(J.decode_jpx(cs)[2], img), kw
+        # 9/7 lossy equals its inline twin bit-for-bit
+        cs0 = J.encode_jpx(img, levels=2, transform=0, qstyle=2)
+        cs1 = J.encode_jpx(img, levels=2, transform=0, qstyle=2, **kw)
+        assert np.array_equal(J.decode_jpx(cs0)[2],
+                              J.decode_jpx(cs1)[2]), kw
+    # multi-tile x tile-parts x both forms
+    big = rng.randint(0, 256, (64, 96), dtype=np.uint8)
+    for kw in ({"ppt": True}, {"ppm": True}):
+        cs = J.encode_jpx(big, levels=2, tile=(32, 32),
+                          tile_parts=3, **kw)
+        assert np.array_equal(J.decode_jpx(cs)[2][:, :, 0], big), kw
+    # jp2 wrapper + 16-bit
+    g16 = rng.randint(0, 65536, (9, 9), dtype=np.uint16)
+    cs = J.encode_jpx(g16, levels=2, jp2=True, ppt=True)
+    assert np.array_equal(J.decode_jpx(cs)[2][:, :, 0], g16)
+    # mixing both forms is refused at encode time, and a PPT marker
+    # in the main header is a typed error
+    with pytest.raises(J.JpxError, match="mutually exclusive"):
+        J.encode_jpx(img, ppt=True, ppm=True)
+    cs = J.encode_jpx(img, levels=1)
+    cod_at = cs.find(b"\xff\x52")
+    bad = cs[:cod_at] + b"\xff\x61\x00\x03\x00" + cs[cod_at:]
+    with pytest.raises(J.JpxError, match="main header"):
+        J.decode_jpx(bad)
+
+
 def test_jpx_named_boundaries():
     rng = np.random.RandomState(4)
     img = rng.randint(0, 256, (8, 8), dtype=np.uint8)
