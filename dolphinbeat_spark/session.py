@@ -42,8 +42,28 @@ def get_spark(app_name: str = "dolphinbeat_spark", master: str | None = None) ->
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
+        # 24g measured AGAINST 64g at r16: steady-state q1 sf100
+        # walls were 23-27 s at 24g vs 56-60 s at 64g on clean
+        # steal-stamped windows (BASELINE §r16 A/B) — the bigger
+        # heap ran the same plans ~2x slower (young-gen/L3
+        # locality), so the spill margin 64g buys is a bad trade on
+        # this host. On a real cluster this is per-executor memory
+        # sizing; re-measure, don't assume bigger is better.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
+    # shuffle/spill IO goes to tmpfs when available (the local-mode
+    # analog of cluster NVMe local dirs): the r16 probe columns
+    # showed spill volume varying 2.9 MB -> 895 MB run-to-run on the
+    # variable-throughput cloud boot disk; tmpfs removes that device
+    # from the variance equation (it did NOT remove the variance —
+    # see BASELINE §r16 — but it is strictly faster and makes the
+    # remaining walls attributable to compute, not the disk)
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark_graft_local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     if master is not None:
         builder = builder.master(master)
     elif "SPARK_MASTER" in os.environ:

@@ -43,6 +43,50 @@ def main() -> None:
             vals = [int(v) for v in f.readline().split()[1:]]
         return (vals[7] if len(vals) > 7 else 0), sum(vals)
 
+    def disk_write_mb():
+        # shuffle files and spill land on the same cloud disk; write
+        # throughput variance is the remaining IO candidate for the
+        # q1-class wall swings (reads measured 0.0 — replica cached)
+        total = 0
+        try:
+            with open("/proc/diskstats") as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) > 9 and parts[2][:2] in ("vd", "sd",
+                                                           "nv"):
+                        total += int(parts[9])
+        except OSError:
+            return -1.0
+        return round(total * 512 / 1e6, 1)
+
+    def disk_read_mb():
+        # r16: q1-class sf100 walls vary 2-4x at near-zero steal while
+        # the pure-CPU sustained kernel holds ±10%; the variable is
+        # how much of the replica's parquet the run re-reads from the
+        # (cloud) disk vs page cache. Sum read sectors across real
+        # block devices so each run's wall carries its IO footprint.
+        total = 0
+        try:
+            with open("/proc/diskstats") as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) > 5 and parts[2][:2] in ("vd", "sd",
+                                                           "nv"):
+                        total += int(parts[5])
+        except OSError:
+            return -1.0
+        return round(total * 512 / 1e6, 1)
+
+    def cached_gb():
+        try:
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    if line.startswith("Cached:"):
+                        return round(int(line.split()[1]) / 1e6, 2)
+        except OSError:
+            pass
+        return -1.0
+
     # r16: the probe measures its OWN sustained-saturation window
     # (bench._CAL_SUSTAINED) right before the timed runs — the factor
     # bench.py uses to normalize this probe's wall, so the envelope
@@ -68,18 +112,29 @@ def main() -> None:
 
     runs = []
     steals = []
+    reads = []
+    writes = []
+    cach = []
     for _ in range(3):  # 1 warm-up + best-of-2, matching sf100_section
         s0, t0j = steal_jiffies()
+        r0 = disk_read_mb()
+        w0 = disk_write_mb()
         t0 = time.time()
         fn(spark, scaled_dir).write.format("noop").mode("overwrite").save()
         s1, t1j = steal_jiffies()
         runs.append(round(time.time() - t0, 3))
         steals.append(round(100.0 * (s1 - s0) / max(t1j - t0j, 1), 2))
+        reads.append(round(disk_read_mb() - r0, 1))
+        writes.append(round(disk_write_mb() - w0, 1))
+        cach.append(cached_gb())
     print(json.dumps({
         "spec": spec_name,
         "sec": min(runs[1:]),
         "runs": runs,
         "steal_pct_per_run": steals,
+        "disk_read_mb_per_run": reads,
+        "disk_write_mb_per_run": writes,
+        "cached_gb_after_run": cach,
         "same_plan_shape": same_plan,
         "sustained": sustained,
         "load1": round(os.getloadavg()[0], 2),

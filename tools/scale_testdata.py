@@ -51,7 +51,16 @@ def ensure_scaled(spark, src_dir: str, dest_dir: str, factor: int = 10) -> bool:
     from dolphinbeat_spark.catalog import load
 
     dest = Path(dest_dir)
-    marker = dest / f"_SCALED_x{factor}_OK"
+    # v2 (r16): fact tables materialize across 64 files. The v1
+    # replica inherited the source's 1-2 partitions through the
+    # broadcast crossJoin, so sf100 lineitem was ONE 349 MB file —
+    # 3 scan tasks on 32 cores (measured ~25% busy), making every
+    # sf100 wall a tail-variance lottery over a handful of huge
+    # tasks instead of a measure of the engine. 64 files give every
+    # core work with 2x task slack; at real 100 TB scale the same
+    # property comes from the source layout (many 128 MB-1 GB
+    # files), which is exactly what this replica now mimics.
+    marker = dest / f"_SCALED_x{factor}_OK_v2"
     if marker.exists():
         return False
     if dest.exists():
@@ -67,7 +76,8 @@ def ensure_scaled(spark, src_dir: str, dest_dir: str, factor: int = 10) -> bool:
         df = load(spark, src_dir, table).crossJoin(F.broadcast(replicas))
         for col, ks in shifts.items():
             df = df.withColumn(col, F.col(col) + F.col("__r") * F.lit(widths[ks]))
-        df.drop("__r").write.mode("overwrite").parquet(str(dest / f"{table}.parquet"))
+        df.drop("__r").repartition(64).write.mode("overwrite").parquet(
+            str(dest / f"{table}.parquet"))
     for table in _COPY_TABLES:
         shutil.copy(f"{src_dir}/{table}.parquet", dest / f"{table}.parquet")
     marker.touch()
