@@ -60,7 +60,13 @@ def ensure_scaled(spark, src_dir: str, dest_dir: str, factor: int = 10) -> bool:
     # core work with 2x task slack; at real 100 TB scale the same
     # property comes from the source layout (many 128 MB-1 GB
     # files), which is exactly what this replica now mimics.
-    marker = dest / f"_SCALED_x{factor}_OK_v2"
+    # v3: v2's round-robin repartition destroyed parquet encoding
+    # locality (the replica grew 567M -> 1.6G and the inflated size
+    # estimates flipped q5's customer join from broadcast to SMJ —
+    # caught by the plan fingerprint). Sorting within partitions on
+    # the shifted key restores dictionary/RLE runs: same 64-way
+    # parallelism, near-v1 encoded size, stable join strategies.
+    marker = dest / f"_SCALED_x{factor}_OK_v3"
     if marker.exists():
         return False
     if dest.exists():
@@ -76,7 +82,9 @@ def ensure_scaled(spark, src_dir: str, dest_dir: str, factor: int = 10) -> bool:
         df = load(spark, src_dir, table).crossJoin(F.broadcast(replicas))
         for col, ks in shifts.items():
             df = df.withColumn(col, F.col(col) + F.col("__r") * F.lit(widths[ks]))
-        df.drop("__r").repartition(64).write.mode("overwrite").parquet(
+        sort_key = next(iter(shifts))
+        df.drop("__r").repartition(64).sortWithinPartitions(
+            sort_key).write.mode("overwrite").parquet(
             str(dest / f"{table}.parquet"))
     for table in _COPY_TABLES:
         shutil.copy(f"{src_dir}/{table}.parquet", dest / f"{table}.parquet")
