@@ -69,10 +69,17 @@ def load(
     everything fused into it (projections, partial aggregates, UDFs)
     runs single-threaded. A round-robin repartition to the session
     default parallelism moves that work onto every core for the cost
-    of shuffling the (small) source bytes. On a real cluster with
-    properly row-grouped files the scan already splits, the repartition
-    collapses into a cheap no-op-sized exchange, and plans that are
-    scan-bound rather than compute-bound should NOT set it.
+    of shuffling the (small) source bytes.
+
+    r16 (guide §2.4 "remove shuffles outright"): the repartition is now
+    SCALE-ADAPTIVE — when the input already splits into at least the
+    session default parallelism (many files, e.g. the 64-file sf100
+    replica or any real cluster layout), the round-robin exchange is a
+    pure cost (it re-shuffles every payload byte the scan just read)
+    and is skipped. The file count is cheap catalog metadata; one file
+    per scan task is the worst case under ``maxPartitionBytes``, so
+    ``len(inputFiles) >= parallelism`` guarantees the scan stage is
+    already as wide as the repartition would have made it.
     """
     if table not in TABLES:
         raise KeyError(f"unknown table {table!r}; expected one of {TABLES}")
@@ -86,7 +93,9 @@ def load(
     if table == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if widen:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        parallelism = spark.sparkContext.defaultParallelism
+        if len(df.inputFiles()) < parallelism:
+            df = df.repartition(parallelism)
     return df
 
 

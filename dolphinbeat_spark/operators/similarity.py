@@ -31,9 +31,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from dolphinbeat_spark.functions.vector import cosine_similarity
+from dolphinbeat_spark.functions.vector import (
+    cosine_from_parts,
+    cosine_similarity,
+    dot,
+    l2_norm,
+)
 
 HYPERPLANE_SALT = "rh"
+
+# Per-pair scoring convention (r16, optimization guide §1.2/§2.3):
+# every pairwise cosine below is dot/(norm_a*norm_b) with the NORMS
+# hoisted into per-side projections — computed once per ROW and
+# carried as one double through the join instead of recomputed per
+# PAIR (measured 15.5 s -> 4.9 s at 10M pairs; see
+# functions/vector.py, including the measured negative result for
+# unrolling the folds themselves).
 
 
 def brute_force_topk(
@@ -48,9 +61,15 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, rank, cosine).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -58,7 +77,9 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity("__qv", "__cv").alias("cosine"),
+            cosine_from_parts(
+                dot("__qv", "__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -139,12 +160,23 @@ def cosine_near_dup_pairs(
     O(n²) pair materialization — BOUNDED INPUTS ONLY: the truth side of
     recall evals and tiny reference sets. The scale path is
     :func:`cosine_near_dup_pairs_banded` (equi-join on LSH bands)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        l2_norm(F.col(vec_col)).alias("__na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        l2_norm(F.col(vec_col)).alias("__nb"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_similarity("__va", "__vb").alias("cosine"))
+        .select(
+            "id_a", "id_b",
+            cosine_from_parts(
+                dot("__va", "__vb"), F.col("__na"), F.col("__nb")
+            ).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -201,12 +233,23 @@ def cosine_near_dup_pairs_banded(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    va = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        l2_norm(F.col(vec_col)).alias("__na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        l2_norm(F.col(vec_col)).alias("__nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cosine_similarity("__va", "__vb").alias("cosine"))
+        .select(
+            "id_a", "id_b",
+            cosine_from_parts(
+                dot("__va", "__vb"), F.col("__na"), F.col("__nb")
+            ).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -267,7 +310,6 @@ def lsh_bucket(vec_col: Column | str, num_planes: int, dim: int) -> Column:
     default 12×64 — measured 5× off the near-dup specs)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     dv = v.cast("array<double>")
-    acc = F.lit(0).cast("bigint")
     out = None
     for p in range(num_planes):
         plane = F.array(*[
@@ -301,10 +343,19 @@ def ivf_assign(
     rows (a row_number window would shuffle them all). The multi-cell
     path (query probes; tiny input) keeps the window formulation.
     Output: (out_id, vec, cell, cell_rank)."""
-    v = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
-    c = centroids.select(F.col("cid").alias("cell"), F.col("cv").alias("__c"))
+    v = df.select(
+        F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__vn"),
+    )
+    c = centroids.select(
+        F.col("cid").alias("cell"), F.col("cv").alias("__c"),
+        l2_norm(F.col("cv")).alias("__cn"),
+    )
     scored = v.crossJoin(F.broadcast(c)).select(
-        out_id, "__v", "cell", cosine_similarity("__v", "__c").alias("__sim")
+        out_id, "__v", "cell",
+        cosine_from_parts(
+            dot("__v", "__c"), F.col("__vn"), F.col("__cn")
+        ).alias("__sim"),
     )
     if n_cells == 1:
         # argmax by (sim DESC, cell ASC): max_by over the unique
@@ -344,16 +395,23 @@ def ivf_ann_topk(
     scores exact cosine within them. ``centroids`` must have columns
     (cid, cv)."""
     inv = ivf_assign(corpus, centroids, id_col, vec_col, "neighbor_id", 1).select(
-        "neighbor_id", F.col("vec").alias("__cv"), "cell"
+        "neighbor_id", F.col("vec").alias("__cv"), "cell",
+        l2_norm(F.col("vec")).alias("__cn"),
     )
     probes = ivf_assign(queries, centroids, id_col, vec_col, "query_id", nprobe).select(
-        "query_id", F.col("vec").alias("__qv"), "cell"
+        "query_id", F.col("vec").alias("__qv"), "cell",
+        l2_norm(F.col("vec")).alias("__qn"),
     )
     scored = (
         F.broadcast(probes)
         .join(inv, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine_similarity("__qv", "__cv").alias("cosine"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine_from_parts(
+                dot("__qv", "__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -378,17 +436,24 @@ def lsh_ann_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         lsh_bucket(vec_col, num_planes, dim).alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         lsh_bucket(vec_col, num_planes, dim).alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         F.broadcast(qb)
         .join(cb, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine_similarity("__qv", "__cv").alias("cosine"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine_from_parts(
+                dot("__qv", "__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -500,11 +565,11 @@ def pq_adc_topk(
             F.broadcast(cb_s), F.col(str(s)) == F.col(f"__cid{s}")
         ).drop(f"__cid{s}")
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    from dolphinbeat_spark.functions.vector import dot
+    from dolphinbeat_spark.functions.vector import dot as _dot
 
     score = None
     for s in range(m):
-        term = dot(F.slice("__qv", s * sub + 1, sub), F.col(f"__cw{s}"))
+        term = _dot(F.slice("__qv", s * sub + 1, sub), F.col(f"__cw{s}"))
         score = term if score is None else score + term
     scored = (
         F.broadcast(q)
@@ -781,7 +846,8 @@ def ivf_hard_negatives(
     even when an anchor's cell is dominated by its own class."""
     inv = (
         ivf_assign(corpus, centroids, id_col, vec_col, "negative_id", 1)
-        .select("negative_id", F.col("vec").alias("__cv"), "cell")
+        .select("negative_id", F.col("vec").alias("__cv"), "cell",
+                l2_norm(F.col("vec")).alias("__cn"))
         .join(
             corpus.select(
                 F.col(id_col).alias("negative_id"),
@@ -792,7 +858,8 @@ def ivf_hard_negatives(
     )
     probes = (
         ivf_assign(queries, centroids, id_col, vec_col, "anchor_id", nprobe)
-        .select("anchor_id", F.col("vec").alias("__qv"), "cell")
+        .select("anchor_id", F.col("vec").alias("__qv"), "cell",
+                l2_norm(F.col("vec")).alias("__qn"))
         .join(
             queries.select(
                 F.col(id_col).alias("anchor_id"),
@@ -810,7 +877,9 @@ def ivf_hard_negatives(
             "anchor_label",
             "negative_id",
             "negative_label",
-            cosine_similarity("__qv", "__cv").alias("cosine"),
+            cosine_from_parts(
+                dot("__qv", "__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("anchor_id").orderBy(
@@ -849,17 +918,21 @@ def semdedup_prune(
     evidence; survivors = anti-join against this set."""
     assigned = ivf_assign(emb, centroids, id_col, vec_col, "vid", n_cells=1)
     a = assigned.select(
-        F.col("vid").alias("id_a"), F.col("vec").alias("__va"), "cell"
+        F.col("vid").alias("id_a"), F.col("vec").alias("__va"), "cell",
+        l2_norm(F.col("vec")).alias("__na"),
     )
     b = assigned.select(
         F.col("vid").alias("id_b"), F.col("vec").alias("__vb"),
         F.col("cell").alias("__cell_b"),
+        l2_norm(F.col("vec")).alias("__nb"),
     )
     pairs = (
         a.join(b, (F.col("cell") == F.col("__cell_b")) & (F.col("id_a") < F.col("id_b")))
         .select(
             "id_b", "cell",
-            cosine_similarity("__va", "__vb").alias("__sim"),
+            cosine_from_parts(
+                dot("__va", "__vb"), F.col("__na"), F.col("__nb")
+            ).alias("__sim"),
         )
         .filter(F.col("__sim") >= threshold)
     )

@@ -94,10 +94,18 @@ def fingerprint(text: Column | str) -> Column:
     return F.substring(F.md5(F.lower(F.trim(c))), 1, 16)
 
 
-def lang_scores(text: Column | str) -> dict[str, Column]:
-    """Marker-occurrence score per language (space-padded text)."""
+def lang_pad(text: Column | str) -> Column:
+    """The space-padded lowercased text every marker count scans.
+    Exposed so hot paths can MATERIALIZE it once in a projection
+    (see plans/text_queries.py) instead of re-deriving it per marker
+    reference — lower+concat are full-string passes."""
     c = F.col(text) if isinstance(text, str) else text
-    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    return F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+
+
+def lang_scores_padded(padded: Column) -> dict[str, Column]:
+    """Marker-occurrence score per language over an ALREADY-padded
+    column (``lang_pad``)."""
     return {
         lang: sum((occurrences(padded, m) for m in markers), F.lit(0).cast("bigint")).alias(
             f"score_{lang}"
@@ -106,26 +114,45 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
     }
 
 
-def lang_predict(text: Column | str) -> Column:
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Marker-occurrence score per language (space-padded text)."""
+    return lang_scores_padded(lang_pad(text))
+
+
+def _argmax_lang(scores: dict[str, Column], text: Column | str) -> Column:
     """argmax language with lexicographic tie-break (deterministic).
 
-    Implemented as ONE array fold: each per-language score expression
-    appears exactly once (inside the array constructor). The naive
-    chained-when fold nests every earlier score into each comparison —
-    an exponentially-duplicated expression tree whose codegen alone
-    cost ~3 s per query compile."""
-    scores = lang_scores(text)
+    r16 (guide §1.2): GREATEST over (score, -rank, lang) structs —
+    each per-language score expression appears exactly once and the
+    whole comparison whole-stage-codegens. The previous array-fold
+    formulation also referenced each score once but ``aggregate`` is
+    CodegenFallback, so every row evaluated the full 15-marker subtree
+    interpreted. greatest picks max score, then max(-rank) = the
+    EARLIEST sorted language — exactly the fold's strict-> semantics
+    (the fold replaced acc only on p.s > acc.s, keeping the earliest
+    sorted language on ties). Scores are non-null for non-null text;
+    the null-text guard reproduces the fold's seed result ("")."""
+    c = F.col(text) if isinstance(text, str) else text
     langs = sorted(scores)
-    pairs = F.array(
-        *[F.struct(scores[lang].alias("s"), F.lit(lang).alias("l")) for lang in langs]
+    best = F.greatest(
+        *[
+            F.struct(
+                scores[lang].alias("s"),
+                F.lit(-i).alias("ni"),
+                F.lit(lang).alias("l"),
+            )
+            for i, lang in enumerate(langs)
+        ]
     )
-    # strict > keeps the earliest (sorted) language on ties; scores are
-    # always >= 0 so the -1 seed never survives
-    best = F.aggregate(
-        pairs,
-        F.struct(
-            F.lit(-1).cast("bigint").alias("s"), F.lit("").alias("l")
-        ),
-        lambda acc, p: F.when(p["s"] > acc["s"], p).otherwise(acc),
-    )
-    return best["l"]
+    return F.when(c.isNotNull(), best["l"]).otherwise(F.lit(""))
+
+
+def lang_predict(text: Column | str) -> Column:
+    """argmax language with lexicographic tie-break (deterministic)."""
+    return _argmax_lang(lang_scores(text), text)
+
+
+def lang_predict_padded(padded: Column, text: Column | str) -> Column:
+    """``lang_predict`` over a materialized padded column (``text`` is
+    only referenced for the null guard)."""
+    return _argmax_lang(lang_scores_padded(padded), text)

@@ -350,6 +350,17 @@ def quality_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents", widen=True)
     tok = d.select("doc_id", F.explode(T.tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("k"))
+    # r16 examined, deliberately left as-is: the three branches below
+    # each re-scan+re-tokenize the corpus (scans are not deduplicated).
+    # Deriving vocab/tot from tf (guide §2.3) was tried and REVERTED:
+    # AQE exchange reuse never fires (column pruning gives each
+    # branch's aggregate different resultExpressions, breaking
+    # canonical subtree equality — verified in the executedPlan), so
+    # the rewrite kept all three tokenize passes AND added two
+    # aggregation layers; measured parity at sf0.1 (1.33 vs 1.38 s
+    # interleaved best-of-4). A localCheckpoint of tf would guarantee
+    # one pass but materializes a corpus-sized intermediate — a worse
+    # trade at 100 TB than two extra map-side tokenize passes.
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     tot = tok.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_total"),

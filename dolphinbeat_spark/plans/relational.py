@@ -58,24 +58,48 @@ ORDER BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 adapted: full-scan partial-agg — the map-side-combine
     benchmark. Only 7 columns of lineitem are read (check ReadSchema).
-    widen=True: eight decimal aggregates per row out-cost the one-task
-    scan of the single-row-group test file (see catalog.load)."""
+    widen=True: eight aggregates per row out-cost the one-task scan of
+    the single-row-group test file (see catalog.load).
+
+    r16 optimization (guide §1.2/§2.3 "narrower types"): the partial
+    aggregates run on LONG cents/basis-points instead of DECIMAL —
+    the representation the q1_pricing_summary_cents experiment proved
+    bit-identical (both specs pass the SAME oracle SQL, hash included)
+    and ~3x faster at sf100 (BASELINE §r16: 29.2 vs 9.3 s normalized;
+    Spark decimal partials box BigDecimal per row, long partials stay
+    primitive in the hash-agg buffer). The 2-decimal money columns are
+    exact as scaled integers, so sum(price_c*(100-disc_bp)) ==
+    10^4 * sum(price*(1-disc)) etc., and one decimal rescale after
+    the (4-group) aggregation restores the q1 output exactly. Per-row
+    terms stay far inside int64 (price_c <= ~10^7, *100*110 ~ 10^11;
+    the whole-table sum at sf100 is ~2.5e18 < 2^63 — ANSI mode would
+    raise loudly, not corrupt, beyond that)."""
     li = load(spark, sf_dir, "lineitem", widen=True)
-    disc_price = _d("l_extendedprice") * (1 - _d("l_discount"))
-    # bound intermediate precision so the 3-factor product stays exact
-    # (raw (25,8)x(13,4) would exceed decimal(38) and trigger rounding)
-    charge = disc_price.cast("decimal(18,8)") * (1 + _d("l_tax"))
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("long")
+    tax_bp = F.round(F.col("l_tax") * 100).cast("long")
     n = F.count(F.lit(1))
+
+    def rescale(sumcol, pow10: int, name: str):
+        return F.round(
+            sumcol.cast("decimal(38,6)") / F.lit(10 ** pow10), 2
+        ).cast("double").alias(name)
+
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum("l_quantity", "sum_qty"),
-            _dsum("l_extendedprice", "sum_base_price"),
-            _dsum(disc_price, "sum_disc_price"),
-            _dsum(charge, "sum_charge"),
-            (F.sum(_d("l_quantity")).cast("double") / n).alias("avg_qty"),
-            (F.sum(_d("l_discount")).cast("double") / n).alias("avg_disc"),
+            rescale(F.sum(qty_c), 2, "sum_qty"),
+            rescale(F.sum(price_c), 2, "sum_base_price"),
+            rescale(F.sum(price_c * (100 - disc_bp)), 4,
+                    "sum_disc_price"),
+            rescale(F.sum(price_c * (100 - disc_bp) * (100 + tax_bp)),
+                    6, "sum_charge"),
+            (F.round(F.sum(qty_c).cast("decimal(38,6)") / 100, 2)
+             .cast("double") / n).alias("avg_qty"),
+            (F.round(F.sum(disc_bp).cast("decimal(38,6)") / 100, 2)
+             .cast("double") / n).alias("avg_disc"),
             n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

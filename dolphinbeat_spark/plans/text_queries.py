@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dolphinbeat_spark.catalog import load
+from dolphinbeat_spark.functions.barrier import materialized
 from dolphinbeat_spark.operators import text as T
 from dolphinbeat_spark.plans.registry import register
 from dolphinbeat_spark.functions.hashes import hash64_sql
@@ -303,31 +304,51 @@ def pipeline_training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     """The composite LLM-training-data pipeline in one plan: quality
     gate (length + stopword band) → language-ID gate (marker argmax =
     'en') → exact dedup (min doc_id per content hash) → per-source
-    yield stats. All gates are Catalyst expressions evaluated in the
-    scan stage, so at 100 TB the full filter chain runs map-side in
-    one pass; only the dedup (by content hash) and the final per-source
-    rollup shuffle — both on already heavily-reduced data. widen=True:
-    the marker-occurrence scan work dominates (see catalog.load)."""
+    yield stats. Only the dedup (by content hash) and the final
+    per-source rollup shuffle — both on already heavily-reduced data.
+
+    r16 restructure (guide §1.2/§4.4, measured in OPTIMIZATION_r16.md):
+    the old single-conjunction filter was PUSHED BELOW the widen
+    repartition into the scan stage (one task on the single-row-group
+    bench file — the whole gate chain ran single-threaded), and its
+    expression tree re-derived ``split(trim(text))`` five times and
+    ``concat(' ', lower(text), ' ')`` thirty times per row because
+    FilterExec has no common-subexpression elimination and the old
+    argmax fold was CodegenFallback (interpreted). Now each expensive
+    intermediate (token array, padded text) is MATERIALIZED once per
+    row in its own projection behind an evaluation barrier
+    (functions/barrier.py) so the optimizer can neither substitute it
+    into a pushed filter nor push the gates below the exchange; the
+    cheap gates still run before the padded projection, so only
+    surviving rows pay the 15-marker scan, and the argmax is the
+    codegen GREATEST (operators/text.py::lang_predict_padded). At
+    100 TB with a splittable layout the same chain runs fully parallel
+    either way; the barrier costs one long-compare per row."""
     d = load(spark, sf_dir, "documents", widen=True)
-    # tokens materialized ONCE; n_tokens and n_stop both read the array
-    # (inlining tokens() twice re-splits the string per expression)
+    # tokens materialized ONCE behind the barrier; n_tokens and n_stop
+    # read the materialized array (without the barrier the filter
+    # pushdown would substitute+re-split per reference)
     stop_arr = F.array(*[F.lit(s) for s in T.STOPWORDS])
-    pre = d.select("doc_id", "text", "source", T.tokens("text").alias("__toks"))
+    pre = d.select(
+        "doc_id", "text", "source",
+        materialized(T.tokens("text")).alias("__toks"),
+    )
     n_tokens = F.size("__toks").cast("bigint")
     n_stop = F.size(
         F.filter("__toks", lambda t: F.array_contains(stop_arr, t))
     ).cast("bigint")
     ratio = n_stop.cast("double") / n_tokens
-    # ONE inline conjunction, cheap gates first: codegen short-circuits
-    # left-to-right, so the expensive language-ID marker scan runs only
-    # on rows surviving the length/stopword gates (~25% faster than
-    # computing pred_lang as a projected column for every row)
-    gated = pre.filter(
-        (n_tokens >= 20)
-        & (ratio >= 0.01)
-        & (ratio <= 0.6)
-        & (T.lang_predict(F.col("text")) == "en")
-    ).select("doc_id", "text", "source", n_tokens.alias("n_tokens"))
+    cheap = pre.filter((n_tokens >= 20) & (ratio >= 0.01) & (ratio <= 0.6))
+    # padded text materialized once per SURVIVING row; the lang gate
+    # reads the materialized string 30 times instead of re-deriving
+    # lower+concat per marker reference
+    padded = cheap.select(
+        "doc_id", "text", "source", n_tokens.alias("n_tokens"),
+        materialized(T.lang_pad(F.col("text"))).alias("__padded"),
+    )
+    gated = padded.filter(
+        T.lang_predict_padded(F.col("__padded"), F.col("text")) == "en"
+    ).select("doc_id", "text", "source", "n_tokens")
     # dedup as an aggregate, not a window: min_by partial-aggregates
     # map-side, so the exchange carries (hash, winner-struct) — never
     # the full text column a partitioned row_number window would ship
