@@ -99,6 +99,27 @@ def load(
     return df
 
 
+def sorted_spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Globally sort ``df`` by ``cols`` while PINNING the post-sort
+    parallelism to the session default (r16, guide §2.4/§2.5).
+
+    Rationale: the sort-first plan shape (sort the raw rows, run the
+    expensive projection chain ONCE above the sort — instead of
+    ``chain(...).orderBy(...)`` which executes the chain twice via the
+    range-bounds sampling pass) is only safe if the sort output stays
+    wide. A plain ``orderBy`` is an AQE-coalescible range exchange:
+    at bench scale the raw-text bytes are small, AQE collapses it to
+    ONE partition (measured at sf0.1), and the whole chain above runs
+    single-threaded. ``repartitionByRange(n, ...)`` is a user-specified
+    partition count, which AQE never coalesces, so the chain keeps the
+    session parallelism at every scale; ``sortWithinPartitions`` on the
+    range-partitioned rows yields exactly the same global order as
+    ``orderBy`` (ascending, nulls first, ties impossible on the unique
+    keys these specs sort by)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartitionByRange(parallelism, *cols).sortWithinPartitions(*cols)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dolphinbeat_spark.catalog import load
+from dolphinbeat_spark.catalog import load, sorted_spread
 from dolphinbeat_spark.operators.filters import table_matches
 from dolphinbeat_spark.plans.registry import (
     materialize_bounded,
@@ -61,8 +61,14 @@ ORDER BY event_id
 def cdc_envelope_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Envelope projection (D11/D12): events reinterpreted as a change
     stream; the after-image serialized as a JSON document built from
-    integer fields (engine-portable formatting)."""
-    e = load(spark, sf_dir, "events")
+    integer fields (engine-portable formatting).
+
+    r16 sort-first (guide §1.4/§2.4; see dedup_minhash_signatures):
+    orderBy before the envelope projection so the JSON build
+    (get_json_object + concats) runs ONCE above the sort instead of
+    twice via range-bounds sampling. Identical rows and order; width
+    pinned via sorted_spread (AQE would coalesce a bare orderBy)."""
+    e = sorted_spread(load(spark, sf_dir, "events"), "event_id")
     db, tbl = _db_table_cols()
     after_json = F.concat(
         F.lit('{"event_id":'),
@@ -79,7 +85,7 @@ def cdc_envelope_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         db.alias("db"),
         tbl.alias("table"),
         after_json.alias("after_json"),
-    ).orderBy("event_id")
+    )
 
 
 @register(

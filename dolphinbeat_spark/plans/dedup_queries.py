@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dolphinbeat_spark.catalog import load
+from dolphinbeat_spark.catalog import load, sorted_spread
 from dolphinbeat_spark.functions.hashes import MERSENNE_61, hash64_sql, minhash_params
 from dolphinbeat_spark.operators import dedup as D
 from dolphinbeat_spark.operators.text import word_shingles as T_word_shingles
@@ -90,11 +90,23 @@ ORDER BY doc_id, perm
     bench=True,
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature matrix (long form), portable hashing."""
-    d = load(spark, sf_dir, "documents", widen=True)
-    return D.minhash_signatures(d, "doc_id", "text", NUM_PERM, SHINGLE_K).orderBy(
-        "doc_id", "perm"
-    )
+    """MinHash signature matrix (long form), portable hashing.
+
+    r16 (guide §1.4/§2.4, measured in OPTIMIZATION_r16.md): sort FIRST,
+    map AFTER. A range-partitioned Sort executes its whole child twice
+    (once to sample the range bounds, once for real), so the old
+    ``minhash(...).orderBy(doc_id, perm)`` ran the md5/shingle chain
+    2x per query. Sorting the raw (doc_id, text) rows first makes the
+    sampling pass a cheap parquet re-scan, the range exchange spreads
+    the rows across all cores (subsuming the widen repartition — one
+    exchange instead of two), and the signature chain runs ONCE above
+    the sort. Output order is identical: doc_id is unique per wide
+    row, projections/Generate preserve row order, and stack emits
+    perm 0..N-1 in sequence, so (doc_id ASC, perm ASC) holds exactly
+    as before."""
+    d = load(spark, sf_dir, "documents")
+    ordered = sorted_spread(d.select("doc_id", "text"), "doc_id")
+    return D.minhash_signatures(ordered, "doc_id", "text", NUM_PERM, SHINGLE_K)
 
 
 @register(
@@ -540,8 +552,23 @@ def _duplicate_span_frames(spark, sf_dir):
         "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"),
         hash64(F.col("gram")).alias("gh"),
     )
-    rep = w.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") >= 2)
-    dupw = w.join(rep.select("gh"), "gh").select("doc_id", "pos")
+    # r16 (guide §2.4, measured in OPTIMIZATION_r16.md): corpus-wide
+    # window-frequency filter as ONE pass. The old groupBy(gh).count
+    # + join-back referenced `w` twice, and Spark does not deduplicate
+    # common subtrees, so the whole explode+md5 window-hash chain ran
+    # twice per query (once under the frequency aggregate, once as the
+    # join probe). count(*) OVER (PARTITION BY gh) keeps rows whose
+    # hash repeats with identical semantics (inner join against the
+    # distinct cnt>=2 hashes == per-row corpus count >= 2) while
+    # evaluating `w` once; the one shuffle still carries only
+    # (doc_id, pos, gh) — never text.
+    dupw = (
+        w.withColumn(
+            "__cnt", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+        )
+        .filter(F.col("__cnt") >= 2)
+        .select("doc_id", "pos")
+    )
     win = Window.partitionBy("doc_id").orderBy("pos")
     spans = (
         dupw.withColumn("grp", F.col("pos") - F.row_number().over(win))

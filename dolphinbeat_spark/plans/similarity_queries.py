@@ -68,9 +68,16 @@ ORDER BY query_id, rank
     bench=True,
 )
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 for the query subset (vec_id % 50 == 0)."""
+    """Exact cosine top-5 for the query subset (vec_id % 50 == 0).
+
+    r16 (guide §2.4): the query side is BROADCAST, so widening it was
+    pure waste — the old plan round-robin-shuffled the filtered query
+    rows just to collect them into the broadcast relation one exchange
+    later. The broadcast side now loads unwidened (scan → filter →
+    broadcast, no exchange); the corpus/probe side keeps the widen
+    spread for the scoring work. Same rows, same join, same result."""
     emb = load(spark, sf_dir, "embeddings", widen=True)
-    q = emb.filter(F.col("vec_id") % 50 == 0)
+    q = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 50 == 0)
     return S.brute_force_topk(q, emb, "vec_id", "embedding", K).orderBy("query_id", "rank")
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dolphinbeat_spark.catalog import load
+from dolphinbeat_spark.catalog import load, sorted_spread
 from dolphinbeat_spark.functions.barrier import materialized
 from dolphinbeat_spark.operators import text as T
 from dolphinbeat_spark.plans.registry import register
@@ -37,8 +37,17 @@ ORDER BY doc_id
     bench=True,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting + uniqueness + average token length."""
-    d = load(spark, sf_dir, "documents")
+    """Whitespace token counting + uniqueness + average token length.
+
+    r16 sort-first (guide §1.4/§2.4; see dedup_minhash_signatures):
+    orderBy before the tokenizing projection, so the range-bounds
+    sampling pass re-scans raw parquet instead of re-running the
+    split/distinct work, the projection runs ONCE above the sort, and
+    the range exchange spreads it across cores. Identical rows and
+    order (doc_id unique; projection preserves row order); the
+    range-partition width is pinned via sorted_spread so AQE cannot
+    collapse the tokenizing chain onto one core."""
+    d = sorted_spread(load(spark, sf_dir, "documents"), "doc_id")
     toks = T.tokens("text")
     return d.select(
         "doc_id",
@@ -49,7 +58,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
             / F.size(toks)
         ).alias("avg_token_len"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -140,15 +149,20 @@ ORDER BY doc_id
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram/marker language heuristic: per-language marker-occurrence
-    scores, argmax with lexicographic tie-break."""
-    d = load(spark, sf_dir, "documents")
+    scores, argmax with lexicographic tie-break.
+
+    r16 sort-first (see text_token_stats): the 15-marker scan runs
+    ONCE above the sort instead of twice (range sampling), spread
+    across cores instead of in the single-task scan stage; width
+    pinned via sorted_spread (AQE would coalesce a bare orderBy)."""
+    d = sorted_spread(load(spark, sf_dir, "documents"), "doc_id")
     scores = T.lang_scores("text")
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         T.lang_predict("text").alias("pred_lang"),
         *[scores[lang] for lang in sorted(scores)],
-    ).orderBy("doc_id")
+    )
 
 
 @register(
