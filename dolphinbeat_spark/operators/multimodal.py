@@ -1250,29 +1250,41 @@ def decode_media(
         raise ValueError(f"digest must be 'bytes' or 'hex', got {digest!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
-                fmt, w, h, px = sniff_decode_image(bytes(raw), native)
-                px = np.ascontiguousarray(px)
-                if px.dtype.itemsize > 1:  # explicit LE for the digest
-                    px = px.astype(px.dtype.newbyteorder("<"))
-                sb = px.tobytes()
-                rows.append(
-                    (
-                        mid, fmt, w, h,
-                        int(px.astype(np.int64).sum()),
-                        hashlib.md5(
-                            sb if digest == "bytes" else sb.hex().encode()
-                        ).hexdigest(),
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=["media_id", "fmt", "width", "height", "pixel_sum", "pixel_md5"],
-            )
+        return decode_media_batches(it, digest=digest, native=native)
 
     return df.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def decode_media_batches(
+    it: Iterator[pd.DataFrame], digest: str = "bytes", native: bool | None = None
+) -> Iterator[pd.DataFrame]:
+    """The per-batch transform behind :func:`decode_media`, exposed so
+    a producer of (media_id, payload) batches can COMPOSE with the
+    decode inside ONE ``mapInPandas`` (r16, guide §4.1): chaining two
+    mapInPandas nodes ships every payload byte Python->JVM->Python
+    through two Arrow boundaries; composing the generators keeps the
+    bytes in the Python worker and crosses the boundary once."""
+    for pdf in it:
+        rows = []
+        for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+            fmt, w, h, px = sniff_decode_image(bytes(raw), native)
+            px = np.ascontiguousarray(px)
+            if px.dtype.itemsize > 1:  # explicit LE for the digest
+                px = px.astype(px.dtype.newbyteorder("<"))
+            sb = px.tobytes()
+            rows.append(
+                (
+                    mid, fmt, w, h,
+                    int(px.astype(np.int64).sum()),
+                    hashlib.md5(
+                        sb if digest == "bytes" else sb.hex().encode()
+                    ).hexdigest(),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["media_id", "fmt", "width", "height", "pixel_sum", "pixel_md5"],
+        )
 
 
 def decode_media_stub(df: DataFrame, allow_fake: bool = False) -> DataFrame:

@@ -118,6 +118,12 @@ def mm_feature_extract_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL Arrow slow-path: mapInPandas over binary payloads; the
     oracle reproduces the features, proving the batch plumbing is
     byte-faithful end to end."""
+    # r16: examined for the widen spread and REVERTED after measurement
+    # (OPTIMIZATION_r16.md): the per-byte Python work here (length +
+    # sha256 prefix) is too cheap to repay shipping the text bytes
+    # through a round-robin exchange — widened A/B measured ~1.8x
+    # SLOWER at sf0.1 (0.67-0.79 s -> 1.21 s best). Single-task scan
+    # stage stays the right shape for this spec at bench layout.
     d = load(spark, sf_dir, "documents")
     media = M.attach_binary_payload(d, "doc_id", "text")
     # explicit exchange + in-partition sort: a global orderBy would
@@ -3057,12 +3063,42 @@ def pipeline_image_decode_wall(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_wall_payloads,
     )
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    import pandas as pd
+
+    # r16: widen so the decode runs at session parallelism instead of
+    # inside the (single-task at bench layout) scan stage; only doc_id
+    # survives column pruning into the exchange, so the spread is ~free.
+    d = load(spark, sf_dir, "documents", widen=True).filter(
+        F.col("doc_id") % 2 == 0
+    )
 
     def build_many(i):
         return [(i, pay) for pay in decode_wall_payloads(i % 16)]
 
-    media = fixture_media_multi(d, build_many)
+    # r16 fused boundary (guide §4.1, measured in OPTIMIZATION_r16.md):
+    # fixture_media_multi(...) then decode_media(...) chained two
+    # mapInPandas nodes, shipping every payload byte Python->JVM->
+    # Python through two Arrow boundaries. The fixture build and the
+    # decode now compose inside ONE mapInPandas — payloads never leave
+    # the Python worker; only doc_id crosses in and the 6 small stat
+    # columns cross out. Identical rows: same payloads through the
+    # same decode_media_batches transform.
+    def fused(it):
+        def media(it):
+            for pdf in it:
+                mids, pays = [], []
+                for (i,) in pdf[["doc_id"]].itertuples(index=False):
+                    for mid, pay in build_many(i):
+                        mids.append(int(mid))
+                        pays.append(bytearray(pay))
+                yield pd.DataFrame({
+                    "media_id": pd.array(mids, dtype="int64"),
+                    "payload": pays,
+                })
+
+        return M.decode_media_batches(media(it), digest="hex")
+
+    decoded = d.select("doc_id").mapInPandas(fused, M.DECODED_SCHEMA)
     # a global orderBy would RANGE-SAMPLE its child and execute the
     # whole map-only fixture+decode chain TWICE (no shuffle files to
     # reuse upstream — measured 7.2 s vs 3.7 s single-pass at sf0.1);
@@ -3070,11 +3106,7 @@ def pipeline_image_decode_wall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of decoding. Explicit exchange + in-partition sort keeps decode
     # parallel and single-pass; the sorted relation is 6 tiny columns
     # bounded by doc count, the standard total-order sink boundary.
-    return (
-        M.decode_media(media, digest="hex")
-        .repartition(1)
-        .sortWithinPartitions("media_id", "fmt")
-    )
+    return decoded.repartition(1).sortWithinPartitions("media_id", "fmt")
 
 
 @register(

@@ -103,6 +103,17 @@ def sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm vs JVM can differ in the final ulp, but ROUND(,4) on values
     O(100) gives ~1e10 ulps of slack at the boundary."""
     e = load(spark, sf_dir, "events")
+    # r16 examined, left as-is (negative result, OPTIMIZATION_r16.md):
+    # rewriting both branches over a shared DISTINCT(event_type,
+    # user_id) relation — hoping AQE stage reuse would collapse the two
+    # scans to one — is undone by RemoveRedundantAggregates: max() is
+    # duplicate-insensitive, so the optimizer strips the distinct from
+    # the sketch branch and the final plan is shape-identical to this
+    # one (verified: 0 Reused* nodes). Forcing the distinct to
+    # materialize (nondeterministic barrier) would replace a cheap
+    # 2-column scan with a full-cardinality pair shuffle — worse at
+    # scale. This shape is already right: both branches do map-side
+    # partial aggregation; the sketch shuffle is O(types x 64 buckets).
     sketch = hll_distinct(e, ["event_type"], F.col("user_id").cast("string"), _HLL_M)
     exact = e.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_distinct")

@@ -424,7 +424,9 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     every output column in closed form."""
     from dolphinbeat_spark.operators.html import html_extract
 
-    d = load(spark, sf_dir, "documents")
+    # r16: widen so the Arrow extraction runs at session parallelism
+    # instead of inside the (single-task at bench layout) scan stage
+    d = load(spark, sf_dir, "documents", widen=True)
     i = F.col("doc_id").cast("string")
     robots = F.when(
         F.col("doc_id") % 2 == 1,
