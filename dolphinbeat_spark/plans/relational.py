@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dolphinbeat_spark.catalog import load
+from dolphinbeat_spark.functions.money import cents, cents_sum, rev_cents
 from dolphinbeat_spark.plans.registry import register
 
 # decimal-exact money arithmetic (see registry docstring)
@@ -214,7 +215,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_dsum(_d("l_extendedprice") * (1 - _d("l_discount")), "revenue"))
+        .agg(cents_sum(rev_cents(), 4, "revenue"))  # r16 long-cents (functions/money.py)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(20)
@@ -263,7 +264,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (li.l_suppkey == sn.s_suppkey) & (F.col("c_nationkey") == sn.s_nationkey),
         )
         .groupBy("n_name")
-        .agg(_dsum(_d("l_extendedprice") * (1 - _d("l_discount")), "revenue"))
+        .agg(cents_sum(rev_cents(), 4, "revenue"))  # r16 long-cents (functions/money.py)
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
@@ -291,7 +292,7 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        _dsum(_d("l_extendedprice") * _d("l_discount"), "revenue"),
+        cents_sum(cents("l_extendedprice") * cents("l_discount"), 4, "revenue"),  # r16 long-cents
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -332,7 +333,7 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .withColumn("l_year", F.year("l_shipdate").cast("bigint"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(_dsum(_d("l_extendedprice") * (1 - _d("l_discount")), "revenue"))
+        .agg(cents_sum(rev_cents(), 4, "revenue"))  # r16 long-cents (functions/money.py)
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -364,7 +365,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("o_custkey") == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(_dsum(_d("l_extendedprice") * (1 - _d("l_discount")), "revenue"))
+        .agg(cents_sum(rev_cents(), 4, "revenue"))  # r16 long-cents (functions/money.py)
         .select("c_custkey", "c_name", "revenue", "n_name", "c_acctbal")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -393,7 +394,7 @@ def agg_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(_dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .agg(cents_sum(cents("l_quantity"), 2, "sum_qty"), F.count(F.lit(1)).alias("n_rows"))  # r16 long-cents
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dolphinbeat_spark.catalog import load
+from dolphinbeat_spark.functions.money import cents, cents_sum, rescale
 from dolphinbeat_spark.plans.registry import register
 
 _DEC = "decimal(12,4)"
@@ -78,14 +79,19 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table (the decorrelated form — one shuffle on l_partkey reused
     by both sides)."""
     li = load(spark, sf_dir, "lineitem")
+    # r16 long-cents (functions/money.py): the per-group quantity sum
+    # and the final price sum run on primitive longs; the rescale
+    # reproduces round(sum(decimal), 2).cast(double) exactly, so aq
+    # and the filter threshold are bit-identical.
     avg_qty = li.groupBy("l_partkey").agg(
-        (F.round(F.sum(_d("l_quantity")), 2).cast("double") / F.count(F.lit(1))).alias("aq")
+        (rescale(F.sum(cents("l_quantity")), 2, "sq")
+         / F.count(F.lit(1))).alias("aq")
     )
     return (
         li.join(avg_qty, "l_partkey")
         .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
         .agg(
-            F.round(F.sum(_d("l_extendedprice")), 2).cast("double").alias("total_price"),
+            cents_sum(cents("l_extendedprice"), 2, "total_price"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -174,18 +180,22 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't apply (e.g. custom partitioners); partial decimal sums and
     counts re-aggregate losslessly."""
     li = load(spark, sf_dir, "lineitem")
+    # r16 long-cents (functions/money.py): the salted partials carry
+    # one primitive long per (key, salt) instead of a boxed decimal;
+    # long partial sums re-merge exactly and the single rescale after
+    # the merge reproduces the decimal result bit-for-bit.
     salted = (
         li.withColumn("__salt", (F.crc32(F.col("l_orderkey").cast("string")) % 16).cast("int"))
         .groupBy("l_suppkey", "__salt")
         .agg(
-            F.sum(_d("l_quantity")).alias("pq"),
+            F.sum(cents("l_quantity")).alias("pq"),
             F.count(F.lit(1)).alias("pn"),
         )
     )
     return (
         salted.groupBy("l_suppkey")
         .agg(
-            F.round(F.sum("pq"), 2).cast("double").alias("total_qty"),
+            rescale(F.sum("pq"), 2, "total_qty"),
             F.sum("pn").alias("n_items"),
         )
         .orderBy("l_suppkey")

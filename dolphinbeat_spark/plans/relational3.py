@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dolphinbeat_spark.catalog import load
+from dolphinbeat_spark.functions.money import cents, cents_sum, rev_cents
 from dolphinbeat_spark.plans.registry import register
 
 _DEC = "decimal(12,4)"
@@ -139,18 +140,20 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
         .select(
             F.year("o_orderdate").cast("int").alias("o_year"),
-            (_d("l_extendedprice") * (1 - _d("l_discount"))).alias("volume"),
+            # r16 long-cents (functions/money.py): scale-4 integer
+            rev_cents().alias("volume"),
             "supp_nation",
         )
     )
     g = rev.groupBy("o_year").agg(
-        _dsum(
+        cents_sum(
             F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(
-                F.lit(0).cast("decimal(25,8)")
+                F.lit(0).cast("long")
             ),
+            4,
             "nation_revenue",
         ),
-        _dsum(F.col("volume"), "total_revenue"),
+        cents_sum(F.col("volume"), 4, "total_revenue"),
     )
     return g.select(
         "o_year",
@@ -194,15 +197,18 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
         "s_suppkey", F.col("n_name").alias("nation")
     )
-    profit = _d("l_extendedprice") * (1 - _d("l_discount")) - _d("l_quantity") * _d(
-        "p_retailprice"
-    )
+    # r16 long-cents (functions/money.py): both terms are scale-4
+    # integers — cents x basis-points and cents x cents — so the
+    # subtraction and sum stay primitive int64 in the agg buffer;
+    # per-row |term| <= ~1e11, sf100 group sums ~1e17 << 2^63 (ANSI
+    # raises loudly beyond).
+    profit = rev_cents() - cents("l_quantity") * cents("p_retailprice")
     return (
         li.join(F.broadcast(p.select("p_partkey", "p_retailprice")), li.l_partkey == p.p_partkey)
         .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
         .join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == o.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+        .agg(cents_sum(profit, 4, "sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -232,14 +238,24 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison is done on doubles derived from exact decimal sums, so
     both engines see identical bits."""
     li = load(spark, sf_dir, "lineitem")
-    pv = li.groupBy("l_partkey").agg(
-        F.sum(_d("l_extendedprice") * (1 - _d("l_discount"))).alias("val")
+    # r16 long-cents (functions/money.py): the per-part partials are
+    # primitive longs. Every double the comparison sees is derived by
+    # first restoring the EXACT decimal value (scale-4 integer cast
+    # decimal(38,6) / 10^4 — exact at 6 fractional digits), so each
+    # double conversion happens once on the same exact value as the
+    # decimal formulation: identical bits, identical row set.
+    _v = lambda c: (c.cast("decimal(38,6)") / F.lit(10 ** 4))  # noqa: E731
+    pv = li.groupBy("l_partkey").agg(F.sum(rev_cents()).alias("val"))
+    total = pv.agg(
+        (_v(F.sum("val")).cast("double") / F.count(F.lit(1))).alias("mean_val")
     )
-    total = pv.agg((F.sum("val").cast("double") / F.count(F.lit(1))).alias("mean_val"))
     return (
         pv.join(F.broadcast(total))
-        .filter(F.col("val").cast("double") > 1.4 * F.col("mean_val"))
-        .select("l_partkey", F.round("val", 2).cast("double").alias("part_value"))
+        .filter(_v(F.col("val")).cast("double") > 1.4 * F.col("mean_val"))
+        .select(
+            "l_partkey",
+            F.round(_v(F.col("val")), 2).cast("double").alias("part_value"),
+        )
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )
 
@@ -335,16 +351,18 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     (month) agg shuffle; the percentage divides two rounded doubles."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    vol = _d("l_extendedprice") * (1 - _d("l_discount"))
+    # r16 long-cents (functions/money.py)
+    vol = rev_cents()
     m = (
         li.join(F.broadcast(p.select("p_partkey", "p_type")), li.l_partkey == p.p_partkey)
         .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(
-            _dsum(
-                F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast("decimal(25,8)")),
+            cents_sum(
+                F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast("long")),
+                4,
                 "promo_revenue",
             ),
-            _dsum(vol, "total_revenue"),
+            cents_sum(vol, 4, "total_revenue"),
         )
     )
     return m.select(

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dolphinbeat_spark.catalog import load
+from dolphinbeat_spark.functions.money import cents, cents_sum, rescale, rev_cents
 from dolphinbeat_spark.plans.registry import register
 
 _DEC = "decimal(12,4)"
@@ -56,16 +57,17 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     s = load(spark, sf_dir, "supplier")
-    srev = li.groupBy("l_suppkey").agg(
-        F.sum(_d("l_extendedprice") * (1 - _d("l_discount"))).alias("total_rev")
-    )
+    # r16 long-cents (functions/money.py): max/equality on the exact
+    # scale-4 integers resolves ties identically to the decimals
+    # (scaling is injective); the rescale restores the output exactly.
+    srev = li.groupBy("l_suppkey").agg(F.sum(rev_cents()).alias("total_rev"))
     mx = srev.agg(F.max("total_rev").alias("max_rev"))
     return (
         srev.join(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("max_rev"))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .select(
-            "s_suppkey", "s_name", F.round("total_rev", 2).cast("double").alias("total_revenue")
+            "s_suppkey", "s_name", rescale(F.col("total_rev"), 4, "total_revenue")
         )
         .orderBy("s_suppkey")
     )
@@ -126,10 +128,12 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
+    # r16 long-cents (functions/money.py): exact integer filter
+    # (cents > 30000 <=> decimal > 300), primitive partials
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(_d("l_quantity")).alias("sum_qty_dec"))
-        .filter(F.col("sum_qty_dec") > 300)
+        .agg(F.sum(cents("l_quantity")).alias("sum_qty_c"))
+        .filter(F.col("sum_qty_c") > 30000)
     )
     return (
         o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
@@ -140,7 +144,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderdate",
             "o_totalprice",
-            F.round("sum_qty_dec", 2).cast("double").alias("sum_qty"),
+            rescale(F.col("sum_qty_c"), 2, "sum_qty"),
         )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
@@ -177,9 +181,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & sz.between(1, 35) & q.between(20, 30))
     )
     return j.filter(cond).agg(
-        F.round(F.sum(_d("l_extendedprice") * (1 - _d("l_discount"))), 2)
-        .cast("double")
-        .alias("revenue"),
+        cents_sum(rev_cents(), 4, "revenue"),  # r16 long-cents
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -212,8 +214,8 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = (
         li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(_d("l_quantity")).alias("qty"))
-        .filter(F.col("qty") > 50)
+        .agg(F.sum(cents("l_quantity")).alias("qty_c"))  # r16 long-cents
+        .filter(F.col("qty_c") > 5000)
     )
     return (
         s.join(pq, s.s_suppkey == pq.l_suppkey, "left_semi")
@@ -308,9 +310,15 @@ def q22_churned_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
     )
+    # r16 long-cents: the exact decimal value is restored (cast
+    # decimal(38,6) / 100, exact) before the single double cast, so
+    # avg_bal is bit-identical to the decimal formulation.
     ab = (
         c.filter(F.col("c_acctbal") > 0)
-        .agg((F.sum(_d("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal"))
+        .agg(
+            ((F.sum(cents("c_acctbal")).cast("decimal(38,6)") / 100)
+             .cast("double") / F.count(F.lit(1))).alias("avg_bal")
+        )
     )
     return (
         c.join(F.broadcast(ab))
@@ -319,7 +327,7 @@ def q22_churned_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum(_d("c_acctbal")), 2).cast("double").alias("totacctbal"),
+            cents_sum(cents("c_acctbal"), 2, "totacctbal"),
         )
         .orderBy("nationkey")
     )

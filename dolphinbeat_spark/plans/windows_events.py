@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dolphinbeat_spark.catalog import load
+from dolphinbeat_spark.functions.money import cents
 from dolphinbeat_spark.operators.asof import asof_join, asof_self_join
 from dolphinbeat_spark.operators.sessions import sessionize
 from dolphinbeat_spark.plans.registry import register
@@ -38,15 +39,21 @@ def win_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition sort — the canonical cumulative window."""
     o = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # r16 long-cents (functions/money.py): the running-sum window state
+    # is a primitive long instead of a per-row boxed decimal; the
+    # per-row rescale (exact: scale-2 integer / 100 at 6 fractional
+    # digits, then ROUND 2) reproduces the decimal value bit-for-bit.
+    # |o_totalprice| < ~6e5 so a customer's running cents stay far
+    # inside int64 at any scale (ANSI raises loudly regardless).
     return o.select(
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
         F.row_number().over(w).alias("order_seq"),
         F.round(
-            F.sum(F.col("o_totalprice").cast(_DEC)).over(
+            F.sum(cents("o_totalprice")).over(
                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
+            ).cast("decimal(38,6)") / 100,
             2,
         )
         .cast("double")
