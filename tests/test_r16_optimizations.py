@@ -6,6 +6,8 @@ formulation it replaced (the declared-query results may not change).
 - greatest-based lang argmax vs the old array-fold reference
 - materialized() evaluation barrier is value-transparent
 - cents-long q1 aggregation vs the old decimal aggregation
+- sorted_spread vs orderBy: identical rows AND order, pinned width
+- functions/money.py cents machinery vs the decimal formulation
 """
 
 from __future__ import annotations
@@ -114,6 +116,74 @@ def test_materialized_is_value_transparent(spark):
     # column must stay ABOVE the projection (no substituted duplicate)
     plan = df.filter(F.col("m") > 10)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.index("Filter") < plan.index("Project")
+
+
+def test_sorted_spread_matches_orderby(spark):
+    """sorted_spread must return exactly orderBy's rows in orderBy's
+    order, with the partition count pinned to defaultParallelism
+    (a bare orderBy gets AQE-coalesced to 1 partition on small data,
+    serializing any expensive chain above it — the r16 finding)."""
+    from dolphinbeat_spark.catalog import sorted_spread
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 2654435761 % 9973).alias("k"),
+        F.col("id").alias("v"),
+    )
+    # unique sort key (k, v) so total order is well-defined
+    via_orderby = df.orderBy("k", "v").collect()
+    spread = sorted_spread(df, "k", "v")
+    assert via_orderby == spread.collect()
+    assert (
+        spread.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
+def test_money_cents_matches_decimal(spark):
+    """cents/cents_sum/rev_cents vs the decimal formulation they
+    replaced: bit-identical doubles on random 2-decimal inputs,
+    including negatives (q22 acctbal) and the price*(1-disc) and
+    price*disc product shapes."""
+    import random
+    import struct
+
+    from dolphinbeat_spark.functions.money import cents, cents_sum, rev_cents
+
+    rng = random.Random(16)
+    rows = [
+        (
+            i % 7,
+            round(rng.uniform(-900, 90000), 2),       # price-like, some negative
+            round(rng.uniform(0.0, 0.10), 2),         # discount 2dp
+            round(rng.uniform(0.0, 50.0), 2),         # qty 2dp
+        )
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "g int, price double, disc double, qty double")
+
+    def _d(c):
+        return (F.col(c) if isinstance(c, str) else c).cast("decimal(12,4)")
+
+    out = (
+        df.groupBy("g")
+        .agg(
+            F.round(F.sum(_d("price") * (1 - _d("disc"))), 2)
+            .cast("double").alias("rev_dec"),
+            cents_sum(
+                rev_cents("price", "disc"), 4, "rev_cents"
+            ),
+            F.round(F.sum(_d("price") * _d("disc")), 2)
+            .cast("double").alias("pd_dec"),
+            cents_sum(cents("price") * cents("disc"), 4, "pd_cents"),
+            F.round(F.sum(_d("qty")), 2).cast("double").alias("q_dec"),
+            cents_sum(cents("qty"), 2, "q_cents"),
+        )
+        .collect()
+    )
+    for r in out:
+        for a, b in (("rev_dec", "rev_cents"), ("pd_dec", "pd_cents"),
+                     ("q_dec", "q_cents")):
+            assert struct.pack(">d", r[a]) == struct.pack(">d", r[b]), (a, r)
 
 
 def test_q1_cents_matches_decimal_formulation(spark):
