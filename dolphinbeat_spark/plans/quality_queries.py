@@ -350,21 +350,20 @@ def quality_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents", widen=True)
     tok = d.select("doc_id", F.explode(T.tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("k"))
-    # r16 examined, deliberately left as-is: the three branches below
-    # each re-scan+re-tokenize the corpus (scans are not deduplicated).
-    # Deriving vocab/tot from tf (guide §2.3) was tried and REVERTED:
-    # AQE exchange reuse never fires (column pruning gives each
-    # branch's aggregate different resultExpressions, breaking
-    # canonical subtree equality — verified in the executedPlan), so
-    # the rewrite kept all three tokenize passes AND added two
-    # aggregation layers; measured parity at sf0.1 (1.33 vs 1.38 s
-    # interleaved best-of-4). A localCheckpoint of tf would guarantee
-    # one pass but materializes a corpus-sized intermediate — a worse
-    # trade at 100 TB than two extra map-side tokenize passes.
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = tok.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_total"),
-        F.count_distinct("token").cast("bigint").alias("v"),
+    # r16 single-tokenize cascade (guide §2.3/§2.4, second attempt —
+    # the first, which kept count_distinct over tok, never got AQE
+    # exchange reuse and was reverted): vocab re-aggregates tf
+    # (sum of per-doc counts == count of occurrences) and tot derives
+    # from VOCAB (n_total = sum cnt, v = row count — no distinct
+    # aggregate anywhere), so all three branches hang off the same
+    # tf exchange subtree and AQE stage reuse runs the scan+tokenize
+    # and the (doc_id, token) shuffle ONCE (verified Reused* nodes in
+    # the executedPlan; the rollup_cascade pattern). Integer-exact:
+    # same counts, same bigint types, same join rows.
+    vocab = tf.groupBy("token").agg(F.sum("k").alias("cnt"))
+    tot = vocab.agg(
+        F.sum("cnt").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
     )
     terms = (
         tf.join(vocab, "token")
