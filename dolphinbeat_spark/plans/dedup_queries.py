@@ -482,10 +482,19 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = toked.select(
         "doc_id", F.explode(T_word_shingles_from_tokens(F.col("toks"), SHINGLE_K)).alias("shingle")
     )
-    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # r16 (guide §2.4, the duplicate-spans pattern): groupBy(shingle)
+    # + join-back referenced `sh` twice and Spark does not deduplicate
+    # common subtrees, so the tokenize+shingle+explode chain ran twice
+    # per query. count(*) OVER (PARTITION BY shingle) attaches the
+    # corpus document-frequency to each row in ONE evaluation with the
+    # same single shuffle key; the inner join it replaces kept every
+    # row (df >= 1 for every existing shingle), so the per-doc sums
+    # are identical.
+    dfw = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
     doc = (
-        sh.join(df, "shingle")
-        .groupBy("doc_id")
+        dfw.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
             F.sum("df").cast("bigint").alias("sum_df"),

@@ -257,7 +257,24 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(T.tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df_docs"))
+    # r16 single-tokenize (guide §2.3/§2.4, the quality_unigram_lm
+    # pattern): tf has exactly one row per distinct (doc_id, token),
+    # so DF == count(*) over tf per token — integer-exact, and no
+    # distinct aggregate, so the DF branch hangs off the SAME tf
+    # exchange and AQE stage reuse tokenizes the corpus ONCE
+    # (verified Reused* in the executedPlan). n_docs stays on the
+    # base table (documents with zero tokens must count) — a
+    # count-only parquet scan, metadata-cheap.
+    # count(tf > 0) not count(*): the value is identical (tf is a
+    # count of existing rows, always >= 1), but the optimizer cannot
+    # prove that, so this branch's copy of the tf aggregate keeps its
+    # count buffer instead of collapsing to a bare DISTINCT
+    # (RemoveRedundantAggregates did exactly that to both count(*)
+    # and count(tf) forms, breaking canonical subtree equality and
+    # with it the exchange reuse).
+    df = tf.groupBy("token").agg(
+        F.count(F.when(F.col("tf") > 0, F.lit(1))).alias("df_docs")
+    )
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df, "token")
