@@ -720,19 +720,29 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = feats.select(
         "doc_id",
         "source",
-        (F.substring("source", 4, 10).cast("int") < 5).alias("is_target"),
         F.pmod(hash64(F.col("f")), F.lit(_DSIR_B)).alias("b"),
     )
-    bucket_stats = bucketed.groupBy("b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("r_cnt"),
-        F.count_if("is_target").cast("bigint").alias("t_cnt"),
-    )
-    tot = bucketed.agg(
-        F.count(F.lit(1)).cast("bigint").alias("r_total"),
-        F.count_if("is_target").cast("bigint").alias("t_total"),
-    )
+    # r16 single-featurize cascade (the quality_unigram_lm pattern):
+    # bucket_stats and the totals both derive from doc_b — r_cnt per
+    # bucket = sum of per-doc counts, t_cnt = the same sum over target
+    # docs (is_target is a function of the source column doc_b
+    # carries), totals = sums over bucket_stats. Integer-exact, no
+    # distinct aggregates, and every doc_b column is referenced, so
+    # all branches share doc_b's exchange canonically and AQE stage
+    # reuse runs the tokenize+bigram+hash chain ONCE (verified
+    # Reused* in the executedPlan) instead of three times.
     doc_b = bucketed.groupBy("doc_id", "source", "b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    _is_t = F.substring("source", 4, 10).cast("int") < 5
+    bucket_stats = doc_b.groupBy("b").agg(
+        F.sum("n").cast("bigint").alias("r_cnt"),
+        F.sum(F.when(_is_t, F.col("n")).otherwise(F.lit(0).cast("bigint")))
+        .cast("bigint").alias("t_cnt"),
+    )
+    tot = bucket_stats.agg(
+        F.sum("r_cnt").cast("bigint").alias("r_total"),
+        F.sum("t_cnt").cast("bigint").alias("t_total"),
     )
     terms = (
         doc_b.join(F.broadcast(bucket_stats), "b")
