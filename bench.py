@@ -320,6 +320,38 @@ def _steal_pct_since(prev: tuple[int, int]) -> tuple[float, tuple]:
     return pct, cur
 
 
+def _disk_mb(field: int) -> float:
+    """MB implied by a /proc/diskstats sector column (5 = read, 9 =
+    written) summed over real block devices. r17 (VERDICT #1): makes
+    I/O visible next to the steal stamps, so a slow sf100 wall can be
+    attributed to cold-cache replica reads (read delta ≈ replica size)
+    vs compute. NOTE /dev/shm spill/shuffle traffic never appears here
+    (tmpfs), and tmpfs pages count as "Cached" in meminfo — a rising
+    cached_gb during a shuffle-heavy run is shuffle files, not page
+    cache of the input."""
+    total = 0
+    try:
+        with open("/proc/diskstats") as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) > field and parts[2][:2] in ("vd", "sd", "nv"):
+                    total += int(parts[field])
+    except OSError:
+        return -1.0
+    return round(total * 512 / 1e6, 1)
+
+
+def _cached_gb() -> float:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("Cached:"):
+                    return round(int(line.split()[1]) / 1e6, 2)
+    except OSError:
+        pass
+    return -1.0
+
+
 def _cal_python_kernel() -> float:
     import numpy as np
 
@@ -623,6 +655,7 @@ def sf1_section(spark, sf_dir: str, specs) -> dict:
             for i in range(4):
                 gc0 = _jvm_gc_ms(spark)
                 jiff = _read_cpu_jiffies()
+                r0 = _disk_mb(5)
                 t0 = time.time()
                 fn(spark, dest).write.format("noop").mode("overwrite").save()
                 steal, _ = _steal_pct_since(jiff)
@@ -632,6 +665,8 @@ def sf1_section(spark, sf_dir: str, specs) -> dict:
                         "gc_ms": _jvm_gc_ms(spark) - gc0,
                         "load1": round(os.getloadavg()[0], 2),
                         "steal_pct": steal,
+                        "disk_read_mb": round(_disk_mb(5) - r0, 1),
+                        "cached_gb": _cached_gb(),
                     }
                 )
             queries[name] = min(r["sec"] for r in runs[1:])
@@ -686,6 +721,7 @@ def sf100_section(spark, sf_dir: str, specs, jvm_factor: float = 1.0) -> dict:
         for _ in range(2):  # best-of-2 (cold pass kept visible in runs)
             gc0 = _jvm_gc_ms(spark)
             jiff = _read_cpu_jiffies()
+            r0 = _disk_mb(5)
             t0 = time.time()
             fn(spark, dest).write.format("noop").mode("overwrite").save()
             steal, _ = _steal_pct_since(jiff)
@@ -695,6 +731,8 @@ def sf100_section(spark, sf_dir: str, specs, jvm_factor: float = 1.0) -> dict:
                     "gc_ms": _jvm_gc_ms(spark) - gc0,
                     "load1": round(os.getloadavg()[0], 2),
                     "steal_pct": steal,
+                    "disk_read_mb": round(_disk_mb(5) - r0, 1),
+                    "cached_gb": _cached_gb(),
                 }
             )
         queries[name] = min(r["sec"] for r in runs)

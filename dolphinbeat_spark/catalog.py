@@ -29,6 +29,10 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 _CONFED_SESSIONS: set[int] = set()
 
+# planned scan width per (session, parquet path, parallelism) — see the
+# widen gate in load(); layouts are immutable for a session's lifetime
+_SCAN_WIDTH_CACHE: dict[tuple[int, str, int], int] = {}
+
 
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Defensive per-session confs for externally-built sessions (the
@@ -94,7 +98,24 @@ def load(
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if widen:
         parallelism = spark.sparkContext.defaultParallelism
-        if len(df.inputFiles()) < parallelism:
+        # r17 (ADVICE): gate on the PLANNED scan width, not the raw
+        # file count — Spark bins multiple small files into one
+        # FilePartition (maxPartitionBytes/openCostInBytes), so a
+        # many-tiny-file layout can carry >= parallelism files yet
+        # scan in a handful of tasks, which would silently serialize
+        # the fused compute chain the repartition exists to spread.
+        # getNumPartitions() plans the scan without running a job (one
+        # file per task remains the upper bound, so the planned count
+        # never exceeds the file count); the result is memoized per
+        # (session, path) because the layout is immutable for the
+        # session and plan-building happens once per query RUN in the
+        # bench loop.
+        key = (id(spark), f"{sf_dir}/{table}.parquet", parallelism)
+        width = _SCAN_WIDTH_CACHE.get(key)
+        if width is None:
+            width = df.rdd.getNumPartitions()
+            _SCAN_WIDTH_CACHE[key] = width
+        if width < parallelism:
             df = df.repartition(parallelism)
     return df
 

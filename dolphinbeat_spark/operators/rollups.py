@@ -46,13 +46,34 @@ def rollup_cascade(
             F.sum(srcs[1]).alias("total_value"),
         )
 
+    # r17 (guide §2.3 "narrower types"): the minute level — the only
+    # raw-cardinality aggregation — runs on limbed long micro-units
+    # (functions/money.py): 4 primitive longs in the hash-agg buffer
+    # instead of one boxed BigDecimal per input row, overflow-safe past
+    # 1.4e14 rows per bucket (unconditional at 100 TB), recombined to
+    # the exact decimal(38,6) value the decimal(18,6) sum produces.
+    # Hour/day levels re-aggregate the tiny minute/hour relations and
+    # stay decimal (sum-of-sums composes losslessly, as before).
+    from dolphinbeat_spark.functions.money import limb_sums, limb_total, micros
+
     minutes = events.select(
         F.date_trunc("minute", ts_col).alias("m"),
         *group_cols,
-        F.lit(1).cast("bigint").alias("__one"),
-        F.col(value_col).cast("decimal(18,6)").alias("__val"),
+        micros(value_col).alias("__m"),
     )
-    minute_agg = agg(minutes, F.col("m"), ("__one", "__val"))
+    minute_agg = (
+        minutes.groupBy(F.col("m").alias("bucket_start"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            *limb_sums(F.col("__m"), "__v"),
+        )
+        .select(
+            "bucket_start",
+            *group_cols,
+            "n_events",
+            limb_total("__v").alias("total_value"),
+        )
+    )
     hour_agg = agg(
         minute_agg, F.date_trunc("hour", "bucket_start"), ("n_events", "total_value")
     )

@@ -490,6 +490,15 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same single shuffle key; the inner join it replaces kept every
     # row (df >= 1 for every existing shingle), so the per-doc sums
     # are identical.
+    # Skew ceiling (r17, ADVICE): unlike the aggregate+join form, the
+    # window puts EVERY row of one shingle in one task (no map-side
+    # partial agg, no AQE skew split for windows). A corpus-dominant
+    # shingle — a boilerplate phrase in most documents — caps at one
+    # task's throughput/memory. For corpora where one shingle can
+    # carry an O(corpus) share of rows, prefer the aggregate +
+    # broadcast-join form of the frequency table; here shingles are
+    # K-word (K=3) over real text, where even stopword shingles hold
+    # well under 1% of the stream.
     dfw = sh.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
     )
@@ -571,6 +580,14 @@ def _duplicate_span_frames(spark, sf_dir):
     # distinct cnt>=2 hashes == per-row corpus count >= 2) while
     # evaluating `w` once; the one shuffle still carries only
     # (doc_id, pos, gh) — never text.
+    # Skew ceiling (r17, ADVICE): one gh value = one window task (no
+    # partial agg / AQE split for windows). A window-hash held by an
+    # O(corpus) share of positions would bottleneck one task; K-gram
+    # hashes (K=8 words) over real text are far below that, and the
+    # rows carried are 24-byte triples, so the single-task worst case
+    # is bounded by corpus duplication itself. If a corpus ever
+    # concentrates one span that hard, revert this site to aggregate +
+    # broadcast join of the cnt>=2 hash set.
     dupw = (
         w.withColumn(
             "__cnt", F.count(F.lit(1)).over(Window.partitionBy("gh"))

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dolphinbeat_spark.catalog import load
-from dolphinbeat_spark.functions.money import cents, cents_sum, rev_cents
+from dolphinbeat_spark.functions.money import cents, cents_sum, rescale, rev_cents
 from dolphinbeat_spark.plans.registry import register
 
 # decimal-exact money arithmetic (see registry docstring)
@@ -81,11 +81,6 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_bp = F.round(F.col("l_discount") * 100).cast("long")
     tax_bp = F.round(F.col("l_tax") * 100).cast("long")
     n = F.count(F.lit(1))
-
-    def rescale(sumcol, pow10: int, name: str):
-        return F.round(
-            sumcol.cast("decimal(38,6)") / F.lit(10 ** pow10), 2
-        ).cast("double").alias(name)
 
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
@@ -150,11 +145,6 @@ def q1_pricing_summary_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_bp = F.round(F.col("l_discount") * 100).cast("long")
     tax_bp = F.round(F.col("l_tax") * 100).cast("long")
     n = F.count(F.lit(1))
-
-    def rescale(sumcol, pow10: int, name: str):
-        return F.round(
-            sumcol.cast("decimal(38,6)") / F.lit(10 ** pow10), 2
-        ).cast("double").alias(name)
 
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))

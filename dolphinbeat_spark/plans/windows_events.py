@@ -144,14 +144,25 @@ ORDER BY event_type, day
 )
 def win_moving_sum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level: daily pre-aggregation (map-side combine shrinks the
-    stream to |types|x|days| rows), then a 7-row moving frame."""
+    stream to |types|x|days| rows), then a 7-row moving frame.
+
+    r17 (guide §2.3): the raw-cardinality daily aggregation runs on
+    limbed long micro-units (functions/money.py) — 4 primitive longs in
+    the agg buffer instead of a boxed BigDecimal per input row,
+    overflow-safe past 1.4e14 rows per (type, day) group, recombined to
+    exactly the decimal value sum(cast(value as decimal(14,6))) yields.
+    The 7-day moving window then sums |types|x|days| decimal rows,
+    unchanged."""
+    from dolphinbeat_spark.functions.money import limb_sums, limb_total, micros
+
     e = load(spark, sf_dir, "events")
     daily = (
         e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(14,6)")).alias("day_value"),
+            *limb_sums(micros("value"), "__v"),
         )
+        .select("event_type", "day", "n_events", limb_total("__v").alias("day_value"))
     )
     w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, Window.currentRow)
     return (

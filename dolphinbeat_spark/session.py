@@ -33,6 +33,12 @@ def get_spark(app_name: str = "dolphinbeat_spark", master: str | None = None) ->
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4 default, pinned explicitly (r17, ADVICE): the
+        # long-cents/limb money aggregation's soundness net is
+        # raise-on-int64-overflow; a cluster profile that disables ANSI
+        # would otherwise silently wrap money sums past the documented
+        # headroom instead of failing loudly.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
@@ -41,6 +47,12 @@ def get_spark(app_name: str = "dolphinbeat_spark", master: str | None = None) ->
         # read as long, catalog.load converts to micros TimestampType
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # shuffle/spill codec, env-parameterised for A/B (r17, guide
+        # §2.3): default stays Spark's lz4; the sf100-replica A/B is
+        # recorded in OPTIMIZATION_r17.md — on a network-bound cluster
+        # set SPARK_GRAFT_IO_CODEC=zstd and re-measure there.
+        .config("spark.io.compression.codec",
+                os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"))
         .config("spark.ui.enabled", "false")
         # 24g measured AGAINST 64g at r16: steady-state q1 sf100
         # walls were 23-27 s at 24g vs 56-60 s at 64g on clean

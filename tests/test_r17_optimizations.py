@@ -1,0 +1,198 @@
+"""r17 optimization parity + plan-shape regression tests.
+
+Parity: the limbed long micro-unit aggregation (functions/money.py)
+must reproduce the decimal formulation it replaced bit-for-bit.
+
+Plan shape (VERDICT r16 #7): the load-bearing optimizer behaviors r16
+relied on are asserted so a Spark upgrade or refactor cannot silently
+undo them —
+- q1's aggregation buffers are LONG, not decimal;
+- the limb-converted specs carry no decimal sum over raw events;
+- the AQE reuse cascades actually reuse (ReusedExchange in the
+  EXECUTED plan) for quality_unigram_lm / text_tfidf_topterms /
+  sample_dsir_importance / events_rollup_cascade;
+- materialized() keeps filters above the barrier projection (the
+  value-transparency half lives in test_r16_optimizations.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _bits(x: float) -> bytes:
+    return struct.pack(">d", x)
+
+
+# ---------------------------------------------------------------------------
+# limbed micro-unit sums: parity with the decimal formulation
+# ---------------------------------------------------------------------------
+
+
+def test_limb_sum_matches_decimal_sum(spark):
+    """Σ limbs recombined == sum(cast(value as decimal(18,6))) exactly,
+    on random 6-decimal values including negatives and the int64-edge
+    magnitudes the schema admits."""
+    import random
+
+    from dolphinbeat_spark.functions.money import limb_sums, limb_total, micros
+
+    rng = random.Random(17)
+    rows = [
+        (i % 5, round(rng.uniform(-1e5, 1e6), rng.choice([0, 2, 6])))
+        for i in range(5000)
+    ]
+    # domain-edge magnitudes (micros() is exact for |v*1e6| < 2^51 —
+    # the documented 0.5-window bound) and tiny-value rounding cases
+    rows += [(9, 2_251_799_813.685247), (9, -2_251_799_813.685247),
+             (9, 0.000001), (9, -0.000001), (9, 0.0)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    out = (
+        df.groupBy("g")
+        .agg(
+            F.sum(F.col("v").cast("decimal(18,6)")).alias("dec"),
+            *limb_sums(micros("v"), "lv"),
+        )
+        .select("g", "dec", limb_total("lv").alias("limbed"))
+        .collect()
+    )
+    assert len(out) == 6
+    for r in out:
+        # exact decimal equality (both are Decimal objects)
+        assert r.dec == r.limbed, r
+
+
+def test_rollup_cascade_limbed_matches_decimal_reference(spark):
+    """events_rollup_cascade's limb-converted minute level vs the old
+    decimal formulation, run side by side on sf0.001 — every row and
+    every total_value double bit-identical."""
+    from dolphinbeat_spark.catalog import load
+    from dolphinbeat_spark.operators.rollups import rollup_cascade
+
+    e = load(spark, SF_SMALL, "events")
+    new = rollup_cascade(e, "ts", ["event_type"], "value").orderBy(
+        "grain", "bucket_start", "event_type"
+    )
+
+    # pre-r17 decimal formulation, verbatim
+    def agg(df, bucket, srcs):
+        return df.groupBy(bucket.alias("bucket_start"), "event_type").agg(
+            F.sum(srcs[0]).alias("n_events"),
+            F.sum(srcs[1]).alias("total_value"),
+        )
+
+    minutes = e.select(
+        F.date_trunc("minute", "ts").alias("m"),
+        "event_type",
+        F.lit(1).cast("bigint").alias("__one"),
+        F.col("value").cast("decimal(18,6)").alias("__val"),
+    )
+    minute_agg = agg(minutes, F.col("m"), ("__one", "__val"))
+    hour_agg = agg(minute_agg, F.date_trunc("hour", "bucket_start"),
+                   ("n_events", "total_value"))
+    day_agg = agg(hour_agg, F.date_trunc("day", "bucket_start"),
+                  ("n_events", "total_value"))
+
+    def out(df, grain):
+        return df.select(
+            F.lit(grain).alias("grain"), "bucket_start", "event_type",
+            "n_events",
+            F.round("total_value", 2).cast("double").alias("total_value"),
+        )
+
+    old = (
+        out(minute_agg, "minute")
+        .unionByName(out(hour_agg, "hour"))
+        .unionByName(out(day_agg, "day"))
+        .orderBy("grain", "bucket_start", "event_type")
+    )
+    new_rows, old_rows = new.collect(), old.collect()
+    assert len(new_rows) == len(old_rows) > 0
+    for a, b in zip(new_rows, old_rows):
+        assert (a.grain, a.bucket_start, a.event_type, a.n_events) == (
+            b.grain, b.bucket_start, b.event_type, b.n_events)
+        assert _bits(a.total_value) == _bits(b.total_value), a
+
+
+# ---------------------------------------------------------------------------
+# plan-shape regression tests
+# ---------------------------------------------------------------------------
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_agg_buffers_are_long(spark):
+    """q1's six money aggregates must stay primitive longs in the
+    hash-agg buffer (the r16 win). A refactor reintroducing decimal
+    partials would show sum(cast(... as decimal...)) here."""
+    from dolphinbeat_spark.plans.registry import all_specs
+
+    df = all_specs()["q1_pricing_summary"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    assert "as bigint" in plan
+    # decimal(22,4) / decimal(28,8) are the buffer types the decimal
+    # formulation's sums would carry
+    assert "decimal(22,4)" not in plan
+    assert "decimal(28,8)" not in plan
+
+
+def test_value_specs_carry_no_decimal_sum_over_raw_events(spark):
+    """events_rollup_cascade / win_moving_sum_daily raw-cardinality
+    aggregations run on limbed longs (r17); a decimal(28,6)/(24,6)
+    sum buffer in the plan means the conversion regressed."""
+    from dolphinbeat_spark.plans.registry import all_specs
+
+    for name, buffer_ty in (
+        ("events_rollup_cascade", "decimal(28,6)"),
+        ("win_moving_sum_daily", "decimal(24,6)"),
+    ):
+        plan = _physical_plan(all_specs()[name].fn(spark, SF_SMALL))
+        assert buffer_ty not in plan, name
+        assert "shiftright" in plan, name
+
+
+@pytest.mark.parametrize(
+    "spec_name",
+    [
+        "quality_unigram_lm",
+        "text_tfidf_topterms",
+        "sample_dsir_importance",
+        "events_rollup_cascade",
+    ],
+)
+def test_reuse_cascades_reuse_at_runtime(spark, spec_name):
+    """The r16 single-scan cascades depend on AQE stage reuse, which
+    only shows in the EXECUTED plan: run the spec and assert at least
+    one ReusedExchange survived (rules recorded in
+    OPTIMIZATION_r16.md — canonical-equality is what breaks silently
+    under refactors)."""
+    from dolphinbeat_spark.plans.registry import all_specs
+
+    df = all_specs()[spec_name].fn(spark, SF_SMALL)
+    df.collect()
+    plan = _physical_plan(df)
+    assert "ReusedExchange" in plan, spec_name
+
+
+def test_materialized_blocks_pushdown_in_training_filter(spark):
+    """The barrier must keep the gate work ABOVE the widen exchange in
+    the actual pipeline_training_data_filter plan: the scan node's
+    pushed filters must stay trivial (isnotnull-only), proving no gate
+    expression was substituted below the exchange."""
+    from dolphinbeat_spark.plans.registry import all_specs
+
+    df = all_specs()["pipeline_training_data_filter"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    # the gate's padded-text marker scan must not appear twice (one
+    # per-filter substitution + one projection = the regression shape)
+    assert plan.count("monotonically_increasing_id") >= 1
+    scan_lines = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    for ln in scan_lines:
+        assert "contains" not in ln.lower(), ln
