@@ -147,9 +147,23 @@ def dhash_near_dup_pairs(hashes: DataFrame, max_dist: int = 6,
         raise ValueError(f"bands={bands} must divide 64")
     width = 64 // bands
     mask = (1 << width) - 1
-    banded = hashes.select(
+    # r17 (guide §2.4/§8): materialization barrier below the self-join
+    # fork. Both join branches (probe and broadcast/build) otherwise
+    # re-run the full hash-producing chain — for the callers that is a
+    # per-row Python decode (image dHash / audio fingerprint), the
+    # most expensive stage of the query — and the final orderBy's
+    # range sampler would run it a third time. One round-robin
+    # exchange of the narrow (id, hash) rows (16 bytes/row — the
+    # "shuffle the proxy, not the payload" shape) makes the two
+    # branches canonically identical below the exchange, so the
+    # runtime dedupes them via ReusedExchange and the decode chain
+    # executes exactly once. Measured at sf0.1 (mm_audio_fp_neardup):
+    # 3.0 s -> 1.8 s on top of the widen fix (20.7 s unwidened).
+    narrow = hashes.select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
-    ).select(
+    )
+    parallelism = hashes.sparkSession.sparkContext.defaultParallelism
+    banded = narrow.repartition(parallelism).select(
         "_id", "_h",
         F.explode(F.array(*[
             F.struct(

@@ -131,10 +131,18 @@ def cdc_debezium_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     coordinates. A consumer built against Debezium's MySQL connector
     reads this topic unchanged. The oracle reconstructs the exact
     payload text, so rendering (null literals, key order, numeric
-    form) is pinned cross-engine."""
+    form) is pinned cross-engine.
+
+    r17 sort-first (guide §1.4/§2.4 — the same shape as
+    cdc_envelope_from_events' r16 fix): sorted_spread by event_id
+    BELOW the envelope build, so the map construction + to_json run
+    ONCE above the sort instead of twice via the final orderBy's
+    range-bounds sampling pass; the op-type filter and projections
+    above are order-preserving, so output rows and order are
+    identical (oracle order-strict green)."""
     from dolphinbeat_spark.operators.projection import to_debezium_json
 
-    e = load(spark, sf_dir, "events")
+    e = sorted_spread(load(spark, sf_dir, "events"), "event_id")
     db, tbl = _db_table_cols()
     k_raw = F.get_json_object("props", "$.k")
     eid_s = F.col("event_id").cast("string")
@@ -177,7 +185,7 @@ def cdc_debezium_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbz.select(
         F.col("log_pos").alias("event_id"),  # log_pos was set to event_id
         "db", "table", "log_pos", "value",
-    ).orderBy("event_id")
+    )
 
 
 @register(
@@ -615,10 +623,16 @@ def cdc_maxwell_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     when k is set and is empty when it is NULL — both Maxwell paths
     exercised). The oracle reconstructs the payload text exactly, so
     key order, null literals, and the changed-column diff are pinned
-    cross-engine."""
+    cross-engine.
+
+    r17 sort-first (guide §1.4/§2.4, same shape as the debezium spec):
+    sorted_spread below the envelope build replaces the final orderBy,
+    so the map construction + to_json run once instead of twice via
+    range-bounds sampling; everything above the sort is
+    order-preserving."""
     from dolphinbeat_spark.operators.projection import to_maxwell_json
 
-    e = load(spark, sf_dir, "events")
+    e = sorted_spread(load(spark, sf_dir, "events"), "event_id")
     db, tbl = _db_table_cols()
     k_raw = F.get_json_object("props", "$.k")
     k_old = F.concat(k_raw, F.lit("_0"))  # NULL-propagating
@@ -669,7 +683,7 @@ def cdc_maxwell_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mxw.select(
         F.col("log_pos").alias("event_id"),
         "db", "table", "log_pos", "value",
-    ).orderBy("event_id")
+    )
 
 
 @register(
@@ -707,7 +721,19 @@ def cdc_canal_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqlType/mysqlType from the registry TableDef, type upper-cased,
     ts pinned to es for determinism. The oracle reconstructs the
     payload text exactly. Multi-row event batching is pinned by the
-    unit test (the synthetic stream is one row per event)."""
+    unit test (the synthetic stream is one row per event).
+
+    r17 (guide §2.4 "two operations keyed the same way share one
+    exchange"): the raw events are range-partitioned by event_id
+    BELOW the envelope build. The operator's per-event groupBy key
+    contains log_pos (= event_id), and RangePartitioning(event_id)
+    satisfies the aggregation's ClusteredDistribution through Spark's
+    alias-aware output partitioning, so the groupBy inserts NO hash
+    exchange — and the contract order needs only a partition-local
+    sort instead of a second (range) exchange whose sampling pass
+    re-ran the aggregation + JSON render. Plan: 2 Exchange → 1, agg +
+    render evaluated once; rows and order proven identical by
+    collect() comparison at sf0.1 and the order-strict oracle."""
     from dolphinbeat_spark.operators.projection import to_canal_flat_json
     from dolphinbeat_spark.schema.registry import SchemaRegistry
 
@@ -717,7 +743,9 @@ def cdc_canal_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     td = reg.get("db1", "tbl_click")
 
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").repartitionByRange(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
     db, tbl = _db_table_cols()
     k_raw = F.get_json_object("props", "$.k")
     k_old = F.concat(k_raw, F.lit("_0"))
@@ -743,7 +771,7 @@ def cdc_canal_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = to_canal_flat_json(env, td)
     return out.select(
         F.col("log_pos").alias("event_id"), "db", "table", "log_pos", "value"
-    ).orderBy("event_id")
+    ).sortWithinPartitions("event_id")
 
 
 # final-state reconstruction of the synthetic per-user change chains

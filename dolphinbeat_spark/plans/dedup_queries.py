@@ -279,8 +279,23 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ 3) within a p_type block — the entity-resolution primitive. The
     block key turns the O(n²) comparison into per-block self-joins
     (the same blocking discipline as jaccard_blocked); Levenshtein is
-    a JVM built-in on both engines."""
-    p = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_type")
+    a JVM built-in on both engines.
+
+    r17 (guide §2.5/§1.2, REGISTRY_TIMING: 78.6 s → ~4 s at sf0.1):
+    part is one scan task and the block key has single-digit
+    cardinality, so the broadcast-join probe side ran EVERY pair's
+    Levenshtein on one core — widen=True spreads the probe across the
+    session parallelism. The repartition below the final sort is a
+    materialization barrier: the range sampler then reads the
+    (small) survivor shuffle instead of re-running the full pair join
+    — at scale the pair join dwarfs one survivor exchange. Negative
+    result, measured: the bounded 3-arg levenshtein + |Δlen|≤3
+    prefilter was ~25% SLOWER on these 7-12 char names (banded-DP
+    setup outweighs the saved cells; the length filter prunes almost
+    nothing when all lengths are within 5) — kept 2-arg."""
+    p = load(spark, sf_dir, "part", widen=True).select(
+        "p_partkey", "p_name", "p_type"
+    )
     a = p.select(
         F.col("p_partkey").alias("id_a"),
         F.col("p_name").alias("name_a"),
@@ -297,6 +312,7 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .filter((F.col("edit_dist") <= 3) & (F.col("name_a") != F.col("name_b")))
         .select("id_a", "id_b", "name_a", "name_b", "edit_dist")
+        .repartition(spark.sparkContext.defaultParallelism)
         .orderBy("id_a", "id_b")
     )
 

@@ -2857,7 +2857,13 @@ def mm_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     16000, 2, 16)
                 + b"data" + st.pack("<I", len(data)) + data)
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 19)
+    # r17 (guide §2.5, REGISTRY_TIMING: ~20 s steady at sf0.1):
+    # widen=True — the pure-Python FLAC encode (fixture build) and
+    # decode (fingerprint) chains are fused into the scan, and the
+    # single-row-group documents scan ran them all on ONE core.
+    d = load(spark, sf_dir, "documents", widen=True).filter(
+        F.col("doc_id") % 25 == 19
+    )
     hexd = "0123456789abcdef"
     def build_many(i):
         rows = []

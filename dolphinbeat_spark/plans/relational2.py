@@ -224,21 +224,35 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch, mergeable map-side. The estimate itself is engine-specific
     (deterministic per engine, not portable), so the comparable output
     is the banded invariant |approx - exact| / exact <= 5 * rsd; the
-    exact twin (un-banded values) is agg_distinct_counts."""
+    exact twin (un-banded values) is agg_distinct_counts.
+
+    r17 (guide §2.3 "shuffle fewer bytes", REGISTRY_TIMING: 32.2 s →
+    ~1 s at sf0.1): mixing approx_count_distinct with countDistinct in
+    ONE agg is a buffer-width trap — the distinct rewrite Expands every
+    row into per-distinct-column groups and EVERY (flag, partkey/
+    orderkey) group's hash-agg buffer then carries the two rsd-0.01
+    HLL++ sketches (~2×2.7k longs ≈ 43 KB per group, ~10⁵ groups at
+    sf0.1 and unbounded at 100 TB). Splitting the approx pass (3
+    groups total, map-side partial, fixed 2-sketch buffer per task)
+    from the exact-distinct pass (plain Expand with 16-byte buffers)
+    and joining on the 3-row group key computes the identical values
+    with sane buffers on both passes."""
     li = load(spark, sf_dir, "lineitem")
 
     def within(approx_col: str, exact_col: str):
         rel_err = F.abs(F.col(approx_col) - F.col(exact_col)) / F.col(exact_col)
         return rel_err <= F.lit(0.05)
 
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("ap"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("ao"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("ep"),
+        F.countDistinct("l_orderkey").alias("eo"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", 0.01).alias("ap"),
-            F.countDistinct("l_partkey").alias("ep"),
-            F.approx_count_distinct("l_orderkey", 0.01).alias("ao"),
-            F.countDistinct("l_orderkey").alias("eo"),
-        )
+        approx.join(exact, "l_returnflag")
         .select(
             "l_returnflag",
             within("ap", "ep").alias("parts_within_rsd"),

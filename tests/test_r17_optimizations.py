@@ -181,6 +181,89 @@ def test_reuse_cascades_reuse_at_runtime(spark, spec_name):
     assert "ReusedExchange" in plan, spec_name
 
 
+def test_jaccard_shingle_filter_not_inlined(spark):
+    """jaccard_blocked (wave 2): InferFiltersFromGenerate synthesizes
+    `size(sh) > 0` from the shingle explode; without the materialized()
+    barrier Catalyst pushes it to the scan with the whole shingle
+    expression INLINED (split re-evaluated per element_at — the 17x
+    trap, auto-generated). Assert no Filter node carries the shingle
+    expression: the inferred filter must reference the barrier column."""
+    from dolphinbeat_spark.plans.registry import all_specs
+
+    df = all_specs()["dedup_ngram_jaccard"].fn(spark, SF_SMALL)
+    df.collect()
+    plan = _physical_plan(df)
+    bad = [
+        ln for ln in plan.splitlines()
+        if "Filter" in ln and "array_distinct" in ln
+    ]
+    assert not bad, bad[:1]
+
+
+def test_band_join_decode_chain_runs_once(spark):
+    """dhash_near_dup_pairs (wave 2): the narrow (id, hash) barrier
+    exchange below the self-join fork must be REUSED by both branches
+    so the per-row Python decode chain executes once, not once per
+    branch (plus once more for the output sort's range sampler)."""
+    from dolphinbeat_spark.plans.registry import all_specs
+
+    df = all_specs()["mm_image_dhash_neardup"].fn(spark, SF_SMALL)
+    df.collect()
+    plan = _physical_plan(df)
+    assert "RoundRobinPartitioning" in plan
+    assert "ReusedExchange" in plan
+
+
+def test_canal_flat_rides_one_exchange(spark):
+    """cdc_canal_flat (wave 2): the per-event groupBy and the contract
+    order both ride the single range exchange on event_id —
+    RangePartitioning(event_id) satisfies the aggregation's clustered
+    distribution through the log_pos alias, so the plan must contain
+    NO planner-inserted (ENSURE_REQUIREMENTS) exchange and no hash
+    exchange; order comes from a partition-local sort."""
+    from dolphinbeat_spark.plans.registry import all_specs
+
+    df = all_specs()["cdc_canal_flat"].fn(spark, SF_SMALL)
+    rows = df.collect()
+    plan = _physical_plan(df)
+    ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert ex, "expected the pinned range exchange"
+    for ln in ex:
+        assert "ENSURE_REQUIREMENTS" not in ln, ln
+        assert "hashpartitioning" not in ln, ln
+    # global order identical to the orderBy formulation it replaced
+    assert rows == sorted(rows, key=lambda r: r.event_id)
+
+
+def test_envelope_sort_first_order_identity(spark):
+    """cdc_debezium_envelope / cdc_maxwell_envelope (wave 2): the
+    sort-below-projection rewrite must yield exactly the rows of the
+    old final-orderBy formulation, in event_id order."""
+    from dolphinbeat_spark.plans.registry import all_specs
+
+    for name in ("cdc_debezium_envelope", "cdc_maxwell_envelope"):
+        df = all_specs()[name].fn(spark, SF_SMALL)
+        rows = df.collect()
+        assert rows == sorted(rows, key=lambda r: r.event_id), name
+        assert len(rows) > 0, name
+
+
+def test_approx_distinct_split_has_no_hll_buffers_under_expand(spark):
+    """approx_distinct_parts (wave 2): the HLL++ sketches must never
+    share an aggregate with the countDistinct Expand — the plan's
+    Expand subtree must not contain approx_count_distinct partials."""
+    from dolphinbeat_spark.plans.registry import all_specs
+
+    df = all_specs()["approx_distinct_parts"].fn(spark, SF_SMALL)
+    plan = _physical_plan(df)
+    assert "Expand" in plan  # the exact-distinct pass still expands
+    for ln in plan.splitlines():
+        # a gid-keyed aggregate (the distinct-rewrite stage, one group
+        # per distinct value) must never carry HLL sketch functions
+        if "HashAggregate" in ln and "gid" in ln:
+            assert "approx_count_distinct" not in ln, ln[:200]
+
+
 def test_materialized_blocks_pushdown_in_training_filter(spark):
     """The barrier must keep the gate work ABOVE the widen exchange in
     the actual pipeline_training_data_filter plan: the scan node's
