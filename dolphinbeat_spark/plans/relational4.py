@@ -743,16 +743,27 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             return F.date_format(mn, fmt), F.date_format(mx, fmt)
         return mn.cast("string"), mx.cast("string")
 
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    # Two single-row aggregation passes instead of one (r17): mixing
+    # count_distinct with string-buffered min/max in ONE agg put the
+    # stringly min/max buffers onto the distinct-rewrite's Expand, and
+    # string agg buffers force SortAggregate — the plan sorted
+    # (|cols|+1) x |table| expanded rows three times. Split, the
+    # min/max pass has no Expand (grouping-free partial agg, no sort)
+    # and the distinct pass keeps long-only buffers, so both sides
+    # hash/fuse cleanly. Both hang off the SAME widen exchange, so the
+    # runtime reuses one physical scan (AQE ReusedExchange — the r16
+    # cascade rule), and the 1-row sides recombine by cross join.
+    mm_aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    nd_aggs = []
     for c in _PROFILE_COLS:
         mn, mx = min_max(c)
-        aggs += [
+        mm_aggs += [
             F.count(c).cast("bigint").alias(f"__nn_{c}"),
-            F.count_distinct(c).cast("bigint").alias(f"__nd_{c}"),
             mn.alias(f"__mn_{c}"),
             mx.alias(f"__mx_{c}"),
         ]
-    one = li.agg(*aggs)
+        nd_aggs.append(F.count_distinct(c).cast("bigint").alias(f"__nd_{c}"))
+    one = li.agg(*mm_aggs).crossJoin(li.agg(*nd_aggs))
     rows = one.select(
         F.explode(
             F.array(

@@ -112,6 +112,43 @@ def _img_val(image: str, col: str):
     return F.when(is_null, F.lit(None)).otherwise(raw)
 
 
+_IMG_COLS = ("op_type", "before", "before_null", "after", "after_null")
+
+
+def _explode_pieces(
+    ops: DataFrame, pieces, piece_fields: list[str]
+) -> DataFrame:
+    """Shared tail of the two normalizers: explode the per-op piece
+    array in ONE pass, preserving the original column order with the
+    image columns substituted from the piece and the synthetic columns
+    (``__op_rank``, ``__k_*``/``__ok_*``) appended — byte-identical
+    rows to the historical three-branch union, from a single scan of
+    the envelope instead of three (r17: the union form scanned the
+    binlog three times and re-derived the op/image expressions per
+    branch; at 100 TB that is two extra passes over the log).
+
+    ``materialized()`` on the piece array: InferFiltersFromGenerate
+    synthesizes ``size(pieces) > 0 AND isnotnull(pieces)`` from the
+    explode and would push it scan-ward with the whole image-building
+    expression tree inlined (the documented shingle-duplication trap,
+    auto-generated). The array is non-empty by construction — every op
+    yields one or two pieces — so the barrier costs nothing and pins
+    the inferred filter above the projection."""
+    from dolphinbeat_spark.functions.barrier import materialized
+
+    passthrough = [c for c in ops.columns if c not in _IMG_COLS]
+    ex = ops.select(
+        *passthrough, materialized(pieces).alias("__pieces")
+    ).select(*passthrough, F.explode("__pieces").alias("__p"))
+    out = [
+        F.col(f"__p.{c}").alias(c) if c in _IMG_COLS else F.col(c)
+        for c in ops.columns
+    ]
+    return ex.select(
+        *out, *[F.col(f"__p.{f}").alias(f) for f in piece_fields]
+    )
+
+
 def normalize_pk_changes(batch: DataFrame) -> DataFrame:
     """Rewrite every update op as delete(before-image) + insert(after-
     image) at the same log coordinates.
@@ -122,25 +159,42 @@ def normalize_pk_changes(batch: DataFrame) -> DataFrame:
     split each op has exactly one key: after-image for inserts,
     before-image for deletes. ``__op_rank`` breaks the tie at identical
     coordinates so the insert half wins over the delete half when the
-    key did NOT change."""
+    key did NOT change.
+
+    One-scan formulation (r17): each op maps to an array of one or two
+    piece structs which is exploded — same row multiset as the
+    historical non_upd ∪ as_delete ∪ as_insert union, without scanning
+    the envelope source once per branch."""
     ops = batch.filter(F.col("op_type").isin(*ROW_OPS))
-    non_upd = ops.filter(F.col("op_type") != "update").withColumn("__op_rank", F.lit(1))
-    upd = ops.filter(F.col("op_type") == "update")
     null_map = F.lit(None).cast("map<string,string>")
     null_flags = F.lit(None).cast("map<string,boolean>")
-    as_delete = (
-        upd.withColumn("op_type", F.lit("delete"))
-        .withColumn("after", null_map)
-        .withColumn("after_null", null_flags)
-        .withColumn("__op_rank", F.lit(0))
+
+    def piece(op, before, before_null, after, after_null, rank):
+        return F.struct(
+            op.alias("op_type"),
+            before.alias("before"),
+            before_null.alias("before_null"),
+            after.alias("after"),
+            after_null.alias("after_null"),
+            F.lit(rank).alias("__op_rank"),
+        )
+
+    keep = piece(
+        F.col("op_type"), F.col("before"), F.col("before_null"),
+        F.col("after"), F.col("after_null"), 1,
     )
-    as_insert = (
-        upd.withColumn("op_type", F.lit("insert"))
-        .withColumn("before", null_map)
-        .withColumn("before_null", null_flags)
-        .withColumn("__op_rank", F.lit(2))
+    del_half = piece(
+        F.lit("delete"), F.col("before"), F.col("before_null"),
+        null_map, null_flags, 0,
     )
-    return non_upd.unionByName(as_delete).unionByName(as_insert)
+    ins_half = piece(
+        F.lit("insert"), null_map, null_flags,
+        F.col("after"), F.col("after_null"), 2,
+    )
+    pieces = F.when(
+        F.col("op_type") == "update", F.array(del_half, ins_half)
+    ).otherwise(F.array(keep))
+    return _explode_pieces(ops, pieces, ["__op_rank"])
 
 
 def _normalize_minimal(batch: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -161,37 +215,47 @@ def _normalize_minimal(batch: DataFrame, key_cols: list[str]) -> DataFrame:
     old_key = {
         k: F.coalesce(_img_val("before", k), _img_val("after", k)) for k in key_cols
     }
-    non_upd = ops.filter(F.col("op_type") != "update").select(
-        "*",
-        *[new_key[k].alias(f"__k_{k}") for k in key_cols],
-        *[old_key[k].alias(f"__ok_{k}") for k in key_cols],
-    ).withColumn("__op_rank", F.lit(1))
-    upd = ops.filter(F.col("op_type") == "update")
     null_map = F.lit(None).cast("map<string,string>")
     null_flags = F.lit(None).cast("map<string,boolean>")
-    as_delete = (
-        upd.select(
-            "*",
-            *[old_key[k].alias(f"__k_{k}") for k in key_cols],
+
+    def piece(op, before, before_null, after, after_null, keys, rank):
+        return F.struct(
+            op.alias("op_type"),
+            before.alias("before"),
+            before_null.alias("before_null"),
+            after.alias("after"),
+            after_null.alias("after_null"),
+            *[keys[k].alias(f"__k_{k}") for k in key_cols],
             *[old_key[k].alias(f"__ok_{k}") for k in key_cols],
+            F.lit(rank).alias("__op_rank"),
         )
-        .withColumn("op_type", F.lit("delete"))
-        .withColumn("after", null_map)
-        .withColumn("after_null", null_flags)
-        .withColumn("__op_rank", F.lit(0))
+
+    # Keys are resolved INSIDE each piece, referencing the op's still-
+    # intact before/after maps — the one-scan formulation preserves the
+    # resolve-before-split contract for free (the piece expressions are
+    # evaluated against the pre-split row).
+    keep = piece(
+        F.col("op_type"), F.col("before"), F.col("before_null"),
+        F.col("after"), F.col("after_null"), new_key, 1,
     )
-    as_insert = (
-        upd.select(
-            "*",
-            *[new_key[k].alias(f"__k_{k}") for k in key_cols],
-            *[old_key[k].alias(f"__ok_{k}") for k in key_cols],
-        )
-        .withColumn("op_type", F.lit("insert"))
-        .withColumn("before", null_map)
-        .withColumn("before_null", null_flags)
-        .withColumn("__op_rank", F.lit(2))
+    del_half = piece(
+        F.lit("delete"), F.col("before"), F.col("before_null"),
+        null_map, null_flags, old_key, 0,
     )
-    return non_upd.unionByName(as_delete).unionByName(as_insert)
+    ins_half = piece(
+        F.lit("insert"), null_map, null_flags,
+        F.col("after"), F.col("after_null"), new_key, 2,
+    )
+    pieces = F.when(
+        F.col("op_type") == "update", F.array(del_half, ins_half)
+    ).otherwise(F.array(keep))
+    return _explode_pieces(
+        ops,
+        pieces,
+        [f"__k_{k}" for k in key_cols]
+        + [f"__ok_{k}" for k in key_cols]
+        + ["__op_rank"],
+    )
 
 
 def _merge_minimal_upserts(

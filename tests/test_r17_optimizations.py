@@ -264,6 +264,173 @@ def test_approx_distinct_split_has_no_hll_buffers_under_expand(spark):
             assert "approx_count_distinct" not in ln, ln[:200]
 
 
+def _old_normalize_pk_changes(batch):
+    """Pre-r17 three-branch union formulation of normalize_pk_changes,
+    verbatim — the parity reference."""
+    from dolphinbeat_spark.sinks.apply_changes import ROW_OPS
+
+    ops = batch.filter(F.col("op_type").isin(*ROW_OPS))
+    non_upd = ops.filter(F.col("op_type") != "update").withColumn(
+        "__op_rank", F.lit(1))
+    upd = ops.filter(F.col("op_type") == "update")
+    null_map = F.lit(None).cast("map<string,string>")
+    null_flags = F.lit(None).cast("map<string,boolean>")
+    as_delete = (
+        upd.withColumn("op_type", F.lit("delete"))
+        .withColumn("after", null_map)
+        .withColumn("after_null", null_flags)
+        .withColumn("__op_rank", F.lit(0))
+    )
+    as_insert = (
+        upd.withColumn("op_type", F.lit("insert"))
+        .withColumn("before", null_map)
+        .withColumn("before_null", null_flags)
+        .withColumn("__op_rank", F.lit(2))
+    )
+    return non_upd.unionByName(as_delete).unionByName(as_insert)
+
+
+def _envelope_fixture(spark):
+    """Small envelope batch covering inserts, deletes, PK-changing and
+    PK-stable updates, NULL-flagged image values, and a passthrough
+    row_index column."""
+    rows = []
+    for i in range(40):
+        op = ("insert", "update", "delete")[i % 3]
+        before = {"id": str(i), "v": f"old{i}"} if op != "insert" else None
+        bnull = {"id": False, "v": False} if op != "insert" else None
+        # PK-changing update every 6th row; NULL-flagged v every 5th
+        after_id = str(i + 1000) if op == "update" and i % 6 == 1 else str(i)
+        after = {"id": after_id, "v": "" if i % 5 == 0 else f"new{i}"} \
+            if op != "delete" else None
+        anull = {"id": False, "v": i % 5 == 0} if op != "delete" else None
+        rows.append(("binlog.000001", i, op, before, bnull, after, anull, i % 4))
+    return spark.createDataFrame(
+        rows,
+        "log_name string, log_pos bigint, op_type string, "
+        "before map<string,string>, before_null map<string,boolean>, "
+        "after map<string,string>, after_null map<string,boolean>, "
+        "row_index int",
+    )
+
+
+def test_normalize_pk_changes_matches_union_formulation(spark):
+    """The one-scan explode formulation must yield exactly the rows of
+    the historical three-branch union (same schema, same multiset)."""
+    from dolphinbeat_spark.sinks.apply_changes import normalize_pk_changes
+
+    env = _envelope_fixture(spark)
+    new = normalize_pk_changes(env)
+    old = _old_normalize_pk_changes(env)
+    assert new.columns == old.columns
+    key = lambda r: (r.log_pos, r["__op_rank"])  # noqa: E731
+    new_rows = sorted(new.collect(), key=key)
+    old_rows = sorted(old.collect(), key=key)
+    assert len(new_rows) == len(old_rows) > 40  # updates split in two
+    assert new_rows == old_rows
+
+
+def test_normalize_minimal_matches_union_formulation(spark):
+    """Same parity for the MINIMAL-image variant: keys resolved from
+    the intact pre-split images, __k_*/__ok_* per the delete/insert
+    halves, identical to the historical union."""
+    from dolphinbeat_spark.sinks.apply_changes import (
+        ROW_OPS,
+        _img_val,
+        _normalize_minimal,
+    )
+
+    env = _envelope_fixture(spark)
+    new = _normalize_minimal(env, ["id"])
+
+    # pre-r17 union formulation, verbatim
+    ops = env.filter(F.col("op_type").isin(*ROW_OPS))
+    new_key = F.coalesce(_img_val("after", "id"), _img_val("before", "id"))
+    old_key = F.coalesce(_img_val("before", "id"), _img_val("after", "id"))
+    non_upd = ops.filter(F.col("op_type") != "update").select(
+        "*", new_key.alias("__k_id"), old_key.alias("__ok_id")
+    ).withColumn("__op_rank", F.lit(1))
+    upd = ops.filter(F.col("op_type") == "update")
+    null_map = F.lit(None).cast("map<string,string>")
+    null_flags = F.lit(None).cast("map<string,boolean>")
+    as_delete = (
+        upd.select("*", old_key.alias("__k_id"), old_key.alias("__ok_id"))
+        .withColumn("op_type", F.lit("delete"))
+        .withColumn("after", null_map)
+        .withColumn("after_null", null_flags)
+        .withColumn("__op_rank", F.lit(0))
+    )
+    as_insert = (
+        upd.select("*", new_key.alias("__k_id"), old_key.alias("__ok_id"))
+        .withColumn("op_type", F.lit("insert"))
+        .withColumn("before", null_map)
+        .withColumn("before_null", null_flags)
+        .withColumn("__op_rank", F.lit(2))
+    )
+    old = non_upd.unionByName(as_delete).unionByName(as_insert)
+
+    assert new.columns == old.columns
+    key = lambda r: (r.log_pos, r["__op_rank"])  # noqa: E731
+    new_rows = sorted(new.collect(), key=key)
+    old_rows = sorted(old.collect(), key=key)
+    assert len(new_rows) == len(old_rows) > 40
+    assert new_rows == old_rows
+
+
+def test_apply_changes_normalize_is_single_scan(spark):
+    """cdc_apply_changes must read the envelope source ONCE (the union
+    formulation scanned it three times): one scan node, no Union, and
+    the explode-synthesized filter must not inline the image maps
+    (it references the barrier column, so no map(...) in any Filter)."""
+    from dolphinbeat_spark.plans.registry import all_specs
+
+    df = all_specs()["cdc_apply_changes"].fn(spark, SF_SMALL)
+    df.collect()
+    # AQE's toString carries BOTH the final and the initial plan; the
+    # contract applies to the final one
+    plan = _physical_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert "Union" not in plan
+    bad = [
+        ln for ln in plan.splitlines()
+        if ln.strip().startswith("+- Filter") and "get_json_object" in ln
+    ]
+    assert not bad, bad[:1]
+
+
+def test_profile_stats_split_keeps_hash_distinct(spark):
+    """profile_table_stats (r17): the distinct pass must never share an
+    aggregate with the stringly min/max buffers — no SortAggregate may
+    sit above the Expand (the old fused shape sorted (|cols|+1)x|table|
+    expanded rows), and values must be unchanged vs the fused agg."""
+    from dolphinbeat_spark.plans.registry import all_specs
+
+    df = all_specs()["profile_table_stats"].fn(spark, SF_SMALL)
+    rows = df.collect()
+    plan = _physical_plan(df)
+    assert "Expand" in plan  # the distinct rewrite still expands
+    # walk the tree: no SortAggregate node may have Expand below it
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "SortAggregate" in ln:
+            depth = len(ln) - len(ln.lstrip())
+            for below in lines[i + 1:]:
+                d = len(below) - len(below.lstrip())
+                if d <= depth and ("+-" in below or ":-" in below):
+                    break
+                assert "Expand" not in below, "SortAggregate over Expand"
+    # distinct counts really are distinct counts (spot-check vs data)
+    import duckdb
+
+    con = duckdb.connect()
+    for r in rows:
+        got = con.execute(
+            f"SELECT COUNT(DISTINCT {r.column_name}), COUNT(*) FROM "
+            f"read_parquet('{SF_SMALL}/lineitem.parquet')"
+        ).fetchone()
+        assert (r.n_distinct, r.n_rows) == got, r
+
+
 def test_materialized_blocks_pushdown_in_training_filter(spark):
     """The barrier must keep the gate work ABOVE the widen exchange in
     the actual pipeline_training_data_filter plan: the scan node's

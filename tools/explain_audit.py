@@ -48,6 +48,7 @@ _BNLJ_OK = {
     "histogram_order_totals",  # 1-row min/max bounds broadcast
     "concentration_customer_deciles",  # 1-row grand-total broadcast
     "profile_leading_digits",  # 1-row total broadcast
+    "profile_table_stats",  # r17: 1-row min/max × 1-row distinct recombine
     "dedup_lsh_recall",  # bounded-universe all-pairs truth (by design)
     "quality_unigram_lm",  # 1-row corpus-totals (N, V) broadcast
     "sample_temperature_mix",  # 1-row budget/normalizer broadcast
