@@ -388,6 +388,17 @@ def apply_batch(
     MINIMAL/NOBLOB feed: absent columns patch-merge from the last
     in-batch carrier, then the current snapshot row; see module
     docstring)."""
+    # The normalized batch and its per-key winners feed SEVERAL jobs in
+    # one merge (the full-image gate's limit-1 probe, the JSON-patch /
+    # minimal-merge pass, the touched-keys anti-join side, the merged
+    # write) — and exchange reuse never spans separate jobs, so without
+    # a materialization each job re-ran the scan+normalize+shuffle
+    # chain from storage (r17: measured ~2-4 chain evaluations per
+    # merge). localCheckpoint (guide §5 — the cheap lineage cut)
+    # materializes each once; batches are micro-batch-bounded, and the
+    # merge is idempotent under the streaming checkpoint's replay, so
+    # the lost-executor lineage caveat costs a batch retry, not
+    # correctness.
     if row_image == "minimal":
         if patch_json_cols:
             raise ValueError(
@@ -395,8 +406,8 @@ def apply_batch(
                 "the decoder refuses MINIMAL+PARTIAL_JSON archives by name "
                 "(an absent JSON column is indistinguishable from a diff)"
             )
-        norm = _normalize_minimal(batch, key_cols)
-        winners = last_op_per_key(norm, key_cols)
+        norm = _normalize_minimal(batch, key_cols).localCheckpoint(eager=False)
+        winners = last_op_per_key(norm, key_cols).localCheckpoint(eager=False)
         live = winners.filter(F.col("op_type") != "delete").select(
             *[F.col(f"__k_{k}").alias(k) for k in key_cols]
         ).distinct()
@@ -406,7 +417,10 @@ def apply_batch(
         upserts = live.join(merged_vals, key_cols, "inner")
     elif row_image == "full":
         norm = normalize_pk_changes(batch)
-        winners = last_op_per_key(norm, key_cols)
+        if patch_json_cols:
+            # _materialize_json_patches re-reads norm in its own pass
+            norm = norm.localCheckpoint(eager=False)
+        winners = last_op_per_key(norm, key_cols).localCheckpoint(eager=False)
         _assert_full_images(winners, value_cols)
         upserts = winners.filter(F.col("op_type") != "delete").select(
             *[F.col(f"__k_{k}").alias(k) for k in key_cols],
