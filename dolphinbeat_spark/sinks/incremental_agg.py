@@ -259,6 +259,13 @@ def merge_agg_batch(
     pass ``base`` = the post-batch base table for group recompute on
     extremum retraction."""
     marker = f"_applied_{batch_id}" if batch_id is not None else None
+    if view.distinct_cols:
+        # each COUNT(DISTINCT) column replays the batch through its own
+        # level-2 delta_frame in a separate merge job, and exchange
+        # reuse never spans jobs — materialize the batch slice once so
+        # the envelope chain runs once per batch, not once per view
+        # (r17; same rationale as apply_batch's localCheckpoint)
+        batch = batch.localCheckpoint(eager=False)
     deltas = delta_frame(batch, view)
     _merge_dir(
         batch.sparkSession, deltas, view_path, view,
